@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the graft table catalog (one parquet per table).
+  *
+  * Mirrors gedixr's granule-directory input model (reference:
+  * gedixr/extract.py:128-129 discovers granules under a root directory) with
+  * a columnar catalog: every reader goes through `spark.read.parquet` so
+  * Catalyst keeps scans pruned (ReadSchema) and predicates pushed
+  * (PushedFilters). At cluster scale each "table" is a directory of many
+  * parquet files; nothing here assumes a single file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // Spark has no TIMESTAMP(NANOS) type; sessions set
+    // spark.sql.legacy.parquet.nanosAsLong=true and we rebuild a proper
+    // microsecond timestamp here. Integer `div` (not `/`) — int64 nanos
+    // overflow double's 53-bit mantissa.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Session settings every graft entrypoint should apply. */
+  val sessionConfs: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true")
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geometry helpers. gedixr builds shapely Points and intersects them with
+  * AOI polygons (reference: gedixr/extract.py:166-184, ancillary.py:121-154).
+  * graft keeps geometry as plain numeric columns + WKT strings so every geo
+  * predicate is a pure Column expression tree: no UDFs, fully inside
+  * WholeStageCodegen, and bbox predicates push down to parquet row-group
+  * statistics — which is what makes spatial subsetting viable at 100 TB.
+  */
+object GeoFunctions {
+
+  /** WKT point string from x/y — ref extract.py:166-168 (Point(lon, lat)).
+    * Fixed 6-decimal formatting keeps the string deterministic. */
+  def stPointWkt(x: Column, y: Column): Column =
+    format_string("POINT (%.6f %.6f)", x, y)
+
+  /** bbox = (xmin, xmax, ymin, ymax). Range predicates — these push all the
+    * way into the parquet scan (row-group skipping). */
+  def inBbox(x: Column, y: Column, bbox: (Double, Double, Double, Double)): Column = {
+    val (xmin, xmax, ymin, ymax) = bbox
+    x.between(xmin, xmax) && y.between(ymin, ymax)
+  }
+
+  /** General even-odd ray-cast point-in-polygon as a pure Column expression
+    * (ref extract.py:177 `gdf.intersects(geo)` for point-vs-polygon). The
+    * polygon is a plan-time constant — the moral equivalent of gedixr
+    * holding the shapely polygon in memory — so the whole test compiles into
+    * branch-free codegen per edge. Horizontal edges never flip ray parity
+    * and are skipped (also keeps the expression ANSI-safe: no div-by-zero).
+    * Works for concave polygons. */
+  def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
+    val crossings = edges(poly).map { case ((xi, yi), (xj, yj)) =>
+      val cond = (lit(yi) > y) =!= (lit(yj) > y)
+      val xcross = lit(xj - xi) * (y - lit(yi)) / lit(yj - yi) + lit(xi)
+      when(cond && (x < xcross), 1).otherwise(0)
+    }
+    (crossings.reduce(_ + _) % 2) === 1
+  }
+
+  /** ANSI SQL for the identical ray-cast (same literals, same operation
+    * tree → bit-identical IEEE doubles in any engine). Used to generate
+    * the DuckDB oracle for the PIP query. */
+  def pointInPolygonSql(xExpr: String, yExpr: String, poly: Seq[(Double, Double)]): String = {
+    val terms = edges(poly).map { case ((xi, yi), (xj, yj)) =>
+      s"(CASE WHEN (($yi > $yExpr) <> ($yj > $yExpr)) AND " +
+        s"($xExpr < ((${xj - xi} * ($yExpr - $yi)) / ${yj - yi} + $xi)) " +
+        "THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2) = 1"
+  }
+
+  private def edges(poly: Seq[(Double, Double)]): Seq[((Double, Double), (Double, Double))] =
+    poly.indices.map(i => (poly(i), poly((i + 1) % poly.length)))
+      .filter { case ((_, yi), (_, yj)) => yi != yj }
+
+  /** Web-mercator forward transform (gedixr normalizes CRS via geopandas
+    * `to_crs` — ancillary.py:146-147). Uses transcendentals, so it is
+    * tolerance-tested in specs rather than hash-checked against the oracle
+    * (libm last-ulp differences across engines). */
+  def webMercator(lon: Column, lat: Column): (Column, Column) = {
+    val k = 20037508.342789244
+    (lon * k / 180.0,
+      log(tan((lit(90.0) + lat) * (math.Pi / 360.0))) * k / math.Pi)
+  }
+
+  /** Equirectangular metric approximation — pure multiplications, so
+    * bit-stable across engines (used by the oracle-checked CRS query). */
+  def metricApprox(lon: Column, lat: Column): (Column, Column) =
+    (lon * 111320.0, lat * 110540.0)
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY §2.2 — general analytics headliners (bench queries). Aggregate
+  * doubles are rounded at >= their true decimal precision so hashes are
+  * stable across engines and partial-agg orderings (SURVEY §6): quantities
+  * and prices carry 2 decimals, discount products 4, so round(sum, 2|4) sits
+  * far from any rounding boundary. No avg in oracle outputs (sum + count
+  * instead — avg's division re-introduces boundary risk).
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: scan-heavy grouped multi-aggregate, 2-col group key.
+    Q("q1_pricing_agg",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price, " +
+        "count(*) AS count_order FROM lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+
+    // TPC-H Q3 shape: dim⋈fact⋈fact with top-k. customer is broadcast-sized.
+    Q("q3_top_orders",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.load(s, d, "orders")
+        val l = Tables.load(s, d, "lineitem")
+        broadcast(c)
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, " +
+        "round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "GROUP BY o_orderkey, odate ORDER BY revenue DESC, o_orderkey LIMIT 10")),
+
+    // TPC-H Q5 shape: 5-way star join, dims broadcast.
+    Q("q5_region_flow",
+      (s, d) => {
+        val c = Tables.load(s, d, "customer")
+        val o = Tables.load(s, d, "orders")
+        val l = Tables.load(s, d, "lineitem")
+        val su = Tables.load(s, d, "supplier")
+        val n = Tables.load(s, d, "nation")
+        val r = Tables.load(s, d, "region").filter(col("r_name") === "ASIA")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+            .as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name")),
+
+    // Per-group top-n via window rank (deterministic tiebreak on key).
+    Q("q_window_topn",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.load(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn")),
+
+    // Time-bucketed event aggregation (streaming-shaped, batch form).
+    Q("q_events_bucket",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("bucket"),
+      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket, " +
+        "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
+        "GROUP BY bucket ORDER BY bucket")),
+
+    // JSON field extraction + aggregation over the semi-structured column.
+    Q("q_events_json",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("kmod"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("kmod"),
+      Some("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod, " +
+        "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
+        "GROUP BY kmod ORDER BY kmod"))
+  )
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GeoFunctions
+import graft.operators.{Extract, GeoOps, MergeOps}
+
+/** SURVEY §2.1 — core ETL/relational operators derived from the gedixr
+  * surface, each with a DuckDB oracle. Column names are aliased identically
+  * on both sides; every query ends in a deterministic ORDER BY.
+  */
+object CoreQueries {
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def ord(s: SparkSession, d: String) = Tables.load(s, d, "orders")
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+  private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Irregular (convex-ish) test polygon over the synthetic lon/lat space.
+    * Vertices are short exact binary decimals so the SQL literals
+    * round-trip bit-exactly. */
+  val testPolygon: Seq[(Double, Double)] =
+    Seq((-20.0, 30.0), (15.5, 25.25), (30.0, 50.5), (0.5, 65.75), (-25.25, 48.5))
+
+  val testAois: Seq[(String, (Double, Double, Double, Double))] = Seq(
+    "aoi_west" -> (-50.0, 0.0, 0.0, 40.0),
+    "aoi_east" -> (20.0, 90.0, -30.0, 30.0))
+
+  // Flags frame for the quality-filter query: deterministic integer-derived
+  // flags + integer-valued elevation delta (no float boundary risk).
+  private def flagsFrame(s: SparkSession, d: String): DataFrame =
+    li(s, d).select(
+      col("l_orderkey").as("shot"),
+      col("l_linenumber").as("line"),
+      (col("l_orderkey") % 2).cast("int").as("quality_flag"),
+      (col("l_partkey") % 3).cast("int").as("degrade_flag"),
+      (col("l_linenumber") % 3).cast("int").as("num_detectedmodes"),
+      (col("l_extendedprice") / 100.0).as("elev"),
+      (col("l_extendedprice") / 100.0 + ((col("l_suppkey") % 200).cast("double") - 100.0))
+        .as("elev_dem_tdx"),
+      col("l_quantity").as("sensitivity"))
+
+  private val flagsSql: String =
+    "(SELECT l_orderkey AS shot, l_linenumber AS line, " +
+      "CAST(l_orderkey % 2 AS INTEGER) AS quality_flag, " +
+      "CAST(l_partkey % 3 AS INTEGER) AS degrade_flag, " +
+      "CAST(l_linenumber % 3 AS INTEGER) AS num_detectedmodes, " +
+      "(l_extendedprice / 100.0) AS elev, " +
+      "((l_extendedprice / 100.0) + (CAST(l_suppkey % 200 AS DOUBLE) - 100.0)) AS elev_dem_tdx, " +
+      "l_quantity AS sensitivity FROM lineitem) flags"
+
+  val defs: Seq[Q] = Seq(
+
+    // R5 — variable mapping (projection + rename); pruning reaches the scan.
+    Q("q_extract_vars",
+      (s, d) => Extract.selectVariables(li(s, d), Seq(
+          "okey" -> "l_orderkey", "line" -> "l_linenumber", "qty" -> "l_quantity",
+          "price" -> "l_extendedprice", "flag" -> "l_returnflag"))
+        .orderBy("okey", "line"),
+      Some("SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty, " +
+        "l_extendedprice AS price, l_returnflag AS flag FROM lineitem ORDER BY okey, line")),
+
+    // R4 — beam/category selection ("power beams" ≈ click+purchase).
+    Q("q_beam_filter",
+      (s, d) => Extract.beamFilter(ev(s, d), "event_type", Seq("click", "purchase"))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id"),
+      Some("SELECT event_id, event_type, user_id FROM events " +
+        "WHERE event_type IN ('click', 'purchase') ORDER BY event_id")),
+
+    // R3 — month-of-year range filter.
+    Q("q_month_filter",
+      (s, d) => Extract.monthFilter(ord(s, d), "o_orderdate", (6, 8))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate FROM orders " +
+        "WHERE EXTRACT(month FROM o_orderdate) BETWEEN 6 AND 8 ORDER BY o_orderkey")),
+
+    // R2 — granule-id synthesis + day-of-year timestamp parse.
+    Q("q_date_parse",
+      (s, d) => {
+        val gid = format_string("GEDI02_A_%04d%03d%02d%02d%02d",
+          lit(2019) + (col("o_orderkey") % 3), (col("o_orderkey") % 365) + 1,
+          col("o_orderkey") % 24, col("o_orderkey") % 60, (col("o_orderkey") * 7) % 60)
+        ord(s, d).select(col("o_orderkey"), gid.as("granule_id"))
+          .withColumn("acq",
+            date_format(Extract.granuleDate(col("granule_id")), "yyyy-MM-dd HH:mm:ss"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, granule_id, " +
+        "strftime(strptime(regexp_extract(granule_id, '[AB]_([0-9]{13})', 1), " +
+        "'%Y%j%H%M%S'), '%Y-%m-%d %H:%M:%S') AS acq FROM " +
+        "(SELECT o_orderkey, printf('GEDI02_A_%04d%03d%02d%02d%02d', " +
+        "2019 + (o_orderkey % 3), (o_orderkey % 365) + 1, o_orderkey % 24, " +
+        "o_orderkey % 60, (o_orderkey * 7) % 60) AS granule_id FROM orders) t " +
+        "ORDER BY o_orderkey")),
+
+    // R9 — default quality filter (flags dropped after filtering).
+    Q("q_quality_filter",
+      (s, d) => Extract.qualityFilter(flagsFrame(s, d)).orderBy("shot", "line"),
+      Some("SELECT shot, line, num_detectedmodes, elev, elev_dem_tdx, sensitivity " +
+        s"FROM $flagsSql WHERE quality_flag = 1 AND degrade_flag = 0 AND " +
+        "num_detectedmodes > 0 AND abs(elev - elev_dem_tdx) < 100 ORDER BY shot, line")),
+
+    // R7 — shot-number zero-pad canonicalization.
+    Q("q_shot_format",
+      (s, d) => li(s, d)
+        .select(Extract.padShot(col("l_orderkey") * 10 + col("l_linenumber")).as("shot"))
+        .orderBy("shot"),
+      Some("SELECT lpad(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR), 18, '0') AS shot " +
+        "FROM lineitem ORDER BY shot")),
+
+    // R6 — rh-percentile extraction from an array layer.
+    Q("q_rh_extract",
+      (s, d) => emb(s, d)
+        .select(col("vec_id"), Extract.rhPercentile(col("embedding"), 10).as("rh10"))
+        .orderBy("vec_id"),
+      Some("SELECT vec_id, CAST(round(CAST(embedding[10] AS DOUBLE) * 100.0) AS BIGINT) " +
+        "AS rh10 FROM embeddings ORDER BY vec_id")),
+
+    // R10 — point geometry construction (WKT) + drop of raw lon/lat.
+    Q("q_make_point",
+      (s, d) => Shots.df(s, d).filter(col("event_type") === "view")
+        .select(col("shot"), GeoFunctions.stPointWkt(col("lon"), col("lat")).as("wkt"))
+        .orderBy("shot"),
+      Some("SELECT shot, printf('POINT (%.6f %.6f)', lon, lat) AS wkt FROM " +
+        s"${Shots.sql} WHERE event_type = 'view' ORDER BY shot")),
+
+    // R11 — bounding-box spatial subset (predicates push to scan).
+    Q("q_bbox_subset",
+      (s, d) => Shots.df(s, d)
+        .filter(GeoFunctions.inBbox(col("lon"), col("lat"), (-10.0, 40.0, 20.0, 60.0)))
+        .select(col("shot"), col("lon"), col("lat"))
+        .orderBy("shot"),
+      Some("SELECT shot, lon, lat FROM " + Shots.sql +
+        " WHERE lon BETWEEN -10.0 AND 40.0 AND lat BETWEEN 20.0 AND 60.0 ORDER BY shot")),
+
+    // R11 — exact point-in-polygon subset (ray-cast expression).
+    Q("q_pip_subset",
+      (s, d) => Shots.df(s, d)
+        .filter(GeoFunctions.pointInPolygon(col("lon"), col("lat"), testPolygon))
+        .select(col("shot"), col("lon"), col("lat"))
+        .orderBy("shot"),
+      Some("SELECT shot, lon, lat FROM " + Shots.sql + " WHERE " +
+        GeoFunctions.pointInPolygonSql("lon", "lat", testPolygon) + " ORDER BY shot")),
+
+    // R12 — multi-AOI fan-out with AOI tag.
+    Q("q_multi_aoi",
+      (s, d) => GeoOps.multiAoiBbox(Shots.df(s, d), col("lon"), col("lat"), testAois)
+        .select(col("aoi"), col("shot"), col("value"))
+        .orderBy("aoi", "shot"),
+      Some("SELECT * FROM (" +
+        "SELECT 'aoi_west' AS aoi, shot, value FROM " + Shots.sql +
+        " WHERE lon BETWEEN -50.0 AND 0.0 AND lat BETWEEN 0.0 AND 40.0 " +
+        "UNION ALL " +
+        "SELECT 'aoi_east' AS aoi, shot, value FROM " + Shots.sql +
+        " WHERE lon BETWEEN 20.0 AND 90.0 AND lat BETWEEN -30.0 AND 30.0" +
+        ") u ORDER BY aoi, shot")),
+
+    // R13 — CRS transform (bit-stable metric approximation; web-mercator is
+    // spec-tested with tolerance instead).
+    Q("q_crs_transform",
+      (s, d) => {
+        val sh = Shots.df(s, d)
+        val (mx, my) = GeoFunctions.metricApprox(col("lon"), col("lat"))
+        sh.select(col("shot"), mx.as("mx"), my.as("my")).orderBy("shot")
+      },
+      Some("SELECT shot, lon * 111320.0 AS mx, lat * 110540.0 AS my FROM " +
+        Shots.sql + " ORDER BY shot")),
+
+    // R14 — per-source frame concat (unionByName).
+    Q("q_union_concat",
+      (s, d) => {
+        val e = ev(s, d)
+        val g1 = e.filter(col("event_type") === "click")
+          .select(lit("g1").as("src"), col("event_id"), col("value"))
+        val g2 = e.filter(col("event_type") === "signup")
+          .select(lit("g2").as("src"), col("event_id"), col("value"))
+        g1.unionByName(g2).orderBy("src", "event_id")
+      },
+      Some("SELECT * FROM (" +
+        "SELECT 'g1' AS src, event_id, value FROM events WHERE event_type = 'click' " +
+        "UNION ALL " +
+        "SELECT 'g2' AS src, event_id, value FROM events WHERE event_type = 'signup'" +
+        ") u ORDER BY src, event_id")),
+
+    // R17 — L2A⋈L2B suffix join on composite key (shot, acq_time).
+    Q("q_merge_l2ab",
+      (s, d) => {
+        val l = li(s, d)
+        val l2a = l.filter(col("l_linenumber") === 1).select(
+          col("l_orderkey").as("shot"),
+          to_date(date_trunc("month", col("l_shipdate"))).as("acq_time"),
+          col("l_quantity").as("sensitivity"),
+          col("l_extendedprice").as("rh98"))
+        val l2b = l.filter(col("l_linenumber") === 2).select(
+          col("l_orderkey").as("shot"),
+          to_date(date_trunc("month", col("l_shipdate"))).as("acq_time"),
+          col("l_quantity").as("sensitivity"),
+          col("l_tax").as("pai"))
+        MergeOps.mergeGdf(l2a, l2b).orderBy("shot", "acq_time")
+      },
+      Some("SELECT b.shot AS shot, b.acq_time AS acq_time, " +
+        "b.sensitivity AS sensitivity_l2b, b.pai AS pai, " +
+        "a.sensitivity AS sensitivity_l2a, a.rh98 AS rh98 FROM " +
+        "(SELECT l_orderkey AS shot, CAST(date_trunc('month', l_shipdate) AS DATE) AS acq_time, " +
+        "l_quantity AS sensitivity, l_tax AS pai FROM lineitem WHERE l_linenumber = 2) b " +
+        "JOIN " +
+        "(SELECT l_orderkey AS shot, CAST(date_trunc('month', l_shipdate) AS DATE) AS acq_time, " +
+        "l_quantity AS sensitivity, l_extendedprice AS rh98 FROM lineitem WHERE l_linenumber = 1) a " +
+        "ON a.shot = b.shot AND a.acq_time = b.acq_time " +
+        "ORDER BY shot, acq_time")),
+
+    // R19 — rasterize points to a 0.25° grid (count + exact-decimal sum).
+    Q("q_rasterize_grid",
+      (s, d) => GeoOps.rasterize(Shots.df(s, d), col("lon"), col("lat"), 0.25,
+          Seq("n" -> count(lit(1)), "sum_value" -> round(sum(col("value")), 2)))
+        .orderBy("cy", "cx"),
+      Some("SELECT CAST(floor(lat / 0.25) AS BIGINT) AS cy, " +
+        "CAST(floor(lon / 0.25) AS BIGINT) AS cx, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM " + Shots.sql +
+        " GROUP BY cy, cx ORDER BY cy, cx")),
+
+    // R7/dedup — exact dedup keyed on user (keep first event).
+    Q("q_dedup_shots",
+      (s, d) => ev(s, d).groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+      Some("SELECT user_id, min(event_id) AS first_event, count(*) AS n_events " +
+        "FROM events GROUP BY user_id ORDER BY user_id"))
+  )
+}
