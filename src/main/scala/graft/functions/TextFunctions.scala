@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives (shingles, portable hashes, MinHash, SimHash)
+  * for the training-data operators (SURVEY §2.3).
+  *
+  * Every primitive here exists twice: a Spark `Column` builder and a DuckDB
+  * SQL emitter that produces the *identical operation tree* (same literals,
+  * same strict left-fold order, same integer arithmetic). That is what lets
+  * the driver hash-verify even the hash-based operators: both engines fold
+  * `(acc * 31 + code) % P` over the same character sequence and must agree
+  * bit-for-bit. No library hash (xxhash64/murmur) could be oracle-checked
+  * this way.
+  *
+  * All arithmetic stays inside int64 (max intermediate ~3e13 << 2^63), so
+  * the expressions are ANSI-safe and overflow-free in both engines.
+  */
+object TextFunctions {
+
+  /** Fold modulus (large prime < 2^30, keeps products within int64). */
+  val P: Long = 1000000007L
+
+  /** Whitespace tokenization. Single-space split on both sides: Spark's
+    * regex split and DuckDB's string_split agree on single-space-joined
+    * text (the documents table's format). */
+  def tokens(text: Column): Column = split(text, " ")
+  def tokensSql(text: String): String = s"string_split($text, ' ')"
+
+  /** Portable polynomial string hash: strict left fold of
+    * `(acc * 31 + ascii(char)) % P` over the characters. */
+  def charHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31L + x) % P)
+
+  def charHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+
+  /** Per-token hash codes: array<long>, one code per whitespace token. */
+  def tokenCodes(text: Column): Column = transform(tokens(text), t => charHash(t))
+  def tokenCodesSql(text: String): String =
+    s"list_transform(${tokensSql(text)}, t -> ${charHashSql("t")})"
+
+  /** Deterministic MinHash parameter family (a_i odd, b_i spread). */
+  def mhParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (101L + 2L * i, 7919L * i + 13L))
+
+  /** k-component MinHash signature over token codes: component i is
+    * `min((a_i * code + b_i) % P)` over the token-code set. Duplicated
+    * tokens don't change a min, so this is a true set signature. */
+  def minhashSig(codes: Column, k: Int): Column =
+    array(mhParams(k).map { case (a, b) =>
+      array_min(transform(codes, x => (x * a + b) % P))
+    }: _*)
+
+  def minhashSigSql(codes: String, k: Int): String =
+    mhParams(k).map { case (a, b) =>
+      s"list_min(list_transform($codes, x -> (x * $a + $b) % $P))"
+    }.mkString("[", ", ", "]")
+
+  /** LSH band key: fold the band's signature components with *31 (no mod —
+    * 4 components of <2^30 stay under 2^45). `sig` is 1-indexed on both
+    * sides (Spark element_at / DuckDB list index). */
+  def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand)
+      .map(i => element_at(sig, band * rowsPerBand + i + 1))
+      .reduceLeft((acc, m) => acc * 31L + m)
+
+  def bandKeySql(sig: String, band: Int, rowsPerBand: Int): String =
+    (0 until rowsPerBand)
+      .map(i => s"$sig[${band * rowsPerBand + i + 1}]")
+      .reduceLeft((acc, m) => s"($acc * 31 + $m)")
+
+  /** `bits`-bit SimHash over token codes, frequency-weighted: bit p is set
+    * when the +1/-1 vote sum over tokens (by bit p of each code) is > 0. */
+  def simhash(codes: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      val vote = aggregate(codes, lit(0L),
+        (acc, x) => acc + (shiftright(x, p).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  def simhashSql(codes: String, bits: Int): String =
+    (0 until bits).map { p =>
+      s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform($codes, x -> ((x >> $p) & 1) * 2 - 1)), " +
+        s"(a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Adjacent-token bigram shingles ("w1 w2"). Empty for <2 tokens. */
+  def bigrams(toks: Column): Column = {
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(
+      slice(toks, lit(1), n),
+      slice(toks, lit(2), n),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
+  def bigramsSql(toks: String): String =
+    s"list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i + 1])"
+
+  /** Hamming distance between two simhash values (bit-count of xor). */
+  def hamming(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).map { p =>
+      shiftright(a.bitwiseXOR(b), p).bitwiseAND(lit(1L))
+    }.reduceLeft(_ + _)
+}

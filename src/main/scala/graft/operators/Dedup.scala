@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the training-data pipeline (SURVEY §2.3):
+  * exact hash dedup, MinHash+LSH candidate pairs, SimHash buckets, and
+  * n-gram-Jaccard verification. The scale rule throughout: never shuffle
+  * raw text, never build all-pairs — shuffle 8-byte hashes / band keys and
+  * join only within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: group on the 64-bit text hash (8-byte shuffle key — the
+    * raw text never moves), keep the min id per group. At 100 TB this is
+    * one map-side-combined shuffle of (hash, id) pairs. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** MinHash + banded-LSH near-duplicate *candidate* pairs: tokenize →
+    * k-component MinHash signature → `bands` band keys → explode (one row
+    * per (doc, band)) → self-join on (band, key) → distinct (a, b) pairs.
+    *
+    * Only (band, key, id) triples shuffle — ~bands×16 bytes/doc regardless
+    * of document size — and the join degree is bounded by bucket size, not
+    * corpus size (the all-pairs trap SURVEY §5 forbids). Skewed buckets
+    * (boilerplate docs) are AQE-split; a production run would also cap
+    * bucket size. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = TextFunctions.minhashSig(TextFunctions.tokenCodes(col(textCol)), k)
+    val keys = array((0 until bands).map(b =>
+      TextFunctions.bandKey(col("sig"), b, rowsPerBand)): _*)
+    val banded = df
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), posexplode(keys).as(Seq("band", "bkey")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** SimHash near-dup buckets: every doc gets its `bits`-bit SimHash; docs
+    * sharing a simhash value form a bucket (keep-min-id representative).
+    * One narrow map + one map-side-combined shuffle on the 8-byte hash. */
+  def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+        TextFunctions.simhash(TextFunctions.tokenCodes(col(textCol)), bits)
+          .as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** n-gram Jaccard similarity over candidate pairs: distinct bigram
+    * shingle sets, |A∩B| / |A∪B|. `pairs` must carry (a, b) id columns;
+    * texts are joined back per side — at scale both joins are hash joins
+    * on the id, and only candidate pairs (not all pairs) pay the set ops. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("_jid"),
+      array_distinct(TextFunctions.bigrams(TextFunctions.tokens(col(textCol))))
+        .as("_grams"))
+    pairs
+      .join(grams.withColumnRenamed("_jid", "a").withColumnRenamed("_grams", "ga"), "a")
+      .join(grams.withColumnRenamed("_jid", "b").withColumnRenamed("_grams", "gb"), "b")
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_union", size(array_union(col("ga"), col("gb"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter") / col("n_union"), 6))
+      .drop("ga", "gb")
+  }
+}

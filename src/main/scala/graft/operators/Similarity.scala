@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.3). Two paths:
+  *
+  *  - brute-force cosine top-k: the correctness baseline. Queries are
+  *    broadcast (they're the small side by construction); candidates are
+  *    scanned once, scored narrowly, and reduced by two-stage top-k — no
+  *    all-pairs shuffle, no global sort.
+  *  - LSH-bucketed (random hyperplanes): the scale path. Only bucket keys
+  *    shuffle; cosine is computed just for bucket-collision candidates.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k. `queries` must be small (broadcast). The
+    * scored frame is reduced per query by TopK.perGroupTopK, so a single
+    * hot query id cannot serialize the reduction. */
+  def cosineTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos_sim").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Signature frame: one row per (id, band, bkey) — `bands` rows per
+    * vector, each key packing `rowsPerBand` hyperplane sign bits. */
+  def hyperBands(df: DataFrame, bands: Int, rowsPerBand: Int, dims: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keys = array((0 until bands).map(b =>
+      VectorFunctions.hyperBandKey(col(vecCol), b, rowsPerBand, dims)): _*)
+    df.select(col(idCol).as("id"), posexplode(keys).as(Seq("band", "bkey")))
+  }
+
+  /** LSH-bucketed ANN: candidates that share >= 1 band key with a query are
+    * scored exactly (same cosine tree as brute force) and top-k'd. The
+    * shuffle carries only (band, bkey, id) triples; query bands are
+    * broadcast. Recall < 1 by design — spec'd against the brute-force
+    * baseline. */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              bands: Int = 4, rowsPerBand: Int = 4, dims: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = hyperBands(candidates, bands, rowsPerBand, dims, idCol, vecCol)
+    val qb = hyperBands(queries, bands, rowsPerBand, dims, idCol, vecCol)
+    val candPairs = cb.join(broadcast(qb.withColumnRenamed("id", "qid")),
+        Seq("band", "bkey"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("vec_id"))
+      .distinct()
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val scored = candPairs
+      .join(broadcast(q), "qid")
+      .join(c, "vec_id")
+      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos_sim").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

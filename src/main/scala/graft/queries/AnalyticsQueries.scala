@@ -114,12 +114,16 @@ object AnalyticsQueries {
         "GROUP BY bucket ORDER BY bucket")),
 
     // JSON field extraction + aggregation over the semi-structured column.
+    // The key is coalesced to a sentinel on both sides: get_json_object
+    // returns NULL for missing/non-numeric $.k, and Spark sorts NULLS FIRST
+    // while DuckDB defaults NULLS LAST — a raw null group would order-mismatch.
     Q("q_events_json",
       (s, d) => Tables.load(s, d, "events")
-        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("kmod"))
+        .groupBy(coalesce(get_json_object(col("props"), "$.k").cast("long") % 10, lit(-1L))
+          .as("kmod"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("kmod"),
-      Some("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod, " +
+      Some("SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, -1) AS kmod, " +
         "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
         "GROUP BY kmod ORDER BY kmod"))
   )

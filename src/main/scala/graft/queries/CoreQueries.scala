@@ -89,9 +89,15 @@ object CoreQueries {
             date_format(Extract.granuleDate(col("granule_id")), "yyyy-MM-dd HH:mm:ss"))
           .orderBy("o_orderkey")
       },
+      // DuckDB's strptime silently ignores %j (day-of-year), so the oracle
+      // rebuilds the timestamp arithmetically: Jan-1 of the year + (doy-1)
+      // days. The Spark side keeps yyyyDDDHHmmss (reference extract.py:232-236
+      // semantics).
       Some("SELECT o_orderkey, granule_id, " +
-        "strftime(strptime(regexp_extract(granule_id, '[AB]_([0-9]{13})', 1), " +
-        "'%Y%j%H%M%S'), '%Y-%m-%d %H:%M:%S') AS acq FROM " +
+        "strftime(make_timestamp(CAST(2019 + (o_orderkey % 3) AS BIGINT), 1, 1, " +
+        "CAST(o_orderkey % 24 AS BIGINT), CAST(o_orderkey % 60 AS BIGINT), " +
+        "CAST((o_orderkey * 7) % 60 AS DOUBLE)) " +
+        "+ to_days(CAST(o_orderkey % 365 AS INTEGER)), '%Y-%m-%d %H:%M:%S') AS acq FROM " +
         "(SELECT o_orderkey, printf('GEDI02_A_%04d%03d%02d%02d%02d', " +
         "2019 + (o_orderkey % 3), (o_orderkey % 365) + 1, o_orderkey % 24, " +
         "o_orderkey % 60, (o_orderkey * 7) % 60) AS granule_id FROM orders) t " +

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** SURVEY §2.3 — dedup operators over the documents table. The MinHash and
+  * SimHash oracles re-express the identical portable-hash arithmetic in
+  * DuckDB (TextFunctions *Sql emitters), so even the LSH candidate set is
+  * fully hash-verified, not just rows-counted.
+  */
+object DedupQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+
+  /** (band, key) pairs per doc as UNION ALL branches (DuckDB side of
+    * Dedup.minhashCandidates' posexplode). */
+  private def mhBandsSql(k: Int, bands: Int): String = {
+    val sig = minhashSigSql(tokenCodesSql("text"), k)
+    (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band, ${bandKeySql("sig", b, k / bands)} AS bkey " +
+        s"FROM (SELECT doc_id, $sig AS sig FROM documents)"
+    }.mkString(" UNION ALL ")
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // Exact dedup: Spark groups on the 8-byte text hash (the raw text never
+    // shuffles); the oracle groups on the text itself — identical output
+    // absent a 64-bit collision.
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exactDedup(docs(s, d), "doc_id", "text").orderBy("keep_id"),
+      Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY text ORDER BY keep_id")),
+
+    // MinHash + banded LSH candidate pairs (16 components, 4 bands of 4).
+    Q("q_minhash_pairs",
+      (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text", k = 16, bands = 4)
+        .orderBy("a", "b"),
+      Some(s"WITH bands AS (${mhBandsSql(16, 4)}) " +
+        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
+        "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id " +
+        "ORDER BY a, b")),
+
+    // SimHash 16-bit buckets with keep-min-id representative.
+    Q("q_simhash_dup",
+      (s, d) => Dedup.simhashBuckets(docs(s, d), "doc_id", "text", bits = 16)
+        .orderBy("simhash"),
+      Some("WITH h AS (SELECT doc_id, " +
+        s"CAST(${simhashSql(tokenCodesSql("text"), 16)} AS BIGINT) AS simhash FROM documents) " +
+        "SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs " +
+        "FROM h GROUP BY simhash ORDER BY simhash")),
+
+    // n-gram Jaccard verification over same-source candidate pairs: the
+    // candidate generator here is the source bucket (25 docs/source at
+    // sf0.01) — set ops run only within buckets, never all-pairs.
+    Q("q_ngram_jaccard",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = dd.select(col("doc_id"), col("source")).as("d1")
+          .join(dd.select(col("doc_id"), col("source")).as("d2"),
+            col("d1.source") === col("d2.source") &&
+              col("d1.doc_id") < col("d2.doc_id"))
+          .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"))
+        Dedup.ngramJaccard(pairs, dd, "doc_id", "text")
+          .select(col("a"), col("b"), col("n_inter"), col("n_union"), col("jaccard"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val grams = s"list_distinct(${bigramsSql(tokensSql("text"))})"
+        s"WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents) " +
+          "SELECT x.doc_id AS a, y.doc_id AS b, " +
+          "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_inter, " +
+          "CAST(len(list_distinct(list_concat(x.grams, y.grams))) AS BIGINT) AS n_union, " +
+          "round(CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) / " +
+          "CAST(len(list_distinct(list_concat(x.grams, y.grams))) AS BIGINT), 6) AS jaccard " +
+          "FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id " +
+          "ORDER BY a, b"
+      })
+  )
+}

@@ -1,7 +1,8 @@
 package graft.queries
 
-/** SURVEY §2.3 — training-data pipeline operators. Populated in batches;
-  * see TextQueries/DedupQueries/SimilarityQueries. */
+/** SURVEY §2.3 — training-data pipeline operators: text analysis, dedup,
+  * similarity search, multimodal plumbing. */
 object PipelineQueries {
-  val defs: Seq[Q] = Seq.empty
+  val defs: Seq[Q] =
+    TextQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs
 }

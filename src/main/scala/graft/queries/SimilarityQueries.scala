@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.{cosineSql, hyperBandKeySql}
+import graft.operators.{Multimodal, Similarity}
+
+/** SURVEY §2.3 — similarity search over the embeddings table + multimodal
+  * plumbing. The cosine oracles fold float products in the identical strict
+  * left-to-right order on both sides, so scores — and therefore rankings —
+  * are bit-identical and fully hash-verifiable.
+  */
+object SimilarityQueries {
+
+  private val Dims = 64
+  private val K = 5
+
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  /** DuckDB side of Similarity.hyperBands: (id, band, bkey) per vector. */
+  private def hyperBandsSql(bands: Int, rowsPerBand: Int): String =
+    (0 until bands).map { b =>
+      s"SELECT vec_id AS id, $b AS band, " +
+        s"CAST(${hyperBandKeySql("embedding", b, rowsPerBand, Dims)} AS BIGINT) AS bkey " +
+        "FROM embeddings"
+    }.mkString(" UNION ALL ")
+
+  val defs: Seq[Q] = Seq(
+
+    // Brute-force cosine top-k: the ANN correctness baseline. Queries
+    // (vec_id < 5) broadcast; candidates scanned once; two-stage top-k.
+    Q("q_ann_cosine",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.cosineTopK(e, e.filter(col("vec_id") < 5), K)
+          .orderBy("qid", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+        s"scored AS (SELECT qid, vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+        "FROM c, q WHERE vec_id <> qid), " +
+        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+        s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+        "ORDER BY qid, rank")),
+
+    // LSH-bucketed ANN (16 random hyperplanes, 4 bands of 4 sign bits):
+    // candidates share >= 1 band key with a query; exact cosine + top-k on
+    // the candidate set only.
+    Q("q_ann_lsh",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.lshTopK(e, e.filter(col("vec_id") < 5), K,
+            bands = 4, rowsPerBand = 4, dims = Dims)
+          .orderBy("qid", "rank")
+      },
+      Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
+        "qb AS (SELECT id AS qid, band, bkey FROM cb WHERE id < 5), " +
+        "pairs AS (SELECT DISTINCT qb.qid, cb.id AS vec_id FROM cb " +
+        "JOIN qb ON cb.band = qb.band AND cb.bkey = qb.bkey AND cb.id <> qb.qid), " +
+        "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+        "scored AS (SELECT p.qid, p.vec_id, " +
+        s"${cosineSql("qvec", "cvec")} AS cos " +
+        "FROM pairs p JOIN q ON p.qid = q.qid JOIN c ON p.vec_id = c.vec_id), " +
+        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+        s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+        "ORDER BY qid, rank")),
+
+    // Multimodal plumbing: opaque binary payload -> per-partition stubbed
+    // decode -> typed features. ASCII payloads make the checksum (the same
+    // polynomial byte fold as charHash) oracle-checkable end to end.
+    Q("q_media_features",
+      (s, d) => Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(Tables.load(s, d, "documents")))
+        .toDF()
+        .orderBy("media_id"),
+      Some {
+        val hash = graft.functions.TextFunctions.charHashSql("text")
+        s"WITH f AS (SELECT doc_id AS media_id, 'text' AS kind, " +
+          s"CAST(length(text) AS BIGINT) AS n_bytes, $hash AS checksum FROM documents) " +
+          "SELECT media_id, kind, n_bytes, checksum, " +
+          "checksum % 640 AS width, checksum % 480 AS height " +
+          "FROM f ORDER BY media_id"
+      })
+  )
+}
