@@ -1,9 +1,25 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line (stdout) plus the same JSON to a file (sbt's noisy
+  * stdout made r1's line unparseable — the file is the reliable channel).
+  *
+  * Two r1 fixes: failures are RECORDED per query (value -1, listed under
+  * "errors") instead of silently benched as fast successes; and the
+  * top-level ORDER BY every query carries for oracle determinism is
+  * stripped (PlanBridge), so timings measure the operator, not a global
+  * sort of the full output.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,14 +34,25 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes every output column (count() would let
       // Spark prune the projections away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try {
+          PlanBridge.stripTopSort(fn(spark, sfDir))
+            .write.format("noop").mode("overwrite").save()
+          None
+        } catch { case e: Throwable => Some(e.toString.take(200)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results
+      .map { case (k, v, err) => s""""$k":${if (err.isDefined) -1 else v}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -24,22 +24,40 @@ object GeoOps {
   }
 
   /** Multi-AOI fan-out — ref extract.py:175-207: one tagged subset per AOI
-    * geometry, concatenated. The AOI list is a plan-time constant (the
-    * broadcast analogue of gedixr's in-memory `out_dict`); each branch's
-    * bbox predicate pushes to the scan, and Spark unions the branches
-    * without a shuffle. */
+    * geometry. SINGLE scan of the input (r1 unioned one filtered scan per
+    * AOI — N scans for N AOIs): the OR of all bboxes is pushed as one scan
+    * predicate, then each surviving row explodes into its matching AOI
+    * tags. The AOI list is a plan-time constant (the broadcast analogue of
+    * gedixr's in-memory AOI dict); rows matching no AOI are dropped by the
+    * explode of an empty tag array. */
   def multiAoiBbox(df: DataFrame, x: Column, y: Column,
-                   aois: Seq[(String, (Double, Double, Double, Double))]): DataFrame =
-    aois.map { case (name, bbox) =>
-      df.filter(GeoFunctions.inBbox(x, y, bbox)).withColumn("aoi", lit(name))
-    }.reduce(_.unionByName(_))
+                   aois: Seq[(String, (Double, Double, Double, Double))]): DataFrame = {
+    val anyBbox = aois.map { case (_, b) => GeoFunctions.inBbox(x, y, b) }
+      .reduceLeft(_ || _)
+    multiAoiTagged(df.filter(anyBbox),
+      aois.map { case (n, b) => n -> GeoFunctions.inBbox(x, y, b) })
+  }
 
-  /** Multi-AOI fan-out with exact polygon membership (general form). */
+  /** Multi-AOI fan-out with exact polygon membership (general form). The
+    * bbox pre-filter of each polygon's envelope is pushed to the scan; the
+    * exact ray-cast runs once per (row, AOI) in the same single pass. */
   def multiAoiPolygon(df: DataFrame, x: Column, y: Column,
-                      aois: Seq[(String, Seq[(Double, Double)])]): DataFrame =
-    aois.map { case (name, poly) =>
-      df.filter(GeoFunctions.pointInPolygon(x, y, poly)).withColumn("aoi", lit(name))
-    }.reduce(_.unionByName(_))
+                      aois: Seq[(String, Seq[(Double, Double)])]): DataFrame = {
+    val envelopes = aois.map { case (_, poly) =>
+      val (xs, ys) = (poly.map(_._1), poly.map(_._2))
+      GeoFunctions.inBbox(x, y, (xs.min, xs.max, ys.min, ys.max))
+    }
+    multiAoiTagged(df.filter(envelopes.reduceLeft(_ || _)),
+      aois.map { case (n, poly) => n -> GeoFunctions.pointInPolygon(x, y, poly) })
+  }
+
+  /** One-scan core: per-row array of matching AOI names, exploded. */
+  private def multiAoiTagged(df: DataFrame, tagged: Seq[(String, Column)]): DataFrame = {
+    val tags = filter(
+      array(tagged.map { case (n, pred) => when(pred, lit(n)) }: _*),
+      t => t.isNotNull)
+    df.withColumn("aoi", explode(tags))
+  }
 
   /** Per-AOI partitioned write — ref extract.py:196-220 writes one parquet
     * per AOI; the Spark-native form is a single partitioned write (each

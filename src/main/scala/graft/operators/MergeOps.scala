@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 /** gedixr `merge_gdf` re-expressed (reference: gedixr/xr.py:56-112): a
   * suffix join of the L2A and L2B frames on a composite key (the reference
@@ -17,22 +18,43 @@ object MergeOps {
     * (xr.py:73-75); overlapping non-key columns get the `suffixes`
     * (xr.py:84). The reference merges `l2b.merge(l2a)` — l2b is the left
     * side (xr.py:109). */
+  /** @param check run the reference's merge pre-checks first
+    *   (xr.py:115-141 runs them unconditionally; here they're opt-in
+    *   because the row-count comparison costs an extra pass over both
+    *   sides — at 100 TB that's a real scan you only pay when asked). */
   def mergeGdf(l2a: DataFrame, l2b: DataFrame,
                on: Seq[String] = Seq("shot", "acq_time"),
                how: String = "inner",
-               suffixes: (String, String) = ("_l2a", "_l2b")): DataFrame = {
+               suffixes: (String, String) = ("_l2a", "_l2b"),
+               check: Boolean = false): DataFrame = {
+    if (check) compareFrames(l2a, l2b, on)
     val overlap = (l2a.columns.toSet & l2b.columns.toSet) -- on.toSet
     def resuffix(df: DataFrame, sfx: String) =
       overlap.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + sfx))
     resuffix(l2b, suffixes._2).join(resuffix(l2a, suffixes._1), on, how)
   }
 
-  /** Merge pre-checks — ref xr.py:115-141: schema compatibility and
-    * row-count comparison (CRS equality is moot here: graft geometries are
-    * always EPSG:4326 numeric columns, like the reference enforces in
-    * ancillary.py:146-147). Returns (leftCount, rightCount). */
-  def compareFrames(a: DataFrame, b: DataFrame): (Long, Long) = {
-    require(a.columns.nonEmpty && b.columns.nonEmpty)
-    (a.count(), b.count())
+  /** Merge pre-checks — ref xr.py:115-141: the join keys must exist on
+    * both sides with compatible types (the CRS-equality analogue: graft
+    * geometries are always EPSG:4326 numeric columns, as the reference
+    * enforces in ancillary.py:146-147), and mismatched row counts are
+    * warned about, as the reference does before merging. Both counts come
+    * from ONE Spark action (a union of two single-row aggregates), not two
+    * passes. Returns (leftCount, rightCount). */
+  def compareFrames(a: DataFrame, b: DataFrame,
+                    on: Seq[String] = Seq("shot", "acq_time")): (Long, Long) = {
+    on.foreach { k =>
+      require(a.columns.contains(k) && b.columns.contains(k),
+        s"merge key '$k' missing from one side")
+      require(a.schema(k).dataType == b.schema(k).dataType,
+        s"merge key '$k' type mismatch: ${a.schema(k).dataType} vs ${b.schema(k).dataType}")
+    }
+    val counts = a.groupBy().count().withColumn("side", lit("a"))
+      .unionByName(b.groupBy().count().withColumn("side", lit("b")))
+      .collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    val (na, nb) = (counts("a"), counts("b"))
+    if (na != nb)
+      System.err.println(s"[graft] merge pre-check: row counts differ ($na vs $nb)")
+    (na, nb)
   }
 }

@@ -1,10 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.TopK
 
 /** SURVEY §2.2 — general analytics headliners (bench queries). Aggregate
   * doubles are rounded at >= their true decimal precision so hashes are
@@ -86,17 +86,16 @@ object AnalyticsQueries {
         "JOIN region ON n_regionkey = r_regionkey " +
         "WHERE r_name = 'ASIA' GROUP BY n_name ORDER BY n_name")),
 
-    // Per-group top-n via window rank (deterministic tiebreak on key).
+    // Per-group top-n. o_orderpriority has ~5 distinct values, so a single
+    // window would funnel every row through 5 tasks at scale; TopK runs a
+    // salted partial top-3 first (identical result, bounded partitions).
     Q("q_window_topn",
-      (s, d) => {
-        val w = Window.partitionBy(col("o_orderpriority"))
-          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-        Tables.load(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
-          .orderBy("o_orderpriority", "rn")
-      },
+      (s, d) => TopK.perGroupTopK(Tables.load(s, d, "orders"),
+          groupCols = Seq(col("o_orderpriority")),
+          order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+          k = 3, salt = col("o_orderkey"))
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_orderpriority", "rn"),
       Some("SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (" +
         "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (" +
         "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn " +

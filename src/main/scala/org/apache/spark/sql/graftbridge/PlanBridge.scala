@@ -1,0 +1,25 @@
+package org.apache.spark.sql
+package graftbridge
+
+import org.apache.spark.sql.catalyst.plans.logical.Sort
+
+/** Lives under org.apache.spark.sql to reach private[sql] builders.
+  *
+  * Purpose: Verify/oracle determinism forces every declared query to end
+  * in a global ORDER BY, but benching those plans mostly times a global
+  * sort of the full output (VERDICT r1). The bench harness strips the
+  * top-level Sort so timings measure the operator, not the determinism
+  * shim. Correctness runs (Verify) keep the sorted plan untouched.
+  */
+object PlanBridge {
+
+  /** Drop a top-level global ORDER BY; any other plan is returned as-is. */
+  def stripTopSort(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    ds.queryExecution.logical match {
+      case s: Sort if s.global =>
+        classic.Dataset.ofRows(ds.sparkSession, s.child)
+      case _ => df
+    }
+  }
+}
