@@ -12,7 +12,8 @@ import graft.queries.{AnalyticsQueries, CoreQueries, Q}
 object SparkEntry {
 
   private def modules: Seq[Q] =
-    CoreQueries.defs ++ AnalyticsQueries.defs ++ graft.queries.PipelineQueries.defs
+    CoreQueries.defs ++ AnalyticsQueries.defs ++
+      graft.queries.PipelineQueries.defs ++ graft.queries.SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

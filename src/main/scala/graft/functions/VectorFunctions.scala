@@ -34,11 +34,15 @@ object VectorFunctions {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
-  /** Deterministic integer-valued "random" hyperplane p over `dims` dims:
-    * component d is ((p*131 + d*31) % 17) - 8 ∈ [-8, 8]. Integral doubles,
-    * so Spark literals and DuckDB integer-list literals agree exactly. */
-  def plane(p: Int, dims: Int): Seq[Long] =
-    (0 until dims).map(d => (((p * 131 + d * 31) % 17) - 8).toLong)
+  /** Deterministic integer-valued random hyperplane p over `dims` dims:
+    * seeded-PRNG components in [-8, 8]. The values are materialized as
+    * plan-time literals on BOTH sides (Spark typedLit, DuckDB list
+    * literal), so the generator never needs to be SQL-expressible, and
+    * integral doubles ensure the two engines agree exactly. */
+  def plane(p: Int, dims: Int): Seq[Long] = {
+    val r = new scala.util.Random(1234567L * (p + 1))
+    Seq.fill(dims)((r.nextInt(17) - 8).toLong)
+  }
 
   /** Signed projection of v onto hyperplane p (strict fold). */
   def planeDot(v: Column, p: Int, dims: Int): Column =

@@ -43,15 +43,18 @@ object Extract {
   def rhPercentile(arr: Column, idx: Int): Column =
     round(element_at(arr, idx).cast("double") * 100.0).cast("long")
 
-  /** Default quality filter — ref extract.py:303-339 `_filter_quality`:
-    * keep `quality_flag == 1 & degrade_flag == 0 & num_detectedmodes > 0 &
-    * abs(elev - elev_dem_tdx) < 100`, then drop the two flag columns.
-    * Conjunctive predicates push to the scan; zero-shuffle at any scale. */
+  /** The default quality predicate — ref extract.py:303-339
+    * `_filter_quality`: `quality_flag == 1 & degrade_flag == 0 &
+    * num_detectedmodes > 0 & abs(elev - elev_dem_tdx) < 100`. */
+  val qualityPred: Column =
+    col("quality_flag") === 1 &&
+      col("degrade_flag") === 0 &&
+      col("num_detectedmodes") > 0 &&
+      abs(col("elev") - col("elev_dem_tdx")) < 100.0
+
+  /** Default quality filter — keep qualityPred rows, then drop the two
+    * flag columns. Conjunctive predicates push to the scan; zero-shuffle
+    * at any scale. */
   def qualityFilter(df: DataFrame): DataFrame =
-    df.filter(
-        col("quality_flag") === 1 &&
-        col("degrade_flag") === 0 &&
-        col("num_detectedmodes") > 0 &&
-        abs(col("elev") - col("elev_dem_tdx")) < 100.0)
-      .drop("quality_flag", "degrade_flag")
+    df.filter(qualityPred).drop("quality_flag", "degrade_flag")
 }

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SURVEY §2.4 — Structured Streaming transforms over the events stream.
+  * Batch analogues are q_events_bucket (windowed counts) and gedixr's
+  * per-granule run loop; here the same semantics run incrementally with
+  * bounded state: the watermark expires window state, and sessions expire
+  * via event-time timeout. Specs drive these with MemoryStream — the
+  * ScalaTest IS the oracle (no DuckDB entry for streams).
+  */
+object EventStreams {
+
+  /** Windowed event counts + watermark (stream_bucket). State per window
+    * is dropped once the watermark passes window end — memory is bounded
+    * by (watermark / window) live windows per key-space, not by stream
+    * length. */
+  def bucketCounts(events: DataFrame, windowDur: String = "1 hour",
+                   watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("bucket_start"), col("cnt"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long, sum_value: Double)
+  final case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Sessionization via flatMapGroupsWithState (stream_session): sessions
+    * close after `gapMs` of event-time silence, enforced two ways — a
+    * micro-batch may contain the gap itself (emit immediately), or the gap
+    * spans batches (event-time timeout fires once the watermark passes
+    * last + gap). Keyed by user_id, so state shards across executors. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "30 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum))
+          } else {
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption
+            for (e <- evs.toSeq.sortBy(_.ts.getTime)) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += Session(uid, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

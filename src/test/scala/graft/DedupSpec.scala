@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+/** Dedup operators vs brute-force Scala oracles (sf0.001). */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val P = TextFunctions.P
+  private def hashScala(s: String): Long =
+    s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("exactDedup keeps min id and counts copies") {
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "z"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 3L -> 1L))
+  }
+
+  test("minhash candidates: identical token sets are always recalled; high-jaccard recall is strong") {
+    val corpus = docs.limit(100).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").map(hashScala).toSet)
+    val exact = for {
+      i <- corpus.indices; j <- (i + 1) until corpus.length
+      (ida, sa) = corpus(i); (idb, sb) = corpus(j)
+      jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    } yield ((ida, idb), jac)
+    val cands = Dedup.minhashCandidates(docs.limit(100), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val identical = exact.filter(_._2 == 1.0).map(_._1)
+    identical.foreach(p => assert(cands.contains(p), s"J=1 pair $p missed"))
+
+    val high = exact.filter(_._2 >= 0.8).map(_._1)
+    if (high.nonEmpty) {
+      val recall = high.count(cands.contains).toDouble / high.size
+      assert(recall >= 0.7, s"recall of J>=0.8 pairs was $recall")
+    }
+    cands.foreach { case (a, b) => assert(a < b) }
+  }
+
+  test("simhash: equal texts collide; bucket sizes sum to corpus size") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "q r s t")).toDF("doc_id", "text")
+    val got = Dedup.simhashBuckets(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.exists { case (_, keep, n) => keep == 1L && n == 2L })
+    assert(got.map(_._3).sum === 3L)
+
+    val full = Dedup.simhashBuckets(docs, "doc_id", "text")
+    assert(full.agg(sum("n_docs")).head.getLong(0) === docs.count())
+  }
+
+  test("ngramJaccard matches brute-force bigram jaccard") {
+    val pairs = Seq((0L, 1L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .select("a", "b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val texts = docs.filter(col("doc_id") <= 11).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(s: String) =
+      s.split(" ").sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    got.foreach { case ((a, b), j) =>
+      val (ga, gb) = (grams(texts(a)), grams(texts(b)))
+      val expect = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      assert(math.abs(j - expect) < 1e-6, s"pair ($a,$b)")
+    }
+    assert(got.size === 3)
+  }
+}

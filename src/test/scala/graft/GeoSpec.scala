@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.operators.GeoOps
+
+class GeoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("webMercator matches known forward-transform values (tolerance)") {
+    val pts = Seq((0.0, 0.0), (180.0, 0.0), (-74.0059731, 40.7143528), (13.4, 52.52))
+      .toDF("lon", "lat")
+    val (mx, my) = GeoFunctions.webMercator(col("lon"), col("lat"))
+    val got = pts.select(col("lon"), col("lat"), mx.as("x"), my.as("y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // reference: the EPSG:3857 forward formulas evaluated in scala.math —
+    // engine output must agree to sub-micron tolerance (libm last-ulp
+    // differences are the only allowed slack)
+    val k = 20037508.342789244
+    got.foreach { case (lon, lat, gx, gy) =>
+      val ex = lon * k / 180.0
+      val ey = math.log(math.tan((90.0 + lat) * math.Pi / 360.0)) * k / math.Pi
+      assert(math.abs(gx - ex) < 1e-6, s"x at ($lon,$lat): $gx vs $ex")
+      assert(math.abs(gy - ey) < 1e-6, s"y at ($lon,$lat): $gy vs $ey")
+    }
+    // anchor against known constants so the formula itself is validated
+    assert(math.abs(got(0)._3) < 1e-9 && math.abs(got(0)._4) < 1e-9)
+    assert(math.abs(got(1)._3 - k) < 1e-6)
+  }
+
+  test("pointInPolygon handles a concave polygon like the Scala ray-cast") {
+    // concave "arrow" polygon
+    val poly = Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 2.0), (0.0, 4.0))
+    def rayCast(px: Double, py: Double): Boolean = {
+      var inside = false
+      var i = 0
+      while (i < poly.length) {
+        val (xi, yi) = poly(i)
+        val (xj, yj) = poly((i + 1) % poly.length)
+        if (yi != yj && ((yi > py) != (yj > py)) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+        i += 1
+      }
+      inside
+    }
+    val grid = for (x <- -1 to 5; y <- -1 to 5)
+      yield (x + 0.25, y + 0.25)
+    val got = grid.toDF("x", "y")
+      .withColumn("in", GeoFunctions.pointInPolygon(col("x"), col("y"), poly))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getBoolean(2)).toMap
+    grid.foreach { case (x, y) => assert(got((x, y)) === rayCast(x, y), s"($x,$y)") }
+    // the concave notch: (2, 3.25) is outside, (2, 1.25) inside
+    assert(!got((2.25, 3.25)))
+    assert(got((2.25, 1.25)))
+  }
+
+  test("multiAoiBbox scans the input exactly once and matches per-AOI filters") {
+    val shots = graft.queries.Shots.df(spark, sfDir)
+    val aois = graft.queries.CoreQueries.testAois
+    val fan = GeoOps.multiAoiBbox(shots, col("lon"), col("lat"), aois)
+    val nScans = "FileScan parquet".r
+      .findAllIn(fan.queryExecution.executedPlan.toString).length
+    assert(nScans === 1, "multi-AOI must be a single scan")
+    val naive = aois.map { case (name, bbox) =>
+      shots.filter(GeoFunctions.inBbox(col("lon"), col("lat"), bbox))
+        .withColumn("aoi", lit(name))
+    }.reduce(_ unionByName _)
+    val a = fan.select("aoi", "shot").orderBy("aoi", "shot").collect().toSeq
+    val b = naive.select("aoi", "shot").orderBy("aoi", "shot").collect().toSeq
+    assert(a === b)
+  }
+
+  test("multiAoiPolygon tags by exact membership in one scan") {
+    val shots = graft.queries.Shots.df(spark, sfDir)
+    val polys = Seq(
+      "p1" -> graft.queries.CoreQueries.testPolygon,
+      "p2" -> Seq((-180.0, -90.0), (0.0, -90.0), (0.0, 0.0), (-180.0, 0.0)))
+    val fan = GeoOps.multiAoiPolygon(shots, col("lon"), col("lat"), polys)
+    val nScans = "FileScan parquet".r
+      .findAllIn(fan.queryExecution.executedPlan.toString).length
+    assert(nScans === 1)
+    val counts = fan.groupBy("aoi").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = polys.map { case (n, p) =>
+      n -> shots.filter(GeoFunctions.pointInPolygon(col("lon"), col("lat"), p)).count()
+    }.toMap
+    assert(counts === expect.filter(_._2 > 0))
+  }
+
+  test("writePerAoi round-trips through partitioned parquet") {
+    val dir = Files.createTempDirectory("graft_aoi").toString
+    val df = Seq((1L, "west", 1.0), (2L, "west", 2.0), (3L, "east", 3.0))
+      .toDF("shot", "aoi", "v")
+    GeoOps.writePerAoi(df, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.select("aoi").distinct().collect().map(_.getString(0)).sorted
+      === Array("east", "west"))
+    // partition pruning: reading one AOI touches only its directory
+    val one = spark.read.parquet(dir).filter(col("aoi") === "west")
+    assert(one.count() === 2)
+    val planStr = one.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters"))
+  }
+
+  test("rasterize assigns cells and aggregates per cell") {
+    val df = Seq((0.1, 0.1, 1.0), (0.2, 0.15, 2.0), (1.3, 0.1, 5.0))
+      .toDF("lon", "lat", "value")
+    val got = GeoOps.rasterize(df, col("lon"), col("lat"), 0.25,
+        Seq("n" -> count(lit(1)), "s" -> sum(col("value"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0L, 0L)) === ((2L, 3.0)))
+    assert(got((0L, 5L)) === ((1L, 5.0)))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ExtractMetrics, MergeOps, Multimodal}
+import graft.functions.TextFunctions
+
+class MergeMetricsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def l2a = Seq(
+    (1L, "2019-01-01", 10.0, 98.0), (2L, "2019-01-01", 20.0, 97.0))
+    .toDF("shot", "acq_time", "sensitivity", "rh98")
+  private def l2b = Seq(
+    (1L, "2019-01-01", 11.0, 0.5), (3L, "2019-01-01", 30.0, 0.7))
+    .toDF("shot", "acq_time", "sensitivity", "pai")
+
+  test("mergeGdf inner join suffixes overlapping columns, l2b on the left") {
+    val m = MergeOps.mergeGdf(l2a, l2b)
+    assert(m.columns.toSeq ===
+      Seq("shot", "acq_time", "sensitivity_l2b", "pai", "sensitivity_l2a", "rh98"))
+    val rows = m.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L)
+    assert(rows.head.getDouble(2) === 11.0) // l2b sensitivity
+    assert(rows.head.getDouble(4) === 10.0) // l2a sensitivity
+  }
+
+  test("mergeGdf how=left keeps unmatched l2b rows (reference: l2b merges l2a)") {
+    val m = MergeOps.mergeGdf(l2a, l2b, how = "left")
+    assert(m.count() === 2) // shots 1 and 3 (the l2b side)
+    val unmatched = m.filter(col("shot") === 3L).collect().head
+    assert(unmatched.isNullAt(m.columns.indexOf("rh98")))
+  }
+
+  test("mergeGdf how=outer keeps both sides") {
+    assert(MergeOps.mergeGdf(l2a, l2b, how = "outer").count() === 3)
+  }
+
+  test("compareFrames validates keys and returns one-action counts") {
+    val (na, nb) = MergeOps.compareFrames(l2a, l2b, Seq("shot", "acq_time"))
+    assert((na, nb) === ((2L, 2L)))
+    intercept[IllegalArgumentException] {
+      MergeOps.compareFrames(l2a.drop("shot"), l2b, Seq("shot"))
+    }
+    intercept[IllegalArgumentException] {
+      MergeOps.compareFrames(l2a.withColumn("shot", col("shot").cast("string")),
+        l2b, Seq("shot"))
+    }
+    // checked merge still yields the same plan output
+    assert(MergeOps.mergeGdf(l2a, l2b, check = true).count() === 1)
+  }
+
+  test("qualityFilterObserved reports input/kept/dropped from the same job") {
+    val flags = Tables.load(spark, sfDir, "lineitem").select(
+      col("l_orderkey").as("shot"),
+      (col("l_orderkey") % 2).cast("int").as("quality_flag"),
+      (col("l_partkey") % 3).cast("int").as("degrade_flag"),
+      (col("l_linenumber") % 3).cast("int").as("num_detectedmodes"),
+      (col("l_extendedprice") / 100.0).as("elev"),
+      (col("l_extendedprice") / 100.0).as("elev_dem_tdx"))
+    val (filtered, metrics) = ExtractMetrics.qualityFilterObserved(flags)
+    val kept = filtered.count()
+    assert(metrics.nInput === flags.count())
+    assert(metrics.nKept === kept)
+    assert(metrics.nDropped === metrics.nInput - kept)
+    assert(!filtered.columns.contains("quality_flag"))
+  }
+
+  test("multimodal stub decode agrees with the column-expression hash") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(100)
+    val viaDataset = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+      .toDF().select("media_id", "n_bytes", "checksum")
+    val viaColumns = docs.select(
+      col("doc_id").as("media_id"),
+      length(col("text")).cast("long").as("n_bytes"),
+      TextFunctions.charHash(col("text")).as("checksum"))
+    // two independent implementations (JVM fold in mapPartitions vs
+    // Catalyst aggregate expression) must agree byte-for-byte
+    assert(viaDataset.exceptAll(viaColumns).isEmpty)
+    assert(viaColumns.exceptAll(viaDataset).isEmpty)
+  }
+
+  test("manifest prune + resume filters as specified") {
+    import graft.sources.Manifest
+    val m = Seq(
+      ("g1", "GEDI02_A", "2019-07-01 00:00:00", -20.0, -10.0, 0.0, 10.0, "/d/g1"),
+      ("g2", "GEDI02_B", "2019-07-01 00:00:00", -20.0, -10.0, 0.0, 10.0, "/d/g2"),
+      ("g3", "GEDI02_A", "2019-01-01 00:00:00", -20.0, -10.0, 0.0, 10.0, "/d/g3"),
+      ("g4", "GEDI02_A", "2019-08-01 00:00:00", 100.0, 110.0, 0.0, 10.0, "/d/g4"))
+      .toDF("granule_id", "product", "ts", "xmin", "xmax", "ymin", "ymax", "path")
+      .withColumn("acq_time", to_timestamp(col("ts"))).drop("ts")
+    val pruned = Manifest.prune(m, Some("GEDI02_A%"), Some((8, 6)), // swapped range
+      Some((-30.0, 30.0, -10.0, 40.0)))
+    assert(pruned.select("granule_id").collect().map(_.getString(0)).toSet === Set("g1"))
+    val done = Seq("g1").toDF("granule_id")
+    assert(Manifest.pendingOnly(pruned, done).count() === 0)
+    assert(Manifest.pendingOnly(m, done).count() === 3)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Extract
+
+/** SURVEY §5: predicate pushdown and column pruning must actually reach
+  * the parquet scan — asserted on the executed plan, not assumed. */
+class PushdownSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("beamFilter pushes the isin predicate to the scan") {
+    val df = Extract.beamFilter(Tables.load(spark, sfDir, "events"),
+      "event_type", Seq("click", "purchase"))
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("In(event_type"), s"expected In(event_type...) in:\n$plan")
+  }
+
+  test("selectVariables prunes the read schema to the mapped columns") {
+    val df = Extract.selectVariables(Tables.load(spark, sfDir, "lineitem"),
+      Seq("okey" -> "l_orderkey", "qty" -> "l_quantity"))
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      plan.split("ReadSchema").last)
+    assert(readSchema.contains("l_orderkey"))
+    assert(readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment"), "unselected column must not be read")
+    assert(!readSchema.contains("l_extendedprice"))
+  }
+
+  test("quality-filter range predicates push to the scan") {
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 25.0 && col("l_discount") <= 0.05)
+      .select("l_orderkey")
+    // toString truncates PushedFilters; formatted explain lists them fully
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThan(l_quantity,25.0)"))
+    assert(plan.contains("LessThanOrEqual(l_discount,0.05)"))
+  }
+
+  test("bbox range predicates on raw columns push to the scan") {
+    val df = Tables.load(spark, sfDir, "events")
+      .filter(col("value").between(10.0, 20.0))
+      .select("event_id")
+    val plan = planOf(df)
+    assert(plan.contains("GreaterThanOrEqual(value,10.0)"))
+    assert(plan.contains("LessThanOrEqual(value,20.0)"))
+  }
+
+  test("analytics joins broadcast the dimension side") {
+    val q5 = SparkEntry.queries("q5_region_flow")(spark, sfDir)
+    val plan = planOf(q5)
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")
+  }
+
+  test("stripTopSort removes only the top-level global sort") {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val sorted = Tables.load(spark, sfDir, "events").orderBy("event_id")
+    val stripped = PlanBridge.stripTopSort(sorted)
+    assert(!stripped.queryExecution.logical.toString.startsWith("Sort"))
+    val unsorted = Tables.load(spark, sfDir, "events")
+    assert(PlanBridge.stripTopSort(unsorted).queryExecution.logical
+      eq unsorted.queryExecution.logical)
+  }
+}

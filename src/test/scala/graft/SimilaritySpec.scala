@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, TopK}
+
+/** ANN vs a driver-side brute-force oracle (sf0.001, 500 vectors). */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  /** Same strict left-fold cosine as VectorFunctions, in Scala. */
+  private def cosScala(a: Seq[Float], b: Seq[Float]): Double = {
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    val dot = fold(a.zip(b).map { case (x, y) => x.toDouble * y.toDouble })
+    val na = math.sqrt(fold(a.map(x => x.toDouble * x.toDouble)))
+    val nb = math.sqrt(fold(b.map(x => x.toDouble * x.toDouble)))
+    dot / (na * nb)
+  }
+
+  private lazy val vecs: Map[Long, Seq[Float]] =
+    emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+
+  private def bruteTopK(qid: Long, k: Int): Seq[Long] =
+    vecs.toSeq.filter(_._1 != qid)
+      .map { case (id, v) => (id, cosScala(vecs(qid), v)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(k).map(_._1)
+
+  test("cosineTopK matches the brute-force oracle exactly") {
+    val got = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), 5)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    (0L until 5L).foreach { q => assert(got(q) === bruteTopK(q, 5), s"query $q") }
+  }
+
+  test("lshTopK returns valid ranked subsets with reasonable recall") {
+    val got = Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 5)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got.keySet.subsetOf((0L until 5L).toSet))
+    val recalls = got.map { case (q, ids) =>
+      ids.count(bruteTopK(q, 5).contains).toDouble / 5.0
+    }
+    val meanRecall = recalls.sum / 5.0 // absent queries contribute 0
+    assert(meanRecall >= 0.3, s"mean LSH recall $meanRecall")
+  }
+
+  test("two-stage perGroupTopK equals the single-window plan") {
+    val orders = Tables.load(spark, sfDir, "orders")
+    val twoStage = TopK.perGroupTopK(orders,
+        groupCols = Seq(col("o_orderpriority")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey")),
+        k = 3, salt = col("o_orderkey"))
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .orderBy("o_orderpriority", "rn").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val single = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .orderBy("o_orderpriority", "rn").collect().toSeq
+    assert(twoStage === single)
+  }
+}

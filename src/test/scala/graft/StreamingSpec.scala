@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+
+/** SURVEY §2.4 — MemoryStream-driven specs ARE the streaming oracle (no
+  * DuckDB entry is possible for incremental plans). */
+class StreamingSpec extends SparkSpec {
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("bucketCounts emits a window only after the watermark passes it") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val q = EventStreams.bucketCounts(input.toDF().toDF("ts", "value"),
+        windowDur = "1 hour", watermark = "30 minutes")
+      .writeStream.format("memory").queryName("buckets").outputMode("append")
+      .start()
+    try {
+      input.addData((t("2020-01-01 10:05:00"), 1.0), (t("2020-01-01 10:35:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("buckets").count() === 0, "window still open")
+
+      // advance event time so watermark (max - 30m) passes 11:00, then one
+      // more batch so the advanced watermark is applied
+      input.addData((t("2020-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData((t("2020-01-01 12:30:00"), 7.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("buckets").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((t("2020-01-01 10:00:00"), 2L, 3.0)),
+        s"got: ${rows.mkString(", ")}")
+    } finally q.stop()
+  }
+
+  test("sessionize splits on in-batch gaps and closes sessions via event-time timeout") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(),
+        gapMs = 30 * 60 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    try {
+      // user 1: two close events then a >30min gap inside the same batch
+      input.addData(
+        Ev(1L, t("2020-01-01 10:00:00"), 1.0),
+        Ev(1L, t("2020-01-01 10:10:00"), 2.0),
+        Ev(1L, t("2020-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(first.toSeq === Seq(EventStreams.Session(1L,
+        t("2020-01-01 10:00:00"), t("2020-01-01 10:10:00"), 2L, 3.0)))
+
+      // push the watermark past 12:00 + gap via another user, then one more
+      // batch so the timeout fires for user 1's open session
+      input.addData(Ev(2L, t("2020-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(Ev(2L, t("2020-01-01 15:01:00"), 1.0))
+      q.processAllAvailable()
+
+      val all = spark.table("sessions").as[EventStreams.Session].collect()
+      assert(all.contains(EventStreams.Session(1L,
+        t("2020-01-01 12:00:00"), t("2020-01-01 12:00:00"), 1L, 3.0)),
+        s"got: ${all.mkString(", ")}")
+    } finally q.stop()
+  }
+}
