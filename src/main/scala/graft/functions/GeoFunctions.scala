@@ -70,4 +70,12 @@ object GeoFunctions {
     * bit-stable across engines (used by the oracle-checked CRS query). */
   def metricApprox(lon: Column, lat: Column): (Column, Column) =
     (lon * 111320.0, lat * 110540.0)
+
+  private val wktPoint = "POINT \\(([-0-9.]+) ([-0-9.]+)\\)"
+
+  /** Inverse of stPointWkt: numeric coordinates back out of a WKT point. */
+  def wktPointX(wkt: Column): Column =
+    regexp_extract(wkt, wktPoint, 1).cast("double")
+  def wktPointY(wkt: Column): Column =
+    regexp_extract(wkt, wktPoint, 2).cast("double")
 }

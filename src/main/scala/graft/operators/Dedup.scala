@@ -33,17 +33,29 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = TextFunctions.minhashSig(TextFunctions.tokenCodes(col(textCol)), k)
+    // token codes materialize in their own projection so the O(chars) fold
+    // runs once per doc, not once per signature component
     val keys = array((0 until bands).map(b =>
       TextFunctions.bandKey(col("sig"), b, rowsPerBand)): _*)
     val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(keys).as(Seq("band", "bkey")))
+      .select(col(idCol).as("id"), TextFunctions.tokenCodes(col(textCol)).as("codes"))
+      .select(col("id"), TextFunctions.minhashSig(col("codes"), k).as("sig"))
+      .select(col("id"), keys.as("keys"), posexplode(keys).as(Seq("band", "bkey")))
+    // first-collision-band trick: a pair is emitted only by the FIRST band
+    // whose keys collide, so the output is distinct by construction — no
+    // global distinct over the (quadratic) pair set, which at sf0.1 was the
+    // single largest shuffle in the whole suite. Flat per-band comparisons
+    // (bands are plan-time constants) keep this inside codegen — the
+    // zip_with/exists formulation is CodegenFallback and 3x slower here.
+    val noEarlierMatch = !(0 until bands - 1).map { i =>
+      col("x.band") > i &&
+        element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
+    }.reduceLeft(_ || _)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.id") < col("y.id"))
+      .filter(noEarlierMatch)
       .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
   }
 
   /** SimHash near-dup buckets: every doc gets its `bits`-bit SimHash; docs
@@ -51,9 +63,8 @@ object Dedup {
     * One narrow map + one map-side-combined shuffle on the 8-byte hash. */
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                      bits: Int = 16): DataFrame =
-    df.select(col(idCol).as("id"),
-        TextFunctions.simhash(TextFunctions.tokenCodes(col(textCol)), bits)
-          .as("simhash"))
+    df.select(col(idCol).as("id"), TextFunctions.tokenCodes(col(textCol)).as("codes"))
+      .select(col("id"), TextFunctions.simhash(col("codes"), bits).as("simhash"))
       .groupBy(col("simhash"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
@@ -67,12 +78,20 @@ object Dedup {
       col(idCol).as("_jid"),
       array_distinct(TextFunctions.bigrams(TextFunctions.tokens(col(textCol))))
         .as("_grams"))
+      .withColumn("_ng", size(col("_grams")).cast("long"))
+    def side(s: String) = grams
+      .withColumnRenamed("_jid", s)
+      .withColumnRenamed("_grams", s"g$s")
+      .withColumnRenamed("_ng", s"n$s")
+    // per-pair work is ONE set op: |A∪B| = |A| + |B| - |A∩B| (both sides
+    // are already distinct), which halves the hash-set building that
+    // dominates this verify stage
     pairs
-      .join(grams.withColumnRenamed("_jid", "a").withColumnRenamed("_grams", "ga"), "a")
-      .join(grams.withColumnRenamed("_jid", "b").withColumnRenamed("_grams", "gb"), "b")
+      .join(side("a"), "a")
+      .join(side("b"), "b")
       .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
-      .withColumn("n_union", size(array_union(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter") / col("n_union"), 6))
-      .drop("ga", "gb")
+      .drop("ga", "gb", "na", "nb")
   }
 }

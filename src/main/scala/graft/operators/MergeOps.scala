@@ -57,4 +57,24 @@ object MergeOps {
       System.err.println(s"[graft] merge pre-check: row counts differ ($na vs $nb)")
     (na, nb)
   }
+
+  /** The 100 TB path for the L2A⋈L2B merge (SURVEY §5): both sides come
+    * out of the same extraction pipeline, so they are written bucketed (and
+    * sorted) by the join key. A later mergeGdf over the bucketed tables is
+    * then a co-located sort-merge join — NO Exchange on either side, the
+    * single biggest shuffle of the reference workflow eliminated. Bucket
+    * count is a cluster knob: ~(total size / 128 MB) at the target scale. */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCol: String = "shot", numBuckets: Int = 32): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Merge two bucketed tables written by writeBucketed. */
+  def mergeBucketed(spark: org.apache.spark.sql.SparkSession,
+                    l2aTable: String, l2bTable: String,
+                    on: Seq[String] = Seq("shot", "acq_time"),
+                    how: String = "inner"): DataFrame =
+    mergeGdf(spark.table(l2aTable), spark.table(l2bTable), on, how)
 }

@@ -95,9 +95,11 @@ object TextOps {
     * k-gram fingerprint set collapsed to its winnowed representative. */
   def fingerprint(df: DataFrame, textCol: String): DataFrame = {
     val grams = TextFunctions.bigrams(TextFunctions.tokens(col(textCol)))
-    val gramHashes = transform(grams, g => TextFunctions.charHash(g))
-    df.withColumn("doc_hash", TextFunctions.charHash(col(textCol)))
-      .withColumn("n_kgrams", size(gramHashes).cast("long"))
-      .withColumn("min_kgram_hash", coalesce(array_min(gramHashes), lit(-1L)))
+    // gram hashes materialize once; size/min then read the array column
+    df.withColumn("_gram_hashes", transform(grams, g => TextFunctions.charHash(g)))
+      .withColumn("doc_hash", TextFunctions.charHash(col(textCol)))
+      .withColumn("n_kgrams", size(col("_gram_hashes")).cast("long"))
+      .withColumn("min_kgram_hash", coalesce(array_min(col("_gram_hashes")), lit(-1L)))
+      .drop("_gram_hashes")
   }
 }

@@ -21,6 +21,8 @@ object SparkSpec {
       .appName("graft-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
