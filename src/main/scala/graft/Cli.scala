@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Extract, GeoOps, MergeOps}
+import graft.sources.Manifest
+
+/** CLI over the engine's ETL surface — the analogue of gedixr's cli.py
+  * (R22: extract/download commands). Thin arg-wiring over the operators;
+  * every command reads parquet, applies declarative plans, writes parquet.
+  *
+  * Usage:
+  *   extract   --input P --output P [--beam-col c --beams a,b]
+  *             [--ts-col c --months lo,hi] [--vars out=src,...]
+  *   subset    --input P --output P --x c --y c --bbox x0,x1,y0,y1
+  *   merge     --left P --right P --output P [--on k1,k2] [--how inner]
+  *   rasterize --input P --output P --x c --y c --res R --sum c
+  *   manifest  --input P --output P [--product PAT] [--months lo,hi]
+  *             [--bbox x0,x1,y0,y1]
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: <extract|subset|merge|rasterize|manifest> --opt v ...")
+    val cmd = args.head
+    val opts = parseOpts(args.tail)
+    val spark = session()
+    try run(spark, cmd, opts)
+    finally spark.stop()
+  }
+
+  /** Separated from main so specs can drive commands on a live session. */
+  def run(spark: SparkSession, cmd: String, opts: Map[String, String]): Unit = {
+    def in(k: String): DataFrame = spark.read.parquet(opts(k))
+    def write(df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(opts("output"))
+
+    cmd match {
+      case "extract" =>
+        var df = in("input")
+        for (beams <- opts.get("beams"); bc <- opts.get("beam-col"))
+          df = Extract.beamFilter(df, bc, beams.split(",").toSeq)
+        for (months <- opts.get("months"); tc <- opts.get("ts-col")) {
+          val Array(lo, hi) = months.split(",").map(_.toInt)
+          df = Extract.monthFilter(df, tc, (lo, hi))
+        }
+        for (vars <- opts.get("vars"))
+          df = Extract.selectVariables(df,
+            vars.split(",").toSeq.map { kv =>
+              val Array(o, s) = kv.split("="); (o, s)
+            })
+        write(df)
+
+      case "subset" =>
+        val Array(x0, x1, y0, y1) = opts("bbox").split(",").map(_.toDouble)
+        write(in("input").filter(graft.functions.GeoFunctions.inBbox(
+          col(opts("x")), col(opts("y")), (x0, x1, y0, y1))))
+
+      case "merge" =>
+        val on = opts.getOrElse("on", "shot,acq_time").split(",").toSeq
+        write(MergeOps.mergeGdf(
+          spark.read.parquet(opts("left")), spark.read.parquet(opts("right")),
+          on = on, how = opts.getOrElse("how", "inner")))
+
+      case "rasterize" =>
+        write(GeoOps.rasterize(in("input"),
+          col(opts("x")), col(opts("y")), opts("res").toDouble,
+          Seq("n" -> count(lit(1)), "sum" -> sum(col(opts("sum"))))))
+
+      case "manifest" =>
+        val bbox = opts.get("bbox").map { b =>
+          val Array(x0, x1, y0, y1) = b.split(",").map(_.toDouble)
+          (x0, x1, y0, y1)
+        }
+        val months = opts.get("months").map { m =>
+          val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
+        }
+        write(Manifest.prune(in("input"), opts.get("product"), months, bbox))
+
+      case other => sys.error(s"unknown command: $other")
+    }
+  }
+
+  private def parseOpts(args: Array[String]): Map[String, String] =
+    args.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case bad => sys.error(s"bad option pair: ${bad.mkString(" ")}")
+    }.toMap
+
+  private def session(): SparkSession = {
+    val builder = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+    Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
+    builder.getOrCreate()
+  }
+}
