@@ -24,14 +24,26 @@ object GeoFunctions {
     x.between(xmin, xmax) && y.between(ymin, ymax)
   }
 
-  /** General even-odd ray-cast point-in-polygon as a pure Column expression
-    * (ref extract.py:177 `gdf.intersects(geo)` for point-vs-polygon). The
-    * polygon is a plan-time constant — the moral equivalent of gedixr
-    * holding the shapely polygon in memory — so the whole test compiles into
-    * branch-free codegen per edge. Horizontal edges never flip ray parity
-    * and are skipped (also keeps the expression ANSI-safe: no div-by-zero).
-    * Works for concave polygons. */
-  def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
+  /** General even-odd ray-cast point-in-polygon (ref extract.py:177
+    * `gdf.intersects(geo)` for point-vs-polygon). The polygon is a
+    * plan-time constant — the moral equivalent of gedixr holding the
+    * shapely polygon in memory. Backed by the native codegen'd expression
+    * (graft.plans.Exprs.PointInPolygon): the edges travel as reference
+    * arrays, so generated code size is constant in vertex count — a
+    * realistic multi-thousand-vertex AOI cannot blow the 64KB codegen
+    * method limit the way a one-when-per-edge Column tree does
+    * (pointInPolygonColumnTree, kept for the equivalence spec).
+    * Horizontal edges never flip ray parity and are skipped. Works for
+    * concave polygons. */
+  def pointInPolygon(x: Column, y: Column, poly: Seq[(Double, Double)]): Column =
+    org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.PointInPolygon(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(x.cast("double")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(y.cast("double")),
+        poly))
+
+  /** The original one-when-per-edge Column form (spec oracle). */
+  def pointInPolygonColumnTree(x: Column, y: Column, poly: Seq[(Double, Double)]): Column = {
     val crossings = edges(poly).map { case ((xi, yi), (xj, yj)) =>
       val cond = (lit(yi) > y) =!= (lit(yj) > y)
       val xcross = lit(xj - xi) * (y - lit(yi)) / lit(yj - yi) + lit(xi)

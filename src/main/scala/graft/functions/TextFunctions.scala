@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+import graft.plans.Exprs
 
 /** Text-pipeline primitives (shingles, portable hashes, MinHash, SimHash)
   * for the training-data operators (SURVEY §2.3).
@@ -29,8 +32,15 @@ object TextFunctions {
   def tokensSql(text: String): String = s"string_split($text, ' ')"
 
   /** Portable polynomial string hash: strict left fold of
-    * `(acc * 31 + ascii(char)) % P` over the characters. */
+    * `(acc * 31 + ascii(char)) % P` over the characters. Backed by the
+    * native codegen'd expression (the HOF fold it replaces is
+    * CodegenFallback — interpreted per character); charHashHof remains for
+    * the equivalence spec. */
   def charHash(s: Column): Column =
+    PlanBridge.column(Exprs.CharHash(PlanBridge.expression(s)))
+
+  /** The original higher-order-function form of charHash (spec oracle). */
+  def charHashHof(s: Column): Column =
     aggregate(
       transform(split(s, ""), ch => ascii(ch).cast("long")),
       lit(0L),
@@ -41,8 +51,10 @@ object TextFunctions {
       s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $P)"
 
-  /** Per-token hash codes: array<long>, one code per whitespace token. */
-  def tokenCodes(text: Column): Column = transform(tokens(text), t => charHash(t))
+  /** Per-token hash codes: array<long>, one code per whitespace token
+    * (native: one pass, no per-token closure). */
+  def tokenCodes(text: Column): Column =
+    PlanBridge.column(Exprs.TokenCodes(PlanBridge.expression(text)))
   def tokenCodesSql(text: String): String =
     s"list_transform(${tokensSql(text)}, t -> ${charHashSql("t")})"
 
@@ -52,11 +64,13 @@ object TextFunctions {
 
   /** k-component MinHash signature over token codes: component i is
     * `min((a_i * code + b_i) % P)` over the token-code set. Duplicated
-    * tokens don't change a min, so this is a true set signature. */
-  def minhashSig(codes: Column, k: Int): Column =
-    array(mhParams(k).map { case (a, b) =>
-      array_min(transform(codes, x => (x * a + b) % P))
-    }: _*)
+    * tokens don't change a min, so this is a true set signature.
+    * Native: all k components in one pass over the codes. */
+  def minhashSig(codes: Column, k: Int): Column = {
+    val ps = mhParams(k)
+    PlanBridge.column(
+      Exprs.MinHashSig(PlanBridge.expression(codes), ps.map(_._1), ps.map(_._2)))
+  }
 
   def minhashSigSql(codes: String, k: Int): String =
     mhParams(k).map { case (a, b) =>
@@ -77,13 +91,11 @@ object TextFunctions {
       .reduceLeft((acc, m) => s"($acc * 31 + $m)")
 
   /** `bits`-bit SimHash over token codes, frequency-weighted: bit p is set
-    * when the +1/-1 vote sum over tokens (by bit p of each code) is > 0. */
+    * when the +1/-1 vote sum over tokens (by bit p of each code) is > 0.
+    * Native: one pass accumulates every bit's vote (the HOF form ran one
+    * interpreted fold per bit). */
   def simhash(codes: Column, bits: Int): Column =
-    (0 until bits).map { p =>
-      val vote = aggregate(codes, lit(0L),
-        (acc, x) => acc + (shiftright(x, p).bitwiseAND(lit(1L)) * 2L - 1L))
-      when(vote > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduceLeft(_ + _)
+    PlanBridge.column(Exprs.SimHash(PlanBridge.expression(codes), bits))
 
   def simhashSql(codes: String, bits: Int): String =
     (0 until bits).map { p =>

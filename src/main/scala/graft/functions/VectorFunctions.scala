@@ -2,6 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+import graft.plans.Exprs
 
 /** Embedding-vector primitives for similarity search (SURVEY §2.3).
   *
@@ -13,8 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Strict left-fold dot product of two float-array columns (as double). */
+  /** Strict left-fold dot product of two float-array columns (as double).
+    * Native codegen'd expression; dotHof remains for the equivalence spec. */
   def dot(a: Column, b: Column): Column =
+    PlanBridge.column(Exprs.DotFold(PlanBridge.expression(a), PlanBridge.expression(b)))
+
+  /** The original higher-order-function fold (spec oracle). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -44,13 +52,10 @@ object VectorFunctions {
     Seq.fill(dims)((r.nextInt(17) - 8).toLong)
   }
 
-  /** Signed projection of v onto hyperplane p (strict fold). */
+  /** Signed projection of v onto hyperplane p (strict fold, native). */
   def planeDot(v: Column, p: Int, dims: Int): Column =
-    aggregate(
-      zip_with(v, typedLit(plane(p, dims)),
-        (x, w) => x.cast("double") * w.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    PlanBridge.column(Exprs.DotConst(PlanBridge.expression(v),
+      plane(p, dims).map(_.toDouble)))
 
   def planeDotSql(v: String, p: Int, dims: Int): String = {
     val pl = plane(p, dims).mkString("[", ", ", "]")

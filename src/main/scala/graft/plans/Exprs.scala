@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions (with doGenCode) for graft's hot paths.
+  *
+  * Why these exist: Spark's higher-order functions (transform / aggregate /
+  * zip_with) are CodegenFallback — each element evaluation goes through an
+  * interpreted closure. The text/vector pipeline folds over every character
+  * / token / vector component, so the HOF forms dominated scan time. These
+  * expressions generate a single call into Kernels (plain JIT'd loops)
+  * inside whole-stage codegen, preserving bit-identical results (specs
+  * assert equivalence; the DuckDB oracles keep hash-matching).
+  *
+  * This is the brief's preference order in action: native Expression with
+  * doGenCode, not a Scala UDF (no encoder boundary, null-safety and
+  * codegen integration for free).
+  */
+object Exprs {
+
+  /** TextFunctions.charHash as a native expression. */
+  case class CharHash(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_char_hash"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.charHash(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.charHash($c)")
+    override protected def withNewChildInternal(newChild: Expression): CharHash =
+      copy(child = newChild)
+  }
+
+  /** Whitespace tokens -> charHash codes, one native pass. */
+  case class TokenCodes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_token_codes"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.tokenCodes(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.tokenCodes($c)")
+    override protected def withNewChildInternal(newChild: Expression): TokenCodes =
+      copy(child = newChild)
+  }
+
+  /** k-component MinHash signature over token codes. */
+  case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long])
+      extends UnaryExpression {
+    require(as.length == bs.length && as.nonEmpty)
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def prettyName: String = "graft_minhash_sig"
+    @transient private lazy val aArr = as.toArray
+    @transient private lazy val bArr = bs.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.minhashSig(input.asInstanceOf[ArrayData], aArr, bArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val aRef = ctx.addReferenceObj("mhA", aArr, "long[]")
+      val bRef = ctx.addReferenceObj("mhB", bArr, "long[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.minhashSig($c, $aRef, $bRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+      copy(child = newChild)
+  }
+
+  /** bits-bit SimHash over token codes, one pass for all bits. */
+  case class SimHash(child: Expression, bits: Int)
+      extends UnaryExpression {
+    require(bits > 0 && bits <= 63)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.simhash(input.asInstanceOf[ArrayData], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.simhash($c, $bits)")
+    override protected def withNewChildInternal(newChild: Expression): SimHash =
+      copy(child = newChild)
+  }
+
+  /** Strict-fold dot product of two float-array columns (as double). */
+  case class DotFold(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.dot($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotFold =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Dot of a float-array column against constant weights (LSH planes). */
+  case class DotConst(child: Expression, weights: Seq[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot_const"
+    @transient private lazy val wArr = weights.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.dotConst(input.asInstanceOf[ArrayData], wArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val wRef = ctx.addReferenceObj("dotW", wArr, "double[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.dotConst($c, $wRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): DotConst =
+      copy(child = newChild)
+  }
+
+  /** Even-odd ray-cast point-in-polygon with a plan-time polygon. Unlike
+    * the one-when-per-edge Column tree (which blows the codegen method
+    * limit on multi-thousand-vertex AOIs), this generates one call with
+    * the edges as reference arrays — constant code size at any vertex
+    * count. */
+  case class PointInPolygon(left: Expression, right: Expression,
+                            poly: Seq[(Double, Double)])
+      extends BinaryExpression {
+    require(poly.length >= 3, "polygon needs >= 3 vertices")
+    override def dataType: DataType = BooleanType
+    override def prettyName: String = "graft_point_in_polygon"
+
+    // non-horizontal edges, in vertex order (horizontal edges never flip
+    // ray parity — and skipping them keeps the division well-defined)
+    @transient private lazy val (exi, eyi, exj, eyj) = {
+      val es = poly.indices.map(i => (poly(i), poly((i + 1) % poly.length)))
+        .filter { case ((_, a), (_, b)) => a != b }
+      (es.map(_._1._1).toArray, es.map(_._1._2).toArray,
+        es.map(_._2._1).toArray, es.map(_._2._2).toArray)
+    }
+
+    override protected def nullSafeEval(x: Any, y: Any): Any =
+      Kernels.pointInPolygon(x.asInstanceOf[Double], y.asInstanceOf[Double],
+        exi, eyi, exj, eyj)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val xiR = ctx.addReferenceObj("pipXi", exi, "double[]")
+      val yiR = ctx.addReferenceObj("pipYi", eyi, "double[]")
+      val xjR = ctx.addReferenceObj("pipXj", exj, "double[]")
+      val yjR = ctx.addReferenceObj("pipYj", eyj, "double[]")
+      defineCodeGen(ctx, ev, (x, y) =>
+        s"graft.plans.Kernels.pointInPolygon($x, $y, $xiR, $yiR, $xjR, $yjR)")
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): PointInPolygon =
+      copy(left = newLeft, right = newRight)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native expressions in Exprs.scala. Generated code
+  * calls these statics directly, so the hot loops run as plain JIT'd JVM
+  * loops instead of Catalyst's interpreted higher-order-function machinery
+  * (ArrayAggregate/ArrayTransform are CodegenFallback — every fold under
+  * them is an interpreted per-element closure call).
+  *
+  * Every kernel reproduces the EXACT arithmetic of the Column/SQL form it
+  * replaces (same fold order, same IEEE operation tree), so the DuckDB
+  * oracles keep hash-matching bit-for-bit.
+  */
+object Kernels {
+
+  val P: Long = 1000000007L
+
+  /** Strict left fold (acc*31 + char) % P — TextFunctions.charHash.
+    * UTF-16 code units match ascii() codepoints for ASCII payloads (the
+    * documents corpus); astral-plane text would need codePointAt. */
+  def charHash(s: UTF8String): Long = {
+    val str = s.toString
+    var a = 0L
+    var i = 0
+    while (i < str.length) {
+      a = (a * 31L + str.charAt(i).toLong) % P
+      i += 1
+    }
+    a
+  }
+
+  /** Per-token charHash codes; split semantics match Spark's split(s, " ")
+    * (regex split with limit -1: trailing empties kept). */
+  def tokenCodes(s: UTF8String): ArrayData = {
+    val parts = s.toString.split(" ", -1)
+    val out = new Array[Long](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      var a = 0L
+      val t = parts(i)
+      var j = 0
+      while (j < t.length) {
+        a = (a * 31L + t.charAt(j).toLong) % P
+        j += 1
+      }
+      out(i) = a
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** k-component MinHash: min((a_j * code + b_j) % P) per component, one
+    * pass over the codes. Empty input yields all-null components (the
+    * array_min-of-empty behavior of the HOF form). */
+  def minhashSig(codes: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val n = codes.numElements()
+    val k = as.length
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val c = codes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = (c * as(j) + bs(j)) % P
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** bits-bit SimHash: one pass accumulating all per-bit +1/-1 votes. */
+  def simhash(codes: ArrayData, bits: Int): Long = {
+    val votes = new Array[Long](bits)
+    val n = codes.numElements()
+    var i = 0
+    while (i < n) {
+      val c = codes.getLong(i)
+      var p = 0
+      while (p < bits) {
+        votes(p) += ((c >> p) & 1L) * 2L - 1L
+        p += 1
+      }
+      i += 1
+    }
+    var h = 0L
+    var p = 0
+    while (p < bits) {
+      if (votes(p) > 0) h |= 1L << p
+      p += 1
+    }
+    h
+  }
+
+  /** Strict ascending-index dot product of two float arrays in double —
+    * identical accumulation order to the zip_with+aggregate fold. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Dot of a float array against constant double weights. */
+  def dotConst(a: ArrayData, w: Array[Double]): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * w(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Even-odd ray cast over precomputed non-horizontal edges; the per-edge
+    * test reproduces GeoFunctions.pointInPolygon's expression tree
+    * (((xj-xi) * (y-yi)) / (yj-yi) + xi). */
+  def pointInPolygon(x: Double, y: Double, xi: Array[Double], yi: Array[Double],
+                     xj: Array[Double], yj: Array[Double]): Boolean = {
+    var cnt = 0
+    var i = 0
+    while (i < xi.length) {
+      if (((yi(i) > y) != (yj(i) > y)) &&
+        x < (xj(i) - xi(i)) * (y - yi(i)) / (yj(i) - yi(i)) + xi(i)) cnt += 1
+      i += 1
+    }
+    (cnt % 2) == 1
+  }
+}

@@ -22,4 +22,10 @@ object PlanBridge {
       case _ => df
     }
   }
+
+  /** Column <-> catalyst Expression, for graft's native expressions. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

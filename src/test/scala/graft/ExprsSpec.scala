@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GeoFunctions, TextFunctions, VectorFunctions}
+
+/** Native codegen'd expressions must be bit-identical to the HOF Column
+  * trees they replaced (which are what the DuckDB oracles mirror). */
+class ExprsSpec extends SparkSpec {
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("native charHash == HOF charHash on every document") {
+    val diff = docs.select(
+        TextFunctions.charHash(col("text")).as("a"),
+        TextFunctions.charHashHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native tokenCodes == transform(split) form") {
+    val hof = transform(split(col("text"), " "),
+      t => TextFunctions.charHashHof(t))
+    val diff = docs.select(
+        TextFunctions.tokenCodes(col("text")).as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native minhashSig == array-of-array_min form") {
+    val codes = TextFunctions.tokenCodes(col("text"))
+    val hof = array(TextFunctions.mhParams(16).map { case (a, b) =>
+      array_min(transform(codes, x => (x * a + b) % TextFunctions.P))
+    }: _*)
+    val diff = docs.select(
+        TextFunctions.minhashSig(codes, 16).as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native simhash == per-bit fold form") {
+    val codes = TextFunctions.tokenCodes(col("text"))
+    val hof = (0 until 16).map { p =>
+      val vote = aggregate(codes, lit(0L),
+        (acc, x) => acc + (shiftright(x, p).bitwiseAND(lit(1L)) * 2L - 1L))
+      when(vote > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+    val diff = docs.select(
+        TextFunctions.simhash(codes, 16).as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native dot == HOF dot, bit-identical, on real embedding pairs") {
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ida") === col("idb") - 1)
+    val diff = pairs.select(
+        VectorFunctions.dot(col("va"), col("vb")).as("x"),
+        VectorFunctions.dotHof(col("va"), col("vb")).as("y"))
+      .filter(col("x") =!= col("y")).count() // exact equality, not tolerance
+    assert(diff === 0)
+  }
+
+  test("native point-in-polygon == when-per-edge tree on the shots frame") {
+    val shots = graft.queries.Shots.df(spark, sfDir)
+    val poly = graft.queries.CoreQueries.testPolygon
+    val diff = shots.select(
+        GeoFunctions.pointInPolygon(col("lon"), col("lat"), poly).as("a"),
+        GeoFunctions.pointInPolygonColumnTree(col("lon"), col("lat"), poly).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
+  test("native PIP survives a 3000-vertex polygon inside codegen") {
+    // a 3000-vertex circle around (0, 30) with radius 30
+    val n = 3000
+    val poly = (0 until n).map { i =>
+      val t = 2 * math.Pi * i / n
+      (30.0 * math.cos(t), 30.0 + 30.0 * math.sin(t))
+    }
+    val shots = graft.queries.Shots.df(spark, sfDir)
+    val inside = shots
+      .filter(GeoFunctions.pointInPolygon(col("lon"), col("lat"), poly))
+      .count()
+    // cross-check against the Scala ray-cast
+    def rayCast(px: Double, py: Double): Boolean = {
+      var in = false
+      var i = 0
+      while (i < n) {
+        val (xi, yi) = poly(i); val (xj, yj) = poly((i + 1) % n)
+        if (yi != yj && ((yi > py) != (yj > py)) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) in = !in
+        i += 1
+      }
+      in
+    }
+    val expect = shots.select("lon", "lat").collect()
+      .count(r => rayCast(r.getDouble(0), r.getDouble(1)))
+    assert(inside === expect.toLong)
+    assert(inside > 0)
+  }
+}
