@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions packaging: registers graft's native expressions
+  * as SQL functions, so `spark.sql("SELECT graft_char_hash(text) ...")`
+  * works from pure SQL (and from any SQL-speaking client of a cluster
+  * configured with `spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[Exprs.CharHash].getName, null, name, usage, "")
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (identifier, info, builder) triples for injectFunction. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_char_hash"),
+      info("graft_char_hash", "graft_char_hash(str) - portable polynomial hash"),
+      (es: Seq[Expression]) => Exprs.CharHash(es.head)),
+    (FunctionIdentifier("graft_token_codes"),
+      info("graft_token_codes", "graft_token_codes(str) - per-token hash codes"),
+      (es: Seq[Expression]) => Exprs.TokenCodes(es.head)),
+    (FunctionIdentifier("graft_minhash_sig"),
+      info("graft_minhash_sig", "graft_minhash_sig(codes, k) - MinHash signature"),
+      (es: Seq[Expression]) => {
+        val ps = graft.functions.TextFunctions.mhParams(litInt(es(1), "k"))
+        Exprs.MinHashSig(es.head, ps.map(_._1), ps.map(_._2))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(codes, bits) - SimHash value"),
+      (es: Seq[Expression]) => Exprs.SimHash(es.head, litInt(es(1), "bits"))),
+    (FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - strict-fold float-array dot product"),
+      (es: Seq[Expression]) => Exprs.DotFold(es(0), es(1))))
+
+  /** Register directly on a live session (tests / notebooks). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (id, fInfo, builder) =>
+      org.apache.spark.sql.graftbridge.PlanBridge
+        .registerFunction(spark, id, fInfo, builder)
+    }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.plans.GraftExtensions
+
+/** graft's native expressions exposed as SQL functions. */
+class ExtensionsSpec extends SparkSpec {
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftExtensions.register(spark)
+  }
+
+  test("graft_char_hash works from pure SQL") {
+    val got = spark.sql("SELECT graft_char_hash('abc') AS h").head.getLong(0)
+    val expect = "abc".foldLeft(0L)((a, c) => (a * 31 + c) % TextFunctions.P)
+    assert(got === expect)
+  }
+
+  test("minhash pipeline is expressible in pure SQL") {
+    spark.read.parquet(s"$sfDir/documents.parquet").createOrReplaceTempView("docs_v")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |       graft_simhash(graft_token_codes(text), 16) AS sh,
+        |       graft_minhash_sig(graft_token_codes(text), 16) AS sig
+        |FROM docs_v ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 16))
+      assert(r.getSeq[Long](2).length === 16)
+    }
+  }
+
+  test("graft_dot works over the embeddings table in SQL") {
+    spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb_v")
+    val d = spark.sql(
+      """SELECT graft_dot(a.embedding, b.embedding) AS d
+        |FROM emb_v a JOIN emb_v b ON a.vec_id = 0 AND b.vec_id = 1""".stripMargin)
+      .head.getDouble(0)
+    assert(!d.isNaN)
+    assert(math.abs(d) < 64.0) // 64 components in [-1, 1]-ish
+  }
+}
