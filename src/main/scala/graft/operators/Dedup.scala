@@ -30,17 +30,31 @@ object Dedup {
     * corpus size (the all-pairs trap SURVEY §5 forbids). Skewed buckets
     * (boilerplate docs) are AQE-split; a production run would also cap
     * bucket size. */
+  /** @param maxBucket skew guard for corpora with boilerplate-heavy hot
+    *   buckets: each (band, key) bucket is truncated to its `maxBucket`
+    *   lowest ids before pairing, bounding any bucket's join contribution
+    *   to maxBucket^2 regardless of skew. None (default) = exact LSH
+    *   semantics (what the DuckDB oracle mirrors). */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 16, bands: Int = 4): DataFrame = {
+                        k: Int = 16, bands: Int = 4,
+                        maxBucket: Option[Int] = None): DataFrame = {
     val rowsPerBand = k / bands
     // token codes materialize in their own projection so the O(chars) fold
     // runs once per doc, not once per signature component
     val keys = array((0 until bands).map(b =>
       TextFunctions.bandKey(col("sig"), b, rowsPerBand)): _*)
-    val banded = df
+    val bandedAll = df
       .select(col(idCol).as("id"), TextFunctions.tokenCodes(col(textCol)).as("codes"))
       .select(col("id"), TextFunctions.minhashSig(col("codes"), k).as("sig"))
       .select(col("id"), keys.as("keys"), posexplode(keys).as(Seq("band", "bkey")))
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+        bandedAll.withColumn("_bn", row_number().over(w))
+          .filter(col("_bn") <= cap).drop("_bn")
+    }
     // first-collision-band trick: a pair is emitted only by the FIRST band
     // whose keys collide, so the output is distinct by construction — no
     // global distinct over the (quadratic) pair set, which at sf0.1 was the

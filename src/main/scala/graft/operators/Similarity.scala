@@ -44,6 +44,52 @@ object Similarity {
     df.select(col(idCol).as("id"), posexplode(keys).as(Seq("band", "bkey")))
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer structure that
+    * scales to 100 TB: every vector is assigned to its nearest of
+    * `nCentroids` cells (here: the first nCentroids vectors act as the
+    * trained quantizer, broadcast to every task); a query probes its
+    * `nprobe` nearest cells and scores only those cells' members. At
+    * cluster scale the index frame is written partitioned by cell, so a
+    * probe reads nprobe/nCentroids of the data — the scan itself shrinks,
+    * not just the compute. Squared-L2 assignment uses the strict-fold dot
+    * (||v||^2 - 2 v.c + ||c||^2), bit-identical to the DuckDB oracle. */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions.dot
+    val cents = candidates.filter(col(idCol) < nCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val dist = dot(col(vecCol), col(vecCol)) -
+      lit(2.0) * dot(col(vecCol), col("cvec")) + dot(col("cvec"), col("cvec"))
+    val asg = candidates.select(col(idCol).as("id"), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("dist"), col("cid"))))
+    val cells = asg.filter(col("rn") === 1).select(col("id"), col("cid").as("cell"))
+    val qids = queries.select(col(idCol).as("qid"))
+    val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val candPairs = cells.join(broadcast(qcells), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("vec_id"))
+      .distinct()
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    val scored = candPairs
+      .join(broadcast(q), "qid")
+      .join(c, "vec_id")
+      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos_sim").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** LSH-bucketed ANN: candidates that share >= 1 band key with a query are
     * scored exactly (same cosine tree as brute force) and top-k'd. The
     * shuffle carries only (band, bkey, id) triples; query bands are

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.{cosineSql, hyperBandKeySql}
+import graft.functions.VectorFunctions.{cosineSql, dotSql, hyperBandKeySql}
 import graft.operators.{Multimodal, Similarity}
 
 /** SURVEY §2.3 — similarity search over the embeddings table + multimodal
@@ -69,6 +69,36 @@ object SimilarityQueries {
         "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
         s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
         "ORDER BY qid, rank")),
+
+    // IVF ANN (16-cell coarse quantizer, nprobe=4): assignment and probe
+    // use the same strict-fold squared-L2 on both sides, so cell contents
+    // and the final ranking are bit-identical to the oracle.
+    Q("q_ann_ivf",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), K,
+            nCentroids = 16, nprobe = 4)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
+          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
+        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+          "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
+          "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 4 AND vec_id < 5), " +
+          "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
+          "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
+          "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+          "cv AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+          s"scored AS (SELECT p.qid, p.vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+          "FROM pairs p JOIN q ON p.qid = q.qid JOIN cv ON p.vec_id = cv.vec_id), " +
+          "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+          "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+          s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+          "ORDER BY qid, rank"
+      }),
 
     // Multimodal plumbing: opaque binary payload -> per-partition stubbed
     // decode -> typed features. ASCII payloads make the checksum (the same

@@ -26,6 +26,15 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("bucket_start"), col("cnt"), col("sum_value"))
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon (the incremental form of Dedup.exactDedup —
+    * state is bounded by the watermark, so memory doesn't grow with the
+    * stream). Keys should include the event id / content hash. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

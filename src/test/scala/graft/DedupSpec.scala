@@ -46,6 +46,19 @@ class DedupSpec extends SparkSpec {
     cands.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("minhash bucket cap bounds bucket contribution and stays a subset") {
+    val uncapped = Dedup.minhashCandidates(docs.limit(100), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidates(docs.limit(100), "doc_id", "text",
+        maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // cap of 5 over 4 bands bounds pairs at bands * C(cap,2) * buckets;
+    // with 100 docs the capped set must be strictly smaller here
+    assert(capped.size < uncapped.size)
+    assert(capped.nonEmpty)
+  }
+
   test("simhash: equal texts collide; bucket sizes sum to corpus size") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "q r s t")).toDF("doc_id", "text")
     val got = Dedup.simhashBuckets(df, "doc_id", "text")

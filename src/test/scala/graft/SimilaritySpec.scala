@@ -49,6 +49,20 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.3, s"mean LSH recall $meanRecall")
   }
 
+  test("ivfTopK probes cells and achieves reasonable recall") {
+    val got = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 5,
+        nCentroids = 16, nprobe = 4)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got.keySet.subsetOf((0L until 5L).toSet))
+    val recalls = (0L until 5L).map { q =>
+      got.getOrElse(q, Seq.empty).count(bruteTopK(q, 5).contains).toDouble / 5.0
+    }
+    val meanRecall = recalls.sum / 5.0
+    assert(meanRecall >= 0.3, s"mean IVF recall $meanRecall")
+  }
+
   test("two-stage perGroupTopK equals the single-window plan") {
     val orders = Tables.load(spark, sfDir, "orders")
     val twoStage = TopK.perGroupTopK(orders,

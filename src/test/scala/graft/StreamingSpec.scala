@@ -40,6 +40,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops duplicate keys within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val q = EventStreams.dedupStream(
+        input.toDF().toDF("event_id", "ts", "value"), Seq("event_id"))
+      .writeStream.format("memory").queryName("deduped").outputMode("append")
+      .start()
+    try {
+      input.addData(
+        (1L, t("2020-01-01 10:00:00"), 1.0),
+        (1L, t("2020-01-01 10:01:00"), 2.0), // dup key, in-batch
+        (2L, t("2020-01-01 10:02:00"), 3.0))
+      q.processAllAvailable()
+      input.addData((1L, t("2020-01-01 10:03:00"), 4.0)) // dup key, next batch
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on in-batch gaps and closes sessions via event-time timeout") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
