@@ -37,6 +37,12 @@ object Extract {
     * extract.py:287-290. */
   def padShot(c: Column): Column = lpad(c.cast("string"), 18, "0")
 
+  /** Stamp every shot with its granule's acquisition time — ref
+    * extract.py:299 (`gdf['acq_time'] = acq_time`): parse once from the
+    * granule id column, broadcast to every row as a plain projection. */
+  def stampAcqTime(df: DataFrame, granuleIdCol: String): DataFrame =
+    df.withColumn("acq_time", granuleDate(col(granuleIdCol)))
+
   /** rh-percentile extraction: `round(rh[idx] * 100)` from an array layer —
     * ref extract.py:281-286. `idx` is 1-based; ANSI-safe for idx within the
     * array length. */

@@ -38,10 +38,47 @@ object Similarity {
   /** Signature frame: one row per (id, band, bkey) — `bands` rows per
     * vector, each key packing `rowsPerBand` hyperplane sign bits. */
   def hyperBands(df: DataFrame, bands: Int, rowsPerBand: Int, dims: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    hyperBandsWithKeys(df, bands, rowsPerBand, dims, idCol, vecCol)
+      .drop("keys")
+
+  /** hyperBands plus the full key array per row (for first-collision-band
+    * pair emission). */
+  def hyperBandsWithKeys(df: DataFrame, bands: Int, rowsPerBand: Int, dims: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
     val keys = array((0 until bands).map(b =>
       VectorFunctions.hyperBandKey(col(vecCol), b, rowsPerBand, dims)): _*)
-    df.select(col(idCol).as("id"), posexplode(keys).as(Seq("band", "bkey")))
+    df.select(col(idCol).as("id"), keys.as("keys"),
+      posexplode(keys).as(Seq("band", "bkey")))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates (same
+    * hyperplane bands as lshTopK), exact cosine on candidates only, kept
+    * when >= `tau`. First-collision-band emission keeps the pair set
+    * distinct without a global distinct shuffle (as in
+    * Dedup.minhashCandidates). */
+  def embeddingNearDup(df: DataFrame, tau: Double,
+                       bands: Int = 4, rowsPerBand: Int = 4, dims: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val banded = hyperBandsWithKeys(df, bands, rowsPerBand, dims, idCol, vecCol)
+    val noEarlierMatch = !(0 until bands - 1).map { i =>
+      col("x.band") > i &&
+        element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
+    }.reduceLeft(_ || _)
+    val pairs = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.id") < col("y.id"))
+      .filter(noEarlierMatch)
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val v = df.select(col(idCol).as("_vid"), col(vecCol).as("_v"))
+    pairs
+      .join(v.withColumnRenamed("_vid", "a").withColumnRenamed("_v", "va"), "a")
+      .join(v.withColumnRenamed("_vid", "b").withColumnRenamed("_v", "vb"), "b")
+      .withColumn("cos_sim", VectorFunctions.cosine(col("va"), col("vb")))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a"), col("b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer structure that

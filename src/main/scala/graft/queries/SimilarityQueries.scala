@@ -100,6 +100,23 @@ object SimilarityQueries {
           "ORDER BY qid, rank"
       }),
 
+    // Embedding-cosine near-dup: LSH-bucketed candidate pairs kept when
+    // exact cosine >= 0.3. The threshold compare runs on bit-identical
+    // doubles, so even the boundary rows agree across engines.
+    Q("q_embed_dup",
+      (s, d) => Similarity.embeddingNearDup(emb(s, d), tau = 0.3,
+          bands = 4, rowsPerBand = 4, dims = Dims)
+        .orderBy("a", "b"),
+      Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
+        "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
+        "JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id), " +
+        "scored AS (SELECT p.a, p.b, " +
+        s"${cosineSql("va.embedding", "vb.embedding")} AS cos " +
+        "FROM pairs p JOIN embeddings va ON p.a = va.vec_id " +
+        "JOIN embeddings vb ON p.b = vb.vec_id) " +
+        "SELECT a, b, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.3 " +
+        "ORDER BY a, b")),
+
     // Multimodal plumbing: opaque binary payload -> per-partition stubbed
     // decode -> typed features. ASCII payloads make the checksum (the same
     // polynomial byte fold as charHash) oracle-checkable end to end.

@@ -63,6 +63,29 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.3, s"mean IVF recall $meanRecall")
   }
 
+  test("embeddingNearDup returns only true >= tau pairs, distinct, a < b") {
+    val got = Similarity.embeddingNearDup(emb, tau = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).distinct.length === got.length)
+    got.foreach { case ((a, b), c) =>
+      assert(a < b)
+      assert(c >= 0.3)
+      assert(math.abs(c - cosScala(vecs(a), vecs(b))) < 1e-5)
+    }
+  }
+
+  test("stampAcqTime parses the granule date onto every row") {
+    import spark.implicits._
+    val df = Seq((1L, "GEDI02_A_2019365120000"), (2L, "GEDI02_B_2020001000000"))
+      .toDF("shot", "granule_id")
+    val got = graft.operators.Extract.stampAcqTime(df, "granule_id")
+      .select("shot", "acq_time").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toString).toMap
+    assert(got(1L) === "2019-12-31 12:00:00.0")
+    assert(got(2L) === "2020-01-01 00:00:00.0")
+  }
+
   test("two-stage perGroupTopK equals the single-window plan") {
     val orders = Tables.load(spark, sfDir, "orders")
     val twoStage = TopK.perGroupTopK(orders,
