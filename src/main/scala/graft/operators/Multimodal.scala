@@ -60,4 +60,41 @@ object Multimodal {
       it.map(decodeStub)
     }
   }
+
+  /** STUB resize — stands in for image downscale: a real implementation
+    * decodes, scales to `maxBytes`-bounded dimensions and re-encodes; the
+    * stub truncates the payload deterministically. Shape (binary in,
+    * binary out, per-partition) is the real contract. */
+  def resizeStub(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(r => r.copy(content = r.content.take(maxBytes)))
+    }
+  }
+
+  /** One sampled frame (offset + payload slice) from a media record. */
+  final case class MediaFrame(media_id: Long, frame_idx: Long, offset: Long,
+                              frame: Array[Byte])
+
+  /** STUB frame sampling — stands in for video frame extraction: emits
+    * every record's payload cut into `frameBytes` slices, keeping one
+    * slice per `stride`. One input record explodes to many typed frame
+    * rows — the 1:N batch shape a real demuxer produces. */
+  def frameSample(media: Dataset[MediaRecord], frameBytes: Int,
+                  stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && stride > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = (r.content.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by stride).iterator.map { i =>
+          val off = i * frameBytes
+          MediaFrame(r.media_id, i.toLong, off.toLong,
+            r.content.slice(off, math.min(off + frameBytes, r.content.length)))
+        }
+      }
+    }
+  }
 }

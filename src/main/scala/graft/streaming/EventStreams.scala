@@ -35,6 +35,19 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Durable sink: stream a frame to date-partitioned parquet (the
+    * lakehouse ingest layout — each day's directory is one partition for
+    * downstream pruning). Returns the started query; caller awaits. */
+  def toPartitionedParquet(df: DataFrame, outDir: String,
+                           checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .partitionBy("date")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .outputMode("append")
+      .start(outDir)
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

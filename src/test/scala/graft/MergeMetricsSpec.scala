@@ -82,6 +82,25 @@ class MergeMetricsSpec extends SparkSpec {
     assert(viaColumns.exceptAll(viaDataset).isEmpty)
   }
 
+  test("multimodal resize and frame-sample keep the typed batch shape") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(20)
+    val media = Multimodal.mediaFromDocuments(docs)
+    val resized = Multimodal.resizeStub(media, 50).collect()
+    assert(resized.forall(_.content.length <= 50))
+    assert(resized.length === 20)
+
+    val frames = Multimodal.frameSample(media, frameBytes = 40, stride = 2).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { f =>
+      assert(f.frame_idx % 2 === 0)
+      assert(f.offset === f.frame_idx * 40)
+      assert(f.frame.length <= 40)
+    }
+    // every record with >40 bytes contributes its frame 0
+    val ids = frames.filter(_.frame_idx == 0).map(_.media_id).toSet
+    assert(ids.size === 20)
+  }
+
   test("manifest prune + resume filters as specified") {
     import graft.sources.Manifest
     val m = Seq(
