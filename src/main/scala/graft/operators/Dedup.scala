@@ -100,10 +100,14 @@ object Dedup {
     // per-pair work is ONE set op: |A∪B| = |A| + |B| - |A∩B| (both sides
     // are already distinct), which halves the hash-set building that
     // dominates this verify stage
+    val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.IntersectSize(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
     pairs
       .join(side("a"), "a")
       .join(side("b"), "b")
-      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+      .withColumn("n_inter", nInter)
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter") / col("n_union"), 6))
       .drop("ga", "gb", "na", "nb")

@@ -122,6 +122,27 @@ object Kernels {
     acc
   }
 
+  /** |distinct(a) ∩ distinct(b)| for string arrays without materializing
+    * the intersection array (ArrayIntersect builds it; the Jaccard verify
+    * only needs the count). */
+  def intersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val set = new java.util.HashSet[UTF8String](math.max(4, na * 2))
+    var i = 0
+    while (i < na) {
+      set.add(a.getUTF8String(i))
+      i += 1
+    }
+    var cnt = 0L
+    var j = 0
+    while (j < nb) {
+      if (set.remove(b.getUTF8String(j))) cnt += 1 // remove => count distinct b
+      j += 1
+    }
+    cnt
+  }
+
   /** Even-odd ray cast over precomputed non-horizontal edges; the per-edge
     * test reproduces GeoFunctions.pointInPolygon's expression tree
     * (((xj-xi) * (y-yi)) / (yj-yi) + xi). */

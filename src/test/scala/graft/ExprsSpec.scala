@@ -63,6 +63,21 @@ class ExprsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("native intersectSize == size(array_intersect) on distinct arrays") {
+    val grams = array_distinct(split(col("text"), " "))
+    val a = docs.select(col("doc_id").as("ida"), grams.as("ga"))
+    val b = docs.select(col("doc_id").as("idb"), grams.as("gb"))
+    val pairs = a.join(b, col("ida") === col("idb") - 1)
+    val native = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.IntersectSize(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
+    val diff = pairs.select(native.as("x"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff === 0)
+  }
+
   test("native point-in-polygon == when-per-edge tree on the shots frame") {
     val shots = graft.queries.Shots.df(spark, sfDir)
     val poly = graft.queries.CoreQueries.testPolygon
