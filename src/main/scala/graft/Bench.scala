@@ -26,6 +26,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    graft.plans.GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT + parquet footer caches, so timings measure the plans.
     try SparkEntry.queries.get("q1_pricing_agg").foreach(_(spark, sfDir).count())

@@ -93,6 +93,8 @@ object Cli {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-cli")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
-    builder.getOrCreate()
+    val spark = builder.getOrCreate()
+    graft.plans.GraftExtensions.register(spark)
+    spark
   }
 }

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    graft.plans.GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

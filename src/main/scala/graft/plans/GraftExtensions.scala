@@ -10,8 +10,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * configured with `spark.sql.extensions=graft.plans.GraftExtensions`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => PipBboxPushdown)
+  }
 }
 
 object GraftExtensions {
@@ -46,10 +48,16 @@ object GraftExtensions {
       info("graft_dot", "graft_dot(a, b) - strict-fold float-array dot product"),
       (es: Seq[Expression]) => Exprs.DotFold(es(0), es(1))))
 
-  /** Register directly on a live session (tests / notebooks). */
-  def register(spark: SparkSession): Unit =
+  /** Register directly on a live session (tests / notebooks). The
+    * optimizer rule goes through the public experimental hook since
+    * injectOptimizerRule only applies at session construction. */
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, fInfo, builder) =>
       org.apache.spark.sql.graftbridge.PlanBridge
         .registerFunction(spark, id, fInfo, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(PipBboxPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PipBboxPushdown
+  }
 }

@@ -31,6 +31,30 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("PipBboxPushdown derives scan-pushable range filters from a PIP predicate") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions
+    // polygon over raw parquet columns so the derived envelope can push
+    val poly = Seq((10.0, 0.02), (30.0, 0.04), (20.0, 0.08))
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), poly))
+      .select("l_orderkey")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,10.0)"), plan)
+    assert(plan.contains("LessThanOrEqual(l_quantity,30.0)"))
+    assert(plan.contains("GreaterThanOrEqual(l_discount,0.02)"))
+    assert(plan.contains("LessThanOrEqual(l_discount,0.08)"))
+    // the envelope is implied: results equal the PIP-only filter evaluated
+    // without the rule (compute via the column-tree form, rule can't match)
+    val noRule = Tables.load(spark, sfDir, "lineitem")
+      .filter(GeoFunctions.pointInPolygonColumnTree(
+        col("l_quantity"), col("l_discount"), poly))
+      .select("l_orderkey")
+    assert(df.orderBy("l_orderkey").collect().toSeq ===
+      noRule.orderBy("l_orderkey").collect().toSeq)
+  }
+
   test("graft_dot works over the embeddings table in SQL") {
     spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb_v")
     val d = spark.sql(

@@ -25,6 +25,7 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
     Tables.sessionConfs.foreach { case (k, v) => builder.config(k, v) }
     val s = builder.getOrCreate()
+    graft.plans.GraftExtensions.register(s)
     s.sparkContext.setLogLevel("WARN")
     s
   }
