@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => PipBboxPushdown)
+    ext.injectPlannerStrategy(_ => GraftStrategies)
   }
 }
 
@@ -59,5 +60,8 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(PipBboxPushdown))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PipBboxPushdown
+    if (!spark.experimental.extraStrategies.contains(GraftStrategies))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftStrategies
   }
 }

@@ -113,6 +113,30 @@ object AnalyticsQueries {
         "GROUP BY bucket ORDER BY bucket")),
 
     // JSON field extraction + aggregation over the semi-structured column.
+    // Point-in-interval range join via the custom PointIntervalJoin plan
+    // (broadcast intervals, binary search + prefix-max walk instead of the
+    // O(n*m) BroadcastNestedLoopJoin Spark would pick for BETWEEN).
+    Q("q_range_join",
+      (s, d) => {
+        val points = Tables.load(s, d, "lineitem")
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey").as("pk"), col("l_shipdate").as("ts"))
+        val intervals = Tables.load(s, d, "orders")
+          .filter(col("o_orderkey") % 100 === 0)
+          .select(col("o_orderkey").as("ik"), col("o_orderdate").as("lo"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("hi"))
+        graft.operators.RangeJoin.pointInInterval(points, intervals, "ts", "lo", "hi")
+          .select(col("ik"), col("pk"), col("ts"))
+          // ts tiebreak: the synthetic lineitem has duplicate
+          // (orderkey, linenumber) pairs, so (ik, pk) alone is ambiguous
+          .orderBy("ik", "pk", "ts")
+      },
+      Some("SELECT i.ik, p.pk, p.ts FROM " +
+        "(SELECT l_orderkey AS pk, l_shipdate AS ts FROM lineitem WHERE l_linenumber = 1) p " +
+        "JOIN (SELECT o_orderkey AS ik, o_orderdate AS lo, " +
+        "o_orderdate + INTERVAL 30 DAY AS hi FROM orders WHERE o_orderkey % 100 = 0) i " +
+        "ON p.ts BETWEEN i.lo AND i.hi ORDER BY ik, pk, ts")),
+
     // The key is coalesced to a sentinel on both sides: get_json_object
     // returns NULL for missing/non-numeric $.k, and Spark sorts NULLS FIRST
     // while DuckDB defaults NULLS LAST — a raw null group would order-mismatch.

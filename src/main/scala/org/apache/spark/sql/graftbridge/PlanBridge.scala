@@ -29,6 +29,14 @@ object PlanBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Analyzed logical plan of a frame / frame from a logical plan — for
+    * building graft's custom logical nodes (e.g. PointIntervalJoin). */
+  def analyzedPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a function on a LIVE session (the extensions path only
     * applies at session construction). */
   def registerFunction(
