@@ -35,6 +35,24 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join: enrich an event stream with a second
+    * stream (e.g. impressions ⋈ purchases) keyed by `key`, with both
+    * sides watermarked and the match bounded to `maxDelay` of event time —
+    * the time bound is what lets Spark discard state, keeping the join's
+    * memory proportional to the delay window, not the stream history. */
+  def joinStreams(left: DataFrame, right: DataFrame, key: String,
+                  watermark: String = "30 minutes",
+                  maxDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("ts") &&
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $maxDelay"))
+  }
+
   /** Durable sink: stream a frame to date-partitioned parquet (the
     * lakehouse ingest layout — each day's directory is one partition for
     * downstream pruning). Returns the started query; caller awaits. */

@@ -61,6 +61,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the event-time bound only") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.joinStreams(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      buys.toDF().toDF("user_id", "ts", "value"),
+      key = "user_id", watermark = "10 minutes", maxDelay = "1 hour")
+    val q = joined.select("user_id", "ts", "r_ts")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .start()
+    try {
+      clicks.addData(
+        (1L, t("2020-01-01 10:00:00"), 1.0),
+        (2L, t("2020-01-01 10:00:00"), 1.0))
+      buys.addData(
+        (1L, t("2020-01-01 10:30:00"), 9.0),  // within 1h of click -> match
+        (2L, t("2020-01-01 13:00:00"), 9.0))  // 3h later -> no match
+      q.processAllAvailable()
+      val got = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+      assert(got === Set((1L, t("2020-01-01 10:30:00"))))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
