@@ -125,6 +125,20 @@ object Exprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |a ∩ b| for SORTED distinct string arrays (two-pointer merge). */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sorted_intersect_size"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.sortedIntersectSize($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectSize =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Even-odd ray-cast point-in-polygon with a plan-time polygon. Unlike
     * the one-when-per-edge Column tree (which blows the codegen method
     * limit on multi-thousand-vertex AOIs), this generates one call with

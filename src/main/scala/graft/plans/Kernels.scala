@@ -143,6 +143,25 @@ object Kernels {
     cnt
   }
 
+  /** |a ∩ b| for two SORTED distinct string arrays: a two-pointer merge
+    * walk — no per-pair hash-set allocation, no hashing, O(n+m) binary
+    * comparisons. Callers sort once per document (array_sort), not once
+    * per pair. */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { cnt += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   /** Even-odd ray cast over precomputed non-horizontal edges; the per-edge
     * test reproduces GeoFunctions.pointInPolygon's expression tree
     * (((xj-xi) * (y-yi)) / (yj-yi) + xi). */

@@ -60,7 +60,11 @@ object DedupQueries {
     Q("q_ngram_jaccard",
       (s, d) => {
         val dd = docs(s, d)
-        val pairs = dd.select(col("doc_id"), col("source")).as("d1")
+        // the docs parquet is one small file = one input partition; without
+        // a repartition the whole quadratic pair stage would run on a
+        // couple of tasks no matter how many cores exist
+        val pairs = dd.select(col("doc_id"), col("source"))
+          .repartition(col("doc_id")).as("d1")
           .join(dd.select(col("doc_id"), col("source")).as("d2"),
             col("d1.source") === col("d2.source") &&
               col("d1.doc_id") < col("d2.doc_id"))

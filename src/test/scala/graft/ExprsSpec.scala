@@ -76,6 +76,19 @@ class ExprsSpec extends SparkSpec {
         size(array_intersect(col("ga"), col("gb"))).cast("long").as("y"))
       .filter(col("x") =!= col("y")).count()
     assert(diff === 0)
+
+    // sorted-merge variant agrees when inputs are sorted
+    val sa = docs.select(col("doc_id").as("ida"), array_sort(grams).as("ga"))
+    val sb = docs.select(col("doc_id").as("idb"), array_sort(grams).as("gb"))
+    val sortedNative = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.SortedIntersectSize(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
+    val diff2 = sa.join(sb, col("ida") === col("idb") - 1)
+      .select(sortedNative.as("x"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff2 === 0)
   }
 
   test("native point-in-polygon == when-per-edge tree on the shots frame") {
