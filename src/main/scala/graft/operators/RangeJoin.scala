@@ -17,6 +17,9 @@ object RangeJoin {
     * date/date, long/long). Output = points columns ++ intervals columns. */
   def pointInInterval(points: DataFrame, intervals: DataFrame,
                       tCol: String, loCol: String, hiCol: String): DataFrame = {
+    // self-register the planner strategy (idempotent) so the operator works
+    // in any session, not only ones built with GraftExtensions
+    graft.plans.GraftExtensions.register(points.sparkSession)
     val lp = PlanBridge.analyzedPlan(points)
     val rp = PlanBridge.analyzedPlan(intervals)
     def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n)

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+
+import graft.functions.{GeoFunctions, TextFunctions}
+import graft.plans.Kernels
+
+/** Property-based checks (fixed seeds via scalacheck defaults): the native
+  * kernels against independent Scala models over randomized inputs —
+  * coverage the example-based specs can't reach. */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val P = TextFunctions.P
+
+  test("property: charHash kernel == Scala fold for arbitrary ASCII strings") {
+    val asciiStr = Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString)
+    check(Prop.forAll(asciiStr) { s =>
+      val viaKernel = Kernels.charHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val model = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+      viaKernel == model
+    })
+  }
+
+  test("property: simhash kernel == per-bit vote model") {
+    val codes = Gen.listOf(Gen.choose(0L, P - 1))
+    check(Prop.forAll(codes) { cs =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(cs.toArray)
+      val got = Kernels.simhash(arr, 16)
+      val model = (0 until 16).map { p =>
+        val vote = cs.map(c => ((c >> p) & 1L) * 2 - 1).sum
+        if (vote > 0) 1L << p else 0L
+      }.sum
+      got == model
+    })
+  }
+
+  test("property: minhash sig components are mins of the permuted codes") {
+    val codes = Gen.nonEmptyListOf(Gen.choose(0L, P - 1))
+    val params = TextFunctions.mhParams(8)
+    check(Prop.forAll(codes) { cs =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(cs.toArray)
+      val sig = Kernels.minhashSig(arr,
+        params.map(_._1).toArray, params.map(_._2).toArray)
+      params.indices.forall { i =>
+        val (a, b) = params(i)
+        sig.getLong(i) == cs.map(c => (c * a + b) % P).min
+      }
+    })
+  }
+
+  test("property: PIP kernel == independent ray-cast for random polygons/points") {
+    val coord = Gen.choose(-10.0, 10.0)
+    val vertex = Gen.zip(coord, coord)
+    val polyGen = Gen.listOfN(6, vertex).suchThat(p =>
+      p.map(_._2).distinct.length >= 2) // at least one non-horizontal edge
+    check(Prop.forAll(polyGen, coord, coord) { (poly, px, py) =>
+      val es = poly.indices.map(i => (poly(i), poly((i + 1) % poly.length)))
+        .filter { case ((_, a), (_, b)) => a != b }
+      val got = Kernels.pointInPolygon(px, py,
+        es.map(_._1._1).toArray, es.map(_._1._2).toArray,
+        es.map(_._2._1).toArray, es.map(_._2._2).toArray)
+      var inside = false
+      poly.indices.foreach { i =>
+        val (xi, yi) = poly(i)
+        val (xj, yj) = poly((i + 1) % poly.length)
+        if (yi != yj && ((yi > py) != (yj > py)) &&
+          px < (xj - xi) * (py - yi) / (yj - yi) + xi) inside = !inside
+      }
+      got == inside
+    })
+  }
+
+  test("property: sortedIntersectSize == set intersection size") {
+    val words = Gen.listOf(Gen.listOfN(3, Gen.choose('a', 'z')).map(_.mkString))
+    check(Prop.forAll(words, words) { (ws1, ws2) =>
+      val s1 = ws1.distinct.sorted
+      val s2 = ws2.distinct.sorted
+      def arr(ss: Seq[String]) = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        ss.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray[Any])
+      Kernels.sortedIntersectSize(arr(s1), arr(s2)) ==
+        s1.toSet.intersect(s2.toSet).size.toLong
+    })
+  }
+
+  test("property: webMercator round-trips lon within tolerance (Spark expr)") {
+    import spark.implicits._
+    val lons = Seq(-179.9, -90.0, -1.5, 0.0, 0.1, 45.3, 120.7, 179.9)
+    val lats = Seq(-84.9, -45.0, 0.0, 30.5, 60.1, 84.9)
+    val pts = (for (lo <- lons; la <- lats) yield (lo, la)).toDF("lon", "lat")
+    val (mx, my) = GeoFunctions.webMercator(col("lon"), col("lat"))
+    val rows = pts.select(col("lon"), col("lat"), mx.as("x"), my.as("y")).collect()
+    val k = 20037508.342789244
+    rows.foreach { r =>
+      val (lon, lat, x, y) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      // inverse transform recovers the inputs
+      val lonBack = x * 180.0 / k
+      val latBack = math.atan(math.exp(y * math.Pi / k)) * 360.0 / math.Pi - 90.0
+      assert(math.abs(lonBack - lon) < 1e-9)
+      assert(math.abs(latBack - lat) < 1e-9, s"lat $lat -> $latBack")
+    }
+  }
+}
