@@ -27,6 +27,17 @@ object Tables {
     else df
   }
 
+  /** Streaming read of a catalog table (file-source streaming over the
+    * same parquet, same ts normalization as the batch path) — the input
+    * for §2.4's incremental plans. Schema comes from the batch footer. */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$dir/$name.parquet").schema
+    val df = spark.readStream.schema(batchSchema).parquet(s"$dir/$name.parquet")
+    if (name == "events" && batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
   /** Session settings every graft entrypoint should apply. */
   val sessionConfs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

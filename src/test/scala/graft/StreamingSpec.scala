@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.Ev
@@ -12,6 +13,32 @@ import graft.streaming.EventStreams.Ev
 class StreamingSpec extends SparkSpec {
 
   private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming over the real events parquet equals the batch aggregation") {
+    // file-source streaming requires a directory table layout (the cluster
+    // norm); testdata ships single files, so stage a directory copy
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createDirectory(staged.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      staged.resolve("events.parquet").resolve("part-00000.parquet"))
+    val stream = Tables.loadStream(spark, staged.toString, "events")
+    val q = EventStreams.bucketCounts(stream)
+      .writeStream.format("memory").queryName("parity").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("parity").collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("bucket_start"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .collect()
+        .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 
   test("bucketCounts emits a window only after the watermark passes it") {
     import spark.implicits._
