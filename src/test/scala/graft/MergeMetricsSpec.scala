@@ -82,6 +82,24 @@ class MergeMetricsSpec extends SparkSpec {
     assert(viaColumns.exceptAll(viaDataset).isEmpty)
   }
 
+  test("gedi catalog: beam groups, patterns, and default variable maps") {
+    import graft.operators.GediCatalog
+    assert(GediCatalog.beamGroups("power").size === 4)
+    assert(GediCatalog.beamGroups("all").size === 8)
+    assert(GediCatalog.granulePattern("L2A") === "*GEDI02_A_*.h5")
+    assert(GediCatalog.defaultBase("L2B").toMap.apply("quality_flag") === "l2b_quality_flag")
+
+    val df = Seq((1L, "BEAM0101"), (2L, "BEAM0000"), (3L, "BEAM1011"))
+      .toDF("shot", "beam")
+    val power = GediCatalog.beamFilterGroup(df, "beam", "power")
+      .select("shot").collect().map(_.getLong(0)).sorted
+    assert(power.toSeq === Seq(1L, 3L))
+    assert(GediCatalog.beamFilterGroup(df, "beam", "all").count() === 3)
+    intercept[IllegalArgumentException] {
+      GediCatalog.beamFilterGroup(df, "beam", "nope")
+    }
+  }
+
   test("multimodal resize and frame-sample keep the typed batch shape") {
     val docs = Tables.load(spark, sfDir, "documents").limit(20)
     val media = Multimodal.mediaFromDocuments(docs)
