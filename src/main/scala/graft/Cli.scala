@@ -40,7 +40,10 @@ object Cli {
       case "extract" =>
         var df = in("input")
         for (beams <- opts.get("beams"); bc <- opts.get("beam-col"))
-          df = Extract.beamFilter(df, bc, beams.split(",").toSeq)
+          df =
+            if (operators.GediCatalog.beamGroups.contains(beams.toLowerCase))
+              operators.GediCatalog.beamFilterGroup(df, bc, beams)
+            else Extract.beamFilter(df, bc, beams.split(",").toSeq)
         for (months <- opts.get("months"); tc <- opts.get("ts-col")) {
           val Array(lo, hi) = months.split(",").map(_.toInt)
           df = Extract.monthFilter(df, tc, (lo, hi))
