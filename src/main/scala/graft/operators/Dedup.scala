@@ -88,12 +88,15 @@ object Dedup {
     * on the id, and only candidate pairs (not all pairs) pay the set ops. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    // sorted once per DOC, so each pair pays a two-pointer merge count
-    // (SortedIntersectSize) instead of per-pair hash-set building
+    // sorted distinct 64-bit gram hashes, once per DOC (native one-pass
+    // kernel) — each pair then pays a long-array two-pointer merge count;
+    // counts equal the gram-string counts up to ~2^-64 collisions
     val grams = docs.select(
       col(idCol).as("_jid"),
-      array_sort(array_distinct(
-        TextFunctions.bigrams(TextFunctions.tokens(col(textCol))))).as("_grams"))
+      org.apache.spark.sql.graftbridge.PlanBridge.column(
+        graft.plans.Exprs.SortedGramHashes(
+          org.apache.spark.sql.graftbridge.PlanBridge.expression(col(textCol))))
+        .as("_grams"))
       .withColumn("_ng", size(col("_grams")).cast("long"))
     def side(s: String) = grams
       .withColumnRenamed("_jid", s)
@@ -103,7 +106,7 @@ object Dedup {
     // are already distinct), which halves the hash-set building that
     // dominates this verify stage
     val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
-      graft.plans.Exprs.SortedIntersectSize(
+      graft.plans.Exprs.SortedIntersectSizeLong(
         org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
         org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
     pairs

@@ -125,6 +125,33 @@ object Exprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sorted distinct 64-bit bigram-gram hashes of a text (one pass). */
+  case class SortedGramHashes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_sorted_gram_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.sortedGramHashes(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.sortedGramHashes($c)")
+    override protected def withNewChildInternal(newChild: Expression): SortedGramHashes =
+      copy(child = newChild)
+  }
+
+  /** |a ∩ b| for sorted distinct long arrays (two-pointer merge). */
+  case class SortedIntersectSizeLong(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_sorted_intersect_size_long"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sortedIntersectSizeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.sortedIntersectSizeLong($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectSizeLong =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** |a ∩ b| for SORTED distinct string arrays (two-pointer merge). */
   case class SortedIntersectSize(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -162,6 +162,56 @@ object Kernels {
     cnt
   }
 
+  /** Sorted distinct 64-bit hashes of a text's adjacent-token bigrams, in
+    * one pass: tokens -> "a b" gram hashes (unreduced 31-polynomial over
+    * chars — full 64-bit space, ~2^-64 pairwise collision) -> sort ->
+    * dedupe. Counts over these equal counts over the gram strings
+    * themselves (what the DuckDB oracle computes) up to that collision
+    * probability; the hash VALUES never face the oracle. */
+  def sortedGramHashes(s: UTF8String): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < 2) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      var h = 0L
+      val a = toks(i)
+      val b = toks(i + 1)
+      var j = 0
+      while (j < a.length) { h = h * 31L + a.charAt(j); j += 1 }
+      h = h * 31L + ' '.toLong
+      j = 0
+      while (j < b.length) { h = h * 31L + b.charAt(j); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var n = 0
+    i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(n) = hs(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, n))
+  }
+
+  /** |a ∩ b| for two sorted distinct long arrays (two-pointer merge). */
+  def sortedIntersectSizeLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var cnt = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { cnt += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    cnt
+  }
+
   /** Even-odd ray cast over precomputed non-horizontal edges; the per-edge
     * test reproduces GeoFunctions.pointInPolygon's expression tree
     * (((xj-xi) * (y-yi)) / (yj-yi) + xi). */

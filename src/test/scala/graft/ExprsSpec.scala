@@ -91,6 +91,33 @@ class ExprsSpec extends SparkSpec {
     assert(diff2 === 0)
   }
 
+  test("sortedGramHashes counts agree with string-set bigram counts") {
+    val strGrams = array_sort(array_distinct(
+      graft.functions.TextFunctions.bigrams(split(col("text"), " "))))
+    def native(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.PlanBridge.column(
+        graft.plans.Exprs.SortedGramHashes(
+          org.apache.spark.sql.graftbridge.PlanBridge.expression(c)))
+    // per-doc distinct counts equal
+    val diff = docs.select(size(native(col("text"))).as("x"), size(strGrams).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff === 0)
+    // pairwise intersection counts equal the string-set intersection
+    val a = docs.select(col("doc_id").as("ida"), native(col("text")).as("ha"),
+      strGrams.as("sa"))
+    val b = docs.select(col("doc_id").as("idb"), native(col("text")).as("hb"),
+      strGrams.as("sb"))
+    val inter = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.SortedIntersectSizeLong(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ha")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("hb"))))
+    val diff2 = a.join(b, col("ida") === col("idb") - 1)
+      .select(inter.as("x"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(diff2 === 0)
+  }
+
   test("native point-in-polygon == when-per-edge tree on the shots frame") {
     val shots = graft.queries.Shots.df(spark, sfDir)
     val poly = graft.queries.CoreQueries.testPolygon
