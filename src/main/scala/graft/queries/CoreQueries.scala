@@ -54,13 +54,17 @@ object CoreQueries {
   val defs: Seq[Q] = Seq(
 
     // R5 — variable mapping (projection + rename); pruning reaches the scan.
+    // ORDER BY covers every output column: the synthetic lineitem has
+    // duplicate (orderkey, linenumber) pairs with differing payloads, so a
+    // shorter sort would leave tie order engine-dependent.
     Q("q_extract_vars",
       (s, d) => Extract.selectVariables(li(s, d), Seq(
           "okey" -> "l_orderkey", "line" -> "l_linenumber", "qty" -> "l_quantity",
           "price" -> "l_extendedprice", "flag" -> "l_returnflag"))
-        .orderBy("okey", "line"),
+        .orderBy("okey", "line", "qty", "price", "flag"),
       Some("SELECT l_orderkey AS okey, l_linenumber AS line, l_quantity AS qty, " +
-        "l_extendedprice AS price, l_returnflag AS flag FROM lineitem ORDER BY okey, line")),
+        "l_extendedprice AS price, l_returnflag AS flag FROM lineitem " +
+        "ORDER BY okey, line, qty, price, flag")),
 
     // R4 — beam/category selection ("power beams" ≈ click+purchase).
     Q("q_beam_filter",
@@ -103,12 +107,15 @@ object CoreQueries {
         "o_orderkey % 60, (o_orderkey * 7) % 60) AS granule_id FROM orders) t " +
         "ORDER BY o_orderkey")),
 
-    // R9 — default quality filter (flags dropped after filtering).
+    // R9 — default quality filter (flags dropped after filtering). Full
+    // output column sort: (shot, line) is not unique in the synthetic data.
     Q("q_quality_filter",
-      (s, d) => Extract.qualityFilter(flagsFrame(s, d)).orderBy("shot", "line"),
+      (s, d) => Extract.qualityFilter(flagsFrame(s, d))
+        .orderBy("shot", "line", "elev", "sensitivity", "num_detectedmodes", "elev_dem_tdx"),
       Some("SELECT shot, line, num_detectedmodes, elev, elev_dem_tdx, sensitivity " +
         s"FROM $flagsSql WHERE quality_flag = 1 AND degrade_flag = 0 AND " +
-        "num_detectedmodes > 0 AND abs(elev - elev_dem_tdx) < 100 ORDER BY shot, line")),
+        "num_detectedmodes > 0 AND abs(elev - elev_dem_tdx) < 100 " +
+        "ORDER BY shot, line, elev, sensitivity, num_detectedmodes, elev_dem_tdx")),
 
     // R7 — shot-number zero-pad canonicalization.
     Q("q_shot_format",
@@ -206,7 +213,11 @@ object CoreQueries {
           to_date(date_trunc("month", col("l_shipdate"))).as("acq_time"),
           col("l_quantity").as("sensitivity"),
           col("l_tax").as("pai"))
-        MergeOps.mergeGdf(l2a, l2b).orderBy("shot", "acq_time")
+        // full-column sort: duplicate (shot, acq_time) keys on both sides
+        // mean the join can emit several distinct rows per key pair
+        MergeOps.mergeGdf(l2a, l2b)
+          .orderBy("shot", "acq_time", "sensitivity_l2b", "pai",
+            "sensitivity_l2a", "rh98")
       },
       Some("SELECT b.shot AS shot, b.acq_time AS acq_time, " +
         "b.sensitivity AS sensitivity_l2b, b.pai AS pai, " +
@@ -217,7 +228,7 @@ object CoreQueries {
         "(SELECT l_orderkey AS shot, CAST(date_trunc('month', l_shipdate) AS DATE) AS acq_time, " +
         "l_quantity AS sensitivity, l_extendedprice AS rh98 FROM lineitem WHERE l_linenumber = 1) a " +
         "ON a.shot = b.shot AND a.acq_time = b.acq_time " +
-        "ORDER BY shot, acq_time")),
+        "ORDER BY shot, acq_time, sensitivity_l2b, pai, sensitivity_l2a, rh98")),
 
     // R19 — rasterize points to a 0.25° grid (count + exact-decimal sum).
     Q("q_rasterize_grid",
