@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 
 /** SparkSessionExtensions packaging: registers graft's native expressions
   * as SQL functions, so `spark.sql("SELECT graft_char_hash(text) ...")`
@@ -47,7 +48,23 @@ object GraftExtensions {
       (es: Seq[Expression]) => Exprs.SimHash(es.head, litInt(es(1), "bits"))),
     (FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - strict-fold float-array dot product"),
-      (es: Seq[Expression]) => Exprs.DotFold(es(0), es(1))))
+      (es: Seq[Expression]) => Exprs.DotFold(es(0), es(1))),
+    (FunctionIdentifier("graft_point_in_polygon"),
+      info("graft_point_in_polygon",
+        "graft_point_in_polygon(x, y, array(x1,...), array(y1,...)) - ray-cast containment"),
+      (es: Seq[Expression]) => {
+        val xs = litDoubles(es(2), "polygon xs")
+        val ys = litDoubles(es(3), "polygon ys")
+        require(xs.length == ys.length && xs.length >= 3,
+          "polygon arrays must have equal length >= 3")
+        Exprs.PointInPolygon(es(0), es(1), xs.zip(ys))
+      }))
+
+  /** Evaluate a foldable array expression to its double values. */
+  private def litDoubles(e: Expression, what: String): Seq[Double] = {
+    require(e.foldable, s"$what must be a literal array")
+    e.eval(null).asInstanceOf[ArrayData].toDoubleArray().toSeq
+  }
 
   /** Register directly on a live session (tests / notebooks). The
     * optimizer rule goes through the public experimental hook since

@@ -55,6 +55,17 @@ class ExtensionsSpec extends SparkSpec {
       noRule.orderBy("l_orderkey").collect().toSeq)
   }
 
+  test("graft_point_in_polygon works from pure SQL with literal polygon arrays") {
+    val n = spark.sql(
+      """SELECT count(*) FROM (SELECT explode(sequence(0, 40)) AS i) t
+        |WHERE graft_point_in_polygon(CAST(i AS DOUBLE) / 10.0, CAST(i AS DOUBLE) / 10.0,
+        |  array(0.0D, 4.0D, 4.0D, 0.0D), array(0.0D, 0.0D, 4.0D, 4.0D))""".stripMargin)
+      .head.getLong(0)
+    // diagonal points of the 4x4 square: (0,0) .. (3.9,3.9) are inside
+    // (the even-odd rule counts the lower-left vertex in), (4,4) is out
+    assert(n === 40L)
+  }
+
   test("graft_dot works over the embeddings table in SQL") {
     spark.read.parquet(s"$sfDir/embeddings.parquet").createOrReplaceTempView("emb_v")
     val d = spark.sql(
