@@ -90,6 +90,52 @@ object TextOps {
     s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END"
   }
 
+  /** Character-bigram profiles for the n-gram language-ID variant: counts
+    * of language-characteristic char bigrams (same deterministic argmax
+    * tie-break order as langMarkers). */
+  val langNgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he", "ng"),
+    "es" -> Seq("os", "la", "ci"),
+    "fr" -> Seq("le", "qu", "ou"),
+    "de" -> Seq("ch", "ei", "sc"),
+    "zh" -> Seq("zh", "ng", "sh"))
+
+  /** Language-ID via character n-gram profiles: per language, the total
+    * non-overlapping occurrence count of its profile bigrams; deterministic
+    * argmax. The streaming-friendly sibling of langId (no tokenization —
+    * pure regexp counts, fully codegen'd). */
+  def langIdNgram(df: DataFrame, textCol: String): DataFrame = {
+    val scored = langNgramProfiles.foldLeft(df) { case (d, (lang, grams)) =>
+      d.withColumn(s"n_$lang",
+        grams.map(g => regexp_count(col(textCol), lit(g)).cast("long"))
+          .reduceLeft(_ + _))
+    }
+    val langs = langNgramProfiles.map(_._1)
+    val pred = langs.zipWithIndex.init.foldRight(lit(langs.last): Column) {
+      case ((lang, i), fallback) =>
+        val beatsRest = langs.drop(i + 1)
+          .map(other => col(s"n_$lang") >= col(s"n_$other"))
+          .reduceLeft(_ && _)
+        when(beatsRest, lang).otherwise(fallback)
+    }
+    scored.withColumn("pred_lang_ngram", pred)
+  }
+
+  /** DuckDB SQL: per-language profile count + the identical argmax. */
+  def langIdNgramSql(textExpr: String): (String, String) = {
+    val scores = langNgramProfiles.map { case (lang, grams) =>
+      grams.map(g => s"CAST(len(regexp_extract_all($textExpr, '$g')) AS BIGINT)")
+        .mkString("(", " + ", s") AS n_$lang")
+    }.mkString(", ")
+    val langs = langNgramProfiles.map(_._1)
+    val cases = langs.zipWithIndex.init.map { case (lang, i) =>
+      val beatsRest = langs.drop(i + 1)
+        .map(other => s"n_$lang >= n_$other").mkString(" AND ")
+      s"WHEN $beatsRest THEN '$lang'"
+    }
+    (scores, s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END")
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the full-document
     * polynomial hash plus the min/count over bigram-shingle hashes — the
     * k-gram fingerprint set collapsed to its winnowed representative. */

@@ -60,6 +60,20 @@ object TextQueries {
           "FROM s ORDER BY doc_id"
       }),
 
+    // Language-ID via char-n-gram profiles (the tokenization-free variant).
+    Q("q_lang_id_ngram",
+      (s, d) => TextOps.langIdNgram(docs(s, d), "text")
+        .select(col("doc_id") +:
+          TextOps.langNgramProfiles.map { case (l, _) => col(s"n_$l") } :+
+          col("pred_lang_ngram"): _*)
+        .orderBy("doc_id"),
+      Some {
+        val (scores, argmax) = TextOps.langIdNgramSql("text")
+        s"WITH s AS (SELECT doc_id, $scores FROM documents) " +
+          s"SELECT doc_id, ${TextOps.langNgramProfiles.map(p => s"n_${p._1}").mkString(", ")}, " +
+          s"$argmax AS pred_lang_ngram FROM s ORDER BY doc_id"
+      }),
+
     // Rolling-hash fingerprint: doc hash + winnowed bigram-shingle hash.
     Q("q_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d), "text")
