@@ -90,20 +90,39 @@ object Similarity {
     * probe reads nprobe/nCentroids of the data — the scan itself shrinks,
     * not just the compute. Squared-L2 assignment uses the strict-fold dot
     * (||v||^2 - 2 v.c + ||c||^2), bit-identical to the DuckDB oracle. */
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Per-vector centroid ranking: (id, cid, rn) with rn=1 the nearest
+    * cell. Shared by ivfTopK and the persisted-index writer. */
+  def centroidRanks(candidates: DataFrame, nCentroids: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
     import VectorFunctions.dot
     val cents = candidates.filter(col(idCol) < nCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val dist = dot(col(vecCol), col(vecCol)) -
       lit(2.0) * dot(col(vecCol), col("cvec")) + dot(col("cvec"), col("cvec"))
-    val asg = candidates.select(col(idCol).as("id"), col(vecCol))
+    candidates.select(col(idCol).as("id"), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("dist", dist)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("dist"), col("cid"))))
+  }
+
+  /** Persist the IVF index as cell-partitioned parquet: the 100 TB layout
+    * where a query probing `nprobe` of `nCentroids` cells physically reads
+    * only those directories (partition pruning), shrinking the SCAN, not
+    * just the compute. */
+  def writeIvfIndex(candidates: DataFrame, dir: String, nCentroids: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    centroidRanks(candidates, nCentroids, idCol, vecCol)
+      .filter(col("rn") === 1)
+      .select(col("id").as(idCol), col(vecCol), col("cid").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
     val cells = asg.filter(col("rn") === 1).select(col("id"), col("cid").as("cell"))
     val qids = queries.select(col(idCol).as("qid"))
     val qcells = asg.join(broadcast(qids), col("id") === col("qid"))

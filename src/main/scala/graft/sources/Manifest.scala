@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Granule-manifest source — the Spark-first form of gedixr's download
   * surface (reference download.py:19-110: CMR/Harmony-style granule
@@ -42,4 +43,30 @@ object Manifest {
     * absent from `done`. Left-anti join — broadcast when `done` is small. */
   def pendingOnly(manifest: DataFrame, done: DataFrame): DataFrame =
     manifest.join(done.select("granule_id"), Seq("granule_id"), "left_anti")
+
+  /** Recursive granule discovery by glob pattern — R1 (ref
+    * extract.py:128-129: rglob over a root directory). File listing is a
+    * driver-side action in Spark too (this is what every DataSource does
+    * before planning splits); the result is a small manifest frame
+    * (path, size, mtime, granule_id) that downstream pruning runs on. */
+  def discover(spark: org.apache.spark.sql.SparkSession, root: String,
+               glob: String): DataFrame = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val fs = FileSystem.get(new java.net.URI(root),
+      spark.sparkContext.hadoopConfiguration)
+    val matcher = java.nio.file.FileSystems.getDefault
+      .getPathMatcher(s"glob:$glob")
+    def walk(p: Path): Seq[(String, Long, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (matcher.matches(java.nio.file.Paths.get(st.getPath.getName)))
+          Seq((st.getPath.toString, st.getLen, st.getModificationTime))
+        else Seq.empty
+      }
+    val rows = walk(new Path(root))
+    import spark.implicits._
+    rows.toDF("path", "size", "mtime")
+      .withColumn("granule_id",
+        regexp_extract(col("path"), "([^/]+)\\.[A-Za-z0-9]+$", 1))
+  }
 }

@@ -119,6 +119,20 @@ class MergeMetricsSpec extends SparkSpec {
     assert(ids.size === 20)
   }
 
+  test("manifest discover walks directories recursively by glob") {
+    import graft.sources.Manifest
+    val root = java.nio.file.Files.createTempDirectory("graft_disc")
+    val sub = java.nio.file.Files.createDirectories(root.resolve("y2019/d001"))
+    java.nio.file.Files.writeString(sub.resolve("GEDI02_A_2019001120000.h5"), "x")
+    java.nio.file.Files.writeString(sub.resolve("GEDI02_B_2019001120000.h5"), "x")
+    java.nio.file.Files.writeString(root.resolve("readme.txt"), "x")
+    val found = Manifest.discover(spark, root.toString, "*GEDI02_A_*.h5")
+    val rows = found.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("granule_id") === "GEDI02_A_2019001120000")
+    assert(Manifest.discover(spark, root.toString, "*GEDI02_*.h5").count() === 2)
+  }
+
   test("manifest prune + resume filters as specified") {
     import graft.sources.Manifest
     val m = Seq(

@@ -86,6 +86,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L) === "2020-01-01 00:00:00.0")
   }
 
+  test("persisted IVF index is cell-partitioned and prunes probe reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/index"
+    Similarity.writeIvfIndex(emb, dir, nCentroids = 16)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === emb.count())
+    val cells = back.select("cell").distinct().count()
+    assert(cells > 1 && cells <= 16)
+    // probing 2 cells only touches those partitions
+    val probe = spark.read.parquet(dir).filter(col("cell").isin(0, 1))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"))
+    val expected = Similarity.centroidRanks(emb, 16)
+      .filter(col("rn") === 1 && col("cid").isin(0, 1)).count()
+    assert(probe.count() === expected)
+  }
+
   test("two-stage perGroupTopK equals the single-window plan") {
     val orders = Tables.load(spark, sfDir, "orders")
     val twoStage = TopK.perGroupTopK(orders,
