@@ -113,6 +113,35 @@ object AnalyticsQueries {
         "GROUP BY bucket ORDER BY bucket")),
 
     // JSON field extraction + aggregation over the semi-structured column.
+    // Semi join: orders having at least one high-quantity lineitem. Spark
+    // plans EXISTS as LeftSemi — no row multiplication, early out per key.
+    Q("q_semi_join",
+      (s, d) => Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "lineitem").filter(col("l_quantity") > 45)
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("odate"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) " +
+        "ORDER BY o_orderkey")),
+
+    // Anti join: customers with no URGENT order (LeftAnti — the NOT EXISTS
+    // plan, also the job-resume primitive in Manifest.pendingOnly).
+    Q("q_anti_join",
+      (s, d) => Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_mktsegment FROM customer c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o " +
+        "WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') " +
+        "ORDER BY c_custkey")),
+
     // Point-in-interval range join via the custom PointIntervalJoin plan
     // (broadcast intervals, binary search + prefix-max walk instead of the
     // O(n*m) BroadcastNestedLoopJoin Spark would pick for BETWEEN).
