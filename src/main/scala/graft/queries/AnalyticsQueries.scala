@@ -113,6 +113,24 @@ object AnalyticsQueries {
         "GROUP BY bucket ORDER BY bucket")),
 
     // JSON field extraction + aggregation over the semi-structured column.
+    // Exact per-group quantiles ((n-1)*p linear interpolation — the same
+    // definition in Spark's percentile and DuckDB's quantile_cont).
+    Q("q_quantiles",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("q50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity, 0.25), 6) AS q25, " +
+        "round(quantile_cont(l_quantity, 0.5), 6) AS q50, " +
+        "round(quantile_cont(l_quantity, 0.75), 6) AS q75, " +
+        "round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // Semi join: orders having at least one high-quantity lineitem. Spark
     // plans EXISTS as LeftSemi — no row multiplication, early out per key.
     Q("q_semi_join",
