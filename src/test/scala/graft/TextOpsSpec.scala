@@ -64,6 +64,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("langIdNgram scores are non-overlapping substring counts with argmax") {
+    val rows = TextOps.langIdNgram(docs.limit(30), "text")
+      .select(col("doc_id") +: TextOps.langNgramProfiles.map { case (l, _) => col(s"n_$l") } :+
+        col("pred_lang_ngram"): _*)
+      .collect()
+    val langs = TextOps.langNgramProfiles.map(_._1)
+    val texts = sample.take(30).toMap
+    def countOcc(text: String, pat: String): Long = {
+      var i = 0; var n = 0L
+      while ({ i = text.indexOf(pat, i); i >= 0 }) { n += 1; i += pat.length }
+      n
+    }
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val scores = langs.indices.map(i => r.getLong(i + 1))
+      TextOps.langNgramProfiles.zipWithIndex.foreach { case ((_, grams), i) =>
+        assert(scores(i) === grams.map(g => countOcc(texts(id), g)).sum)
+      }
+      assert(r.getString(langs.size + 1) === langs(scores.indexOf(scores.max)))
+    }
+  }
+
   test("fingerprint: equal texts hash equal, doc_hash matches Scala fold") {
     val fp = TextOps.fingerprint(docs.limit(50), "text")
       .select("doc_id", "doc_hash", "n_kgrams", "min_kgram_hash").collect()
