@@ -1,6 +1,5 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -112,7 +111,6 @@ object AnalyticsQueries {
         "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
         "GROUP BY bucket ORDER BY bucket")),
 
-    // JSON field extraction + aggregation over the semi-structured column.
     // Exact per-group quantiles ((n-1)*p linear interpolation — the same
     // definition in Spark's percentile and DuckDB's quantile_cont).
     Q("q_quantiles",

@@ -1,8 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.SparkSession
 
 /** Granule-manifest source — the Spark-first form of gedixr's download
   * surface (reference download.py:19-110: CMR/Harmony-style granule
@@ -49,7 +48,7 @@ object Manifest {
     * driver-side action in Spark too (this is what every DataSource does
     * before planning splits); the result is a small manifest frame
     * (path, size, mtime, granule_id) that downstream pruning runs on. */
-  def discover(spark: org.apache.spark.sql.SparkSession, root: String,
+  def discover(spark: SparkSession, root: String,
                glob: String): DataFrame = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val fs = FileSystem.get(new java.net.URI(root),
