@@ -21,7 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[Exprs.CharHash].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[Exprs.CharHash].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
