@@ -27,10 +27,9 @@ object Dedup {
     *
     * Only (band, key, id) triples shuffle — ~bands×16 bytes/doc regardless
     * of document size — and the join degree is bounded by bucket size, not
-    * corpus size (the all-pairs trap SURVEY §5 forbids). Skewed buckets
-    * (boilerplate docs) are AQE-split; a production run would also cap
-    * bucket size. */
-  /** @param maxBucket skew guard for corpora with boilerplate-heavy hot
+    * corpus size (the all-pairs trap SURVEY §5 forbids).
+    *
+    * @param maxBucket skew guard for corpora with boilerplate-heavy hot
     *   buckets: each (band, key) bucket is truncated to its `maxBucket`
     *   lowest ids before pairing, bounding any bucket's join contribution
     *   to maxBucket^2 regardless of skew. None (default) = exact LSH

@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
-  * (SURVEY §2.3). Two paths:
+  * (SURVEY §2.3). Three paths:
   *
   *  - brute-force cosine top-k: the correctness baseline. Queries are
   *    broadcast (they're the small side by construction); candidates are
   *    scanned once, scored narrowly, and reduced by two-stage top-k — no
   *    all-pairs shuffle, no global sort.
-  *  - LSH-bucketed (random hyperplanes): the scale path. Only bucket keys
-  *    shuffle; cosine is computed just for bucket-collision candidates.
+  *  - LSH-bucketed (random hyperplanes): only bucket keys shuffle; cosine
+  *    is computed just for bucket-collision candidates.
+  *  - IVF (coarse quantizer + nprobe cells): the 100 TB path — with the
+  *    index persisted cell-partitioned (writeIvfIndex), a probe physically
+  *    reads only its cells' directories.
+  *
+  * Plus embeddingNearDup: threshold near-duplicate pairs over the LSH
+  * candidates (the embedding-side sibling of Dedup.minhashCandidates).
   */
 object Similarity {
 
