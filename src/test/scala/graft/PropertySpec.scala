@@ -90,6 +90,33 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: two-stage TopK == single-window top-k on generated groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen = Gen.listOfN(300,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 50L)))
+    val prop = Prop.forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), id) => (id.toLong, s"g$g", v) }
+        .toDF("id", "grp", "v")
+      val two = graft.operators.TopK.perGroupTopK(df,
+          groupCols = Seq(col("grp")),
+          order = Seq(col("v").desc, col("id")),
+          k = 5, salt = col("id"), salts = 4)
+        .select("grp", "rn", "id").orderBy("grp", "rn")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      val w = Window.partitionBy(col("grp")).orderBy(col("v").desc, col("id"))
+      val single = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("grp", "rn", "id").orderBy("grp", "rn")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+      two == single
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: webMercator round-trips lon within tolerance (Spark expr)") {
     import spark.implicits._
     val lons = Seq(-179.9, -90.0, -1.5, 0.0, 0.1, 45.3, 120.7, 179.9)
