@@ -39,18 +39,31 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         None
       } catch { case e: Throwable => Some(e.toString.take(200)) }
+    // Local profiling knobs (driver uses the defaults): ONLY runs a subset,
+    // REPS>1 times each query REPS times and reports the minimum (steady
+    // state, GC/JIT noise removed).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) => runOnce(fn) }
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = runOnce(fn)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val err = runOnce(fn)
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val best = runs.minBy(_._1)
+      (name, best._1, runs.flatMap(_._2).headOption)
     }
     val qs = results
       .map { case (k, v, err) => s""""$k":${if (err.isDefined) -1 else v}""" }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      s""""$k":"${e.replace("\\", "\\\\").replace("\"", "\\\"")}""""
+      val esc = e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ")
+      s""""$k":"$esc""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val json =

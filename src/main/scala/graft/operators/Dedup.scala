@@ -54,21 +54,33 @@ object Dedup {
         bandedAll.withColumn("_bn", row_number().over(w))
           .filter(col("_bn") <= cap).drop("_bn")
     }
-    // first-collision-band trick: a pair is emitted only by the FIRST band
-    // whose keys collide, so the output is distinct by construction — no
-    // global distinct over the (quadratic) pair set, which at sf0.1 was the
-    // single largest shuffle in the whole suite. Flat per-band comparisons
-    // (bands are plan-time constants) keep this inside codegen — the
-    // zip_with/exists formulation is CodegenFallback and 3x slower here.
-    val noEarlierMatch = !(0 until bands - 1).map { i =>
-      col("x.band") > i &&
-        element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
-    }.reduceLeft(_ || _)
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-          col("x.id") < col("y.id"))
-      .filter(noEarlierMatch)
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val joined = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.id") < col("y.id"))
+    maxBucket match {
+      case None =>
+        // first-collision-band trick: a pair is emitted only by the FIRST
+        // band whose keys collide, so the output is distinct by construction
+        // — no global distinct over the (quadratic) pair set, which at sf0.1
+        // was the single largest shuffle in the whole suite. Flat per-band
+        // comparisons (bands are plan-time constants) keep this inside
+        // codegen — the zip_with/exists formulation is CodegenFallback and
+        // 3x slower here.
+        val noEarlierMatch = !(0 until bands - 1).map { i =>
+          col("x.band") > i &&
+            element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
+        }.reduceLeft(_ || _)
+        joined.filter(noEarlierMatch)
+          .select(col("x.id").as("a"), col("y.id").as("b"))
+      case Some(_) =>
+        // With a bucket cap, key equality at an earlier band does NOT imply
+        // that band emitted the pair (a member may have been truncated out
+        // of that bucket), so the first-collision filter would drop pairs
+        // that only survive in later bands. Deduplicate what was actually
+        // emitted instead: the distinct is over capped buckets, bounded by
+        // bands * maxBucket^2 per bucket — still never the all-pairs set.
+        joined.select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    }
   }
 
   /** SimHash near-dup buckets: every doc gets its `bits`-bit SimHash; docs

@@ -20,8 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[Exprs.CharHash].getName, null, name, usage,
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage,
       "", "", "", "", "", "", "built-in")
 
   private def litInt(e: Expression, what: String): Int = e match {
@@ -33,25 +33,25 @@ object GraftExtensions {
   /** (identifier, info, builder) triples for injectFunction. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_char_hash"),
-      info("graft_char_hash", "graft_char_hash(str) - portable polynomial hash"),
+      info(classOf[Exprs.CharHash], "graft_char_hash", "graft_char_hash(str) - portable polynomial hash"),
       (es: Seq[Expression]) => Exprs.CharHash(es.head)),
     (FunctionIdentifier("graft_token_codes"),
-      info("graft_token_codes", "graft_token_codes(str) - per-token hash codes"),
+      info(classOf[Exprs.TokenCodes], "graft_token_codes", "graft_token_codes(str) - per-token hash codes"),
       (es: Seq[Expression]) => Exprs.TokenCodes(es.head)),
     (FunctionIdentifier("graft_minhash_sig"),
-      info("graft_minhash_sig", "graft_minhash_sig(codes, k) - MinHash signature"),
+      info(classOf[Exprs.MinHashSig], "graft_minhash_sig", "graft_minhash_sig(codes, k) - MinHash signature"),
       (es: Seq[Expression]) => {
         val ps = graft.functions.TextFunctions.mhParams(litInt(es(1), "k"))
         Exprs.MinHashSig(es.head, ps.map(_._1), ps.map(_._2))
       }),
     (FunctionIdentifier("graft_simhash"),
-      info("graft_simhash", "graft_simhash(codes, bits) - SimHash value"),
+      info(classOf[Exprs.SimHash], "graft_simhash", "graft_simhash(codes, bits) - SimHash value"),
       (es: Seq[Expression]) => Exprs.SimHash(es.head, litInt(es(1), "bits"))),
     (FunctionIdentifier("graft_dot"),
-      info("graft_dot", "graft_dot(a, b) - strict-fold float-array dot product"),
+      info(classOf[Exprs.DotFold], "graft_dot", "graft_dot(a, b) - strict-fold float-array dot product"),
       (es: Seq[Expression]) => Exprs.DotFold(es(0), es(1))),
     (FunctionIdentifier("graft_point_in_polygon"),
-      info("graft_point_in_polygon",
+      info(classOf[Exprs.PointInPolygon], "graft_point_in_polygon",
         "graft_point_in_polygon(x, y, array(x1,...), array(y1,...)) - ray-cast containment"),
       (es: Seq[Expression]) => {
         val xs = litDoubles(es(2), "polygon xs")

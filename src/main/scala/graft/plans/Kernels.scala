@@ -101,6 +101,9 @@ object Kernels {
     * identical accumulation order to the zip_with+aggregate fold. */
   def dot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft dot: length mismatch ${n} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -113,6 +116,9 @@ object Kernels {
   /** Dot of a float array against constant double weights. */
   def dotConst(a: ArrayData, w: Array[Double]): Double = {
     val n = a.numElements()
+    if (w.length != n)
+      throw new IllegalArgumentException(
+        s"graft dot: length mismatch ${n} vs ${w.length}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, GreaterThanOrEqual, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -16,7 +16,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * unchanged; idempotence (optimizer rules run to fixpoint) is ensured by
   * skipping conjuncts already semantically present.
   */
-object PipBboxPushdown extends Rule[LogicalPlan] {
+object PipBboxPushdown extends Rule[LogicalPlan] with PredicateHelper {
 
   private def envelope(p: Exprs.PointInPolygon): Seq[Expression] = {
     val xs = p.poly.map(_._1)
@@ -33,7 +33,13 @@ object PipBboxPushdown extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val pips = cond.collect { case p: Exprs.PointInPolygon => p }
+      // Only a PIP that IS a top-level conjunct implies its envelope for the
+      // whole filter. A PIP under Not/Or (e.g. `!pip`, `pipA || pipB`) does
+      // NOT — adding its bbox there would wrongly drop rows, so those are
+      // left untouched.
+      val pips = splitConjunctivePredicates(cond).collect {
+        case p: Exprs.PointInPolygon => p
+      }
       val missing = pips.flatMap(envelope).filterNot(contains(cond, _))
       if (missing.isEmpty) f
       else Filter(missing.foldLeft(cond)(And(_, _)), child)

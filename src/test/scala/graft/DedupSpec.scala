@@ -59,6 +59,40 @@ class DedupSpec extends SparkSpec {
     assert(capped.nonEmpty)
   }
 
+  test("minhash bucket cap matches brute-force capped-LSH oracle (pairs surviving only in later bands kept)") {
+    val k = 16; val bands = 4; val rpb = k / bands; val cap = 2
+    // independent Scala oracle: band keys per doc, per-band capped buckets,
+    // union of per-band pair sets, distinct
+    val keyed = docs.limit(300)
+      .select(col("doc_id"),
+        TextFunctions.minhashSig(TextFunctions.tokenCodes(col("text")), k).as("sig"))
+      .select(col("doc_id"), array((0 until bands).map(b =>
+        TextFunctions.bandKey(col("sig"), b, rpb)): _*).as("keys"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toIndexedSeq))
+    def bucketPairs(b: Int): Set[(Long, Long)] =
+      keyed.groupBy(_._2(b)).values.flatMap { grp =>
+        val ids = grp.map(_._1).sorted.take(cap)
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    val expected = (0 until bands).map(bucketPairs).reduce(_ ++ _)
+    // the pre-fix algorithm dropped pairs whose first key-colliding band was
+    // truncated; make sure this corpus actually exercises that case, so the
+    // equality below is a real regression check
+    val firstCollisionFiltered = (0 until bands).map { b =>
+      bucketPairs(b).filter { case (a, c) =>
+        val (ka, kc) = (keyed.find(_._1 == a).get._2, keyed.find(_._1 == c).get._2)
+        (0 until b).forall(e => ka(e) != kc(e))
+      }
+    }.reduce(_ ++ _)
+    assume(firstCollisionFiltered != expected,
+      "corpus/cap no longer exercises the truncated-first-band case")
+    val got = Dedup.minhashCandidates(docs.limit(300), "doc_id", "text",
+        maxBucket = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("simhash: equal texts collide; bucket sizes sum to corpus size") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "q r s t")).toDF("doc_id", "text")
     val got = Dedup.simhashBuckets(df, "doc_id", "text")

@@ -55,6 +55,46 @@ class ExtensionsSpec extends SparkSpec {
       noRule.orderBy("l_orderkey").collect().toSeq)
   }
 
+  test("PipBboxPushdown leaves PIP under Not/Or alone (no wrong envelope conjuncts)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions
+    val polyA = Seq((10.0, 0.02), (30.0, 0.04), (20.0, 0.08))
+    val polyB = Seq((35.0, 0.00), (50.0, 0.01), (40.0, 0.05))
+    def base = Tables.load(spark, sfDir, "lineitem")
+    def colTree(poly: Seq[(Double, Double)]) = GeoFunctions
+      .pointInPolygonColumnTree(col("l_quantity"), col("l_discount"), poly)
+
+    // NOT(pip): rows OUTSIDE the polygon (most outside its bbox) must survive
+    val negated = base
+      .filter(!GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), polyA))
+      .select("l_orderkey")
+    val negatedOracle = base.filter(!colTree(polyA)).select("l_orderkey")
+    assert(negated.count() === negatedOracle.count())
+
+    // pipA || pipB: a point inside B but outside A's bbox must survive
+    val disj = base
+      .filter(GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), polyA) ||
+        GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), polyB))
+      .select("l_orderkey")
+    val disjOracle = base.filter(colTree(polyA) || colTree(polyB)).select("l_orderkey")
+    assert(disj.orderBy("l_orderkey").collect().toSeq ===
+      disjOracle.orderBy("l_orderkey").collect().toSeq)
+    // ... and no envelope conjunct of either polygon was injected
+    val disjPlan = disj.queryExecution.optimizedPlan.toString
+    assert(!disjPlan.contains(">= 10.0") && !disjPlan.contains("<= 30.0"), disjPlan)
+
+    // a PIP that IS a top-level conjunct still gets its envelope, even when
+    // another conjunct hides a PIP under an Or
+    val mixed = base.filter(
+      GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), polyA) &&
+        (col("l_orderkey") > 0L ||
+          GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), polyB)))
+    val mixedPlan = mixed.queryExecution.optimizedPlan.toString
+    assert(mixedPlan.contains(">= 10.0") && mixedPlan.contains("<= 30.0"), mixedPlan)
+    // but NOT polyB's envelope (35..50)
+    assert(!mixedPlan.contains(">= 35.0") && !mixedPlan.contains("<= 50.0"), mixedPlan)
+  }
+
   test("graft_point_in_polygon works from pure SQL with literal polygon arrays") {
     val n = spark.sql(
       """SELECT count(*) FROM (SELECT explode(sequence(0, 40)) AS i) t
