@@ -44,7 +44,11 @@ object Bench {
     // state, GC/JIT noise removed).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // Default best-of-2: r1/r2 showed single-shot timings are dominated by
+    // GC/JIT noise (the "slow five" were a different set each round, and
+    // best-of-3 ran 5-7x faster) — min over two runs reports the plan, not
+    // the collector.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) => runOnce(fn) }
