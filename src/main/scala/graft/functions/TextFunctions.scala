@@ -77,18 +77,21 @@ object TextFunctions {
       s"list_min(list_transform($codes, x -> (x * $a + $b) % $P))"
     }.mkString("[", ", ", "]")
 
-  /** LSH band key: fold the band's signature components with *31 (no mod —
-    * 4 components of <2^30 stay under 2^45). `sig` is 1-indexed on both
-    * sides (Spark element_at / DuckDB list index). */
+  /** LSH band key: fold the band's signature components with
+    * `(acc * 31 + m) % P`. The mod keeps every intermediate < 31*P+2^30
+    * (int64-safe for ANY rowsPerBand — the unmodded fold overflowed at 8
+    * components, and DuckDB errors on BIGINT overflow where Spark wraps).
+    * `sig` is 1-indexed on both sides (Spark element_at / DuckDB list
+    * index). */
   def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
     (0 until rowsPerBand)
       .map(i => element_at(sig, band * rowsPerBand + i + 1))
-      .reduceLeft((acc, m) => acc * 31L + m)
+      .reduceLeft((acc, m) => (acc * 31L + m) % P)
 
   def bandKeySql(sig: String, band: Int, rowsPerBand: Int): String =
     (0 until rowsPerBand)
       .map(i => s"$sig[${band * rowsPerBand + i + 1}]")
-      .reduceLeft((acc, m) => s"($acc * 31 + $m)")
+      .reduceLeft((acc, m) => s"(($acc * 31 + $m) % $P)")
 
   /** `bits`-bit SimHash over token codes, frequency-weighted: bit p is set
     * when the +1/-1 vote sum over tokens (by bit p of each code) is > 0.

@@ -83,6 +83,53 @@ object Dedup {
     }
   }
 
+  /** Connected components over a near-duplicate pair graph — the step that
+    * turns candidate PAIRS into dedup GROUPS (keep one representative per
+    * component). Iterative min-label propagation: every node starts
+    * labelled with its own id; each round every node takes the min label
+    * among itself and its neighbours; fixpoint = components labelled by
+    * their min member id.
+    *
+    * Scale shape: per round, one hash join of the (src,dst) edge list
+    * against the current labels plus one map-side-combined min-groupBy —
+    * both shuffle 8-byte ids only. Rounds needed = graph diameter, and
+    * near-dup graphs are dense clusters (diameter 2-3 in practice);
+    * `maxIter` bounds the worst case. Convergence is detected from
+    * `sum(comp)`, which strictly decreases while any label changes — one
+    * cheap scalar agg per round, no row-level diff join. Lineage is cut
+    * every round (localCheckpoint), or iteration i would re-execute all
+    * i-1 predecessors.
+    *
+    * @param edges (a, b) pair DataFrame, e.g. `minhashCandidates` output.
+    * @return (id, comp) — one row per node appearing in any edge. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val adj = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    def total(): Long = labels.agg(sum(col("comp"))).head.get(0) match {
+      case null => 0L
+      case v: Long => v
+    }
+    var last = Long.MaxValue
+    var cur = total()
+    var iter = 0
+    while (cur < last && iter < maxIter) {
+      last = cur
+      labels = adj
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      cur = total()
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup buckets: every doc gets its `bits`-bit SimHash; docs
     * sharing a simhash value form a bucket (keep-min-id representative).
     * One narrow map + one map-side-combined shuffle on the 8-byte hash. */

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic sampling operators for training-data mixing (SURVEY
+  * §2.3). No RNG anywhere: sampling decisions are pure functions of the
+  * row's id, so a 100 TB down-mix is reproducible run-to-run, engine-to-
+  * engine (the DuckDB oracle computes the identical hash), and stable
+  * under retries/speculative execution — properties `DataFrame.sample`
+  * (seeded per-partition RNG, partitioning-dependent) cannot give.
+  */
+object Sampling {
+
+  /** Hash-stratified sampling: keep a row iff
+    * `charHash(id) mod 100 < pct(stratum)`, with per-stratum percentages
+    * (e.g. downweight an over-represented language). Narrow, zero-shuffle,
+    * scan-stage only; the pct map is a plan-time literal CASE, not a join.
+    * Adds the `sample_bucket` column (0-99) so the kept rows are auditable.
+    */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+                 pct: Map[String, Int], defaultPct: Int): DataFrame = {
+    val bucket = pmod(TextFunctions.charHash(col(idCol).cast("string")), lit(100L))
+    val rate = pct.foldLeft(lit(defaultPct.toLong)) { case (fb, (s, p)) =>
+      when(col(strataCol) === s, lit(p.toLong)).otherwise(fb)
+    }
+    df.withColumn("sample_bucket", bucket)
+      .filter(col("sample_bucket") < rate)
+  }
+
+  /** DuckDB side of `stratified`'s keep-predicate pieces: (bucketExpr,
+    * rateExpr) over the same hash and CASE tree. */
+  def stratifiedSql(idExpr: String, strataExpr: String,
+                    pct: Map[String, Int], defaultPct: Int): (String, String) = {
+    val bucket = s"${TextFunctions.charHashSql(s"CAST($idExpr AS VARCHAR)")} % 100"
+    val cases = pct.toSeq.reverse
+      .map { case (s, p) => s"WHEN $strataExpr = '$s' THEN $p" }
+      .mkString(" ")
+    (bucket, s"CASE $cases ELSE $defaultPct END")
+  }
+}

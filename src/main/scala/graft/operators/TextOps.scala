@@ -136,6 +136,73 @@ object TextOps {
     (scores, s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END")
   }
 
+  /** Repetition quality signal (the Gopher-style duplicate-fraction
+    * filters): per document, the fraction of repeated tokens and repeated
+    * adjacent-bigram shingles. High ratios flag boilerplate/spam for a
+    * pretraining mix. Pure narrow column expressions — zero shuffle. */
+  def repetitionRatio(df: DataFrame, textCol: String): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val grams = TextFunctions.bigrams(toks)
+    val nTok = size(toks).cast("long")
+    val nDTok = size(array_distinct(toks)).cast("long")
+    val nGram = size(grams).cast("long")
+    val nDGram = size(array_distinct(grams)).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("n_distinct_tokens", nDTok)
+      .withColumn("dup_token_ratio", round(lit(1.0) - nDTok / nTok, 6))
+      .withColumn("n_grams", nGram)
+      .withColumn("n_distinct_grams", nDGram)
+      .withColumn("dup_gram_ratio",
+        round(when(nGram > 0L, lit(1.0) - nDGram / nGram).otherwise(0.0), 6))
+  }
+
+  /** TF-IDF top-k terms per document. Two map-side-combined shuffles
+    * (doc×term counts, then term document-frequencies), a join back on
+    * term (AQE broadcasts the vocabulary side when it fits), and the
+    * two-stage TopK — never a low-cardinality single window. The corpus
+    * size joins in as a broadcast 1-row aggregate, not a driver action. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val terms = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n_docs") + 1L).cast("double") / (col("doc_freq") + 1L)), 6))
+    TopK.perGroupTopK(scored, Seq(col("doc_id")),
+        Seq(col("tfidf").desc, col("term")), k,
+        salt = TextFunctions.charHash(col("term")))
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"),
+        col("doc_freq"), col("tfidf"))
+  }
+
+  /** Sequence packing for a pretraining token budget: documents are
+    * bucketed by id hash, ordered within the bucket, and cut into
+    * sequences wherever the running token count crosses `budget` (the
+    * streaming first-fit rule — a doc that straddles the boundary starts
+    * the next sequence over-budget rather than splitting). Buckets are the
+    * parallelism unit: packing is sequential *within* a bucket by
+    * construction (that is what makes it deterministic), so the bucket
+    * count — not the corpus size — sets the window parallelism at 100 TB.
+    * Returns one row per packed sequence. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int = 256, buckets: Int = 8): DataFrame = {
+    val nTok = size(TextFunctions.tokens(col(textCol))).cast("long")
+    val base = df.select(col(idCol).as("doc_id"), nTok.as("n_tok"))
+      .withColumn("bucket",
+        pmod(TextFunctions.charHash(col("doc_id").cast("string")),
+          lit(buckets.toLong)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base.withColumn("prev_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("seq_id", floor(col("prev_tok") / lit(budget.toDouble)).cast("long"))
+      .groupBy("bucket", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the full-document
     * polynomial hash plus the min/count over bigram-shingle hashes — the
     * k-gram fingerprint set collapsed to its winnowed representative. */

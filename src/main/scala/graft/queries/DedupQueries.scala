@@ -54,6 +54,25 @@ object DedupQueries {
         "SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs " +
         "FROM h GROUP BY simhash ORDER BY simhash")),
 
+    // Connected components over a high-precision LSH pair graph (bands=2 of
+    // 8 rows: only docs agreeing on 8 consecutive minhash components pair
+    // up) — candidate PAIRS become dedup GROUPS labelled by min member id.
+    // The oracle walks the same graph with a recursive CTE: min reachable
+    // id == min-label-propagation fixpoint.
+    Q("q_dedup_clusters",
+      (s, d) => Dedup.connectedComponents(
+          Dedup.minhashCandidates(docs(s, d), "doc_id", "text", k = 16, bands = 2))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"WITH RECURSIVE bands AS (${mhBandsSql(16, 2)}), " +
+        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
+        "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+        "edges AS (SELECT a AS src, b AS dst FROM pairs " +
+        "UNION ALL SELECT b AS src, a AS dst FROM pairs), " +
+        "reach(id, m) AS (SELECT DISTINCT src AS id, src AS m FROM edges " +
+        "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m) " +
+        "SELECT id AS doc_id, min(m) AS comp FROM reach GROUP BY id ORDER BY doc_id")),
+
     // n-gram Jaccard verification over same-source candidate pairs: the
     // candidate generator here is the source bucket (25 docs/source at
     // sf0.01) — set ops run only within buckets, never all-pairs.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions.{bigramsSql, charHashSql, tokensSql}
-import graft.operators.TextOps
+import graft.operators.{Sampling, TextOps}
 
 /** SURVEY §2.3 — text-analysis operators over the documents table, each
   * with a full DuckDB oracle (the hash-based ones rely on TextFunctions'
@@ -72,6 +72,81 @@ object TextQueries {
         s"WITH s AS (SELECT doc_id, $scores FROM documents) " +
           s"SELECT doc_id, ${TextOps.langNgramProfiles.map(p => s"n_${p._1}").mkString(", ")}, " +
           s"$argmax AS pred_lang_ngram FROM s ORDER BY doc_id"
+      }),
+
+    // Repetition quality signal: duplicate-token / duplicate-bigram
+    // fractions (the Gopher-style boilerplate filters).
+    Q("q_rep_ratio",
+      (s, d) => TextOps.repetitionRatio(docs(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("dup_token_ratio"), col("n_grams"), col("n_distinct_grams"),
+          col("dup_gram_ratio"))
+        .orderBy("doc_id"),
+      Some {
+        val toks = tokensSql("text")
+        val grams = bigramsSql(toks)
+        "WITH t AS (SELECT doc_id, " +
+          s"CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_distinct($toks)) AS BIGINT) AS n_distinct_tokens, " +
+          s"CAST(len($grams) AS BIGINT) AS n_grams, " +
+          s"CAST(len(list_distinct($grams)) AS BIGINT) AS n_distinct_grams " +
+          "FROM documents) " +
+          "SELECT doc_id, n_tokens, n_distinct_tokens, " +
+          "round(1.0 - n_distinct_tokens / n_tokens, 6) AS dup_token_ratio, " +
+          "n_grams, n_distinct_grams, " +
+          "CASE WHEN n_grams > 0 THEN round(1.0 - n_distinct_grams / n_grams, 6) " +
+          "ELSE 0.0 END AS dup_gram_ratio " +
+          "FROM t ORDER BY doc_id"
+      }),
+
+    // TF-IDF top-3 terms per document (two-stage TopK, no vocabulary-wide
+    // window).
+    Q("q_tfidf_top",
+      (s, d) => TextOps.tfidfTopTerms(docs(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rn"),
+      Some("WITH terms AS (SELECT doc_id, unnest(" + tokensSql("text") + ") AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term), " +
+        "dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term), " +
+        "nd AS (SELECT count(*) AS n_docs FROM documents), " +
+        "scored AS (SELECT doc_id, term, tf, doc_freq, " +
+        "round(tf * ln(CAST(n_docs + 1 AS DOUBLE) / (doc_freq + 1)), 6) AS tfidf " +
+        "FROM tf JOIN dfreq USING (term) CROSS JOIN nd) " +
+        "SELECT doc_id, rn, term, tf, doc_freq, tfidf FROM (" +
+        "SELECT doc_id, term, tf, doc_freq, tfidf, row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM scored) t " +
+        "WHERE rn <= 3 ORDER BY doc_id, rn")),
+
+    // Sequence packing: documents cut into fixed-token-budget sequences
+    // (hash-bucketed, first-fit within bucket; one row per sequence).
+    Q("q_pack_seqs",
+      (s, d) => TextOps.packSequences(docs(s, d), "doc_id", "text",
+          budget = 256, buckets = 8)
+        .orderBy("bucket", "seq_id"),
+      Some {
+        val h = charHashSql("CAST(doc_id AS VARCHAR)")
+        s"WITH d AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tok, " +
+          s"$h % 8 AS bucket FROM documents), " +
+          "c AS (SELECT bucket, n_tok, COALESCE(sum(n_tok) OVER (" +
+          "PARTITION BY bucket ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok FROM d) " +
+          "SELECT bucket, CAST(floor(prev_tok / 256.0) AS BIGINT) AS seq_id, " +
+          "count(*) AS n_docs, sum(n_tok) AS n_tokens " +
+          "FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id"
+      }),
+
+    // Deterministic hash-stratified sampling (training-mix downweighting:
+    // 20% of en, 50% of de, 80% of fr, everything else kept).
+    Q("q_sample_strat",
+      (s, d) => Sampling.stratified(docs(s, d), "doc_id", "lang",
+          Map("en" -> 20, "de" -> 50, "fr" -> 80), defaultPct = 100)
+        .select(col("doc_id"), col("lang"), col("sample_bucket"))
+        .orderBy("doc_id"),
+      Some {
+        val (bucket, rate) = Sampling.stratifiedSql("doc_id", "lang",
+          Map("en" -> 20, "de" -> 50, "fr" -> 80), defaultPct = 100)
+        s"SELECT doc_id, lang, $bucket AS sample_bucket FROM documents " +
+          s"WHERE $bucket < $rate ORDER BY doc_id"
       }),
 
     // Rolling-hash fingerprint: doc hash + winnowed bigram-shingle hash.

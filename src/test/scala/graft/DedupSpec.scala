@@ -93,6 +93,40 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("connectedComponents labels chains, islands, and triangles by min id") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 1-2-3-4-5 (diameter 4)
+      (10L, 11L),                             // island pair
+      (20L, 21L), (21L, 22L), (20L, 22L))     // triangle
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents matches union-find over real minhash candidate pairs") {
+    val pairs = Dedup.minhashCandidates(docs.limit(150), "doc_id", "text",
+        k = 16, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val got = Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs.limit(150), "doc_id", "text", k = 16, bands = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("simhash: equal texts collide; bucket sizes sum to corpus size") {
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "q r s t")).toDF("doc_id", "text")
     val got = Dedup.simhashBuckets(df, "doc_id", "text")

@@ -100,6 +100,90 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("repetitionRatio matches brute-force duplicate fractions") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a b"),        // 3 tokens 2 distinct; grams {a a, a b} all distinct
+      (2L, "x x x x"),      // 4/1; grams {x x}*3 -> 3 grams 1 distinct
+      (3L, "solo"),         // 1 token, 0 grams -> gram ratio 0.0
+      (4L, "p q r")).toDF("doc_id", "text")
+    val got = TextOps.repetitionRatio(df, "text")
+      .select("doc_id", "n_tokens", "n_distinct_tokens", "dup_token_ratio",
+        "n_grams", "n_distinct_grams", "dup_gram_ratio")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toMap
+    assert(got(1L) === ((3L, 2L, 0.333333, 2L, 2L, 0.0)))
+    assert(got(2L) === ((4L, 1L, 0.75, 3L, 1L, 0.666667)))
+    assert(got(3L) === ((1L, 1L, 0.0, 0L, 0L, 0.0)))
+    assert(got(4L) === ((3L, 3L, 0.0, 2L, 2L, 0.0)))
+  }
+
+  test("tfidfTopTerms matches brute-force tf-idf on a small corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "cat cat dog"), (2L, "dog bird"), (3L, "cat fish fish fish"))
+    val df = corpus.toDF("doc_id", "text")
+    val n = corpus.size
+    val tf = corpus.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, g) => (id, w, g.length.toLong) }
+    }
+    val dfreq = tf.groupBy(_._2).map { case (w, g) => w -> g.map(_._1).distinct.size.toLong }
+    val scored = tf.map { case (id, w, f) =>
+      val idf = math.log((n + 1).toDouble / (dfreq(w) + 1))
+      (id, w, f, dfreq(w), BigDecimal(f * idf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expect = scored.groupBy(_._1).flatMap { case (id, g) =>
+      g.sortBy(x => (-x._5, x._2)).take(3).zipWithIndex
+        .map { case ((_, w, f, dfq, s), i) => (id, i + 1, w, f, dfq, s) }
+    }.toSet
+    val got = TextOps.tfidfTopTerms(df, "doc_id", "text", k = 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(got === expect)
+  }
+
+  test("packSequences conserves docs/tokens and respects the budget rule") {
+    val budget = 256
+    val packed = TextOps.packSequences(docs, "doc_id", "text", budget, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalDocs = docs.count()
+    val totalToks = docs
+      .agg(sum(size(TextFunctions.tokens(col("text"))).cast("long"))).head.getLong(0)
+    assert(packed.map(_._3).sum === totalDocs)
+    assert(packed.map(_._4).sum === totalToks)
+    // deterministic: a second run packs identically
+    val again = TextOps.packSequences(docs, "doc_id", "text", budget, buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.toSet === again.toSet)
+    // every sequence except a bucket's LAST ends at-or-past the boundary
+    // (first-fit never closes a sequence early)
+    packed.groupBy(_._1).foreach { case (_, seqs) =>
+      val byId = seqs.sortBy(_._2)
+      var cum = 0L
+      byId.init.zip(byId.tail).foreach { case ((_, sid, _, ntok), _) =>
+        cum += ntok
+        assert(cum >= (sid + 1) * budget,
+          s"sequence $sid closed below budget: cum=$cum")
+      }
+    }
+  }
+
+  test("stratified sampling keeps exactly the hash-selected rows per stratum") {
+    val pct = Map("en" -> 20, "de" -> 50, "fr" -> 80)
+    val got = operators.Sampling.stratified(docs, "doc_id", "lang", pct, 100)
+      .select("doc_id", "lang", "sample_bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = docs.select("doc_id", "lang").collect().flatMap { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val bucket = hashScala(id.toString) % 100
+      if (bucket < pct.getOrElse(lang, 100)) Some((id, lang, bucket)) else None
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < docs.count())
+  }
+
   test("minhash signature component equals Scala min over token codes") {
     val sig = docs.limit(20)
       .select(col("doc_id"),
