@@ -54,14 +54,15 @@ object DedupQueries {
         "SELECT simhash, min(doc_id) AS keep_id, count(*) AS n_docs " +
         "FROM h GROUP BY simhash ORDER BY simhash")),
 
-    // Connected components over a high-precision LSH pair graph (bands=2 of
-    // 8 rows: only docs agreeing on 8 consecutive minhash components pair
-    // up) — candidate PAIRS become dedup GROUPS labelled by min member id.
-    // The oracle walks the same graph with a recursive CTE: min reachable
-    // id == min-label-propagation fixpoint.
+    // Connected components over a high-precision LSH graph (bands=2 of 8
+    // rows: only docs agreeing on 8 consecutive minhash components link
+    // up) — candidate buckets become dedup GROUPS labelled by min member
+    // id. Spark runs star-contracted edges (linear, never the quadratic
+    // clique pairs); the oracle walks the PAIRWISE graph with a recursive
+    // CTE — a different algorithm whose components must agree.
     Q("q_dedup_clusters",
       (s, d) => Dedup.connectedComponents(
-          Dedup.minhashCandidates(docs(s, d), "doc_id", "text", k = 16, bands = 2))
+          Dedup.lshStarEdges(docs(s, d), "doc_id", "text", k = 16, bands = 2))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(s"WITH RECURSIVE bands AS (${mhBandsSql(16, 2)}), " +

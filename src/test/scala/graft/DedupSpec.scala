@@ -125,6 +125,12 @@ class DedupSpec extends SparkSpec {
         Dedup.minhashCandidates(docs.limit(150), "doc_id", "text", k = 16, bands = 2))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expect)
+    // star-contracted edges (linear) must yield the identical components
+    // as the quadratic pairwise graph
+    val viaStars = Dedup.connectedComponents(
+        Dedup.lshStarEdges(docs.limit(150), "doc_id", "text", k = 16, bands = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === expect)
   }
 
   test("simhash: equal texts collide; bucket sizes sum to corpus size") {
