@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def modules: Seq[Q] =
     CoreQueries.defs ++ AnalyticsQueries.defs ++
+      graft.queries.TemporalQueries.defs ++
       graft.queries.PipelineQueries.defs ++ graft.queries.SourceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

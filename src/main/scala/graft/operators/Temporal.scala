@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark has no built-in form for: backward as-of join
+  * and gap-based sessionization (batch form; the streaming sibling lives in
+  * graft.streaming). Both are one-shuffle plans: hash-partition by key,
+  * sort by time within the partition, then a linear carry-forward pass —
+  * the shape a 1000-executor SMJ wants. Per-key work is inherently
+  * sequential (that IS the semantics), so a pathologically hot key is the
+  * scale hazard; keys here are users/instruments with bounded history.
+  */
+object Temporal {
+
+  /** Backward as-of join: every left row picks up the payload of the
+    * LATEST right row with the same key and `right.time <= left.time`
+    * (inclusive), or nulls when no such row exists.
+    *
+    * Plan: tag sides, union, and carry the last non-null right payload
+    * forward through a (key)-partitioned (time, side)-ordered window —
+    * right rows sort before left rows at equal time, giving the inclusive
+    * bound. The payload travels as ONE struct so multi-column payloads
+    * always come from the same right row. One shuffle + one sort; no
+    * row-multiplying join, no per-left-row probe.
+    *
+    * `right` must be unique per (key, time) — pre-aggregate it otherwise
+    * (ties would be nondeterministic in any as-of engine, DuckDB's ASOF
+    * included). */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               timeCol: String, payload: Seq[String],
+               outPrefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val r = right
+      .select(col(keyCol), col(timeCol),
+        struct(payload.map(col): _*).as("_asof_payload"))
+      .withColumn("_side", lit(0))
+    val u = left.withColumn("_side", lit(1))
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("_carry", last(col("_asof_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        payload.map(p => col(s"_carry.$p").as(outPrefix + p)): _*)
+  }
+
+  /** Gap-based sessionization: consecutive events of a key belong to one
+    * session while the gap to the previous event is <= `gapSec`; a larger
+    * gap (or the first event) opens a new session. Returns one row per
+    * session with event count, start/end, and summed `valueCol`.
+    *
+    * Gaps compare in integer MICROSECONDS (unix_micros) — no truncation
+    * semantics for an oracle to disagree over. `tieCol` makes the
+    * within-key order total, so session boundaries are deterministic even
+    * with duplicate timestamps. */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String,
+                 tieCol: String, valueCol: String,
+                 gapSec: Long): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    val us = unix_micros(col(timeCol))
+    val prevUs = lag(us, 1).over(ord)
+    val brk = when(prevUs.isNull || us - prevUs > gapSec * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("_brk", brk)
+      .withColumn("session_id",
+        sum(col("_brk")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(min(col(timeCol)), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col(timeCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(col(valueCol)), 2).as("sum_value"))
+  }
+}

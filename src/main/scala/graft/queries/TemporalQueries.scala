@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Temporal
+
+/** SURVEY §2.2 additions — temporal/OLAP operators: as-of join,
+  * sessionization (batch form), rollup subtotals, pivot. Each with a full
+  * DuckDB oracle (ASOF JOIN / identical window trees / GROUP BY ROLLUP /
+  * CASE-sum pivot).
+  */
+object TemporalQueries {
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "events")
+
+  /** Event types are a closed set (constants.py-style plan-time list) so
+    * the pivot never needs a distinct-values scan job. */
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val defs: Seq[Q] = Seq(
+
+    // Backward as-of join: each purchase picks up the latest click (value)
+    // by the same user at or before the purchase time — the attribution
+    // query every event pipeline runs. Right side pre-aggregated per
+    // (user, ts) so as-of ties cannot exist.
+    Q("q_asof_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(round(sum(col("value")), 4).as("click_value"))
+        Temporal.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("pts"),
+            col("asof_click_value"))
+          .orderBy("event_id")
+      },
+      Some("WITH p AS (SELECT event_id, user_id, ts FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "c AS (SELECT user_id, ts, round(sum(value), 4) AS click_value " +
+        "FROM events WHERE event_type = 'click' GROUP BY user_id, ts) " +
+        "SELECT p.event_id, p.user_id, " +
+        "strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS pts, " +
+        "c.click_value AS asof_click_value " +
+        "FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts " +
+        "ORDER BY event_id")),
+
+    // Gap-based sessionization (30-min gap), batch form of the streaming
+    // flatMapGroupsWithState operator — identical window trees both sides.
+    Q("q_sessionize",
+      (s, d) => Temporal.sessionize(ev(s, d), "user_id", "ts", "event_id",
+          "value", gapSec = 1800)
+        .orderBy("user_id", "session_id"),
+      Some("WITH o AS (SELECT user_id, ts, event_id, value, " +
+        "epoch_us(ts) AS us, lag(epoch_us(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS pus FROM events), " +
+        "f AS (SELECT *, CASE WHEN pus IS NULL OR us - pus > 1800000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM o), " +
+        "g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) AS session_id FROM f) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end, " +
+        "round(sum(value), 2) AS sum_value " +
+        "FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id")),
+
+    // Rollup subtotals over (priority, status) — grouping-set aggregation
+    // with the null markers coalesced to 'ALL' on both sides (Spark sorts
+    // NULLS FIRST, DuckDB NULLS LAST — sentinels sidestep it).
+    Q("q_rollup",
+      (s, d) => Tables.load(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status"),
+      Some("SELECT COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "COALESCE(o_orderstatus, 'ALL') AS status, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY ROLLUP(o_orderpriority, o_orderstatus) " +
+        "ORDER BY priority, status")),
+
+    // Pivot events wide by type: per-user per-type value sums as columns.
+    // The closed type list keeps Spark's pivot to one pass (no values
+    // scan); DuckDB mirrors with CASE-filtered sums.
+    Q("q_pivot",
+      (s, d) => ev(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", eventTypes)
+        .agg(round(sum(col("value")), 2))
+        .select(col("user_id") +:
+          eventTypes.map(t => coalesce(col(t), lit(0.0)).as(s"v_$t")): _*)
+        .orderBy("user_id"),
+      Some("SELECT user_id, " +
+        eventTypes.map(t =>
+          s"COALESCE(round(sum(CASE WHEN event_type = '$t' THEN value END), 2), 0.0) AS v_$t")
+          .mkString(", ") +
+        " FROM events GROUP BY user_id ORDER BY user_id"))
+  )
+}

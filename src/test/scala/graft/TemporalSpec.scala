@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Temporal
+
+/** As-of join and sessionization vs hand-built cases and brute-force
+  * oracles over the real events table (sf0.001). */
+class TemporalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val events = Tables.load(spark, sfDir, "events")
+
+  test("asofJoin: inclusive bound, latest-wins, null when no earlier row") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 30L, "l3"),
+      (2L, 50L, "l4"), (3L, 7L, "l5"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100.0), (1L, 20L, 200.0), (1L, 25L, 300.0),
+      (2L, 60L, 400.0))
+      .toDF("k", "t", "v")
+    val got = Temporal.asofJoin(left, right, "k", "t", Seq("v"))
+      .select("tag", "asof_v")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      "l1" -> Some(100.0), // t=10: latest right at 5
+      "l2" -> Some(200.0), // t=20: right at 20 included (inclusive bound)
+      "l3" -> Some(300.0), // t=30: latest right at 25
+      "l4" -> None,        // t=50: only right is at 60 (later)
+      "l5" -> None))       // key 3: no right rows at all
+  }
+
+  test("asofJoin: multi-column payload always comes from the same right row") {
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1.0, "ten"), (1L, 90L, 9.0, "ninety"))
+      .toDF("k", "t", "num", "name")
+    val r = Temporal.asofJoin(left, right, "k", "t", Seq("num", "name"))
+      .select("asof_num", "asof_name").head
+    assert((r.getDouble(0), r.getString(1)) === ((9.0, "ninety")))
+  }
+
+  test("asofJoin matches brute-force over real purchase/click events") {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = events.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val got = Temporal.asofJoin(purchases, clicks, "user_id", "ts", Seq("value"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    // compare in micros (getTime truncates to ms and could misorder
+    // sub-ms-separated clicks)
+    val clicksByUser = clicks
+      .select(col("user_id"), unix_micros(col("ts")), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    purchases.select(col("event_id"), col("user_id"), unix_micros(col("ts")))
+      .collect().foreach { r =>
+      val (eid, uid, t) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = clicksByUser.getOrElse(uid, Array.empty)
+        .filter(_._2 <= t)
+        .sortBy(_._2)
+        .lastOption.map(_._3)
+      assert(got(eid) === expect, s"event $eid")
+    }
+  }
+
+  test("sessionize: gap boundary is exclusive, exact-gap stays in session") {
+    val base = 1700000000L * 1000000L // epoch micros
+    def ts(sec: Long) = new java.sql.Timestamp(base / 1000L + sec * 1000L)
+    val df = Seq(
+      (1L, ts(0), 1L, 1.0),
+      (1L, ts(1800), 2L, 2.0),  // exactly 30 min later -> same session
+      (1L, ts(3601), 3L, 3.0),  // 1801s after prev -> NEW session
+      (2L, ts(0), 4L, 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Temporal.sessionize(df, "user_id", "ts", "event_id", "value", 1800)
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 3.0), (2L, 1L, 1L, 4.0)))
+  }
+
+  test("sessionize conserves events and matches brute-force sessions per user") {
+    val sess = Temporal.sessionize(events, "user_id", "ts", "event_id", "value", 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sess.map(_._3).sum === events.count())
+    // brute-force session count for a handful of users (micros, like the
+    // operator — getTime would truncate to ms)
+    val byUser = events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    byUser.take(5).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(x => (x._2, x._3))
+      val nSessions = 1 + sorted.sliding(2).count {
+        case Array(a, b) => (b._2 - a._2) > 1800L * 1000000L
+        case _ => false
+      }
+      val gotN = sess.filter(_._1 == uid).map(_._2).max
+      assert(gotN === nSessions.toLong, s"user $uid")
+    }
+  }
+}
