@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Extract, GeoOps, MergeOps}
+import graft.operators.{Dedup, Extract, GeoOps, MergeOps, Sampling, Temporal, TextOps}
 import graft.sources.Manifest
 
 /** CLI over the engine's ETL surface — the analogue of gedixr's cli.py
@@ -18,6 +18,16 @@ import graft.sources.Manifest
   *   rasterize --input P --output P --x c --y c --res R --sum c
   *   manifest  --input P --output P [--product PAT] [--months lo,hi]
   *             [--bbox x0,x1,y0,y1]
+  *   dedup     --input P --output P --id c --text c
+  *   cluster   --input P --output P --id c --text c [--k 16 --bands 4]
+  *   sample    --input P --output P --id c --strata c
+  *             [--rates en=20,de=50] [--default-pct 100]
+  *   pack      --input P --output P --id c --text c
+  *             [--budget 256] [--buckets 8]
+  *   sessionize --input P --output P --key c --ts c --tie c --value c
+  *             [--gap-sec 1800]
+  *   asof      --left P --right P --output P --key c --time c
+  *             --payload c1,c2
   */
 object Cli {
 
@@ -80,6 +90,43 @@ object Cli {
           val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
         }
         write(Manifest.prune(in("input"), opts.get("product"), months, bbox))
+
+      case "dedup" =>
+        write(Dedup.exactDedup(in("input"), opts("id"), opts("text")))
+
+      case "cluster" =>
+        write(Dedup.connectedComponents(Dedup.lshStarEdges(in("input"),
+          opts("id"), opts("text"),
+          opts.getOrElse("k", "16").toInt, opts.getOrElse("bands", "4").toInt)))
+
+      case "sample" =>
+        val rates = opts.get("rates").map(_.split(",").map { kv =>
+          val Array(s, p) = kv.split("="); s -> p.toInt
+        }.toMap).getOrElse(Map.empty[String, Int])
+        write(Sampling.stratified(in("input"), opts("id"), opts("strata"),
+          rates, opts.getOrElse("default-pct", "100").toInt))
+
+      case "pack" =>
+        write(TextOps.packSequences(in("input"), opts("id"), opts("text"),
+          opts.getOrElse("budget", "256").toInt,
+          opts.getOrElse("buckets", "8").toInt))
+
+      case "sessionize" =>
+        // raw catalog parquet stores event ts as int64 nanos (same
+        // normalization rule as Tables.load)
+        val raw = in("input")
+        val tsc = opts("ts")
+        val df =
+          if (raw.schema(tsc).dataType == org.apache.spark.sql.types.LongType)
+            raw.withColumn(tsc, expr(s"timestamp_micros($tsc div 1000)"))
+          else raw
+        write(Temporal.sessionize(df, opts("key"), tsc,
+          opts("tie"), opts("value"), opts.getOrElse("gap-sec", "1800").toLong))
+
+      case "asof" =>
+        write(Temporal.asofJoin(
+          spark.read.parquet(opts("left")), spark.read.parquet(opts("right")),
+          opts("key"), opts("time"), opts("payload").split(",").toSeq))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -193,6 +193,35 @@ object AnalyticsQueries {
         .orderBy("kmod"),
       Some("SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, -1) AS kmod, " +
         "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
-        "GROUP BY kmod ORDER BY kmod"))
+        "GROUP BY kmod ORDER BY kmod")),
+
+    // HyperLogLog++ distinct-count sketch per group — the constant-memory
+    // way to count distinct at 100 TB (exact distinct shuffles every key;
+    // the sketch shuffles a few KB per group). No SQL oracle: DuckDB's
+    // approx_count_distinct is a different HLL implementation — driver
+    // records rows-only; SketchSpec bounds the error vs exact.
+    Q("q_hll_distinct",
+      (s, d) => Tables.load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_type"),
+      None),
+
+    // Approximate per-group quantiles (Greenwald-Khanna sketch, rank error
+    // <= 1/accuracy) — the streaming/mergeable sibling of q_quantiles'
+    // exact percentile, whose sort-all-values-per-group cost is the known
+    // exact-quantile bottleneck at scale. Rows-only + SketchSpec bound.
+    Q("q_quantiles_approx",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+          .as("qarr"))
+        .select(col("l_returnflag"),
+          element_at(col("qarr"), 1).as("q25"),
+          element_at(col("qarr"), 2).as("q50"),
+          element_at(col("qarr"), 3).as("q75"))
+        .orderBy("l_returnflag"),
+      None)
   )
 }

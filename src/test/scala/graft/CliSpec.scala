@@ -70,6 +70,59 @@ class CliSpec extends SparkSpec {
     assert(got.select("granule_id").collect().map(_.getString(0)).toSeq === Seq("g1"))
   }
 
+  test("cli dedup/cluster/sample/pack run the pipeline operators end-to-end") {
+    val base = tmp()
+    val docsIn = s"$sfDir/documents.parquet"
+    Cli.run(spark, "dedup", Map(
+      "input" -> docsIn, "output" -> s"$base/dedup", "id" -> "doc_id", "text" -> "text"))
+    val dedup = spark.read.parquet(s"$base/dedup")
+    assert(dedup.columns.toSeq === Seq("keep_id", "n_copies"))
+    assert(dedup.agg(sum("n_copies")).head.getLong(0) ===
+      Tables.load(spark, sfDir, "documents").count())
+
+    Cli.run(spark, "cluster", Map(
+      "input" -> docsIn, "output" -> s"$base/cluster",
+      "id" -> "doc_id", "text" -> "text", "bands" -> "2"))
+    val cl = spark.read.parquet(s"$base/cluster")
+    assert(cl.columns.toSeq === Seq("id", "comp"))
+    assert(cl.filter(col("comp") > col("id")).count() === 0)
+
+    Cli.run(spark, "sample", Map(
+      "input" -> docsIn, "output" -> s"$base/sample",
+      "id" -> "doc_id", "strata" -> "lang", "rates" -> "en=20,de=50"))
+    val sm = spark.read.parquet(s"$base/sample")
+    assert(sm.count() > 0 &&
+      sm.count() < Tables.load(spark, sfDir, "documents").count())
+
+    Cli.run(spark, "pack", Map(
+      "input" -> docsIn, "output" -> s"$base/pack",
+      "id" -> "doc_id", "text" -> "text", "budget" -> "128", "buckets" -> "4"))
+    val pk = spark.read.parquet(s"$base/pack")
+    assert(pk.columns.toSeq === Seq("bucket", "seq_id", "n_docs", "n_tokens"))
+    assert(pk.agg(sum("n_docs")).head.getLong(0) ===
+      Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("cli sessionize and asof wire the temporal operators") {
+    val base = tmp()
+    Cli.run(spark, "sessionize", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> s"$base/sess",
+      "key" -> "user_id", "ts" -> "ts", "tie" -> "event_id", "value" -> "value"))
+    val sess = spark.read.parquet(s"$base/sess")
+    assert(sess.agg(sum("n_events")).head.getLong(0) ===
+      Tables.load(spark, sfDir, "events").count())
+
+    import spark.implicits._
+    Seq((1L, 5L, 1.5)).toDF("k", "t", "v").write.parquet(s"$base/right")
+    Seq((1L, 10L), (2L, 10L)).toDF("k", "t").write.parquet(s"$base/left")
+    Cli.run(spark, "asof", Map(
+      "left" -> s"$base/left", "right" -> s"$base/right",
+      "output" -> s"$base/asof", "key" -> "k", "time" -> "t", "payload" -> "v"))
+    val asof = spark.read.parquet(s"$base/asof")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(asof === Map(1L -> Some(1.5), 2L -> None))
+  }
+
   test("cli rasterize buckets points") {
     val out = tmp() + "/ras"
     Cli.run(spark, "rasterize", Map(
