@@ -156,19 +156,24 @@ object TextOps {
         round(when(nGram > 0L, lit(1.0) - nDGram / nGram).otherwise(0.0), 6))
   }
 
-  /** TF-IDF top-k terms per document. Two map-side-combined shuffles
-    * (doc×term counts, then term document-frequencies), a join back on
-    * term (AQE broadcasts the vocabulary side when it fits), and the
-    * two-stage TopK — never a low-cardinality single window. The corpus
-    * size joins in as a broadcast 1-row aggregate, not a driver action. */
+  /** TF-IDF top-k terms per document. One explode + map-side-combined
+    * (doc, term) count, then doc_freq via a count window over `term` —
+    * the same by-term shuffle a tf⋈dfreq join would need, WITHOUT
+    * recomputing the whole tf subtree for the vocabulary side (Spark
+    * doesn't share duplicated DataFrame subplans; the join form scanned
+    * and exploded the corpus twice). Corpus size joins in as a broadcast
+    * 1-row aggregate, not a driver action. Top-k per doc via the
+    * two-stage TopK — never a low-cardinality single window. */
   def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val terms = df.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+    val scored = tf
+      .withColumn("doc_freq", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") *
         log((col("n_docs") + 1L).cast("double") / (col("doc_freq") + 1L)), 6))
     TopK.perGroupTopK(scored, Seq(col("doc_id")),

@@ -57,19 +57,23 @@ object DedupQueries {
     // Connected components over a high-precision LSH graph (bands=2 of 8
     // rows: only docs agreeing on 8 consecutive minhash components link
     // up) — candidate buckets become dedup GROUPS labelled by min member
-    // id. Spark runs star-contracted edges (linear, never the quadratic
-    // clique pairs); the oracle walks the PAIRWISE graph with a recursive
-    // CTE — a different algorithm whose components must agree.
+    // id. Both sides build the star-contracted edge set (member →
+    // bucket-min; a bucket clique is connected through its min, so
+    // components are identical to the pairwise graph's — and the dense
+    // clique fan-out that made the recursive oracle explode is gone).
+    // The component ALGORITHMS stay independent: Spark iterates min-label
+    // propagation, the oracle walks BFS reachability in a recursive CTE.
     Q("q_dedup_clusters",
       (s, d) => Dedup.connectedComponents(
           Dedup.lshStarEdges(docs(s, d), "doc_id", "text", k = 16, bands = 2))
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id"),
       Some(s"WITH RECURSIVE bands AS (${mhBandsSql(16, 2)}), " +
-        "pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
-        "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
-        "edges AS (SELECT a AS src, b AS dst FROM pairs " +
-        "UNION ALL SELECT b AS src, a AS dst FROM pairs), " +
+        "stars AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS bmin " +
+        "FROM bands), " +
+        "e0 AS (SELECT DISTINCT doc_id AS src, bmin AS dst FROM stars " +
+        "WHERE doc_id <> bmin), " +
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0), " +
         "reach(id, m) AS (SELECT DISTINCT src AS id, src AS m FROM edges " +
         "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m) " +
         "SELECT id AS doc_id, min(m) AS comp FROM reach GROUP BY id ORDER BY doc_id")),
