@@ -136,6 +136,26 @@ object TextOps {
     (scores, s"CASE ${cases.mkString(" ")} ELSE '${langs.last}' END")
   }
 
+  /** Text normalization (the cleaning pass every corpus gets before
+    * hashing/dedup): lowercase, strip non-alphanumerics to spaces,
+    * collapse runs of whitespace, trim. Pure codegen'd string exprs —
+    * narrow, zero-shuffle. */
+  def normalize(df: DataFrame, textCol: String,
+                outCol: String = "norm_text"): DataFrame =
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+        " +", " ")))
+
+  /** Deterministic redaction: digit runs become `<num>` (the stand-in for
+    * PII scrubbing patterns — emails/phones/ids — which are all
+    * regexp_replace instances with the same plan shape). Reports the
+    * redaction count per doc so the scrub is auditable. */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_redactions",
+        regexp_count(col(textCol), lit("[0-9]+")).cast("long"))
+      .withColumn("redacted", regexp_replace(col(textCol), "[0-9]+", "<num>"))
+
   /** Repetition quality signal (the Gopher-style duplicate-fraction
     * filters): per document, the fraction of repeated tokens and repeated
     * adjacent-bigram shingles. High ratios flag boilerplate/spam for a

@@ -74,6 +74,33 @@ object TextQueries {
           s"$argmax AS pred_lang_ngram FROM s ORDER BY doc_id"
       }),
 
+    // Normalization pass (lowercase, strip punct, collapse whitespace) —
+    // the cleaning step upstream of every hash/dedup operator.
+    Q("q_text_norm",
+      (s, d) => TextOps.normalize(docs(s, d), "text")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_before"),
+          length(col("norm_text")).cast("long").as("n_after"),
+          col("norm_text"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_before, " +
+        "CAST(length(trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS n_after, " +
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), " +
+        "' +', ' ', 'g')) AS norm_text " +
+        "FROM documents ORDER BY doc_id")),
+
+    // Deterministic redaction (digit runs -> <num>) with per-doc audit
+    // counts — the PII-scrub plan shape.
+    Q("q_redact",
+      (s, d) => TextOps.redact(docs(s, d), "text")
+        .select(col("doc_id"), col("n_redactions"), col("redacted"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        "CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_redactions, " +
+        "regexp_replace(text, '[0-9]+', '<num>', 'g') AS redacted " +
+        "FROM documents ORDER BY doc_id")),
+
     // Repetition quality signal: duplicate-token / duplicate-bigram
     // fractions (the Gopher-style boilerplate filters).
     Q("q_rep_ratio",

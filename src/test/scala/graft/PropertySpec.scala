@@ -117,6 +117,55 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: connectedComponents == union-find on random graphs") {
+    import spark.implicits._
+    val edgesGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 29L), Gen.choose(0L, 29L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    val prop = Prop.forAll(edgesGen) { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.operators.Dedup.connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: asofJoin == per-row brute-force latest-at-or-before") {
+    import spark.implicits._
+    val leftGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    val rightGen = Gen.listOfN(40, Gen.zip(Gen.choose(0L, 5L), Gen.choose(0L, 100L)))
+    val prop = Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "t")
+      // right unique per (k, t): keep max tag (the operator's precondition)
+      val rsu = rs.groupBy(identity).keys.toSeq
+        .map { case (k, t) => (k, t, k * 1000 + t) }
+      val right = rsu.toDF("k", "t", "tag")
+      val got = graft.operators.Temporal.asofJoin(left, right, "k", "t", Seq("tag"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      ls.zipWithIndex.forall { case ((k, t), i) =>
+        val expect = rsu.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        got(i.toLong) == expect
+      }
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: webMercator round-trips lon within tolerance (Spark expr)") {
     import spark.implicits._
     val lons = Seq(-179.9, -90.0, -1.5, 0.0, 0.1, 45.3, 120.7, 179.9)
