@@ -114,6 +114,23 @@ object Similarity {
           .orderBy(col("dist"), col("cid"))))
   }
 
+  /** One Lloyd iteration M-step over the current coarse assignment: new
+    * centroid components as the per-(cell, dim) mean of member vectors —
+    * the k-means primitive an IVF index is (re)trained with. Assignment
+    * reuses centroidRanks (broadcast centroids, strict-fold distances);
+    * the update explodes members to (cell, dim, component) and runs ONE
+    * map-side-combined avg shuffle, so post-combine only
+    * nCentroids×dims×partitions partial rows move — never the corpus. */
+  def kmeansUpdate(candidates: DataFrame, nCentroids: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    centroidRanks(candidates, nCentroids, idCol, vecCol)
+      .filter(col("rn") === 1)
+      .select(col("cid").as("cell"), posexplode(col(vecCol)).as(Seq("dim", "comp")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("comp").cast("double")), 6).as("mean"))
+
   /** Persist the IVF index as cell-partitioned parquet: the 100 TB layout
     * where a query probing `nprobe` of `nCentroids` cells physically reads
     * only those directories (partition pruning), shrinking the SCAN, not

@@ -172,6 +172,27 @@ object CoreQueries {
         " WHERE lon BETWEEN 20.0 AND 90.0 AND lat BETWEEN -30.0 AND 30.0" +
         ") u ORDER BY aoi, shot")),
 
+    // R12/R19 — zonal statistics: per-AOI aggregate over the tagged
+    // multi-AOI subset (gedixr's per-AOI output frame collapsed to its
+    // summary). Same single-scan broadcast-AOI plan as q_multi_aoi with a
+    // map-side-combined agg on the low-cardinality zone key.
+    Q("q_zonal_stats",
+      (s, d) => GeoOps.multiAoiBbox(Shots.df(s, d), col("lon"), col("lat"), testAois)
+        .groupBy(col("aoi"))
+        .agg(count(lit(1)).as("n_shots"),
+          round(avg(col("value")), 4).as("mean_value"),
+          round(min(col("lat")), 6).as("min_lat"),
+          round(max(col("lat")), 6).as("max_lat"))
+        .orderBy("aoi"),
+      Some("SELECT aoi, count(*) AS n_shots, round(avg(value), 4) AS mean_value, " +
+        "round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat FROM (" +
+        "SELECT 'aoi_west' AS aoi, value, lat FROM " + Shots.sql +
+        " WHERE lon BETWEEN -50.0 AND 0.0 AND lat BETWEEN 0.0 AND 40.0 " +
+        "UNION ALL " +
+        "SELECT 'aoi_east' AS aoi, value, lat FROM " + Shots.sql +
+        " WHERE lon BETWEEN 20.0 AND 90.0 AND lat BETWEEN -30.0 AND 30.0" +
+        ") u GROUP BY aoi ORDER BY aoi")),
+
     // R13 — CRS transform (bit-stable metric approximation; web-mercator is
     // spec-tested with tolerance instead).
     Q("q_crs_transform",

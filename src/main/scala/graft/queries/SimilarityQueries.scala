@@ -117,6 +117,27 @@ object SimilarityQueries {
         "SELECT a, b, round(cos, 6) AS cos_sim FROM scored WHERE cos >= 0.3 " +
         "ORDER BY a, b")),
 
+    // k-means M-step (Lloyd iteration update): per-(cell, dim) member
+    // means under the strict-fold squared-L2 assignment — the primitive
+    // that (re)trains the IVF coarse quantizer. Bit-identical assignment
+    // both sides; means rounded to 6.
+    Q("q_kmeans_update",
+      (s, d) => Similarity.kmeansUpdate(emb(s, d), nCentroids = 8)
+        .orderBy("cell", "dim"),
+      Some {
+        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
+          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
+        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
+          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+          "cells AS (SELECT a.cid AS cell, e.embedding FROM asg a " +
+          "JOIN embeddings e ON a.vec_id = e.vec_id WHERE a.rn = 1) " +
+          s"SELECT cell, CAST(i - 1 AS INTEGER) AS dim, count(*) AS n, " +
+          s"round(avg(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)), 6) AS mean " +
+          s"FROM cells, range(1, ${Dims + 1}) t(i) " +
+          "GROUP BY cell, dim ORDER BY cell, dim"
+      }),
+
     // Multimodal plumbing: opaque binary payload -> per-partition stubbed
     // decode -> typed features. ASCII payloads make the checksum (the same
     // polynomial byte fold as charHash) oracle-checkable end to end.

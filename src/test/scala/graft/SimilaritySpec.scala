@@ -63,6 +63,38 @@ class SimilaritySpec extends SparkSpec {
     assert(meanRecall >= 0.3, s"mean IVF recall $meanRecall")
   }
 
+  test("kmeansUpdate means match brute-force Lloyd M-step") {
+    val k = 8
+    val got = Similarity.kmeansUpdate(emb, nCentroids = k)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // brute-force: assign each vector to nearest of the first k vectors by
+    // squared L2 (tie-break min cid), then average per (cell, dim)
+    val cents = (0L until k.toLong).map(i => i -> vecs(i))
+    def sqDist(a: Seq[Float], b: Seq[Float]): Double = {
+      // mirror the strict-fold form: |a|^2 - 2 a.b + |b|^2
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+      d(a, a) - 2.0 * d(a, b) + d(b, b)
+    }
+    val assign = vecs.map { case (id, v) =>
+      id -> cents.minBy { case (cid, c) => (sqDist(v, c), cid) }._1
+    }
+    val dims = vecs.head._2.length
+    val byCell = assign.groupBy(_._2)
+    byCell.foreach { case (cell, members) =>
+      val ids = members.keys.toSeq
+      (0 until dims).foreach { dim =>
+        val (n, mean) = got((cell, dim))
+        assert(n === ids.size.toLong, s"cell $cell size")
+        val expect = ids.map(id => vecs(id)(dim).toDouble).sum / ids.size
+        assert(math.abs(mean - expect) < 1e-5, s"cell $cell dim $dim")
+      }
+    }
+    // every vector is assigned exactly once: per-dim counts sum to corpus
+    assert(got.collect { case ((_, 0), (n, _)) => n }.sum === vecs.size.toLong)
+  }
+
   test("embeddingNearDup returns only true >= tau pairs, distinct, a < b") {
     val got = Similarity.embeddingNearDup(emb, tau = 0.3).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
