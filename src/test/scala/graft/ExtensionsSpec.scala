@@ -95,6 +95,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(!mixedPlan.contains(">= 35.0") && !mixedPlan.contains("<= 50.0"), mixedPlan)
   }
 
+  test("PipBboxPushdown is idempotent — optimizer fixpoint adds no duplicate conjuncts") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoFunctions
+    val poly = Seq((10.0, 0.02), (30.0, 0.04), (20.0, 0.08))
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .filter(GeoFunctions.pointInPolygon(col("l_quantity"), col("l_discount"), poly))
+    val once = graft.plans.PipBboxPushdown(df.queryExecution.analyzed)
+    val twice = graft.plans.PipBboxPushdown(once)
+    assert(once.toString === twice.toString)
+  }
+
   test("graft_point_in_polygon works from pure SQL with literal polygon arrays") {
     val n = spark.sql(
       """SELECT count(*) FROM (SELECT explode(sequence(0, 40)) AS i) t
