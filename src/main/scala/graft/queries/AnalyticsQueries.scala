@@ -195,6 +195,23 @@ object AnalyticsQueries {
         "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
         "GROUP BY kmod ORDER BY kmod")),
 
+    // Per-group correlation/covariance/stddev — the co-moment aggregates
+    // (one map-side-combined pass; Spark and DuckDB both merge Welford-
+    // style partial moments, and the rounded results agree).
+    Q("q_corr_stats",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp, " +
+        "round(stddev_samp(l_quantity), 6) AS sd_qty " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
     // HyperLogLog++ distinct-count sketch per group — the constant-memory
     // way to count distinct at 100 TB (exact distinct shuffles every key;
     // the sketch shuffles a few KB per group). No SQL oracle: DuckDB's

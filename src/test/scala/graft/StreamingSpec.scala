@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stratified sampling is stateless: streaming output equals the batch filter") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_s")
+    java.nio.file.Files.createDirectory(staged.resolve("documents.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet").resolve("part-00000.parquet"))
+    val pct = Map("en" -> 20, "de" -> 50)
+    val stream = Tables.loadStream(spark, staged.toString, "documents")
+    val q = graft.operators.Sampling.stratified(stream, "doc_id", "lang", pct, 100)
+      .select("doc_id", "lang", "sample_bucket")
+      .writeStream.format("memory").queryName("samp_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("samp_parity").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = graft.operators.Sampling
+        .stratified(Tables.load(spark, sfDir, "documents"), "doc_id", "lang", pct, 100)
+        .select("doc_id", "lang", "sample_bucket")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bucketCounts emits a window only after the watermark passes it") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
