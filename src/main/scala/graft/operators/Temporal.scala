@@ -31,6 +31,9 @@ object Temporal {
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                timeCol: String, payload: Seq[String],
                outPrefix: String = "asof_"): DataFrame = {
+    val reserved = Seq("_side", "_asof_payload", "_carry")
+    require(!left.columns.exists(reserved.contains),
+      s"asofJoin: left must not contain helper columns ${reserved.mkString(", ")}")
     val leftCols = left.columns.toSeq
     val r = right
       .select(col(keyCol), col(timeCol),
