@@ -32,7 +32,9 @@ import graft.sources.Manifest
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: <extract|subset|merge|rasterize|manifest> --opt v ...")
+    require(args.nonEmpty,
+      "usage: <extract|subset|merge|rasterize|manifest|dedup|cluster|" +
+        "sample|pack|sessionize|asof> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -112,15 +114,11 @@ object Cli {
           opts.getOrElse("buckets", "8").toInt))
 
       case "sessionize" =>
-        // raw catalog parquet stores event ts as int64 nanos (same
-        // normalization rule as Tables.load)
-        val raw = in("input")
-        val tsc = opts("ts")
-        val df =
-          if (raw.schema(tsc).dataType == org.apache.spark.sql.types.LongType)
-            raw.withColumn(tsc, expr(s"timestamp_micros($tsc div 1000)"))
-          else raw
-        write(Temporal.sessionize(df, opts("key"), tsc,
+        // raw catalog parquet stores event ts as int64 nanos — same
+        // normalization rule (and code) as Tables.load
+        write(Temporal.sessionize(
+          Tables.normalizeNanosTs(in("input"), opts("ts")),
+          opts("key"), opts("ts"),
           opts("tie"), opts("value"), opts.getOrElse("gap-sec", "1800").toLong))
 
       case "asof" =>

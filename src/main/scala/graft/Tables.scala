@@ -16,15 +16,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Rebuild a proper microsecond timestamp from an int64-NANOS column.
+    * Spark has no TIMESTAMP(NANOS) type; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong=true and this is the ONE place
+    * the encoding rule lives (batch load, stream load, and the CLI all
+    * call it). Integer `div` (not `/`) — int64 nanos overflow double's
+    * 53-bit mantissa. No-op when the column is already a timestamp. */
+  def normalizeNanosTs(df: DataFrame, tsCol: String): DataFrame =
+    if (df.schema.fieldNames.contains(tsCol) &&
+      df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn(tsCol,
+        org.apache.spark.sql.functions.expr(s"timestamp_micros($tsCol div 1000)"))
+    else df
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // Spark has no TIMESTAMP(NANOS) type; sessions set
-    // spark.sql.legacy.parquet.nanosAsLong=true and we rebuild a proper
-    // microsecond timestamp here. Integer `div` (not `/`) — int64 nanos
-    // overflow double's 53-bit mantissa.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeNanosTs(df, "ts") else df
   }
 
   /** Streaming read of a catalog table (file-source streaming over the
@@ -33,9 +40,7 @@ object Tables {
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$dir/$name.parquet").schema
     val df = spark.readStream.schema(batchSchema).parquet(s"$dir/$name.parquet")
-    if (name == "events" && batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeNanosTs(df, "ts") else df
   }
 
   /** Session settings every graft entrypoint should apply. */

@@ -34,18 +34,25 @@ object Dedup {
     *   lowest ids before pairing, bounding any bucket's join contribution
     *   to maxBucket^2 regardless of skew. None (default) = exact LSH
     *   semantics (what the DuckDB oracle mirrors). */
+  /** Shared (id, keys, band, bkey) banding frame: token codes materialize
+    * in their own projection so the O(chars) fold runs once per doc, not
+    * once per signature component. Single source of the signature/banding
+    * chain for candidate pairs AND star edges — the two must never
+    * desynchronize. */
+  private def bandedFrame(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val keys = array((0 until bands).map(b =>
+      TextFunctions.bandKey(col("sig"), b, rowsPerBand)): _*)
+    df.select(col(idCol).as("id"), TextFunctions.tokenCodes(col(textCol)).as("codes"))
+      .select(col("id"), TextFunctions.minhashSig(col("codes"), k).as("sig"))
+      .select(col("id"), keys.as("keys"), posexplode(keys).as(Seq("band", "bkey")))
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4,
                         maxBucket: Option[Int] = None): DataFrame = {
-    val rowsPerBand = k / bands
-    // token codes materialize in their own projection so the O(chars) fold
-    // runs once per doc, not once per signature component
-    val keys = array((0 until bands).map(b =>
-      TextFunctions.bandKey(col("sig"), b, rowsPerBand)): _*)
-    val bandedAll = df
-      .select(col(idCol).as("id"), TextFunctions.tokenCodes(col(textCol)).as("codes"))
-      .select(col("id"), TextFunctions.minhashSig(col("codes"), k).as("sig"))
-      .select(col("id"), keys.as("keys"), posexplode(keys).as(Seq("band", "bkey")))
+    val bandedAll = bandedFrame(df, idCol, textCol, k, bands)
     val banded = maxBucket match {
       case None => bandedAll
       case Some(cap) =>
@@ -66,12 +73,15 @@ object Dedup {
         // comparisons (bands are plan-time constants) keep this inside
         // codegen — the zip_with/exists formulation is CodegenFallback and
         // 3x slower here.
-        val noEarlierMatch = !(0 until bands - 1).map { i =>
-          col("x.band") > i &&
-            element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
-        }.reduceLeft(_ || _)
-        joined.filter(noEarlierMatch)
-          .select(col("x.id").as("a"), col("y.id").as("b"))
+        // bands == 1 has no earlier band: the filter is vacuously true
+        // (reduceLeft over an empty range would throw at plan build)
+        val pairs =
+          if (bands <= 1) joined
+          else joined.filter(!(0 until bands - 1).map { i =>
+            col("x.band") > i &&
+              element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
+          }.reduceLeft(_ || _))
+        pairs.select(col("x.id").as("a"), col("y.id").as("b"))
       case Some(_) =>
         // With a bucket cap, key equality at an earlier band does NOT imply
         // that band emitted the pair (a member may have been truncated out
@@ -93,13 +103,7 @@ object Dedup {
     * shuffle on (band, key) + a distinct over ≤ bands×n 16-byte rows. */
   def lshStarEdges(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 16, bands: Int = 4): DataFrame = {
-    val rowsPerBand = k / bands
-    val keys = array((0 until bands).map(b =>
-      TextFunctions.bandKey(col("sig"), b, rowsPerBand)): _*)
-    val banded = df
-      .select(col(idCol).as("id"), TextFunctions.tokenCodes(col(textCol)).as("codes"))
-      .select(col("id"), TextFunctions.minhashSig(col("codes"), k).as("sig"))
-      .select(col("id"), posexplode(keys).as(Seq("band", "bkey")))
+    val banded = bandedFrame(df, idCol, textCol, k, bands)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bkey"))
     banded.withColumn("bmin", min(col("id")).over(w))
       .filter(col("id") =!= col("bmin"))
@@ -119,10 +123,16 @@ object Dedup {
     * both shuffle 8-byte ids only. Rounds needed = graph diameter, and
     * near-dup graphs are dense clusters (diameter 2-3 in practice);
     * `maxIter` bounds the worst case. Convergence is detected from
-    * `sum(comp)`, which strictly decreases while any label changes — one
-    * cheap scalar agg per round, no row-level diff join. Lineage is cut
-    * every round (localCheckpoint), or iteration i would re-execute all
-    * i-1 predecessors.
+    * `sum(comp)` in DECIMAL(38,0) — labels only decrease, so the sum
+    * strictly decreases while anything changes, and the decimal sum
+    * cannot overflow for any realistic id domain (an int64 sum would
+    * throw under ANSI — Spark 4's default — or silently wrap and
+    * terminate the loop early with wrong labels for snowflake-sized
+    * ids). One cheap scalar agg per round, no row-level diff join.
+    * Lineage is cut every round (localCheckpoint) or iteration i would
+    * re-execute all i-1 predecessors, and the previous round's
+    * checkpoint is unpersisted once superseded so storage stays
+    * one-labels-frame-sized regardless of iteration count.
     *
     * @param edges (a, b) pair DataFrame, e.g. `minhashCandidates` output.
     * @return (id, comp) — one row per node appearing in any edge. */
@@ -133,21 +143,24 @@ object Dedup {
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
-    def total(): Long = labels.agg(sum(col("comp"))).head.get(0) match {
-      case null => 0L
-      case v: Long => v
-    }
-    var last = Long.MaxValue
+    def total(): BigDecimal =
+      labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.get(0) match {
+        case null => BigDecimal(0)
+        case v: java.math.BigDecimal => BigDecimal(v)
+      }
+    var last: Option[BigDecimal] = None
     var cur = total()
     var iter = 0
-    while (cur < last && iter < maxIter) {
-      last = cur
+    while (last.forall(cur < _) && iter < maxIter) {
+      last = Some(cur)
+      val prev = labels
       labels = adj
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("comp"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
+      prev.unpersist()
       cur = total()
       iter += 1
     }

@@ -36,7 +36,7 @@ object Sampling {
                     pct: Map[String, Int], defaultPct: Int): (String, String) = {
     val bucket = s"${TextFunctions.charHashSql(s"CAST($idExpr AS VARCHAR)")} % 100"
     val cases = pct.toSeq.reverse
-      .map { case (s, p) => s"WHEN $strataExpr = '$s' THEN $p" }
+      .map { case (s, p) => s"WHEN $strataExpr = '${s.replace("'", "''")}' THEN $p" }
       .mkString(" ")
     (bucket, s"CASE $cases ELSE $defaultPct END")
   }

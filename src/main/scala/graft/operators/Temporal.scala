@@ -34,6 +34,13 @@ object Temporal {
     val reserved = Seq("_side", "_asof_payload", "_carry")
     require(!left.columns.exists(reserved.contains),
       s"asofJoin: left must not contain helper columns ${reserved.mkString(", ")}")
+    // chained as-of joins with the same payload would otherwise emit
+    // duplicate output columns (AMBIGUOUS_REFERENCE downstream)
+    val outCols = payload.map(outPrefix + _)
+    require(!left.columns.exists(outCols.contains),
+      s"asofJoin: left already contains output column(s) " +
+        s"${outCols.filter(left.columns.contains).mkString(", ")} — " +
+        "pass a different outPrefix")
     val leftCols = left.columns.toSeq
     val r = right
       .select(col(keyCol), col(timeCol),

@@ -93,6 +93,25 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("connectedComponents handles snowflake-sized ids (no int64 sum overflow)") {
+    val big = Long.MaxValue
+    val edges = Seq((big - 1, big - 2), (big - 2, big - 3), (big - 10, big - 11))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      (big - 1) -> (big - 3), (big - 2) -> (big - 3), (big - 3) -> (big - 3),
+      (big - 10) -> (big - 11), (big - 11) -> (big - 11)))
+  }
+
+  test("minhashCandidates with bands = 1 is legal (no empty reduce)") {
+    val got = Dedup.minhashCandidates(docs.limit(50), "doc_id", "text",
+        k = 16, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (a, b) => assert(a < b) }
+    assert(got.distinct.length === got.length)
+  }
+
   test("connectedComponents labels chains, islands, and triangles by min id") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), // chain 1-2-3-4-5 (diameter 4)

@@ -63,6 +63,18 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("asofJoin rejects a left input that already has the output column (chained joins)") {
+    val left = Seq((1L, 10L, 5.0)).toDF("k", "t", "asof_v")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Temporal.asofJoin(left, right, "k", "t", Seq("v"))
+    }
+    assert(e.getMessage.contains("asof_v"))
+    // a different prefix resolves the chain
+    val ok = Temporal.asofJoin(left, right, "k", "t", Seq("v"), outPrefix = "asof2_")
+    assert(ok.columns.toSeq === Seq("k", "t", "asof_v", "asof2_v"))
+  }
+
   test("sessionize: gap boundary is exclusive, exact-gap stays in session") {
     val base = 1700000000L * 1000000L // epoch micros
     def ts(sec: Long) = new java.sql.Timestamp(base / 1000L + sec * 1000L)
