@@ -176,6 +176,47 @@ object TextQueries {
           s"WHERE $bucket < $rate ORDER BY doc_id"
       }),
 
+    // End-to-end pipeline composition — the flagship training-data flow as
+    // ONE declarative plan: normalize -> exact-dedup on normalized text
+    // (keep min-id representative) -> quality gate (>= 5 tokens) ->
+    // stratified downsample (50% of en) -> pack into 256-token sequences.
+    // Five operators, one oracle; Catalyst sees a single DAG (three
+    // shuffles: dedup window, pack window, pack groupBy — the narrow
+    // normalize/filter/sample stages fuse into the scans).
+    Q("q_pipeline_e2e",
+      (s, d) => {
+        val norm = TextOps.normalize(docs(s, d), "text")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("norm_text"))
+        val kept = norm.withColumn("_keep", min(col("doc_id")).over(w))
+          .filter(col("doc_id") === col("_keep")).drop("_keep")
+        val qual = kept.filter(
+          size(graft.functions.TextFunctions.tokens(col("norm_text"))) >= 5)
+        val sampled = Sampling.stratified(qual, "doc_id", "lang",
+          Map("en" -> 50), defaultPct = 100)
+        TextOps.packSequences(sampled, "doc_id", "norm_text",
+            budget = 256, buckets = 4)
+          .orderBy("bucket", "seq_id")
+      },
+      Some {
+        val normExpr = "trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+        val h = charHashSql("CAST(doc_id AS VARCHAR)")
+        s"WITH n AS (SELECT doc_id, lang, $normExpr AS norm_text FROM documents), " +
+          "d AS (SELECT *, min(doc_id) OVER (PARTITION BY norm_text) AS keep FROM n), " +
+          "k AS (SELECT doc_id, lang, norm_text FROM d WHERE doc_id = keep), " +
+          s"q AS (SELECT * FROM k WHERE len(${tokensSql("norm_text")}) >= 5), " +
+          s"smp AS (SELECT * FROM q WHERE ($h % 100) < " +
+          "CASE WHEN lang = 'en' THEN 50 ELSE 100 END), " +
+          s"t AS (SELECT doc_id, CAST(len(${tokensSql("norm_text")}) AS BIGINT) AS n_tok, " +
+          s"$h % 4 AS bucket FROM smp), " +
+          "c AS (SELECT bucket, n_tok, COALESCE(sum(n_tok) OVER (" +
+          "PARTITION BY bucket ORDER BY doc_id " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok FROM t) " +
+          "SELECT bucket, CAST(floor(prev_tok / 256.0) AS BIGINT) AS seq_id, " +
+          "count(*) AS n_docs, sum(n_tok) AS n_tokens " +
+          "FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id"
+      }),
+
     // Rolling-hash fingerprint: doc hash + winnowed bigram-shingle hash.
     Q("q_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d), "text")
