@@ -87,6 +87,41 @@ object TemporalQueries {
         "GROUP BY ROLLUP(o_orderpriority, o_orderstatus) " +
         "ORDER BY priority, status")),
 
+    // Full cube over (priority, status) — all four grouping sets (rollup's
+    // superset); same sentinel-coalesce rule for the null markers.
+    Q("q_cube",
+      (s, d) => Tables.load(s, d, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n"), col("total"))
+        .orderBy("priority", "status"),
+      Some("SELECT COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "COALESCE(o_orderstatus, 'ALL') AS status, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY CUBE(o_orderpriority, o_orderstatus) " +
+        "ORDER BY priority, status")),
+
+    // Cumulative distribution of quantity per return flag, computed on the
+    // DISTINCT value level — cume_dist over distinct values is tie-free by
+    // construction (ntile over raw rows would let equal sort keys land in
+    // different buckets per engine).
+    Q("q_cume_dist",
+      (s, d) => Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("cum_frac",
+          round(cume_dist().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))), 6))
+        .orderBy("l_returnflag", "l_quantity"),
+      Some("SELECT l_returnflag, l_quantity, count(*) AS n_rows, " +
+        "round(cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity), 6) AS cum_frac " +
+        "FROM lineitem GROUP BY l_returnflag, l_quantity " +
+        "ORDER BY l_returnflag, l_quantity")),
+
     // Pivot events wide by type: per-user per-type value sums as columns.
     // The closed type list keeps Spark's pivot to one pass (no values
     // scan); DuckDB mirrors with CASE-filtered sums.
