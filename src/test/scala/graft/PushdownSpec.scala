@@ -57,6 +57,42 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "dims must broadcast, not shuffle")
   }
 
+  test("stratified sampling stays narrow: zero Exchange, pruned read schema") {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val df = PlanBridge.stripTopSort(
+      SparkEntry.queries("q_sample_strat")(spark, sfDir))
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    val readSchema = plan.split("ReadSchema").last
+    assert(!readSchema.contains("text"), "untouched text column must not be read")
+  }
+
+  test("asofJoin plans exactly one shuffle into the carry-forward window") {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    import graft.operators.Temporal
+    import spark.implicits._
+    // plain frames (no pre-agg on the right): the as-of itself must cost
+    // ONE exchange — the union into the key-partitioned window
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val plan = PlanBridge.stripTopSort(
+      Temporal.asofJoin(left, right, "k", "t", Seq("v")))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), "as-of must not plan a row-multiplying join")
+  }
+
+  test("sessionize shares one sort across both windows and co-partitions the final agg") {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val df = PlanBridge.stripTopSort(
+      SparkEntry.queries("q_sessionize")(spark, sfDir))
+    val plan = planOf(df)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"lag + running-sum + group agg must reuse one user_id shuffle, got $exchanges:\n$plan")
+  }
+
   test("stripTopSort removes only the top-level global sort") {
     import org.apache.spark.sql.graftbridge.PlanBridge
     val sorted = Tables.load(spark, sfDir, "events").orderBy("event_id")
