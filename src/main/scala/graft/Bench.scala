@@ -44,11 +44,12 @@ object Bench {
     // state, GC/JIT noise removed).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Default best-of-2: r1/r2 showed single-shot timings are dominated by
-    // GC/JIT noise (the "slow five" were a different set each round, and
-    // best-of-3 ran 5-7x faster) — min over two runs reports the plan, not
-    // the collector.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Default best-of-3: r1-r3 showed single-shot timings are dominated by
+    // GC/JIT/neighbor noise (the "slow five" were a different set each
+    // round) — min over three runs reports the plan, not the collector.
+    // "spread" (worst/best per query) is emitted alongside so a noisy host
+    // is visible in the official artifact instead of argued about later.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     ordered.foreach { case (_, fn) => runOnce(fn) }
@@ -58,20 +59,28 @@ object Bench {
         val err = runOnce(fn)
         ((System.nanoTime() - t0) / 1e9, err)
       }
-      val best = runs.minBy(_._1)
-      (name, best._1, runs.flatMap(_._2).headOption)
+      val ok = runs.collect { case (t, None) => t }
+      // A query is an error only if EVERY rep failed; a transient single-rep
+      // failure with a successful best run is a success (best-of-N intent).
+      val err = if (ok.isEmpty) runs.flatMap(_._2).headOption else None
+      val best = if (ok.nonEmpty) ok.min else -1.0
+      val worst = if (ok.nonEmpty) ok.max else -1.0
+      (name, best, worst, err)
     }
     val qs = results
-      .map { case (k, v, err) => s""""$k":${if (err.isDefined) -1 else v}""" }
+      .map { case (k, v, _, err) => s""""$k":${if (err.isDefined) -1 else v}""" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val spread = results.collect { case (k, b, w, None) if b > 0 =>
+      s""""$k":${math.round(w / b * 100) / 100.0}"""
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       val esc = e.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ")
       s""""$k":"$esc""""
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, v, _, None) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":${results.count(_._3.isDefined)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errs,"n_errors":${results.count(_._4.isDefined)},"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
 
 import graft.functions.TextFunctions
 
@@ -131,8 +132,15 @@ object Dedup {
     * ids). One cheap scalar agg per round, no row-level diff join.
     * Lineage is cut every round (localCheckpoint) or iteration i would
     * re-execute all i-1 predecessors, and the previous round's
-    * checkpoint is unpersisted once superseded so storage stays
-    * one-labels-frame-sized regardless of iteration count.
+    * checkpoint blocks are released once superseded (through the
+    * underlying RDD — Dataset.unpersist is a no-op for local
+    * checkpoints) so storage stays one-labels-frame-sized regardless
+    * of iteration count.
+    *
+    * Hitting `maxIter` before the fixpoint would silently return WRONG
+    * labels (min-label moves one hop per round, so a chain longer than
+    * maxIter is still merging) — that case throws; raise maxIter for
+    * pathological high-diameter graphs.
     *
     * @param edges (a, b) pair DataFrame, e.g. `minhashCandidates` output.
     * @return (id, comp) — one row per node appearing in any edge. */
@@ -160,10 +168,19 @@ object Dedup {
         .union(labels)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      prev.unpersist()
+      PlanBridge.unpersistLocalCheckpoint(prev)
       cur = total()
       iter += 1
     }
+    if (last.forall(cur < _)) {
+      // exited on the iteration cap while the label sum was still
+      // dropping: the components are NOT final
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in maxIter=$maxIter rounds " +
+        "(label sum still decreasing). The pair graph has diameter > " +
+        "maxIter; raise maxIter.")
+    }
+    PlanBridge.unpersistLocalCheckpoint(adj)
     labels
   }
 

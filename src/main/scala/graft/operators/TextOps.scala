@@ -204,13 +204,21 @@ object TextOps {
   }
 
   /** Sequence packing for a pretraining token budget: documents are
-    * bucketed by id hash, ordered within the bucket, and cut into
-    * sequences wherever the running token count crosses `budget` (the
-    * streaming first-fit rule — a doc that straddles the boundary starts
-    * the next sequence over-budget rather than splitting). Buckets are the
-    * parallelism unit: packing is sequential *within* a bucket by
-    * construction (that is what makes it deterministic), so the bucket
-    * count — not the corpus size — sets the window parallelism at 100 TB.
+    * bucketed by id hash, ordered within the bucket, and assigned
+    * `seq_id = floor(cumulative_prior_tokens / budget)` — FIXED-BOUNDARY
+    * bucketing of the running token count, not reset-on-cut first-fit.
+    * Sequence boundaries sit at exact multiples of `budget` in the
+    * cumulative sum, so a doc straddling a boundary lands in the sequence
+    * its prefix sum dictates, an over-budget doc can consume several
+    * boundary slots (seq_ids may skip), and later sequences do NOT
+    * re-fill the slack it created. That trade is deliberate: fixed
+    * boundaries are a closed-form window expression (one shuffle, no
+    * per-bucket sequential scan) and keep the operator oracle-portable;
+    * true first-fit needs a running reset (sessionize-style iteration)
+    * for marginal fill-rate gain. Buckets are the parallelism unit:
+    * packing is sequential *within* a bucket by construction (that is
+    * what makes it deterministic), so the bucket count — not the corpus
+    * size — sets the window parallelism at 100 TB.
     * Returns one row per packed sequence. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     budget: Int = 256, buckets: Int = 8): DataFrame = {

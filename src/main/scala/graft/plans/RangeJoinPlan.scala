@@ -51,7 +51,22 @@ case class PointIntervalJoinExec(left: SparkPlan, right: SparkPlan,
   protected override def doExecute(): RDD[InternalRow] = {
     val loB = BindReferences.bindReference(lo, right.output)
     val hiB = BindReferences.bindReference(hi, right.output)
-    val items = right.executeCollect().flatMap { r =>
+    // Build-side guard: this operator collects the interval side to the
+    // driver (like BroadcastExchange, which enforces its own 512m-row/8GB
+    // limit). An unguarded collect of a big interval side would OOM the
+    // driver silently — cap it and fail loudly naming the fallback.
+    val maxBuildRows = conf
+      .getConfString("spark.graft.rangeJoin.maxBuildRows", "5000000").toLong
+    val collected = right.executeCollect()
+    if (collected.length > maxBuildRows) {
+      throw new IllegalStateException(
+        s"PointIntervalJoin build side has ${collected.length} rows, over " +
+        s"spark.graft.rangeJoin.maxBuildRows=$maxBuildRows. The intervals " +
+        "side must be broadcast-small; for a large interval side fall back " +
+        "to a plain non-equi join (BroadcastNestedLoopJoin) or pre-bucket " +
+        "both sides on a coarse time grid and equi-join on the bucket.")
+    }
+    val items = collected.flatMap { r =>
       val l = loB.eval(r)
       val h = hiB.eval(r)
       if (l == null || h == null) None else Some((toL(l), toL(h), r.copy()))

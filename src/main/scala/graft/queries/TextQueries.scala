@@ -145,7 +145,8 @@ object TextQueries {
         "WHERE rn <= 3 ORDER BY doc_id, rn")),
 
     // Sequence packing: documents cut into fixed-token-budget sequences
-    // (hash-bucketed, first-fit within bucket; one row per sequence).
+    // (hash-bucketed, fixed cumulative-sum boundaries within bucket —
+    // see TextOps.packSequences; one row per sequence).
     Q("q_pack_seqs",
       (s, d) => TextOps.packSequences(docs(s, d), "doc_id", "text",
           budget = 256, buckets = 8)
@@ -158,7 +159,7 @@ object TextQueries {
           "PARTITION BY bucket ORDER BY doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok FROM d) " +
           "SELECT bucket, CAST(floor(prev_tok / 256.0) AS BIGINT) AS seq_id, " +
-          "count(*) AS n_docs, sum(n_tok) AS n_tokens " +
+          "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
           "FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id"
       }),
 
@@ -213,7 +214,7 @@ object TextQueries {
           "PARTITION BY bucket ORDER BY doc_id " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tok FROM t) " +
           "SELECT bucket, CAST(floor(prev_tok / 256.0) AS BIGINT) AS seq_id, " +
-          "count(*) AS n_docs, sum(n_tok) AS n_tokens " +
+          "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
           "FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id"
       }),
 

@@ -37,6 +37,20 @@ object PlanBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Free the blocks behind a localCheckpoint()ed frame. Dataset.unpersist
+    * is a no-op for these — localCheckpoint persists the underlying RDD
+    * directly, without registering it with the CacheManager that
+    * Dataset.unpersist consults — so iterative algorithms that checkpoint
+    * per round must release superseded rounds through the RDD itself.
+    * The frame must no longer be needed: local checkpoints are
+    * unrecoverable once their blocks are dropped. */
+  def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Register a function on a LIVE session (the extensions path only
     * applies at session construction). */
   def registerFunction(

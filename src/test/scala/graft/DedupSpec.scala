@@ -124,6 +124,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents throws instead of returning truncated labels") {
+    // chain of diameter 9; min-label moves one hop per round, so
+    // maxIter=3 cannot reach the fixpoint — silent wrong labels before,
+    // a loud error now
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(e.getMessage.contains("maxIter"))
+    // same graph converges fine with headroom
+    val ok = Dedup.connectedComponents(chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok === (1L to 10L).map(_ -> 1L).toMap)
+  }
+
   test("connectedComponents matches union-find over real minhash candidate pairs") {
     val pairs = Dedup.minhashCandidates(docs.limit(150), "doc_id", "text",
         k = 16, bands = 2)

@@ -45,4 +45,20 @@ class RangeJoinSpec extends SparkSpec {
     val none = RangeJoin.pointInInterval(p, i.filter(col("ik") < 0), "ts", "lo", "hi")
     assert(none.count() === 0)
   }
+
+  test("oversized build side fails loudly instead of OOMing the driver") {
+    spark.conf.set("spark.graft.rangeJoin.maxBuildRows", "100")
+    try {
+      val big = RangeJoin.pointInInterval(
+        points, Tables.load(spark, sfDir, "orders")
+          .select(col("o_orderkey").as("ik"), col("o_orderdate").as("lo"),
+            (col("o_orderdate") + expr("INTERVAL 45 DAYS")).as("hi")),
+        "ts", "lo", "hi")
+      val e = intercept[Exception] { big.count() }
+      def root(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+      val msg = e.getMessage + " / " + root(e).getMessage
+      assert(msg.contains("maxBuildRows"), msg)
+    } finally spark.conf.unset("spark.graft.rangeJoin.maxBuildRows")
+  }
 }

@@ -51,6 +51,15 @@ def main(sfdir: str, outdir: str) -> int:
             status.append(f"schema {list(spark_df.columns)} vs {list(duck_df.columns)}")
         elif len(spark_df) != len(duck_df):
             status.append(f"rows {len(spark_df)} vs {len(duck_df)}")
+        elif any(spark_df[c].dtype != duck_df[c].dtype for c in spark_df.columns):
+            # the driver's value hash is dtype-sensitive: a DuckDB HUGEINT
+            # (sum of BIGINT) arrives as float64 and hash-mismatches Spark's
+            # int64 even when every value is equal — flag it here so local
+            # green predicts driver green (cast the oracle, don't coerce)
+            bad = [f"{c}: {spark_df[c].dtype} vs {duck_df[c].dtype}"
+                   for c in spark_df.columns
+                   if spark_df[c].dtype != duck_df[c].dtype]
+            status.append(f"dtype mismatch (driver hash would fail): {'; '.join(bad)}")
         else:
             neq = (spark_df != duck_df)
             # NaN == NaN for our purposes
