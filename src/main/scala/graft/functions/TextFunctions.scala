@@ -107,6 +107,17 @@ object TextFunctions {
         s"(a, b) -> a + b) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Non-overlapping occurrence counts of literal `patterns` in one scan
+    * (array<long>, one count per pattern — same values as one
+    * regexp_count per pattern, ~k regex passes collapsed to one loop). */
+  def substringCounts(text: Column, patterns: Seq[String]): Column =
+    PlanBridge.column(Exprs.SubstringCounts(PlanBridge.expression(text), patterns))
+
+  /** Per-set token membership counts in one pass (array<long>, one count
+    * per set — same values as size(filter(toks, t IN set)) per set). */
+  def memberCounts(toks: Column, sets: Seq[Seq[String]]): Column =
+    PlanBridge.column(Exprs.MemberCounts(PlanBridge.expression(toks), sets))
+
   /** Adjacent-token bigram shingles ("w1 w2"). Empty for <2 tokens. */
   def bigrams(toks: Column): Column = {
     val n = greatest(size(toks) - 1, lit(0))

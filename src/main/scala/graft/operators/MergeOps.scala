@@ -58,6 +58,48 @@ object MergeOps {
     (na, nb)
   }
 
+  /** Geo-dataset merge pre-check — the other half of ref xr.py:115-141,
+    * which compares CRS equality and AOI geometry equality before merging.
+    * graft's dataset-level analogue of those is the GeoParquet sidecar
+    * (GeoIO.GeoMeta): CRS / geometry column / encoding must MATCH (hard
+    * failure — merging frames in different CRS silently produces garbage
+    * coordinates), and the bboxes must OVERLAP (disjoint AOIs make every
+    * join row impossible — also a hard failure, mirroring the reference's
+    * AOI-equality error). Unequal-but-overlapping bboxes only warn: the
+    * L2A and L2B extracts of one AOI legitimately differ at the margin. */
+  def compareGeoMeta(a: graft.sources.GeoIO.GeoMeta,
+                     b: graft.sources.GeoIO.GeoMeta): Unit = {
+    require(a.crs == b.crs,
+      s"merge pre-check: CRS mismatch (${a.crs} vs ${b.crs}) — reproject " +
+      "one side before merging (ref xr.py CRS-equality check)")
+    require(a.geometryColumn == b.geometryColumn,
+      s"merge pre-check: geometry column mismatch " +
+      s"('${a.geometryColumn}' vs '${b.geometryColumn}')")
+    require(a.encoding == b.encoding,
+      s"merge pre-check: geometry encoding mismatch " +
+      s"(${a.encoding} vs ${b.encoding})")
+    val Seq(aMinX, aMinY, aMaxX, aMaxY) = a.bbox
+    val Seq(bMinX, bMinY, bMaxX, bMaxY) = b.bbox
+    require(aMinX <= bMaxX && bMinX <= aMaxX && aMinY <= bMaxY && bMinY <= aMaxY,
+      s"merge pre-check: disjoint bboxes (${a.bbox} vs ${b.bbox}) — " +
+      "these datasets cover different AOIs, the merge would be empty")
+    if (a.bbox != b.bbox)
+      System.err.println(
+        s"[graft] merge pre-check: bboxes overlap but differ (${a.bbox} vs ${b.bbox})")
+  }
+
+  /** Merge two GeoIO-written datasets with full pre-checks: sidecar
+    * metadata (CRS/geometry/bbox) then key/count checks, then mergeGdf. */
+  def mergeGeoParquet(spark: org.apache.spark.sql.SparkSession,
+                      l2aPath: String, l2bPath: String,
+                      on: Seq[String] = Seq("shot", "acq_time"),
+                      how: String = "inner"): DataFrame = {
+    val (l2a, metaA) = graft.sources.GeoIO.readGeoParquet(spark, l2aPath)
+    val (l2b, metaB) = graft.sources.GeoIO.readGeoParquet(spark, l2bPath)
+    compareGeoMeta(metaA, metaB)
+    mergeGdf(l2a, l2b, on, how, check = true)
+  }
+
   /** The 100 TB path for the L2A⋈L2B merge (SURVEY §5): both sides come
     * out of the same extraction pipeline, so they are written bucketed (and
     * sorted) by the join key. A later mergeGdf over the bucketed tables is

@@ -51,7 +51,7 @@ object TextOps {
   def qualityScore(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
     val nTok = size(toks).cast("long")
-    val nStop = markerCount(toks, stopwords).cast("long")
+    val nStop = element_at(TextFunctions.memberCounts(toks, Seq(stopwords)), 1)
     val avgLen = (length(col(textCol)).cast("long") - (nTok - 1L)) / nTok
     val stopRatio = nStop / nTok
     df.withColumn("n_tokens", nTok)
@@ -62,11 +62,15 @@ object TextOps {
   }
 
   /** Language-ID: marker-word count per language, deterministic argmax
-    * (first language in `langMarkers` order wins ties). */
+    * (first language in `langMarkers` order wins ties). All per-language
+    * counts come from ONE native pass over the tokens (MemberCounts;
+    * the per-language HOF filter it replaces was CodegenFallback). */
   def langId(df: DataFrame, textCol: String): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val scored = langMarkers.foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"s_$lang", markerCount(toks, words).cast("long"))
+    val cnts = TextFunctions.memberCounts(toks, langMarkers.map(_._2))
+    val scored = langMarkers.zipWithIndex.foldLeft(df) {
+      case (d, ((lang, _), i)) =>
+        d.withColumn(s"s_$lang", element_at(cnts, i + 1))
     }
     val langs = langMarkers.map(_._1)
     val pred = langs.zipWithIndex.init.foldRight(lit(langs.last): Column) {
@@ -102,12 +106,17 @@ object TextOps {
 
   /** Language-ID via character n-gram profiles: per language, the total
     * non-overlapping occurrence count of its profile bigrams; deterministic
-    * argmax. The streaming-friendly sibling of langId (no tokenization —
-    * pure regexp counts, fully codegen'd). */
+    * argmax. The streaming-friendly sibling of langId (no tokenization).
+    * All 15 profile-gram counts come from ONE native scan of the text
+    * (SubstringCounts) instead of one regexp engine pass per gram; the
+    * per-gram values are identical to regexp_count on the literal, so the
+    * DuckDB oracle (len(regexp_extract_all)) keeps hash-matching. */
   def langIdNgram(df: DataFrame, textCol: String): DataFrame = {
-    val scored = langNgramProfiles.foldLeft(df) { case (d, (lang, grams)) =>
+    val grams = langNgramProfiles.flatMap(_._2).distinct
+    val cnts = TextFunctions.substringCounts(col(textCol), grams)
+    val scored = langNgramProfiles.foldLeft(df) { case (d, (lang, gs)) =>
       d.withColumn(s"n_$lang",
-        grams.map(g => regexp_count(col(textCol), lit(g)).cast("long"))
+        gs.map(g => element_at(cnts, grams.indexOf(g) + 1))
           .reduceLeft(_ + _))
     }
     val langs = langNgramProfiles.map(_._1)

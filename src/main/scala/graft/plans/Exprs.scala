@@ -166,6 +166,43 @@ object Exprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Non-overlapping literal-substring counts, all patterns in one scan. */
+  case class SubstringCounts(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty literals")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_substring_counts"
+    @transient private lazy val pArr = patterns.toArray
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.substringCounts(input.asInstanceOf[UTF8String], pArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("subPats", pArr, "java.lang.String[]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.substringCounts($c, $pRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): SubstringCounts =
+      copy(child = newChild)
+  }
+
+  /** Per-set token membership counts, all sets in one pass. */
+  case class MemberCounts(child: Expression, sets: Seq[Seq[String]])
+      extends UnaryExpression {
+    require(sets.nonEmpty && sets.forall(_.nonEmpty), "sets must be non-empty")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_member_counts"
+    @transient private lazy val sArr: Array[Array[UTF8String]] =
+      sets.map(_.map(UTF8String.fromString).toArray).toArray
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.memberCounts(input.asInstanceOf[ArrayData], sArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sRef = ctx.addReferenceObj("memberSets", sArr,
+        "org.apache.spark.unsafe.types.UTF8String[][]")
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.memberCounts($c, $sRef)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): MemberCounts =
+      copy(child = newChild)
+  }
+
   /** Even-odd ray-cast point-in-polygon with a plan-time polygon. Unlike
     * the one-when-per-edge Column tree (which blows the codegen method
     * limit on multi-thousand-vertex AOIs), this generates one call with

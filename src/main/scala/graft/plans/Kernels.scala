@@ -218,6 +218,64 @@ object Kernels {
     cnt
   }
 
+  /** Non-overlapping occurrence counts of ALL literal patterns in ONE scan
+    * of the string (replaces one regexp engine pass per pattern — the
+    * lang-ID profile scorer ran 15 of those per row). Per pattern, matches
+    * count left-to-right non-overlapping: after a match at i the same
+    * pattern can next match at i+len — exactly regexp_count / DuckDB
+    * len(regexp_extract_all(...)) semantics for a literal pattern. */
+  def substringCounts(s: UTF8String, pats: Array[String]): ArrayData = {
+    val str = s.toString
+    val k = pats.length
+    val counts = new Array[Long](k)
+    val nextOk = new Array[Int](k)
+    val n = str.length
+    var i = 0
+    while (i < n) {
+      var p = 0
+      while (p < k) {
+        if (i >= nextOk(p) && str.startsWith(pats(p), i)) {
+          counts(p) += 1
+          nextOk(p) = i + pats(p).length
+        }
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  /** Per-set membership counts over a token array, all sets in one pass
+    * (replaces one interpreted HOF filter per marker set — filter() is
+    * CodegenFallback). counts(p) = number of tokens (with multiplicity)
+    * equal to any word of sets(p) — the size(filter(toks, t IN set))
+    * tree both engines compute. */
+  def memberCounts(toks: ArrayData, sets: Array[Array[UTF8String]]): ArrayData = {
+    val k = sets.length
+    val counts = new Array[Long](k)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        var p = 0
+        while (p < k) {
+          val ws = sets(p)
+          var j = 0
+          var found = false
+          while (!found && j < ws.length) {
+            found = ws(j).equals(t)
+            j += 1
+          }
+          if (found) counts(p) += 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
   /** Even-odd ray cast over precomputed non-horizontal edges; the per-edge
     * test reproduces GeoFunctions.pointInPolygon's expression tree
     * (((xj-xi) * (y-yi)) / (yj-yi) + xi). */

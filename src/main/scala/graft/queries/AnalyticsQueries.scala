@@ -214,31 +214,63 @@ object AnalyticsQueries {
 
     // HyperLogLog++ distinct-count sketch per group — the constant-memory
     // way to count distinct at 100 TB (exact distinct shuffles every key;
-    // the sketch shuffles a few KB per group). No SQL oracle: DuckDB's
-    // approx_count_distinct is a different HLL implementation — driver
-    // records rows-only; SketchSpec bounds the error vs exact.
+    // the sketch shuffles a few KB per group). DuckDB runs a DIFFERENT HLL,
+    // so the estimate itself can't hash-compare — instead the row carries
+    // exact companions (hash-verified) plus a bound flag computed from the
+    // Spark sketch, while the oracle emits literal TRUE: if the sketch ever
+    // drifts past 5% the flag flips and the driver's hash goes red. The
+    // exact countDistinct is the verification companion at oracle SF, not
+    // the scale path. SketchSpec holds the tighter rsd-level bound.
     Q("q_hll_distinct",
       (s, d) => Tables.load(s, d, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("hll_within_5pct"))
         .orderBy("event_type"),
-      None),
+      Some("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
+        "count(*) AS n_events, TRUE AS hll_within_5pct " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // Approximate per-group quantiles (Greenwald-Khanna sketch, rank error
     // <= 1/accuracy) — the streaming/mergeable sibling of q_quantiles'
     // exact percentile, whose sort-all-values-per-group cost is the known
-    // exact-quantile bottleneck at scale. Rows-only + SketchSpec bound.
+    // exact-quantile bottleneck at scale. Same oracle pattern as
+    // q_hll_distinct: exact quantiles hash-verify, and a rank-bound flag
+    // (each GK estimate must land between the exact quantiles at p±0.01 —
+    // 100x the sketch's guaranteed 1e-4 rank error) is checked against the
+    // oracle's literal TRUE.
     Q("q_quantiles_approx",
-      (s, d) => Tables.load(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
-          .as("qarr"))
-        .select(col("l_returnflag"),
-          element_at(col("qarr"), 1).as("q25"),
-          element_at(col("qarr"), 2).as("q50"),
-          element_at(col("qarr"), 3).as("q75"))
-        .orderBy("l_returnflag"),
-      None)
+      (s, d) => {
+        def within(a: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+                   hi: org.apache.spark.sql.Column) = a >= lo && a <= hi
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)")
+              .as("qarr"),
+            expr("percentile(l_quantity, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))")
+              .as("earr"),
+            round(expr("percentile(l_quantity, 0.25)"), 6).as("q25_exact"),
+            round(expr("percentile(l_quantity, 0.5)"), 6).as("q50_exact"),
+            round(expr("percentile(l_quantity, 0.75)"), 6).as("q75_exact"))
+          .select(col("l_returnflag"),
+            col("q25_exact"), col("q50_exact"), col("q75_exact"),
+            (within(element_at(col("qarr"), 1), element_at(col("earr"), 1), element_at(col("earr"), 2)) &&
+             within(element_at(col("qarr"), 2), element_at(col("earr"), 3), element_at(col("earr"), 4)) &&
+             within(element_at(col("qarr"), 3), element_at(col("earr"), 5), element_at(col("earr"), 6)))
+              .as("gk_rank_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, " +
+        "round(quantile_cont(l_quantity, 0.25), 6) AS q25_exact, " +
+        "round(quantile_cont(l_quantity, 0.5), 6) AS q50_exact, " +
+        "round(quantile_cont(l_quantity, 0.75), 6) AS q75_exact, " +
+        "TRUE AS gk_rank_ok " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
   )
 }

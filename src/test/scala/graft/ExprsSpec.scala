@@ -118,6 +118,38 @@ class ExprsSpec extends SparkSpec {
     assert(diff2 === 0)
   }
 
+  test("native substringCounts == one regexp_count per pattern") {
+    val grams = graft.operators.TextOps.langNgramProfiles.flatMap(_._2).distinct
+    val regexps = array(grams.map(g =>
+      regexp_count(col("text"), lit(g)).cast("long")): _*)
+    val diff = docs.select(
+        TextFunctions.substringCounts(col("text"), grams).as("a"),
+        regexps.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+    // overlap edge cases: non-overlapping left-to-right, like regexp_count
+    import spark.implicits._
+    val edge = Seq("aaa", "eiei", "ababab", "").toDF("text")
+      .select(TextFunctions.substringCounts(col("text"), Seq("aa", "ei", "aba")).as("c"))
+      .collect().map(_.getSeq[Long](0))
+    assert(edge(0) === Seq(1L, 0L, 0L)) // "aaa": one non-overlapping "aa"
+    assert(edge(1) === Seq(0L, 2L, 0L))
+    assert(edge(2) === Seq(0L, 0L, 1L)) // "ababab": "aba" at 0 blocks 2; next at 4 won't fit
+    assert(edge(3) === Seq(0L, 0L, 0L))
+  }
+
+  test("native memberCounts == size(filter) per marker set") {
+    val sets = graft.operators.TextOps.langMarkers.map(_._2)
+    val toks = split(col("text"), " ")
+    val hof = array(sets.map(ws =>
+      size(filter(toks, t => ws.map(w => t === w).reduceLeft(_ || _)))
+        .cast("long")): _*)
+    val diff = docs.select(
+        TextFunctions.memberCounts(toks, sets).as("a"), hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+  }
+
   test("native point-in-polygon == when-per-edge tree on the shots frame") {
     val shots = graft.queries.Shots.df(spark, sfDir)
     val poly = graft.queries.CoreQueries.testPolygon

@@ -37,6 +37,39 @@ class GeoIOSpec extends SparkSpec {
     }
   }
 
+  test("geo merge pre-check: CRS mismatch fails, disjoint bbox fails, match merges") {
+    val base = Files.createTempDirectory("graft_geomerge").toString
+    val shots = graft.queries.Shots.df(spark, sfDir)
+      .select(col("shot"), col("ts").as("acq_time"), col("lon"), col("lat"),
+        col("value")).filter(col("shot") <= 100)
+    val n = shots.count()
+    assert(n > 0)
+    GeoIO.writeGeoParquet(shots.withColumnRenamed("value", "rh98"), s"$base/l2a")
+    GeoIO.writeGeoParquet(shots.withColumnRenamed("value", "pai"), s"$base/l2b")
+
+    // same AOI, same CRS: pre-checks pass and the merge joins every shot
+    val merged = MergeOps.mergeGeoParquet(spark, s"$base/l2a", s"$base/l2b")
+    assert(merged.count() === n)
+    assert(merged.columns.contains("rh98") && merged.columns.contains("pai"))
+
+    // tamper the sidecar CRS (the reference's CRS-equality failure case)
+    val sidecar = java.nio.file.Paths.get(s"$base/l2b", "_geo.json")
+    val raw = Files.readString(sidecar)
+    Files.writeString(sidecar, raw.replace("EPSG:4326", "EPSG:32633"))
+    val e = intercept[IllegalArgumentException] {
+      MergeOps.mergeGeoParquet(spark, s"$base/l2a", s"$base/l2b")
+    }
+    assert(e.getMessage.contains("CRS mismatch"), e.getMessage)
+
+    // disjoint bboxes (different AOIs) must also fail loudly
+    Files.writeString(sidecar,
+      raw.replaceAll(""""bbox":\[[^\]]*\]""", """"bbox":[500.0,500.0,501.0,501.0]"""))
+    val e2 = intercept[IllegalArgumentException] {
+      MergeOps.mergeGeoParquet(spark, s"$base/l2a", s"$base/l2b")
+    }
+    assert(e2.getMessage.contains("disjoint"), e2.getMessage)
+  }
+
   test("bucketed merge joins without any shuffle exchange") {
     val l = Tables.load(spark, sfDir, "lineitem")
     val l2a = l.filter(col("l_linenumber") === 1).select(
