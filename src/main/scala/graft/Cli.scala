@@ -11,6 +11,8 @@ import graft.sources.Manifest
   * every command reads parquet, applies declarative plans, writes parquet.
   *
   * Usage:
+  *   ingest    --input DIR --output P [--product L2A] [--beams power]
+  *             [--months lo,hi] [--quality 1] [--vars out=layer,...]
   *   extract   --input P --output P [--beam-col c --beams a,b]
   *             [--ts-col c --months lo,hi] [--vars out=src,...]
   *   subset    --input P --output P --x c --y c --bbox x0,x1,y0,y1
@@ -33,7 +35,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: <extract|subset|merge|rasterize|manifest|dedup|cluster|" +
+      "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
@@ -42,13 +44,77 @@ object Cli {
     finally spark.stop()
   }
 
-  /** Separated from main so specs can drive commands on a live session. */
+  /** Separated from main so specs can drive commands on a live session.
+    *
+    * With `--log <file>`, every command appends one JSON line to the run
+    * log — command, status, n_input/n_output rows, wall seconds — the
+    * analogue of the reference's per-run log handler (ancillary.py:10-118
+    * writes a log file with per-granule counts). Counts ride the SAME job
+    * as the write (Dataset.observe on the first input and on the output
+    * frame): no second pass, exactly-once under task retry. */
   def run(spark: SparkSession, cmd: String, opts: Map[String, String]): Unit = {
-    def in(k: String): DataFrame = spark.read.parquet(opts(k))
-    def write(df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(opts("output"))
+    val t0 = System.nanoTime()
+    val logPath = opts.get("log")
+    val obsIn = new org.apache.spark.sql.Observation(s"graft_run_in_$t0")
+    val obsOut = new org.apache.spark.sql.Observation(s"graft_run_out_$t0")
+    var inObserved = false
+    def in(k: String): DataFrame = {
+      val df = spark.read.parquet(opts(k))
+      if (logPath.isDefined && !inObserved) {
+        inObserved = true
+        df.observe(obsIn, count(lit(1)).as("n_rows"))
+      } else df
+    }
+    def write(df: DataFrame): Unit = {
+      val out =
+        if (logPath.isDefined) df.observe(obsOut, count(lit(1)).as("n_rows"))
+        else df
+      out.write.mode("overwrite").parquet(opts("output"))
+    }
+    // -1 = the plan never materialized this observation (e.g. a pruned side)
+    def metric(o: org.apache.spark.sql.Observation): Long =
+      org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(o)
+        .get("n_rows").map(_.asInstanceOf[Long]).getOrElse(-1L)
+    def wallSec: Double = math.round((System.nanoTime() - t0) / 1e7) / 100.0
 
+    try {
+      dispatch(spark, cmd, in, write, opts)
+      logPath.foreach(RunLog.append(_, Seq(
+        "command" -> cmd, "status" -> "ok",
+        "n_input" -> metric(obsIn), "n_output" -> metric(obsOut),
+        "wall_sec" -> wallSec)))
+    } catch {
+      case e: Throwable =>
+        logPath.foreach(RunLog.append(_, Seq(
+          "command" -> cmd, "status" -> "error",
+          "error" -> e.toString.take(300), "wall_sec" -> wallSec)))
+        throw e
+    }
+  }
+
+  private def dispatch(spark: SparkSession, cmd: String,
+                       in: String => DataFrame, write: DataFrame => Unit,
+                       opts: Map[String, String]): Unit =
     cmd match {
+      case "ingest" =>
+        // granule files -> shots parquet (fixture reader; swap point for a
+        // real HDF5-backed GranuleReader — see Ingest scaladoc)
+        val months = opts.get("months").map { m =>
+          val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
+        }
+        val vars = opts.get("vars").map(_.split(",").toSeq.map { kv =>
+          val Array(o, s) = kv.split("="); (o, s)
+        })
+        val (landed, errs) = graft.sources.Ingest.ingest(
+          spark, opts("input"), opts.getOrElse("product", "L2A"),
+          opts.getOrElse("beams", "all"), vars,
+          new graft.sources.FixtureGranuleReader, months,
+          opts.get("quality").contains("1"))
+        write(landed)
+        if (errs.value > 0)
+          System.err.println(s"[graft ingest] ${errs.value} granule errors — " +
+            "see preceding log lines")
+
       case "extract" =>
         var df = in("input")
         for (beams <- opts.get("beams"); bc <- opts.get("beam-col"))
@@ -74,8 +140,7 @@ object Cli {
 
       case "merge" =>
         val on = opts.getOrElse("on", "shot,acq_time").split(",").toSeq
-        write(MergeOps.mergeGdf(
-          spark.read.parquet(opts("left")), spark.read.parquet(opts("right")),
+        write(MergeOps.mergeGdf(in("left"), in("right"),
           on = on, how = opts.getOrElse("how", "inner")))
 
       case "rasterize" =>
@@ -122,13 +187,11 @@ object Cli {
           opts("tie"), opts("value"), opts.getOrElse("gap-sec", "1800").toLong))
 
       case "asof" =>
-        write(Temporal.asofJoin(
-          spark.read.parquet(opts("left")), spark.read.parquet(opts("right")),
+        write(Temporal.asofJoin(in("left"), in("right"),
           opts("key"), opts("time"), opts("payload").split(",").toSeq))
 
       case other => sys.error(s"unknown command: $other")
     }
-  }
 
   private def parseOpts(args: Array[String]): Map[String, String] =
     args.grouped(2).map {

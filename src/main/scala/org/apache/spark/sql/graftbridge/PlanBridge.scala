@@ -51,6 +51,11 @@ object PlanBridge {
       case _ => ()
     }
 
+  /** Non-blocking Observation read (Observation.get blocks forever when
+    * the optimizer pruned the observed subtree; getOrEmpty is private[sql]).
+    * Empty map until the observed frame's job completes. */
+  def observedMetrics(o: Observation): Map[String, Any] = o.getOrEmpty
+
   /** Register a function on a LIVE session (the extensions path only
     * applies at session construction). */
   def registerFunction(

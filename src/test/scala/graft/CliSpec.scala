@@ -123,6 +123,34 @@ class CliSpec extends SparkSpec {
     assert(asof === Map(1L -> Some(1.5), 2L -> None))
   }
 
+  test("cli --log writes a JSON-lines run log whose counts match the data") {
+    val base = tmp()
+    val log = s"$base/run.jsonl"
+    Cli.run(spark, "extract", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> s"$base/out",
+      "beam-col" -> "event_type", "beams" -> "click,purchase",
+      "log" -> log))
+    // a failing command must log too
+    intercept[Exception] {
+      Cli.run(spark, "extract", Map(
+        "input" -> s"$base/nope_does_not_exist", "output" -> s"$base/out2",
+        "log" -> log))
+    }
+    val entries = spark.read.json(log).orderBy("status").collect()
+    assert(entries.length === 2)
+    val err = entries.head
+    assert(err.getAs[String]("status") === "error" &&
+      err.getAs[String]("command") === "extract")
+    val ok = entries.last
+    assert(ok.getAs[String]("status") === "ok")
+    // observed counts ride the write job — they must equal the real counts
+    val nIn = Tables.load(spark, sfDir, "events").count()
+    val nOut = spark.read.parquet(s"$base/out").count()
+    assert(ok.getAs[Long]("n_input") === nIn)
+    assert(ok.getAs[Long]("n_output") === nOut)
+    assert(ok.getAs[Double]("wall_sec") >= 0.0)
+  }
+
   test("cli rasterize buckets points") {
     val out = tmp() + "/ras"
     Cli.run(spark, "rasterize", Map(
