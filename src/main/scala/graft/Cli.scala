@@ -144,9 +144,16 @@ object Cli {
           on = on, how = opts.getOrElse("how", "inner")))
 
       case "rasterize" =>
-        write(GeoOps.rasterize(in("input"),
-          col(opts("x")), col(opts("y")), opts("res").toDouble,
-          Seq("n" -> count(lit(1)), "sum" -> sum(col(opts("sum"))))))
+        val res = opts("res").toDouble
+        val cells = GeoOps.rasterize(in("input"),
+          col(opts("x")), col(opts("y")), res,
+          Seq("n" -> count(lit(1)), "sum" -> sum(col(opts("sum")))))
+        write(cells)
+        // optional raster materialization: one ESRI ASCII grid per band
+        opts.get("asc").foreach { dir =>
+          graft.sources.GeoIO.writeAsciiGrids(
+            spark.read.parquet(opts("output")), Seq("n", "sum"), res, dir)
+        }
 
       case "manifest" =>
         val bbox = opts.get("bbox").map { b =>

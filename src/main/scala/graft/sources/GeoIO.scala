@@ -62,6 +62,63 @@ object GeoIO {
     (restored, meta)
   }
 
+  /** Materialize rasterized cells (GeoOps.rasterize output: cy, cx, bands)
+    * as ESRI ASCII grid files — one `<name>.asc` per measurement band, the
+    * public raster interchange format every GIS reads. This closes the
+    * reference's grid-output path (xr.py:144-174 returns an xarray Dataset
+    * with one band per measurement that users save as raster).
+    *
+    * Scale contract (same as the reference's): the CELL AGGREGATION is the
+    * distributed part — rasterize shuffles once on the low-cardinality cell
+    * key; a single raster grid is an AOI-sized artifact materialized on the
+    * driver exactly like the reference's in-memory xarray. `maxCells`
+    * guards against accidentally materializing a continent at 1 m
+    * resolution (fail loudly; re-rasterize coarser or per-AOI). */
+  def writeAsciiGrids(cells: DataFrame, bands: Seq[String], res: Double,
+                      outDir: String, nodata: Double = -9999.0,
+                      maxCells: Long = 16000000L): Seq[String] = {
+    val rows = cells
+      .select((Seq(col("cy"), col("cx")) ++ bands.map(b => col(b).cast("double"))): _*)
+      .collect()
+    require(rows.nonEmpty, "writeAsciiGrids: no cells to rasterize")
+    val cys = rows.map(_.getLong(0))
+    val cxs = rows.map(_.getLong(1))
+    val (y0, y1, x0, x1) = (cys.min, cys.max, cxs.min, cxs.max)
+    val ncols = x1 - x0 + 1
+    val nrows = y1 - y0 + 1
+    require(ncols * nrows <= maxCells,
+      s"writeAsciiGrids: grid ${ncols}x$nrows exceeds maxCells=$maxCells — " +
+      "rasterize at a coarser resolution or split per AOI")
+    Files.createDirectories(Paths.get(outDir))
+    bands.zipWithIndex.map { case (band, bi) =>
+      val grid = Array.fill((nrows * ncols).toInt)(nodata)
+      rows.foreach { r =>
+        if (!r.isNullAt(2 + bi))
+          // ASCII grid rows run north (max cy) to south
+          grid(((y1 - r.getLong(0)) * ncols + (r.getLong(1) - x0)).toInt) =
+            r.getDouble(2 + bi)
+      }
+      val sb = new StringBuilder
+      sb.append(s"ncols $ncols\n").append(s"nrows $nrows\n")
+        .append(s"xllcorner ${x0 * res}\n").append(s"yllcorner ${y0 * res}\n")
+        .append(s"cellsize $res\n").append(s"NODATA_value $nodata\n")
+      var i = 0
+      while (i < nrows) {
+        var j = 0
+        while (j < ncols) {
+          if (j > 0) sb.append(' ')
+          sb.append(grid((i * ncols + j).toInt))
+          j += 1
+        }
+        sb.append('\n')
+        i += 1
+      }
+      val p = Paths.get(outDir, s"$band.asc")
+      Files.writeString(p, sb.toString)
+      p.toString
+    }
+  }
+
   /** Parse the sidecar (tiny fixed-shape JSON — no JSON lib dependency). */
   def readMeta(path: String): GeoMeta = {
     val raw = Files.readString(Paths.get(path, "_geo.json"))

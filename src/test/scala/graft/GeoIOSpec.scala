@@ -70,6 +70,49 @@ class GeoIOSpec extends SparkSpec {
     assert(e2.getMessage.contains("disjoint"), e2.getMessage)
   }
 
+  test("ascii grid raster round-trips rasterized cells with NODATA fill") {
+    import spark.implicits._
+    val pts = Seq(
+      (12.0, 31.0, 1.0), (13.0, 31.0, 2.0), (14.0, 44.0, 3.0),
+      (37.0, 31.0, 4.0), (12.5, 31.5, 5.0))
+      .toDF("x", "y", "v")
+    val res = 25.0
+    val cells = graft.operators.GeoOps.rasterize(pts, col("x"), col("y"), res,
+      Seq("n" -> count(lit(1)), "sum" -> sum(col("v"))))
+    val dir = Files.createTempDirectory("graft_asc").toString
+    val written = GeoIO.writeAsciiGrids(cells, Seq("n", "sum"), res, dir)
+    assert(written.map(_.split("/").last).toSet === Set("n.asc", "sum.asc"))
+
+    val lines = Files.readAllLines(java.nio.file.Paths.get(dir, "sum.asc"))
+    val header = (0 until 6).map(lines.get(_).split("\\s+")).map(a => a(0) -> a(1)).toMap
+    // cells: cx in {0 (x<25), 1 (x>=25)}, cy in {1 (y 31ish), 1 (44/25=1)}
+    // all y in [31,44] -> cy=1 only; so 1 row, 2 cols
+    assert(header("ncols") === "2" && header("nrows") === "1")
+    assert(header("xllcorner").toDouble === 0.0)
+    assert(header("yllcorner").toDouble === 25.0)
+    assert(header("cellsize").toDouble === res)
+    val row = lines.get(6).split(" ").map(_.toDouble)
+    assert(row(0) === (1.0 + 2.0 + 3.0 + 5.0)) // cx=0 sum
+    assert(row(1) === 4.0)                     // cx=1 sum
+
+    // NODATA fill: add an isolated far cell -> gaps become nodata
+    val sparse = graft.operators.GeoOps.rasterize(
+      pts.union(Seq((112.0, 31.0, 9.0)).toDF("x", "y", "v")),
+      col("x"), col("y"), res, Seq("sum" -> sum(col("v"))))
+    GeoIO.writeAsciiGrids(sparse, Seq("sum"), res, dir)
+    val l2 = Files.readAllLines(java.nio.file.Paths.get(dir, "sum.asc"))
+    val r2 = l2.get(6).split(" ").map(_.toDouble)
+    assert(r2.length === 5) // cx 0..4
+    assert(r2(2) === -9999.0 && r2(3) === -9999.0) // empty middle cells
+    assert(r2(4) === 9.0)
+
+    // the size guard fails loudly instead of materializing a continent
+    val e = intercept[IllegalArgumentException] {
+      GeoIO.writeAsciiGrids(sparse, Seq("sum"), res, dir, maxCells = 3)
+    }
+    assert(e.getMessage.contains("maxCells"))
+  }
+
   test("bucketed merge joins without any shuffle exchange") {
     val l = Tables.load(spark, sfDir, "lineitem")
     val l2a = l.filter(col("l_linenumber") === 1).select(
