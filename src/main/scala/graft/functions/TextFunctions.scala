@@ -130,6 +130,20 @@ object TextFunctions {
   def bigramsSql(toks: String): String =
     s"list_transform(range(1, len($toks)), i -> $toks[i] || ' ' || $toks[i + 1])"
 
+  /** Sorted distinct 64-bit hashes of the text's n-token shingles (native
+    * one-pass kernel). Joins/counts over these match joins/counts over the
+    * gram STRINGS (what the oracle computes) up to ~2^-64 collisions. */
+  def ngramHashes(text: Column, n: Int): Column =
+    PlanBridge.column(Exprs.SortedNgramHashes(PlanBridge.expression(text), n))
+
+  /** DuckDB n-gram STRINGS for a token-list expression (1-based list
+    * indexing; empty below n tokens). */
+  def ngramsSql(toks: String, n: Int): String = {
+    val concat = (0 until n).map(g => s"$toks[i + $g]")
+      .mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($toks) - ${n - 1}, 0) + 1), i -> $concat)"
+  }
+
   /** Hamming distance between two simhash values (bit-count of xor). */
   def hamming(a: Column, b: Column, bits: Int): Column =
     (0 until bits).map { p =>

@@ -245,6 +245,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
   }
 
+  /** Benchmark decontamination — the standard pre-training hygiene pass:
+    * find corpus documents sharing any n-token shingle with a benchmark /
+    * eval set, so eval data can be excluded from the training mix.
+    * Returns (doc_id, n_shared_grams) for contaminated documents only;
+    * removal is a left-anti join against this frame.
+    *
+    * Scale shape: both sides reduce to sorted-distinct 8-byte gram hashes
+    * in one narrow kernel pass — raw text never shuffles. The benchmark
+    * side is tiny by construction (eval sets are MBs against a 100 TB
+    * corpus), so its distinct gram set BROADCASTS and the corpus-side
+    * probe is map-side: explode grams, hash-probe the broadcast set,
+    * aggregate only the surviving (doc, gram) matches. No corpus shuffle
+    * of gram data at any scale; the only shuffle is the final groupBy
+    * over matched docs (contamination-sized, not corpus-sized). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val bg = benchmark
+      .select(explode(TextFunctions.ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val cg = corpus.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.ngramHashes(col(textCol), n)).as("g"))
+    // per-doc grams are already distinct (sorted-distinct kernel), so the
+    // match count IS the distinct shared-gram count
+    cg.join(broadcast(bg), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the full-document
     * polynomial hash plus the min/count over bigram-shingle hashes — the
     * k-gram fingerprint set collapsed to its winnowed representative. */

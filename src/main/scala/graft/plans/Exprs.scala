@@ -138,6 +138,20 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Sorted distinct n-token shingle hashes of a text (one pass). */
+  case class SortedNgramHashes(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "ngram size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_sorted_ngram_hashes"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.sortedNgramHashes(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.sortedNgramHashes($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): SortedNgramHashes =
+      copy(child = newChild)
+  }
+
   /** |a ∩ b| for sorted distinct long arrays (two-pointer merge). */
   case class SortedIntersectSizeLong(left: Expression, right: Expression)
       extends BinaryExpression {

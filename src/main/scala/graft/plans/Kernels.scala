@@ -201,6 +201,39 @@ object Kernels {
     new GenericArrayData(java.util.Arrays.copyOf(hs, n))
   }
 
+  /** Sorted distinct 64-bit hashes of a text's n-token shingles, one pass
+    * (the n-gram generalization of sortedGramHashes; same unreduced
+    * 31-polynomial over the space-joined gram chars, ~2^-64 pairwise
+    * collision, so joins/counts over these equal joins/counts over the
+    * gram strings the oracle computes). Empty for < n tokens. */
+  def sortedNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i < hs.length) {
+      var h = 0L
+      var g = 0
+      while (g < n) {
+        if (g > 0) h = h * 31L + ' '.toLong
+        val t = toks(i + g)
+        var j = 0
+        while (j < t.length) { h = h * 31L + t.charAt(j); j += 1 }
+        g += 1
+      }
+      hs(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    i = 0
+    while (i < hs.length) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(m) = hs(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, m))
+  }
+
   /** |a ∩ b| for two sorted distinct long arrays (two-pointer merge). */
   def sortedIntersectSizeLong(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()

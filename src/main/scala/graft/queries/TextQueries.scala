@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.TextFunctions.{bigramsSql, charHashSql, tokensSql}
+import graft.functions.TextFunctions.{bigramsSql, charHashSql, ngramsSql, tokensSql}
 import graft.operators.{Sampling, TextOps}
 
 /** SURVEY §2.3 — text-analysis operators over the documents table, each
@@ -216,6 +216,29 @@ object TextQueries {
           "SELECT bucket, CAST(floor(prev_tok / 256.0) AS BIGINT) AS seq_id, " +
           "count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens " +
           "FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id"
+      }),
+
+    // Benchmark decontamination: corpus docs sharing any 3-token shingle
+    // with the "eval" slice (doc_id % 20 == 0). Spark joins 64-bit gram
+    // hashes against the broadcast benchmark gram set; the oracle joins
+    // the gram STRINGS — identical results up to ~2^-64 hash collisions.
+    Q("q_decontaminate",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.decontaminate(
+          all.filter(col("doc_id") % 20 =!= 0),
+          all.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3)
+          .orderBy("doc_id")
+      },
+      Some {
+        val grams = ngramsSql(tokensSql("text"), 3)
+        s"WITH bg AS (SELECT DISTINCT g FROM (SELECT unnest($grams) AS g " +
+          "FROM documents WHERE doc_id % 20 = 0) t), " +
+          "cg AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, " +
+          s"unnest($grams) AS g FROM documents WHERE doc_id % 20 <> 0) t) " +
+          "SELECT doc_id, count(*) AS n_shared_grams FROM cg JOIN bg USING (g) " +
+          "GROUP BY doc_id ORDER BY doc_id"
       }),
 
     // Rolling-hash fingerprint: doc hash + winnowed bigram-shingle hash.

@@ -86,6 +86,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate matches brute-force n-gram overlap and broadcasts the benchmark") {
+    val all = docs.limit(200)
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val got = TextOps.decontaminate(corpus, bench, "doc_id", "text", n = 3)
+    // brute force over gram STRINGS
+    def grams(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = bench.select("text").collect()
+      .flatMap(r => grams(r.getString(0))).toSet
+    val expect = corpus.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (grams(r.getString(1)) & benchGrams).size)
+      .filter(_._2 > 0).toMap
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(gotMap === expect)
+    assert(gotMap.nonEmpty, "fixture slice should contain contamination")
+    // the benchmark side must broadcast (map-side probe, no corpus shuffle)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("fingerprint: equal texts hash equal, doc_hash matches Scala fold") {
     val fp = TextOps.fingerprint(docs.limit(50), "text")
       .select("doc_id", "doc_hash", "n_kgrams", "min_kgram_hash").collect()
