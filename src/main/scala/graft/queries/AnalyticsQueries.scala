@@ -223,11 +223,19 @@ object AnalyticsQueries {
     // the scale path. SketchSpec holds the tighter rsd-level bound.
     Q("q_hll_distinct",
       (s, d) => Tables.load(s, d, "events")
+        // two-level distinct instead of countDistinct-with-other-aggs:
+        // the latter plans an Expand (duplicates every input row per
+        // distinct group — a scale smell); pre-aggregating on the pair
+        // collapses the input map-side, then the second agg counts pairs.
+        // The HLL merges over the distinct pairs — identical estimate
+        // (HLL of a set == HLL of the multiset).
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n_events"))
+          count(lit(1)).as("exact_users"),
+          sum(col("n")).as("n_events"))
         .select(col("event_type"), col("exact_users"), col("n_events"),
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * lit(0.05)).as("hll_within_5pct"))
