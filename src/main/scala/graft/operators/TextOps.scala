@@ -273,6 +273,32 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Compile a benchmark set to its sorted distinct gram-hash array
+    * (driver-side, ONCE — eval sets are MBs, their gram set is a
+    * broadcast-sized constant). Feed to [[decontaminateFilter]]. */
+  def benchmarkGrams(benchmark: DataFrame, textCol: String, n: Int = 13): Array[Long] =
+    benchmark
+      .select(explode(TextFunctions.ngramHashes(col(textCol), n)).as("g"))
+      .distinct().orderBy("g")
+      .collect().map(_.getLong(0))
+
+  /** Row-level decontamination: stamp each doc with its shared-gram count
+    * against a COMPILED benchmark gram set (plan-time constant, probed by
+    * the native two-pointer intersect inside codegen — zero joins, zero
+    * shuffles, zero state). This is the form a streaming ingest deploys
+    * (works identically on readStream frames in append mode); the batch
+    * [[decontaminate]] is the set-vs-set form for ad-hoc audits. */
+  def decontaminateFilter(df: DataFrame, textCol: String,
+                          benchGrams: Array[Long], n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    require(benchGrams.sameElements(benchGrams.sorted.distinct),
+      "benchGrams must be sorted distinct (use benchmarkGrams)")
+    val shared = PlanBridge.column(graft.plans.Exprs.SortedIntersectSizeLong(
+      PlanBridge.expression(TextFunctions.ngramHashes(col(textCol), n)),
+      PlanBridge.expression(typedlit(benchGrams.toSeq))))
+    df.withColumn("n_shared_grams", shared)
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the full-document
     * polynomial hash plus the min/count over bigram-shingle hashes — the
     * k-gram fingerprint set collapsed to its winnowed representative. */

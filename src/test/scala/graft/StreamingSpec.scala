@@ -40,6 +40,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontamination filter is stateless: streaming flags equal the batch join") {
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_d")
+    java.nio.file.Files.createDirectory(staged.resolve("documents.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet").resolve("part-00000.parquet"))
+    val all = Tables.load(spark, sfDir, "documents")
+    val bench = all.filter(col("doc_id") % 10 === 0)
+    // compile the benchmark ONCE driver-side (the streaming deployment form)
+    val grams = graft.operators.TextOps.benchmarkGrams(bench, "text", n = 3)
+    assert(grams.nonEmpty)
+    val stream = Tables.loadStream(spark, staged.toString, "documents")
+      .filter(col("doc_id") % 10 =!= 0)
+    val q = graft.operators.TextOps
+      .decontaminateFilter(stream, "text", grams, n = 3)
+      .select("doc_id", "n_shared_grams")
+      .writeStream.format("memory").queryName("decon_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("decon_parity").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // parity 1: every doc appears, clean docs carry 0
+      assert(streamed.size === all.filter(col("doc_id") % 10 =!= 0).count())
+      // parity 2: nonzero counts equal the batch set-vs-set operator
+      val batch = graft.operators.TextOps.decontaminate(
+        all.filter(col("doc_id") % 10 =!= 0), bench, "doc_id", "text", n = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.filter(_._2 > 0) === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stratified sampling is stateless: streaming output equals the batch filter") {
     val staged = java.nio.file.Files.createTempDirectory("graft_stream_s")
     java.nio.file.Files.createDirectory(staged.resolve("documents.parquet"))
