@@ -72,4 +72,70 @@ class WorkflowSpec extends SparkSpec {
     assert(west.count() ===
       tagged.filter(col("aoi") === "aoi_west").count())
   }
+
+  test("granule files to raster: ingest both products, merge, grid write") {
+    val dir = Files.createTempDirectory("graft_flow2").toString
+    def writeGranule(sub: String, name: String,
+                     layers: Seq[(String, Seq[String])]): Unit = {
+      val sb = new StringBuilder
+      layers.foreach { case (layer, vals) =>
+        sb.append(s"BEAM0101 $layer ${vals.mkString(" ")}\n")
+      }
+      val p = java.nio.file.Paths.get(dir, sub, name)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, sb.toString)
+    }
+    val n = 4
+    val shots = (0 until n).map(i => (100 + i).toString)
+    val lats = (0 until n).map(i => (10.0 + i).toString)
+    val lons = (0 until n).map(i => (20.0 + i).toString)
+    val ones = Seq.fill(n)("1")
+    val zeros = Seq.fill(n)("0")
+    val flat = Seq.fill(n)("100.0")
+    // the two products cover the SAME shots at the same acquisition
+    writeGranule("a", "GEDI02_A_2019170155833_O1_T1_02_001_01.h5", Seq(
+      "shot_number" -> shots, "lat_lowestmode" -> lats,
+      "lon_lowestmode" -> lons, "elev_lowestmode" -> flat,
+      "digital_elevation_model" -> flat, "degrade_flag" -> zeros,
+      "quality_flag" -> ones, "sensitivity" -> Seq.fill(n)("0.9"),
+      "num_detectedmodes" -> ones,
+      "rh" -> (0 until n).map(i => (0 to 100).map(b => b * (i + 1) / 1e4).mkString(","))))
+    writeGranule("b", "GEDI02_B_2019170155833_O1_T1_02_001_01.h5", Seq(
+      "shot_number" -> shots, "geolocation/lat_lowestmode" -> lats,
+      "geolocation/lon_lowestmode" -> lons,
+      "geolocation/elev_lowestmode" -> flat,
+      "geolocation/digital_elevation_model" -> flat,
+      "geolocation/degrade_flag" -> zeros, "l2b_quality_flag" -> ones,
+      "sensitivity" -> Seq.fill(n)("0.9"), "num_detectedmodes" -> ones,
+      "cover" -> Seq.fill(n)("0.5"), "fhd_normal" -> Seq.fill(n)("1.1"),
+      "pai" -> (0 until n).map(i => (1.0 + i).toString),
+      "rh100" -> Seq.fill(n)("30.0")))
+
+    val (l2a, e1) = graft.sources.Ingest.ingest(spark, s"$dir/a", "L2A",
+      applyQualityFilter = true)
+    val (l2b, e2) = graft.sources.Ingest.ingest(spark, s"$dir/b", "L2B",
+      applyQualityFilter = true)
+    assert(e1.value === 0 && e2.value === 0)
+    assert(l2a.count() === n && l2b.count() === n)
+    assert(l2a.columns.contains("rh98") && l2b.columns.contains("pai"))
+
+    // products merge on (shot, acq_time) — acq_time came from each
+    // granule's filename and must line up across products
+    val merged = MergeOps.mergeGdf(
+      l2a.select("shot", "acq_time", "longitude", "latitude", "rh98"),
+      l2b.select("shot", "acq_time", "pai", "tcc"),
+      on = Seq("shot", "acq_time"))
+    assert(merged.count() === n)
+
+    val cells = GeoOps.rasterize(merged,
+      col("longitude"), col("latitude"), 2.0,
+      Seq("n" -> count(lit(1)), "mean_rh98" -> avg(col("rh98")),
+        "mean_pai" -> avg(col("pai"))))
+    val files = GeoIO.writeAsciiGrids(cells, Seq("mean_rh98", "mean_pai"),
+      2.0, s"$dir/asc")
+    assert(files.map(_.split("/").last).toSet ===
+      Set("mean_rh98.asc", "mean_pai.asc"))
+    val asc = Files.readString(java.nio.file.Paths.get(s"$dir/asc", "mean_pai.asc"))
+    assert(asc.startsWith("ncols") && asc.contains("cellsize 2.0"))
+  }
 }
