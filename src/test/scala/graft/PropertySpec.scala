@@ -56,6 +56,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: sortedNgramHashes == hashed distinct gram strings, any n") {
+    val word = Gen.choose(1, 3).flatMap(l =>
+      Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
+    val text = Gen.choose(0, 12).flatMap(k =>
+      Gen.listOfN(k, word).map(_.mkString(" ")))
+    def hash64(s: String): Long =
+      s.foldLeft(0L)((a, c) => a * 31 + c.toLong) // unreduced, like the kernel
+    check(Prop.forAll(text, Gen.choose(1, 4)) { (t, n) =>
+      val got = Kernels.sortedNgramHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), n)
+      val toks = t.split(" ", -1)
+      val model =
+        if (toks.length < n) Array.emptyLongArray
+        else toks.sliding(n).map(g => hash64(g.mkString(" ")))
+          .toArray.distinct.sorted
+      (0 until got.numElements()).map(got.getLong).toSeq == model.toSeq
+    })
+  }
+
   test("property: PIP kernel == independent ray-cast for random polygons/points") {
     val coord = Gen.choose(-10.0, 10.0)
     val vertex = Gen.zip(coord, coord)
