@@ -15,7 +15,8 @@ import graft.sources.Manifest
   *             [--months lo,hi] [--quality 1] [--vars out=layer,...]
   *   extract   --input P --output P [--beam-col c --beams a,b]
   *             [--ts-col c --months lo,hi] [--vars out=src,...]
-  *   subset    --input P --output P --x c --y c --bbox x0,x1,y0,y1
+  *   subset    --input P --output P --x c --y c
+  *             (--bbox x0,x1,y0,y1 | --aoi file.geojson  -> per-AOI dirs)
   *   merge     --left P --right P --output P [--on k1,k2] [--how inner]
   *   rasterize --input P --output P --x c --y c --res R --sum c
   *   manifest  --input P --output P [--product PAT] [--months lo,hi]
@@ -134,9 +135,18 @@ object Cli {
         write(df)
 
       case "subset" =>
-        val Array(x0, x1, y0, y1) = opts("bbox").split(",").map(_.toDouble)
-        write(in("input").filter(graft.functions.GeoFunctions.inBbox(
-          col(opts("x")), col(opts("y")), (x0, x1, y0, y1))))
+        opts.get("aoi") match {
+          case Some(geojson) =>
+            // vector-file subsetting (ref prepare_vec + per-AOI outputs):
+            // one tagged pass, partitioned write = one directory per AOI
+            val aois = graft.sources.GeoIO.readAoiGeoJson(spark, geojson)
+            GeoOps.writePerAoi(GeoOps.multiAoiPolygon(in("input"),
+              col(opts("x")), col(opts("y")), aois), opts("output"))
+          case None =>
+            val Array(x0, x1, y0, y1) = opts("bbox").split(",").map(_.toDouble)
+            write(in("input").filter(graft.functions.GeoFunctions.inBbox(
+              col(opts("x")), col(opts("y")), (x0, x1, y0, y1))))
+        }
 
       case "merge" =>
         val on = opts.getOrElse("on", "shot,acq_time").split(",").toSeq

@@ -62,6 +62,34 @@ object GeoIO {
     (restored, meta)
   }
 
+  /** AOI vector-file input — ref ancillary.py:121-154 `prepare_vec`: each
+    * feature of a vector file becomes a named subsetting polygon (name =
+    * file stem, or stem_i for multi-feature files). The engine-neutral
+    * public format here is GeoJSON (a FeatureCollection of Polygons in
+    * EPSG:4326), parsed by Spark's own JSON reader — no extra dependency.
+    * Returns (name, outer ring) pairs ready for GeoOps.multiAoiPolygon.
+    * The AOI list is driver-sized by contract (it becomes a plan-time
+    * constant in the broadcast multi-AOI scan), exactly like the
+    * reference's in-memory AOI dict. */
+  def readAoiGeoJson(spark: SparkSession, path: String): Seq[(String, Seq[(Double, Double)])] = {
+    val stem = path.split("/").last.split("\\.").head
+    val feats = spark.read.option("multiLine", "true").json(path)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("features")).as("f"))
+      .select(org.apache.spark.sql.functions.col("f.geometry.type").as("t"),
+        org.apache.spark.sql.functions.col("f.geometry.coordinates").as("c"))
+      .collect()
+    require(feats.nonEmpty, s"no features in $path")
+    feats.zipWithIndex.map { case (r, i) =>
+      require(r.getString(0) == "Polygon",
+        s"feature $i of $path is ${r.getString(0)} — only Polygon AOIs are supported")
+      val rings = r.getAs[collection.Seq[collection.Seq[collection.Seq[Double]]]]("c")
+      val ring = rings.head.map(p => (p.head, p(1))).toSeq // outer ring, (lon, lat)
+      val name = if (feats.length > 1) s"${stem}_$i" else stem
+      (name, ring)
+    }.toSeq
+  }
+
   /** Materialize rasterized cells (GeoOps.rasterize output: cy, cx, bands)
     * as ESRI ASCII grid files — one `<name>.asc` per measurement band, the
     * public raster interchange format every GIS reads. This closes the

@@ -194,6 +194,10 @@ object Ingest {
              applyQualityFilter: Boolean = false): (DataFrame, LongAccumulator) = {
     val paths = Manifest.discover(spark, root, GediCatalog.granulePattern(product))
       .select("path").collect().map(_.getString(0)).toSeq.sorted
+    // ref extract.py:130-132 raises when the directory holds no granules
+    if (paths.isEmpty)
+      throw new IllegalArgumentException(
+        s"no $product granule files (${GediCatalog.granulePattern(product)}) found under $root")
     val beams = GediCatalog.beamGroups.getOrElse(beamGroup.toLowerCase,
       beamGroup.split(",").toSeq)
     val vars = GediCatalog.defaultBase(product) ++

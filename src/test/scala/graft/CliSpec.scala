@@ -36,6 +36,24 @@ class CliSpec extends SparkSpec {
         .filter(col("value").between(10, 20)).count())
   }
 
+  test("cli subset --aoi fans out per-AOI directories from a geojson file") {
+    val base = tmp()
+    val geojson =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{},
+        | "geometry":{"type":"Polygon","coordinates":[[[5.5,5.5],[80.5,5.5],[80.5,80.5],[5.5,80.5],[5.5,5.5]]]}}
+        |]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(base, "zone.geojson"), geojson)
+    Cli.run(spark, "subset", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> s"$base/out",
+      "x" -> "value", "y" -> "value", "aoi" -> s"$base/zone.geojson"))
+    val got = spark.read.parquet(s"$base/out")
+    assert(got.columns.contains("aoi"))
+    assert(got.filter(col("aoi") === "zone").count() ===
+      Tables.load(spark, sfDir, "events")
+        .filter(col("value") > 5.5 && col("value") < 80.5).count())
+  }
+
   test("cli merge suffixes and joins the two sides") {
     import spark.implicits._
     val base = tmp()

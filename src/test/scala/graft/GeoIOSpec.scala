@@ -70,6 +70,32 @@ class GeoIOSpec extends SparkSpec {
     assert(e2.getMessage.contains("disjoint"), e2.getMessage)
   }
 
+  test("geojson AOI reader feeds the multi-AOI polygon subset") {
+    val dir = Files.createTempDirectory("graft_aoi").toString
+    val geojson =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{"id":"west"},
+        | "geometry":{"type":"Polygon","coordinates":[[[-100.5,-40.5],[-60.5,-40.5],[-60.5,40.5],[-100.5,40.5],[-100.5,-40.5]]]}},
+        |{"type":"Feature","properties":{"id":"east"},
+        | "geometry":{"type":"Polygon","coordinates":[[[20.5,-40.5],[60.5,-40.5],[60.5,40.5],[20.5,40.5],[20.5,-40.5]]]}}
+        |]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(dir, "zones.geojson"), geojson)
+    val aois = GeoIO.readAoiGeoJson(spark, s"$dir/zones.geojson")
+    assert(aois.map(_._1) === Seq("zones_0", "zones_1"))
+    assert(aois.head._2.length === 5)
+
+    val shots = graft.queries.Shots.df(spark, sfDir)
+    val tagged = graft.operators.GeoOps.multiAoiPolygon(
+      shots, col("lon"), col("lat"), aois)
+    val counts = tagged.groupBy("aoi").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rectangles: membership must equal the bbox predicate
+    val westExpect = shots.filter(
+      col("lon") > -100.5 && col("lon") < -60.5 && col("lat") > -40.5 && col("lat") < 40.5).count()
+    assert(counts.getOrElse("zones_0", 0L) === westExpect)
+    assert(counts.getOrElse("zones_1", 0L) > 0)
+  }
+
   test("ascii grid raster round-trips rasterized cells with NODATA fill") {
     import spark.implicits._
     val pts = Seq(

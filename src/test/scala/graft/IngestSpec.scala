@@ -118,6 +118,14 @@ class IngestSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("an empty granule directory fails loudly like the reference") {
+    val empty = Files.createTempDirectory("graft_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      Ingest.ingest(spark, empty, "L2A")
+    }
+    assert(e.getMessage.contains("no L2A granule files"))
+  }
+
   test("cli ingest writes shots parquet from a granule directory") {
     val root = fixtureRoot()
     val out = Files.createTempDirectory("graft_ingest_out").toString + "/shots"
