@@ -74,9 +74,7 @@ object Bench {
       s""""$k":${math.round(w / b * 100) / 100.0}"""
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      val esc = e.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\x00-\\x1f]", " ")
-      s""""$k":"$esc""""
+      RunLog.toJson(Seq(k -> e)).stripPrefix("{").stripSuffix("}")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
     val json =

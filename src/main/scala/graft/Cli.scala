@@ -72,10 +72,18 @@ object Cli {
         else df
       out.write.mode("overwrite").parquet(opts("output"))
     }
-    // -1 = the plan never materialized this observation (e.g. a pruned side)
-    def metric(o: org.apache.spark.sql.Observation): Long =
-      org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(o)
-        .get("n_rows").map(_.asInstanceOf[Long]).getOrElse(-1L)
+    // Observed metrics arrive via the async listener bus, which can lag
+    // the action's return — poll briefly before concluding the plan never
+    // materialized the observation (-1, e.g. an optimizer-pruned side).
+    def metric(o: org.apache.spark.sql.Observation): Long = {
+      val deadline = System.nanoTime() + 3000000000L // 3s
+      var m = org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(o)
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        m = org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(o)
+      }
+      m.get("n_rows").map(_.asInstanceOf[Long]).getOrElse(-1L)
+    }
     def wallSec: Double = math.round((System.nanoTime() - t0) / 1e7) / 100.0
 
     try {
@@ -86,9 +94,13 @@ object Cli {
         "wall_sec" -> wallSec)))
     } catch {
       case e: Throwable =>
-        logPath.foreach(RunLog.append(_, Seq(
-          "command" -> cmd, "status" -> "error",
-          "error" -> e.toString.take(300), "wall_sec" -> wallSec)))
+        // a log-write failure must not replace the real command failure
+        logPath.foreach { p =>
+          try RunLog.append(p, Seq(
+            "command" -> cmd, "status" -> "error",
+            "error" -> e.toString.take(300), "wall_sec" -> wallSec))
+          catch { case le: Throwable => e.addSuppressed(le) }
+        }
         throw e
     }
   }

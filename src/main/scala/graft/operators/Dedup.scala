@@ -174,7 +174,10 @@ object Dedup {
     }
     if (last.forall(cur < _)) {
       // exited on the iteration cap while the label sum was still
-      // dropping: the components are NOT final
+      // dropping: the components are NOT final — release the checkpoint
+      // blocks (nobody will consume them) and fail
+      PlanBridge.unpersistLocalCheckpoint(adj)
+      PlanBridge.unpersistLocalCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in maxIter=$maxIter rounds " +
         "(label sum still decreasing). The pair graph has diameter > " +

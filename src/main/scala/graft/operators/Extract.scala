@@ -28,10 +28,16 @@ object Extract {
     df.filter(month(col(tsCol)).between(lo, hi))
   }
 
-  /** Acquisition-time parse out of a granule id — ref extract.py:232-236:
-    * `[AB]_` + 13 digits in `%Y%j%H%M%S` (day-of-year) format. */
+  /** Granule filename date contract — ref extract.py:232-236: `[AB]_` +
+    * 13 digits in `%Y%j%H%M%S` (day-of-year) format. ONE definition,
+    * shared by the column-side parse below and Ingest's driver-side
+    * month pruning, so the two paths can't desynchronize. */
+  val granuleIdDatePattern: String = "[AB]_([0-9]{13})"
+  val granuleDateFormat: String = "yyyyDDDHHmmss"
+
+  /** Acquisition-time parse out of a granule id (column side). */
   def granuleDate(id: Column): Column =
-    to_timestamp(regexp_extract(id, "[AB]_([0-9]{13})", 1), "yyyyDDDHHmmss")
+    to_timestamp(regexp_extract(id, granuleIdDatePattern, 1), granuleDateFormat)
 
   /** Shot-number canonicalization: zero-pad to 18 chars — ref
     * extract.py:287-290. */

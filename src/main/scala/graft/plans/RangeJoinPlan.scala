@@ -53,14 +53,16 @@ case class PointIntervalJoinExec(left: SparkPlan, right: SparkPlan,
     val hiB = BindReferences.bindReference(hi, right.output)
     // Build-side guard: this operator collects the interval side to the
     // driver (like BroadcastExchange, which enforces its own 512m-row/8GB
-    // limit). An unguarded collect of a big interval side would OOM the
-    // driver silently — cap it and fail loudly naming the fallback.
-    val maxBuildRows = conf
-      .getConfString("spark.graft.rangeJoin.maxBuildRows", "5000000").toLong
-    val collected = right.executeCollect()
+    // limit). executeTake fetches partitions incrementally and stops at
+    // the cap, so an oversized build side fails loudly BEFORE the driver
+    // materializes it (a post-collect length check would OOM first).
+    val maxBuildRows = math.min(
+      conf.getConfString("spark.graft.rangeJoin.maxBuildRows", "5000000").toLong,
+      Int.MaxValue - 1L).toInt
+    val collected = right.executeTake(maxBuildRows + 1)
     if (collected.length > maxBuildRows) {
       throw new IllegalStateException(
-        s"PointIntervalJoin build side has ${collected.length} rows, over " +
+        s"PointIntervalJoin build side exceeds " +
         s"spark.graft.rangeJoin.maxBuildRows=$maxBuildRows. The intervals " +
         "side must be broadcast-small; for a large interval side fall back " +
         "to a plain non-equi join (BroadcastNestedLoopJoin) or pre-bucket " +

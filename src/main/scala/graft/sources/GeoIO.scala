@@ -76,8 +76,11 @@ object GeoIO {
     val feats = spark.read.option("multiLine", "true").json(path)
       .select(org.apache.spark.sql.functions.explode(
         org.apache.spark.sql.functions.col("features")).as("f"))
+      // whole-degree coordinates infer as bigint — cast to the double
+      // nesting unconditionally or getAs unboxes Long as Double and throws
       .select(org.apache.spark.sql.functions.col("f.geometry.type").as("t"),
-        org.apache.spark.sql.functions.col("f.geometry.coordinates").as("c"))
+        org.apache.spark.sql.functions.col("f.geometry.coordinates")
+          .cast("array<array<array<double>>>").as("c"))
       .collect()
     require(feats.nonEmpty, s"no features in $path")
     feats.zipWithIndex.map { case (r, i) =>
@@ -106,6 +109,9 @@ object GeoIO {
                       outDir: String, nodata: Double = -9999.0,
                       maxCells: Long = 16000000L): Seq[String] = {
     val rows = cells
+      // null cell keys come from null x/y input rows — no location means
+      // no raster cell (the parquet cell output keeps them; grids can't)
+      .filter(col("cy").isNotNull && col("cx").isNotNull)
       .select((Seq(col("cy"), col("cx")) ++ bands.map(b => col(b).cast("double"))): _*)
       .collect()
     require(rows.nonEmpty, "writeAsciiGrids: no cells to rasterize")

@@ -89,13 +89,16 @@ object Ingest {
       case (out, src) => VarPlan(out, src, layerKind(src), None)
     }
 
-  /** Granule filename date (ref extract.py:232-236: `[AB]_` + 13 digits,
-    * %Y%j%H%M%S). None when the name carries no date. */
+  /** Granule filename date, driver-side — the SAME pattern/format
+    * constants as Extract.granuleDate's column-side parse (one contract,
+    * two evaluation sites). None when the name carries no date. */
   def granuleDate(name: String): Option[java.time.LocalDateTime] = {
-    val m = java.util.regex.Pattern.compile("[AB]_([0-9]{13})").matcher(name)
+    val m = java.util.regex.Pattern
+      .compile(Extract.granuleIdDatePattern).matcher(name)
     if (!m.find()) None
     else scala.util.Try(java.time.LocalDateTime.parse(m.group(1),
-      java.time.format.DateTimeFormatter.ofPattern("yyyyDDDHHmmss"))).toOption
+      java.time.format.DateTimeFormatter.ofPattern(Extract.granuleDateFormat)))
+      .toOption
   }
 
   /** Ingest explicit granule paths. Returns the landing frame plus the

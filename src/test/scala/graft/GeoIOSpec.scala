@@ -84,6 +84,16 @@ class GeoIOSpec extends SparkSpec {
     assert(aois.map(_._1) === Seq("zones_0", "zones_1"))
     assert(aois.head._2.length === 5)
 
+    // whole-degree coordinates infer as bigint in Spark's JSON reader —
+    // the reader must still hand back doubles
+    Files.writeString(java.nio.file.Paths.get(dir, "int.geojson"),
+      """{"type":"FeatureCollection","features":[{"type":"Feature",
+        |"properties":{},"geometry":{"type":"Polygon",
+        |"coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]]]}}]}""".stripMargin)
+    val intAoi = GeoIO.readAoiGeoJson(spark, s"$dir/int.geojson")
+    assert(intAoi === Seq("int" -> Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0),
+      (0.0, 10.0), (0.0, 0.0))))
+
     val shots = graft.queries.Shots.df(spark, sfDir)
     val tagged = graft.operators.GeoOps.multiAoiPolygon(
       shots, col("lon"), col("lat"), aois)
