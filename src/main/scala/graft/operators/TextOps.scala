@@ -299,6 +299,31 @@ object TextOps {
     df.withColumn("n_shared_grams", shared)
   }
 
+  /** Corpus heavy hitters (vocabulary head): exact top-k terms by count,
+    * each stamped with whether the DataSketches frequent-items sketch
+    * (approx_top_k — mergeable, constant memory) also surfaced it. The
+    * exact path is the verification companion at test SF; at 100 TB the
+    * sketch IS the answer (one pass, no term shuffle beyond the sketch
+    * merge) and `maxTracked` is sized to the heavy-hitter threshold —
+    * frequent-items guarantees no false negatives above N/maxTracked. */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int = 10,
+                   maxTracked: Int = 100000): DataFrame = {
+    val toks = df.select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val top = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
+    // ask the sketch for a deeper head than k: equal-count ties at the
+    // top-k boundary are ordered arbitrarily by the sketch, so the
+    // containment claim (exact top-k ⊆ sketch head) needs slack
+    val sketchK = math.max(10 * k, 100)
+    val sketch = toks.agg(
+      expr(s"transform(approx_top_k(term, $sketchK, $maxTracked), x -> x.item)")
+        .as("approx_terms"))
+    top.crossJoin(sketch) // 1-row broadcast
+      .select(col("term"), col("cnt"),
+        array_contains(col("approx_terms"), col("term")).as("in_sketch"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the full-document
     * polynomial hash plus the min/count over bigram-shingle hashes — the
     * k-gram fingerprint set collapsed to its winnowed representative. */

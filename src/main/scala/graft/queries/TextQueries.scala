@@ -218,6 +218,16 @@ object TextQueries {
           "FROM c GROUP BY bucket, seq_id ORDER BY bucket, seq_id"
       }),
 
+    // Corpus heavy hitters: exact top-10 terms hash-verify; the
+    // frequent-items sketch's no-false-negative guarantee is the flag
+    // column the oracle pins to TRUE (same contract as the HLL/GK rows).
+    Q("q_heavy_hitters",
+      (s, d) => TextOps.heavyHitters(docs(s, d), "text", k = 10),
+      Some("WITH t AS (SELECT unnest(" + tokensSql("text") + ") AS term " +
+        "FROM documents), c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term) " +
+        "SELECT term, cnt, TRUE AS in_sketch FROM c " +
+        "ORDER BY cnt DESC, term LIMIT 10")),
+
     // Benchmark decontamination: corpus docs sharing any 3-token shingle
     // with the "eval" slice (doc_id % 20 == 0). Spark joins 64-bit gram
     // hashes against the broadcast benchmark gram set; the oracle joins
