@@ -244,6 +244,36 @@ object AnalyticsQueries {
         "count(*) AS n_events, TRUE AS hll_within_5pct " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
+    // HLL sketch RE-AGGREGATION (DataSketches): per-day sketches built
+    // once, unioned per group later — the pre-aggregate-then-merge shape
+    // that makes distinct-counting cheap at 100 TB (daily sketch tables
+    // replace re-scanning history). Exact companions hash-verify; the
+    // union's 5% bound is the oracle-pinned flag.
+    Q("q_hll_union",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val daily = ev
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val unioned = daily.groupBy("event_type")
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+            count(lit(1)).as("n_days"))
+        val exact = ev.groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
+        unioned.join(exact, "event_type")
+          .select(col("event_type"), col("exact_users"), col("n_days"),
+            (abs(col("approx_users") - col("exact_users")) <=
+              col("exact_users") * lit(0.05)).as("hll_union_ok"))
+          .orderBy("event_type")
+      },
+      Some("WITH e AS (SELECT event_type, count(DISTINCT user_id) AS exact_users " +
+        "FROM events GROUP BY event_type), " +
+        "d AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, exact_users, n_days, TRUE AS hll_union_ok " +
+        "FROM e JOIN d USING (event_type) ORDER BY event_type")),
+
     // Approximate per-group quantiles (Greenwald-Khanna sketch, rank error
     // <= 1/accuracy) — the streaming/mergeable sibling of q_quantiles'
     // exact percentile, whose sort-all-values-per-group cost is the known
