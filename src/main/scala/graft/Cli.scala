@@ -23,6 +23,7 @@ import graft.sources.Manifest
   *             [--bbox x0,x1,y0,y1]
   *   dedup     --input P --output P --id c --text c
   *   cluster   --input P --output P --id c --text c [--k 16 --bands 4]
+  *             [--algo minlabel|logstar]
   *   sample    --input P --output P --id c --strata c
   *             [--rates en=20,de=50] [--default-pct 100]
   *   pack      --input P --output P --id c --text c
@@ -191,9 +192,14 @@ object Cli {
         write(Dedup.exactDedup(in("input"), opts("id"), opts("text")))
 
       case "cluster" =>
-        write(Dedup.connectedComponents(Dedup.lshStarEdges(in("input"),
-          opts("id"), opts("text"),
-          opts.getOrElse("k", "16").toInt, opts.getOrElse("bands", "4").toInt)))
+        val edges = Dedup.lshStarEdges(in("input"), opts("id"), opts("text"),
+          opts.getOrElse("k", "16").toInt, opts.getOrElse("bands", "4").toInt)
+        // minlabel: diameter rounds (near-dup clusters are diameter 2-3);
+        // logstar: O(log n) rounds for pathological high-diameter graphs
+        write(opts.getOrElse("algo", "minlabel") match {
+          case "logstar" => Dedup.connectedComponentsLogStar(edges)
+          case _ => Dedup.connectedComponents(edges)
+        })
 
       case "sample" =>
         val rates = opts.get("rates").map(_.split(",").map { kv =>

@@ -187,6 +187,82 @@ object Dedup {
     labels
   }
 
+  /** Connected components in O(log n) rounds — the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14; a public algorithm).
+    * Use this over [[connectedComponents]] when the pair graph may have
+    * LARGE DIAMETER: min-label propagation needs diameter rounds (a
+    * 10k-node chain needs 10k shuffles), star contraction needs
+    * ~log(n) alternations regardless of diameter.
+    *
+    * Per alternation: two window-min shuffles over 8-byte endpoint
+    * pairs (large-star hangs every bigger neighbor under the
+    * neighborhood min; small-star re-hangs the smaller neighbors).
+    * Edge count never grows, endpoint sums strictly decrease until the
+    * fixpoint (star graphs centered at component minima), detected by
+    * the same DECIMAL(38,0) potential as the min-label variant.
+    *
+    * @return (id, comp) — one row per node appearing in any edge,
+    *         identical labels to [[connectedComponents]]. */
+  def connectedComponentsLogStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    val nodes = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+      .localCheckpoint()
+    var e = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .localCheckpoint()
+    def potential(): BigDecimal =
+      e.agg(sum((col("u") + col("v")).cast("decimal(38,0)"))).head.get(0) match {
+        case null => BigDecimal(0)
+        case s: java.math.BigDecimal => BigDecimal(s)
+      }
+    var last: Option[BigDecimal] = None
+    var cur = potential()
+    var iter = 0
+    while (last.forall(cur < _) && iter < maxIter) {
+      last = Some(cur)
+      val prev = e
+      // large-star over the symmetrized neighborhood: every neighbor
+      // bigger than u re-hangs under min(Γ(u) ∪ {u})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over (bigger, smaller) orientation: the smaller
+      // neighbors (and u itself) re-hang under the neighborhood min
+      val oriented = large.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val withMin = oriented.withColumn("m", least(min(col("v")).over(w), col("u")))
+      e = withMin.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      PlanBridge.unpersistLocalCheckpoint(prev)
+      cur = potential()
+      iter += 1
+    }
+    if (last.forall(cur < _)) {
+      PlanBridge.unpersistLocalCheckpoint(e)
+      PlanBridge.unpersistLocalCheckpoint(nodes)
+      throw new IllegalStateException(
+        s"connectedComponentsLogStar did not converge in maxIter=$maxIter " +
+        "alternations (potential still decreasing) — raise maxIter.")
+    }
+    // fixpoint = star graphs: every non-center node has exactly one edge
+    // to its component min; centers label themselves. The returned frame
+    // is LAZY over the final e/nodes checkpoints — they must stay
+    // persisted (unpersisting here would drop blocks the caller's
+    // action still reads).
+    val leafLabels = e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
+    nodes.join(leafLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** SimHash near-dup buckets: every doc gets its `bits`-bit SimHash; docs
     * sharing a simhash value form a bucket (keep-min-id representative).
     * One narrow map + one map-side-combined shuffle on the 8-byte hash. */

@@ -139,6 +139,32 @@ class DedupSpec extends SparkSpec {
     assert(ok === (1L to 10L).map(_ -> 1L).toMap)
   }
 
+  test("logStar components equal min-label components, incl. high-diameter chains") {
+    // the case the min-label variant REFUSES (diameter > maxIter): a
+    // 60-node chain converges for logStar in ~log rounds
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("a", "b")
+    val viaLogStar = Dedup.connectedComponentsLogStar(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLogStar === (1L to 60L).map(_ -> 1L).toMap)
+    // mixed shapes: identical labels to the min-label variant
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("a", "b")
+    val a = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.connectedComponentsLogStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    // and on real LSH star edges
+    val stars = Dedup.lshStarEdges(docs.limit(150), "doc_id", "text", k = 16, bands = 2)
+    val viaMinLabel = Dedup.connectedComponents(stars)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStars = Dedup.connectedComponentsLogStar(stars)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars === viaMinLabel)
+  }
+
   test("connectedComponents matches union-find over real minhash candidate pairs") {
     val pairs = Dedup.minhashCandidates(docs.limit(150), "doc_id", "text",
         k = 16, bands = 2)

@@ -56,6 +56,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: logStar components == union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val p = Prop.forAll(edgeGen) { es =>
+      val edges = es.toDF("a", "b")
+      val got = graft.operators.Dedup.connectedComponentsLogStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val pr = parent.getOrElseUpdate(x, x)
+        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => x -> find(x)).toMap
+      got == expect
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: sortedNgramHashes == hashed distinct gram strings, any n") {
     val word = Gen.choose(1, 3).flatMap(l =>
       Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
