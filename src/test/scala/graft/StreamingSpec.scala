@@ -170,6 +170,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streams run on the RocksDB state store (the cluster backend)") {
+    // HDFS-backed state (the default) holds every key in executor heap;
+    // RocksDB spills state to local disk — the backend a 100 TB
+    // deployment actually runs. Same query semantics must hold on it.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("rocks_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1L, t("2020-01-01 10:00:00"), 1.0),
+        Ev(1L, t("2020-01-01 10:05:00"), 2.0),
+        Ev(1L, t("2020-01-01 11:00:00"), 3.0)) // > gap: closes session 1
+      q.processAllAvailable()
+      val sessions = spark.table("rocks_sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+      assert(sessions.toSeq === Seq((1L, t("2020-01-01 10:00:00"), 2L)))
+      // the running query really does use RocksDB state
+      assert(q.lastProgress.stateOperators.asInstanceOf[Array[_]].nonEmpty)
+      val provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      assert(provider.contains("RocksDB"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
