@@ -198,7 +198,9 @@ object Cli {
         // logstar: O(log n) rounds for pathological high-diameter graphs
         write(opts.getOrElse("algo", "minlabel") match {
           case "logstar" => Dedup.connectedComponentsLogStar(edges)
-          case _ => Dedup.connectedComponents(edges)
+          case "minlabel" => Dedup.connectedComponents(edges)
+          case other => sys.error(
+            s"unknown --algo '$other' (use minlabel or logstar)")
         })
 
       case "sample" =>

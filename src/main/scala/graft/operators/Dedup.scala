@@ -145,46 +145,75 @@ object Dedup {
     * @param edges (a, b) pair DataFrame, e.g. `minhashCandidates` output.
     * @return (id, comp) — one row per node appearing in any edge. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    requireIntegralIds(edges)
     val adj = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
-    def total(): BigDecimal =
-      labels.agg(sum(col("comp").cast("decimal(38,0)"))).head.get(0) match {
-        case null => BigDecimal(0)
-        case v: java.math.BigDecimal => BigDecimal(v)
-      }
-    var last: Option[BigDecimal] = None
-    var cur = total()
-    var iter = 0
-    while (last.forall(cur < _) && iter < maxIter) {
-      last = Some(cur)
-      val prev = labels
-      labels = adj
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    try {
+      val init = adj.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp"))
         .localCheckpoint()
+      iterateToFixpoint(init, maxIter, "connectedComponents")(
+        l => decimalSum(l, col("comp").cast("decimal(38,0)")))(
+        l => adj
+          .join(l.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("comp"))
+          .union(l)
+          .groupBy(col("id")).agg(min(col("comp")).as("comp")))
+    } finally PlanBridge.unpersistLocalCheckpoint(adj)
+  }
+
+  /** Both CC variants need integral ids: the decimal convergence
+    * potential sums them, and a silent numeric cast would turn string
+    * ids into null edges (all-singleton output, no error). Hash string
+    * ids to int64 first (xxhash64). */
+  private def requireIntegralIds(edges: DataFrame): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq("a", "b").foreach { c =>
+      val t = edges.schema(c).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+        s"connected components needs integral id columns; '$c' is $t " +
+        "(hash string ids to int64 first, e.g. xxhash64)")
+    }
+  }
+
+  private def decimalSum(df: DataFrame, e: org.apache.spark.sql.Column): BigDecimal =
+    df.agg(sum(e)).head.get(0) match {
+      case null => BigDecimal(0)
+      case v: java.math.BigDecimal => BigDecimal(v)
+    }
+
+  /** Decreasing-potential fixpoint driver shared by both CC variants:
+    * apply `round` until the DECIMAL(38,0) potential stops strictly
+    * decreasing (decimal — an int64 potential would throw under ANSI, or
+    * silently wrap and terminate early with WRONG labels for
+    * snowflake-sized ids). Hitting `maxIter` mid-descent THROWS rather
+    * than returning a truncated result. Every round is localCheckpointed
+    * (lineage cut) and the superseded round's blocks are released;
+    * the returned frame stays checkpointed (callers are lazy over it). */
+  private def iterateToFixpoint(init: DataFrame, maxIter: Int, what: String)
+                               (pot: DataFrame => BigDecimal)
+                               (round: DataFrame => DataFrame): DataFrame = {
+    var cur = init
+    var last: Option[BigDecimal] = None
+    var p = pot(cur)
+    var iter = 0
+    while (last.forall(p < _) && iter < maxIter) {
+      last = Some(p)
+      val prev = cur
+      cur = round(prev).localCheckpoint()
       PlanBridge.unpersistLocalCheckpoint(prev)
-      cur = total()
+      p = pot(cur)
       iter += 1
     }
-    if (last.forall(cur < _)) {
-      // exited on the iteration cap while the label sum was still
-      // dropping: the components are NOT final — release the checkpoint
-      // blocks (nobody will consume them) and fail
-      PlanBridge.unpersistLocalCheckpoint(adj)
-      PlanBridge.unpersistLocalCheckpoint(labels)
+    if (last.forall(p < _)) {
+      PlanBridge.unpersistLocalCheckpoint(cur)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in maxIter=$maxIter rounds " +
-        "(label sum still decreasing). The pair graph has diameter > " +
-        "maxIter; raise maxIter.")
+        s"$what did not converge in maxIter=$maxIter rounds " +
+        "(potential still decreasing) — the graph needs more rounds; " +
+        "raise maxIter.")
     }
-    PlanBridge.unpersistLocalCheckpoint(adj)
-    labels
+    cur
   }
 
   /** Connected components in O(log n) rounds — the alternating
@@ -205,62 +234,50 @@ object Dedup {
     * @return (id, comp) — one row per node appearing in any edge,
     *         identical labels to [[connectedComponents]]. */
   def connectedComponentsLogStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    requireIntegralIds(edges)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
     val nodes = edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id"))).distinct()
       .localCheckpoint()
-    var e = edges.select(col("a").cast("long").as("u"), col("b").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .localCheckpoint()
-    def potential(): BigDecimal =
-      e.agg(sum((col("u") + col("v")).cast("decimal(38,0)"))).head.get(0) match {
-        case null => BigDecimal(0)
-        case s: java.math.BigDecimal => BigDecimal(s)
-      }
-    var last: Option[BigDecimal] = None
-    var cur = potential()
-    var iter = 0
-    while (last.forall(cur < _) && iter < maxIter) {
-      last = Some(cur)
-      val prev = e
-      // large-star over the symmetrized neighborhood: every neighbor
-      // bigger than u re-hangs under min(Γ(u) ∪ {u})
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val large = sym
-        .withColumn("m", least(min(col("v")).over(w), col("u")))
-        .filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star over (bigger, smaller) orientation: the smaller
-      // neighbors (and u itself) re-hang under the neighborhood min
-      val oriented = large.select(
-        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
-      val withMin = oriented.withColumn("m", least(min(col("v")).over(w), col("u")))
-      e = withMin.filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(withMin.select(col("u"), col("m").as("v")))
+    try {
+      val init = edges.select(col("a").as("u"), col("b").as("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
         .localCheckpoint()
-      PlanBridge.unpersistLocalCheckpoint(prev)
-      cur = potential()
-      iter += 1
-    }
-    if (last.forall(cur < _)) {
-      PlanBridge.unpersistLocalCheckpoint(e)
-      PlanBridge.unpersistLocalCheckpoint(nodes)
-      throw new IllegalStateException(
-        s"connectedComponentsLogStar did not converge in maxIter=$maxIter " +
-        "alternations (potential still decreasing) — raise maxIter.")
-    }
-    // fixpoint = star graphs: every non-center node has exactly one edge
-    // to its component min; centers label themselves. The returned frame
-    // is LAZY over the final e/nodes checkpoints — they must stay
-    // persisted (unpersisting here would drop blocks the caller's
-    // action still reads).
-    val leafLabels = e.groupBy(col("u").as("id")).agg(min(col("v")).as("comp"))
-    nodes.join(leafLabels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      val stars = iterateToFixpoint(init, maxIter, "connectedComponentsLogStar")(
+        e => decimalSum(e,
+          col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)")))(
+        e => {
+          // large-star over the symmetrized neighborhood: every neighbor
+          // bigger than u re-hangs under min(Γ(u) ∪ {u}); every output
+          // row satisfies u > v (the new v = m <= old u < new u)
+          val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+          val large = sym
+            .withColumn("m", least(min(col("v")).over(w), col("u")))
+            .filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .distinct()
+          // small-star: large's rows are already (bigger, smaller), so u's
+          // smaller neighbors and u itself re-hang under the neighborhood
+          // min (m = min over v's < u, so no self-loops can appear)
+          val withMin = large.withColumn("m",
+            least(min(col("v")).over(w), col("u")))
+          withMin.filter(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .union(withMin.select(col("u"), col("m").as("v")))
+            .distinct()
+        })
+      // fixpoint = star graphs: every non-center node has exactly one
+      // edge to its component min; centers (and isolated nodes) label
+      // themselves. Checkpoint the small result frame so the star edge
+      // set can be released instead of leaking per call.
+      val out = nodes.join(
+          stars.groupBy(col("u").as("id")).agg(min(col("v")).as("comp")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+        .localCheckpoint()
+      PlanBridge.unpersistLocalCheckpoint(stars)
+      out
+    } finally PlanBridge.unpersistLocalCheckpoint(nodes)
   }
 
   /** SimHash near-dup buckets: every doc gets its `bits`-bit SimHash; docs

@@ -317,10 +317,17 @@ object TextOps {
     val sketchK = math.max(10 * k, 100)
     val sketch = toks.agg(
       expr(s"transform(approx_top_k(term, $sketchK, $maxTracked), x -> x.item)")
-        .as("approx_terms"))
+        .as("approx_terms"),
+      count(lit(1)).as("n_tok_total"))
+    // the frequent-items guarantee only covers items whose count exceeds
+    // the sketch's error bound (~3.5N/maxTracked; 4N is a safe margin) —
+    // below it, tie-ordering can legitimately push an exact-top-k item
+    // out of the sketch head, so the flag must not claim containment there
     top.crossJoin(sketch) // 1-row broadcast
       .select(col("term"), col("cnt"),
-        array_contains(col("approx_terms"), col("term")).as("in_sketch"))
+        (array_contains(col("approx_terms"), col("term")) ||
+          col("cnt") * lit(maxTracked.toLong) <= col("n_tok_total") * lit(4L))
+          .as("in_sketch"))
       .orderBy(col("cnt").desc, col("term"))
   }
 

@@ -176,14 +176,16 @@ class StreamingSpec extends SparkSpec {
     // deployment actually runs. Same query semantics must hold on it.
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val input = MemoryStream[Ev]
-    val q = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
-      .writeStream.format("memory").queryName("rocks_sessions")
-      .outputMode("append").start()
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
     try {
+      val input = MemoryStream[Ev]
+      q = EventStreams.sessionize(input.toDS(), gapMs = 10 * 60 * 1000L)
+        .writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode("append").start()
       input.addData(
         Ev(1L, t("2020-01-01 10:00:00"), 1.0),
         Ev(1L, t("2020-01-01 10:05:00"), 2.0),
@@ -192,15 +194,16 @@ class StreamingSpec extends SparkSpec {
       val sessions = spark.table("rocks_sessions").collect()
         .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
       assert(sessions.toSeq === Seq((1L, t("2020-01-01 10:00:00"), 2L)))
-      // the running query really does use RocksDB state
-      assert(q.lastProgress.stateOperators.asInstanceOf[Array[_]].nonEmpty)
-      val provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
-      assert(provider.contains("RocksDB"))
+      // evidence from the RUNNING query, not the conf we just set: the
+      // RocksDB provider reports its own custom state metrics
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.toString.toLowerCase.contains("rocksdb"),
+        s"expected rocksdb custom metrics, got: $metrics")
     } finally {
-      q.stop()
+      if (q != null) q.stop()
       prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        case Some(p) => spark.conf.set(confKey, p)
+        case None => spark.conf.unset(confKey)
       }
     }
   }
