@@ -40,4 +40,16 @@ object TextSources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(out)
   }
+
+  /** ORC interchange — the other columnar lake format Spark ships
+    * natively. Same pruning/pushdown properties as parquet (filters and
+    * ReadSchema reach the ORC scan), for pipelines whose upstream (Hive,
+    * Trino, legacy lakes) hands over ORC instead of parquet. */
+  def toOrc(df: DataFrame, out: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(out)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

@@ -61,4 +61,20 @@ class TextSourcesSpec extends SparkSpec {
       assert(scan.contains("PartitionFilters") || scan.contains("event_type"), scan)
     } finally raw.unpersist()
   }
+
+  test("orc round-trips with predicate pushdown into the ORC scan") {
+    val base = tmp()
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    TextSources.toOrc(ev, s"$base/ev_orc")
+    val back = TextSources.readOrc(spark, s"$base/ev_orc")
+    assert(back.count() === ev.count())
+    assert(back.agg(round(sum("value"), 4)).head.getDouble(0) ===
+      ev.agg(round(sum("value"), 4)).head.getDouble(0))
+    // filters must reach the ORC scan like they do for parquet
+    val filtered = back.filter(col("user_id") === 7L).select("event_id")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("user_id"), plan)
+    assert(filtered.count() === ev.filter(col("user_id") === 7L).count())
+  }
 }
