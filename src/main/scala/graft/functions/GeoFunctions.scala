@@ -83,6 +83,40 @@ object GeoFunctions {
   def metricApprox(lon: Column, lat: Column): (Column, Column) =
     (lon * 111320.0, lat * 110540.0)
 
+  /** Z-order (Morton) value of a lon/lat point: each coordinate is
+    * quantized to `bits` levels over its world range, then the bits are
+    * interleaved. Points close on the curve are close in space, so a
+    * dataset SORTED by z-value has spatially tight per-file min/max
+    * stats — bbox predicates then prune parquet row groups instead of
+    * scanning the world (see GeoOps.writeSpatiallyClustered). Pure
+    * integer shifts/masks → codegen'd, and expressible identically in
+    * any engine (zValueSql) for hash verification. */
+  def zValue(lon: Column, lat: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val n = (1L << bits) - 1
+    val qx = least(greatest(floor((lon + 180.0) / 360.0 * (n + 1)), lit(0.0)), lit(n.toDouble)).cast("long")
+    val qy = least(greatest(floor((lat + 90.0) / 180.0 * (n + 1)), lit(0.0)), lit(n.toDouble)).cast("long")
+    (0 until bits).map { i =>
+      (shiftright(qx, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(qy, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduceLeft(_ + _)
+  }
+
+  /** DuckDB SQL for the identical z-value tree, split so the oracle can
+    * compute the quantized coords once in a subquery: `zQuantizeSql`
+    * emits the (qx, qy) expressions, `zInterleaveSql` the bit
+    * interleave over those column names. */
+  def zQuantizeSql(lon: String, lat: String, bits: Int = 16): (String, String) = {
+    val n = (1L << bits) - 1
+    (s"CAST(least(greatest(floor((($lon) + 180.0) / 360.0 * ${n + 1}), 0.0), $n.0) AS BIGINT)",
+      s"CAST(least(greatest(floor((($lat) + 90.0) / 180.0 * ${n + 1}), 0.0), $n.0) AS BIGINT)")
+  }
+
+  def zInterleaveSql(qx: String, qy: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"((($qx >> $i) & 1) * ${1L << (2 * i)}) + ((($qy >> $i) & 1) * ${1L << (2 * i + 1)})"
+    }.mkString("(", " + ", ")")
+
   private val wktPoint = "POINT \\(([-0-9.]+) ([-0-9.]+)\\)"
 
   /** Inverse of stPointWkt: numeric coordinates back out of a WKT point. */

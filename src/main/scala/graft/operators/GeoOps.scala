@@ -64,4 +64,22 @@ object GeoOps {
     * `aoi=.../` directory is the per-AOI file set). */
   def writePerAoi(df: DataFrame, outDir: String): Unit =
     df.write.mode("overwrite").partitionBy("aoi").parquet(outDir)
+
+  /** Spatially clustered write: order rows along the Z (Morton) curve of
+    * (x, y) before writing, so each output file covers a tight spatial
+    * patch and carries tight lon/lat min/max footer stats — bbox
+    * predicates then PRUNE row groups/files at scan time instead of
+    * reading the world. This is the lakehouse answer to spatial
+    * indexing at 100 TB: no index structure to maintain, just data
+    * layout + ordinary parquet stats (the same mechanism Delta/Iceberg
+    * Z-ORDER uses, expressed with repartitionByRange + sort). `files`
+    * ~= dataset size / 128 MB at the target scale. */
+  def writeSpatiallyClustered(df: DataFrame, x: Column, y: Column,
+                              outDir: String, files: Int = 16,
+                              bits: Int = 16): Unit =
+    df.withColumn("_z", GeoFunctions.zValue(x, y, bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
 }

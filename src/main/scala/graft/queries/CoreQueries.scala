@@ -204,6 +204,21 @@ object CoreQueries {
       Some("SELECT shot, lon * 111320.0 AS mx, lat * 110540.0 AS my FROM " +
         Shots.sql + " ORDER BY shot")),
 
+    // Z-order curve value for spatial clustering (the data-layout index
+    // behind GeoOps.writeSpatiallyClustered): pure integer shifts/masks,
+    // hash-verified bit-for-bit against the oracle's identical interleave.
+    Q("q_zorder_curve",
+      (s, d) => Shots.df(s, d)
+        .select(col("shot"),
+          GeoFunctions.zValue(col("lon"), col("lat"), bits = 16).as("zval"))
+        .orderBy("shot"),
+      Some {
+        val (qx, qy) = GeoFunctions.zQuantizeSql("lon", "lat", bits = 16)
+        s"WITH q AS (SELECT shot, $qx AS qx, $qy AS qy FROM " + Shots.sql + ") " +
+          s"SELECT shot, ${GeoFunctions.zInterleaveSql("qx", "qy", bits = 16)} AS zval " +
+          "FROM q ORDER BY shot"
+      }),
+
     // R14 — per-source frame concat (unionByName).
     Q("q_union_concat",
       (s, d) => {

@@ -1,4 +1,5 @@
 package graft
+// (z-order pruning spec appended below)
 
 import java.nio.file.Files
 
@@ -115,5 +116,58 @@ class GeoSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
     assert(got((0L, 0L)) === ((2L, 3.0)))
     assert(got((0L, 5L)) === ((1L, 5.0)))
+  }
+
+  test("z-order curve: neighbors stay close, extremes map to corners") {
+    import graft.functions.GeoFunctions.zValue
+    val pts = Seq(
+      (-180.0, -90.0), (180.0, 90.0), (0.0, 0.0),
+      (10.0, 10.0), (10.01, 10.01), (-170.0, 80.0))
+      .toDF("lon", "lat")
+    val zs = pts.select(zValue(col("lon"), col("lat"), 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs(0) === 0L) // world min corner -> 0
+    assert(zs(1) === (1L << 32) - 1) // clamped world max corner -> all bits set
+    // spatially-adjacent points are adjacent on the curve relative to
+    // distant ones
+    assert(math.abs(zs(3) - zs(4)) < math.abs(zs(3) - zs(5)))
+  }
+
+  test("z-clustered layout prunes the bbox scan; unclustered reads the world") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val shots = graft.queries.Shots.df(spark, sfDir).select("shot", "lon", "lat", "value")
+    val total = shots.count()
+    // unclustered: shuffled into the same file count, no spatial order
+    shots.repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+    GeoOps.writeSpatiallyClustered(shots, col("lon"), col("lat"),
+      s"$dir/zorder", files = 16)
+
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("lon").between(-10.0, 10.0) && col("lat").between(-10.0, 10.0))
+      q.collect() // execute THIS plan so its scan node's metrics populate
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val scan = plan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+      scan.metrics("numOutputRows").value
+    }
+    val clustered = scannedRows(s"$dir/zorder")
+    val plain = scannedRows(s"$dir/plain")
+    val hit = spark.read.parquet(s"$dir/zorder")
+      .filter(col("lon").between(-10.0, 10.0) && col("lat").between(-10.0, 10.0)).count()
+    assert(hit === shots.filter(
+      col("lon").between(-10.0, 10.0) && col("lat").between(-10.0, 10.0)).count())
+    // the clustered layout's footer stats let the scan skip most rows;
+    // the shuffled layout's per-file ranges cover the world, so its scan
+    // emits (roughly) everything
+    assert(clustered < total / 2,
+      s"z-clustered scan read $clustered of $total rows — no pruning happened")
+    assert(clustered < plain / 2,
+      s"clustered=$clustered vs plain=$plain — layout made no difference")
   }
 }
