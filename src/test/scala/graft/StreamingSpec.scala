@@ -208,6 +208,31 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mergeable sketches aggregate incrementally across micro-batches") {
+    // the property that makes sketches the 100 TB distinct path: state
+    // merges across batches without reprocessing history
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L to 50L).map(i => (i, "a")): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("sketch_stream").head.getLong(1)
+      assert(math.abs(afterB1 - 50L) <= 3, s"batch1 estimate $afterB1")
+      // overlapping second batch: true distinct = 75, NOT 100 — the
+      // sketch state must union, not add
+      input.addData((26L to 75L).map(i => (i, "a")): _*)
+      q.processAllAvailable()
+      val afterB2 = spark.table("sketch_stream").head.getLong(1)
+      assert(math.abs(afterB2 - 75L) <= 4, s"batch2 estimate $afterB2")
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
