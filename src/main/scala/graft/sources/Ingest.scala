@@ -145,7 +145,10 @@ object Ingest {
         case VectorKind => ArrayType(DoubleType, containsNull = false)
       }, nullable = false)))
 
-    val slices = math.max(1, math.min(kept.size, spark.sparkContext.defaultParallelism))
+    // one partition per granule: task = granule, so a corrupt/slow file
+    // retries alone instead of re-running a whole multi-granule slice,
+    // and the scheduler load-balances heterogeneous granule sizes
+    val slices = math.max(1, kept.size)
     val rdd = spark.sparkContext.parallelize(kept, slices).mapPartitions { it =>
       it.flatMap { case (gid, path) =>
         try {
