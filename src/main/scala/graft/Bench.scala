@@ -67,9 +67,20 @@ object Bench {
       val worst = if (ok.nonEmpty) ok.max else -1.0
       (name, best, worst, err)
     }
-    val qs = results
-      .map { case (k, v, _, err) => s""""$k":${if (err.isDefined) -1 else v}""" }
+    // stdout gets a COMPACT line; the file gets full detail. The driver
+    // parses the line out of noisy captured sbt output, and r4's ~3.2 KB
+    // line (full-precision times + the per-query spread map) did not
+    // survive that capture (BENCH_r04 parsed:null) while r3's ~2.8 KB
+    // line did — so the official channel stays well under 2 KB:
+    // millisecond precision, spread summarized to its max, error details
+    // file-only.
+    def ms(v: Double): String = f"$v%.3f"
+    def qjson(f: Double => String) = results
+      .map { case (k, v, _, err) => s""""$k":${if (err.isDefined) -1 else f(v)}""" }
       .mkString("{", ",", "}")
+    val spreads = results.collect { case (_, b, w, None) if b > 0 => w / b }
+    val spreadMax =
+      if (spreads.isEmpty) 1.0 else math.round(spreads.max * 100) / 100.0
     val spread = results.collect { case (k, b, w, None) if b > 0 =>
       s""""$k":${math.round(w / b * 100) / 100.0}"""
     }.mkString("{", ",", "}")
@@ -77,10 +88,14 @@ object Bench {
       RunLog.toJson(Seq(k -> e)).stripPrefix("{").stripSuffix("}")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, None) => v }.sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"errors":$errs,"n_errors":${results.count(_._4.isDefined)},"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(outPath), json + "\n")
-    println(json)
+    val nErr = results.count(_._4.isDefined)
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${qjson(ms)},"reps":$reps,"spread_max":$spreadMax,"n_errors":$nErr,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(_.toString)},"spread":$spread,"reps":$reps,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get(outPath), full + "\n")
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -60,6 +60,7 @@ object Cli {
     val obsIn = new org.apache.spark.sql.Observation(s"graft_run_in_$t0")
     val obsOut = new org.apache.spark.sql.Observation(s"graft_run_out_$t0")
     var inObserved = false
+    var outObserved = false
     def in(k: String): DataFrame = {
       val df = spark.read.parquet(opts(k))
       if (logPath.isDefined && !inObserved) {
@@ -69,14 +70,21 @@ object Cli {
     }
     def write(df: DataFrame): Unit = {
       val out =
-        if (logPath.isDefined) df.observe(obsOut, count(lit(1)).as("n_rows"))
-        else df
+        if (logPath.isDefined) {
+          outObserved = true
+          df.observe(obsOut, count(lit(1)).as("n_rows"))
+        } else df
       out.write.mode("overwrite").parquet(opts("output"))
     }
     // Observed metrics arrive via the async listener bus, which can lag
     // the action's return — poll briefly before concluding the plan never
     // materialized the observation (-1, e.g. an optimizer-pruned side).
-    def metric(o: org.apache.spark.sql.Observation): Long = {
+    // Commands that bypass in()/write() (ingest reads granule files, not
+    // parquet; subset --aoi writes via writePerAoi) never ATTACH the
+    // observation — polling a never-attached Observation would just burn
+    // the full deadline before logging -1, so skip straight to -1.
+    def metric(o: org.apache.spark.sql.Observation, attached: Boolean): Long = {
+      if (!attached) return -1L
       val deadline = System.nanoTime() + 3000000000L // 3s
       var m = org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(o)
       while (m.isEmpty && System.nanoTime() < deadline) {
@@ -91,7 +99,8 @@ object Cli {
       dispatch(spark, cmd, in, write, opts)
       logPath.foreach(RunLog.append(_, Seq(
         "command" -> cmd, "status" -> "ok",
-        "n_input" -> metric(obsIn), "n_output" -> metric(obsOut),
+        "n_input" -> metric(obsIn, inObserved),
+        "n_output" -> metric(obsOut, outObserved),
         "wall_sec" -> wallSec)))
     } catch {
       case e: Throwable =>

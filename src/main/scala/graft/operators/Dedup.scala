@@ -183,14 +183,19 @@ object Dedup {
       case v: java.math.BigDecimal => BigDecimal(v)
     }
 
-  /** Decreasing-potential fixpoint driver shared by both CC variants:
+  /** Decreasing-potential fixpoint driver for the MIN-LABEL variant:
     * apply `round` until the DECIMAL(38,0) potential stops strictly
     * decreasing (decimal — an int64 potential would throw under ANSI, or
     * silently wrap and terminate early with WRONG labels for
-    * snowflake-sized ids). Hitting `maxIter` mid-descent THROWS rather
-    * than returning a truncated result. Every round is localCheckpointed
-    * (lineage cut) and the superseded round's blocks are released;
-    * the returned frame stays checkpointed (callers are lazy over it). */
+    * snowflake-sized ids). Sound here because each node's label is
+    * individually non-increasing, so the sum strictly decreases iff any
+    * label changed — true for NEGATIVE ids too (unlike an endpoint sum
+    * over a changing edge set, which is why the log-star variant uses
+    * [[iterateToEdgeFixpoint]] instead). Hitting `maxIter` mid-descent
+    * THROWS rather than returning a truncated result. Every round is
+    * localCheckpointed (lineage cut) and the superseded round's blocks
+    * are released; the returned frame stays checkpointed (callers are
+    * lazy over it). */
   private def iterateToFixpoint(init: DataFrame, maxIter: Int, what: String)
                                (pot: DataFrame => BigDecimal)
                                (round: DataFrame => DataFrame): DataFrame = {
@@ -216,6 +221,42 @@ object Dedup {
     cur
   }
 
+  /** Exact set-equality fixpoint driver for edge-rewriting rounds whose
+    * fixed point is STABLE (round(e) == e, which holds for the star
+    * graphs log-star converges to): apply `round` until the output edge
+    * set equals the input edge set. Both frames are distinct, so
+    * equality = equal counts + empty `except` (prev ⊆ next with equal
+    * cardinality ⟹ equal) — one scalar count and one anti-set job per
+    * round over the shrinking edge list. Sign-agnostic by construction:
+    * a potential sum over edge endpoints is only monotone when ids are
+    * nonnegative, and hashed ids (xxhash64 — the recommended way in for
+    * string keys) are negative ~half the time, where a potential-based
+    * loop can read a stall/rise as convergence and return WRONG labels.
+    * Hitting `maxIter` before equality THROWS rather than returning a
+    * truncated result; superseded checkpoint blocks are released each
+    * round. */
+  private def iterateToEdgeFixpoint(init: DataFrame, maxIter: Int, what: String)
+                                   (round: DataFrame => DataFrame): DataFrame = {
+    var cur = init
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prev = cur
+      cur = round(prev).localCheckpoint()
+      converged = prev.count() == cur.count() && prev.except(cur).isEmpty
+      PlanBridge.unpersistLocalCheckpoint(prev)
+      iter += 1
+    }
+    if (!converged) {
+      PlanBridge.unpersistLocalCheckpoint(cur)
+      throw new IllegalStateException(
+        s"$what did not converge in maxIter=$maxIter rounds " +
+        "(edge set still changing) — the graph needs more alternations; " +
+        "raise maxIter.")
+    }
+    cur
+  }
+
   /** Connected components in O(log n) rounds — the alternating
     * large-star / small-star algorithm (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14; a public algorithm).
@@ -227,9 +268,17 @@ object Dedup {
     * Per alternation: two window-min shuffles over 8-byte endpoint
     * pairs (large-star hangs every bigger neighbor under the
     * neighborhood min; small-star re-hangs the smaller neighbors).
-    * Edge count never grows, endpoint sums strictly decrease until the
-    * fixpoint (star graphs centered at component minima), detected by
-    * the same DECIMAL(38,0) potential as the min-label variant.
+    * The fixpoint (star graphs centered at component minima) is
+    * detected EXACTLY — round output equals round input as a set —
+    * not via an endpoint-sum potential: the sum heuristic is only
+    * monotone for nonnegative ids, and hashed ids (xxhash64, the
+    * recommended way in) are negative about half the time, where the
+    * sum can stall or rise mid-descent and a potential-based loop
+    * would exit early with WRONG labels. Both frames are distinct, so
+    * set equality is one count + one except per round over the
+    * shrinking edge set — the star fixed point is stable under the
+    * round (re-applying it reproduces the same stars), so equality is
+    * a true convergence certificate for any totally ordered id domain.
     *
     * @return (id, comp) — one row per node appearing in any edge,
     *         identical labels to [[connectedComponents]]. */
@@ -242,10 +291,9 @@ object Dedup {
     try {
       val init = edges.select(col("a").as("u"), col("b").as("v"))
         .filter(col("u") =!= col("v"))
+        .distinct()
         .localCheckpoint()
-      val stars = iterateToFixpoint(init, maxIter, "connectedComponentsLogStar")(
-        e => decimalSum(e,
-          col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)")))(
+      val stars = iterateToEdgeFixpoint(init, maxIter, "connectedComponentsLogStar")(
         e => {
           // large-star over the symmetrized neighborhood: every neighbor
           // bigger than u re-hangs under min(Γ(u) ∪ {u}); every output

@@ -228,7 +228,13 @@ object AnalyticsQueries {
         // distinct group — a scale smell); pre-aggregating on the pair
         // collapses the input map-side, then the second agg counts pairs.
         // The HLL merges over the distinct pairs — identical estimate
-        // (HLL of a set == HLL of the multiset).
+        // (HLL of a set == HLL of the multiset). NULL user_ids are
+        // dropped up front: count(DISTINCT x) and approx_count_distinct
+        // both skip NULLs, but a groupBy would count the NULL group as a
+        // distinct user — so n_events is likewise "events with a user"
+        // (count(user_id), not count(*)) to keep both sides aligned on
+        // nullable data.
+        .filter(col("user_id").isNotNull)
         .groupBy(col("event_type"), col("user_id"))
         .agg(count(lit(1)).as("n"))
         .groupBy(col("event_type"))
@@ -241,7 +247,7 @@ object AnalyticsQueries {
             col("exact_users") * lit(0.05)).as("hll_within_5pct"))
         .orderBy("event_type"),
       Some("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
-        "count(*) AS n_events, TRUE AS hll_within_5pct " +
+        "count(user_id) AS n_events, TRUE AS hll_within_5pct " +
         "FROM events GROUP BY event_type ORDER BY event_type")),
 
     // HLL sketch RE-AGGREGATION (DataSketches): per-day sketches built
@@ -258,7 +264,11 @@ object AnalyticsQueries {
         val unioned = daily.groupBy("event_type")
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
             count(lit(1)).as("n_days"))
-        val exact = ev.groupBy(col("event_type"), col("user_id"))
+        // NULLs out before the two-level distinct: the NULL user_id group
+        // would count as a distinct user, diverging from count(DISTINCT)
+        // and hll_sketch_agg, which both skip NULLs.
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"), col("user_id"))
           .agg(count(lit(1)).as("n"))
           .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
         unioned.join(exact, "event_type")

@@ -108,21 +108,27 @@ object GeoIO {
   def writeAsciiGrids(cells: DataFrame, bands: Seq[String], res: Double,
                       outDir: String, nodata: Double = -9999.0,
                       maxCells: Long = 16000000L): Seq[String] = {
-    val rows = cells
+    val keyed = cells
       // null cell keys come from null x/y input rows — no location means
       // no raster cell (the parquet cell output keeps them; grids can't)
       .filter(col("cy").isNotNull && col("cx").isNotNull)
-      .select((Seq(col("cy"), col("cx")) ++ bands.map(b => col(b).cast("double"))): _*)
-      .collect()
-    require(rows.nonEmpty, "writeAsciiGrids: no cells to rasterize")
-    val cys = rows.map(_.getLong(0))
-    val cxs = rows.map(_.getLong(1))
-    val (y0, y1, x0, x1) = (cys.min, cys.max, cxs.min, cxs.max)
+    // The guard must fire BEFORE any driver materialization: derive the
+    // grid extent from a tiny min/max aggregation first — collecting the
+    // cells and then checking would BE the driver OOM the guard documents
+    // itself as preventing.
+    val ext = keyed.agg(
+      min(col("cy")), max(col("cy")), min(col("cx")), max(col("cx"))).head()
+    require(!ext.isNullAt(0), "writeAsciiGrids: no cells to rasterize")
+    val (y0, y1, x0, x1) =
+      (ext.getLong(0), ext.getLong(1), ext.getLong(2), ext.getLong(3))
     val ncols = x1 - x0 + 1
     val nrows = y1 - y0 + 1
     require(ncols * nrows <= maxCells,
       s"writeAsciiGrids: grid ${ncols}x$nrows exceeds maxCells=$maxCells — " +
       "rasterize at a coarser resolution or split per AOI")
+    val rows = keyed
+      .select((Seq(col("cy"), col("cx")) ++ bands.map(b => col(b).cast("double"))): _*)
+      .collect()
     Files.createDirectories(Paths.get(outDir))
     bands.zipWithIndex.map { case (band, bi) =>
       val grid = Array.fill((nrows * ncols).toInt)(nodata)

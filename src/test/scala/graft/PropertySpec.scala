@@ -81,6 +81,39 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: both CC variants correct with NEGATIVE (hashed-style) ids") {
+    // xxhash64 ids — the documented way in for string keys — are negative
+    // about half the time. The old endpoint-sum convergence heuristic was
+    // only monotone for nonnegative ids and could read a stall/rise as the
+    // fixpoint, silently returning wrong labels (ADVICE r4). Exact edge-set
+    // fixpoint detection must label sign-mixed graphs correctly.
+    import spark.implicits._
+    val id = Gen.oneOf(Gen.choose(-30L, -1L), Gen.choose(0L, 30L))
+    val edgeGen = Gen.nonEmptyListOf(Gen.zip(id, id))
+      .map(_.filter { case (a, b) => a != b }).suchThat(_.nonEmpty)
+    val p = Prop.forAll(edgeGen) { es =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val pr = parent.getOrElseUpdate(x, x)
+        if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = parent.keys.map(x => x -> find(x)).toMap
+      val edges = es.toDF("a", "b")
+      val viaLogStar = graft.operators.Dedup.connectedComponentsLogStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaMinLabel = graft.operators.Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaLogStar == expect && viaMinLabel == expect
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: sortedNgramHashes == hashed distinct gram strings, any n") {
     val word = Gen.choose(1, 3).flatMap(l =>
       Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
