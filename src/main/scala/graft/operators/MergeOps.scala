@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit, row_number}
 
 /** gedixr `merge_gdf` re-expressed (reference: gedixr/xr.py:56-112): a
   * suffix join of the L2A and L2B frames on a composite key (the reference
@@ -119,4 +119,28 @@ object MergeOps {
                     on: Seq[String] = Seq("shot", "acq_time"),
                     how: String = "inner"): DataFrame =
     mergeGdf(spark.table(l2aTable), spark.table(l2bTable), on, how)
+
+  /** Incremental latest-wins merge (SCD-type-1 upsert, the lakehouse
+    * MERGE INTO shape): union a base snapshot with an update batch and
+    * keep, per key, the single row with the greatest version — so
+    * applying day N's events to the state built through day N-1 yields
+    * exactly the state a full recompute would. Version columns must make
+    * the order total per key (e.g. ts + a unique tiebreak id), or
+    * "latest" is nondeterministic.
+    *
+    * Scale shape: ONE shuffle on the key columns (window row_number).
+    * The update batch is typically ≪ the base, so at 100 TB the win is
+    * storing base bucketed by key ([[writeBucketed]]): the window then
+    * reads base co-located and only the update batch shuffles — the
+    * merge-on-read economics every lakehouse table format implements. */
+  def latestWinsMerge(base: DataFrame, updates: DataFrame,
+                      keys: Seq[String], version: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(version.map(col(_).desc): _*)
+    base.unionByName(updates)
+      .withColumn("_lw_rn", row_number().over(w))
+      .filter(col("_lw_rn") === 1)
+      .drop("_lw_rn")
+  }
 }

@@ -30,6 +30,27 @@ object Sampling {
       .filter(col("sample_bucket") < rate)
   }
 
+  /** Per-group quota sampling ("domain cap"): keep at most `k` rows per
+    * group, chosen in deterministic PSEUDO-RANDOM order — rows ranked
+    * within their group by (charHash(id), id) and cut at k. The hash
+    * order makes the kept set a uniform-ish, reproducible sample rather
+    * than an id-ordered prefix (which would bias toward old rows), and
+    * the id tiebreak makes the rank total. This is the standard
+    * "cap any one domain's share of the training mix" operator.
+    *
+    * Scale shape: delegates to the salted two-stage TopK — per-partition
+    * top-k on (group, salt) first, so a 100 TB group never funnels
+    * through one window task; only ≤ salts×k rows per group reach the
+    * final per-group window. Returns the input columns + `rn` (1-based
+    * pick rank within the group). */
+  def perGroupCap(df: DataFrame, idCol: String, groupCol: String,
+                  k: Int, salts: Int = 32): DataFrame = {
+    val h = TextFunctions.charHash(col(idCol).cast("string"))
+    TopK.perGroupTopK(df, Seq(col(groupCol)),
+      order = Seq(h.asc, col(idCol).asc), k = k,
+      salt = col(idCol), salts = salts)
+  }
+
   /** DuckDB side of `stratified`'s keep-predicate pieces: (bucketExpr,
     * rateExpr) over the same hash and CASE tree. */
   def stratifiedSql(idExpr: String, strataExpr: String,

@@ -331,6 +331,35 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Sliding-window document chunking — the context-window preparation
+    * step of a pretraining/RAG pipeline: each document becomes overlapping
+    * token-window chunks of `window` tokens every `stride` tokens (set
+    * stride == window for disjoint chunks). Output one row per chunk:
+    * (doc_id, chunk_idx, chunk_text, n_tok), the tail chunk shorter when
+    * the token count isn't stride-aligned.
+    *
+    * Scale shape: purely NARROW — tokenize, explode the start offsets
+    * (sequence step = stride), slice, join back to text. Zero shuffles;
+    * output size is input × (1 + overlap ratio), governed by
+    * window/stride. At 100 TB this runs entirely in the scan stage and
+    * whole-stage codegen (sequence/slice/array_join are all codegen'd). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      // one start offset per chunk: 0, stride, 2·stride, … < n_tok
+      // (tokens() never yields an empty array — split("", " ") = [""] —
+      // so the sequence upper bound n_tok - 1 is always ≥ 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)), " ").as("chunk_text"),
+        least(lit(window), size(col("toks")) - col("start")).cast("long").as("n_tok"))
+  }
+
   /** Rolling-hash document fingerprint (winnowing-style): the full-document
     * polynomial hash plus the min/count over bigram-shingle hashes — the
     * k-gram fingerprint set collapsed to its winnowed representative. */

@@ -319,6 +319,31 @@ object AnalyticsQueries {
         "round(quantile_cont(l_quantity, 0.5), 6) AS q50_exact, " +
         "round(quantile_cont(l_quantity, 0.75), 6) AS q75_exact, " +
         "TRUE AS gk_rank_ok " +
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"))
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Bloom-pruned semi-join (the explicit form of Spark's runtime row
+    // filtering): a bloom over the urgent-order keys prunes the lineitem
+    // scan BEFORE the join shuffle; the exact semi-join on the survivors
+    // removes the bloom's false positives, so the result — and the
+    // oracle — is the plain semi-join. At 100 TB the bloom turns a full
+    // fact shuffle into a selectivity-sized one for one broadcast bitmap.
+    Q("q_bloom_prune",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val urgent = Tables.load(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        graft.operators.BloomOps
+          .bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
+            expectedItems = 100000, fpp = 0.03)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, count(*) AS n_items, " +
+        "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT') " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"))
   )
 }

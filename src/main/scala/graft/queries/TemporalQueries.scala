@@ -138,5 +138,29 @@ object TemporalQueries {
           s"COALESCE(round(sum(CASE WHEN event_type = '$t' THEN value END), 2), 0.0) AS v_$t")
           .mkString(", ") +
         " FROM events GROUP BY user_id ORDER BY user_id"))
+,
+
+    // Incremental latest-wins merge (lakehouse MERGE INTO / SCD-1): the
+    // per-(user, type) state through Jan 20 upserted with the Jan 21+
+    // batch must equal the full recompute — which is exactly what the
+    // oracle computes over the unsplit table. Version order is total
+    // ((ts, event_id) — event_id unique), so "latest" is deterministic.
+    Q("q_incr_merge",
+      (s, d) => {
+        val all = ev(s, d)
+        val cut = to_timestamp(lit("2024-01-21"))
+        val state = graft.operators.MergeOps.latestWinsMerge(
+          all.filter(col("ts") < cut), all.filter(col("ts") >= cut),
+          keys = Seq("user_id", "event_type"),
+          version = Seq("ts", "event_id"))
+        state.select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id"), round(col("value"), 2).as("value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type, ts, event_id, " +
+        "round(value, 2) AS value FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
+        "WHERE rn = 1 ORDER BY user_id, event_type"))
   )
 }

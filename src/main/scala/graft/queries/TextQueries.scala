@@ -262,6 +262,40 @@ object TextQueries {
           s"CAST(len($grams) AS BIGINT) AS n_kgrams, " +
           s"COALESCE(list_min(list_transform($grams, g -> ${charHashSql("g")})), -1) AS min_kgram_hash " +
           "FROM documents ORDER BY doc_id"
+      }),
+
+    // Per-source quota ("domain cap"): at most 10 docs per source, picked
+    // in deterministic pseudo-random order (portable id hash, id
+    // tiebreak) so no domain dominates the mix. The Spark side runs the
+    // salted two-stage TopK (a hot domain never funnels through one
+    // window task); the oracle is the single-window equivalent.
+    Q("q_domain_cap",
+      (s, d) => Sampling.perGroupCap(docs(s, d), "doc_id", "source", k = 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy("source", "rn"),
+      Some {
+        val h = charHashSql("CAST(doc_id AS VARCHAR)")
+        s"SELECT doc_id, source, rn FROM (SELECT doc_id, source, " +
+          s"row_number() OVER (PARTITION BY source ORDER BY $h, doc_id) AS rn " +
+          "FROM documents) t WHERE rn <= 10 ORDER BY source, rn"
+      }),
+
+    // Sliding-window chunking: 32-token windows every 24 tokens (25%
+    // overlap) — the context-window prep step. Purely narrow (zero
+    // shuffles): offsets explode in the scan stage, slices stay inside
+    // whole-stage codegen.
+    Q("q_chunk_docs",
+      (s, d) => TextOps.chunkDocs(docs(s, d), "doc_id", "text",
+          window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx"),
+      Some {
+        val toks = tokensSql("text")
+        s"WITH t AS (SELECT doc_id, $toks AS toks FROM documents), " +
+          "s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start FROM t) " +
+          "SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx, " +
+          "array_to_string(array_slice(toks, start + 1, start + 32), ' ') AS chunk_text, " +
+          "CAST(least(32, len(toks) - start) AS BIGINT) AS n_tok " +
+          "FROM s ORDER BY doc_id, chunk_idx"
       })
   )
 }

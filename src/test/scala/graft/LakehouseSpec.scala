@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BloomOps, MergeOps, Sampling, TextOps}
+
+/** Round-5 lakehouse / training-mix operators: bloom-pruned semi-join,
+  * latest-wins incremental merge, per-group quota cap, sliding-window
+  * chunking. Each checked against an independent in-memory model or
+  * Spark's own exact plan.
+  */
+class LakehouseSpec extends SparkSpec {
+
+  private lazy val li = Tables.load(spark, sfDir, "lineitem")
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+  private lazy val events = Tables.load(spark, sfDir, "events")
+
+  test("bloomSemiJoin == exact semi-join, and the bloom actually prunes") {
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val got = BloomOps.bloomSemiJoin(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 10000, fpp = 0.03)
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val exact = li.join(urgent, li("l_orderkey") === urgent("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === exact)
+    // the prefilter alone must pass all matches (no false negatives) while
+    // pruning most non-matches — rebuild it standalone to measure
+    val bf = urgent.stat.bloomFilter("o_orderkey", 10000, 0.03)
+    val keys = li.select("l_orderkey").collect().map(_.getLong(0))
+    val survivors = keys.count(bf.mightContainLong)
+    val matches = keys.count(k => exact.exists(_._1 == k))
+    assert(survivors >= matches, "bloom must never drop a true match")
+    assert(survivors < keys.length / 2,
+      s"bloom pruned nothing: $survivors of ${keys.length} survive")
+  }
+
+  test("latestWinsMerge == full-recompute latest state, any split point") {
+    import spark.implicits._
+    val keyed = events.select(col("user_id"), col("event_type"),
+      col("ts"), col("event_id"), col("value"))
+    val expect = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      keyed.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn").as[(Long, String, java.sql.Timestamp, Long, Double)]
+        .collect().toSet
+    }
+    for (cutDay <- Seq("2024-01-08", "2024-01-21")) {
+      val cut = to_timestamp(lit(cutDay))
+      val got = MergeOps.latestWinsMerge(
+          keyed.filter(col("ts") < cut), keyed.filter(col("ts") >= cut),
+          keys = Seq("user_id", "event_type"), version = Seq("ts", "event_id"))
+        .as[(Long, String, java.sql.Timestamp, Long, Double)].collect().toSet
+      assert(got === expect, s"cut=$cutDay")
+    }
+    // idempotence: re-applying an empty update batch changes nothing
+    val state = MergeOps.latestWinsMerge(
+      keyed.filter(col("ts") < to_timestamp(lit("2024-01-21"))),
+      keyed.filter(col("ts") >= to_timestamp(lit("2024-01-21"))),
+      Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    val again = MergeOps.latestWinsMerge(state, state.limit(0),
+        Seq("user_id", "event_type"), Seq("ts", "event_id"))
+      .as[(Long, String, java.sql.Timestamp, Long, Double)].collect().toSet
+    assert(again === expect)
+  }
+
+  test("perGroupCap bounds every group at k and picks by hash order") {
+    val capped = Sampling.perGroupCap(docs, "doc_id", "source", k = 5)
+    val sizes = capped.groupBy("source").count().collect()
+    assert(sizes.forall(_.getLong(1) <= 5))
+    // deterministic: same call, same picks
+    val a = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.perGroupCap(docs, "doc_id", "source", k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // matches the single-window reference cut
+    import graft.functions.TextFunctions
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(TextFunctions.charHash(col("doc_id").cast("string")), col("doc_id"))
+    val ref = docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === ref)
+  }
+
+  test("chunkDocs: stride == window reconstructs the document exactly") {
+    val chunks = TextOps.chunkDocs(docs, "doc_id", "text", window = 16, stride = 16)
+    val rebuilt = chunks
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("rebuilt"))
+    val joined = docs.join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt"))
+    assert(joined.count() === 0)
+  }
+
+  test("chunkDocs: overlap, tail chunk, and n_tok accounting") {
+    import spark.implicits._
+    val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 tokens
+    val rows = TextOps.chunkDocs(one, "doc_id", "text", window = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_text", "n_tok")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows === Array(
+      (0L, "a b c d", 4L),
+      (1L, "d e f g", 4L),
+      (2L, "g", 1L)))
+  }
+}
