@@ -344,6 +344,28 @@ object AnalyticsQueries {
         "round(sum(l_quantity), 2) AS sum_qty FROM lineitem " +
         "WHERE l_orderkey IN (SELECT o_orderkey FROM orders " +
         "WHERE o_orderpriority = '1-URGENT') " +
-        "GROUP BY l_returnflag ORDER BY l_returnflag"))
+        "GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    // Salted large⋈large equi-join: the deterministic hot-key spreading
+    // pattern (probe side salted on a row-unique column, build side
+    // replicated salts×). Salting only changes partitioning, never the
+    // result — so the oracle is the PLAIN join, which is the point: the
+    // hash compare proves the technique is invisible to semantics.
+    Q("q_salted_join",
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+        val o = Tables.load(s, d, "orders")
+        graft.operators.SkewOps.saltedEquiJoin(li, o,
+            "l_orderkey", "o_orderkey",
+            saltOn = col("l_linenumber"), salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_items, " +
+        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
   )
 }

@@ -66,6 +66,37 @@ object EventStreams {
       .outputMode("append")
       .start(outDir)
 
+  /** Streaming latest-wins upsert: fold each micro-batch into a parquet
+    * state snapshot via [[graft.operators.MergeOps.latestWinsMerge]] —
+    * the streaming form of q_incr_merge (a continuously maintained
+    * current-state table). foreachBatch may REPLAY a batch after a
+    * failure; latest-wins is idempotent under replay (re-merging the
+    * same rows yields the same state), which is what makes this sink
+    * exactly-once in effect without a transactional store. The merged
+    * frame is materialized (localCheckpoint) before the overwrite
+    * because its plan reads the same directory it replaces; a lakehouse
+    * table format's ACID swap is the cluster-grade version of this
+    * materialize-then-replace, with the same merge plan inside. */
+  def upsertParquet(df: DataFrame, stateDir: String, checkpointDir: String,
+                    keys: Seq[String], version: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val base =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir)))
+            batch.sparkSession.read.parquet(stateDir)
+          else batch.limit(0)
+        val merged = graft.operators.MergeOps
+          .latestWinsMerge(base, batch.toDF(), keys, version)
+          .localCheckpoint()
+        try merged.write.mode("overwrite").parquet(stateDir)
+        finally org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(merged)
+        ()
+      }
+      .start()
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

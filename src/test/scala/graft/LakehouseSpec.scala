@@ -99,6 +99,28 @@ class LakehouseSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("saltedEquiJoin == plain join and spreads a hot key across salts") {
+    import spark.implicits._
+    // one pathologically hot key (900 of 1000 rows) + a long tail
+    val probe = ((1 to 900).map(i => (7L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 50, 900L + i))).toDF("k", "row_id")
+    val build = (0L to 49L).map(k => (k, s"dim_$k")).toDF("bk", "payload")
+    val salted = graft.operators.SkewOps.saltedEquiJoin(
+        probe, build, "k", "bk", saltOn = col("row_id"), salts = 8)
+      .select("k", "row_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val plain = probe.join(build, col("k") === col("bk"))
+      .select("k", "row_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(salted.size === 1000)
+    // the hot key's rows must actually land on several salts
+    val hotSalts = probe.filter(col("k") === 7L)
+      .select(pmod(xxhash64(col("row_id")), lit(8L)))
+      .distinct().count()
+    assert(hotSalts >= 4, s"hot key spread over only $hotSalts salts")
+  }
+
   test("chunkDocs: overlap, tail chunk, and n_tok accounting") {
     import spark.implicits._
     val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 tokens

@@ -233,6 +233,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert maintains the latest-wins state across micro-batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    // (user_id, event_type, ts, event_id, value) — the q_incr_merge shape
+    val input = MemoryStream[(Long, String, Timestamp, Long, Double)]
+    val q = EventStreams.upsertParquet(
+      input.toDF().toDF("user_id", "event_type", "ts", "event_id", "value"),
+      s"$dir/state", s"$dir/ckpt",
+      keys = Seq("user_id", "event_type"), version = Seq("ts", "event_id"))
+    def state(): Map[(Long, String), (Long, Double)] =
+      spark.read.parquet(s"$dir/state").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(3), r.getDouble(4)))
+        .toMap
+    try {
+      input.addData(
+        (1L, "view", t("2024-01-01 10:00:00"), 1L, 1.0),
+        (1L, "view", t("2024-01-01 11:00:00"), 2L, 2.0),
+        (2L, "buy", t("2024-01-01 10:30:00"), 3L, 5.0))
+      q.processAllAvailable()
+      assert(state() === Map((1L, "view") -> (2L, 2.0), (2L, "buy") -> (3L, 5.0)))
+      // batch 2: one key updated forward, one key's LATE arrival must lose,
+      // one new key
+      input.addData(
+        (1L, "view", t("2024-01-01 12:00:00"), 4L, 3.0),
+        (2L, "buy", t("2024-01-01 09:00:00"), 5L, 9.0), // older than state — loses
+        (3L, "view", t("2024-01-01 10:00:00"), 6L, 7.0))
+      q.processAllAvailable()
+      assert(state() === Map(
+        (1L, "view") -> (4L, 3.0),
+        (2L, "buy") -> (3L, 5.0),
+        (3L, "view") -> (6L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
