@@ -32,13 +32,18 @@ import graft.sources.Manifest
   *             [--gap-sec 1800]
   *   asof      --left P --right P --output P --key c --time c
   *             --payload c1,c2
+  *   chunk     --input P --output P --id c --text c
+  *             [--window 32] [--stride 24]
+  *   cap       --input P --output P --id c --group c [--k 10]
+  *   upsert    --base P --updates P --output P --keys k1,k2
+  *             --version v1,v2
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
-        "sample|pack|sessionize|asof> --opt v ...")
+        "sample|pack|sessionize|asof|chunk|cap|upsert> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -235,6 +240,19 @@ object Cli {
       case "asof" =>
         write(Temporal.asofJoin(in("left"), in("right"),
           opts("key"), opts("time"), opts("payload").split(",").toSeq))
+
+      case "chunk" =>
+        write(TextOps.chunkDocs(in("input"), opts("id"), opts("text"),
+          opts.getOrElse("window", "32").toInt,
+          opts.getOrElse("stride", "24").toInt))
+
+      case "cap" =>
+        write(Sampling.perGroupCap(in("input"), opts("id"), opts("group"),
+          opts.getOrElse("k", "10").toInt))
+
+      case "upsert" =>
+        write(MergeOps.latestWinsMerge(in("base"), in("updates"),
+          opts("keys").split(",").toSeq, opts("version").split(",").toSeq))
 
       case other => sys.error(s"unknown command: $other")
     }

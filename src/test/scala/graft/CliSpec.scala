@@ -121,6 +121,43 @@ class CliSpec extends SparkSpec {
       Tables.load(spark, sfDir, "documents").count())
   }
 
+  test("cli chunk/cap/upsert wire the round-5 operators end-to-end") {
+    val chunkOut = tmp() + "/chunks"
+    Cli.run(spark, "chunk", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> chunkOut,
+      "id" -> "doc_id", "text" -> "text", "window" -> "16", "stride" -> "16"))
+    val chunks = spark.read.parquet(chunkOut)
+    assert(chunks.columns.toSeq ===
+      Seq("doc_id", "chunk_idx", "chunk_text", "n_tok"))
+    assert(chunks.count() >=
+      Tables.load(spark, sfDir, "documents").count())
+
+    val capOut = tmp() + "/capped"
+    Cli.run(spark, "cap", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> capOut,
+      "id" -> "doc_id", "group" -> "source", "k" -> "3"))
+    val capped = spark.read.parquet(capOut)
+    assert(capped.groupBy("source").count()
+      .collect().forall(_.getLong(1) <= 3))
+
+    // upsert: split events at a timestamp, merge must equal full recompute
+    val baseDir = tmp() + "/base"
+    val updDir = tmp() + "/upd"
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_type", "ts", "event_id", "value")
+    ev.filter(col("ts") < "2024-01-15").write.parquet(baseDir)
+    ev.filter(col("ts") >= "2024-01-15").write.parquet(updDir)
+    val upsOut = tmp() + "/state"
+    Cli.run(spark, "upsert", Map(
+      "base" -> baseDir, "updates" -> updDir, "output" -> upsOut,
+      "keys" -> "user_id,event_type", "version" -> "ts,event_id"))
+    val state = spark.read.parquet(upsOut)
+    val expect = graft.operators.MergeOps.latestWinsMerge(
+      ev, ev.limit(0), Seq("user_id", "event_type"), Seq("ts", "event_id"))
+    assert(state.count() === expect.count())
+    assert(state.exceptAll(expect).isEmpty && expect.exceptAll(state).isEmpty)
+  }
+
   test("cli sessionize and asof wire the temporal operators") {
     val base = tmp()
     Cli.run(spark, "sessionize", Map(

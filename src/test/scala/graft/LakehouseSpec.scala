@@ -121,6 +121,32 @@ class LakehouseSpec extends SparkSpec {
     assert(hotSalts >= 4, s"hot key spread over only $hotSalts salts")
   }
 
+  test("chunkDocs == Scala sliding-window model on randomized texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // fixed seed — no flakes
+    val texts = (0 until 40).map { i =>
+      val n = rnd.nextInt(12)
+      (i.toLong,
+        Seq.fill(n)(('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(2)))
+          .mkString(" "))
+    }
+    for ((w, s) <- Seq((1, 1), (3, 2), (4, 4), (5, 3), (7, 2))) {
+      val got = TextOps.chunkDocs(texts.toDF("doc_id", "text"),
+          "doc_id", "text", window = w, stride = s)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+      val model = texts.flatMap { case (id, t) =>
+        val toks = t.split(" ", -1) // "" -> [""], same as the engine split
+        (0 until toks.length by s).map { st =>
+          val chunk = toks.slice(st, math.min(st + w, toks.length))
+          (id, (st / s).toLong, chunk.mkString(" "), chunk.length.toLong)
+        }
+      }.toSet
+      assert(got === model, s"w=$w s=$s")
+    }
+  }
+
   test("chunkDocs: overlap, tail chunk, and n_tok accounting") {
     import spark.implicits._
     val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 tokens
