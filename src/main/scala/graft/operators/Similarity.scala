@@ -197,4 +197,55 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** Product-quantization encoder — the embedding-COMPRESSION scale path:
+    * each vector's `dims` floats become `m` small codes (one byte each at
+    * nCodes <= 256), a ~dims*4/m reduction that is what makes storing and
+    * scanning billions of embeddings tractable (IVF prunes which vectors
+    * a query reads; PQ shrinks what each read costs — production ANN
+    * indexes stack both).
+    *
+    * Codebook convention matches [[centroidRanks]]: sub-codewords are the
+    * first `nCodes` vectors' sub-blocks (a deterministic stand-in for a
+    * trained codebook — [[kmeansUpdate]] per block is the trainer). The
+    * codebook is COLLECTED once (nCodes × dims floats — KBs) and embedded
+    * as plan constants, so encoding is a pure scan-stage projection:
+    * zero joins, zero shuffles, fully codegen'd at any corpus size.
+    * Distances use the same strict-fold double arithmetic as every other
+    * vector op (DotFold/DotConst vs dotSql), so codes — including
+    * argmin ties, broken by codeword id — are engine-exact and the
+    * declared query hash-verifies against DuckDB.
+    *
+    * @return (idCol, code_0 … code_{m-1}) — one row per vector. */
+  def pqEncode(candidates: DataFrame, m: Int = 4, nCodes: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val cb: Array[(Long, Array[Float])] = candidates
+      .filter(col(idCol) < nCodes)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cb.length == nCodes,
+      s"codebook convention needs exactly $nCodes vectors with $idCol < $nCodes")
+    val dims = cb.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
+    val sub = dims / m
+    val codeCols = (0 until m).map { j =>
+      val sv = slice(col(vecCol), j * sub + 1, sub)
+      val svv = VectorFunctions.dot(sv, sv)
+      val perCode = cb.map { case (cid, v) =>
+        val cw = v.slice(j * sub, (j + 1) * sub).map(_.toDouble).toSeq
+        // codeword self-product folded in the same order as dotSql's
+        // list_reduce, so the literal equals DuckDB's computed value bit
+        // for bit
+        val cc = cw.map(x => x * x).foldLeft(0.0)(_ + _)
+        val d = svv - lit(2.0) * PlanBridge.column(
+          graft.plans.Exprs.DotConst(PlanBridge.expression(sv), cw)) + lit(cc)
+        struct(d.as("d"), lit(cid).as("c"))
+      }
+      array_min(array(perCode.toIndexedSeq: _*)).getField("c").as(s"code_$j")
+    }
+    candidates.select(col(idCol) +: codeCols: _*)
+  }
 }

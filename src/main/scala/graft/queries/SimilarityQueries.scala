@@ -153,6 +153,29 @@ object SimilarityQueries {
           "SELECT media_id, kind, n_bytes, checksum, " +
           "checksum % 640 AS width, checksum % 480 AS height " +
           "FROM f ORDER BY media_id"
+      }),
+
+    // Product-quantization encode: 64 floats -> 4 codes (16-dim blocks,
+    // 8 codewords each from the vec_id<8 codebook convention). The Spark
+    // side embeds the collected codebook as plan constants (scan-stage
+    // projection, zero shuffles); the oracle recomputes each block's
+    // argmin with the identical strict-fold distance, so every code —
+    // tie-breaks included — hash-verifies.
+    Q("q_pq_encode",
+      (s, d) => Similarity.pqEncode(emb(s, d), m = 4, nCodes = 8)
+        .orderBy("vec_id"),
+      Some {
+        val sub = Dims / 4
+        val codes = (0 until 4).map { j =>
+          val se = s"array_slice(e.embedding, ${j * sub + 1}, ${(j + 1) * sub})"
+          val sc = s"array_slice(c.cvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          val dist = s"(${dotSql(se, se)} - 2.0 * ${dotSql(se, sc)} + ${dotSql(sc, sc)})"
+          s"(SELECT c.cid FROM cb c ORDER BY $dist, c.cid LIMIT 1) AS code_$j"
+        }
+        "WITH cb AS (SELECT vec_id AS cid, embedding AS cvec " +
+          "FROM embeddings WHERE vec_id < 8) " +
+          s"SELECT e.vec_id, ${codes.mkString(", ")} " +
+          "FROM embeddings e ORDER BY e.vec_id"
       })
   )
 }

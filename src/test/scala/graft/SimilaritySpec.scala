@@ -134,6 +134,36 @@ class SimilaritySpec extends SparkSpec {
     assert(probe.count() === expected)
   }
 
+  test("pqEncode: codebook self-codes, codes in range, matches Scala argmin model") {
+    val m = 4
+    val nCodes = 8
+    val got = graft.operators.Similarity.pqEncode(emb, m, nCodes)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> (1 to m).map(r.getLong(_)))
+      .toMap
+    // every code in [0, nCodes)
+    assert(got.values.flatten.forall(c => c >= 0 && c < nCodes))
+    // codebook vectors reproduce themselves in every block
+    (0L until nCodes.toLong).foreach(c =>
+      assert(got(c) === Seq.fill(m)(c), s"codeword $c must self-code"))
+    // full argmin model with the same double arithmetic
+    val dims = vecs.head._2.length
+    val sub = dims / m
+    val cb = (0L until nCodes.toLong).map(vecs)
+    def dist(a: Seq[Float], b: Seq[Float], off: Int): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        (0 until sub).map(i => x(off + i).toDouble * y(off + i).toDouble)
+          .foldLeft(0.0)(_ + _)
+      dot(a, a) - 2.0 * dot(a, b) + dot(b, b)
+    }
+    vecs.foreach { case (id, v) =>
+      val expect = (0 until m).map { j =>
+        cb.indices.minBy(c => (dist(v, cb(c), j * sub), c)).toLong
+      }
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
   test("two-stage perGroupTopK equals the single-window plan") {
     val orders = Tables.load(spark, sfDir, "orders")
     val twoStage = TopK.perGroupTopK(orders,
