@@ -217,10 +217,11 @@ object Similarity {
     * declared query hash-verifies against DuckDB.
     *
     * @return (idCol, code_0 … code_{m-1}) — one row per vector. */
-  def pqEncode(candidates: DataFrame, m: Int = 4, nCodes: Int = 8,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.graftbridge.PlanBridge
-    val cb: Array[(Long, Array[Float])] = candidates
+  /** Collected codebook (tiny: nCodes × dims floats) under the
+    * first-nCodes-vectors convention shared with [[centroidRanks]]. */
+  private def codebook(candidates: DataFrame, nCodes: Int,
+                       idCol: String, vecCol: String): Array[(Long, Array[Float])] = {
+    val cb = candidates
       .filter(col(idCol) < nCodes)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
@@ -228,6 +229,21 @@ object Similarity {
       .sortBy(_._1)
     require(cb.length == nCodes,
       s"codebook convention needs exactly $nCodes vectors with $idCol < $nCodes")
+    cb
+  }
+
+  /** Strict-fold sub-block dot product — the driver-side twin of
+    * dotSql/DotConst arithmetic (same product casts, same left fold from
+    * 0.0), so driver-computed distance constants are bit-identical to
+    * what either engine computes from the table floats. */
+  private def subDot(a: Array[Float], b: Array[Float], off: Int, sub: Int): Double =
+    (0 until sub).map(i => a(off + i).toDouble * b(off + i).toDouble)
+      .foldLeft(0.0)(_ + _)
+
+  def pqEncode(candidates: DataFrame, m: Int = 4, nCodes: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val cb = codebook(candidates, nCodes, idCol, vecCol)
     val dims = cb.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
     val sub = dims / m
@@ -247,5 +263,56 @@ object Similarity {
       array_min(array(perCode.toIndexedSeq: _*)).getField("c").as(s"code_$j")
     }
     candidates.select(col(idCol) +: codeCols: _*)
+  }
+
+  /** PQ-ADC top-k — the QUERY path over [[pqEncode]]'s codes: each query
+    * compiles a per-block lookup table (its distance to every codeword —
+    * m × nCodes doubles, computed driver-side with the shared strict-fold
+    * arithmetic) into the plan, and a candidate's approximate distance is
+    * m table probes summed — the scan never touches the original floats.
+    * That is the PQ economics at 100 TB: the heavy read is m codes per
+    * vector instead of dims × 4 bytes, with the LUTs riding the closure.
+    *
+    * One scan scores ALL queries (codes → explode over the per-query
+    * struct array), then the salted two-stage top-k reduces per query.
+    * Approximate by construction (quantization error), so the spec pins
+    * recall against the exact scan; the declared query's DuckDB oracle
+    * recomputes the identical codes, LUT entries and tie-breaks, so the
+    * APPROXIMATION ITSELF is hash-verified — both engines agree on every
+    * ranked distance bit for bit. */
+  def pqAdcTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                m: Int = 4, nCodes: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook(candidates, nCodes, idCol, vecCol)
+    val dims = cb.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
+    val sub = dims / m
+    val codes = pqEncode(candidates, m, nCodes, idCol, vecCol)
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val perQuery = qs.map { case (qid, qv) =>
+      val adc = (0 until m).map { j =>
+        val lut = cb.map { case (_, cwv) =>
+          subDot(qv, qv, j * sub, sub) -
+            2.0 * subDot(qv, cwv, j * sub, sub) +
+            subDot(cwv, cwv, j * sub, sub)
+        }.toSeq
+        element_at(typedlit(lut), col(s"code_$j").cast("int") + 1)
+      }.reduceLeft(_ + _)
+      struct(lit(qid).as("qid"), adc.as("adc_dist"))
+    }
+    val scored = codes
+      .select(col(idCol).as("vec_id"), explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
+      .select(col("qa.qid").as("qid"), col("vec_id"), col("qa.adc_dist").as("adc_dist"))
+      .filter(col("vec_id") =!= col("qid"))
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("adc_dist").asc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
   }
 }

@@ -176,6 +176,45 @@ object SimilarityQueries {
           "FROM embeddings WHERE vec_id < 8) " +
           s"SELECT e.vec_id, ${codes.mkString(", ")} " +
           "FROM embeddings e ORDER BY e.vec_id"
+      }),
+
+    // PQ-ADC top-k: the query path over the codes — per-query LUTs (m ×
+    // nCodes distances) compiled into the plan, candidate distance = m
+    // table probes summed, original floats never read in the scan. The
+    // oracle recomputes codes, LUT entries and tie-breaks with the
+    // identical fold arithmetic, so the APPROXIMATION itself (not just
+    // some bound) hash-verifies.
+    Q("q_pq_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.pqAdcTopK(e, e.filter(col("vec_id") < K), k = K,
+            m = 4, nCodes = 8)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val sub = Dims / 4
+        val codes = (0 until 4).map { j =>
+          val se = s"array_slice(e.embedding, ${j * sub + 1}, ${(j + 1) * sub})"
+          val sc = s"array_slice(c.cvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          val dist = s"(${dotSql(se, se)} - 2.0 * ${dotSql(se, sc)} + ${dotSql(sc, sc)})"
+          s"(SELECT c.cid FROM cb c ORDER BY $dist, c.cid LIMIT 1) AS code_$j"
+        }
+        val ds = (0 until 4).map { j =>
+          val sq = s"array_slice(q.qvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          val sc = s"array_slice(c.cvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          s"(SELECT (${dotSql(sq, sq)} - 2.0 * ${dotSql(sq, sc)} + ${dotSql(sc, sc)}) " +
+            s"FROM cb c WHERE c.cid = enc.code_$j)"
+        }
+        "WITH cb AS (SELECT vec_id AS cid, embedding AS cvec " +
+          "FROM embeddings WHERE vec_id < 8), " +
+          s"enc AS (SELECT e.vec_id, ${codes.mkString(", ")} FROM embeddings e), " +
+          s"q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $K), " +
+          s"scored AS (SELECT q.qid, enc.vec_id, (${ds.mkString(" + ")}) AS adc " +
+          "FROM enc CROSS JOIN q WHERE enc.vec_id <> q.qid), " +
+          "ranked AS (SELECT qid, vec_id, adc, row_number() OVER (" +
+          "PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored) " +
+          s"SELECT qid, rank, vec_id, round(adc, 6) AS adc_dist FROM ranked " +
+          s"WHERE rank <= $K ORDER BY qid, rank"
       })
   )
 }

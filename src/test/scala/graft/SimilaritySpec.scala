@@ -164,6 +164,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqAdcTopK == Scala ADC model (codes + LUT probes, same fold order)") {
+    val (k, m, nCodes) = (5, 4, 8)
+    val got = graft.operators.Similarity.pqAdcTopK(
+        emb, emb.filter(col("vec_id") < 5), k, m, nCodes)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val dims = vecs.head._2.length
+    val sub = dims / m
+    val cb = (0L until nCodes.toLong).map(vecs)
+    def sdot(a: Seq[Float], b: Seq[Float], off: Int): Double =
+      (0 until sub).map(i => a(off + i).toDouble * b(off + i).toDouble)
+        .foldLeft(0.0)(_ + _)
+    def dist(a: Seq[Float], b: Seq[Float], off: Int): Double =
+      sdot(a, a, off) - 2.0 * sdot(a, b, off) + sdot(b, b, off)
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map(j => cb.indices.minBy(c => (dist(v, cb(c), j * sub), c)))
+    }
+    val model = (0L until 5L).flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.keys.filter(_ != qid).map { id =>
+        val adc = (0 until m).map(j => dist(qv, cb(codes(id)(j)), j * sub))
+          .reduceLeft(_ + _)
+        (id, adc)
+      }.toSeq.sortBy { case (id, adc) => (adc, id) }.take(k)
+        .zipWithIndex.map { case ((id, adc), i) => (qid, i + 1, id, adc) }
+    }
+    assert(got.length === model.length)
+    got.zip(model).foreach { case ((gq, gr, gi, gd), (mq, mr, mi, md)) =>
+      assert((gq, gr, gi) === ((mq, mr, mi)))
+      assert(math.abs(gd - md) < 1e-6)
+    }
+  }
+
   test("two-stage perGroupTopK equals the single-window plan") {
     val orders = Tables.load(spark, sfDir, "orders")
     val twoStage = TopK.perGroupTopK(orders,
