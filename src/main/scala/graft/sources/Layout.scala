@@ -1,0 +1,38 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Generic range-clustered parquet layout — the non-spatial sibling of
+  * GeoOps.writeSpatiallyClustered and the mechanism behind lakehouse
+  * "liquid clustering": `repartitionByRange` + in-partition sort on the
+  * clustering key(s) makes every output file cover a NARROW key range,
+  * so its parquet footer min/max stats let range predicates prune whole
+  * files/row groups at scan time. No index structure, no maintenance —
+  * just data layout plus ordinary parquet statistics.
+  *
+  * The time-series instance (cluster by event time) is the most common
+  * 100 TB win: a last-day query over a year of history reads ~1/365 of
+  * the files instead of all of them. `files` ≈ dataset size / 128 MB at
+  * the target scale; one range-exchange is the write-time cost.
+  */
+object Layout {
+
+  def writeRangeClustered(df: DataFrame, outDir: String, files: Int,
+                          cols: Column*): Unit = {
+    // Spark's default INT96 parquet timestamps carry NO usable min/max
+    // statistics, so a time-range predicate cannot prune INT96 files —
+    // silently defeating this layout for the most common clustering key.
+    // The setting is session-conf-only (no per-write option exists), so
+    // set-and-restore around the write rather than session-wide:
+    // MICROS+UTC reads back timezone-aware in pandas-based tooling,
+    // which the oracle compare path must not see on other outputs.
+    val spark = df.sparkSession
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try df.repartitionByRange(files, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite").parquet(outDir)
+    finally spark.conf.set(key, prev)
+  }
+}

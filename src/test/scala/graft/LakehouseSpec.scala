@@ -99,6 +99,41 @@ class LakehouseSpec extends SparkSpec {
     assert(joined.count() === 0)
   }
 
+  test("range-clustered layout prunes a time-range scan; shuffled layout reads all") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    val ev = events.select("event_id", "ts", "value")
+    val total = ev.count()
+    ev.repartition(16).write.mode("overwrite").parquet(s"$dir/plain")
+    graft.sources.Layout.writeRangeClustered(ev, s"$dir/byts", 16, col("ts"))
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("ts").between("2024-01-10", "2024-01-11"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collectLeaves()
+        .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec in plan"))
+        .metrics("numOutputRows").value
+    }
+    val clustered = scannedRows(s"$dir/byts")
+    val plain = scannedRows(s"$dir/plain")
+    // same answer either way
+    assert(spark.read.parquet(s"$dir/byts")
+      .filter(col("ts").between("2024-01-10", "2024-01-11")).count() ===
+      ev.filter(col("ts").between("2024-01-10", "2024-01-11")).count())
+    // one day of a one-month table behind 16 range files: the footer
+    // stats must skip most rows; the shuffled layout's per-file ranges
+    // all span the month, so its scan emits (roughly) everything
+    assert(clustered < total / 2,
+      s"range-clustered scan read $clustered of $total rows — no pruning")
+    assert(clustered < plain / 2,
+      s"clustered=$clustered vs plain=$plain — layout made no difference")
+  }
+
   test("saltedEquiJoin == plain join and spreads a hot key across salts") {
     import spark.implicits._
     // one pathologically hot key (900 of 1000 rows) + a long tail
