@@ -195,6 +195,24 @@ object AnalyticsQueries {
         "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
         "GROUP BY kmod ORDER BY kmod")),
 
+    // Same semantics via Spark 4's VARIANT type: parse each props string
+    // ONCE into the binary variant encoding, then typed variant_get
+    // extraction — the modern semi-structured path (at 100 TB, variant
+    // columns persist the parsed binary form, so repeated extraction
+    // stops re-parsing strings; with shredding the engine can even push
+    // paths into the scan). Same oracle as q_events_json — the two
+    // declared plans must agree with each other THROUGH the oracle.
+    Q("q_json_variant",
+      (s, d) => Tables.load(s, d, "events")
+        .withColumn("v", parse_json(col("props")))
+        .groupBy(coalesce(variant_get(col("v"), "$.k", "long") % 10, lit(-1L))
+          .as("kmod"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("kmod"),
+      Some("SELECT COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, -1) AS kmod, " +
+        "count(*) AS cnt, round(sum(value), 2) AS sum_value FROM events " +
+        "GROUP BY kmod ORDER BY kmod")),
+
     // Per-group correlation/covariance/stddev — the co-moment aggregates
     // (one map-side-combined pass; Spark and DuckDB both merge Welford-
     // style partial moments, and the rounded results agree).
