@@ -74,7 +74,10 @@ object Bench {
     // line did — so the official channel stays well under 2 KB:
     // millisecond precision, spread summarized to its max, error details
     // file-only.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale formatter writes comma decimal
+    // separators under e.g. de_DE, which would corrupt the JSON line
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(f: Double => String) = results
       .map { case (k, v, _, err) => s""""$k":${if (err.isDefined) -1 else f(v)}""" }
       .mkString("{", ",", "}")

@@ -96,6 +96,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunking is stateless: streaming chunks equal the batch chunks") {
+    // chunkDocs is a pure narrow projection (sequence-explode + slice),
+    // so the exact same plan runs at streaming ingest in append mode —
+    // context-window prep without a second batch pass over the corpus
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_c")
+    java.nio.file.Files.createDirectory(staged.resolve("documents.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet").resolve("part-00000.parquet"))
+    val stream = Tables.loadStream(spark, staged.toString, "documents")
+    val q = graft.operators.TextOps.chunkDocs(stream, "doc_id", "text", 16, 12)
+      .writeStream.format("memory").queryName("chunk_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("chunk_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val batch = graft.operators.TextOps
+        .chunkDocs(Tables.load(spark, sfDir, "documents"), "doc_id", "text", 16, 12)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bucketCounts emits a window only after the watermark passes it") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
