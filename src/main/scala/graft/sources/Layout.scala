@@ -35,4 +35,24 @@ object Layout {
       .write.mode("overwrite").parquet(outDir)
     finally spark.conf.set(key, prev)
   }
+
+  /** Dynamic-partition overwrite — the incremental BACKFILL primitive:
+    * overwrite mode replaces ONLY the partition directories present in
+    * `df`, leaving every other partition untouched (static overwrite —
+    * Spark's default — would truncate the whole table first). This is
+    * how a day's corrected data lands in a date-partitioned 100 TB table
+    * without rewriting the year: the job's cost is proportional to the
+    * batch, not the table. Set-and-restore scoped like the clustered
+    * write (partitionOverwriteMode is session-conf-only). */
+  def overwritePartitions(df: DataFrame, outDir: String,
+                          partitionCols: String*): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(outDir)
+    finally spark.conf.set(key, prev)
+  }
 }

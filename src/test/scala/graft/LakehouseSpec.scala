@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{BloomOps, MergeOps, Sampling, TextOps}
+import graft.sources.Layout
 
 /** Round-5 lakehouse / training-mix operators: bloom-pruned semi-join,
   * latest-wins incremental merge, per-group quota cap, sliding-window
@@ -132,6 +133,27 @@ class LakehouseSpec extends SparkSpec {
       s"range-clustered scan read $clustered of $total rows — no pruning")
     assert(clustered < plain / 2,
       s"clustered=$clustered vs plain=$plain — layout made no difference")
+  }
+
+  test("dynamic partition overwrite backfills one day without touching the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString + "/t"
+    val ev = events.select(col("event_id"), col("ts"), col("value"))
+      .withColumn("date", date_format(col("ts"), "yyyy-MM-dd"))
+    Layout.overwritePartitions(ev, dir, "date")
+    val total = ev.count()
+    val day = "2024-01-10"
+    val nDay = ev.filter(col("date") === day).count()
+    assume(nDay > 0)
+    // corrected batch: that one day's rows with zeroed values
+    val corrected = ev.filter(col("date") === day).withColumn("value", lit(0.0))
+    Layout.overwritePartitions(corrected, dir, "date")
+    val back = spark.read.parquet(dir)
+    // same total: only the day's partition was replaced, nothing truncated
+    assert(back.count() === total)
+    assert(back.filter(col("date") === day).agg(sum(col("value"))).head.getDouble(0) === 0.0)
+    // every other day's data untouched
+    val otherSum = ev.filter(col("date") =!= day).agg(round(sum(col("value")), 2)).head.getDouble(0)
+    assert(back.filter(col("date") =!= day).agg(round(sum(col("value")), 2)).head.getDouble(0) === otherSum)
   }
 
   test("saltedEquiJoin == plain join and spreads a hot key across salts") {
