@@ -238,12 +238,17 @@ object Dedup {
   private def iterateToEdgeFixpoint(init: DataFrame, maxIter: Int, what: String)
                                    (round: DataFrame => DataFrame): DataFrame = {
     var cur = init
+    var curCount = init.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prev = cur
+      val prevCount = curCount
       cur = round(prev).localCheckpoint()
-      converged = prev.count() == cur.count() && prev.except(cur).isEmpty
+      curCount = cur.count()
+      // prev's count is carried from last round — per round this really
+      // is one scalar count plus one anti-set job, as documented
+      converged = prevCount == curCount && prev.except(cur).isEmpty
       PlanBridge.unpersistLocalCheckpoint(prev)
       iter += 1
     }

@@ -46,9 +46,13 @@ object Sampling {
   def perGroupCap(df: DataFrame, idCol: String, groupCol: String,
                   k: Int, salts: Int = 32): DataFrame = {
     val h = TextFunctions.charHash(col(idCol).cast("string"))
+    // salt on the hash, not the raw id: a STRING id under pmod would
+    // throw under ANSI (Spark 4's default) or null out the salt — which
+    // would put each group's whole row set in one stage-1 partition,
+    // exactly the funnel the salted TopK exists to avoid
     TopK.perGroupTopK(df, Seq(col(groupCol)),
       order = Seq(h.asc, col(idCol).asc), k = k,
-      salt = col(idCol), salts = salts)
+      salt = h, salts = salts)
   }
 
   /** DuckDB side of `stratified`'s keep-predicate pieces: (bucketExpr,

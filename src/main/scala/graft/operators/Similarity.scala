@@ -198,6 +198,33 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Collected codebook (tiny: nCodes × dims floats) under the
+    * first-nCodes-vectors convention shared with [[centroidRanks]].
+    * The ids must be EXACTLY 0..nCodes-1 (enforced): the emitted code IS
+    * the codeword id, and the ADC LUT probe indexes an array by code —
+    * a stray negative id below the `< nCodes` cut would emit codes that
+    * crash or silently misread the LUT. */
+  private def codebook(candidates: DataFrame, nCodes: Int,
+                       idCol: String, vecCol: String): Array[(Long, Array[Float])] = {
+    val cb = candidates
+      .filter(col(idCol) >= 0 && col(idCol) < nCodes)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cb.map(_._1).sameElements(0L until nCodes.toLong),
+      s"codebook convention needs vectors with $idCol exactly 0..${nCodes - 1}")
+    cb
+  }
+
+  /** Strict-fold sub-block dot product — the driver-side twin of
+    * dotSql/DotConst arithmetic (same product casts, same left fold from
+    * 0.0), so driver-computed distance constants are bit-identical to
+    * what either engine computes from the table floats. */
+  private def subDot(a: Array[Float], b: Array[Float], off: Int, sub: Int): Double =
+    (0 until sub).map(i => a(off + i).toDouble * b(off + i).toDouble)
+      .foldLeft(0.0)(_ + _)
+
   /** Product-quantization encoder — the embedding-COMPRESSION scale path:
     * each vector's `dims` floats become `m` small codes (one byte each at
     * nCodes <= 256), a ~dims*4/m reduction that is what makes storing and
@@ -217,33 +244,18 @@ object Similarity {
     * declared query hash-verifies against DuckDB.
     *
     * @return (idCol, code_0 … code_{m-1}) — one row per vector. */
-  /** Collected codebook (tiny: nCodes × dims floats) under the
-    * first-nCodes-vectors convention shared with [[centroidRanks]]. */
-  private def codebook(candidates: DataFrame, nCodes: Int,
-                       idCol: String, vecCol: String): Array[(Long, Array[Float])] = {
-    val cb = candidates
-      .filter(col(idCol) < nCodes)
-      .select(col(idCol).cast("long"), col(vecCol))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    require(cb.length == nCodes,
-      s"codebook convention needs exactly $nCodes vectors with $idCol < $nCodes")
-    cb
-  }
-
-  /** Strict-fold sub-block dot product — the driver-side twin of
-    * dotSql/DotConst arithmetic (same product casts, same left fold from
-    * 0.0), so driver-computed distance constants are bit-identical to
-    * what either engine computes from the table floats. */
-  private def subDot(a: Array[Float], b: Array[Float], off: Int, sub: Int): Double =
-    (0 until sub).map(i => a(off + i).toDouble * b(off + i).toDouble)
-      .foldLeft(0.0)(_ + _)
-
   def pqEncode(candidates: DataFrame, m: Int = 4, nCodes: Int = 8,
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqEncodeWith(candidates, codebook(candidates, nCodes, idCol, vecCol),
+      m, idCol, vecCol)
+
+  /** [[pqEncode]] against an already-collected codebook — so callers
+    * that also need the codebook driver-side (the ADC query path) pay
+    * the collect and the candidate scan once, not twice. */
+  private def pqEncodeWith(candidates: DataFrame,
+                           cb: Array[(Long, Array[Float])], m: Int,
+                           idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge
-    val cb = codebook(candidates, nCodes, idCol, vecCol)
     val dims = cb.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
     val sub = dims / m
@@ -287,7 +299,7 @@ object Similarity {
     val dims = cb.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
     val sub = dims / m
-    val codes = pqEncode(candidates, m, nCodes, idCol, vecCol)
+    val codes = pqEncodeWith(candidates, cb, m, idCol, vecCol)
     val qs = queries
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()

@@ -203,9 +203,13 @@ object AnalyticsQueries {
     // paths into the scan). Same oracle as q_events_json — the two
     // declared plans must agree with each other THROUGH the oracle.
     Q("q_json_variant",
+      // try_ variants: the lenient path, matching get_json_object's
+      // null-on-malformed behavior — strict parse_json would ERROR the
+      // whole query on one bad props string where the companion query
+      // routes the row to kmod=-1
       (s, d) => Tables.load(s, d, "events")
-        .withColumn("v", parse_json(col("props")))
-        .groupBy(coalesce(variant_get(col("v"), "$.k", "long") % 10, lit(-1L))
+        .withColumn("v", try_parse_json(col("props")))
+        .groupBy(coalesce(try_variant_get(col("v"), "$.k", "long") % 10, lit(-1L))
           .as("kmod"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy("kmod"),
@@ -264,9 +268,14 @@ object AnalyticsQueries {
           (abs(col("approx_users") - col("exact_users")) <=
             col("exact_users") * lit(0.05)).as("hll_within_5pct"))
         .orderBy("event_type"),
+      // WHERE mirrors the Spark-side null filter: without it, a group
+      // whose user_ids are ALL null exists in the oracle (exact_users=0)
+      // but not in the filtered Spark plan — a row-set mismatch on
+      // nullable data
       Some("SELECT event_type, count(DISTINCT user_id) AS exact_users, " +
         "count(user_id) AS n_events, TRUE AS hll_within_5pct " +
-        "FROM events GROUP BY event_type ORDER BY event_type")),
+        "FROM events WHERE user_id IS NOT NULL " +
+        "GROUP BY event_type ORDER BY event_type")),
 
     // HLL sketch RE-AGGREGATION (DataSketches): per-day sketches built
     // once, unioned per group later — the pre-aggregate-then-merge shape
@@ -275,17 +284,19 @@ object AnalyticsQueries {
     // union's 5% bound is the oracle-pinned flag.
     Q("q_hll_union",
       (s, d) => {
-        val ev = Tables.load(s, d, "events")
+        // NULL user_ids out up front, for BOTH branches: the two-level
+        // distinct would count the NULL group as a user (diverging from
+        // count(DISTINCT)/hll_sketch_agg, which skip NULLs), and a
+        // (type, day) group with only-null users would count toward
+        // n_days on one side only.
+        val ev = Tables.load(s, d, "events").filter(col("user_id").isNotNull)
         val daily = ev
           .groupBy(col("event_type"), to_date(col("ts")).as("day"))
           .agg(expr("hll_sketch_agg(user_id)").as("sk"))
         val unioned = daily.groupBy("event_type")
           .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
             count(lit(1)).as("n_days"))
-        // NULLs out before the two-level distinct: the NULL user_id group
-        // would count as a distinct user, diverging from count(DISTINCT)
-        // and hll_sketch_agg, which both skip NULLs.
-        val exact = ev.filter(col("user_id").isNotNull)
+        val exact = ev
           .groupBy(col("event_type"), col("user_id"))
           .agg(count(lit(1)).as("n"))
           .groupBy("event_type").agg(count(lit(1)).as("exact_users"))
@@ -296,9 +307,9 @@ object AnalyticsQueries {
           .orderBy("event_type")
       },
       Some("WITH e AS (SELECT event_type, count(DISTINCT user_id) AS exact_users " +
-        "FROM events GROUP BY event_type), " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY event_type), " +
         "d AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days " +
-        "FROM events GROUP BY event_type) " +
+        "FROM events WHERE user_id IS NOT NULL GROUP BY event_type) " +
         "SELECT event_type, exact_users, n_days, TRUE AS hll_union_ok " +
         "FROM e JOIN d USING (event_type) ORDER BY event_type")),
 

@@ -149,8 +149,12 @@ object TemporalQueries {
       (s, d) => {
         val all = ev(s, d)
         val cut = to_timestamp(lit("2024-01-21"))
+        // coalesce makes the split TOTAL: a NULL ts fails both ts < cut
+        // and ts >= cut, so without it such rows would vanish from the
+        // merge while the oracle's full recompute keeps them
         val state = graft.operators.MergeOps.latestWinsMerge(
-          all.filter(col("ts") < cut), all.filter(col("ts") >= cut),
+          all.filter(coalesce(col("ts") < cut, lit(false))),
+          all.filter(coalesce(col("ts") >= cut, lit(true))),
           keys = Seq("user_id", "event_type"),
           version = Seq("ts", "event_id"))
         state.select(col("user_id"), col("event_type"), col("ts"),

@@ -83,9 +83,18 @@ object EventStreams {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // existence check through the Hadoop FS layer, not java.nio: a
+        // URI-style ("file:/...") or non-local stateDir is a path
+        // spark.read understands but Paths.get does not — the nio check
+        // would be false every batch and silently RESET the state to
+        // just that batch's keys
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(stateDir)
+        val exists = hPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hPath)
         val base =
-          if (java.nio.file.Files.exists(java.nio.file.Paths.get(stateDir)))
-            batch.sparkSession.read.parquet(stateDir)
+          if (exists) spark.read.parquet(stateDir)
           else batch.limit(0)
         val merged = graft.operators.MergeOps
           .latestWinsMerge(base, batch.toDF(), keys, version)
