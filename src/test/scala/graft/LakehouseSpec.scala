@@ -204,6 +204,57 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("perGroupCap works with STRING ids (review regression: salt must hash)") {
+    import spark.implicits._
+    val rows = (1 to 60).map(i => (s"url_$i", s"dom_${i % 3}")).toDF("id", "grp")
+    val capped = Sampling.perGroupCap(rows, "id", "grp", k = 4)
+    val sizes = capped.groupBy("grp").count().collect()
+    assert(sizes.length === 3 && sizes.forall(_.getLong(1) === 4))
+    // deterministic repeat
+    val a = capped.select("id").collect().map(_.getString(0)).toSet
+    val b = Sampling.perGroupCap(rows, "id", "grp", k = 4)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(a === b)
+  }
+
+  test("upsertParquet state survives across batches with a file: URI stateDir") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_uri").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+    // URI-style path: the java.nio existence check (pre-fix) never saw it
+    // and silently reset state every batch
+    val q = graft.streaming.EventStreams.upsertParquet(
+      input.toDF().toDF("user_id", "event_type", "ts", "event_id", "value"),
+      s"file:$dir/state", s"$dir/ckpt",
+      keys = Seq("user_id", "event_type"), version = Seq("ts", "event_id"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData((1L, "view", t("2024-01-01 10:00:00"), 1L, 1.0))
+      q.processAllAvailable()
+      input.addData((2L, "buy", t("2024-01-01 11:00:00"), 2L, 2.0))
+      q.processAllAvailable()
+      // both keys present: batch 2 merged INTO batch 1's state instead of
+      // replacing it
+      val keys = spark.read.parquet(s"file:$dir/state")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(keys === Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("pq codebook rejects id sets that are not exactly 0..nCodes-1") {
+    import spark.implicits._
+    val dims = 8
+    val bad = Seq(-1L, 0L, 1L, 2L, 3L, 4L, 5L, 6L)
+      .map(id => (id, Array.fill(dims)(id.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.pqEncode(bad, m = 2, nCodes = 8)
+    }
+    assert(e.getMessage.contains("exactly 0.."))
+  }
+
   test("chunkDocs: overlap, tail chunk, and n_tok accounting") {
     import spark.implicits._
     val one = Seq((1L, "a b c d e f g")).toDF("doc_id", "text") // 7 tokens
