@@ -35,14 +35,22 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Stream-stream inner join: enrich an event stream with a second
-    * stream (e.g. impressions ⋈ purchases) keyed by `key`, with both
-    * sides watermarked and the match bounded to `maxDelay` of event time —
+  /** Stream-stream join: enrich an event stream with a second stream
+    * (e.g. impressions ⋈ purchases) keyed by `key`, with both sides
+    * watermarked and the match bounded to `maxDelay` of event time —
     * the time bound is what lets Spark discard state, keeping the join's
-    * memory proportional to the delay window, not the stream history. */
+    * memory proportional to the delay window, not the stream history.
+    *
+    * `how = "left_outer"` adds attribution's MISS rows: an impression
+    * with no purchase inside the bound emits null-extended — but only
+    * once BOTH watermarks have passed its match window (the engine must
+    * be sure no matching right row can still arrive), so outer results
+    * trail the inner ones by up to watermark + maxDelay of event time.
+    * Same state bound as the inner join. */
   def joinStreams(left: DataFrame, right: DataFrame, key: String,
                   watermark: String = "30 minutes",
-                  maxDelay: String = "1 hour"): DataFrame = {
+                  maxDelay: String = "1 hour",
+                  how: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
     val r = right.select(col(key).as("r_key"), col("ts").as("r_ts"),
         col("value").as("r_value"))
@@ -50,7 +58,8 @@ object EventStreams {
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("ts") &&
-        col("r_ts") <= col("ts") + expr(s"INTERVAL $maxDelay"))
+        col("r_ts") <= col("ts") + expr(s"INTERVAL $maxDelay"),
+      how)
   }
 
   /** Durable sink: stream a frame to date-partitioned parquet (the

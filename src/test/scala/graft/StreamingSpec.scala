@@ -195,6 +195,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream join emits unmatched rows after both watermarks pass") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Double)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventStreams.joinStreams(
+      clicks.toDF().toDF("user_id", "ts", "value"),
+      buys.toDF().toDF("user_id", "ts", "value"),
+      key = "user_id", watermark = "10 minutes", maxDelay = "1 hour",
+      how = "left_outer")
+    val q = joined.select("user_id", "ts", "r_ts")
+      .writeStream.format("memory").queryName("attributed").outputMode("append")
+      .start()
+    try {
+      clicks.addData(
+        (1L, t("2020-01-01 10:00:00"), 1.0),  // will match
+        (2L, t("2020-01-01 10:00:00"), 1.0))  // never matches -> MISS row
+      buys.addData((1L, t("2020-01-01 10:30:00"), 9.0))
+      q.processAllAvailable()
+      // the engine can only emit user 2's null-extended row once both
+      // watermarks prove no matching buy can still arrive — advance them
+      // far past the click's match window with late dummy traffic
+      clicks.addData((99L, t("2020-01-01 15:00:00"), 0.0))
+      buys.addData((98L, t("2020-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      clicks.addData((97L, t("2020-01-01 18:00:00"), 0.0))
+      buys.addData((96L, t("2020-01-01 18:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attributed").collect()
+        .map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet
+      assert(got.contains((1L, Some(t("2020-01-01 10:30:00")))), s"got $got")
+      assert(got.contains((2L, None)),
+        s"unmatched click must surface as a null-extended MISS row; got $got")
+    } finally q.stop()
+  }
+
   test("stateful streams run on the RocksDB state store (the cluster backend)") {
     // HDFS-backed state (the default) holds every key in executor heap;
     // RocksDB spills state to local disk — the backend a 100 TB
