@@ -331,6 +331,35 @@ object TextOps {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Inverted-index build: term → (document frequency, capped sorted
+    * posting list) — the retrieval-side corpus structure (BM25 /
+    * keyword search over the training mix, duplicate-cluster triage).
+    *
+    * Scale shape: the posting CAP happens BEFORE any list materializes —
+    * distinct (term, doc) pairs are ranked per term by the salted
+    * two-stage TopK and cut at `maxPostings`, so a stopword's millions
+    * of postings never pass through one task or one collect_list buffer
+    * (an uncapped `collect_list` per term is the classic hot-key OOM).
+    * doc_freq is a separate map-side-combined count over the full pair
+    * set (exact, uncapped); the two meet in one term-keyed join. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 20): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("term"))
+    val freq = pairs.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val capped = TopK.perGroupTopK(pairs,
+        groupCols = Seq(col("term")),
+        order = Seq(col("doc_id").asc),
+        k = maxPostings, salt = col("doc_id"))
+      .groupBy("term")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("doc_id"))), _.cast("string")),
+        ",").as("postings"))
+    freq.join(capped, "term")
+      .select(col("term"), col("doc_freq"), col("postings"))
+  }
+
   /** Sliding-window document chunking — the context-window preparation
     * step of a pretraining/RAG pipeline: each document becomes overlapping
     * token-window chunks of `window` tokens every `stride` tokens (set

@@ -280,6 +280,21 @@ object TextQueries {
           "FROM documents) t WHERE rn <= 10 ORDER BY source, rn"
       }),
 
+    // Inverted-index build: term -> (doc_freq, capped sorted posting
+    // list). The cap rides the salted two-stage TopK BEFORE any list
+    // materializes (a stopword's postings never funnel through one
+    // buffer); doc_freq stays exact over the full pair set.
+    Q("q_inverted_index",
+      (s, d) => TextOps.invertedIndex(docs(s, d), "doc_id", "text",
+          maxPostings = 20)
+        .orderBy("term"),
+      Some(s"WITH p AS (SELECT DISTINCT doc_id, term FROM " +
+        s"(SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents) t) " +
+        "SELECT term, count(*) AS doc_freq, " +
+        "array_to_string(list_transform(array_slice(list_sort(list(doc_id)), 1, 20), " +
+        "x -> CAST(x AS VARCHAR)), ',') AS postings " +
+        "FROM p GROUP BY term ORDER BY term")),
+
     // Sliding-window chunking: 32-token windows every 24 tokens (25%
     // overlap) — the context-window prep step. Purely narrow (zero
     // shuffles): offsets explode in the scan stage, slices stay inside

@@ -8,6 +8,23 @@ import graft.operators.TextOps
 /** Brute-force Scala oracles for the text operators (sf0.001). */
 class TextOpsSpec extends SparkSpec {
 
+  test("invertedIndex: exact doc_freq, postings = k smallest doc ids sorted") {
+    val k = 5
+    val got = TextOps.invertedIndex(docs, "doc_id", "text", maxPostings = k)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // brute-force model from the raw table
+    val model = docs.select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).distinct.map(_ -> r.getLong(0)))
+      .groupBy(_._1)
+      .map { case (term, pairs) =>
+        val ids = pairs.map(_._2).distinct.sorted
+        term -> (ids.length.toLong, ids.take(k).mkString(","))
+      }
+    assert(got === model)
+  }
+
   private val P = TextFunctions.P
 
   private def hashScala(s: String): Long =
