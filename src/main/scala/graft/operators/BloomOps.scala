@@ -36,17 +36,24 @@ object BloomOps {
   def bloomSemiJoin(fact: DataFrame, dim: DataFrame,
                     factKey: String, dimKey: String,
                     expectedItems: Long, fpp: Double = 0.03): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    // The bloom insert and the probe must run the SAME encoding of the key:
+    // stat.bloomFilter over a raw column putLong's integral types but
+    // putBinary's strings, while BloomFilterMightContain only probes with
+    // mightContainLong — mixing them silently rejects every true string
+    // match. So, like Spark's own InjectRuntimeFilter, BOTH sides go
+    // through xxhash64 first: the bloom is built over xxhash64(dimKey)
+    // (a long → putLong) and the probe is xxhash64(factKey) — consistent
+    // for any key type. Hash inputs must be the same type on both sides
+    // (xxhash64 is type-sensitive: 5L and "5" hash differently).
+    require(fact.schema(factKey).dataType == dim.schema(dimKey).dataType,
+      s"bloomSemiJoin keys must have identical types: " +
+        s"${fact.schema(factKey).dataType} vs ${dim.schema(dimKey).dataType}")
+    val bf = dim.stat.bloomFilter(xxhash64(col(dimKey)), expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    // stat.bloomFilter inserts integral keys via putLong, and
-    // BloomFilterMightContain probes with mightContainLong — so the probe
-    // value is the raw key as int64, NOT re-hashed (Spark's injected
-    // filters hash with xxhash64 on BOTH sides instead; either is
-    // consistent, mixing them is not).
     val might = PlanBridge.column(BloomFilterMightContain(
       Literal.create(bos.toByteArray, BinaryType),
-      PlanBridge.expression(col(factKey).cast("long"))))
+      PlanBridge.expression(xxhash64(col(factKey)))))
     fact.filter(col(factKey).isNotNull && might)
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }

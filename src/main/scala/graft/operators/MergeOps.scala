@@ -138,9 +138,10 @@ object MergeOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(version.map(col(_).desc): _*)
+    val rn = Cols.fresh("_lw_rn", base.columns ++ updates.columns)
     base.unionByName(updates)
-      .withColumn("_lw_rn", row_number().over(w))
-      .filter(col("_lw_rn") === 1)
-      .drop("_lw_rn")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

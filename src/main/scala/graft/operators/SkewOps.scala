@@ -35,10 +35,11 @@ object SkewOps {
                      probeKey: String, buildKey: String,
                      saltOn: Column, salts: Int = 8): DataFrame = {
     require(salts > 0, "salts must be positive")
-    val p = probe.withColumn("_salt", pmod(xxhash64(saltOn), lit(salts.toLong)))
-    val b = build.withColumn("_salt",
+    val salt = Cols.fresh("_salt", probe.columns ++ build.columns)
+    val p = probe.withColumn(salt, pmod(xxhash64(saltOn), lit(salts.toLong)))
+    val b = build.withColumn(salt,
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    p.join(b, p(probeKey) === b(buildKey) && p("_salt") === b("_salt"))
-      .drop("_salt")
+    p.join(b, p(probeKey) === b(buildKey) && p(salt) === b(salt))
+      .drop(salt)
   }
 }

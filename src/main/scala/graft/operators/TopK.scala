@@ -28,9 +28,10 @@ object TopK {
     val saltCol = pmod(salt, lit(salts))
     val partial = Window.partitionBy(groupCols :+ saltCol: _*).orderBy(order: _*)
     val fin = Window.partitionBy(groupCols: _*).orderBy(order: _*)
-    df.withColumn("_topk_rn", row_number().over(partial))
-      .filter(col("_topk_rn") <= k)
-      .drop("_topk_rn")
+    val rn = Cols.fresh("_topk_rn", df.columns)
+    df.withColumn(rn, row_number().over(partial))
+      .filter(col(rn) <= k)
+      .drop(rn)
       .withColumn(rankCol, row_number().over(fin))
       .filter(col(rankCol) <= k)
   }

@@ -75,41 +75,110 @@ object EventStreams {
       .outputMode("append")
       .start(outDir)
 
+  private val LatestMarker = "_LATEST"
+  private val SnapPrefix = "snap-"
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession,
+                    p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the current state snapshot under a [[upsertParquet]]
+    * `stateDir`: the `_LATEST` marker's target if it names a complete
+    * (`_SUCCESS`-bearing) snapshot, else the newest complete snapshot on
+    * disk (the crash-recovery path — a failure inside the marker swap
+    * leaves the marker stale or absent, never the data), else None. */
+  def latestSnapshot(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): Option[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) return None
+    def complete(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    val marker = new org.apache.hadoop.fs.Path(root, LatestMarker)
+    val fromMarker =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Option(new org.apache.hadoop.fs.Path(root, name)).filter(complete)
+      }
+    fromMarker.orElse {
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(SnapPrefix) && complete(p))
+        .sortBy(_.getName).lastOption
+    }
+  }
+
+  /** Read the current upsert state (see [[upsertParquet]]'s layout). */
+  def readUpsertState(spark: org.apache.spark.sql.SparkSession,
+                      stateDir: String): DataFrame =
+    latestSnapshot(spark, stateDir) match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None => throw new IllegalStateException(
+        s"no complete upsert state snapshot under $stateDir")
+    }
+
   /** Streaming latest-wins upsert: fold each micro-batch into a parquet
     * state snapshot via [[graft.operators.MergeOps.latestWinsMerge]] —
     * the streaming form of q_incr_merge (a continuously maintained
     * current-state table). foreachBatch may REPLAY a batch after a
     * failure; latest-wins is idempotent under replay (re-merging the
     * same rows yields the same state), which is what makes this sink
-    * exactly-once in effect without a transactional store. The merged
-    * frame is materialized (localCheckpoint) before the overwrite
-    * because its plan reads the same directory it replaces; a lakehouse
-    * table format's ACID swap is the cluster-grade version of this
-    * materialize-then-replace, with the same merge plan inside. */
+    * exactly-once in effect without a transactional store.
+    *
+    * Durability (ADVICE r5): a plain `mode("overwrite")` of one state
+    * directory is delete-then-write — a crash inside the window loses the
+    * ONLY copy of the state, and the restart would silently re-seed from
+    * the replayed batch alone. So each batch writes a FRESH snapshot
+    * directory `snap-<batchId>` and then swaps the `_LATEST` marker
+    * (tmp-file + rename); the previous snapshot stays on disk until the
+    * swap lands. Every crash point is covered: before the snapshot
+    * completes → marker still names the old snapshot and the batch
+    * replays onto it; inside the marker swap → [[latestSnapshot]] falls
+    * back to the newest `_SUCCESS`-complete snapshot, and the replayed
+    * merge is idempotent on it. A lakehouse table format's ACID commit is
+    * the cluster-grade version of exactly this snapshot-then-swap. Read
+    * the state via [[readUpsertState]]. Snapshots older than the previous
+    * one are pruned after the swap. */
   def upsertParquet(df: DataFrame, stateDir: String, checkpointDir: String,
                     keys: Seq[String], version: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // existence check through the Hadoop FS layer, not java.nio: a
-        // URI-style ("file:/...") or non-local stateDir is a path
-        // spark.read understands but Paths.get does not — the nio check
-        // would be false every batch and silently RESET the state to
-        // just that batch's keys
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // all paths through the Hadoop FS layer, not java.nio: a URI-style
+        // ("file:/...") or non-local stateDir is a path spark.read
+        // understands but Paths.get does not
         val spark = batch.sparkSession
-        val hPath = new org.apache.hadoop.fs.Path(stateDir)
-        val exists = hPath
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .exists(hPath)
-        val base =
-          if (exists) spark.read.parquet(stateDir)
-          else batch.limit(0)
+        val root = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = fsFor(spark, root)
+        val base = latestSnapshot(spark, stateDir)
+          .map(p => spark.read.parquet(p.toString))
+          .getOrElse(batch.limit(0))
+        // materialized (localCheckpoint) before writing: on a replay the
+        // merge plan may read the very snapshot directory it overwrites
         val merged = graft.operators.MergeOps
           .latestWinsMerge(base, batch.toDF(), keys, version)
           .localCheckpoint()
-        try merged.write.mode("overwrite").parquet(stateDir)
-        finally org.apache.spark.sql.graftbridge.PlanBridge
+        try {
+          val snapName = f"$SnapPrefix$batchId%020d"
+          merged.write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(root, snapName).toString)
+          val marker = new org.apache.hadoop.fs.Path(root, LatestMarker)
+          val tmp = new org.apache.hadoop.fs.Path(root, LatestMarker + ".tmp")
+          val out = fs.create(tmp, true)
+          try out.write(snapName.getBytes("UTF-8")) finally out.close()
+          fs.delete(marker, false)
+          fs.rename(tmp, marker)
+          // keep this snapshot and its predecessor (the crash fallback);
+          // prune everything older
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.startsWith(SnapPrefix) && p.getName < snapName)
+            .sortBy(_.getName).dropRight(1)
+            .foreach(p => fs.delete(p, true))
+        } finally org.apache.spark.sql.graftbridge.PlanBridge
           .unpersistLocalCheckpoint(merged)
         ()
       }

@@ -38,6 +38,30 @@ class LakehouseSpec extends SparkSpec {
       s"bloom pruned nothing: $survivors of ${keys.length} survive")
   }
 
+  test("bloomSemiJoin is exact for STRING keys (ADVICE r5: insert/probe encoding must agree)") {
+    // pre-fix, strings were inserted via putBinary but probed via
+    // mightContainLong(cast) — every true match was rejected
+    import spark.implicits._
+    val srcs = docs.select("source").distinct().limit(2)
+      .collect().map(_.getString(0)).toSeq
+    val dim = srcs.toDF("src")
+    val got = BloomOps.bloomSemiJoin(docs, dim, "source", "src",
+        expectedItems = 100, fpp = 0.03)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = docs.join(dim, docs("source") === dim("src"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "fixture must produce matches")
+    assert(got === exact)
+  }
+
+  test("bloomSemiJoin rejects mismatched key types loudly") {
+    val dim = docs.select(col("source").as("src_key"))
+    val e = intercept[IllegalArgumentException] {
+      BloomOps.bloomSemiJoin(docs, dim, "doc_id", "src_key", 100)
+    }
+    assert(e.getMessage.contains("identical types"))
+  }
+
   test("latestWinsMerge == full-recompute latest state, any split point") {
     import spark.implicits._
     val keyed = events.select(col("user_id"), col("event_type"),
@@ -237,10 +261,74 @@ class LakehouseSpec extends SparkSpec {
       q.processAllAvailable()
       // both keys present: batch 2 merged INTO batch 1's state instead of
       // replacing it
-      val keys = spark.read.parquet(s"file:$dir/state")
+      val keys = graft.streaming.EventStreams
+        .readUpsertState(spark, s"file:$dir/state")
         .select("user_id").collect().map(_.getLong(0)).toSet
       assert(keys === Set(1L, 2L))
     } finally q.stop()
+  }
+
+  test("upsertParquet snapshots: marker loss recovers, old snapshots pruned (ADVICE r5)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_snap").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, java.sql.Timestamp, Long, Double)]
+    val q = graft.streaming.EventStreams.upsertParquet(
+      input.toDF().toDF("user_id", "event_type", "ts", "event_id", "value"),
+      s"$dir/state", s"$dir/ckpt",
+      keys = Seq("user_id", "event_type"), version = Seq("ts", "event_id"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      for (b <- 1 to 3) {
+        input.addData((b.toLong, "view", t(s"2024-01-0$b 10:00:00"), b.toLong, b.toDouble))
+        q.processAllAvailable()
+      }
+      val root = new java.io.File(s"$dir/state")
+      val snaps = root.listFiles().map(_.getName).filter(_.startsWith("snap-")).sorted
+      assert(snaps.length === 2, s"prune must keep current+previous, got ${snaps.toSeq}")
+      // a crash inside the marker swap leaves no _LATEST: the reader must
+      // fall back to the newest complete snapshot, losing nothing
+      assert(new java.io.File(root, "_LATEST").delete())
+      val keys = graft.streaming.EventStreams
+        .readUpsertState(spark, s"$dir/state")
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(keys === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("saltedEquiJoin / latestWinsMerge / perGroupTopK survive colliding helper column names (ADVICE r5)") {
+    import spark.implicits._
+    // user data that already carries _salt / _lw_rn / _topk_rn columns —
+    // pre-fix these were silently overwritten and then dropped
+    val probe = Seq((1L, "a", 7L), (1L, "b", 8L), (2L, "c", 9L))
+      .toDF("k", "payload", "_salt")
+    val build = Seq((1L, "x"), (2L, "y")).toDF("bk", "battr")
+    val salted = graft.operators.SkewOps
+      .saltedEquiJoin(probe, build, "k", "bk", saltOn = col("payload"), salts = 4)
+    val plain = probe.join(build, probe("k") === build("bk"))
+    assert(salted.columns.toSeq === plain.columns.toSeq,
+      "user _salt column must survive")
+    assert(salted.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+
+    val st = Seq((1L, 1L, "old", 5L), (1L, 2L, "new", 6L), (2L, 1L, "only", 7L))
+      .toDF("id", "v", "s", "_lw_rn")
+    val mergedLw = graft.operators.MergeOps
+      .latestWinsMerge(st.limit(0), st, keys = Seq("id"), version = Seq("v"))
+    assert(mergedLw.columns.toSeq === st.columns.toSeq)
+    assert(mergedLw.select("id", "s", "_lw_rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+      Set((1L, "new", 6L), (2L, "only", 7L)))
+
+    val tk = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 30L, 300L), (2L, 5L, 50L))
+      .toDF("g", "score", "_topk_rn")
+    val top = graft.operators.TopK.perGroupTopK(tk,
+      groupCols = Seq(col("g")), order = Seq(col("score").desc),
+      k = 2, salt = col("_topk_rn"), salts = 4, rankCol = "rn")
+    assert(top.columns.contains("_topk_rn"), "user _topk_rn column must survive")
+    assert(top.select("g", "score", "_topk_rn", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet ===
+      Set((1L, 30L, 300L, 1), (1L, 20L, 200L, 2), (2L, 5L, 50L, 1)))
   }
 
   test("pq codebook rejects id sets that are not exactly 0..nCodes-1") {

@@ -305,7 +305,7 @@ class StreamingSpec extends SparkSpec {
       s"$dir/state", s"$dir/ckpt",
       keys = Seq("user_id", "event_type"), version = Seq("ts", "event_id"))
     def state(): Map[(Long, String), (Long, Double)] =
-      spark.read.parquet(s"$dir/state").collect()
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
         .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(3), r.getDouble(4)))
         .toMap
     try {
