@@ -84,4 +84,57 @@ object Temporal {
         date_format(max(col(timeCol)), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         round(sum(col(valueCol)), 2).as("sum_value"))
   }
+
+  /** Merge overlapping-or-touching per-key intervals into islands
+    * (gaps-and-islands): an interval starts a new island iff its start
+    * exceeds the running maximum end of every earlier interval of the
+    * key — the running max (not lag(end)) is what makes a long interval
+    * correctly swallow short ones that start later but end earlier.
+    *
+    * Same scale shape as [[sessionize]]: ONE shuffle on the key, a sorted
+    * window pass, then a map-side-combinable groupBy. `tieCol` must make
+    * the sort total so island numbering is deterministic.
+    *
+    * Input columns are epoch-microsecond longs (`startUs`, `endUs`);
+    * output is one row per island: key, island_id (1-based per key),
+    * island start/end (us), n spanned intervals. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startUs: String,
+                     endUs: String, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(startUs), col(tieCol))
+    val prevMaxEnd = max(col(endUs))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(prevMaxEnd.isNull || col(startUs) > prevMaxEnd, 1L)
+      .otherwise(0L)
+    df.withColumn("_brk", brk)
+      .withColumn("island_id",
+        sum(col("_brk")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("island_id"))
+      .agg(
+        min(col(startUs)).as("island_start_us"),
+        max(col(endUs)).as("island_end_us"),
+        count(lit(1)).as("n_intervals"))
+  }
+
+  /** Per-key inter-arrival statistics: gaps between consecutive events in
+    * (time, tie) order — the feed-health / user-cadence profile. One
+    * shuffle on the key. Everything stays in EXACT integer microseconds
+    * (the average is a floor integer division): a fractional-seconds
+    * presentation invites round-half disagreements between engines —
+    * sum/count lands exactly on a .5 boundary for real data, and
+    * decimal-HALF_UP (Spark) vs binary-double rounding (DuckDB) then
+    * split — while integer micros are engine-proof. */
+  def interArrival(df: DataFrame, keyCol: String, timeCol: String,
+                   tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    val us = unix_micros(col(timeCol))
+    val gap = us - lag(us, 1).over(ord)
+    df.withColumn("_gap_us", gap)
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("_gap_us")).as("n_gaps"),
+        expr("sum(_gap_us) div count(_gap_us)").as("avg_gap_us"),
+        max(col("_gap_us")).as("max_gap_us"),
+        min(col("_gap_us")).as("min_gap_us"))
+  }
 }

@@ -401,4 +401,190 @@ object TextOps {
       .withColumn("min_kgram_hash", coalesce(array_min(col("_gram_hashes")), lit(-1L)))
       .drop("_gram_hashes")
   }
+
+  /** BM25 top-k documents per query term — the retrieval scorer used to
+    * curate/inspect a training corpus (and the ranking sibling of
+    * [[invertedIndex]]).
+    *
+    * Scale shape: term frequencies for ALL query terms come from ONE
+    * native pass over each document ([[TextFunctions.memberCounts]] — the
+    * corpus-wide token explosion never happens; only |terms| rows per
+    * matching doc leave the scan). Corpus stats (N, avgdl) are a 1-row
+    * aggregate broadcast into the scoring stage; per-term doc_freq is a
+    * count over the hit rows (hit-sized, not corpus-sized). The final
+    * per-term ranking is the salted two-stage [[TopK]], so a stopword-ish
+    * query term never funnels its whole posting set through one window
+    * task. Formula: Robertson/Spärck Jones BM25 with
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)). */
+  def bm25TopDocs(df: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int = 5,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .withColumn("doc_len", size(col("toks")).cast("long"))
+      .withColumn("tfs", TextFunctions.memberCounts(col("toks"), terms.map(Seq(_))))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("doc_len")).as("avgdl"))
+    val hits = base
+      .select(col("doc_id"), col("doc_len"),
+        posexplode(col("tfs")).as(Seq("ti", "tf")))
+      .filter(col("tf") > 0)
+      .withColumn("term", element_at(array(terms.map(lit): _*), col("ti") + 1))
+      .drop("ti")
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val scored = hits
+      .withColumn("doc_freq", count(lit(1)).over(byTerm))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("doc_freq") + lit(0.5)) /
+          (col("doc_freq") + lit(0.5))))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("doc_len") / col("avgdl"))),
+        6))
+    TopK.perGroupTopK(scored, Seq(col("term")),
+        Seq(col("score").desc, col("doc_id")), k,
+        salt = col("doc_id"))
+      .select(col("term"), col("rn"), col("doc_id"), col("tf"),
+        col("doc_len"), col("doc_freq"), col("score"))
+  }
+
+  /** DuckDB oracle for [[bm25TopDocs]] — identical arithmetic tree,
+    * identical tie-break. */
+  def bm25Sql(terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH d AS (SELECT doc_id, $toks AS toks, " +
+      s"CAST(len($toks) AS BIGINT) AS doc_len FROM documents), " +
+      "stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM d), " +
+      s"q AS (SELECT unnest([$termList]) AS term), " +
+      "hits0 AS (SELECT doc_id, doc_len, term, " +
+      "CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf " +
+      "FROM d CROSS JOIN q), " +
+      "hits AS (SELECT * FROM hits0 WHERE tf > 0), " +
+      "dfr AS (SELECT doc_id, doc_len, term, tf, " +
+      "count(*) OVER (PARTITION BY term) AS doc_freq FROM hits), " +
+      "scored AS (SELECT term, doc_id, tf, doc_len, doc_freq, " +
+      s"round(ln(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5)) * " +
+      s"(tf * ${k1 + 1.0}) / (tf + $k1 * (${1.0 - b} + $b * doc_len / avgdl)), 6) AS score " +
+      "FROM dfr CROSS JOIN stats) " +
+      "SELECT term, rn, doc_id, tf, doc_len, doc_freq, score FROM (" +
+      "SELECT *, CAST(row_number() OVER (PARTITION BY term " +
+      "ORDER BY score DESC, doc_id) AS INT) AS rn FROM scored) t " +
+      s"WHERE rn <= $k ORDER BY term, rn"
+  }
+
+  /** Paragraph-level exact dedup, the block form: documents are split
+    * into fixed `blockTokens`-token blocks (the paragraph analogue for
+    * unstructured text — on corpora with real paragraph breaks the split
+    * is the delimiter instead, everything downstream is identical), each
+    * block is hashed, the globally FIRST occurrence of each distinct
+    * block (by (doc_id, block index)) is kept, and every document is
+    * reassembled from its surviving blocks — the boilerplate-removal pass
+    * (repeated headers/footers/navigation) that document-level dedup
+    * cannot express.
+    *
+    * Scale shape: the split is narrow; first-occurrence election is ONE
+    * window over the 8-byte block hash (high-cardinality key — no hot
+    * partition; raw block text rides along only to be re-emitted);
+    * reassembly is a per-document groupBy whose state is bounded by
+    * document size. Nothing joins corpus×corpus.
+    *
+    * Returns (doc_id, n_blocks, n_kept, dedup_text) for EVERY input
+    * document — a doc whose blocks all lost election comes back with
+    * n_kept = 0 and empty text. */
+  def blockDedup(df: DataFrame, idCol: String, textCol: String,
+                 blockTokens: Int = 32): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val toks = TextFunctions.tokens(col(textCol))
+    val blocks = df.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(blockTokens))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / blockTokens).cast("long").as("blk_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(blockTokens)), " ")
+          .as("blk_text"))
+      .withColumn("blk_hash", TextFunctions.charHash(col("blk_text")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk_hash").orderBy("doc_id", "blk_idx")
+    val rn = Cols.fresh("_bd_rn", blocks.columns)
+    val kept = blocks.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("blk_idx"), col("blk_text")))),
+            x => x.getField("blk_text")),
+          " ").as("dedup_text"))
+    val perDoc = blocks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"))
+    perDoc.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** DuckDB oracle for [[blockDedup]]. */
+  def blockDedupSql(blockTokens: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    val blkText =
+      s"array_to_string(list_slice(toks, start + 1, start + $blockTokens), ' ')"
+    s"WITH d AS (SELECT doc_id, $toks AS toks FROM documents), " +
+      s"b0 AS (SELECT doc_id, toks, unnest(range(0, len(toks), $blockTokens)) AS start FROM d), " +
+      s"b AS (SELECT doc_id, CAST(start // $blockTokens AS BIGINT) AS blk_idx, " +
+      s"$blkText AS blk_text, ${TextFunctions.charHashSql(blkText)} AS blk_hash FROM b0), " +
+      "kept AS (SELECT doc_id, blk_idx, blk_text FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY blk_hash " +
+      "ORDER BY doc_id, blk_idx) AS rn FROM b) t WHERE rn = 1), " +
+      "ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "string_agg(blk_text, ' ' ORDER BY blk_idx) AS dedup_text " +
+      "FROM kept GROUP BY doc_id), " +
+      "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks FROM b GROUP BY doc_id) " +
+      "SELECT pd.doc_id, pd.n_blocks, COALESCE(ka.n_kept, 0) AS n_kept, " +
+      "COALESCE(ka.dedup_text, '') AS dedup_text " +
+      "FROM pd LEFT JOIN ka ON pd.doc_id = ka.doc_id ORDER BY pd.doc_id"
+  }
+
+  /** Character alphabet of normalized text ([[normalize]]'s codomain). */
+  val entropyAlphabet: Seq[String] =
+    (('a' to 'z') ++ ('0' to '9')).map(_.toString) :+ " "
+
+  /** Per-document character-level Shannon entropy (bits/char) over the
+    * normalized text — the classic gibberish/boilerplate quality signal
+    * (natural language sits ~4 bits/char; runs of one symbol or random
+    * noise fall outside the band).
+    *
+    * Scale shape: all 37 alphabet counts come from ONE native scan of the
+    * text ([[TextFunctions.substringCounts]]); the entropy fold is a pure
+    * column expression — narrow, zero-shuffle, one codegen stage. */
+  def charEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val n = length(col("norm_text")).cast("long")
+    val cnts = TextFunctions.substringCounts(col("norm_text"), entropyAlphabet)
+    val terms = entropyAlphabet.indices.map { i =>
+      val c = element_at(cnts, i + 1)
+      val p = c.cast("double") / col("n_chars")
+      when(c > 0, -(p * log(p))).otherwise(lit(0.0))
+    }
+    normalize(df, textCol)
+      .withColumn("n_chars", n)
+      .withColumn("entropy_bits",
+        when(col("n_chars") > 0,
+          round(terms.reduceLeft(_ + _) / log(lit(2.0)), 6))
+          .otherwise(lit(0.0)))
+      .drop("norm_text")
+  }
+
+  /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
+    * over a normalized-text expression — identical fold shape. */
+  def charEntropySql(normExpr: String): (String, String) = {
+    val terms = entropyAlphabet.map { ch =>
+      val lit = if (ch == " ") "' '" else s"'$ch'"
+      val c = s"CAST(len(regexp_extract_all($normExpr, $lit)) AS BIGINT)"
+      s"CASE WHEN $c > 0 THEN -(($c / n_chars) * ln($c / n_chars)) ELSE 0.0 END"
+    }.mkString(" + ")
+    (s"CAST(length($normExpr) AS BIGINT)",
+      s"CASE WHEN n_chars > 0 THEN round(($terms) / ln(2.0), 6) ELSE 0.0 END")
+  }
 }

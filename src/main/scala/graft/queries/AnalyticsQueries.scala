@@ -395,6 +395,42 @@ object AnalyticsQueries {
       Some("SELECT o_orderpriority, count(*) AS n_items, " +
         "round(sum(l_extendedprice), 2) AS sum_price " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority"))
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")),
+
+    // Winsorized outlier clamping: per-group exact p05/p95 cut points
+    // (tiny aggregate, BROADCAST back — no second shuffle of the fact
+    // rows on the cuts key) then a narrow clamp + re-aggregate. The
+    // robust-statistics cleaning pass for metric pipelines; the thresholds
+    // and clamped averages hash-verify against the oracle's identical
+    // interpolation.
+    Q("q_winsorize",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        val cuts = e.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.05)").as("p_lo"),
+          expr("percentile(value, 0.95)").as("p_hi"))
+        e.join(broadcast(cuts), "event_type")
+          .withColumn("w", least(greatest(col("value"), col("p_lo")), col("p_hi")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("p_lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+            sum(when(col("value") > col("p_hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+            round(min(col("p_lo")), 6).as("p_lo"),
+            round(max(col("p_hi")), 6).as("p_hi"),
+            round(avg(col("value")), 4).as("avg_raw"),
+            round(avg(col("w")), 4).as("avg_winsorized"))
+          .orderBy("event_type")
+      },
+      Some("WITH cuts AS (SELECT event_type, " +
+        "quantile_cont(value, 0.05) AS p_lo, " +
+        "quantile_cont(value, 0.95) AS p_hi FROM events GROUP BY event_type) " +
+        "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN e.value < c.p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo, " +
+        "CAST(sum(CASE WHEN e.value > c.p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi, " +
+        "round(min(c.p_lo), 6) AS p_lo, round(max(c.p_hi), 6) AS p_hi, " +
+        "round(avg(e.value), 4) AS avg_raw, " +
+        "round(avg(least(greatest(e.value, c.p_lo), c.p_hi)), 4) AS avg_winsorized " +
+        "FROM events e JOIN cuts c ON e.event_type = c.event_type " +
+        "GROUP BY e.event_type ORDER BY e.event_type"))
   )
 }

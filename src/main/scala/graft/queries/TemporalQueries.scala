@@ -165,6 +165,72 @@ object TemporalQueries {
         "round(value, 2) AS value FROM (" +
         "SELECT *, row_number() OVER (PARTITION BY user_id, event_type " +
         "ORDER BY ts DESC, event_id DESC) AS rn FROM events) t " +
-        "WHERE rn = 1 ORDER BY user_id, event_type"))
+        "WHERE rn = 1 ORDER BY user_id, event_type")),
+
+    // Gaps-and-islands: each event opens a 10-minute activity interval;
+    // overlapping/touching intervals per user merge into islands via a
+    // running-max-end window (NOT lag(end): a long interval must swallow
+    // later-starting shorter ones). One key shuffle, exact integer
+    // microsecond arithmetic on both engines.
+    Q("q_interval_merge",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + lit(600000000L)).as("end_us"))
+        graft.operators.Temporal
+          .mergeIntervals(e, "user_id", "start_us", "end_us", "event_id")
+          .orderBy("user_id", "island_id")
+      },
+      Some("WITH i AS (SELECT user_id, event_id, epoch_us(ts) AS start_us, " +
+        "epoch_us(ts) + 600000000 AS end_us FROM events), " +
+        "m AS (SELECT user_id, event_id, start_us, end_us, " +
+        "max(end_us) OVER (PARTITION BY user_id ORDER BY start_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM i), " +
+        "b AS (SELECT user_id, event_id, start_us, end_us, " +
+        "CASE WHEN pme IS NULL OR start_us > pme THEN 1 ELSE 0 END AS brk FROM m), " +
+        "g AS (SELECT user_id, start_us, end_us, " +
+        "CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY start_us, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id FROM b) " +
+        "SELECT user_id, island_id, min(start_us) AS island_start_us, " +
+        "max(end_us) AS island_end_us, CAST(count(*) AS BIGINT) AS n_intervals " +
+        "FROM g GROUP BY user_id, island_id ORDER BY user_id, island_id")),
+
+    // Per-user inter-arrival profile: lag-gap, count/avg/max/min per
+    // user — the cadence/feed-health query. All stats in EXACT integer
+    // microseconds (floor-division average): seconds-as-double output
+    // hit a literal .5 round-half boundary at sf0.1 where Spark
+    // (decimal HALF_UP) and DuckDB (binary rounding) disagree.
+    Q("q_event_gaps",
+      (s, d) => graft.operators.Temporal
+        .interArrival(ev(s, d), "user_id", "ts", "event_id")
+        .orderBy("user_id"),
+      Some("WITH g AS (SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(count(gap_us) AS BIGINT) AS n_gaps, " +
+        "CAST(sum(gap_us) // count(gap_us) AS BIGINT) AS avg_gap_us, " +
+        "max(gap_us) AS max_gap_us, " +
+        "min(gap_us) AS min_gap_us " +
+        "FROM g GROUP BY user_id ORDER BY user_id")),
+
+    // GROUPING SETS — the two one-dimension marginals plus the grand
+    // total in ONE scan (a single Expand, no self-union re-scan); the
+    // grouping-set family member rollup/cube can't express.
+    Q("q_grouping_sets",
+      (s, d) => {
+        val o = Tables.load(s, d, "orders")
+        o.createOrReplaceTempView("orders_gsets")
+        s.sql("SELECT coalesce(o_orderpriority, 'ALL') AS priority, " +
+          "coalesce(o_orderstatus, 'ALL') AS status, " +
+          "count(*) AS n, round(sum(o_totalprice), 2) AS total " +
+          "FROM orders_gsets " +
+          "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) " +
+          "ORDER BY priority, status")
+      },
+      Some("SELECT COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "COALESCE(o_orderstatus, 'ALL') AS status, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS total FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) " +
+        "ORDER BY priority, status"))
   )
 }

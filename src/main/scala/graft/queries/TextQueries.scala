@@ -15,6 +15,9 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** Closed plan-time query-term set for q_bm25 (constants.py-style). */
+  private val bm25Terms: Seq[String] = Seq("join", "merge", "vector", "window")
+
   val defs: Seq[Q] = Seq(
 
     // Token counting: whitespace tokens + BPE-ish regex token runs.
@@ -311,6 +314,95 @@ object TextQueries {
           "array_to_string(array_slice(toks, start + 1, start + 32), ' ') AS chunk_text, " +
           "CAST(least(32, len(toks) - start) AS BIGINT) AS n_tok " +
           "FROM s ORDER BY doc_id, chunk_idx"
+      }),
+
+    // BM25 retrieval: top-5 documents per query term (corpus curation /
+    // inspection). All query-term tfs come from ONE native pass per doc
+    // (no corpus-wide token explode); ranking rides the salted two-stage
+    // TopK. The oracle recomputes the identical arithmetic tree, so the
+    // scores themselves hash-verify.
+    Q("q_bm25",
+      (s, d) => TextOps.bm25TopDocs(docs(s, d), "doc_id", "text",
+          terms = bm25Terms, k = 5)
+        .orderBy("term", "rn"),
+      Some(TextOps.bm25Sql(bm25Terms, k = 5, k1 = 1.2, b = 0.75))),
+
+    // Paragraph(block)-level exact dedup: 32-token blocks, global
+    // first-occurrence election on the 8-byte block hash, documents
+    // reassembled from surviving blocks — the boilerplate-removal pass
+    // document-level dedup cannot express.
+    Q("q_block_dedup",
+      (s, d) => TextOps.blockDedup(docs(s, d), "doc_id", "text",
+          blockTokens = 32)
+        .orderBy("doc_id"),
+      Some(TextOps.blockDedupSql(blockTokens = 32))),
+
+    // Character-entropy quality signal (bits/char over normalized text):
+    // all 37 alphabet counts from one native scan, entropy as a pure
+    // column fold — narrow, zero-shuffle.
+    Q("q_entropy",
+      (s, d) => TextOps.charEntropy(docs(s, d), "text")
+        .select(col("doc_id"), col("n_chars"), col("entropy_bits"))
+        .orderBy("doc_id"),
+      Some {
+        val normExpr = "trim(regexp_replace(regexp_replace(lower(text), " +
+          "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+        val (nChars, entropy) = TextOps.charEntropySql("norm_text")
+        s"WITH n AS (SELECT doc_id, $normExpr AS norm_text FROM documents), " +
+          s"c AS (SELECT doc_id, norm_text, $nChars AS n_chars FROM n) " +
+          s"SELECT doc_id, n_chars, $entropy AS entropy_bits " +
+          "FROM c ORDER BY doc_id"
+      }),
+
+    // CCNet-style quality bucketing: head/middle/tail by global quality-
+    // score terciles. NOT ntile — a global ntile window funnels the whole
+    // corpus through one task; threshold cuts come from a 1-row exact-
+    // percentile aggregate broadcast into a narrow comparison, so the
+    // bucket assignment scales like a filter.
+    Q("q_quality_bucket",
+      (s, d) => {
+        val scored = TextOps.qualityScore(docs(s, d), "text")
+          .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+        val p1 = (1.0 / 3).toString
+        val p2 = (2.0 / 3).toString
+        val cuts = scored.agg(
+          expr(s"percentile(quality_score, $p1)").as("t1"),
+          expr(s"percentile(quality_score, $p2)").as("t2"))
+        scored.crossJoin(broadcast(cuts))
+          .withColumn("bucket",
+            when(col("quality_score") <= col("t1"), "tail")
+              .when(col("quality_score") <= col("t2"), "middle")
+              .otherwise("head"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            round(min(col("quality_score")), 6).as("min_score"),
+            round(max(col("quality_score")), 6).as("max_score"),
+            round(avg(col("quality_score")), 6).as("avg_score"))
+          .orderBy("bucket")
+      },
+      Some {
+        val toks = tokensSql("text")
+        val p1 = (1.0 / 3).toString
+        val p2 = (2.0 / 3).toString
+        "WITH t AS (SELECT doc_id, " +
+          s"CAST(len($toks) AS BIGINT) AS n_tokens, " +
+          s"CAST(len(list_filter($toks, x -> (x = 'the' OR x = 'a'))) AS BIGINT) AS n_stop " +
+          "FROM documents), " +
+          "sc AS (SELECT doc_id, n_tokens, " +
+          "round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * " +
+          "(1.0 - (n_stop / n_tokens)), 6) AS quality_score FROM t), " +
+          s"cuts AS (SELECT quantile_cont(quality_score, $p1) AS t1, " +
+          s"quantile_cont(quality_score, $p2) AS t2 FROM sc) " +
+          "SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs, " +
+          "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, " +
+          "round(min(quality_score), 6) AS min_score, " +
+          "round(max(quality_score), 6) AS max_score, " +
+          "round(avg(quality_score), 6) AS avg_score FROM (" +
+          "SELECT n_tokens, quality_score, " +
+          "CASE WHEN quality_score <= t1 THEN 'tail' " +
+          "WHEN quality_score <= t2 THEN 'middle' ELSE 'head' END AS bucket " +
+          "FROM sc CROSS JOIN cuts) b GROUP BY bucket ORDER BY bucket"
       })
   )
 }

@@ -111,4 +111,64 @@ class TemporalSpec extends SparkSpec {
       assert(gotN === nSessions.toLong, s"user $uid")
     }
   }
+
+  test("mergeIntervals: running-max end swallows later-starting shorter intervals") {
+    // key 1: [0,100] must swallow [10,20] (ends before the running max)
+    // and chain into [90,150]; [200,210] opens island 2 — a lag(end)
+    // implementation would wrongly split after [10,20]
+    val df = Seq(
+      (1L, 1L, 0L, 100L), (1L, 2L, 10L, 20L), (1L, 3L, 90L, 150L),
+      (1L, 4L, 200L, 210L), (2L, 5L, 0L, 10L))
+      .toDF("k", "id", "s", "e")
+    val got = Temporal.mergeIntervals(df, "k", "s", "e", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === Set(
+      (1L, 1L, 0L, 150L, 3L),
+      (1L, 2L, 200L, 210L, 1L),
+      (2L, 1L, 0L, 10L, 1L)))
+  }
+
+  test("mergeIntervals matches a sweep model on random intervals (touching merges)") {
+    val rnd = new scala.util.Random(7)
+    val data = (1 to 300).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (rnd.nextInt(5).toLong, i.toLong, s, s + rnd.nextInt(50).toLong)
+    }
+    val got = Temporal.mergeIntervals(
+        data.toDF("k", "id", "s", "e"), "k", "s", "e", "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val model = data.groupBy(_._1).flatMap { case (k, rows) =>
+      val sorted = rows.sortBy(x => (x._3, x._2))
+      val islands = sorted.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc, (_, _, s, e)) =>
+          acc.lastOption match {
+            case Some((is, ie, n)) if s <= ie =>
+              acc.init :+ ((is, math.max(ie, e), n + 1))
+            case _ => acc :+ ((s, e, 1L))
+          }
+      }
+      islands.zipWithIndex.map { case ((is, ie, n), i) => (k, i + 1L, is, ie, n) }
+    }.toSet
+    assert(got === model)
+  }
+
+  test("interArrival: known gaps, single-event keys yield null stats") {
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq((1L, t(0), 1L), (1L, t(2), 2L), (1L, t(5), 3L), (2L, t(9), 4L))
+      .toDF("user_id", "ts", "event_id")
+    val rows = Temporal.interArrival(df, "user_id", "ts", "event_id")
+      .orderBy("user_id").collect()
+    val u1 = rows(0)
+    assert((u1.getLong(0), u1.getLong(1), u1.getLong(2)) === ((1L, 3L, 2L)))
+    // gaps 2 s and 3 s: floor-average 2_500_000 us, max 3 s, min 2 s
+    assert((u1.getLong(3), u1.getLong(4), u1.getLong(5)) ===
+      ((2500000L, 3000000L, 2000000L)))
+    val u2 = rows(1)
+    assert((u2.getLong(1), u2.getLong(2)) === ((1L, 0L)))
+    assert(u2.isNullAt(3) && u2.isNullAt(4) && u2.isNullAt(5))
+  }
 }

@@ -237,4 +237,90 @@ class TextOpsSpec extends SparkSpec {
       assert(sig(id) === expect)
     }
   }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("bm25TopDocs matches brute-force BM25 over the real corpus") {
+    val terms = Seq("join", "vector", "zzz_absent")
+    val k = 5
+    val (k1, b) = (1.2, 0.75)
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = rows.length.toLong
+    val avgdl = rows.map(_._2.length.toLong).sum.toDouble / n
+    val expect = terms.flatMap { term =>
+      val hits = rows.flatMap { case (id, toks) =>
+        val tf = toks.count(_ == term).toLong
+        if (tf > 0) Some((id, tf, toks.length.toLong)) else None
+      }
+      val dfq = hits.length.toLong
+      val idf = math.log(1.0 + (n - dfq + 0.5) / (dfq + 0.5))
+      hits.map { case (id, tf, len) =>
+        val score = round6(
+          idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * len / avgdl)))
+        (term, id, tf, len, dfq, score)
+      }.sortBy(x => (-x._6, x._2)).take(k).zipWithIndex
+        .map { case ((t, id, tf, len, dfq, s), i) => (t, i + 1, id, tf, len, dfq, s) }
+    }.toSet
+    val got = TextOps.bm25TopDocs(docs, "doc_id", "text", terms, k, k1, b)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSet
+    assert(expect.nonEmpty && got === expect)
+  }
+
+  test("blockDedup: first occurrence wins, reassembly preserves block order") {
+    import spark.implicits._
+    // doc 1: unique; doc 2 repeats doc 1's first block then adds its own;
+    // doc 3 is doc 2 verbatim (loses everything); block size 2 tokens
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b x y")).toDF("doc_id", "text")
+    val got = TextOps.blockDedup(df, "doc_id", "text", blockTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(got === Set(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 2L, 0L, "")))
+  }
+
+  test("blockDedup conserves distinct blocks over the real corpus") {
+    val out = TextOps.blockDedup(docs, "doc_id", "text", blockTokens = 32).collect()
+    assert(out.length === docs.count())
+    // every distinct block text survives exactly once
+    val distinctBlocks = docs.select("doc_id", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).grouped(32).map(_.mkString(" ")))
+      .distinct.length.toLong
+    assert(out.map(_.getLong(2)).sum === distinctBlocks)
+  }
+
+  test("charEntropy: closed-form cases and the [0, log2(37)] band") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaa"),          // one symbol -> 0 bits
+      (2L, "ab"),            // two equiprobable -> 1 bit
+      (3L, "!!!"),           // normalizes to empty -> 0 by convention
+      (4L, "abcd abcd")).toDF("doc_id", "text")
+    val got = TextOps.charEntropy(df, "text")
+      .select("doc_id", "n_chars", "entropy_bits")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((4L, 0.0)))
+    assert(got(2L) === ((2L, 1.0)))
+    assert(got(3L) === ((0L, 0.0)))
+    // "abcd abcd": 9 chars, counts {a,b,c,d:2, space:1}
+    val e4 = {
+      val terms = Seq(2, 2, 2, 2, 1).map { c =>
+        val p = c.toDouble / 9; -(p * math.log(p))
+      }
+      round6(terms.sum / math.log(2.0))
+    }
+    assert(got(4L)._2 === e4)
+    val corpus = TextOps.charEntropy(docs, "text")
+      .select("entropy_bits").collect().map(_.getDouble(0))
+    val bound = math.log(37.0) / math.log(2.0)
+    assert(corpus.forall(e => e >= 0.0 && e <= bound))
+  }
 }
