@@ -431,6 +431,25 @@ object AnalyticsQueries {
         "round(avg(e.value), 4) AS avg_raw, " +
         "round(avg(least(greatest(e.value, c.p_lo), c.p_hi)), 4) AS avg_winsorized " +
         "FROM events e JOIN cuts c ON e.event_type = c.event_type " +
-        "GROUP BY e.event_type ORDER BY e.event_type"))
+        "GROUP BY e.event_type ORDER BY e.event_type")),
+
+    // Fixed-width histogram of value per event type (20 buckets of 10,
+    // clamped ends): the profiling/monitoring sketch in its exact form.
+    // Bucketing is a narrow floor expression in the scan stage; the only
+    // shuffle carries (type, bucket) cells, not rows.
+    Q("q_histogram",
+      (s, d) => Tables.load(s, d, "events")
+        .withColumn("bucket",
+          least(greatest(floor(col("value") / 10.0), lit(0.0)), lit(19.0))
+            .cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("value")), 2).as("min_v"),
+          round(max(col("value")), 2).as("max_v"))
+        .orderBy("event_type", "bucket"),
+      Some("SELECT event_type, " +
+        "CAST(least(greatest(floor(value / 10.0), 0.0), 19.0) AS BIGINT) AS bucket, " +
+        "count(*) AS n, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v " +
+        "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"))
   )
 }

@@ -231,6 +231,89 @@ object TemporalQueries {
         "COALESCE(o_orderstatus, 'ALL') AS status, count(*) AS n, " +
         "round(sum(o_totalprice), 2) AS total FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) " +
-        "ORDER BY priority, status"))
+        "ORDER BY priority, status")),
+
+    // Ordered funnel: view → later click → later purchase per user, one
+    // stage-count row per step. Each stage is a user-keyed min-aggregate
+    // joined to the previous stage's frontier; every join is
+    // user-partitioned (co-located after the first shuffle) and each
+    // stage frame is user-count sized, not event-count sized — the
+    // sequential-pattern query event warehouses run daily.
+    Q("q_funnel",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("us")).as("v_us"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("v_us"))
+          .groupBy("user_id").agg(min(col("us")).as("c_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("c_us"))
+          .groupBy("user_id").agg(min(col("us")).as("p_us"))
+        v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+          .unionByName(c.agg(count(lit(1)).as("n_users"))
+            .withColumn("stage", lit("2_click")))
+          .unionByName(p.agg(count(lit(1)).as("n_users"))
+            .withColumn("stage", lit("3_purchase")))
+          .select(col("stage"), col("n_users"))
+          .orderBy("stage")
+      },
+      Some("WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), " +
+        "v AS (SELECT user_id, min(us) AS v_us FROM e " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v ON e.user_id = v.user_id " +
+        "WHERE event_type = 'click' AND us > v_us GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c ON e.user_id = c.user_id " +
+        "WHERE event_type = 'purchase' AND us > c_us GROUP BY e.user_id) " +
+        "SELECT stage, n_users FROM (" +
+        "SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v " +
+        "UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c " +
+        "UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p) t " +
+        "ORDER BY stage")),
+
+    // Cohort retention: users grouped by first-seen day, distinct actives
+    // per (cohort, day offset) — the engagement matrix. Two shuffles
+    // (user frontier, then cohort cell distinct), both key-balanced.
+    Q("q_retention",
+      (s, d) => {
+        val e = ev(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+        val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+        e.join(cohorts, "user_id")
+          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+            col("offset_days").cast("long").as("offset_days"), col("n_users"))
+          .orderBy("cohort", "offset_days")
+      },
+      Some("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "co AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id) " +
+        "SELECT strftime(cohort, '%Y-%m-%d') AS cohort, " +
+        "CAST(date_diff('day', cohort, day) AS BIGINT) AS offset_days, " +
+        "CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users " +
+        "FROM e JOIN co ON e.user_id = co.user_id " +
+        "GROUP BY cohort, date_diff('day', cohort, day) " +
+        "ORDER BY cohort, offset_days")),
+
+    // Event-type transition counts (first-order Markov edges): lag the
+    // type per user in (ts, event_id) order, count (prev → cur) pairs.
+    // One key shuffle + a 25-cell aggregate.
+    Q("q_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        ev(s, d)
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev_type", "cur_type")
+      },
+      Some("WITH t AS (SELECT user_id, event_type, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type " +
+        "FROM events) " +
+        "SELECT prev_type, event_type AS cur_type, count(*) AS n " +
+        "FROM t WHERE prev_type IS NOT NULL " +
+        "GROUP BY prev_type, cur_type ORDER BY prev_type, cur_type"))
   )
 }
