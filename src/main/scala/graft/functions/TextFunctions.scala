@@ -113,6 +113,11 @@ object TextFunctions {
   def substringCounts(text: Column, patterns: Seq[String]): Column =
     PlanBridge.column(Exprs.SubstringCounts(PlanBridge.expression(text), patterns))
 
+  /** Character-level Shannon entropy in bits over an ASCII alphabet — one
+    * lookup-table scan + the oracle's exact fold (double). */
+  def charEntropyBits(text: Column, alphabet: Seq[String]): Column =
+    PlanBridge.column(Exprs.CharEntropy(PlanBridge.expression(text), alphabet))
+
   /** Per-set token membership counts in one pass (array<long>, one count
     * per set — same values as size(filter(toks, t IN set)) per set). */
   def memberCounts(toks: Column, sets: Seq[Seq[String]]): Column =

@@ -198,6 +198,34 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Character-entropy (bits/char) over an ASCII alphabet — ONE scan with
+    * a lookup table plus the oracle's exact fold, replacing an
+    * element_at-per-symbol column tree whose 37 array references
+    * re-evaluated the counting scan per symbol. */
+  case class CharEntropy(child: Expression, alphabet: Seq[String])
+      extends UnaryExpression {
+    require(alphabet.nonEmpty &&
+      alphabet.forall(c => c.length == 1 && c.charAt(0) < 128),
+      "alphabet must be single ASCII characters")
+    require(alphabet.distinct == alphabet, "alphabet must be distinct")
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_char_entropy"
+    @transient private lazy val lut: Array[Int] = {
+      val t = Array.fill(128)(-1)
+      alphabet.zipWithIndex.foreach { case (c, i) => t(c.charAt(0).toInt) = i }
+      t
+    }
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.charEntropyBits(input.asInstanceOf[UTF8String], lut, alphabet.length)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lutRef = ctx.addReferenceObj("entropyLut", lut, "int[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.Kernels.charEntropyBits($c, $lutRef, ${alphabet.length})")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+      copy(child = newChild)
+  }
+
   /** Per-set token membership counts, all sets in one pass. */
   case class MemberCounts(child: Expression, sets: Seq[Seq[String]])
       extends UnaryExpression {

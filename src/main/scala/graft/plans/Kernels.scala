@@ -323,4 +323,38 @@ object Kernels {
     }
     (cnt % 2) == 1
   }
+
+  /** Character-level Shannon entropy (bits/char) over a small ASCII
+    * alphabet, in ONE pass: count via a 128-entry lookup table, then the
+    * exact left-fold the DuckDB oracle runs — sum over alphabet order of
+    * -( (c/n) * ln(c/n) ), divided by ln 2 at the end. `n` is the full
+    * character length (chars outside the alphabet count toward n but get
+    * no term, matching length() on the SQL side). Zero-count symbols are
+    * skipped — adding their 0.0 terms is an IEEE no-op, so the fold value
+    * is bit-identical either way. */
+  def charEntropyBits(s: UTF8String, lut: Array[Int], k: Int): Double = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return 0.0
+    val counts = new Array[Long](k)
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i).toInt
+      if (c < 128) {
+        val idx = lut(c)
+        if (idx >= 0) counts(idx) += 1
+      }
+      i += 1
+    }
+    var acc = 0.0
+    var p = 0
+    while (p < k) {
+      if (counts(p) > 0) {
+        val pr = counts(p).toDouble / n
+        acc += -(pr * java.lang.Math.log(pr))
+      }
+      p += 1
+    }
+    acc / java.lang.Math.log(2.0)
+  }
 }
