@@ -37,13 +37,17 @@ import graft.sources.Manifest
   *   cap       --input P --output P --id c --group c [--k 10]
   *   upsert    --base P --updates P --output P --keys k1,k2
   *             --version v1,v2
+  *   score     --input P --output P --text c
+  *   blockdedup --input P --output P --id c --text c [--block-tokens 32]
+  *   bm25      --input P --output P --id c --text c --terms t1,t2 [--k 5]
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
-        "sample|pack|sessionize|asof|chunk|cap|upsert> --opt v ...")
+        "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25> " +
+        "--opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -253,6 +257,21 @@ object Cli {
       case "upsert" =>
         write(MergeOps.latestWinsMerge(in("base"), in("updates"),
           opts("keys").split(",").toSeq, opts("version").split(",").toSeq))
+
+      case "score" =>
+        // quality + entropy signals in one narrow pass (filtering rides
+        // downstream predicates)
+        write(TextOps.charEntropy(
+          TextOps.qualityScore(in("input"), opts("text")), opts("text")))
+
+      case "blockdedup" =>
+        write(TextOps.blockDedup(in("input"), opts("id"), opts("text"),
+          opts.getOrElse("block-tokens", "32").toInt))
+
+      case "bm25" =>
+        write(TextOps.bm25TopDocs(in("input"), opts("id"), opts("text"),
+          opts("terms").split(",").toSeq,
+          opts.getOrElse("k", "5").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

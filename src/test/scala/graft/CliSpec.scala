@@ -206,6 +206,35 @@ class CliSpec extends SparkSpec {
     assert(ok.getAs[Double]("wall_sec") >= 0.0)
   }
 
+  test("cli score/blockdedup/bm25 wire the round-6 text operators") {
+    val scoreOut = tmp() + "/scored"
+    Cli.run(spark, "score", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> scoreOut,
+      "text" -> "text"))
+    val scored = spark.read.parquet(scoreOut)
+    assert(scored.columns.contains("quality_score") &&
+      scored.columns.contains("entropy_bits"))
+    assert(scored.count() === Tables.load(spark, sfDir, "documents").count())
+
+    val bdOut = tmp() + "/blockdedup"
+    Cli.run(spark, "blockdedup", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> bdOut,
+      "id" -> "doc_id", "text" -> "text", "block-tokens" -> "16"))
+    val bd = spark.read.parquet(bdOut)
+    assert(bd.columns.toSeq === Seq("doc_id", "n_blocks", "n_kept", "dedup_text"))
+    assert(bd.agg(sum(col("n_kept"))).head.getLong(0) <=
+      bd.agg(sum(col("n_blocks"))).head.getLong(0))
+
+    val bmOut = tmp() + "/bm25"
+    Cli.run(spark, "bm25", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> bmOut,
+      "id" -> "doc_id", "text" -> "text", "terms" -> "join,merge", "k" -> "3"))
+    val bm = spark.read.parquet(bmOut)
+    assert(bm.select("term").distinct().collect().map(_.getString(0)).toSet
+      === Set("join", "merge"))
+    assert(bm.groupBy("term").count().collect().forall(_.getLong(1) <= 3))
+  }
+
   test("cli rasterize buckets points") {
     val out = tmp() + "/ras"
     Cli.run(spark, "rasterize", Map(

@@ -121,6 +121,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quality/entropy scoring is stateless: streaming signals equal the batch pass") {
+    // qualityScore + charEntropy are pure narrow column kernels, so the
+    // ingest-time quality gate runs the exact batch plan in append mode
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_q")
+    java.nio.file.Files.createDirectory(staged.resolve("documents.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      staged.resolve("documents.parquet").resolve("part-00000.parquet"))
+    val stream = Tables.loadStream(spark, staged.toString, "documents")
+    def signals(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.charEntropy(
+          graft.operators.TextOps.qualityScore(df, "text"), "text")
+        .select("doc_id", "quality_score", "entropy_bits")
+    val q = signals(stream)
+      .writeStream.format("memory").queryName("score_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("score_parity").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      val batch = signals(Tables.load(spark, sfDir, "documents"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bucketCounts emits a window only after the watermark passes it") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
