@@ -571,6 +571,68 @@ object TextOps {
           .otherwise(lit(0.0)))
       .drop("norm_text")
 
+  /** Unigram-LM negative log-likelihood per document — the perplexity
+    * quality filter in its exact unigram form: score each document by the
+    * average per-token -ln p(token) under the corpus unigram distribution
+    * (high = off-distribution / gibberish; the CCNet-style LM filter with
+    * the corpus itself as the LM).
+    *
+    * Scale shape: the corpus explodes ONCE into (doc, term, tf); the
+    * vocabulary is a term-keyed aggregate whose size is the VOCABULARY
+    * (bounded), so it broadcasts back — the corpus never shuffles on the
+    * term key for scoring. The per-document sum runs as an ORDERED window
+    * cumsum (by term) instead of a float aggregate: double addition is
+    * non-associative, so an unordered sum is engine- and partitioning-
+    * dependent, while the ordered fold is bit-identical everywhere — the
+    * portable-summation pattern for any float reduction that must
+    * hash-verify. */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("term")
+    val cum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    tf.join(broadcast(vocab), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(col("cnt").cast("double") / col("total")) * col("tf"))
+      .withColumn("cum_nll", sum(col("nll")).over(cum))
+      .withColumn("cum_tf", sum(col("tf")).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("rn") === col("nt"))
+      .select(col("doc_id"), col("cum_tf").as("n_tok"),
+        round(col("cum_nll") / col("cum_tf"), 6).as("avg_nll"))
+  }
+
+  /** DuckDB oracle for [[unigramNll]] — identical CTEs, identical ordered
+    * fold. */
+  def unigramNllSql: String = {
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH toks AS (SELECT doc_id, unnest($toks) AS term FROM documents), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM toks GROUP BY doc_id, term), " +
+      "vocab AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term), " +
+      "tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab), " +
+      "sc AS (SELECT doc_id, term, tf, " +
+      "-ln(CAST(cnt AS DOUBLE) / total) * tf AS nll " +
+      "FROM tf JOIN vocab USING (term) CROSS JOIN tot), " +
+      "cum AS (SELECT doc_id, " +
+      "sum(nll) OVER (PARTITION BY doc_id ORDER BY term " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nll, " +
+      "CAST(sum(tf) OVER (PARTITION BY doc_id ORDER BY term " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn, " +
+      "count(*) OVER (PARTITION BY doc_id) AS nt FROM sc) " +
+      "SELECT doc_id, cum_tf AS n_tok, round(cum_nll / cum_tf, 6) AS avg_nll " +
+      "FROM cum WHERE rn = nt ORDER BY doc_id"
+  }
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

@@ -403,6 +403,62 @@ object TextQueries {
           "CASE WHEN quality_score <= t1 THEN 'tail' " +
           "WHEN quality_score <= t2 THEN 'middle' ELSE 'head' END AS bucket " +
           "FROM sc CROSS JOIN cuts) b GROUP BY bucket ORDER BY bucket"
+      }),
+
+    // Unigram-LM perplexity filter: avg per-token -ln p(token) under the
+    // corpus unigram distribution. Corpus explodes once, vocabulary
+    // broadcasts back, per-doc sum is an ORDERED window cumsum (the
+    // engine-portable float reduction) — the NLL values themselves
+    // hash-verify.
+    Q("q_unigram_nll",
+      (s, d) => TextOps.unigramNll(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.unigramNllSql)),
+
+    // Temperature-based training-mix weights (multilingual-sampling
+    // style): per-source token mass, weight ∝ sqrt(mass) normalized, and
+    // the resulting document budget per source. sqrt is IEEE-correctly-
+    // rounded on every engine (unlike pow/ln) and the normalizer is an
+    // ordered cumsum, so the weights hash-verify exactly. The frame is
+    // source-count sized — the global window costs nothing.
+    Q("q_mix_weights",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy("source")
+        val cum = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+        val all = org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(1))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        docs(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+          .withColumn("pw", sqrt(col("n_tokens").cast("double")))
+          .withColumn("cum_pw", sum(col("pw")).over(cum))
+          .withColumn("total_pw", max(col("cum_pw")).over(all))
+          .withColumn("weight", round(col("pw") / col("total_pw"), 6))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+            floor(col("weight") * 100000.0).cast("long").as("budget_docs"))
+          .orderBy("source")
+      },
+      Some {
+        val toks = tokensSql("text")
+        "WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+          s"CAST(sum(len($toks)) AS BIGINT) AS n_tokens " +
+          "FROM documents GROUP BY source), " +
+          "p AS (SELECT source, n_docs, n_tokens, " +
+          "sqrt(CAST(n_tokens AS DOUBLE)) AS pw FROM s), " +
+          "c0 AS (SELECT source, n_docs, n_tokens, pw, " +
+          "sum(pw) OVER (ORDER BY source " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pw FROM p), " +
+          "c AS (SELECT source, n_docs, n_tokens, pw, " +
+          "max(cum_pw) OVER () AS total_pw FROM c0) " +
+          "SELECT source, n_docs, n_tokens, " +
+          "round(pw / total_pw, 6) AS weight, " +
+          "CAST(floor(round(pw / total_pw, 6) * 100000.0) AS BIGINT) AS budget_docs " +
+          "FROM c ORDER BY source"
       })
   )
 }

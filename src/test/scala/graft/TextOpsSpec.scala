@@ -297,6 +297,26 @@ class TextOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).sum === distinctBlocks)
   }
 
+  test("unigramNll matches the ordered-fold Scala model over the real corpus") {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val vocab = rows.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val total = vocab.values.sum
+    val expect = rows.map { case (id, toks) =>
+      val tf = toks.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+      // the SAME fold the engines run: terms in ascending order, one
+      // left-to-right double accumulation
+      val nll = tf.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (t, f)) =>
+        acc + -math.log(vocab(t).toDouble / total) * f
+      }
+      val nTok = toks.length.toLong
+      (id, nTok, round6(nll / nTok))
+    }.toSet
+    val got = TextOps.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+  }
+
   test("charEntropy: closed-form cases and the [0, log2(37)] band") {
     import spark.implicits._
     val df = Seq(
