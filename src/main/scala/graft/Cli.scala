@@ -40,14 +40,15 @@ import graft.sources.Manifest
   *   score     --input P --output P --text c
   *   blockdedup --input P --output P --id c --text c [--block-tokens 32]
   *   bm25      --input P --output P --id c --text c --terms t1,t2 [--k 5]
+  *   compact   --input P --output P [--target-bytes 134217728]
   */
 object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
       "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
-        "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25> " +
-        "--opt v ...")
+        "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
+        "compact> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -272,6 +273,12 @@ object Cli {
         write(TextOps.bm25TopDocs(in("input"), opts("id"), opts("text"),
           opts("terms").split(",").toSeq,
           opts.getOrElse("k", "5").toInt))
+
+      case "compact" =>
+        val (before, after) = graft.sources.Layout.compact(spark,
+          opts("input"), opts("output"),
+          opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
+        System.err.println(s"[graft] compact: $before files -> $after")
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -55,4 +55,31 @@ object Layout {
       .parquet(outDir)
     finally spark.conf.set(key, prev)
   }
+
+  /** Small-file compaction — the table-maintenance pass every streaming
+    * or incremental ingest needs: micro-batches leave thousands of
+    * KB-sized files whose per-file open/footer/seek overhead dominates
+    * scans long before data volume does. Rewrites `inDir` into
+    * ceil(bytes / targetFileBytes) files (coalesce — no shuffle; the
+    * read is the only cost) into `outDir`, then atomically it is the
+    * caller's swap (write-new + repoint, the same snapshot discipline as
+    * EventStreams.upsertParquet — compaction must never overwrite the
+    * directory a reader may be scanning).
+    *
+    * Returns (filesBefore, filesAfter). Sizing reads the file listing,
+    * not the data. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(in)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.getLen).sum
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inDir)
+      .coalesce(files)
+      .write.mode("overwrite").parquet(outDir)
+    (parts.length, files)
+  }
 }

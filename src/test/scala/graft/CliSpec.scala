@@ -233,6 +233,17 @@ class CliSpec extends SparkSpec {
     assert(bm.select("term").distinct().collect().map(_.getString(0)).toSet
       === Set("join", "merge"))
     assert(bm.groupBy("term").count().collect().forall(_.getLong(1) <= 3))
+
+    val fragDir = tmp() + "/frag"
+    Tables.load(spark, sfDir, "documents").repartition(16).write.parquet(fragDir)
+    val packedDir = tmp() + "/packed"
+    Cli.run(spark, "compact", Map(
+      "input" -> fragDir, "output" -> packedDir,
+      "target-bytes" -> (64L * 1024 * 1024).toString))
+    assert(spark.read.parquet(packedDir).count() ===
+      Tables.load(spark, sfDir, "documents").count())
+    assert(new java.io.File(packedDir).listFiles()
+      .count(_.getName.endsWith(".parquet")) < 16)
   }
 
   test("cli rasterize buckets points") {

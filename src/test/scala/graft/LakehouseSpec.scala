@@ -268,6 +268,21 @@ class LakehouseSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("compact shrinks a fragmented table without changing its rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // simulate micro-batch ingest debris: 64 tiny files
+    events.repartition(64).write.parquet(s"$dir/frag")
+    val (before, after) = Layout.compact(spark, s"$dir/frag", s"$dir/packed",
+      targetFileBytes = 4L * 1024 * 1024)
+    assert(before === 64 && after < before)
+    val a = spark.read.parquet(s"$dir/frag").orderBy("event_id").collect()
+    val b = spark.read.parquet(s"$dir/packed").orderBy("event_id").collect()
+    assert(a.toSeq === b.toSeq)
+    val outFiles = new java.io.File(s"$dir/packed")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(outFiles === after)
+  }
+
   test("upsertParquet snapshots: marker loss recovers, old snapshots pruned (ADVICE r5)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
