@@ -327,4 +327,57 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("adc_dist"), 6).as("adc_dist"))
   }
+
+  /** SemDeDup-style semantic dedup (cf. Abbas et al. 2023, arXiv
+    * 2303.09540): assign every vector to its nearest coarse-quantizer cell
+    * (the same vec_id<nCentroids centroid convention and strict-fold
+    * squared-L2 assignment as the IVF index), then inside each cell mark a
+    * vector as a duplicate when a LOWER-id cell-mate has cosine >= tau
+    * (greedy keep-lowest-id, deterministic — no iteration order
+    * sensitivity). Returns every input id with its cell, kept flag, and
+    * the min duplicate-of id (-1 when kept).
+    *
+    * The cells are what make this scale: the pair space is partitioned by
+    * cell exactly like LSH bucketing partitions MinHash candidates, so the
+    * join degree is bounded by cell population, never corpus size, and the
+    * only shuffles carry (id, cell) pairs and cell-keyed vectors. A
+    * pathologically hot cell is the same skew case as a hot LSH bucket —
+    * cap it or re-cluster with more centroids. */
+  def semDedup(candidates: DataFrame, nCentroids: Int, tau: Double,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions.cosine
+    val cells = centroidRanks(candidates, nCentroids, idCol, vecCol)
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid").as("cell"))
+    val members = cells.join(
+      candidates.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+    val dup = members.as("x").join(members.as("y"),
+        col("x.cell") === col("y.cell") && col("y.id") < col("x.id"))
+      .filter(cosine(col("x.vec"), col("y.vec")) >= tau)
+      .groupBy(col("x.id").as("id"))
+      .agg(min(col("y.id")).as("_dup"))
+    members.select(col("id"), col("cell"))
+      .join(dup, Seq("id"), "left_outer")
+      .select(col("id"), col("cell"),
+        coalesce(col("_dup"), lit(-1L)).as("dup_of"),
+        col("_dup").isNull.as("kept"))
+  }
+
+  /** Signed random projection (Johnson–Lindenstrauss / Achlioptas-style
+    * dimensionality reduction): project each embedding onto `outDims`
+    * deterministic integer-valued hyperplanes — the SAME plane family the
+    * LSH band keys sign — keeping distances approximately and making
+    * every downstream ANN/clustering pass outDims/dims cheaper.
+    *
+    * Pure narrow scan-stage projection: the planes are plan-time literals
+    * (nothing is broadcast, nothing shuffles), each component is the
+    * native strict-fold dot, so the projected vectors are bit-identical
+    * across engines and the operator scales like a filter. */
+  def jlProject(candidates: DataFrame, outDims: Int, dims: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions.planeDot
+    val proj = array((0 until outDims).map(j =>
+      round(planeDot(col(vecCol), j, dims), 6)): _*)
+    candidates.select(col(idCol), proj.as("proj"))
+  }
 }

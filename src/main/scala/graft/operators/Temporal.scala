@@ -137,4 +137,34 @@ object Temporal {
         max(col("_gap_us")).as("max_gap_us"),
         min(col("_gap_us")).as("min_gap_us"))
   }
+
+  /** Sliding-frame rolling cadence: for every event, the inter-arrival gap
+    * and the rolling sum/count/average of the last `frameRows` gaps (rows
+    * frame, per key, (time, tie) order) — the moving-average smoother in
+    * its engine-proof form. Everything stays in exact integer microseconds
+    * (integer sums are associative, so the sliding-frame optimization any
+    * engine applies — subtract-on-slide, segment trees — cannot change the
+    * result the way it does for float frames; the average is a floor
+    * division). One shuffle on the key; the frame never leaves the
+    * per-key sort. Null-frame rows (each key's first event has no gap)
+    * surface as -1 sentinels so the output is join/compare-safe. */
+  def rollingGaps(df: DataFrame, keyCol: String, timeCol: String,
+                  tieCol: String, frameRows: Int = 4): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col(tieCol))
+    val frame = ord.rowsBetween(-(frameRows - 1), Window.currentRow)
+    val us = unix_micros(col(timeCol))
+    df.withColumn("_gap_us", us - lag(us, 1).over(ord))
+      .withColumn("roll_n", count(col("_gap_us")).over(frame))
+      .withColumn("roll_sum_us", sum(col("_gap_us")).over(frame))
+      .select(
+        col(keyCol),
+        col(tieCol),
+        coalesce(col("_gap_us"), lit(-1L)).as("gap_us"),
+        col("roll_n"),
+        coalesce(col("roll_sum_us"), lit(-1L)).as("roll_sum_us"),
+        // guard the zero-gap frame (each key's first row): ANSI `div`
+        // errors on a zero divisor rather than returning null
+        when(col("roll_n") > 0, expr("roll_sum_us div roll_n"))
+          .otherwise(lit(-1L)).as("roll_avg_us"))
+  }
 }

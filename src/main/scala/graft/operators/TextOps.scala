@@ -633,6 +633,86 @@ object TextOps {
       "FROM cum WHERE rn = nt ORDER BY doc_id"
   }
 
+  /** Hashing-trick token features (Weinberger et al.'s feature hashing —
+    * the fasttext-style classifier front-end): per document, a fixed
+    * `nBuckets`-long count vector where token t lands in bucket
+    * `charHash(t) % nBuckets`. No vocabulary is ever built or shuffled —
+    * the whole operator is a narrow zero-shuffle scan-stage projection
+    * (token codes computed once per doc by the native one-pass
+    * expression), so it scales like a filter. Output dimensionality is a
+    * plan-time constant, which is what makes the downstream model input
+    * fixed-width regardless of corpus vocabulary growth. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 16): DataFrame =
+    df.select(col(idCol), TextFunctions.tokenCodes(col(textCol)).as("_codes"))
+      .select(col(idCol),
+        expr(s"transform(sequence(0, ${nBuckets - 1}), " +
+          s"b -> CAST(size(filter(_codes, c -> c % $nBuckets = b)) AS BIGINT))")
+          .as("features"))
+
+  /** DuckDB oracle fragment for [[featureHash]]: identical bucket map. */
+  def featureHashSql(textExpr: String, nBuckets: Int): String =
+    s"list_transform(range(0, $nBuckets), " +
+      s"b -> len(list_filter(${TextFunctions.tokenCodesSql(textExpr)}, " +
+      s"c -> c % $nBuckets = b)))"
+
+  /** PMI-style collocation mining: the top-k adjacent token pairs by lift
+    * = P(ab) / (P(a)·P(b)) with a minimum pair count (the association
+    * measure behind phrase detection / tokenizer-merge candidates).
+    *
+    * The corpus explodes once for bigrams and once for unigrams, both
+    * map-side combined; the bigram frame joins the vocabulary on the term
+    * key (AQE broadcasts the vocab when it is small); the final global
+    * top-k is a TakeOrdered, never a full sort. The lift is computed as
+    * exact-integer counts cast individually to double with one multiply
+    * each and a single divide — every step is a deterministic IEEE op on
+    * both engines (and immune to the count*count bigint overflow a 100 TB
+    * corpus would hit), so the scores and the ranking hash-verify. */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 3, k: Int = 20): DataFrame = {
+    val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_t"))
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(_t) - 1), " +
+        "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1)))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val uni = toks.select(explode(col("_t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+    val n = uni.agg(sum(col("c_w")).as("n_tok"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+      .crossJoin(broadcast(n))
+      .withColumn("lift",
+        round((col("c_ab").cast("double") * col("n_tok").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")), 6))
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[collocations]] — identical counting trees, casts
+    * and rounding, so the ranking (ties broken on the rounded score) is
+    * engine-proof. */
+  def collocationsSql(minCount: Long, k: Int): String =
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      // scalar range(): DuckDB's table-function form can't take a lateral
+      // column bound, the list form can
+      "bi0 AS (SELECT unnest(list_transform(range(1, len(t)), " +
+      "i -> struct_pack(a := t[i], b := t[i + 1]))) AS bg FROM toks), " +
+      "bi AS (SELECT bg.a AS a, bg.b AS b, CAST(count(*) AS BIGINT) AS c_ab " +
+      "FROM bi0 GROUP BY 1, 2), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w " +
+      "FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w), " +
+      "n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_tok FROM uni) " +
+      "SELECT a, b, c_ab, ua.c_w AS c_a, ub.c_w AS c_b, " +
+      "round((CAST(c_ab AS DOUBLE) * CAST(n_tok AS DOUBLE)) / " +
+      "(CAST(ua.c_w AS DOUBLE) * CAST(ub.c_w AS DOUBLE)), 6) AS lift " +
+      "FROM bi JOIN uni ua ON bi.a = ua.w JOIN uni ub ON bi.b = ub.w CROSS JOIN n " +
+      s"WHERE c_ab >= $minCount " +
+      s"ORDER BY lift DESC, a, b LIMIT $k"
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

@@ -450,6 +450,46 @@ object AnalyticsQueries {
       Some("SELECT event_type, " +
         "CAST(least(greatest(floor(value / 10.0), 0.0), 19.0) AS BIGINT) AS bucket, " +
         "count(*) AS n, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v " +
-        "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket"))
+        "FROM events GROUP BY event_type, bucket ORDER BY event_type, bucket")),
+
+    // Robust outlier profile: per-type exact median + MAD and the count
+    // beyond 3*MAD — the data-driven quality gate a single corrupt feed
+    // can't drag (unlike mean/stddev). Nested exact medians are two tiny
+    // percentile aggregates broadcast back onto narrow scans; the fact
+    // table never shuffles on the group key. Threshold compares run on
+    // bit-identical doubles (sub/abs/mult are single IEEE ops).
+    Q("q_mad_outliers",
+      (s, d) => graft.operators.StatsOps
+        .madOutliers(Tables.load(s, d, "events"), "event_type", "value", k = 3.0)
+        .orderBy("event_type"),
+      Some("WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med " +
+        "FROM events GROUP BY event_type), " +
+        "dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev " +
+        "FROM events e JOIN med m USING (event_type)), " +
+        "mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad " +
+        "FROM dev GROUP BY event_type) " +
+        "SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "round(min(d.med), 6) AS med, round(min(m.mad), 6) AS mad, " +
+        "CAST(sum(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers " +
+        "FROM dev d JOIN mad m USING (event_type) " +
+        "GROUP BY d.event_type ORDER BY d.event_type")),
+
+    // 2-D Pareto skyline over part (minimize price, maximize size): the
+    // not-dominated shortlist. The oracle IS the quadratic NOT EXISTS
+    // definition; the Spark plan is the linear two-stage frontier
+    // (per-price max -> range-partitioned running max + broadcast prefix
+    // max over partition maxima) — SkylineOps proves they agree row for
+    // row, which is the point: the distributed rewrite is semantically
+    // invisible.
+    Q("q_skyline",
+      (s, d) => graft.operators.SkylineOps
+        .skyline2D(Tables.load(s, d, "part"), "p_retailprice", "p_size")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_retailprice, p_size FROM part p " +
+        "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE " +
+        "(q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size) OR " +
+        "(q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)) " +
+        "ORDER BY p_partkey"))
   )
 }

@@ -215,6 +215,46 @@ object SimilarityQueries {
           "PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored) " +
           s"SELECT qid, rank, vec_id, round(adc, 6) AS adc_dist FROM ranked " +
           s"WHERE rank <= $K ORDER BY qid, rank"
+      }),
+
+    // SemDeDup-style semantic dedup: nearest-centroid cells (vec_id<8
+    // convention, strict-fold L2 assignment) partition the pair space —
+    // the embedding analogue of an LSH bucket — then a vector is dropped
+    // when a lower-id cell-mate has cosine >= 0.2. The greedy
+    // keep-lowest-id rule makes the result deterministic and the
+    // threshold compare runs on bit-identical doubles, so even boundary
+    // pairs agree with the oracle's quadratic recompute.
+    Q("q_semdedup",
+      (s, d) => Similarity.semDedup(emb(s, d), nCentroids = 8, tau = 0.2)
+        .orderBy("id"),
+      Some {
+        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
+          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
+        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
+          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+          "cells AS (SELECT a.vec_id AS id, a.cid AS cell, e.embedding AS vec " +
+          "FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id WHERE a.rn = 1), " +
+          "dup AS (SELECT x.id, min(y.id) AS dup_of FROM cells x " +
+          "JOIN cells y ON x.cell = y.cell AND y.id < x.id " +
+          s"WHERE ${cosineSql("x.vec", "y.vec")} >= 0.2 GROUP BY x.id) " +
+          "SELECT c.id, c.cell, coalesce(d.dup_of, -1) AS dup_of, " +
+          "(d.dup_of IS NULL) AS kept " +
+          "FROM cells c LEFT JOIN dup d ON c.id = d.id ORDER BY c.id"
+      }),
+
+    // Signed random projection (JL-style dimensionality reduction) onto
+    // 16 deterministic integer hyperplanes — the same plane family the
+    // LSH bands sign, as a narrow zero-shuffle scan-stage projection;
+    // projected vectors are bit-identical strict folds on both engines.
+    Q("q_jl_project",
+      (s, d) => Similarity.jlProject(emb(s, d), outDims = 16, dims = Dims)
+        .orderBy("vec_id"),
+      Some {
+        val comps = (0 until 16).map(j =>
+          s"round(${graft.functions.VectorFunctions.planeDotSql("embedding", j, Dims)}, 6)")
+        s"SELECT vec_id, ${comps.mkString("[", ", ", "]")} AS proj " +
+          "FROM embeddings ORDER BY vec_id"
       })
   )
 }

@@ -314,6 +314,30 @@ object TemporalQueries {
         "FROM events) " +
         "SELECT prev_type, event_type AS cur_type, count(*) AS n " +
         "FROM t WHERE prev_type IS NOT NULL " +
-        "GROUP BY prev_type, cur_type ORDER BY prev_type, cur_type"))
+        "GROUP BY prev_type, cur_type ORDER BY prev_type, cur_type")),
+
+    // Sliding-frame rolling cadence (moving average in engine-proof
+    // form): per event, the gap to the previous event and the rolling
+    // sum/count/floor-div average over the last 4 gaps. Exact integer
+    // micros ONLY — integer frame sums are associative, so the sliding
+    // optimizations engines apply (subtract-on-slide, segment trees)
+    // can't change the answer the way they do for float frames. One key
+    // shuffle; -1 sentinels for each key's empty first frame.
+    Q("q_moving_avg",
+      (s, d) => graft.operators.Temporal
+        .rollingGaps(ev(s, d), "user_id", "ts", "event_id", frameRows = 4)
+        .orderBy("user_id", "event_id"),
+      Some("WITH g AS (SELECT user_id, event_id, ts, " +
+        "epoch_us(ts) - lag(epoch_us(ts)) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us FROM events), " +
+        "r AS (SELECT user_id, event_id, gap_us, " +
+        "count(gap_us) OVER w AS roll_n, sum(gap_us) OVER w AS roll_sum_us " +
+        "FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) " +
+        "SELECT user_id, event_id, coalesce(gap_us, -1) AS gap_us, " +
+        "CAST(roll_n AS BIGINT) AS roll_n, " +
+        "CAST(coalesce(roll_sum_us, -1) AS BIGINT) AS roll_sum_us, " +
+        "CAST(CASE WHEN roll_n > 0 THEN roll_sum_us // roll_n ELSE -1 END AS BIGINT) AS roll_avg_us " +
+        "FROM r ORDER BY user_id, event_id"))
   )
 }

@@ -459,6 +459,28 @@ object TextQueries {
           "round(pw / total_pw, 6) AS weight, " +
           "CAST(floor(round(pw / total_pw, 6) * 100000.0) AS BIGINT) AS budget_docs " +
           "FROM c ORDER BY source"
-      })
+      }),
+
+    // Hashing-trick features (fasttext-style classifier front-end): a
+    // fixed 16-bucket token-count vector per doc, bucket = portable token
+    // hash % 16. No vocabulary exists anywhere — narrow zero-shuffle
+    // scan-stage projection, output width a plan-time constant.
+    Q("q_feature_hash",
+      (s, d) => graft.operators.TextOps
+        .featureHash(docs(s, d), "doc_id", "text", nBuckets = 16)
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, " +
+        graft.operators.TextOps.featureHashSql("text", 16) + " AS features " +
+        "FROM documents ORDER BY doc_id")),
+
+    // PMI-style collocation mining: top-20 adjacent pairs by lift with a
+    // min pair count — phrase-detection / tokenizer-merge candidates.
+    // Counts are exact integers; the score is per-factor double casts +
+    // one multiply + one divide (no bigint product overflow at corpus
+    // scale), so scores and ranking hash-verify.
+    Q("q_collocations",
+      (s, d) => graft.operators.TextOps
+        .collocations(docs(s, d), "doc_id", "text", minCount = 3, k = 20),
+      Some(graft.operators.TextOps.collocationsSql(minCount = 3, k = 20)))
   )
 }

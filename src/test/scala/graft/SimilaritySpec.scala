@@ -214,4 +214,51 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("o_orderpriority", "rn").collect().toSeq
     assert(twoStage === single)
   }
+
+  test("semDedup matches the quadratic greedy keep-lowest-id model") {
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    def sq(a: Seq[Float], b: Seq[Float]): Double = {
+      val aa = fold(a.map(x => x.toDouble * x.toDouble))
+      val ab = fold(a.zip(b).map { case (x, y) => x.toDouble * y.toDouble })
+      val bb = fold(b.map(x => x.toDouble * x.toDouble))
+      aa - 2.0 * ab + bb
+    }
+    val cents = vecs.filter { case (id, _) => id < 8 }
+    val cell = vecs.map { case (id, v) =>
+      id -> cents.toSeq.map { case (cid, cv) => (sq(v, cv), cid) }.min._2
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expect = ids.map { id =>
+      val mates = ids.filter(j => j < id && cell(j) == cell(id) &&
+        cosScala(vecs(id), vecs(j)) >= 0.2)
+      id -> (if (mates.isEmpty) ((-1L, true)) else ((mates.min, false)))
+    }.toMap
+    val got = Similarity.semDedup(emb, nCentroids = 8, tau = 0.2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got.size === ids.size)
+    ids.foreach { id =>
+      val (c, dupOf, kept) = got(id)
+      assert(c === cell(id), s"cell of $id")
+      assert((dupOf, kept) === expect(id), s"dedup of $id")
+    }
+    // some duplicates must actually exist for the test to mean anything
+    assert(got.values.exists(!_._3))
+  }
+
+  test("jlProject components are the rounded strict-fold plane dots") {
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    val got = Similarity.jlProject(emb, outDims = 16, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    vecs.keys.toSeq.sorted.take(25).foreach { id =>
+      val v = vecs(id)
+      val exp = (0 until 16).map { j =>
+        val p = graft.functions.VectorFunctions.plane(j, 64)
+        r6(fold(v.zip(p).map { case (x, w) => x.toDouble * w.toDouble }))
+      }
+      assert(got(id) === exp, s"vec $id")
+    }
+  }
 }

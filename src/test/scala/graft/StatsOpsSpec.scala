@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SkylineOps, StatsOps}
+
+/** Robust statistics + skyline vs driver-side brute-force models. */
+class StatsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Exact (n-1)p interpolated percentile — Spark's `percentile` rule. */
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val h = (s.size - 1) * p
+    val lo = h.toInt
+    if (lo == s.size - 1) s(lo) else s(lo) + (h - lo) * (s(lo + 1) - s(lo))
+  }
+
+  test("madOutliers matches the nested-median model on real events") {
+    val events = Tables.load(spark, sfDir, "events")
+    val got = StatsOps.madOutliers(events, "event_type", "value", k = 3.0)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))))
+      .toMap
+    val rows = events.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (t, grp) =>
+      val vs = grp.map(_._2).toSeq
+      val med = pct(vs, 0.5)
+      val devs = vs.map(v => math.abs(v - med))
+      val mad = pct(devs, 0.5)
+      val nOut = devs.count(_ > 3.0 * mad).toLong
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(t) === ((vs.size.toLong, r6(med), r6(mad), nOut)), s"group $t")
+    }
+  }
+
+  test("skyline2D equals the quadratic dominance filter, for any partition count") {
+    val rnd = new scala.util.Random(42)
+    val base = Seq.fill(300)(
+      (rnd.nextInt(50) + rnd.nextInt(100) / 100.0, rnd.nextInt(30).toLong))
+    // duplicates included: identical (price, size) rows must all survive
+    val data = (base ++ base.take(25)).zipWithIndex
+      .map { case ((p, s), i) => (i.toLong, p, s) }
+    val df = data.toDF("id", "price", "size")
+    def dominated(p: (Long, Double, Long)) = data.exists(q =>
+      (q._2 <= p._2 && q._3 > p._3) || (q._2 < p._2 && q._3 >= p._3))
+    val expect = data.filterNot(dominated).map(_._1).toSet
+    assert(expect.nonEmpty)
+    Seq(1, 3, 8).foreach { np =>
+      val got = SkylineOps.skyline2D(df, "price", "size", np)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"numPartitions=$np")
+    }
+  }
+
+  test("skyline2D on part: every survivor undominated, every non-survivor dominated") {
+    val part = Tables.load(spark, sfDir, "part")
+    val rows = part.select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2).toLong))
+    def dominated(p: (Long, Double, Long)) = rows.exists(q =>
+      (q._2 <= p._2 && q._3 > p._3) || (q._2 < p._2 && q._3 >= p._3))
+    val expect = rows.filterNot(dominated).map(_._1).toSet
+    val got = SkylineOps.skyline2D(part, "p_retailprice", "p_size")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+  }
+}

@@ -171,4 +171,30 @@ class TemporalSpec extends SparkSpec {
     assert((u2.getLong(1), u2.getLong(2)) === ((1L, 0L)))
     assert(u2.isNullAt(3) && u2.isNullAt(4) && u2.isNullAt(5))
   }
+
+  test("rollingGaps matches the Scala sliding-frame model on real events") {
+    val got = Temporal.rollingGaps(events, "user_id", "ts", "event_id", frameRows = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val evs = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.size === evs.length)
+    evs.groupBy(_._1).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      val gaps: Seq[Option[Long]] = sorted.indices.map { i =>
+        if (i == 0) None else Some(sorted(i)._3 - sorted(i - 1)._3)
+      }
+      sorted.zipWithIndex.foreach { case ((_, eid, _), i) =>
+        val frame = gaps.slice(math.max(0, i - 3), i + 1).flatten
+        val exp =
+          if (frame.isEmpty) ((-1L, 0L, -1L, -1L))
+          else ((gaps(i).getOrElse(-1L), frame.size.toLong, frame.sum,
+            frame.sum / frame.size))
+        assert(got((u, eid)) === exp, s"user $u event $eid")
+      }
+    }
+  }
 }

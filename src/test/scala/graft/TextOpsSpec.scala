@@ -343,4 +343,40 @@ class TextOpsSpec extends SparkSpec {
     val bound = math.log(37.0) / math.log(2.0)
     assert(corpus.forall(e => e >= 0.0 && e <= bound))
   }
+
+  test("featureHash matches the Scala bucket model") {
+    val P = 1000000007L
+    def ch(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val got = TextOps.featureHash(docs, "doc_id", "text", nBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    docs.select("doc_id", "text").collect().take(50).foreach { r =>
+      val exp = Array.fill(16)(0L)
+      r.getString(1).split(" ").foreach(t => exp((ch(t) % 16).toInt) += 1)
+      assert(got(r.getLong(0)) === exp.toSeq, s"doc ${r.getLong(0)}")
+      assert(got(r.getLong(0)).sum === r.getString(1).split(" ").length.toLong)
+    }
+  }
+
+  test("collocations ranks by exact lift with deterministic tie-breaks") {
+    import spark.implicits._
+    val texts = Seq((0L, "a b a b c d"), (1L, "a b x y"), (2L, "b c a b z"))
+    val got = TextOps.collocations(texts.toDF("doc_id", "text"),
+        "doc_id", "text", minCount = 2, k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val toks = texts.map(_._2.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val n = uni.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp = toks.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).map { case (bg, g) => bg -> g.size.toLong }
+      .filter(_._2 >= 2).toSeq
+      .map { case ((a, b), cab) =>
+        (a, b, cab, uni(a), uni(b), r6(cab.toDouble * n / (uni(a).toDouble * uni(b).toDouble)))
+      }
+      .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+      .take(5)
+    assert(got.toSeq === exp)
+  }
 }
