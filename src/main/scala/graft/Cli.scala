@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Extract, GeoOps, MergeOps, Sampling, Temporal, TextOps}
+import graft.operators.{Dedup, Extract, GeoOps, MergeOps, Sampling, Similarity, Temporal, TextOps}
 import graft.sources.Manifest
 
 /** CLI over the engine's ETL surface — the analogue of gedixr's cli.py
@@ -41,6 +41,12 @@ import graft.sources.Manifest
   *   blockdedup --input P --output P --id c --text c [--block-tokens 32]
   *   bm25      --input P --output P --id c --text c --terms t1,t2 [--k 5]
   *   compact   --input P --output P [--target-bytes 134217728]
+  *   semdedup  --input P --output P [--centroids 8] [--tau 0.2]
+  *             [--id vec_id] [--vec embedding]
+  *   outliers  --input P --output P --group c --value c [--k 3.0]
+  *   skyline   --input P --output P --min-col c --max-col c
+  *   collocations --input P --output P --id c --text c
+  *             [--min-count 3] [--k 20]
   */
 object Cli {
 
@@ -48,7 +54,7 @@ object Cli {
     require(args.nonEmpty,
       "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
-        "compact> --opt v ...")
+        "compact|semdedup|outliers|skyline|collocations> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -279,6 +285,26 @@ object Cli {
           opts("input"), opts("output"),
           opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
         System.err.println(s"[graft] compact: $before files -> $after")
+
+      case "semdedup" =>
+        write(Similarity.semDedup(in("input"),
+          opts.getOrElse("centroids", "8").toInt,
+          opts.getOrElse("tau", "0.2").toDouble,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding")))
+
+      case "outliers" =>
+        write(graft.operators.StatsOps.madOutliers(in("input"),
+          opts("group"), opts("value"),
+          opts.getOrElse("k", "3.0").toDouble))
+
+      case "skyline" =>
+        write(graft.operators.SkylineOps.skyline2D(in("input"),
+          opts("min-col"), opts("max-col")))
+
+      case "collocations" =>
+        write(TextOps.collocations(in("input"), opts("id"), opts("text"),
+          opts.getOrElse("min-count", "3").toLong,
+          opts.getOrElse("k", "20").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -255,4 +255,39 @@ class CliSpec extends SparkSpec {
     assert(got.columns.toSeq === Seq("cy", "cx", "n", "sum"))
     assert(got.count() > 0)
   }
+
+  test("cli semdedup / outliers / skyline / collocations run end-to-end") {
+    val sd = tmp() + "/sd"
+    Cli.run(spark, "semdedup", Map(
+      "input" -> s"$sfDir/embeddings.parquet", "output" -> sd))
+    val sdGot = spark.read.parquet(sd)
+    assert(sdGot.count() ===
+      Tables.load(spark, sfDir, "embeddings").count())
+    assert(sdGot.columns.toSeq === Seq("id", "cell", "dup_of", "kept"))
+
+    val ol = tmp() + "/ol"
+    Cli.run(spark, "outliers", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> ol,
+      "group" -> "event_type", "value" -> "value"))
+    val olGot = spark.read.parquet(ol)
+    assert(olGot.columns.toSeq ===
+      Seq("event_type", "n", "med", "mad", "n_outliers"))
+    assert(olGot.count() === 5)
+
+    val sk = tmp() + "/sk"
+    Cli.run(spark, "skyline", Map(
+      "input" -> s"$sfDir/part.parquet", "output" -> sk,
+      "min-col" -> "p_retailprice", "max-col" -> "p_size"))
+    val skGot = spark.read.parquet(sk)
+    assert(skGot.count() > 0 &&
+      skGot.count() < Tables.load(spark, sfDir, "part").count())
+
+    val co = tmp() + "/co"
+    Cli.run(spark, "collocations", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> co,
+      "id" -> "doc_id", "text" -> "text", "k" -> "10"))
+    val coGot = spark.read.parquet(co)
+    assert(coGot.count() === 10)
+    assert(coGot.columns.toSeq === Seq("a", "b", "c_ab", "c_a", "c_b", "lift"))
+  }
 }
