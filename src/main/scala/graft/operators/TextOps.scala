@@ -633,6 +633,88 @@ object TextOps {
       "FROM cum WHERE rn = nt ORDER BY doc_id"
   }
 
+  /** Interpolated bigram-LM perplexity filter (the KenLM/CCNet-style
+    * quality signal one order up from [[unigramNll]]): per document, the
+    * average `-ln(λ·p_ml(b|a) + (1−λ)·p_uni(b))` over its bigrams, where
+    * `p_ml(b|a) = c(ab)/c(a·)` is the corpus maximum-likelihood
+    * conditional (history count = bigrams starting with `a`, so rows
+    * always interpolate against a live history) and `p_uni` smooths
+    * unseen continuations.
+    *
+    * Scale shape: the corpus explodes once into per-doc distinct bigram
+    * counts; the conditional joins on the (a, b) term key (the bigram
+    * vocabulary is corpus-sized — deliberately NOT broadcast; AQE may
+    * still elect to), history/unigram frames broadcast. The per-doc float
+    * reduction is the repo's ordered-cumsum pattern — (a, b) is unique
+    * within a doc, so the fold order is total and the NLL values are
+    * bit-identical on every engine/partitioning. */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+                lambda: Double = 0.75): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("_t"))
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(col("doc_id"), explode(expr("transform(sequence(1, size(_t) - 1), " +
+        "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1)))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tf = bi.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val cab = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c_ab"))
+    val hist = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_hist"))
+    val uni = toks.select(explode(col("_t")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_uni"))
+    val n = uni.agg(sum(col("c_uni")).as("total"))
+    val w = W.partitionBy("doc_id").orderBy("a", "b")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val p = lit(lambda) * (col("c_ab").cast("double") / col("c_hist").cast("double")) +
+      lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))
+    tf.join(cab, Seq("a", "b"))
+      .join(broadcast(hist), Seq("a"))
+      .join(broadcast(uni), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("nll", -log(p) * col("tf"))
+      .withColumn("cum_nll", sum(col("nll")).over(cum))
+      .withColumn("cum_tf", sum(col("tf")).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nt", count(lit(1)).over(W.partitionBy("doc_id")))
+      .filter(col("rn") === col("nt"))
+      .select(col("doc_id"), col("cum_tf").as("n_bigrams"),
+        round(col("cum_nll") / col("cum_tf"), 6).as("avg_nll"))
+  }
+
+  /** DuckDB oracle for [[bigramNll]] — identical CTEs, casts, and
+    * ordered fold. */
+  def bigramNllSql(lambda: Double): String = {
+    val lam = s"CAST($lambda AS DOUBLE)"
+    val oneMinus = s"CAST(${1.0 - lambda} AS DOUBLE)"
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      "bi0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
+      "i -> struct_pack(a := t[i], b := t[i + 1]))) AS bg FROM toks), " +
+      "bi AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bi0), " +
+      "tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM bi GROUP BY doc_id, a, b), " +
+      "cab AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS c_ab FROM tf GROUP BY a, b), " +
+      "hist AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_hist FROM cab GROUP BY a), " +
+      "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_uni " +
+      "FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w), " +
+      "tot AS (SELECT CAST(sum(c_uni) AS BIGINT) AS total FROM uni), " +
+      "sc AS (SELECT doc_id, a, b, tf, " +
+      s"-ln(($lam * (CAST(c_ab AS DOUBLE) / CAST(c_hist AS DOUBLE))) + " +
+      s"($oneMinus * (CAST(c_uni AS DOUBLE) / CAST(total AS DOUBLE)))) * tf AS nll " +
+      "FROM tf JOIN cab USING (a, b) JOIN hist USING (a) " +
+      "JOIN uni ON uni.w = tf.b CROSS JOIN tot), " +
+      "cum AS (SELECT doc_id, " +
+      "sum(nll) OVER (PARTITION BY doc_id ORDER BY a, b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nll, " +
+      "CAST(sum(tf) OVER (PARTITION BY doc_id ORDER BY a, b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY a, b) AS rn, " +
+      "count(*) OVER (PARTITION BY doc_id) AS nt FROM sc) " +
+      "SELECT doc_id, cum_tf AS n_bigrams, round(cum_nll / cum_tf, 6) AS avg_nll " +
+      "FROM cum WHERE rn = nt ORDER BY doc_id"
+  }
+
   /** Hashing-trick token features (Weinberger et al.'s feature hashing —
     * the fasttext-style classifier front-end): per document, a fixed
     * `nBuckets`-long count vector where token t lands in bucket

@@ -255,6 +255,37 @@ object SimilarityQueries {
           s"round(${graft.functions.VectorFunctions.planeDotSql("embedding", j, Dims)}, 6)")
         s"SELECT vec_id, ${comps.mkString("[", ", ", "]")} AS proj " +
           "FROM embeddings ORDER BY vec_id"
-      })
+      }),
+
+    // Triangle census of the embedding near-dup graph: exact triangle
+    // count + global clustering coefficient — the LSH-threshold sanity
+    // audit (random-pair noise clusters at ~0, true duplicate cliques at
+    // ~1). Oriented wedge join + closing-edge semi-join, all on 8-byte
+    // vertex keys; the oracle rebuilds the identical edge set and counts
+    // the same oriented triangles quadratically.
+    Q("q_triangle_count",
+      (s, d) => graft.operators.GraphOps.triangleStats(
+        Similarity.embeddingNearDup(emb(s, d), tau = 0.3,
+          bands = 4, rowsPerBand = 4, dims = Dims)),
+      Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
+        "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
+        "JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id), " +
+        "e AS (SELECT p.a, p.b FROM pairs p " +
+        "JOIN embeddings va ON p.a = va.vec_id " +
+        "JOIN embeddings vb ON p.b = vb.vec_id " +
+        s"WHERE ${cosineSql("va.embedding", "vb.embedding")} >= 0.3), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v), " +
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM deg), " +
+        "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e), " +
+        "w AS (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) AS n_wedges FROM deg), " +
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles " +
+        "FROM e e1 JOIN e e2 ON e1.b = e2.a " +
+        "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+        "SELECT n_vertices, n_edges, n_wedges, n_triangles, " +
+        "CASE WHEN n_wedges > 0 THEN " +
+        "round((CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)) / " +
+        "CAST(n_wedges AS DOUBLE), 6) ELSE 0.0 END AS clustering_coeff " +
+        "FROM nv, ne, w, t"))
   )
 }

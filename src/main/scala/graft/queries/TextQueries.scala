@@ -481,6 +481,17 @@ object TextQueries {
     Q("q_collocations",
       (s, d) => graft.operators.TextOps
         .collocations(docs(s, d), "doc_id", "text", minCount = 3, k = 20),
-      Some(graft.operators.TextOps.collocationsSql(minCount = 3, k = 20)))
+      Some(graft.operators.TextOps.collocationsSql(minCount = 3, k = 20))),
+
+    // Interpolated bigram-LM perplexity (KenLM/CCNet-style quality
+    // filter, one order above q_unigram_nll): conditional ML probability
+    // against live history counts, unigram-smoothed; per-doc ordered
+    // cumsum keeps the float reduction engine-portable, so the NLL
+    // values themselves hash-verify.
+    Q("q_bigram_nll",
+      (s, d) => graft.operators.TextOps
+        .bigramNll(docs(s, d), "doc_id", "text", lambda = 0.75)
+        .orderBy("doc_id"),
+      Some(graft.operators.TextOps.bigramNllSql(lambda = 0.75)))
   )
 }

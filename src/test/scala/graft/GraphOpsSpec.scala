@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{GraphOps, Similarity}
+
+/** Triangle census vs brute-force models: hand-built graphs, random
+  * graphs, and the real embedding near-dup graph. */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def model(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct.toSet
+    val verts = e.flatMap { case (a, b) => Seq(a, b) }
+    val deg = verts.map(v => v -> e.count(p => p._1 == v || p._2 == v)).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val vs = verts.toSeq.sorted
+    val tris = (for {
+      (x, y) <- e.toSeq
+      z <- vs if z > y && e.contains((y, z)) && e.contains((x, z))
+    } yield 1).size.toLong
+    (verts.size.toLong, e.size.toLong, wedges, tris)
+  }
+
+  private def run(edges: Seq[(Long, Long)]) = {
+    val r = GraphOps.triangleStats(edges.toDF("a", "b")).head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+  }
+
+  test("triangleStats: closed-form cases") {
+    // a single triangle
+    assert(run(Seq((1L, 2L), (2L, 3L), (1L, 3L))) === ((3L, 3L, 3L, 1L, 1.0)))
+    // a path (one wedge, no triangle)
+    assert(run(Seq((1L, 2L), (2L, 3L))) === ((3L, 2L, 1L, 0L, 0.0)))
+    // K4: 4 triangles, 12 wedges, coefficient 1
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(run(k4) === ((4L, 6L, 12L, 4L, 1.0)))
+    // duplicate + reversed edges canonicalize away
+    assert(run(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L)))
+      === ((3L, 3L, 3L, 1L, 1.0)))
+  }
+
+  test("triangleStats matches the brute-force model on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val edges = Seq.fill(120)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter { case (a, b) => a != b }
+      val (nv, ne, nw, nt) = model(edges)
+      val (gv, ge, gw, gt, cc) = run(edges)
+      assert((gv, ge, gw, gt) === ((nv, ne, nw, nt)), s"trial $trial")
+      val expCc = if (nw > 0)
+        BigDecimal(3.0 * nt.toDouble / nw.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(cc === expCc, s"trial $trial coefficient")
+    }
+  }
+
+  test("triangleStats on the real near-dup graph matches its own edge list") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val nd = Similarity.embeddingNearDup(emb, tau = 0.3, bands = 4,
+      rowsPerBand = 4, dims = 64)
+    val edges = nd.select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (nv, ne, nw, nt) = model(edges)
+    val (gv, ge, gw, gt, _) = run(edges)
+    assert((gv, ge, gw, gt) === ((nv, ne, nw, nt)))
+    // and the operator applied to the DataFrame lineage agrees
+    val viaDf = GraphOps.triangleStats(nd).head
+    assert((viaDf.getLong(0), viaDf.getLong(1), viaDf.getLong(2), viaDf.getLong(3))
+      === ((nv, ne, nw, nt)))
+  }
+}

@@ -317,6 +317,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("bigramNll matches the interpolated ordered-fold Scala model") {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val allPairs = rows.flatMap { case (_, t) => t.zip(t.tail) }
+    val cab = allPairs.groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val hist = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val uni = rows.flatMap(_._2).groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val total = uni.values.sum
+    val expect = rows.filter(_._2.length >= 2).map { case (id, toks) =>
+      val tf = toks.zip(toks.tail).groupBy(identity)
+        .map { case (p, g) => p -> g.length.toLong }
+      val nll = tf.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, ((a, b), f)) =>
+        val p = 0.75 * (cab((a, b)).toDouble / hist(a).toDouble) +
+          0.25 * (uni(b).toDouble / total.toDouble)
+        acc + -math.log(p) * f
+      }
+      val nBi = (toks.length - 1).toLong
+      (id, nBi, round6(nll / nBi))
+    }.toSet
+    val got = TextOps.bigramNll(docs, "doc_id", "text", lambda = 0.75)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expect)
+  }
+
   test("charEntropy: closed-form cases and the [0, log2(37)] band") {
     import spark.implicits._
     val df = Seq(
