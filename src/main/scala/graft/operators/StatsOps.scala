@@ -45,4 +45,57 @@ object StatsOps {
         sum(when(col("_dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of two groups — the drift monitor between feeds /
+    * training-mix sources. D = max over values of |F_A(v) − F_B(v)|, kept
+    * EXACT by comparing the integer cross products |cumA·nB − cumB·nA|
+    * (the division happens once, at the end, on the winning numerator) —
+    * no accumulated float CDFs, so the statistic is engine-proof.
+    *
+    * The distributed CDF is the interesting part at scale: rows collapse
+    * to per-distinct-value counts (one map-side-combined shuffle; ties
+    * collapse with them, so no tie-order sensitivity exists), then the
+    * running sums run as a TWO-STAGE prefix scan — range-partition by
+    * value, per-partition window cumsum, and a partitions-sized totals
+    * frame whose own prefix sums broadcast back as offsets. No global
+    * single-task window anywhere; the only single-task step is the
+    * ≤ numPartitions-row offsets window. Result is partitioning-invariant
+    * (offsets + local sums = the global prefix regardless of boundary
+    * placement). Cross products stay in int64 — exact up to ~3·10^9 rows
+    * per side; beyond that, pre-stratify or lift the products to decimal.
+    */
+  def ksDistance(df: DataFrame, valueCol: String, groupCol: String,
+                 groupA: String, groupB: String,
+                 numPartitions: Int = 8): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val f = df.filter(col(groupCol).isin(groupA, groupB))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"),
+        when(col(groupCol) === groupB, 1L).otherwise(0L).as("ib"))
+    val byV = f.groupBy(col("v"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+    val ranged = byV.repartitionByRange(numPartitions, col("v"))
+      .withColumn("_pid", spark_partition_id())
+    val wLoc = W.partitionBy(col("_pid")).orderBy(col("v"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val local = ranged
+      .withColumn("la", sum(col("ca")).over(wLoc))
+      .withColumn("lb", sum(col("cb")).over(wLoc))
+    val wPre = W.orderBy(col("_pid")).rowsBetween(W.unboundedPreceding, -1)
+    val prefix = local.groupBy(col("_pid"))
+      .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
+      .withColumn("offa", coalesce(sum(col("pa")).over(wPre), lit(0L)))
+      .withColumn("offb", coalesce(sum(col("pb")).over(wPre), lit(0L)))
+      .select(col("_pid"), col("offa"), col("offb"))
+    val tot = f.agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+    local.join(broadcast(prefix), "_pid")
+      .select((col("la") + col("offa")).as("fa"), (col("lb") + col("offb")).as("fb"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(abs(col("fa") * col("nb") - col("fb") * col("na"))).as("d_num"))
+      .select(col("na"), col("nb"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_stat"))
+  }
 }

@@ -491,5 +491,31 @@ object AnalyticsQueries {
         "(q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size) OR " +
         "(q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)) " +
         "ORDER BY p_partkey"))
+,
+
+    // Exact two-sample KS distance (click vs view value distributions):
+    // the drift monitor between feeds / mix sources. The CDF compare
+    // stays in exact integer cross products; the distributed prefix scan
+    // is the two-stage range-partition + broadcast-offsets pattern — no
+    // global single-task window. The oracle runs the same arithmetic on
+    // a single window: equal by prefix-sum algebra, which is the point.
+    Q("q_ks_drift",
+      (s, d) => graft.operators.StatsOps.ksDistance(
+        Tables.load(s, d, "events"), "value", "event_type", "click", "view"),
+      Some("WITH f AS (SELECT value AS v, " +
+        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia, " +
+        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib " +
+        "FROM events WHERE event_type IN ('click', 'view')), " +
+        "byv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca, " +
+        "CAST(sum(ib) AS BIGINT) AS cb FROM f GROUP BY v), " +
+        "cum AS (SELECT " +
+        "sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa, " +
+        "sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fb " +
+        "FROM byv), " +
+        "tot AS (SELECT CAST(sum(ia) AS BIGINT) AS na, CAST(sum(ib) AS BIGINT) AS nb FROM f) " +
+        "SELECT na, nb, CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num, " +
+        "round(CAST(max(abs(fa * nb - fb * na)) AS DOUBLE) / " +
+        "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat " +
+        "FROM cum, tot GROUP BY na, nb"))
   )
 }

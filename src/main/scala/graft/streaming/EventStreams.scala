@@ -229,4 +229,49 @@ object EventStreams {
           }
       }
   }
+
+  final case class CadEv(user_id: Long, event_id: Long, ts: Timestamp)
+  final case class RollState(lastUs: Long, gaps: List[Long])
+  final case class RollOut(user_id: Long, event_id: Long, gap_us: Long,
+      roll_n: Long, roll_sum_us: Long, roll_avg_us: Long)
+
+  /** Streaming rolling cadence (stream_rolling): the incremental form of
+    * Temporal.rollingGaps — one output row per event carrying the gap to
+    * the previous event and the rolling sum/count/floor-div average over
+    * the last `frameRows` gaps, exactly as the batch window computes
+    * them (the parity spec holds them equal row for row, across batch
+    * boundaries). Keyed state is CONSTANT size per key — the last event
+    * time plus at most `frameRows` gaps — so monitoring cadence over an
+    * unbounded stream needs O(keys) memory, not O(history). Exact integer
+    * micros end to end, same as the batch operator. */
+  def rollingCadence(events: Dataset[CadEv],
+                     frameRows: Int = 4): Dataset[RollOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, RollOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[CadEv], state: GroupState[RollState]) =>
+          val out = Seq.newBuilder[RollOut]
+          var last: Option[Long] = state.getOption.map(_.lastUs)
+          var gaps: List[Long] = state.getOption.map(_.gaps).getOrElse(Nil)
+          for (e <- evs.toSeq.sortBy(ev => (micros(ev.ts), ev.event_id))) {
+            val us = micros(e.ts)
+            last match {
+              case None =>
+                out += RollOut(uid, e.event_id, -1L, 0L, -1L, -1L)
+              case Some(prev) =>
+                val g = us - prev
+                gaps = (gaps :+ g).takeRight(frameRows)
+                val n = gaps.size.toLong
+                val s = gaps.sum
+                out += RollOut(uid, e.event_id, g, n, s, s / n)
+            }
+            last = Some(us)
+          }
+          last.foreach(us => state.update(RollState(us, gaps)))
+          out.result().iterator
+      }
+  }
 }

@@ -55,6 +55,38 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("ksDistance: exact integer KS model, any partition count, identical-sample zero") {
+    val events = Tables.load(spark, sfDir, "events")
+    val rows = events.filter(col("event_type").isin("click", "view"))
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val na = rows.count(_._1 == "click").toLong
+    val nb = rows.count(_._1 == "view").toLong
+    val byV = rows.groupBy(_._2).map { case (v, g) =>
+      (v, g.count(_._1 == "click").toLong, g.count(_._1 == "view").toLong)
+    }.toSeq.sortBy(_._1)
+    val (dNum, _, _) = byV.foldLeft((0L, 0L, 0L)) {
+      case ((best, ca, cb), (_, ia, ib)) =>
+        val (fa, fb) = (ca + ia, cb + ib)
+        (math.max(best, math.abs(fa * nb - fb * na)), fa, fb)
+    }
+    Seq(1, 3, 8).foreach { np =>
+      val r = graft.operators.StatsOps.ksDistance(events, "value", "event_type",
+        "click", "view", numPartitions = np).head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((na, nb, dNum)),
+        s"numPartitions=$np")
+      val exp = BigDecimal(dNum.toDouble / (na.toDouble * nb.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) === exp)
+    }
+    // identical samples -> distance 0
+    import spark.implicits._
+    val same = Seq(("a", 1.0), ("b", 1.0), ("a", 2.0), ("b", 2.0))
+      .toDF("g", "x")
+    val z = graft.operators.StatsOps.ksDistance(same, "x", "g", "a", "b").head
+    assert(z.getLong(2) === 0L && z.getDouble(3) === 0.0)
+  }
+
   test("skyline2D on part: every survivor undominated, every non-survivor dominated") {
     val part = Tables.load(spark, sfDir, "part")
     val rows = part.select("p_partkey", "p_retailprice", "p_size").collect()

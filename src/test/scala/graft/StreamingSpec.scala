@@ -406,4 +406,39 @@ class StreamingSpec extends SparkSpec {
         s"got: ${all.mkString(", ")}")
     } finally q.stop()
   }
+
+  test("streaming rolling cadence equals the batch sliding frame across batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def micros(ts: Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+    val events = Tables.load(spark, sfDir, "events")
+    val rows = events.select("user_id", "event_id", "ts").collect()
+      .map(r => EventStreams.CadEv(r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+      .sortBy(e => (micros(e.ts), e.event_id))
+    val input = MemoryStream[EventStreams.CadEv]
+    val q = EventStreams.rollingCadence(input.toDS(), frameRows = 4)
+      .writeStream.format("memory").queryName("roll_parity")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: per-key order is preserved by the global
+      // (ts, event_id) sort, so keyed state must carry frames across the
+      // batch boundary
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(b2.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("roll_parity").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.operators.Temporal
+        .rollingGaps(events, "user_id", "ts", "event_id", frameRows = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      assert(streamed === batch)
+      assert(streamed.size === rows.length)
+    } finally q.stop()
+  }
 }
