@@ -516,6 +516,26 @@ object AnalyticsQueries {
         "SELECT na, nb, CAST(max(abs(fa * nb - fb * na)) AS BIGINT) AS d_num, " +
         "round(CAST(max(abs(fa * nb - fb * na)) AS DOUBLE) / " +
         "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat " +
-        "FROM cum, tot GROUP BY na, nb"))
+        "FROM cum, tot GROUP BY na, nb")),
+
+    // One-scan column profiler over events (the ingest-gate `describe`):
+    // per column, non-null / exact-distinct counts and stringified
+    // min/max, plus the row count — a single multi-distinct aggregate
+    // (one Expand over one scan; no per-column re-scan), stack-pivoted
+    // into the per-column report. The oracle pays one UNION ALL branch
+    // per column — the distributed plan must agree with six independent
+    // recomputes.
+    Q("q_profile",
+      (s, d) => graft.operators.StatsOps.profile(Tables.load(s, d, "events")),
+      Some {
+        val branch = (c: String) =>
+          "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"'$c' AS col_name, CAST(count($c) AS BIGINT) AS n_non_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+            s"CAST(min($c) AS VARCHAR) AS min_str, " +
+            s"CAST(max($c) AS VARCHAR) AS max_str FROM events"
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
+      })
   )
 }

@@ -230,6 +230,33 @@ object EventStreams {
       }
   }
 
+  /** Streaming drift monitor (stream_drift): per micro-batch, the exact
+    * two-sample KS distance of the batch's `valueCol` distribution
+    * against a fixed REFERENCE frame (e.g. the distribution the quality
+    * thresholds were tuned on), appended as a (batch_id, na, nb, d_num,
+    * ks_stat) time series — the alarm feed for "this source changed
+    * under us". Pure composition: each micro-batch runs the SAME
+    * StatsOps.ksDistance plan the batch query runs (the parity spec
+    * holds them equal), so there is exactly one definition of drift in
+    * the engine. State is the reference frame only — nothing accumulates
+    * across batches. */
+  def driftMonitor(stream: DataFrame, reference: DataFrame, valueCol: String,
+                   outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.select(col(valueCol).as("v"), lit("ref").as("_g"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val tagged = batch.select(col(valueCol).as("v"), lit("cur").as("_g"))
+          .unionByName(ref)
+        graft.operators.StatsOps.ksDistance(tagged, "v", "_g", "cur", "ref")
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+  }
+
   final case class CadEv(user_id: Long, event_id: Long, ts: Timestamp)
   final case class RollState(lastUs: Long, gaps: List[Long])
   final case class RollOut(user_id: Long, event_id: Long, gap_us: Long,

@@ -87,6 +87,28 @@ class StatsOpsSpec extends SparkSpec {
     assert(z.getLong(2) === 0L && z.getDouble(3) === 0.0)
   }
 
+  test("profile: one-scan column report matches hand counts, nulls and all") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.5)),
+      (Some(1L), None, Some(1.5)),
+      (Some(2L), Some("b"), None),
+      (None, Some("a"), Some(2.5)))
+      .toDF("k", "s", "x")
+    val got = StatsOps.profile(df).collect()
+      .map(r => r.getString(1) ->
+        ((r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("k") === ((4L, 3L, 2L, "1", "2")))
+    assert(got("s") === ((4L, 3L, 2L, "a", "b")))
+    assert(got("x") === ((4L, 3L, 2L, "1.5", "2.5")))
+    // one scan: the whole profile must be a single-source plan (the
+    // multi-distinct aggregate Expands one scan; no per-column re-scan)
+    val scans = StatsOps.profile(Tables.load(spark, sfDir, "events"))
+      .queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, "profile must read its input exactly once")
+  }
+
   test("skyline2D on part: every survivor undominated, every non-survivor dominated") {
     val part = Tables.load(spark, sfDir, "part")
     val rows = part.select("p_partkey", "p_retailprice", "p_size").collect()

@@ -441,4 +441,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.size === rows.length)
     } finally q.stop()
   }
+
+  test("streaming drift monitor: per-batch KS equals the batch operator") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = Tables.load(spark, sfDir, "events")
+    val reference = events.filter(col("event_type") === "view").select("value")
+    val base = java.nio.file.Files.createTempDirectory("graft_drift")
+    val outDir = s"$base/out"
+    val input = MemoryStream[Double]
+    val q = EventStreams.driftMonitor(input.toDF().toDF("value"),
+      reference, "value", outDir, s"$base/ckpt")
+    val b1 = Seq(1.0, 2.0, 3.0, 4.0)
+    val b2 = Seq(100.0, 200.0, 100.0)
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => r.getLong(4) ->
+          ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      assert(got.size === 2)
+      Seq(0L -> b1, 1L -> b2).foreach { case (id, vals) =>
+        val tagged = vals.toDF("v").select(col("v"), lit("cur").as("_g"))
+          .unionByName(reference.select(col("value").as("v"), lit("ref").as("_g")))
+        val e = graft.operators.StatsOps
+          .ksDistance(tagged, "v", "_g", "cur", "ref").head
+        assert(got(id) ===
+          ((e.getLong(0), e.getLong(1), e.getLong(2), e.getDouble(3))),
+          s"batch $id")
+      }
+    } finally q.stop()
+  }
 }
