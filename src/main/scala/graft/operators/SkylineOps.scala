@@ -36,10 +36,14 @@ object SkylineOps {
 
   def skyline2D(df: DataFrame, minCol: String, maxCol: String,
                 numPartitions: Int = 8): DataFrame = {
-    val g = df.groupBy(col(minCol).as("_price"))
+    // materialized once: the local-runmax and partition-maxima branches
+    // both read this frame, and without the checkpoint Spark re-derives
+    // the groupBy subtree (a second fact scan + shuffle) per consumer
+    val ranged = df.groupBy(col(minCol).as("_price"))
       .agg(max(col(maxCol).cast("long")).as("_msize"))
-    val ranged = g.repartitionByRange(numPartitions, col("_price"))
+      .repartitionByRange(numPartitions, col("_price"))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("_pid")).orderBy(col("_price"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("_lmax", max(col("_msize")).over(wLocal))

@@ -95,26 +95,36 @@ object StatsOps {
                  groupA: String, groupB: String,
                  numPartitions: Int = 8): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val f = df.filter(col(groupCol).isin(groupA, groupB))
+    // null values carry no distribution information, and engines disagree
+    // on null ordering (Spark windows sort them first, DuckDB last) —
+    // excluded by definition
+    val f = df.filter(col(groupCol).isin(groupA, groupB) &&
+        col(valueCol).isNotNull)
       .select(col(valueCol).as("v"),
         when(col(groupCol) === groupA, 1L).otherwise(0L).as("ia"),
         when(col(groupCol) === groupB, 1L).otherwise(0L).as("ib"))
-    val byV = f.groupBy(col("v"))
+    // the range-partitioned distinct-value frame is the CDF base every
+    // downstream piece reads (local cumsums, partition offsets, totals) —
+    // materialize it ONCE so the fact table is scanned and the value
+    // shuffle paid exactly once (reliable-storage checkpoint on a
+    // cluster), instead of Spark re-deriving the subtree per consumer
+    val ranged = f.groupBy(col("v"))
       .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
-    val ranged = byV.repartitionByRange(numPartitions, col("v"))
+      .repartitionByRange(numPartitions, col("v"))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     val wLoc = W.partitionBy(col("_pid")).orderBy(col("v"))
       .rowsBetween(W.unboundedPreceding, W.currentRow)
     val local = ranged
       .withColumn("la", sum(col("ca")).over(wLoc))
       .withColumn("lb", sum(col("cb")).over(wLoc))
     val wPre = W.orderBy(col("_pid")).rowsBetween(W.unboundedPreceding, -1)
-    val prefix = local.groupBy(col("_pid"))
+    val prefix = ranged.groupBy(col("_pid"))
       .agg(sum(col("ca")).as("pa"), sum(col("cb")).as("pb"))
       .withColumn("offa", coalesce(sum(col("pa")).over(wPre), lit(0L)))
       .withColumn("offb", coalesce(sum(col("pb")).over(wPre), lit(0L)))
       .select(col("_pid"), col("offa"), col("offb"))
-    val tot = f.agg(sum(col("ia")).as("na"), sum(col("ib")).as("nb"))
+    val tot = ranged.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     local.join(broadcast(prefix), "_pid")
       .select((col("la") + col("offa")).as("fa"), (col("lb") + col("offb")).as("fb"))
       .crossJoin(broadcast(tot))
