@@ -46,6 +46,41 @@ object StatsOps {
           .as("n_outliers"))
   }
 
+  /** Mutual information (in nats) between two categorical columns — the
+    * feature-selection / association measure: MI = Σ_cells p(x,y) ·
+    * ln(p(x,y)/(p(x)p(y))), estimated from exact counts. Output: one row
+    * (n, n_cells, mi_nats).
+    *
+    * The fact table is touched ONCE (the contingency groupBy, map-side
+    * combined); marginals derive from the cell frame, which is
+    * |X|·|Y|-sized — bounded by the attribute domains, not the data. The
+    * float sum over cells runs as an ordered cumsum on (x, y): the cell
+    * frame is tiny by construction, so the single-task window is bounded
+    * by the domain product, and the fold order is total — MI doubles are
+    * bit-identical across engines. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+    val xm = cells.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val ym = cells.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    val n = cells.agg(sum(col("c_xy")).as("n"))
+    val term = (col("c_xy").cast("double") / col("n").cast("double")) *
+      log((col("c_xy").cast("double") * col("n").cast("double")) /
+        (col("c_x").cast("double") * col("c_y").cast("double")))
+    val ord = W.orderBy("x", "y")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cells.join(broadcast(xm), "x").join(broadcast(ym), "y")
+      .crossJoin(broadcast(n))
+      .withColumn("_term", term)
+      .withColumn("_cum", sum(col("_term")).over(cum))
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_nc", count(lit(1)).over())
+      .filter(col("_rn") === col("_nc"))
+      .select(col("n"), col("_nc").as("n_cells"),
+        round(col("_cum"), 6).as("mi_nats"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of two groups — the drift monitor between feeds /
     * training-mix sources. D = max over values of |F_A(v) − F_B(v)|, kept

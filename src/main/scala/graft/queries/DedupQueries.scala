@@ -81,6 +81,35 @@ object DedupQueries {
     // n-gram Jaccard verification over same-source candidate pairs: the
     // candidate generator here is the source bucket (25 docs/source at
     // sf0.01) — set ops run only within buckets, never all-pairs.
+    // Edit-distance verification of near-dup candidates: exact
+    // Levenshtein on 64-char prefixes (the DP is O(len^2) — bounding the
+    // prefix bounds per-pair cost, the fuzzy-dedup norm), candidates from
+    // the same source bucket as q_ngram_jaccard, never all-pairs. Both
+    // engines run the classic Wagner-Fischer integers, so distances and
+    // the threshold cut hash-verify exactly.
+    Q("q_edit_verify",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pref = dd
+          .select(col("doc_id"), col("source"),
+            substring(col("text"), 1, 64).as("pref"))
+          .repartition(col("doc_id"))
+        pref.as("d1").join(pref.as("d2"),
+            col("d1.source") === col("d2.source") &&
+              col("d1.doc_id") < col("d2.doc_id"))
+          .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"),
+            levenshtein(col("d1.pref"), col("d2.pref")).cast("long")
+              .as("edit_dist"))
+          .filter(col("edit_dist") <= 40)
+          .orderBy("a", "b")
+      },
+      Some("WITH p AS (SELECT doc_id, source, substr(text, 1, 64) AS pref " +
+        "FROM documents) " +
+        "SELECT x.doc_id AS a, y.doc_id AS b, " +
+        "CAST(levenshtein(x.pref, y.pref) AS BIGINT) AS edit_dist " +
+        "FROM p x JOIN p y ON x.source = y.source AND x.doc_id < y.doc_id " +
+        "WHERE levenshtein(x.pref, y.pref) <= 40 ORDER BY a, b")),
+
     Q("q_ngram_jaccard",
       (s, d) => {
         val dd = docs(s, d)

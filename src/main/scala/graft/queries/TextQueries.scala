@@ -492,6 +492,30 @@ object TextQueries {
       (s, d) => graft.operators.TextOps
         .bigramNll(docs(s, d), "doc_id", "text", lambda = 0.75)
         .orderBy("doc_id"),
-      Some(graft.operators.TextOps.bigramNllSql(lambda = 0.75)))
+      Some(graft.operators.TextOps.bigramNllSql(lambda = 0.75))),
+
+    // Mutual information between lang and source (nats): the
+    // feature-association measure for mix design — does language predict
+    // provenance? Fact scanned once (contingency groupBy); marginals
+    // derive from the domain-bounded cell frame; the cell-sum runs as an
+    // ordered cumsum so the MI double is bit-identical across engines.
+    Q("q_mutual_info",
+      (s, d) => graft.operators.StatsOps
+        .mutualInfo(docs(s, d), "lang", "source"),
+      Some("WITH cells AS (SELECT lang AS x, source AS y, " +
+        "CAST(count(*) AS BIGINT) AS c_xy FROM documents GROUP BY 1, 2), " +
+        "xm AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY x), " +
+        "ym AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY y), " +
+        "nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells), " +
+        "t AS (SELECT x, y, n, " +
+        "(CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+        "(CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) AS term " +
+        "FROM cells JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN nn), " +
+        "cum AS (SELECT n, " +
+        "sum(term) OVER (ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (ORDER BY x, y) AS rn, count(*) OVER () AS nc FROM t) " +
+        "SELECT n, CAST(nc AS BIGINT) AS n_cells, round(cum, 6) AS mi_nats " +
+        "FROM cum WHERE rn = nc"))
   )
 }

@@ -220,4 +220,31 @@ class DedupSpec extends SparkSpec {
     }
     assert(got.size === 3)
   }
+
+  test("levenshtein verify matches a Scala Wagner-Fischer model") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+        j => if (i == 0) j else if (j == 0) i else 0
+      })
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    val texts = docs.filter(col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).take(64)).toMap
+    val pairs = texts.keys.toSeq.sorted.combinations(2).map {
+      case Seq(a, b) => (a, b)
+    }.toSeq
+    import spark.implicits._
+    val df = pairs.map { case (a, b) => (a, b, texts(a), texts(b)) }
+      .toDF("a", "b", "ta", "tb")
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).as("d"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(got((a, b)) === lev(texts(a), texts(b)), s"pair ($a,$b)")
+    }
+  }
 }

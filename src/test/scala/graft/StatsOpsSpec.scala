@@ -109,6 +109,30 @@ class StatsOpsSpec extends SparkSpec {
     assert(scans === 1, "profile must read its input exactly once")
   }
 
+  test("mutualInfo matches the ordered-fold model; uniform independence is 0") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = docs.select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val cx = rows.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val cy = rows.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val n = rows.length.toLong
+    val mi = cells.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, ((x, y), c)) =>
+      acc + (c.toDouble / n.toDouble) *
+        math.log((c.toDouble * n.toDouble) / (cx(x).toDouble * cy(y).toDouble))
+    }
+    val got = StatsOps.mutualInfo(docs, "lang", "source").head
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === cells.size.toLong)
+    assert(got.getDouble(2) ===
+      BigDecimal(mi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(2) >= 0.0)
+    // exact product distribution: every cell count equal -> MI exactly 0
+    val uniform = (for (x <- 'a' to 'b'; y <- 1 to 3; _ <- 1 to 4)
+      yield (x.toString, y)).toDF("x", "y")
+    assert(StatsOps.mutualInfo(uniform, "x", "y").head.getDouble(2) === 0.0)
+  }
+
   test("skyline2D on part: every survivor undominated, every non-survivor dominated") {
     val part = Tables.load(spark, sfDir, "part")
     val rows = part.select("p_partkey", "p_retailprice", "p_size").collect()
