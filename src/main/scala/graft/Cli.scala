@@ -47,6 +47,7 @@ import graft.sources.Manifest
   *   skyline   --input P --output P --min-col c --max-col c
   *   collocations --input P --output P --id c --text c
   *             [--min-count 3] [--k 20]
+  *   profile   --input P --output P
   */
 object Cli {
 
@@ -54,7 +55,7 @@ object Cli {
     require(args.nonEmpty,
       "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
-        "compact|semdedup|outliers|skyline|collocations> --opt v ...")
+        "compact|semdedup|outliers|skyline|collocations|profile> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -305,6 +306,9 @@ object Cli {
         write(TextOps.collocations(in("input"), opts("id"), opts("text"),
           opts.getOrElse("min-count", "3").toLong,
           opts.getOrElse("k", "20").toInt))
+
+      case "profile" =>
+        write(graft.operators.StatsOps.profile(in("input")))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -60,8 +60,12 @@ object StatsOps {
     * bit-identical across engines. */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // the contingency frame feeds four consumers (cells, both marginals,
+    // the total); materialized once so the fact table is scanned once,
+    // not re-aggregated per consumer
     val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
     val xm = cells.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
     val ym = cells.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
     val n = cells.agg(sum(col("c_xy")).as("n"))

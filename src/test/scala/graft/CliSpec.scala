@@ -289,5 +289,13 @@ class CliSpec extends SparkSpec {
     val coGot = spark.read.parquet(co)
     assert(coGot.count() === 10)
     assert(coGot.columns.toSeq === Seq("a", "b", "c_ab", "c_a", "c_b", "lift"))
+
+    val pr = tmp() + "/pr"
+    Cli.run(spark, "profile", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> pr))
+    val prGot = spark.read.parquet(pr)
+    assert(prGot.count() === 6) // one row per events column
+    assert(prGot.columns.toSeq ===
+      Seq("n_rows", "col_name", "n_non_null", "n_distinct", "min_str", "max_str"))
   }
 }
