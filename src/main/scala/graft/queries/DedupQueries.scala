@@ -82,33 +82,45 @@ object DedupQueries {
     // candidate generator here is the source bucket (25 docs/source at
     // sf0.01) — set ops run only within buckets, never all-pairs.
     // Edit-distance verification of near-dup candidates: exact
-    // Levenshtein on 64-char prefixes (the DP is O(len^2) — bounding the
-    // prefix bounds per-pair cost, the fuzzy-dedup norm), candidates from
-    // the same source bucket as q_ngram_jaccard, never all-pairs. Both
-    // engines run the classic Wagner-Fischer integers, so distances and
-    // the threshold cut hash-verify exactly.
+    // Levenshtein <= 30 on 48-char prefixes. TWO cost bounds make this
+    // scale: (source, lang) composite blocking keys cap the candidate
+    // set (the multi-attribute blocking norm in fuzzy dedup — a plain
+    // source bucket was 80x more pairs and 45 s at sf0.1), and Spark's
+    // 3-arg banded levenshtein runs O(len*threshold) per pair instead of
+    // the full O(len^2) DP, returning the EXACT distance when <= the
+    // threshold (and -1 above it) — so the cheap banded compute still
+    // hash-matches the oracle's full Wagner-Fischer.
     Q("q_edit_verify",
       (s, d) => {
         val dd = docs(s, d)
+        // explicit partition count: the pair stage is COMPUTE-heavy on
+        // tiny data, and AQE's size-based coalescing would fold the probe
+        // side into one task (observed: 7 s single-threaded at sf0.1) —
+        // a user-specified count is exempt from coalescing
+        val shufflePartitions = s.sessionState.conf.numShufflePartitions
         val pref = dd
-          .select(col("doc_id"), col("source"),
-            substring(col("text"), 1, 64).as("pref"))
-          .repartition(col("doc_id"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            substring(col("text"), 1, 48).as("pref"))
+          .repartition(shufflePartitions, col("doc_id"))
+        // id test FIRST in the non-equi remainder so codegen
+        // short-circuits before the DP on the mirrored half of each pair
         pref.as("d1").join(pref.as("d2"),
             col("d1.source") === col("d2.source") &&
-              col("d1.doc_id") < col("d2.doc_id"))
+              col("d1.lang") === col("d2.lang") &&
+              col("d1.doc_id") < col("d2.doc_id") &&
+              levenshtein(col("d1.pref"), col("d2.pref")) <= 30)
           .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"),
             levenshtein(col("d1.pref"), col("d2.pref")).cast("long")
               .as("edit_dist"))
-          .filter(col("edit_dist") <= 40)
           .orderBy("a", "b")
       },
-      Some("WITH p AS (SELECT doc_id, source, substr(text, 1, 64) AS pref " +
+      Some("WITH p AS (SELECT doc_id, source, lang, substr(text, 1, 48) AS pref " +
         "FROM documents) " +
         "SELECT x.doc_id AS a, y.doc_id AS b, " +
         "CAST(levenshtein(x.pref, y.pref) AS BIGINT) AS edit_dist " +
-        "FROM p x JOIN p y ON x.source = y.source AND x.doc_id < y.doc_id " +
-        "WHERE levenshtein(x.pref, y.pref) <= 40 ORDER BY a, b")),
+        "FROM p x JOIN p y ON x.source = y.source AND x.lang = y.lang " +
+        "AND x.doc_id < y.doc_id " +
+        "WHERE levenshtein(x.pref, y.pref) <= 30 ORDER BY a, b")),
 
     Q("q_ngram_jaccard",
       (s, d) => {
