@@ -127,9 +127,13 @@ object DedupQueries {
         val dd = docs(s, d)
         // the docs parquet is one small file = one input partition; without
         // a repartition the whole quadratic pair stage would run on a
-        // couple of tasks no matter how many cores exist
+        // couple of tasks no matter how many cores exist — and the count
+        // must be EXPLICIT or AQE's size-based coalescing re-folds the
+        // tiny-but-compute-heavy stage into one task (the q_edit_verify
+        // lesson)
         val pairs = dd.select(col("doc_id"), col("source"))
-          .repartition(col("doc_id")).as("d1")
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .as("d1")
           .join(dd.select(col("doc_id"), col("source")).as("d2"),
             col("d1.source") === col("d2.source") &&
               col("d1.doc_id") < col("d2.doc_id"))
