@@ -85,6 +85,49 @@ object StatsOps {
         round(col("_cum"), 6).as("mi_nats"))
   }
 
+  /** Pearson chi-squared statistic of independence between two
+    * categorical columns — the categorical drift test completing the
+    * family (KS = continuous drift, MI = association strength, chi² =
+    * significance-testable independence). Output: one row (n, n_cells,
+    * dof, chi2).
+    *
+    * Unlike MI, chi² sums over the FULL marginal grid — a zero-observed
+    * cell with positive expectation contributes its expected count — so
+    * the cell frame is the cross join of the marginals (domain-bounded,
+    * |X|·|Y| rows) left-joined with the observed counts. One fact scan
+    * (the contingency groupBy, checkpointed); every term is single-op
+    * IEEE arithmetic on exact integer counts; the grid sum runs as an
+    * ordered cumsum, so the statistic is bit-identical across engines. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val xm = cells.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
+    val ym = cells.groupBy(col("y")).agg(sum(col("c_xy")).as("c_y"))
+    val n = cells.agg(sum(col("c_xy")).as("n"))
+    val grid = broadcast(xm).crossJoin(broadcast(ym))
+      .join(cells, Seq("x", "y"), "left_outer")
+      .withColumn("o", coalesce(col("c_xy"), lit(0L)))
+      .crossJoin(broadcast(n))
+    val e = (col("c_x").cast("double") * col("c_y").cast("double")) /
+      col("n").cast("double")
+    val d = col("o").cast("double") - e
+    val ord = W.orderBy("x", "y")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid
+      .withColumn("_term", (d * d) / e)
+      .withColumn("_cum", sum(col("_term")).over(cum))
+      .withColumn("_rn", row_number().over(ord))
+      .withColumn("_nc", count(lit(1)).over())
+      .filter(col("_rn") === col("_nc"))
+      .crossJoin(broadcast(
+        xm.agg(count(lit(1)).as("nx")).crossJoin(ym.agg(count(lit(1)).as("ny")))))
+      .select(col("n"), col("_nc").as("n_cells"),
+        ((col("nx") - 1L) * (col("ny") - 1L)).as("dof"),
+        round(col("_cum"), 6).as("chi2"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of two groups — the drift monitor between feeds /
     * training-mix sources. D = max over values of |F_A(v) − F_B(v)|, kept

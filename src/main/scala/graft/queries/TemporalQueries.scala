@@ -338,6 +338,35 @@ object TemporalQueries {
         "CAST(roll_n AS BIGINT) AS roll_n, " +
         "CAST(coalesce(roll_sum_us, -1) AS BIGINT) AS roll_sum_us, " +
         "CAST(CASE WHEN roll_n > 0 THEN roll_sum_us // roll_n ELSE -1 END AS BIGINT) AS roll_avg_us " +
-        "FROM r ORDER BY user_id, event_id"))
+        "FROM r ORDER BY user_id, event_id")),
+
+    // Period-over-period change: daily per-type counts with the percent
+    // delta vs the previous day — the metrics-dashboard primitive. The
+    // lag window runs on the (type, day)-sized aggregate (never event
+    // rows); the ratio is one subtraction + one division on exact
+    // integer counts, so even the deltas hash-verify.
+    Q("q_pct_change",
+      (s, d) => {
+        val daily = ev(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("day")
+        daily.withColumn("prev_n", lag(col("n"), 1).over(w))
+          .filter(col("prev_n").isNotNull)
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"),
+            col("n"), col("prev_n"),
+            round((col("n").cast("double") - col("prev_n").cast("double")) /
+              col("prev_n").cast("double"), 6).as("pct_change"))
+          .orderBy("event_type", "day")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "l AS (SELECT event_type, day, n, " +
+        "lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n FROM daily) " +
+        "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, prev_n, " +
+        "round((CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE)) / CAST(prev_n AS DOUBLE), 6) AS pct_change " +
+        "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, day"))
   )
 }

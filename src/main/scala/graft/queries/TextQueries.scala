@@ -516,6 +516,37 @@ object TextQueries {
         "sum(term) OVER (ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
         "row_number() OVER (ORDER BY x, y) AS rn, count(*) OVER () AS nc FROM t) " +
         "SELECT n, CAST(nc AS BIGINT) AS n_cells, round(cum, 6) AS mi_nats " +
-        "FROM cum WHERE rn = nc"))
+        "FROM cum WHERE rn = nc")),
+
+    // Pearson chi-squared independence of (lang, source) — the
+    // significance-testable form of the q_mutual_info association (and
+    // the categorical sibling of q_ks_drift). Sums over the FULL
+    // marginal grid (zero-observed cells contribute their expectation);
+    // one fact scan; grid sum as ordered cumsum so the statistic is
+    // bit-identical.
+    Q("q_chi2",
+      (s, d) => graft.operators.StatsOps
+        .chiSquare(docs(s, d), "lang", "source"),
+      Some {
+        val e = "((CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)) / CAST(n AS DOUBLE))"
+        val dterm = s"(CAST(o AS DOUBLE) - $e)"
+        "WITH cells AS (SELECT lang AS x, source AS y, " +
+          "CAST(count(*) AS BIGINT) AS c_xy FROM documents GROUP BY 1, 2), " +
+          "xm AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY x), " +
+          "ym AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY y), " +
+          "nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells), " +
+          "grid AS (SELECT xm.x, ym.y, c_x, c_y, coalesce(c_xy, 0) AS o, n " +
+          "FROM xm CROSS JOIN ym " +
+          "LEFT JOIN cells ON cells.x = xm.x AND cells.y = ym.y CROSS JOIN nn), " +
+          s"t AS (SELECT x, y, n, (($dterm * $dterm) / $e) AS term FROM grid), " +
+          "cum AS (SELECT n, " +
+          "sum(term) OVER (ORDER BY x, y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+          "row_number() OVER (ORDER BY x, y) AS rn, count(*) OVER () AS nc FROM t), " +
+          "dims AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM xm) AS nx, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM ym) AS ny) " +
+          "SELECT n, CAST(nc AS BIGINT) AS n_cells, " +
+          "(nx - 1) * (ny - 1) AS dof, round(cum, 6) AS chi2 " +
+          "FROM cum CROSS JOIN dims WHERE rn = nc"
+      })
   )
 }

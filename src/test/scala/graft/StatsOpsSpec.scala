@@ -133,6 +133,32 @@ class StatsOpsSpec extends SparkSpec {
     assert(StatsOps.mutualInfo(uniform, "x", "y").head.getDouble(2) === 0.0)
   }
 
+  test("chiSquare matches the full-grid ordered-fold model; uniform grid is 0") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = docs.select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val cells = rows.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val cx = rows.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val cy = rows.groupBy(_._2).map { case (k, g) => k -> g.length.toLong }
+    val n = rows.length.toLong
+    val grid = for (x <- cx.keys.toSeq; y <- cy.keys.toSeq) yield (x, y)
+    val chi2 = grid.sortBy(identity).foldLeft(0.0) { case (acc, (x, y)) =>
+      val e = (cx(x).toDouble * cy(y).toDouble) / n.toDouble
+      val d = cells.getOrElse((x, y), 0L).toDouble - e
+      acc + (d * d) / e
+    }
+    val got = StatsOps.chiSquare(docs, "lang", "source").head
+    assert(got.getLong(0) === n)
+    assert(got.getLong(1) === grid.size.toLong)
+    assert(got.getLong(2) === (cx.size - 1).toLong * (cy.size - 1).toLong)
+    assert(got.getDouble(3) ===
+      BigDecimal(chi2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // uniform counts -> observed == expected everywhere -> exactly 0
+    val uniform = (for (x <- 'a' to 'b'; y <- 1 to 3; _ <- 1 to 4)
+      yield (x.toString, y)).toDF("x", "y")
+    assert(StatsOps.chiSquare(uniform, "x", "y").head.getDouble(3) === 0.0)
+  }
+
   test("skyline2D on part: every survivor undominated, every non-survivor dominated") {
     val part = Tables.load(spark, sfDir, "part")
     val rows = part.select("p_partkey", "p_retailprice", "p_size").collect()
