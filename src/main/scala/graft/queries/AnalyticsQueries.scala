@@ -518,6 +518,42 @@ object AnalyticsQueries {
         "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat " +
         "FROM cum, tot GROUP BY na, nb")),
 
+    // Equi-depth histogram (quantile binning): per-type exact quartile
+    // cuts broadcast back onto a narrow CASE bucketing — the data-driven
+    // binning q_histogram's fixed widths can't give. NOT a global ntile
+    // (one-task funnel): the cut aggregate is group-sized and the bucket
+    // assignment scales like a filter; per-bin min/max/count hash-verify
+    // against the oracle's identical interpolation and CASE tree.
+    Q("q_equidepth",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        val cuts = e.groupBy(col("event_type")).agg(
+          expr("percentile(value, 0.25)").as("q1"),
+          expr("percentile(value, 0.5)").as("q2"),
+          expr("percentile(value, 0.75)").as("q3"))
+        e.join(broadcast(cuts), "event_type")
+          .withColumn("bin",
+            when(col("value") <= col("q1"), 0L)
+              .when(col("value") <= col("q2"), 1L)
+              .when(col("value") <= col("q3"), 2L)
+              .otherwise(3L))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("n"),
+            round(min(col("value")), 2).as("bin_min"),
+            round(max(col("value")), 2).as("bin_max"))
+          .orderBy("event_type", "bin")
+      },
+      Some("WITH cuts AS (SELECT event_type, " +
+        "quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.5) AS q2, " +
+        "quantile_cont(value, 0.75) AS q3 FROM events GROUP BY event_type) " +
+        "SELECT e.event_type, " +
+        "CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1 " +
+        "WHEN value <= q3 THEN 2 ELSE 3 END AS bin, " +
+        "count(*) AS n, round(min(value), 2) AS bin_min, " +
+        "round(max(value), 2) AS bin_max " +
+        "FROM events e JOIN cuts c ON e.event_type = c.event_type " +
+        "GROUP BY e.event_type, bin ORDER BY e.event_type, bin")),
+
     // One-scan column profiler over events (the ingest-gate `describe`):
     // per column, non-null / exact-distinct counts and stringified
     // min/max, plus the row count — a single multi-distinct aggregate
