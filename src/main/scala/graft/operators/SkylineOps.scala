@@ -36,6 +36,14 @@ object SkylineOps {
 
   def skyline2D(df: DataFrame, minCol: String, maxCol: String,
                 numPartitions: Int = 8): DataFrame = {
+    // the frontier compares maxCol as int64 — a fractional type would be
+    // silently truncated, changing dominance for rows that differ only in
+    // the fraction; fail loudly instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val t = df.schema(maxCol).dataType
+    require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
+      s"skyline2D needs an integral max column; '$maxCol' is $t " +
+        "(scale fractional values to integers first, e.g. cents)")
     // materialized once: the local-runmax and partition-maxima branches
     // both read this frame, and without the checkpoint Spark re-derives
     // the groupBy subtree (a second fact scan + shuffle) per consumer

@@ -128,6 +128,35 @@ object StatsOps {
         round(col("_cum"), 6).as("chi2"))
   }
 
+  /** One-scan data-quality column profiler (the `describe` of an ingest
+    * gate): for EVERY column, non-null count, exact distinct count, and
+    * min/max (stringified so heterogeneous column types stack into one
+    * frame), plus the table row count. The whole profile is ONE aggregate
+    * over one scan — the multi-distinct aggregate plans as a single
+    * Expand (scan cost ×1, expand factor = #columns), then a `stack`
+    * pivots the 1-row aggregate into a per-column report. No per-column
+    * re-scan, no driver loop over columns — profiling a 100 TB table
+    * costs one pass regardless of schema width. */
+  def profile(df: DataFrame): DataFrame = {
+    val cols = df.columns
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"_nn_$i"),
+      countDistinct(col(c)).as(s"_nd_$i"),
+      min(col(c)).cast("string").as(s"_mn_$i"),
+      max(col(c)).cast("string").as(s"_mx_$i")) }
+    // the column NAME rides into the stack() expression as a string
+    // literal — escape quotes so exotic schemas can't break the parse
+    val stacked = cols.zipWithIndex
+      .map { case (c, i) =>
+        s"'${c.replace("'", "''")}', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
+      .mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stacked)")
+          .as(Seq("col_name", "n_non_null", "n_distinct", "min_str", "max_str")))
+      .orderBy("col_name")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of two groups — the drift monitor between feeds /
     * training-mix sources. D = max over values of |F_A(v) − F_B(v)|, kept
@@ -146,36 +175,14 @@ object StatsOps {
     * (offsets + local sums = the global prefix regardless of boundary
     * placement). Cross products stay in int64 — exact up to ~3·10^9 rows
     * per side; beyond that, pre-stratify or lift the products to decimal.
+    * A group with no rows yields ks_stat = NaN (0/0) rather than a silent
+    * zero — absence of a sample is not evidence of no drift.
     */
-  /** One-scan data-quality column profiler (the `describe` of an ingest
-    * gate): for EVERY column, non-null count, exact distinct count, and
-    * min/max (stringified so heterogeneous column types stack into one
-    * frame), plus the table row count. The whole profile is ONE aggregate
-    * over one scan — the multi-distinct aggregate plans as a single
-    * Expand (scan cost ×1, expand factor = #columns), then a `stack`
-    * pivots the 1-row aggregate into a per-column report. No per-column
-    * re-scan, no driver loop over columns — profiling a 100 TB table
-    * costs one pass regardless of schema width. */
-  def profile(df: DataFrame): DataFrame = {
-    val cols = df.columns
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
-      count(col(c)).as(s"_nn_$i"),
-      countDistinct(col(c)).as(s"_nd_$i"),
-      min(col(c)).cast("string").as(s"_mn_$i"),
-      max(col(c)).cast("string").as(s"_mx_$i")) }
-    val stacked = cols.zipWithIndex
-      .map { case (c, i) => s"'$c', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
-      .mkString(", ")
-    df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
-      .select(col("n_rows"),
-        expr(s"stack(${cols.length}, $stacked)")
-          .as(Seq("col_name", "n_non_null", "n_distinct", "min_str", "max_str")))
-      .orderBy("col_name")
-  }
-
   def ksDistance(df: DataFrame, valueCol: String, groupCol: String,
                  groupA: String, groupB: String,
                  numPartitions: Int = 8): DataFrame = {
+    require(groupA != groupB,
+      s"ksDistance compares two DIFFERENT groups; both sides are '$groupA'")
     val W = org.apache.spark.sql.expressions.Window
     // null values carry no distribution information, and engines disagree
     // on null ordering (Spark windows sort them first, DuckDB last) —

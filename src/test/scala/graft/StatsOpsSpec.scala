@@ -85,6 +85,17 @@ class StatsOpsSpec extends SparkSpec {
       .toDF("g", "x")
     val z = graft.operators.StatsOps.ksDistance(same, "x", "g", "a", "b").head
     assert(z.getLong(2) === 0L && z.getDouble(3) === 0.0)
+    // comparing a group against itself is a caller bug, rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.StatsOps.ksDistance(same, "x", "g", "a", "a")
+    }
+  }
+
+  test("skyline2D rejects a fractional max column instead of truncating it") {
+    val df = Seq((1L, 1.0, 2.5), (2L, 2.0, 2.4)).toDF("id", "price", "score")
+    intercept[IllegalArgumentException] {
+      SkylineOps.skyline2D(df, "price", "score")
+    }
   }
 
   test("profile: one-scan column report matches hand counts, nulls and all") {
