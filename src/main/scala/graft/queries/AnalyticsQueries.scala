@@ -554,6 +554,33 @@ object AnalyticsQueries {
         "FROM events e JOIN cuts c ON e.event_type = c.event_type " +
         "GROUP BY e.event_type, bin ORDER BY e.event_type, bin")),
 
+    // Incremental view maintenance (the aggregate analogue of
+    // q_incr_merge): yesterday's materialized per-type aggregate merged
+    // with today's delta aggregate must equal the full recompute — and
+    // the oracle IS the full recompute, so the equivalence itself is
+    // hash-verified. Measures are exact integers (count + floor-cents;
+    // bigint addition is associative) so two-level merge == one-level
+    // aggregation EXACTLY, not approximately — at 100 TB the view never
+    // re-reads history, only the delta partition (cost ∝ delta).
+    Q("q_incr_agg",
+      (s, d) => {
+        val e = Tables.load(s, d, "events")
+        val cents = floor(col("value") * 100.0).cast("long")
+        def partial(df: org.apache.spark.sql.DataFrame) =
+          df.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+        val cut = lit("2024-01-25").cast("date")
+        val base = partial(e.filter(to_date(col("ts")) < cut))
+        val delta = partial(e.filter(to_date(col("ts")) >= cut))
+        base.unionByName(delta)
+          .groupBy(col("event_type"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM events GROUP BY event_type ORDER BY event_type")),
+
     // One-scan column profiler over events (the ingest-gate `describe`):
     // per column, non-null / exact-distinct counts and stringified
     // min/max, plus the row count — a single multi-distinct aggregate
