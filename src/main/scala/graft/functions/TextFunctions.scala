@@ -58,6 +58,19 @@ object TextFunctions {
   def tokenCodesSql(text: String): String =
     s"list_transform(${tokensSql(text)}, t -> ${charHashSql("t")})"
 
+  /** Adjacent-token (bigram) pair fragments — ONE definition shared by
+    * collocations and the bigram LM on BOTH engines, so the operators and
+    * their oracles cannot desynchronize. The Spark form expects the token
+    * array aliased as `_t`; both emit structs {a, b} for positions
+    * (i, i+1), empty for single-token docs. */
+  val adjacentPairsExpr: String =
+    "transform(sequence(1, size(_t) - 1), " +
+      "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1)))"
+
+  def adjacentPairsSql(t: String): String =
+    s"list_transform(range(1, len($t)), " +
+      s"i -> struct_pack(a := $t[i], b := $t[i + 1]))"
+
   /** Deterministic MinHash parameter family (a_i odd, b_i spread). */
   def mhParams(k: Int): Seq[(Long, Long)] =
     (0 until k).map(i => (101L + 2L * i, 7919L * i + 13L))

@@ -349,8 +349,12 @@ object Similarity {
     val cells = centroidRanks(candidates, nCentroids, idCol, vecCol)
       .filter(col("rn") === 1)
       .select(col("id"), col("cid").as("cell"))
+    // three consumers read the assignment (both self-join sides + the
+    // final select) — materialize it once instead of re-running the
+    // crossJoin + window per consumer (Spark does not CSE subtrees)
     val members = cells.join(
       candidates.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+      .localCheckpoint()
     val dup = members.as("x").join(members.as("y"),
         col("x.cell") === col("y.cell") && col("y.id") < col("x.id"))
       .filter(cosine(col("x.vec"), col("y.vec")) >= tau)

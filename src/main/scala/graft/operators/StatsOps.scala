@@ -145,10 +145,12 @@ object StatsOps {
       min(col(c)).cast("string").as(s"_mn_$i"),
       max(col(c)).cast("string").as(s"_mx_$i")) }
     // the column NAME rides into the stack() expression as a string
-    // literal — escape quotes so exotic schemas can't break the parse
+    // literal — Spark string literals escape with BACKSLASH (doubling a
+    // quote is two adjacent literals that silently concatenate)
     val stacked = cols.zipWithIndex
       .map { case (c, i) =>
-        s"'${c.replace("'", "''")}', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
+        val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$lit', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
       .mkString(", ")
     df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
       .select(col("n_rows"),

@@ -654,9 +654,8 @@ object TextOps {
     val toks = df.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("_t"))
     val bi = toks.filter(size(col("_t")) >= 2)
-      .select(col("doc_id"), explode(expr("transform(sequence(1, size(_t) - 1), " +
-        "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1)))"))
-        .as("bg"))
+      .select(col("doc_id"),
+        explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
     val tf = bi.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("tf"))
@@ -669,9 +668,13 @@ object TextOps {
     val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     val p = lit(lambda) * (col("c_ab").cast("double") / col("c_hist").cast("double")) +
       lit(1.0 - lambda) * (col("c_uni").cast("double") / col("total").cast("double"))
+    // hist/uni are VOCABULARY-sized (heaps-law unbounded at corpus
+    // scale) — like cab, they join on the term key and AQE may elect to
+    // broadcast them when small; forcing it would OOM the driver at the
+    // scale this operator targets. Only the 1-row total broadcasts.
     tf.join(cab, Seq("a", "b"))
-      .join(broadcast(hist), Seq("a"))
-      .join(broadcast(uni), Seq("b"))
+      .join(hist, Seq("a"))
+      .join(uni, Seq("b"))
       .crossJoin(broadcast(n))
       .withColumn("nll", -log(p) * col("tf"))
       .withColumn("cum_nll", sum(col("nll")).over(cum))
@@ -689,8 +692,7 @@ object TextOps {
     val lam = s"CAST($lambda AS DOUBLE)"
     val oneMinus = s"CAST(${1.0 - lambda} AS DOUBLE)"
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
-      "bi0 AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), " +
-      "i -> struct_pack(a := t[i], b := t[i + 1]))) AS bg FROM toks), " +
+      s"bi0 AS (SELECT doc_id, unnest(${TextFunctions.adjacentPairsSql("t")}) AS bg FROM toks), " +
       "bi AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bi0), " +
       "tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf " +
       "FROM bi GROUP BY doc_id, a, b), " +
@@ -754,9 +756,7 @@ object TextOps {
                    minCount: Long = 3, k: Int = 20): DataFrame = {
     val toks = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_t"))
     val bi = toks.filter(size(col("_t")) >= 2)
-      .select(explode(expr("transform(sequence(1, size(_t) - 1), " +
-        "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1)))"))
-        .as("bg"))
+      .select(explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val uni = toks.select(explode(col("_t")).as("w"))
@@ -781,8 +781,7 @@ object TextOps {
     "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
       // scalar range(): DuckDB's table-function form can't take a lateral
       // column bound, the list form can
-      "bi0 AS (SELECT unnest(list_transform(range(1, len(t)), " +
-      "i -> struct_pack(a := t[i], b := t[i + 1]))) AS bg FROM toks), " +
+      s"bi0 AS (SELECT unnest(${TextFunctions.adjacentPairsSql("t")}) AS bg FROM toks), " +
       "bi AS (SELECT bg.a AS a, bg.b AS b, CAST(count(*) AS BIGINT) AS c_ab " +
       "FROM bi0 GROUP BY 1, 2), " +
       "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w " +

@@ -505,7 +505,10 @@ object AnalyticsQueries {
       Some("WITH f AS (SELECT value AS v, " +
         "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia, " +
         "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ib " +
-        "FROM events WHERE event_type IN ('click', 'view')), " +
+        // value IS NOT NULL mirrors ksDistance's null exclusion — without
+        // it the two engines diverge the day a null value appears
+        "FROM events WHERE event_type IN ('click', 'view') " +
+        "AND value IS NOT NULL), " +
         "byv AS (SELECT v, CAST(sum(ia) AS BIGINT) AS ca, " +
         "CAST(sum(ib) AS BIGINT) AS cb FROM f GROUP BY v), " +
         "cum AS (SELECT " +

@@ -85,11 +85,14 @@ object DedupQueries {
     // Levenshtein <= 30 on 48-char prefixes. TWO cost bounds make this
     // scale: (source, lang) composite blocking keys cap the candidate
     // set (the multi-attribute blocking norm in fuzzy dedup — a plain
-    // source bucket was 80x more pairs and 45 s at sf0.1), and Spark's
-    // 3-arg banded levenshtein runs O(len*threshold) per pair instead of
-    // the full O(len^2) DP, returning the EXACT distance when <= the
-    // threshold (and -1 above it) — so the cheap banded compute still
-    // hash-matches the oracle's full Wagner-Fischer.
+    // source bucket was 80x more pairs and 45 s at sf0.1), and the
+    // bounded prefix caps the per-pair DP. The 2-arg full Wagner-Fischer
+    // is deliberate: Spark's banded 3-arg form measured identical here
+    // (threshold 30 on 48 chars leaves the band nearly full-width) and
+    // its -1 over-threshold sentinel would sneak through a plain <=
+    // filter. The projection recomputes the distance only for SURVIVING
+    // pairs (the filtered fraction), which is cheaper than carrying it
+    // through the join for every candidate.
     Q("q_edit_verify",
       (s, d) => {
         val dd = docs(s, d)

@@ -270,7 +270,15 @@ object EventStreams {
     * boundaries). Keyed state is CONSTANT size per key — the last event
     * time plus at most `frameRows` gaps — so monitoring cadence over an
     * unbounded stream needs O(keys) memory, not O(history). Exact integer
-    * micros end to end, same as the batch operator. */
+    * micros end to end, same as the batch operator.
+    *
+    * ORDERING CONTRACT: events must arrive in non-decreasing (ts,
+    * event_id) order PER KEY across micro-batches (within a batch the
+    * operator sorts). A late event would emit a negative gap and poison
+    * the next frameRows frames — batch parity holds only under the
+    * contract. For sources that can deliver late data, resequence
+    * upstream (watermark + Temporal.rollingGaps over the settled table is
+    * the replay path). */
   def rollingCadence(events: Dataset[CadEv],
                      frameRows: Int = 4): Dataset[RollOut] = {
     import events.sparkSession.implicits._
