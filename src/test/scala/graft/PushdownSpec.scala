@@ -93,6 +93,25 @@ class PushdownSpec extends SparkSpec {
       s"lag + running-sum + group agg must reuse one user_id shuffle, got $exchanges:\n$plan")
   }
 
+  test("featureHash and jlProject are zero-Exchange scans with pruned schemas") {
+    val fh = graft.operators.TextOps
+      .featureHash(Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+    val fhPlan = fh.queryExecution.executedPlan.toString()
+    assert(!fhPlan.contains("Exchange"), s"featureHash must not shuffle:\n$fhPlan")
+    val fhSchema = fhPlan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(fhSchema.contains("doc_id") && fhSchema.contains("text"))
+    assert(!fhSchema.contains("source") && !fhSchema.contains("lang"),
+      "unused document columns must not be read")
+
+    val jl = graft.operators.Similarity
+      .jlProject(Tables.load(spark, sfDir, "embeddings"), outDims = 16, dims = 64)
+    val jlPlan = jl.queryExecution.executedPlan.toString()
+    assert(!jlPlan.contains("Exchange"), s"jlProject must not shuffle:\n$jlPlan")
+    val jlSchema = jlPlan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(jlSchema.contains("vec_id") && jlSchema.contains("embedding"))
+    assert(!jlSchema.contains("label"), "label must not be read")
+  }
+
   test("stripTopSort removes only the top-level global sort") {
     import org.apache.spark.sql.graftbridge.PlanBridge
     val sorted = Tables.load(spark, sfDir, "events").orderBy("event_id")
