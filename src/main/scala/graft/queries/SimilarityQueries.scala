@@ -247,13 +247,20 @@ object SimilarityQueries {
     // 16 deterministic integer hyperplanes — the same plane family the
     // LSH bands sign, as a narrow zero-shuffle scan-stage projection;
     // projected vectors are bit-identical strict folds on both engines.
+    // Declared form unrolls the projection to scalar columns p0..p15
+    // (driver comparator sorts rows; array cells are unsortable in its
+    // pandas frame); the array form stays the operator output and is
+    // spec-verified component-wise in SimilaritySpec.
     Q("q_jl_project",
       (s, d) => Similarity.jlProject(emb(s, d), outDims = 16, dims = Dims)
+        .select(col("vec_id") +:
+          (0 until 16).map(j =>
+            element_at(col("proj"), j + 1).as(s"p$j")): _*)
         .orderBy("vec_id"),
       Some {
         val comps = (0 until 16).map(j =>
-          s"round(${graft.functions.VectorFunctions.planeDotSql("embedding", j, Dims)}, 6)")
-        s"SELECT vec_id, ${comps.mkString("[", ", ", "]")} AS proj " +
+          s"round(${graft.functions.VectorFunctions.planeDotSql("embedding", j, Dims)}, 6) AS p$j")
+        s"SELECT vec_id, ${comps.mkString(", ")} " +
           "FROM embeddings ORDER BY vec_id"
       }),
 

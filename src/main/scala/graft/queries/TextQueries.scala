@@ -464,14 +464,24 @@ object TextQueries {
     // Hashing-trick features (fasttext-style classifier front-end): a
     // fixed 16-bucket token-count vector per doc, bucket = portable token
     // hash % 16. No vocabulary exists anywhere — narrow zero-shuffle
-    // scan-stage projection, output width a plan-time constant.
+    // scan-stage projection, output width a plan-time constant. The
+    // declared form unrolls the bucket vector to scalar columns f0..f15
+    // (the driver comparator sorts rows, and array cells are unsortable
+    // in its pandas frame); the array form stays available as the
+    // operator output and hash-verifies in TextOpsSpec.
     Q("q_feature_hash",
       (s, d) => graft.operators.TextOps
         .featureHash(docs(s, d), "doc_id", "text", nBuckets = 16)
+        .select(col("doc_id") +:
+          (0 until 16).map(b =>
+            element_at(col("features"), b + 1).as(s"f$b")): _*)
         .orderBy("doc_id"),
-      Some("SELECT doc_id, " +
-        graft.operators.TextOps.featureHashSql("text", 16) + " AS features " +
-        "FROM documents ORDER BY doc_id")),
+      Some {
+        val cols = (0 until 16).map(b => s"features[${b + 1}] AS f$b")
+        "SELECT doc_id, " + cols.mkString(", ") + " FROM (SELECT doc_id, " +
+          graft.operators.TextOps.featureHashSql("text", 16) + " AS features " +
+          "FROM documents) ORDER BY doc_id"
+      }),
 
     // PMI-style collocation mining: top-20 adjacent pairs by lift with a
     // min pair count — phrase-detection / tokenizer-merge candidates.
