@@ -62,10 +62,16 @@ object TextFunctions {
     * collocations and the bigram LM on BOTH engines, so the operators and
     * their oracles cannot desynchronize. The Spark form expects the token
     * array aliased as `_t`; both emit structs {a, b} for positions
-    * (i, i+1), empty for single-token docs. */
+    * (i, i+1), empty for sub-2-token docs. The size guard is INSIDE the
+    * expression: Spark's `sequence(1, size - 1)` is DESCENDING [1, 0]
+    * when size = 1 and element_at(_t, 0) throws, so without the guard the
+    * contract held only for callers that pre-filtered size >= 2 (the
+    * DuckDB form's `range` is genuinely empty there). */
   val adjacentPairsExpr: String =
-    "transform(sequence(1, size(_t) - 1), " +
-      "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1)))"
+    "CASE WHEN size(_t) < 2 THEN " +
+      "array() " +
+      "ELSE transform(sequence(1, size(_t) - 1), " +
+      "i -> named_struct('a', element_at(_t, i), 'b', element_at(_t, i + 1))) END"
 
   def adjacentPairsSql(t: String): String =
     s"list_transform(range(1, len($t)), " +

@@ -44,10 +44,18 @@ object SkylineOps {
     require(Seq(LongType, IntegerType, ShortType, ByteType).contains(t),
       s"skyline2D needs an integral max column; '$maxCol' is $t " +
         "(scale fractional values to integers first, e.g. cents)")
+    // Null-key rows are EXCLUDED from the skyline, on both sides of the
+    // operator: the final equality semi-join can never re-attach them
+    // (null === null is not true), and without this filter a null _price
+    // group would sort FIRST in the range partition, inject its _msize
+    // into the running/prefix max, and falsely dominate real rows — rows
+    // a NOT-EXISTS formulation (where null comparisons are not-true and
+    // dominate nothing) would keep.
+    val nn = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
     // materialized once: the local-runmax and partition-maxima branches
     // both read this frame, and without the checkpoint Spark re-derives
     // the groupBy subtree (a second fact scan + shuffle) per consumer
-    val ranged = df.groupBy(col(minCol).as("_price"))
+    val ranged = nn.groupBy(col(minCol).as("_price"))
       .agg(max(col(maxCol).cast("long")).as("_msize"))
       .repartitionByRange(numPartitions, col("_price"))
       .withColumn("_pid", spark_partition_id())

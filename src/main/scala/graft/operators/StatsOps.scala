@@ -60,10 +60,16 @@ object StatsOps {
     * bit-identical across engines. */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // Null categories are EXCLUDED — from n too. Without this filter a
+    // null-x/y cell never matches the marginal equi-joins (null keys
+    // don't join) yet its count still lands in n, so the statistic would
+    // be computed over an incomplete, mis-normalized distribution — and
+    // both engines would agree, so the hash gate could never catch it.
     // the contingency frame feeds four consumers (cells, both marginals,
     // the total); materialized once so the fact table is scanned once,
     // not re-aggregated per consumer
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("c_xy"))
       .localCheckpoint()
     val xm = cells.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))
@@ -100,7 +106,9 @@ object StatsOps {
     * ordered cumsum, so the statistic is bit-identical across engines. */
   def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+    // null categories excluded, n included — same rationale as mutualInfo
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).as("c_xy"))
       .localCheckpoint()
     val xm = cells.groupBy(col("x")).agg(sum(col("c_xy")).as("c_x"))

@@ -513,7 +513,8 @@ object TextQueries {
       (s, d) => graft.operators.StatsOps
         .mutualInfo(docs(s, d), "lang", "source"),
       Some("WITH cells AS (SELECT lang AS x, source AS y, " +
-        "CAST(count(*) AS BIGINT) AS c_xy FROM documents GROUP BY 1, 2), " +
+        "CAST(count(*) AS BIGINT) AS c_xy FROM documents " +
+        "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), " +
         "xm AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY x), " +
         "ym AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY y), " +
         "nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells), " +
@@ -541,7 +542,8 @@ object TextQueries {
         val e = "((CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)) / CAST(n AS DOUBLE))"
         val dterm = s"(CAST(o AS DOUBLE) - $e)"
         "WITH cells AS (SELECT lang AS x, source AS y, " +
-          "CAST(count(*) AS BIGINT) AS c_xy FROM documents GROUP BY 1, 2), " +
+          "CAST(count(*) AS BIGINT) AS c_xy FROM documents " +
+          "WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2), " +
           "xm AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cells GROUP BY x), " +
           "ym AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cells GROUP BY y), " +
           "nn AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cells), " +

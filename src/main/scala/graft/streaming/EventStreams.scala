@@ -239,7 +239,14 @@ object EventStreams {
     * StatsOps.ksDistance plan the batch query runs (the parity spec
     * holds them equal), so there is exactly one definition of drift in
     * the engine. State is the reference frame only — nothing accumulates
-    * across batches. */
+    * across batches.
+    *
+    * The sink is IDEMPOTENT per batch: foreachBatch is at-least-once (a
+    * crash between the write and the checkpoint commit replays the
+    * batch), so a plain append would duplicate that batch's row on
+    * restart. The time series is partitioned by batch_id and each batch
+    * dynamically overwrites ONLY its own partition — replays converge to
+    * exactly one row per batch_id. */
   def driftMonitor(stream: DataFrame, reference: DataFrame, valueCol: String,
                    outDir: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -247,14 +254,27 @@ object EventStreams {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val tagged = batch.select(col(valueCol).as("v"), lit("cur").as("_g"))
-          .unionByName(ref)
-        graft.operators.StatsOps.ksDistance(tagged, "v", "_g", "cur", "ref")
-          .withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outDir)
-        ()
+        writeDriftBatch(batch, ref, valueCol, id, outDir)
       }
       .start()
+  }
+
+  /** One drift-monitor micro-batch: KS distance vs the tagged reference,
+    * landed as the batch_id partition via dynamic partition overwrite
+    * (so re-running a batch id replaces, never duplicates). Factored out
+    * of the foreachBatch closure so the replay idempotence is spec-
+    * testable without a crash harness. */
+  private[graft] def writeDriftBatch(batch: Dataset[org.apache.spark.sql.Row],
+                                         taggedRef: DataFrame, valueCol: String,
+                                         id: Long, outDir: String): Unit = {
+    val tagged = batch.select(col(valueCol).as("v"), lit("cur").as("_g"))
+      .unionByName(taggedRef)
+    graft.operators.StatsOps.ksDistance(tagged, "v", "_g", "cur", "ref")
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
   }
 
   final case class CadEv(user_id: Long, event_id: Long, ts: Timestamp)

@@ -98,6 +98,23 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("skyline2D: null-key rows are excluded and never dominate real rows") {
+    // the null-price row carries the GLOBAL max size: unfiltered it would
+    // sort first in the range partition, poison the prefix max, and
+    // falsely dominate every real row
+    val data: Seq[(Long, java.lang.Double, java.lang.Long)] = Seq(
+      (1L, 1.0, 5L), (2L, 2.0, 7L), (3L, 3.0, 6L),
+      (4L, null, 999L), (5L, 2.5, null))
+    val df = data.toDF("id", "price", "size")
+    Seq(1, 3).foreach { np =>
+      val got = SkylineOps.skyline2D(df, "price", "size", np)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // quadratic model over the non-null rows: (1.0,5) and (2.0,7)
+      // are undominated; (3.0,6) is dominated by (2.0,7)
+      assert(got === Set(1L, 2L), s"numPartitions=$np")
+    }
+  }
+
   test("profile: one-scan column report matches hand counts, nulls and all") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
@@ -168,6 +185,26 @@ class StatsOpsSpec extends SparkSpec {
     val uniform = (for (x <- 'a' to 'b'; y <- 1 to 3; _ <- 1 to 4)
       yield (x.toString, y)).toDF("x", "y")
     assert(StatsOps.chiSquare(uniform, "x", "y").head.getDouble(3) === 0.0)
+  }
+
+  test("mutualInfo/chiSquare exclude null categories from the cells AND from n") {
+    // without the input filter, null-key cells miss the marginal joins
+    // but still inflate n — a mis-normalized statistic both engines
+    // would agree on, invisible to the hash gate
+    val withNulls: Seq[(Option[String], Option[String])] = Seq(
+      Some("en") -> Some("web"), Some("en") -> Some("web"),
+      Some("de") -> Some("web"), Some("en") -> Some("book"),
+      None -> Some("web"), Some("de") -> None, None -> None)
+    val df = withNulls.map { case (x, y) => (x.orNull, y.orNull) }.toDF("x", "y")
+    val clean = withNulls.collect { case (Some(x), Some(y)) => (x, y) }.toDF("x", "y")
+    val gotMi = StatsOps.mutualInfo(df, "x", "y").head
+    val expMi = StatsOps.mutualInfo(clean, "x", "y").head
+    assert(gotMi.getLong(0) === 4L, "n must count only non-null cells")
+    assert(gotMi.toSeq === expMi.toSeq)
+    val gotChi = StatsOps.chiSquare(df, "x", "y").head
+    val expChi = StatsOps.chiSquare(clean, "x", "y").head
+    assert(gotChi.getLong(0) === 4L)
+    assert(gotChi.toSeq === expChi.toSeq)
   }
 
   test("skyline2D on part: every survivor undominated, every non-survivor dominated") {

@@ -457,7 +457,12 @@ class StreamingSpec extends SparkSpec {
     try {
       input.addData(b1); q.processAllAvailable()
       input.addData(b2); q.processAllAvailable()
-      val got = spark.read.parquet(outDir).collect()
+      // batch_id is the sink's PARTITION column: read-back partition
+      // inference types it int, so normalize to long before asserting
+      val got = spark.read.parquet(outDir)
+        .select(col("na"), col("nb"), col("d_num"), col("ks_stat"),
+          col("batch_id").cast("long"))
+        .collect()
         .map(r => r.getLong(4) ->
           ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))))
         .toMap
@@ -472,5 +477,23 @@ class StreamingSpec extends SparkSpec {
           s"batch $id")
       }
     } finally q.stop()
+  }
+
+  test("drift monitor batch write is idempotent under at-least-once replay") {
+    import spark.implicits._
+    val reference = Seq(1.0, 2.0, 3.0).toDF("v")
+      .select(col("v"), lit("ref").as("_g"))
+    val base = java.nio.file.Files.createTempDirectory("graft_drift_replay")
+    val outDir = s"$base/out"
+    val batch = Seq(10.0, 20.0).toDF("value")
+    // foreachBatch is at-least-once: simulate a post-write crash replay by
+    // landing the SAME batch id twice (and a second id once)
+    EventStreams.writeDriftBatch(batch, reference, "value", 7L, outDir)
+    EventStreams.writeDriftBatch(batch, reference, "value", 7L, outDir)
+    EventStreams.writeDriftBatch(Seq(30.0).toDF("value"), reference, "value", 8L, outDir)
+    val rows = spark.read.parquet(outDir)
+      .select(col("batch_id").cast("long")).collect().map(_.getLong(0))
+    assert(rows.sorted.toSeq === Seq(7L, 8L),
+      "replayed batch id must overwrite its own partition, not append")
   }
 }

@@ -381,6 +381,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("adjacentPairsExpr is safe for empty and single-token docs (guard inside the expr)") {
+    import spark.implicits._
+    // Spark's sequence(1, size - 1) is DESCENDING [1, 0] at size = 1 and
+    // element_at(_t, 0) throws — the guard must live IN the expression,
+    // not in callers' pre-filters
+    val df = Seq(Seq.empty[String], Seq("one"), Seq("two", "tokens"),
+        Seq("now", "three", "tokens")).toDF("_t")
+      .select(org.apache.spark.sql.functions.col("_t"),
+        org.apache.spark.sql.functions.expr(
+          graft.functions.TextFunctions.adjacentPairsExpr).as("pairs"))
+    val got = df.collect()
+      .map(r => r.getSeq[String](0).size -> r.getSeq[org.apache.spark.sql.Row](1).map(
+        p => (p.getString(0), p.getString(1))))
+      .toMap
+    assert(got(0) === Seq())
+    assert(got(1) === Seq())
+    assert(got(2) === Seq(("two", "tokens")))
+    assert(got(3) === Seq(("now", "three"), ("three", "tokens")))
+  }
+
   test("collocations ranks by exact lift with deterministic tie-breaks") {
     import spark.implicits._
     val texts = Seq((0L, "a b a b c d"), (1L, "a b x y"), (2L, "b c a b z"))
