@@ -34,7 +34,16 @@ object Dedup {
     *   buckets: each (band, key) bucket is truncated to its `maxBucket`
     *   lowest ids before pairing, bounding any bucket's join contribution
     *   to maxBucket^2 regardless of skew. None (default) = exact LSH
-    *   semantics (what the DuckDB oracle mirrors). */
+    *   semantics. THE CAP IS THE 100 TB PROFILE (and how q_minhash_pairs
+    *   is declared, oracle mirroring the cap): real corpora have
+    *   boilerplate buckets holding large corpus fractions (77% of docs
+    *   share one bucket per band in the synthetic corpus), and an uncapped
+    *   hot bucket is |bucket|² pairs in a single task. Recall is lost ONLY
+    *   inside over-cap buckets — cap >= every bucket size is bit-identical
+    *   to exact LSH (spec-proven), and truncated members stay pairable
+    *   through their other bands. When the goal is grouping rather than
+    *   pairwise scoring, use [[lshStarEdges]] + connectedComponents:
+    *   exact semantics, linear in bucket size, no cap needed. */
   /** Shared (id, keys, band, bkey) banding frame: token codes materialize
     * in their own projection so the O(chars) fold runs once per doc, not
     * once per signature component. Single source of the signature/banding

@@ -36,13 +36,30 @@ object DedupQueries {
       Some("SELECT min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY text ORDER BY keep_id")),
 
-    // MinHash + banded LSH candidate pairs (16 components, 4 bands of 4).
+    // MinHash + banded LSH candidate pairs (16 components, 4 bands of 4),
+    // declared in the SKEW-CAPPED 100 TB profile (maxBucket = 64): the
+    // synthetic corpus has a boilerplate bucket holding ~77% of all docs
+    // per band (3847 docs at sf0.1 — uncapped, that one bucket alone is
+    // ~30 M pairs in one task, the classic hot-key scale killer), and a
+    // real 100 TB web corpus is worse. The cap bounds every bucket's join
+    // contribution to cap² at a recall cost ONLY inside over-cap buckets
+    // (DedupSpec proves cap >= bucket size ⟹ bit-identical to exact
+    // LSH); members truncated out of a hot bucket remain pairable through
+    // their other bands. For CLUSTERING the hot bucket, q_dedup_clusters'
+    // star-contracted edges keep exact semantics at linear cost — the
+    // pair form is for bounded pairwise verification. The oracle mirrors
+    // the cap: same lowest-64-ids-per-bucket membership, same pairs.
     Q("q_minhash_pairs",
-      (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text", k = 16, bands = 4)
+      (s, d) => Dedup.minhashCandidates(docs(s, d), "doc_id", "text",
+          k = 16, bands = 4, maxBucket = Some(64))
         .orderBy("a", "b"),
-      Some(s"WITH bands AS (${mhBandsSql(16, 4)}) " +
-        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x " +
-        "JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id " +
+      Some(s"WITH bands AS (${mhBandsSql(16, 4)}), " +
+        "capped AS (SELECT doc_id, band, bkey FROM " +
+        "(SELECT doc_id, band, bkey, row_number() OVER " +
+        "(PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM bands) " +
+        "WHERE rn <= 64) " +
+        "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+        "JOIN capped y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id " +
         "ORDER BY a, b")),
 
     // SimHash 16-bit buckets with keep-min-id representative.

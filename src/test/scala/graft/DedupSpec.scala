@@ -46,6 +46,20 @@ class DedupSpec extends SparkSpec {
     cands.foreach { case (a, b) => assert(a < b) }
   }
 
+  test("minhash bucket cap >= every bucket size is bit-identical to exact LSH") {
+    // the semantically-free regime: when no bucket exceeds the cap, the
+    // truncation window passes everything through and the capped variant
+    // must equal uncapped EXACTLY (this is why declaring q_minhash_pairs
+    // capped costs nothing until a bucket is genuinely hot)
+    val sub = docs.limit(100)
+    val uncapped = Dedup.minhashCandidates(sub, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidates(sub, "doc_id", "text",
+        maxBucket = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === uncapped)
+  }
+
   test("minhash bucket cap bounds bucket contribution and stays a subset") {
     val uncapped = Dedup.minhashCandidates(docs.limit(100), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
