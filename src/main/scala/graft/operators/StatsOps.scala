@@ -167,6 +167,40 @@ object StatsOps {
       .orderBy("col_name")
   }
 
+  /** Approximate one-scan column profiler — the 100 TB INGEST-GATE
+    * DEFAULT ([[profile]] stays as the exact audit form). Same report
+    * shape (per column: non-null count, distinct count, stringified
+    * min/max, plus the row count) but the distinct counts are
+    * HyperLogLog++ estimates (`approx_count_distinct`, relative std dev
+    * `rsd`), which changes the PLAN CLASS: the exact multi-distinct
+    * plans one Expand that shuffles rows × (columns + 1) — the wrong
+    * default for a wide 100 TB table — while every HLL sketch is an
+    * ordinary mergeable aggregate, so this whole profile is a plain
+    * partial/final single-pass aggregate: zero Expand, shuffle = one
+    * sketch row per partition, cost independent of distinct cardinality.
+    * The declared q_profile_approx hash-verifies every exact column of
+    * this report and pins the estimate with a 5%-bound flag (the
+    * q_hll_distinct pattern). */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val cols = df.columns
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"_nn_$i"),
+      approx_count_distinct(col(c), rsd).as(s"_nd_$i"),
+      min(col(c)).cast("string").as(s"_mn_$i"),
+      max(col(c)).cast("string").as(s"_mx_$i")) }
+    val stacked = cols.zipWithIndex
+      .map { case (c, i) =>
+        val lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$lit', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
+      .mkString(", ")
+    df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+      .select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stacked)")
+          .as(Seq("col_name", "n_non_null", "n_distinct_approx",
+            "min_str", "max_str")))
+      .orderBy("col_name")
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
     * distributions of two groups — the drift monitor between feeds /
     * training-mix sources. D = max over values of |F_A(v) − F_B(v)|, kept

@@ -602,6 +602,42 @@ object AnalyticsQueries {
             s"CAST(max($c) AS VARCHAR) AS max_str FROM events"
         Seq("event_id", "ts", "user_id", "event_type", "value", "props")
           .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
+      }),
+
+    // Approximate profiler — the 100 TB INGEST-GATE DEFAULT (q_profile is
+    // the exact audit form): HLL distinct estimates make the aggregate a
+    // plain single-pass partial/final (zero Expand; the exact
+    // multi-distinct shuffles rows × (columns+1)). HLL estimates can't
+    // hash-compare, so the q_hll_distinct pattern applies: the declared
+    // row carries the exact-profile columns (hash-verified against the
+    // oracle's independent recompute) plus a 5%-bound flag computed from
+    // the Spark sketch; the oracle pins the flag at literal TRUE — if the
+    // estimate ever drifts past 5% the driver's hash goes red. The
+    // exact-vs-approx join is 6 rows — broadcast, costless; at 100 TB a
+    // user runs profileApprox ALONE.
+    Q("q_profile_approx",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val exact = graft.operators.StatsOps.profile(ev)
+        val approx = graft.operators.StatsOps.profileApprox(ev, rsd = 0.05)
+          .select(col("col_name"), col("n_distinct_approx"))
+        exact.join(broadcast(approx), "col_name")
+          .select(col("n_rows"), col("col_name"), col("n_non_null"),
+            col("n_distinct"), col("min_str"), col("max_str"),
+            (abs(col("n_distinct_approx") - col("n_distinct")) <=
+              col("n_distinct") * lit(0.05)).as("approx_within_5pct"))
+          .orderBy("col_name")
+      },
+      Some {
+        val branch = (c: String) =>
+          "SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+            s"'$c' AS col_name, CAST(count($c) AS BIGINT) AS n_non_null, " +
+            s"CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct, " +
+            s"CAST(min($c) AS VARCHAR) AS min_str, " +
+            s"CAST(max($c) AS VARCHAR) AS max_str, " +
+            "TRUE AS approx_within_5pct FROM events"
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+          .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
       })
   )
 }

@@ -137,6 +137,32 @@ class StatsOpsSpec extends SparkSpec {
     assert(scans === 1, "profile must read its input exactly once")
   }
 
+  test("profileApprox: no Expand in the plan, exact companions equal profile, HLL within bound") {
+    val events = Tables.load(spark, sfDir, "events")
+    val approx = StatsOps.profileApprox(events, rsd = 0.05)
+    // the scale claim: exact multi-distinct profiles via one Expand
+    // (rows × columns+1 shuffled); the HLL profile must be a plain
+    // partial/final aggregate — zero Expand, one scan
+    val plan = approx.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Expand"), s"profileApprox must not Expand:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) === 1)
+    val exact = StatsOps.profile(events).collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    val got = approx.collect()
+      .map(r => r.getString(1) -> ((r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got.keySet === exact.keySet)
+    got.foreach { case (c, (nRows, nn, ndApprox, mn, mx)) =>
+      val (eRows, enn, end, emn, emx) = exact(c)
+      assert((nRows, nn, mn, mx) === ((eRows, enn, emn, emx)), s"column $c")
+      // 3x the 5% rsd — generous enough to be flake-free, tight enough
+      // to catch a broken sketch
+      assert(math.abs(ndApprox - end) <= math.max(1L, (end * 0.15).toLong),
+        s"column $c: approx $ndApprox vs exact $end")
+    }
+  }
+
   test("mutualInfo matches the ordered-fold model; uniform independence is 0") {
     val docs = Tables.load(spark, sfDir, "documents")
     val rows = docs.select("lang", "source").collect()
