@@ -126,4 +126,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(!d.isNaN)
     assert(math.abs(d) < 64.0) // 64 components in [-1, 1]-ish
   }
+
+  test("ExplainAudit covers EVERY declared query (no drift from the registry)") {
+    // a hand-maintained audit list silently exempted a third of the
+    // board by round 6; the list is now derived, and this pin fails
+    // loudly if a manual list ever comes back
+    assert(ExplainAudit.audited.toSet === SparkEntry.queries.keySet)
+    assert(ExplainAudit.audited === ExplainAudit.audited.sorted,
+      "audit order must be deterministic for diffable PLANS artifacts")
+  }
 }
