@@ -13,6 +13,12 @@ import graft.sources.Manifest
   * Usage:
   *   ingest    --input DIR --output P [--product L2A] [--beams power]
   *             [--months lo,hi] [--quality 1] [--vars out=layer,...]
+  *   pipeline  --input DIR --output P [--product L2A] [--beams power]
+  *             [--months lo,hi] [--quality 1] [--vars out=layer,...]
+  *             [--x longitude --y latitude]
+  *             (--bbox x0,x1,y0,y1 | --aoi file.geojson -> per-AOI dirs)
+  *             one-shot gedixr-`extract` parity: ingest -> quality ->
+  *             subset -> write in one fused plan
   *   extract   --input P --output P [--beam-col c --beams a,b]
   *             [--ts-col c --months lo,hi] [--vars out=src,...]
   *   subset    --input P --output P --x c --y c
@@ -53,7 +59,7 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: <ingest|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
+      "usage: <ingest|pipeline|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
         "compact|semdedup|outliers|skyline|collocations|profile> --opt v ...")
     val cmd = args.head
@@ -153,6 +159,46 @@ object Cli {
         write(landed)
         if (errs.value > 0)
           System.err.println(s"[graft ingest] ${errs.value} granule errors — " +
+            "see preceding log lines")
+
+      case "pipeline" =>
+        // one-shot reference-parity extraction (gedixr `extract`
+        // composes discovery -> month filter -> beams -> variables ->
+        // quality -> subset -> per-AOI write in one command, cli.py:
+        // 17-156): the same stages graft exposes individually, fused.
+        // Composition beats the staged commands at scale: the subset
+        // predicate and the ingest projections run in the SAME scan
+        // stage (no parquet round-trip between stages), so granule
+        // bytes are read exactly once.
+        val months = opts.get("months").map { m =>
+          val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
+        }
+        val vars = opts.get("vars").map(_.split(",").toSeq.map { kv =>
+          val Array(o, s) = kv.split("="); (o, s)
+        })
+        val (landed, errs) = graft.sources.Ingest.ingest(
+          spark, opts("input"), opts.getOrElse("product", "L2A"),
+          opts.getOrElse("beams", "all"), vars,
+          new graft.sources.FixtureGranuleReader, months,
+          opts.get("quality").contains("1"))
+        val px = col(opts.getOrElse("x", "longitude"))
+        val py = col(opts.getOrElse("y", "latitude"))
+        opts.get("aoi") match {
+          case Some(geojson) =>
+            val aois = graft.sources.GeoIO.readAoiGeoJson(spark, geojson)
+            GeoOps.writePerAoi(
+              GeoOps.multiAoiPolygon(landed, px, py, aois), opts("output"))
+          case None =>
+            write(opts.get("bbox") match {
+              case Some(b) =>
+                val Array(x0, x1, y0, y1) = b.split(",").map(_.toDouble)
+                landed.filter(graft.functions.GeoFunctions.inBbox(
+                  px, py, (x0, x1, y0, y1)))
+              case None => landed
+            })
+        }
+        if (errs.value > 0)
+          System.err.println(s"[graft pipeline] ${errs.value} granule errors — " +
             "see preceding log lines")
 
       case "extract" =>

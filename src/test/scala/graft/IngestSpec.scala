@@ -126,6 +126,52 @@ class IngestSpec extends SparkSpec {
     assert(e.getMessage.contains("no L2A granule files"))
   }
 
+  test("cli pipeline equals the staged ingest -> subset commands (bbox and per-AOI)") {
+    val root = fixtureRoot()
+    val base = Files.createTempDirectory("graft_pipeline").toString
+    def rows(path: String, aoiTag: Boolean = false) = {
+      val df = spark.read.parquet(path)
+      df.select(df.columns.sorted.map(col): _*).collect()
+        .map(_.toSeq).toSet
+    }
+    // staged: ingest (power beams, quality, june) -> subset (bbox)
+    Cli.run(spark, "ingest", Map(
+      "input" -> root, "output" -> s"$base/staged_shots",
+      "product" -> "L2A", "beams" -> "power", "quality" -> "1",
+      "months" -> "5,7"))
+    Cli.run(spark, "subset", Map(
+      "input" -> s"$base/staged_shots", "output" -> s"$base/staged_sub",
+      "x" -> "longitude", "y" -> "latitude", "bbox" -> "20.5,30.0,10.5,30.0"))
+    // composed: the same stages in one command, one fused plan
+    Cli.run(spark, "pipeline", Map(
+      "input" -> root, "output" -> s"$base/one_shot",
+      "product" -> "L2A", "beams" -> "power", "quality" -> "1",
+      "months" -> "5,7", "bbox" -> "20.5,30.0,10.5,30.0",
+      "log" -> s"$base/run.log"))
+    assert(rows(s"$base/one_shot") === rows(s"$base/staged_sub"))
+    assert(rows(s"$base/one_shot").nonEmpty)
+    // --log wrote the run record for the composed command
+    val logged = Files.readString(java.nio.file.Paths.get(s"$base/run.log"))
+    assert(logged.contains("\"command\": \"pipeline\"") ||
+      logged.contains("\"command\":\"pipeline\""))
+    // per-AOI fan-out parity: staged subset --aoi vs pipeline --aoi
+    val geojson =
+      """{"type":"FeatureCollection","features":[
+        |{"type":"Feature","properties":{},
+        | "geometry":{"type":"Polygon","coordinates":[[[20.0,10.0],[23.0,10.0],[23.0,30.0],[20.0,30.0],[20.0,10.0]]]}}
+        |]}""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(base, "zone.geojson"), geojson)
+    Cli.run(spark, "subset", Map(
+      "input" -> s"$base/staged_shots", "output" -> s"$base/staged_aoi",
+      "x" -> "longitude", "y" -> "latitude", "aoi" -> s"$base/zone.geojson"))
+    Cli.run(spark, "pipeline", Map(
+      "input" -> root, "output" -> s"$base/one_shot_aoi",
+      "product" -> "L2A", "beams" -> "power", "quality" -> "1",
+      "months" -> "5,7", "aoi" -> s"$base/zone.geojson"))
+    assert(rows(s"$base/one_shot_aoi") === rows(s"$base/staged_aoi"))
+    assert(rows(s"$base/one_shot_aoi").nonEmpty)
+  }
+
   test("cli ingest writes shots parquet from a granule directory") {
     val root = fixtureRoot()
     val out = Files.createTempDirectory("graft_ingest_out").toString + "/shots"
