@@ -55,6 +55,47 @@ object Sampling {
       salt = h, salts = salts)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (the
+    * Efraimidis–Spirakis exponential-sort reservoir, Inf. Process. Lett.
+    * 2006): per group, keep the `k` rows minimizing
+    * `es_key = -ln(u) / w` — equivalent to drawing without replacement
+    * with inclusion probability proportional to weight. This is the
+    * token-budget mixing primitive: weight = token/char count samples
+    * documents proportional to their mass, so the kept set approximates
+    * a token-budget draw rather than a doc-count draw.
+    *
+    * No RNG: u derives from the portable polynomial hash of the row id
+    * (u = (charHash("ws:"+id)+1)/(P+1) ∈ (0,1]), so the sample is
+    * reproducible run-to-run and engine-to-engine — -ln and the divide
+    * are single IEEE ops on identical doubles, which is what lets the
+    * declared query hash-verify the sampled set AND its keys against
+    * DuckDB. Rows with weight <= 0 are excluded (they have no sampling
+    * mass; -ln(u)/0 would be inf/NaN).
+    *
+    * Scale shape: same salted two-stage TopK as [[perGroupCap]] — a hot
+    * group pre-reduces to salts×k rows before the per-group window, and
+    * the key computation itself is a narrow scan-stage projection. */
+  def weightedSample(df: DataFrame, idCol: String, groupCol: String,
+                     weightCol: String, k: Int, salts: Int = 32): DataFrame = {
+    val h = TextFunctions.charHash(
+      concat(lit("ws:"), col(idCol).cast("string")))
+    val u = (h.cast("double") + lit(1.0)) / lit((TextFunctions.P + 1).toDouble)
+    val key = negate(log(u)) / col(weightCol).cast("double")
+    TopK.perGroupTopK(
+      df.filter(col(weightCol) > 0).withColumn("es_key", key),
+      Seq(col(groupCol)),
+      order = Seq(col("es_key").asc, col(idCol).asc), k = k,
+      salt = h, salts = salts)
+  }
+
+  /** DuckDB side of [[weightedSample]]'s key: the identical hash → u →
+    * -ln(u)/w chain (single IEEE ops, same order). */
+  def weightedKeySql(idExpr: String, weightExpr: String): String = {
+    val h = TextFunctions.charHashSql(s"('ws:' || CAST($idExpr AS VARCHAR))")
+    val u = s"((CAST($h AS DOUBLE) + 1.0) / ${(TextFunctions.P + 1).toDouble})"
+    s"((-ln($u)) / CAST($weightExpr AS DOUBLE))"
+  }
+
   /** DuckDB side of `stratified`'s keep-predicate pieces: (bucketExpr,
     * rateExpr) over the same hash and CASE tree. */
   def stratifiedSql(idExpr: String, strataExpr: String,

@@ -328,6 +328,71 @@ object Similarity {
         round(col("adc_dist"), 6).as("adc_dist"))
   }
 
+  /** IVF + PQ-ADC composed top-k — the production ANN stack (the
+    * FAISS-style IVFPQ index, Jégou et al. 2011): the coarse quantizer
+    * prunes WHICH vectors a query reads (only members of its `nprobe`
+    * nearest of `nCentroids` cells are candidates), and PQ-ADC shrinks
+    * what each surviving read COSTS (m LUT probes over byte codes
+    * instead of dims floats). [[ivfTopK]] and [[pqAdcTopK]] each prove
+    * one half; this is the composition a billion-vector deployment
+    * actually runs — with [[writeIvfIndex]]'s cell-partitioned layout the
+    * probed cells are also the only parquet partitions scanned.
+    *
+    * Plan shape: candidate (qid, vec_id) pairs come from the broadcast
+    * cell join (bounded by probed-cell population, never corpus size);
+    * the ADC distance is then a pure projection — per-block LUTs ride
+    * the plan as a qid-keyed map literal (queries × m × nCodes doubles,
+    * KBs), so after the one cell-pruned code join nothing shuffles but
+    * the salted two-stage top-k. All arithmetic is the shared
+    * strict-fold double chain, so codes, LUT entries, tie-breaks — the
+    * approximation itself — hash-verify against the DuckDB oracle. */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nprobe: Int = 4,
+                m: Int = 4, nCodes: Int = 8,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = codebook(candidates, nCodes, idCol, vecCol)
+    val dims = cb.head._2.length
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
+    val sub = dims / m
+    val codes = pqEncodeWith(candidates, cb, m, idCol, vecCol)
+      .withColumnRenamed(idCol, "vec_id")
+    val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
+    val cells = asg.filter(col("rn") === 1).select(col("id"), col("cid").as("cell"))
+    val qids = queries.select(col(idCol).as("qid"))
+    val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"))
+    val candPairs = cells.join(broadcast(qcells), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("vec_id"))
+      .distinct()
+    val qs = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val adc = (0 until m).map { j =>
+      val lutMap: Map[Long, Seq[Double]] = qs.map { case (qid, qv) =>
+        qid -> cb.map { case (_, cwv) =>
+          subDot(qv, qv, j * sub, sub) -
+            2.0 * subDot(qv, cwv, j * sub, sub) +
+            subDot(cwv, cwv, j * sub, sub)
+        }.toSeq
+      }.toMap
+      element_at(element_at(typedlit(lutMap), col("qid")),
+        col(s"code_$j").cast("int") + 1)
+    }.reduceLeft(_ + _)
+    val scored = candPairs
+      .join(codes, "vec_id")
+      .withColumn("adc_dist", adc)
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("adc_dist").asc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
   /** SemDeDup-style semantic dedup (cf. Abbas et al. 2023, arXiv
     * 2303.09540): assign every vector to its nearest coarse-quantizer cell
     * (the same vec_id<nCentroids centroid convention and strict-fold

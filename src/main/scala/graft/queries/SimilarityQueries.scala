@@ -217,6 +217,53 @@ object SimilarityQueries {
           s"WHERE rank <= $K ORDER BY qid, rank"
       }),
 
+    // IVF + PQ-ADC composed ANN (the FAISS-style IVFPQ stack): the
+    // coarse quantizer prunes candidates to the query's 4 nearest of 16
+    // cells, then ADC scores ONLY those via per-query LUT probes over
+    // the PQ codes — reads pruned by IVF, read cost shrunk by PQ. Every
+    // stage (assignment, codes, LUT entries, tie-breaks) is the shared
+    // strict-fold arithmetic, so the full approximation hash-verifies.
+    Q("q_ann_ivf_pq",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.ivfPqTopK(e, e.filter(col("vec_id") < K), k = K,
+            nCentroids = 16, nprobe = 4, m = 4, nCodes = 8)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val sub = Dims / 4
+        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
+          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
+        val codes = (0 until 4).map { j =>
+          val se = s"array_slice(e.embedding, ${j * sub + 1}, ${(j + 1) * sub})"
+          val sc = s"array_slice(c.cvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          val d = s"(${dotSql(se, se)} - 2.0 * ${dotSql(se, sc)} + ${dotSql(sc, sc)})"
+          s"(SELECT c.cid FROM cb c ORDER BY $d, c.cid LIMIT 1) AS code_$j"
+        }
+        val ds = (0 until 4).map { j =>
+          val sq = s"array_slice(q.qvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          val sc = s"array_slice(c.cvec, ${j * sub + 1}, ${(j + 1) * sub})"
+          s"(SELECT (${dotSql(sq, sq)} - 2.0 * ${dotSql(sq, sc)} + ${dotSql(sc, sc)}) " +
+            s"FROM cb c WHERE c.cid = enc.code_$j)"
+        }
+        "WITH cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
+          "cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+          "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
+          s"qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 4 AND vec_id < $K), " +
+          "cand AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
+          "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
+          s"enc AS (SELECT e.vec_id, ${codes.mkString(", ")} FROM embeddings e), " +
+          s"q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < $K), " +
+          s"scored AS (SELECT cand.qid, cand.vec_id, (${ds.mkString(" + ")}) AS adc " +
+          "FROM cand JOIN enc ON cand.vec_id = enc.vec_id JOIN q ON cand.qid = q.qid), " +
+          "ranked AS (SELECT qid, vec_id, adc, row_number() OVER (" +
+          "PARTITION BY qid ORDER BY adc, vec_id) AS rank FROM scored) " +
+          s"SELECT qid, rank, vec_id, round(adc, 6) AS adc_dist FROM ranked " +
+          s"WHERE rank <= $K ORDER BY qid, rank"
+      }),
+
     // SemDeDup-style semantic dedup: nearest-centroid cells (vec_id<8
     // convention, strict-fold L2 assignment) partition the pair space —
     // the embedding analogue of an LSH bucket — then a vector is dropped

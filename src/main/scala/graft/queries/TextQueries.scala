@@ -180,6 +180,28 @@ object TextQueries {
           s"WHERE $bucket < $rate ORDER BY doc_id"
       }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential-sort reservoir): per language, the 10 docs minimizing
+    // -ln(u)/n_chars — inclusion probability proportional to character
+    // mass, i.e. a token-budget draw rather than a doc-count draw. u is
+    // the portable hash of the doc id, so the sampled SET and its keys
+    // hash-verify cross-engine (single IEEE ops, identical order).
+    Q("q_weighted_sample",
+      (s, d) => Sampling.weightedSample(docs(s, d), "doc_id", "lang",
+          "n_chars", k = 10)
+        .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"))
+        .orderBy("lang", "rn"),
+      Some {
+        val key = Sampling.weightedKeySql("doc_id", "n_chars")
+        s"WITH t AS (SELECT doc_id, lang, n_chars, $key AS es_key " +
+          "FROM documents WHERE n_chars > 0), " +
+          "r AS (SELECT lang, doc_id, n_chars, es_key, row_number() OVER (" +
+          "PARTITION BY lang ORDER BY es_key, doc_id) AS rn FROM t) " +
+          "SELECT lang, rn, doc_id, n_chars, round(es_key, 9) AS es_key " +
+          "FROM r WHERE rn <= 10 ORDER BY lang, rn"
+      }),
+
     // End-to-end pipeline composition — the flagship training-data flow as
     // ONE declarative plan: normalize -> exact-dedup on normalized text
     // (keep min-id representative) -> quality gate (>= 5 tokens) ->

@@ -197,6 +197,60 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK == composed Scala model (cell pruning + ADC scoring)") {
+    val (k, nCentroids, nprobe, m, nCodes) = (5, 16, 4, 4, 8)
+    val got = Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k,
+        nCentroids, nprobe, m, nCodes)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val dims = vecs.head._2.length
+    val sub = dims / m
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    def sq(a: Seq[Float], b: Seq[Float]): Double = {
+      val aa = fold(a.map(x => x.toDouble * x.toDouble))
+      val ab = fold(a.zip(b).map { case (x, y) => x.toDouble * y.toDouble })
+      val bb = fold(b.map(x => x.toDouble * x.toDouble))
+      aa - 2.0 * ab + bb
+    }
+    // coarse assignment: ranked centroid list per vector (dist, cid order)
+    val cents = (0L until nCentroids.toLong).map(c => c -> vecs(c))
+    def ranks(v: Seq[Float]): Seq[Long] =
+      cents.map { case (cid, cv) => (sq(v, cv), cid) }.sorted.map(_._2)
+    val cellOf = vecs.map { case (id, v) => id -> ranks(v).head }
+    // PQ codes + ADC LUT distance — same model as the pqAdcTopK test
+    val cb = (0L until nCodes.toLong).map(vecs)
+    def sdot(a: Seq[Float], b: Seq[Float], off: Int): Double =
+      (0 until sub).map(i => a(off + i).toDouble * b(off + i).toDouble)
+        .foldLeft(0.0)(_ + _)
+    def dist(a: Seq[Float], b: Seq[Float], off: Int): Double =
+      sdot(a, a, off) - 2.0 * sdot(a, b, off) + sdot(b, b, off)
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map(j => cb.indices.minBy(c => (dist(v, cb(c), j * sub), c)))
+    }
+    val model = (0L until 5L).flatMap { qid =>
+      val qv = vecs(qid)
+      val probed = ranks(qv).take(nprobe).toSet
+      vecs.keys.filter(id => id != qid && probed.contains(cellOf(id))).map { id =>
+        val adc = (0 until m).map(j => dist(qv, cb(codes(id)(j)), j * sub))
+          .reduceLeft(_ + _)
+        (id, adc)
+      }.toSeq.sortBy { case (id, adc) => (adc, id) }.take(k)
+        .zipWithIndex.map { case ((id, adc), i) => (qid, i + 1, id, adc) }
+    }
+    assert(got.length === model.length)
+    got.zip(model).foreach { case ((gq, gr, gi, gd), (mq, mr, mi, md)) =>
+      assert((gq, gr, gi) === ((mq, mr, mi)))
+      assert(math.abs(gd - md) < 1e-6)
+    }
+    // the IVF stage must actually prune: some brute candidate of some
+    // query sits outside its probed cells on this corpus
+    val pruned = (0L until 5L).exists { qid =>
+      val probed = ranks(vecs(qid)).take(nprobe).toSet
+      vecs.keys.exists(id => id != qid && !probed.contains(cellOf(id)))
+    }
+    assert(pruned, "corpus no longer exercises cell pruning")
+  }
+
   test("two-stage perGroupTopK equals the single-window plan") {
     val orders = Tables.load(spark, sfDir, "orders")
     val twoStage = TopK.perGroupTopK(orders,

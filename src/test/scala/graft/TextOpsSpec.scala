@@ -381,6 +381,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSample == Efraimidis-Spirakis Scala model; heavy docs overrepresented") {
+    val P = 1000000007L
+    def ch(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val rows = docs.select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val model = rows.filter(_._3 > 0).map { case (id, lang, w) =>
+      val u = (ch(s"ws:$id").toDouble + 1.0) / (P + 1).toDouble
+      (lang, id, w, -math.log(u) / w.toDouble)
+    }.groupBy(_._1).flatMap { case (lang, grp) =>
+      grp.sortBy { case (_, id, _, key) => (key, id) }.take(10)
+        .zipWithIndex.map { case ((_, id, w, key), i) => (lang, i + 1, id, w, key) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.operators.Sampling
+      .weightedSample(docs, "doc_id", "lang", "n_chars", k = 10)
+      .select("lang", "rn", "doc_id", "n_chars", "es_key")
+      .orderBy("lang", "rn").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.length === model.length)
+    got.zip(model).foreach { case ((gl, gr, gi, gw, gk), (ml, mr, mi, mw, mk)) =>
+      assert((gl, gr, gi, gw) === ((ml, mr, mi, mw)))
+      assert(math.abs(gk - mk) < 1e-12)
+    }
+    // inclusion probability ∝ weight: the sampled mean char mass must
+    // exceed the corpus mean (deterministic corpus — stable assert)
+    val sampledMean = got.map(_._4).sum.toDouble / got.length
+    val corpusMean = rows.map(_._3).sum.toDouble / rows.length
+    assert(sampledMean > corpusMean,
+      s"weighted sample should favor heavy docs: $sampledMean <= $corpusMean")
+  }
+
   test("adjacentPairsExpr is safe for empty and single-token docs (guard inside the expr)") {
     import spark.implicits._
     // Spark's sequence(1, size - 1) is DESCENDING [1, 0] at size = 1 and
