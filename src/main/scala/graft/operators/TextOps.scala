@@ -794,6 +794,79 @@ object TextOps {
       s"WHERE c_ab >= $minCount " +
       s"ORDER BY lift DESC, a, b LIMIT $k"
 
+  /** Zipf rank-frequency fit — the corpus-health diagnostic: least-
+    * squares slope of ln(freq) on ln(rank) over the top `topV` terms.
+    * Natural text sits near slope -1 (Zipf's law); a corpus of
+    * boilerplate, spam, or synthetic repetition bends the curve, so the
+    * slope (with r²) is a one-row drift gate for an ingest feed.
+    *
+    * Scale shape: the vocabulary count is one term-keyed map-side-
+    * combined shuffle; the top-V cut is a TakeOrdered (never a full
+    * sort); everything after is bounded by topV rows — the regression
+    * runs as an ordered cumulative fold over the ranked frame, so the
+    * slope double is bit-identical across engines (same single IEEE ops
+    * in the same order) and the declared query hash-verifies.
+    *
+    * Output: one row (n_terms, slope, intercept, r2). */
+  def zipfFit(df: DataFrame, textCol: String, topV: Int = 200): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cnt = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val top = cnt.orderBy(col("c").desc, col("term")).limit(topV)
+    val ranked = top.withColumn("rank",
+      row_number().over(W.orderBy(col("c").desc, col("term"))))
+    val xy = ranked.select(col("rank"),
+      log(col("rank").cast("double")).as("x"),
+      log(col("c").cast("double")).as("y"))
+    val ord = W.orderBy("rank")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val agg = xy
+      .withColumn("sx", sum(col("x")).over(cum))
+      .withColumn("sy", sum(col("y")).over(cum))
+      .withColumn("sxy", sum(col("x") * col("y")).over(cum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(cum))
+      .withColumn("syy", sum(col("y") * col("y")).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nc", count(lit(1)).over())
+      .filter(col("rn") === col("nc"))
+    val n = col("nc").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val deny = n * col("syy") - col("sy") * col("sy")
+    val slope = num / den
+    agg.select(col("nc").cast("long").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+      round((num * num) / (den * deny), 6).as("r2"))
+  }
+
+  /** DuckDB oracle for [[zipfFit]]: identical count → top-V → ranked
+    * cumulative-fold → closed-form regression expression tree. */
+  def zipfFitSql(topV: Int): String = {
+    val n = "CAST(nc AS DOUBLE)"
+    val num = s"($n * sxy - sx * sy)"
+    val den = s"($n * sxx - sx * sx)"
+    val deny = s"($n * syy - sy * sy)"
+    val slope = s"($num / $den)"
+    "WITH cnt AS (SELECT w AS term, CAST(count(*) AS BIGINT) AS c FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w), " +
+      s"top AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT $topV), " +
+      "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rank FROM top), " +
+      "xy AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS x, " +
+      "ln(CAST(c AS DOUBLE)) AS y FROM r), " +
+      "cum AS (SELECT sum(x) OVER w AS sx, sum(y) OVER w AS sy, " +
+      "sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx, " +
+      "sum(y * y) OVER w AS syy, " +
+      "row_number() OVER (ORDER BY rank) AS rn, count(*) OVER () AS nc FROM xy " +
+      "WINDOW w AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT CAST(nc AS BIGINT) AS n_terms, " +
+      s"round($slope, 6) AS slope, " +
+      s"round((sy - $slope * sx) / $n, 6) AS intercept, " +
+      s"round(($num * $num) / ($den * $deny), 6) AS r2 " +
+      "FROM cum WHERE rn = nc"
+  }
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

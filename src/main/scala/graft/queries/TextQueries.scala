@@ -180,6 +180,16 @@ object TextQueries {
           s"WHERE $bucket < $rate ORDER BY doc_id"
       }),
 
+    // Zipf rank-frequency fit over the top-200 vocabulary: least-squares
+    // slope of ln(freq) on ln(rank) (+ intercept, r2) — the one-row
+    // corpus-health gate (natural text ~ -1; boilerplate/synthetic
+    // repetition bends it). Count shuffle is term-keyed map-side
+    // combined; top-V is a TakeOrdered; the regression folds run as
+    // ordered cumsums over 200 rows, so the doubles hash-verify.
+    Q("q_zipf_fit",
+      (s, d) => TextOps.zipfFit(docs(s, d), "text", topV = 200),
+      Some(TextOps.zipfFitSql(topV = 200))),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis
     // exponential-sort reservoir): per language, the 10 docs minimizing
     // -ln(u)/n_chars — inclusion probability proportional to character

@@ -381,6 +381,36 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("zipfFit == ordered-fold least-squares Scala model; slope negative, r2 in (0,1]") {
+    val topV = 200
+    val counts = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" "))
+      .groupBy(identity).map { case (t, g) => (t, g.length.toLong) }.toSeq
+    val top = counts.sortBy { case (t, c) => (-c, t) }.take(topV)
+    val xy = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble))
+    }
+    // the exact ordered folds the engines run
+    def foldSum(f: ((Double, Double)) => Double) = xy.map(f).foldLeft(0.0)(_ + _)
+    val n = xy.size.toDouble
+    val (sx, sy) = (foldSum(_._1), foldSum(_._2))
+    val sxy = foldSum { case (x, y) => x * y }
+    val sxx = foldSum { case (x, _) => x * x }
+    val syy = foldSum { case (_, y) => y * y }
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    val deny = n * syy - sy * sy
+    val slope = num / den
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = TextOps.zipfFit(docs, "text", topV).head
+    assert(got.getLong(0) === xy.size.toLong)
+    assert(got.getDouble(1) === r6(slope))
+    assert(got.getDouble(2) === r6((sy - slope * sx) / n))
+    assert(got.getDouble(3) === r6((num * num) / (den * deny)))
+    assert(got.getDouble(1) < 0.0, "rank-frequency slope must be negative")
+    assert(got.getDouble(3) > 0.0 && got.getDouble(3) <= 1.0)
+  }
+
   test("weightedSample == Efraimidis-Spirakis Scala model; heavy docs overrepresented") {
     val P = 1000000007L
     def ch(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
