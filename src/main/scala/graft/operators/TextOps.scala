@@ -867,6 +867,60 @@ object TextOps {
       "FROM cum WHERE rn = nc"
   }
 
+  /** Exact substring-duplication fraction (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv 2107.06499 —
+    * re-expressed relationally): per document, the fraction of its
+    * distinct n-token shingles that also occur in at least one OTHER
+    * document. Near-1 fractions mark templated/mirrored pages that
+    * MinHash may miss (it thresholds whole-doc similarity; this catches
+    * partial containment, e.g. a long quoted span inside fresh text).
+    *
+    * Scale shape: the corpus explodes ONCE into (doc, gram-hash) pairs —
+    * per-doc grams are already distinct (sorted-distinct native kernel),
+    * so `count(*)` per gram IS the distinct-document frequency. The gram
+    * frequency frame is corpus-sized and deliberately NOT broadcast
+    * (same stance as the bigram vocabulary): the dup-gram probe is a
+    * gram-keyed shuffle join whose per-key degree is the number of docs
+    * sharing that shingle — bounded by the duplication being measured,
+    * never all-pairs. Zero-dup docs are recovered by a doc-keyed left
+    * join against the narrow per-doc gram-count frame. */
+  def substrDupFraction(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 13): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.ngramHashes(col(textCol), n)).as("g"))
+    val dup = grams.groupBy("g").agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= 2)
+    val perDoc = grams.join(dup, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+    df.select(col(idCol).as("doc_id"),
+        size(TextFunctions.ngramHashes(col(textCol), n)).cast("long")
+          .as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_grams").cast("double") /
+          greatest(col("n_grams"), lit(1L)), 6))
+  }
+
+  /** DuckDB oracle for [[substrDupFraction]] — the gram STRINGS stand in
+    * for the 64-bit gram hashes (identical up to ~2^-64 collisions, the
+    * q_decontaminate stance); same distinct/count/probe/left-join tree. */
+  def substrDupFractionSql(n: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    val grams = s"list_distinct(${TextFunctions.ngramsSql("t", n)})"
+    s"WITH tk AS (SELECT doc_id, $toks AS t FROM documents), " +
+      s"g AS (SELECT doc_id, unnest($grams) AS g FROM tk), " +
+      "f AS (SELECT g, count(*) AS n_docs_with FROM g GROUP BY g), " +
+      "d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup " +
+      "FROM g JOIN f USING (g) WHERE n_docs_with >= 2 GROUP BY doc_id), " +
+      s"base AS (SELECT doc_id, CAST(len($grams) AS BIGINT) AS n_grams FROM tk) " +
+      "SELECT base.doc_id, n_grams, " +
+      "CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_grams, " +
+      "round(CAST(coalesce(n_dup, 0) AS DOUBLE) / greatest(n_grams, 1), 6) " +
+      "AS dup_fraction FROM base LEFT JOIN d ON base.doc_id = d.doc_id " +
+      "ORDER BY base.doc_id"
+  }
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

@@ -190,6 +190,19 @@ object TextQueries {
       (s, d) => TextOps.zipfFit(docs(s, d), "text", topV = 200),
       Some(TextOps.zipfFitSql(topV = 200))),
 
+    // Exact substring-duplication fraction (Lee et al. 2107.06499):
+    // per doc, the share of its distinct 5-token shingles appearing in
+    // >= 1 other doc — catches partial containment MinHash's whole-doc
+    // threshold misses. One corpus explode; gram frequencies map-side
+    // combined; the corpus-sized dup-gram frame joins on the gram key
+    // (NOT broadcast — bigram-vocab stance); zero-dup docs recovered by
+    // a doc-keyed left join.
+    Q("q_substr_dedup",
+      (s, d) => TextOps.substrDupFraction(docs(s, d), "doc_id", "text",
+          n = 5)
+        .orderBy("doc_id"),
+      Some(TextOps.substrDupFractionSql(n = 5))),
+
     // Weighted sampling without replacement (Efraimidis-Spirakis
     // exponential-sort reservoir): per language, the 10 docs minimizing
     // -ln(u)/n_chars — inclusion probability proportional to character

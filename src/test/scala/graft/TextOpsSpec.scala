@@ -483,4 +483,28 @@ class TextOpsSpec extends SparkSpec {
       .take(5)
     assert(got.toSeq === exp)
   }
+
+  test("substrDupFraction == brute-force shared-shingle Scala model") {
+    val n = 5
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val perDoc = raw.map { case (id, t) =>
+      id -> t.split(" ", -1).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    }
+    val docsWith = perDoc.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2).distinct.size }
+    val model = perDoc.map { case (id, gs) =>
+      val nd = gs.count(g => docsWith(g) >= 2).toLong
+      (id, gs.size.toLong, nd,
+        r6(nd.toDouble / math.max(gs.size.toLong, 1L)))
+    }.sortBy(_._1)
+    val got = TextOps.substrDupFraction(docs, "doc_id", "text", n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === model)
+    assert(model.exists(_._3 > 0L),
+      "test corpus should contain at least one cross-doc duplicated shingle")
+  }
 }

@@ -36,6 +36,10 @@ def main(sfdir: str, outdir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # optional argv[3:]: restrict the compare to named queries (pairs with
+    # Verify's SPARK_GRAFT_VERIFY_ONLY subset dumps); full runs stay strict
+    if len(sys.argv) > 3:
+        oracle = {k: v for k, v in oracle.items() if k in set(sys.argv[3:])}
     n_bad = 0
     for name in sorted(oracle):
         try:
