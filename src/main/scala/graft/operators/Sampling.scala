@@ -96,6 +96,43 @@ object Sampling {
     s"((-ln($u)) / CAST($weightExpr AS DOUBLE))"
   }
 
+  /** Deterministic train/val/test split: every row lands in exactly one
+    * named band of `splits` (percent slices summing to 100) by its
+    * id-hash bucket — the membership a training run must be able to
+    * RECONSTRUCT later (contamination audits, eval refresh), which rules
+    * out RNG splits. The hash is salted with a fixed "sp:" tag so split
+    * membership is independent of [[stratified]]'s keep-decision buckets
+    * (same id hashed untagged) — otherwise "sampled at < 50%" would
+    * correlate with "lands in train". Narrow, zero-shuffle, scan-stage
+    * CASE over a plan-time band table: at 100 TB this is a free column. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      "split percentages must sum to 100")
+    val bucket = pmod(
+      TextFunctions.charHash(concat(lit("sp:"), col(idCol).cast("string"))),
+      lit(100L))
+    val edges = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assign = splits.zip(edges).init.foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), edge), fb) => when(bucket < edge, name).otherwise(fb)
+    }
+    df.withColumn("split_bucket", bucket).withColumn("split", assign)
+  }
+
+  /** DuckDB side of [[hashSplit]]: (bucketExpr, caseExpr) over the same
+    * tagged hash and cumulative band edges. */
+  def hashSplitSql(idExpr: String,
+                   splits: Seq[(String, Int)]): (String, String) = {
+    val bucket =
+      s"(${TextFunctions.charHashSql(s"('sp:' || CAST($idExpr AS VARCHAR))")} % 100)"
+    val edges = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val whens = splits.zip(edges).init
+      .map { case ((name, _), edge) => s"WHEN $bucket < $edge THEN '$name'" }
+      .mkString(" ")
+    (bucket, s"CASE $whens ELSE '${splits.last._1}' END")
+  }
+
   /** DuckDB side of `stratified`'s keep-predicate pieces: (bucketExpr,
     * rateExpr) over the same hash and CASE tree. */
   def stratifiedSql(idExpr: String, strataExpr: String,

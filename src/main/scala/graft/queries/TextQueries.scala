@@ -180,6 +180,22 @@ object TextQueries {
           s"WHERE $bucket < $rate ORDER BY doc_id"
       }),
 
+    // Deterministic train/val/test split: tagged-hash bucket → cumulative
+    // percent bands (90/5/5). Membership is reconstructable (no RNG) and
+    // independent of the sampling buckets (different hash tag). Narrow
+    // zero-shuffle scan-stage CASE — a free column at any scale.
+    Q("q_split_hash",
+      (s, d) => Sampling.hashSplit(docs(s, d), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select(col("doc_id"), col("split_bucket"), col("split"))
+        .orderBy("doc_id"),
+      Some {
+        val (bucket, cse) = Sampling.hashSplitSql("doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        s"SELECT doc_id, CAST($bucket AS BIGINT) AS split_bucket, " +
+          s"$cse AS split FROM documents ORDER BY doc_id"
+      }),
+
     // Zipf rank-frequency fit over the top-200 vocabulary: least-squares
     // slope of ln(freq) on ln(rank) (+ intercept, r2) — the one-row
     // corpus-health gate (natural text ~ -1; boilerplate/synthetic

@@ -484,6 +484,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === exp)
   }
 
+  test("hashSplit == tagged-hash band Scala model; all bands populated") {
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val got = graft.operators.Sampling.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split_bucket", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val model = got.map { case (id, _, _) =>
+      val b = hashScala(s"sp:$id") % 100
+      val name = if (b < 90) "train" else if (b < 95) "val" else "test"
+      (id, b, name)
+    }
+    assert(got.toSeq === model.toSeq)
+    assert(got.map(_._3).distinct.sorted.toSeq === Seq("test", "train", "val"),
+      "500-doc corpus should populate every band")
+    // bands partition: every row appears exactly once
+    assert(got.length === docs.count())
+  }
+
   test("substrDupFraction == brute-force shared-shingle Scala model") {
     val n = 5
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
