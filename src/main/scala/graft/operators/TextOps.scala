@@ -921,6 +921,104 @@ object TextOps {
       "ORDER BY base.doc_id"
   }
 
+  /** Per-group KL divergence from the corpus token distribution (the
+    * source-drift gate: which ingest feed's language has wandered from
+    * the mix?). Distributions are over the top-V corpus vocabulary plus
+    * ONE tail bucket ("other" mass), with additive smoothing `alpha` so
+    * zero cells stay finite: KL(P_g ‖ Q) = Σ p ln(p/q) over V+1 cells,
+    * p = (c_g + α)/(n_g + α(V+1)).
+    *
+    * Scale shape: the corpus explodes once; term counts are map-side
+    * combined; the top-V cut is a TakeOrdered (no full vocabulary sort);
+    * the per-group cell grid is |groups|·(V+1) — DOMAIN-bounded like the
+    * chi² marginal grid, never vocabulary- or corpus-sized (the entire
+    * tail collapses into the closed-form other-bucket mass). The KL sum
+    * runs as an ordered cumulative fold over rank within each group, so
+    * the doubles are bit-identical on every engine/partitioning. */
+  def klDrift(df: DataFrame, groupCol: String, textCol: String,
+              topV: Int = 200, alpha: Double = 0.5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("grp"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val top = cnt.orderBy(col("c").desc, col("term")).limit(topV)
+      .withColumn("rank",
+        row_number().over(W.orderBy(col("c").desc, col("term"))))
+    // 1-row corpus constants: top-vocab size, top mass, total mass
+    val consts = top.agg(count(lit(1)).as("vn"), sum(col("c")).as("topc"))
+      .crossJoin(cnt.agg(sum(col("c")).as("bign")))
+    val gCnt = toks.groupBy("grp", "term").agg(count(lit(1)).as("gc"))
+    val gTot = toks.groupBy("grp").agg(count(lit(1)).as("n_tokens"))
+    val grid = gTot.crossJoin(broadcast(top))
+      .join(gCnt, Seq("grp", "term"), "left")
+      .na.fill(0L, Seq("gc"))
+    val gTop = grid.groupBy("grp").agg(sum(col("gc")).as("gtopc"))
+    val other = gTot.join(gTop, "grp")
+      .crossJoin(broadcast(consts))
+      .select(col("grp"), col("n_tokens"),
+        (col("vn") + 1).cast("int").as("rank"),
+        (col("n_tokens") - col("gtopc")).as("gc"),
+        (col("bign") - col("topc")).as("c"))
+    val cells = grid.select(col("grp"), col("n_tokens"), col("rank"),
+        col("gc"), col("c"))
+      .unionByName(other)
+      .crossJoin(broadcast(consts.select(col("vn"), col("bign"))))
+    val vp1 = (col("vn") + 1).cast("double")
+    val p = (col("gc").cast("double") + lit(alpha)) /
+      (col("n_tokens").cast("double") + lit(alpha) * vp1)
+    val q = (col("c").cast("double") + lit(alpha)) /
+      (col("bign").cast("double") + lit(alpha) * vp1)
+    val ord = W.partitionBy("grp").orderBy("rank")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cells.withColumn("cell", p * log(p / q))
+      .withColumn("cum", sum(col("cell")).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nc", count(lit(1)).over(W.partitionBy("grp")))
+      .filter(col("rn") === col("nc"))
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        round(col("cum"), 6).as("kl_nats"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[klDrift]] — identical count → top-V → grid →
+    * other-bucket → smoothed ordered-fold tree. */
+  def klDriftSql(groupCol: String, topV: Int, alpha: Double): String = {
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH toks AS (SELECT $groupCol AS grp, unnest($toks) AS term FROM documents), " +
+      "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term), " +
+      s"top AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank " +
+      s"FROM (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT $topV)), " +
+      "consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM top) AS vn, " +
+      "(SELECT CAST(sum(c) AS BIGINT) FROM top) AS topc, " +
+      "(SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS bign), " +
+      "gcnt AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS gc " +
+      "FROM toks GROUP BY grp, term), " +
+      "gtot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_tokens " +
+      "FROM toks GROUP BY grp), " +
+      "grid AS (SELECT gtot.grp, gtot.n_tokens, top.rank, " +
+      "CAST(coalesce(gcnt.gc, 0) AS BIGINT) AS gc, top.c " +
+      "FROM gtot CROSS JOIN top LEFT JOIN gcnt " +
+      "ON gcnt.grp = gtot.grp AND gcnt.term = top.term), " +
+      "gtop AS (SELECT grp, CAST(sum(gc) AS BIGINT) AS gtopc FROM grid GROUP BY grp), " +
+      "other AS (SELECT gtot.grp, gtot.n_tokens, " +
+      "CAST(vn + 1 AS INTEGER) AS rank, gtot.n_tokens - gtop.gtopc AS gc, " +
+      "bign - topc AS c FROM gtot JOIN gtop ON gtot.grp = gtop.grp " +
+      "CROSS JOIN consts), " +
+      "cells AS (SELECT grp, n_tokens, rank, gc, c FROM grid " +
+      "UNION ALL BY NAME SELECT grp, n_tokens, rank, gc, c FROM other), " +
+      "sc AS (SELECT grp, n_tokens, rank, " +
+      s"((CAST(gc AS DOUBLE) + $alpha) / (CAST(n_tokens AS DOUBLE) + $alpha * CAST(vn + 1 AS DOUBLE))) AS p, " +
+      s"((CAST(c AS DOUBLE) + $alpha) / (CAST(bign AS DOUBLE) + $alpha * CAST(vn + 1 AS DOUBLE))) AS q " +
+      "FROM cells CROSS JOIN consts), " +
+      "cum AS (SELECT grp, n_tokens, " +
+      "sum(p * ln(p / q)) OVER (PARTITION BY grp ORDER BY rank " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY rank) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS nc FROM sc) " +
+      s"SELECT grp AS $groupCol, n_tokens, round(cum, 6) AS kl_nats " +
+      s"FROM cum WHERE rn = nc ORDER BY $groupCol"
+  }
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

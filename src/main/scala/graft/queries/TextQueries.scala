@@ -196,6 +196,16 @@ object TextQueries {
           s"$cse AS split FROM documents ORDER BY doc_id"
       }),
 
+    // Per-source KL divergence from the corpus token distribution over
+    // the top-200 vocabulary + ONE tail bucket (add-0.5 smoothing): the
+    // source-drift gate. Grid is |sources|·(V+1) — domain-bounded (chi²
+    // stance), tail mass closed-form; KL folds as per-group ordered
+    // cumsums so the doubles hash-verify.
+    Q("q_kl_drift",
+      (s, d) => TextOps.klDrift(docs(s, d), "source", "text",
+        topV = 200, alpha = 0.5),
+      Some(TextOps.klDriftSql("source", topV = 200, alpha = 0.5))),
+
     // Zipf rank-frequency fit over the top-200 vocabulary: least-squares
     // slope of ln(freq) on ln(rank) (+ intercept, r2) — the one-row
     // corpus-health gate (natural text ~ -1; boilerplate/synthetic

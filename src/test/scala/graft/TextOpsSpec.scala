@@ -501,6 +501,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got.length === docs.count())
   }
 
+  test("klDrift == smoothed top-V + tail-bucket Scala model; KL >= 0") {
+    val (topV, alpha) = (50, 0.5)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = docs.select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSeq
+    val allToks = rows.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val cnt = allToks.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val top = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(topV)
+    val vn = top.size
+    val topc = top.map(_._2).sum
+    val bign = cnt.values.sum
+    val gCnt = allToks.groupBy(identity).map { case ((s, t), g) => (s, t) -> g.size.toLong }
+    val gTot = allToks.groupBy(_._1).map { case (s, g) => s -> g.size.toLong }
+    val model = gTot.toSeq.sortBy(_._1).map { case (src, n) =>
+      val cells = top.map { case (t, c) => (gCnt.getOrElse((src, t), 0L), c) }
+      val gtopc = cells.map(_._1).sum
+      val all = cells :+ ((n - gtopc, bign - topc))
+      val vp1 = (vn + 1).toDouble
+      // ordered fold by rank — the exact engine reduction
+      val kl = all.foldLeft(0.0) { case (acc, (gc, c)) =>
+        val p = (gc.toDouble + alpha) / (n.toDouble + alpha * vp1)
+        val q = (c.toDouble + alpha) / (bign.toDouble + alpha * vp1)
+        acc + p * math.log(p / q)
+      }
+      (src, n, r6(kl))
+    }
+    val got = TextOps.klDrift(docs, "source", "text", topV, alpha)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === model)
+    assert(got.forall(_._3 >= 0.0), "smoothed KL must be non-negative")
+  }
+
   test("substrDupFraction == brute-force shared-shingle Scala model") {
     val n = 5
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
