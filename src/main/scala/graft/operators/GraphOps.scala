@@ -33,6 +33,112 @@ object GraphOps {
     * Output: one row (n_vertices, n_edges, n_wedges, n_triangles,
     * clustering_coeff = 3·triangles/wedges).
     */
+  /** PageRank by power iteration over a directed edge list (source/domain
+    * authority scoring — the quality prior CommonCrawl-style curation
+    * feeds into mix weights). Fixed `iters` rounds of
+    * `r' = (1−d)/N + d·(Σ_in r/deg + dangling/N)` with uniform teleport
+    * and uniform dangling redistribution.
+    *
+    * Scale shape: edges dedup once (making (dst, src) a total order) and
+    * localCheckpoint — each round reads materialized edges, not the
+    * re-derived lineage (reliable checkpoint on a cluster). A round is
+    * two 8-byte-key shuffles: ranks ⋈ degrees on src, contributions
+    * grouped on dst. Per-dst contribution sums run as ordered cumsum
+    * windows (order = src, total after dedup) and the dangling mass as
+    * one ordered fold over the dangling-node set — both deterministic
+    * float reductions, so ranks are bit-identical across engines and
+    * partitionings. The dangling fold is one task over dangling nodes
+    * only; for a web-scale graph where that set is itself huge, give
+    * dangling pages a self-loop at build time instead (changes the
+    * stationary distribution, documented trade-off).
+    *
+    * Output: (node, pagerank) — pagerank rounded to 6, sums to ~1. */
+  def pageRank(edges0: DataFrame, iters: Int = 3, damping: Double = 0.85,
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val e = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
+    val nn = nodes.agg(count(lit(1)).as("n"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.crossJoin(broadcast(nn))
+      .select(col("v"), (lit(1.0) / col("n").cast("double")).as("r"))
+      .localCheckpoint()
+    val ordv = W.orderBy("v")
+    val cumv = ordv.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ordd = W.partitionBy("dst").orderBy("src")
+    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    (1 to iters).foreach { _ =>
+      val dangTot = ranks.join(deg, ranks("v") === deg("src"), "left_anti")
+        .withColumn("cum", sum(col("r")).over(cumv))
+        .withColumn("rn", row_number().over(ordv))
+        .withColumn("nc", count(lit(1)).over())
+        .filter(col("rn") === col("nc"))
+        .select(lit(1).as("j"), col("cum").as("dm"))
+      val dm = nn.withColumn("j", lit(1))
+        .join(dangTot, Seq("j"), "left")
+        .select(coalesce(col("dm"), lit(0.0)).as("dm"))
+      val contrib = e.join(ranks, e("src") === ranks("v"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("r") / col("deg").cast("double")).as("ct"))
+        .withColumn("cum", sum(col("ct")).over(cumd))
+        .withColumn("rn", row_number().over(ordd))
+        .withColumn("nc", count(lit(1)).over(W.partitionBy("dst")))
+        .filter(col("rn") === col("nc"))
+        .select(col("dst"), col("cum").as("c"))
+      ranks = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
+        .join(contrib, nodes("v") === contrib("dst"), "left")
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dm") / col("n").cast("double"))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as("node"), round(col("r"), 6).as("pagerank"))
+  }
+
+  /** DuckDB oracle for [[pageRank]]: identical unrolled iteration CTEs —
+    * same dedup, same ordered window folds, same float expression tree.
+    * `edgesSub` is a `(SELECT … src, … dst FROM …)` subquery. */
+  def pageRankSql(edgesSub: String, iters: Int, damping: Double): String = {
+    val d = damping
+    val iterCtes = (0 until iters).map { k =>
+      s"dang$k AS (SELECT cum FROM (SELECT " +
+        "sum(r.r) OVER (ORDER BY r.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (ORDER BY r.v) AS rn, count(*) OVER () AS nc " +
+        s"FROM r$k r LEFT JOIN deg ON r.v = deg.src WHERE deg.src IS NULL) " +
+        "WHERE rn = nc), " +
+        s"dm$k AS (SELECT coalesce((SELECT cum FROM dang$k), 0.0) AS dm), " +
+        s"ctr$k AS (SELECT dst, cum AS c FROM (SELECT e.dst, " +
+        "sum(r.r / CAST(deg.deg AS DOUBLE)) OVER (PARTITION BY e.dst ORDER BY e.src " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (PARTITION BY e.dst ORDER BY e.src) AS rn, " +
+        "count(*) OVER (PARTITION BY e.dst) AS nc " +
+        s"FROM e JOIN r$k r ON e.src = r.v JOIN deg ON e.src = deg.src) " +
+        "WHERE rn = nc), " +
+        s"r${k + 1} AS (SELECT nodes.v, " +
+        s"((1.0 - $d) / CAST(n AS DOUBLE)) + $d * (coalesce(c, 0.0) + dm / CAST(n AS DOUBLE)) AS r " +
+        s"FROM nodes CROSS JOIN nn CROSS JOIN dm$k " +
+        s"LEFT JOIN ctr$k ON nodes.v = ctr$k.dst)"
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst " +
+      s"FROM $edgesSub WHERE src <> dst), " +
+      "nodes AS (SELECT DISTINCT v FROM " +
+      "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
+      "r0 AS (SELECT v, 1.0 / CAST(n AS DOUBLE) AS r FROM nodes CROSS JOIN nn), " +
+      s"$iterCtes " +
+      s"SELECT v AS node, round(r, 6) AS pagerank FROM r$iters ORDER BY node"
+  }
+
   def triangleStats(edges0: DataFrame,
                     aCol: String = "a", bCol: String = "b"): DataFrame = {
     val e = edges0

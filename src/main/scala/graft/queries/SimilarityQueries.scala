@@ -340,6 +340,22 @@ object SimilarityQueries {
         "CASE WHEN n_wedges > 0 THEN " +
         "round((CAST(3.0 AS DOUBLE) * CAST(n_triangles AS DOUBLE)) / " +
         "CAST(n_wedges AS DOUBLE), 6) ELSE 0.0 END AS clustering_coeff " +
-        "FROM nv, ne, w, t"))
+        "FROM nv, ne, w, t")),
+
+    // PageRank (3 power iterations, d = 0.85) over a directed graph
+    // synthesized deterministically from events (Shots-style): nodes
+    // 50..63 never emit edges, exercising the dangling-mass path. Per-
+    // round: two 8-byte-key shuffles; per-dst sums and the dangling fold
+    // are ordered cumsums → ranks bit-identical, fully hash-verified.
+    Q("q_pagerank",
+      (s, d) => graft.operators.GraphOps.pageRank(
+        Tables.load(s, d, "events")
+          .select((col("user_id") % 50).as("src"),
+            ((col("event_id") * 7919L) % 64).as("dst")),
+        iters = 3, damping = 0.85)
+        .orderBy("node"),
+      Some(graft.operators.GraphOps.pageRankSql(
+        "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
+        iters = 3, damping = 0.85)))
   )
 }

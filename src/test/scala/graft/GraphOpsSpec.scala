@@ -70,4 +70,39 @@ class GraphOpsSpec extends SparkSpec {
     assert((viaDf.getLong(0), viaDf.getLong(1), viaDf.getLong(2), viaDf.getLong(3))
       === ((nv, ne, nw, nt)))
   }
+
+  test("pageRank == ordered-fold power-iteration model; dangling mass conserved") {
+    import spark.implicits._
+    val (iters, d) = (3, 0.85)
+    // 1→2, 1→3, 2→3, 3→1, plus 4 with NO out-edges (dangling) and a
+    // duplicate edge + self-loop the operator must drop
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (1L, 3L), (2L, 2L))
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = edges.filter { case (a, b) => a != b }.distinct
+    val nodes = e.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val n = nodes.length.toDouble
+    val deg = e.groupBy(_._1).map { case (s, g) => s -> g.size.toDouble }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      // ordered folds mirroring the engine windows exactly
+      val dm = nodes.filter(v => !deg.contains(v))
+        .foldLeft(0.0)((acc, v) => acc + r(v))
+      val contrib = nodes.map { v =>
+        v -> e.filter(_._2 == v).map(_._1).sorted
+          .foldLeft(0.0)((acc, s) => acc + r(s) / deg(s))
+      }.toMap
+      r = nodes.map { v =>
+        v -> ((1.0 - d) / n + d * (contrib(v) + dm / n))
+      }.toMap
+    }
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters, d)
+      .orderBy("node").collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    assert(got.toSeq === nodes.map(v => v -> r6(r(v))))
+    // ranks remain a distribution (teleport + dangling redistribution)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // node 3 has the most in-links — it must rank highest
+    assert(got.maxBy(_._2)._1 === 3L)
+  }
 }
