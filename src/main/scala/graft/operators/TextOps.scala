@@ -1019,6 +1019,42 @@ object TextOps {
       s"FROM cum WHERE rn = nc ORDER BY $groupCol"
   }
 
+  /** Canonicalization chain for URL dedup, shared by the Spark and SQL
+    * forms so the two engines cannot desynchronize: lowercase → strip
+    * fragment → strip utm_* tracking params (repairing '?&' and dangling
+    * separators) → strip scheme/www → strip trailing slash. Order
+    * matters: the fragment must go before param surgery ('#' terminates
+    * a param value), the scheme after (its '//' would survive a
+    * trailing-slash strip). */
+  private val urlCanonSteps: Seq[(String, String)] = Seq(
+    "#.*$" -> "",
+    "utm_[a-z]+=[^&#]*" -> "",
+    "\\?&" -> "?",
+    "[?&]+$" -> "",
+    "^https?://" -> "",
+    "^www\\." -> "",
+    "/$" -> "")
+
+  /** URL canonicalization + exact dedup election (the crawl-curation
+    * front door: the same page arrives as http/https, with and without
+    * www, tracking params, fragments). Adds `canonical_url`; narrow
+    * zero-shuffle regexp chain, whole-stage codegen — a free column at
+    * 100 TB. Dedup is then [[Dedup]]'s exact hash-groupBy on the
+    * canonical form. */
+  def urlCanonicalize(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("canonical_url",
+      urlCanonSteps.foldLeft(lower(col(urlCol))) {
+        case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+      })
+
+  /** DuckDB side of [[urlCanonicalize]] — the same step table ('g' flag:
+    * DuckDB's regexp_replace is first-match-only by default, Spark's is
+    * global). */
+  def urlCanonicalizeSql(urlExpr: String): String =
+    urlCanonSteps.foldLeft(s"lower($urlExpr)") {
+      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+    }
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

@@ -180,6 +180,44 @@ object TextQueries {
           s"WHERE $bucket < $rate ORDER BY doc_id"
       }),
 
+    // URL canonicalization + dedup election: URLs synthesized Shots-
+    // style from documents (scheme/www/case/utm/fragment variants of 20
+    // hosts × 40 paths), canonicalized by the shared regexp chain, then
+    // min-id elected per canonical form. Narrow regex chain + ONE
+    // map-side-combined groupBy.
+    Q("q_url_dedup",
+      (s, d) => {
+        val url = concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.com/Page/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 4 === 1, lit("?utm_source=feed"))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("?page="), (col("doc_id") % 3).cast("string"),
+                lit("&utm_campaign=x")))
+            .when(col("doc_id") % 4 === 3,
+              concat(lit("?utm_medium=m&page="),
+                (col("doc_id") % 3).cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#sec")).otherwise(lit("")))
+        TextOps.urlCanonicalize(docs(s, d).withColumn("url", url), "url")
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+          .orderBy("canonical_url")
+      },
+      Some {
+        val url = "'HTTPS://WWW.' || source || '.Example.com/Page/' || " +
+          "CAST(doc_id % 40 AS VARCHAR) || " +
+          "CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed' " +
+          "WHEN doc_id % 4 = 2 THEN '?page=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x' " +
+          "WHEN doc_id % 4 = 3 THEN '?utm_medium=m&page=' || CAST(doc_id % 3 AS VARCHAR) " +
+          "ELSE '' END || " +
+          "CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END"
+        s"WITH u AS (SELECT doc_id, ${TextOps.urlCanonicalizeSql(s"($url)")} " +
+          "AS canonical_url FROM documents) " +
+          "SELECT canonical_url, count(*) AS n_docs, " +
+          "CAST(min(doc_id) AS BIGINT) AS keep_id " +
+          "FROM u GROUP BY canonical_url ORDER BY canonical_url"
+      }),
+
     // Deterministic train/val/test split: tagged-hash bucket → cumulative
     // percent bands (90/5/5). Membership is reconstructable (no RNG) and
     // independent of the sampling buckets (different hash tag). Narrow

@@ -484,6 +484,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq === exp)
   }
 
+  test("urlCanonicalize: closed-form variant collapse") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTPS://WWW.Src0.Example.com/Page/5?utm_source=feed#sec"
+        -> "src0.example.com/page/5",
+      "http://src0.example.com/Page/5" -> "src0.example.com/page/5",
+      "https://x.com/p?utm_a=1&utm_b=2" -> "x.com/p",
+      "https://x.com/p?utm_m=1&page=2&utm_c=x" -> "x.com/p?page=2",
+      "https://x.com/p?page=2&utm_campaign=x#frag" -> "x.com/p?page=2",
+      "http://example.com/a/" -> "example.com/a",
+      "example.com/plain" -> "example.com/plain")
+    val got = TextOps.urlCanonicalize(
+      cases.map(_._1).toDF("url"), "url")
+      .select("canonical_url").collect().map(_.getString(0))
+    assert(got.toSeq === cases.map(_._2))
+    // the three scheme/tracking variants of one page collapse to one key
+    assert(got.take(2).distinct.length === 1)
+  }
+
   test("hashSplit == tagged-hash band Scala model; all bands populated") {
     val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
     val got = graft.operators.Sampling.hashSplit(docs, "doc_id", splits)
