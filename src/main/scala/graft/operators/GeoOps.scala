@@ -23,6 +23,26 @@ object GeoOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Multiband raster as a long-format columnar frame — the distributed
+    * answer to the reference's in-memory xarray Dataset (gedixr
+    * xr.py:144-174 returns one ndarray per variable): one row per
+    * (band, cell), every band from ONE cell shuffle. The wide cell frame
+    * ([[rasterize]], map-side combined) unpivots via `stack` — a narrow
+    * zero-shuffle projection — so adding bands costs aggregate columns,
+    * never extra scans or shuffles. Values cast to double (the multiband
+    * contract needs one value type); downstream consumers pivot a band
+    * to dense rows or export via the ESRI ASCII writer. */
+  def rasterizeMultiband(df: DataFrame, x: Column, y: Column, res: Double,
+                         bands: Seq[(String, Column)]): DataFrame = {
+    val cells = rasterize(df, x, y, res,
+      bands.map { case (n, c) => n -> c })
+    val stackExpr = s"stack(${bands.size}, " +
+      bands.map { case (n, _) => s"'$n', CAST(`$n` AS DOUBLE)" }
+        .mkString(", ") + ") AS (band, value)"
+    cells.select(col("cy"), col("cx"), expr(stackExpr))
+      .select(col("band"), col("cy"), col("cx"), col("value"))
+  }
+
   /** Multi-AOI fan-out — ref extract.py:175-207: one tagged subset per AOI
     * geometry. SINGLE scan of the input (r1 unioned one filtered scan per
     * AOI — N scans for N AOIs): the OR of all bboxes is pushed as one scan

@@ -276,6 +276,28 @@ object CoreQueries {
         "round(sum(value), 2) AS sum_value FROM " + Shots.sql +
         " GROUP BY cy, cx ORDER BY cy, cx")),
 
+    // Multiband raster long frame (the xarray-Dataset analogue): three
+    // bands from ONE cell shuffle, unpivoted by a narrow stack. Band
+    // rows ordered (band, cy, cx) for the oracle.
+    Q("q_raster_multiband",
+      (s, d) => GeoOps.rasterizeMultiband(Shots.df(s, d),
+          col("lon"), col("lat"), 0.5,
+          Seq("n" -> count(lit(1)).cast("double"),
+            "mean_value" -> round(avg(col("value")), 4),
+            "max_value" -> round(max(col("value")), 6)))
+        .orderBy("band", "cy", "cx"),
+      Some("WITH cells AS (SELECT CAST(floor(lat / 0.5) AS BIGINT) AS cy, " +
+        "CAST(floor(lon / 0.5) AS BIGINT) AS cx, " +
+        "CAST(count(*) AS DOUBLE) AS n, " +
+        "round(avg(value), 4) AS mean_value, " +
+        "round(max(value), 6) AS max_value FROM " + Shots.sql +
+        " GROUP BY cy, cx) " +
+        "SELECT band, cy, cx, value FROM (" +
+        "SELECT 'n' AS band, cy, cx, n AS value FROM cells " +
+        "UNION ALL SELECT 'mean_value', cy, cx, mean_value FROM cells " +
+        "UNION ALL SELECT 'max_value', cy, cx, max_value FROM cells) " +
+        "ORDER BY band, cy, cx")),
+
     // R7/dedup — exact dedup keyed on user (keep first event).
     Q("q_dedup_shots",
       (s, d) => ev(s, d).groupBy(col("user_id"))

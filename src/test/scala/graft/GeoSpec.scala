@@ -118,6 +118,21 @@ class GeoSpec extends SparkSpec {
     assert(got((0L, 5L)) === ((1L, 5.0)))
   }
 
+  test("rasterizeMultiband: long frame == per-band wide cells, one row per (band, cell)") {
+    val df = Seq((0.1, 0.1, 1.0), (0.2, 0.15, 2.0), (1.3, 0.1, 5.0))
+      .toDF("lon", "lat", "value")
+    val bands = Seq("n" -> count(lit(1)).cast("double"),
+      "s" -> sum(col("value")))
+    val got = GeoOps.rasterizeMultiband(df, col("lon"), col("lat"), 0.25, bands)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got(("n", 0L, 0L)) === 2.0)
+    assert(got(("s", 0L, 0L)) === 3.0)
+    assert(got(("n", 0L, 5L)) === 1.0)
+    assert(got(("s", 0L, 5L)) === 5.0)
+    assert(got.size === 4, "2 bands x 2 cells")
+  }
+
   test("z-order curve: neighbors stay close, extremes map to corners") {
     import graft.functions.GeoFunctions.zValue
     val pts = Seq(
