@@ -1055,6 +1055,45 @@ object TextOps {
       case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
     }
 
+  /** First BPE tokenizer-training iteration at corpus scale: the top-k
+    * adjacent character-pair merge candidates, each pair's count weighted
+    * by its words' corpus frequencies (Sennrich et al. 2015, arXiv
+    * 1508.07909 — the step a distributed engine runs repeatedly to train
+    * the vocabulary; subsequent iterations re-run this after applying the
+    * winning merge).
+    *
+    * Scale shape: the corpus explodes to words ONCE and collapses to the
+    * word VOCABULARY (map-side combined) before any character work — the
+    * char-pair explode runs over distinct words, not corpus tokens, which
+    * is the classic BPE-training trick (vocabulary ≪ corpus). Pair counts
+    * are one more map-side-combined shuffle; the top-k cut is a
+    * TakeOrdered (no full sort). Single-char words contribute nothing
+    * (guarded sequence, the adjacent-pairs contract). */
+  def bpeMerges(df: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words.select(col("wc"), explode(expr(
+      "transform(sequence(1, length(w) - 1), " +
+        "i -> substring(w, i, 2))")).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("wc")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair")).limit(k)
+  }
+
+  /** DuckDB oracle for [[bpeMerges]] — identical vocab-collapse →
+    * guarded pair explode → weighted count → top-k tree. */
+  def bpeMergesSql(k: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH words AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM " +
+      s"(SELECT unnest($toks) AS w FROM documents) GROUP BY w " +
+      "HAVING length(w) >= 2), " +
+      "pairs AS (SELECT wc, unnest(list_transform(" +
+      "range(1, length(w)), i -> w[i:i+1])) AS pair FROM words) " +
+      "SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occ FROM pairs " +
+      s"GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k"
+  }
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

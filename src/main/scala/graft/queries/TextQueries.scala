@@ -234,6 +234,15 @@ object TextQueries {
           s"$cse AS split FROM documents ORDER BY doc_id"
       }),
 
+    // First BPE training iteration: top-20 adjacent char-pair merge
+    // candidates weighted by word frequency. Corpus collapses to the
+    // word vocabulary BEFORE the char-pair explode (vocab ≪ corpus —
+    // the classic BPE trick); two map-side-combined shuffles + a
+    // TakeOrdered.
+    Q("q_bpe_merges",
+      (s, d) => TextOps.bpeMerges(docs(s, d), "text", k = 20),
+      Some(TextOps.bpeMergesSql(k = 20))),
+
     // Per-source KL divergence from the corpus token distribution over
     // the top-200 vocabulary + ONE tail bucket (add-0.5 smoothing): the
     // source-drift gate. Grid is |sources|·(V+1) — domain-bounded (chi²

@@ -520,6 +520,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got.length === docs.count())
   }
 
+  test("bpeMerges == weighted char-pair Scala model") {
+    val k = 20
+    val words = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+      .filter(_._1.length >= 2)
+    val model = words.toSeq
+      .flatMap { case (w, c) => w.sliding(2).map(_ -> c) }
+      .groupBy(_._1).map { case (p, g) => p -> g.map(_._2).sum }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+    val got = TextOps.bpeMerges(docs, "text", k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === model)
+  }
+
   test("klDrift == smoothed top-V + tail-bucket Scala model; KL >= 0") {
     val (topV, alpha) = (50, 0.5)
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
