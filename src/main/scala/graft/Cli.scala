@@ -61,7 +61,8 @@ object Cli {
     require(args.nonEmpty,
       "usage: <ingest|pipeline|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
-        "compact|semdedup|outliers|skyline|collocations|profile> --opt v ...")
+        "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
+        "split|pagerank> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -355,6 +356,29 @@ object Cli {
 
       case "profile" =>
         write(graft.operators.StatsOps.profile(in("input")))
+
+      case "urldedup" =>
+        // stamp canonical_url; with --id, elect min id per canonical key
+        val canon = TextOps.urlCanonicalize(in("input"), opts("url"))
+        write(opts.get("id") match {
+          case Some(id) => canon.groupBy("canonical_url")
+            .agg(count(lit(1)).as("n_docs"), min(col(id)).as("keep_id"))
+          case None => canon
+        })
+
+      case "split" =>
+        // --bands train=90,val=5,test=5 (order defines the bands)
+        val bands = opts.getOrElse("bands", "train=90,val=5,test=5")
+          .split(",").toSeq.map { kv =>
+            val Array(n, p) = kv.split("="); (n, p.toInt)
+          }
+        write(Sampling.hashSplit(in("input"), opts("id"), bands))
+
+      case "pagerank" =>
+        write(graft.operators.GraphOps.pageRank(in("input"),
+          opts.getOrElse("iters", "3").toInt,
+          opts.getOrElse("damping", "0.85").toDouble,
+          opts.getOrElse("src", "src"), opts.getOrElse("dst", "dst")))
 
       case other => sys.error(s"unknown command: $other")
     }

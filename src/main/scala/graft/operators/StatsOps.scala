@@ -267,4 +267,90 @@ object StatsOps {
         round(col("d_num").cast("double") /
           (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_stat"))
   }
+
+  /** Cumulative Poisson(1) thresholds for the bootstrap draw: u below
+    * threshold i ⇒ weight i, else capped at 7. Shared plan-time literals
+    * on both engines (what matters is that they are IDENTICAL constants,
+    * bit-for-bit, not their provenance). */
+  val poissonCdf1: Seq[Double] = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119)
+
+  /** Poisson bootstrap confidence interval for a corpus mean (error bars
+    * on an ingest-gate statistic WITHOUT a second pass over history —
+    * the standard trick for resampling an unsplittable stream: each row
+    * draws an independent Poisson(1) replication count per resample, ≈
+    * multinomial resampling at corpus n). Deterministic: the draw is the
+    * portable hash of (resample, id) — reproducible run-to-run and
+    * engine-to-engine, stable under retries.
+    *
+    * Scale shape: the resample explode is a plan-time ×B narrow
+    * projection; per-resample sums are INTEGER (weight × long value) so
+    * they are partitioning-invariant without ordered folds — one
+    * map-side-combined shuffle whose payload is B rows total. Rank-based
+    * CI bounds (loRank/hiRank over the B resample means) avoid
+    * percentile interpolation; every fold past the shuffle runs over B
+    * rows. Output: one row (n_resamples, mean_of_means, ci_lo, ci_hi).
+    */
+  def bootstrapCi(df: DataFrame, idCol: String, valueCol: String,
+                  b: Int = 32, loRank: Int = 2, hiRank: Int = 31): DataFrame = {
+    require(b >= 4 && loRank >= 1 && hiRank <= b,
+      "need a sane resample count and in-range CI ranks")
+    val W = org.apache.spark.sql.expressions.Window
+    val P = graft.functions.TextFunctions.P
+    val rep = df.select(col(idCol).cast("string").as("id"),
+        col(valueCol).cast("long").as("v"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+    val u = (graft.functions.TextFunctions.charHash(
+      concat(lit("bs:"), col("b").cast("string"), lit(":"), col("id")))
+      .cast("double") + lit(1.0)) / lit((P + 1).toDouble)
+    val w = poissonCdf1.zipWithIndex.foldRight(lit(poissonCdf1.size.toLong)) {
+      case ((t, i), fb) => when(u < t, i.toLong).otherwise(fb)
+    }
+    val means = rep.withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("v")).as("tot"))
+      .select(col("b"), (col("tot").cast("double") /
+        greatest(col("n_eff"), lit(1L)).cast("double")).as("m"))
+    val ordb = W.orderBy("b")
+    val cumb = ordb.rowsBetween(W.unboundedPreceding, W.currentRow)
+    means
+      .withColumn("mr", row_number().over(W.orderBy(col("m"), col("b"))))
+      .withColumn("cum", sum(col("m")).over(cumb))
+      .withColumn("rn", row_number().over(ordb))
+      .withColumn("nc", count(lit(1)).over())
+      .agg(max(col("nc")).as("n_resamples"),
+        round(max(when(col("rn") === col("nc"), col("cum"))) /
+          max(col("nc")).cast("double"), 6).as("mean_of_means"),
+        round(max(when(col("mr") === loRank, col("m"))), 6).as("ci_lo"),
+        round(max(when(col("mr") === hiRank, col("m"))), 6).as("ci_hi"))
+  }
+
+  /** DuckDB oracle for [[bootstrapCi]] — identical hash draw, threshold
+    * table, integer resample sums and rank-based bounds. */
+  def bootstrapCiSql(table: String, idExpr: String, valueExpr: String,
+                     b: Int, loRank: Int, hiRank: Int): String = {
+    val P = graft.functions.TextFunctions.P
+    val h = graft.functions.TextFunctions.charHashSql(
+      s"('bs:' || CAST(r.b AS VARCHAR) || ':' || CAST($idExpr AS VARCHAR))")
+    val u = s"((CAST($h AS DOUBLE) + 1.0) / ${(P + 1).toDouble})"
+    val cases = poissonCdf1.zipWithIndex
+      .map { case (t, i) => s"WHEN $u < $t THEN $i" }.mkString(" ")
+    s"WITH r AS (SELECT unnest(range(0, $b)) AS b), " +
+      s"rep AS (SELECT r.b, CAST($valueExpr AS BIGINT) AS v, " +
+      s"CAST(CASE $cases ELSE ${poissonCdf1.size} END AS BIGINT) AS w " +
+      s"FROM $table CROSS JOIN r), " +
+      "means AS (SELECT b, CAST(sum(w * v) AS DOUBLE) / " +
+      "CAST(greatest(sum(w), 1) AS DOUBLE) AS m FROM rep GROUP BY b), " +
+      "ranked AS (SELECT b, m, " +
+      "row_number() OVER (ORDER BY m, b) AS mr, " +
+      "sum(m) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (ORDER BY b) AS rn, count(*) OVER () AS nc FROM means) " +
+      "SELECT max(nc) AS n_resamples, " +
+      "round(max(CASE WHEN rn = nc THEN cum END) / CAST(max(nc) AS DOUBLE), 6) AS mean_of_means, " +
+      s"round(max(CASE WHEN mr = $loRank THEN m END), 6) AS ci_lo, " +
+      s"round(max(CASE WHEN mr = $hiRank THEN m END), 6) AS ci_hi " +
+      "FROM ranked"
+  }
 }

@@ -234,6 +234,16 @@ object TextQueries {
           s"$cse AS split FROM documents ORDER BY doc_id"
       }),
 
+    // Poisson bootstrap CI on the mean document length: 32 deterministic
+    // hash-drawn resamples, INTEGER per-resample sums (partitioning-
+    // invariant — no corpus-sized ordered fold), rank-based 2/31 bounds.
+    // Shuffle payload: 32 rows.
+    Q("q_bootstrap_ci",
+      (s, d) => graft.operators.StatsOps.bootstrapCi(
+        docs(s, d), "doc_id", "n_chars", b = 32, loRank = 2, hiRank = 31),
+      Some(graft.operators.StatsOps.bootstrapCiSql(
+        "documents", "doc_id", "n_chars", b = 32, loRank = 2, hiRank = 31))),
+
     // First BPE training iteration: top-20 adjacent char-pair merge
     // candidates weighted by word frequency. Corpus collapses to the
     // word vocabulary BEFORE the char-pair explode (vocab ≪ corpus —

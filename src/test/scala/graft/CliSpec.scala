@@ -298,4 +298,38 @@ class CliSpec extends SparkSpec {
     assert(prGot.columns.toSeq ===
       Seq("n_rows", "col_name", "n_non_null", "n_distinct", "min_str", "max_str"))
   }
+
+  test("cli urldedup / split / pagerank wire the round-7 operators") {
+    import spark.implicits._
+    // urls file with scheme/utm variants of one page + a distinct page
+    val urls = tmp() + "/urls"
+    Seq((1L, "https://www.a.com/p?utm_source=x"), (2L, "HTTP://A.com/p"),
+      (3L, "https://a.com/q"))
+      .toDF("doc_id", "url").write.parquet(urls)
+    val ud = tmp() + "/ud"
+    Cli.run(spark, "urldedup", Map(
+      "input" -> urls, "output" -> ud, "url" -> "url", "id" -> "doc_id"))
+    val udGot = spark.read.parquet(ud).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(udGot === Map("a.com/p" -> ((2L, 1L)), "a.com/q" -> ((1L, 3L))))
+
+    val sp = tmp() + "/sp"
+    Cli.run(spark, "split", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> sp,
+      "id" -> "doc_id"))
+    val spGot = spark.read.parquet(sp)
+    assert(spGot.count() === Tables.load(spark, sfDir, "documents").count())
+    assert(spGot.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+
+    val pg = tmp() + "/pg"
+    val edges = tmp() + "/edges"
+    Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst").write.parquet(edges)
+    Cli.run(spark, "pagerank", Map("input" -> edges, "output" -> pg))
+    val pgGot = spark.read.parquet(pg).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // symmetric 3-cycle: uniform stationary distribution
+    assert(pgGot.keySet === Set(1L, 2L, 3L))
+    pgGot.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
+  }
 }

@@ -244,4 +244,36 @@ class StatsOpsSpec extends SparkSpec {
       .select("p_partkey").collect().map(_.getLong(0)).toSet
     assert(got === expect)
   }
+
+  test("bootstrapCi == deterministic Poisson-draw Scala model; CI brackets the mean") {
+    val (b, lo, hi) = (32, 2, 31)
+    val P = graft.functions.TextFunctions.P
+    def hashScala(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val means = (0 until b).map { bi =>
+      var (tot, nEff) = (0L, 0L)
+      rows.foreach { case (id, v) =>
+        val u = (hashScala(s"bs:$bi:$id").toDouble + 1.0) / (P + 1).toDouble
+        val w = StatsOps.poissonCdf1.indexWhere(u < _) match {
+          case -1 => StatsOps.poissonCdf1.size.toLong
+          case i  => i.toLong
+        }
+        tot += w * v; nEff += w
+      }
+      tot.toDouble / math.max(nEff, 1L).toDouble
+    }
+    val grand = means.foldLeft(0.0)(_ + _) / b.toDouble
+    val sortedM = means.sorted
+    val row = StatsOps.bootstrapCi(docs, "doc_id", "n_chars", b, lo, hi).head
+    assert(row.getLong(0) === b.toLong)
+    assert(row.getDouble(1) === r6(grand))
+    assert(row.getDouble(2) === r6(sortedM(lo - 1)))
+    assert(row.getDouble(3) === r6(sortedM(hi - 1)))
+    // the interval is non-degenerate and brackets the point estimate
+    assert(row.getDouble(2) < row.getDouble(1) && row.getDouble(1) < row.getDouble(3))
+  }
 }
