@@ -35,6 +35,18 @@ object EventStreams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming canonical-URL dedup — the crawl-frontier filter: pages
+    * arrive as scheme/www/tracking-param variants across micro-batches;
+    * canonicalization is the stateless batch regexp chain
+    * (TextOps.urlCanonicalize — identical semantics on readStream
+    * frames), then first-arrival-wins within the watermark horizon.
+    * State is one entry per DISTINCT canonical key inside the horizon —
+    * bounded by watermark × frontier rate, not crawl history. */
+  def urlDedupStream(pages: DataFrame, urlCol: String,
+                     watermark: String = "30 minutes"): DataFrame =
+    dedupStream(graft.operators.TextOps.urlCanonicalize(pages, urlCol),
+      Seq("canonical_url"), watermark)
+
   /** Stream-stream join: enrich an event stream with a second stream
     * (e.g. impressions ⋈ purchases) keyed by `key`, with both sides
     * watermarked and the match bounded to `maxDelay` of event time —

@@ -195,6 +195,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("canonical-URL dedup collapses variants across micro-batches, first arrival wins") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.urlDedupStream(
+        input.toDF().toDF("doc_id", "ts", "url"), "url")
+      .writeStream.format("memory").queryName("url_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, t("2020-01-01 10:00:00"), "https://www.a.com/p?utm_source=x"),
+        (2L, t("2020-01-01 10:01:00"), "HTTP://A.com/p"), // same page, in-batch
+        (3L, t("2020-01-01 10:02:00"), "https://a.com/q"))
+      q.processAllAvailable()
+      input.addData( // same page again, next batch, yet another variant
+        (4L, t("2020-01-01 10:03:00"), "https://a.com/p/#frag"))
+      q.processAllAvailable()
+      val kept = spark.table("url_dedup").collect()
+        .map(r => r.getLong(0) -> r.getAs[String]("canonical_url")).toMap
+      assert(kept === Map(1L -> "a.com/p", 3L -> "a.com/q"))
+      // and the canonical column matches the batch operator on the same rows
+      val batch = graft.operators.TextOps.urlCanonicalize(
+        Seq("https://www.a.com/p?utm_source=x", "HTTP://A.com/p",
+          "https://a.com/q", "https://a.com/p/#frag").toDF("url"), "url")
+        .collect().map(_.getString(1))
+      assert(batch.toSeq === Seq("a.com/p", "a.com/p", "a.com/q", "a.com/p"))
+    } finally q.stop()
+  }
+
   test("stream-stream join matches within the event-time bound only") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
