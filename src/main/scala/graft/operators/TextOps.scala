@@ -940,15 +940,24 @@ object TextOps {
     val W = org.apache.spark.sql.expressions.Window
     val toks = df.select(col(groupCol).as("grp"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    // Spark does not CSE DataFrame subtrees (the r6 materialization
+    // rule): everything below derives from the (grp, term) count frame —
+    // group-term-bounded, far smaller than the corpus — materialized
+    // ONCE, so the corpus is exploded and scanned exactly once. cnt/
+    // gTot/top/consts are vocab-/group-/V-sized rollups of it.
+    val gCnt = toks.groupBy("grp", "term").agg(count(lit(1)).as("gc"))
+      .localCheckpoint()
+    val cnt = gCnt.groupBy("term").agg(sum(col("gc")).as("c"))
+      .localCheckpoint()
     val top = cnt.orderBy(col("c").desc, col("term")).limit(topV)
       .withColumn("rank",
         row_number().over(W.orderBy(col("c").desc, col("term"))))
+      .localCheckpoint()
     // 1-row corpus constants: top-vocab size, top mass, total mass
     val consts = top.agg(count(lit(1)).as("vn"), sum(col("c")).as("topc"))
       .crossJoin(cnt.agg(sum(col("c")).as("bign")))
-    val gCnt = toks.groupBy("grp", "term").agg(count(lit(1)).as("gc"))
-    val gTot = toks.groupBy("grp").agg(count(lit(1)).as("n_tokens"))
+      .localCheckpoint()
+    val gTot = gCnt.groupBy("grp").agg(sum(col("gc")).as("n_tokens"))
     val grid = gTot.crossJoin(broadcast(top))
       .join(gCnt, Seq("grp", "term"), "left")
       .na.fill(0L, Seq("gc"))
