@@ -1103,6 +1103,85 @@ object TextOps {
       s"GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k"
   }
 
+  /** Boilerplate mining: the top-k n-token shingles appearing in the
+    * most DISTINCT documents (nav bars, cookie banners, license headers —
+    * the removal list [[substrDupFraction]] measures the damage of).
+    * Gram STRINGS, not hashes: the output is a human-readable removal
+    * list, so interpretability beats the hash kernel's speed here.
+    *
+    * Scale shape: one corpus explode of per-doc DISTINCT grams (so
+    * count(*) per gram = document frequency), map-side combined; the
+    * ranking cut is a TakeOrdered over grams with df ≥ 2 — never a full
+    * vocabulary sort. */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, k: Int = 20): DataFrame = {
+    val grams = df
+      .withColumn("_toks", TextFunctions.tokens(col(textCol)))
+      .select(col(idCol).as("doc_id"), explode(array_distinct(expr(
+        s"if(size(_toks) < $n, array(), " +
+          s"transform(sequence(1, size(_toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(_toks, i, $n))))"))).as("gram"))
+    grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("gram")).limit(k)
+  }
+
+  /** DuckDB oracle for [[boilerplate]] — identical distinct-gram
+    * explode, document-frequency count and top-k cut. */
+  def boilerplateSql(n: Int, k: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH tk AS (SELECT doc_id, $toks AS t FROM documents), " +
+      s"g AS (SELECT doc_id, unnest(list_distinct(${TextFunctions.ngramsSql("t", n)})) AS gram FROM tk), " +
+      "c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram) " +
+      "SELECT gram, n_docs FROM c WHERE n_docs >= 2 " +
+      s"ORDER BY n_docs DESC, gram LIMIT $k"
+  }
+
+  /** Token-balanced shard planner: assign rows to contiguous output
+    * shards of ~`budget` weight each, in id order — the write-side
+    * manifest for "pack this corpus into N-token training shards"
+    * (contiguity keeps the assignment reproducible and mergeable;
+    * [[packSequences]] is the intra-shard form). shard = exclusive-
+    * prefix-weight div budget, all integer — exact at any scale.
+    *
+    * Scale shape: the global ordered prefix sum uses the two-stage
+    * prefix scan (the ksDistance pattern): range-partition by id,
+    * per-partition window cumsum, partition totals' own prefix broadcast
+    * back as offsets. No corpus-sized single-task window; the only
+    * single-task step is the ≤ numPartitions-row offsets window. */
+  def shardPlan(df: DataFrame, idCol: String, weightCol: String,
+                budget: Long, numPartitions: Int = 8): DataFrame = {
+    require(budget > 0, "shard budget must be positive")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("wt"))
+      .repartitionByRange(numPartitions, col("id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = W.partitionBy(col("_pid")).orderBy(col("id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val local = w.withColumn("l", sum(col("wt")).over(wLoc))
+    val wPre = W.orderBy(col("_pid")).rowsBetween(W.unboundedPreceding, -1)
+    val prefix = w.groupBy(col("_pid")).agg(sum(col("wt")).as("p"))
+      .withColumn("off", coalesce(sum(col("p")).over(wPre), lit(0L)))
+      .select(col("_pid"), col("off"))
+    local.join(broadcast(prefix), "_pid")
+      .select(col("id"), col("wt"),
+        (col("l") + col("off") - col("wt")).as("prev"))
+      .select(col("id"), col("wt"),
+        expr(s"CAST(prev div $budget AS BIGINT)").as("shard_id"))
+  }
+
+  /** DuckDB oracle for [[shardPlan]] — the single-window form of the
+    * same exclusive prefix (the two-stage scan is partitioning
+    * machinery, not semantics). */
+  def shardPlanSql(table: String, idExpr: String, weightExpr: String,
+                   budget: Long): String =
+    s"WITH w AS (SELECT $idExpr AS id, CAST($weightExpr AS BIGINT) AS wt FROM $table), " +
+      "c AS (SELECT id, wt, CAST(coalesce(sum(wt) OVER (ORDER BY id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM w) " +
+      s"SELECT id, wt, CAST(prev // $budget AS BIGINT) AS shard_id FROM c ORDER BY id"
+
   /** DuckDB oracle fragment for [[charEntropy]]: (n_chars, entropy) SQL
     * over a normalized-text expression — identical fold shape. */
   def charEntropySql(normExpr: String): (String, String) = {

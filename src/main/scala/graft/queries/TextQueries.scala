@@ -234,6 +234,24 @@ object TextQueries {
           s"$cse AS split FROM documents ORDER BY doc_id"
       }),
 
+    // Boilerplate mining: top-20 5-token shingles by distinct-document
+    // frequency (the removal list q_substr_dedup measures the damage
+    // of). One distinct-gram explode, map-side combined, TakeOrdered.
+    Q("q_boilerplate",
+      (s, d) => TextOps.boilerplate(docs(s, d), "doc_id", "text",
+        n = 5, k = 20),
+      Some(TextOps.boilerplateSql(n = 5, k = 20))),
+
+    // Token-balanced contiguous shard plan (~50k chars per shard):
+    // exclusive-prefix-weight div budget, all integer. The global
+    // prefix is the two-stage scan — no corpus-sized single window.
+    Q("q_shard_plan",
+      (s, d) => TextOps.shardPlan(docs(s, d), "doc_id", "n_chars",
+          budget = 50000L)
+        .orderBy("id"),
+      Some(TextOps.shardPlanSql("documents", "doc_id", "n_chars",
+        budget = 50000L))),
+
     // Poisson bootstrap CI on the mean document length: 32 deterministic
     // hash-drawn resamples, INTEGER per-resample sums (partitioning-
     // invariant — no corpus-sized ordered fold), rank-based 2/31 bounds.

@@ -520,6 +520,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got.length === docs.count())
   }
 
+  test("boilerplate == distinct-shingle doc-frequency Scala model") {
+    val (n, k) = (5, 20)
+    val perDoc = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSet)
+    val model = perDoc.flatMap(_._2.toSeq)
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+      .filter(_._2 >= 2L)
+      .toSeq.sortBy { case (g, c) => (-c, g) }.take(k)
+    val got = TextOps.boilerplate(docs, "doc_id", "text", n, k).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === model)
+    assert(got.nonEmpty, "test corpus should contain shared shingles")
+  }
+
+  test("shardPlan == single-fold exclusive-prefix model; shards contiguous and budget-bounded") {
+    val budget = 50000L
+    val rows = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    val model = rows.map { case (id, wt) =>
+      val s = cum / budget; cum += wt; (id, wt, s)
+    }
+    val got = TextOps.shardPlan(docs, "doc_id", "n_chars", budget)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === model.toSeq)
+    // shard ids are contiguous non-decreasing and more than one shard exists
+    assert(got.map(_._3).sliding(2).forall(p => p.length < 2 || p(1) >= p(0)))
+    assert(got.map(_._3).distinct.length > 1)
+  }
+
   test("bpeMerges == weighted char-pair Scala model") {
     val k = 20
     val words = docs.select("text").collect()
