@@ -167,4 +167,56 @@ object Temporal {
         when(col("roll_n") > 0, expr("roll_sum_us div roll_n"))
           .otherwise(lit(-1L)).as("roll_avg_us"))
   }
-}
+
+  /** Regular-grid resampling with forward fill: bucket an irregular
+    * event stream to fixed `unit` bins per key, materialize the EMPTY
+    * bins (a time series consumer needs every tick), and carry the last
+    * observed value across gaps (`value_ff`; `n` = 0 marks the filled
+    * rows). The per-bin representative is `max` — exact and
+    * order-independent, unlike a float sum.
+    *
+    * Scale shape: rows collapse to (key, bin) aggregates in one
+    * map-side-combined shuffle (bin cardinality = time range / unit,
+    * data-independent); the grid explodes off the per-key [min, max]
+    * span frame — DOMAIN-bounded (keys × range), never row-scaled. The
+    * bin frame is materialized once (two consumers: spans + the join).
+    * The forward-fill window is one task per key bounded by the bin
+    * count, not the data; for multi-year spans at second resolution,
+    * split the fill by (key, coarse epoch) and stitch offsets like the
+    * two-stage prefix scan. */
+  def resample(df: DataFrame, keyCol: String, tsCol: String,
+               valueCol: String, unit: String = "hour"): DataFrame = {
+    val W = Window
+    val bins = df.groupBy(col(keyCol).as("k"),
+        date_trunc(unit, col(tsCol)).as("bin"))
+      .agg(count(lit(1)).as("n"), max(col(valueCol)).as("v"))
+      .localCheckpoint()
+    val spans = bins.groupBy("k").agg(min(col("bin")).as("lo"),
+      max(col("bin")).as("hi"))
+    val grid = spans.select(col("k"), explode(sequence(col("lo"),
+      col("hi"), expr(s"interval 1 $unit"))).as("bin"))
+    val ff = W.partitionBy("k").orderBy("bin")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    grid.join(bins, Seq("k", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("value_ff", last(col("v"), ignoreNulls = true).over(ff))
+      .select(col("k").as(keyCol), col("bin"), col("n"), col("value_ff"))
+  }
+
+  /** DuckDB oracle for [[resample]] — identical bin/span/grid/fill tree
+    * (single-window fill: the two-stage split is partitioning machinery,
+    * not semantics). */
+  def resampleSql(table: String, keyExpr: String, tsExpr: String,
+                  valueExpr: String, unit: String = "hour"): String =
+    s"WITH bins AS (SELECT $keyExpr AS k, date_trunc('$unit', $tsExpr) AS bin, " +
+      s"CAST(count(*) AS BIGINT) AS n, max($valueExpr) AS v " +
+      s"FROM $table GROUP BY k, bin), " +
+      "spans AS (SELECT k, min(bin) AS lo, max(bin) AS hi FROM bins GROUP BY k), " +
+      "grid AS (SELECT k, unnest(generate_series(lo, hi, " +
+      s"INTERVAL 1 $unit)) AS bin FROM spans), " +
+      "j AS (SELECT grid.k, grid.bin, coalesce(n, 0) AS n, v " +
+      "FROM grid LEFT JOIN bins ON grid.k = bins.k AND grid.bin = bins.bin) " +
+      s"SELECT k AS $keyExpr, bin, n, last_value(v IGNORE NULLS) OVER (" +
+      "PARTITION BY k ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      s"CURRENT ROW) AS value_ff FROM j ORDER BY $keyExpr, bin"
+  }

@@ -367,6 +367,18 @@ object TemporalQueries {
         "lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n FROM daily) " +
         "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, prev_n, " +
         "round((CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE)) / CAST(prev_n AS DOUBLE), 6) AS pct_change " +
-        "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, day"))
+        "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, day")),
+
+    // Regular-grid hourly resample with forward fill: empty bins
+    // materialized (n = 0), last observed value carried across gaps.
+    // Bin frame = ONE map-side-combined shuffle; grid explodes off the
+    // per-key span frame (domain-bounded); fill window bounded by bin
+    // count, not rows.
+    Q("q_ts_resample",
+      (s, d) => Temporal.resample(ev(s, d), "event_type", "ts", "value",
+          unit = "hour")
+        .orderBy("event_type", "bin"),
+      Some(Temporal.resampleSql("events", "event_type", "ts", "value",
+        unit = "hour")))
   )
 }

@@ -197,4 +197,25 @@ class TemporalSpec extends SparkSpec {
       }
     }
   }
+
+  test("resample materializes empty bins and forward-fills across gaps") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key a: hours 10, 13 (two-hour gap); key b: hour 10 only
+    val df = Seq(
+      ("a", ts("2020-01-01 10:05:00"), 1.0),
+      ("a", ts("2020-01-01 10:40:00"), 3.0), // same bin, max wins
+      ("a", ts("2020-01-01 13:10:00"), 7.0),
+      ("b", ts("2020-01-01 10:59:00"), 5.0))
+      .toDF("k", "ts", "value")
+    val got = Temporal.resample(df, "k", "ts", "value", unit = "hour")
+      .orderBy("k", "bin").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", "2020-01-01 10:00:00.0", 2L, 3.0),
+      ("a", "2020-01-01 11:00:00.0", 0L, 3.0), // gap bin, filled
+      ("a", "2020-01-01 12:00:00.0", 0L, 3.0), // gap bin, filled
+      ("a", "2020-01-01 13:00:00.0", 1L, 7.0),
+      ("b", "2020-01-01 10:00:00.0", 1L, 5.0)))
+  }
 }
