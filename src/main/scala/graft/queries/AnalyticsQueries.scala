@@ -380,6 +380,14 @@ object AnalyticsQueries {
     // replicated salts×). Salting only changes partitioning, never the
     // result — so the oracle is the PLAIN join, which is the point: the
     // hash compare proves the technique is invisible to semantics.
+    // Join-key skew diagnostics: one row of concentration measures over
+    // the lineitem join key (exact integer moments, IEEE ratios) — the
+    // decide-before-salting gate for q_salted_join.
+    Q("q_skew_stats",
+      (s, d) => graft.operators.SkewOps.keySkew(
+        Tables.load(s, d, "lineitem"), "l_orderkey"),
+      Some(graft.operators.SkewOps.keySkewSql("lineitem", "l_orderkey"))),
+
     Q("q_salted_join",
       (s, d) => {
         val li = Tables.load(s, d, "lineitem")

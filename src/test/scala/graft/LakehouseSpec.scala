@@ -370,4 +370,25 @@ class LakehouseSpec extends SparkSpec {
       (1L, "d e f g", 4L),
       (2L, "g", 1L)))
   }
+
+  test("keySkew: uniform keys score low, a hot key drives every measure up") {
+    import spark.implicits._
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // uniform: 10 keys x 10 rows
+    val uni = (1 to 100).map(i => (i % 10).toLong).toDF("k")
+    val u = graft.operators.SkewOps.keySkew(uni, "k").head
+    assert((u.getLong(0), u.getLong(1), u.getLong(2)) === ((100L, 10L, 10L)))
+    assert(u.getDouble(3) === 0.1) // top1_share = 1/n_keys
+    assert(u.getDouble(4) === 0.1) // hhi = 1/n_keys when uniform
+    assert(u.getDouble(5) === 0.0) // cv = 0 when uniform
+    // skewed: one key holds 91 of 100 rows (tail keys disjoint from 7)
+    val skew = ((1 to 91).map(_ => 7L) ++ (10 to 18).map(_.toLong)).toDF("k")
+    val s = graft.operators.SkewOps.keySkew(skew, "k").head
+    assert((s.getLong(0), s.getLong(1), s.getLong(2)) === ((100L, 10L, 91L)))
+    assert(s.getDouble(3) === 0.91)
+    val ss = (91.0 * 91 + 9).toLong
+    assert(s.getDouble(4) === r6(ss.toDouble / (100.0 * 100.0)))
+    assert(s.getDouble(5) === r6(math.sqrt(10.0 * ss - 100.0 * 100.0) / 100.0))
+    assert(s.getDouble(4) > u.getDouble(4) && s.getDouble(5) > u.getDouble(5))
+  }
 }

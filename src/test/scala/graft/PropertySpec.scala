@@ -6,9 +6,11 @@ import org.scalacheck.{Gen, Prop}
 import graft.functions.{GeoFunctions, TextFunctions}
 import graft.plans.Kernels
 
-/** Property-based checks (fixed seeds via scalacheck defaults): the native
-  * kernels against independent Scala models over randomized inputs —
-  * coverage the example-based specs can't reach. */
+/** Property-based checks: the native kernels against independent Scala
+  * models over randomized inputs — coverage the example-based specs can't
+  * reach. Seeds are random per run (deliberate: each run explores new
+  * inputs); a reported counterexample is re-runnable via the shrunk arg
+  * printed in the failure. */
 class PropertySpec extends SparkSpec {
 
   private def check(p: Prop): Unit = {
