@@ -41,9 +41,14 @@ object Dedup {
     *   hot bucket is |bucket|² pairs in a single task. Recall is lost ONLY
     *   inside over-cap buckets — cap >= every bucket size is bit-identical
     *   to exact LSH (spec-proven), and truncated members stay pairable
-    *   through their other bands. When the goal is grouping rather than
-    *   pairwise scoring, use [[lshStarEdges]] + connectedComponents:
-    *   exact semantics, linear in bucket size, no cap needed. */
+    *   through their other bands. The recall bill is CORPUS-DEPENDENT and
+    *   can be total for dups living inside one hot bucket — measure it
+    *   with [[lshRecall]] whenever the cap or banding changes (on the
+    *   synthetic corpus, cap 64 loses all six J ≥ 0.95 pairs). When the
+    *   goal is grouping rather than pairwise scoring, use
+    *   [[lshStarEdges]] + connectedComponents: exact semantics, linear
+    *   in bucket size, no cap needed — the audit's recall_cluster
+    *   measures that path keeping them. */
   /** Shared (id, keys, band, bkey) banding frame: token codes materialize
     * in their own projection so the O(chars) fold runs once per doc, not
     * once per signature component. Single source of the signature/banding
@@ -101,6 +106,78 @@ object Dedup {
         // bands * maxBucket^2 per bucket — still never the all-pairs set.
         joined.select(col("x.id").as("a"), col("y.id").as("b")).distinct()
     }
+  }
+
+  /** LSH recall audit — the honesty metric for the whole near-dup stack:
+    * of the pairs EXACT n-gram Jaccard calls duplicates (computed
+    * exhaustively inside blocking keys, the q_edit_verify stance), what
+    * fraction does each production path surface?
+    *
+    *  - `recall_pairs`: the skew-capped PAIRWISE candidates
+    *    ([[minhashCandidates]] with `maxBucket`). The cap bounds the
+    *    hottest bucket's cost at cap² but loses every pair whose BOTH
+    *    members rank past the cap in ALL their shared buckets — on a
+    *    boilerplate-heavy corpus the true dups often sit exactly there
+    *    (measured on the synthetic corpus: 0/6 at cap 64, because all
+    *    six J ≥ 0.95 pairs live inside one 388-doc bucket).
+    *  - `recall_cluster`: the CAPLESS star-contraction path
+    *    ([[lshStarEdges]] → components, cost LINEAR in bucket size) —
+    *    a truth pair counts when both ends land in one component. This
+    *    is the path that keeps hot-bucket dups at scale, and the audit
+    *    proves it on the same corpus (5/6; the residual miss is a
+    *    genuine probabilistic LSH miss — absent from the uncapped
+    *    pairwise set too — not cap loss).
+    *
+    * Run at test scale whenever k/bands/maxBucket change: the S-curve
+    * predicts recall at a given Jaccard; this measures it on YOUR corpus.
+    *
+    * Scale shape: ground truth is block-bounded quadratic — the explicit
+    * `pairParts` repartition exempts the CPU-heavy/byte-tiny pair stage
+    * from AQE one-task coalescing (the q_edit_verify lesson); the gram
+    * frame is materialized once and read by both join sides. Output: one
+    * row (n_truth, n_candidates, n_hit_pairs, recall_pairs,
+    * n_hit_cluster, recall_cluster). */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String,
+                blockCols: Seq[String], n: Int = 3, tau: Double = 0.3,
+                k: Int = 16, bands: Int = 4, maxBucket: Option[Int] = None,
+                pairParts: Int = 64): DataFrame = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val g = df.select(col(idCol).as("id") +:
+        struct(blockCols.map(col): _*).as("blk") +:
+        Seq(TextFunctions.ngramHashes(col(textCol), n).as("grams")): _*)
+      .localCheckpoint()
+    val inter = PlanBridge.column(graft.plans.Exprs.SortedIntersectSizeLong(
+      PlanBridge.expression(col("x.grams")),
+      PlanBridge.expression(col("y.grams"))))
+    val truth = g.as("x").join(g.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .repartition(pairParts)
+      .select(col("x.id").as("a"), col("y.id").as("b"), inter.as("inter"),
+        size(col("x.grams")).cast("long").as("na"),
+        size(col("y.grams")).cast("long").as("nb"))
+      .filter(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double") >= tau)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    val cand = minhashCandidates(df, idCol, textCol, k, bands, maxBucket)
+      .localCheckpoint()
+    val comps = connectedComponents(lshStarEdges(df, idCol, textCol, k, bands))
+    val clusterHit = truth
+      .join(comps.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+      .join(comps.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+    val rp = round(col("n_hit_pairs").cast("double") /
+      col("n_truth").cast("double"), 6)
+    val rc = round(col("n_hit_cluster").cast("double") /
+      col("n_truth").cast("double"), 6)
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(truth.join(cand, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_pairs")))
+      .crossJoin(clusterHit.agg(count(lit(1)).as("n_hit_cluster")))
+      .select(col("n_truth"), col("n_candidates"),
+        col("n_hit_pairs"), rp.as("recall_pairs"),
+        col("n_hit_cluster"), rc.as("recall_cluster"))
   }
 
   /** Star-contracted LSH edge list for clustering: every (band, key)

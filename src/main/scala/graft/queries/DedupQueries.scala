@@ -172,6 +172,62 @@ object DedupQueries {
           "CAST(len(list_distinct(list_concat(x.grams, y.grams))) AS BIGINT), 6) AS jaccard " +
           "FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id " +
           "ORDER BY a, b"
+      }),
+
+    // LSH recall audit: of the pairs EXACT trigram Jaccard (>= 0.3,
+    // computed exhaustively inside lang blocks) calls duplicates, what
+    // fraction does each production path surface? recall_pairs = the
+    // skew-capped pairwise candidates (0/6 here — all six J>=0.95 dups
+    // sit past the cap inside one 388-doc boilerplate bucket: the cap's
+    // cost bound is real and so is its recall bill); recall_cluster =
+    // the capless star-contraction components (5/6, cost linear in
+    // bucket size — the path that keeps hot-bucket dups at scale; the
+    // residual miss is a genuine probabilistic LSH miss, absent from
+    // the uncapped pairwise set too). One
+    // row, fully hash-verified: truth set, candidate set AND components
+    // rebuild identically in DuckDB.
+    Q("q_lsh_recall",
+      (s, d) => Dedup.lshRecall(docs(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 3, tau = 0.3,
+        k = 16, bands = 4, maxBucket = Some(64)),
+      Some {
+        val grams = s"list_distinct(${ngramsSql("t", 3)})"
+        s"WITH RECURSIVE tk AS (SELECT doc_id, lang, ${tokensSql("text")} AS t FROM documents), " +
+          s"g AS (SELECT doc_id AS id, lang, $grams AS grams FROM tk), " +
+          "p AS (SELECT x.id AS a, y.id AS b, " +
+          "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter, " +
+          "CAST(len(x.grams) AS BIGINT) AS na, CAST(len(y.grams) AS BIGINT) AS nb " +
+          "FROM g x JOIN g y ON x.lang = y.lang AND x.id < y.id), " +
+          "truth AS (SELECT a, b FROM p WHERE " +
+          "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.3), " +
+          s"bands AS (${mhBandsSql(16, 4)}), " +
+          "capped AS (SELECT doc_id, band, bkey FROM " +
+          "(SELECT doc_id, band, bkey, row_number() OVER " +
+          "(PARTITION BY band, bkey ORDER BY doc_id) AS rn FROM bands) " +
+          "WHERE rn <= 64), " +
+          "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM capped x " +
+          "JOIN capped y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+          "hitp AS (SELECT truth.a, truth.b FROM truth " +
+          "JOIN cand ON truth.a = cand.a AND truth.b = cand.b), " +
+          // capless star edges -> BFS reachability -> component min per
+          // node (the q_dedup_clusters oracle pattern, 16/4 banding)
+          "stars AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS bmin FROM bands), " +
+          "e0 AS (SELECT DISTINCT doc_id AS src, bmin AS dst FROM stars WHERE doc_id <> bmin), " +
+          "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), " +
+          "reach(id, m) AS (SELECT DISTINCT src AS id, src AS m FROM edges " +
+          "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m), " +
+          "comps AS (SELECT id, min(m) AS comp FROM reach GROUP BY id), " +
+          "hitc AS (SELECT truth.a, truth.b FROM truth " +
+          "JOIN comps x ON truth.a = x.id JOIN comps y ON truth.b = y.id " +
+          "WHERE x.comp = y.comp) " +
+          "SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM hitp) AS n_hit_pairs, " +
+          "round(CAST((SELECT count(*) FROM hitp) AS DOUBLE) / " +
+          "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall_pairs, " +
+          "(SELECT CAST(count(*) AS BIGINT) FROM hitc) AS n_hit_cluster, " +
+          "round(CAST((SELECT count(*) FROM hitc) AS DOUBLE) / " +
+          "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall_cluster"
       })
   )
 }

@@ -261,4 +261,44 @@ class DedupSpec extends SparkSpec {
       assert(got((a, b)) === lev(texts(a), texts(b)), s"pair ($a,$b)")
     }
   }
+
+  test("lshRecall == brute-force truth vs candidate-set audit") {
+    val (n, tau) = (3, 0.3)
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = docs.select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val gramSets = rows.map { case (id, _, t) =>
+      id -> t.split(" ", -1).sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val truth = (for {
+      (a, la, _) <- rows; (b, lb, _) <- rows
+      if la == lb && a < b
+      inter = (gramSets(a) intersect gramSets(b)).size
+      if inter.toDouble / (gramSets(a).size + gramSets(b).size - inter) >= tau
+    } yield (a, b)).toSet
+    val cand = graft.operators.Dedup.minhashCandidates(
+        docs, "doc_id", "text", k = 16, bands = 4, maxBucket = Some(64))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.count(cand.contains)
+    val comps = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.lshStarEdges(docs, "doc_id", "text", 16, 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hitC = truth.count { case (a, b) =>
+      comps.contains(a) && comps.get(a) == comps.get(b)
+    }
+    val row = graft.operators.Dedup.lshRecall(docs, "doc_id", "text",
+      blockCols = Seq("lang"), n = n, tau = tau,
+      k = 16, bands = 4, maxBucket = Some(64)).head
+    assert(row.getLong(0) === truth.size.toLong)
+    assert(row.getLong(1) === cand.size.toLong)
+    assert(row.getLong(2) === hit.toLong)
+    assert(row.getDouble(3) === r6(hit.toDouble / truth.size.toDouble))
+    assert(row.getLong(4) === hitC.toLong)
+    assert(row.getDouble(5) === r6(hitC.toDouble / truth.size.toDouble))
+    assert(truth.nonEmpty, "audit needs a non-empty ground-truth set")
+    // the capless cluster path must never trail the capped pairwise path
+    assert(row.getLong(4) >= row.getLong(2))
+  }
 }
