@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{col, lead, lit, row_number}
 
 /** gedixr `merge_gdf` re-expressed (reference: gedixr/xr.py:56-112): a
   * suffix join of the L2A and L2B frames on a composite key (the reference
@@ -143,5 +143,52 @@ object MergeOps {
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1)
       .drop(rn)
+  }
+
+  /** CDC apply — [[latestWinsMerge]] extended with DELETES (the full
+    * Debezium/Delta `MERGE` semantics): `log` carries (keys, version,
+    * opCol ∈ {I, U, D}, payload); the result is the base upserted with
+    * each key's LATEST log op, with keys whose latest op is a delete
+    * dropped entirely. A delete superseded by a later insert correctly
+    * resurrects the key — op precedence is purely by version order.
+    *
+    * Scale shape: identical to latestWinsMerge — ONE key shuffle for
+    * the window; base rows tagged as version −∞ via a literal so the
+    * union stays a single frame (no anti-join pass over base). With
+    * base bucketed by key, only the log shuffles (merge-on-read
+    * economics). `version` columns must totally order ops per key. */
+  def cdcApply(base: DataFrame, log: DataFrame, keys: Seq[String],
+               version: Seq[String], opCol: String): DataFrame = {
+    val all = base.columns ++ log.columns
+    val rn = Cols.fresh("_cdc_rn", all)
+    val isBase = Cols.fresh("_cdc_base", all)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      // base sorts after every log row at equal version; a real log has
+      // versions above the base snapshot's anyway
+      .orderBy(version.map(col(_).desc) :+ col(isBase).asc: _*)
+    base.withColumn(opCol, lit("I")).withColumn(isBase, lit(1))
+      .unionByName(log.withColumn(isBase, lit(0)))
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1 && col(opCol) =!= "D")
+      .drop(rn, isBase, opCol)
+  }
+
+  /** SCD type-2 dimension build: turn a change log into validity
+    * intervals — per key, each version becomes a row with
+    * `valid_from` = its version timestamp, `valid_to` = the NEXT
+    * version's (null while current) and an `is_current` flag. The
+    * point-in-time join every warehouse dimension needs ("what was this
+    * customer's segment when the order shipped") then composes with the
+    * existing range/as-of joins.
+    *
+    * Scale shape: ONE key shuffle; `lead` over the per-key window is
+    * narrow after it; interval columns are pure projections. */
+  def scd2(log: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    log.withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

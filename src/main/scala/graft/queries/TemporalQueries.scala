@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Temporal
+import graft.operators.{MergeOps, Temporal}
 
 /** SURVEY §2.2 additions — temporal/OLAP operators: as-of join,
   * sessionization (batch form), rollup subtotals, pivot. Each with a full
@@ -368,6 +368,50 @@ object TemporalQueries {
         "SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, prev_n, " +
         "round((CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE)) / CAST(prev_n AS DOUBLE), 6) AS pct_change " +
         "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, day")),
+
+    // CDC apply: base snapshot upserted with each key's LATEST log op
+    // (I/U/D by version order; latest-D keys dropped, later-I
+    // resurrects). One key shuffle; base tie-sorts after log rows.
+    Q("q_cdc_apply",
+      (s, d) => {
+        val e = ev(s, d)
+        val k = (col("user_id") % 100).as("k")
+        val base = e.filter(col("event_id") % 5 === 0)
+          .select(k, col("event_id").as("ver"), col("value"))
+        val log = e.filter(col("event_id") % 5 =!= 0)
+          .select(k, col("event_id").as("ver"), col("value"),
+            when(col("event_id") % 7 === 0, "D")
+              .when(col("event_id") % 3 === 0, "I")
+              .otherwise("U").as("op"))
+        MergeOps.cdcApply(base, log, Seq("k"), Seq("ver"), "op")
+          .orderBy("k")
+      },
+      Some("WITH base AS (SELECT user_id % 100 AS k, event_id AS ver, value, " +
+        "'I' AS op, 1 AS isb FROM events WHERE event_id % 5 = 0), " +
+        "log AS (SELECT user_id % 100 AS k, event_id AS ver, value, " +
+        "CASE WHEN event_id % 7 = 0 THEN 'D' WHEN event_id % 3 = 0 THEN 'I' " +
+        "ELSE 'U' END AS op, 0 AS isb FROM events WHERE event_id % 5 <> 0), " +
+        "u AS (SELECT k, ver, value, op, isb FROM base " +
+        "UNION ALL SELECT k, ver, value, op, isb FROM log), " +
+        "r AS (SELECT k, ver, value, op, row_number() OVER " +
+        "(PARTITION BY k ORDER BY ver DESC, isb ASC) AS rn FROM u) " +
+        "SELECT k, ver, value FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k")),
+
+    // SCD type-2 dimension build: change log → validity intervals
+    // (valid_from/valid_to/is_current via per-key lead) — the
+    // point-in-time dimension the as-of/range joins consume.
+    Q("q_scd2",
+      (s, d) => MergeOps.scd2(
+          ev(s, d).select((col("user_id") % 50).as("k"), col("ts"),
+            col("event_type")),
+          Seq("k"), "ts")
+        .select(col("k"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy("k", "valid_from"),
+      Some("SELECT user_id % 50 AS k, event_type, ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts) AS valid_to, " +
+        "(lead(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts) IS NULL) AS is_current " +
+        "FROM events ORDER BY k, valid_from")),
 
     // Regular-grid hourly resample with forward fill: empty bins
     // materialized (n = 0), last observed value carried across gaps.

@@ -371,6 +371,52 @@ class LakehouseSpec extends SparkSpec {
       (2L, "g", 1L)))
   }
 
+  test("cdcApply: latest op wins, deletes drop keys, later inserts resurrect") {
+    import spark.implicits._
+    val base = Seq((1L, 0L, 10.0), (2L, 0L, 20.0), (3L, 0L, 30.0))
+      .toDF("k", "ver", "value")
+    val log = Seq(
+      (1L, 5L, 11.0, "U"),  // update key 1
+      (2L, 3L, 0.0, "D"),   // delete key 2
+      (3L, 2L, 0.0, "D"),   // delete key 3 ...
+      (3L, 7L, 33.0, "I"),  // ... then resurrect it
+      (4L, 1L, 40.0, "I"),  // brand-new key
+      (4L, 2L, 41.0, "U"))  // updated in the same batch
+      .toDF("k", "ver", "value", "op")
+    val got = graft.operators.MergeOps
+      .cdcApply(base, log, Seq("k"), Seq("ver"), "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 5L, 11.0), (3L, 7L, 33.0), (4L, 2L, 41.0)))
+  }
+
+  test("scd2: per-key validity intervals chain and exactly one current row") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      (1L, ts("2020-01-01 00:00:00"), "bronze"),
+      (1L, ts("2020-02-01 00:00:00"), "silver"),
+      (1L, ts("2020-03-01 00:00:00"), "gold"),
+      (2L, ts("2020-01-15 00:00:00"), "bronze"))
+      .toDF("k", "ts", "segment")
+    val got = graft.operators.MergeOps.scd2(log, Seq("k"), "ts")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        Option(r.getTimestamp(4)).map(_.toString).orNull, r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, "bronze", "2020-02-01 00:00:00.0", false),
+      (1L, "silver", "2020-03-01 00:00:00.0", false),
+      (1L, "gold", null, true),
+      (2L, "bronze", null, true)))
+    // intervals chain: each valid_to equals the next row's valid_from
+    val k1 = graft.operators.MergeOps.scd2(log, Seq("k"), "ts")
+      .filter(col("k") === 1L).orderBy("valid_from").collect()
+    k1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(4) === b.getTimestamp(3))
+    case _ => ()
+    }
+  }
+
   test("keySkew: uniform keys score low, a hot key drives every measure up") {
     import spark.implicits._
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
