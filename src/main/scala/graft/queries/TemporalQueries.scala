@@ -413,6 +413,39 @@ object TemporalQueries {
         "(lead(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts) IS NULL) AS is_current " +
         "FROM events ORDER BY k, valid_from")),
 
+    // Point-in-time join over the SCD2 dimension: each fact (ts shifted
+    // +30 min so it lands inside intervals) picks the segment version
+    // valid at its timestamp. Equi-key join (SMJ/hash on k) + residual
+    // interval predicate — per-key work bounded by that key's version
+    // count, never quadratic.
+    Q("q_pit_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val dim = MergeOps.scd2(
+          e.select((col("user_id") % 50).as("k"), col("ts"),
+            col("event_type")),
+          Seq("k"), "ts")
+          .select(col("k"), col("event_type").as("segment"),
+            col("valid_from"), col("valid_to"))
+        val facts = e.select(col("event_id"),
+          (col("user_id") % 50).as("k"),
+          (col("ts") + expr("interval 30 minutes")).as("fts"))
+        facts.join(dim, Seq("k"))
+          .filter(col("fts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("fts") < col("valid_to")))
+          .select(col("event_id"), col("k"), col("segment"))
+          .orderBy("event_id")
+      },
+      Some("WITH dim AS (SELECT user_id % 50 AS k, event_type AS segment, " +
+        "ts AS valid_from, " +
+        "lead(ts) OVER (PARTITION BY user_id % 50 ORDER BY ts) AS valid_to " +
+        "FROM events), " +
+        "facts AS (SELECT event_id, user_id % 50 AS k, " +
+        "ts + INTERVAL 30 MINUTE AS fts FROM events) " +
+        "SELECT event_id, facts.k, segment FROM facts JOIN dim " +
+        "ON facts.k = dim.k AND fts >= valid_from " +
+        "AND (valid_to IS NULL OR fts < valid_to) ORDER BY event_id")),
+
     // Regular-grid hourly resample with forward fill: empty bins
     // materialized (n = 0), last observed value carried across gaps.
     // Bin frame = ONE map-side-combined shuffle; grid explodes off the

@@ -198,6 +198,25 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("PIT join: each fact matches exactly the interval containing it") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dim = graft.operators.MergeOps.scd2(
+      Seq((1L, ts("2020-01-01 00:00:00"), "bronze"),
+        (1L, ts("2020-02-01 00:00:00"), "silver"))
+        .toDF("k", "ts", "segment"),
+      Seq("k"), "ts")
+    val facts = Seq((100L, 1L, ts("2020-01-15 00:00:00")),
+      (101L, 1L, ts("2020-03-15 00:00:00")),
+      (102L, 1L, ts("2019-12-15 00:00:00"))) // before first version
+      .toDF("event_id", "k", "fts")
+    val got = facts.join(dim, Seq("k"))
+      .filter(col("fts") >= col("valid_from") &&
+        (col("valid_to").isNull || col("fts") < col("valid_to")))
+      .select("event_id", "segment").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(100L -> "bronze", 101L -> "silver"))
+  }
+
   test("resample materializes empty bins and forward-fills across gaps") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     // key a: hours 10, 13 (two-hour gap); key b: hour 10 only
