@@ -12,27 +12,6 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Exact triangle count + global clustering coefficient of an
-    * undirected graph given as an edge list (any orientation/dups — the
-    * edge set is canonicalized first).
-    *
-    * The compute-bounding trick is orientation: every triangle x<y<z is
-    * counted exactly once by joining oriented edges (x,y)⋈(y,z) into
-    * wedges and semi-joining the closing edge (x,z) — three shuffles on
-    * 8-byte vertex keys, never an all-pairs step. Wedge totals come from
-    * the degree frame (Σ deg·(deg−1)/2, exact integers). The canonical
-    * edge set is localCheckpoint-ed: four downstream aggregates read the
-    * materialized edges instead of re-deriving the (possibly expensive)
-    * candidate-pair lineage; on a cluster that is a reliable-storage
-    * checkpoint. For skewed degree distributions the standard refinement
-    * is degree orientation (low-degree endpoint first), which bounds the
-    * per-vertex wedge fan-out by arboricity without changing the count —
-    * id orientation keeps the oracle tree identical, which is what makes
-    * the result hash-verifiable.
-    *
-    * Output: one row (n_vertices, n_edges, n_wedges, n_triangles,
-    * clustering_coeff = 3·triangles/wedges).
-    */
   /** PageRank by power iteration over a directed edge list (source/domain
     * authority scoring — the quality prior CommonCrawl-style curation
     * feeds into mix weights). Fixed `iters` rounds of
@@ -51,6 +30,10 @@ object GraphOps {
     * only; for a web-scale graph where that set is itself huge, give
     * dangling pages a self-loop at build time instead (changes the
     * stationary distribution, documented trade-off).
+    *
+    * Nulls: an edge with a null endpoint is dropped by the self-loop
+    * filter (null comparisons are not-true) — both engines agree; pass a
+    * clean edge list if null endpoints should error instead.
     *
     * Output: (node, pagerank) — pagerank rounded to 6, sums to ~1. */
   def pageRank(edges0: DataFrame, iters: Int = 3, damping: Double = 0.85,
@@ -139,6 +122,27 @@ object GraphOps {
       s"SELECT v AS node, round(r, 6) AS pagerank FROM r$iters ORDER BY node"
   }
 
+  /** Exact triangle count + global clustering coefficient of an
+    * undirected graph given as an edge list (any orientation/dups — the
+    * edge set is canonicalized first).
+    *
+    * The compute-bounding trick is orientation: every triangle x<y<z is
+    * counted exactly once by joining oriented edges (x,y)⋈(y,z) into
+    * wedges and semi-joining the closing edge (x,z) — three shuffles on
+    * 8-byte vertex keys, never an all-pairs step. Wedge totals come from
+    * the degree frame (Σ deg·(deg−1)/2, exact integers). The canonical
+    * edge set is localCheckpoint-ed: four downstream aggregates read the
+    * materialized edges instead of re-deriving the (possibly expensive)
+    * candidate-pair lineage; on a cluster that is a reliable-storage
+    * checkpoint. For skewed degree distributions the standard refinement
+    * is degree orientation (low-degree endpoint first), which bounds the
+    * per-vertex wedge fan-out by arboricity without changing the count —
+    * id orientation keeps the oracle tree identical, which is what makes
+    * the result hash-verifiable.
+    *
+    * Output: one row (n_vertices, n_edges, n_wedges, n_triangles,
+    * clustering_coeff = 3·triangles/wedges).
+    */
   def triangleStats(edges0: DataFrame,
                     aCol: String = "a", bCol: String = "b"): DataFrame = {
     val e = edges0

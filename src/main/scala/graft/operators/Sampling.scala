@@ -104,7 +104,10 @@ object Sampling {
     * membership is independent of [[stratified]]'s keep-decision buckets
     * (same id hashed untagged) — otherwise "sampled at < 50%" would
     * correlate with "lands in train". Narrow, zero-shuffle, scan-stage
-    * CASE over a plan-time band table: at 100 TB this is a free column. */
+    * CASE over a plan-time band table: at 100 TB this is a free column.
+    * Ids must be non-null: a null id hashes to null and the band CASE
+    * falls through to the LAST band — deterministic but almost never
+    * intended; filter or coalesce ids upstream. */
   def hashSplit(df: DataFrame, idCol: String,
                 splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum == 100,

@@ -938,8 +938,12 @@ object TextOps {
   def klDrift(df: DataFrame, groupCol: String, textCol: String,
               topV: Int = 200, alpha: Double = 0.5): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(groupCol).as("grp"),
-      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    // null groups are excluded OUTRIGHT (mutualInfo stance): a null grp
+    // would miss the grid's equi-join yet still inflate the corpus
+    // totals, silently mis-normalizing Q on both engines at once
+    val toks = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
     // Spark does not CSE DataFrame subtrees (the r6 materialization
     // rule): everything below derives from the (grp, term) count frame —
     // group-term-bounded, far smaller than the corpus — materialized
@@ -993,7 +997,8 @@ object TextOps {
     * other-bucket → smoothed ordered-fold tree. */
   def klDriftSql(groupCol: String, topV: Int, alpha: Double): String = {
     val toks = TextFunctions.tokensSql("text")
-    s"WITH toks AS (SELECT $groupCol AS grp, unnest($toks) AS term FROM documents), " +
+    s"WITH toks AS (SELECT $groupCol AS grp, unnest($toks) AS term " +
+      s"FROM documents WHERE $groupCol IS NOT NULL), " +
       "cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term), " +
       s"top AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank " +
       s"FROM (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT $topV)), " +
