@@ -156,6 +156,42 @@ object EventStreams {
     * one are pruned after the swap. */
   def upsertParquet(df: DataFrame, stateDir: String, checkpointDir: String,
                     keys: Seq[String], version: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(df, stateDir, checkpointDir) { (base, batch) =>
+      graft.operators.MergeOps.latestWinsMerge(base, batch, keys, version)
+    }
+
+  /** Streaming CDC apply: [[upsertParquet]] with DELETE semantics — each
+    * micro-batch is an I/U/D change log folded into the snapshot via
+    * [[graft.operators.MergeOps.cdcApply]] (the streaming form of
+    * q_cdc_apply: a continuously maintained table under a Debezium-style
+    * feed). Replay-idempotent for the same reason latest-wins is: after a
+    * batch lands, the state already reflects its newest per-key ops, and
+    * re-applying them (including deletes of now-absent keys — the window
+    * sees only the log rows again, D still wins) reproduces the same
+    * state. Same snapshot-then-swap durability as upsertParquet.
+    *
+    * The base snapshot carries no op column; cdcApply stamps it 'I' and
+    * tie-sorts it after log rows, so the log's ops always take
+    * precedence at equal version. */
+  def cdcParquet(df: DataFrame, stateDir: String, checkpointDir: String,
+                 keys: Seq[String], version: Seq[String],
+                 opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(df, stateDir, checkpointDir) { (base, batch) =>
+      // the snapshot lacks the op column (cdcApply drops it): fold with
+      // the base AS state and the batch AS log
+      graft.operators.MergeOps.cdcApply(
+        base.drop(opCol), batch, keys, version, opCol)
+    }
+
+  /** Shared crash-safe snapshot fold: run `merge(currentState, batch)`
+    * per micro-batch and land the result as a fresh `snap-<batchId>`
+    * directory + atomic `_LATEST` marker swap (see [[upsertParquet]]'s
+    * durability scaladoc — every crash point leaves a complete,
+    * discoverable snapshot). The merge result is materialized BEFORE the
+    * write because on a replay the plan may read the very snapshot
+    * directory it replaces. */
+  private def snapshotFold(df: DataFrame, stateDir: String, checkpointDir: String)
+                          (merge: (DataFrame, DataFrame) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -168,11 +204,10 @@ object EventStreams {
         val fs = fsFor(spark, root)
         val base = latestSnapshot(spark, stateDir)
           .map(p => spark.read.parquet(p.toString))
-          .getOrElse(batch.limit(0))
+          .getOrElse(merge(batch.toDF().limit(0), batch.toDF()).limit(0))
         // materialized (localCheckpoint) before writing: on a replay the
         // merge plan may read the very snapshot directory it overwrites
-        val merged = graft.operators.MergeOps
-          .latestWinsMerge(base, batch.toDF(), keys, version)
+        val merged = merge(base, batch.toDF())
           .localCheckpoint()
         try {
           val snapName = f"$SnapPrefix$batchId%020d"

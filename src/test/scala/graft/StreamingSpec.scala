@@ -384,6 +384,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch CDC maintains state with deletes and resurrection across batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    // (k, ver, value, op) — the q_cdc_apply shape
+    val input = MemoryStream[(Long, Long, Double, String)]
+    val q = EventStreams.cdcParquet(
+      input.toDF().toDF("k", "ver", "value", "op"),
+      s"$dir/state", s"$dir/ckpt",
+      keys = Seq("k"), version = Seq("ver"), opCol = "op")
+    def state(): Map[Long, (Long, Double)] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    try {
+      input.addData((1L, 1L, 10.0, "I"), (2L, 1L, 20.0, "I"))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> (1L, 10.0), 2L -> (1L, 20.0)))
+      // batch 2: update key 1, delete key 2, insert key 3
+      input.addData((1L, 2L, 11.0, "U"), (2L, 2L, 0.0, "D"), (3L, 2L, 30.0, "I"))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> (2L, 11.0), 3L -> (2L, 30.0)))
+      // batch 3: resurrect key 2; stale delete for key 3 (older ver) loses
+      input.addData((2L, 3L, 22.0, "I"), (3L, 1L, 0.0, "D"))
+      q.processAllAvailable()
+      assert(state() === Map(1L -> (2L, 11.0), 2L -> (3L, 22.0), 3L -> (2L, 30.0)))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
