@@ -54,6 +54,15 @@ import graft.sources.Manifest
   *   collocations --input P --output P --id c --text c
   *             [--min-count 3] [--k 20]
   *   profile   --input P --output P
+  *   urldedup  --input P --output P --url c [--id c -> elect per canonical]
+  *   split     --input P --output P --id c [--bands train=90,val=5,test=5]
+  *   pagerank  --input P --output P [--iters 3] [--damping 0.85]
+  *             [--src src] [--dst dst]
+  *   cdc       --base P --updates P --output P --keys k1,k2 --version v
+  *             [--op op]
+  *   scd2      --input P --output P --keys k1,k2 --ts c
+  *   resample  --input P --output P --key c --ts c --value c [--unit hour]
+  *   skewstats --input P --output P --key c
   */
 object Cli {
 
@@ -62,7 +71,7 @@ object Cli {
       "usage: <ingest|pipeline|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
         "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
-        "split|pagerank> --opt v ...")
+        "split|pagerank|cdc|scd2|resample|skewstats> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -379,6 +388,26 @@ object Cli {
           opts.getOrElse("iters", "3").toInt,
           opts.getOrElse("damping", "0.85").toDouble,
           opts.getOrElse("src", "src"), opts.getOrElse("dst", "dst")))
+
+      case "cdc" =>
+        // --base snapshot parquet, --updates change-log parquet with an
+        // --op column ("log" is taken by the run-log flag)
+        write(MergeOps.cdcApply(in("base"), in("updates"),
+          opts("keys").split(",").toSeq, opts("version").split(",").toSeq,
+          opts.getOrElse("op", "op")))
+
+      case "scd2" =>
+        write(MergeOps.scd2(in("input"),
+          opts("keys").split(",").toSeq, opts("ts")))
+
+      case "resample" =>
+        write(Temporal.resample(
+          Tables.normalizeNanosTs(in("input"), opts("ts")),
+          opts("key"), opts("ts"), opts("value"),
+          opts.getOrElse("unit", "hour")))
+
+      case "skewstats" =>
+        write(graft.operators.SkewOps.keySkew(in("input"), opts("key")))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -332,4 +332,45 @@ class CliSpec extends SparkSpec {
     assert(pgGot.keySet === Set(1L, 2L, 3L))
     pgGot.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-6))
   }
+
+  test("cli cdc/scd2/resample/skewstats wire the late-round-7 operators") {
+    import spark.implicits._
+    val base = tmp() + "/base"
+    val log = tmp() + "/log"
+    Seq((1L, 0L, 10.0)).toDF("k", "ver", "value").write.parquet(base)
+    Seq((1L, 1L, 11.0, "U"), (2L, 1L, 20.0, "I"))
+      .toDF("k", "ver", "value", "op").write.parquet(log)
+    val cdcOut = tmp() + "/cdc"
+    Cli.run(spark, "cdc", Map("base" -> base, "updates" -> log,
+      "output" -> cdcOut, "keys" -> "k", "version" -> "ver"))
+    assert(spark.read.parquet(cdcOut).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      === Map(1L -> 11.0, 2L -> 20.0))
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dimLog = tmp() + "/dimlog"
+    Seq((1L, ts("2020-01-01 00:00:00"), "bronze"),
+      (1L, ts("2020-02-01 00:00:00"), "silver"))
+      .toDF("k", "ts", "seg").write.parquet(dimLog)
+    val scdOut = tmp() + "/scd"
+    Cli.run(spark, "scd2", Map("input" -> dimLog, "output" -> scdOut,
+      "keys" -> "k", "ts" -> "ts"))
+    val scd = spark.read.parquet(scdOut)
+    assert(scd.count() === 2 && scd.filter(col("is_current")).count() === 1)
+
+    val rsOut = tmp() + "/rs"
+    Cli.run(spark, "resample", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> rsOut,
+      "key" -> "event_type", "ts" -> "ts", "value" -> "value"))
+    val rs = spark.read.parquet(rsOut)
+    assert(rs.columns.toSeq === Seq("event_type", "bin", "n", "value_ff"))
+    assert(rs.count() > 0)
+
+    val skOut = tmp() + "/sk"
+    Cli.run(spark, "skewstats", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> skOut,
+      "key" -> "event_type"))
+    val sk = spark.read.parquet(skOut)
+    assert(sk.count() === 1 && sk.head.getLong(1) === 5L) // 5 event types
+  }
 }
