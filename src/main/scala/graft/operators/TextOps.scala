@@ -1158,8 +1158,11 @@ object TextOps {
                 budget: Long, numPartitions: Int = 8): DataFrame = {
     require(budget > 0, "shard budget must be positive")
     val W = org.apache.spark.sql.expressions.Window
+    // null weights coalesce to 0 mass (Spark's null-propagating subtract
+    // would null the shard id while SQL's null-skipping window sum would
+    // not — pin one behavior on both engines)
     val w = df.select(col(idCol).as("id"),
-        col(weightCol).cast("long").as("wt"))
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("wt"))
       .repartitionByRange(numPartitions, col("id"))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
@@ -1182,7 +1185,7 @@ object TextOps {
     * machinery, not semantics). */
   def shardPlanSql(table: String, idExpr: String, weightExpr: String,
                    budget: Long): String =
-    s"WITH w AS (SELECT $idExpr AS id, CAST($weightExpr AS BIGINT) AS wt FROM $table), " +
+    s"WITH w AS (SELECT $idExpr AS id, CAST(coalesce($weightExpr, 0) AS BIGINT) AS wt FROM $table), " +
       "c AS (SELECT id, wt, CAST(coalesce(sum(wt) OVER (ORDER BY id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev FROM w) " +
       s"SELECT id, wt, CAST(prev // $budget AS BIGINT) AS shard_id FROM c ORDER BY id"
