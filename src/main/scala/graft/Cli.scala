@@ -155,21 +155,9 @@ object Cli {
       case "ingest" =>
         // granule files -> shots parquet (fixture reader; swap point for a
         // real HDF5-backed GranuleReader — see Ingest scaladoc)
-        val months = opts.get("months").map { m =>
-          val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
-        }
-        val vars = opts.get("vars").map(_.split(",").toSeq.map { kv =>
-          val Array(o, s) = kv.split("="); (o, s)
-        })
-        val (landed, errs) = graft.sources.Ingest.ingest(
-          spark, opts("input"), opts.getOrElse("product", "L2A"),
-          opts.getOrElse("beams", "all"), vars,
-          new graft.sources.FixtureGranuleReader, months,
-          opts.get("quality").contains("1"))
+        val (landed, errs) = parseAndIngest(spark, opts)
         write(landed)
-        if (errs.value > 0)
-          System.err.println(s"[graft ingest] ${errs.value} granule errors — " +
-            "see preceding log lines")
+        reportIngestErrors(errs, "ingest")
 
       case "pipeline" =>
         // one-shot reference-parity extraction (gedixr `extract`
@@ -180,17 +168,7 @@ object Cli {
         // predicate and the ingest projections run in the SAME scan
         // stage (no parquet round-trip between stages), so granule
         // bytes are read exactly once.
-        val months = opts.get("months").map { m =>
-          val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
-        }
-        val vars = opts.get("vars").map(_.split(",").toSeq.map { kv =>
-          val Array(o, s) = kv.split("="); (o, s)
-        })
-        val (landed, errs) = graft.sources.Ingest.ingest(
-          spark, opts("input"), opts.getOrElse("product", "L2A"),
-          opts.getOrElse("beams", "all"), vars,
-          new graft.sources.FixtureGranuleReader, months,
-          opts.get("quality").contains("1"))
+        val (landed, errs) = parseAndIngest(spark, opts)
         val px = col(opts.getOrElse("x", "longitude"))
         val py = col(opts.getOrElse("y", "latitude"))
         opts.get("aoi") match {
@@ -207,9 +185,7 @@ object Cli {
               case None => landed
             })
         }
-        if (errs.value > 0)
-          System.err.println(s"[graft pipeline] ${errs.value} granule errors — " +
-            "see preceding log lines")
+        reportIngestErrors(errs, "pipeline")
 
       case "extract" =>
         var df = in("input")
@@ -411,6 +387,33 @@ object Cli {
 
       case other => sys.error(s"unknown command: $other")
     }
+
+  /** Shared ingest-option parsing + granule ingest for the `ingest` and
+    * `pipeline` commands — ONE definition of the option syntax
+    * (--months lo,hi; --vars out=layer,...; --quality 1). The error
+    * accumulator fills during the WRITE job (the ingest frame is lazy),
+    * so callers report it AFTER their action via
+    * [[reportIngestErrors]]. */
+  private def parseAndIngest(spark: SparkSession, opts: Map[String, String])
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val months = opts.get("months").map { m =>
+      val Array(lo, hi) = m.split(",").map(_.toInt); (lo, hi)
+    }
+    val vars = opts.get("vars").map(_.split(",").toSeq.map { kv =>
+      val Array(o, s) = kv.split("="); (o, s)
+    })
+    graft.sources.Ingest.ingest(
+      spark, opts("input"), opts.getOrElse("product", "L2A"),
+      opts.getOrElse("beams", "all"), vars,
+      new graft.sources.FixtureGranuleReader, months,
+      opts.get("quality").contains("1"))
+  }
+
+  private def reportIngestErrors(errs: org.apache.spark.util.LongAccumulator,
+                                 cmd: String): Unit =
+    if (errs.value > 0)
+      System.err.println(s"[graft $cmd] ${errs.value} granule errors — " +
+        "see preceding log lines")
 
   private def parseOpts(args: Array[String]): Map[String, String] =
     args.grouped(2).map {

@@ -142,7 +142,11 @@ object Dedup {
                 k: Int = 16, bands: Int = 4, maxBucket: Option[Int] = None,
                 pairParts: Int = 64): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge
-    val g = df.select(col(idCol).as("id") +:
+    // null block keys are excluded on BOTH engines: Spark's struct
+    // equality would pair null-keyed docs while SQL's column equality
+    // never matches null — the mutualInfo null stance, applied here
+    val g = df.filter(blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(col(idCol).as("id") +:
         struct(blockCols.map(col): _*).as("blk") +:
         Seq(TextFunctions.ngramHashes(col(textCol), n).as("grams")): _*)
       .withColumn("ng", size(col("grams")).cast("long"))

@@ -34,8 +34,12 @@ object GeoOps {
     * to dense rows or export via the ESRI ASCII writer. */
   def rasterizeMultiband(df: DataFrame, x: Column, y: Column, res: Double,
                          bands: Seq[(String, Column)]): DataFrame = {
-    val cells = rasterize(df, x, y, res,
-      bands.map { case (n, c) => n -> c })
+    bands.foreach { case (n, _) =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"band name '$n' must be alphanumeric/underscore (it is spliced " +
+          "into a stack() expression)")
+    }
+    val cells = rasterize(df, x, y, res, bands)
     val stackExpr = s"stack(${bands.size}, " +
       bands.map { case (n, _) => s"'$n', CAST(`$n` AS DOUBLE)" }
         .mkString(", ") + ") AS (band, value)"

@@ -156,7 +156,10 @@ object MergeOps {
     * the window; base rows tagged as version −∞ via a literal so the
     * union stays a single frame (no anti-join pass over base). With
     * base bucketed by key, only the log shuffles (merge-on-read
-    * economics). `version` columns must totally order ops per key. */
+    * economics). `version` columns must totally order ops per key.
+    * Log rows with a NULL op are dropped up front: letting them through
+    * would win the window and then fail the `=!= "D"` filter exactly
+    * like a delete — silently erasing the key on a malformed record. */
   def cdcApply(base: DataFrame, log: DataFrame, keys: Seq[String],
                version: Seq[String], opCol: String): DataFrame = {
     val all = base.columns ++ log.columns
@@ -168,7 +171,8 @@ object MergeOps {
       // versions above the base snapshot's anyway
       .orderBy(version.map(col(_).desc) :+ col(isBase).asc: _*)
     base.withColumn(opCol, lit("I")).withColumn(isBase, lit(1))
-      .unionByName(log.withColumn(isBase, lit(0)))
+      .unionByName(log.filter(col(opCol).isNotNull)
+        .withColumn(isBase, lit(0)))
       .withColumn(rn, row_number().over(w))
       .filter(col(rn) === 1 && col(opCol) =!= "D")
       .drop(rn, isBase, opCol)
@@ -183,7 +187,10 @@ object MergeOps {
     * existing range/as-of joins.
     *
     * Scale shape: ONE key shuffle; `lead` over the per-key window is
-    * narrow after it; interval columns are pure projections. */
+    * narrow after it; interval columns are pure projections.
+    * `tsCol` must totally order rows per key (the latestWinsMerge
+    * contract): with duplicate timestamps the lead assignment — and
+    * which row is "current" — is partition-order-dependent. */
   def scd2(log: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(tsCol))

@@ -142,19 +142,30 @@ object Similarity {
       .select(col("id").as(idCol), col(vecCol), col("cid").as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Shared IVF candidate generation (ivfTopK + ivfPqTopK — ONE
+    * definition of the pruning convention): rn==1 cell assignment for
+    * candidates, broadcast query ids, nprobe cells per query, self-pair
+    * exclusion, distinct (qid, vec_id) pairs. */
+  private def ivfCandidatePairs(candidates: DataFrame, queries: DataFrame,
+                                nCentroids: Int, nprobe: Int,
+                                idCol: String, vecCol: String): DataFrame = {
     val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
     val cells = asg.filter(col("rn") === 1).select(col("id"), col("cid").as("cell"))
     val qids = queries.select(col(idCol).as("qid"))
     val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("cid").as("cell"))
-    val candPairs = cells.join(broadcast(qcells), "cell")
+    cells.join(broadcast(qcells), "cell")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("vec_id"))
       .distinct()
+  }
+
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val candPairs = ivfCandidatePairs(candidates, queries, nCentroids,
+      nprobe, idCol, vecCol)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
     val scored = candPairs
@@ -356,16 +367,8 @@ object Similarity {
     val sub = dims / m
     val codes = pqEncodeWith(candidates, cb, m, idCol, vecCol)
       .withColumnRenamed(idCol, "vec_id")
-    val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
-    val cells = asg.filter(col("rn") === 1).select(col("id"), col("cid").as("cell"))
-    val qids = queries.select(col(idCol).as("qid"))
-    val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cid").as("cell"))
-    val candPairs = cells.join(broadcast(qcells), "cell")
-      .filter(col("id") =!= col("qid"))
-      .select(col("qid"), col("id").as("vec_id"))
-      .distinct()
+    val candPairs = ivfCandidatePairs(candidates, queries, nCentroids,
+      nprobe, idCol, vecCol)
     val qs = queries
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()

@@ -875,7 +875,12 @@ object TextOps {
     * MinHash may miss (it thresholds whole-doc similarity; this catches
     * partial containment, e.g. a long quoted span inside fresh text).
     *
-    * Scale shape: the corpus explodes ONCE into (doc, gram-hash) pairs —
+    * Scale shape: the corpus TEXT is scanned twice — once exploding
+    * (doc, gram-hash) pairs, once for the narrow zero-shuffle n_grams
+    * denominator projection (deliberate: deriving the denominator from
+    * the exploded frame instead would shuffle the corpus×grams rows on
+    * doc_id, which costs more than a second narrow scan). The explode
+    * happens ONCE —
     * per-doc grams are already distinct (sorted-distinct native kernel),
     * so `count(*)` per gram IS the distinct-document frequency. The gram
     * frequency frame is corpus-sized and deliberately NOT broadcast
@@ -1042,7 +1047,11 @@ object TextOps {
     * trailing-slash strip). */
   private val urlCanonSteps: Seq[(String, String)] = Seq(
     "#.*$" -> "",
-    "utm_[a-z]+=[^&#]*" -> "",
+    // utm params are anchored to their '?'/'&' separator (kept via $1),
+    // so a non-utm param whose NAME contains "utm_" is untouched; the
+    // separator-run repairs below absorb the leftover '&'s
+    "([?&])utm_[a-z]+=[^&#]*" -> "$1",
+    "&&+" -> "&",
     "\\?&" -> "?",
     "[?&]+$" -> "",
     "^https?://" -> "",
@@ -1063,10 +1072,12 @@ object TextOps {
 
   /** DuckDB side of [[urlCanonicalize]] — the same step table ('g' flag:
     * DuckDB's regexp_replace is first-match-only by default, Spark's is
-    * global). */
+    * global; group references translate $1 → \1 for RE2 replacement
+    * syntax). */
   def urlCanonicalizeSql(urlExpr: String): String =
     urlCanonSteps.foldLeft(s"lower($urlExpr)") {
-      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+      case (c, (pat, rep)) =>
+        s"regexp_replace($c, '$pat', '${rep.replace("$1", "\\1")}', 'g')"
     }
 
   /** First BPE tokenizer-training iteration at corpus scale: the top-k

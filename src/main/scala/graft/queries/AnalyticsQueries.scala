@@ -494,8 +494,13 @@ object AnalyticsQueries {
         .skyline2D(Tables.load(s, d, "part"), "p_retailprice", "p_size")
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
         .orderBy("p_partkey"),
+      // p_retailprice/p_size IS NOT NULL mirrors the operator's
+      // null-key exclusion (a null row can never survive the operator's
+      // equality semi-join, but NOT EXISTS would keep it — latent
+      // divergence the moment a null appears)
       Some("SELECT p_partkey, p_retailprice, p_size FROM part p " +
-        "WHERE NOT EXISTS (SELECT 1 FROM part q WHERE " +
+        "WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL " +
+        "AND NOT EXISTS (SELECT 1 FROM part q WHERE " +
         "(q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size) OR " +
         "(q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)) " +
         "ORDER BY p_partkey"))

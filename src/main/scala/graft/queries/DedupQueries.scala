@@ -192,7 +192,8 @@ object DedupQueries {
         k = 16, bands = 4, maxBucket = Some(64)),
       Some {
         val grams = s"list_distinct(${ngramsSql("t", 3)})"
-        s"WITH RECURSIVE tk AS (SELECT doc_id, lang, ${tokensSql("text")} AS t FROM documents), " +
+        s"WITH RECURSIVE tk AS (SELECT doc_id, lang, ${tokensSql("text")} AS t " +
+          "FROM documents WHERE lang IS NOT NULL), " +
           s"g AS (SELECT doc_id AS id, lang, $grams AS grams FROM tk), " +
           "p AS (SELECT x.id AS a, y.id AS b, " +
           "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter, " +

@@ -494,7 +494,13 @@ class TextOpsSpec extends SparkSpec {
       "https://x.com/p?utm_m=1&page=2&utm_c=x" -> "x.com/p?page=2",
       "https://x.com/p?page=2&utm_campaign=x#frag" -> "x.com/p?page=2",
       "http://example.com/a/" -> "example.com/a",
-      "example.com/plain" -> "example.com/plain")
+      "example.com/plain" -> "example.com/plain",
+      // utm BETWEEN two real params must not leave a '&&' behind
+      "https://a.com/p?x=1&utm_source=s&y=2" -> "a.com/p?x=1&y=2",
+      // a param NAME merely containing "utm_" is not a tracking param
+      "https://a.com/p?xutm_foo=1&y=2" -> "a.com/p?xutm_foo=1&y=2",
+      // several adjacent utm params collapse without separator debris
+      "https://a.com/p?a=1&utm_x=1&utm_y=2&b=2" -> "a.com/p?a=1&b=2")
     val got = TextOps.urlCanonicalize(
       cases.map(_._1).toDF("url"), "url")
       .select("canonical_url").collect().map(_.getString(0))
