@@ -268,6 +268,83 @@ object StatsOps {
           (col("na").cast("double") * col("nb").cast("double")), 6).as("ks_stat"))
   }
 
+  /** Per-group lag-k autocorrelation of a daily count series (the
+    * seasonality/burstiness gate on an ingest feed: ACF₇ ≈ weekly cycle,
+    * ACF₁ ≈ clumping). The series is the per-(group, day) COUNT — exact
+    * integers — and each lag's Pearson correlation is computed from the
+    * five integer moments of the overlapping window (Σx, Σy, Σx², Σy²,
+    * Σxy over pairs (day, day+lag)), so every sum is partitioning-
+    * invariant with no ordered fold; the correlation itself is single
+    * IEEE ops on exact integers and hash-verifies.
+    *
+    * Scale shape: events collapse to the (group, day) frame in one
+    * map-side-combined shuffle (rows = groups × days — calendar-bounded,
+    * data-independent); the lag self-join and moment aggregates run on
+    * that small frame. Missing days are treated as absent rows, not
+    * zeros (document the convention; resample first for zero-filled
+    * semantics). */
+  def autocorr(df: DataFrame, groupCol: String, tsCol: String,
+               maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val daily = df.groupBy(col(groupCol).as("g"),
+        to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val lags = (1 to maxLag).map { k =>
+      val joined = daily.as("x").join(daily.as("y"),
+        col("x.g") === col("y.g") &&
+          date_add(col("x.day"), k) === col("y.day"))
+      joined.groupBy(col("x.g").as(groupCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x.c")).as("sx"), sum(col("y.c")).as("sy"),
+          sum(col("x.c") * col("x.c")).as("sxx"),
+          sum(col("y.c") * col("y.c")).as("syy"),
+          sum(col("x.c") * col("y.c")).as("sxy"))
+        .withColumn("lag", lit(k))
+    }.reduce(_ unionByName _)
+    val n = col("n").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val denx = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val deny = n * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    // zero-variance windows (constant series) have no defined
+    // correlation: NULL on both engines (ANSI Spark would error on the
+    // 0/0, DuckDB would emit NaN — pin one behavior)
+    lags.select(col(groupCol), col("lag"), col("n"),
+        when(denx > 0 && deny > 0, round(num / sqrt(denx * deny), 6))
+          .otherwise(lit(null).cast("double")).as("acf"))
+      .orderBy(groupCol, "lag")
+  }
+
+  /** DuckDB oracle for [[autocorr]] — identical daily collapse, lag
+    * joins and integer-moment correlation tree. */
+  def autocorrSql(table: String, groupExpr: String, tsExpr: String,
+                  maxLag: Int): String = {
+    val lagSelects = (1 to maxLag).map { k =>
+      s"SELECT x.g AS grp, $k AS lag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x.c) AS BIGINT) AS sx, CAST(sum(y.c) AS BIGINT) AS sy, " +
+        "CAST(sum(x.c * x.c) AS BIGINT) AS sxx, " +
+        "CAST(sum(y.c * y.c) AS BIGINT) AS syy, " +
+        "CAST(sum(x.c * y.c) AS BIGINT) AS sxy " +
+        s"FROM daily x JOIN daily y ON x.g = y.g AND x.day + $k = y.day " +
+        "GROUP BY x.g"
+    }.mkString(" UNION ALL ")
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      s"lags AS ($lagSelects), " +
+      "casted AS (SELECT grp, lag, n, " +
+      "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, " +
+      "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx, " +
+      "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny " +
+      "FROM lags) " +
+      s"SELECT grp AS $groupExpr, lag, n, " +
+      "CASE WHEN denx > 0 AND deny > 0 THEN round(num / sqrt(denx * deny), 6) " +
+      "ELSE NULL END AS acf " +
+      s"FROM casted ORDER BY $groupExpr, lag"
+  }
+
   /** Cumulative Poisson(1) thresholds for the bootstrap draw: u below
     * threshold i ⇒ weight i, else capped at 7. Shared plan-time literals
     * on both engines (what matters is that they are IDENTICAL constants,

@@ -369,6 +369,16 @@ object TemporalQueries {
         "round((CAST(n AS DOUBLE) - CAST(prev_n AS DOUBLE)) / CAST(prev_n AS DOUBLE), 6) AS pct_change " +
         "FROM l WHERE prev_n IS NOT NULL ORDER BY event_type, day")),
 
+    // Per-type lag-1..3 autocorrelation of the daily count series: the
+    // seasonality/burstiness gate. Five exact integer moments per
+    // (group, lag) — partitioning-invariant, no ordered folds; the
+    // correlation is single IEEE ops on exact ints.
+    Q("q_autocorr",
+      (s, d) => graft.operators.StatsOps.autocorr(
+        ev(s, d), "event_type", "ts", maxLag = 3),
+      Some(graft.operators.StatsOps.autocorrSql(
+        "events", "event_type", "ts", maxLag = 3))),
+
     // CDC apply: base snapshot upserted with each key's LATEST log op
     // (I/U/D by version order; latest-D keys dropped, later-I
     // resurrects). One key shuffle; base tie-sorts after log rows.

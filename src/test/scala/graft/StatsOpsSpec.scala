@@ -245,6 +245,45 @@ class StatsOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  test("autocorr == integer-moment Pearson Scala model; constant series saturates") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val events = Tables.load(spark, sfDir, "events")
+    val daily = events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString))
+      .groupBy(identity).map { case ((g, d), xs) => (g, d) -> xs.length.toLong }
+    val got = StatsOps.autocorr(events, "event_type", "ts", maxLag = 2)
+      .collect().map(r =>
+        (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    daily.keys.map(_._1).toSeq.distinct.foreach { g =>
+      val series = daily.collect { case ((`g`, d), c) => d -> c }.toSeq.sortBy(_._1)
+      val byDay = series.toMap
+      (1 to 2).foreach { k =>
+        def plusDays(d: String, n: Int) =
+          java.time.LocalDate.parse(d).plusDays(n).toString
+        val pairs = series.collect {
+          case (d, c) if byDay.contains(plusDays(d, k)) => (c, byDay(plusDays(d, k)))
+        }
+        val n = pairs.size.toDouble
+        val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val acf = (n * sxy - sx.toDouble * sy.toDouble) /
+          math.sqrt((n * sxx - sx.toDouble * sx.toDouble) *
+            (n * syy - sy.toDouble * sy.toDouble))
+        assert(got((g, k)) === ((pairs.size.toLong, r6(acf))), s"group $g lag $k")
+      }
+    }
+    // closed form: a constant series has zero variance -> NaN guard domain
+    import spark.implicits._
+    val const = (1 to 20).flatMap(d => Seq.fill(3)(
+      ("a", java.sql.Timestamp.valueOf(f"2020-01-$d%02d 10:00:00"))))
+      .toDF("event_type", "ts")
+    val c = StatsOps.autocorr(const, "event_type", "ts", maxLag = 1).head
+    assert(c.isNullAt(3), "zero-variance series must yield NULL, not a fake 0")
+  }
+
   test("bootstrapCi == deterministic Poisson-draw Scala model; CI brackets the mean") {
     val (b, lo, hi) = (32, 2, 31)
     val P = graft.functions.TextFunctions.P
