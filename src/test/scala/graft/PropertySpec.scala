@@ -13,9 +13,9 @@ import graft.plans.Kernels
   * printed in the failure. */
 class PropertySpec extends SparkSpec {
 
-  private def check(p: Prop): Unit = {
+  private def check(p: Prop, n: Int = 200): Unit = {
     val res = org.scalacheck.Test.check(
-      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(n), p)
     assert(res.passed, res.status.toString)
   }
 
@@ -243,6 +243,67 @@ class PropertySpec extends SparkSpec {
     val res = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
+  }
+
+  test("property: urlCanonicalize is idempotent and a function of the canonical form") {
+    import spark.implicits._
+    // URL-ish strings assembled from the parts the chain manipulates
+    val scheme = Gen.oneOf("", "http://", "https://", "HTTP://", "HTTPS://")
+    val www = Gen.oneOf("", "www.", "WWW.")
+    val host = Gen.oneOf("a.com", "B.org", "x-y.net")
+    val path = Gen.oneOf("", "/p", "/a/b", "/a/b/", "/P/Q")
+    val param = Gen.oneOf("x=1", "y=2", "utm_source=s", "utm_a=b",
+      "xutm_foo=1", "page=3")
+    val query = Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, param).map(ps =>
+        if (ps.isEmpty) "" else "?" + ps.mkString("&")))
+    val frag = Gen.oneOf("", "#sec", "#a/b")
+    val url = for {
+      s <- scheme; w <- www; h <- host; p <- path; q <- query; f <- frag
+    } yield s + w + h + p + q + f
+    check(Prop.forAll(Gen.listOfN(30, url)) { urls =>
+      val once = graft.operators.TextOps
+        .urlCanonicalize(urls.toDF("url"), "url")
+        .select("canonical_url").collect().map(_.getString(0)).toSeq
+      val twice = graft.operators.TextOps
+        .urlCanonicalize(once.toDF("url"), "url")
+        .select("canonical_url").collect().map(_.getString(0)).toSeq
+      // idempotent: canonicalizing a canonical form changes nothing
+      twice == once &&
+        // and no canonical form retains scheme/www/fragment/utm debris
+        once.forall(c => !c.contains("#") && !c.contains("http") &&
+          !c.startsWith("www.") && !c.contains("utm_source=") &&
+          !c.contains("&&") && !c.endsWith("&") && !c.endsWith("?"))
+    }, n = 20)
+  }
+
+  test("property: cdcApply == latest-op-wins union-find-free Scala model") {
+    import spark.implicits._
+    val op = Gen.oneOf("I", "U", "D")
+    val entry = for {
+      k <- Gen.choose(0L, 8L); v <- Gen.choose(1L, 50L)
+      o <- op; x <- Gen.choose(0.0, 9.0)
+    } yield (k, v, x, o)
+    // distinct (k, ver): the operator's documented total-order contract
+    val logGen = Gen.listOf(entry)
+      .map(_.groupBy(e => (e._1, e._2)).map(_._2.head).toSeq)
+    val baseGen = Gen.listOf(
+      for { k <- Gen.choose(0L, 8L); x <- Gen.choose(0.0, 9.0) } yield (k, 0L, x))
+      .map(_.groupBy(_._1).map(_._2.head).toSeq)
+    check(Prop.forAll(baseGen, logGen) { (base, log) =>
+      val got = graft.operators.MergeOps.cdcApply(
+          base.toDF("k", "ver", "value"),
+          log.toDF("k", "ver", "value", "op"),
+          Seq("k"), Seq("ver"), "op")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val model = (base.map(b => (b._1, b._2, b._3, "I", 1)) ++
+          log.map(l => (l._1, l._2, l._3, l._4, 0)))
+        .groupBy(_._1).flatMap { case (k, rows) =>
+          val win = rows.minBy(r => (-r._2, r._5)) // ver desc, log before base
+          if (win._4 == "D") None else Some(k -> (win._2, win._3))
+        }
+      got == model
+    }, n = 40)
   }
 
   test("property: webMercator round-trips lon within tolerance (Spark expr)") {
