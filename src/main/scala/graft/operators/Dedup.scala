@@ -481,4 +481,85 @@ object Dedup {
       .withColumn("jaccard", round(col("n_inter") / col("n_union"), 6))
       .drop("ga", "gb", "na", "nb")
   }
+
+  /** EXACT whole-corpus set-similarity self-join with LOSSLESS prefix
+    * filtering — the AllPairs/PPJoin family (Bayardo et al., WWW'07
+    * "Scaling Up All Pairs Similarity Search"): every pair of docs whose
+    * distinct n-token shingle sets have Jaccard >= tauNum/tauDen, with no
+    * all-pairs stage, no MinHash probabilistic misses, and no blocking
+    * key's reach limit — the exact complement to [[minhashCandidates]]
+    * (probabilistic) and the block-bounded quadratic (needs a key).
+    *
+    * Prefix principle: order the gram universe by ascending document
+    * frequency (rarest first, ties by gram value — any TOTAL order is
+    * correct, rare-first is the cost optimization); a doc with n distinct
+    * grams keeps a prefix of its first `n - ceil(tau*n) + 1` grams. If
+    * J(A,B) >= tau then |A∩B| >= ceil(tau*max(|A|,|B|)), and skipping
+    * either doc's prefix discards fewer grams than that overlap — so
+    * similar pairs MUST collide on a prefix gram and the prefix join is
+    * candidate-complete (the quadratic DuckDB oracle cross-checks
+    * losslessness end-to-end at sf0.01).
+    *
+    * The threshold is a RATIONAL: inclusion is decided by the all-integer
+    * `tauDen * |A∩B| >= tauNum * |A∪B|` on both engines — no float
+    * threshold edge ever disagrees.
+    *
+    * Scale shape: one corpus explode for document frequencies (map-side
+    * combined); one term-keyed df join (vocabulary-sized frame —
+    * deliberately NOT broadcast, the bigram-vocab stance); one per-doc
+    * window for prefix selection (per-doc bounded); a prefix-gram-keyed
+    * candidate join whose per-gram degree rare-first ordering keeps small
+    * by construction (stopword-grade grams are ordered out of every
+    * prefix); and an id-keyed verify join paying ONE sorted-merge
+    * intersect per candidate. A boilerplate gram set shared by m docs
+    * still yields m²/2 pairs — but those are TRUE OUTPUT pairs (output
+    * volume, not plan decay); mine the template out first
+    * (TextOps.boilerplate) when that bill is unwanted. */
+  def setSimJoin(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, tauNum: Int = 1, tauDen: Int = 2): DataFrame = {
+    require(tauNum > 0 && tauDen >= tauNum,
+      s"tau must be a rational in (0, 1]: got $tauNum/$tauDen")
+    // sorted distinct 64-bit gram hashes once per doc (native one-pass
+    // kernel); counts/joins over hashes match the oracle's gram STRINGS
+    // up to ~2^-64 collisions (the q_decontaminate stance). Feeds three
+    // consumers (df frame, prefix explode, both verify sides) →
+    // materialized once (round-6 rule; reliable checkpoint on a cluster).
+    val grams = df.select(
+      col(idCol).as("_sid"),
+      PlanBridge.column(graft.plans.Exprs.SortedNgramHashes(
+        PlanBridge.expression(col(textCol)), n)).as("_grams"))
+      .withColumn("_n", size(col("_grams")).cast("long"))
+      .filter(col("_n") > 0)
+      .localCheckpoint()
+    val dfFrame = grams.select(explode(col("_grams")).as("_gram"))
+      .groupBy("_gram").agg(count(lit(1)).as("_df"))
+    // prefix length p = n - ceil(tau*n) + 1, all-integer ceil division
+    val p = col("_n") -
+      expr(s"(($tauNum * _n + ${tauDen - 1}) div $tauDen)") + lit(1L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_sid")).orderBy(col("_df"), col("_gram"))
+    val prefix = grams
+      .select(col("_sid"), col("_n"), explode(col("_grams")).as("_gram"))
+      .join(dfFrame, "_gram")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= p)
+      .select(col("_gram"), col("_sid"))
+    // candidate pairs: 16-byte (a, b) keys shuffle through the distinct —
+    // never the gram arrays
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x._gram") === col("y._gram") && col("x._sid") < col("y._sid"))
+      .select(col("x._sid").as("a"), col("y._sid").as("b"))
+      .distinct()
+    def side(s: String) = grams
+      .select(col("_sid").as(s), col("_grams").as(s"g$s"), col("_n").as(s"n$s"))
+    val nInter = PlanBridge.column(graft.plans.Exprs.SortedIntersectSizeLong(
+      PlanBridge.expression(col("ga")), PlanBridge.expression(col("gb"))))
+    cand.join(side("a"), "a").join(side("b"), "b")
+      .withColumn("n_inter", nInter)
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .filter(lit(tauDen.toLong) * col("n_inter") >=
+        lit(tauNum.toLong) * col("n_union"))
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+        round(col("n_inter") / col("n_union"), 6).as("jaccard"))
+  }
 }

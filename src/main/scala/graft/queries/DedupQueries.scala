@@ -174,6 +174,30 @@ object DedupQueries {
           "ORDER BY a, b"
       }),
 
+    // Exact whole-corpus set-similarity join (AllPairs/PPJoin prefix
+    // filtering, trigram shingle sets, tau = 1/2): the LOSSLESS exact
+    // near-dup path — no blocking key, no probabilistic miss. The oracle
+    // is the full quadratic join, so the driver hash-compare PROVES the
+    // prefix filter dropped no qualifying pair (and the integer rational
+    // threshold `2*inter >= union` decides inclusion identically on both
+    // engines — no float threshold edge).
+    Q("q_setsim_join",
+      (s, d) => Dedup.setSimJoin(docs(s, d), "doc_id", "text",
+          n = 3, tauNum = 1, tauDen = 2)
+        .orderBy("a", "b"),
+      Some {
+        val grams = s"list_distinct(${ngramsSql("t", 3)})"
+        s"WITH tk AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents), " +
+          s"g AS (SELECT doc_id, $grams AS grams FROM tk WHERE len($grams) > 0), " +
+          "p AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
+          "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_inter, " +
+          "CAST(len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_union " +
+          "FROM g x JOIN g y ON x.doc_id < y.doc_id) " +
+          "SELECT a, b, n_inter, n_union, " +
+          "round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS jaccard " +
+          "FROM p WHERE 2 * n_inter >= n_union ORDER BY a, b"
+      }),
+
     // LSH recall audit: of the pairs EXACT trigram Jaccard (>= 0.3,
     // computed exhaustively inside lang blocks) calls duplicates, what
     // fraction does each production path surface? recall_pairs = the

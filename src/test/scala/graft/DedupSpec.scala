@@ -235,6 +235,41 @@ class DedupSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("setSimJoin == brute-force whole-corpus trigram jaccard (prefix filter lossless)") {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(s: String) = s.split(" ", -1).sliding(3).filter(_.length == 3)
+      .map(_.mkString(" ")).toSet
+    val gs = rows.map { case (id, t) => id -> grams(t) }.toMap
+    val ids = rows.map(_._1).sorted
+    val expect = (for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      (a, b) = (ids(i), ids(j))
+      if gs(a).nonEmpty && gs(b).nonEmpty
+      inter = (gs(a) intersect gs(b)).size.toLong
+      union = gs(a).size + gs(b).size - inter
+      if 2 * inter >= union
+    } yield (a, b, inter, union)).toSet
+    val got = Dedup.setSimJoin(docs, "doc_id", "text", n = 3, tauNum = 1, tauDen = 2)
+      .select("a", "b", "n_inter", "n_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "corpus should contain qualifying near-dup pairs")
+  }
+
+  test("setSimJoin rational threshold keeps the exact-boundary pair, drops below, skips gramless docs") {
+    val df = Seq(
+      (1L, "a b c d e"),     // grams {abc,bcd,cde}
+      (2L, "a b c d x"),     // inter=2, union=4 -> J exactly 1/2: kept
+      (3L, "a b c q r s"),   // vs 1: inter=1 {abc}, union=6 -> dropped
+      (4L, "t u"))           // <3 tokens: no grams, excluded (not crashed)
+      .toDF("doc_id", "text")
+    val got = Dedup.setSimJoin(df, "doc_id", "text", n = 3, tauNum = 1, tauDen = 2)
+      .select("a", "b", "n_inter", "n_union").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((1L, 2L, 2L, 4L)))
+  }
+
   test("levenshtein verify matches a Scala Wagner-Fischer model") {
     def lev(a: String, b: String): Int = {
       val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
