@@ -404,6 +404,80 @@ object StatsOps {
         round(max(when(col("mr") === hiRank, col("m"))), 6).as("ci_hi"))
   }
 
+  /** Rolling z-score anomaly gate over a per-group daily count series:
+    * each observed day is scored against the sample mean/std of the
+    * PREVIOUS `window` observed days (the day itself excluded — a spike
+    * must not defend itself), and |z| > `zThresh` flags it. This is the
+    * volume-anomaly tripwire on an ingest feed (autocorr's alerting
+    * sibling: autocorr characterizes the series, this flags the day).
+    *
+    * Exactness: the trailing moments (n, Σx, Σx²) are INTEGER window
+    * sums over integer daily counts, so mean and sample variance are
+    * single IEEE expressions over exact integers — z hash-verifies
+    * bit-for-bit. Pinned edges: fewer than `minObs` trailing days or a
+    * zero-variance history (constant series — a spike there is real but
+    * z is undefined) yield z = NULL and is_anomaly = false on BOTH
+    * engines; resample first (tsResample) for zero-filled calendar
+    * semantics, since the ROWS frame walks OBSERVED days, not calendar
+    * days (the autocorr convention).
+    *
+    * Scale shape: events collapse to the (group, day) frame in one
+    * map-side-combined shuffle (rows = groups × days, calendar-bounded);
+    * the window runs per-group over that small frame. */
+  def rollingZScore(df: DataFrame, groupCol: String, tsCol: String,
+                    window: Int = 7, minObs: Int = 4,
+                    zThresh: Double = 3.0): DataFrame = {
+    require(window >= 2 && minObs >= 2 && minObs <= window,
+      "need window >= 2 and 2 <= minObs <= window")
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val trail = W.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(-window, -1)
+    val scored = daily
+      .withColumn("n", count(col("c")).over(trail))
+      .withColumn("sx", sum(col("c")).over(trail))
+      .withColumn("sxx", sum(col("c") * col("c")).over(trail))
+    val n = col("n").cast("double")
+    val mean = col("sx").cast("double") / n
+    // sample variance from integer moments: (n*Σx² - (Σx)²) / (n*(n-1))
+    val varNum = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val variance = varNum / (n * (n - lit(1.0)))
+    val z = (col("c").cast("double") - mean) / sqrt(variance)
+    val zCol = when(col("n") >= minObs && varNum > 0, z)
+      .otherwise(lit(null).cast("double"))
+    scored.select(col("g").as(groupCol), col("day"), col("c"),
+        when(col("n") >= minObs, round(mean, 6)).otherwise(lit(null).cast("double"))
+          .as("trail_mean"),
+        round(zCol, 6).as("z"),
+        coalesce(abs(zCol) > zThresh, lit(false)).as("is_anomaly"))
+      .orderBy(groupCol, "day")
+  }
+
+  /** DuckDB oracle for [[rollingZScore]] — identical daily collapse,
+    * trailing ROWS frame and integer-moment z tree. */
+  def rollingZScoreSql(table: String, groupExpr: String, tsExpr: String,
+                       window: Int, minObs: Int, zThresh: Double): String = {
+    val frame = s"ROWS BETWEEN $window PRECEDING AND 1 PRECEDING"
+    val over = s"OVER (PARTITION BY g ORDER BY day $frame)"
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      s"m AS (SELECT g, day, c, count(c) $over AS n, " +
+      s"sum(c) $over AS sx, sum(c * c) $over AS sxx FROM daily), " +
+      "scored AS (SELECT g, day, c, n, " +
+      "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean, " +
+      "CAST(n * sxx - sx * sx AS DOUBLE) AS var_num, " +
+      "(CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / " +
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS z FROM m) " +
+      s"SELECT g AS $groupExpr, strftime(day, '%Y-%m-%d') AS day, c, " +
+      s"CASE WHEN n >= $minObs THEN round(mean, 6) END AS trail_mean, " +
+      s"CASE WHEN n >= $minObs AND var_num > 0 THEN round(z, 6) END AS z, " +
+      s"coalesce(CASE WHEN n >= $minObs AND var_num > 0 THEN abs(z) > $zThresh END, " +
+      s"false) AS is_anomaly " +
+      s"FROM scored ORDER BY $groupExpr, day"
+  }
+
   /** DuckDB oracle for [[bootstrapCi]] — identical hash draw, threshold
     * table, integer resample sums and rank-based bounds. */
   def bootstrapCiSql(table: String, idExpr: String, valueExpr: String,

@@ -1212,4 +1212,90 @@ object TextOps {
     (s"CAST(length($normExpr) AS BIGINT)",
       s"CASE WHEN n_chars > 0 THEN round(($terms) / ln(2.0), 6) ELSE 0.0 END")
   }
+
+  /** Pairwise source vocabulary overlap — exact distinct-token
+    * intersection / union / Jaccard for every source pair (the
+    * mix-design diagnostic: which feeds are near-copies of each other,
+    * which contribute genuinely new vocabulary). Null sources are
+    * excluded on both engines (the mutualInfo stance).
+    *
+    * Scale shape — the BITMASK-HISTOGRAM trick, never a pairwise token
+    * join: one corpus explode collapses to the distinct (source, token)
+    * membership frame (map-side combined); each token then folds to a
+    * ≤64-bit source-membership mask (one token-keyed shuffle), and the
+    * mask HISTOGRAM (≤ min(vocab, 2^s) rows, in practice tiny — tokens
+    * sharing a membership pattern share a row) is the only frame the
+    * s²/2 pair statistics ever read. A token shared by every source
+    * costs one histogram row — not s² join rows — so stopwords cannot
+    * create a hot key anywhere. Requires ≤ 63 distinct sources (mask
+    * fits a signed long); the source index is a domain-bounded
+    * single-task window (the mutual_info stance). */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // distinct (source, token) membership — the only corpus-sized stage
+    val st = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct()
+      .localCheckpoint()
+    val idx = st.select(col("g")).distinct()
+      .withColumn("i", row_number().over(W.orderBy(col("g"))) - lit(1))
+      .localCheckpoint()
+    val nSources = idx.count()
+    require(nSources <= 63, s"sourceOverlap: mask needs <= 63 sources, got $nSources")
+    val masks = st.join(broadcast(idx), "g")
+      .groupBy(col("tok"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), i))").as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    // DataFrame shiftright only takes a literal shift — the SQL form
+    // accepts a column amount
+    def bitSet(idxName: String) =
+      expr(s"(shiftright(mask, $idxName) & CAST(1 AS BIGINT)) = 1")
+    val totals = masks.join(broadcast(idx), bitSet("i"))
+      .groupBy(col("g")).agg(sum(col("cnt")).as("n_toks"))
+    val pairs = idx.select(col("g").as("ga"), col("i").as("ia"))
+      .crossJoin(idx.select(col("g").as("gb"), col("i").as("ib")))
+      .filter(col("ga") < col("gb"))
+      .localCheckpoint()
+    // inner join with the s²/2-row pair frame BROADCAST (the histogram
+    // side streams); zero-overlap pairs are reinstated from the pair
+    // frame afterwards so every pair appears exactly once
+    val inter0 = masks.join(broadcast(pairs), bitSet("ia") && bitSet("ib"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(sum(col("cnt")).as("n_inter0"))
+    val inter = pairs.select(col("ga"), col("gb"))
+      .join(inter0, Seq("ga", "gb"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter0"), lit(0L)))
+      .drop("n_inter0")
+    inter
+      .join(broadcast(totals.withColumnRenamed("g", "ga")
+        .withColumnRenamed("n_toks", "n_a")), "ga")
+      .join(broadcast(totals.withColumnRenamed("g", "gb")
+        .withColumnRenamed("n_toks", "n_b")), "gb")
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** DuckDB oracle for [[sourceOverlap]] — the direct pairwise form
+    * (distinct-membership self-join) the bitmask histogram must equal. */
+  def sourceOverlapSql(table: String, groupExpr: String, textExpr: String): String =
+    s"WITH st AS (SELECT DISTINCT g, tok FROM " +
+      s"(SELECT $groupExpr AS g, unnest(${TextFunctions.tokensSql(textExpr)}) AS tok " +
+      s"FROM $table WHERE $groupExpr IS NOT NULL)), " +
+      "totals AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY g), " +
+      "inter AS (SELECT x.g AS ga, y.g AS gb, CAST(count(*) AS BIGINT) AS ni " +
+      "FROM st x JOIN st y ON x.tok = y.tok AND x.g < y.g GROUP BY x.g, y.g) " +
+      "SELECT a.g AS src_a, b.g AS src_b, a.n AS n_a, b.n AS n_b, " +
+      "coalesce(ni, 0) AS n_inter, a.n + b.n - coalesce(ni, 0) AS n_union, " +
+      "round(CAST(coalesce(ni, 0) AS DOUBLE) / " +
+      "CAST(a.n + b.n - coalesce(ni, 0) AS DOUBLE), 6) AS jaccard " +
+      "FROM totals a JOIN totals b ON a.g < b.g " +
+      "LEFT JOIN inter ON inter.ga = a.g AND inter.gb = b.g " +
+      "ORDER BY src_a, src_b"
 }

@@ -379,6 +379,16 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.autocorrSql(
         "events", "event_type", "ts", maxLag = 3))),
 
+    // Rolling z-score volume-anomaly gate on the daily count series:
+    // each day scored against the trailing 7 observed days' integer
+    // moments (self-excluded); |z| > 3 flags. Zero-variance history or
+    // a short tail pins z = NULL / not-anomalous on both engines.
+    Q("q_rolling_zscore",
+      (s, d) => graft.operators.StatsOps.rollingZScore(
+        ev(s, d), "event_type", "ts", window = 7, minObs = 4, zThresh = 3.0),
+      Some(graft.operators.StatsOps.rollingZScoreSql(
+        "events", "event_type", "ts", window = 7, minObs = 4, zThresh = 3.0))),
+
     // CDC apply: base snapshot upserted with each key's LATEST log op
     // (I/U/D by version order; latest-D keys dropped, later-I
     // resurrects). One key shuffle; base tie-sorts after log rows.

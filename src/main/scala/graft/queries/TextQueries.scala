@@ -705,6 +705,15 @@ object TextQueries {
           "SELECT n, CAST(nc AS BIGINT) AS n_cells, " +
           "(nx - 1) * (ny - 1) AS dof, round(cum, 6) AS chi2 " +
           "FROM cum CROSS JOIN dims WHERE rn = nc"
-      })
+      }),
+
+    // Pairwise source vocabulary overlap via the bitmask-histogram
+    // trick (tokens collapse to ≤64-bit membership masks; the s²/2
+    // pair stats read the mask HISTOGRAM, never a pairwise token
+    // join). The oracle is the direct pairwise self-join the histogram
+    // must equal — the driver hash-compare proves the rewrite exact.
+    Q("q_source_overlap",
+      (s, d) => TextOps.sourceOverlap(docs(s, d), "source", "text"),
+      Some(TextOps.sourceOverlapSql("documents", "source", "text")))
   )
 }

@@ -284,6 +284,47 @@ class StatsOpsSpec extends SparkSpec {
     assert(c.isNullAt(3), "zero-variance series must yield NULL, not a fake 0")
   }
 
+  test("rollingZScore == trailing-integer-moment model; spike flagged, short history NULL") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // alternating 4/6 history (nonzero variance), then a 50-count spike
+    val series = Seq.tabulate(10)(i =>
+      (f"2020-01-${i + 1}%02d", if (i % 2 == 0) 4 else 6)) :+ ("2020-01-11", 50)
+    val events = series.flatMap { case (day, n) =>
+      Seq.fill(n)(("a", java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+    }.toDF("g", "ts")
+    val got = StatsOps.rollingZScore(events, "g", "ts",
+        window = 7, minObs = 4, zThresh = 3.0)
+      .collect().map(r => (Option(r.get(4)).map(_.asInstanceOf[Double]),
+        r.getBoolean(5)))
+    val counts = series.map(_._2.toLong)
+    counts.indices.foreach { i =>
+      val w = counts.slice(math.max(0, i - 7), i)
+      val (n, sx, sxx) = (w.size.toLong, w.sum, w.map(x => x * x).sum)
+      val varNum = n * sxx - sx * sx
+      if (n >= 4 && varNum > 0) {
+        val z = (counts(i) - sx.toDouble / n) /
+          math.sqrt(varNum.toDouble / (n.toDouble * (n - 1)))
+        assert(got(i)._1.contains(r6(z)), s"day $i")
+        assert(got(i)._2 === (math.abs(z) > 3.0), s"day $i flag")
+      } else {
+        assert(got(i)._1.isEmpty && !got(i)._2, s"day $i should be unscored")
+      }
+    }
+    assert(got.last._2, "the spike day must be flagged")
+  }
+
+  test("rollingZScore zero-variance history pins z NULL and no flag (even for a real spike)") {
+    val events = (Seq.tabulate(8)(i => (f"2020-02-${i + 1}%02d", 5)) :+
+      ("2020-02-09", 40)).flatMap { case (day, n) =>
+      Seq.fill(n)(("a", java.sql.Timestamp.valueOf(s"$day 12:00:00")))
+    }.toDF("g", "ts")
+    val got = StatsOps.rollingZScore(events, "g", "ts",
+        window = 7, minObs = 4, zThresh = 3.0)
+      .collect().map(r => (Option(r.get(4)), r.getBoolean(5)))
+    assert(got.forall { case (z, flag) => z.isEmpty && !flag },
+      "constant history has undefined z — documented NULL, never a flag")
+  }
+
   test("bootstrapCi == deterministic Poisson-draw Scala model; CI brackets the mean") {
     val (b, lo, hi) = (32, 2, 31)
     val P = graft.functions.TextFunctions.P

@@ -629,4 +629,40 @@ class TextOpsSpec extends SparkSpec {
     assert(model.exists(_._3 > 0L),
       "test corpus should contain at least one cross-doc duplicated shingle")
   }
+
+  test("sourceOverlap: zero-overlap pairs reinstated, null sources excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c", "s1"), (2L, "b c d", "s2"),
+      (3L, "x y", "s3"), // disjoint from s1/s2: inter 0 must still appear
+      (4L, "q r", null.asInstanceOf[String])) // null source: excluded
+      .toDF("doc_id", "text", "source")
+    val got = TextOps.sourceOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === Map(
+      ("s1", "s2") -> ((3L, 3L, 2L, 4L)),
+      ("s1", "s3") -> ((3L, 2L, 0L, 5L)),
+      ("s2", "s3") -> ((3L, 2L, 0L, 5L))))
+  }
+
+  test("sourceOverlap bitmask histogram == brute-force pairwise model on real documents") {
+    val rows = docs.select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val member = rows.groupBy(_._1).map { case (s, ts) =>
+      s -> ts.flatMap(_._2.split(" ", -1)).toSet
+    }
+    val srcs = member.keys.toSeq.sorted
+    val expect = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      (a, b) = (srcs(i), srcs(j))
+      inter = (member(a) intersect member(b)).size.toLong
+    } yield (a, b) ->
+      ((member(a).size.toLong, member(b).size.toLong, inter,
+        member(a).size + member(b).size - inter))).toMap
+    val got = TextOps.sourceOverlap(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect)
+  }
 }
