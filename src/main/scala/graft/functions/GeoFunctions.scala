@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** Geometry helpers. gedixr builds shapely Points and intersects them with
   * AOI polygons (reference: gedixr/extract.py:166-184, ancillary.py:121-154).
@@ -116,6 +117,46 @@ object GeoFunctions {
     (0 until bits).map { i =>
       s"((($qx >> $i) & 1) * ${1L << (2 * i)}) + ((($qy >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
+
+  /** Hilbert-curve value of a lon/lat point: same quantization as
+    * [[zValue]], then the Hilbert xy2d walk (native kernel). The layout
+    * win over Morton: consecutive curve positions are ALWAYS
+    * grid-adjacent (Morton is ~50% — it jumps across quadrant seams), so
+    * row-group-sized runs of the sorted order stay spatially contiguous
+    * and carry tighter bbox min/max stats. Measured (GeoSpec): at
+    * NON-quadrant-aligned block sizes — real row groups never align —
+    * mean block bbox area is ~35% smaller (48-cell blocks: 59 vs 92;
+    * quadrant-aligned sizes tie, both curves being quadrant-recursive).
+    * Z-order stays the cheaper-to-compute default; this is the upgrade
+    * when write cost amortizes over many pruned reads. */
+  def hilbertValue(lon: Column, lat: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val n = (1L << bits) - 1
+    val qx = least(greatest(floor((lon + 180.0) / 360.0 * (n + 1)), lit(0.0)), lit(n.toDouble)).cast("long")
+    val qy = least(greatest(floor((lat + 90.0) / 180.0 * (n + 1)), lit(0.0)), lit(n.toDouble)).cast("long")
+    PlanBridge.column(graft.plans.Exprs.HilbertIndex(
+      PlanBridge.expression(qx), PlanBridge.expression(qy), bits))
+  }
+
+  /** DuckDB CTE chain for the identical Hilbert walk, one CTE per level
+    * (the expression tree would grow 3x per level inlined — linear as a
+    * chain). `from` must expose columns `$keep`, qx, qy; the final CTE
+    * `h$bits` exposes `$keep, d`. */
+  def hilbertCtesSql(keep: String, from: String, bits: Int): String = {
+    val levels = (0 until bits).map { k =>
+      val p = bits - 1 - k // bit position probed at this level
+      val s = 1L << p
+      val prev = if (k == 0) from else s"h$k"
+      val digit = "CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1 " +
+        "WHEN ry = 1 THEN 2 ELSE 3 END"
+      s"h${k + 1} AS (SELECT $keep, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - y ELSE y END) ELSE x END AS x, " +
+        s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s - 1} - x ELSE x END) ELSE y END AS y, " +
+        s"d + CAST(${s * s} AS BIGINT) * ($digit) AS d FROM " +
+        s"(SELECT $keep, x, y, d, ((x >> $p) & 1) AS rx, ((y >> $p) & 1) AS ry FROM $prev))"
+    }
+    levels.mkString(", ")
+  }
 
   private val wktPoint = "POINT \\(([-0-9.]+) ([-0-9.]+)\\)"
 

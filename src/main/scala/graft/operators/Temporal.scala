@@ -219,4 +219,63 @@ object Temporal {
       s"SELECT k AS $keyExpr, bin, n, last_value(v IGNORE NULLS) OVER (" +
       "PARTITION BY k ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND " +
       s"CURRENT ROW) AS value_ff FROM j ORDER BY $keyExpr, bin"
+
+  /** First/last-touch conversion attribution: every `convType` event is
+    * attributed to the user's FIRST and MOST RECENT preceding
+    * `touchTypes` event (the marketing/funnel credit matrix — which
+    * channel opened the journey vs which closed it). Conversions with no
+    * preceding touch land in the 'none' bucket rather than vanishing.
+    *
+    * One user-keyed shuffle: touches and conversions sort together per
+    * user (ties: touches BEFORE conversions at the same timestamp —
+    * pinned — then `idCol`), and two IGNORE NULLS window carries
+    * (first/last over preceding rows) replace any join against the touch
+    * history. Output is a counts-only matrix — integer sums,
+    * partitioning-invariant (the bootstrapCi stance on float sums). */
+  def touchAttribution(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String, idCol: String,
+                       touchTypes: Seq[String], convType: String): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      "touchTypes must be non-empty and exclude the conversion type")
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val base = df.filter(isTouch || col(typeCol) === convType)
+      .select(col(userCol).as("u"), col(tsCol).as("t"),
+        when(col(typeCol) === convType, 1L).otherwise(0L).as("is_conv"),
+        when(isTouch, col(typeCol)).otherwise(lit(null)).as("ch"),
+        col(idCol).as("i"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("t"), col("is_conv"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("first_ch", first(col("ch"), ignoreNulls = true).over(w))
+      .withColumn("last_ch", last(col("ch"), ignoreNulls = true).over(w))
+      .filter(col("is_conv") === 1L)
+      .groupBy(coalesce(col("first_ch"), lit("none")).as("first_touch"),
+        coalesce(col("last_ch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"))
+      .orderBy("first_touch", "last_touch")
   }
+
+  /** DuckDB oracle for [[touchAttribution]] — identical tie order and
+    * IGNORE NULLS window carries. */
+  def touchAttributionSql(table: String, userExpr: String, tsExpr: String,
+                          typeExpr: String, idExpr: String,
+                          touchTypes: Seq[String], convType: String): String = {
+    val touchList = touchTypes.map(t => s"'$t'").mkString(", ")
+    val over = "OVER (PARTITION BY u ORDER BY t, is_conv, i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    s"WITH base AS (SELECT $userExpr AS u, $tsExpr AS t, " +
+      s"CASE WHEN $typeExpr = '$convType' THEN 1 ELSE 0 END AS is_conv, " +
+      s"CASE WHEN $typeExpr IN ($touchList) THEN $typeExpr END AS ch, " +
+      s"$idExpr AS i FROM $table " +
+      s"WHERE $typeExpr IN ($touchList) OR $typeExpr = '$convType'), " +
+      s"carried AS (SELECT u, is_conv, " +
+      s"first_value(ch IGNORE NULLS) $over AS first_ch, " +
+      s"last_value(ch IGNORE NULLS) $over AS last_ch FROM base) " +
+      "SELECT coalesce(first_ch, 'none') AS first_touch, " +
+      "coalesce(last_ch, 'none') AS last_touch, " +
+      "CAST(count(*) AS BIGINT) AS n_conversions " +
+      "FROM carried WHERE is_conv = 1 " +
+      "GROUP BY 1, 2 ORDER BY first_touch, last_touch"
+  }
+}

@@ -152,6 +152,21 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Hilbert-curve index of quantized (x, y) grid coordinates. */
+  case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hilbert_index"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.hilbertIndex(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.hilbertIndex($a, $b, $bits)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): HilbertIndex =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** |a ∩ b| for sorted distinct long arrays (two-pointer merge). */
   case class SortedIntersectSizeLong(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -357,4 +357,30 @@ object Kernels {
     }
     acc / java.lang.Math.log(2.0)
   }
+
+  /** Hilbert-curve index of a quantized (x, y) cell on a 2^bits × 2^bits
+    * grid — the standard iterative xy2d walk (per level: quadrant digit
+    * `(3*rx) xor ry`, then the rotate/flip that keeps curve ends
+    * adjacent). All-integer; the unrolled-CTE DuckDB oracle reproduces
+    * the identical per-level arithmetic (GeoFunctions.hilbertCtesSql). */
+  def hilbertIndex(x: Long, y: Long, bits: Int): Long = {
+    var cx = x
+    var cy = y
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((cx & s) > 0) 1L else 0L
+      val ry = if ((cy & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          cx = s - 1 - cx
+          cy = s - 1 - cy
+        }
+        val t = cx; cx = cy; cy = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

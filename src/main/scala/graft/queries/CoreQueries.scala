@@ -219,6 +219,24 @@ object CoreQueries {
           "FROM q ORDER BY shot"
       }),
 
+    // Hilbert-curve layout value (the Morton upgrade: consecutive curve
+    // positions are always grid-adjacent, so sorted files carry tighter
+    // bbox stats per row group). Native kernel on the Spark side; the
+    // oracle walks the identical per-level rotate/flip arithmetic as an
+    // unrolled CTE chain.
+    Q("q_hilbert_curve",
+      (s, d) => Shots.df(s, d)
+        .select(col("shot"),
+          GeoFunctions.hilbertValue(col("lon"), col("lat"), bits = 16).as("hval"))
+        .orderBy("shot"),
+      Some {
+        val (qx, qy) = GeoFunctions.zQuantizeSql("lon", "lat", bits = 16)
+        s"WITH q AS (SELECT shot, $qx AS x, $qy AS y, CAST(0 AS BIGINT) AS d FROM " +
+          Shots.sql + "), " +
+          GeoFunctions.hilbertCtesSql("shot", "q", bits = 16) +
+          " SELECT shot, d AS hval FROM h16 ORDER BY shot"
+      }),
+
     // R14 — per-source frame concat (unionByName).
     Q("q_union_concat",
       (s, d) => {

@@ -379,6 +379,17 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.autocorrSql(
         "events", "event_type", "ts", maxLag = 3))),
 
+    // First/last-touch conversion attribution matrix: one user-keyed
+    // window pass (no join against touch history); ties pinned
+    // touch-before-conversion; no-touch conversions land in 'none'.
+    Q("q_attribution",
+      (s, d) => graft.operators.Temporal.touchAttribution(
+        ev(s, d), "user_id", "ts", "event_type", "event_id",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase"),
+      Some(graft.operators.Temporal.touchAttributionSql(
+        "events", "user_id", "ts", "event_type", "event_id",
+        touchTypes = Seq("view", "click", "signup"), convType = "purchase"))),
+
     // Rolling z-score volume-anomaly gate on the daily count series:
     // each day scored against the trailing 7 observed days' integer
     // moments (self-excluded); |z| > 3 flags. Zero-variance history or

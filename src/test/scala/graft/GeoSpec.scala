@@ -148,6 +148,71 @@ class GeoSpec extends SparkSpec {
     assert(math.abs(zs(3) - zs(4)) < math.abs(zs(3) - zs(5)))
   }
 
+  test("hilbert curve: bijective on the grid, consecutive positions are grid-adjacent, beats morton locality") {
+    import graft.plans.Kernels
+    val bits = 5
+    val n = 1 << bits // 32x32 grid
+    val d = Array.tabulate(n, n)((x, y) => Kernels.hilbertIndex(x, y, bits))
+    // bijection: every cell gets a distinct index in [0, n*n)
+    val all = d.flatten
+    assert(all.toSet === (0L until (n.toLong * n)).toSet)
+    // adjacency: walking the curve moves exactly one grid step each time
+    val inv = new Array[(Int, Int)](n * n)
+    for (x <- 0 until n; y <- 0 until n) inv(d(x)(y).toInt) = (x, y)
+    (1 until n * n).foreach { i =>
+      val ((x0, y0), (x1, y1)) = (inv(i - 1), inv(i))
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1,
+        s"curve jump between $i-1 and $i")
+    }
+    // layout metric: split the curve order into row-group-sized blocks
+    // and measure each block's bbox area — tighter bboxes = better
+    // parquet min/max pruning. On quadrant-ALIGNED block sizes (64) both
+    // quadrant-recursive curves tie; on unaligned sizes (48, 100 — real
+    // row groups never align) morton's quadrant jumps inflate the bbox
+    // while hilbert's steps stay contiguous.
+    def morton(x: Int, y: Int): Long =
+      (0 until bits).map(i => (((x >> i) & 1).toLong << (2 * i)) |
+        (((y >> i) & 1).toLong << (2 * i + 1))).sum
+    def meanBlockArea(f: (Int, Int) => Long, blk: Int): Double = {
+      val order = Array.ofDim[(Int, Int)](n * n)
+      for (x <- 0 until n; y <- 0 until n) order(f(x, y).toInt) = (x, y)
+      val areas = order.grouped(blk).map { cells =>
+        val (xs, ys) = (cells.map(_._1), cells.map(_._2))
+        ((xs.max - xs.min + 1).toLong * (ys.max - ys.min + 1)).toDouble
+      }.toSeq
+      areas.sum / areas.size
+    }
+    Seq(48, 100).foreach { blk =>
+      assert(meanBlockArea(Kernels.hilbertIndex(_, _, bits), blk) <
+        meanBlockArea(morton, blk),
+        s"hilbert must beat morton on block-bbox compactness at block $blk")
+    }
+    // and morton breaks step-adjacency where hilbert never does
+    val mInv = new Array[(Int, Int)](n * n)
+    for (x <- 0 until n; y <- 0 until n) mInv(morton(x, y).toInt) = (x, y)
+    val mAdj = (1 until n * n).count { i =>
+      math.abs(mInv(i)._1 - mInv(i - 1)._1) +
+        math.abs(mInv(i)._2 - mInv(i - 1)._2) == 1
+    }
+    assert(mAdj < n * n - 1, "sanity: morton is not step-adjacent everywhere")
+  }
+
+  test("hilbertValue expression equals the kernel over quantized coords") {
+    val pts = Seq((-180.0, -90.0), (179.99, 89.99), (0.0, 0.0),
+      (10.0, 10.0), (-170.0, 80.0), (42.5, -33.3)).toDF("lon", "lat")
+    val got = pts.select(col("lon"), col("lat"),
+        GeoFunctions.hilbertValue(col("lon"), col("lat"), 16).as("h"))
+      .collect()
+    got.foreach { r =>
+      val nmax = (1L << 16) - 1
+      val qx = math.min(math.max(math.floor((r.getDouble(0) + 180.0) / 360.0 * (nmax + 1)), 0.0), nmax.toDouble).toLong
+      val qy = math.min(math.max(math.floor((r.getDouble(1) + 90.0) / 180.0 * (nmax + 1)), 0.0), nmax.toDouble).toLong
+      assert(r.getLong(2) === graft.plans.Kernels.hilbertIndex(qx, qy, 16))
+    }
+    // world min corner is curve origin
+    assert(got.head.getLong(2) === 0L)
+  }
+
   test("z-clustered layout prunes the bbox scan; unclustered reads the world") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
     val shots = graft.queries.Shots.df(spark, sfDir).select("shot", "lon", "lat", "value")

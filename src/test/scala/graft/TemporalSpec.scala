@@ -237,4 +237,56 @@ class TemporalSpec extends SparkSpec {
       ("a", "2020-01-01 13:00:00.0", 1L, 7.0),
       ("b", "2020-01-01 10:00:00.0", 1L, 5.0)))
   }
+
+  test("touchAttribution: ties pin touch-before-conversion; no-touch conversions bucket 'none'") {
+    val df = Seq(
+      // user 1: view -> click -> purchase (first view, last click)
+      (1L, "2020-01-01 10:00:00", "view", 1L),
+      (1L, "2020-01-01 11:00:00", "click", 2L),
+      (1L, "2020-01-01 12:00:00", "purchase", 3L),
+      // user 2: purchase with no touches -> none/none
+      (2L, "2020-01-01 10:00:00", "purchase", 4L),
+      // user 3: SAME-ts touch and purchase: touch sorts first (pinned)
+      (3L, "2020-01-01 10:00:00", "signup", 5L),
+      (3L, "2020-01-01 10:00:00", "purchase", 6L),
+      // user 4: a touch AFTER the purchase must not count
+      (4L, "2020-01-01 10:00:00", "purchase", 7L),
+      (4L, "2020-01-01 11:00:00", "view", 8L))
+      .map { case (u, ts, ty, id) => (u, java.sql.Timestamp.valueOf(ts), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Temporal.touchAttribution(df, "user_id", "ts", "event_type",
+        "event_id", Seq("view", "click", "signup"), "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("view", "click") -> 1L,
+      ("none", "none") -> 2L,
+      ("signup", "signup") -> 1L))
+  }
+
+  test("touchAttribution matches the brute-force journey model on real events") {
+    val touches = Set("view", "click", "signup")
+    val rows = events.select("user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getLong(3)))
+      .filter(e => touches(e._3) || e._3 == "purchase")
+    val model = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e =>
+        (e._2.getTime, e._2.getNanos, if (e._3 == "purchase") 1 else 0, e._4))
+      var first: Option[String] = None
+      var last: Option[String] = None
+      sorted.flatMap { e =>
+        if (e._3 == "purchase")
+          Some((first.getOrElse("none"), last.getOrElse("none")))
+        else {
+          if (first.isEmpty) first = Some(e._3)
+          last = Some(e._3)
+          None
+        }
+      }
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = Temporal.touchAttribution(events, "user_id", "ts", "event_type",
+        "event_id", Seq("view", "click", "signup"), "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === model)
+  }
 }
