@@ -198,4 +198,53 @@ object MergeOps {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Field-level survivorship (the golden record): per key, each
+    * attribute independently takes its MOST RECENT NON-NULL value in
+    * `verCol` order — the master-data election where a fresher record
+    * with a null field must NOT erase an older field value ([[cdcApply]]
+    * is the whole-row-wins sibling). Output: one row per key with
+    * n_records, last_ver, and `last_<attr>` per attribute.
+    *
+    * One key shuffle: per-key sort, one IGNORE NULLS carry per
+    * attribute inside the same window pass, keep the newest row.
+    * `verCol` must be unique per key (the scd2 total-order contract) —
+    * ties would make per-field winners nondeterministic in any engine. */
+  def goldenRecord(df: DataFrame, keyCol: String, verCol: String,
+                   attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty, "goldenRecord needs at least one attribute")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, last, row_number}
+    val carry = Window.partitionBy(col(keyCol)).orderBy(col(verCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = attrs.foldLeft(df) { (d, a) =>
+      d.withColumn(s"_g_$a", last(col(a), ignoreNulls = true).over(carry))
+    }
+    carried
+      .withColumn("_rn",
+        row_number().over(Window.partitionBy(col(keyCol)).orderBy(col(verCol).desc)))
+      .withColumn("n_records",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .filter(col("_rn") === 1)
+      .select(col(keyCol) +: col("n_records") +: col(verCol).as("last_ver") +:
+        attrs.map(a => col(s"_g_$a").as(s"last_$a")): _*)
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle for [[goldenRecord]] — identical carries and
+    * newest-row election over a `base` CTE exposing k/ver/attrs. */
+  def goldenRecordSql(base: String, keyExpr: String, verExpr: String,
+                      attrs: Seq[String]): String = {
+    val over = s"OVER (PARTITION BY $keyExpr ORDER BY $verExpr " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val carries = attrs.map(a => s"last_value($a IGNORE NULLS) $over AS _g_$a")
+      .mkString(", ")
+    val outs = attrs.map(a => s"_g_$a AS last_$a").mkString(", ")
+    s"WITH c AS (SELECT $keyExpr, $verExpr, $carries, " +
+      s"row_number() OVER (PARTITION BY $keyExpr ORDER BY $verExpr DESC) AS _rn, " +
+      s"CAST(count(*) OVER (PARTITION BY $keyExpr) AS BIGINT) AS n_records " +
+      s"FROM $base) " +
+      s"SELECT $keyExpr, n_records, $verExpr AS last_ver, $outs " +
+      s"FROM c WHERE _rn = 1 ORDER BY $keyExpr"
+  }
 }

@@ -1119,6 +1119,80 @@ object TextOps {
       s"GROUP BY pair ORDER BY n_occ DESC, pair LIMIT $k"
   }
 
+  /** The BPE training RECURRENCE, unrolled: `iters` rounds of (count
+    * weighted adjacent symbol pairs over the word vocabulary → take the
+    * most frequent pair → merge it EVERYWHERE), i.e. the actual loop of
+    * Sennrich 1508.07909 §3.1 — [[bpeMerges]] computes only round one's
+    * candidate list. Output: the learned merge table, one row per round
+    * (iter, pair_a, pair_b, n_occ).
+    *
+    * Words travel as sentinel-delimited symbol strings (" h  e  l " —
+    * DOUBLE spaces between symbols, single-space sentinels, built by one
+    * regexp_replace): the merge step is then ONE literal non-regex
+    * replace of " a  b " with " ab ". Left-to-right non-overlapping on
+    * both engines, the sentinels keep "ca|b" unmergeable against
+    * pattern "a|b", and back-to-back sites (" a  b  a  b ") both match
+    * because each match consumes its own sentinels exactly.
+    *
+    * Scale shape: everything after the one corpus explode runs on the
+    * word VOCABULARY (the bpeMerges trick); each round is one
+    * map-side-combined pair-count shuffle + a 1-row TakeOrdered argmax,
+    * broadcast back onto the vocab as a crossJoin constant. The running
+    * vocab is localCheckpoint-ed per round (reliable checkpoint on a
+    * cluster) so round k never replays rounds 1..k-1. */
+  def bpeTrain(df: DataFrame, textCol: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters must be in [1, 8] (unrolled rounds)")
+    var words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("sym"), col("wc"))
+      .localCheckpoint()
+    val rounds = (1 to iters).map { it =>
+      val best = words
+        .select(col("wc"), split(trim(col("sym")), "  ").as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(col("wc"), explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
+        .groupBy(col("bg.a").as("pair_a"), col("bg.b").as("pair_b"))
+        .agg(sum(col("wc")).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("pair_a"), col("pair_b")).limit(1)
+        .select(lit(it.toLong).as("iter"), col("pair_a"), col("pair_b"), col("n_occ"))
+        .localCheckpoint()
+      if (it < iters)
+        words = words
+          .crossJoin(broadcast(best.select(col("pair_a"), col("pair_b"))))
+          .select(expr("replace(sym, ' ' || pair_a || '  ' || pair_b || ' ', " +
+            "' ' || pair_a || pair_b || ' ')").as("sym"), col("wc"))
+          .localCheckpoint()
+      best
+    }
+    rounds.reduce(_ unionByName _).orderBy("iter")
+  }
+
+  /** DuckDB oracle for [[bpeTrain]] — identical sentinel encoding,
+    * per-round pair count / argmax / literal replace, as a CTE chain. */
+  def bpeTrainSql(iters: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    val rounds = (1 to iters).map { it =>
+      val prev = s"w${it - 1}"
+      s"b$it AS (SELECT wc, unnest(${TextFunctions.adjacentPairsSql("t")}) AS bg FROM " +
+        s"(SELECT wc, string_split(trim(sym), '  ') AS t FROM $prev) WHERE len(t) >= 2), " +
+        s"p$it AS (SELECT bg.a AS pair_a, bg.b AS pair_b, " +
+        s"CAST(sum(wc) AS BIGINT) AS n_occ FROM b$it GROUP BY 1, 2), " +
+        s"m$it AS (SELECT pair_a, pair_b, n_occ FROM p$it " +
+        "ORDER BY n_occ DESC, pair_a, pair_b LIMIT 1), " +
+        s"w$it AS (SELECT replace(sym, ' ' || pair_a || '  ' || pair_b || ' ', " +
+        s"' ' || pair_a || pair_b || ' ') AS sym, wc FROM $prev CROSS JOIN m$it)"
+    }.mkString(", ")
+    val union = (1 to iters)
+      .map(it => s"SELECT $it AS iter, pair_a, pair_b, n_occ FROM m$it")
+      .mkString(" UNION ALL ")
+    "WITH w0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym, " +
+      "CAST(count(*) AS BIGINT) AS wc FROM " +
+      s"(SELECT unnest($toks) AS w FROM documents) GROUP BY w), " +
+      s"$rounds SELECT CAST(iter AS BIGINT) AS iter, pair_a, pair_b, n_occ " +
+      s"FROM ($union) ORDER BY iter"
+  }
+
   /** Boilerplate mining: the top-k n-token shingles appearing in the
     * most DISTINCT documents (nav bars, cookie banners, license headers —
     * the removal list [[substrDupFraction]] measures the damage of).

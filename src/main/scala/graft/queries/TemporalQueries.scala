@@ -379,6 +379,24 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.autocorrSql(
         "events", "event_type", "ts", maxLag = 3))),
 
+    // Field-level survivorship (golden record): per key each attribute
+    // independently keeps its most recent NON-NULL value — a fresher
+    // record with a null field must not erase an older value (the
+    // master-data complement of whole-row-wins cdcApply). Nullable
+    // attributes synthesized identically on both engines.
+    Q("q_golden_record",
+      (s, d) => MergeOps.goldenRecord(
+        ev(s, d).select((col("user_id") % 200).as("k"),
+          col("event_id").as("ver"),
+          when(col("event_type") =!= "error", col("event_type")).as("etype"),
+          when(col("event_id") % 3 =!= 0, col("value")).as("val")),
+        "k", "ver", Seq("etype", "val")),
+      Some(MergeOps.goldenRecordSql(
+        "(SELECT user_id % 200 AS k, event_id AS ver, " +
+          "CASE WHEN event_type <> 'error' THEN event_type END AS etype, " +
+          "CASE WHEN event_id % 3 <> 0 THEN value END AS val FROM events)",
+        "k", "ver", Seq("etype", "val")))),
+
     // First/last-touch conversion attribution matrix: one user-keyed
     // window pass (no join against touch history); ties pinned
     // touch-before-conversion; no-touch conversions land in 'none'.

@@ -271,6 +271,14 @@ object TextQueries {
       (s, d) => TextOps.bpeMerges(docs(s, d), "text", k = 20),
       Some(TextOps.bpeMergesSql(k = 20))),
 
+    // The BPE training RECURRENCE, 3 rounds unrolled: count weighted
+    // adjacent symbol pairs on the word vocabulary, argmax, merge
+    // everywhere (sentinel-delimited symbol strings; merge = one
+    // literal replace), recount. Output = the learned merge table.
+    Q("q_bpe_train",
+      (s, d) => TextOps.bpeTrain(docs(s, d), "text", iters = 3),
+      Some(TextOps.bpeTrainSql(iters = 3))),
+
     // Per-source KL divergence from the corpus token distribution over
     // the top-200 vocabulary + ONE tail bucket (add-0.5 smoothing): the
     // source-drift gate. Grid is |sources|·(V+1) — domain-bounded (chi²

@@ -437,4 +437,40 @@ class LakehouseSpec extends SparkSpec {
     assert(s.getDouble(5) === r6(math.sqrt(10.0 * ss - 100.0 * 100.0) / 100.0))
     assert(s.getDouble(4) > u.getDouble(4) && s.getDouble(5) > u.getDouble(5))
   }
+
+  test("goldenRecord: per-field last non-null survives a fresher null; whole-row would not") {
+    import spark.implicits._
+    val df = Seq(
+      // key 1: v3 has null city — survivorship keeps v2's city but v3's name
+      (1L, 1L, Some("ann"), Some("austin")),
+      (1L, 2L, None, Some("boston")),
+      (1L, 3L, Some("anne"), None),
+      // key 2: all nulls for name -> null survives as null
+      (2L, 1L, None, Some("carmel")))
+      .toDF("k", "ver", "name", "city")
+    val got = MergeOps.goldenRecord(df, "k", "ver", Seq("name", "city"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L, Some("anne"), Some("boston"))),
+      2L -> ((1L, 1L, None, Some("carmel")))))
+  }
+
+  test("goldenRecord matches a per-field fold model on real events") {
+    val base = events.select((col("user_id") % 50).as("k"),
+      col("event_id").as("ver"),
+      when(col("event_type") =!= "error", col("event_type")).as("etype"),
+      when(col("event_id") % 3 =!= 0, col("value")).as("v"))
+    val rows = base.collect().map(r => (r.getLong(0), r.getLong(1),
+      Option(r.get(2)).map(_.toString), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val model = rows.groupBy(_._1).map { case (k, es) =>
+      val sorted = es.sortBy(_._2)
+      k -> ((sorted.length.toLong, sorted.last._2,
+        sorted.flatMap(_._3).lastOption, sorted.flatMap(_._4).lastOption))
+    }
+    val got = MergeOps.goldenRecord(base, "k", "ver", Seq("etype", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    assert(got === model)
+  }
 }

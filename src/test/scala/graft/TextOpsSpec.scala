@@ -630,6 +630,57 @@ class TextOpsSpec extends SparkSpec {
       "test corpus should contain at least one cross-doc duplicated shingle")
   }
 
+  test("bpeTrain == Scala BPE-loop model on real words; merges chain across rounds") {
+    // exact model of the recurrence: greedy left-to-right non-overlapping
+    // merge of the argmax pair, recount, repeat
+    def mergeList(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: mergeList(rest, a, b)
+        case x :: rest => x :: mergeList(rest, a, b)
+        case Nil => Nil
+      }
+    def model(words: Map[List[String], Long], iters: Int): Seq[(Long, String, String, Long)] = {
+      var vocab = words
+      (1 to iters).map { it =>
+        val counts = vocab.toSeq.flatMap { case (syms, wc) =>
+          syms.zip(syms.tail).map(p => p -> wc)
+        }.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).sum }
+        val ((a, b), n) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        vocab = vocab.groupBy { case (syms, _) => mergeList(syms, a, b) }
+          .map { case (k, v) => k -> v.values.sum }
+        (it.toLong, a, b, n)
+      }
+    }
+    val words = docs.select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).map { case (w, o) => w.toList.map(_.toString) -> o.size.toLong }
+    val expect = model(words, 3)
+    val got = TextOps.bpeTrain(docs, "text", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expect)
+    // the learned table must actually chain: a later round's pair uses a
+    // merged symbol, or at minimum rounds differ
+    assert(expect.map(e => (e._2, e._3)).distinct.size === 3)
+  }
+
+  test("bpeTrain sentinels block cross-symbol merges and allow back-to-back sites") {
+    import spark.implicits._
+    // corpus: "abab" x3 -> round 1 merges (a,b) twice per word;
+    // "cab" x2 must NOT merge its (ca-boundary) 'a','b' after round 1
+    // created symbol "ab" — wait: 'c','a','b' DOES contain pair (a,b);
+    // the boundary case guarded here is pattern "a b" not matching
+    // inside "ca  b" once 'c a' merged into 'ca'. Build that directly:
+    val df = (Seq.fill(3)("abab") ++ Seq.fill(2)("cab")).toDF("text")
+    val got = TextOps.bpeTrain(df, "text", iters = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,b) occurs 2x3 (abab) + 1x2 (cab) = 8 — argmax
+    assert(got(0) === ((1L, "a", "b", 8L)))
+    // round 2 vocabulary: "abab" -> [ab, ab] x3, "cab" -> [c, ab] x2:
+    // pairs (ab,ab)=3, (c,ab)=2 -> argmax (ab,ab); the 'c  ab' boundary
+    // must not have produced any phantom (a,b) or (ca,b) pair
+    assert(got(1) === ((2L, "ab", "ab", 3L)))
+  }
+
   test("sourceOverlap: zero-overlap pairs reinstated, null sources excluded") {
     import spark.implicits._
     val df = Seq(
