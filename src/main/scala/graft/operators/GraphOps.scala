@@ -122,6 +122,69 @@ object GraphOps {
       s"SELECT v AS node, round(r, 6) AS pagerank FROM r$iters ORDER BY node"
   }
 
+  /** Synchronous label propagation (Raghavan et al. 0709.2938) over an
+    * undirected edge list, `iters` rounds unrolled: every node adopts the
+    * label most frequent among its neighbours, ties broken by smallest
+    * label — the deterministic variant of LPA's random tie-break, which is
+    * what makes the result reproducible across engines AND partitionings.
+    * Communities (dense near-dup clusters, co-citation groups) emerge
+    * without the full converge-to-one-component behaviour of connected
+    * components ([[Dedup]]'s star contraction): at fixed k the labels
+    * reflect k-hop neighbourhood structure.
+    *
+    * Scale shape: the symmetrized edge list materializes once
+    * (localCheckpoint — reliable checkpoint on a cluster); each round is
+    * ONE join shuffle on the 8-byte src key + one map-side-combined
+    * (dst, lbl) count + a per-dst argmax window (bounded by distinct
+    * neighbour labels, ≤ degree). All integer — no float fold anywhere.
+    * Nulls and self-loops drop in canonicalization (both engines agree).
+    *
+    * Output: (node, label), one row per node with ≥1 edge. */
+  def labelProp(edges0: DataFrame, iters: Int = 3,
+                aCol: String = "a", bCol: String = "b"): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters must be in [1, 8] (unrolled rounds)")
+    val W = org.apache.spark.sql.expressions.Window
+    val und = edges0
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl")).localCheckpoint()
+    val argmax = W.partitionBy("dst").orderBy(col("cnt").desc, col("lbl"))
+    (1 to iters).foreach { _ =>
+      labels = sym.join(labels, sym("src") === labels("v"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(argmax))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("node"), col("lbl").as("label"))
+  }
+
+  /** DuckDB oracle for [[labelProp]] — identical canonicalization,
+    * per-round count / deterministic-argmax CTE chain. `edgesSub` is a
+    * `(SELECT … a, … b FROM …)` subquery. */
+  def labelPropSql(edgesSub: String, iters: Int): String = {
+    val iterCtes = (0 until iters).map { k =>
+      s"c$k AS (SELECT s.dst, l.lbl, CAST(count(*) AS BIGINT) AS cnt " +
+        s"FROM sym s JOIN l$k l ON s.src = l.v GROUP BY s.dst, l.lbl), " +
+        s"l${k + 1} AS (SELECT dst AS v, lbl FROM (SELECT dst, lbl, " +
+        "row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rn " +
+        s"FROM c$k) WHERE rn = 1)"
+    }.mkString(", ")
+    "WITH und AS (SELECT DISTINCT least(CAST(a AS BIGINT), CAST(b AS BIGINT)) AS a, " +
+      s"greatest(CAST(a AS BIGINT), CAST(b AS BIGINT)) AS b FROM $edgesSub " +
+      "WHERE CAST(a AS BIGINT) <> CAST(b AS BIGINT) AND a IS NOT NULL AND b IS NOT NULL), " +
+      "sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), " +
+      "l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM sym), " +
+      s"$iterCtes " +
+      s"SELECT v AS node, lbl AS label FROM l$iters ORDER BY node"
+  }
+
   /** Exact triangle count + global clustering coefficient of an
     * undirected graph given as an edge list (any orientation/dups — the
     * edge set is canonicalized first).

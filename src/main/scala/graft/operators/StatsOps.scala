@@ -504,4 +504,76 @@ object StatsOps {
       s"round(max(CASE WHEN mr = $hiRank THEN m END), 6) AS ci_hi " +
       "FROM ranked"
   }
+
+  /** Market-basket pair mining: for every unordered item pair co-occurring
+    * in ≥ `minCo` baskets, exact co-occurrence count and lift
+    * (`n·co / (n_a·n_b)` — how much more often the pair appears together
+    * than independence predicts), top `k` by co-count. The association
+    * signal behind "frequently bought together" and, in curation, behind
+    * "these two tags/sources always co-fire" redundancy checks.
+    *
+    * Scale shape: the basket self-join fans out quadratically in BASKET
+    * size, not corpus size — `maxBasket` drops oversize baskets first
+    * (bot sessions / catch-all groups; a deliberate, documented exclusion
+    * mirrored in the oracle, like the LSH bucket cap). Baskets dedup once
+    * (one (basket, item) shuffle, reused co-partitioned by the size join
+    * and both sides of the pair join); pair counts are map-side-combined
+    * on the pair key; item marginals join on item keys; top-k is
+    * TakeOrdered, never a full sort. All counts integer; lift's division
+    * happens once per surviving pair, identically on both engines.
+    *
+    * Output: (item_a, item_b, n_co, n_a, n_b, lift), item_a < item_b. */
+  def marketBasket(df: DataFrame, basketCol: String, itemCol: String,
+                   minCo: Long = 2, maxBasket: Int = 100,
+                   k: Int = 50): DataFrame = {
+    require(maxBasket >= 2, "maxBasket must be >= 2")
+    val items = df
+      .select(col(basketCol).as("bk"), col(itemCol).cast("long").as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull).distinct()
+      .localCheckpoint()
+    val kept = items
+      .join(items.groupBy("bk").agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= maxBasket), Seq("bk"))
+      .select(col("bk"), col("it"))
+      .localCheckpoint()
+    val nB = kept.select(col("bk")).distinct().agg(count(lit(1)).as("n_baskets"))
+    val marg = kept.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val pairs = kept.as("x").join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("item_a"), col("y.it").as("item_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    pairs
+      .join(marg.select(col("it").as("item_a"), col("n_it").as("n_a")), Seq("item_a"))
+      .join(marg.select(col("it").as("item_b"), col("n_it").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("n_co"), col("n_a"), col("n_b"),
+        round((col("n_baskets").cast("double") * col("n_co").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("n_co").desc, col("item_a"), col("item_b"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[marketBasket]] — identical dedup, size cap,
+    * pair/marginal counts and lift expression tree. `baskets` is a
+    * `(SELECT … bk, … it FROM …)` subquery. */
+  def marketBasketSql(baskets: String, minCo: Long, maxBasket: Int,
+                      k: Int): String =
+    s"WITH items AS (SELECT DISTINCT bk, CAST(it AS BIGINT) AS it FROM $baskets " +
+      "WHERE bk IS NOT NULL AND it IS NOT NULL), " +
+      "kept AS (SELECT items.bk, it FROM items JOIN " +
+      "(SELECT bk, count(*) AS bs FROM items GROUP BY bk) s " +
+      s"ON items.bk = s.bk WHERE s.bs <= $maxBasket), " +
+      "nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM kept), " +
+      "marg AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it FROM kept GROUP BY it), " +
+      "pairs AS (SELECT x.it AS item_a, y.it AS item_b, " +
+      "CAST(count(*) AS BIGINT) AS n_co FROM kept x JOIN kept y " +
+      "ON x.bk = y.bk AND x.it < y.it GROUP BY x.it, y.it " +
+      s"HAVING count(*) >= $minCo) " +
+      "SELECT item_a, item_b, n_co, a.n_it AS n_a, b.n_it AS n_b, " +
+      "round((CAST(n_baskets AS DOUBLE) * CAST(n_co AS DOUBLE)) / " +
+      "(CAST(a.n_it AS DOUBLE) * CAST(b.n_it AS DOUBLE)), 6) AS lift " +
+      "FROM pairs JOIN marg a ON item_a = a.it JOIN marg b ON item_b = b.it " +
+      "CROSS JOIN nb " +
+      s"ORDER BY n_co DESC, item_a, item_b LIMIT $k"
 }

@@ -220,6 +220,82 @@ object Temporal {
       "PARTITION BY k ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND " +
       s"CURRENT ROW) AS value_ff FROM j ORDER BY $keyExpr, bin"
 
+  /** Regular-grid resample with LINEAR interpolation across empty bins —
+    * [[resample]]'s forward-fill sibling for quantities where holding the
+    * last value misstates the trend (gauge readings, rates). Empty bins
+    * between two observed bins get `prev + (next − prev) · gap_fraction`;
+    * the gap fraction is a ratio of BIN INDICES (exact integers from
+    * row_number over the contiguous grid), so both engines compute the
+    * identical double expression. The grid spans [min bin, max bin] per
+    * key, so every empty bin is interior — prev and next always exist.
+    *
+    * Scale shape: identical to [[resample]] — the grid is DOMAIN-bounded
+    * (keys × range); the interpolation windows are per-key, bounded by
+    * bin count; same split-and-stitch note for multi-year second grids.
+    *
+    * Output: (key, bin, n, value_interp), value_interp rounded to 6. */
+  def interpFill(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, unit: String = "hour"): DataFrame = {
+    val W = Window
+    val bins = df.groupBy(col(keyCol).as("k"),
+        date_trunc(unit, col(tsCol)).as("bin"))
+      .agg(count(lit(1)).as("n"), max(col(valueCol)).as("v"))
+      .localCheckpoint()
+    val spans = bins.groupBy("k").agg(min(col("bin")).as("lo"),
+      max(col("bin")).as("hi"))
+    val grid = spans.select(col("k"), explode(sequence(col("lo"),
+      col("hi"), expr(s"interval 1 $unit"))).as("bin"))
+    val ord = W.partitionBy("k").orderBy("bin")
+    val wp = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wf = ord.rowsBetween(W.currentRow, W.unboundedFollowing)
+    grid.join(bins, Seq("k", "bin"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("idx", row_number().over(ord))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pi", last(when(col("v").isNotNull, col("idx")),
+        ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wf))
+      .withColumn("ni", first(when(col("v").isNotNull, col("idx")),
+        ignoreNulls = true).over(wf))
+      .select(col("k").as(keyCol), col("bin"), col("n"),
+        round(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("idx") - col("pi")).cast("double") /
+              (col("ni") - col("pi")).cast("double"))), 6)
+          .as("value_interp"))
+  }
+
+  /** DuckDB oracle for [[interpFill]] — identical bin/span/grid tree and
+    * index-ratio interpolation expression. */
+  def interpFillSql(table: String, keyExpr: String, tsExpr: String,
+                    valueExpr: String, unit: String = "hour"): String =
+    s"WITH bins AS (SELECT $keyExpr AS k, date_trunc('$unit', $tsExpr) AS bin, " +
+      s"CAST(count(*) AS BIGINT) AS n, max($valueExpr) AS v " +
+      s"FROM $table GROUP BY k, bin), " +
+      "spans AS (SELECT k, min(bin) AS lo, max(bin) AS hi FROM bins GROUP BY k), " +
+      "grid AS (SELECT k, unnest(generate_series(lo, hi, " +
+      s"INTERVAL 1 $unit)) AS bin FROM spans), " +
+      "j AS (SELECT grid.k, grid.bin, coalesce(n, 0) AS n, v " +
+      "FROM grid LEFT JOIN bins ON grid.k = bins.k AND grid.bin = bins.bin), " +
+      "jx AS (SELECT k, bin, n, v, " +
+      "row_number() OVER (PARTITION BY k ORDER BY bin) AS idx FROM j), " +
+      "w AS (SELECT k, bin, n, v, idx, " +
+      "last_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bin " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv, " +
+      "last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER " +
+      "(PARTITION BY k ORDER BY bin " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi, " +
+      "first_value(v IGNORE NULLS) OVER (PARTITION BY k ORDER BY bin " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv, " +
+      "first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER " +
+      "(PARTITION BY k ORDER BY bin " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni " +
+      "FROM jx) " +
+      s"SELECT k AS $keyExpr, bin, n, " +
+      "round(CASE WHEN v IS NOT NULL THEN v ELSE " +
+      "pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) " +
+      s"END, 6) AS value_interp FROM w ORDER BY $keyExpr, bin"
+
   /** First/last-touch conversion attribution: every `convType` event is
     * attributed to the user's FIRST and MOST RECENT preceding
     * `touchTypes` event (the marketing/funnel credit matrix — which

@@ -651,6 +651,21 @@ object AnalyticsQueries {
             "TRUE AS approx_within_5pct FROM events"
         Seq("event_id", "ts", "user_id", "event_type", "value", "props")
           .map(branch).mkString("", " UNION ALL ", " ORDER BY col_name")
-      })
+      }),
+
+    // Market-basket pair mining over order line items (item = coarse part
+    // family so co-occurrence counts are non-trivial at small SF): exact
+    // co-occurrence + lift, top-30 by co-count. The basket self-join fans
+    // out per-BASKET-quadratically (TPC-H baskets ≤ 7 items; maxBasket
+    // caps pathological ones); pair counts map-side-combined; top-k is
+    // TakeOrdered.
+    Q("q_market_basket",
+      (s, d) => graft.operators.StatsOps.marketBasket(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("bk"), (col("l_partkey") % 200).as("it")),
+        "bk", "it", minCo = 3, maxBasket = 100, k = 30),
+      Some(graft.operators.StatsOps.marketBasketSql(
+        "(SELECT l_orderkey AS bk, l_partkey % 200 AS it FROM lineitem)",
+        minCo = 3, maxBasket = 100, k = 30)))
   )
 }

@@ -356,6 +356,26 @@ object SimilarityQueries {
         .orderBy("node"),
       Some(graft.operators.GraphOps.pageRankSql(
         "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
-        iters = 3, damping = 0.85)))
+        iters = 3, damping = 0.85))),
+
+    // Label propagation (3 synchronous rounds, smallest-label tie-break)
+    // over a deterministic bipartite-ish community graph from events:
+    // users attach to two hub nodes, so hubs stitch user blocks into
+    // communities. All integer — fully hash-verified against the
+    // identical unrolled CTE chain.
+    Q("q_label_prop",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val e1 = ev.select((col("user_id") % 120).as("a"),
+          (lit(1000L) + col("user_id") % 12).as("b"))
+        val e2 = ev.select((col("user_id") % 120).as("a"),
+          (lit(1000L) + (col("user_id") * 31) % 12).as("b"))
+        graft.operators.GraphOps.labelProp(e1.unionByName(e2), iters = 3)
+          .orderBy("node")
+      },
+      Some(graft.operators.GraphOps.labelPropSql(
+        "(SELECT user_id % 120 AS a, 1000 + (user_id % 12) AS b FROM events " +
+          "UNION ALL SELECT user_id % 120, 1000 + ((user_id * 31) % 12) FROM events)",
+        iters = 3)))
   )
 }

@@ -505,6 +505,28 @@ object TemporalQueries {
           unit = "hour")
         .orderBy("event_type", "bin"),
       Some(Temporal.resampleSql("events", "event_type", "ts", "value",
-        unit = "hour")))
+        unit = "hour"))),
+
+    // Linear-interpolation gap fill on the same hourly grid as
+    // q_ts_resample: empty bins get prev + (next - prev) * index-ratio
+    // (exact integer bin indices -> identical doubles on both engines);
+    // grid spans [min, max] per key so every gap is interior.
+    Q("q_interp_fill",
+      (s, d) => Temporal.interpFill(ev(s, d), "event_type", "ts", "value",
+          unit = "hour")
+        .orderBy("event_type", "bin"),
+      Some(Temporal.interpFillSql("events", "event_type", "ts", "value",
+        unit = "hour"))),
+
+    // k-anonymity suppression (k = 10) over the (event_type, user bucket)
+    // quasi-identifier grid: classes under k collapse into one '*'
+    // residual row that still reports how many rows were withheld.
+    Q("q_kanon",
+      (s, d) => graft.operators.PrivacyOps.kAnonymize(
+        ev(s, d).select(col("event_type"), (col("user_id") % 97).as("ubucket")),
+        Seq("event_type", "ubucket"), k = 10),
+      Some(graft.operators.PrivacyOps.kAnonymizeSql(
+        "events", Seq("event_type" -> "event_type",
+          "(user_id % 97)" -> "ubucket"), k = 10)))
   )
 }

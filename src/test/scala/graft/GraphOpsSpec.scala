@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.{GraphOps, Similarity}
 
 /** Triangle census vs brute-force models: hand-built graphs, random
@@ -104,5 +106,50 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(r.values.sum - 1.0) < 1e-9)
     // node 3 has the most in-links — it must rank highest
     assert(got.maxBy(_._2)._1 === 3L)
+  }
+
+  /** Synchronous LPA model: every node adopts the most frequent neighbour
+    * label, ties to the smallest label. */
+  private def lpaModel(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct
+    val nbrs = (e ++ e.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var lbl = nbrs.keys.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      lbl = nbrs.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).map { case (l, o) => l -> o.size }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("labelProp: two cliques joined by a bridge keep distinct labels") {
+    val cl1 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val cl2 = for (i <- 11L to 14L; j <- (i + 1) to 14L) yield (i, j)
+    val edges = cl1 ++ cl2 :+ ((4L, 11L))
+    val got = GraphOps.labelProp(edges.toDF("a", "b"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lpaModel(edges, 3))
+    // the two cliques must resolve to different community labels
+    assert(got(1L) === 1L && got(12L) === 11L && got(1L) != got(12L))
+  }
+
+  test("labelProp: dup/reversed/self edges canonicalize; matches model on the query graph") {
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 2L))
+    val g1 = GraphOps.labelProp(noisy.toDF("a", "b"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g1 === lpaModel(noisy, 2))
+    // the declared query's deterministic community graph from real events
+    val ev = Tables.load(spark, sfDir, "events")
+    val edges = ev.select(($"user_id" % 120).as("a"), (lit(1000L) + $"user_id" % 12).as("b"))
+      .unionByName(ev.select(($"user_id" % 120).as("a"),
+        (lit(1000L) + ($"user_id" * 31) % 12).as("b")))
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = GraphOps.labelProp(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === lpaModel(pairs, 3))
+    assert(got.nonEmpty && got.values.toSet.size > 1,
+      "community graph should keep more than one label after 3 rounds")
   }
 }

@@ -356,4 +356,83 @@ class StatsOpsSpec extends SparkSpec {
     // the interval is non-degenerate and brackets the point estimate
     assert(row.getDouble(2) < row.getDouble(1) && row.getDouble(1) < row.getDouble(3))
   }
+
+  test("marketBasket: closed-form pairs, lift, minCo and maxBasket gates") {
+    // 4 baskets: {1,2,3} {1,2} {1,2} {2,3}; pair (1,2) co=3, (2,3) co=2,
+    // (1,3) co=1 drops at minCo=2. Item counts: 1->3, 2->4, 3->2.
+    val df = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L), // dup (10,3) dedups
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 2L), (13L, 3L)).toDF("bk", "it")
+    val got = StatsOps.marketBasket(df, "bk", "it", minCo = 2, maxBasket = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 3L, 3L, 4L, 1.0),              // 4*3/(3*4)
+      (2L, 3L, 2L, 4L, 2L, 1.0)))             // 4*2/(4*2)
+    // an oversize basket contributes NO pairs and leaves the basket count
+    val big = (1L to 11L).map(i => (99L, i)).toDF("bk", "it")
+    val got2 = StatsOps.marketBasket(df.unionByName(big), "bk", "it",
+      minCo = 2, maxBasket = 10, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(got2.toSeq === Seq((1L, 2L, 3L, 1.0), (2L, 3L, 2L, 1.0)))
+  }
+
+  test("marketBasket matches a brute-force model on real lineitem families") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("bk"), (col("l_partkey") % 20).as("it"))
+    val rows = li.collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .filter(_._2.size <= 7).toMap
+    val nB = baskets.size.toLong
+    val marg = baskets.values.flatten.groupBy(identity).map { case (i, o) => i -> o.size.toLong }
+    val co = baskets.values.toSeq
+      .flatMap(s => s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .filter(_._2 >= 3)
+    val expect = co.toSeq.map { case ((a, b), c) =>
+      (a, b, c, marg(a), marg(b),
+        r6(nB.toDouble * c.toDouble / (marg(a).toDouble * marg(b).toDouble)))
+    }.sortBy { case (a, b, c, _, _, _) => (-c, a, b) }.take(15)
+    val got = StatsOps.marketBasket(li, "bk", "it", minCo = 3, maxBasket = 7, k = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === expect)
+  }
+
+  test("kAnonymize: small classes collapse into one accounted residual row") {
+    import graft.operators.PrivacyOps
+    // classes: (a,x)=5 rows, (a,y)=2, (b,null)=3 -> with k=4 the last two
+    // suppress into ('*','*') with 5 rows total
+    val df = (Seq.fill(5)(("a", Some("x"))) ++ Seq.fill(2)(("a", Some("y"))) ++
+      Seq.fill(3)(("b", None: Option[String]))).toDF("g", "h")
+    val got = PrivacyOps.kAnonymize(df, Seq("g", "h"), k = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq(("*", "*", 5L, true), ("a", "x", 5L, false)))
+    // every released class is >= k; totals conserved
+    assert(got.filterNot(_._4).forall(_._3 >= 4L))
+    assert(got.map(_._3).sum === 10L)
+    // k=1 rejected
+    intercept[IllegalArgumentException] {
+      PrivacyOps.kAnonymize(df, Seq("g"), k = 1)
+    }
+  }
+
+  test("kAnonymize matches a driver model on the real quasi grid") {
+    import graft.operators.PrivacyOps
+    val events = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), (col("user_id") % 97).as("ub"))
+    val rows = events.collect().map(r => (r.getString(0), r.getLong(1).toString))
+    val classes = rows.groupBy(identity).map { case (q, o) => q -> o.size.toLong }
+    val k = 10
+    val kept = classes.filter(_._2 >= k).map { case ((a, b), n) => (a, b, n, false) }
+    val supp = classes.filterNot(_._2 >= k).values.sum
+    val expect = (if (supp > 0) kept.toSeq :+ (("*", "*", supp, true)) else kept.toSeq)
+      .sortBy(t => (t._1, t._2))
+    val got = PrivacyOps.kAnonymize(events, Seq("event_type", "ub"), k)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === expect)
+  }
 }

@@ -238,6 +238,56 @@ class TemporalSpec extends SparkSpec {
       ("b", "2020-01-01 10:00:00.0", 1L, 5.0)))
   }
 
+  test("interpFill linearly interpolates interior gaps; observed bins pass through") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // key a: values 1 at h10 and 7 at h13 -> gap bins get 3 and 5;
+    // key b: single bin, no gaps
+    val df = Seq(
+      ("a", ts("2020-01-01 10:05:00"), 1.0),
+      ("a", ts("2020-01-01 13:10:00"), 7.0),
+      ("b", ts("2020-01-01 10:59:00"), 5.0))
+      .toDF("k", "ts", "value")
+    val got = Temporal.interpFill(df, "k", "ts", "value", unit = "hour")
+      .orderBy("k", "bin").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("a", "2020-01-01 10:00:00.0", 1L, 1.0),
+      ("a", "2020-01-01 11:00:00.0", 0L, 3.0), // 1 + 6 * 1/3
+      ("a", "2020-01-01 12:00:00.0", 0L, 5.0), // 1 + 6 * 2/3
+      ("a", "2020-01-01 13:00:00.0", 1L, 7.0),
+      ("b", "2020-01-01 10:00:00.0", 1L, 5.0)))
+  }
+
+  test("interpFill matches a driver model on real per-type hourly series") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Temporal.interpFill(events, "event_type", "ts", "value", unit = "hour")
+      .orderBy("event_type", "bin").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    // model: per type, hourly max bins; gaps linear in bin index
+    val trunc = events.select(col("event_type"), date_trunc("hour", col("ts")).as("bin"),
+      col("value")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    val expect = trunc.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, rows) =>
+      val byBin = rows.groupBy(_._2).map { case (b, v) =>
+        b -> ((v.size.toLong, v.map(_._3).max)) }
+      val bins = byBin.keys.toSeq.sortBy(_.getTime)
+      val lo = bins.head.getTime; val hi = bins.last.getTime
+      val grid = (lo to hi by 3600000L).map(new java.sql.Timestamp(_))
+      val knownIdx = grid.zipWithIndex.filter(g => byBin.contains(g._1)).map(_._2)
+      grid.zipWithIndex.map { case (b, i) =>
+        byBin.get(b) match {
+          case Some((n, v)) => (t, b, n, r6(v))
+          case None =>
+            val pi = knownIdx.filter(_ < i).max; val ni = knownIdx.filter(_ > i).min
+            val pv = byBin(grid(pi))._2; val nv = byBin(grid(ni))._2
+            (t, b, 0L, r6(pv + (nv - pv) * ((i - pi).toDouble / (ni - pi).toDouble)))
+        }
+      }
+    }
+    assert(got.toSeq === expect)
+  }
+
   test("touchAttribution: ties pin touch-before-conversion; no-touch conversions bucket 'none'") {
     val df = Seq(
       // user 1: view -> click -> purchase (first view, last click)
