@@ -185,6 +185,123 @@ object GraphOps {
       s"SELECT v AS node, lbl AS label FROM l$iters ORDER BY node"
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) by power iteration over a
+    * directed edge list, `iters` rounds unrolled — [[pageRank]]'s
+    * query-dependent sibling: authorities are pages many good hubs point
+    * AT, hubs are pages that point at many good authorities. In curation
+    * the split matters where pageRank's single score doesn't: link-farm
+    * hubs score high on hub-ness but low on authority, so the authority
+    * column is the cleaner quality prior for OUTLINK-heavy sources.
+    *
+    * Each round: `auth(v) = Σ_{u→v} hub(u)` then L1-normalize, then
+    * `hub(u) = Σ_{u→v} auth(v)` then L1-normalize. L1 (sum) rather than
+    * the classical L2 norm keeps every reduction a plain ordered sum —
+    * same fixed point direction, deterministic across engines and
+    * partitionings; documented trade-off.
+    *
+    * Scale shape: edges dedup once + localCheckpoint (reliable checkpoint
+    * on a cluster); a round is two 8-byte-key join shuffles (hub on src,
+    * auth on dst). Per-node sums are ordered cumsum windows (by the other
+    * endpoint — a total order after dedup) and each normalizer is one
+    * ordered fold over the NODE frame (domain-bounded, same shape as
+    * pageRank's dangling fold) broadcast back — so scores are
+    * bit-identical on both engines. Nodes without in-edges hold authority
+    * 0 (resp. out-edges / hub 0); null-endpoint edges drop in the
+    * self-loop filter on both engines.
+    *
+    * Output: (node, hub, authority), rounded to 6; each column sums to 1
+    * over its support. */
+  def hits(edges0: DataFrame, iters: Int = 3,
+           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1 && iters <= 6, "iters must be in [1, 6] (unrolled rounds)")
+    val W = org.apache.spark.sql.expressions.Window
+    val e = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+      .localCheckpoint()
+    val ordv = W.orderBy("v")
+    val cumv = ordv.rowsBetween(W.unboundedPreceding, W.currentRow)
+    // one ordered fold over the node frame -> a 1-row total, broadcast back
+    def l1Total(scores: DataFrame, c: String): DataFrame = scores
+      .withColumn("cum", sum(col(c)).over(cumv))
+      .withColumn("rn", row_number().over(ordv))
+      .withColumn("nc", count(lit(1)).over())
+      .filter(col("rn") === col("nc"))
+      .select(col("cum").as("tot"))
+    // per-node ordered sum of the other endpoint's score, L1-normalized
+    def halfRound(scores: DataFrame, joinKey: String,
+                  groupKey: String): DataFrame = {
+      val ordg = W.partitionBy(groupKey).orderBy(joinKey)
+      val cumg = ordg.rowsBetween(W.unboundedPreceding, W.currentRow)
+      val raw = e.join(scores, e(joinKey) === scores("v"))
+        .select(col(groupKey), col(joinKey), col("s"))
+        .withColumn("cum", sum(col("s")).over(cumg))
+        .withColumn("rn", row_number().over(ordg))
+        .withColumn("nc", count(lit(1)).over(W.partitionBy(groupKey)))
+        .filter(col("rn") === col("nc"))
+        .select(col(groupKey).as("gv"), col("cum").as("raw"))
+      val full = nodes.join(raw, nodes("v") === col("gv"), "left")
+        .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw"))
+      full.crossJoin(broadcast(l1Total(full, "raw")))
+        .select(col("v"), (col("raw") / col("tot")).as("s"))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("v"), lit(1.0).as("s")).localCheckpoint()
+    var auth = hub
+    (1 to iters).foreach { _ =>
+      auth = halfRound(hub, "src", "dst")   // auth(v) = Σ hub(in-nbrs)
+      hub = halfRound(auth, "dst", "src")   // hub(u) = Σ auth(out-nbrs)
+    }
+    hub.select(col("v"), col("s").as("h"))
+      .join(auth.select(col("v"), col("s").as("a")), Seq("v"))
+      .select(col("v").as("node"), round(col("h"), 6).as("hub"),
+        round(col("a"), 6).as("authority"))
+  }
+
+  /** DuckDB oracle for [[hits]] — identical dedup, ordered per-node
+    * cumsum folds, node-frame L1 normalizer folds and float tree.
+    * `edgesSub` is a `(SELECT … src, … dst FROM …)` subquery. */
+  def hitsSql(edgesSub: String, iters: Int): String = {
+    // per-round CTE pair: raw ordered sums + L1 normalize via the same
+    // rn = nc fold over the node frame
+    def half(k: Int, in: String, outPrefix: String, joinKey: String,
+             groupKey: String): String = {
+      val raw = s"${outPrefix}raw$k"
+      val tot = s"${outPrefix}tot$k"
+      s"$raw AS (SELECT nodes.v, coalesce(g.cum, 0.0) AS raw FROM nodes " +
+        s"LEFT JOIN (SELECT $groupKey AS gv, cum FROM (SELECT e.$groupKey, " +
+        s"sum(s.s) OVER (PARTITION BY e.$groupKey ORDER BY e.$joinKey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        s"row_number() OVER (PARTITION BY e.$groupKey ORDER BY e.$joinKey) AS rn, " +
+        s"count(*) OVER (PARTITION BY e.$groupKey) AS nc " +
+        s"FROM e JOIN $in s ON e.$joinKey = s.v) WHERE rn = nc) g " +
+        "ON nodes.v = g.gv), " +
+        s"$tot AS (SELECT cum AS tot FROM (SELECT " +
+        s"sum(raw) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        s"row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS nc FROM $raw) " +
+        "WHERE rn = nc), " +
+        s"$outPrefix${k + 1} AS (SELECT v, raw / tot AS s FROM $raw CROSS JOIN $tot)"
+    }
+    val iterCtes = (0 until iters).map { k =>
+      // auth round k+1 reads hub round k; hub round k+1 reads the
+      // just-computed auth round k+1 (prefixes keep the CTE names unique)
+      half(k, s"h$k", "a", "src", "dst") + ", " +
+        half(k, s"a${k + 1}", "h", "dst", "src")
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst " +
+      s"FROM $edgesSub WHERE src <> dst), " +
+      "nodes AS (SELECT DISTINCT v FROM " +
+      "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)), " +
+      "h0 AS (SELECT v, 1.0 AS s FROM nodes), " +
+      s"$iterCtes " +
+      s"SELECT h.v AS node, round(h.s, 6) AS hub, round(a.s, 6) AS authority " +
+      s"FROM h$iters h JOIN a$iters a ON h.v = a.v ORDER BY node"
+  }
+
   /** Exact triangle count + global clustering coefficient of an
     * undirected graph given as an edge list (any orientation/dups — the
     * edge set is canonicalized first).

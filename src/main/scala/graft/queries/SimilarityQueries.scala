@@ -376,6 +376,21 @@ object SimilarityQueries {
       Some(graft.operators.GraphOps.labelPropSql(
         "(SELECT user_id % 120 AS a, 1000 + (user_id % 12) AS b FROM events " +
           "UNION ALL SELECT user_id % 120, 1000 + ((user_id * 31) % 12) FROM events)",
+        iters = 3))),
+
+    // HITS hubs/authorities (3 L1-normalized rounds) over the SAME event
+    // graph q_pagerank scores — the two-score decomposition next to
+    // PageRank's single authority prior. Every float reduction is an
+    // ordered cumsum fold, so both engines produce bit-identical scores.
+    Q("q_hits",
+      (s, d) => graft.operators.GraphOps.hits(
+          Tables.load(s, d, "events")
+            .select((col("user_id") % 50).as("src"),
+              ((col("event_id") * 7919) % 64).as("dst")),
+          iters = 3)
+        .orderBy("node"),
+      Some(graft.operators.GraphOps.hitsSql(
+        "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
         iters = 3)))
   )
 }

@@ -152,4 +152,58 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.toSet.size > 1,
       "community graph should keep more than one label after 3 rounds")
   }
+
+  /** L1-normalized HITS model replicating the operator's exact fold
+    * orders (per-node sums by the other endpoint, normalizers by node
+    * id), so doubles match bit-for-bit before the final rounding. */
+  private def hitsModel(edges: Seq[(Long, Long)],
+                        iters: Int): Map[Long, (Double, Double)] = {
+    val e = edges.filter { case (s, d) => s != d }.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    def l1(m: Map[Long, Double]): Double =
+      nodes.foldLeft(0.0)((acc, v) => acc + m(v))
+    def half(scores: Map[Long, Double], byDst: Boolean): Map[Long, Double] = {
+      val raw = nodes.map { v =>
+        val inc = if (byDst) e.filter(_._2 == v).sortBy(_._1).map(t => scores(t._1))
+                  else e.filter(_._1 == v).sortBy(_._2).map(t => scores(t._2))
+        v -> inc.foldLeft(0.0)(_ + _)
+      }.toMap
+      val tot = l1(raw)
+      raw.map { case (v, r) => v -> r / tot }
+    }
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = hub
+    (1 to iters).foreach { _ =>
+      auth = half(hub, byDst = true)
+      hub = half(auth, byDst = false)
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  private def r6(v: Double) =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("hits: in-star center is the authority, leaves are the hubs") {
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 4L))
+    val got = GraphOps.hits(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = hitsModel(edges, 2)
+    assert(got === want.map { case (v, (h, a)) => v -> (r6(h), r6(a)) })
+    // 9 collects three hub endorsements: top authority; 1-3 are equal hubs
+    assert(got(9L)._2 === got.values.map(_._2).max)
+    assert(got(1L)._1 === got(2L)._1 && got(2L)._1 === got(3L)._1)
+    assert(got(1L)._1 > got(9L)._1)
+  }
+
+  test("hits matches the fold model on the declared event graph; columns sum to 1") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(($"user_id" % 50).as("src"), (($"event_id" * 7919) % 64).as("dst"))
+    val pairs = ev.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = GraphOps.hits(ev, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = hitsModel(pairs, 3)
+    assert(got === want.map { case (v, (h, a)) => v -> (r6(h), r6(a)) })
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-3)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-3)
+  }
 }
