@@ -576,4 +576,67 @@ object StatsOps {
       "FROM pairs JOIN marg a ON item_a = a.it JOIN marg b ON item_b = b.it " +
       "CROSS JOIN nb " +
       s"ORDER BY n_co DESC, item_a, item_b LIMIT $k"
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    * with their exact companions: `depth` tagged rows of `width` counters,
+    * estimate = min over rows of the landed counter — never an
+    * underestimate, overestimates only on hash collisions. The
+    * fixed-size-state answer to "how often does each key occur" when the
+    * key domain is too large to count exactly; the exact join here is the
+    * verification harness (the q_hll_distinct contract: approximate
+    * operator + exact companion + pinned bound flag).
+    *
+    * Scale shape: keys aggregate ONCE (the only corpus-sized shuffle,
+    * map-side combined); the sketch then builds FROM the vocab-sized count
+    * frame — summing pre-aggregated counts into cells is algebraically
+    * identical to streaming increments, and costs depth scans of VOCAB
+    * rows, not corpus rows. The cell frame is depth×width rows regardless
+    * of data volume (broadcast back for estimation); tagged [[
+    * graft.functions.TextFunctions.charHash]] rows keep both engines on
+    * the same buckets. All counts integer.
+    *
+    * Output: top `k` keys by exact count — (term, n_exact, n_cms,
+    * exact_hit); `n_cms >= n_exact` always (spec-asserted). */
+  def countMin(tokens: DataFrame, termCol: String, width: Int = 256,
+               depth: Int = 4, k: Int = 20): DataFrame = {
+    require(width >= 2, "width must be >= 2")
+    require(depth >= 1 && depth <= 8, "depth must be in [1, 8]")
+    val exact = tokens.select(col(termCol).cast("string").as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      .localCheckpoint() // vocab-sized; feeds cells AND estimates
+    def bucket(d: Int) = pmod(graft.functions.TextFunctions.charHash(
+      concat(lit(s"cm$d:"), col("term"))), lit(width.toLong))
+    val rows = (0 until depth).map(d =>
+        exact.select(lit(d).as("d"), bucket(d).as("bucket"),
+          col("term"), col("n_exact")))
+      .reduce(_ unionByName _)
+    val cells = rows.groupBy("d", "bucket").agg(sum("n_exact").as("cnt"))
+    rows.join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("term", "n_exact").agg(min("cnt").as("n_cms"))
+      .select(col("term"), col("n_exact"), col("n_cms"),
+        (col("n_cms") === col("n_exact")).as("exact_hit"))
+      .orderBy(col("n_exact").desc, col("term")).limit(k)
+  }
+
+  /** DuckDB oracle for [[countMin]] — identical tagged-hash cells built
+    * from the same pre-aggregated vocab frame. `tokensSub` is a
+    * `(SELECT … term FROM …)` subquery. */
+  def countMinSql(tokensSub: String, width: Int, depth: Int, k: Int): String = {
+    import graft.functions.TextFunctions.charHashSql
+    def bucket(termExpr: String, dExpr: String) =
+      s"(${charHashSql(s"('cm' || CAST($dExpr AS VARCHAR) || ':' || $termExpr)")} % $width)"
+    s"WITH exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact " +
+      s"FROM $tokensSub WHERE term IS NOT NULL GROUP BY term), " +
+      s"ds AS (SELECT CAST(unnest(range(0, $depth)) AS BIGINT) AS d), " +
+      "cells AS (SELECT d, " + bucket("term", "d") + " AS bucket, " +
+      "CAST(sum(n_exact) AS BIGINT) AS cnt " +
+      "FROM exact CROSS JOIN ds GROUP BY d, bucket) " +
+      "SELECT term, n_exact, n_cms, (n_cms = n_exact) AS exact_hit FROM " +
+      "(SELECT e.term, e.n_exact, min(c.cnt) AS n_cms " +
+      "FROM exact e CROSS JOIN ds JOIN cells c ON c.d = ds.d " +
+      "AND c.bucket = " + bucket("e.term", "ds.d") + " " +
+      "GROUP BY e.term, e.n_exact) " +
+      s"ORDER BY n_exact DESC, term LIMIT $k"
+  }
 }

@@ -385,6 +385,20 @@ object TextQueries {
         "SELECT term, cnt, TRUE AS in_sketch FROM c " +
         "ORDER BY cnt DESC, term LIMIT 10")),
 
+    // Count-min sketch estimates for the top-20 corpus terms next to
+    // their exact counts (4 tagged hash rows x 256 counters — fixed-size
+    // state regardless of corpus volume). The sketch builds from the
+    // vocab-sized count frame (algebraically identical to streaming
+    // increments); n_cms >= n_exact by construction.
+    Q("q_cms_heavy",
+      (s, d) => graft.operators.StatsOps.countMin(
+        docs(s, d).select(
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term")),
+        "term", width = 256, depth = 4, k = 20),
+      Some(graft.operators.StatsOps.countMinSql(
+        "(SELECT unnest(" + tokensSql("text") + ") AS term FROM documents)",
+        width = 256, depth = 4, k = 20))),
+
     // Benchmark decontamination: corpus docs sharing any 3-token shingle
     // with the "eval" slice (doc_id % 20 == 0). Spark joins 64-bit gram
     // hashes against the broadcast benchmark gram set; the oracle joins

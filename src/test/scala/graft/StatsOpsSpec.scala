@@ -420,6 +420,46 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("countMin: estimates never underestimate; tiny width forces collisions") {
+    val toks = (Seq.fill(8)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e", "f")).map(Tuple1(_)).toDF("term")
+    // roomy sketch: every estimate should be exact
+    val roomy = StatsOps.countMin(toks, "term", width = 512, depth = 4, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(roomy.forall(t => t._3 >= t._2))
+    assert(roomy.take(3).map(t => (t._1, t._2)).toSeq ===
+      Seq(("a", 8L), ("b", 5L), ("c", 3L)))
+    assert(roomy.forall(_._4), "512 counters for 6 keys must be collision-free")
+    // width 2: pigeonhole forces collisions; estimates still bound exact
+    val tight = StatsOps.countMin(toks, "term", width = 2, depth = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(tight.forall(t => t._3 >= t._2))
+    assert(tight.exists(!_._4), "6 keys into 2 counters must collide somewhere")
+  }
+
+  test("countMin matches a driver sketch model on real document tokens") {
+    val P = graft.functions.TextFunctions.P
+    def charHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val terms = toks.collect().map(_.getString(0))
+    val (width, depth) = (256, 4)
+    val exact = terms.groupBy(identity).map { case (t, o) => t -> o.size.toLong }
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for ((t, n) <- exact; d <- 0 until depth) {
+      val b = charHash(s"cm$d:$t") % width
+      cells((d, b)) = cells.getOrElse((d, b), 0L) + n
+    }
+    val expect = exact.toSeq.map { case (t, n) =>
+      (t, n, (0 until depth).map(d => cells((d, charHash(s"cm$d:$t") % width))).min)
+    }.sortBy { case (t, n, _) => (-n, t) }.take(20)
+      .map { case (t, n, e) => (t, n, e, e == n) }
+    val got = StatsOps.countMin(toks, "term", width, depth, k = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("kAnonymize matches a driver model on the real quasi grid") {
     import graft.operators.PrivacyOps
     val events = Tables.load(spark, sfDir, "events")
