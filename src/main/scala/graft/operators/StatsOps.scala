@@ -577,6 +577,128 @@ object StatsOps {
       "CROSS JOIN nb " +
       s"ORDER BY n_co DESC, item_a, item_b LIMIT $k"
 
+  /** Welch's unequal-variance t statistic between two groups of an
+    * INTEGER-valued metric — the parametric drift gate next to
+    * [[ksDistance]]: KS asks "are the distributions different anywhere",
+    * Welch asks the cheaper, more sensitive "did the MEAN move", without
+    * KS's equal-variance assumption (sources legitimately differ in
+    * spread). Integer-valued input is the hash-verification contract
+    * (same stance as the z-score/skew gates): n, Σx, Σx² accumulate as
+    * exact integers — partitioning-invariant — and the statistic is then
+    * a fixed tree of IEEE ops on those exact inputs, so t and the
+    * Welch–Satterthwaite df are bit-identical on both engines.
+    *
+    * Scale shape: ONE conditional aggregate over a single scan (map-side
+    * partial, 1-row output) — no per-group shuffle at all. The integer
+    * cross terms are exact to ~3·10⁹ rows per group at 6-digit values
+    * (the documented decimal lift beyond, as with the skew gate).
+    *
+    * Output: one row (n_a, n_b, mean_a, mean_b, t_stat, df), rounded 6. */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String,
+             groupA: String, groupB: String): DataFrame = {
+    def side(g: String, tag: String) = {
+      val v = when(col(groupCol) === g && col(valueCol).isNotNull,
+        col(valueCol).cast("long"))
+      Seq(count(v).as(s"n_$tag"), coalesce(sum(v), lit(0L)).as(s"s1_$tag"),
+        coalesce(sum(v * v), lit(0L)).as(s"s2_$tag"))
+    }
+    val agg = side(groupA, "a") ++ side(groupB, "b")
+    df.agg(agg.head, agg.tail: _*)
+      .select(col("n_a"), col("n_b"),
+        (col("s1_a").cast("double") / col("n_a").cast("double")).as("m_a"),
+        (col("s1_b").cast("double") / col("n_b").cast("double")).as("m_b"),
+        ((col("s2_a").cast("double") - col("s1_a").cast("double") *
+          col("s1_a").cast("double") / col("n_a").cast("double")) /
+          (col("n_a") - 1).cast("double")).as("v_a"),
+        ((col("s2_b").cast("double") - col("s1_b").cast("double") *
+          col("s1_b").cast("double") / col("n_b").cast("double")) /
+          (col("n_b") - 1).cast("double")).as("v_b"))
+      .select(col("n_a"), col("n_b"), col("m_a"), col("m_b"),
+        (col("v_a") / col("n_a").cast("double")).as("se_a"),
+        (col("v_b") / col("n_b").cast("double")).as("se_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("m_a"), 6).as("mean_a"), round(col("m_b"), 6).as("mean_b"),
+        round((col("m_a") - col("m_b")) / sqrt(col("se_a") + col("se_b")), 6)
+          .as("t_stat"),
+        round((col("se_a") + col("se_b")) * (col("se_a") + col("se_b")) /
+          (col("se_a") * col("se_a") / (col("n_a") - 1).cast("double") +
+            col("se_b") * col("se_b") / (col("n_b") - 1).cast("double")), 6)
+          .as("df"))
+  }
+
+  /** DuckDB oracle for [[welchT]] — identical conditional integer
+    * moments and IEEE expression tree. */
+  def welchTSql(table: String, groupExpr: String, valueExpr: String,
+                groupA: String, groupB: String): String = {
+    def side(g: String, tag: String) = {
+      val v = s"CASE WHEN $groupExpr = '$g' AND $valueExpr IS NOT NULL " +
+        s"THEN CAST($valueExpr AS BIGINT) END"
+      s"CAST(count($v) AS BIGINT) AS n_$tag, " +
+        s"coalesce(CAST(sum($v) AS BIGINT), 0) AS s1_$tag, " +
+        s"coalesce(CAST(sum(($v) * ($v)) AS BIGINT), 0) AS s2_$tag"
+    }
+    s"WITH m AS (SELECT ${side(groupA, "a")}, ${side(groupB, "b")} FROM $table), " +
+      "t1 AS (SELECT n_a, n_b, " +
+      "CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m_a, " +
+      "CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m_b, " +
+      "(CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS v_a, " +
+      "(CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS v_b " +
+      "FROM m), " +
+      "t2 AS (SELECT n_a, n_b, m_a, m_b, " +
+      "v_a / CAST(n_a AS DOUBLE) AS se_a, v_b / CAST(n_b AS DOUBLE) AS se_b FROM t1) " +
+      "SELECT n_a, n_b, round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b, " +
+      "round((m_a - m_b) / sqrt(se_a + se_b), 6) AS t_stat, " +
+      "round((se_a + se_b) * (se_a + se_b) / " +
+      "(se_a * se_a / CAST(n_a - 1 AS DOUBLE) + se_b * se_b / CAST(n_b - 1 AS DOUBLE)), 6) AS df " +
+      "FROM t2"
+  }
+
+  /** Gini coefficient of an integer mass across groups — the
+    * concentration gate for corpus mix monitoring ("is 90% of the
+    * training mass coming from 3 sources?"), the scalar summary next to
+    * [[graft.queries.TextQueries]]'s q_mix_weights table. Uses the exact
+    * rank formula `G = 2·Σ i·wᵢ / (n·Σw) − (n+1)/n` over weights sorted
+    * ascending; equal weights make the rank assignment ambiguous but the
+    * SUM invariant (swapping ranks of equal weights changes nothing), so
+    * the result is deterministic without a tie-break contract.
+    *
+    * Scale shape: one map-side-combined groupBy on the group key (the
+    * only corpus-sized shuffle); the rank window and final fold run on
+    * the GROUP frame (domain-bounded — the equidepth-cuts stance on
+    * single-task windows). All accumulation integer; one float division
+    * tree at the end.
+    *
+    * Output: one row (n_groups, total_mass, gini), gini rounded 6. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        weightCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    g.withColumn("i", row_number().over(W.orderBy(col("w"), col("g"))))
+      .agg(count(lit(1)).as("n_groups"), sum(col("w")).as("total_mass"),
+        sum(col("i") * col("w")).as("iw"))
+      .select(col("n_groups"), col("total_mass"),
+        round(lit(2.0) * col("iw").cast("double") /
+          (col("n_groups").cast("double") * col("total_mass").cast("double")) -
+          (col("n_groups") + 1).cast("double") / col("n_groups").cast("double"),
+          6).as("gini"))
+  }
+
+  /** DuckDB oracle for [[giniConcentration]] — identical group masses,
+    * rank window and division tree. */
+  def giniConcentrationSql(table: String, groupExpr: String,
+                           weightExpr: String): String =
+    s"WITH g AS (SELECT $groupExpr AS g, CAST(sum(CAST($weightExpr AS BIGINT)) AS BIGINT) AS w " +
+      s"FROM $table WHERE $groupExpr IS NOT NULL GROUP BY g), " +
+      "r AS (SELECT w, row_number() OVER (ORDER BY w, g) AS i FROM g), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, " +
+      "CAST(sum(w) AS BIGINT) AS total_mass, CAST(sum(i * w) AS BIGINT) AS iw FROM r) " +
+      "SELECT n_groups, total_mass, " +
+      "round(2.0 * CAST(iw AS DOUBLE) / (CAST(n_groups AS DOUBLE) * CAST(total_mass AS DOUBLE)) " +
+      "- CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) AS gini " +
+      "FROM s"
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) frequency estimates
     * with their exact companions: `depth` tagged rows of `width` counters,
     * estimate = min over rows of the landed counter — never an

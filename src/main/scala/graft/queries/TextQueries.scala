@@ -589,6 +589,26 @@ object TextQueries {
     // rounded on every engine (unlike pow/ln) and the normalizer is an
     // ordered cumsum, so the weights hash-verify exactly. The frame is
     // source-count sized — the global window costs nothing.
+    // Welch's t between two sources' document-length distributions (the
+    // parametric mean-drift gate next to q_ks_drift's distribution-shape
+    // gate): exact integer moments from one conditional single-scan
+    // aggregate, then a fixed IEEE tree -> bit-identical t and df.
+    Q("q_welch_drift",
+      (s, d) => graft.operators.StatsOps.welchT(
+        docs(s, d), "source", "n_chars", "src0", "src1"),
+      Some(graft.operators.StatsOps.welchTSql(
+        "documents", "source", "n_chars", "src0", "src1"))),
+
+    // Gini coefficient of character mass across sources — the scalar
+    // concentration gate beside q_mix_weights' per-source table. Group
+    // masses are one map-side-combined shuffle; the rank fold runs on
+    // the source frame (domain-bounded).
+    Q("q_gini_sources",
+      (s, d) => graft.operators.StatsOps.giniConcentration(
+        docs(s, d), "source", "n_chars"),
+      Some(graft.operators.StatsOps.giniConcentrationSql(
+        "documents", "source", "n_chars"))),
+
     Q("q_mix_weights",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window.orderBy("source")

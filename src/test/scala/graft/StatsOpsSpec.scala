@@ -420,6 +420,69 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  /** Welch model sharing the operator's exact arithmetic tree. */
+  private def welchModel(a: Seq[Long], b: Seq[Long]):
+      (Long, Long, Double, Double, Double, Double) = {
+    def r6d(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (na, nb) = (a.size.toLong, b.size.toLong)
+    val (ma, mb) = (a.sum.toDouble / na, b.sum.toDouble / nb)
+    val va = (a.map(x => x * x).sum.toDouble - a.sum.toDouble * a.sum.toDouble / na) / (na - 1)
+    val vb = (b.map(x => x * x).sum.toDouble - b.sum.toDouble * b.sum.toDouble / nb) / (nb - 1)
+    val (sa, sb) = (va / na, vb / nb)
+    val t = (ma - mb) / math.sqrt(sa + sb)
+    val df = (sa + sb) * (sa + sb) / (sa * sa / (na - 1) + sb * sb / (nb - 1))
+    (na, nb, r6d(ma), r6d(mb), r6d(t), r6d(df))
+  }
+
+  test("welchT: closed-form two-sample case; other groups and nulls excluded") {
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 5L), ("b", 7L),
+      ("c", 999L)).map { case (g, v) => (g, Some(v)) } :+ (("a", None: Option[Long])))
+      .toDF("g", "v")
+    val row = StatsOps.welchT(df, "g", "v", "a", "b").collect().head
+    val got = (row.getLong(0), row.getLong(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(got === welchModel(Seq(1L, 2L, 3L), Seq(5L, 7L)))
+    assert(got._5 < 0, "group b has the larger mean")
+  }
+
+  test("welchT matches the moment model on real source length distributions") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val byS = docs.select(col("source"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val row = StatsOps.welchT(docs, "source", "n_chars", "src0", "src1")
+      .collect().head
+    val got = (row.getLong(0), row.getLong(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(got === welchModel(byS.filter(_._1 == "src0").map(_._2).toSeq,
+      byS.filter(_._1 == "src1").map(_._2).toSeq))
+  }
+
+  test("giniConcentration: equal masses 0, all-in-one-group maximal") {
+    val eq = Seq(("a", 10L), ("b", 10L), ("c", 10L)).toDF("g", "w")
+    val r1 = StatsOps.giniConcentration(eq, "g", "w").collect().head
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) === ((3L, 30L, 0.0)))
+    // one group holds everything: G = (n-1)/n = 0.5 for n = 2
+    val skew = Seq(("a", 0L), ("b", 10L)).toDF("g", "w")
+    assert(StatsOps.giniConcentration(skew, "g", "w").collect().head.getDouble(2) === 0.5)
+    // split rows per group aggregate first: same as eq
+    val split = Seq(("a", 4L), ("a", 6L), ("b", 10L), ("c", 10L)).toDF("g", "w")
+    assert(StatsOps.giniConcentration(split, "g", "w").collect().head.getDouble(2) === 0.0)
+  }
+
+  test("giniConcentration matches the rank-formula model on real sources") {
+    def r6d(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = docs.collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_chars")))
+      .groupBy(_._1).map { case (g, o) => g -> o.map(_._2).sum }
+    val sorted = w.toSeq.sortBy { case (g, m) => (m, g) }
+    val n = sorted.size.toLong
+    val tot = sorted.map(_._2).sum
+    val iw = sorted.zipWithIndex.map { case ((_, m), i) => (i + 1) * m }.sum
+    val want = r6d(2.0 * iw.toDouble / (n.toDouble * tot.toDouble) - (n + 1).toDouble / n.toDouble)
+    val row = StatsOps.giniConcentration(docs, "source", "n_chars").collect().head
+    assert((row.getLong(0), row.getLong(1), row.getDouble(2)) === ((n, tot, want)))
+  }
+
   test("countMin: estimates never underestimate; tiny width forces collisions") {
     val toks = (Seq.fill(8)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
       Seq("d", "e", "f")).map(Tuple1(_)).toDF("term")
