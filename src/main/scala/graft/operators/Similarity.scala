@@ -209,6 +209,55 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * per-query rankings: `score(q, v) = Σ_lists 1/(c0 + rank)` over the
+    * lists that retrieved v, re-ranked per query. The standard way to
+    * combine retrievers whose scores aren't comparable (two ANN paths, or
+    * dense + lexical): rank positions are scale-free, and an item missing
+    * from one list simply contributes 0 from it. c0 = 60 is the paper's
+    * constant (damps the head so one list's #1 can't dominate alone).
+    *
+    * Scale shape: inputs are |queries|·k rows — fusion cost is bounded by
+    * the RANKINGS, independent of corpus size (the corpus work happened
+    * upstream in the retrievers). One (qid, vec_id)-keyed full-outer
+    * join + the two-stage per-query top-k. Each RRF term is one exact
+    * integer add + one division, summed in a fixed two-term tree —
+    * bit-identical on both engines; ties (same fused score) break by
+    * vec_id.
+    *
+    * Inputs must carry (qid, rank, vec_id); output (qid, rank, vec_id,
+    * rrf_score), rrf_score rounded 6. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c0: Int = 60): DataFrame = {
+    def term(r: org.apache.spark.sql.Column) =
+      coalesce(lit(1.0) / (lit(c0) + r).cast("double"), lit(0.0))
+    val fa = a.select(col("qid"), col("vec_id"), col("rank").as("rank_a"))
+    val fb = b.select(col("qid"), col("vec_id"), col("rank").as("rank_b"))
+    val fused = fa.join(fb, Seq("qid", "vec_id"), "full_outer")
+      .select(col("qid"), col("vec_id"),
+        (term(col("rank_a")) + term(col("rank_b"))).as("rrf"))
+    TopK.perGroupTopK(fused,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("rrf").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  /** DuckDB oracle for [[rrfFuse]] — identical term tree and tie-break.
+    * `aSub`/`bSub` are subqueries yielding (qid, rank, vec_id). */
+  def rrfFuseSql(aSub: String, bSub: String, k: Int, c0: Int = 60): String =
+    s"WITH fa AS (SELECT qid, vec_id, rank FROM $aSub), " +
+      s"fb AS (SELECT qid, vec_id, rank FROM $bSub), " +
+      "f AS (SELECT coalesce(fa.qid, fb.qid) AS qid, " +
+      "coalesce(fa.vec_id, fb.vec_id) AS vec_id, " +
+      s"coalesce(CAST(1.0 AS DOUBLE) / CAST($c0 + fa.rank AS DOUBLE), 0.0) + " +
+      s"coalesce(CAST(1.0 AS DOUBLE) / CAST($c0 + fb.rank AS DOUBLE), 0.0) AS rrf " +
+      "FROM fa FULL OUTER JOIN fb ON fa.qid = fb.qid AND fa.vec_id = fb.vec_id), " +
+      "ranked AS (SELECT qid, vec_id, rrf, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY rrf DESC, vec_id) AS rank FROM f) " +
+      s"SELECT qid, rank, vec_id, round(rrf, 6) AS rrf_score FROM ranked " +
+      s"WHERE rank <= $k ORDER BY qid, rank"
+
   /** Collected codebook (tiny: nCodes × dims floats) under the
     * first-nCodes-vectors convention shared with [[centroidRanks]].
     * The ids must be EXACTLY 0..nCodes-1 (enforced): the emitted code IS

@@ -27,6 +27,43 @@ object SimilarityQueries {
         "FROM embeddings"
     }.mkString(" UNION ALL ")
 
+  /** The q_ann_lsh oracle ranking — shared verbatim by q_rrf_fusion. */
+  private lazy val lshRankedSql: String =
+    s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
+      "qb AS (SELECT id AS qid, band, bkey FROM cb WHERE id < 5), " +
+      "pairs AS (SELECT DISTINCT qb.qid, cb.id AS vec_id FROM cb " +
+      "JOIN qb ON cb.band = qb.band AND cb.bkey = qb.bkey AND cb.id <> qb.qid), " +
+      "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+      "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+      "scored AS (SELECT p.qid, p.vec_id, " +
+      s"${cosineSql("qvec", "cvec")} AS cos " +
+      "FROM pairs p JOIN q ON p.qid = q.qid JOIN c ON p.vec_id = c.vec_id), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      "ORDER BY qid, rank"
+
+  /** The q_ann_ivf oracle ranking — shared verbatim by q_rrf_fusion. */
+  private lazy val ivfRankedSql: String = {
+    val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
+      s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
+    "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+      s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+      s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+      "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
+      "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 4 AND vec_id < 5), " +
+      "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
+      "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
+      "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+      "cv AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+      s"scored AS (SELECT p.qid, p.vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+      "FROM pairs p JOIN q ON p.qid = q.qid JOIN cv ON p.vec_id = cv.vec_id), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      "ORDER BY qid, rank"
+  }
+
   val defs: Seq[Q] = Seq(
 
     // Brute-force cosine top-k: the ANN correctness baseline. Queries
@@ -56,19 +93,7 @@ object SimilarityQueries {
             bands = 4, rowsPerBand = 4, dims = Dims)
           .orderBy("qid", "rank")
       },
-      Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
-        "qb AS (SELECT id AS qid, band, bkey FROM cb WHERE id < 5), " +
-        "pairs AS (SELECT DISTINCT qb.qid, cb.id AS vec_id FROM cb " +
-        "JOIN qb ON cb.band = qb.band AND cb.bkey = qb.bkey AND cb.id <> qb.qid), " +
-        "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
-        "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
-        "scored AS (SELECT p.qid, p.vec_id, " +
-        s"${cosineSql("qvec", "cvec")} AS cos " +
-        "FROM pairs p JOIN q ON p.qid = q.qid JOIN c ON p.vec_id = c.vec_id), " +
-        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
-        "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
-        s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
-        "ORDER BY qid, rank")),
+      Some(lshRankedSql)),
 
     // IVF ANN (16-cell coarse quantizer, nprobe=4): assignment and probe
     // use the same strict-fold squared-L2 on both sides, so cell contents
@@ -80,25 +105,7 @@ object SimilarityQueries {
             nCentroids = 16, nprobe = 4)
           .orderBy("qid", "rank")
       },
-      Some {
-        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
-          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
-        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
-          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
-          "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
-          "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 4 AND vec_id < 5), " +
-          "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
-          "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
-          "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
-          "cv AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
-          s"scored AS (SELECT p.qid, p.vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
-          "FROM pairs p JOIN q ON p.qid = q.qid JOIN cv ON p.vec_id = cv.vec_id), " +
-          "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
-          "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
-          s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
-          "ORDER BY qid, rank"
-      }),
+      Some(ivfRankedSql)),
 
     // Embedding-cosine near-dup: LSH-bucketed candidate pairs kept when
     // exact cosine >= 0.3. The threshold compare runs on bit-identical
@@ -391,6 +398,23 @@ object SimilarityQueries {
         .orderBy("node"),
       Some(graft.operators.GraphOps.hitsSql(
         "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
-        iters = 3)))
+        iters = 3))),
+
+    // Reciprocal-rank fusion of the LSH and IVF retrievers — the standard
+    // robustness ensemble when two retrievers' scores aren't comparable.
+    // Fusion cost is bounded by the rankings (|queries|·k rows), never
+    // the corpus; both ranked inputs reuse the declared ANN plans and
+    // oracles verbatim.
+    Q("q_rrf_fusion",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.rrfFuse(
+            Similarity.lshTopK(e, q, K, bands = 4, rowsPerBand = 4, dims = Dims),
+            Similarity.ivfTopK(e, q, K, nCentroids = 16, nprobe = 4),
+            k = K)
+          .orderBy("qid", "rank")
+      },
+      Some(Similarity.rrfFuseSql(s"($lshRankedSql)", s"($ivfRankedSql)", k = K)))
   )
 }

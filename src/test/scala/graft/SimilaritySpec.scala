@@ -301,6 +301,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.exists(!_._3))
   }
 
+  test("rrfFuse: closed-form fusion of two hand-built rankings") {
+    import spark.implicits._
+    def s(ranks: Long*) = ranks.map(r => 1.0 / (60.0 + r)).sum
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // list A: (10, 11, 12); list B: (11, 13, 10) — 11 wins (ranks 2+1),
+    // 10 second (1+3); the single-list items order by their one term:
+    // 13 at B-rank 2 (1/62) beats 12 at A-rank 3 (1/63)
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L)).toDF("qid", "rank", "vec_id")
+    val b = Seq((1L, 1, 11L), (1L, 2, 13L), (1L, 3, 10L)).toDF("qid", "rank", "vec_id")
+    val got = Similarity.rrfFuse(a, b, k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1, 11L, r6(s(2, 1))), (2, 10L, r6(s(1, 3))),
+      (3, 13L, r6(s(2))), (4, 12L, r6(s(3)))))
+  }
+
+  test("rrfFuse over the real LSH+IVF retrievers matches the driver fusion model") {
+    val q = emb.filter(col("vec_id") < 5)
+    val lsh = Similarity.lshTopK(emb, q, 5, bands = 4, rowsPerBand = 4, dims = 64)
+    val ivf = Similarity.ivfTopK(emb, q, 5, nCentroids = 16, nprobe = 4)
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val (ra, rb) = (ranks(lsh), ranks(ivf))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = (ra.keySet ++ rb.keySet).groupBy(_._1).flatMap { case (qid, keys) =>
+      keys.toSeq.map { key =>
+        val sc = ra.get(key).map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+          rb.get(key).map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+        (qid, key._2, sc)
+      }.sortBy { case (_, v, sc) => (-sc, v) }.take(5).zipWithIndex
+        .map { case ((_, v, sc), i) => (qid, i + 1, v, r6(sc)) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Similarity.rrfFuse(lsh, ivf, k = 5)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect)
+  }
+
   test("jlProject components are the rounded strict-fold plane dots") {
     def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
     val got = Similarity.jlProject(emb, outDims = 16, dims = 64)
