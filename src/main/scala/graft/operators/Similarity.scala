@@ -258,6 +258,43 @@ object Similarity {
       s"SELECT qid, rank, vec_id, round(rrf, 6) AS rrf_score FROM ranked " +
       s"WHERE rank <= $k ORDER BY qid, rank"
 
+  /** k-NN graph over ALL vectors via IVF cells — the batch graph-build
+    * behind SemDeDup-style clustering, label propagation and graph-based
+    * diversity sampling: every vector gets its k nearest (by cosine)
+    * among the members of its `nprobe` closest cells. Unlike [[ivfTopK]]
+    * (broadcast QUERY side — right when queries are few), every vector is
+    * a query here, so the join is the SYMMETRIC cell join: probes carry
+    * (id, vec, cell) for their nprobe cells, candidates for their one
+    * home cell, and the only corpus-sized shuffle is keyed on the CELL id
+    * — join degree bounded by cell population (the SemDeDup partition
+    * argument), never corpus size. A candidate lives in exactly one home
+    * cell, so a (probe, candidate) pair arises at most once — no distinct
+    * pass needed. Recall < 1 by design (neighbors outside the probed
+    * cells are missed) — measured against brute force in the spec; hot
+    * cells bound the skew the same way IVF probes do (retrain centroids
+    * via [[kmeansUpdate]] to rebalance).
+    *
+    * Output: (src, rank, dst, cos_sim) — corpus × k edges, rounded 6. */
+  def knnGraph(candidates: DataFrame, k: Int, nCentroids: Int = 16,
+               nprobe: Int = 2, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
+    val cells = asg.filter(col("rn") === 1)
+      .select(col("id"), col(vecCol).as("cvec2"), col("cid").as("cell"))
+    val probes = asg.filter(col("rn") <= nprobe)
+      .select(col("id").as("qid"), col(vecCol).as("qvec2"), col("cid").as("cell"))
+    val scored = probes.join(cells, Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("vec_id"),
+        VectorFunctions.cosine(col("qvec2"), col("cvec2")).as("cos_sim"))
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos_sim").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid").as("src"), col("rank"), col("vec_id").as("dst"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Collected codebook (tiny: nCodes × dims floats) under the
     * first-nCodes-vectors convention shared with [[centroidRanks]].
     * The ids must be EXACTLY 0..nCodes-1 (enforced): the emitted code IS

@@ -415,6 +415,34 @@ object SimilarityQueries {
             k = K)
           .orderBy("qid", "rank")
       },
-      Some(Similarity.rrfFuseSql(s"($lshRankedSql)", s"($ivfRankedSql)", k = K)))
+      Some(Similarity.rrfFuseSql(s"($lshRankedSql)", s"($ivfRankedSql)", k = K))),
+
+    // k-NN graph over ALL vectors via IVF cells (every vector a query):
+    // the symmetric cell join — the only corpus shuffle is keyed on the
+    // cell id, join degree bounded by cell population. Feeds the graph
+    // operators (label_prop / components / triangle audit).
+    Q("q_knn_graph",
+      (s, d) => Similarity.knnGraph(emb(s, d), k = K, nCentroids = 16,
+          nprobe = 2)
+        .orderBy("src", "rank"),
+      Some {
+        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
+          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
+        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
+          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
+          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+          "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
+          "probes AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 2), " +
+          "pairs AS (SELECT p.qid, c.id AS vec_id FROM cells c " +
+          "JOIN probes p ON c.cell = p.cell AND c.id <> p.qid), " +
+          "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings), " +
+          "cv AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+          s"scored AS (SELECT p.qid, p.vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+          "FROM pairs p JOIN q ON p.qid = q.qid JOIN cv ON p.vec_id = cv.vec_id), " +
+          "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+          "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+          s"SELECT qid AS src, rank, vec_id AS dst, round(cos, 6) AS cos_sim " +
+          s"FROM ranked WHERE rank <= $K ORDER BY src, rank"
+      })
   )
 }

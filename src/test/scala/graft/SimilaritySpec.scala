@@ -340,6 +340,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("knnGraph matches the cell-pruned driver model; recall vs brute force is sane") {
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    def sq(a: Seq[Float], b: Seq[Float]): Double = {
+      val aa = fold(a.map(x => x.toDouble * x.toDouble))
+      val ab = fold(a.zip(b).map { case (x, y) => x.toDouble * y.toDouble })
+      val bb = fold(b.map(x => x.toDouble * x.toDouble))
+      aa - 2.0 * ab + bb
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (k, nprobe) = (5, 2)
+    val cents = vecs.filter { case (id, _) => id < 16 }
+    val ranked = vecs.map { case (id, v) =>
+      id -> cents.toSeq.map { case (cid, cv) => (sq(v, cv), cid) }.sorted.map(_._2)
+    }
+    val home = ranked.map { case (id, cs) => id -> cs.head }
+    val probes = ranked.map { case (id, cs) => id -> cs.take(nprobe).toSet }
+    val ids = vecs.keys.toSeq.sorted
+    val expect = ids.flatMap { qid =>
+      ids.filter(j => j != qid && probes(qid).contains(home(j)))
+        .map(j => (j, cosScala(vecs(qid), vecs(j))))
+        .sortBy { case (j, c) => (-c, j) }.take(k).zipWithIndex
+        .map { case ((j, c), i) => (qid, i + 1, j, r6(c)) }
+    }
+    val got = Similarity.knnGraph(emb, k = k, nCentroids = 16, nprobe = nprobe)
+      .orderBy("src", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expect)
+    // probing 2 of 16 cells should still recover a decent share of the
+    // true top-k (embedding clusters align with cells on this data)
+    val hit = ids.map { qid =>
+      val knn = got.filter(_._1 == qid).map(_._3).toSet
+      bruteTopK(qid, k).count(knn.contains)
+    }.sum.toDouble / (ids.size * k)
+    assert(hit > 0.3, s"recall@$k vs brute force too low: $hit")
+  }
+
   test("jlProject components are the rounded strict-fold plane dots") {
     def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
     val got = Similarity.jlProject(emb, outDims = 16, dims = 64)
