@@ -63,6 +63,18 @@ import graft.sources.Manifest
   *   scd2      --input P --output P --keys k1,k2 --ts c
   *   resample  --input P --output P --key c --ts c --value c [--unit hour]
   *   skewstats --input P --output P --key c
+  *   interpfill --input P --output P --key c --ts c --value c [--unit hour]
+  *   labelprop --input P --output P [--iters 3] [--a a] [--b b]
+  *   hits      --input P --output P [--iters 3] [--src src] [--dst dst]
+  *   knngraph  --input P --output P [--k 5] [--centroids 16] [--nprobe 2]
+  *             [--id vec_id] [--vec embedding]
+  *   kanon     --input P --output P --quasi c1,c2 [--k 10]
+  *   basket    --input P --output P --basket c --item c
+  *             [--min-co 2] [--max-basket 100] [--k 50]
+  *   gini      --input P --output P --group c --weight c
+  *   welch     --input P --output P --group c --value c --a g1 --b g2
+  *   cms       --input P --output P --term c [--width 256] [--depth 4]
+  *             [--k 20]
   */
 object Cli {
 
@@ -71,7 +83,8 @@ object Cli {
       "usage: <ingest|pipeline|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
         "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
-        "split|pagerank|cdc|scd2|resample|skewstats> --opt v ...")
+        "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
+        "hits|knngraph|kanon|basket|gini|welch|cms> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -384,6 +397,54 @@ object Cli {
 
       case "skewstats" =>
         write(graft.operators.SkewOps.keySkew(in("input"), opts("key")))
+
+      case "interpfill" =>
+        write(Temporal.interpFill(
+          Tables.normalizeNanosTs(in("input"), opts("ts")),
+          opts("key"), opts("ts"), opts("value"),
+          opts.getOrElse("unit", "hour")))
+
+      case "labelprop" =>
+        write(graft.operators.GraphOps.labelProp(in("input"),
+          opts.getOrElse("iters", "3").toInt,
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "hits" =>
+        write(graft.operators.GraphOps.hits(in("input"),
+          opts.getOrElse("iters", "3").toInt,
+          opts.getOrElse("src", "src"), opts.getOrElse("dst", "dst")))
+
+      case "knngraph" =>
+        write(Similarity.knnGraph(in("input"),
+          opts.getOrElse("k", "5").toInt,
+          opts.getOrElse("centroids", "16").toInt,
+          opts.getOrElse("nprobe", "2").toInt,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding")))
+
+      case "kanon" =>
+        write(graft.operators.PrivacyOps.kAnonymize(in("input"),
+          opts("quasi").split(",").toSeq, opts.getOrElse("k", "10").toInt))
+
+      case "basket" =>
+        write(graft.operators.StatsOps.marketBasket(in("input"),
+          opts("basket"), opts("item"),
+          opts.getOrElse("min-co", "2").toLong,
+          opts.getOrElse("max-basket", "100").toInt,
+          opts.getOrElse("k", "50").toInt))
+
+      case "gini" =>
+        write(graft.operators.StatsOps.giniConcentration(in("input"),
+          opts("group"), opts("weight")))
+
+      case "welch" =>
+        write(graft.operators.StatsOps.welchT(in("input"),
+          opts("group"), opts("value"), opts("a"), opts("b")))
+
+      case "cms" =>
+        write(graft.operators.StatsOps.countMin(in("input"), opts("term"),
+          opts.getOrElse("width", "256").toInt,
+          opts.getOrElse("depth", "4").toInt,
+          opts.getOrElse("k", "20").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -373,4 +373,82 @@ class CliSpec extends SparkSpec {
     val sk = spark.read.parquet(skOut)
     assert(sk.count() === 1 && sk.head.getLong(1) === 5L) // 5 event types
   }
+
+  test("cli graph commands: labelprop / hits / knngraph") {
+    import spark.implicits._
+    val edges = tmp() + "/edges2"
+    // two triangles joined by one bridge edge
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (11L, 12L), (12L, 13L), (11L, 13L),
+      (3L, 11L)).toDF("a", "b").write.parquet(edges)
+    val lpOut = tmp() + "/lp"
+    Cli.run(spark, "labelprop", Map("input" -> edges, "output" -> lpOut))
+    val lp = spark.read.parquet(lpOut).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp(1L) != lp(12L), "the two triangles keep distinct communities")
+
+    val hitsOut = tmp() + "/hits"
+    Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst").write.parquet(edges + "_d")
+    Cli.run(spark, "hits", Map("input" -> (edges + "_d"), "output" -> hitsOut))
+    val h = spark.read.parquet(hitsOut).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    assert(h.maxBy(_._3)._1 === 9L, "star center is the authority")
+
+    val knnOut = tmp() + "/knn"
+    Cli.run(spark, "knngraph", Map(
+      "input" -> s"$sfDir/embeddings.parquet", "output" -> knnOut, "k" -> "3"))
+    val knn = spark.read.parquet(knnOut)
+    assert(knn.columns.toSeq === Seq("src", "rank", "dst", "cos_sim"))
+    assert(knn.groupBy("src").count().agg(max("count")).head.getLong(0) <= 3L)
+  }
+
+  test("cli release/stat commands: kanon / basket / gini / welch / cms / interpfill") {
+    import spark.implicits._
+    val kaOut = tmp() + "/ka"
+    Cli.run(spark, "kanon", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> kaOut,
+      "quasi" -> "source,lang", "k" -> "3"))
+    val ka = spark.read.parquet(kaOut)
+    assert(ka.filter(!col("suppressed")).agg(min("n_rows")).head.getLong(0) >= 3L)
+
+    val items = tmp() + "/items"
+    Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L))
+      .toDF("bk", "it").write.parquet(items)
+    val mbOut = tmp() + "/mb"
+    Cli.run(spark, "basket", Map("input" -> items, "output" -> mbOut,
+      "basket" -> "bk", "item" -> "it"))
+    val mb = spark.read.parquet(mbOut).collect()
+    assert(mb.length === 1 && mb.head.getLong(2) === 2L) // pair (1,2) co=2
+
+    val giOut = tmp() + "/gi"
+    Cli.run(spark, "gini", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> giOut,
+      "group" -> "source", "weight" -> "n_chars"))
+    val gi = spark.read.parquet(giOut).head
+    assert(gi.getDouble(2) >= 0.0 && gi.getDouble(2) < 1.0)
+
+    val weOut = tmp() + "/we"
+    Cli.run(spark, "welch", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> weOut,
+      "group" -> "source", "value" -> "n_chars", "a" -> "src0", "b" -> "src1"))
+    assert(spark.read.parquet(weOut).count() === 1)
+
+    val cmsOut = tmp() + "/cms"
+    val terms = tmp() + "/terms"
+    Seq.fill(5)("x").map(Tuple1(_)).toDF("term").union(
+      Seq("y", "z").map(Tuple1(_)).toDF("term")).write.parquet(terms)
+    Cli.run(spark, "cms", Map("input" -> terms, "output" -> cmsOut,
+      "term" -> "term", "width" -> "64"))
+    val cms = spark.read.parquet(cmsOut).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cms.head === (("x", 5L, 5L)))
+    assert(cms.forall(t => t._3 >= t._2))
+
+    val ifOut = tmp() + "/if"
+    Cli.run(spark, "interpfill", Map(
+      "input" -> s"$sfDir/events.parquet", "output" -> ifOut,
+      "key" -> "event_type", "ts" -> "ts", "value" -> "value"))
+    val ifr = spark.read.parquet(ifOut)
+    assert(ifr.columns.toSeq === Seq("event_type", "bin", "n", "value_interp"))
+    assert(ifr.count() > 0)
+  }
 }
