@@ -253,6 +253,48 @@ object DedupQueries {
           "(SELECT CAST(count(*) AS BIGINT) FROM hitc) AS n_hit_cluster, " +
           "round(CAST((SELECT count(*) FROM hitc) AS DOUBLE) / " +
           "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall_cluster"
+      }),
+
+    // Incremental near-dup admission: the doc_id % 10 == 0 slice plays
+    // the NEW batch, the rest the existing corpus. Candidates come from
+    // the UNCAPPED band join (batch side broadcast — the corpus never
+    // shuffles per increment): with a small batch, a hot bucket costs
+    // |corpus bucket| x |batch bucket| — LINEAR in corpus bucket size —
+    // so the skew cap that q_minhash_pairs needs is unnecessary here,
+    // and capping would drop every true dup living in the hot bucket
+    // (measured: all 5 J >= 0.95 cross-boundary dups vanish at cap 64).
+    // Verified by exact bigram Jaccard >= 0.5; gram-hash vs gram-string
+    // jaccard agree up to ~2^-64 collisions (the q_ngram_jaccard stance).
+    Q("q_dedup_incr",
+      (s, d) => {
+        val all = docs(s, d)
+        val cand = Dedup.minhashIncrement(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", k = 16, bands = 4)
+        Dedup.ngramJaccard(
+            cand.select(col("new_id").as("a"), col("dup_of").as("b")),
+            all, "doc_id", "text")
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a").as("new_id"), col("b").as("dup_of"), col("jaccard"))
+          .orderBy("new_id", "dup_of")
+      },
+      Some {
+        val grams = s"list_distinct(${bigramsSql(tokensSql("text"))})"
+        s"WITH bands AS (${mhBandsSql(16, 4)}), " +
+          "cband AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 <> 0), " +
+          "bband AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 = 0), " +
+          "cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS dup_of " +
+          "FROM cband c JOIN bband b ON c.band = b.band AND c.bkey = b.bkey " +
+          "AND c.doc_id <> b.doc_id), " +
+          s"g AS (SELECT doc_id, $grams AS grams FROM documents) " +
+          "SELECT new_id, dup_of, j AS jaccard FROM " +
+          "(SELECT new_id, dup_of, " +
+          "round(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE) / " +
+          "CAST(len(list_distinct(list_concat(x.grams, y.grams))) AS DOUBLE), 6) AS j " +
+          "FROM cand JOIN g x ON cand.new_id = x.doc_id " +
+          "JOIN g y ON cand.dup_of = y.doc_id) " +
+          "WHERE j >= 0.5 ORDER BY new_id, dup_of"
       })
   )
 }

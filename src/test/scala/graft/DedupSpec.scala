@@ -336,4 +336,43 @@ class DedupSpec extends SparkSpec {
     // the capless cluster path must never trail the capped pairwise path
     assert(row.getLong(4) >= row.getLong(2))
   }
+
+  test("minhashIncrement (uncapped) equals the batch path's cross pairs exactly") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val incr = graft.operators.Dedup
+      .minhashIncrement(corpus, batch, "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch-mode candidate set over ALL docs, restricted to pairs
+    // crossing the increment boundary, must be found identically
+    val cross = graft.operators.Dedup
+      .minhashCandidates(docs, "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }.toSet
+    assert(incr === cross)
+    assert(incr.nonEmpty, "the synthetic corpus has cross-boundary near-dups")
+    // no pair may pair a batch doc with itself or another batch doc
+    assert(incr.forall { case (n2, o) => n2 % 10 == 0 && o % 10 != 0 })
+  }
+
+  test("minhashIncrement corpus-side cap yields a subset that keeps identical-text dups") {
+    import spark.implicits._
+    val corpus = (1L to 30L).map(i => (i, s"alpha beta gamma delta eps$i zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "alpha beta gamma delta eps7 zeta")).toDF("doc_id", "text")
+    val un = graft.operators.Dedup
+      .minhashIncrement(corpus, batch, "doc_id", "text", k = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.operators.Dedup
+      .minhashIncrement(corpus, batch, "doc_id", "text", k = 16, bands = 4,
+        maxBucket = Some(8))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(un))
+    // the identical-token-set duplicate (doc 7) shares every band; it must
+    // be caught uncapped, and capped too while its id ranks inside the cap
+    assert(un.contains((100L, 7L)))
+    assert(capped.contains((100L, 7L)))
+  }
 }
