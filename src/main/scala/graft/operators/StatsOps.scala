@@ -719,20 +719,40 @@ object StatsOps {
     *
     * Output: top `k` keys by exact count — (term, n_exact, n_cms,
     * exact_hit); `n_cms >= n_exact` always (spec-asserted). */
-  def countMin(tokens: DataFrame, termCol: String, width: Int = 256,
-               depth: Int = 4, k: Int = 20): DataFrame = {
-    require(width >= 2, "width must be >= 2")
-    require(depth >= 1 && depth <= 8, "depth must be in [1, 8]")
-    val exact = tokens.select(col(termCol).cast("string").as("term"))
+  /** ONE definition of the sketch geometry (tagged bucket hash + vocab
+    * pre-aggregation) shared by the batch estimator and the streaming
+    * cell fold — the two cannot drift. */
+  private def cmBucket(d: Int, width: Int) =
+    pmod(graft.functions.TextFunctions.charHash(
+      concat(lit(s"cm$d:"), col("term"))), lit(width.toLong))
+
+  private def cmExact(tokens: DataFrame, termCol: String): DataFrame =
+    tokens.select(col(termCol).cast("string").as("term"))
       .filter(col("term").isNotNull)
       .groupBy("term").agg(count(lit(1)).as("n_exact"))
-      .localCheckpoint() // vocab-sized; feeds cells AND estimates
-    def bucket(d: Int) = pmod(graft.functions.TextFunctions.charHash(
-      concat(lit(s"cm$d:"), col("term"))), lit(width.toLong))
-    val rows = (0 until depth).map(d =>
-        exact.select(lit(d).as("d"), bucket(d).as("bucket"),
+
+  private def cmRows(exact: DataFrame, width: Int, depth: Int): DataFrame = {
+    require(width >= 2, "width must be >= 2")
+    require(depth >= 1 && depth <= 8, "depth must be in [1, 8]")
+    (0 until depth).map(d =>
+        exact.select(lit(d).as("d"), cmBucket(d, width).as("bucket"),
           col("term"), col("n_exact")))
       .reduce(_ unionByName _)
+  }
+
+  /** The (d, bucket, cnt) cell frame of [[countMin]]'s sketch — the
+    * mergeable state object: sketches over disjoint corpora merge by
+    * cell-wise ADDITION (what the streaming fold exploits). */
+  def countMinCells(tokens: DataFrame, termCol: String, width: Int = 256,
+                    depth: Int = 4): DataFrame =
+    cmRows(cmExact(tokens, termCol), width, depth)
+      .groupBy("d", "bucket").agg(sum("n_exact").as("cnt"))
+
+  def countMin(tokens: DataFrame, termCol: String, width: Int = 256,
+               depth: Int = 4, k: Int = 20): DataFrame = {
+    val exact = cmExact(tokens, termCol)
+      .localCheckpoint() // vocab-sized; feeds cells AND estimates
+    val rows = cmRows(exact, width, depth)
     val cells = rows.groupBy("d", "bucket").agg(sum("n_exact").as("cnt"))
     rows.join(broadcast(cells), Seq("d", "bucket"))
       .groupBy("term", "n_exact").agg(min("cnt").as("n_cms"))

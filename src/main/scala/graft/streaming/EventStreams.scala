@@ -231,6 +231,32 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming count-min sketch (stream_cms): each micro-batch's terms
+    * collapse to their (d, bucket, cnt) cells
+    * ([[graft.operators.StatsOps.countMinCells]] — the SAME geometry as
+    * the batch estimator) and ADD into the persisted cell state. This is
+    * the mergeable-sketch property doing the streaming work: cell-wise
+    * addition is associative and commutative, so the folded state equals
+    * the batch sketch over the union of all batches (spec-proven), and
+    * state size stays depth×width rows forever — the fixed-memory
+    * frequency monitor over an unbounded stream. Durability is the shared
+    * [[upsertParquet]] snapshot-then-swap fold (crash-safe, replay-safe). */
+  def cmsStream(terms: DataFrame, termCol: String, stateDir: String,
+                checkpointDir: String, width: Int = 256,
+                depth: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(terms, stateDir, checkpointDir) { (base, batch) =>
+      // snapshotFold's first-batch convention hands an empty BATCH-schema
+      // frame as base — fold it through the cell builder (empty terms →
+      // empty cells) instead of assuming the state schema
+      val baseCells =
+        if (base.columns.contains("cnt"))
+          base.select(col("d"), col("bucket"), col("cnt"))
+        else graft.operators.StatsOps.countMinCells(base, termCol, width, depth)
+      graft.operators.StatsOps.countMinCells(batch, termCol, width, depth)
+        .unionByName(baseCells)
+        .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

@@ -412,6 +412,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch CMS state equals the batch sketch over the union of batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val input = MemoryStream[String]
+    val q = EventStreams.cmsStream(input.toDF().toDF("term"),
+      "term", s"$dir/state", s"$dir/ckpt", width = 64, depth = 4)
+    def cells(): Map[(Long, Long), Long] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val b1 = Seq.fill(6)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val b2 = Seq.fill(4)("alpha") ++ Seq.fill(2)("delta")
+    def batchCells(terms: Seq[String]): Map[(Long, Long), Long] =
+      graft.operators.StatsOps.countMinCells(
+          terms.map(Tuple1(_)).toDF("term"), "term", width = 64, depth = 4)
+        .collect().map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(cells() === batchCells(b1))
+      // the fold must EQUAL the batch sketch over b1 ++ b2 (cell-wise
+      // addition = the mergeable-sketch law), not merely grow
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(cells() === batchCells(b1 ++ b2))
+      // state stays sketch-sized: at most depth x width rows
+      assert(cells().size <= 4 * 64)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
