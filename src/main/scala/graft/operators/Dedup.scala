@@ -505,6 +505,87 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_docs"))
 
+  /** Bit-band split of a `bits`-wide code into `nb` near-even disjoint
+    * bands: (offset, width) per band — the shared geometry of
+    * [[simhashHammingPairs]] and its oracle. */
+  private[graft] def hammingBands(bits: Int, nb: Int): Seq[(Int, Int)] = {
+    val base = bits / nb
+    val extra = bits % nb
+    val widths = (0 until nb).map(b => base + (if (b < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** EXACT Hamming-radius near-dup pairs over `bits`-bit SimHashes via
+    * pigeonhole banding: the code splits into radius+1 disjoint bit
+    * bands, and any pair within Hamming distance ≤ radius must agree on
+    * at least one WHOLE band (≤ radius differing bits can dirty at most
+    * radius bands) — so banding has perfect candidate recall and the
+    * bit_count verify makes the operator exact, at bucket-join cost.
+    * This is [[simhashBuckets]]' radius-tolerant refinement: buckets
+    * catch only hamming 0, this catches near-misses.
+    *
+    * Scale shape: only (band, key, sim, id) rows shuffle; join degree
+    * bounded by band-bucket population. Bucket size is governed by band
+    * WIDTH: bits/(radius+1) bits per band ⇒ 2^width expected keys, so
+    * size the CODE to the corpus (64-bit simhash for web scale; the
+    * 30/2 defaults give three 10-bit bands — 30 because token codes are
+    * charHash values < 2^30, so higher simhash bits carry no signal). The
+    * first-collision-band trick emits each pair once — no global
+    * distinct over candidates.
+    *
+    * Output: (a, b, hamming) with a < b and hamming ≤ radius. */
+  def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int = 30, radius: Int = 2): DataFrame = {
+    require(radius >= 1 && radius < bits, "radius must be in [1, bits)")
+    val nb = radius + 1
+    val bandDefs = hammingBands(bits, nb)
+    val sims = df.select(col(idCol).as("id"),
+      TextFunctions.simhash(TextFunctions.tokenCodes(col(textCol)), bits)
+        .as("sim"))
+    val keyExprs = bandDefs.map { case (off, w) =>
+      expr(s"shiftright(sim, $off)").bitwiseAND(lit((1L << w) - 1))
+    }
+    val banded = sims.select(col("id"), col("sim"),
+      array(keyExprs: _*).as("keys"),
+      posexplode(array(keyExprs: _*)).as(Seq("band", "bkey")))
+    val joined = banded.as("x").join(banded.as("y"),
+      col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+        col("x.id") < col("y.id"))
+    val firstBand =
+      if (nb <= 1) joined
+      else joined.filter(!(0 until nb - 1).map { i =>
+        col("x.band") > i &&
+          element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
+      }.reduceLeft(_ || _))
+    firstBand
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= radius)
+  }
+
+  /** DuckDB oracle for [[simhashHammingPairs]] — identical simhash, band
+    * geometry ([[hammingBands]]) and verify; DISTINCT replaces the
+    * first-collision trick. `table`/`idExpr`/`textExpr` name the source. */
+  def simhashHammingPairsSql(table: String, idExpr: String, textExpr: String,
+                             bits: Int = 30, radius: Int = 2): String = {
+    val nb = radius + 1
+    val bandSelects = hammingBands(bits, nb).zipWithIndex.map {
+      case ((off, w), b) =>
+        s"SELECT $idExpr AS id, sim, $b AS band, " +
+          s"((sim >> $off) & ${(1L << w) - 1}) AS bkey FROM sims"
+    }.mkString(" UNION ALL ")
+    s"WITH sims AS (SELECT $idExpr, " +
+      s"${TextFunctions.simhashSql(TextFunctions.tokenCodesSql(textExpr), bits)} AS sim " +
+      s"FROM $table), " +
+      s"bands AS ($bandSelects), " +
+      "cand AS (SELECT DISTINCT x.id AS a, y.id AS b, x.sim AS sa, y.sim AS sb " +
+      "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +
+      "AND x.id < y.id) " +
+      "SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming " +
+      s"FROM cand WHERE bit_count(xor(sa, sb)) <= $radius ORDER BY a, b"
+  }
+
   /** n-gram Jaccard similarity over candidate pairs: distinct bigram
     * shingle sets, |A∩B| / |A∪B|. `pairs` must carry (a, b) id columns;
     * texts are joined back per side — at scale both joins are hash joins

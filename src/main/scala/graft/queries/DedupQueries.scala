@@ -295,6 +295,17 @@ object DedupQueries {
           "FROM cand JOIN g x ON cand.new_id = x.doc_id " +
           "JOIN g y ON cand.dup_of = y.doc_id) " +
           "WHERE j >= 0.5 ORDER BY new_id, dup_of"
-      })
+      }),
+
+    // EXACT Hamming-radius (<= 2) pairs over 30-bit SimHashes via
+    // pigeonhole banding: 3 disjoint 10-bit bands — a pair within radius
+    // must agree on a whole band, so candidates have perfect recall and
+    // the bit_count verify makes the pair set exact at bucket-join cost.
+    Q("q_simhash_hamming",
+      (s, d) => Dedup.simhashHammingPairs(docs(s, d), "doc_id", "text",
+          bits = 30, radius = 2)
+        .orderBy("a", "b"),
+      Some(Dedup.simhashHammingPairsSql("documents", "doc_id", "text",
+        bits = 30, radius = 2)))
   )
 }

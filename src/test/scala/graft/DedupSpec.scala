@@ -375,4 +375,35 @@ class DedupSpec extends SparkSpec {
     assert(un.contains((100L, 7L)))
     assert(capped.contains((100L, 7L)))
   }
+
+  test("simhashHammingPairs is EXACTLY the brute-force hamming-radius pair set") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val P = graft.functions.TextFunctions.P
+    def charHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    def simhash(text: String, bits: Int): Long = {
+      val codes = text.split(" ").map(charHash)
+      (0 until bits).map { p =>
+        val vote = codes.map(c => ((c >> p) & 1L) * 2 - 1).sum
+        if (vote > 0) 1L << p else 0L
+      }.sum
+    }
+    val sims = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> simhash(r.getString(1), 30)).toMap
+    val ids = sims.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(sims(i) ^ sims(j)) if h <= 2
+    } yield (i, j, h.toLong)).toSet
+    val got = graft.operators.Dedup
+      .simhashHammingPairs(docs, "doc_id", "text", bits = 30, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "the synthetic corpus has hamming-close simhashes")
+    // band geometry: near-even disjoint cover of the code width
+    assert(graft.operators.Dedup.hammingBands(30, 3) ===
+      Seq((0, 10), (10, 10), (20, 10)))
+    assert(graft.operators.Dedup.hammingBands(16, 3) ===
+      Seq((0, 6), (6, 5), (11, 5)))
+  }
 }
