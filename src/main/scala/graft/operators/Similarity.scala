@@ -258,6 +258,74 @@ object Similarity {
       s"SELECT qid, rank, vec_id, round(rrf, 6) AS rrf_score FROM ranked " +
       s"WHERE rank <= $k ORDER BY qid, rank"
 
+  /** Retrieval-quality metrics of an approximate ranking against the
+    * exact one — the ANN twin of [[Dedup.lshRecall]]'s "measure, don't
+    * assume" stance: recall@k (share of true top-k retrieved) and MRR
+    * (mean reciprocal rank of the TRUE nearest neighbor in the approx
+    * list — the "did the right answer surface near the top" signal
+    * recall@k can't see). Run whenever bands/rowsPerBand/nprobe change:
+    * the S-curve predicts recall, this measures it on YOUR vectors.
+    *
+    * Scale shape: inputs are |queries|·k rows (corpus work happened in
+    * the retrievers); one (qid, vec_id) join + per-query counts. Integer
+    * hit counts are partitioning-invariant; the reciprocal-rank mean is
+    * one ordered cumsum fold over the QUERY frame (domain-bounded) so
+    * the float result is bit-identical on both engines.
+    *
+    * Inputs carry (qid, rank, vec_id). Output: one row (n_queries,
+    * n_hits, recall_at_k, mrr), floats rounded 6. */
+  def retrievalMetrics(truth: DataFrame, approx: DataFrame,
+                       k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val t = truth.select(col("qid"), col("vec_id"), col("rank").as("t_rank"))
+    val a = approx.select(col("qid"), col("vec_id"), col("rank").as("a_rank"))
+    val hits = t.join(a, Seq("qid", "vec_id")).localCheckpoint()
+    val perQ = t.select(col("qid")).distinct()
+      .join(hits.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
+      .join(hits.filter(col("t_rank") === 1)
+        .select(col("qid"), (lit(1.0) / col("a_rank").cast("double")).as("rr")),
+        Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("rr"), lit(0.0)).as("rr"))
+    val ordq = W.orderBy("qid")
+    perQ
+      .withColumn("cum_rr", sum(col("rr")).over(
+        ordq.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cum_hit", sum(col("n_hit")).over(
+        ordq.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rn", row_number().over(ordq))
+      .withColumn("nc", count(lit(1)).over())
+      .filter(col("rn") === col("nc"))
+      .select(col("nc").cast("long").as("n_queries"),
+        col("cum_hit").as("n_hits"),
+        round(col("cum_hit").cast("double") /
+          (col("nc") * k).cast("double"), 6).as("recall_at_k"),
+        round(col("cum_rr") / col("nc").cast("double"), 6).as("mrr"))
+  }
+
+  /** DuckDB oracle for [[retrievalMetrics]] — identical join, counts and
+    * ordered folds. `truthSub`/`approxSub` yield (qid, rank, vec_id). */
+  def retrievalMetricsSql(truthSub: String, approxSub: String,
+                          k: Int): String =
+    s"WITH t AS (SELECT qid, vec_id, rank AS t_rank FROM $truthSub), " +
+      s"a AS (SELECT qid, vec_id, rank AS a_rank FROM $approxSub), " +
+      "hits AS (SELECT t.qid, t.vec_id, t.t_rank, a.a_rank FROM t " +
+      "JOIN a ON t.qid = a.qid AND t.vec_id = a.vec_id), " +
+      "perq AS (SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit, " +
+      "coalesce(rr.rr, 0.0) AS rr FROM (SELECT DISTINCT qid FROM t) q " +
+      "LEFT JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_hit FROM hits " +
+      "GROUP BY qid) h ON q.qid = h.qid " +
+      "LEFT JOIN (SELECT qid, CAST(1.0 AS DOUBLE) / CAST(a_rank AS DOUBLE) AS rr " +
+      "FROM hits WHERE t_rank = 1) rr ON q.qid = rr.qid), " +
+      "f AS (SELECT " +
+      "sum(rr) OVER (ORDER BY qid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rr, " +
+      "sum(n_hit) OVER (ORDER BY qid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hit, " +
+      "row_number() OVER (ORDER BY qid) AS rn, count(*) OVER () AS nc FROM perq) " +
+      "SELECT CAST(nc AS BIGINT) AS n_queries, CAST(cum_hit AS BIGINT) AS n_hits, " +
+      s"round(CAST(cum_hit AS DOUBLE) / CAST(nc * $k AS DOUBLE), 6) AS recall_at_k, " +
+      "round(cum_rr / CAST(nc AS DOUBLE), 6) AS mrr " +
+      "FROM f WHERE rn = nc"
+
   /** k-NN graph over ALL vectors via IVF cells — the batch graph-build
     * behind SemDeDup-style clustering, label propagation and graph-based
     * diversity sampling: every vector gets its k nearest (by cosine)

@@ -27,6 +27,18 @@ object SimilarityQueries {
         "FROM embeddings"
     }.mkString(" UNION ALL ")
 
+  /** The q_ann_cosine oracle ranking — shared verbatim by q_ann_recall
+    * (it is the ground-truth side of the metric). */
+  private lazy val cosineRankedSql: String =
+    "WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+      "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+      s"scored AS (SELECT qid, vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+      "FROM c, q WHERE vec_id <> qid), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      "ORDER BY qid, rank"
+
   /** The q_ann_lsh oracle ranking — shared verbatim by q_rrf_fusion. */
   private lazy val lshRankedSql: String =
     s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
@@ -74,14 +86,7 @@ object SimilarityQueries {
         Similarity.cosineTopK(e, e.filter(col("vec_id") < 5), K)
           .orderBy("qid", "rank")
       },
-      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
-        "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
-        s"scored AS (SELECT qid, vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
-        "FROM c, q WHERE vec_id <> qid), " +
-        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
-        "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
-        s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
-        "ORDER BY qid, rank")),
+      Some(cosineRankedSql)),
 
     // LSH-bucketed ANN (16 random hyperplanes, 4 bands of 4 sign bits):
     // candidates share >= 1 band key with a query; exact cosine + top-k on
@@ -443,6 +448,22 @@ object SimilarityQueries {
           "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
           s"SELECT qid AS src, rank, vec_id AS dst, round(cos, 6) AS cos_sim " +
           s"FROM ranked WHERE rank <= $K ORDER BY src, rank"
-      })
+      }),
+
+    // Declared ANN audit: recall@k + MRR of the LSH retriever against
+    // the exact-cosine truth (the q_lsh_recall stance for embeddings) —
+    // integer hit counts + one ordered fold over the query frame, so
+    // even the float metrics hash-verify.
+    Q("q_ann_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.retrievalMetrics(
+          Similarity.cosineTopK(e, q, K),
+          Similarity.lshTopK(e, q, K, bands = 4, rowsPerBand = 4, dims = Dims),
+          k = K)
+      },
+      Some(Similarity.retrievalMetricsSql(
+        s"($cosineRankedSql)", s"($lshRankedSql)", k = K)))
   )
 }

@@ -376,6 +376,41 @@ class SimilaritySpec extends SparkSpec {
     assert(hit > 0.3, s"recall@$k vs brute force too low: $hit")
   }
 
+  test("retrievalMetrics: closed-form hits/misses and the MRR fold") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: approx finds truth#1 at rank 2 and truth#2 at rank 1 (2 hits);
+    // q2: approx finds nothing from truth (0 hits, rr 0)
+    val truth = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("qid", "rank", "vec_id")
+    val approx = Seq((1L, 1, 11L), (1L, 2, 10L), (2L, 1, 99L), (2L, 2, 98L))
+      .toDF("qid", "rank", "vec_id")
+    val row = Similarity.retrievalMetrics(truth, approx, k = 2).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getDouble(2), row.getDouble(3))
+      === ((2L, 2L, 0.5, r6((1.0 / 2 + 0.0) / 2))))
+  }
+
+  test("retrievalMetrics over real LSH vs exact matches the driver model") {
+    val q = emb.filter(col("vec_id") < 5)
+    val truth = Similarity.cosineTopK(emb, q, 5)
+    val approx = Similarity.lshTopK(emb, q, 5)
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Int] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val (rt, ra) = (ranks(truth), ranks(approx))
+    val qids = rt.keys.map(_._1).toSeq.distinct.sorted
+    val nHit = qids.map(q0 => rt.keys.count(k0 => k0._1 == q0 && ra.contains(k0))).sum
+    val mrr = qids.map { q0 =>
+      val nn = rt.collectFirst { case ((`q0`, v), 1) => v }.get
+      ra.get((q0, nn)).map(r => 1.0 / r).getOrElse(0.0)
+    }.foldLeft(0.0)(_ + _) / qids.size
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = Similarity.retrievalMetrics(truth, approx, 5).collect().head
+    assert((row.getLong(0), row.getLong(1)) === ((qids.size.toLong, nHit.toLong)))
+    assert(row.getDouble(2) === r6(nHit.toDouble / (qids.size * 5)))
+    assert(row.getDouble(3) === r6(mrr))
+    assert(row.getDouble(2) > 0.0, "LSH should retrieve something")
+  }
+
   test("jlProject components are the rounded strict-fold plane dots") {
     def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
     val got = Similarity.jlProject(emb, outDims = 16, dims = 64)
