@@ -586,6 +586,47 @@ object Dedup {
       s"FROM cand WHERE bit_count(xor(sa, sb)) <= $radius ORDER BY a, b"
   }
 
+  /** n-gram CONTAINMENT over candidate pairs: C(A→B) = |A∩B| / |A| —
+    * the asymmetric near-dup signal Jaccard structurally misses: a short
+    * doc fully embedded in a long one has high containment but LOW
+    * Jaccard (the union is dominated by the long doc), so a
+    * Jaccard-thresholded pipeline silently admits quote-farms and
+    * wrapped boilerplate. Emits both directions' containments per pair
+    * plus the Jaccard for comparison, from ONE intersect per pair
+    * (|A∪B| = |A|+|B|−|A∩B| and both containments reuse the same
+    * n_inter — no second set op).
+    *
+    * Scale shape: identical to [[ngramJaccard]] — gram sets materialize
+    * once per DOC (native sorted-hash kernel), pairs pay one two-pointer
+    * merge; only candidate pairs, never all-pairs. */
+  def ngramContainment(pairs: DataFrame, docs: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val grams = docs.select(
+      col(idCol).as("_jid"),
+      org.apache.spark.sql.graftbridge.PlanBridge.column(
+        graft.plans.Exprs.SortedGramHashes(
+          org.apache.spark.sql.graftbridge.PlanBridge.expression(col(textCol))))
+        .as("_grams"))
+      .withColumn("_ng", size(col("_grams")).cast("long"))
+    def side(s: String) = grams
+      .withColumnRenamed("_jid", s)
+      .withColumnRenamed("_grams", s"g$s")
+      .withColumnRenamed("_ng", s"n$s")
+    val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.SortedIntersectSizeLong(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
+    pairs
+      .join(side("a"), "a")
+      .join(side("b"), "b")
+      .withColumn("n_inter", nInter)
+      .withColumn("containment_ab", round(col("n_inter") / col("na"), 6))
+      .withColumn("containment_ba", round(col("n_inter") / col("nb"), 6))
+      .withColumn("jaccard",
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .drop("ga", "gb", "na", "nb")
+  }
+
   /** n-gram Jaccard similarity over candidate pairs: distinct bigram
     * shingle sets, |A∩B| / |A∪B|. `pairs` must carry (a, b) id columns;
     * texts are joined back per side — at scale both joins are hash joins

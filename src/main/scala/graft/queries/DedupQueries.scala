@@ -306,6 +306,42 @@ object DedupQueries {
           bits = 30, radius = 2)
         .orderBy("a", "b"),
       Some(Dedup.simhashHammingPairsSql("documents", "doc_id", "text",
-        bits = 30, radius = 2)))
+        bits = 30, radius = 2))),
+
+    // Asymmetric n-gram containment over same-source pairs: C(A->B) =
+    // |A∩B|/|A| catches a short doc embedded in a long one, which
+    // Jaccard structurally misses (the union drowns the short side —
+    // visible in the output as 0.3-vs-0.03 containment pairs with tiny
+    // jaccard). Both directions + jaccard from ONE intersect per pair.
+    Q("q_containment",
+      (s, d) => {
+        val dd = docs(s, d)
+        val pairs = dd.select(col("doc_id"), col("source"))
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+          .as("d1")
+          .join(dd.select(col("doc_id"), col("source")).as("d2"),
+            col("d1.source") === col("d2.source") &&
+              col("d1.doc_id") < col("d2.doc_id"))
+          .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"))
+        Dedup.ngramContainment(pairs, dd, "doc_id", "text")
+          .filter(greatest(col("containment_ab"), col("containment_ba")) >= 0.25)
+          .select(col("a"), col("b"), col("n_inter"),
+            col("containment_ab"), col("containment_ba"), col("jaccard"))
+          .orderBy("a", "b")
+      },
+      Some {
+        val grams = s"list_distinct(${bigramsSql(tokensSql("text"))})"
+        s"WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents), " +
+          "m AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
+          "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_inter, " +
+          "CAST(len(x.grams) AS BIGINT) AS na, CAST(len(y.grams) AS BIGINT) AS nb " +
+          "FROM g x JOIN g y ON x.source = y.source AND x.doc_id < y.doc_id) " +
+          "SELECT a, b, n_inter, c_ab AS containment_ab, c_ba AS containment_ba, " +
+          "jaccard FROM (SELECT a, b, n_inter, " +
+          "round(CAST(n_inter AS DOUBLE) / CAST(na AS DOUBLE), 6) AS c_ab, " +
+          "round(CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS c_ba, " +
+          "round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard " +
+          "FROM m) WHERE greatest(c_ab, c_ba) >= 0.25 ORDER BY a, b"
+      })
   )
 }

@@ -376,6 +376,47 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((100L, 7L)))
   }
 
+  test("ngramContainment: embedded doc has containment 1.0 while jaccard stays low") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), // grams subset of doc 2's
+      (2L, "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu"),
+      (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a", "b")
+    val byPair = graft.operators.Dedup
+      .ngramContainment(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Double]("containment_ab"), r.getAs[Double]("containment_ba"),
+          r.getAs[Double]("jaccard")))).toMap
+    val (cab, cba, j) = byPair((1L, 2L))
+    assert(cab === 1.0, "every gram of the short doc is in the long one")
+    assert(cba < 0.5 && j < 0.5, "jaccard drowns the embedded doc")
+    assert(byPair((1L, 3L))._1 === 0.0)
+  }
+
+  test("ngramContainment agrees with ngramJaccard on the shared kernel; containment >= jaccard") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val pairs = docs.select(col("doc_id"), col("source")).as("d1")
+      .join(docs.select(col("doc_id"), col("source")).as("d2"),
+        col("d1.source") === col("d2.source") &&
+          col("d1.doc_id") < col("d2.doc_id"))
+      .select(col("d1.doc_id").as("a"), col("d2.doc_id").as("b"))
+    val cont = graft.operators.Dedup
+      .ngramContainment(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        ((r.getAs[Double]("containment_ab"), r.getAs[Double]("containment_ba"),
+          r.getAs[Double]("jaccard")))).toMap
+    val jac = graft.operators.Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(cont.keySet === jac.keySet)
+    cont.foreach { case (k, (cab, cba, j)) =>
+      assert(j === jac(k), s"jaccard drift at $k")
+      assert(cab >= j && cba >= j, s"containment < jaccard at $k")
+    }
+  }
+
   test("simhashHammingPairs is EXACTLY the brute-force hamming-radius pair set") {
     val docs = Tables.load(spark, sfDir, "documents")
     val P = graft.functions.TextFunctions.P
