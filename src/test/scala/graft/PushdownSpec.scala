@@ -112,6 +112,52 @@ class PushdownSpec extends SparkSpec {
     assert(!jlSchema.contains("label"), "label must not be read")
   }
 
+  test("countMin: one corpus shuffle; the sketch-cell join is broadcast") {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val plan = graft.operators.StatsOps.countMin(toks, "term", 256, 4, 20)
+      .queryExecution.executedPlan.toString
+    // cells come back via BroadcastExchange, never a second row shuffle
+    assert(plan.contains("BroadcastExchange"), s"cells must broadcast:\n$plan")
+    // the vocab aggregation is the localCheckpoint input; the post-
+    // checkpoint plan may only shuffle vocab-sized frames (tagged rows),
+    // never join corpus rows by key
+    assert(!plan.contains("SortMergeJoin"),
+      s"countMin must not sort-merge join:\n$plan")
+  }
+
+  test("rrfFuse never rescans a corpus: only the two ranking inputs feed it") {
+    import spark.implicits._
+    val a = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("qid", "rank", "vec_id")
+    val b = Seq((1L, 1, 11L)).toDF("qid", "rank", "vec_id")
+    val plan = graft.operators.Similarity.rrfFuse(a, b, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      s"fusion must read only its ranking inputs:\n$plan")
+  }
+
+  test("simhashHammingPairs plan: no distinct after the pair join (first-collision emission)") {
+    val df = graft.operators.Dedup.simhashHammingPairs(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // a Deduplicate/Aggregate over the pair output would betray a global
+    // distinct; the only aggregates allowed sit UNDER the join (none here)
+    assert(!optimized.contains("Deduplicate"),
+      s"hamming pairs must not global-distinct:\n$optimized")
+    assert(!optimized.toLowerCase.contains("aggregate"),
+      s"hamming pairs need no aggregate at all:\n$optimized")
+  }
+
+  test("knnGraph shuffles on the cell key, not a corpus broadcast of queries") {
+    val plan = graft.operators.Similarity
+      .knnGraph(Tables.load(spark, sfDir, "embeddings"), k = 3,
+        nCentroids = 8, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the probe/candidate join must partition by the cell id
+    assert(plan.contains("hashpartitioning(cell"),
+      s"expected a cell-keyed exchange:\n$plan")
+  }
+
   test("stripTopSort removes only the top-level global sort") {
     import org.apache.spark.sql.graftbridge.PlanBridge
     val sorted = Tables.load(spark, sfDir, "events").orderBy("event_id")
