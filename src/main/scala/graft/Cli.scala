@@ -75,6 +75,9 @@ import graft.sources.Manifest
   *   welch     --input P --output P --group c --value c --a g1 --b g2
   *   cms       --input P --output P --term c [--width 256] [--depth 4]
   *             [--k 20]
+  *   hamming   --input P --output P --id c --text c [--bits 30] [--radius 2]
+  *   admit     --corpus P --batch P --output P --id c --text c
+  *             [--tau 0.5] (near-dup admission: batch vs corpus + verify)
   */
 object Cli {
 
@@ -84,7 +87,7 @@ object Cli {
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
         "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
         "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
-        "hits|knngraph|kanon|basket|gini|welch|cms> --opt v ...")
+        "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -445,6 +448,23 @@ object Cli {
           opts.getOrElse("width", "256").toInt,
           opts.getOrElse("depth", "4").toInt,
           opts.getOrElse("k", "20").toInt))
+
+      case "hamming" =>
+        write(Dedup.simhashHammingPairs(in("input"), opts("id"), opts("text"),
+          opts.getOrElse("bits", "30").toInt,
+          opts.getOrElse("radius", "2").toInt))
+
+      case "admit" =>
+        // incremental near-dup admission: candidates (batch vs corpus
+        // signature join) verified by exact bigram jaccard >= tau
+        val id = opts("id"); val text = opts("text")
+        val corpus = in("corpus"); val batch = spark.read.parquet(opts("batch"))
+        val cand = Dedup.minhashIncrement(corpus, batch, id, text)
+        write(Dedup.ngramJaccard(
+            cand.select(col("new_id").as("a"), col("dup_of").as("b")),
+            corpus.unionByName(batch), id, text)
+          .filter(col("jaccard") >= opts.getOrElse("tau", "0.5").toDouble)
+          .select(col("a").as("new_id"), col("b").as("dup_of"), col("jaccard")))
 
       case other => sys.error(s"unknown command: $other")
     }

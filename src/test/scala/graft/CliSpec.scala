@@ -451,4 +451,29 @@ class CliSpec extends SparkSpec {
     assert(ifr.columns.toSeq === Seq("event_type", "bin", "n", "value_interp"))
     assert(ifr.count() > 0)
   }
+
+  test("cli hamming and admit run the round-7 dedup additions end-to-end") {
+    import spark.implicits._
+    val hmOut = tmp() + "/hm"
+    Cli.run(spark, "hamming", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> hmOut,
+      "id" -> "doc_id", "text" -> "text"))
+    val hm = spark.read.parquet(hmOut)
+    assert(hm.columns.toSeq === Seq("a", "b", "hamming"))
+    assert(hm.agg(max("hamming")).head.getLong(0) <= 2L)
+
+    val corpus = tmp() + "/corpus"
+    val batch = tmp() + "/batch"
+    Seq((1L, "alpha beta gamma delta eps"), (2L, "unrelated totally other words"))
+      .toDF("doc_id", "text").write.parquet(corpus)
+    Seq((10L, "alpha beta gamma delta eps"), (11L, "fresh new content here"))
+      .toDF("doc_id", "text").write.parquet(batch)
+    val adOut = tmp() + "/ad"
+    Cli.run(spark, "admit", Map("corpus" -> corpus, "batch" -> batch,
+      "output" -> adOut, "id" -> "doc_id", "text" -> "text"))
+    val ad = spark.read.parquet(adOut).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+        r.getAs[Double]("jaccard")))
+    assert(ad.toSeq === Seq((10L, 1L, 1.0)), "the exact dup must be flagged")
+  }
 }
