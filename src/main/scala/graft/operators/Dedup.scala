@@ -135,8 +135,26 @@ object Dedup {
     * [[ngramJaccard]] before rejecting admissions. */
   def minhashIncrement(corpus: DataFrame, batch: DataFrame, idCol: String,
                        textCol: String, k: Int = 16, bands: Int = 4,
-                       maxBucket: Option[Int] = None): DataFrame = {
-    val cb0 = bandedFrame(corpus, idCol, textCol, k, bands)
+                       maxBucket: Option[Int] = None): DataFrame =
+    minhashIncrementIndexed(signatureIndex(corpus, idCol, textCol, k, bands),
+      batch, idCol, textCol, k, bands, maxBucket)
+
+  /** The persistable corpus signature index: (id, keys, band, bkey) —
+    * [[bandedFrame]] made public for write-once/append-per-increment use
+    * (partition by band at scale). [[minhashIncrementIndexed]] consumes
+    * it directly so increments never rescan corpus text. */
+  def signatureIndex(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 16, bands: Int = 4): DataFrame =
+    bandedFrame(df, idCol, textCol, k, bands)
+
+  /** [[minhashIncrement]] against a PRE-BANDED corpus index (the
+    * persisted-index fast path — and the streaming admission's state
+    * shape). Same semantics, same first-collision emission. */
+  def minhashIncrementIndexed(corpusIndex: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              k: Int = 16, bands: Int = 4,
+                              maxBucket: Option[Int] = None): DataFrame = {
+    val cb0 = corpusIndex
     val cb = maxBucket match {
       case None => cb0
       case Some(cap) =>

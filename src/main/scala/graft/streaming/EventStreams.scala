@@ -156,7 +156,7 @@ object EventStreams {
     * one are pruned after the swap. */
   def upsertParquet(df: DataFrame, stateDir: String, checkpointDir: String,
                     keys: Seq[String], version: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
-    snapshotFold(df, stateDir, checkpointDir) { (base, batch) =>
+    snapshotFold(df, stateDir, checkpointDir) { (base, batch, _) =>
       graft.operators.MergeOps.latestWinsMerge(base, batch, keys, version)
     }
 
@@ -176,7 +176,7 @@ object EventStreams {
   def cdcParquet(df: DataFrame, stateDir: String, checkpointDir: String,
                  keys: Seq[String], version: Seq[String],
                  opCol: String): org.apache.spark.sql.streaming.StreamingQuery =
-    snapshotFold(df, stateDir, checkpointDir) { (base, batch) =>
+    snapshotFold(df, stateDir, checkpointDir) { (base, batch, _) =>
       // the snapshot lacks the op column (cdcApply drops it): fold with
       // the base AS state and the batch AS log
       graft.operators.MergeOps.cdcApply(
@@ -191,7 +191,7 @@ object EventStreams {
     * write because on a replay the plan may read the very snapshot
     * directory it replaces. */
   private def snapshotFold(df: DataFrame, stateDir: String, checkpointDir: String)
-                          (merge: (DataFrame, DataFrame) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+                          (merge: (DataFrame, DataFrame, Long) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -204,10 +204,10 @@ object EventStreams {
         val fs = fsFor(spark, root)
         val base = latestSnapshot(spark, stateDir)
           .map(p => spark.read.parquet(p.toString))
-          .getOrElse(merge(batch.toDF().limit(0), batch.toDF()).limit(0))
+          .getOrElse(merge(batch.toDF().limit(0), batch.toDF(), batchId).limit(0))
         // materialized (localCheckpoint) before writing: on a replay the
         // merge plan may read the very snapshot directory it overwrites
-        val merged = merge(base, batch.toDF())
+        val merged = merge(base, batch.toDF(), batchId)
           .localCheckpoint()
         try {
           val snapName = f"$SnapPrefix$batchId%020d"
@@ -244,7 +244,7 @@ object EventStreams {
   def cmsStream(terms: DataFrame, termCol: String, stateDir: String,
                 checkpointDir: String, width: Int = 256,
                 depth: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
-    snapshotFold(terms, stateDir, checkpointDir) { (base, batch) =>
+    snapshotFold(terms, stateDir, checkpointDir) { (base, batch, _) =>
       // snapshotFold's first-batch convention hands an empty BATCH-schema
       // frame as base — fold it through the cell builder (empty terms →
       // empty cells) instead of assuming the state schema
@@ -349,6 +349,51 @@ object EventStreams {
       .partitionBy("batch_id")
       .parquet(outDir)
   }
+
+  /** Streaming near-dup admission (stream_admit): each micro-batch of new
+    * docs bands with the SAME chain as the batch path
+    * ([[graft.operators.Dedup.signatureIndex]]) and joins against the
+    * persisted corpus signature index; candidate pairs land as the
+    * batch_id partition via dynamic partition overwrite (replayed batch
+    * REPLACES, never duplicates — the drift-monitor fix's pattern), then
+    * the batch's own signatures append into the index snapshot so later
+    * batches collide with earlier admissions. Corpus text is never
+    * rescanned: state IS the index (bands×keys per doc, forever).
+    *
+    * Replay idempotence beyond the pairs partition: the index side
+    * anti-joins the batch's own ids before pairing, so a batch replayed
+    * AFTER its index append still pairs against exactly the pre-batch
+    * corpus (ids must be unique across batches — the usual CDC key
+    * contract). The pairs write is a side effect of the state merge; the
+    * crash analysis is the snapshot fold's (either the old marker stands
+    * and the replay recomputes identical pairs, or the new one stands
+    * and dynamic overwrite replaces them).
+    *
+    * Output pairs: (new_id, dup_of, batch_id) CANDIDATES — verify with
+    * [[graft.operators.Dedup.ngramJaccard]] downstream where texts live. */
+  def admitStream(docs: DataFrame, idCol: String, textCol: String,
+                  pairsDir: String, stateDir: String, checkpointDir: String,
+                  k: Int = 16, bands: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(docs, stateDir, checkpointDir) { (base, batch, batchId) =>
+      val D = graft.operators.Dedup
+      // first-batch convention: base arrives in the BATCH schema — band
+      // it (empty docs -> empty index) instead of assuming state columns
+      val idx =
+        if (base.columns.contains("bkey")) base
+        else D.signatureIndex(base, idCol, textCol, k, bands)
+      val priorIdx = idx.join(
+        broadcast(batch.select(col(idCol).as("_bid")).distinct()),
+        idx("id") === col("_bid"), "left_anti")
+      D.minhashIncrementIndexed(priorIdx, batch, idCol, textCol, k, bands)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(pairsDir)
+      idx.unionByName(D.signatureIndex(batch, idCol, textCol, k, bands))
+        .dropDuplicates("id", "band")
+    }
 
   final case class CadEv(user_id: Long, event_id: Long, ts: Timestamp)
   final case class RollState(lastUs: Long, gaps: List[Long])

@@ -442,6 +442,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch admission pairs each batch against the prior corpus only") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_admit").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.admitStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/pairs", s"$dir/state", s"$dir/ckpt")
+    try {
+      val b1 = Seq((1L, "alpha beta gamma delta eps zeta"),
+        (2L, "totally unrelated other words here now"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // first batch: empty corpus -> no pairs, but the index must hold b1
+      val idx1 = EventStreams.readUpsertState(spark, s"$dir/state")
+      assert(idx1.select("id").distinct().collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L))
+      // batch 2: a near-copy of doc 1 + a fresh doc
+      val b2 = Seq((10L, "alpha beta gamma delta eps zeta"),
+        (11L, "completely fresh new content"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // partition-value inference reads batch_id back as int — normalize
+      val pairs = spark.read.parquet(s"$dir/pairs")
+        .withColumn("batch_id", col("batch_id").cast("long")).collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("batch_id")))
+      assert(pairs.exists(p => p._1 === 10L && p._2 === 1L),
+        "the identical-text admission must be flagged against the batch-1 corpus")
+      assert(pairs.forall(_._1 >= 10L), "only batch-2 docs are new_ids")
+      // streaming pairs == the batch-mode incremental candidates
+      val want = graft.operators.Dedup.minhashIncrement(
+          b1.toDF("doc_id", "text"), b2.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.filter(_._3 > 0).map(p => (p._1, p._2)).toSet === want)
+      // the index now carries all four docs (and equals the batch chain)
+      val idx2 = EventStreams.readUpsertState(spark, s"$dir/state")
+      assert(idx2.select("id").distinct().count() === 4L)
+      val wantIdx = graft.operators.Dedup.signatureIndex(
+          (b1 ++ b2).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("band"),
+          r.getAs[Long]("bkey"))).toSet
+      val gotIdx = idx2.collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Int]("band"), r.getAs[Long]("bkey"))).toSet
+      assert(gotIdx === wantIdx)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
