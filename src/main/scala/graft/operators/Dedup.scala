@@ -64,6 +64,24 @@ object Dedup {
       .select(col("id"), keys.as("keys"), posexplode(keys).as(Seq("band", "bkey")))
   }
 
+  /** Emit each bucket-join pair only at the FIRST band whose keys
+    * collide — distinct-by-construction, no global distinct over the
+    * (quadratic) pair set (at sf0.1 that distinct was the single largest
+    * shuffle in the whole suite). Flat per-band comparisons (bands are
+    * plan-time constants) keep this inside codegen — the zip_with/exists
+    * formulation is CodegenFallback and 3x slower. `joined` must carry
+    * the x/y aliases of two banding frames (keys, band). ONE definition
+    * for minhashCandidates, minhashIncrementIndexed and
+    * simhashHammingPairs — the emit-once invariant cannot drift.
+    * bands == 1 has no earlier band: the filter is vacuously true
+    * (reduceLeft over an empty range would throw at plan build). */
+  private def firstCollisionOnly(joined: DataFrame, bands: Int): DataFrame =
+    if (bands <= 1) joined
+    else joined.filter(!(0 until bands - 1).map { i =>
+      col("x.band") > i &&
+        element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
+    }.reduceLeft(_ || _))
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 16, bands: Int = 4,
                         maxBucket: Option[Int] = None): DataFrame = {
@@ -81,22 +99,8 @@ object Dedup {
         col("x.id") < col("y.id"))
     maxBucket match {
       case None =>
-        // first-collision-band trick: a pair is emitted only by the FIRST
-        // band whose keys collide, so the output is distinct by construction
-        // — no global distinct over the (quadratic) pair set, which at sf0.1
-        // was the single largest shuffle in the whole suite. Flat per-band
-        // comparisons (bands are plan-time constants) keep this inside
-        // codegen — the zip_with/exists formulation is CodegenFallback and
-        // 3x slower here.
-        // bands == 1 has no earlier band: the filter is vacuously true
-        // (reduceLeft over an empty range would throw at plan build)
-        val pairs =
-          if (bands <= 1) joined
-          else joined.filter(!(0 until bands - 1).map { i =>
-            col("x.band") > i &&
-              element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
-          }.reduceLeft(_ || _))
-        pairs.select(col("x.id").as("a"), col("y.id").as("b"))
+        firstCollisionOnly(joined, bands)
+          .select(col("x.id").as("a"), col("y.id").as("b"))
       case Some(_) =>
         // With a bucket cap, key equality at an earlier band does NOT imply
         // that band emitted the pair (a member may have been truncated out
@@ -169,13 +173,8 @@ object Dedup {
         col("x.id") =!= col("y.id"))
     maxBucket match {
       case None =>
-        val pairs =
-          if (bands <= 1) joined
-          else joined.filter(!(0 until bands - 1).map { i =>
-            col("x.band") > i &&
-              element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
-          }.reduceLeft(_ || _))
-        pairs.select(col("y.id").as("new_id"), col("x.id").as("dup_of"))
+        firstCollisionOnly(joined, bands)
+          .select(col("y.id").as("new_id"), col("x.id").as("dup_of"))
       case Some(_) =>
         // capped buckets break the first-collision invariant (see
         // minhashCandidates) — dedup what was emitted; the distinct is
@@ -569,13 +568,7 @@ object Dedup {
     val joined = banded.as("x").join(banded.as("y"),
       col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.id") < col("y.id"))
-    val firstBand =
-      if (nb <= 1) joined
-      else joined.filter(!(0 until nb - 1).map { i =>
-        col("x.band") > i &&
-          element_at(col("x.keys"), i + 1) === element_at(col("y.keys"), i + 1)
-      }.reduceLeft(_ || _))
-    firstBand
+    firstCollisionOnly(joined, nb)
       .select(col("x.id").as("a"), col("y.id").as("b"),
         bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
           .as("hamming"))
@@ -618,42 +611,34 @@ object Dedup {
     * once per DOC (native sorted-hash kernel), pairs pay one two-pointer
     * merge; only candidate pairs, never all-pairs. */
   def ngramContainment(pairs: DataFrame, docs: DataFrame,
-                       idCol: String, textCol: String): DataFrame = {
-    val grams = docs.select(
-      col(idCol).as("_jid"),
-      org.apache.spark.sql.graftbridge.PlanBridge.column(
-        graft.plans.Exprs.SortedGramHashes(
-          org.apache.spark.sql.graftbridge.PlanBridge.expression(col(textCol))))
-        .as("_grams"))
-      .withColumn("_ng", size(col("_grams")).cast("long"))
-    def side(s: String) = grams
-      .withColumnRenamed("_jid", s)
-      .withColumnRenamed("_grams", s"g$s")
-      .withColumnRenamed("_ng", s"n$s")
-    val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
-      graft.plans.Exprs.SortedIntersectSizeLong(
-        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
-        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
-    pairs
-      .join(side("a"), "a")
-      .join(side("b"), "b")
-      .withColumn("n_inter", nInter)
+                       idCol: String, textCol: String): DataFrame =
+    gramPairStats(pairs, docs, idCol, textCol)
       .withColumn("containment_ab", round(col("n_inter") / col("na"), 6))
       .withColumn("containment_ba", round(col("n_inter") / col("nb"), 6))
       .withColumn("jaccard",
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
-      .drop("ga", "gb", "na", "nb")
-  }
+      .drop("na", "nb")
 
   /** n-gram Jaccard similarity over candidate pairs: distinct bigram
     * shingle sets, |A∩B| / |A∪B|. `pairs` must carry (a, b) id columns;
     * texts are joined back per side — at scale both joins are hash joins
     * on the id, and only candidate pairs (not all pairs) pay the set ops. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame,
-                   idCol: String, textCol: String): DataFrame = {
-    // sorted distinct 64-bit gram hashes, once per DOC (native one-pass
-    // kernel) — each pair then pays a long-array two-pointer merge count;
-    // counts equal the gram-string counts up to ~2^-64 collisions
+                   idCol: String, textCol: String): DataFrame =
+    gramPairStats(pairs, docs, idCol, textCol)
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard", round(col("n_inter") / col("n_union"), 6))
+      .drop("na", "nb")
+
+  /** Shared gram-side scaffold of [[ngramJaccard]] and
+    * [[ngramContainment]] — ONE definition of the per-doc sorted distinct
+    * 64-bit gram hashes (native one-pass kernel; counts equal the
+    * gram-string counts up to ~2^-64 collisions) and the per-pair
+    * two-pointer intersect. Per-pair work is ONE set op: |A∪B| and both
+    * containments derive from (n_inter, na, nb) arithmetically. Returns
+    * the joined pair frame with (n_inter, na, nb) attached. */
+  private def gramPairStats(pairs: DataFrame, docs: DataFrame,
+                            idCol: String, textCol: String): DataFrame = {
     val grams = docs.select(
       col(idCol).as("_jid"),
       org.apache.spark.sql.graftbridge.PlanBridge.column(
@@ -665,9 +650,6 @@ object Dedup {
       .withColumnRenamed("_jid", s)
       .withColumnRenamed("_grams", s"g$s")
       .withColumnRenamed("_ng", s"n$s")
-    // per-pair work is ONE set op: |A∪B| = |A| + |B| - |A∩B| (both sides
-    // are already distinct), which halves the hash-set building that
-    // dominates this verify stage
     val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
       graft.plans.Exprs.SortedIntersectSizeLong(
         org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
@@ -676,9 +658,7 @@ object Dedup {
       .join(side("a"), "a")
       .join(side("b"), "b")
       .withColumn("n_inter", nInter)
-      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
-      .withColumn("jaccard", round(col("n_inter") / col("n_union"), 6))
-      .drop("ga", "gb", "na", "nb")
+      .drop("ga", "gb")
   }
 
   /** EXACT whole-corpus set-similarity self-join with LOSSLESS prefix

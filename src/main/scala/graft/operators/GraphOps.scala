@@ -144,9 +144,12 @@ object GraphOps {
                 aCol: String = "a", bCol: String = "b"): DataFrame = {
     require(iters >= 1 && iters <= 8, "iters must be in [1, 8] (unrolled rounds)")
     val W = org.apache.spark.sql.expressions.Window
+    // cast BEFORE least/greatest: the oracle canonicalizes on BIGINTs, and
+    // string ids would otherwise compare lexicographically ("10" < "9")
+    // and mis-orient or drop edges
     val und = edges0
-      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
-        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))

@@ -29,6 +29,15 @@ object PrivacyOps {
     * released as the string "null" to keep the output schema string-typed
     * on both engines.
     *
+    * Sentinel collisions: a RELEASED class whose quasi value is the
+    * literal string "*" would merge with the suppression residual and be
+    * mis-reported as withheld — the operator REFUSES such data (one
+    * domain-bounded check on the class frame; rename the value
+    * upstream). A real NULL and the literal string "null" DO merge into
+    * one released class — that collision only ever ENLARGES a class
+    * (never splits one below k), so it is privacy-safe and accepted as
+    * the release format.
+    *
     * Output: (quasi..., n_rows, suppressed), quasi columns as strings. */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
     require(quasiCols.nonEmpty, "kAnonymize needs at least one quasi column")
@@ -37,6 +46,12 @@ object PrivacyOps {
       .groupBy(quasiCols.map(c =>
         coalesce(col(c).cast("string"), lit("null")).as(c)): _*)
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // class frame (domain-bounded): guard + release
+    val starred = classes.filter(col("n") >= k &&
+      quasiCols.map(c => col(c) === "*").reduce(_ || _)).limit(1).count()
+    require(starred == 0L,
+      "kAnonymize: a released class carries the literal quasi value \"*\" " +
+        "(it would merge with the suppression residual) — rename it upstream")
     classes
       .select(quasiCols.map(c =>
         when(col("n") >= k, col(c)).otherwise(lit("*")).as(c)) :+ col("n"): _*)

@@ -280,12 +280,15 @@ object Similarity {
     val t = truth.select(col("qid"), col("vec_id"), col("rank").as("t_rank"))
     val a = approx.select(col("qid"), col("vec_id"), col("rank").as("a_rank"))
     val hits = t.join(a, Seq("qid", "vec_id")).localCheckpoint()
-    val perQ = t.select(col("qid")).distinct()
+    // recall denominator = ACTUAL truth-list sizes (a corpus smaller than
+    // k would otherwise cap recall below 1 even for a perfect retriever)
+    val perQ = t.groupBy("qid").agg(count(lit(1)).as("n_truth"))
       .join(hits.groupBy("qid").agg(count(lit(1)).as("n_hit")), Seq("qid"), "left")
       .join(hits.filter(col("t_rank") === 1)
         .select(col("qid"), (lit(1.0) / col("a_rank").cast("double")).as("rr")),
         Seq("qid"), "left")
-      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+      .select(col("qid"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         coalesce(col("rr"), lit(0.0)).as("rr"))
     val ordq = W.orderBy("qid")
     perQ
@@ -293,13 +296,15 @@ object Similarity {
         ordq.rowsBetween(W.unboundedPreceding, W.currentRow)))
       .withColumn("cum_hit", sum(col("n_hit")).over(
         ordq.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("cum_truth", sum(col("n_truth")).over(
+        ordq.rowsBetween(W.unboundedPreceding, W.currentRow)))
       .withColumn("rn", row_number().over(ordq))
       .withColumn("nc", count(lit(1)).over())
       .filter(col("rn") === col("nc"))
       .select(col("nc").cast("long").as("n_queries"),
         col("cum_hit").as("n_hits"),
         round(col("cum_hit").cast("double") /
-          (col("nc") * k).cast("double"), 6).as("recall_at_k"),
+          col("cum_truth").cast("double"), 6).as("recall_at_k"),
         round(col("cum_rr") / col("nc").cast("double"), 6).as("mrr"))
   }
 
@@ -311,8 +316,9 @@ object Similarity {
       s"a AS (SELECT qid, vec_id, rank AS a_rank FROM $approxSub), " +
       "hits AS (SELECT t.qid, t.vec_id, t.t_rank, a.a_rank FROM t " +
       "JOIN a ON t.qid = a.qid AND t.vec_id = a.vec_id), " +
-      "perq AS (SELECT q.qid, coalesce(h.n_hit, 0) AS n_hit, " +
-      "coalesce(rr.rr, 0.0) AS rr FROM (SELECT DISTINCT qid FROM t) q " +
+      "perq AS (SELECT q.qid, q.n_truth, coalesce(h.n_hit, 0) AS n_hit, " +
+      "coalesce(rr.rr, 0.0) AS rr FROM " +
+      "(SELECT qid, CAST(count(*) AS BIGINT) AS n_truth FROM t GROUP BY qid) q " +
       "LEFT JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_hit FROM hits " +
       "GROUP BY qid) h ON q.qid = h.qid " +
       "LEFT JOIN (SELECT qid, CAST(1.0 AS DOUBLE) / CAST(a_rank AS DOUBLE) AS rr " +
@@ -320,9 +326,10 @@ object Similarity {
       "f AS (SELECT " +
       "sum(rr) OVER (ORDER BY qid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rr, " +
       "sum(n_hit) OVER (ORDER BY qid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hit, " +
+      "sum(n_truth) OVER (ORDER BY qid ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_truth, " +
       "row_number() OVER (ORDER BY qid) AS rn, count(*) OVER () AS nc FROM perq) " +
       "SELECT CAST(nc AS BIGINT) AS n_queries, CAST(cum_hit AS BIGINT) AS n_hits, " +
-      s"round(CAST(cum_hit AS DOUBLE) / CAST(nc * $k AS DOUBLE), 6) AS recall_at_k, " +
+      "round(CAST(cum_hit AS DOUBLE) / CAST(cum_truth AS DOUBLE), 6) AS recall_at_k, " +
       "round(cum_rr / CAST(nc AS DOUBLE), 6) AS mrr " +
       "FROM f WHERE rn = nc"
 

@@ -202,9 +202,12 @@ object EventStreams {
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(stateDir)
         val fs = fsFor(spark, root)
+        // the getOrElse arm is a SCHEMA PROBE only (batchId = -1): merge
+        // implementations with side effects (admitStream's pairs write)
+        // must guard them on batchId >= 0
         val base = latestSnapshot(spark, stateDir)
           .map(p => spark.read.parquet(p.toString))
-          .getOrElse(merge(batch.toDF().limit(0), batch.toDF(), batchId).limit(0))
+          .getOrElse(merge(batch.toDF().limit(0), batch.toDF(), -1L).limit(0))
         // materialized (localCheckpoint) before writing: on a replay the
         // merge plan may read the very snapshot directory it overwrites
         val merged = merge(base, batch.toDF(), batchId)
@@ -249,7 +252,7 @@ object EventStreams {
       // frame as base — fold it through the cell builder (empty terms →
       // empty cells) instead of assuming the state schema
       val baseCells =
-        if (base.columns.contains("cnt"))
+        if (Set("d", "bucket", "cnt").subsetOf(base.columns.toSet))
           base.select(col("d"), col("bucket"), col("cnt"))
         else graft.operators.StatsOps.countMinCells(base, termCol, width, depth)
       graft.operators.StatsOps.countMinCells(batch, termCol, width, depth)
@@ -379,18 +382,21 @@ object EventStreams {
       val D = graft.operators.Dedup
       // first-batch convention: base arrives in the BATCH schema — band
       // it (empty docs -> empty index) instead of assuming state columns
+      val stateCols = Set("id", "keys", "band", "bkey")
       val idx =
-        if (base.columns.contains("bkey")) base
+        if (stateCols.subsetOf(base.columns.toSet)) base
         else D.signatureIndex(base, idCol, textCol, k, bands)
       val priorIdx = idx.join(
         broadcast(batch.select(col(idCol).as("_bid")).distinct()),
         idx("id") === col("_bid"), "left_anti")
-      D.minhashIncrementIndexed(priorIdx, batch, idCol, textCol, k, bands)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(pairsDir)
+      // batchId < 0 marks snapshotFold's schema probe — no side effects
+      if (batchId >= 0)
+        D.minhashIncrementIndexed(priorIdx, batch, idCol, textCol, k, bands)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsDir)
       idx.unionByName(D.signatureIndex(batch, idCol, textCol, k, bands))
         .dropDuplicates("id", "band")
     }
