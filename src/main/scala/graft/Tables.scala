@@ -16,18 +16,35 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Rebuild a proper microsecond timestamp from an int64-NANOS column.
-    * Spark has no TIMESTAMP(NANOS) type; sessions set
-    * spark.sql.legacy.parquet.nanosAsLong=true and this is the ONE place
-    * the encoding rule lives (batch load, stream load, and the CLI all
-    * call it). Integer `div` (not `/`) — int64 nanos overflow double's
-    * 53-bit mantissa. No-op when the column is already a timestamp. */
-  def normalizeNanosTs(df: DataFrame, tsCol: String): DataFrame =
-    if (df.schema.fieldNames.contains(tsCol) &&
-      df.schema(tsCol).dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn(tsCol,
-        org.apache.spark.sql.functions.expr(s"timestamp_micros($tsCol div 1000)"))
-    else df
+  /** Normalize the event-time column to a uniform TIMESTAMP (with local
+    * time zone) regardless of how the parquet writer encoded it. This is
+    * the ONE place the encoding rule lives (batch load, stream load, and
+    * the CLI all call it); every downstream consumer — unix_micros,
+    * withWatermark, the java.sql.Timestamp typed encoders, min/max
+    * row-group stats — assumes plain TIMESTAMP.
+    *
+    * Two encodings appear in the wild:
+    *  - int64 NANOS: Spark has no TIMESTAMP(NANOS) type; sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong=true and we rebuild micros
+    *    with integer `div` (not `/`) — int64 nanos overflow double's
+    *    53-bit mantissa.
+    *  - timestamp[us] WITHOUT isAdjustedToUTC (pandas/pyarrow default):
+    *    Spark reads it as TIMESTAMP_NTZ. Under the session's pinned UTC
+    *    time zone (sessionConfs) the NTZ→TIMESTAMP cast is an exact
+    *    relabeling of the same micros value — no wall-clock shift.
+    * No-op when the column is already TIMESTAMP. */
+  def normalizeNanosTs(df: DataFrame, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.schema.fieldNames.contains(tsCol)) df
+    else df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol,
+          org.apache.spark.sql.functions.expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, df(tsCol).cast(TimestampType))
+      case _ => df
+    }
+  }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

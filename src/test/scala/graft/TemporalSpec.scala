@@ -339,4 +339,63 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === model)
   }
+
+  // --- NTZ regression guard (round-8, VERDICT r7 #2) -----------------------
+  // The regenerated testdata writes events.ts as parquet timestamp[us]
+  // WITHOUT isAdjustedToUTC, which Spark surfaces as TIMESTAMP_NTZ — and
+  // unix_micros / withWatermark / java.sql.Timestamp encoders all reject
+  // NTZ. Tables.normalizeNanosTs is the single place the encoding rule
+  // lives; these cases pin it against BOTH wild encodings.
+
+  test("catalog surfaces one uniform ts type from both parquet encodings") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz").toString
+    val base = events.select("event_id", "user_id", "ts", "value").limit(200)
+    // encoding A: timestamp[us] without UTC adjustment (pandas default)
+    base.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/ntz/events.parquet")
+    // encoding B: legacy int64 nanoseconds (nanosAsLong surfaces LongType)
+    base.withColumn("ts", (unix_micros(col("ts")) * 1000L).cast(LongType))
+      .write.mode("overwrite").parquet(s"$dir/nanos/events.parquet")
+    val fromNtz = Tables.load(spark, s"$dir/ntz", "events")
+    val fromNanos = Tables.load(spark, s"$dir/nanos", "events")
+    assert(fromNtz.schema("ts").dataType === TimestampType,
+      s"NTZ parquet must normalize to TIMESTAMP, got ${fromNtz.schema("ts").dataType}")
+    assert(fromNanos.schema("ts").dataType === TimestampType,
+      s"int64-nanos parquet must normalize to TIMESTAMP, got ${fromNanos.schema("ts").dataType}")
+    // under the pinned UTC session TZ both relabelings are EXACT: every
+    // row's micros value round-trips unchanged through either encoding
+    val want = base.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(fromNtz, fromNanos).foreach { df =>
+      val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    }
+  }
+
+  test("temporal operators run over an NTZ-encoded catalog load") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_ops").toString
+    events.withColumn("ts", col("ts").cast(TimestampNTZType))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val ev = Tables.load(spark, dir, "events")
+    // each operator calls unix_micros(ts) internally — red on a raw NTZ
+    // column, green once the catalog normalizes. Results must match the
+    // same operator over the original TIMESTAMP-typed frame exactly.
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    assert(canon(Temporal.sessionize(ev, "user_id", "ts", "event_id", "value", 1800)) ===
+      canon(Temporal.sessionize(events, "user_id", "ts", "event_id", "value", 1800)))
+    assert(canon(Temporal.interArrival(ev, "user_id", "ts", "event_id")) ===
+      canon(Temporal.interArrival(events, "user_id", "ts", "event_id")))
+    assert(canon(Temporal.rollingGaps(ev, "user_id", "ts", "event_id")) ===
+      canon(Temporal.rollingGaps(events, "user_id", "ts", "event_id")))
+    val iv = ev.select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + 600L * 1000000L).as("e_us"), col("event_id"))
+    val ivBase = events.select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+      (unix_micros(col("ts")) + 600L * 1000000L).as("e_us"), col("event_id"))
+    assert(canon(Temporal.mergeIntervals(iv, "user_id", "s_us", "e_us", "event_id")) ===
+      canon(Temporal.mergeIntervals(ivBase, "user_id", "s_us", "e_us", "event_id")))
+  }
 }
