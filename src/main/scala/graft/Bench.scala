@@ -101,6 +101,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(_.toString)},"spread":$spread,"reps":$reps,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
+    // bench_out.json is overwritten every run, which made r6-vs-r7
+    // per-query comparisons unreproducible (ADVICE r7). Append the full
+    // detail to a history log too, stamped, so every run's map survives.
+    val stamped = s"""{"at":"${java.time.Instant.now()}",""" + full.stripPrefix("{")
+    Files.writeString(Paths.get("bench_history.jsonl"), stamped + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     println(line)
     System.out.flush()
     spark.stop()

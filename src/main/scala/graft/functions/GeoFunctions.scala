@@ -84,6 +84,104 @@ object GeoFunctions {
   def metricApprox(lon: Column, lat: Column): (Column, Column) =
     (lon * 111320.0, lat * 110540.0)
 
+  // --- UTM transverse mercator (general CRS transform) ----------------------
+  // gedixr reprojects AOIs/points to arbitrary EPSG via geopandas `to_crs`
+  // (reference: gedixr/ancillary.py:146-147); the overwhelmingly common
+  // target for GEDI work is a UTM zone. This is the classic Snyder
+  // forward series (Map Projections — A Working Manual, USGS PP 1395,
+  // p. 61, eq. 8-9..8-15): pure Column arithmetic + sin/cos/tan, fully
+  // codegen'd, no UDF — a 100 TB reprojection is a narrow map over the
+  // scan. Zone + central meridian derive from lon per row, so one pass
+  // handles a world-spanning table (gedixr picks one zone per AOI;
+  // per-row zoning is the generalization that needs no driver loop).
+  //
+  // Engine parity: the series uses transcendentals, whose last ulp may
+  // differ across libm implementations, so the ORACLE-face of this
+  // transform emits whole-meter integers (round-then-cast) — ~1e-9 m of
+  // cross-engine noise against 0.5 m of rounding headroom — while the
+  // Column face keeps full doubles for analytics use. Validity domain is
+  // the UTM spec's lat ∈ [-80, 84]; callers filter (the query does).
+
+  /** WGS84 semi-major axis / first eccentricity squared. */
+  val Wgs84A: Double = 6378137.0
+  val Wgs84E2: Double = { val f = 1.0 / 298.257223563; f * (2.0 - f) }
+  private val Deg2Rad = 0.017453292519943295 // closest double to pi/180
+  private val UtmK0 = 0.9996
+
+  /** Meridional-arc series coefficients for eccentricity² `e2`. */
+  private def mCoefs(e2: Double): (Double, Double, Double, Double) = {
+    val e4 = e2 * e2; val e6 = e4 * e2
+    (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
+      3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
+      15.0 * e4 / 256.0 + 45.0 * e6 / 1024.0,
+      35.0 * e6 / 3072.0)
+  }
+
+  /** UTM zone number (1..60) from longitude. */
+  def utmZone(lon: Column): Column =
+    least(floor((lon + 180.0) / 6.0).cast("long") + 1L, lit(60L))
+
+  /** Forward UTM easting/northing (meters, full doubles) for a point and
+    * its per-row zone; southern-hemisphere rows get the 10,000,000 m
+    * false northing. `a`/`e2` default to WGS84 — pass e.g. Clarke 1866
+    * to reproduce published test vectors. */
+  def utmForward(lon: Column, lat: Column,
+                 a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, m2, m4, m6) = mCoefs(e2)
+    val lon0 = utmZone(lon).cast("double") * 6.0 - 183.0
+    val phi = lat * Deg2Rad
+    val dlam = (lon - lon0) * Deg2Rad
+    val sp = sin(phi); val cp = cos(phi); val tp = tan(phi)
+    val nRad = lit(a) / sqrt(lit(1.0) - lit(e2) * sp * sp)
+    val t = tp * tp
+    val c = lit(ep2) * cp * cp
+    val aa = cp * dlam
+    val m = lit(a) * (lit(m0) * phi - lit(m2) * sin(phi * 2.0) +
+      lit(m4) * sin(phi * 4.0) - lit(m6) * sin(phi * 6.0))
+    val aa2 = aa * aa; val aa3 = aa2 * aa; val aa4 = aa3 * aa
+    val aa5 = aa4 * aa; val aa6 = aa5 * aa
+    val x = lit(UtmK0) * nRad * (aa +
+      (lit(1.0) - t + c) * aa3 / 6.0 +
+      (lit(5.0) - t * 18.0 + t * t + c * 72.0 - ep2 * 58.0) * aa5 / 120.0) +
+      500000.0
+    val y = lit(UtmK0) * (m + nRad * tp * (aa2 / 2.0 +
+      (lit(5.0) - t + c * 9.0 + c * c * 4.0) * aa4 / 24.0 +
+      (lit(61.0) - t * 58.0 + t * t + c * 600.0 - ep2 * 330.0) * aa6 / 720.0)) +
+      when(lat < 0.0, 10000000.0).otherwise(0.0)
+    (x, y)
+  }
+
+  /** The identical Snyder series as a SQL fragment pair
+    * (easting, northing) over column names — the DuckDB oracle face.
+    * Same formula, same Scala-computed double literals; cross-engine
+    * drift is bounded by libm's last ulp, which the whole-meter
+    * round-then-cast in the query absorbs. */
+  def utmForwardSql(lon: String, lat: String,
+                    a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, m2, m4, m6) = mCoefs(e2)
+    val zone = s"least(CAST(floor((($lon) + 180.0) / 6.0) AS BIGINT) + 1, 60)"
+    val lon0 = s"(CAST($zone AS DOUBLE) * 6.0 - 183.0)"
+    val phi = s"(($lat) * $Deg2Rad)"
+    val dlam = s"((($lon) - $lon0) * $Deg2Rad)"
+    val sp = s"sin($phi)"; val cp = s"cos($phi)"; val tp = s"tan($phi)"
+    val nRad = s"($a / sqrt(1.0 - $e2 * $sp * $sp))"
+    val t = s"($tp * $tp)"
+    val c = s"($ep2 * $cp * $cp)"
+    val aa = s"($cp * $dlam)"
+    val m = s"($a * ($m0 * $phi - $m2 * sin($phi * 2.0) + " +
+      s"$m4 * sin($phi * 4.0) - $m6 * sin($phi * 6.0)))"
+    def pow(b: String, n: Int) = "(" + Seq.fill(n)(b).mkString(" * ") + ")"
+    val x = s"($UtmK0 * $nRad * ($aa + (1.0 - $t + $c) * ${pow(aa, 3)} / 6.0 + " +
+      s"(5.0 - $t * 18.0 + $t * $t + $c * 72.0 - $ep2 * 58.0) * ${pow(aa, 5)} / 120.0) + 500000.0)"
+    val y = s"($UtmK0 * ($m + $nRad * $tp * (${pow(aa, 2)} / 2.0 + " +
+      s"(5.0 - $t + $c * 9.0 + $c * $c * 4.0) * ${pow(aa, 4)} / 24.0 + " +
+      s"(61.0 - $t * 58.0 + $t * $t + $c * 600.0 - $ep2 * 330.0) * ${pow(aa, 6)} / 720.0)) + " +
+      s"(CASE WHEN ($lat) < 0.0 THEN 10000000.0 ELSE 0.0 END))"
+    (x, y)
+  }
+
   /** Z-order (Morton) value of a lon/lat point: each coordinate is
     * quantized to `bits` levels over its world range, then the bits are
     * interleaved. Points close on the curve are close in space, so a

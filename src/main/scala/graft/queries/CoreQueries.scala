@@ -204,6 +204,31 @@ object CoreQueries {
       Some("SELECT shot, lon * 111320.0 AS mx, lat * 110540.0 AS my FROM " +
         Shots.sql + " ORDER BY shot")),
 
+    // R13b — general CRS transform: per-row UTM zone + transverse-mercator
+    // forward series (closes ancillary.py:146-147 `to_crs` for the common
+    // GEDI target). Whole-meter integer outputs make the hash compare
+    // immune to cross-engine libm last-ulp drift; the full-double Column
+    // face (GeoFunctions.utmForward) is spec-tested against Snyder's
+    // published worked example. Validity domain lat ∈ [-80, 84] per the
+    // UTM spec — the filter pushes to the scan like any range predicate.
+    Q("q_utm_transform",
+      (s, d) => {
+        val sh = Shots.df(s, d).filter(col("lat").between(-80.0, 84.0))
+        val (e, n) = GeoFunctions.utmForward(col("lon"), col("lat"))
+        sh.select(col("shot"),
+          GeoFunctions.utmZone(col("lon")).as("utm_zone"),
+          round(e, 0).cast("long").as("easting_m"),
+          round(n, 0).cast("long").as("northing_m"))
+          .orderBy("shot")
+      },
+      Some {
+        val (e, n) = GeoFunctions.utmForwardSql("lon", "lat")
+        "SELECT shot, least(CAST(floor((lon + 180.0) / 6.0) AS BIGINT) + 1, 60) AS utm_zone, " +
+          s"CAST(round($e, 0) AS BIGINT) AS easting_m, " +
+          s"CAST(round($n, 0) AS BIGINT) AS northing_m FROM " + Shots.sql +
+          " WHERE lat BETWEEN -80.0 AND 84.0 ORDER BY shot"
+      }),
+
     // Z-order curve value for spatial clustering (the data-layout index
     // behind GeoOps.writeSpatiallyClustered): pure integer shifts/masks,
     // hash-verified bit-for-bit against the oracle's identical interleave.

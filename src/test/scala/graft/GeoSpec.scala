@@ -251,3 +251,67 @@ class GeoSpec extends SparkSpec {
       s"clustered=$clustered vs plain=$plain — layout made no difference")
   }
 }
+
+/** Round-8: UTM transverse mercator (VERDICT r7 #5 — general CRS). */
+class UtmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("utmForward reproduces Snyder's published worked example (Clarke 1866)") {
+    // Snyder, Map Projections — A Working Manual (USGS PP 1395), p. 269:
+    // phi = 40°30'N, lambda = 73°30'W, central meridian 75°W (zone 18),
+    // k0 = 0.9996, Clarke 1866 (a = 6378206.4, e2 = 0.00676866) gives
+    // x = 127,106.5 m east of the CM (easting 627,106.5), y = 4,484,124.4.
+    val pts = Seq((-73.5, 40.5)).toDF("lon", "lat")
+    val (e, n) = GeoFunctions.utmForward(col("lon"), col("lat"),
+      a = 6378206.4, e2 = 0.00676866)
+    val r = pts.select(GeoFunctions.utmZone(col("lon")).as("z"),
+      e.as("e"), n.as("n")).head
+    assert(r.getLong(0) === 18L)
+    assert(math.abs(r.getDouble(1) - 627106.5) < 0.5,
+      s"easting ${r.getDouble(1)} vs published 627106.5")
+    assert(math.abs(r.getDouble(2) - 4484124.4) < 0.5,
+      s"northing ${r.getDouble(2)} vs published 4484124.4")
+  }
+
+  test("utm zone boundaries, hemisphere false northing, equator/CM identities") {
+    val pts = Seq(
+      (-180.0, 10.0),  // west edge -> zone 1
+      (179.9, 10.0),   // east edge -> zone 60
+      (180.0, 10.0),   // wrap point clamps to 60
+      (3.0, 0.0),      // on a central meridian at the equator
+      (3.0, -33.0),    // southern hemisphere
+      (3.0, 33.0))     // same |lat| north
+      .toDF("lon", "lat")
+    val (e, n) = GeoFunctions.utmForward(col("lon"), col("lat"))
+    val rows = pts.select(col("lon"), col("lat"),
+        GeoFunctions.utmZone(col("lon")).as("z"), e.as("e"), n.as("n"))
+      .collect().map(r => ((r.getDouble(0), r.getDouble(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows((-180.0, 10.0))._1 === 1L)
+    assert(rows((179.9, 10.0))._1 === 60L)
+    assert(rows((180.0, 10.0))._1 === 60L)
+    // a point ON its central meridian at the equator is exactly the
+    // false origin: easting 500000, northing 0
+    val (_, e0, n0) = rows((3.0, 0.0))
+    assert(math.abs(e0 - 500000.0) < 1e-6 && math.abs(n0) < 1e-6)
+    // north/south symmetry: same easting; northings mirror through the
+    // 10,000,000 m false northing
+    val (_, eN, nN) = rows((3.0, 33.0))
+    val (_, eS, nS) = rows((3.0, -33.0))
+    assert(math.abs(eN - eS) < 1e-6)
+    assert(math.abs((10000000.0 - nS) - nN) < 1e-6)
+  }
+
+  test("q_utm_transform spark plan matches its own oracle SQL run through Spark") {
+    // The DuckDB compare happens in the driver; here the same oracle text
+    // (ANSI arithmetic only) runs through Spark SQL — catching any
+    // formula drift between the Column face and the SQL face.
+    val q = graft.queries.CoreQueries.defs.find(_.name == "q_utm_transform").get
+    val got = q.fn(spark, sfDir)
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
+    val oracle = spark.sql(q.oracle.get)
+    assert(got.collect().map(_.mkString("|")).toSeq ===
+      oracle.collect().map(_.mkString("|")).toSeq)
+  }
+}
