@@ -464,9 +464,28 @@ object Similarity {
     * recomputes the identical codes, LUT entries and tie-breaks, so the
     * APPROXIMATION ITSELF is hash-verified — both engines agree on every
     * ranked distance bit for bit. */
+  /** LUT literals grow as |queries| x m x nCodes doubles INSIDE the plan
+    * (and, for pqAdcTopK, one struct per query in the explode array), so
+    * an unbounded query batch eventually blows plan compilation long
+    * before it blows the executors. Batches above this size are CHUNKED:
+    * each chunk compiles its own bounded plan and the per-query top-k
+    * results union (exact — top-k is per qid, chunks partition qids).
+    * 1024 queries x 4 blocks x 8 codes = 32k doubles per chunk plan,
+    * comfortably inside codegen/analysis budgets; raise deliberately if
+    * profiling says so, never implicitly. */
+  val MaxPqQueryBatch: Int = 1024
+
+  private def chunkedUnion(qs: Array[(Long, Array[Float])], maxBatch: Int)(
+      build: Array[(Long, Array[Float])] => DataFrame): DataFrame = {
+    require(qs.nonEmpty, "empty query batch")
+    qs.grouped(maxBatch).map(build).reduceLeft(_.unionByName(_))
+  }
+
   def pqAdcTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                 m: Int = 4, nCodes: Int = 8,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxQueryBatch: Int = MaxPqQueryBatch): DataFrame = {
+    require(maxQueryBatch > 0, "maxQueryBatch must be positive")
     val cb = codebook(candidates, nCodes, idCol, vecCol)
     val dims = cb.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
@@ -477,27 +496,29 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val perQuery = qs.map { case (qid, qv) =>
-      val adc = (0 until m).map { j =>
-        val lut = cb.map { case (_, cwv) =>
-          subDot(qv, qv, j * sub, sub) -
-            2.0 * subDot(qv, cwv, j * sub, sub) +
-            subDot(cwv, cwv, j * sub, sub)
-        }.toSeq
-        element_at(typedlit(lut), col(s"code_$j").cast("int") + 1)
-      }.reduceLeft(_ + _)
-      struct(lit(qid).as("qid"), adc.as("adc_dist"))
+    chunkedUnion(qs, maxQueryBatch) { chunk =>
+      val perQuery = chunk.map { case (qid, qv) =>
+        val adc = (0 until m).map { j =>
+          val lut = cb.map { case (_, cwv) =>
+            subDot(qv, qv, j * sub, sub) -
+              2.0 * subDot(qv, cwv, j * sub, sub) +
+              subDot(cwv, cwv, j * sub, sub)
+          }.toSeq
+          element_at(typedlit(lut), col(s"code_$j").cast("int") + 1)
+        }.reduceLeft(_ + _)
+        struct(lit(qid).as("qid"), adc.as("adc_dist"))
+      }
+      val scored = codes
+        .select(col(idCol).as("vec_id"), explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
+        .select(col("qa.qid").as("qid"), col("vec_id"), col("qa.adc_dist").as("adc_dist"))
+        .filter(col("vec_id") =!= col("qid"))
+      TopK.perGroupTopK(scored,
+          groupCols = Seq(col("qid")),
+          order = Seq(col("adc_dist").asc, col("vec_id")),
+          k = k, salt = col("vec_id"), rankCol = "rank")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
     }
-    val scored = codes
-      .select(col(idCol).as("vec_id"), explode(array(perQuery.toIndexedSeq: _*)).as("qa"))
-      .select(col("qa.qid").as("qid"), col("vec_id"), col("qa.adc_dist").as("adc_dist"))
-      .filter(col("vec_id") =!= col("qid"))
-    TopK.perGroupTopK(scored,
-        groupCols = Seq(col("qid")),
-        order = Seq(col("adc_dist").asc, col("vec_id")),
-        k = k, salt = col("vec_id"), rankCol = "rank")
-      .select(col("qid"), col("rank"), col("vec_id"),
-        round(col("adc_dist"), 6).as("adc_dist"))
   }
 
   /** IVF + PQ-ADC composed top-k — the production ANN stack (the
@@ -521,7 +542,9 @@ object Similarity {
   def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                 nCentroids: Int = 16, nprobe: Int = 4,
                 m: Int = 4, nCodes: Int = 8,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxQueryBatch: Int = MaxPqQueryBatch): DataFrame = {
+    require(maxQueryBatch > 0, "maxQueryBatch must be positive")
     val cb = codebook(candidates, nCodes, idCol, vecCol)
     val dims = cb.head._2.length
     require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
@@ -535,26 +558,33 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val adc = (0 until m).map { j =>
-      val lutMap: Map[Long, Seq[Double]] = qs.map { case (qid, qv) =>
-        qid -> cb.map { case (_, cwv) =>
-          subDot(qv, qv, j * sub, sub) -
-            2.0 * subDot(qv, cwv, j * sub, sub) +
-            subDot(cwv, cwv, j * sub, sub)
-        }.toSeq
-      }.toMap
-      element_at(element_at(typedlit(lutMap), col("qid")),
-        col(s"code_$j").cast("int") + 1)
-    }.reduceLeft(_ + _)
-    val scored = candPairs
-      .join(codes, "vec_id")
-      .withColumn("adc_dist", adc)
-    TopK.perGroupTopK(scored,
-        groupCols = Seq(col("qid")),
-        order = Seq(col("adc_dist").asc, col("vec_id")),
-        k = k, salt = col("vec_id"), rankCol = "rank")
-      .select(col("qid"), col("rank"), col("vec_id"),
-        round(col("adc_dist"), 6).as("adc_dist"))
+    chunkedUnion(qs, maxQueryBatch) { chunk =>
+      val adc = (0 until m).map { j =>
+        val lutMap: Map[Long, Seq[Double]] = chunk.map { case (qid, qv) =>
+          qid -> cb.map { case (_, cwv) =>
+            subDot(qv, qv, j * sub, sub) -
+              2.0 * subDot(qv, cwv, j * sub, sub) +
+              subDot(cwv, cwv, j * sub, sub)
+          }.toSeq
+        }.toMap
+        element_at(element_at(typedlit(lutMap), col("qid")),
+          col(s"code_$j").cast("int") + 1)
+      }.reduceLeft(_ + _)
+      // single-chunk (the common case) keeps the original plan shape;
+      // multi-chunk restricts the pair frame to the chunk's qids so each
+      // chunk's join degree is bounded by its own queries
+      val pairs = if (qs.length <= maxQueryBatch) candPairs
+        else candPairs.filter(col("qid").isin(chunk.map(_._1).toIndexedSeq: _*))
+      val scored = pairs
+        .join(codes, "vec_id")
+        .withColumn("adc_dist", adc)
+      TopK.perGroupTopK(scored,
+          groupCols = Seq(col("qid")),
+          order = Seq(col("adc_dist").asc, col("vec_id")),
+          k = k, salt = col("vec_id"), rankCol = "rank")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+    }
   }
 
   /** SemDeDup-style semantic dedup (cf. Abbas et al. 2023, arXiv

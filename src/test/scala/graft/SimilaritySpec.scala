@@ -425,4 +425,24 @@ class SimilaritySpec extends SparkSpec {
       assert(got(id) === exp, s"vec $id")
     }
   }
+
+  test("PQ LUT compilation chunks oversized query batches exactly (r8)") {
+    // The LUT literal grows as |queries| x m x nCodes doubles in the
+    // plan, so batches above maxQueryBatch must CHUNK — and chunking
+    // must be invisible in the results. Force maxQueryBatch below the
+    // batch size and compare against the single-plan run.
+    val queries = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().map(_.mkString("|")).toSeq
+    val oneAdc = Similarity.pqAdcTopK(emb, queries, 5)
+    val chunkedAdc = Similarity.pqAdcTopK(emb, queries, 5, maxQueryBatch = 3)
+    assert(canon(chunkedAdc) === canon(oneAdc))
+    val oneIvf = Similarity.ivfPqTopK(emb, queries, 5)
+    val chunkedIvf = Similarity.ivfPqTopK(emb, queries, 5, maxQueryBatch = 3)
+    assert(canon(chunkedIvf) === canon(oneIvf))
+    // degenerate knob is refused, not silently absorbed
+    intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopK(emb, queries, 5, maxQueryBatch = 0)
+    }
+  }
 }
