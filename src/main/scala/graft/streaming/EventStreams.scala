@@ -306,6 +306,66 @@ object EventStreams {
       }
   }
 
+  final case class FunEv(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelHit(user_id: Long, stage: String, us: Long)
+  /** Stage frontier in epoch micros; -1 = stage not reached. `lastUs`
+    * tracks the newest event seen, for the expiry timeout. */
+  final case class FunState(vUs: Long, cUs: Long, pUs: Long, lastUs: Long)
+
+  /** Streaming funnel (stream_funnel): ordered view → click → purchase
+    * conversion via flatMapGroupsWithState — the incremental sibling of
+    * q_funnel (TemporalQueries). Each user's state is the 3-long stage
+    * frontier; an event advances the funnel iff its stage's predecessor
+    * is filled and the event is STRICTLY later (the batch query's
+    * `us > prev_us` semantics), and each advancement emits exactly one
+    * (user, stage, us) row — so `groupBy(stage).count()` over the
+    * emitted hits equals the batch funnel's per-stage user counts when
+    * the stream replays in event-time order (the parity spec's
+    * contract; late data older than an already-admitted frontier is
+    * evaluated against the frontier as-of arrival, the standard
+    * streaming-funnel admission semantics).
+    *
+    * State is O(users) x 4 longs — the same frontier cardinality the
+    * batch query shuffles — sharded by the groupByKey hash; the
+    * event-time timeout expires funnels `quietMs` past their last
+    * event once the watermark passes (a returning user restarts, the
+    * session-window analogue), so state never outlives activity. */
+  def funnelStream(events: Dataset[FunEv], quietMs: Long = 24 * 3600 * 1000L,
+                   watermark: String = "30 minutes"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[FunEv], state: GroupState[FunState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[FunnelHit]
+            var s = state.getOption.getOrElse(FunState(-1L, -1L, -1L, -1L))
+            // exact MICROS (getTime truncates to ms and would misorder
+            // sub-ms-separated events — the TemporalSpec lesson)
+            def micros(ts: Timestamp): Long =
+              (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+            for (e <- evs.toSeq.sortBy(ev => micros(ev.ts))) {
+              val t = micros(e.ts)
+              e.event_type match {
+                case "view" if s.vUs < 0 =>
+                  s = s.copy(vUs = t); out += FunnelHit(uid, "1_view", t)
+                case "click" if s.vUs >= 0 && s.cUs < 0 && t > s.vUs =>
+                  s = s.copy(cUs = t); out += FunnelHit(uid, "2_click", t)
+                case "purchase" if s.cUs >= 0 && s.pUs < 0 && t > s.cUs =>
+                  s = s.copy(pUs = t); out += FunnelHit(uid, "3_purchase", t)
+                case _ => ()
+              }
+              s = s.copy(lastUs = math.max(s.lastUs, t))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + quietMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming drift monitor (stream_drift): per micro-batch, the exact
     * two-sample KS distance of the batch's `valueCol` distribution
     * against a fixed REFERENCE frame (e.g. the distribution the quality

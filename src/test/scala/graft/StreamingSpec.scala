@@ -631,4 +631,67 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted.toSeq === Seq(7L, 8L),
       "replayed batch id must overwrite its own partition, not append")
   }
+
+  test("streaming funnel over real events equals the batch q_funnel counts (r8)") {
+    import spark.implicits._
+    import EventStreams.{FunEv, FunnelHit}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // real events in EVENT-TIME order, split into two micro-batches —
+    // the parity contract: in-order replay reproduces the batch funnel
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .as[FunEv].collect()
+    val input = MemoryStream[FunEv]
+    // quiet window beyond the table's one-month span: parity with the
+    // batch funnel holds when no frontier expires mid-replay (expiry
+    // semantics get their own test below)
+    val q = EventStreams.funnelStream(input.toDS(),
+        quietMs = 90L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("funnel_hits").as[FunnelHit]
+        .groupBy("stage").agg(countDistinct(col("user_id")).as("n_users"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = SparkEntry.queries("q_funnel")(spark, sfDir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      // each (user, stage) advancement emitted exactly once
+      val dup = spark.table("funnel_hits")
+        .groupBy("user_id", "stage").count().filter(col("count") > 1).count()
+      assert(dup === 0L, "a stage advanced twice for some user")
+    } finally q.stop()
+  }
+
+  test("funnel state expires via event-time timeout; a returning user restarts") {
+    import spark.implicits._
+    import EventStreams.FunEv
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[FunEv]
+    // tight quiet window (1 min) + tight watermark so the timeout fires
+    val q = EventStreams.funnelStream(input.toDS(),
+        quietMs = 60 * 1000L, watermark = "1 minute")
+      .writeStream.format("memory").queryName("funnel_expiry")
+      .outputMode("append").start()
+    try {
+      input.addData(FunEv(1L, t("2020-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      // 2 hours later: watermark sails past the frontier's timeout, the
+      // funnel expires; this user's NEW view re-opens stage 1
+      input.addData(FunEv(2L, t("2020-01-01 12:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(FunEv(1L, t("2020-01-01 12:00:30"), "view"))
+      q.processAllAvailable()
+      val hits = spark.table("funnel_expiry")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(hits.count(_ == ((1L, "1_view"))) === 2,
+        s"expired funnel must restart on return: $hits")
+    } finally q.stop()
+  }
 }
