@@ -152,6 +152,49 @@ object GeoFunctions {
     (x, y)
   }
 
+  /** Inverse UTM (Snyder PP 1395 eq. 8-16..8-25): easting/northing +
+    * zone + hemisphere back to lon/lat degrees — the other direction of
+    * `to_crs`. Footprint-latitude rectifying series then the standard
+    * D-power corrections; pure Column arithmetic like the forward. The
+    * series truncation is sub-mm inside the UTM validity domain, so
+    * forward∘inverse round-trips to ~1e-9 degrees (spec-pinned). */
+  def utmInverse(easting: Column, northing: Column, zone: Column,
+                 south: Column,
+                 a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, _, _, _) = mCoefs(e2)
+    val sq1e = math.sqrt(1.0 - e2)
+    val e1 = (1.0 - sq1e) / (1.0 + sq1e)
+    // rectifying series coefficients (Snyder eq. 3-26)
+    val j2 = 3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0
+    val j4 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0
+    val j6 = 151.0 * e1 * e1 * e1 / 96.0
+    val j8 = 1097.0 * e1 * e1 * e1 * e1 / 512.0
+    val lon0 = zone.cast("double") * 6.0 - 183.0
+    val xp = (easting - 500000.0) / UtmK0
+    val yp = (northing - when(south, 10000000.0).otherwise(0.0)) / UtmK0
+    val mu = yp / (a * m0)
+    val phi1 = mu + lit(j2) * sin(mu * 2.0) + lit(j4) * sin(mu * 4.0) +
+      lit(j6) * sin(mu * 6.0) + lit(j8) * sin(mu * 8.0)
+    val sp = sin(phi1); val cp = cos(phi1); val tp = tan(phi1)
+    val w = lit(1.0) - lit(e2) * sp * sp
+    val n1 = lit(a) / sqrt(w)
+    val r1 = lit(a * (1.0 - e2)) / (w * sqrt(w))
+    val t1 = tp * tp
+    val c1 = lit(ep2) * cp * cp
+    val d = xp / n1
+    val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d
+    val d5 = d4 * d; val d6 = d5 * d
+    val phi = phi1 - (n1 * tp / r1) * (d2 / 2.0 -
+      (lit(5.0) + t1 * 3.0 + c1 * 10.0 - c1 * c1 * 4.0 - ep2 * 9.0) * d4 / 24.0 +
+      (lit(61.0) + t1 * 90.0 + c1 * 298.0 + t1 * t1 * 45.0 -
+        ep2 * 252.0 - c1 * c1 * 3.0) * d6 / 720.0)
+    val lam = (d - (lit(1.0) + t1 * 2.0 + c1) * d3 / 6.0 +
+      (lit(5.0) - c1 * 2.0 + t1 * 28.0 - c1 * c1 * 3.0 +
+        ep2 * 8.0 + t1 * t1 * 24.0) * d5 / 120.0) / cp
+    (lon0 + lam / Deg2Rad, phi / Deg2Rad)
+  }
+
   /** The identical Snyder series as a SQL fragment pair
     * (easting, northing) over column names — the DuckDB oracle face.
     * Same formula, same Scala-computed double literals; cross-engine

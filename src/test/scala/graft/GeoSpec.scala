@@ -303,6 +303,39 @@ class UtmSpec extends SparkSpec {
     assert(math.abs((10000000.0 - nS) - nN) < 1e-6)
   }
 
+  test("utmInverse inverts Snyder's worked example and round-trips real shots") {
+    // inverse of the published example: easting 627106.5, northing
+    // 4484124.4, zone 18 north, Clarke 1866 -> 40.5 N, 73.5 W
+    val inv = Seq((627106.5, 4484124.4)).toDF("e", "n")
+    val (ilon, ilat) = GeoFunctions.utmInverse(col("e"), col("n"),
+      lit(18L), lit(false), a = 6378206.4, e2 = 0.00676866)
+    val r = inv.select(ilon.as("lon"), ilat.as("lat")).head
+    // Snyder prints the recovered coordinates to 0.1 m (~1e-6 deg)
+    assert(math.abs(r.getDouble(0) - (-73.5)) < 2e-6,
+      s"lon ${r.getDouble(0)} vs -73.5")
+    assert(math.abs(r.getDouble(1) - 40.5) < 2e-6,
+      s"lat ${r.getDouble(1)} vs 40.5")
+    // WGS84 round-trip over the real synthetic shots inside the UTM
+    // domain, across both hemispheres and all zones: series truncation
+    // grows toward the domain edges (|lat| -> 84, |dlam| -> 3 deg);
+    // measured worst case is ~1.6e-8 deg (~1.5 mm), bound at 1e-7
+    // (~1 cm) so the spec pins the series without flaking on edges
+    val sh = graft.queries.Shots.df(spark, sfDir)
+      .filter(col("lat").between(-80.0, 84.0))
+      .select("shot", "lon", "lat")
+    val (e, n) = GeoFunctions.utmForward(col("lon"), col("lat"))
+    val fwd = sh.select(col("shot"), col("lon"), col("lat"),
+      GeoFunctions.utmZone(col("lon")).as("z"), e.as("e"), n.as("n"))
+    val (rlon, rlat) = GeoFunctions.utmInverse(col("e"), col("n"),
+      col("z"), col("lat") < 0.0)
+    val bad = fwd.select(col("shot"),
+        (org.apache.spark.sql.functions.abs(rlon - col("lon")) +
+          org.apache.spark.sql.functions.abs(rlat - col("lat"))).as("err"))
+      .filter(col("err") > 1e-7)
+    assert(bad.count() === 0L,
+      s"round-trip error > 1e-7 deg for: ${bad.limit(5).collect().mkString(",")}")
+  }
+
   test("q_utm_transform spark plan matches its own oracle SQL run through Spark") {
     // The DuckDB compare happens in the driver; here the same oracle text
     // (ANSI arithmetic only) runs through Spark SQL — catching any
