@@ -58,6 +58,8 @@ import graft.sources.Manifest
   *   split     --input P --output P --id c [--bands train=90,val=5,test=5]
   *   pagerank  --input P --output P [--iters 3] [--damping 0.85]
   *             [--src src] [--dst dst]
+  *   utm       --input P --output P [--lon lon --lat lat]
+  *             [--inverse true --easting c --northing c --zone c --south c]
   *   cdc       --base P --updates P --output P --keys k1,k2 --version v
   *             [--op op]
   *   scd2      --input P --output P --keys k1,k2 --ts c
@@ -87,7 +89,7 @@ object Cli {
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
         "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
         "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
-        "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit> --opt v ...")
+        "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -453,6 +455,29 @@ object Cli {
         write(Dedup.simhashHammingPairs(in("input"), opts("id"), opts("text"),
           opts.getOrElse("bits", "30").toInt,
           opts.getOrElse("radius", "2").toInt))
+
+      case "utm" =>
+        // general CRS transform (to_crs parity — ancillary.py:146-147):
+        // forward lon/lat -> per-row UTM zone + easting/northing, or
+        // --inverse easting/northing/zone/south -> lon/lat
+        if (opts.contains("inverse")) {
+          val (ilon, ilat) = graft.functions.GeoFunctions.utmInverse(
+            col(opts.getOrElse("easting", "easting_m")).cast("double"),
+            col(opts.getOrElse("northing", "northing_m")).cast("double"),
+            col(opts.getOrElse("zone", "utm_zone")),
+            col(opts.getOrElse("south", "south")))
+          write(in("input").withColumn("lon", ilon).withColumn("lat", ilat))
+        } else {
+          val lon = col(opts.getOrElse("lon", "lon"))
+          val lat = col(opts.getOrElse("lat", "lat"))
+          val (e, n) = graft.functions.GeoFunctions.utmForward(lon, lat)
+          write(in("input")
+            .filter(lat.between(-80.0, 84.0))
+            .withColumn("utm_zone", graft.functions.GeoFunctions.utmZone(lon))
+            .withColumn("south", lat < 0.0)
+            .withColumn("easting_m", e)
+            .withColumn("northing_m", n))
+        }
 
       case "admit" =>
         // incremental near-dup admission: candidates (batch vs corpus

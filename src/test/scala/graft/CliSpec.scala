@@ -476,4 +476,30 @@ class CliSpec extends SparkSpec {
         r.getAs[Double]("jaccard")))
     assert(ad.toSeq === Seq((10L, 1L, 1.0)), "the exact dup must be flagged")
   }
+
+  test("cli utm forward and inverse round-trip through the command surface (r8)") {
+    import spark.implicits._
+    val pts = tmp() + "/pts"
+    Seq((1L, -73.5, 40.5), (2L, 7.85, 47.99), (3L, 150.2, -33.8))
+      .toDF("id", "lon", "lat").write.parquet(pts)
+    val fwd = tmp() + "/fwd"
+    Cli.run(spark, "utm", Map("input" -> pts, "output" -> fwd))
+    val f = spark.read.parquet(fwd)
+    assert(f.columns.toSet === Set("id", "lon", "lat", "utm_zone", "south",
+      "easting_m", "northing_m"))
+    val z = f.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("utm_zone")).toMap
+    assert(z === Map(1L -> 18L, 2L -> 32L, 3L -> 56L))
+    val inv = tmp() + "/inv"
+    Cli.run(spark, "utm", Map("input" -> fwd, "output" -> inv,
+      "inverse" -> "true", "easting" -> "easting_m", "northing" -> "northing_m",
+      "zone" -> "utm_zone", "south" -> "south"))
+    // the inverse overwrites lon/lat from easting/northing: round-trip
+    spark.read.parquet(inv).collect().foreach { r =>
+      val id = r.getAs[Long]("id")
+      val (lon0, lat0) = Map(1L -> (-73.5, 40.5), 2L -> (7.85, 47.99),
+        3L -> (150.2, -33.8))(id)
+      assert(math.abs(r.getAs[Double]("lon") - lon0) < 1e-7, s"id $id lon")
+      assert(math.abs(r.getAs[Double]("lat") - lat0) < 1e-7, s"id $id lat")
+    }
+  }
 }
