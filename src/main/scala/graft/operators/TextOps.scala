@@ -1193,6 +1193,70 @@ object TextOps {
       s"FROM ($union) ORDER BY iter"
   }
 
+  /** BPE ENCODE — apply an ordered, already-learned merge table to the
+    * corpus and count the resulting tokens per document (the step that
+    * actually runs on every ingest batch once [[bpeTrain]] has produced
+    * the vocabulary; Sennrich 1508.07909 §3.2 applies merges in learned
+    * order). Token counts with the REAL tokenizer are the budget
+    * currency of a training pipeline — whitespace counts (q_token_count)
+    * misprice CJK/code/URLs badly.
+    *
+    * Same sentinel-delimited symbol machinery as [[bpeTrain]] (double-
+    * space between symbols, single-space sentinels, merge = one literal
+    * global replace), so the two operators cannot drift. Scale shape:
+    * the corpus explodes to words once and collapses to (doc, word)
+    * counts AND the distinct-word vocabulary; the |merges| replace chain
+    * runs over the VOCABULARY only (vocab ≪ corpus — the training
+    * trick reused at encode time), then one word-keyed join prices each
+    * document. Two map-side-combined shuffles + one join; the replace
+    * chain is narrow codegen. */
+  /** Fixed demonstration merge table for the declared query: common
+    * English pairs, in an order that exercises CHAINED merges (t+h
+    * produces th, which the next merge extends to the). Any real
+    * deployment passes bpeTrain's learned table instead. */
+  val demoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d"))
+
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty, "empty merge table")
+    val dw = df
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("nw"))
+    def escS(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val symSql = merges.foldLeft("regexp_replace(w, '(.)', ' $1 ')") {
+      case (c, (a, b)) =>
+        s"replace($c, ' ${escS(a)}  ${escS(b)} ', ' ${escS(a)}${escS(b)} ')"
+    }
+    val vocab = dw.select(col("w")).distinct()
+      .select(col("w"), size(split(trim(expr(symSql)), "  ")).as("n_sym"))
+    dw.join(vocab, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("nw")).as("n_words"),
+        sum(col("nw") * col("n_sym")).as("n_tokens"))
+  }
+
+  /** DuckDB oracle for [[bpeEncode]] — identical sentinel encode, the
+    * same ordered literal-replace chain, same vocab-collapse shape. */
+  def bpeEncodeSql(table: String, idExpr: String, textExpr: String,
+                   merges: Seq[(String, String)]): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val toks = TextFunctions.tokensSql(textExpr)
+    val sym = merges.foldLeft("regexp_replace(w, '(.)', ' \\1 ', 'g')") {
+      case (c, (a, b)) =>
+        s"replace($c, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')"
+    }
+    s"WITH dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS nw FROM " +
+      s"(SELECT $idExpr AS doc_id, unnest($toks) AS w FROM $table) GROUP BY 1, 2), " +
+      s"v AS (SELECT w, len(string_split(trim($sym), '  ')) AS n_sym " +
+      "FROM (SELECT DISTINCT w FROM dw)) " +
+      "SELECT doc_id, CAST(sum(nw) AS BIGINT) AS n_words, " +
+      "CAST(sum(nw * n_sym) AS BIGINT) AS n_tokens " +
+      "FROM dw JOIN v USING (w) GROUP BY doc_id ORDER BY doc_id"
+  }
+
   /** Boilerplate mining: the top-k n-token shingles appearing in the
     * most DISTINCT documents (nav bars, cookie banners, license headers —
     * the removal list [[substrDupFraction]] measures the damage of).

@@ -271,6 +271,20 @@ object TextQueries {
       (s, d) => TextOps.bpeMerges(docs(s, d), "text", k = 20),
       Some(TextOps.bpeMergesSql(k = 20))),
 
+    // BPE ENCODE (r8): price every document with an ordered merge table
+    // — the per-batch tokenizer application once training has produced
+    // the vocabulary. Fixed 8-merge table exercises CHAINED merges
+    // (t+h -> th, th+e -> the); the replace chain runs over the word
+    // vocabulary only (vocab << corpus), one word-keyed join prices
+    // docs. True-tokenizer token counts are the budget currency
+    // whitespace counting (q_token_count) mispricess.
+    Q("q_bpe_encode",
+      (s, d) => TextOps.bpeEncode(docs(s, d), "doc_id", "text",
+          TextOps.demoMerges)
+        .orderBy("doc_id"),
+      Some(TextOps.bpeEncodeSql("documents", "doc_id", "text",
+        TextOps.demoMerges))),
+
     // The BPE training RECURRENCE, 3 rounds unrolled: count weighted
     // adjacent symbol pairs on the word vocabulary, argmax, merge
     // everywhere (sentinel-delimited symbol strings; merge = one

@@ -681,6 +681,40 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) === ((2L, "ab", "ab", 3L)))
   }
 
+  test("bpeEncode prices docs with chained merges; train->encode consistent (r8)") {
+    import spark.implicits._
+    // hand corpus: "the" = t h e -> (t,h) -> th e -> (th,e) -> the: ONE
+    // token after the chained merges; "tin" = t i n -> (i,n) merges ->
+    // t in: TWO tokens; "zq" matches nothing: 2 tokens
+    val df = Seq((1L, "the the tin"), (2L, "zq the")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncode(df, "doc_id", "text", TextOps.demoMerges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L + 1L + 2L)), // the(1) + the(1) + tin(2)
+      2L -> ((2L, 2L + 1L))))     // zq(2) + the(1)
+    // encode with bpeTrain's LEARNED table: per-doc token count equals
+    // the driver model applying the same greedy merge chain
+    def mergeList(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: mergeList(rest, a, b)
+        case x :: rest => x :: mergeList(rest, a, b)
+        case Nil => Nil
+      }
+    val learned = TextOps.bpeTrain(docs, "text", iters = 3)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val gotReal = TextOps.bpeEncode(docs, "doc_id", "text", learned)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val model = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      r.getLong(0) -> toks.map { w =>
+        learned.foldLeft(w.toList.map(_.toString)) {
+          case (syms, (a, b)) => mergeList(syms, a, b)
+        }.length.toLong
+      }.sum
+    }.toMap
+    assert(gotReal === model)
+  }
+
   test("sourceOverlap: zero-overlap pairs reinstated, null sources excluded") {
     import spark.implicits._
     val df = Seq(
