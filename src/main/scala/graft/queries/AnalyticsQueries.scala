@@ -626,13 +626,17 @@ object AnalyticsQueries {
     // oracle's independent recompute) plus a 5%-bound flag computed from
     // the Spark sketch; the oracle pins the flag at literal TRUE — if the
     // estimate ever drifts past 5% the driver's hash goes red. The
+    // sketch runs at rsd = 0.01, so the 5% gate sits at ~5 sigma — a
+    // PROBABILISTIC gate at the sketch's own rsd would be a coin flip
+    // (rsd 0.05 + 5% bound ≈ 1 sigma: it failed the sf0.001 scale probe
+    // in r8 on the ts column, ~32% expected miss rate per column). The
     // exact-vs-approx join is 6 rows — broadcast, costless; at 100 TB a
     // user runs profileApprox ALONE.
     Q("q_profile_approx",
       (s, d) => {
         val ev = Tables.load(s, d, "events")
         val exact = graft.operators.StatsOps.profile(ev)
-        val approx = graft.operators.StatsOps.profileApprox(ev, rsd = 0.05)
+        val approx = graft.operators.StatsOps.profileApprox(ev, rsd = 0.01)
           .select(col("col_name"), col("n_distinct_approx"))
         exact.join(broadcast(approx), "col_name")
           .select(col("n_rows"), col("col_name"), col("n_non_null"),
