@@ -354,4 +354,20 @@ object Temporal {
       "FROM carried WHERE is_conv = 1 " +
       "GROUP BY 1, 2 ORDER BY first_touch, last_touch"
   }
+
+  /** Cohort retention matrix over a (user_id, day) activity frame: users
+    * grouped by first-seen day, distinct actives per (cohort, day
+    * offset) — the engagement matrix. The ONE definition both the batch
+    * query (q_retention) and the streaming snapshot fold
+    * (EventStreams.retentionStream) derive from, so the two cannot
+    * drift. Two shuffles (user frontier, then cohort-cell distinct),
+    * both key-balanced. */
+  def retentionMatrix(activity: DataFrame): DataFrame = {
+    val cohorts = activity.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    activity.join(cohorts, "user_id")
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset_days").cast("long").as("offset_days"), col("n_users"))
+  }
 }

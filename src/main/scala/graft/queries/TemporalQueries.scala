@@ -276,16 +276,9 @@ object TemporalQueries {
     // per (cohort, day offset) — the engagement matrix. Two shuffles
     // (user frontier, then cohort cell distinct), both key-balanced.
     Q("q_retention",
-      (s, d) => {
-        val e = ev(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
-        val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
-        e.join(cohorts, "user_id")
-          .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("offset_days"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
-          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
-            col("offset_days").cast("long").as("offset_days"), col("n_users"))
-          .orderBy("cohort", "offset_days")
-      },
+      (s, d) => Temporal.retentionMatrix(
+          ev(s, d).select(col("user_id"), to_date(col("ts")).as("day")))
+        .orderBy("cohort", "offset_days"),
       Some("WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), " +
         "co AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id) " +
         "SELECT strftime(cohort, '%Y-%m-%d') AS cohort, " +

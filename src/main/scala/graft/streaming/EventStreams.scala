@@ -183,6 +183,35 @@ object EventStreams {
         base.drop(opCol), batch, keys, version, opCol)
     }
 
+  /** Streaming cohort retention (stream_retention): the engagement STATE
+    * is the distinct (user_id, day) activity fact, folded per
+    * micro-batch through the shared crash-safe snapshot chain —
+    * replay-idempotent by construction (distinct-union of a replayed
+    * batch is a no-op), no watermark needed because the fact is
+    * append-only and day-granular. The retention MATRIX derives from
+    * the snapshot via [[graft.operators.Temporal.retentionMatrix]] —
+    * the SAME plan the batch query (q_retention) runs, so there is one
+    * definition of retention in the engine; read it with
+    * [[retentionState]]. State is O(users × active days) — exactly the
+    * frame the batch query shuffles, so the streaming form holds
+    * nothing the batch recomputation wouldn't. */
+  def retentionStream(events: DataFrame, stateDir: String, checkpointDir: String,
+                      userCol: String = "user_id", tsCol: String = "ts")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(events, stateDir, checkpointDir) { (base, batch, _) =>
+      def fact(df: DataFrame): DataFrame =
+        if (df.columns.toSet == Set("user_id", "day"))
+          df.select("user_id", "day")
+        else df.select(col(userCol).cast("long").as("user_id"),
+          to_date(col(tsCol)).as("day"))
+      fact(batch).unionByName(fact(base)).distinct()
+    }
+
+  /** Current retention matrix from a [[retentionStream]] state dir. */
+  def retentionState(spark: org.apache.spark.sql.SparkSession,
+                     stateDir: String): DataFrame =
+    graft.operators.Temporal.retentionMatrix(readUpsertState(spark, stateDir))
+
   /** Shared crash-safe snapshot fold: run `merge(currentState, batch)`
     * per micro-batch and land the result as a fresh `snap-<batchId>`
     * directory + atomic `_LATEST` marker swap (see [[upsertParquet]]'s

@@ -632,6 +632,32 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must overwrite its own partition, not append")
   }
 
+  test("streaming retention over real events equals batch q_retention; replay idempotent (r8)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ret").toString
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts")).orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.retentionStream(
+      input.toDS().toDF("user_id", "ts"), s"$base/state", s"$base/ckpt")
+    try {
+      val (a, b) = evs.splitAt(evs.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("cohort", "offset_days").collect().map(_.mkString("|")).toSeq
+      val got = canon(EventStreams.retentionState(spark, s"$base/state"))
+      val want = canon(SparkEntry.queries("q_retention")(spark, sfDir))
+      assert(got === want)
+      // replay idempotence: re-folding half the data changes nothing
+      // (distinct-union of already-seen facts is a no-op)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      assert(canon(EventStreams.retentionState(spark, s"$base/state")) === want)
+    } finally q.stop()
+  }
+
   test("streaming funnel over real events equals the batch q_funnel counts (r8)") {
     import spark.implicits._
     import EventStreams.{FunEv, FunnelHit}
