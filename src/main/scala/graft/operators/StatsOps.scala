@@ -454,6 +454,186 @@ object StatsOps {
       .orderBy(groupCol, "day")
   }
 
+  /** Per-group OLS trend (slope/intercept/R²) of a value over event time —
+    * "is this source's quality drifting?" as a closed-form regression, no
+    * iteration. Every sum is EXACT: x = whole seconds since a fixed origin
+    * (integer), y = floor-cents (the established exact measure), and the
+    * five moments accumulate as DECIMAL(38,0) — partitioning-invariant
+    * with no ordered folds, safe far past the long overflow point of
+    * Σx² at large SF. The slope/intercept/R² doubles are then one fixed
+    * expression tree over those exact moments, so both engines agree
+    * bit-for-bit. One map-side-combined shuffle, group-count rows out. */
+  def olsTrend(df: DataFrame, groupCol: String, tsCol: String,
+               valueCol: String): DataFrame = {
+    val x = ((unix_micros(col(tsCol)) - lit(OlsOriginUs)) / lit(1000000))
+      .cast("long")
+    val y = floor(col(valueCol) * 100.0).cast("long")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val m = df
+      .select(col(groupCol).as("g"), x.as("x"), y.as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("y") * col("y"))).as("syy"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * syD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    val deny = nD * col("syy").cast("double") - syD * syD
+    val nullD = lit(null).cast("double")
+    m.select(col("g").as(groupCol), col("n"),
+        when(den > 0, round((num / den) * 86400.0, 6)).otherwise(nullD)
+          .as("slope_cents_per_day"),
+        when(den > 0, round((syD - (num / den) * sxD) / nD, 4)).otherwise(nullD)
+          .as("intercept_cents"),
+        when(den > 0 && deny > 0, round((num * num) / (den * deny), 6))
+          .otherwise(nullD).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** Micros since epoch of 2024-01-01T00:00:00Z — the fixed x origin that
+    * keeps x small enough for exact long products (the testdata's event
+    * stream starts there; any fixed constant works). */
+  val OlsOriginUs: Long = 1704067200000000L
+
+  /** DuckDB oracle for [[olsTrend]] — identical integer measures, exact
+    * (HUGEINT) moment sums, and the same closed-form double tree. */
+  def olsTrendSql(table: String, groupExpr: String, tsExpr: String,
+                  valueExpr: String): String =
+    s"WITH pts AS (SELECT $groupExpr AS g, " +
+      s"(epoch_us($tsExpr) - $OlsOriginUs) // 1000000 AS x, " +
+      s"CAST(floor($valueExpr * 100.0) AS BIGINT) AS y FROM $table), " +
+      "m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, " +
+      "sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, " +
+      "sum(x * y) AS sxy FROM pts GROUP BY g), " +
+      "c AS (SELECT g, n, " +
+      "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num, " +
+      "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+      "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den, " +
+      "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - " +
+      "CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny, " +
+      "CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd FROM m) " +
+      s"SELECT g AS $groupExpr, n, " +
+      "CASE WHEN den > 0 THEN round((num / den) * 86400.0, 6) END " +
+      "AS slope_cents_per_day, " +
+      "CASE WHEN den > 0 THEN round((syd - (num / den) * sxd) / " +
+      "CAST(n AS DOUBLE), 4) END AS intercept_cents, " +
+      "CASE WHEN den > 0 AND deny > 0 THEN " +
+      "round((num * num) / (den * deny), 6) END AS r2 " +
+      s"FROM c ORDER BY $groupExpr"
+
+  /** CUSUM changepoint over per-group daily counts: s_t = Σ up to day t of
+    * (n_days·c_i − total) — the scaled-integer cumulative deviation from a
+    * flat rate (scaling by n_days keeps every term EXACT integer; no
+    * mean-as-double enters the fold). The reported changepoint is the day
+    * of max |s_t| (ties → earliest day), with the deviation both raw
+    * (exact BIGINT) and as the scale-free fraction |s|/(n_days·total).
+    *
+    * Scale shape: the daily collapse is the only data-sized shuffle; the
+    * cumsum window is partitioned by group and bounded by CALENDAR DAYS
+    * (domain-bounded, like the other declared folds), and integer window
+    * sums are association-order-free — no ordered-float hazard. */
+  def cusumChangepoint(df: DataFrame, groupCol: String,
+                       tsCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val per = W.partitionBy(col("g"))
+    val cum = per.orderBy(col("day")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val s = daily
+      .withColumn("nd", count(lit(1)).over(per))
+      .withColumn("t", sum(col("c")).over(per))
+      .withColumn("s_t", sum(col("nd") * col("c") - col("t")).over(cum))
+    val ranked = s.withColumn("rn", row_number().over(
+      per.orderBy(abs(col("s_t")).desc, col("day"))))
+    ranked.filter(col("rn") === 1)
+      .select(col("g").as(groupCol), col("nd").as("n_days"),
+        col("t").as("total"), col("day").as("cp_day"),
+        abs(col("s_t")).as("cusum_abs"),
+        round(abs(col("s_t")).cast("double") /
+          (col("nd").cast("double") * col("t").cast("double")), 6)
+          .as("cusum_frac"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[cusumChangepoint]] — identical daily collapse,
+    * integer deviation cumsum, and argmax tie-break. */
+  def cusumChangepointSql(table: String, groupExpr: String,
+                          tsExpr: String): String =
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      "s AS (SELECT g, day, " +
+      "CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nd, " +
+      "CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS t, " +
+      "CAST(sum(nd0 * c - t0) OVER (PARTITION BY g ORDER BY day " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_t FROM " +
+      "(SELECT g, day, c, " +
+      "CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nd0, " +
+      "CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS t0 FROM daily)), " +
+      "ranked AS (SELECT g, nd, t, day, s_t, row_number() OVER (" +
+      "PARTITION BY g ORDER BY abs(s_t) DESC, day) AS rn FROM s) " +
+      s"SELECT g AS $groupExpr, nd AS n_days, t AS total, " +
+      "strftime(day, '%Y-%m-%d') AS cp_day, abs(s_t) AS cusum_abs, " +
+      "round(CAST(abs(s_t) AS DOUBLE) / " +
+      "(CAST(nd AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS cusum_frac " +
+      s"FROM ranked WHERE rn = 1 ORDER BY $groupExpr"
+
+  /** Per-group EWMA smoothing of the daily mean value (α = 0.25): the
+    * standard "smoothed metric" companion to rollingZScore's band alarm.
+    * The recursion e_t = α·x_t + (1−α)·e_{t−1} (e_1 = x_1) is an ORDERED
+    * left fold over the day-ordered prefix of daily means, run with the
+    * identical lambda tree on both engines (Spark `aggregate` HOF with a
+    * null-init first-element seed, DuckDB `list_reduce` over a
+    * NULL-prepended list) — so every smoothed point is bit-identical.
+    *
+    * Scale shape: daily means come from exact integer (count, floor-cents)
+    * aggregates; the per-row prefix fold is O(days²) per group but bounded
+    * by CALENDAR DAYS (domain-bounded, documented); the unbounded-stream
+    * sibling is the stream_rolling cadence state op. */
+  def ewmaDaily(df: DataFrame, groupCol: String, tsCol: String,
+                valueCol: String, alpha: Double = 0.25): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col(valueCol) * 100.0).cast("long")).as("syc"))
+      .withColumn("x", col("syc").cast("double") / col("n").cast("double"))
+    val cum = W.partitionBy(col("g")).orderBy(col("day"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ew = daily
+      .withColumn("xs", collect_list(col("x")).over(cum))
+      .withColumn("ewma", aggregate(col("xs"), lit(null).cast("double"),
+        (e, v) => when(e.isNull, v)
+          .otherwise(lit(alpha) * v + lit(1.0 - alpha) * e)))
+    ew.select(col("g").as(groupCol), col("day"), col("n"),
+        round(col("x"), 4).as("day_mean"),
+        round(col("ewma"), 4).as("ewma"))
+      .orderBy(groupCol, "day")
+  }
+
+  /** DuckDB oracle for [[ewmaDaily]] — identical daily means, prefix
+    * lists, and fold lambda. */
+  def ewmaDailySql(table: String, groupExpr: String, tsExpr: String,
+                   valueExpr: String, alpha: Double): String = {
+    val beta = 1.0 - alpha
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      "CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CAST(floor($valueExpr * 100.0) AS BIGINT)) AS BIGINT) AS syc " +
+      s"FROM $table GROUP BY g, day), " +
+      "d2 AS (SELECT g, day, n, " +
+      "CAST(syc AS DOUBLE) / CAST(n AS DOUBLE) AS x FROM daily), " +
+      "pre AS (SELECT g, day, n, x, list(x) OVER (PARTITION BY g " +
+      "ORDER BY day ROWS UNBOUNDED PRECEDING) AS xs FROM d2) " +
+      s"SELECT g AS $groupExpr, strftime(day, '%Y-%m-%d') AS day, n, " +
+      "round(x, 4) AS day_mean, " +
+      "round(list_reduce(list_prepend(CAST(NULL AS DOUBLE), xs), " +
+      s"(e, v) -> CASE WHEN e IS NULL THEN v ELSE ($alpha * v) + ($beta * e) END" +
+      "), 4) AS ewma " +
+      s"FROM pre ORDER BY $groupExpr, day"
+  }
+
   /** DuckDB oracle for [[rollingZScore]] — identical daily collapse,
     * trailing ROWS frame and integer-moment z tree. */
   def rollingZScoreSql(table: String, groupExpr: String, tsExpr: String,

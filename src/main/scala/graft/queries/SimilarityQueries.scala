@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.VectorFunctions.{cosineSql, dotSql, hyperBandKeySql}
-import graft.operators.{Multimodal, Similarity}
+import graft.operators.{LateInteraction, Multimodal, Similarity}
 
 /** SURVEY §2.3 — similarity search over the embeddings table + multimodal
   * plumbing. The cosine oracles fold float products in the identical strict
@@ -15,6 +15,19 @@ object SimilarityQueries {
 
   private val Dims = 64
   private val K = 5
+  private val TokensPerDoc = 4
+  private val PrefixDims = 16
+
+  /** DuckDB side of LateInteraction.tokenFrame (CTE named `t`). */
+  private val tokenFrameSql: String =
+    s"t AS (SELECT vec_id // $TokensPerDoc AS doc, vec_id % $TokensPerDoc AS tok, " +
+      "embedding AS vec FROM embeddings)"
+
+  /** The fixed left-associated Σ of per-token maxima — the identical
+    * operation tree LateInteraction.scoreAndRank builds. */
+  private val maxsimScoreSql: String =
+    (0 until TokensPerDoc).map(tk => s"max(CASE WHEN qtok = $tk THEN tcos END)")
+      .reduceLeft((a, b) => s"($a + $b)")
 
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
@@ -464,6 +477,109 @@ object SimilarityQueries {
           k = K)
       },
       Some(Similarity.retrievalMetricsSql(
-        s"($cosineRankedSql)", s"($lshRankedSql)", k = K)))
+        s"($cosineRankedSql)", s"($lshRankedSql)", k = K))),
+
+    // Exact MaxSim (late-interaction / ColBERT) scoring of multi-vector
+    // docs: groups of 4 consecutive vec_ids form one doc; score(q, d) =
+    // Σ over query tokens of max over doc tokens of cosine. Per-token
+    // maxima aggregate in one map-side-combined pass and sum in a FIXED
+    // left-associated tree, so scores — and the ranking — hash-verify.
+    Q("q_maxsim",
+      (s, d) => {
+        val t = LateInteraction.tokenFrame(emb(s, d), TokensPerDoc)
+        LateInteraction.maxSim(t, t.filter(col("doc") < 3), K, TokensPerDoc)
+          .orderBy("qdoc", "rank")
+      },
+      Some(s"WITH $tokenFrameSql, " +
+        "q AS (SELECT doc AS qdoc, tok AS qtok, vec AS qvec FROM t WHERE doc < 3), " +
+        "c AS (SELECT doc AS cdoc, tok AS ctok, vec AS cvec FROM t), " +
+        s"sc AS (SELECT qdoc, cdoc, qtok, ${cosineSql("qvec", "cvec")} AS tcos " +
+        "FROM c, q WHERE cdoc <> qdoc), " +
+        s"ms AS (SELECT qdoc, cdoc, $maxsimScoreSql AS score FROM sc GROUP BY qdoc, cdoc), " +
+        "ranked AS (SELECT qdoc, cdoc, score, row_number() OVER (" +
+        "PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rank FROM ms) " +
+        s"SELECT qdoc, rank, cdoc, round(score, 6) AS maxsim FROM ranked " +
+        s"WHERE rank <= $K ORDER BY qdoc, rank")),
+
+    // The ColBERT serving shape: per query TOKEN top-10 candidate tokens
+    // (brute force = audit form; the IVF token index at scale) generate
+    // the candidate docs; full MaxSim is paid only for survivors
+    // (|pairs|·16 token cosines, never |Q|·|corpus|).
+    Q("q_maxsim_rerank",
+      (s, d) => {
+        val t = LateInteraction.tokenFrame(emb(s, d), TokensPerDoc)
+        LateInteraction.maxSimRerank(t, t.filter(col("doc") < 3), K,
+            tokenTopN = 10, tokensPerDoc = TokensPerDoc)
+          .orderBy("qdoc", "rank")
+      },
+      Some(s"WITH $tokenFrameSql, " +
+        "q AS (SELECT doc AS qdoc, tok AS qtok, vec AS qvec FROM t WHERE doc < 3), " +
+        "c AS (SELECT doc AS cdoc, tok AS ctok, vec AS cvec FROM t), " +
+        s"sc AS (SELECT qdoc, qtok, cdoc, ctok, ${cosineSql("qvec", "cvec")} AS tcos " +
+        "FROM c, q WHERE cdoc <> qdoc), " +
+        "tok AS (SELECT qdoc, qtok, cdoc, tcos, row_number() OVER (" +
+        "PARTITION BY qdoc, qtok ORDER BY tcos DESC, cdoc, ctok) AS rn FROM sc), " +
+        "prs AS (SELECT DISTINCT qdoc, cdoc FROM tok WHERE rn <= 10), " +
+        "pc AS (SELECT p.qdoc, p.cdoc, q.qtok, " +
+        s"${cosineSql("q.qvec", "c.cvec")} AS tcos " +
+        "FROM prs p JOIN c ON p.cdoc = c.cdoc JOIN q ON p.qdoc = q.qdoc), " +
+        s"ms AS (SELECT qdoc, cdoc, $maxsimScoreSql AS score FROM pc GROUP BY qdoc, cdoc), " +
+        "ranked AS (SELECT qdoc, cdoc, score, row_number() OVER (" +
+        "PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rank FROM ms) " +
+        s"SELECT qdoc, rank, cdoc, round(score, 6) AS maxsim FROM ranked " +
+        s"WHERE rank <= $K ORDER BY qdoc, rank")),
+
+    // Matryoshka (MRL) two-stage ANN: coarse top-20 on the first 16 dims
+    // (the scan stage reads/multiplies a quarter of each vector), exact
+    // 64-dim rerank of the survivors; both scores carried so the rerank
+    // lift is auditable per row.
+    Q("q_mrl_rerank",
+      (s, d) => {
+        val e = emb(s, d)
+        LateInteraction.mrlRerank(e, e.filter(col("vec_id") < 5), K,
+            coarseK = 20, prefixDims = PrefixDims)
+          .orderBy("qid", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+        "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+        "coarse AS (SELECT qid, vec_id, " +
+        s"${cosineSql(s"qvec[1:$PrefixDims]", s"cvec[1:$PrefixDims]")} AS cosp " +
+        "FROM c, q WHERE vec_id <> qid), " +
+        "keep AS (SELECT qid, vec_id, cosp, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cosp DESC, vec_id) AS crn FROM coarse), " +
+        "rer AS (SELECT k.qid, k.vec_id, k.cosp, " +
+        s"${cosineSql("q.qvec", "c.cvec")} AS cos " +
+        "FROM keep k JOIN q ON k.qid = q.qid JOIN c ON k.vec_id = c.vec_id " +
+        "WHERE k.crn <= 20), " +
+        "ranked AS (SELECT qid, vec_id, cosp, cos, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM rer) " +
+        "SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim, " +
+        s"round(cosp, 6) AS cos_prefix FROM ranked WHERE rank <= $K " +
+        "ORDER BY qid, rank")),
+
+    // Contrastive hard-negative mining: per query, the 5 most-similar
+    // OTHER-label vectors plus the margin below the hardest same-label
+    // positive (negative margin = a negative outscoring every positive —
+    // the highest-value contrastive training pairs).
+    Q("q_hard_negatives",
+      (s, d) => {
+        val e = emb(s, d)
+        LateInteraction.hardNegatives(e, e.filter(col("vec_id") < 8), K)
+          .orderBy("qid", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "c AS (SELECT vec_id, embedding AS cvec, label AS clabel FROM embeddings), " +
+        "sc AS (SELECT qid, qlabel, vec_id, clabel, " +
+        s"${cosineSql("qvec", "cvec")} AS cos FROM c, q WHERE vec_id <> qid), " +
+        "pos AS (SELECT qid, max(cos) AS pos_best FROM sc " +
+        "WHERE clabel = qlabel GROUP BY qid), " +
+        "ranked AS (SELECT qid, vec_id, clabel, cos, row_number() OVER (" +
+        "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM sc " +
+        "WHERE clabel <> qlabel) " +
+        "SELECT r.qid, r.rank, r.vec_id AS neg_id, r.clabel AS neg_label, " +
+        "round(r.cos, 6) AS neg_cos, round(p.pos_best - r.cos, 6) AS margin " +
+        "FROM ranked r LEFT JOIN pos p ON r.qid = p.qid " +
+        s"WHERE r.rank <= $K ORDER BY r.qid, r.rank"))
   )
 }

@@ -520,6 +520,34 @@ object TemporalQueries {
         Seq("event_type", "ubucket"), k = 10),
       Some(graft.operators.PrivacyOps.kAnonymizeSql(
         "events", Seq("event_type" -> "event_type",
-          "(user_id % 97)" -> "ubucket"), k = 10)))
+          "(user_id % 97)" -> "ubucket"), k = 10))),
+
+    // Per-type OLS value-over-time trend: exact integer moments (seconds
+    // since a fixed origin × floor-cents) summed as DECIMAL(38,0), then
+    // one closed-form double tree for slope/intercept/R² — drift
+    // detection as a single map-side-combined pass.
+    Q("q_ols_trend",
+      (s, d) => graft.operators.StatsOps.olsTrend(
+        ev(s, d), "event_type", "ts", "value"),
+      Some(graft.operators.StatsOps.olsTrendSql(
+        "events", "event_type", "ts", "value"))),
+
+    // CUSUM rate changepoint per type: scaled-integer cumulative
+    // deviation of the daily count series from a flat rate; the argmax
+    // |s_t| day (earliest on ties) is the changepoint.
+    Q("q_cusum",
+      (s, d) => graft.operators.StatsOps.cusumChangepoint(
+        ev(s, d), "event_type", "ts"),
+      Some(graft.operators.StatsOps.cusumChangepointSql(
+        "events", "event_type", "ts"))),
+
+    // EWMA-smoothed daily mean value per type (α = 0.25): the recursion
+    // runs as an identical ordered prefix fold on both engines, so every
+    // smoothed point hash-verifies.
+    Q("q_ewma",
+      (s, d) => graft.operators.StatsOps.ewmaDaily(
+        ev(s, d), "event_type", "ts", "value", alpha = 0.25),
+      Some(graft.operators.StatsOps.ewmaDailySql(
+        "events", "event_type", "ts", "value", alpha = 0.25)))
   )
 }

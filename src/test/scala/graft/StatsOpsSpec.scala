@@ -538,4 +538,94 @@ class StatsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
     assert(got.toSeq === expect)
   }
+
+  /** (type, micros, value) rows for the time-series model tests; micros
+    * come from unix_micros (a Spark builtin), days are derived in the
+    * MODEL via java.time so the daily collapse itself is independently
+    * checked. */
+  private lazy val tsRows: Seq[(String, Long, Double)] =
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def dayOf(us: Long): java.time.LocalDate =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L))
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate
+
+  private def r(x: Double, n: Int) =
+    BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("olsTrend matches the exact-moment closed form") {
+    val got = StatsOps.olsTrend(Tables.load(spark, sfDir, "events"),
+        "event_type", "ts", "value")
+      .collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getDouble(2), row.getDouble(3), row.getDouble(4))))
+      .toMap
+    tsRows.groupBy(_._1).foreach { case (t, grp) =>
+      val pts = grp.map { case (_, us, v) =>
+        ((us - StatsOps.OlsOriginUs) / 1000000L,
+          math.floor(v * 100.0).toLong)
+      }
+      val n = BigInt(pts.size)
+      val sx = pts.map(p => BigInt(p._1)).sum
+      val sy = pts.map(p => BigInt(p._2)).sum
+      val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+      val syy = pts.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+      val (nD, sxD, syD) = (n.toDouble, sx.toDouble, sy.toDouble)
+      val num = nD * sxy.toDouble - sxD * syD
+      val den = nD * sxx.toDouble - sxD * sxD
+      val deny = nD * syy.toDouble - syD * syD
+      val want = (pts.size.toLong,
+        r((num / den) * 86400.0, 6),
+        r((syD - (num / den) * sxD) / nD, 4),
+        r((num * num) / (den * deny), 6))
+      assert(got(t) === want, s"group $t")
+    }
+  }
+
+  test("cusumChangepoint finds the max-|s| day of the integer deviation walk") {
+    val got = StatsOps.cusumChangepoint(Tables.load(spark, sfDir, "events"),
+        "event_type", "ts")
+      .collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), row.getLong(2), row.getDate(3).toString,
+          row.getLong(4), row.getDouble(5))))
+      .toMap
+    tsRows.groupBy(_._1).foreach { case (t, grp) =>
+      val daily = grp.groupBy(p => dayOf(p._2)).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1.toString)
+      val nd = daily.size.toLong
+      val total = daily.map(_._2).sum
+      var s = 0L
+      val walk = daily.map { case (day, c) => s += nd * c - total; (day, s.abs) }
+      val (cpDay, maxAbs) = walk.maxBy { case (day, a) => (a, -day.toEpochDay) }
+      val want = (nd, total, cpDay.toString, maxAbs,
+        r(maxAbs.toDouble / (nd.toDouble * total.toDouble), 6))
+      assert(got(t) === want, s"group $t")
+    }
+  }
+
+  test("ewmaDaily matches the ordered recursion on daily means") {
+    val got = StatsOps.ewmaDaily(Tables.load(spark, sfDir, "events"),
+        "event_type", "ts", "value", alpha = 0.25)
+      .collect()
+      .map(row => (row.getString(0), row.getDate(1).toString) ->
+        ((row.getLong(2), row.getDouble(3), row.getDouble(4))))
+      .toMap
+    tsRows.groupBy(_._1).foreach { case (t, grp) =>
+      val daily = grp.groupBy(p => dayOf(p._2)).toSeq.sortBy(_._1.toString)
+        .map { case (day, rows) =>
+          val cents = rows.map(p => math.floor(p._3 * 100.0).toLong).sum
+          (day, rows.size.toLong, cents.toDouble / rows.size.toDouble)
+        }
+      var e = Option.empty[Double]
+      daily.foreach { case (day, n, x) =>
+        e = Some(e.fold(x)(prev => 0.25 * x + 0.75 * prev))
+        assert(got((t, day.toString)) === ((n, r(x, 4), r(e.get, 4))),
+          s"group $t day $day")
+      }
+    }
+  }
 }
