@@ -961,4 +961,48 @@ object StatsOps {
       "GROUP BY e.term, e.n_exact) " +
       s"ORDER BY n_exact DESC, term LIMIT $k"
   }
+
+  /** HyperLogLog REGISTERS at precision `p` (m = 2^p buckets): bucket =
+    * top p bits of xxhash64(key), register = max over the bucket's keys
+    * of ρ (1 + leading zeros of the remaining 64−p bits). ρ is computed
+    * by the exact integer route `wBits + 1 − length(bin(w))` — no float
+    * log anywhere — so registers are reproducible integers, and per-
+    * bucket MAX is associative+commutative: registers over A∪B ==
+    * register-wise max of the parts (the mergeable-sketch law the
+    * streaming fold and any partial/shuffle plan rely on). Unlike
+    * approx_count_distinct, the registers themselves are a first-class
+    * frame: persistable, unionable across days/sources, and at most m
+    * rows forever. Empty buckets are absent (estimator adds them back). */
+  def hllRegisters(df: DataFrame, keyCol: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val wBits = 64 - p
+    val h = xxhash64(col(keyCol))
+    val w = h.bitwiseAND(lit((1L << wBits) - 1L))
+    val rho = when(w === 0L, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.filter(col(keyCol).isNotNull)
+      .select(shiftrightunsigned(h, wBits).as("bucket"), rho.cast("int").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("r"))
+  }
+
+  /** One-row Flajolet et al. 2007 estimate from a register frame: raw =
+    * α_m·m²/Σ2^(−r) (absent buckets contribute 2^0 each), linear counting
+    * below 2.5m when empty buckets remain. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val alpha =
+      if (p == 4) 0.673 else if (p == 5) 0.697 else if (p == 6) 0.709
+      else 0.7213 / (1.0 + 1.079 / m)
+    registers
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(pow(lit(2.0), -col("r"))).as("s"))
+      .select(lit(m).as("m"), col("n_buckets"),
+        (lit(m) - col("n_buckets")).as("zeros"),
+        (lit(alpha * m.toDouble * m.toDouble) /
+          (col("s") + (lit(m) - col("n_buckets")).cast("double"))).as("raw"))
+      .select(col("m"), col("n_buckets"), col("zeros"),
+        when(col("raw") <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m).cast("double") / col("zeros").cast("double")))
+          .otherwise(col("raw")).as("est"))
+  }
 }

@@ -313,6 +313,34 @@ object AnalyticsQueries {
         "SELECT event_type, exact_users, n_days, TRUE AS hll_union_ok " +
         "FROM e JOIN d USING (event_type) ORDER BY event_type")),
 
+    // Register-LEVEL HyperLogLog (p = 9, 512 buckets) over the
+    // (user_id, props) composite — unlike hll_sketch_agg's opaque binary,
+    // the registers are a first-class frame (persistable, unionable,
+    // <= m rows forever) and the estimator is our own Flajolet 2007
+    // arithmetic; stream_hll folds the same registers over an unbounded
+    // stream. Oracle pattern of q_hll_distinct: the exact distinct
+    // hash-verifies and the estimate's 15%-bound flag (true rsd ~4.6%)
+    // checks against a literal TRUE.
+    Q("q_hll_registers",
+      (s, d) => {
+        val keyed = Tables.load(s, d, "events")
+          .select(concat(col("user_id").cast("string"), lit("\t"),
+            col("props")).as("k"))
+        val est = graft.operators.StatsOps.hllEstimate(
+          graft.operators.StatsOps.hllRegisters(keyed, "k", p = 9), p = 9)
+        val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(est)
+          .select(col("n_exact"), col("m").cast("int").as("m"),
+            (col("n_buckets") <= col("m")).as("registers_bounded"),
+            (abs(col("est") - col("n_exact").cast("double")) <=
+              lit(0.15) * col("n_exact").cast("double")).as("within_bound"))
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n_exact, 512 AS m, " +
+        "TRUE AS registers_bounded, TRUE AS within_bound FROM " +
+        "(SELECT DISTINCT CAST(user_id AS VARCHAR) || chr(9) || props " +
+        "FROM events)")),
+
     // Approximate per-group quantiles (Greenwald-Khanna sketch, rank error
     // <= 1/accuracy) — the streaming/mergeable sibling of q_quantiles'
     // exact percentile, whose sort-all-values-per-group cost is the known

@@ -289,6 +289,30 @@ object EventStreams {
         .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
     }
 
+  /** Streaming HyperLogLog (stream_hll): each micro-batch's keys collapse
+    * to their (bucket, r) registers ([[graft.operators.StatsOps
+    * .hllRegisters]] — the SAME geometry as the batch sketch) and MAX into
+    * the persisted register state. Per-bucket max is associative and
+    * commutative, so the folded state equals the batch registers over the
+    * union of all batches (spec-proven) and the estimate can be read off
+    * the snapshot at any time with [[graft.operators.StatsOps
+    * .hllEstimate]]. State is at most 2^p rows forever — the fixed-memory
+    * distinct-count monitor over an unbounded stream, the streaming
+    * sibling of q_hll_registers. Durability is the shared snapshot-then-
+    * swap fold (crash-safe, replay-safe). */
+  def hllStream(keys: DataFrame, keyCol: String, stateDir: String,
+                checkpointDir: String,
+                p: Int = 9): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(keys, stateDir, checkpointDir) { (base, batch, _) =>
+      val baseRegs =
+        if (Set("bucket", "r").subsetOf(base.columns.toSet))
+          base.select(col("bucket"), col("r"))
+        else graft.operators.StatsOps.hllRegisters(base, keyCol, p)
+      graft.operators.StatsOps.hllRegisters(batch, keyCol, p)
+        .unionByName(baseRegs)
+        .groupBy("bucket").agg(max("r").as("r"))
+    }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

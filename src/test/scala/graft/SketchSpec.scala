@@ -45,4 +45,51 @@ class SketchSpec extends SparkSpec {
       }
     }
   }
+
+  private def regs(df: org.apache.spark.sql.DataFrame, p: Int): Map[Long, Int] =
+    graft.operators.StatsOps.hllRegisters(df, "k", p)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("hllRegisters obey the mergeable-sketch law: regs(A∪B) == max-merge of parts") {
+    import spark.implicits._
+    val a = (1 to 4000).map(i => s"key_a_$i").toDF("k")
+    val b = (2000 to 6000).map(i => s"key_a_$i").toDF("k") // overlaps a
+    val merged = regs(a, 9).foldLeft(regs(b, 9)) { case (acc, (bk, r)) =>
+      acc.updated(bk, math.max(r, acc.getOrElse(bk, 0)))
+    }
+    assert(regs(a.unionByName(b), 9) === merged)
+    // registers stay sketch-sized
+    assert(merged.size <= 512)
+  }
+
+  test("hllEstimate lands within the rsd bound on the real composite key") {
+    val keyed = Tables.load(spark, sfDir, "events")
+      .select(concat(col("user_id").cast("string"), lit("\t"),
+        col("props")).as("k"))
+    val exact = keyed.distinct().count().toDouble
+    val est = graft.operators.StatsOps.hllEstimate(
+        graft.operators.StatsOps.hllRegisters(keyed, "k", p = 9), p = 9)
+      .collect()(0).getDouble(3)
+    // rsd(p=9) = 1.04/sqrt(512) ~ 4.6%; allow 3x
+    assert(math.abs(est - exact) <= 3 * 0.046 * exact,
+      s"est=$est exact=$exact")
+  }
+
+  test("hllEstimate uses linear counting in the sparse regime, exactly") {
+    import spark.implicits._
+    // 30 distinct keys << 2.5m: raw estimate would bias high, linear
+    // counting is near-exact
+    val small = (1 to 30).map(i => s"s$i").toDF("k")
+    val row = graft.operators.StatsOps.hllEstimate(regsDf(small, 9), 9)
+      .collect()(0)
+    val (m, nb, est) = (row.getInt(0), row.getLong(1), row.getDouble(3))
+    assert(m === 512)
+    // linear counting formula reproduced exactly from the register count
+    val want = m.toDouble * math.log(m.toDouble / (m - nb).toDouble)
+    assert(est === want)
+    assert(math.abs(est - 30.0) <= 2.0)
+  }
+
+  private def regsDf(df: org.apache.spark.sql.DataFrame, p: Int) =
+    graft.operators.StatsOps.hllRegisters(df, "k", p)
 }

@@ -412,6 +412,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch HLL register state equals the batch registers over the union") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val input = MemoryStream[String]
+    val q = EventStreams.hllStream(input.toDF().toDF("k"),
+      "k", s"$dir/state", s"$dir/ckpt", p = 6)
+    def state(): Map[Long, Int] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def batchRegs(keys: Seq[String]): Map[Long, Int] =
+      graft.operators.StatsOps.hllRegisters(
+          keys.map(Tuple1(_)).toDF("k"), "k", p = 6)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b1 = (1 to 200).map(i => s"u$i")
+    val b2 = (150 to 400).map(i => s"u$i") // overlaps b1
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(state() === batchRegs(b1))
+      // the fold must EQUAL the batch registers over b1 ++ b2 (per-bucket
+      // max = the mergeable-sketch law), not merely grow
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(state() === batchRegs(b1 ++ b2))
+      // state stays sketch-sized: at most 2^p rows
+      assert(state().size <= 64)
+      // the estimate read off the snapshot tracks the true distinct count
+      val est = graft.operators.StatsOps.hllEstimate(
+          EventStreams.readUpsertState(spark, s"$dir/state"), p = 6)
+        .collect()(0).getDouble(3)
+      val exact = (b1 ++ b2).distinct.size.toDouble
+      assert(math.abs(est - exact) <= 3 * 0.13 * exact, s"est=$est exact=$exact")
+    } finally q.stop()
+  }
+
   test("foreachBatch CMS state equals the batch sketch over the union of batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
