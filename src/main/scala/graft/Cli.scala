@@ -89,7 +89,8 @@ object Cli {
         "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
         "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
         "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
-        "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm> --opt v ...")
+        "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
+        "maxsim|hardneg|olstrend|cusum|ewma|hll> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -490,6 +491,55 @@ object Cli {
             corpus.unionByName(batch), id, text)
           .filter(col("jaccard") >= opts.getOrElse("tau", "0.5").toDouble)
           .select(col("a").as("new_id"), col("b").as("dup_of"), col("jaccard")))
+
+      case "maxsim" =>
+        // late-interaction scoring: --queries is a parquet of query-doc
+        // token vectors (doc, tok, vec); default tokens-per-doc 4
+        val tpd = opts.getOrElse("tokens", "4").toInt
+        val cand = graft.operators.LateInteraction.tokenFrame(in("input"), tpd,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+        val qs = graft.operators.LateInteraction.tokenFrame(
+          spark.read.parquet(opts("queries")), tpd,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+        val k = opts.getOrElse("k", "5").toInt
+        write(opts.get("token-topn") match {
+          case Some(n) => graft.operators.LateInteraction
+            .maxSimRerank(cand, qs, k, n.toInt, tpd)
+          case None => graft.operators.LateInteraction.maxSim(cand, qs, k, tpd)
+        })
+
+      case "hardneg" =>
+        write(graft.operators.LateInteraction.hardNegatives(in("input"),
+          spark.read.parquet(opts("queries")),
+          opts.getOrElse("k", "5").toInt,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+          opts.getOrElse("label", "label")))
+
+      case "olstrend" =>
+        write(graft.operators.StatsOps.olsTrend(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts("group"), opts.getOrElse("ts", "ts"), opts("value")))
+
+      case "cusum" =>
+        write(graft.operators.StatsOps.cusumChangepoint(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts("group"), opts.getOrElse("ts", "ts")))
+
+      case "ewma" =>
+        write(graft.operators.StatsOps.ewmaDaily(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts("group"), opts.getOrElse("ts", "ts"), opts("value"),
+          opts.getOrElse("alpha", "0.25").toDouble))
+
+      case "hll" =>
+        // register-level distinct count: writes the one-row estimate;
+        // --registers also persists the mergeable register frame
+        val p = opts.getOrElse("p", "9").toInt
+        val regs = graft.operators.StatsOps.hllRegisters(in("input"),
+          opts("key"), p)
+        opts.get("registers").foreach(dir =>
+          regs.write.mode("overwrite").parquet(dir))
+        write(graft.operators.StatsOps.hllEstimate(regs, p))
 
       case other => sys.error(s"unknown command: $other")
     }

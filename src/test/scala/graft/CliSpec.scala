@@ -502,4 +502,59 @@ class CliSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("lat") - lat0) < 1e-7, s"id $id lat")
     }
   }
+
+  test("cli maxsim / hardneg / olstrend / cusum / ewma / hll wire the r8 operators") {
+    val emb = s"$sfDir/embeddings.parquet"
+    val qs = tmp() + "/qs"
+    spark.read.parquet(emb).filter(col("vec_id") < 12)
+      .write.parquet(qs) // 3 query docs of 4 tokens
+    val ms = tmp() + "/ms"
+    Cli.run(spark, "maxsim", Map("input" -> emb, "queries" -> qs,
+      "output" -> ms))
+    val msGot = spark.read.parquet(ms)
+    assert(msGot.columns.toSet === Set("qdoc", "rank", "cdoc", "maxsim"))
+    assert(msGot.count() === 15) // 3 query docs x top-5
+    val msr = tmp() + "/msr"
+    Cli.run(spark, "maxsim", Map("input" -> emb, "queries" -> qs,
+      "output" -> msr, "token-topn" -> "10"))
+    assert(spark.read.parquet(msr).count() === 15)
+
+    val qs1 = tmp() + "/qs1"
+    spark.read.parquet(emb).filter(col("vec_id") < 4).write.parquet(qs1)
+    val hn = tmp() + "/hn"
+    Cli.run(spark, "hardneg", Map("input" -> emb, "queries" -> qs1,
+      "output" -> hn, "k" -> "3"))
+    val hnGot = spark.read.parquet(hn)
+    assert(hnGot.columns.toSet ===
+      Set("qid", "rank", "neg_id", "neg_label", "neg_cos", "margin"))
+    assert(hnGot.count() === 12)
+
+    val ev = s"$sfDir/events.parquet"
+    val ot = tmp() + "/ot"
+    Cli.run(spark, "olstrend", Map("input" -> ev, "output" -> ot,
+      "group" -> "event_type", "value" -> "value"))
+    assert(spark.read.parquet(ot).columns.toSet ===
+      Set("event_type", "n", "slope_cents_per_day", "intercept_cents", "r2"))
+
+    val cs = tmp() + "/cs"
+    Cli.run(spark, "cusum", Map("input" -> ev, "output" -> cs,
+      "group" -> "event_type"))
+    assert(spark.read.parquet(cs).select("event_type").distinct().count() === 5)
+
+    val ew = tmp() + "/ew"
+    Cli.run(spark, "ewma", Map("input" -> ev, "output" -> ew,
+      "group" -> "event_type", "value" -> "value"))
+    assert(spark.read.parquet(ew).columns.toSet ===
+      Set("event_type", "day", "n", "day_mean", "ewma"))
+
+    val hll = tmp() + "/hll"
+    val regsDir = tmp() + "/regs"
+    Cli.run(spark, "hll", Map("input" -> ev, "output" -> hll,
+      "key" -> "props", "registers" -> regsDir))
+    val est = spark.read.parquet(hll).collect()(0)
+    val exact = spark.read.parquet(ev).select("props").distinct().count()
+    assert(math.abs(est.getAs[Double]("est") - exact) <= 3 * 0.046 * exact)
+    // the persisted register frame is the mergeable state
+    assert(spark.read.parquet(regsDir).count() <= 512)
+  }
 }
