@@ -541,6 +541,45 @@ object Cli {
           regs.write.mode("overwrite").parquet(dir))
         write(graft.operators.StatsOps.hllEstimate(regs, p))
 
+      case "kmv" =>
+        // bottom-k distinct sketch: writes the per-group estimate;
+        // --sketch also persists the mergeable (grp, hv, rn) frame
+        val k = opts.getOrElse("k", "64").toInt
+        val sk = graft.operators.StatsOps.kmvSketch(in("input"),
+          opts("group"), opts("key"), k)
+        opts.get("sketch").foreach(dir =>
+          sk.write.mode("overwrite").parquet(dir))
+        write(graft.operators.StatsOps.kmvEstimate(sk, opts("group"), k))
+
+      case "kcore" =>
+        // input = (a, b) edge parquet; fixed-round synchronous peel
+        write(graft.operators.GraphOps.kCore(in("input"),
+          opts.getOrElse("k", "4").toInt,
+          opts.getOrElse("rounds", "4").toInt,
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "assort" =>
+        write(graft.operators.GraphOps.degreeAssortativity(in("input"),
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "calibrate" =>
+        write(graft.operators.StatsOps.rankCalibrate(in("input"),
+          opts("group"), opts("score"), opts("id"),
+          opts.getOrElse("keep", "0.2").toDouble))
+
+      case "mmr" =>
+        // stage-1 exact top-n then MMR-diversified k picks
+        val e = in("input")
+        val ranked = graft.operators.Similarity.cosineTopK(e,
+            spark.read.parquet(opts("queries")),
+            opts.getOrElse("n", "10").toInt,
+            opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+          .withColumnRenamed("cos_sim", "rel")
+        write(graft.operators.Similarity.mmrRerank(ranked, e,
+          opts.getOrElse("k", "4").toInt,
+          opts.getOrElse("lambda-tenths", "7").toInt,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding")))
+
       case other => sys.error(s"unknown command: $other")
     }
 

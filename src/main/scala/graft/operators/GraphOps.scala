@@ -350,4 +350,193 @@ object GraphOps {
             col("n_wedges").cast("double"), 6))
           .otherwise(lit(0.0)).as("clustering_coeff"))
   }
+
+  /** Degree assortativity (Newman 2002) of an undirected simple graph:
+    * Pearson correlation of endpoint degrees over the ORIENTED edge list
+    * (each undirected edge contributes both (dₐ,d_b) and (d_b,dₐ), the
+    * standard convention that makes Σx == Σy). Near-dup graphs with
+    * assortativity ~ +1 are clique-y (true duplicate clusters); strongly
+    * negative values flag hub-spoke artifacts (a boilerplate template
+    * matching everything) — a structural audit for the dedup pair stage.
+    *
+    * Exactness: degrees are integers, so all five moments accumulate as
+    * DECIMAL(38,0) (partitioning-invariant, overflow-safe at any SF —
+    * Σd² can pass 2^63 on 100 TB graphs), and r is ONE fixed double tree
+    * over them, bit-identical to the oracle. Symmetry (Σx = Σy) is used
+    * so only three moment sums are needed.
+    *
+    * Scale shape: dedup + two 8-byte-key joins to attach endpoint
+    * degrees (the degree frame is vertex-sized — joined, not broadcast),
+    * then one map-side-combined global aggregate. No windows, no
+    * collects. */
+  def degreeAssortativity(edges0: DataFrame, aCol: String = "a",
+                          bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    val degs = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val withDeg = e
+      .join(degs.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), "a")
+      .join(degs.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), "b")
+    val m = withDeg.agg(
+      count(lit(1)).as("n_edges"),
+      sum(dec(col("da") + col("db"))).as("sx"),
+      sum(dec(col("da") * col("da") + col("db") * col("db"))).as("sxx"),
+      sum(dec(lit(2L) * col("da") * col("db"))).as("sxy"))
+    val nD = (col("n_edges") * lit(2L)).cast("double") // oriented count
+    val sxD = col("sx").cast("double")
+    val num = nD * col("sxy").cast("double") - sxD * sxD
+    val den = nD * col("sxx").cast("double") - sxD * sxD
+    m.select(col("n_edges"),
+      when(den > 0, round(num / den, 6))
+        .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
+  /** k-core peel, `rounds` synchronous rounds: repeatedly drop vertices
+    * of degree < k (and their incident edges). The true k-core is this
+    * iterated to fixpoint; like pageRank/labelProp/bpeTrain the operator
+    * pins a FIXED round count so the oracle can unroll the identical
+    * chain — at scale you loop until the alive count stops changing
+    * (each round is the same two semi-joins; localCheckpoint truncates
+    * lineage exactly as here). Cores locate the dense center of a
+    * near-dup graph (aggressive-dedup targets) vs the degree-<k fringe.
+    *
+    * Scale shape per round: one map-side-combined degree count + two
+    * 8-byte-key LEFT SEMI joins against the (small) alive-vertex set —
+    * the adjacency never broadcasts, never windows. Output is the
+    * surviving vertices with their residual degree. */
+  def kCore(edges0: DataFrame, k: Int, rounds: Int = 4,
+            aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    var adj = e.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val alive = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v"))
+      adj = adj
+        .join(alive, Seq("v"), "left_semi")
+        .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
+        .select(col("v"), col("w"))
+        .localCheckpoint()
+    }
+    adj.groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** DuckDB oracle for [[kCore]] — the identical peel chain, unrolled.
+    * Every CTE is MATERIALIZED: adj/alive are each referenced twice per
+    * round, and DuckDB's default CTE inlining would re-expand the chain
+    * exponentially in `rounds` (measured: the 4-round chain hangs
+    * un-materialized, runs in milliseconds materialized). */
+  def kCoreSql(edgesSub: String, k: Int, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
+      s"FROM $edgesSub WHERE least(a, b) < greatest(a, b)), " +
+      "adj0 AS MATERIALIZED (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e)"
+    for (r <- 1 to rounds) {
+      sb ++= s", alive$r AS MATERIALIZED (SELECT v FROM (SELECT v, count(*) AS deg " +
+        s"FROM adj${r - 1} GROUP BY v) d WHERE deg >= $k)"
+      sb ++= s", adj$r AS MATERIALIZED (SELECT adj.v, adj.w FROM adj${r - 1} adj " +
+        s"JOIN alive$r x ON adj.v = x.v JOIN alive$r y ON adj.w = y.v)"
+    }
+    sb ++= s" SELECT v AS node, CAST(count(*) AS BIGINT) AS deg " +
+      s"FROM adj$rounds GROUP BY v"
+    sb.toString
+  }
+
+  /** Link prediction by the Resource-Allocation index (Zhou et al.
+    * 2009): for every non-adjacent pair (u,v), RA = Σ over common
+    * neighbors m of 1/deg(m); top-`topK` pairs. On a near-dup candidate
+    * graph this ranks the pairs the LSH stage most plausibly MISSED
+    * (two docs sharing many low-degree neighbors are almost surely
+    * duplicates themselves) — a false-negative recovery pass that costs
+    * graph-shaped work instead of re-banding the corpus. RA over
+    * Adamic-Adar's 1/ln(deg) is deliberate: 1/deg is a single IEEE
+    * division (bit-identical cross-engine), while ln is a libm call with
+    * no exactness guarantee — and RA benchmarks as the stronger index
+    * anyway.
+    *
+    * Portability: per-pair terms fold in SORTED order (sort_array /
+    * list_sort before the seeded left fold — the established portable
+    * float reduction), so scores hash-verify.
+    *
+    * Scale shape: wedge join on the middle vertex (the triangleStats
+    * shape; degree-orient or cap hot middles at web scale — a celebrity
+    * vertex contributes deg² wedges), one anti-join against the edge
+    * set, one map-side-combined pair aggregate, global top-k =
+    * TakeOrdered. */
+  def linkPredictRA(edges0: DataFrame, topK: Int = 50, aCol: String = "a",
+                    bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint()
+    val adj = e.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(e.select(col("b").as("m"), col("a").as("x")))
+    val deg = adj.groupBy(col("m")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("l").join(adj.as("r"),
+        col("l.m") === col("r.m") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("u"), col("r.x").as("v"), col("l.m").as("m"))
+    val nonEdges = wedges.join(e,
+      wedges("u") === e("a") && wedges("v") === e("b"), "left_anti")
+    val terms = nonEdges.join(deg, Seq("m"))
+    terms.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"),
+        sort_array(collect_list(col("deg"))).as("_degs"))
+      .select(col("u"), col("v"), col("n_common"),
+        round(aggregate(
+          transform(col("_degs"), d => lit(1.0) / d.cast("double")),
+          lit(0.0), (acc, t) => acc + t), 6).as("ra"))
+      .orderBy(col("ra").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
+  /** DuckDB oracle for [[linkPredictRA]] — identical wedge set, sorted
+    * fold, and tie-break. */
+  def linkPredictRASql(edgesSub: String, topK: Int = 50): String =
+    s"WITH e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, " +
+      s"greatest(a, b) AS b FROM $edgesSub " +
+      "WHERE least(a, b) < greatest(a, b)), " +
+      "adj AS MATERIALIZED (SELECT a AS m, b AS x FROM e " +
+      "UNION ALL SELECT b, a FROM e), " +
+      "deg AS (SELECT m, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY m), " +
+      "w AS (SELECT l.x AS u, r.x AS v, l.m AS m FROM adj l " +
+      "JOIN adj r ON l.m = r.m AND l.x < r.x), " +
+      "nw AS (SELECT u, v, m FROM w WHERE NOT EXISTS " +
+      "(SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v)), " +
+      "g AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common, " +
+      "list_sort(list(d.deg)) AS degs " +
+      "FROM nw JOIN deg d ON nw.m = d.m GROUP BY u, v) " +
+      "SELECT u, v, n_common, round(list_reduce(list_prepend(" +
+      "CAST(0.0 AS DOUBLE), list_transform(degs, " +
+      "x -> CAST(1.0 AS DOUBLE) / CAST(x AS DOUBLE))), " +
+      "(acc, t) -> acc + t), 6) AS ra " +
+      s"FROM g ORDER BY ra DESC, u, v LIMIT $topK"
+
+  /** DuckDB oracle for [[degreeAssortativity]]: identical edge dedup,
+    * identical integer moments (HUGEINT), identical double tree. */
+  def degreeAssortativitySql(edgesSub: String): String =
+    s"WITH e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
+      s"FROM $edgesSub WHERE least(a, b) < greatest(a, b)), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) ve GROUP BY v), " +
+      "wd AS (SELECT da.deg AS da, db.deg AS db FROM e " +
+      "JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, " +
+      "sum(da + db) AS sx, sum(da * da + db * db) AS sxx, " +
+      "sum(2 * da * db) AS sxy FROM wd), " +
+      "c AS (SELECT n_edges, CAST(n_edges * 2 AS DOUBLE) AS nd, " +
+      "CAST(sx AS DOUBLE) AS sxd, CAST(sxx AS DOUBLE) AS sxxd, " +
+      "CAST(sxy AS DOUBLE) AS sxyd FROM m) " +
+      "SELECT n_edges, CASE WHEN (nd * sxxd - sxd * sxd) > 0 THEN " +
+      "round((nd * sxyd - sxd * sxd) / (nd * sxxd - sxd * sxd), 6) END " +
+      "AS assortativity FROM c"
 }

@@ -258,6 +258,122 @@ object Similarity {
       s"SELECT qid, rank, vec_id, round(rrf, 6) AS rrf_score FROM ranked " +
       s"WHERE rank <= $k ORDER BY qid, rank"
 
+  /** MMR (maximal marginal relevance) diversified rerank: from each
+    * query's top-`n` relevance candidates, greedily select `k` results,
+    * step score = λ·rel − (1−λ)·max sim to the already-selected set
+    * (step 1 has no diversity term). The standard redundancy-killer when
+    * near-duplicate corpus entries would otherwise fill the whole top-k.
+    *
+    * Scale shape: the corpus is touched ONLY by the stage-1 retriever
+    * ([[cosineTopK]] or any ANN sibling); everything here is bounded by
+    * |queries|·n — the candidate×candidate sim frame is n² per query and
+    * the greedy loop unrolls k−1 set-based rounds (anti-join, max-sim
+    * aggregate, one domain-bounded argmax window over ≤ n rows per
+    * query). No driver-side loop over queries.
+    *
+    * Portability: rel and pairwise sims enter as rounded-6 doubles (the
+    * canonical score face) and are immediately lifted to EXACT micro-unit
+    * integers; λ is a tenths fraction, so every step score is the exact
+    * integer λ₁₀·relμ − (10−λ₁₀)·msμ — argmaxes compare integers, never
+    * doubles near a decimal half-boundary (λ·(6-decimal rel) lands ON the
+    * 7th-decimal .5 whenever rel's last digit is odd — a double round
+    * there diverges cross-engine; integers cannot). The reported score is
+    * one exact division of the integer by 10⁷. `candidates` must carry
+    * (idCol, vecCol); `ranked` is a (qid, rank, vec_id, rel) stage-1
+    * output. */
+  def mmrRerank(ranked: DataFrame, candidates: DataFrame, k: Int,
+                lambdaTenths: Int = 7, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths must be in [0,10], got $lambdaTenths")
+    val lamN = lambdaTenths.toLong
+    val oneMinusN = 10L - lamN
+    def micro(c: org.apache.spark.sql.Column) =
+      round(c * lit(1000000.0)).cast("long")
+    val cand = ranked
+      .select(col("qid"), col("rank"), col("vec_id"),
+        micro(col("rel")).as("relu"))
+    val vu = candidates.select(col(idCol).as("u"), col(vecCol).as("uvec"))
+    val vv = candidates.select(col(idCol).as("v"), col(vecCol).as("vvec"))
+    val sim = cand.select(col("qid"), col("vec_id").as("u"))
+      .join(cand.select(col("qid"), col("vec_id").as("v")), Seq("qid"))
+      .filter(col("u") =!= col("v"))
+      .join(vu, Seq("u")).join(vv, Seq("v"))
+      .select(col("qid"), col("u"), col("v"),
+        micro(round(VectorFunctions.cosine(col("uvec"), col("vvec")), 6))
+          .as("su"))
+      .localCheckpoint()
+    def score(sc: org.apache.spark.sql.Column) =
+      (sc.cast("double") / lit(10000000.0)).as("mmr_score")
+    var sel = cand.filter(col("rank") === 1)
+      .select(col("qid"), lit(1).as("step"), col("vec_id"),
+        (lit(lamN) * col("relu")).as("scu"))
+    for (t <- 2 to k) {
+      val rem = cand.join(sel.select(col("qid"), col("vec_id")),
+        Seq("qid", "vec_id"), "left_anti")
+      val ms = sim
+        .join(sel.select(col("qid"), col("vec_id").as("v")), Seq("qid", "v"),
+          "left_semi")
+        .groupBy(col("qid"), col("u")).agg(max(col("su")).as("msu"))
+      val scored = rem
+        .join(ms.withColumnRenamed("u", "vec_id"), Seq("qid", "vec_id"))
+        .withColumn("scu", lit(lamN) * col("relu") - lit(oneMinusN) * col("msu"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("scu").desc, col("vec_id"))
+      sel = sel.unionByName(scored
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("qid"), lit(t).as("step"), col("vec_id"), col("scu"))
+        ).localCheckpoint()
+    }
+    sel.select(col("qid"), col("step"), col("vec_id"), score(col("scu")))
+  }
+
+  /** DuckDB oracle for [[mmrRerank]] — the identical unrolled greedy
+    * chain over the same micro-unit integers. `rankedSub` yields
+    * (qid, rank, vec_id, rel); `vecsSub` yields (vec_id, embedding);
+    * `simExpr(a, b)` must be the cosine the Spark side computes (rounded
+    * here exactly as there). CTEs referenced more than once are
+    * MATERIALIZED (see [[GraphOps.kCoreSql]]'s inlining note). */
+  def mmrRerankSql(rankedSub: String, vecsSub: String, simExpr: (String, String) => String,
+                   k: Int, lambdaTenths: Int = 7): String = {
+    val lamN = lambdaTenths
+    val oneMinusN = 10 - lambdaTenths
+    val sb = new StringBuilder
+    sb ++= "WITH cand AS MATERIALIZED (SELECT qid, rank, vec_id, " +
+      s"CAST(round(rel * 1000000.0) AS BIGINT) AS relu FROM $rankedSub), "
+    sb ++= s"vx AS (SELECT vec_id, embedding FROM $vecsSub), "
+    sb ++= "sim AS MATERIALIZED (SELECT a.qid, a.vec_id AS u, b.vec_id AS v, " +
+      s"CAST(round(round(${simExpr("va.embedding", "vb.embedding")}, 6) " +
+      "* 1000000.0) AS BIGINT) AS su " +
+      "FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id " +
+      "JOIN vx va ON a.vec_id = va.vec_id JOIN vx vb ON b.vec_id = vb.vec_id), "
+    sb ++= "sel1 AS MATERIALIZED (SELECT qid, 1 AS step, vec_id, " +
+      s"$lamN * relu AS scu FROM cand WHERE rank = 1)"
+    for (t <- 2 to k) {
+      val prev = (1 until t).map(i => s"SELECT qid, vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      sb ++= s", picked${t - 1} AS MATERIALIZED ($prev)"
+      sb ++= s", rem$t AS (SELECT c.* FROM cand c WHERE NOT EXISTS " +
+        s"(SELECT 1 FROM picked${t - 1} p WHERE p.qid = c.qid AND " +
+        "p.vec_id = c.vec_id))"
+      sb ++= s", ms$t AS (SELECT sim.qid, sim.u, max(sim.su) AS msu FROM sim " +
+        s"JOIN picked${t - 1} p ON sim.qid = p.qid AND sim.v = p.vec_id " +
+        "GROUP BY sim.qid, sim.u)"
+      sb ++= s", scored$t AS (SELECT r.qid, r.vec_id, " +
+        s"$lamN * r.relu - $oneMinusN * m.msu AS scu, " +
+        "row_number() OVER (PARTITION BY r.qid ORDER BY " +
+        s"$lamN * r.relu - $oneMinusN * m.msu DESC, r.vec_id) AS rn " +
+        s"FROM rem$t r JOIN ms$t m ON r.qid = m.qid AND r.vec_id = m.u)"
+      sb ++= s", sel$t AS MATERIALIZED (SELECT qid, $t AS step, vec_id, scu " +
+        s"FROM scored$t WHERE rn = 1)"
+    }
+    sb ++= " SELECT qid, step, vec_id, " +
+      "CAST(scu AS DOUBLE) / 10000000.0 AS mmr_score FROM (" +
+      (1 to k).map(t => s"SELECT * FROM sel$t").mkString(" UNION ALL ") + ") allsel"
+    sb.toString
+  }
+
   /** Retrieval-quality metrics of an approximate ranking against the
     * exact one — the ANN twin of [[Dedup.lshRecall]]'s "measure, don't
     * assume" stance: recall@k (share of true top-k retrieved) and MRR

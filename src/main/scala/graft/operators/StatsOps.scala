@@ -1005,4 +1005,127 @@ object StatsOps {
           lit(m.toDouble) * log(lit(m).cast("double") / col("zeros").cast("double")))
           .otherwise(col("raw")).as("est"))
   }
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch per group: the k
+    * smallest PORTABLE hash values of the key (Bar-Yossef et al. 2002).
+    * The HLL sibling above needs a flag-style oracle because xxhash64 has
+    * no DuckDB twin; KMV built on the portable polynomial hash is the
+    * fully hash-verifiable member of the sketch family — the sketch frame
+    * AND the estimate check bit-for-bit against the oracle's identical
+    * arithmetic. Mergeable by construction: bottomK(A ∪ B) ==
+    * bottomK(bottomK(A) ∪ bottomK(B)) (dedup-then-bottom-k is idempotent
+    * and order-free), which is the law that lets per-day / per-source
+    * sketch tables union without rescanning history ([[kmvSpec]] in
+    * SketchSpec proves it on split halves).
+    *
+    * Scale shape: one map-side-combined distinct of (group, hv) 8-byte
+    * pairs, then the salted two-stage bottom-k ([[TopK.perGroupTopK]]) —
+    * no group ever funnels through a single window task. Output is at
+    * most k rows per group forever.
+    *
+    * hv = (charHash(key) * KnuthA) % P — the multiplicative scramble
+    * decorrelates the polynomial hash's low bits across similar strings;
+    * every intermediate stays < 2^63 (P ~ 1e9, KnuthA ~ 2.6e9). */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.{charHash, P}
+    val hv = (charHash(col(keyCol)) * lit(KmvScramble)) % lit(P)
+    val distinctHv = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol), hv.as("hv"))
+      .groupBy(col(groupCol), col("hv")).agg(lit(1))
+      .select(col(groupCol), col("hv"))
+    TopK.perGroupTopK(distinctHv, Seq(col(groupCol)), Seq(col("hv")),
+      k, salt = col("hv"))
+  }
+
+  /** Knuth's multiplicative constant (2654435761 = 2^32 * golden ratio). */
+  val KmvScramble: Long = 2654435761L
+
+  /** DuckDB twin of [[kmvSketch]]: identical hash, identical bottom-k.
+    * `keyExpr` is a SQL expression over `table`'s columns. */
+  def kmvSketchSql(table: String, groupExpr: String, keyExpr: String,
+                   k: Int = 64): String = {
+    import graft.functions.TextFunctions.{charHashSql, P}
+    s"SELECT grp, hv, rn FROM (" +
+      s"SELECT grp, hv, CAST(row_number() OVER " +
+      "(PARTITION BY grp ORDER BY hv) AS INTEGER) AS rn FROM (" +
+      s"SELECT DISTINCT $groupExpr AS grp, " +
+      s"((${charHashSql(keyExpr)}) * $KmvScramble) % $P AS hv " +
+      s"FROM $table WHERE $keyExpr IS NOT NULL) h) r WHERE rn <= $k"
+  }
+
+  /** KMV estimator per group: when the sketch holds fewer than k values
+    * the count is EXACT (every distinct hash was kept); otherwise the
+    * classic (k−1)·P/h_k with h_k the k-th smallest hash. One fixed
+    * arithmetic tree — exact integer products cast to double, a single
+    * division — so the estimate itself hash-verifies cross-engine. */
+  def kmvEstimate(sketch: DataFrame, groupCol: String,
+                  k: Int = 64): DataFrame = {
+    import graft.functions.TextFunctions.P
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("k_eff"), max(col("hv")).as("h_k"))
+      .select(col(groupCol), col("k_eff"), col("h_k"),
+        round(
+          when(col("k_eff") < k, col("k_eff").cast("double"))
+            .otherwise(lit((k - 1).toLong * P).cast("double") /
+              col("h_k").cast("double")), 6).as("est"))
+  }
+
+  /** Per-group rank calibration: map each row's score to its within-group
+    * cumulative fraction cd = |score' <= score| / n (cume_dist with
+    * max-tie semantics), then keep the top `keepFrac` — the standard move
+    * before GLOBALLY thresholding quality scores that sit on different
+    * scales per source (a length-ish score from a web crawl is not
+    * comparable to one from a books corpus; percentiles are).
+    *
+    * Scale shape: a naive `cume_dist() over (partition by source order by
+    * score)` funnels every row of a source through ONE window task. This
+    * runs the cumsum over the (group, DISTINCT score) grid instead —
+    * domain-bounded, like the resample/histogram folds — and joins the
+    * grid back onto the narrow doc scan: rows never enter a window.
+    * The division happens once per row as a fixed double tree, so the
+    * keep boundary is bit-identical cross-engine. */
+  def rankCalibrate(df: DataFrame, groupCol: String, scoreCol: String,
+                    idCol: String, keepFrac: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val cum = grid.withColumn("cum", sum(col("c")).over(w)).drop("c")
+    val tot = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val pct = col("cum").cast("double") / col("n").cast("double")
+    df.select(col(idCol), col(groupCol), col(scoreCol))
+      .join(broadcast(cum), Seq(groupCol, scoreCol))
+      .join(broadcast(tot), Seq(groupCol))
+      .filter(pct >= lit(1.0) - lit(keepFrac))
+      .select(col(idCol), col(groupCol), col(scoreCol).as("score"),
+        round(pct, 6).as("pct"))
+  }
+
+  /** DuckDB oracle for [[rankCalibrate]]: identical grid cumsum and
+    * double boundary. `scoreExpr` must be a bare column name. */
+  def rankCalibrateSql(table: String, groupExpr: String, scoreExpr: String,
+                       idExpr: String, keepFrac: Double = 0.2): String =
+    s"WITH grid AS (SELECT $groupExpr AS g, $scoreExpr AS s, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, s), " +
+      "cum AS (SELECT g, s, CAST(sum(c) OVER " +
+      "(PARTITION BY g ORDER BY s) AS BIGINT) AS cum FROM grid), " +
+      s"tot AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n " +
+      s"FROM $table GROUP BY g) " +
+      s"SELECT d.$idExpr, d.$groupExpr, d.$scoreExpr AS score, " +
+      "round(CAST(cum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pct " +
+      s"FROM $table d JOIN cum ON d.$groupExpr = cum.g AND " +
+      s"d.$scoreExpr = cum.s JOIN tot ON d.$groupExpr = tot.g " +
+      "WHERE CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) >= " +
+      s"(1.0 - $keepFrac)"
+
+  /** DuckDB twin of [[kmvEstimate]] over [[kmvSketchSql]]'s output. */
+  def kmvEstimateSql(sketchSub: String, k: Int = 64): String = {
+    import graft.functions.TextFunctions.P
+    s"SELECT grp, k_eff, h_k, round(CASE WHEN k_eff < $k " +
+      "THEN CAST(k_eff AS DOUBLE) " +
+      s"ELSE CAST(${(k - 1).toLong * P} AS DOUBLE) / CAST(h_k AS DOUBLE) END, 6) " +
+      s"AS est FROM (SELECT grp, CAST(count(*) AS INTEGER) AS k_eff, " +
+      s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
+  }
 }

@@ -341,6 +341,65 @@ object AnalyticsQueries {
         "(SELECT DISTINCT CAST(user_id AS VARCHAR) || chr(9) || props " +
         "FROM events)")),
 
+    // KMV (bottom-k) distinct sketch per event type over the same
+    // (user_id, props) composite as q_hll_registers — the fully
+    // hash-VERIFIABLE member of the sketch family: built on the portable
+    // polynomial hash, so the oracle rebuilds the identical k smallest
+    // hashes (HLL's xxhash64 registers can only be flag-checked). One
+    // map-side-combined distinct of 8-byte (grp, hv) pairs + the salted
+    // two-stage bottom-k; <= 64 rows per group forever, unionable across
+    // days/sources (merge law proven in SketchSpec).
+    Q("q_kmv_sketch",
+      (s, d) => graft.operators.StatsOps.kmvSketch(
+        Tables.load(s, d, "events")
+          .select(col("event_type").as("grp"),
+            concat(col("user_id").cast("string"), lit("\t"), col("props"))
+              .as("k")),
+        "grp", "k", k = 64)
+        .orderBy("grp", "rn"),
+      Some(graft.operators.StatsOps.kmvSketchSql("events", "event_type",
+        "(CAST(user_id AS VARCHAR) || chr(9) || props)", k = 64) +
+        " ORDER BY grp, rn")),
+
+    // The KMV estimator over that sketch, exact-companion checked: when a
+    // group's sketch is unsaturated the count is exact; otherwise
+    // (k-1)*P/h_k in one fixed double tree — so unlike the HLL estimate,
+    // the ESTIMATE ITSELF hash-verifies, and the 50% accuracy flag is
+    // computed (not a literal) on both engines.
+    Q("q_kmv_estimate",
+      (s, d) => {
+        val keyed = Tables.load(s, d, "events")
+          .select(col("event_type").as("grp"),
+            concat(col("user_id").cast("string"), lit("\t"), col("props"))
+              .as("k"))
+        val est = graft.operators.StatsOps.kmvEstimate(
+          graft.operators.StatsOps.kmvSketch(keyed, "grp", "k", k = 64),
+          "grp", k = 64)
+        val exact = keyed.filter(col("k").isNotNull)
+          .groupBy(col("grp"), col("k")).agg(lit(1))
+          .groupBy("grp").agg(count(lit(1)).as("n_exact"))
+        est.join(exact, "grp")
+          .select(col("grp"), col("k_eff"), col("h_k"), col("est"),
+            col("n_exact"),
+            (abs(col("est") - col("n_exact").cast("double")) <=
+              lit(0.5) * col("n_exact").cast("double")).as("within_bound"))
+          .orderBy("grp")
+      },
+      Some {
+        val keyExpr = "(CAST(user_id AS VARCHAR) || chr(9) || props)"
+        val sk = graft.operators.StatsOps.kmvSketchSql(
+          "events", "event_type", keyExpr, k = 64)
+        val est = graft.operators.StatsOps.kmvEstimateSql(sk, k = 64)
+        s"WITH est AS ($est), " +
+          "exact AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM " +
+          s"(SELECT DISTINCT event_type AS grp, $keyExpr AS k2 FROM events " +
+          s"WHERE $keyExpr IS NOT NULL) dk GROUP BY grp) " +
+          "SELECT grp, k_eff, h_k, est, n_exact, " +
+          "(abs(est - CAST(n_exact AS DOUBLE)) <= " +
+          "0.5 * CAST(n_exact AS DOUBLE)) AS within_bound " +
+          "FROM est JOIN exact USING (grp) ORDER BY grp"
+      }),
+
     // Approximate per-group quantiles (Greenwald-Khanna sketch, rank error
     // <= 1/accuracy) — the streaming/mergeable sibling of q_quantiles'
     // exact percentile, whose sort-all-values-per-group cost is the known

@@ -40,17 +40,20 @@ object SimilarityQueries {
         "FROM embeddings"
     }.mkString(" UNION ALL ")
 
-  /** The q_ann_cosine oracle ranking — shared verbatim by q_ann_recall
-    * (it is the ground-truth side of the metric). */
-  private lazy val cosineRankedSql: String =
+  /** The q_ann_cosine oracle ranking at top-`n`, score aliased
+    * `scoreName` — shared by q_ann_recall (ground truth) and
+    * q_mmr_rerank (stage-1 candidates). */
+  private def cosineRankedSqlN(n: Int, scoreName: String): String =
     "WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
       "c AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
       s"scored AS (SELECT qid, vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
       "FROM c, q WHERE vec_id <> qid), " +
       "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
       "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
-      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS $scoreName FROM ranked WHERE rank <= $n " +
       "ORDER BY qid, rank"
+
+  private lazy val cosineRankedSql: String = cosineRankedSqlN(K, "cos_sim")
 
   /** The q_ann_lsh oracle ranking — shared verbatim by q_rrf_fusion. */
   private lazy val lshRankedSql: String =
@@ -417,6 +420,83 @@ object SimilarityQueries {
       Some(graft.operators.GraphOps.hitsSql(
         "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
         iters = 3))),
+
+    // Degree assortativity (Newman r) of the hub-spoke community graph —
+    // the structural audit for a dedup pair stage: ~+1 means clique-y
+    // true-duplicate clusters, strongly negative means hub artifacts
+    // (e.g. one boilerplate template matching everything). All-integer
+    // DECIMAL(38,0) moments + one fixed double tree -> hash-verified.
+    Q("q_degree_assort",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val e1 = ev.select((col("user_id") % 120).as("a"),
+          (lit(1000L) + col("user_id") % 12).as("b"))
+        val e2 = ev.select((col("user_id") % 120).as("a"),
+          (lit(1000L) + (col("user_id") * 31) % 12).as("b"))
+        graft.operators.GraphOps.degreeAssortativity(e1.unionByName(e2))
+      },
+      Some(graft.operators.GraphOps.degreeAssortativitySql(
+        "(SELECT user_id % 120 AS a, 1000 + (user_id % 12) AS b FROM events " +
+          "UNION ALL SELECT user_id % 120, 1000 + ((user_id * 31) % 12) FROM events) es"))),
+
+    // k-core peel (k = 7, 4 synchronous rounds) over an ER-plus-dense-core
+    // graph from events: the sparse 3000-vertex ER part peels away over
+    // MULTIPLE cascading rounds (2172 -> 200 -> 60 vertices at sf0.01)
+    // while the deliberately dense 60-vertex block survives as the stable
+    // core — locating the dense center a near-dup cluster stage should
+    // treat aggressively. Fixed-round form (pagerank convention) so the
+    // oracle unrolls the identical semi-join chain; all-integer,
+    // hash-verified.
+    Q("q_kcore",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val er = ev.select((col("event_id") % 3000).as("a"),
+          ((col("event_id") * 7919L + col("user_id")) % 3000).as("b"))
+        val core = ev.select((lit(3000L) + col("event_id") % 60).as("a"),
+          (lit(3000L) + (col("event_id") * 31L + col("user_id")) % 60).as("b"))
+        graft.operators.GraphOps.kCore(er.unionByName(core), k = 7, rounds = 4)
+          .orderBy("node")
+      },
+      Some(graft.operators.GraphOps.kCoreSql(
+        "(SELECT event_id % 3000 AS a, (event_id * 7919 + user_id) % 3000 AS b " +
+          "FROM events UNION ALL SELECT 3000 + (event_id % 60), " +
+          "3000 + ((event_id * 31 + user_id) % 60) FROM events) es",
+        k = 7, rounds = 4) + " ORDER BY node")),
+
+    // Link prediction by Resource-Allocation index over the event graph:
+    // ranks the non-adjacent pairs the candidate stage most plausibly
+    // MISSED (many shared low-degree neighbors ⇒ near-certain duplicate)
+    // — false-negative recovery at graph cost, no corpus re-banding. RA
+    // (Σ 1/deg, one IEEE division per term) over Adamic-Adar's libm ln;
+    // sorted-fold float reduction ⇒ fully hash-verified.
+    Q("q_link_predict",
+      (s, d) => graft.operators.GraphOps.linkPredictRA(
+        Tables.load(s, d, "events")
+          .select((col("user_id") % 50).as("a"),
+            ((col("event_id") * 7919L) % 64).as("b")),
+        topK = 50),
+      Some(graft.operators.GraphOps.linkPredictRASql(
+        "(SELECT user_id % 50 AS a, (event_id * 7919) % 64 AS b " +
+          "FROM events) es", topK = 50))),
+
+    // MMR diversified rerank (λ = 0.7, 4 picks from the exact top-10):
+    // the redundancy-killer between retrieval and serving — without it a
+    // near-dup-heavy corpus fills the whole top-k with one cluster. The
+    // corpus is touched only by the stage-1 retriever; the greedy chain
+    // is |queries|·n²-bounded and unrolls set-based (no driver loop),
+    // with every score face rounded so selections hash-verify.
+    Q("q_mmr_rerank",
+      (s, d) => {
+        val e = emb(s, d)
+        val ranked = Similarity.cosineTopK(e, e.filter(col("vec_id") < 5),
+            k = 10).withColumnRenamed("cos_sim", "rel")
+        Similarity.mmrRerank(ranked, e, k = 4, lambdaTenths = 7)
+          .orderBy("qid", "step")
+      },
+      Some(Similarity.mmrRerankSql(
+        s"(${cosineRankedSqlN(10, "rel")}) rsub",
+        "embeddings", cosineSql, k = 4, lambdaTenths = 7) +
+        " ORDER BY qid, step")),
 
     // Reciprocal-rank fusion of the LSH and IVF retrievers — the standard
     // robustness ensemble when two retrievers' scores aren't comparable.

@@ -536,6 +536,20 @@ object TextQueries {
           "FROM c ORDER BY doc_id"
       }),
 
+    // Per-source rank calibration: each doc's score becomes its within-
+    // source cumulative fraction (cume_dist, max-tie), making scores
+    // comparable ACROSS sources before one global keep threshold — the
+    // cross-corpus mixing prerequisite q_quality_bucket's global terciles
+    // don't provide. Grid-cumsum form (domain-bounded distinct-score
+    // window + broadcast join-back), so doc rows never enter a window.
+    Q("q_score_calibrate",
+      (s, d) => graft.operators.StatsOps.rankCalibrate(
+          docs(s, d), "source", "n_chars", "doc_id", keepFrac = 0.2)
+        .orderBy("source", "doc_id"),
+      Some(graft.operators.StatsOps.rankCalibrateSql(
+        "documents", "source", "n_chars", "doc_id", keepFrac = 0.2) +
+        " ORDER BY source, doc_id")),
+
     // CCNet-style quality bucketing: head/middle/tail by global quality-
     // score terciles. NOT ntile — a global ntile window funnels the whole
     // corpus through one task; threshold cuts come from a 1-row exact-

@@ -313,6 +313,34 @@ object EventStreams {
         .groupBy("bucket").agg(max("r").as("r"))
     }
 
+  /** Streaming KMV sketch (stream_kmv): each micro-batch's keys collapse
+    * to their per-group bottom-k hashes ([[graft.operators.StatsOps
+    * .kmvSketch]] — the SAME geometry as the batch sketch) and re-bottom-k
+    * against the persisted state. Dedup-then-bottom-k is idempotent and
+    * order-free, so the folded state equals the batch sketch over the
+    * union of all batches (spec-proven, like the HLL/CMS folds); state is
+    * at most k rows per group forever, and the estimate reads off any
+    * snapshot with [[graft.operators.StatsOps.kmvEstimate]]. The fully
+    * hash-portable streaming distinct monitor (per group), next to
+    * [[hllStream]]'s global xxhash64 one. */
+  def kmvStream(keyed: DataFrame, groupCol: String, keyCol: String,
+                stateDir: String, checkpointDir: String,
+                k: Int = 64): org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(keyed, stateDir, checkpointDir) { (base, batch, _) =>
+      val baseSk =
+        if (Set(groupCol, "hv").subsetOf(base.columns.toSet))
+          base.select(col(groupCol), col("hv"))
+        else graft.operators.StatsOps.kmvSketch(base, groupCol, keyCol, k)
+          .select(col(groupCol), col("hv"))
+      val merged = graft.operators.StatsOps.kmvSketch(batch, groupCol, keyCol, k)
+        .select(col(groupCol), col("hv"))
+        .unionByName(baseSk)
+        .groupBy(col(groupCol), col("hv")).agg(count(lit(1)))
+        .select(col(groupCol), col("hv"))
+      graft.operators.TopK.perGroupTopK(merged, Seq(col(groupCol)),
+        Seq(col("hv")), k, salt = col("hv"))
+    }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class Session(user_id: Long, session_start: Timestamp,
                            session_end: Timestamp, n_events: Long, sum_value: Double)

@@ -557,4 +557,53 @@ class CliSpec extends SparkSpec {
     // the persisted register frame is the mergeable state
     assert(spark.read.parquet(regsDir).count() <= 512)
   }
+
+  test("cli kmv / kcore / assort / calibrate / mmr wire the late-r8 operators") {
+    import spark.implicits._
+    val ev = s"$sfDir/events.parquet"
+    val kmv = tmp() + "/kmv"
+    val skDir = tmp() + "/sk"
+    Cli.run(spark, "kmv", Map("input" -> ev, "output" -> kmv,
+      "group" -> "event_type", "key" -> "props", "k" -> "32",
+      "sketch" -> skDir))
+    val kGot = spark.read.parquet(kmv)
+    assert(kGot.columns.toSet === Set("event_type", "k_eff", "h_k", "est"))
+    assert(kGot.count() === 5)
+    assert(spark.read.parquet(skDir)
+      .groupBy("event_type").count().agg(max("count")).collect()(0)
+      .getLong(0) <= 32)
+
+    val edges = tmp() + "/edges"
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b").write.parquet(edges)
+    val kc = tmp() + "/kc"
+    Cli.run(spark, "kcore", Map("input" -> edges, "output" -> kc,
+      "k" -> "2", "rounds" -> "4"))
+    assert(spark.read.parquet(kc).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L))
+
+    val as = tmp() + "/as"
+    Cli.run(spark, "assort", Map("input" -> edges, "output" -> as))
+    val asGot = spark.read.parquet(as).collect()(0)
+    assert(asGot.getLong(0) === 5L)
+
+    val docs = s"$sfDir/documents.parquet"
+    val cal = tmp() + "/cal"
+    Cli.run(spark, "calibrate", Map("input" -> docs, "output" -> cal,
+      "group" -> "source", "score" -> "n_chars", "id" -> "doc_id",
+      "keep" -> "0.25"))
+    val calGot = spark.read.parquet(cal)
+    assert(calGot.columns.toSet === Set("doc_id", "source", "score", "pct"))
+    assert(calGot.agg(min("pct")).collect()(0).getDouble(0) >= 0.75)
+
+    val emb = s"$sfDir/embeddings.parquet"
+    val qs = tmp() + "/mmrq"
+    spark.read.parquet(emb).filter(col("vec_id") < 3).write.parquet(qs)
+    val mm = tmp() + "/mmr"
+    Cli.run(spark, "mmr", Map("input" -> emb, "queries" -> qs,
+      "output" -> mm, "n" -> "8", "k" -> "3"))
+    val mmGot = spark.read.parquet(mm)
+    assert(mmGot.columns.toSet === Set("qid", "step", "vec_id", "mmr_score"))
+    assert(mmGot.count() === 9) // 3 queries x 3 picks
+  }
 }

@@ -206,4 +206,95 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-3)
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-3)
   }
+
+  private def assort(edges: Seq[(Long, Long)]): (Long, Option[Double]) = {
+    val r = GraphOps.degreeAssortativity(edges.toDF("a", "b")).head
+    (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+  }
+
+  test("degreeAssortativity: closed-form graphs (star = -1, path P4 = -0.5, regular = null)") {
+    // star K1,3: hub degree 3, leaves 1 -> perfectly disassortative
+    assert(assort(Seq((0L, 1L), (0L, 2L), (0L, 3L))) === ((3L, Some(-1.0))))
+    // path 1-2-3-4: r = -0.5 by hand (oriented moments n=6, sx=10, sxx=18, sxy=16)
+    assert(assort(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === ((3L, Some(-0.5))))
+    // 4-cycle: every degree equal -> zero variance -> null
+    assert(assort(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) === ((4L, None)))
+    // dedup + orientation + self-loop removal: duplicates/reversed/self edges collapse
+    assert(assort(Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L), (0L, 2L), (0L, 3L))) ===
+      ((3L, Some(-1.0))))
+  }
+
+  test("kCore peels fringe vertices and cascades across rounds") {
+    // triangle 1-2-3 with pendant chain 3-4-5 plus isolated chain 6-7-8:
+    // k=2 round 1 drops 5,6,8 (deg 1); round 2 drops 4 and 7 (degree fell
+    // to 1) — only the triangle survives, every vertex at residual deg 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (6L, 7L), (7L, 8L))
+    val got = GraphOps.kCore(edges.toDF("a", "b"), k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore round count matters: one round misses the cascade, enough rounds reach the fixpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val oneRound = GraphOps.kCore(edges.toDF("a", "b"), k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound === Set(1L, 2L, 3L, 4L)) // 4 not yet peeled
+    val fix = GraphOps.kCore(edges.toDF("a", "b"), k = 2, rounds = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(fix === Set(1L, 2L, 3L))
+  }
+
+  test("linkPredictRA: closed-form path and brute-force model on a pseudo-random graph") {
+    // path 1-2-3: only candidate pair is (1,3) via m=2 (deg 2) -> RA = 0.5
+    val p3 = GraphOps.linkPredictRA(Seq((1L, 2L), (2L, 3L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(p3.toSeq === Seq((1L, 3L, 1L, 0.5)))
+    // triangle has no non-adjacent pairs at all
+    assert(GraphOps.linkPredictRA(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")).count() === 0)
+
+    val edges = (0 until 200).map(i => ((i * 7919L) % 30, (i * i * 31L + i) % 30))
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct.toSet
+    val deg = e.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, o) => v -> o.size }
+    val verts = deg.keys.toSeq.sorted
+    val model = (for {
+      u <- verts; v <- verts if u < v && !e((u, v))
+      common = verts.filter(m => m != u && m != v &&
+        e((math.min(m, u), math.max(m, u))) && e((math.min(m, v), math.max(m, v))))
+      if common.nonEmpty
+    } yield {
+      val ra = common.map(m => deg(m)).sorted
+        .foldLeft(0.0)((acc, d) => acc + 1.0 / d.toDouble)
+      (u, v, common.size.toLong,
+        BigDecimal(ra).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy { case (u, v, _, ra) => (-ra, u, v) }.take(10)
+    val got = GraphOps.linkPredictRA(edges.toDF("a", "b"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === model)
+  }
+
+  test("degreeAssortativity matches a brute-force Pearson model on a pseudo-random graph") {
+    val edges = (0 until 300).map { i =>
+      ((i * 7919L) % 40, (i * i * 31L + i) % 40)
+    }
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct
+    val deg = e.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    val xy = e.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = xy.size.toDouble
+    val sx = xy.map(_._1).sum.toDouble
+    val sxx = xy.map(p => p._1 * p._1).sum.toDouble
+    val sxy = xy.map(p => p._1 * p._2).sum.toDouble
+    val want = BigDecimal((n * sxy - sx * sx) / (n * sxx - sx * sx))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (ne, got) = assort(edges)
+    assert(ne === e.size.toLong)
+    assert(got === Some(want))
+  }
 }

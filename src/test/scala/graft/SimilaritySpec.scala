@@ -445,4 +445,48 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqAdcTopK(emb, queries, 5, maxQueryBatch = 0)
     }
   }
+
+  test("mmrRerank matches a brute-force greedy MMR model (r8)") {
+    val n = 10
+    val r6d = (x: Double) =>
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // stage 1: exact top-n with rounded rel, as the operator consumes it
+    val ranked = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 5), n)
+      .withColumnRenamed("cos_sim", "rel")
+    val cand: Map[Long, Seq[(Long, Double)]] = ranked.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      }
+    // micro-unit integer scoring, exactly as the operator: λ = 7 tenths
+    def micro(x: Double): Long = math.round(x * 1000000.0)
+    def model(q: Long): Seq[(Int, Long, Double)] = {
+      val cs = cand(q)
+      val sim = (for {
+        (u, _) <- cs; (v, _) <- cs if u != v
+      } yield (u, v) -> micro(r6d(cosScala(vecs(u), vecs(v))))).toMap
+      var picked = Vector((1, cs.head._1, 7L * micro(cs.head._2)))
+      for (t <- 2 to 4) {
+        val chosen = picked.map(_._2).toSet
+        val best = cs.filterNot(c => chosen(c._1)).map { case (id, rel) =>
+          val ms = chosen.map(s => sim((id, s))).max
+          (id, 7L * micro(rel) - 3L * ms)
+        }.minBy { case (id, sc) => (-sc, id) }
+        picked :+= ((t, best._1, best._2))
+      }
+      picked.map { case (t, id, scu) => (t, id, scu.toDouble / 10000000.0) }
+    }
+    val got = Similarity.mmrRerank(ranked, emb, k = 4, lambdaTenths = 7)
+      .orderBy("qid", "step").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1))
+          .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      }
+    (0L until 5L).foreach { q =>
+      assert(got(q) === model(q), s"query $q")
+      assert(got(q).map(_._2).toSet.subsetOf(cand(q).map(_._1).toSet))
+    }
+  }
 }

@@ -92,4 +92,49 @@ class SketchSpec extends SparkSpec {
 
   private def regsDf(df: org.apache.spark.sql.DataFrame, p: Int) =
     graft.operators.StatsOps.hllRegisters(df, "k", p)
+
+  private def kmvSet(df: org.apache.spark.sql.DataFrame, k: Int): Set[Long] =
+    graft.operators.StatsOps.kmvSketch(df, "g", "k", k)
+      .select("hv").collect().map(_.getLong(0)).toSet
+
+  test("kmvSketch obeys the mergeable-sketch law: bottomK(A∪B) == bottomK(parts' sketches)") {
+    import spark.implicits._
+    val a = (1 to 4000).map(i => ("g", s"key_a_$i")).toDF("g", "k")
+    val b = (2000 to 6000).map(i => ("g", s"key_a_$i")).toDF("g", "k")
+    val whole = kmvSet(a.unionByName(b), 64)
+    // merge = dedup the union of the part sketches, keep the 64 smallest
+    val merged = (kmvSet(a, 64) ++ kmvSet(b, 64)).toSeq.sorted.take(64).toSet
+    assert(whole === merged)
+    assert(whole.size === 64)
+  }
+
+  test("kmvSketch is exact below saturation and ranks are dense") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => ("g", s"s$i")).toDF("g", "k")
+    val rows = graft.operators.StatsOps.kmvSketch(small, "g", "k", 64)
+      .orderBy("rn").collect()
+    assert(rows.length === 40) // unsaturated: every distinct hash kept
+    assert(rows.map(_.getInt(2)).toSeq === (1 to 40))
+    // sorted ascending by hash value
+    val hvs = rows.map(_.getLong(1)).toSeq
+    assert(hvs === hvs.sorted)
+  }
+
+  test("kmvEstimate is exact when unsaturated, within 3*rsd when saturated") {
+    import spark.implicits._
+    val small = (1 to 40).map(i => ("g", s"s$i")).toDF("g", "k")
+    val eSmall = graft.operators.StatsOps.kmvEstimate(
+        graft.operators.StatsOps.kmvSketch(small, "g", "k", 64), "g", 64)
+      .collect()(0)
+    assert(eSmall.getInt(1) === 40)
+    assert(eSmall.getDouble(3) === 40.0)
+
+    val big = (1 to 5000).map(i => ("g", s"key_b_$i")).toDF("g", "k")
+    val eBig = graft.operators.StatsOps.kmvEstimate(
+        graft.operators.StatsOps.kmvSketch(big, "g", "k", 64), "g", 64)
+      .collect()(0)
+    // rsd(KMV, k=64) ~ 1/sqrt(k-2) ~ 12.7%; allow 3x
+    assert(math.abs(eBig.getDouble(3) - 5000.0) <= 3 * 0.127 * 5000.0,
+      s"est=${eBig.getDouble(3)}")
+  }
 }

@@ -628,4 +628,39 @@ class StatsOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("rankCalibrate matches a cume_dist model and keeps exactly the top fraction (r8)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val all = docs.select("doc_id", "source", "n_chars").collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getLong(2)))
+    val got = StatsOps.rankCalibrate(docs, "source", "n_chars", "doc_id",
+        keepFrac = 0.2)
+      .collect()
+      .map(row => (row.getLong(0), (row.getString(1), row.getLong(2),
+        row.getDouble(3))))
+      .toMap
+    val bySource = all.groupBy(_._2)
+    val want = all.flatMap { case (id, src, score) =>
+      val grp = bySource(src)
+      val cd = grp.count(_._3 <= score).toDouble / grp.length.toDouble
+      if (cd >= 1.0 - 0.2)
+        Some(id -> ((src, score,
+          BigDecimal(cd).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)))
+      else None
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < all.length)
+  }
+
+  test("rankCalibrate gives tied scores one shared percentile (max-tie semantics) (r8)") {
+    import spark.implicits._
+    val df = Seq((1L, "s", 10L), (2L, "s", 10L), (3L, "s", 20L),
+      (4L, "s", 30L), (5L, "s", 30L)).toDF("doc_id", "source", "n_chars")
+    val got = StatsOps.rankCalibrate(df, "source", "n_chars", "doc_id",
+        keepFrac = 0.61)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // cd: 10 -> 2/5 = 0.4, 20 -> 3/5 = 0.6, 30 -> 5/5 = 1.0; keep cd >= 0.39
+    assert(got === Map(1L -> 0.4, 2L -> 0.4, 3L -> 0.6, 4L -> 1.0, 5L -> 1.0))
+  }
 }

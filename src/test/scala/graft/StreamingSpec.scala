@@ -448,6 +448,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch KMV state equals the batch sketch over the union of batches (r8)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    val input = MemoryStream[(String, String)]
+    val q = EventStreams.kmvStream(input.toDF().toDF("g", "k"),
+      "g", "k", s"$dir/state", s"$dir/ckpt", k = 32)
+    def state(): Set[(String, Long, Int)] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    def batchSketch(rows: Seq[(String, String)]): Set[(String, Long, Int)] =
+      graft.operators.StatsOps.kmvSketch(rows.toDF("g", "k"), "g", "k", 32)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val b1 = (1 to 300).map(i => (if (i % 2 == 0) "a" else "b", s"u$i"))
+    val b2 = (200 to 500).map(i => (if (i % 2 == 0) "a" else "b", s"u$i"))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(state() === batchSketch(b1))
+      // fold == batch sketch over b1 ++ b2 (the KMV merge law), ranks included
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(state() === batchSketch(b1 ++ b2))
+      // state stays sketch-sized: at most k rows per group
+      assert(state().groupBy(_._1).values.forall(_.size <= 32))
+      // estimate off the snapshot tracks truth per group
+      val est = graft.operators.StatsOps.kmvEstimate(
+          EventStreams.readUpsertState(spark, s"$dir/state"), "g", 32)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      val all = b1 ++ b2
+      Seq("a", "b").foreach { g =>
+        val exact = all.filter(_._1 == g).map(_._2).distinct.size.toDouble
+        // rsd(KMV, k=32) ~ 1/sqrt(30) ~ 18%; allow 3x
+        assert(math.abs(est(g) - exact) <= 3 * 0.19 * exact,
+          s"$g est=${est(g)} exact=$exact")
+      }
+    } finally q.stop()
+  }
+
   test("foreachBatch CMS state equals the batch sketch over the union of batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
