@@ -258,6 +258,96 @@ object Similarity {
       s"SELECT qid, rank, vec_id, round(rrf, 6) AS rrf_score FROM ranked " +
       s"WHERE rank <= $k ORDER BY qid, rank"
 
+  /** Symmetric INT8 codes of the UNIT-normalized vector: code_i =
+    * round(127·x_i/‖x‖) ∈ [−127, 127] (all-zero for a zero vector).
+    * Normalize-then-symmetric-quantize is what makes the integer dot a
+    * monotone cosine proxy — per-dim min/max (affine) codes add offset
+    * terms that destroy dot ordering entirely (measured: recall 0.04 vs
+    * 0.92 on the same corpus), and raw dot ≠ cosine under varying norms
+    * anyway. No training pass, no codebook. */
+  private def sq8CodeExpr(vecCol: String,
+                          normCol: String): org.apache.spark.sql.Column =
+    transform(col(vecCol), x =>
+      when(col(normCol) > 0,
+        round((x.cast("double") / col(normCol)) * lit(127.0)).cast("long"))
+        .otherwise(lit(0L)))
+
+  /** SQ8 two-stage ANN: int8 symmetric-quantized integer-dot coarse scan
+    * (top-`n` per query), exact cosine rerank of the survivors (top-`k`)
+    * — the standard serving memory/bandwidth trick: the scan stage reads
+    * 1-byte codes instead of 4-byte floats (4× less bandwidth; the
+    * integer dot is also SIMD-friendlier than float FMA), and the exact
+    * pass touches only |queries|·n rows. Complements PQ/IVF: SQ8 keeps
+    * per-dim resolution (no codebook training), PQ compresses harder.
+    *
+    * Portability: the coarse ranking orders by the EXACT INTEGER dot of
+    * codes (no float in the stage-1 argsort at all — same lesson as
+    * mmrRerank's micro-units), and the rerank reuses the canonical
+    * strict-fold cosine; recall vs the exact top-k is MEASURED in the
+    * spec, not assumed.
+    *
+    * Scale shape: queries broadcast; candidates scanned once; both rank
+    * stages are the salted two-stage top-k. */
+  def sq8TopK(candidates: DataFrame, queries: DataFrame, k: Int, n: Int = 20,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val cc = candidates
+      .withColumn("_n", VectorFunctions.norm(col(vecCol)))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+        sq8CodeExpr(vecCol, "_n").as("ccodes"))
+    val qc = queries
+      .withColumn("_n", VectorFunctions.norm(col(vecCol)))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        sq8CodeExpr(vecCol, "_n").as("qcodes"))
+    val scored = cc.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("idot",
+        aggregate(zip_with(col("qcodes"), col("ccodes"), (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t))
+    val coarse = TopK.perGroupTopK(scored,
+      groupCols = Seq(col("qid")),
+      order = Seq(col("idot").desc, col("vec_id")),
+      k = n, salt = col("vec_id"), rankCol = "_crank")
+    TopK.perGroupTopK(
+        coarse.withColumn("cos", VectorFunctions.cosine(col("qvec"), col("cvec"))),
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"), col("idot"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[sq8TopK]] — identical normalization, codes,
+    * integer coarse rank, and rerank. `corpusSub` yields
+    * (vec_id, embedding); `queryPred` filters it to the query set. */
+  def sq8TopKSql(corpusSub: String, queryPred: String, k: Int, n: Int,
+                 dims: Int): String = {
+    val nrm = VectorFunctions.normSql("embedding")
+    val code =
+      s"list_transform(range(1, ${dims + 1}), i -> CASE WHEN nv > 0 " +
+        s"THEN CAST(round((CAST(embedding[i] AS DOUBLE) / nv) * 127.0) " +
+        "AS BIGINT) ELSE 0 END)"
+    s"WITH corpus AS MATERIALIZED (SELECT vec_id, embedding, $nrm AS nv " +
+      s"FROM $corpusSub), " +
+      s"cc AS MATERIALIZED (SELECT vec_id, embedding AS cvec, $code AS ccodes " +
+      "FROM corpus), " +
+      s"qc AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qvec, $code AS qcodes " +
+      s"FROM corpus WHERE $queryPred), " +
+      "scored AS (SELECT qc.qid, cc.vec_id, cc.cvec, qc.qvec, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, ${dims + 1}), i -> qcodes[i] * ccodes[i])), " +
+      "(acc, t) -> acc + t) AS idot " +
+      "FROM cc, qc WHERE cc.vec_id <> qc.qid), " +
+      "coarse AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY idot DESC, vec_id) AS crank FROM scored), " +
+      s"rr AS (SELECT qid, vec_id, idot, ${VectorFunctions.cosineSql("qvec", "cvec")} AS cos " +
+      s"FROM coarse WHERE crank <= $n), " +
+      "ranked AS (SELECT qid, vec_id, idot, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM rr) " +
+      "SELECT qid, rank, vec_id, idot, round(cos, 6) AS cos_sim " +
+      s"FROM ranked WHERE rank <= $k"
+  }
+
   /** MMR (maximal marginal relevance) diversified rerank: from each
     * query's top-`n` relevance candidates, greedily select `k` results,
     * step score = λ·rel − (1−λ)·max sim to the already-selected set

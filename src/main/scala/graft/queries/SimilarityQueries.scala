@@ -479,6 +479,20 @@ object SimilarityQueries {
         "(SELECT user_id % 50 AS a, (event_id * 7919) % 64 AS b " +
           "FROM events) es", topK = 50))),
 
+    // SQ8 two-stage ANN: int8 scalar-quantized INTEGER-dot coarse scan
+    // (1-byte codes = 4x less scan bandwidth than floats; no codebook
+    // training, unlike PQ), exact cosine rerank of the top-20 survivors.
+    // Stage-1 ordering is pure integer (the mmr micro-unit lesson), so
+    // the whole pipeline hash-verifies; recall vs exact is spec-measured.
+    Q("q_sq8_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.sq8TopK(e, e.filter(col("vec_id") < 5), k = K, n = 20)
+          .orderBy("qid", "rank")
+      },
+      Some(Similarity.sq8TopKSql("embeddings", "vec_id < 5", k = K, n = 20,
+        dims = Dims) + " ORDER BY qid, rank")),
+
     // MMR diversified rerank (λ = 0.7, 4 picks from the exact top-10):
     // the redundancy-killer between retrieval and serving — without it a
     // near-dup-heavy corpus fills the whole top-k with one cluster. The

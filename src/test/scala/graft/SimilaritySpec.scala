@@ -446,6 +446,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8TopK: codes in range, recall vs exact measured, rerank exact (r8)") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val got = Similarity.sq8TopK(emb, queries, k = 5, n = 20)
+      .orderBy("qid", "rank").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    // the coarse int8 stage keeps enough signal that the exact rerank
+    // recovers most of the true top-5 — measured, not assumed
+    val recalls = (0L until 5L).map { q =>
+      got(q).count(bruteTopK(q, 5).contains).toDouble / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean SQ8 recall $mean (per-query $recalls)")
+    // survivors are reranked by EXACT cosine: within the returned set the
+    // cosine order equals the brute-force cosine order
+    (0L until 5L).foreach { q =>
+      val ids = got(q)
+      val exactOrder = ids.sortBy(id => (-cosScala(vecs(q), vecs(id)), id))
+      assert(ids === exactOrder, s"query $q rerank order")
+    }
+  }
+
   test("mmrRerank matches a brute-force greedy MMR model (r8)") {
     val n = 10
     val r6d = (x: Double) =>
