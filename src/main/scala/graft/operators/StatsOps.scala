@@ -1071,6 +1071,60 @@ object StatsOps {
               col("h_k").cast("double")), 6).as("est"))
   }
 
+  /** Day-of-week seasonal profile + multiplicative anomaly flags: each
+    * (group, day)'s count is compared to that group's mean count for the
+    * SAME weekday — the baseline that stops every Saturday from looking
+    * like an incident (a flat mean flags all weekends; q_cusum finds
+    * level shifts, this finds seasonal outliers). Days with zero events
+    * are absent from the sparse calendar (densify with tsResample first
+    * if needed — documented).
+    *
+    * Portability: the weekday comes from an all-integer epoch-day route
+    * (((day − origin) % 7 + 7) % 7) — Spark's dayofweek is 1=Sunday,
+    * DuckDB's 0=Sunday, so neither engine's builtin is used. Expected and
+    * ratio are fixed double trees over exact integers; n_days ≤ 53 means
+    * expected's decimal expansion can't reach the 7th decimal, so the
+    * round(6) face has no boundary to disagree on.
+    *
+    * Scale shape: the daily collapse is the only data-sized shuffle; the
+    * (group × 7)-row profile broadcasts back. */
+  def seasonalDow(df: DataFrame, groupCol: String, tsCol: String,
+                  loRatio: Double = 0.5, hiRatio: Double = 2.0): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("dow",
+        ((datediff(col("day"), lit("2024-01-01").cast("date")) % 7) + 7) % 7)
+    val prof = daily.groupBy(col("g"), col("dow"))
+      .agg(sum(col("c")).as("tot"), count(lit(1)).as("n_days"))
+    val expected = col("tot").cast("double") / col("n_days").cast("double")
+    val ratio = col("c").cast("double") / expected
+    daily.join(broadcast(prof), Seq("g", "dow"))
+      .select(col("g").as(groupCol), col("day"), col("dow"), col("c"),
+        round(expected, 6).as("expected"),
+        round(ratio, 6).as("ratio"),
+        (ratio < loRatio || ratio > hiRatio).as("is_anomaly"))
+      .orderBy(groupCol, "day")
+  }
+
+  /** DuckDB oracle for [[seasonalDow]] — identical integer dow route and
+    * double trees. */
+  def seasonalDowSql(table: String, groupExpr: String, tsExpr: String,
+                     loRatio: Double = 0.5, hiRatio: Double = 2.0): String = {
+    val expected = "(CAST(tot AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    val ratio = s"(CAST(c AS DOUBLE) / $expected)"
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      "d2 AS (SELECT g, day, c, " +
+      "CAST(((datediff('day', DATE '2024-01-01', day) % 7) + 7) % 7 " +
+      "AS INTEGER) AS dow FROM daily), " +
+      "prof AS (SELECT g, dow, CAST(sum(c) AS BIGINT) AS tot, " +
+      "CAST(count(*) AS BIGINT) AS n_days FROM d2 GROUP BY g, dow) " +
+      s"SELECT g AS $groupExpr, day, dow, c, " +
+      s"round($expected, 6) AS expected, round($ratio, 6) AS ratio, " +
+      s"($ratio < $loRatio OR $ratio > $hiRatio) AS is_anomaly " +
+      s"FROM d2 JOIN prof USING (g, dow) ORDER BY $groupExpr, day"
+  }
+
   /** Per-group rank calibration: map each row's score to its within-group
     * cumulative fraction cd = |score' <= score| / n (cume_dist with
     * max-tie semantics), then keep the top `keepFrac` — the standard move

@@ -548,6 +548,18 @@ object TemporalQueries {
       (s, d) => graft.operators.StatsOps.ewmaDaily(
         ev(s, d), "event_type", "ts", "value", alpha = 0.25),
       Some(graft.operators.StatsOps.ewmaDailySql(
-        "events", "event_type", "ts", "value", alpha = 0.25)))
+        "events", "event_type", "ts", "value", alpha = 0.25))),
+
+    // Day-of-week seasonal baseline + multiplicative anomaly flags: each
+    // daily count vs its group's same-weekday mean — the profile that
+    // stops every Saturday from looking like an incident (q_cusum finds
+    // level shifts; this finds seasonal outliers). All-integer epoch-day
+    // weekday route (neither engine's dayofweek builtin — they disagree
+    // on Sunday's index), exact-integer profile, fixed double trees.
+    Q("q_seasonal",
+      (s, d) => graft.operators.StatsOps.seasonalDow(
+        ev(s, d), "event_type", "ts"),
+      Some(graft.operators.StatsOps.seasonalDowSql(
+        "events", "event_type", "ts")))
   )
 }

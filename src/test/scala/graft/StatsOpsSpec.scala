@@ -629,6 +629,35 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonalDow matches a weekday-profile model on real events (r8)") {
+    val got = StatsOps.seasonalDow(Tables.load(spark, sfDir, "events"),
+        "event_type", "ts")
+      .collect()
+      .map(row => (row.getString(0), row.getDate(1).toString) ->
+        ((row.getInt(2), row.getLong(3), row.getDouble(4), row.getDouble(5),
+          row.getBoolean(6))))
+      .toMap
+    val origin = java.time.LocalDate.parse("2024-01-01")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val daily = tsRows.groupBy(p => (p._1, dayOf(p._2)))
+      .map { case ((t, day), rows) => (t, day) -> rows.size.toLong }
+    val byDow = daily.groupBy { case ((t, day), _) =>
+      (t, (((java.time.temporal.ChronoUnit.DAYS.between(origin, day) % 7) + 7) % 7).toInt)
+    }
+    byDow.foreach { case ((t, dw), entries) =>
+      val tot = entries.values.sum
+      val nDays = entries.size
+      val expected = tot.toDouble / nDays.toDouble
+      entries.foreach { case ((_, day), c) =>
+        val ratio = c.toDouble / expected
+        val want = (dw, c, r6(expected), r6(ratio), ratio < 0.5 || ratio > 2.0)
+        assert(got((t, day.toString)) === want, s"$t $day")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("rankCalibrate matches a cume_dist model and keeps exactly the top fraction (r8)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val all = docs.select("doc_id", "source", "n_chars").collect()
