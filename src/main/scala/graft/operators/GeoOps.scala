@@ -98,6 +98,77 @@ object GeoOps {
     * layout + ordinary parquet stats (the same mechanism Delta/Iceberg
     * Z-ORDER uses, expressed with repartitionByRange + sort). `files`
     * ~= dataset size / 128 MB at the target scale. */
+  /** Supersampled footprint COVERAGE raster: the fraction of each grid
+    * cell covered by the UNION of circular footprints of radius `r`
+    * around each shot — the physical-GEDI nuance [[rasterize]]'s
+    * point-in-cell counting misses (a 25 m footprint straddling a cell
+    * boundary contributes area to BOTH cells; a point rasterizer credits
+    * one). Coverage is computed on an `sub`×`sub` subcell lattice:
+    * a subcell counts as covered when its CENTER lies inside any
+    * footprint — an integer-exact union (no circle-rectangle analytic
+    * area, which needs asin/acos — libm calls with no cross-engine
+    * exactness guarantee).
+    *
+    * Scale shape: per shot a constant 9·sub² candidate fan-out (narrow
+    * generate, no join — `r` must be ≤ `res` so 3×3 neighborhoods
+    * suffice; require-checked), then ONE distinct-collapse shuffle on
+    * the (cell, subcell) key and a map-side-combined count per cell.
+    * Output is cell-count-sized. The distance test and subcell centers
+    * are fixed double trees over exact integers — hash-portable. */
+  def footprintCover(df: DataFrame, x: Column, y: Column, res: Double,
+                     r: Double, sub: Int = 4): DataFrame = {
+    require(r <= res, s"footprint radius $r must be <= cell size $res " +
+      "(3x3 candidate neighborhoods)")
+    val base = df.select(x.as("px"), y.as("py"),
+      floor(x / res).cast("long").as("bx"),
+      floor(y / res).cast("long").as("by"))
+    val fan = base
+      .select(col("px"), col("py"), col("bx"), col("by"),
+        explode(sequence(lit(-1), lit(1))).as("dx"))
+      .select(col("px"), col("py"), col("bx"), col("by"), col("dx"),
+        explode(sequence(lit(-1), lit(1))).as("dy"))
+      .select(col("px"), col("py"),
+        (col("bx") + col("dx")).as("cx"), (col("by") + col("dy")).as("cy"),
+        explode(sequence(lit(0), lit(sub - 1))).as("si"))
+      .select(col("px"), col("py"), col("cx"), col("cy"), col("si"),
+        explode(sequence(lit(0), lit(sub - 1))).as("sj"))
+    val subD = sub.toDouble
+    val sx = (col("cx").cast("double") +
+      ((col("si").cast("double") + lit(0.5)) / lit(subD))) * lit(res)
+    val sy = (col("cy").cast("double") +
+      ((col("sj").cast("double") + lit(0.5)) / lit(subD))) * lit(res)
+    val covered = ((sx - col("px")) * (sx - col("px")) +
+      (sy - col("py")) * (sy - col("py"))) <= lit(r * r)
+    fan.filter(covered)
+      .select(col("cx"), col("cy"), col("si"), col("sj"))
+      .groupBy(col("cx"), col("cy"), col("si"), col("sj")).agg(lit(1))
+      .groupBy(col("cx"), col("cy")).agg(count(lit(1)).as("n_sub"))
+      .select(col("cx"), col("cy"), col("n_sub"),
+        round(col("n_sub").cast("double") / lit(subD * subD), 6)
+          .as("coverage"))
+  }
+
+  /** DuckDB oracle for [[footprintCover]] — identical lattice and trees.
+    * `pointsSub` yields columns aliased `px`, `py`. */
+  def footprintCoverSql(pointsSub: String, res: Double, r: Double,
+                        sub: Int = 4): String = {
+    val subD = s"$sub.0"
+    val sx = s"((CAST(cx AS DOUBLE) + ((CAST(si AS DOUBLE) + 0.5) / $subD)) * $res)"
+    val sy = s"((CAST(cy AS DOUBLE) + ((CAST(sj AS DOUBLE) + 0.5) / $subD)) * $res)"
+    s"WITH pts AS (SELECT px, py, CAST(floor(px / $res) AS BIGINT) AS bx, " +
+      s"CAST(floor(py / $res) AS BIGINT) AS by FROM $pointsSub), " +
+      "fan AS (SELECT px, py, bx + dx.x AS cx, by + dy.x AS cy, si.x AS si, sj.x AS sj " +
+      "FROM pts, (SELECT unnest(range(-1, 2)) AS x) dx, " +
+      "(SELECT unnest(range(-1, 2)) AS x) dy, " +
+      s"(SELECT unnest(range(0, $sub)) AS x) si, " +
+      s"(SELECT unnest(range(0, $sub)) AS x) sj), " +
+      s"cov AS (SELECT DISTINCT cx, cy, si, sj FROM fan WHERE " +
+      s"($sx - px) * ($sx - px) + ($sy - py) * ($sy - py) <= ${r * r}) " +
+      "SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_sub, " +
+      s"round(CAST(count(*) AS DOUBLE) / ($subD * $subD), 6) AS coverage " +
+      "FROM cov GROUP BY cx, cy"
+  }
+
   def writeSpatiallyClustered(df: DataFrame, x: Column, y: Column,
                               outDir: String, files: Int = 16,
                               bits: Int = 16): Unit =

@@ -319,6 +319,21 @@ object CoreQueries {
         "round(sum(value), 2) AS sum_value FROM " + Shots.sql +
         " GROUP BY cy, cx ORDER BY cy, cx")),
 
+    // Footprint COVERAGE raster (supersampled union of circular
+    // footprints, r = 0.2° on a 0.5° grid, 4×4 subcell lattice): the
+    // physical-GEDI nuance the point rasterizer misses — a footprint
+    // straddling a boundary contributes to BOTH cells. Integer-exact
+    // subcell union (no asin/acos analytic area — libm is not
+    // cross-engine exact); constant 9·16 fan-out per shot, one
+    // distinct-collapse shuffle.
+    Q("q_footprint_cover",
+      (s, d) => GeoOps.footprintCover(Shots.df(s, d),
+          col("lon"), col("lat"), res = 0.5, r = 0.2, sub = 4)
+        .orderBy("cy", "cx"),
+      Some(GeoOps.footprintCoverSql(
+        s"(SELECT lon AS px, lat AS py FROM ${Shots.sql})",
+        res = 0.5, r = 0.2, sub = 4) + " ORDER BY cy, cx")),
+
     // Multiband raster long frame (the xarray-Dataset analogue): three
     // bands from ONE cell shuffle, unpivoted by a narrow stack. Band
     // rows ordered (band, cy, cx) for the oracle.

@@ -250,6 +250,30 @@ class GeoSpec extends SparkSpec {
     assert(clustered < plain / 2,
       s"clustered=$clustered vs plain=$plain — layout made no difference")
   }
+
+  test("footprintCover: closed-form lattice counts, straddle split, union dedup (r8)") {
+    def run(pts: Seq[(Double, Double)]): Map[(Long, Long), (Long, Double)] =
+      GeoOps.footprintCover(pts.toDF("x", "y"), col("x"), col("y"),
+          res = 0.5, r = 0.2, sub = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+        .toMap
+    // point at the center of cell (0,0): 4x4 subcell offsets are
+    // {±0.0625, ±0.1875}; r² = 0.04 admits the inner 2x2 and the 8 edge
+    // subcells (0.0390625 <= 0.04) but not the corners (0.0703) -> 12/16
+    assert(run(Seq((0.25, 0.25))) === Map((0L, 0L) -> ((12L, 0.75))))
+    // point ON the x-boundary between cells 0 and 1 covers 6 subcells in
+    // EACH - the straddle a point rasterizer would credit to one cell
+    assert(run(Seq((0.5, 0.25))) ===
+      Map((0L, 0L) -> ((6L, 0.375)), (1L, 0L) -> ((6L, 0.375))))
+    // coincident footprints union, not add
+    assert(run(Seq((0.25, 0.25), (0.25, 0.25))) === Map((0L, 0L) -> ((12L, 0.75))))
+    // radius > res is refused (3x3 neighborhoods would under-cover)
+    intercept[IllegalArgumentException] {
+      GeoOps.footprintCover(Seq((0.0, 0.0)).toDF("x", "y"),
+        col("x"), col("y"), res = 0.5, r = 0.6)
+    }
+  }
 }
 
 /** Round-8: UTM transverse mercator (VERDICT r7 #5 — general CRS). */
@@ -347,4 +371,5 @@ class UtmSpec extends SparkSpec {
     assert(got.collect().map(_.mkString("|")).toSeq ===
       oracle.collect().map(_.mkString("|")).toSeq)
   }
+
 }
