@@ -73,6 +73,83 @@ object Multimodal {
     }
   }
 
+  /** Per-frame fingerprint: the polynomial byte fold over the frame
+    * payload (same P as the text hash — oracle-checkable for ASCII
+    * payloads). The real-codec analogue is a perceptual hash (pHash) per
+    * decoded frame; the fold slots into the same typed seam. */
+  def frameFingerprints(frames: Dataset[MediaFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        var acc = 0L
+        var i = 0
+        while (i < f.frame.length) {
+          acc = (acc * 31L + (f.frame(i) & 0xffL)) % P
+          i += 1
+        }
+        (f.media_id, f.frame_idx, acc)
+      }
+    }.toDF("media_id", "frame_idx", "fh")
+  }
+
+  /** Media near-duplicate pairs by shared frame fingerprints — the
+    * video-dedup shape (two clips sharing ≥ `minShared` sampled-frame
+    * signatures are the same footage): [[frameSample]] →
+    * [[frameFingerprints]] → distinct (media, fh) → fingerprint-keyed
+    * self-join → per-pair shared count + overlap = shared/min(|A|,|B|).
+    * This is the end-to-end multimodal pipeline: typed Dataset seam in,
+    * relational dedup out.
+    *
+    * Scale shape: media never compares all-pairs — only records sharing
+    * a frame hash meet, via one 8-byte-key join (the substr_dedup
+    * shingle shape). A frame shared by K media costs K² pair rows: cap
+    * hot fingerprints first at web scale (the q_minhash_pairs maxBucket
+    * convention — boilerplate intros/black frames are the celebrity
+    * keys here). */
+  def mediaNearDup(media: Dataset[MediaRecord], frameBytes: Int,
+                   stride: Int, minShared: Long): DataFrame = {
+    val fh = frameFingerprints(frameSample(media, frameBytes, stride))
+      .select(col("media_id"), col("fh")).distinct()
+      .localCheckpoint()
+    val cnt = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
+    val pairs = fh.as("x")
+      .join(fh.as("y"), col("x.fh") === col("y.fh") &&
+        col("x.media_id") < col("y.media_id"))
+      .groupBy(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    pairs
+      .join(cnt.withColumnRenamed("media_id", "a").withColumnRenamed("nf", "nfa"), Seq("a"))
+      .join(cnt.withColumnRenamed("media_id", "b").withColumnRenamed("nf", "nfb"), Seq("b"))
+      .select(col("a"), col("b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("nfa"), col("nfb")).cast("double"), 6).as("overlap"))
+  }
+
+  /** DuckDB oracle for [[mediaNearDup]] over [[mediaFromDocuments]]
+    * payloads (ASCII text bytes ≡ chars, like the q_media_features
+    * oracle): identical frame slicing, byte fold, and pair tree. */
+  def mediaNearDupSql(docsTable: String, frameBytes: Int, stride: Int,
+                      minShared: Long): String = {
+    val hash = graft.functions.TextFunctions.charHashSql(
+      s"substr(text, CAST(fi * $frameBytes + 1 AS BIGINT), $frameBytes)")
+    s"WITH m AS (SELECT doc_id AS media_id, text FROM $docsTable), " +
+      s"fr AS (SELECT media_id, unnest(range(0, " +
+      s"(length(text) + ${frameBytes - 1}) // $frameBytes, $stride)) AS fi, " +
+      "text FROM m), " +
+      s"fh AS (SELECT DISTINCT media_id, $hash AS h FROM fr), " +
+      "cnt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf FROM fh GROUP BY media_id), " +
+      "p AS (SELECT x.media_id AS a, y.media_id AS b, " +
+      "CAST(count(*) AS BIGINT) AS shared FROM fh x " +
+      "JOIN fh y ON x.h = y.h AND x.media_id < y.media_id GROUP BY a, b) " +
+      "SELECT a, b, shared, round(CAST(shared AS DOUBLE) / " +
+      "CAST(least(ca.nf, cb.nf) AS DOUBLE), 6) AS overlap " +
+      "FROM p JOIN cnt ca ON p.a = ca.media_id " +
+      "JOIN cnt cb ON p.b = cb.media_id " +
+      s"WHERE shared >= $minShared"
+  }
+
   /** One sampled frame (offset + payload slice) from a media record. */
   final case class MediaFrame(media_id: Long, frame_idx: Long, offset: Long,
                               frame: Array[Byte])

@@ -183,6 +183,21 @@ object SimilarityQueries {
           "FROM f ORDER BY media_id"
       }),
 
+    // Media near-dup by shared frame fingerprints — the video-dedup
+    // shape run END-TO-END through the multimodal seam: typed
+    // frameSample (64-byte frames, stride 2) → per-frame byte-fold
+    // fingerprint (pHash stand-in) → fingerprint-keyed pair join with
+    // shared-count + overlap faces. Media only meet through shared
+    // hashes (never all-pairs); hot-fingerprint capping documented for
+    // boilerplate/black-frame keys.
+    Q("q_media_dedup",
+      (s, d) => Multimodal.mediaNearDup(
+          Multimodal.mediaFromDocuments(Tables.load(s, d, "documents")),
+          frameBytes = 64, stride = 2, minShared = 2)
+        .orderBy("a", "b"),
+      Some(Multimodal.mediaNearDupSql("documents", frameBytes = 64,
+        stride = 2, minShared = 2) + " ORDER BY a, b")),
+
     // Product-quantization encode: 64 floats -> 4 codes (16-dim blocks,
     // 8 codewords each from the vec_id<8 codebook convention). The Spark
     // side embeds the collected codebook as plan constants (scan-stage

@@ -119,6 +119,38 @@ class MergeMetricsSpec extends SparkSpec {
     assert(ids.size === 20)
   }
 
+  test("mediaNearDup pairs media by shared frame fingerprints (r8)") {
+    import spark.implicits._
+    // frames are 4 bytes, stride 1. A/B share frames "aaaa" and "bbbb";
+    // A/C share only "aaaa"; D shares nothing.
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "text", "aaaabbbbcccc".getBytes("UTF-8")),
+      Multimodal.MediaRecord(2L, "text", "aaaabbbbdddd".getBytes("UTF-8")),
+      Multimodal.MediaRecord(3L, "text", "aaaaeeee".getBytes("UTF-8")),
+      Multimodal.MediaRecord(4L, "text", "ffffgggg".getBytes("UTF-8"))
+    ).toDS()
+    val got = Multimodal.mediaNearDup(media, frameBytes = 4, stride = 1,
+        minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // only (1,2) passes minShared=2: 2 shared of min(3,3) frames
+    assert(got === Map((1L, 2L) -> ((2L, 0.666667))))
+    // with minShared=1 the (1,3)/(2,3) single-frame pairs appear too
+    val loose = Multimodal.mediaNearDup(media, frameBytes = 4, stride = 1,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // duplicate frames within one record don't inflate shared counts:
+    // distinct (media, fh) means repeated "aaaa" still counts once
+    val rep = Seq(
+      Multimodal.MediaRecord(10L, "text", "aaaaaaaa".getBytes("UTF-8")),
+      Multimodal.MediaRecord(11L, "text", "aaaahhhh".getBytes("UTF-8"))
+    ).toDS()
+    val repGot = Multimodal.mediaNearDup(rep, 4, 1, 1).collect()
+    assert(repGot.length === 1)
+    assert(repGot(0).getLong(2) === 1L) // shared = 1, not 2
+  }
+
   test("manifest discover walks directories recursively by glob") {
     import graft.sources.Manifest
     val root = java.nio.file.Files.createTempDirectory("graft_disc")
