@@ -580,6 +580,38 @@ object Cli {
           opts.getOrElse("lambda-tenths", "7").toInt,
           opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding")))
 
+      case "seasonal" =>
+        write(graft.operators.StatsOps.seasonalDow(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts("group"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("lo", "0.5").toDouble,
+          opts.getOrElse("hi", "2.0").toDouble))
+
+      case "footprint" =>
+        write(graft.operators.GeoOps.footprintCover(in("input"),
+          col(opts.getOrElse("x", "lon")), col(opts.getOrElse("y", "lat")),
+          opts("res").toDouble, opts("r").toDouble,
+          opts.getOrElse("sub", "4").toInt))
+
+      case "sq8" =>
+        write(graft.operators.Similarity.sq8TopK(in("input"),
+          spark.read.parquet(opts("queries")),
+          opts.getOrElse("k", "5").toInt, opts.getOrElse("n", "20").toInt,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding")))
+
+      case "linkpredict" =>
+        write(graft.operators.GraphOps.linkPredictRA(in("input"),
+          opts.getOrElse("topk", "50").toInt,
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "mediadedup" =>
+        // input = documents-shaped parquet (doc_id, text) as media payloads
+        write(graft.operators.Multimodal.mediaNearDup(
+          graft.operators.Multimodal.mediaFromDocuments(in("input")),
+          opts.getOrElse("frame", "64").toInt,
+          opts.getOrElse("stride", "2").toInt,
+          opts.getOrElse("min-shared", "2").toLong))
+
       case other => sys.error(s"unknown command: $other")
     }
 

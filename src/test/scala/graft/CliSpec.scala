@@ -606,4 +606,49 @@ class CliSpec extends SparkSpec {
     assert(mmGot.columns.toSet === Set("qid", "step", "vec_id", "mmr_score"))
     assert(mmGot.count() === 9) // 3 queries x 3 picks
   }
+
+  test("cli seasonal / footprint / sq8 / linkpredict / mediadedup wire the last r8 operators") {
+    import spark.implicits._
+    val ev = s"$sfDir/events.parquet"
+    val se = tmp() + "/se"
+    Cli.run(spark, "seasonal", Map("input" -> ev, "output" -> se,
+      "group" -> "event_type"))
+    val seGot = spark.read.parquet(se)
+    assert(seGot.columns.toSet ===
+      Set("event_type", "day", "dow", "c", "expected", "ratio", "is_anomaly"))
+    assert(seGot.count() > 0)
+
+    val pts = tmp() + "/pts"
+    Seq((0.25, 0.25)).toDF("lon", "lat").write.parquet(pts)
+    val fc = tmp() + "/fc"
+    Cli.run(spark, "footprint", Map("input" -> pts, "output" -> fc,
+      "res" -> "0.5", "r" -> "0.2"))
+    val fcGot = spark.read.parquet(fc).collect()
+    assert(fcGot.length === 1 && fcGot(0).getLong(2) === 12L)
+
+    val emb = s"$sfDir/embeddings.parquet"
+    val qs = tmp() + "/sqq"
+    spark.read.parquet(emb).filter(col("vec_id") < 3).write.parquet(qs)
+    val sq = tmp() + "/sq"
+    Cli.run(spark, "sq8", Map("input" -> emb, "queries" -> qs,
+      "output" -> sq, "k" -> "4"))
+    val sqGot = spark.read.parquet(sq)
+    assert(sqGot.columns.toSet === Set("qid", "rank", "vec_id", "idot", "cos_sim"))
+    assert(sqGot.count() === 12)
+
+    val edges = tmp() + "/lpedges"
+    Seq((1L, 2L), (2L, 3L)).toDF("a", "b").write.parquet(edges)
+    val lp = tmp() + "/lp"
+    Cli.run(spark, "linkpredict", Map("input" -> edges, "output" -> lp))
+    val lpGot = spark.read.parquet(lp).collect()
+    assert(lpGot.length === 1 &&
+      (lpGot(0).getLong(0), lpGot(0).getLong(1)) === ((1L, 3L)))
+
+    val docs = s"$sfDir/documents.parquet"
+    val md = tmp() + "/md"
+    Cli.run(spark, "mediadedup", Map("input" -> docs, "output" -> md,
+      "min-shared" -> "1"))
+    assert(spark.read.parquet(md).columns.toSet ===
+      Set("a", "b", "shared", "overlap"))
+  }
 }
