@@ -87,4 +87,22 @@ class BoundedWindowSpec extends SparkSpec {
     val parts = docs.rdd.getNumPartitions.toLong
     assertBounded("q_shard_plan", math.max(parts, 64L))
   }
+
+  test("score calibrate: the grid cumsum reads distinct scores, never doc rows (r8)") {
+    // rankCalibrate's declared scale story is that the window runs over
+    // the (source, DISTINCT score) grid — enforce it: every window in
+    // the plan (the grid cumsum is partitioned by source) is bounded by
+    // the distinct-score-pair count and strictly below the corpus size
+    val gridRows = docs.select("source", "n_chars").distinct().count()
+    val inputs = PlanBridge.analyzedPlan(q("q_score_calibrate")).collect {
+      case w: LWindow => PlanBridge.ofRows(spark, w.child).count()
+    }
+    assert(inputs.nonEmpty, "q_score_calibrate: expected the grid window")
+    inputs.foreach { n =>
+      assert(n <= gridRows,
+        s"q_score_calibrate: window reads $n rows, grid bound is $gridRows")
+      assert(n < nDocs,
+        s"q_score_calibrate: window reads $n rows — corpus-scaled")
+    }
+  }
 }
