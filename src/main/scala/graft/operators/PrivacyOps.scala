@@ -61,6 +61,78 @@ object PrivacyOps {
       .orderBy(quasiCols.map(col): _*)
   }
 
+  /** Distinct l-diversity suppression (Machanavajjhala 2007) — closes
+    * k-anonymity's homogeneity hole: a class of k rows that all share ONE
+    * sensitive value still discloses it, so a released class must carry
+    * at least `l` DISTINCT sensitive values. Classes below `l` suppress
+    * exactly as in [[kAnonymize]] (quasi columns collapse to "*", one
+    * residual row counts the withheld rows; the residual's sensitive
+    * diversity is deliberately NOT reported — it would leak).
+    *
+    * Scale shape: the class frame builds in TWO map-side-combined
+    * groupBys ((quasi, sensitive) then quasi) — no count-distinct Expand
+    * over the corpus. Null handling and the "*" sentinel guard follow
+    * kAnonymize; a real NULL sensitive value merging with the string
+    * "null" only ever LOWERS apparent diversity (suppresses more, never
+    * releases more) — the privacy-safe direction.
+    *
+    * Output: (quasi..., n_rows, n_sensitive, suppressed); n_sensitive is
+    * null on the residual row. */
+  def lDiversify(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversify needs at least one quasi column")
+    require(l >= 2, "l must be >= 2 (l=1 releases everything)")
+    val cells = df
+      .groupBy(quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("null")).as(c)) :+
+        coalesce(col(sensitiveCol).cast("string"), lit("null")).as("_sv"): _*)
+      .agg(count(lit(1)).as("cn"))
+    val classes = cells
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("cn")).as("n"), count(lit(1)).as("nsv"))
+      .localCheckpoint()
+    val starred = classes.filter(col("nsv") >= l &&
+      quasiCols.map(c => col(c) === "*").reduce(_ || _)).limit(1).count()
+    require(starred == 0L,
+      "lDiversify: a released class carries the literal quasi value \"*\" " +
+        "(it would merge with the suppression residual) — rename it upstream")
+    classes
+      .select(quasiCols.map(c =>
+        when(col("nsv") >= l, col(c)).otherwise(lit("*")).as(c)) :+
+        col("n") :+ col("nsv"): _*)
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("n")).as("n_rows"),
+        min(col("nsv")).as("_minsv"))
+      .withColumn("suppressed", col(quasiCols.head) === "*")
+      .select(quasiCols.map(col) :+ col("n_rows") :+
+        when(!col("suppressed"), col("_minsv")).otherwise(lit(null).cast("long"))
+          .as("n_sensitive") :+ col("suppressed"): _*)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
+  /** DuckDB oracle for [[lDiversify]] — identical two-stage class build,
+    * suppression collapse and residual re-group. */
+  def lDiversifySql(table: String, quasi: Seq[(String, String)],
+                    sensitiveExpr: String, l: Int): String = {
+    val names = quasi.map(_._2)
+    val qsel = quasi
+      .map { case (e, n) => s"coalesce(CAST($e AS VARCHAR), 'null') AS $n" }
+      .mkString(", ")
+    val star = names.map(n => s"CASE WHEN nsv >= $l THEN $n ELSE '*' END AS $n")
+      .mkString(", ")
+    val glist = names.mkString(", ")
+    s"WITH cells AS (SELECT $qsel, " +
+      s"coalesce(CAST($sensitiveExpr AS VARCHAR), 'null') AS _sv, " +
+      s"CAST(count(*) AS BIGINT) AS cn FROM $table GROUP BY $glist, _sv), " +
+      s"classes AS (SELECT $glist, CAST(sum(cn) AS BIGINT) AS n, " +
+      s"CAST(count(*) AS BIGINT) AS nsv FROM cells GROUP BY $glist), " +
+      s"marked AS (SELECT $star, n, nsv FROM classes) " +
+      s"SELECT $glist, CAST(sum(n) AS BIGINT) AS n_rows, " +
+      s"CASE WHEN ${names.head} <> '*' THEN CAST(min(nsv) AS BIGINT) END " +
+      s"AS n_sensitive, (${names.head} = '*') AS suppressed " +
+      s"FROM marked GROUP BY $glist ORDER BY $glist"
+  }
+
   /** DuckDB oracle for [[kAnonymize]] — identical class build,
     * suppression collapse and residual re-group. `quasi` pairs each SQL
     * expression with its output name (MUST equal the Spark column name). */

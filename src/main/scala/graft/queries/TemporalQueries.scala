@@ -522,6 +522,21 @@ object TemporalQueries {
         "events", Seq("event_type" -> "event_type",
           "(user_id % 97)" -> "ubucket"), k = 10))),
 
+    // Distinct l-diversity (l = 5) over the same quasi grid with a
+    // 7-valued event-level sensitive bucket — closes q_kanon's
+    // homogeneity hole: a
+    // class of >= k rows all sharing one sensitive value still discloses
+    // it. Two map-side-combined groupBys (no count-distinct Expand); the
+    // residual's diversity is deliberately unreported.
+    Q("q_ldiversity",
+      (s, d) => graft.operators.PrivacyOps.lDiversify(
+        ev(s, d).select(col("event_type"), (col("user_id") % 97).as("ubucket"),
+          (col("event_id") % 7).as("sens")),
+        Seq("event_type", "ubucket"), "sens", l = 5),
+      Some(graft.operators.PrivacyOps.lDiversifySql(
+        "events", Seq("event_type" -> "event_type",
+          "(user_id % 97)" -> "ubucket"), "(event_id % 7)", l = 5))),
+
     // Per-type OLS value-over-time trend: exact integer moments (seconds
     // since a fixed origin × floor-cents) summed as DECIMAL(38,0), then
     // one closed-form double tree for slope/intercept/R² — drift

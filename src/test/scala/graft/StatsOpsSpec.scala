@@ -420,6 +420,30 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("lDiversify: homogeneous classes suppress even when large (r8)") {
+    import graft.operators.PrivacyOps
+    // (a,x): 6 rows but ONE sensitive value -> suppressed (k-anonymity
+    // would release it — the homogeneity hole). (a,y): 4 rows, 3 distinct
+    // sensitive values -> released. (b,z): 2 distinct -> suppressed at l=3.
+    val df = (Seq.fill(6)(("a", "x", Some("s1"))) ++
+      Seq(("a", "y", Some("s1")), ("a", "y", Some("s2")),
+        ("a", "y", Some("s3")), ("a", "y", Some("s1")),
+        ("b", "z", Some("s1")), ("b", "z", None: Option[String])))
+      .toDF("g", "h", "sv")
+    val got = PrivacyOps.lDiversify(df, Seq("g", "h"), "sv", l = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(got.toSeq === Seq(
+      ("*", "*", 8L, None, true),       // 6 homogeneous + 2 low-diversity
+      ("a", "y", 4L, Some(3L), false)))
+    // released classes all meet the diversity floor; totals conserved
+    assert(got.filterNot(_._5).forall(_._4.exists(_ >= 3L)))
+    assert(got.map(_._3).sum === 12L)
+    intercept[IllegalArgumentException] {
+      PrivacyOps.lDiversify(df, Seq("g"), "sv", l = 1)
+    }
+  }
+
   /** Welch model sharing the operator's exact arithmetic tree. */
   private def welchModel(a: Seq[Long], b: Seq[Long]):
       (Long, Long, Double, Double, Double, Double) = {
