@@ -362,6 +362,45 @@ object Temporal {
     * (EventStreams.retentionStream) derive from, so the two cannot
     * drift. Two shuffles (user frontier, then cohort-cell distinct),
     * both key-balanced. */
+  /** Interval-OVERLAP join: every (a, b) pair whose closed microsecond
+    * intervals intersect (a_start ≤ b_end ∧ b_start ≤ a_end) — the
+    * interval-interval sibling of the point-in-interval RangeJoin
+    * strategy (downtime × session overlap, contract × usage windows).
+    *
+    * Scale shape: NEVER the quadratic cross join — both sides explode
+    * into fixed-width time bins (interval length / binUs rows each) and
+    * meet through an equi-join on the bin key. Each overlapping pair
+    * would meet in every shared bin, so a pair is emitted exactly ONCE:
+    * in bin max(binOf(a_start), binOf(b_start)), which every overlapping
+    * pair shares — the joinless-dedup trick the LSH band emission uses.
+    * Pick binUs near the typical interval length: too small explodes
+    * rows, too large degrades to few fat bins (documented knob; skew =
+    * a bin where many long intervals coexist — split hot bins by a salt
+    * on one side + bin-range dup on the other at web scale).
+    *
+    * Inputs carry integer microsecond bounds (`aStart`/`aEnd`,
+    * `bStart`/`bEnd` column names); all comparisons are integer, so the
+    * join hash-verifies. Output: all a-columns + b-columns +
+    * overlap_us = min(ends) − max(starts) (≥ 0). */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aStart: String, aEnd: String, bStart: String, bEnd: String,
+                   binUs: Long): DataFrame = {
+    require(binUs > 0, "binUs must be positive")
+    def bins(df: DataFrame, s: String, e: String) =
+      df.withColumn("_bin", explode(sequence(
+        floor(col(s) / binUs).cast("long"), floor(col(e) / binUs).cast("long"))))
+    val ab = bins(a, aStart, aEnd)
+    val bb = bins(b, bStart, bEnd).withColumnRenamed("_bin", "_binb")
+    ab.join(bb, col("_bin") === col("_binb") &&
+        col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("_bin") === greatest(
+          floor(col(aStart) / binUs).cast("long"),
+          floor(col(bStart) / binUs).cast("long")))
+      .drop("_bin", "_binb")
+      .withColumn("overlap_us",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+  }
+
   def retentionMatrix(activity: DataFrame): DataFrame = {
     val cohorts = activity.groupBy("user_id").agg(min(col("day")).as("cohort"))
     activity.join(cohorts, "user_id")

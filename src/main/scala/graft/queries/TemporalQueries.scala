@@ -537,6 +537,41 @@ object TemporalQueries {
         "events", Seq("event_type" -> "event_type",
           "(user_id % 97)" -> "ubucket"), "(event_id % 7)", l = 5))),
 
+    // Interval-OVERLAP join: per-(user, day) activity spans × error-hour
+    // incident windows — "which users were active during an incident",
+    // the interval-interval sibling of q_range_join's point-in-interval
+    // strategy. Spark side runs the BINNED equi-join (hour bins,
+    // emit-once in max(start-bin) — never quadratic); the oracle is the
+    // plain quadratic overlap join, so losslessness itself is
+    // hash-proven (the q_setsim_join convention). All-integer
+    // microsecond bounds.
+    Q("q_interval_join",
+      (s, d) => {
+        val e = ev(s, d)
+        val act = e.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(min(unix_micros(col("ts"))).as("a_start"),
+            max(unix_micros(col("ts"))).as("a_end"))
+        val inc = e.filter(col("event_type") === "error")
+          .select((expr("unix_micros(ts) div 3600000000") * lit(3600000000L))
+            .as("b_start"))
+          .distinct()
+          .withColumn("b_end", col("b_start") + lit(3599999999L))
+        Temporal.intervalJoin(act, inc, "a_start", "a_end",
+            "b_start", "b_end", binUs = 3600000000L)
+          .select(col("user_id"), col("day"), col("b_start"), col("overlap_us"))
+          .orderBy("user_id", "day", "b_start")
+      },
+      Some("WITH a AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "min(epoch_us(ts)) AS a_start, max(epoch_us(ts)) AS a_end " +
+        "FROM events GROUP BY user_id, day), " +
+        "b AS (SELECT DISTINCT (epoch_us(ts) // 3600000000) * 3600000000 " +
+        "AS b_start FROM events WHERE event_type = 'error'), " +
+        "b2 AS (SELECT b_start, b_start + 3599999999 AS b_end FROM b) " +
+        "SELECT user_id, day, b_start, " +
+        "least(a_end, b_end) - greatest(a_start, b_start) AS overlap_us " +
+        "FROM a JOIN b2 ON a_start <= b_end AND b_start <= a_end " +
+        "ORDER BY user_id, day, b_start")),
+
     // Per-type OLS value-over-time trend: exact integer moments (seconds
     // since a fixed origin × floor-cents) summed as DECIMAL(38,0), then
     // one closed-form double tree for slope/intercept/R² — drift

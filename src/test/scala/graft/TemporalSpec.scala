@@ -398,4 +398,35 @@ class TemporalSpec extends SparkSpec {
     assert(canon(Temporal.mergeIntervals(iv, "user_id", "s_us", "e_us", "event_id")) ===
       canon(Temporal.mergeIntervals(ivBase, "user_id", "s_us", "e_us", "event_id")))
   }
+
+  test("intervalJoin == brute-force overlap join; multi-bin pairs emit once (r8)") {
+    import spark.implicits._
+    // bin = 10 us. Intervals deliberately span several bins; (1, 20)
+    // shares bins 0..2 with (15, 40) — must still emit once. Touching
+    // endpoints (closed semantics) overlap with 0 us.
+    val as = Seq((1L, 1L, 20L), (2L, 15L, 40L), (3L, 100L, 130L),
+      (4L, 50L, 50L))
+    val bs = Seq((10L, 0L, 35L), (11L, 40L, 49L), (12L, 130L, 140L),
+      (13L, 50L, 55L))
+    val a = as.toDF("aid", "a_start", "a_end")
+    val b = bs.toDF("bid", "b_start", "b_end")
+    val got = Temporal.intervalJoin(a, b, "a_start", "a_end",
+        "b_start", "b_end", binUs = 10L)
+      .select("aid", "bid", "overlap_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val model = (for {
+      (aid, s1, e1) <- as; (bid, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (aid, bid, math.min(e1, e2) - math.max(s1, s2))).toSet
+    assert(got === model)
+    // the model includes the closed-endpoint touch (2,11) with 0 us and
+    // the point-interval (4,13); count equality proves emit-once
+    assert(model.contains((2L, 11L, 0L)) && model.contains((4L, 13L, 0L)))
+    val gotRows = Temporal.intervalJoin(a, b, "a_start", "a_end",
+      "b_start", "b_end", binUs = 10L).count()
+    assert(gotRows === model.size.toLong)
+    intercept[IllegalArgumentException] {
+      Temporal.intervalJoin(a, b, "a_start", "a_end", "b_start", "b_end", 0L)
+    }
+  }
 }
