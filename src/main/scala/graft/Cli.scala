@@ -612,6 +612,19 @@ object Cli {
           opts.getOrElse("stride", "2").toInt,
           opts.getOrElse("min-shared", "2").toLong))
 
+      case "ldiversity" =>
+        write(graft.operators.PrivacyOps.lDiversify(in("input"),
+          opts("quasi").split(",").toSeq, opts("sensitive"),
+          opts.getOrElse("l", "2").toInt))
+
+      case "intervaljoin" =>
+        // inputs: --input (a_start/a_end us bounds), --right (b_start/b_end)
+        write(graft.operators.Temporal.intervalJoin(in("input"),
+          spark.read.parquet(opts("right")),
+          opts.getOrElse("a-start", "a_start"), opts.getOrElse("a-end", "a_end"),
+          opts.getOrElse("b-start", "b_start"), opts.getOrElse("b-end", "b_end"),
+          opts.getOrElse("bin-us", "3600000000").toLong))
+
       case other => sys.error(s"unknown command: $other")
     }
 

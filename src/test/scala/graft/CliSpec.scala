@@ -650,5 +650,22 @@ class CliSpec extends SparkSpec {
       "min-shared" -> "1"))
     assert(spark.read.parquet(md).columns.toSet ===
       Set("a", "b", "shared", "overlap"))
+
+    val ld = tmp() + "/ld"
+    Cli.run(spark, "ldiversity", Map("input" -> ev, "output" -> ld,
+      "quasi" -> "event_type", "sensitive" -> "user_id", "l" -> "3"))
+    val ldGot = spark.read.parquet(ld)
+    assert(ldGot.columns.toSet ===
+      Set("event_type", "n_rows", "n_sensitive", "suppressed"))
+
+    val ivA = tmp() + "/iva"
+    val ivB = tmp() + "/ivb"
+    Seq((1L, 0L, 100L)).toDF("aid", "a_start", "a_end").write.parquet(ivA)
+    Seq((2L, 50L, 150L)).toDF("bid", "b_start", "b_end").write.parquet(ivB)
+    val ij = tmp() + "/ij"
+    Cli.run(spark, "intervaljoin", Map("input" -> ivA, "right" -> ivB,
+      "output" -> ij, "bin-us" -> "10"))
+    val ijGot = spark.read.parquet(ij).collect()
+    assert(ijGot.length === 1 && ijGot(0).getAs[Long]("overlap_us") === 50L)
   }
 }
