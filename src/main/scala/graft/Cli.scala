@@ -90,7 +90,8 @@ object Cli {
         "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
         "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
         "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
-        "maxsim|hardneg|olstrend|cusum|ewma|hll> --opt v ...")
+        "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
+        "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -624,6 +625,77 @@ object Cli {
           opts.getOrElse("a-start", "a_start"), opts.getOrElse("a-end", "a_end"),
           opts.getOrElse("b-start", "b_start"), opts.getOrElse("b-end", "b_end"),
           opts.getOrElse("bin-us", "3600000000").toLong))
+
+      case "seqmatch" =>
+        // --patterns name=regex,name=regex (RE2 ∩ java.regex subset)
+        val pats = opts.getOrElse("patterns", "m_funnel=v.*c.*p").split(",")
+          .toSeq.map { p =>
+            val Array(n, re) = p.split("=", 2); (n, re)
+          }
+        write(graft.operators.SequenceOps.seqMatch(
+          graft.operators.SequenceOps.codeSequences(
+            Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+            opts.getOrElse("key", "user_id"), opts.getOrElse("ts", "ts"),
+            opts.getOrElse("tie", "event_id"),
+            substring(col(opts.getOrElse("code", "event_type")), 1, 1)),
+          pats))
+
+      case "paths" =>
+        write(graft.operators.SequenceOps.eventPaths(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts.getOrElse("key", "user_id"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("tie", "event_id"),
+          substring(col(opts.getOrElse("code", "event_type")), 1, 1),
+          opts.getOrElse("n", "5").toInt))
+
+      case "bfs" =>
+        // --seeds comma-separated node ids
+        val seeds = opts("seeds").split(",").toSeq.map(_.toLong)
+        write(graft.operators.GraphOps.bfsHops(in("input"),
+          spark.createDataFrame(seeds.map(Tuple1(_)))
+            .toDF("node"),
+          opts.getOrElse("rounds", "4").toInt,
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "tcloseness" =>
+        write(graft.operators.PrivacyOps.tCloseness(in("input"),
+          opts("quasi").split(",").toSeq, col(opts("cat")),
+          opts.getOrElse("t", "0.15").toDouble))
+
+      case "gopher" =>
+        write(graft.operators.TextOps.gopherRules(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("min-words", "20").toLong,
+          opts.getOrElse("max-words", "80").toLong))
+
+      case "clf" =>
+        write(graft.operators.TextOps.clfMarginFilter(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("buckets", "64").toLong))
+
+      case "dsir" =>
+        // --target SQL boolean expression over the input's columns
+        write(graft.operators.TextOps.dsirWeights(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          expr(opts.getOrElse("target", "lang = 'en'"))))
+
+      case "radiusjoin" =>
+        write(graft.operators.GeoOps.radiusJoin(in("input"),
+          opts("r").toLong, opts.getOrElse("id", "id"),
+          opts.getOrElse("x", "ix"), opts.getOrElse("y", "iy")))
+
+      case "hexbin" =>
+        write(graft.operators.GeoOps.hexBin(in("input"),
+          opts.getOrElse("w", "15000").toLong,
+          opts.getOrElse("h", "26000").toLong,
+          Seq("n" -> count(lit(1))),
+          opts.getOrElse("id", "id"),
+          opts.getOrElse("x", "ix"), opts.getOrElse("y", "iy")))
+
+      case "dbscan" =>
+        write(graft.operators.GeoOps.dbscan(in("input"),
+          opts("r").toLong, opts.getOrElse("min-pts", "5").toInt,
+          opts.getOrElse("rounds", "4").toInt, opts.getOrElse("id", "id")))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -177,4 +177,223 @@ object GeoOps {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(outDir)
+
+  /** Radius self-join: all point pairs within Euclidean distance `r`
+    * (integer coordinate units), via grid binning — the neighbor-search
+    * primitive under DBSCAN, footprint-overlap analysis and spatial
+    * dedup. Points carry NON-NEGATIVE integer coords (shift upstream;
+    * keeps floor-division semantics identical on both engines) and an
+    * integral id.
+    *
+    * Emit-once by construction: the LEFT side stamps the 3×3 neighbor
+    * cells, the RIGHT keeps its own cell — for any pair exactly one
+    * stamped cell equals the right point's cell, and `id_a < id_b` keeps
+    * one orientation. Never quadratic: work is Σ per-cell |left|·|right|
+    * over 9 neighbor offsets with cell size = r, the standard fixed-grid
+    * spatial join (skewed hot cells salt like any hot join key). The
+    * distance test is exact integer arithmetic (squares of coordinate
+    * diffs ≤ 2r² per surviving candidate — bounded, no overflow for
+    * r < ~2^31). */
+  def radiusJoin(points: DataFrame, r: Long, idCol: String = "id",
+                 xCol: String = "ix", yCol: String = "iy"): DataFrame = {
+    require(r > 0, "radiusJoin needs a positive radius")
+    val p = points.select(col(idCol).as("id"), col(xCol).as("ix"),
+      col(yCol).as("iy"),
+      (col(xCol) / r).cast("long").as("cx"),
+      (col(yCol) / r).cast("long").as("cy"))
+    val left = p.select(col("id").as("id_a"), col("ix").as("xa"),
+        col("iy").as("ya"), col("cx"), col("cy"))
+      .crossJoin(broadcast(
+        p.sparkSession.range(-1, 2).select(col("id").as("dx"))
+          .crossJoin(p.sparkSession.range(-1, 2).select(col("id").as("dy")))))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"))
+    val right = p.select(col("id").as("id_b"), col("ix").as("xb"),
+      col("iy").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+    left.join(right, Seq("jx", "jy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= r * r)
+      .select(col("id_a"), col("id_b"), col("d2"))
+  }
+
+  /** DuckDB oracle for [[radiusJoin]]: the PLAIN QUADRATIC self-join —
+    * losslessness of the binning is itself hash-proven (the
+    * q_setsim_join convention). `pointsSub` must yield (id, ix, iy). */
+  def radiusJoinSql(pointsSub: String, r: Long): String =
+    s"SELECT a.id AS id_a, b.id AS id_b, " +
+      "(a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy) AS d2 " +
+      s"FROM $pointsSub a JOIN $pointsSub b ON a.id < b.id " +
+      s"WHERE (a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy) " +
+      s"<= ${r * r}"
+
+  /** Hexagonal binning (the H3-style aggregation cell): points snap to
+    * the nearest center of a CHECKERBOARD lattice — centers at
+    * `(i·w, j·h)` with `i+j` even — whose Voronoi cells are congruent
+    * hexagons when `h/w ≈ √3`. The aspect is deliberately the RATIONAL
+    * approximation 26/15 (≈1.7333 vs √3≈1.73205): every coordinate and
+    * distance stays integral, so the cell assignment is exact on any
+    * engine — no libm, no float rounding at cell boundaries (the reason
+    * this is not axial cube-rounding). Hexagons beat squares for spatial
+    * stats: 6 equidistant-ish neighbors and ~13% lower mean point-to-
+    * center distance at equal cell area.
+    *
+    * Nearest-center search is closed-form: inside a lattice rectangle
+    * exactly the two DIAGONAL corners have even parity, and no outside
+    * center can beat both (proof: for P=(x,y) in [0,w]×[0,h], the
+    * nearest outside-even candidates (2w,0)/(−w,h) lose whenever
+    * 0 ≤ x ≤ w) — so the argmin is a single integer comparison of two
+    * squared distances, ties to the lower (cj, ci). Zero-shuffle until
+    * the one map-side-combined cell aggregate. */
+  def hexBin(points: DataFrame, w: Long, h: Long,
+             aggs: Seq[(String, Column)], idCol: String = "id",
+             xCol: String = "ix", yCol: String = "iy"): DataFrame = {
+    require(w > 0 && h > 0, "hexBin needs positive cell dims")
+    val p = points
+      .withColumn("i0", (col(xCol) / w).cast("long"))
+      .withColumn("j0", (col(yCol) / h).cast("long"))
+      // the two even-parity diagonal corners of the containing rectangle
+      .withColumn("ia", when((col("i0") + col("j0")) % 2 === 0, col("i0"))
+        .otherwise(col("i0") + 1))
+      .withColumn("ja", col("j0"))
+      .withColumn("ib", when((col("i0") + col("j0")) % 2 === 0, col("i0") + 1)
+        .otherwise(col("i0")))
+      .withColumn("jb", col("j0") + 1)
+      .withColumn("d2a",
+        (col(xCol) - col("ia") * w) * (col(xCol) - col("ia") * w) +
+          (col(yCol) - col("ja") * h) * (col(yCol) - col("ja") * h))
+      .withColumn("d2b",
+        (col(xCol) - col("ib") * w) * (col(xCol) - col("ib") * w) +
+          (col(yCol) - col("jb") * h) * (col(yCol) - col("jb") * h))
+      .withColumn("hex_i",
+        when(col("d2a") < col("d2b") ||
+          (col("d2a") === col("d2b") &&
+            (col("ja") < col("jb") ||
+              (col("ja") === col("jb") && col("ia") <= col("ib")))),
+          col("ia")).otherwise(col("ib")))
+      .withColumn("hex_j",
+        when(col("d2a") < col("d2b") ||
+          (col("d2a") === col("d2b") &&
+            (col("ja") < col("jb") ||
+              (col("ja") === col("jb") && col("ia") <= col("ib")))),
+          col("ja")).otherwise(col("jb")))
+    p.groupBy(col("hex_i"), col("hex_j"))
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** DuckDB oracle for [[hexBin]] — identical integer candidate pair +
+    * tie-broken argmin. `aggSel` is the aggregate select-list tail. */
+  def hexBinSql(pointsSub: String, w: Long, h: Long, aggSel: String): String =
+    s"WITH p AS (SELECT *, CAST(ix // $w AS BIGINT) AS i0, " +
+      s"CAST(iy // $h AS BIGINT) AS j0 FROM $pointsSub), " +
+      "c AS (SELECT *, " +
+      "CASE WHEN (i0 + j0) % 2 = 0 THEN i0 ELSE i0 + 1 END AS ia, j0 AS ja, " +
+      "CASE WHEN (i0 + j0) % 2 = 0 THEN i0 + 1 ELSE i0 END AS ib, j0 + 1 AS jb " +
+      "FROM p), " +
+      s"d AS (SELECT *, (ix - ia * $w) * (ix - ia * $w) + (iy - ja * $h) * (iy - ja * $h) AS d2a, " +
+      s"(ix - ib * $w) * (ix - ib * $w) + (iy - jb * $h) * (iy - jb * $h) AS d2b FROM c), " +
+      "hx AS (SELECT *, CASE WHEN d2a < d2b OR (d2a = d2b AND (ja < jb OR " +
+      "(ja = jb AND ia <= ib))) THEN ia ELSE ib END AS hex_i, " +
+      "CASE WHEN d2a < d2b OR (d2a = d2b AND (ja < jb OR (ja = jb AND ia <= ib))) " +
+      "THEN ja ELSE jb END AS hex_j FROM d) " +
+      s"SELECT hex_i, hex_j, $aggSel FROM hx GROUP BY hex_i, hex_j"
+
+  /** Grid-based DBSCAN (Ester et al. 1996): role labels are EXACT —
+    * core = ≥ `minPts` points (incl. self) within `r`, border = non-core
+    * adjacent to a core, noise = neither — and the cluster label is the
+    * fixed-round min-label propagation over the core-core adjacency
+    * (`rounds` hops, the kCore/pagerank convention so the oracle unrolls
+    * the identical chain; at scale loop to fixpoint — the
+    * [[graft.operators.Dedup.connectedComponents]] driver). Border
+    * points take the MINIMUM adjacent core's label (deterministic where
+    * the textbook algorithm is arrival-order-dependent).
+    *
+    * Scale shape: neighbor search is [[radiusJoin]] (grid-binned, never
+    * quadratic); everything downstream is 8-byte-id joins on the PAIR
+    * frame (density-bounded: Σ|pairs| ≈ n·avg_neighbors); the
+    * propagation joins only the core adjacency. */
+  def dbscan(points: DataFrame, r: Long, minPts: Int, rounds: Int = 4,
+             idCol: String = "id"): DataFrame = {
+    val pairs = radiusJoin(points, r, idCol).select("id_a", "id_b")
+      .localCheckpoint() // reused by degree count, core edges, border pass
+    val deg = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n_nbrs"))
+    val pts = points.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left")
+      .withColumn("n_nbrs", coalesce(col("n_nbrs"), lit(0L)))
+      .localCheckpoint()
+    val core = pts.filter(col("n_nbrs") >= minPts - 1).select("id")
+    val coreEdges = pairs
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+    val adj = coreEdges.select(col("id_a").as("v"), col("id_b").as("w"))
+      .unionByName(coreEdges.select(col("id_b").as("v"), col("id_a").as("w")))
+      .localCheckpoint()
+    var labels = core.withColumn("cluster", col("id")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("w").as("id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint()
+    }
+    val coreAdj = pairs
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+      .select(col("id_a").as("cid"), col("id_b").as("pid"))
+      .unionByName(pairs
+        .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .select(col("id_b").as("cid"), col("id_a").as("pid")))
+    val borderLabels = coreAdj
+      .join(core.withColumnRenamed("id", "pid"), Seq("pid"), "left_anti")
+      .join(labels.withColumnRenamed("id", "cid"), Seq("cid"))
+      .groupBy(col("pid").as("id")).agg(min(col("cluster")).as("cluster"))
+    val coreL = labels.withColumn("role", lit("core"))
+    val borderL = borderLabels.withColumn("role", lit("border"))
+    pts.join(coreL.unionByName(borderL), Seq("id"), "left")
+      .select(col("id"), col("n_nbrs"),
+        coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
+  }
+
+  /** DuckDB oracle for [[dbscan]]: QUADRATIC pair join (losslessness of
+    * the grid binning is hash-proven) + the identical unrolled label
+    * chain, every CTE MATERIALIZED (the kCore inlining lesson). */
+  def dbscanSql(pointsSub: String, r: Long, minPts: Int,
+                rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH pairs AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b " +
+      s"FROM $pointsSub a JOIN $pointsSub b ON a.id < b.id " +
+      s"WHERE (a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy) " +
+      s"<= ${r * r}), " +
+      s"pts AS MATERIALIZED (SELECT p.id, coalesce(d.n_nbrs, 0) AS n_nbrs FROM " +
+      s"$pointsSub p LEFT JOIN (SELECT id, CAST(count(*) AS BIGINT) AS n_nbrs " +
+      "FROM (SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs) u " +
+      "GROUP BY id) d ON p.id = d.id), " +
+      s"core AS MATERIALIZED (SELECT id FROM pts WHERE n_nbrs >= ${minPts - 1}), " +
+      "ce AS MATERIALIZED (SELECT id_a, id_b FROM pairs " +
+      "WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)), " +
+      "adj AS MATERIALIZED (SELECT id_a AS v, id_b AS w FROM ce " +
+      "UNION ALL SELECT id_b, id_a FROM ce), " +
+      "l0 AS MATERIALIZED (SELECT id, id AS cluster FROM core)"
+    for (k <- 1 to rounds) {
+      sb ++= s", l$k AS MATERIALIZED (SELECT id, min(cluster) AS cluster FROM " +
+        s"(SELECT adj.w AS id, l.cluster FROM adj JOIN l${k - 1} l ON adj.v = l.id " +
+        s"UNION ALL SELECT id, cluster FROM l${k - 1}) u GROUP BY id)"
+    }
+    sb ++= ", ca AS MATERIALIZED (SELECT id_a AS cid, id_b AS pid FROM pairs " +
+      "WHERE id_a IN (SELECT id FROM core) " +
+      "UNION ALL SELECT id_b, id_a FROM pairs WHERE id_b IN (SELECT id FROM core)), " +
+      s"bl AS MATERIALIZED (SELECT ca.pid AS id, min(l.cluster) AS cluster FROM ca " +
+      s"JOIN l$rounds l ON ca.cid = l.id " +
+      "WHERE ca.pid NOT IN (SELECT id FROM core) GROUP BY ca.pid), " +
+      s"roles AS (SELECT id, cluster, 'core' AS role FROM l$rounds " +
+      "UNION ALL SELECT id, cluster, 'border' FROM bl) " +
+      "SELECT pts.id, pts.n_nbrs, coalesce(roles.role, 'noise') AS role, " +
+      "roles.cluster FROM pts LEFT JOIN roles ON pts.id = roles.id"
+    sb.toString
+  }
 }

@@ -539,4 +539,66 @@ object GraphOps {
       "SELECT n_edges, CASE WHEN (nd * sxxd - sxd * sxd) > 0 THEN " +
       "round((nd * sxyd - sxd * sxd) / (nd * sxxd - sxd * sxd), 6) END " +
       "AS assortativity FROM c"
+
+  /** Multi-source BFS hop distance, `rounds` frontier expansions: every
+    * vertex reachable from the seed set within `rounds` hops gets its
+    * MINIMUM hop count (frontier sets guarantee minimality — a vertex is
+    * labeled the first round it appears and anti-joined out of later
+    * frontiers). The blast-radius / contamination-spread primitive: seed
+    * with known-bad documents in a near-dup graph and the hop label says
+    * how far the taint plausibly propagates. Fixed-round form (pagerank
+    * convention) so the oracle unrolls the identical chain; at scale you
+    * loop until the frontier empties.
+    *
+    * Scale shape per round: one 8-byte-key join of the adjacency against
+    * the CURRENT FRONTIER only (not the full visited set — the join
+    * shrinks as expansion saturates), one distinct, one anti-join against
+    * the visited set; localCheckpoint truncates lineage per round.
+    * Visited state is vertex-count-bounded. */
+  def bfsHops(edges0: DataFrame, seeds: DataFrame, rounds: Int = 4,
+              aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint()
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+      .distinct().localCheckpoint()
+    var frontier = dist.select(col("node"))
+    for (r <- 1 to rounds) {
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("w").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      dist = dist.unionByName(next.withColumn("hops", lit(r.toLong)))
+        .localCheckpoint()
+      frontier = next
+    }
+    dist
+  }
+
+  /** DuckDB oracle for [[bfsHops]] — the identical frontier chain,
+    * unrolled, every CTE MATERIALIZED (the kCore lesson: default CTE
+    * inlining re-expands chains referenced twice per round
+    * exponentially). */
+  def bfsHopsSql(edgesSub: String, seedsSub: String, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, " +
+      s"greatest(a, b) AS b FROM $edgesSub WHERE least(a, b) < greatest(a, b)), " +
+      "adj AS MATERIALIZED (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e), " +
+      s"d0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS hops FROM $seedsSub), " +
+      "f0 AS MATERIALIZED (SELECT node FROM d0)"
+    for (r <- 1 to rounds) {
+      sb ++= s", f$r AS MATERIALIZED (SELECT DISTINCT w AS node FROM adj " +
+        s"JOIN f${r - 1} f ON adj.v = f.node " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM d${r - 1} d WHERE d.node = adj.w))"
+      sb ++= s", d$r AS MATERIALIZED (SELECT node, hops FROM d${r - 1} " +
+        s"UNION ALL SELECT node, CAST($r AS BIGINT) FROM f$r)"
+    }
+    sb ++= s" SELECT node, hops FROM d$rounds"
+    sb.toString
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Privacy-preserving release operators (SURVEY §2.3) — the relational
@@ -150,5 +150,99 @@ object PrivacyOps {
       s"SELECT $glist, CAST(sum(n) AS BIGINT) AS n_rows, " +
       s"(${names.head} = '*') AS suppressed " +
       s"FROM marked GROUP BY $glist ORDER BY $glist"
+  }
+
+  /** t-closeness audit (Li et al. 2007) over an ORDERED sensitive
+    * category: for each equivalence class, the Earth-Mover's Distance
+    * between its sensitive-value distribution and the GLOBAL one, on the
+    * ordinal ground distance — `EMD = Σ_j |P_j − Q_j| / (m−1)` over
+    * cumulative fractions. Closes the attack l-diversity still allows:
+    * a class can hold l distinct values that are all semantically
+    * adjacent (all the highest severity buckets); t-closeness flags the
+    * class because its cumulative mass sits far from the population's.
+    * Audit form (flags, no suppression) — feed violating classes to
+    * [[kAnonymize]]-style generalization upstream.
+    *
+    * Exactness: cumulative diffs stay integral — `|cum_c·n − cum_g·n_c|`
+    * in DECIMAL(38,0) (the degreeAssortativity moment pattern; BIGINT
+    * products overflow at 100 TB row counts) — and ONE fixed double tree
+    * divides at the end, so EMD hash-verifies cross-engine.
+    *
+    * Scale shape: one corpus-sized map-side-combined groupBy builds the
+    * (class × category) cells; everything after runs on the cell frame
+    * (class-domain × category-domain — bounded); the dense grid comes
+    * from a broadcast cross join of the class frame with the category
+    * frame. No corpus re-scan, no window over doc rows. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], catCol: Column,
+                 t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df
+      .groupBy(quasiCols.map(c =>
+        coalesce(col(c).cast("string"), lit("null")).as(c)) :+
+        catCol.cast("long").as("cat"): _*)
+      .agg(count(lit(1)).as("n_cj"))
+      .localCheckpoint() // cell frame (class × category domain): reused 3×
+    val classes = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("n_cj")).as("n_c"))
+    val cats = cells.groupBy(col("cat")).agg(sum(col("n_cj")).as("n_j"))
+    val tot = cats.agg(sum(col("n_j")).as("n"), count(lit(1)).as("m"))
+    val w = W.partitionBy(quasiCols.map(col): _*).orderBy("cat")
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    classes
+      .crossJoin(broadcast(cats))
+      .join(cells, quasiCols :+ "cat", "left")
+      .withColumn("n_cj", coalesce(col("n_cj"), lit(0L)))
+      .withColumn("cum_c", sum(col("n_cj")).over(w))
+      .withColumn("cum_g", sum(col("n_j")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        abs(dec(col("cum_c")) * dec(col("n")) - dec(col("cum_g")) * dec(col("n_c"))))
+      .groupBy(quasiCols.map(col) :+ col("n_c") :+ col("n") :+ col("m"): _*)
+      .agg(sum(col("term")).as("s_int"))
+      .withColumn("emd", round(
+        col("s_int").cast("double") /
+          (col("n_c").cast("double") * col("n").cast("double") *
+            (col("m") - lit(1)).cast("double")), 6))
+      .select(quasiCols.map(col) :+ col("n_c").as("n_rows") :+ col("emd") :+
+        (col("emd") > lit(t)).as("violates"): _*)
+      .orderBy(quasiCols.map(col): _*)
+  }
+
+  /** DuckDB oracle for [[tCloseness]] — identical cell build, dense grid,
+    * cumulative windows, HUGEINT moments and final double tree. */
+  def tClosenessSql(table: String, quasi: Seq[(String, String)],
+                    catExpr: String, t: Double): String = {
+    val names = quasi.map(_._2)
+    val qsel = quasi
+      .map { case (e, n) => s"coalesce(CAST($e AS VARCHAR), 'null') AS $n" }
+      .mkString(", ")
+    val glist = names.mkString(", ")
+    val cglist = names.map(n => s"cl.$n").mkString(", ")
+    s"WITH cells AS (SELECT $qsel, CAST($catExpr AS BIGINT) AS cat, " +
+      s"CAST(count(*) AS BIGINT) AS n_cj FROM $table GROUP BY $glist, cat), " +
+      s"classes AS (SELECT $glist, CAST(sum(n_cj) AS BIGINT) AS n_c " +
+      s"FROM cells GROUP BY $glist), " +
+      "cats AS (SELECT cat, CAST(sum(n_cj) AS BIGINT) AS n_j FROM cells GROUP BY cat), " +
+      "tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS m FROM cats), " +
+      s"grid AS (SELECT $cglist, cl.n_c, ca.cat, ca.n_j, " +
+      "coalesce(ce.n_cj, 0) AS n_cj FROM classes cl CROSS JOIN cats ca " +
+      s"LEFT JOIN cells ce ON ${names.map(n => s"ce.$n = cl.$n").mkString(" AND ")} " +
+      "AND ce.cat = ca.cat), " +
+      s"cum AS (SELECT $glist, n_c, cat, " +
+      s"sum(n_cj) OVER (PARTITION BY $glist ORDER BY cat " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c, " +
+      s"sum(n_j) OVER (PARTITION BY $glist ORDER BY cat " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_g FROM grid), " +
+      s"agg AS (SELECT $glist, n_c, n, m, " +
+      "sum(abs(CAST(cum_c AS HUGEINT) * n - CAST(cum_g AS HUGEINT) * n_c)) AS s_int " +
+      s"FROM cum CROSS JOIN tot GROUP BY $glist, n_c, n, m) " +
+      s"SELECT $glist, n_c AS n_rows, " +
+      "round(CAST(s_int AS DOUBLE) / (CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE) * " +
+      "CAST(m - 1 AS DOUBLE)), 6) AS emd, " +
+      "(round(CAST(s_int AS DOUBLE) / (CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE) * " +
+      s"CAST(m - 1 AS DOUBLE)), 6) > $t) AS violates " +
+      s"FROM agg ORDER BY $glist"
   }
 }

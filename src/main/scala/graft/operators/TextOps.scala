@@ -1436,4 +1436,188 @@ object TextOps {
       "FROM totals a JOIN totals b ON a.g < b.g " +
       "LEFT JOIN inter ON inter.ga = a.g AND inter.gb = b.g " +
       "ORDER BY src_a, src_b"
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * published heuristic gate most curation stacks run before any model
+    * scorer): per-document boolean flags for
+    *  - word count within [minWords, maxWords],
+    *  - mean word length within [3, 10] characters,
+    *  - at least `minStops` stop-word occurrences,
+    *  - most-frequent-word fraction ≤ repPctCap % (the repetition gate),
+    * and the conjunction `pass`. Returning per-RULE flags (not just the
+    * verdict) is the operational form — rule-level reject histograms are
+    * how thresholds get tuned.
+    *
+    * Every rule is integer arithmetic: the two rational thresholds
+    * compare CROSS-MULTIPLIED (`3·n_tok ≤ n_alpha ≤ 10·n_tok`;
+    * `100·max_tf ≤ repPctCap·n_tok`), so no float ever forms and the
+    * flags are exact on any engine. Zero-shuffle narrow scan: the
+    * max-tf probe runs inside the row as a bounded array fold (docs are
+    * token-bounded by the upstream chunker), so the gate scales like a
+    * filter. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 20, maxWords: Long = 80,
+                  stops: Seq[String] = Seq("the", "a"), minStops: Long = 2,
+                  repPctCap: Long = 15): DataFrame = {
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("_t"),
+        length(col(textCol)).as("_nch"))
+      .withColumn("n_tok", size(col("_t")).cast("long"))
+      .withColumn("_nstop",
+        expr(s"CAST(size(filter(_t, t -> t IN ($stopList))) AS BIGINT)"))
+      .withColumn("_maxtf",
+        expr("CAST(array_max(transform(array_distinct(_t), " +
+          "t -> size(filter(_t, x -> x = t)))) AS BIGINT)"))
+      // single-space-joined text: total token chars = n_chars - (n_tok-1)
+      .withColumn("_ntc", col("_nch").cast("long") - (col("n_tok") - 1))
+      .withColumn("r_word_count",
+        col("n_tok") >= minWords && col("n_tok") <= maxWords)
+      .withColumn("r_mean_word_len",
+        lit(3L) * col("n_tok") <= col("_ntc") &&
+          col("_ntc") <= lit(10L) * col("n_tok"))
+      .withColumn("r_stopwords", col("_nstop") >= minStops)
+      .withColumn("r_repetition",
+        lit(100L) * col("_maxtf") <= lit(repPctCap) * col("n_tok"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_stopwords") && col("r_repetition"))
+      .select(col(idCol), col("n_tok"), col("r_word_count"),
+        col("r_mean_word_len"), col("r_stopwords"), col("r_repetition"),
+        col("pass"))
+  }
+
+  /** DuckDB oracle for [[gopherRules]] — identical integer rule tree. */
+  def gopherRulesSql(table: String, idExpr: String, textExpr: String,
+                     minWords: Long = 20, maxWords: Long = 80,
+                     stops: Seq[String] = Seq("the", "a"), minStops: Long = 2,
+                     repPctCap: Long = 15): String = {
+    val toks = TextFunctions.tokensSql(textExpr)
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    s"WITH t AS (SELECT $idExpr AS doc_id, " +
+      s"CAST(len($toks) AS BIGINT) AS n_tok, " +
+      s"CAST(len(list_filter($toks, t -> t IN ($stopList))) AS BIGINT) AS nstop, " +
+      s"CAST(list_max(list_transform(list_distinct($toks), " +
+      s"t -> len(list_filter($toks, x -> x = t)))) AS BIGINT) AS maxtf, " +
+      s"CAST(length($textExpr) AS BIGINT) - (CAST(len($toks) AS BIGINT) - 1) AS ntc " +
+      s"FROM $table) " +
+      s"SELECT doc_id, n_tok, " +
+      s"(n_tok >= $minWords AND n_tok <= $maxWords) AS r_word_count, " +
+      s"(3 * n_tok <= ntc AND ntc <= 10 * n_tok) AS r_mean_word_len, " +
+      s"(nstop >= $minStops) AS r_stopwords, " +
+      s"(100 * maxtf <= $repPctCap * n_tok) AS r_repetition, " +
+      s"((n_tok >= $minWords AND n_tok <= $maxWords) AND " +
+      s"(3 * n_tok <= ntc AND ntc <= 10 * n_tok) AND (nstop >= $minStops) AND " +
+      s"(100 * maxtf <= $repPctCap * n_tok)) AS pass FROM t"
+  }
+
+  /** Hashed linear-classifier margin filter (the fastText-style quality
+    * classifier gate — GPT-3/LLaMA-lineage curation runs one after the
+    * heuristic rules): score(doc) = Σ_tokens w[h(token) mod D], keep
+    * docs with margin > 0. Weights here are a deterministic pseudo-model
+    * derived from the bucket index (`(b·2654435761) mod 1999 − 999` —
+    * Knuth multiplicative mixing); swapping in TRAINED weights is a
+    * broadcast array of the same shape. All-integer scoring ⇒
+    * hash-exact.
+    *
+    * Scale shape: zero-shuffle narrow scan — token codes come from the
+    * native one-pass expression, the weight lookup is arithmetic on the
+    * code (no vocabulary, no join), so the gate runs at filter cost and
+    * the model never shuffles. */
+  def clfMarginFilter(df: DataFrame, idCol: String, textCol: String,
+                      nBuckets: Long = 64): DataFrame =
+    df.select(col(idCol), TextFunctions.tokenCodes(col(textCol)).as("_codes"))
+      .withColumn("margin",
+        expr(s"aggregate(_codes, CAST(0 AS BIGINT), " +
+          s"(acc, c) -> acc + ((c % $nBuckets) * 2654435761 % 1999 - 999))"))
+      .select(col(idCol), col("margin"), (col("margin") > 0L).as("keep"))
+
+  /** DuckDB oracle for [[clfMarginFilter]] — identical fold. */
+  def clfMarginFilterSql(table: String, idExpr: String, textExpr: String,
+                         nBuckets: Long = 64): String = {
+    val codes = TextFunctions.tokenCodesSql(textExpr)
+    s"SELECT $idExpr AS doc_id, " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+      s"(acc, c) -> acc + ((c % $nBuckets) * 2654435761 % 1999 - 999)) AS margin, " +
+      s"(list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+      s"(acc, c) -> acc + ((c % $nBuckets) * 2654435761 % 1999 - 999)) > 0) AS keep " +
+      s"FROM $table"
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
+    * Importance Resampling"): per document, the average log-likelihood
+    * RATIO between a TARGET unigram LM (built from the in-domain subset)
+    * and the RAW LM (built from the whole corpus) —
+    * `logw = Σ tf·(ln p_t − ln p_r) / n_tok`, add-1 smoothed over the
+    * full vocabulary so target-unseen terms stay finite. Positive means
+    * the doc looks more like the target domain than the raw pool; sample
+    * ∝ exp(logw) to tilt the mix (q_weighted_sample downstream).
+    *
+    * Scale shape: the corpus explodes ONCE into (doc, term, tf); both LMs
+    * are term-keyed aggregates of that same frame (the target one just
+    * filter-reduced), vocabulary-bounded so they broadcast back; the
+    * corpus never shuffles on the term key. The per-doc float reduction
+    * is the repo's ordered-cumsum portability pattern (unigramNll), so
+    * weights hash-verify. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+                  targetFilter: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"), targetFilter.as("_tgt"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max(col("_tgt")).as("_tgt"))
+      .localCheckpoint() // exploded once; both LMs and the scorer reuse it
+    val vocabR = tf.groupBy("term").agg(sum(col("tf")).as("cnt_r"))
+    val vocabT = tf.filter(col("_tgt")).groupBy("term")
+      .agg(sum(col("tf")).as("cnt_t"))
+    val vocab = vocabR.join(vocabT, Seq("term"), "left")
+      .withColumn("cnt_t", coalesce(col("cnt_t"), lit(0L)))
+    val tot = vocab.agg(sum(col("cnt_r")).as("tot_r"),
+      sum(col("cnt_t")).as("tot_t"), count(lit(1)).as("v"))
+    val w = W.partitionBy("doc_id").orderBy("term")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tf.join(broadcast(vocab), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("lr",
+        (log((col("cnt_t") + 1).cast("double") / (col("tot_t") + col("v")).cast("double")) -
+          log((col("cnt_r") + 1).cast("double") / (col("tot_r") + col("v")).cast("double"))) *
+          col("tf"))
+      .withColumn("cum_lr", sum(col("lr")).over(cum))
+      .withColumn("cum_tf", sum(col("tf")).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nt", count(lit(1)).over(W.partitionBy("doc_id")))
+      .filter(col("rn") === col("nt"))
+      .select(col("doc_id"), col("cum_tf").as("n_tok"),
+        round(col("cum_lr") / col("cum_tf"), 6).as("logw"))
+  }
+
+  /** DuckDB oracle for [[dsirWeights]] — identical CTEs, identical
+    * ordered fold. `targetExpr` must mirror the Spark targetFilter. */
+  def dsirWeightsSql(table: String, idExpr: String, textExpr: String,
+                     targetExpr: String): String = {
+    val toks = TextFunctions.tokensSql(textExpr)
+    s"WITH toks AS (SELECT $idExpr AS doc_id, $targetExpr AS tgt, " +
+      s"unnest($toks) AS term FROM $table), " +
+      "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, " +
+      "max(tgt) AS tgt FROM toks GROUP BY doc_id, term), " +
+      "vr AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY term), " +
+      "vt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt_t FROM tf " +
+      "WHERE tgt GROUP BY term), " +
+      "vocab AS (SELECT vr.term, cnt_r, coalesce(cnt_t, 0) AS cnt_t " +
+      "FROM vr LEFT JOIN vt ON vr.term = vt.term), " +
+      "tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r, " +
+      "CAST(sum(cnt_t) AS BIGINT) AS tot_t, CAST(count(*) AS BIGINT) AS v FROM vocab), " +
+      "sc AS (SELECT doc_id, term, tf, " +
+      "(ln(CAST(cnt_t + 1 AS DOUBLE) / CAST(tot_t + v AS DOUBLE)) - " +
+      "ln(CAST(cnt_r + 1 AS DOUBLE) / CAST(tot_r + v AS DOUBLE))) * tf AS lr " +
+      "FROM tf JOIN vocab USING (term) CROSS JOIN tot), " +
+      "cum AS (SELECT doc_id, " +
+      "sum(lr) OVER (PARTITION BY doc_id ORDER BY term " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_lr, " +
+      "CAST(sum(tf) OVER (PARTITION BY doc_id ORDER BY term " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY term) AS rn, " +
+      "count(*) OVER (PARTITION BY doc_id) AS nt FROM sc) " +
+      "SELECT doc_id, cum_tf AS n_tok, round(cum_lr / cum_tf, 6) AS logw " +
+      "FROM cum WHERE rn = nt"
+  }
 }

@@ -362,6 +362,58 @@ object CoreQueries {
         .agg(min(col("event_id")).as("first_event"), count(lit(1)).as("n_events"))
         .orderBy("user_id"),
       Some("SELECT user_id, min(event_id) AS first_event, count(*) AS n_events " +
-        "FROM events GROUP BY user_id ORDER BY user_id"))
+        "FROM events GROUP BY user_id ORDER BY user_id")),
+
+    // Radius self-join: all point pairs within r = 5000 integer micro-
+    // units via grid binning (cell = r, 3×3 stamp on one side, emit-once
+    // by construction). The oracle is the PLAIN QUADRATIC join, so the
+    // binning's losslessness is itself hash-proven (q_setsim_join
+    // convention). The neighbor-search primitive under q_dbscan /
+    // footprint overlap; exact integer distances throughout.
+    Q("q_radius_join",
+      (s, d) => GeoOps.radiusJoin(ipoints(s, d), r = 5000L)
+        .orderBy("id_a", "id_b"),
+      Some(GeoOps.radiusJoinSql(ipointsSql, r = 5000L) +
+        " ORDER BY id_a, id_b")),
+
+    // Hexagonal binning (H3-style cells): nearest checkerboard-lattice
+    // center, rational 26/15 aspect so every coordinate and distance
+    // stays integral — exact cell assignment with no libm and no float
+    // boundary rounding. The hex upgrade to q_rasterize_grid's squares.
+    Q("q_hex_bin",
+      (s, d) => GeoOps.hexBin(ipoints(s, d), w = 15000L, h = 26000L,
+          Seq("n" -> count(lit(1)), "sum_val" -> sum(col("id") % 97)))
+        .orderBy("hex_j", "hex_i"),
+      Some(GeoOps.hexBinSql(ipointsSql, w = 15000L, h = 26000L,
+        "CAST(count(*) AS BIGINT) AS n, CAST(sum(id % 97) AS BIGINT) AS sum_val") +
+        " ORDER BY hex_j, hex_i")),
+
+    // Grid DBSCAN (r = 10000, minPts = 5, 4 label rounds): exact
+    // core/border/noise roles + fixed-round min-label clusters over the
+    // core adjacency. Neighbor search is the binned radius join (never
+    // quadratic); the oracle runs the quadratic join + the identical
+    // unrolled label chain, so both the binning and the propagation are
+    // hash-proven.
+    Q("q_dbscan",
+      (s, d) => GeoOps.dbscan(ipoints(s, d), r = 10000L, minPts = 5,
+          rounds = 4)
+        .orderBy("id"),
+      Some(GeoOps.dbscanSql(ipointsSql, r = 10000L, minPts = 5,
+        rounds = 4) + " ORDER BY pts.id"))
   )
+
+  /** Dense deterministic integer point cloud for the spatial-join family:
+    * 1e6×1e6 micro-unit domain (≈1°²), coordinates NON-NEGATIVE so
+    * floor-division cell math is engine-identical. Same operation tree
+    * here and in [[ipointsSql]]. */
+  private def ipoints(s: SparkSession, d: String): DataFrame =
+    ev(s, d).select(col("event_id").as("id"),
+      ((col("event_id") * 7919L) % 1000000L).as("ix"),
+      ((col("event_id") * 104729L + col("user_id")) % 1000000L).as("iy"))
+
+  // `def`, not `val`: referenced while `defs` initializes above, and a
+  // val declared below it would still be null at that point
+  private def ipointsSql: String =
+    "(SELECT event_id AS id, (event_id * 7919) % 1000000 AS ix, " +
+      "(event_id * 104729 + user_id) % 1000000 AS iy FROM events)"
 }

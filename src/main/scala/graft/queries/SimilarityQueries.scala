@@ -689,6 +689,28 @@ object SimilarityQueries {
         "SELECT r.qid, r.rank, r.vec_id AS neg_id, r.clabel AS neg_label, " +
         "round(r.cos, 6) AS neg_cos, round(p.pos_best - r.cos, 6) AS margin " +
         "FROM ranked r LEFT JOIN pos p ON r.qid = p.qid " +
-        s"WHERE r.rank <= $K ORDER BY r.qid, r.rank"))
+        s"WHERE r.rank <= $K ORDER BY r.qid, r.rank")),
+
+    // Multi-source BFS hop distance (4 frontier expansions) over the
+    // sparse event graph: the blast-radius primitive — seed the known-bad
+    // set, read off how far taint propagates in a near-dup graph. Each
+    // round joins the adjacency against the CURRENT FRONTIER only, so the
+    // per-round join shrinks as the expansion saturates; minimality is by
+    // construction (first-appearance labeling + anti-join). All-integer,
+    // hash-verified against the identically-unrolled MATERIALIZED chain.
+    Q("q_bfs_hops",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val edges = ev.select((col("event_id") % 6000).as("a"),
+          ((col("event_id") * 7919L + col("user_id")) % 6000).as("b"))
+        val seeds = s.range(3).select(col("id").as("node"))
+        graft.operators.GraphOps.bfsHops(edges, seeds, rounds = 4)
+          .orderBy("node")
+      },
+      Some(graft.operators.GraphOps.bfsHopsSql(
+        "(SELECT event_id % 6000 AS a, (event_id * 7919 + user_id) % 6000 AS b " +
+          "FROM events) es",
+        "(SELECT range AS node FROM range(3)) sd", rounds = 4) +
+        " ORDER BY node"))
   )
 }

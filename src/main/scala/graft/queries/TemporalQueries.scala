@@ -537,6 +537,22 @@ object TemporalQueries {
         "events", Seq("event_type" -> "event_type",
           "(user_id % 97)" -> "ubucket"), "(event_id % 7)", l = 5))),
 
+    // t-closeness audit (the third privacy gate after q_kanon and
+    // q_ldiversity): per equivalence class, the EMD between its ordered
+    // sensitive-category distribution and the global one — catches the
+    // class whose l distinct values are all semantically adjacent (the
+    // skew l-diversity cannot see). Integer DECIMAL(38,0) cumulative
+    // moments + one fixed double tree ⇒ hash-verified; all the post-cell
+    // work runs on the bounded class×category grid, never the corpus.
+    Q("q_tcloseness",
+      (s, d) => graft.operators.PrivacyOps.tCloseness(
+        ev(s, d).select(col("event_type"), (col("user_id") % 31).as("ubucket"),
+          (col("event_id") % 5).as("sev")),
+        Seq("event_type", "ubucket"), col("sev"), t = 0.15),
+      Some(graft.operators.PrivacyOps.tClosenessSql(
+        "events", Seq("event_type" -> "event_type",
+          "(user_id % 31)" -> "ubucket"), "(event_id % 5)", t = 0.15))),
+
     // Interval-OVERLAP join: per-(user, day) activity spans × error-hour
     // incident windows — "which users were active during an incident",
     // the interval-interval sibling of q_range_join's point-in-interval
@@ -610,6 +626,42 @@ object TemporalQueries {
       (s, d) => graft.operators.StatsOps.seasonalDow(
         ev(s, d), "event_type", "ts"),
       Some(graft.operators.StatsOps.seasonalDowSql(
-        "events", "event_type", "ts")))
+        "events", "event_type", "ts"))),
+
+    // Sequence pattern matching (the ClickHouse sequenceMatch shape):
+    // each user's history reduces to ONE ordered code string, then any
+    // number of behavioral regexes run on it — vcp = the view→click→
+    // purchase funnel with arbitrary noise between stages, ee = two
+    // CONSECUTIVE errors (adjacency, which q_funnel's per-stage semi-join
+    // chain cannot express without a join per stage). One key shuffle,
+    // per-user-bounded state, user-count-sized output.
+    Q("q_seq_match",
+      (s, d) => graft.operators.SequenceOps.seqMatch(
+        graft.operators.SequenceOps.codeSequences(
+          ev(s, d), "user_id", "ts", "event_id",
+          substring(col("event_type"), 1, 1)),
+        Seq("m_funnel" -> "v.*c.*p", "m_err_pair" -> "ee"))
+        .orderBy("user_id"),
+      Some(graft.operators.SequenceOps.seqMatchSql(
+        graft.operators.SequenceOps.codeSequencesSql(
+          "events", "user_id", "ts", "event_id",
+          "substring(event_type, 1, 1)"),
+        Seq("m_funnel" -> "v.*c.*p", "m_err_pair" -> "ee")) +
+        " ORDER BY user_id")),
+
+    // Common-path mining: the first 5 events of every user as a path
+    // string, counted across users — "how do journeys start" without
+    // fixing funnel stages in advance. The prefix is cut BEFORE the
+    // collect (row_number ≤ 5 per key), so aggregation state is 5-bounded
+    // regardless of history length; output is path-domain-sized.
+    Q("q_event_paths",
+      (s, d) => graft.operators.SequenceOps.eventPaths(
+          ev(s, d), "user_id", "ts", "event_id",
+          substring(col("event_type"), 1, 1), n = 5)
+        .orderBy(desc("n_users"), col("path")),
+      Some(graft.operators.SequenceOps.eventPathsSql(
+        "events", "user_id", "ts", "event_id",
+        "substring(event_type, 1, 1)", n = 5) +
+        " ORDER BY n_users DESC, path"))
   )
 }

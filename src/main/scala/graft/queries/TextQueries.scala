@@ -784,6 +784,40 @@ object TextQueries {
     // must equal — the driver hash-compare proves the rewrite exact.
     Q("q_source_overlap",
       (s, d) => TextOps.sourceOverlap(docs(s, d), "source", "text"),
-      Some(TextOps.sourceOverlapSql("documents", "source", "text")))
+      Some(TextOps.sourceOverlapSql("documents", "source", "text"))),
+
+    // Gopher quality rules (Rae et al. 2021): the published heuristic
+    // gate — word count, mean word length, stop-word presence,
+    // top-word-repetition — as per-RULE flags + conjunction verdict.
+    // Rationals compare cross-multiplied, so every flag is exact
+    // integer arithmetic; zero-shuffle narrow scan.
+    Q("q_gopher_rules",
+      (s, d) => TextOps.gopherRules(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.gopherRulesSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
+    // Hashed linear-classifier margin gate (fastText-style quality
+    // model): score = Σ w[h(token) mod 64] with deterministic
+    // pseudo-weights — the model-based filter curation stacks run after
+    // the heuristic rules. No vocabulary, no join: the weight lookup is
+    // arithmetic on the native token code, so the gate costs a filter.
+    Q("q_clf_filter",
+      (s, d) => TextOps.clfMarginFilter(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.clfMarginFilterSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc average
+    // log-likelihood ratio between the TARGET unigram LM (en subset)
+    // and the RAW corpus LM, add-1 smoothed over the shared vocabulary
+    // — the principled domain-tilt signal to feed q_weighted_sample.
+    // One corpus explode; both LMs broadcast back; ordered-fold floats.
+    Q("q_dsir_weights",
+      (s, d) => TextOps.dsirWeights(docs(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(TextOps.dsirWeightsSql("documents", "doc_id", "text",
+        "(lang = 'en')") + " ORDER BY doc_id"))
   )
 }

@@ -668,4 +668,82 @@ class CliSpec extends SparkSpec {
     val ijGot = spark.read.parquet(ij).collect()
     assert(ijGot.length === 1 && ijGot(0).getAs[Long]("overlap_us") === 50L)
   }
+
+  test("cli sequence / graph / privacy batch-3 commands wire end-to-end") {
+    import spark.implicits._
+    val ev = s"$sfDir/events.parquet"
+
+    val sm = tmp() + "/sm"
+    Cli.run(spark, "seqmatch", Map("input" -> ev, "output" -> sm,
+      "patterns" -> "m_vp=v.*p,m_ee=ee"))
+    val smGot = spark.read.parquet(sm)
+    assert(smGot.columns.toSet ===
+      Set("user_id", "seq", "n_events", "m_vp", "m_ee"))
+    assert(smGot.count() ===
+      Tables.load(spark, sfDir, "events").select("user_id").distinct().count())
+
+    val pa = tmp() + "/pa"
+    Cli.run(spark, "paths", Map("input" -> ev, "output" -> pa, "n" -> "3"))
+    val paGot = spark.read.parquet(pa)
+    assert(paGot.columns.toSet === Set("path", "n_users") &&
+      paGot.agg(max(length(col("path")))).head.getInt(0) <= 3)
+
+    val bf = tmp() + "/bf"
+    val edges = tmp() + "/edges"
+    Seq((1L, 2L), (2L, 3L)).toDF("a", "b").write.parquet(edges)
+    Cli.run(spark, "bfs", Map("input" -> edges, "output" -> bf,
+      "seeds" -> "1", "rounds" -> "2"))
+    assert(spark.read.parquet(bf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+
+    val tc = tmp() + "/tc"
+    Cli.run(spark, "tcloseness", Map("input" -> ev, "output" -> tc,
+      "quasi" -> "event_type", "cat" -> "user_id", "t" -> "0.1"))
+    assert(spark.read.parquet(tc).columns.toSet ===
+      Set("event_type", "n_rows", "emd", "violates"))
+  }
+
+  test("cli curation and spatial batch-3 commands wire end-to-end") {
+    val docs = s"$sfDir/documents.parquet"
+
+    val go = tmp() + "/go"
+    Cli.run(spark, "gopher", Map("input" -> docs, "output" -> go))
+    assert(spark.read.parquet(go).columns.contains("pass"))
+
+    val cf = tmp() + "/cf"
+    Cli.run(spark, "clf", Map("input" -> docs, "output" -> cf))
+    assert(spark.read.parquet(cf).columns.toSet ===
+      Set("doc_id", "margin", "keep"))
+
+    val dw = tmp() + "/dw"
+    Cli.run(spark, "dsir", Map("input" -> docs, "output" -> dw,
+      "target" -> "lang = 'en'"))
+    assert(spark.read.parquet(dw).columns.toSet ===
+      Set("doc_id", "n_tok", "logw"))
+
+    val pts = tmp() + "/pts"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id").as("id"),
+        ((col("event_id") * 7919L) % 1000000L).as("ix"),
+        ((col("event_id") * 104729L + col("user_id")) % 1000000L).as("iy"))
+      .write.parquet(pts)
+    val rj = tmp() + "/rj"
+    Cli.run(spark, "radiusjoin", Map("input" -> pts, "output" -> rj,
+      "r" -> "30000"))
+    assert(spark.read.parquet(rj).columns.toSet === Set("id_a", "id_b", "d2"))
+
+    val hb = tmp() + "/hb"
+    Cli.run(spark, "hexbin", Map("input" -> pts, "output" -> hb))
+    val hbGot = spark.read.parquet(hb)
+    assert(hbGot.columns.toSet === Set("hex_i", "hex_j", "n") &&
+      hbGot.agg(sum(col("n"))).head.getLong(0) ===
+        Tables.load(spark, sfDir, "events").count())
+
+    val db = tmp() + "/db"
+    Cli.run(spark, "dbscan", Map("input" -> pts, "output" -> db,
+      "r" -> "30000", "min-pts" -> "4"))
+    assert(spark.read.parquet(db).select("role").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("core", "border", "noise")))
+  }
 }

@@ -1,0 +1,288 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GeoOps, GraphOps, PrivacyOps, SequenceOps, TextOps}
+
+/** Round-8 batch-3 operators: event sequences/paths, BFS hops,
+  * t-closeness, Gopher rules, classifier margin gate, DSIR weights, the
+  * spatial radius join / hex bin / DBSCAN family. Each operator is
+  * checked against an independent Scala model (brute force where the
+  * operator is an optimized rewrite), the oracle-hash convention's local
+  * sibling. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- sequences ----------------------------------------------------
+
+  private lazy val seqDf = Seq(
+    // (user, ts, tie, type) — user 1 ordered v,c,e,e,p; user 2 v only
+    (1L, "2024-01-01 10:00:00", 1L, "view"),
+    (1L, "2024-01-01 10:05:00", 2L, "click"),
+    (1L, "2024-01-01 10:06:00", 3L, "error"),
+    (1L, "2024-01-01 10:07:00", 4L, "error"),
+    (1L, "2024-01-01 10:09:00", 5L, "purchase"),
+    (2L, "2024-01-01 11:00:00", 6L, "view"),
+    // user 3: same ts twice — tie column decides, p before c by event id
+    (3L, "2024-01-01 12:00:00", 8L, "click"),
+    (3L, "2024-01-01 12:00:00", 7L, "purchase"))
+    .toDF("user_id", "raw_ts", "event_id", "event_type")
+    .withColumn("ts", to_timestamp(col("raw_ts")))
+
+  test("codeSequences orders by (ts, tie) and seqMatch flags patterns") {
+    val out = SequenceOps.seqMatch(
+      SequenceOps.codeSequences(seqDf, "user_id", "ts", "event_id",
+        substring(col("event_type"), 1, 1)),
+      Seq("m_funnel" -> "v.*c.*p", "m_err_pair" -> "ee"))
+      .orderBy("user_id")
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getBoolean(3),
+      r.getBoolean(4))).toSeq ===
+      Seq((1L, "vceep", true, true), (2L, "v", false, false),
+        (3L, "pc", false, false)))
+  }
+
+  test("eventPaths cuts the prefix BEFORE the collect and counts paths") {
+    val out = GeoTestData.toMap(
+      SequenceOps.eventPaths(seqDf, "user_id", "ts", "event_id",
+        substring(col("event_type"), 1, 1), n = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)))
+    assert(out === Map("vce" -> 1L, "v" -> 1L, "pc" -> 1L))
+  }
+
+  // ---- BFS ----------------------------------------------------------
+
+  test("bfsHops labels minimum hop distance on a hand graph") {
+    // path 1-2-3-4-5 plus chord 1-4; node 9 isolated via edge 9-10
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val out = GraphOps.bfsHops(edges, seeds, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1:0; 2,4:1; 3,5:2 (3 via 2 or 4; 5 via 4) — 9/10 unreachable
+    assert(out === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsHops is minimal: a later frontier never relabels a node") {
+    // triangle 1-2-3 with a long way round 1-4-5-3: node 3 must be hop 1
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 5L),
+      (5L, 3L)).toDF("a", "b")
+    val out = GraphOps.bfsHops(edges, Seq(1L).toDF("node"), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(3L) === 1L && out(5L) === 2L)
+  }
+
+  // ---- t-closeness --------------------------------------------------
+
+  test("tCloseness EMD matches the hand-computed cumulative distance") {
+    // classes A (4 rows: cats 0,0,0,1) and B (4 rows: cats 2,2,3,3)
+    // global over m=4 cats: [3,1,2,2]/8
+    val df = Seq(
+      ("A", 0L), ("A", 0L), ("A", 0L), ("A", 1L),
+      ("B", 2L), ("B", 2L), ("B", 3L), ("B", 3L))
+      .toDF("grp", "cat")
+    val out = PrivacyOps.tCloseness(df, Seq("grp"), col("cat"), t = 0.2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    // A cum: [3,4,4,4]/4; global cum: [3,4,6,8]/8
+    // diffs |3/4-3/8|+|1-1/2|+|1-3/4|+|1-1| = 3/8+1/2+1/4 = 9/8; /(m-1)=3 → 0.375
+    assert(out("A") === ((4L, 0.375, true)))
+    // B cum: [0,0,2,4]/4; diffs 3/8+1/2+1/4+0 = 9/8 → same by symmetry
+    assert(out("B") === ((4L, 0.375, true)))
+  }
+
+  test("tCloseness flags only classes beyond t") {
+    // class C mirrors the global distribution exactly → EMD 0
+    val df = Seq(
+      ("C", 0L), ("C", 1L), ("D", 0L), ("D", 1L))
+      .toDF("grp", "cat")
+    val out = PrivacyOps.tCloseness(df, Seq("grp"), col("cat"), t = 0.1)
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(out === Map("C" -> false, "D" -> false))
+  }
+
+  // ---- Gopher rules -------------------------------------------------
+
+  test("gopherRules flags each rule independently") {
+    val mk = (n: Int, w: String) => Seq.fill(n)(w).mkString(" ")
+    val df = Seq(
+      (1L, "the a " + mk(28, "alpha")), // 30 tokens; alpha 28/30 → fails repetition
+      (2L, "the a " + (1 to 28).map(i => s"word$i").mkString(" ")), // distinct → passes
+      (3L, mk(5, "tiny")), // word count fail
+      (4L, "the a " + (1 to 28).map(i => s"word$i").mkString(" ") + " " +
+        (1 to 12).map(_ => "x" * 30).mkString(" ")) // 30-char words → mean len fail
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5),
+          r.getBoolean(6))).toMap
+    assert(out(1L) === ((true, true, true, false, false)))
+    assert(out(2L) === ((true, true, true, true, true)))
+    assert(out(3L)._1 === false && out(3L)._5 === false)
+    assert(out(4L)._2 === false && out(4L)._5 === false)
+  }
+
+  // ---- classifier margin -------------------------------------------
+
+  test("clfMarginFilter margin equals the Scala weight-fold model") {
+    val P = 1000000007L
+    def charHash(t: String): Long =
+      t.foldLeft(0L)((acc, ch) => (acc * 31L + ch.toLong) % P)
+    def weight(c: Long): Long = (c % 64L) * 2654435761L % 1999L - 999L
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val got = TextOps.clfMarginFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    texts.foreach { case (id, text) =>
+      val margin = text.split(" ", -1).map(t => weight(charHash(t))).sum
+      assert(got(id) === ((margin, margin > 0L)),
+        s"doc $id margin mismatch")
+    }
+  }
+
+  // ---- DSIR ---------------------------------------------------------
+
+  test("dsirWeights matches the ordered-fold Scala model on a tiny corpus") {
+    val df = Seq(
+      (1L, "spark fast fast", true),
+      (2L, "slow slow table", false),
+      (3L, "spark table", true))
+      .toDF("doc_id", "text", "tgt")
+    val out = TextOps.dsirWeights(df, "doc_id", "text", col("tgt"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // model
+    val docs = Map(1L -> Seq("spark", "fast", "fast"),
+      2L -> Seq("slow", "slow", "table"), 3L -> Seq("spark", "table"))
+    val cntR = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cntT = (docs(1L) ++ docs(3L)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = cntR.size.toLong
+    val totR = cntR.values.sum
+    val totT = cntT.values.sum
+    docs.foreach { case (id, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val sorted = tf.toSeq.sortBy(_._1)
+      var cum = 0.0
+      sorted.foreach { case (term, f) =>
+        val lr = (math.log((cntT.getOrElse(term, 0L) + 1).toDouble / (totT + v)) -
+          math.log((cntR(term) + 1).toDouble / (totR + v))) * f
+        cum += lr
+      }
+      val n = tf.values.sum
+      assert(out(id) === ((n, r6(cum / n))), s"doc $id")
+    }
+    // in-domain docs score above the out-of-domain one
+    assert(out(1L)._2 > out(2L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
+  // ---- spatial family ----------------------------------------------
+
+  private lazy val ipoints = Tables.load(spark, sfDir, "events")
+    .select(col("event_id").as("id"),
+      ((col("event_id") * 7919L) % 1000000L).as("ix"),
+      ((col("event_id") * 104729L + col("user_id")) % 1000000L).as("iy"))
+
+  test("radiusJoin equals the brute-force quadratic join on real points") {
+    val r = 30000L
+    val pts = ipoints.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val brute = (for {
+      a <- pts; b <- pts
+      if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+    val got = GeoOps.radiusJoin(ipoints, r)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(got === brute && brute.nonEmpty)
+  }
+
+  test("hexBin assigns every point to its true nearest even-parity center") {
+    val (w, h) = (15000L, 26000L)
+    val assigned = ipoints
+      .withColumn("one", lit(1L))
+      .transform(p => GeoOps.hexBin(
+        p.select(col("id"), col("ix"), col("iy")), w, h,
+        Seq("n" -> count(lit(1)), "ids" -> collect_list(col("id")))))
+      .collect()
+      .flatMap(r => r.getSeq[Long](3).map(_ -> (r.getLong(0), r.getLong(1))))
+      .toMap
+    val pts = ipoints.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    pts.take(500).foreach { case (id, x, y) =>
+      // brute-force nearest even center over a generous lattice window
+      val i0 = x / w; val j0 = y / h
+      val cands = for {
+        i <- (i0 - 2) to (i0 + 2); j <- (j0 - 2) to (j0 + 2)
+        if (i + j) % 2 == 0
+      } yield (i, j, (x - i * w) * (x - i * w) + (y - j * h) * (y - j * h))
+      val best = cands.minBy(_._3)._3
+      val (gi, gj) = assigned(id)
+      val gd = (x - gi * w) * (x - gi * w) + (y - gj * h) * (y - gj * h)
+      assert(gd === best, s"point $id: got ($gi,$gj) d2=$gd best=$best")
+    }
+  }
+
+  test("dbscan roles match brute-force neighbor counts") {
+    val r = 30000L
+    val minPts = 4
+    val pts = ipoints.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = pts.map(p =>
+      p._1 -> pts.filter(q => q._1 != p._1 && d2(p, q) <= r * r).map(_._1).toSet).toMap
+    val core = nbrs.filter(_._2.size >= minPts - 1).keySet
+    val out = GeoOps.dbscan(ipoints, r, minPts, rounds = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(core.nonEmpty, "degenerate fixture: no core points")
+    pts.foreach { case p @ (id, _, _) =>
+      val (n, role) = out(id)
+      assert(n === nbrs(id).size.toLong, s"point $id neighbor count")
+      val expected =
+        if (core(id)) "core"
+        else if (nbrs(id).exists(core)) "border"
+        else "noise"
+      assert(role === expected, s"point $id role")
+    }
+  }
+
+  test("dbscan cluster labels equal the fixed-round min-label simulation") {
+    val r = 30000L
+    val minPts = 4
+    val rounds = 4
+    val pts = ipoints.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    def d2(a: (Long, Long, Long), b: (Long, Long, Long)) =
+      (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+    val nbrs = pts.map(p =>
+      p._1 -> pts.filter(q => q._1 != p._1 && d2(p, q) <= r * r).map(_._1).toSet).toMap
+    val core = nbrs.filter(_._2.size >= minPts - 1).keySet
+    // declared semantics: `rounds` synchronous min-label steps over the
+    // core-core adjacency, then border = min adjacent core's final label
+    var lab = core.map(id => id -> id).toMap
+    for (_ <- 1 to rounds)
+      lab = lab.map { case (id, l) =>
+        id -> (nbrs(id).filter(core).map(lab) + l).min
+      }
+    val border = nbrs.keys
+      .filterNot(core)
+      .flatMap(id => {
+        val adjCores = nbrs(id).filter(core)
+        if (adjCores.isEmpty) None else Some(id -> adjCores.map(lab).min)
+      }).toMap
+    val out = GeoOps.dbscan(ipoints, r, minPts, rounds)
+      .collect().map(x => x.getLong(0) -> (x.getString(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    core.foreach(id => assert(out(id) === (("core", lab(id))), s"core $id"))
+    border.foreach { case (id, l) => assert(out(id) === (("border", l)), s"border $id") }
+    out.filter(_._2._1 == "noise").foreach { case (id, v) =>
+      assert(v._2 === -1L && !core(id) && nbrs(id).forall(n => !core(n)))
+    }
+  }
+}
+
+/** tiny helper shared by the spec (kept out of the suite for clarity) */
+private object GeoTestData {
+  def toMap(pairs: Array[(String, Long)]): Map[String, Long] = pairs.toMap
+}
