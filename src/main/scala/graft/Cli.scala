@@ -91,7 +91,8 @@ object Cli {
         "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
         "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
-        "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan> --opt v ...")
+        "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
+        "ppr|theilsen|cdcchunk> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -696,6 +697,36 @@ object Cli {
         write(graft.operators.GeoOps.dbscan(in("input"),
           opts("r").toLong, opts.getOrElse("min-pts", "5").toInt,
           opts.getOrElse("rounds", "4").toInt, opts.getOrElse("id", "id")))
+
+      case "modularity" =>
+        // --labels parquet of (node, label); defaults to labelProp rounds
+        val edges = in("input")
+        val labels = opts.get("labels")
+          .map(spark.read.parquet(_))
+          .getOrElse(graft.operators.GraphOps.labelProp(edges,
+            opts.getOrElse("iters", "3").toInt,
+            opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+        write(graft.operators.GraphOps.modularity(edges, labels,
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "ppr" =>
+        val seeds = opts("seeds").split(",").toSeq.map(_.toLong)
+        write(graft.operators.GraphOps.personalizedPageRank(in("input"),
+          spark.createDataFrame(seeds.map(Tuple1(_))).toDF("node"),
+          opts.getOrElse("iters", "3").toInt,
+          opts.getOrElse("damping", "0.85").toDouble,
+          opts.getOrElse("src", "src"), opts.getOrElse("dst", "dst")))
+
+      case "theilsen" =>
+        write(graft.operators.StatsOps.theilSen(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts")))
+
+      case "cdcchunk" =>
+        write(graft.operators.TextOps.cdcChunkProfile(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("window", "8").toInt,
+          opts.getOrElse("mask-bits", "5").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -51,6 +51,34 @@ object TextFunctions {
       s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $P)"
 
+  /** Content-defined chunk codes (native one pass): Rabin-style CDC cut
+    * rule on the rolling w-char hash, each chunk coded as
+    * `charHash(chunk)·2^20 + len`. */
+  def cdcChunkCodes(text: Column, window: Int, maskBits: Int): Column =
+    PlanBridge.column(Exprs.CdcChunkCodes(
+      PlanBridge.expression(text), window, maskBits))
+
+  /** DuckDB twin of [[cdcChunkCodes]] as a STAGED subquery — O(n·w)
+    * direct window hashes, identical cut set and chunk codes; the
+    * boundary/cut lists materialize as columns so nothing re-evaluates.
+    * Yields (doc_id, codes). `text` must be a bare column name. */
+  def cdcChunkCodesSql(table: String, idExpr: String, text: String,
+                       window: Int, maskBits: Int): String = {
+    val mask = 1L << maskBits
+    val win = charHashSql(s"substr($text, i - ${window - 1}, $window)")
+    val chunk = s"substr($text, b2[j - 1] + 1, b2[j] - b2[j - 1])"
+    s"SELECT doc_id, list_transform(range(2, len(b2) + 1), " +
+      s"j -> ${charHashSql(chunk)} * 1048576 + (b2[j] - b2[j - 1])) AS codes " +
+      "FROM (SELECT doc_id, " +
+      "list_concat(list_concat([CAST(0 AS BIGINT)], bnd), " +
+      s"CASE WHEN length($text) > 0 AND (len(bnd) = 0 OR " +
+      s"bnd[len(bnd)] <> length($text)) " +
+      s"THEN [CAST(length($text) AS BIGINT)] ELSE [] END) AS b2, $text " +
+      s"FROM (SELECT $idExpr AS doc_id, $text, " +
+      s"list_filter(range($window, length($text) + 1), " +
+      s"i -> ($win) % $mask = 0) AS bnd FROM $table) tb) t2"
+  }
+
   /** Per-token hash codes: array<long>, one code per whitespace token
     * (native: one pass, no per-token closure). */
   def tokenCodes(text: Column): Column =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over candidate-pair graphs (SURVEY §2.3) — the audit
@@ -600,5 +600,183 @@ object GraphOps {
     }
     sb ++= s" SELECT node, hops FROM d$rounds"
     sb.toString
+  }
+
+  /** Newman modularity of a community assignment over an undirected
+    * graph: `Q = Σ_c [e_c/m − (d_c/2m)²]` — the quality audit for
+    * [[labelProp]] (or any clustering of the near-dup graph): Q near 0
+    * means the "communities" are no better than random edge placement,
+    * so a dedup stage keyed on them would merge arbitrary documents.
+    *
+    * Exactness: rewritten to the single-fraction integer form
+    * `(4m·Σe_c − Σd_c²) / (4m²)` — all moments DECIMAL(38,0) (d_c² and
+    * 4m² overflow BIGINT at 100 TB edge counts), ONE double division at
+    * the end ⇒ hash-verified.
+    *
+    * Scale shape: edge canonicalization + two label joins on 8-byte
+    * keys, one map-side-combined degree count; the per-community sums
+    * run on the COMMUNITY frame (domain-bounded). Edges whose endpoint
+    * has no label drop from intra/degree mass but still count in m —
+    * pass a total assignment for the classical quantity.
+    *
+    * Output: one row (n_edges, intra_edges, modularity). */
+  def modularity(edges0: DataFrame, labels: DataFrame,
+                 aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint() // reused by m, intra and the degree count
+    val l = labels.select(col("node"), col("label"))
+    val m = e.agg(count(lit(1)).as("n_edges"))
+    val intra = e
+      .join(l.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(l.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val s2 = deg.join(l.withColumnRenamed("node", "v"), Seq("v"))
+      .groupBy("label").agg(sum(col("deg")).as("dsum"))
+      .agg(coalesce(sum(dec(col("dsum")) * dec(col("dsum"))),
+        lit(0).cast("decimal(38,0)")).as("s2"))
+    m.crossJoin(intra).crossJoin(s2)
+      .select(col("n_edges"), col("intra_edges"),
+        round((dec(lit(4)) * dec(col("n_edges")) * dec(col("intra_edges")) -
+          col("s2")).cast("double") /
+          (lit(4.0) * col("n_edges").cast("double") * col("n_edges").cast("double")),
+          6).as("modularity"))
+  }
+
+  /** DuckDB oracle for [[modularity]] — identical canonicalization,
+    * HUGEINT moments, same terminal double tree. `labelsSub` must yield
+    * (node, label) with its own WITH chain allowed. */
+  def modularitySql(edgesSub: String, labelsSub: String): String =
+    "WITH e AS MATERIALIZED (SELECT DISTINCT least(CAST(a AS BIGINT), CAST(b AS BIGINT)) AS a, " +
+      s"greatest(CAST(a AS BIGINT), CAST(b AS BIGINT)) AS b FROM $edgesSub " +
+      "WHERE CAST(a AS BIGINT) <> CAST(b AS BIGINT)), " +
+      s"lbl AS MATERIALIZED (SELECT node, label FROM ($labelsSub) ls), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e), " +
+      "intra AS (SELECT CAST(count(*) AS BIGINT) AS intra_edges FROM e " +
+      "JOIN lbl la ON e.a = la.node JOIN lbl lb ON e.b = lb.node " +
+      "WHERE la.label = lb.label), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM " +
+      "(SELECT a AS v FROM e UNION ALL SELECT b FROM e) ve GROUP BY v), " +
+      "s2 AS (SELECT coalesce(sum(CAST(dsum AS HUGEINT) * dsum), 0) AS s2 FROM " +
+      "(SELECT label, CAST(sum(deg) AS BIGINT) AS dsum FROM deg " +
+      "JOIN lbl ON deg.v = lbl.node GROUP BY label) dc) " +
+      "SELECT n_edges, intra_edges, " +
+      "round(CAST(4 * CAST(n_edges AS HUGEINT) * intra_edges - s2 AS DOUBLE) / " +
+      "(4.0 * CAST(n_edges AS DOUBLE) * CAST(n_edges AS DOUBLE)), 6) AS modularity " +
+      "FROM m CROSS JOIN intra CROSS JOIN s2"
+
+  /** Personalized PageRank (random walk with restart to a SEED set):
+    * [[pageRank]] with the teleport vector concentrated on seeds —
+    * `r = (1−d)·p + d·(Wᵀr + dm·p)` with `p_v = 1/|S|` on seeds, else
+    * 0. THE graph-proximity score for seed-anchored curation: "rank
+    * every document by closeness to this trusted (or poisoned) set" —
+    * q_bfs_hops' hop label with mass instead of distance. Same
+    * fixed-round unrolled form, same ordered-window float folds (the
+    * portable reduction), so ranks hash-verify.
+    *
+    * Scale shape per round: identical to pageRank — one join shuffle on
+    * the 8-byte src key, per-dst ordered cumsum, dangling fold over the
+    * node frame; the seed indicator joins once up front. */
+  def personalizedPageRank(edges0: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, damping: Double = 0.85,
+                           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val e = edges0
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
+    val nodes0 = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val sd = seeds.select(col("node").cast("long").as("v")).distinct()
+    val ns = sd.agg(count(lit(1)).as("ns"))
+    // p_v as one double division; non-seed nodes carry exact 0.0
+    val nodes = nodes0
+      .join(sd.withColumn("is_seed", lit(true)), Seq("v"), "left")
+      .crossJoin(broadcast(ns))
+      .select(col("v"),
+        when(col("is_seed"), lit(1.0) / col("ns").cast("double"))
+          .otherwise(lit(0.0)).as("p"))
+      .localCheckpoint()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = nodes.select(col("v"), col("p").as("r")).localCheckpoint()
+    val ordv = W.orderBy("v")
+    val cumv = ordv.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ordd = W.partitionBy("dst").orderBy("src")
+    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    (1 to iters).foreach { _ =>
+      val dangTot = ranks.join(deg, ranks("v") === deg("src"), "left_anti")
+        .withColumn("cum", sum(col("r")).over(cumv))
+        .withColumn("rn", row_number().over(ordv))
+        .withColumn("nc", count(lit(1)).over())
+        .filter(col("rn") === col("nc"))
+        .select(lit(1).as("j"), col("cum").as("dm"))
+      val dm = ns.withColumn("j", lit(1))
+        .join(dangTot, Seq("j"), "left")
+        .select(coalesce(col("dm"), lit(0.0)).as("dm"))
+      val contrib = e.join(ranks, e("src") === ranks("v"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), col("src"),
+          (col("r") / col("deg").cast("double")).as("ct"))
+        .withColumn("cum", sum(col("ct")).over(cumd))
+        .withColumn("rn", row_number().over(ordd))
+        .withColumn("nc", count(lit(1)).over(W.partitionBy("dst")))
+        .filter(col("rn") === col("nc"))
+        .select(col("dst"), col("cum").as("c"))
+      ranks = nodes.crossJoin(broadcast(dm))
+        .join(contrib, nodes("v") === contrib("dst"), "left")
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) * col("p") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dm") * col("p"))).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("v").as("node"), round(col("r"), 6).as("ppr"))
+  }
+
+  /** DuckDB oracle for [[personalizedPageRank]] — identical unrolled
+    * chain; `seedsSub` yields (node). */
+  def personalizedPageRankSql(edgesSub: String, seedsSub: String,
+                              iters: Int, damping: Double): String = {
+    val d = damping
+    val iterCtes = (0 until iters).map { k =>
+      s"dang$k AS (SELECT cum FROM (SELECT " +
+        "sum(r.r) OVER (ORDER BY r.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (ORDER BY r.v) AS rn, count(*) OVER () AS nc " +
+        s"FROM r$k r LEFT JOIN deg ON r.v = deg.src WHERE deg.src IS NULL) " +
+        "WHERE rn = nc), " +
+        s"dm$k AS (SELECT coalesce((SELECT cum FROM dang$k), 0.0) AS dm), " +
+        s"ctr$k AS (SELECT dst, cum AS c FROM (SELECT e.dst, " +
+        "sum(r.r / CAST(deg.deg AS DOUBLE)) OVER (PARTITION BY e.dst ORDER BY e.src " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (PARTITION BY e.dst ORDER BY e.src) AS rn, " +
+        "count(*) OVER (PARTITION BY e.dst) AS nc " +
+        s"FROM e JOIN r$k r ON e.src = r.v JOIN deg ON e.src = deg.src) " +
+        "WHERE rn = nc), " +
+        s"r${k + 1} AS (SELECT nodes.v, " +
+        s"(1.0 - $d) * p + $d * (coalesce(c, 0.0) + dm * p) AS r " +
+        s"FROM nodes CROSS JOIN dm$k " +
+        s"LEFT JOIN ctr$k ON nodes.v = ctr$k.dst)"
+    }.mkString(", ")
+    "WITH e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst " +
+      s"FROM $edgesSub WHERE src <> dst), " +
+      "nodes0 AS (SELECT DISTINCT v FROM " +
+      "(SELECT src AS v FROM e UNION ALL SELECT dst AS v FROM e)), " +
+      s"sd AS (SELECT DISTINCT CAST(node AS BIGINT) AS v FROM $seedsSub), " +
+      "ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd), " +
+      "nodes AS (SELECT nodes0.v, CASE WHEN sd.v IS NOT NULL " +
+      "THEN 1.0 / CAST(ns AS DOUBLE) ELSE 0.0 END AS p " +
+      "FROM nodes0 LEFT JOIN sd ON nodes0.v = sd.v CROSS JOIN ns), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src), " +
+      "r0 AS (SELECT v, p AS r FROM nodes), " +
+      s"$iterCtes " +
+      s"SELECT v AS node, round(r, 6) AS ppr FROM r$iters ORDER BY node"
   }
 }

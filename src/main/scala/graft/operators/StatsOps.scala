@@ -1182,4 +1182,62 @@ object StatsOps {
       s"AS est FROM (SELECT grp, CAST(count(*) AS INTEGER) AS k_eff, " +
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
-}
+
+  /** Theil–Sen robust trend of the daily count series per group: the
+    * MEDIAN of all pairwise slopes `(y_j−y_i)/(x_j−x_i)` — up to ~29%
+    * corrupted days cannot move it (OLS's q_ols_trend breaks at one wild
+    * outlier; run both, divergence flags contamination). x is the
+    * integer day index from a fixed origin (the seasonalDow route).
+    *
+    * Determinism: each slope is ONE IEEE division of exact integers
+    * (bit-identical cross-engine); the median picks by row_number over
+    * (slope, xi, xj) — the day pair breaks slope ties totally — and the
+    * even-count midpoint is one fixed (a+b)/2 tree ⇒ hash-verified.
+    *
+    * Scale shape: the corpus collapses to the DAILY frame in one
+    * map-side-combined groupBy (the only data-sized shuffle); the pair
+    * join and median window run per group on n_days² rows — calendar-
+    * bounded (a year of days = 66k pairs/group), never corpus-scaled. */
+  def theilSen(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df
+      .groupBy(col(groupCol).as("g"),
+        datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date")).as("x"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // day frame: both pair sides read it
+    val pairs = daily.select(col("g"), col("x").as("xi"), col("y").as("yi"))
+      .join(daily.select(col("g"), col("x").as("xj"), col("y").as("yj")), Seq("g"))
+      .filter(col("xi") < col("xj"))
+      .select(col("g"), col("xi"), col("xj"),
+        ((col("yj") - col("yi")).cast("double") /
+          (col("xj") - col("xi")).cast("double")).as("slope"))
+    val ord = W.partitionBy("g").orderBy(col("slope"), col("xi"), col("xj"))
+    pairs
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("np", count(lit(1)).over(W.partitionBy("g")))
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("(np + 2) div 2"))
+      .groupBy(col("g").as(groupCol))
+      .agg(max(col("np")).as("n_pairs"),
+        round((min(col("slope")) + max(col("slope"))) / 2.0, 6)
+          .as("slope_per_day"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[theilSen]] — identical day collapse, pair set,
+    * tie-broken median selection and midpoint tree. */
+  def theilSenSql(table: String, groupExpr: String, tsExpr: String): String =
+    s"WITH daily AS (SELECT $groupExpr AS g, " +
+      s"CAST(datediff('day', DATE '2024-01-01', CAST($tsExpr AS DATE)) AS BIGINT) AS x, " +
+      s"CAST(count(*) AS BIGINT) AS y FROM $table GROUP BY g, x), " +
+      "pairs AS (SELECT a.g, a.x AS xi, b.x AS xj, " +
+      "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope " +
+      "FROM daily a JOIN daily b ON a.g = b.g AND a.x < b.x), " +
+      "r AS (SELECT g, slope, " +
+      "row_number() OVER (PARTITION BY g ORDER BY slope, xi, xj) AS rn, " +
+      "count(*) OVER (PARTITION BY g) AS np FROM pairs) " +
+      s"SELECT g AS $groupExpr, CAST(max(np) AS BIGINT) AS n_pairs, " +
+      "round((min(slope) + max(slope)) / 2.0, 6) AS slope_per_day " +
+      "FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2 " +
+      s"GROUP BY g ORDER BY g"
+  }

@@ -1543,6 +1543,55 @@ object TextOps {
       s"FROM $table"
   }
 
+  /** Content-defined-chunking dedup profile (the rsync/LBFS cut rule —
+    * the shift-resistant dedup primitive for BLOB-shaped payloads, where
+    * fixed blocks (q_block_dedup) lose alignment after one insertion):
+    * documents cut into variable chunks wherever the rolling w-char hash
+    * hits the mask, then a corpus-wide chunk index reports, per doc, how
+    * many of its chunks also occur in OTHER documents. `total_len`
+    * reconstructs n_chars exactly (cuts partition the text — conserved,
+    * spec-asserted).
+    *
+    * Scale shape: the native one-pass kernel emits chunk codes in the
+    * scan stage (no per-char closure); ONE explode → (doc, code) counts
+    * (map-side combined), one code-keyed join against the chunk index —
+    * the exact-dedup shape at chunk granularity. Chunk code =
+    * hash·2^20+len, so length stats need no second text scan. */
+  def cdcChunkProfile(df: DataFrame, idCol: String, textCol: String,
+                      window: Int = 8, maskBits: Int = 5): DataFrame = {
+    val ex = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.cdcChunkCodes(col(textCol), window, maskBits))
+          .as("code"))
+    val pcd = ex.groupBy("doc_id", "code").agg(count(lit(1)).as("k"))
+    val byc = pcd.groupBy("code").agg(count(lit(1)).as("n_docs"))
+    pcd.join(byc, Seq("code"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("k") * (col("code") % 1048576L)).as("total_len"),
+        max(col("code") % 1048576L).as("max_chunk_len"),
+        sum(when(col("n_docs") >= 2, col("k")).otherwise(0L))
+          .as("shared_chunks"))
+  }
+
+  /** DuckDB oracle for [[cdcChunkProfile]] — identical staged cut lists,
+    * identical explode/count/join chain. */
+  def cdcChunkProfileSql(table: String, idExpr: String, textCol: String,
+                         window: Int = 8, maskBits: Int = 5): String =
+    s"WITH ch AS MATERIALIZED (${TextFunctions.cdcChunkCodesSql(
+      table, idExpr, textCol, window, maskBits)}), " +
+      "ex AS (SELECT doc_id, unnest(codes) AS code FROM ch), " +
+      "pcd AS (SELECT doc_id, code, CAST(count(*) AS BIGINT) AS k " +
+      "FROM ex GROUP BY doc_id, code), " +
+      "byc AS (SELECT code, CAST(count(*) AS BIGINT) AS n_docs " +
+      "FROM pcd GROUP BY code) " +
+      "SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chunks, " +
+      "CAST(count(*) AS BIGINT) AS distinct_chunks, " +
+      "CAST(sum(k * (code % 1048576)) AS BIGINT) AS total_len, " +
+      "CAST(max(code % 1048576) AS BIGINT) AS max_chunk_len, " +
+      "CAST(sum(CASE WHEN n_docs >= 2 THEN k ELSE 0 END) AS BIGINT) AS shared_chunks " +
+      "FROM pcd JOIN byc USING (code) GROUP BY doc_id"
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection via
     * Importance Resampling"): per document, the average log-likelihood
     * RATIO between a TARGET unigram LM (built from the in-domain subset)

@@ -35,6 +35,22 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Content-defined chunk codes (Kernels.cdcChunkCodes), one native
+    * pass: rolling-window cut rule + per-chunk hash·2^20+len codes. */
+  case class CdcChunkCodes(child: Expression, window: Int, maskBits: Int)
+      extends UnaryExpression {
+    require(window >= 2 && maskBits >= 1 && maskBits <= 62)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_cdc_chunk_codes"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.cdcChunkCodes(input.asInstanceOf[UTF8String], window, maskBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.Kernels.cdcChunkCodes($c, $window, $maskBits)")
+    override protected def withNewChildInternal(newChild: Expression): CdcChunkCodes =
+      copy(child = newChild)
+  }
+
   /** Whitespace tokens -> charHash codes, one native pass. */
   case class TokenCodes(child: Expression)
       extends UnaryExpression {

@@ -383,4 +383,46 @@ object Kernels {
     }
     d
   }
+
+  /** Content-defined chunk codes (Rabin-style CDC, the rsync/LBFS cut
+    * rule): a chunk boundary falls after 1-based position i (i ≥ w)
+    * whenever the rolling charHash of the last `w` characters is ≡ 0
+    * mod 2^maskBits; each chunk emits `charHash(chunk)·2^20 + len`.
+    * ONE pass: the window hash rolls (subtract the outgoing char's
+    * 31^(w−1) term, shift, add), the chunk hash accumulates since the
+    * last cut — both stay in the exact arithmetic of the O(n·w) oracle
+    * form (same fold, same mod), so codes hash-match bit-for-bit.
+    * Production CDC adds min/max chunk bounds; this is the exact-oracle
+    * core. */
+  def cdcChunkCodes(s: UTF8String, w: Int, maskBits: Int): ArrayData = {
+    val t = s.toString
+    val n = t.length
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val mask = (1L << maskBits) - 1L
+    var pw = 1L
+    var k = 0
+    while (k < w - 1) { pw = pw * 31L % P; k += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var rh = 0L
+    var ch = 0L
+    var chunkStart = 0
+    var i = 0
+    while (i < n) {
+      val c = t.charAt(i).toLong
+      ch = (ch * 31L + c) % P
+      rh =
+        if (i < w) (rh * 31L + c) % P
+        else (((rh - t.charAt(i - w).toLong * pw % P + P) % P) * 31L + c) % P
+      val isBoundary = i >= w - 1 && (rh & mask) == 0L
+      if (isBoundary || i == n - 1) {
+        val len = i + 1 - chunkStart
+        require(len < 1048576, "cdcChunkCodes: chunk exceeds the 2^20 length face")
+        out += ch * 1048576L + len
+        ch = 0L
+        chunkStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -711,6 +711,47 @@ object SimilarityQueries {
         "(SELECT event_id % 6000 AS a, (event_id * 7919 + user_id) % 6000 AS b " +
           "FROM events) es",
         "(SELECT range AS node FROM range(3)) sd", rounds = 4) +
-        " ORDER BY node"))
+        " ORDER BY node")),
+
+    // Modularity audit of the label-prop communities (Newman Q): near 0
+    // ⇒ the "communities" are no better than random edge placement and
+    // a dedup stage keyed on them would merge arbitrary documents.
+    // Single-fraction integer form (4m·Σe_c − Σd_c²)/(4m²) in
+    // DECIMAL(38,0) moments + one double division ⇒ hash-verified.
+    Q("q_modularity",
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val e1 = ev.select((col("user_id") % 120).as("a"),
+          (lit(1000L) + col("user_id") % 12).as("b"))
+        val e2 = ev.select((col("user_id") % 120).as("a"),
+          (lit(1000L) + (col("user_id") * 31) % 12).as("b"))
+        val edges = e1.unionByName(e2)
+        graft.operators.GraphOps.modularity(edges,
+          graft.operators.GraphOps.labelProp(edges, iters = 3))
+      },
+      Some {
+        val edgesSub =
+          "(SELECT user_id % 120 AS a, 1000 + (user_id % 12) AS b FROM events " +
+            "UNION ALL SELECT user_id % 120, 1000 + ((user_id * 31) % 12) FROM events)"
+        graft.operators.GraphOps.modularitySql(edgesSub,
+          graft.operators.GraphOps.labelPropSql(edgesSub, iters = 3))
+      }),
+
+    // Personalized PageRank (restart to a 3-node seed set): graph
+    // proximity with MASS where q_bfs_hops gives distance — "rank every
+    // node by closeness to this trusted/poisoned set". Same unrolled
+    // fixed-round form and ordered-window float folds as q_pagerank.
+    Q("q_ppr",
+      (s, d) => graft.operators.GraphOps.personalizedPageRank(
+        Tables.load(s, d, "events")
+          .select((col("user_id") % 50).as("src"),
+            ((col("event_id") * 7919L) % 64).as("dst")),
+        s.range(3).select(col("id").as("node")),
+        iters = 3, damping = 0.85)
+        .orderBy("node"),
+      Some(graft.operators.GraphOps.personalizedPageRankSql(
+        "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
+        "(SELECT range AS node FROM range(3)) sd",
+        iters = 3, damping = 0.85)))
   )
 }

@@ -607,6 +607,18 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.cusumChangepointSql(
         "events", "event_type", "ts"))),
 
+    // Theil–Sen robust daily-count trend per type: the median of all
+    // pairwise slopes — up to ~29% corrupted days can't move it, where
+    // q_ols_trend breaks at one wild outlier (run both; divergence
+    // flags contamination). One exact-integer IEEE division per pair,
+    // day-pair tie-break, fixed midpoint tree ⇒ hash-verified; pair set
+    // is calendar-bounded (n_days² per group), never corpus-scaled.
+    Q("q_theil_sen",
+      (s, d) => graft.operators.StatsOps.theilSen(
+        ev(s, d), "event_type", "ts"),
+      Some(graft.operators.StatsOps.theilSenSql(
+        "events", "event_type", "ts"))),
+
     // EWMA-smoothed daily mean value per type (α = 0.25): the recursion
     // runs as an identical ordered prefix fold on both engines, so every
     // smoothed point hash-verifies.

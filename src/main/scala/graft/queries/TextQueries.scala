@@ -818,6 +818,17 @@ object TextQueries {
           col("lang") === "en")
         .orderBy("doc_id"),
       Some(TextOps.dsirWeightsSql("documents", "doc_id", "text",
-        "(lang = 'en')") + " ORDER BY doc_id"))
+        "(lang = 'en')") + " ORDER BY doc_id")),
+
+    // Content-defined chunking (rsync/LBFS cut rule): shift-resistant
+    // dedup at chunk granularity — where q_block_dedup's fixed blocks
+    // lose alignment after one insertion, CDC cuts re-synchronize.
+    // Native one-pass kernel in the scan stage; one explode + one
+    // code-keyed join; total_len reconstructs n_chars exactly.
+    Q("q_cdc_chunks",
+      (s, d) => TextOps.cdcChunkProfile(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.cdcChunkProfileSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id"))
   )
 }

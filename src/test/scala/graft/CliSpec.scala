@@ -746,4 +746,35 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(db).select("role").distinct().collect()
       .map(_.getString(0)).toSet.subsetOf(Set("core", "border", "noise")))
   }
+
+  test("cli modularity / ppr / theilsen / cdcchunk wire end-to-end") {
+    import spark.implicits._
+    val edges = tmp() + "/medges"
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("a", "b").write.parquet(edges)
+
+    val mo = tmp() + "/mo"
+    Cli.run(spark, "modularity", Map("input" -> edges, "output" -> mo))
+    assert(spark.read.parquet(mo).columns.toSet ===
+      Set("n_edges", "intra_edges", "modularity"))
+
+    val pp = tmp() + "/pp"
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").write.parquet(tmp() + "/de")
+    Cli.run(spark, "ppr", Map("input" -> edges, "output" -> pp,
+      "seeds" -> "1,4", "src" -> "a", "dst" -> "b"))
+    val ppGot = spark.read.parquet(pp)
+    assert(ppGot.columns.toSet === Set("node", "ppr") && ppGot.count() > 0)
+
+    val ts = tmp() + "/ts"
+    Cli.run(spark, "theilsen", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> ts, "group" -> "event_type"))
+    assert(spark.read.parquet(ts).columns.toSet ===
+      Set("event_type", "n_pairs", "slope_per_day"))
+
+    val cc = tmp() + "/cc"
+    Cli.run(spark, "cdcchunk", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> cc))
+    assert(spark.read.parquet(cc).columns.toSet === Set("doc_id", "n_chunks",
+      "distinct_chunks", "total_len", "max_chunk_len", "shared_chunks"))
+  }
 }

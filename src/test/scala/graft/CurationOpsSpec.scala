@@ -280,6 +280,135 @@ class CurationOpsSpec extends SparkSpec {
       assert(v._2 === -1L && !core(id) && nbrs(id).forall(n => !core(n)))
     }
   }
+  // ---- modularity ---------------------------------------------------
+
+  test("modularity matches the closed form on two bridged triangles") {
+    // triangles {1,2,3} and {4,5,6} + bridge 3-4: m=7, intra=6,
+    // d_c = 7 each → Q = (4·7·6 − 2·49)/(4·49) = 70/196
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L),
+      (6L, 2L)).toDF("node", "label")
+    val out = GraphOps.modularity(edges, labels).collect()(0)
+    assert(out.getLong(0) === 7L && out.getLong(1) === 6L)
+    assert(out.getDouble(2) === r6(70.0 / 196.0))
+  }
+
+  test("modularity of the all-one-community assignment is 0") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val labels = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("node", "label")
+    assert(GraphOps.modularity(edges, labels).collect()(0).getDouble(2) === 0.0)
+  }
+
+  // ---- personalized pagerank ---------------------------------------
+
+  test("personalizedPageRank matches a Scala simulation of the declared recursion") {
+    val edgeList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 1L))
+    val seeds = Seq(1L)
+    val iters = 3
+    val d = 0.85
+    val out = GraphOps.personalizedPageRank(
+      edgeList.toDF("src", "dst"), seeds.toDF("node"), iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // simulate: same update, same ordered summation (sums here are exact
+    // enough at this size that order cannot matter)
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val p = nodes.map(v => v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+    val deg = edgeList.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = p
+    for (_ <- 1 to iters) {
+      val dm = nodes.filter(v => !deg.contains(v)).map(r).sum
+      val contrib = nodes.map { v =>
+        v -> edgeList.filter(_._2 == v).sortBy(_._1)
+          .map(e => r(e._1) / deg(e._1)).sum
+      }.toMap
+      r = nodes.map(v => v -> ((1 - d) * p(v) + d * (contrib(v) + dm * p(v)))).toMap
+    }
+    nodes.foreach(v => assert(out(v) === r6(r(v)), s"node $v"))
+    // seed holds the bulk of the mass; non-seed-reachable node 4 has none
+    assert(out(1L) > out(2L) && out(4L) === 0.0)
+  }
+
+  // ---- Theil–Sen ----------------------------------------------------
+
+  test("theilSen is robust to the outlier day that breaks OLS") {
+    // counts 10 + 2·day for days 0..9, except day 5 spikes to 1000 rows
+    val rows = (0 to 9).flatMap { day =>
+      val n = if (day == 5) 1000 else 10 + 2 * day
+      (1 to n).map(i => (f"2024-01-${day + 1}%02d 12:00:00", 1L))
+    }
+    val df = rows.toDF("raw_ts", "g").withColumn("ts", to_timestamp(col("raw_ts")))
+    val out = graft.operators.StatsOps.theilSen(df, "g", "ts").collect()(0)
+    // brute-force pairwise slope median
+    val daily = (0 to 9).map(day => (day.toLong,
+      (if (day == 5) 1000 else 10 + 2 * day).toLong))
+    val slopes = (for {
+      (xi, yi) <- daily; (xj, yj) <- daily
+      if xi < xj
+    } yield ((yj - yi).toDouble / (xj - xi).toDouble, xi, xj))
+      .sortBy(identity)
+    val np = slopes.length
+    val med = (slopes((np + 1) / 2 - 1)._1 + slopes((np + 2) / 2 - 1)._1) / 2.0
+    assert(out.getLong(1) === np.toLong)
+    assert(out.getDouble(2) === r6(med))
+    // the robust slope stays near the true 2.0 despite the 1000-spike
+    assert(math.abs(out.getDouble(2) - 2.0) < 1.0)
+  }
+
+  // ---- CDC chunking -------------------------------------------------
+
+  private def cdcModel(t: String, w: Int, bits: Int): Seq[Long] = {
+    val P = 1000000007L
+    def h(s: String) = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    val n = t.length
+    if (n == 0) return Seq.empty
+    val mask = (1L << bits) - 1
+    val bnd = (w to n).filter(i => (h(t.substring(i - w, i)) & mask) == 0L)
+    val b2 = (0 +: bnd) ++ (if (bnd.isEmpty || bnd.last != n) Seq(n) else Seq())
+    b2.sliding(2).map { case Seq(a, b) =>
+      h(t.substring(a, b)) * 1048576L + (b - a)
+    }.toSeq
+  }
+
+  test("cdcChunkCodes kernel equals the direct window-hash model on real docs") {
+    val docs = Tables.load(spark, sfDir, "documents").limit(40)
+    val got = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.cdcChunkCodes(col("text"), 8, 5).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      assert(got(r.getLong(0)) === cdcModel(r.getString(1), 8, 5),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("cdcChunkProfile conserves total text length and re-syncs after a prefix shift") {
+    val base = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).select("text").head.getString(0)
+    val df = Seq((1L, base), (2L, "xyz " + base)).toDF("doc_id", "text")
+    val out = TextOps.cdcChunkProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(5))).toMap
+    assert(out(1L)._2 === base.length.toLong, "total_len == n_chars")
+    assert(out(2L)._2 === base.length.toLong + 4)
+    // CDC's point: after the 4-char prefix insertion the cut points
+    // re-synchronize, so the two docs still share chunks
+    val sharedA = out(1L)._3
+    assert(sharedA > 0, "no shared chunks after prefix shift — CDC re-sync broken")
+    // and the shared counts match the brute-force chunk model
+    val c1 = cdcModel(base, 8, 5)
+    val c2 = cdcModel("xyz " + base, 8, 5)
+    val sharedModel = c1.count(c2.toSet)
+    assert(sharedA === sharedModel.toLong)
+  }
+
+  test("cdcChunkProfile total_len reconstructs n_chars over the real corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val bad = TextOps.cdcChunkProfile(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("nc")),
+        Seq("doc_id"))
+      .filter(col("total_len") =!= col("nc")).count()
+    assert(bad === 0L)
+  }
 }
 
 /** tiny helper shared by the spec (kept out of the suite for clarity) */
