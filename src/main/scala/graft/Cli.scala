@@ -92,7 +92,7 @@ object Cli {
         "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
-        "ppr|theilsen|cdcchunk> --opt v ...")
+        "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -727,6 +727,21 @@ object Cli {
           opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
           opts.getOrElse("window", "8").toInt,
           opts.getOrElse("mask-bits", "5").toInt))
+
+      case "rendezvous" =>
+        write(graft.operators.Sampling.rendezvousShards(in("input"),
+          opts.getOrElse("id", "doc_id"), opts("n").toInt,
+          opts.getOrElse("n-new", opts("n")).toInt))
+
+      case "dpcounts" =>
+        write(graft.operators.PrivacyOps.dpCounts(in("input"),
+          opts("group")))
+
+      case "decay" =>
+        write(graft.operators.StatsOps.decayScore(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("half-life-days", "7").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

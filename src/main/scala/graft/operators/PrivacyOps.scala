@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions
+
 /** Privacy-preserving release operators (SURVEY §2.3) — the relational
   * side of the scrub that [[TextOps.redact]] does inside document text:
   * before a curated dataset (or its per-source statistics) leaves the
@@ -150,6 +152,54 @@ object PrivacyOps {
       s"SELECT $glist, CAST(sum(n) AS BIGINT) AS n_rows, " +
       s"(${names.head} = '*') AS suppressed " +
       s"FROM marked GROUP BY $glist ORDER BY $glist"
+  }
+
+  /** Geometric-mechanism noisy counts (Ghosh–Roughgarden–Sundararajan
+    * 2009 — the discrete, utility-optimal Laplace sibling): per group,
+    * `count + Z` where `Z = G₁ − G₂` with independent Geometric(1/2)
+    * draws — exactly the two-sided geometric distribution the ε = ln 2
+    * mechanism requires for a sensitivity-1 count release. The release
+    * also floors at 0 (counts can't be negative; post-processing
+    * preserves DP).
+    *
+    * DERANDOMIZED-FOR-VERIFIABILITY face: the geometric draws come from
+    * trailing-zero counts of salted portable hashes of the GROUP NAME —
+    * trailing zeros of a uniform word are Geometric(1/2) — so the oracle
+    * hash-verifies the release bit-for-bit. Production swaps the salt
+    * for a per-release secret seed (the standard PRG-backed DP
+    * implementation); with a public salt this is only structurally DP.
+    * `tz(h) = bit_count((h & −h) − 1)`, capped at 30; the +1 keeps h
+    * nonzero so the lowest-set-bit trick is always defined.
+    *
+    * Scale shape: ONE map-side-combined groupBy; the noise columns are
+    * scan-stage arithmetic on the group key — no second pass, no join. */
+  def dpCounts(df: DataFrame, groupCol: String): DataFrame = {
+    def tz(salt: String): Column = {
+      val h = TextFunctions.charHash(
+        concat(lit(salt), coalesce(col(groupCol).cast("string"), lit("null")))) + 1
+      least(bitCount(h.bitwiseAND(-h) - 1), lit(30)).cast("long")
+    }
+    df.groupBy(coalesce(col(groupCol).cast("string"), lit("null")).as(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy_n",
+        greatest(col("n") + tz("dp1:") - tz("dp2:"), lit(0L)))
+      .select(col(groupCol), col("noisy_n"))
+  }
+
+  private def bitCount(c: Column): Column =
+    org.apache.spark.sql.functions.bit_count(c).cast("int")
+
+  /** DuckDB oracle for [[dpCounts]] — identical salted hashes, identical
+    * trailing-zero extraction and floor. */
+  def dpCountsSql(table: String, groupExpr: String, name: String): String = {
+    def tz(salt: String): String = {
+      val h = "(" + graft.functions.TextFunctions.charHashSql(
+        s"('$salt' || coalesce(CAST($groupExpr AS VARCHAR), 'null'))") + " + 1)"
+      s"CAST(least(bit_count(($h & -$h) - 1), 30) AS BIGINT)"
+    }
+    s"SELECT coalesce(CAST($groupExpr AS VARCHAR), 'null') AS $name, " +
+      s"greatest(CAST(count(*) AS BIGINT) + ${tz("dp1:")} - ${tz("dp2:")}, 0) " +
+      s"AS noisy_n FROM $table GROUP BY $name"
   }
 
   /** t-closeness audit (Li et al. 2007) over an ORDERED sensitive

@@ -146,4 +146,46 @@ object Sampling {
       .mkString(" ")
     (bucket, s"CASE $cases ELSE $defaultPct END")
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment, Thaler &
+    * Ravishankar 1996 — CONSISTENT sharding: each id goes to the shard
+    * with the highest mixed weight, so growing n → n+1 shards moves
+    * EXACTLY the ids whose new-shard weight wins (≈1/(n+1) of them) and
+    * every move lands ON the new shard — no resharding storm, unlike
+    * `id % n` where nearly every id moves. The audit columns carry both
+    * assignments + the moved flag so the migration bill is a groupBy
+    * away.
+    *
+    * Weight: `((id mod P)·2654435761 + (s+1)·972663749) mod P` — Knuth
+    * multiplicative mixing, id pre-reduced so the product stays in
+    * exact long range for any BIGINT id. argmax = first position of the
+    * max (ties to the smallest shard, deterministic on both engines).
+    * Zero-shuffle narrow scan: the weight vector is a plan-time
+    * n-length array per row; at 100 TB this is a free column. */
+  def rendezvousShards(df: DataFrame, idCol: String,
+                       n: Int, nNew: Int): DataFrame = {
+    require(n >= 1 && nNew >= 1, "shard counts must be >= 1")
+    def shardCol(k: Int) = {
+      val ws = s"transform(sequence(0, ${k - 1}), s -> " +
+        s"((`$idCol` % 1000000007L) * 2654435761L + (s + 1) * 972663749L) % 1000000007L)"
+      expr(s"CAST(array_position($ws, array_max($ws)) - 1 AS BIGINT)")
+    }
+    df.select(col(idCol), shardCol(n).as("shard_old"),
+        shardCol(nNew).as("shard_new"))
+      .withColumn("moved", col("shard_old") =!= col("shard_new"))
+  }
+
+  /** DuckDB oracle for [[rendezvousShards]] — identical mix and
+    * first-position argmax. */
+  def rendezvousShardsSql(table: String, idExpr: String,
+                          n: Int, nNew: Int): String = {
+    def shardExpr(k: Int) = {
+      val ws = s"list_transform(range(0, $k), s -> " +
+        s"(($idExpr % 1000000007) * 2654435761 + (s + 1) * 972663749) % 1000000007)"
+      s"CAST(list_position($ws, list_max($ws)) - 1 AS BIGINT)"
+    }
+    s"SELECT $idExpr, ${shardExpr(n)} AS shard_old, " +
+      s"${shardExpr(nNew)} AS shard_new, " +
+      s"(${shardExpr(n)} <> ${shardExpr(nNew)}) AS moved FROM $table"
+  }
 }

@@ -1183,6 +1183,61 @@ object StatsOps {
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
 
+  /** Exponentially time-decayed activity score per group (half-life
+    * freshness weighting — the recency prior behind "rank sources by
+    * CURRENT activity" and freshness-aware mix weights): each day's
+    * count weighs `1/2^⌊age/halfLife⌋` against the corpus's newest day.
+    * Libm-free by construction: the decay base is a POWER OF TWO
+    * (`1/(1<<k)`, k capped at 62) — exactly representable, one IEEE
+    * division per day — where `pow(0.5, age/h)` would be a libm call
+    * with no cross-engine guarantee. The per-group reduction is the
+    * ordered-cumsum portability fold, so scores hash-verify.
+    *
+    * Scale shape: the corpus collapses to the daily frame in one
+    * map-side-combined groupBy; the reference day is a 1-row broadcast;
+    * the fold runs per group over calendar-bounded days. */
+  def decayScore(df: DataFrame, groupCol: String, tsCol: String,
+                 halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val ref = daily.agg(max(col("day")).as("ref_day"))
+    val w = W.partitionBy("g").orderBy("day")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    daily.crossJoin(broadcast(ref))
+      .withColumn("k",
+        least(expr(s"datediff(ref_day, day) div $halfLifeDays"), lit(62L)))
+      .withColumn("wt",
+        col("c").cast("double") / expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))").cast("double"))
+      .withColumn("cumw", sum(col("wt")).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(W.partitionBy("g")))
+      .filter(col("rn") === col("nd"))
+      .select(col("g").as(groupCol), col("nd").as("n_days"),
+        round(col("cumw"), 6).as("decayed_count"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[decayScore]] — identical daily collapse,
+    * power-of-two weights and ordered fold. */
+  def decayScoreSql(table: String, groupExpr: String, tsExpr: String,
+                    halfLifeDays: Int = 7): String =
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      "ref AS (SELECT max(day) AS ref_day FROM daily), " +
+      "wts AS (SELECT g, day, " +
+      s"CAST(c AS DOUBLE) / CAST(CAST(1 AS BIGINT) << " +
+      s"least(datediff('day', day, ref_day) // $halfLifeDays, 62) AS DOUBLE) AS wt " +
+      "FROM daily CROSS JOIN ref), " +
+      "cum AS (SELECT g, " +
+      "sum(wt) OVER (PARTITION BY g ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, " +
+      "row_number() OVER (PARTITION BY g ORDER BY day) AS rn, " +
+      "count(*) OVER (PARTITION BY g) AS nd FROM wts) " +
+      s"SELECT g AS $groupExpr, CAST(nd AS BIGINT) AS n_days, " +
+      "round(cumw, 6) AS decayed_count FROM cum WHERE rn = nd ORDER BY g"
+
   /** Theil–Sen robust trend of the daily count series per group: the
     * MEDIAN of all pairwise slopes `(y_j−y_i)/(x_j−x_i)` — up to ~29%
     * corrupted days cannot move it (OLS's q_ols_trend breaks at one wild

@@ -553,6 +553,32 @@ object TemporalQueries {
         "events", Seq("event_type" -> "event_type",
           "(user_id % 31)" -> "ubucket"), "(event_id % 5)", t = 0.15))),
 
+    // Geometric-mechanism noisy counts (the release face after the
+    // k-anon/l-div/t-close gates): count + (G₁ − G₂) two-sided
+    // geometric noise — the ε = ln 2 discrete Laplace, derandomized
+    // through salted group-name hashes so the oracle hash-verifies the
+    // release (production swaps in a per-release secret seed; trailing
+    // zeros of a uniform word are Geometric(1/2)). One map-side-combined
+    // groupBy; noise is scan-stage arithmetic.
+    Q("q_dp_counts",
+      (s, d) => graft.operators.PrivacyOps.dpCounts(
+        ev(s, d).select((concat(col("event_type"), lit("#"),
+          (col("user_id") % 13).cast("string"))).as("cell")), "cell")
+        .orderBy("cell"),
+      Some(graft.operators.PrivacyOps.dpCountsSql(
+        "(SELECT (event_type || '#' || CAST(user_id % 13 AS VARCHAR)) AS cell " +
+          "FROM events) ev", "cell", "cell") + " ORDER BY cell")),
+
+    // Exponential half-life decay score per type (freshness prior for
+    // mix weights): each day's count weighs 1/2^(age/7) vs the newest
+    // day — the decay base is a POWER OF TWO (exact IEEE, no libm pow),
+    // folded with the ordered-cumsum portability pattern.
+    Q("q_decay_score",
+      (s, d) => graft.operators.StatsOps.decayScore(
+        ev(s, d), "event_type", "ts", halfLifeDays = 7),
+      Some(graft.operators.StatsOps.decayScoreSql(
+        "events", "event_type", "ts", halfLifeDays = 7))),
+
     // Interval-OVERLAP join: per-(user, day) activity spans × error-hour
     // incident windows — "which users were active during an incident",
     // the interval-interval sibling of q_range_join's point-in-interval

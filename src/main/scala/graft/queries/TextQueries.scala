@@ -829,6 +829,17 @@ object TextQueries {
       (s, d) => TextOps.cdcChunkProfile(docs(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(TextOps.cdcChunkProfileSql("documents", "doc_id", "text") +
-        " ORDER BY doc_id"))
+        " ORDER BY doc_id")),
+
+    // Rendezvous (HRW) shard assignment, 8 → 9 shards: consistent
+    // sharding where id%n reshuffles everything — only ids whose
+    // new-shard weight WINS move, and every move lands on the new
+    // shard (spec-asserted). Zero-shuffle scan-stage weight argmax.
+    Q("q_rendezvous",
+      (s, d) => graft.operators.Sampling.rendezvousShards(
+          docs(s, d), "doc_id", n = 8, nNew = 9)
+        .orderBy("doc_id"),
+      Some(graft.operators.Sampling.rendezvousShardsSql(
+        "documents", "doc_id", n = 8, nNew = 9) + " ORDER BY doc_id"))
   )
 }

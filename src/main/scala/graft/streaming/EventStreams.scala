@@ -447,6 +447,69 @@ object EventStreams {
       }
   }
 
+  final case class SeqEv(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SeqHit(user_id: Long, pattern: String, us: Long)
+  /** Accumulated code string + newest event micros + bitmask of patterns
+    * already matched (emit-once). */
+  final case class SeqState(seq: String, lastUs: Long, matched: Long)
+
+  /** Streaming sequence matcher (stream_seqmatch): the incremental
+    * sibling of q_seq_match — each user's ordered 1-char code string
+    * accumulates in state, and the moment a behavioral regex FIRST
+    * matches, one (user, pattern, us) row emits (the matched bitmask
+    * makes emission exactly-once per user×pattern). In-order replay
+    * reproduces exactly the batch operator's true flags (the parity
+    * spec's contract).
+    *
+    * State is the per-user code string — the SAME per-user-bounded
+    * cardinality the batch collect holds (the sessionize bound); the
+    * event-time timeout expires quiet users once the watermark passes,
+    * so state never outlives activity. Patterns must stay in the same
+    * RE2 ∩ java.regex subset as the batch operator. */
+  def seqMatchStream(events: Dataset[SeqEv],
+                     patterns: Seq[(String, String)],
+                     quietMs: Long = 24 * 3600 * 1000L,
+                     watermark: String = "30 minutes"): Dataset[SeqHit] = {
+    import events.sparkSession.implicits._
+    require(patterns.nonEmpty && patterns.size <= 62,
+      "seqMatchStream: 1..62 patterns (bitmask emit-once state)")
+    val pats = patterns.toIndexedSeq
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqState, SeqHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SeqEv], state: GroupState[SeqState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = Seq.newBuilder[SeqHit]
+            var s = state.getOption.getOrElse(SeqState("", -1L, 0L))
+            def micros(ts: Timestamp): Long =
+              (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+            val sb = new StringBuilder(s.seq)
+            var matched = s.matched
+            val compiled = pats.map(p => java.util.regex.Pattern.compile(p._2))
+            for (e <- evs.toSeq.sortBy(ev => micros(ev.ts))) {
+              val t = micros(e.ts)
+              sb += e.event_type.charAt(0)
+              var i = 0
+              while (i < pats.length) {
+                if ((matched & (1L << i)) == 0L &&
+                  compiled(i).matcher(sb).find()) {
+                  matched |= 1L << i
+                  out += SeqHit(uid, pats(i)._1, t)
+                }
+                i += 1
+              }
+              s = s.copy(lastUs = math.max(s.lastUs, t))
+            }
+            s = s.copy(seq = sb.toString, matched = matched)
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + quietMs)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming drift monitor (stream_drift): per micro-batch, the exact
     * two-sample KS distance of the batch's `valueCol` distribution
     * against a fixed REFERENCE frame (e.g. the distribution the quality

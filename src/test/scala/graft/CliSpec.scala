@@ -776,5 +776,22 @@ class CliSpec extends SparkSpec {
       "output" -> cc))
     assert(spark.read.parquet(cc).columns.toSet === Set("doc_id", "n_chunks",
       "distinct_chunks", "total_len", "max_chunk_len", "shared_chunks"))
+
+    val rv = tmp() + "/rv"
+    Cli.run(spark, "rendezvous", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> rv, "n" -> "8", "n-new" -> "9"))
+    assert(spark.read.parquet(rv).columns.toSet ===
+      Set("doc_id", "shard_old", "shard_new", "moved"))
+
+    val dp = tmp() + "/dp"
+    Cli.run(spark, "dpcounts", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> dp, "group" -> "event_type"))
+    assert(spark.read.parquet(dp).columns.toSet === Set("event_type", "noisy_n"))
+
+    val dc = tmp() + "/dc"
+    Cli.run(spark, "decay", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> dc))
+    assert(spark.read.parquet(dc).columns.toSet ===
+      Set("event_type", "n_days", "decayed_count"))
   }
 }

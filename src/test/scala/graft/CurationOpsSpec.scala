@@ -401,6 +401,68 @@ class CurationOpsSpec extends SparkSpec {
     assert(sharedA === sharedModel.toLong)
   }
 
+  // ---- rendezvous / DP counts / decay ------------------------------
+
+  test("rendezvousShards: every moved id lands ON the new shard, rest are stable") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = graft.operators.Sampling.rendezvousShards(docs, "doc_id", 8, 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, so, sn, moved) =>
+      if (moved) assert(sn === 8L, s"id $id moved to shard $sn, not the new shard")
+      else assert(so === sn)
+    }
+    // HRW moves ≈ 1/9 of ids; allow generous slack on the small corpus
+    val frac = out.count(_._4).toDouble / out.length
+    assert(frac > 0.0 && frac < 0.35, s"moved fraction $frac implausible for HRW")
+    // weight-argmax model on a few ids
+    val P = 1000000007L
+    def shard(id: Long, k: Int): Long =
+      (0 until k).map(s => ((id % P) * 2654435761L + (s + 1) * 972663749L) % P)
+        .zipWithIndex.maxBy { case (w, s) => (w, -s) }._2.toLong
+    out.take(50).foreach { case (id, so, sn, _) =>
+      assert(so === shard(id, 8) && sn === shard(id, 9), s"id $id")
+    }
+  }
+
+  test("dpCounts equals the salted trailing-zero noise model and floors at 0") {
+    val P = 1000000007L
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % P)
+    def tz(x: Long): Long = java.lang.Long.numberOfTrailingZeros(x).toLong.min(30L)
+    val ev = Tables.load(spark, sfDir, "events")
+    val got = PrivacyOps.dpCounts(ev, "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = ev.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, n) =>
+      val want = math.max(n + tz(h("dp1:" + g) + 1) - tz(h("dp2:" + g) + 1), 0L)
+      assert(got(g) === want, s"group $g")
+    }
+  }
+
+  test("decayScore matches the ordered power-of-two fold model") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val got = graft.operators.StatsOps.decayScore(ev, "event_type", "ts", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toList
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val refDay = daily.map(_._2).maxBy(_.toEpochDay)
+    got.foreach { case (g, nDays, dec) =>
+      val rows = daily.filter(_._1 == g).sortBy(_._2.toEpochDay)
+      assert(nDays === rows.length.toLong)
+      var cum = 0.0
+      rows.foreach { case (_, day, c) =>
+        val k = math.min((refDay.toEpochDay - day.toEpochDay) / 7, 62L)
+        cum += c.toDouble / (1L << k).toDouble
+      }
+      assert(dec === r6(cum), s"group $g")
+    }
+    // fresher-by-construction sanity: decayed ≤ raw total
+    val totals = daily.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    got.foreach { case (g, _, dec) => assert(dec <= totals(g).toDouble) }
+  }
+
   test("cdcChunkProfile total_len reconstructs n_chars over the real corpus") {
     val docs = Tables.load(spark, sfDir, "documents")
     val bad = TextOps.cdcChunkProfile(docs, "doc_id", "text")

@@ -795,4 +795,39 @@ class StreamingSpec extends SparkSpec {
         s"expired funnel must restart on return: $hits")
     } finally q.stop()
   }
+
+  test("streaming seqmatch over real events equals the batch q_seq_match flags (r8)") {
+    import spark.implicits._
+    import EventStreams.{SeqEv, SeqHit}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pats = Seq("m_funnel" -> "v.*c.*p", "m_err_pair" -> "ee")
+    val evs = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .orderBy("ts", "event_id")
+      .as[SeqEv].collect()
+    val input = MemoryStream[SeqEv]
+    val q = EventStreams.seqMatchStream(input.toDS(), pats,
+        quietMs = 90L * 24 * 3600 * 1000)
+      .writeStream.format("memory").queryName("seq_hits")
+      .outputMode("append").start()
+    try {
+      val (first, second) = evs.splitAt(evs.length / 2)
+      input.addData(first.toIndexedSeq)
+      q.processAllAvailable()
+      input.addData(second.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("seq_hits").as[SeqHit].collect()
+        .map(h => (h.user_id, h.pattern)).toSet
+      val want = SparkEntry.queries("q_seq_match")(spark, sfDir)
+        .collect().flatMap { r =>
+          Seq(r.getBoolean(3) -> "m_funnel", r.getBoolean(4) -> "m_err_pair")
+            .collect { case (true, p) => (r.getLong(0), p) }
+        }.toSet
+      assert(got === want, "stream hits != batch true flags")
+      // emit-once per user x pattern
+      val dup = spark.table("seq_hits")
+        .groupBy("user_id", "pattern").count().filter(col("count") > 1).count()
+      assert(dup === 0L)
+    } finally q.stop()
+  }
 }
