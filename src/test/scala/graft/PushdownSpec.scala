@@ -167,4 +167,44 @@ class PushdownSpec extends SparkSpec {
     assert(PlanBridge.stripTopSort(unsorted).queryExecution.logical
       eq unsorted.queryExecution.logical)
   }
+
+  test("batch-3 curation gates are zero-Exchange narrow scans (r8)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    for ((name, df) <- Seq(
+      "gopherRules" -> graft.operators.TextOps.gopherRules(docs, "doc_id", "text"),
+      "clfMarginFilter" -> graft.operators.TextOps.clfMarginFilter(docs, "doc_id", "text"),
+      "rendezvousShards" -> graft.operators.Sampling.rendezvousShards(docs, "doc_id", 8, 9))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name must not shuffle:\n$plan")
+      val schema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      assert(!schema.contains("source") && !schema.contains("lang"),
+        s"$name reads columns it does not use")
+    }
+  }
+
+  test("radius join is grid-binned: no cartesian product, broadcast only for the 3x3 stamp (r8)") {
+    val pts = Tables.load(spark, sfDir, "events")
+      .select(col("event_id").as("id"),
+        ((col("event_id") * 7919L) % 1000000L).as("ix"),
+        ((col("event_id") * 104729L + col("user_id")) % 1000000L).as("iy"))
+    val plan = graft.operators.GeoOps.radiusJoin(pts, 30000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"radius join degenerated to a cross join:\n$plan")
+    // the only broadcast is the 9-row offset frame; the point sides meet
+    // in a key join on the stamped cell
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "expected the 3x3 offset stamp to broadcast")
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined, "expected an equi-join on the cell key")
+  }
+
+  test("dsirWeights: both LMs broadcast back; the corpus never shuffles on the term key (r8)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = graft.operators.TextOps.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en").queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
+    assert(broadcasts >= 2,
+      s"expected vocab + totals to broadcast (got $broadcasts):\n$plan")
+  }
 }
