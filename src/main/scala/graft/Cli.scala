@@ -92,7 +92,7 @@ object Cli {
         "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
-        "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay> --opt v ...")
+        "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -742,6 +742,25 @@ object Cli {
           Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
           opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts"),
           opts.getOrElse("half-life-days", "7").toInt))
+
+      case "hbos" =>
+        write(graft.operators.StatsOps.hbosOutliers(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts.getOrElse("id", "event_id"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("value", "value"),
+          opts.getOrElse("threshold", "18.0").toDouble))
+
+      case "ood" =>
+        write(graft.operators.Similarity.centroidOod(in("input"),
+          opts.getOrElse("label", "label"),
+          opts.getOrElse("threshold", "0.5").toDouble,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding")))
+
+      case "linkage" =>
+        // input: pair parquet with boolean agreement columns (--features)
+        write(graft.operators.MergeOps.fellegiSunter(in("input"),
+          opts("features").split(",").toSeq,
+          opts.getOrElse("rounds", "2").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

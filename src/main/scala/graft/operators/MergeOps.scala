@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, lead, lit, row_number}
+import org.apache.spark.sql.functions.{broadcast, col, count, lead, lit, round, row_number, sum, when}
 
 /** gedixr `merge_gdf` re-expressed (reference: gedixr/xr.py:56-112): a
   * suffix join of the L2A and L2B frames on a composite key (the reference
@@ -246,5 +246,139 @@ object MergeOps {
       s"FROM $base) " +
       s"SELECT $keyExpr, n_records, $verExpr AS last_ver, $outs " +
       s"FROM c WHERE _rn = 1 ORDER BY $keyExpr"
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage (1969) with EM-fitted
+    * m/u probabilities (Winkler 1988) — the principled scorer between
+    * blocking ([[graft.operators.Dedup]] candidates) and
+    * [[goldenRecord]] survivorship: candidate pairs reduce to boolean
+    * agreement PATTERNS over the compare fields, a two-class
+    * conditional-independence mixture is EM-fitted for `rounds`
+    * synchronous rounds, and each pattern gets its posterior match
+    * weight. Fixed-round unrolled form (pagerank convention) so the
+    * oracle runs the identical chain.
+    *
+    * The EM never touches the pair frame after the FIRST aggregate: the
+    * pattern frame is ≤ 2^|features| rows (domain-bounded), every EM
+    * sum is an ordered cumsum over that frame keyed by the pattern's
+    * bit id (the portable float fold), and every probability is a fixed
+    * double tree — so weights hash-verify. Scale shape: one map-side-
+    * combined groupBy over the (blocked — never all-pairs) candidate
+    * pairs; everything after is constant-size.
+    *
+    * Output: one row per pattern — (features..., n_pairs, match_weight,
+    * is_match). */
+  def fellegiSunter(pairs: DataFrame, featCols: Seq[String], rounds: Int = 2,
+                    p0: Double = 0.1, m0: Double = 0.8,
+                    u0: Double = 0.2): DataFrame = {
+    require(featCols.nonEmpty && featCols.size <= 6,
+      "fellegiSunter: 1..6 boolean compare fields")
+    require(rounds >= 1 && rounds <= 6, "rounds must be in [1, 6] (unrolled)")
+    val W = org.apache.spark.sql.expressions.Window
+    val idx = featCols.indices
+    val pid = featCols.zipWithIndex
+      .map { case (c, i) => when(col(c), lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+    val pat = pairs
+      .groupBy(featCols.map(c => col(c).cast("boolean").as(c)): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+      .withColumn("pid", pid)
+      .localCheckpoint() // ≤ 2^f rows; every EM round reads it
+    var params: DataFrame = pat.sparkSession.range(1).select(
+      lit(p0).as("p") +:
+        idx.flatMap(i => Seq(lit(m0).as(s"m$i"), lit(u0).as(s"u$i"))): _*)
+    val ord = W.orderBy("pid")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    def scored(par: DataFrame): DataFrame = {
+      val pm = featCols.zipWithIndex.foldLeft(col("p")) { case (acc, (c, i)) =>
+        acc * when(col(c), col(s"m$i")).otherwise(lit(1.0) - col(s"m$i"))
+      }
+      val pu = featCols.zipWithIndex.foldLeft(lit(1.0) - col("p")) {
+        case (acc, (c, i)) =>
+          acc * when(col(c), col(s"u$i")).otherwise(lit(1.0) - col(s"u$i"))
+      }
+      pat.crossJoin(org.apache.spark.sql.functions.broadcast(par))
+        .withColumn("pm", pm).withColumn("pu", pu)
+        .withColumn("w", col("pm") / (col("pm") + col("pu")))
+    }
+    for (_ <- 1 to rounds) {
+      val sc = scored(params)
+      val folded = idx.foldLeft(
+        sc.withColumn("sw", sum(col("cnt") * col("w")).over(cum))
+          .withColumn("su", sum(col("cnt") * (lit(1.0) - col("w"))).over(cum))
+          .withColumn("nn", sum(col("cnt")).over(cum))) { (acc, i) =>
+        acc
+          .withColumn(s"swf$i", sum(
+            when(col(featCols(i)), col("cnt") * col("w")).otherwise(lit(0.0))).over(cum))
+          .withColumn(s"suf$i", sum(
+            when(col(featCols(i)), col("cnt") * (lit(1.0) - col("w")))
+              .otherwise(lit(0.0))).over(cum))
+      }
+      params = folded
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("nc", org.apache.spark.sql.functions.count(lit(1)).over())
+        .filter(col("rn") === col("nc"))
+        .select((col("sw") / col("nn").cast("double")).as("p") +:
+          idx.flatMap(i => Seq((col(s"swf$i") / col("sw")).as(s"m$i"),
+            (col(s"suf$i") / col("su")).as(s"u$i"))): _*)
+        .localCheckpoint() // 1 row
+    }
+    scored(params).select(featCols.map(col) :+ col("cnt").as("n_pairs") :+
+      org.apache.spark.sql.functions.round(col("w"), 6).as("match_weight") :+
+      (org.apache.spark.sql.functions.round(col("w"), 6) > 0.5).as("is_match") :+
+      col("pid"): _*)
+      .orderBy("pid")
+      .drop("pid")
+  }
+
+  /** DuckDB oracle for [[fellegiSunter]] — identical pattern collapse,
+    * unrolled EM chain, ordered folds and double trees. `pairsSub` must
+    * yield the boolean feature columns. */
+  def fellegiSunterSql(pairsSub: String, featCols: Seq[String],
+                       rounds: Int = 2, p0: Double = 0.1, m0: Double = 0.8,
+                       u0: Double = 0.2): String = {
+    val idx = featCols.indices
+    val pidExpr = featCols.zipWithIndex
+      .map { case (c, i) => s"CASE WHEN $c THEN ${1L << i} ELSE 0 END" }
+      .mkString(" + ")
+    val glist = featCols.mkString(", ")
+    def pmExpr = featCols.zipWithIndex.foldLeft("p") { case (acc, (c, i)) =>
+      s"($acc * CASE WHEN $c THEN m$i ELSE 1.0 - m$i END)"
+    }
+    def puExpr = featCols.zipWithIndex.foldLeft("(1.0 - p)") { case (acc, (c, i)) =>
+      s"($acc * CASE WHEN $c THEN u$i ELSE 1.0 - u$i END)"
+    }
+    val cumw = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    val sb = new StringBuilder
+    sb ++= (s"WITH pat AS MATERIALIZED (SELECT $glist, " +
+      s"CAST(count(*) AS BIGINT) AS cnt, $pidExpr AS pid " +
+      s"FROM ($pairsSub) pr GROUP BY $glist), " +
+      s"par0 AS (SELECT $p0 AS p, " +
+      idx.map(i => s"$m0 AS m$i, $u0 AS u$i").mkString(", ") + ")")
+    for (k <- 1 to rounds) {
+      val featSums = idx.map(i =>
+        s"sum(CASE WHEN ${featCols(i)} THEN cnt * w ELSE 0.0 END) " +
+          s"OVER (ORDER BY pid $cumw) AS swf$i, " +
+          s"sum(CASE WHEN ${featCols(i)} THEN cnt * (1.0 - w) ELSE 0.0 END) " +
+          s"OVER (ORDER BY pid $cumw) AS suf$i").mkString(", ")
+      sb ++= (s", sc$k AS MATERIALIZED (SELECT *, pm / (pm + pu) AS w FROM " +
+        s"(SELECT pat.*, $pmExpr AS pm, $puExpr AS pu " +
+        s"FROM pat CROSS JOIN par${k - 1}) t$k), " +
+        s"agg$k AS (SELECT * FROM (SELECT *, " +
+        s"sum(cnt * w) OVER (ORDER BY pid $cumw) AS sw, " +
+        s"sum(cnt * (1.0 - w)) OVER (ORDER BY pid $cumw) AS su, " +
+        s"sum(cnt) OVER (ORDER BY pid $cumw) AS nn, $featSums, " +
+        s"row_number() OVER (ORDER BY pid) AS rn, count(*) OVER () AS nc " +
+        s"FROM sc$k) z$k WHERE rn = nc), " +
+        s"par$k AS (SELECT sw / CAST(nn AS DOUBLE) AS p, " +
+        idx.map(i => s"swf$i / sw AS m$i, suf$i / su AS u$i").mkString(", ") +
+        s" FROM agg$k)")
+    }
+    sb ++= (s" SELECT $glist, cnt AS n_pairs, round(w, 6) AS match_weight, " +
+      "(round(w, 6) > 0.5) AS is_match FROM " +
+      s"(SELECT pat.*, pm / (pm + pu) AS w FROM " +
+      s"(SELECT pat.*, $pmExpr AS pm, $puExpr AS pu " +
+      s"FROM pat CROSS JOIN par$rounds) pat) f ORDER BY pid")
+    sb.toString
   }
 }

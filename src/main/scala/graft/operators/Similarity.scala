@@ -853,4 +853,68 @@ object Similarity {
       round(planeDot(col(vecCol), j, dims), 6)): _*)
     candidates.select(col(idCol), proj.as("proj"))
   }
+
+  /** Centroid-distance OOD score (the SemDeDup-era curation gate for
+    * embedding columns): each vector's cosine to its OWN label's mean
+    * vector — vectors far from their class centroid are mislabeled,
+    * noisy, or genuinely out-of-distribution, and a label-conditioned
+    * training mix wants them flagged. Flag = cosine below `threshold`.
+    *
+    * Exactness: centroids follow the [[kmeansUpdate]] per-dim
+    * round(avg, 6) convention; the per-vector reduction runs
+    * RELATIONALLY — explode to (id, dim, x), join the (label, dim) mean
+    * (domain-bounded, broadcast), then an ordered cumsum over dim (the
+    * portable float fold) builds Σx·m / Σx² / Σm² in one window, and the
+    * cosine is one fixed tree. No vector UDF, no array arithmetic in the
+    * oracle's way.
+    *
+    * Scale shape: one corpus explode (dims× rows, the TF-IDF shape), the
+    * centroid frame is |labels|·dims rows — broadcast; one window keyed
+    * by the 8-byte id. */
+  def centroidOod(df: DataFrame, labelCol: String, threshold: Double = 0.5,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        posexplode(col(vecCol)).as(Seq("dim", "x0")))
+      .withColumn("x", col("x0").cast("double"))
+    val cent = ev.groupBy("lbl", "dim")
+      .agg(round(avg(col("x")), 6).as("m"))
+    val w = W.partitionBy("id").orderBy("dim")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    ev.join(broadcast(cent), Seq("lbl", "dim"))
+      .withColumn("sxm", sum(col("x") * col("m")).over(cum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(cum))
+      .withColumn("smm", sum(col("m") * col("m")).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(W.partitionBy("id")))
+      .filter(col("rn") === col("nd"))
+      .withColumn("cos_centroid",
+        round(col("sxm") / (sqrt(col("sxx")) * sqrt(col("smm"))), 6))
+      .select(col("id").as(idCol), col("lbl").as(labelCol),
+        col("cos_centroid"),
+        (col("cos_centroid") < threshold).as("is_ood"))
+  }
+
+  /** DuckDB oracle for [[centroidOod]] — identical explode, centroid
+    * convention, ordered fold and cosine tree. */
+  def centroidOodSql(table: String, labelExpr: String, dims: Int,
+                     threshold: Double = 0.5): String =
+    s"WITH ev AS (SELECT vec_id AS id, $labelExpr AS lbl, " +
+      "CAST(i - 1 AS INTEGER) AS dim, " +
+      s"CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS x " +
+      s"FROM $table, range(1, ${dims + 1}) t(i)), " +
+      "cent AS (SELECT lbl, dim, round(avg(x), 6) AS m FROM ev GROUP BY lbl, dim), " +
+      "folded AS (SELECT id, lbl, " +
+      "sum(x * m) OVER w AS sxm, sum(x * x) OVER w AS sxx, " +
+      "sum(m * m) OVER w AS smm, " +
+      "row_number() OVER (PARTITION BY id ORDER BY dim) AS rn, " +
+      "count(*) OVER (PARTITION BY id) AS nd " +
+      "FROM ev JOIN cent USING (lbl, dim) " +
+      "WINDOW w AS (PARTITION BY id ORDER BY dim " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT id AS vec_id, lbl AS label, " +
+      "round(sxm / (sqrt(sxx) * sqrt(smm)), 6) AS cos_centroid, " +
+      s"(round(sxm / (sqrt(sxx) * sqrt(smm)), 6) < $threshold) AS is_ood " +
+      "FROM folded WHERE rn = nd"
 }

@@ -1183,6 +1183,71 @@ object StatsOps {
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
 
+  /** HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
+    * per event, `Σ_f ln(n / count_f(bucket_f(x)))` over independent
+    * per-feature histograms (value decade, hour-of-day, day-of-week) —
+    * the linear-time multivariate outlier detector next to
+    * q_mad_outliers' single-column robust z. A rare bucket in ANY
+    * feature lifts the score; the feature independence assumption is
+    * the documented trade (HBOS's own).
+    *
+    * Exactness: bucket counts are exact integers; the score is a FIXED
+    * tree of three ln(n/c) terms (no fold — arity is the feature count),
+    * rounded to 6 — the unigramNll ln-portability precedent. The
+    * threshold is a declared constant, not a data-dependent quantile
+    * (compose with q_quantiles_approx to calibrate one).
+    *
+    * Scale shape: three DOMAIN-bounded histogram aggregates off one
+    * scan, broadcast back onto the narrow event scan — scoring costs a
+    * filter; no corpus shuffle at all. */
+  def hbosOutliers(df: DataFrame, idCol: String, tsCol: String,
+                   valueCol: String, threshold: Double = 18.0): DataFrame = {
+    val feats = df.select(col(idCol).as("id"),
+      floor(col(valueCol) / 10.0).cast("long").as("f_val"),
+      hour(col(tsCol)).cast("long").as("f_hour"),
+      (((datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date")) % 7) + 7) % 7)
+        .cast("long").as("f_dow"))
+    val hv = feats.groupBy("f_val").agg(count(lit(1)).as("c_val"))
+    val hh = feats.groupBy("f_hour").agg(count(lit(1)).as("c_hour"))
+    val hd = feats.groupBy("f_dow").agg(count(lit(1)).as("c_dow"))
+    val n = feats.agg(count(lit(1)).as("n"))
+    val nd = col("n").cast("double")
+    feats
+      .join(broadcast(hv), Seq("f_val"))
+      .join(broadcast(hh), Seq("f_hour"))
+      .join(broadcast(hd), Seq("f_dow"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        log(nd / col("c_val").cast("double")) +
+          log(nd / col("c_hour").cast("double")) +
+          log(nd / col("c_dow").cast("double")), 6))
+      .select(col("id").as(idCol), col("score"),
+        (col("score") > threshold).as("is_outlier"))
+  }
+
+  /** DuckDB oracle for [[hbosOutliers]] — identical buckets, counts and
+    * ln tree. */
+  def hbosOutliersSql(table: String, idExpr: String, tsExpr: String,
+                      valueExpr: String, threshold: Double = 18.0): String =
+    s"WITH feats AS (SELECT $idExpr AS id, " +
+      s"CAST(floor($valueExpr / 10.0) AS BIGINT) AS f_val, " +
+      s"CAST(hour($tsExpr) AS BIGINT) AS f_hour, " +
+      s"CAST(((datediff('day', DATE '2024-01-01', CAST($tsExpr AS DATE)) % 7) + 7) % 7 " +
+      s"AS BIGINT) AS f_dow FROM $table), " +
+      "hv AS (SELECT f_val, CAST(count(*) AS BIGINT) AS c_val FROM feats GROUP BY f_val), " +
+      "hh AS (SELECT f_hour, CAST(count(*) AS BIGINT) AS c_hour FROM feats GROUP BY f_hour), " +
+      "hd AS (SELECT f_dow, CAST(count(*) AS BIGINT) AS c_dow FROM feats GROUP BY f_dow), " +
+      "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats) " +
+      s"SELECT id AS $idExpr, " +
+      "round(ln(CAST(n AS DOUBLE) / CAST(c_val AS DOUBLE)) + " +
+      "ln(CAST(n AS DOUBLE) / CAST(c_hour AS DOUBLE)) + " +
+      "ln(CAST(n AS DOUBLE) / CAST(c_dow AS DOUBLE)), 6) AS score, " +
+      "(round(ln(CAST(n AS DOUBLE) / CAST(c_val AS DOUBLE)) + " +
+      "ln(CAST(n AS DOUBLE) / CAST(c_hour AS DOUBLE)) + " +
+      s"ln(CAST(n AS DOUBLE) / CAST(c_dow AS DOUBLE)), 6) > $threshold) AS is_outlier " +
+      "FROM feats JOIN hv USING (f_val) JOIN hh USING (f_hour) " +
+      "JOIN hd USING (f_dow) CROSS JOIN nn"
+
   /** Exponentially time-decayed activity score per group (half-life
     * freshness weighting — the recency prior behind "rank sources by
     * CURRENT activity" and freshness-aware mix weights): each day's

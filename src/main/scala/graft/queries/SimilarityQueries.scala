@@ -752,6 +752,18 @@ object SimilarityQueries {
       Some(graft.operators.GraphOps.personalizedPageRankSql(
         "(SELECT user_id % 50 AS src, (event_id * 7919) % 64 AS dst FROM events)",
         "(SELECT range AS node FROM range(3)) sd",
-        iters = 3, damping = 0.85)))
+        iters = 3, damping = 0.85))),
+
+    // Centroid-distance OOD gate: each vector's cosine to its OWN
+    // label's mean — far-from-centroid vectors are mislabeled, noisy, or
+    // out-of-distribution, and a label-conditioned mix wants them
+    // flagged. Relational fold (explode + broadcast centroid + ordered
+    // cumsum) — no vector UDF; centroids follow the kmeansUpdate
+    // round(avg,6) convention, so scores hash-verify.
+    Q("q_ood_centroid",
+      (s, d) => Similarity.centroidOod(emb(s, d), "label", threshold = 0.5)
+        .orderBy("vec_id"),
+      Some(Similarity.centroidOodSql("embeddings", "label", dims = Dims,
+        threshold = 0.5) + " ORDER BY vec_id"))
   )
 }

@@ -645,6 +645,51 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.theilSenSql(
         "events", "event_type", "ts"))),
 
+    // HBOS multivariate outlier score (Goldstein 2012): Σ ln(n/c) over
+    // independent per-feature histograms (value decade, hour, weekday)
+    // — the linear-time detector beside q_mad_outliers' single-column
+    // z. Three domain-bounded histograms broadcast back onto the narrow
+    // scan; scoring costs a filter; fixed 3-term ln tree.
+    Q("q_hbos",
+      (s, d) => graft.operators.StatsOps.hbosOutliers(
+        ev(s, d), "event_id", "ts", "value").orderBy("event_id"),
+      Some(graft.operators.StatsOps.hbosOutliersSql(
+        "events", "event_id", "ts", "value") + " ORDER BY event_id")),
+
+    // Fellegi–Sunter record linkage (1969) with 2-round EM-fitted m/u
+    // (Winkler): blocked candidate pairs reduce to boolean agreement
+    // PATTERNS (one map-side-combined groupBy — the only pair-sized
+    // step), then the whole EM runs on the ≤2^3-row pattern frame via
+    // ordered folds + fixed double trees ⇒ posterior match weights
+    // hash-verify. The probabilistic scorer between blocking and
+    // q_golden_record survivorship.
+    Q("q_record_linkage",
+      (s, d) => {
+        val e = ev(s, d).select(col("event_id"), col("user_id"),
+          to_date(col("ts")).as("day"), col("event_type"),
+          floor(col("value") / 10.0).cast("long").as("vdec"),
+          hour(col("ts")).cast("long").as("hr"))
+        val a = e.columns.foldLeft(e)((d0, c) => d0.withColumnRenamed(c, "a_" + c))
+        val b = e.columns.foldLeft(e)((d0, c) => d0.withColumnRenamed(c, "b_" + c))
+        val pairs = a.join(b,
+          col("a_user_id") === col("b_user_id") &&
+            col("a_day") === col("b_day") &&
+            col("a_event_id") < col("b_event_id"))
+          .select((col("a_event_type") === col("b_event_type")).as("f_type"),
+            (col("a_vdec") === col("b_vdec")).as("f_val"),
+            (col("a_hr") === col("b_hr")).as("f_hour"))
+        MergeOps.fellegiSunter(pairs, Seq("f_type", "f_val", "f_hour"),
+          rounds = 2)
+      },
+      Some(MergeOps.fellegiSunterSql(
+        "SELECT (a.event_type = b.event_type) AS f_type, " +
+          "(floor(a.value / 10.0) = floor(b.value / 10.0)) AS f_val, " +
+          "(hour(a.ts) = hour(b.ts)) AS f_hour " +
+          "FROM events a JOIN events b ON a.user_id = b.user_id " +
+          "AND CAST(a.ts AS DATE) = CAST(b.ts AS DATE) " +
+          "AND a.event_id < b.event_id",
+        Seq("f_type", "f_val", "f_hour"), rounds = 2))),
+
     // EWMA-smoothed daily mean value per type (α = 0.25): the recursion
     // runs as an identical ordered prefix fold on both engines, so every
     // smoothed point hash-verifies.

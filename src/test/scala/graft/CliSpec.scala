@@ -794,4 +794,28 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(dc).columns.toSet ===
       Set("event_type", "n_days", "decayed_count"))
   }
+
+  test("cli hbos / ood / linkage wire end-to-end") {
+    import spark.implicits._
+    val hb = tmp() + "/hb"
+    Cli.run(spark, "hbos", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> hb))
+    assert(spark.read.parquet(hb).columns.toSet ===
+      Set("event_id", "score", "is_outlier"))
+
+    val oo = tmp() + "/oo"
+    Cli.run(spark, "ood", Map("input" -> s"$sfDir/embeddings.parquet",
+      "output" -> oo))
+    assert(spark.read.parquet(oo).columns.toSet ===
+      Set("vec_id", "label", "cos_centroid", "is_ood"))
+
+    val prs = tmp() + "/prs"
+    Seq((true, true), (false, false), (true, false))
+      .toDF("fa", "fb").write.parquet(prs)
+    val lk = tmp() + "/lk"
+    Cli.run(spark, "linkage", Map("input" -> prs, "output" -> lk,
+      "features" -> "fa,fb"))
+    assert(spark.read.parquet(lk).columns.toSet ===
+      Set("fa", "fb", "n_pairs", "match_weight", "is_match"))
+  }
 }

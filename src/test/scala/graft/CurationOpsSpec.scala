@@ -463,6 +463,100 @@ class CurationOpsSpec extends SparkSpec {
     got.foreach { case (g, _, dec) => assert(dec <= totals(g).toDouble) }
   }
 
+  // ---- HBOS / OOD / record linkage ---------------------------------
+
+  test("hbosOutliers equals the histogram-density model on real events") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val feats = ev.select(col("event_id"),
+      floor(col("value") / 10.0).cast("long").as("fv"),
+      hour(col("ts")).cast("long").as("fh"),
+      (((datediff(to_date(col("ts")), lit("2024-01-01").cast("date")) % 7) + 7) % 7)
+        .cast("long").as("fd"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = feats.length.toDouble
+    val cv = feats.groupBy(_._2).view.mapValues(_.size).toMap
+    val chh = feats.groupBy(_._3).view.mapValues(_.size).toMap
+    val cd = feats.groupBy(_._4).view.mapValues(_.size).toMap
+    val got = graft.operators.StatsOps.hbosOutliers(ev, "event_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    feats.foreach { case (id, fv, fh, fd) =>
+      val s = math.log(n / cv(fv)) + math.log(n / chh(fh)) + math.log(n / cd(fd))
+      assert(got(id) === ((r6(s), r6(s) > 18.0)), s"event $id")
+    }
+  }
+
+  test("centroidOod flags the vector far from its label centroid") {
+    val ev = Tables.load(spark, sfDir, "embeddings")
+    val out = graft.operators.Similarity.centroidOod(ev, "label", 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.nonEmpty)
+    // flags are exactly score < threshold, and scores are valid cosines
+    out.foreach { case (id, _, cos, ood) =>
+      assert(cos >= -1.000001 && cos <= 1.000001, s"vec $id cosine $cos")
+      assert(ood === (cos < 0.5), s"vec $id flag")
+    }
+    // model cross-check within float tolerance (centroid avg order differs)
+    val vecs = ev.collect().map(r =>
+      (r.getLong(0), r.getInt(2), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val cents = vecs.groupBy(_._2).view.mapValues { vs =>
+      val dims = vs.head._3.length
+      Array.tabulate(dims)(d => r6(vs.map(_._3(d)).sum / vs.length))
+    }.toMap
+    val outMap = out.map(o => o._1 -> o._3).toMap
+    vecs.foreach { case (id, lbl, x) =>
+      val m = cents(lbl)
+      val dot = x.indices.map(i => x(i) * m(i)).sum
+      val cos = dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(m.map(v => v * v).sum))
+      assert(math.abs(outMap(id) - cos) < 1e-6, s"vec $id model drift")
+    }
+  }
+
+  test("fellegiSunter EM matches the exact Scala simulation and separates patterns") {
+    // 100 all-agree pairs (duplicates), 400 all-disagree, 20 mixed
+    val pairs = (Seq.fill(100)((true, true, true)) ++
+      Seq.fill(400)((false, false, false)) ++
+      Seq.fill(20)((true, false, true)))
+      .toDF("f1", "f2", "f3")
+    val out = graft.operators.MergeOps.fellegiSunter(
+      pairs, Seq("f1", "f2", "f3"), rounds = 2)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // exact simulation: same pattern collapse, same pid fold order
+    case class Pat(g: Seq[Boolean], cnt: Long)
+    val pats = Seq(Pat(Seq(true, true, true), 100L),
+      Pat(Seq(false, false, false), 400L), Pat(Seq(true, false, true), 20L))
+      .sortBy(p => p.g.zipWithIndex.map { case (b, i) => if (b) 1L << i else 0L }.sum)
+    var p = 0.1
+    var m = Array(0.8, 0.8, 0.8)
+    var u = Array(0.2, 0.2, 0.2)
+    def weights = pats.map { pt =>
+      val pm = pt.g.zipWithIndex.foldLeft(p) { case (a, (gf, i)) =>
+        a * (if (gf) m(i) else 1.0 - m(i)) }
+      val pu = pt.g.zipWithIndex.foldLeft(1.0 - p) { case (a, (gf, i)) =>
+        a * (if (gf) u(i) else 1.0 - u(i)) }
+      pm / (pm + pu)
+    }
+    for (_ <- 1 to 2) {
+      val w = weights
+      val sw = pats.zip(w).map { case (pt, wi) => pt.cnt * wi }.sum
+      val su = pats.zip(w).map { case (pt, wi) => pt.cnt * (1.0 - wi) }.sum
+      val nn = pats.map(_.cnt).sum
+      val m2 = Array.tabulate(3)(i =>
+        pats.zip(w).collect { case (pt, wi) if pt.g(i) => pt.cnt * wi }.sum / sw)
+      val u2 = Array.tabulate(3)(i =>
+        pats.zip(w).collect { case (pt, wi) if pt.g(i) => pt.cnt * (1.0 - wi) }.sum / su)
+      p = sw / nn.toDouble; m = m2; u = u2
+    }
+    pats.zip(weights).foreach { case (pt, wi) =>
+      val (cnt, wGot, isM) = out((pt.g(0), pt.g(1), pt.g(2)))
+      assert(cnt === pt.cnt)
+      assert(math.abs(wGot - wi) < 1e-6, s"pattern ${pt.g} weight")
+      assert(isM === (r6(wi) > 0.5))
+    }
+    // the separation the scorer exists for
+    assert(out((true, true, true))._3 && !out((false, false, false))._3)
+  }
+
   test("cdcChunkProfile total_len reconstructs n_chars over the real corpus") {
     val docs = Tables.load(spark, sfDir, "documents")
     val bad = TextOps.cdcChunkProfile(docs, "doc_id", "text")
