@@ -105,4 +105,16 @@ class BoundedWindowSpec extends SparkSpec {
         s"q_score_calibrate: window reads $n rows — corpus-scaled")
     }
   }
+
+  test("record linkage: after the pattern collapse, the EM never touches the corpus (r8)") {
+    // the EM rounds run eagerly on localCheckpointed frames, so the
+    // final plan must read ONLY the <= 2^3-row pattern checkpoint — a
+    // refactor that re-derives from the pair frame would put a parquet
+    // scan (and a corpus-scaled fold) back into this plan
+    val df = q("q_record_linkage")
+    assert(df.count() <= 8L, "pattern frame exceeded 2^3 rows")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"),
+      s"record-linkage output re-derives from the corpus scan:\n$plan")
+  }
 }
