@@ -92,7 +92,8 @@ object Cli {
         "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
-        "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage> --opt v ...")
+        "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage|" +
+        "sax|burstiness> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -761,6 +762,18 @@ object Cli {
         write(graft.operators.MergeOps.fellegiSunter(in("input"),
           opts("features").split(",").toSeq,
           opts.getOrElse("rounds", "2").toInt))
+
+      case "sax" =>
+        write(graft.operators.StatsOps.saxWords(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("seg-days", "4").toInt))
+
+      case "burstiness" =>
+        write(graft.operators.StatsOps.burstiness(
+          Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
+          opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("threshold", "1.5").toDouble))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -1183,6 +1183,127 @@ object StatsOps {
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
 
+  /** SAX — Symbolic Aggregate approXimation (Lin et al. 2003) of the
+    * daily count series per group: z-normalize, average over fixed
+    * `segDays`-day segments (PAA), then map each segment mean to a
+    * 4-letter alphabet at the published N(0,1) quartile breakpoints
+    * (±0.6745, 0) — the series becomes a short WORD ("dcba…" = decaying
+    * burst) that downstream equality/similarity machinery (exact dedup,
+    * edit distance, n-gram ops) can chew on. The discretization that
+    * turns time-series motif mining into string processing.
+    *
+    * Exactness: mean/std come from exact integer moments in one fixed
+    * tree (`z_i = (n·c_i − sx)/√(n·sxx − sx²)` — no running float
+    * mean); per-segment PAA is an ordered cumsum within (group,
+    * segment); symbols compare the ROUNDED mean against exact binary
+    * literals. Constant-count groups (std 0) emit the all-'c' word on
+    * both engines by the same guarded tree.
+    *
+    * Scale shape: one map-side-combined daily collapse (the only
+    * data-sized shuffle); everything after is calendar-bounded. */
+  def saxWords(df: DataFrame, groupCol: String, tsCol: String,
+               segDays: Int = 4): DataFrame = {
+    require(segDays >= 1, "segDays must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val mom = daily.groupBy("g").agg(count(lit(1)).as("n"),
+      sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"))
+    val wd = W.partitionBy("g").orderBy("day")
+    val seg = daily.join(broadcast(mom), Seq("g"))
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("seg", expr(s"CAST((rn - 1) div $segDays AS BIGINT)"))
+      .withColumn("den",
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+      .withColumn("z", when(col("den") > 0.0,
+        (col("n") * col("c") - col("sx")).cast("double") / col("den"))
+        .otherwise(lit(0.0)))
+    val ws = W.partitionBy("g", "seg").orderBy("day")
+    val cums = ws.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val paa = seg
+      .withColumn("cz", sum(col("z")).over(cums))
+      .withColumn("srn", row_number().over(ws))
+      .withColumn("sn", count(lit(1)).over(W.partitionBy("g", "seg")))
+      .filter(col("srn") === col("sn"))
+      .withColumn("paa", round(col("cz") / col("sn").cast("double"), 6))
+      .withColumn("sym",
+        when(col("paa") < -0.6745, lit("a"))
+          .when(col("paa") < 0.0, lit("b"))
+          .when(col("paa") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    paa.groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_segs"),
+        array_join(expr("transform(array_sort(collect_list(struct(seg, sym))), x -> x.sym)"),
+          "").as("sax_word"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[saxWords]] — identical moments, segment folds,
+    * breakpoints and word assembly. */
+  def saxWordsSql(table: String, groupExpr: String, tsExpr: String,
+                  segDays: Int = 4): String =
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      "mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx " +
+      "FROM daily GROUP BY g), " +
+      "segd AS (SELECT daily.g, day, c, n, sx, sxx, " +
+      s"CAST((row_number() OVER (PARTITION BY daily.g ORDER BY day) - 1) // $segDays AS BIGINT) AS seg, " +
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS den " +
+      "FROM daily JOIN mom ON daily.g = mom.g), " +
+      "z AS (SELECT g, day, seg, CASE WHEN den > 0.0 " +
+      "THEN CAST(n * c - sx AS DOUBLE) / den ELSE 0.0 END AS z FROM segd), " +
+      "paa AS (SELECT g, seg, round(cz / CAST(sn AS DOUBLE), 6) AS paa FROM " +
+      "(SELECT g, seg, " +
+      "sum(z) OVER (PARTITION BY g, seg ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cz, " +
+      "row_number() OVER (PARTITION BY g, seg ORDER BY day) AS srn, " +
+      "count(*) OVER (PARTITION BY g, seg) AS sn FROM z) t WHERE srn = sn), " +
+      "sym AS (SELECT g, seg, CASE WHEN paa < -0.6745 THEN 'a' " +
+      "WHEN paa < 0.0 THEN 'b' WHEN paa < 0.6745 THEN 'c' ELSE 'd' END AS s " +
+      "FROM paa) " +
+      s"SELECT g AS $groupExpr, CAST(count(*) AS BIGINT) AS n_segs, " +
+      "string_agg(s, '' ORDER BY seg) AS sax_word FROM sym GROUP BY g ORDER BY g"
+
+  /** Burstiness (Fano factor / index of dispersion) of the daily count
+    * series per group: `var/mean` — 1 for Poisson arrivals, ≫1 for
+    * bursty traffic (the one-number answer to "is this source steady or
+    * spiky", next to q_cusum's WHERE and q_seasonal's WHICH-day).
+    * Exact integer moments, one fixed double tree
+    * (`(n·sxx − sx²)/(n·sx)`), round 6 ⇒ hash-verified; one map-side-
+    * combined daily collapse, group-frame output. */
+  def burstiness(df: DataFrame, groupCol: String, tsCol: String,
+                 threshold: Double = 1.5): DataFrame =
+    df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"))
+      .withColumn("mean_daily",
+        round(col("sx").cast("double") / col("n_days").cast("double"), 6))
+      .withColumn("fano", round(
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
+          (col("n_days") * col("sx")).cast("double"), 6))
+      .select(col("g").as(groupCol), col("n_days"), col("mean_daily"),
+        col("fano"), (col("fano") > threshold).as("is_bursty"))
+      .orderBy(groupCol)
+
+  /** DuckDB oracle for [[burstiness]] — identical moments and tree. */
+  def burstinessSql(table: String, groupExpr: String, tsExpr: String,
+                    threshold: Double = 1.5): String =
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      "m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days, " +
+      "CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx " +
+      "FROM daily GROUP BY g) " +
+      s"SELECT g AS $groupExpr, n_days, " +
+      "round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily, " +
+      "round(CAST(n_days * sxx - sx * sx AS DOUBLE) / " +
+      "CAST(n_days * sx AS DOUBLE), 6) AS fano, " +
+      "(round(CAST(n_days * sxx - sx * sx AS DOUBLE) / " +
+      s"CAST(n_days * sx AS DOUBLE), 6) > $threshold) AS is_bursty " +
+      "FROM m ORDER BY g"
+
   /** HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):
     * per event, `Σ_f ln(n / count_f(bucket_f(x)))` over independent
     * per-feature histograms (value decade, hour-of-day, day-of-week) —
@@ -1201,28 +1322,56 @@ object StatsOps {
     * scan, broadcast back onto the narrow event scan — scoring costs a
     * filter; no corpus shuffle at all. */
   def hbosOutliers(df: DataFrame, idCol: String, tsCol: String,
-                   valueCol: String, threshold: Double = 18.0): DataFrame = {
-    val feats = df.select(col(idCol).as("id"),
+                   valueCol: String, threshold: Double = 18.0): DataFrame =
+    hbosScore(df, hbosHistograms(df, tsCol, valueCol), idCol, tsCol,
+      valueCol, threshold)
+
+  /** Reference histograms for HBOS scoring — built once from a TRAINING
+    * frame so a stream (or a later batch) can be scored against a FIXED
+    * density model ([[graft.streaming.EventStreams]].hbosGate). All four
+    * frames are domain-bounded. */
+  def hbosHistograms(reference: DataFrame, tsCol: String,
+                     valueCol: String): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val feats = hbosFeats(reference, tsCol, valueCol, "_rid")
+    (feats.groupBy("f_val").agg(count(lit(1)).as("c_val")),
+      feats.groupBy("f_hour").agg(count(lit(1)).as("c_hour")),
+      feats.groupBy("f_dow").agg(count(lit(1)).as("c_dow")),
+      feats.agg(count(lit(1)).as("n")))
+  }
+
+  /** ONE scoring definition for batch and stream: feature buckets joined
+    * against the (broadcast) reference histograms, fixed 3-term ln tree.
+    * Buckets unseen in the reference clamp to count 1 — maximum surprise
+    * `ln(n)` per feature — which coincides with the batch self-scoring
+    * case (a bucket present in the data always has count ≥ 1). */
+  def hbosScore(df: DataFrame,
+                hists: (DataFrame, DataFrame, DataFrame, DataFrame),
+                idCol: String, tsCol: String, valueCol: String,
+                threshold: Double): DataFrame = {
+    val (hv, hh, hd, n) = hists
+    val nd = col("n").cast("double")
+    hbosFeats(df, tsCol, valueCol, idCol)
+      .join(broadcast(hv), Seq("f_val"), "left")
+      .join(broadcast(hh), Seq("f_hour"), "left")
+      .join(broadcast(hd), Seq("f_dow"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(
+        log(nd / greatest(coalesce(col("c_val"), lit(0L)), lit(1L)).cast("double")) +
+          log(nd / greatest(coalesce(col("c_hour"), lit(0L)), lit(1L)).cast("double")) +
+          log(nd / greatest(coalesce(col("c_dow"), lit(0L)), lit(1L)).cast("double")), 6))
+      .select(col("id").as(idCol), col("score"),
+        (col("score") > threshold).as("is_outlier"))
+  }
+
+  private def hbosFeats(df: DataFrame, tsCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val id = if (df.schema.fieldNames.contains(idCol)) col(idCol)
+      else lit(0L)
+    df.select(id.as("id"),
       floor(col(valueCol) / 10.0).cast("long").as("f_val"),
       hour(col(tsCol)).cast("long").as("f_hour"),
       (((datediff(to_date(col(tsCol)), lit("2024-01-01").cast("date")) % 7) + 7) % 7)
         .cast("long").as("f_dow"))
-    val hv = feats.groupBy("f_val").agg(count(lit(1)).as("c_val"))
-    val hh = feats.groupBy("f_hour").agg(count(lit(1)).as("c_hour"))
-    val hd = feats.groupBy("f_dow").agg(count(lit(1)).as("c_dow"))
-    val n = feats.agg(count(lit(1)).as("n"))
-    val nd = col("n").cast("double")
-    feats
-      .join(broadcast(hv), Seq("f_val"))
-      .join(broadcast(hh), Seq("f_hour"))
-      .join(broadcast(hd), Seq("f_dow"))
-      .crossJoin(broadcast(n))
-      .withColumn("score", round(
-        log(nd / col("c_val").cast("double")) +
-          log(nd / col("c_hour").cast("double")) +
-          log(nd / col("c_dow").cast("double")), 6))
-      .select(col("id").as(idCol), col("score"),
-        (col("score") > threshold).as("is_outlier"))
   }
 
   /** DuckDB oracle for [[hbosOutliers]] — identical buckets, counts and

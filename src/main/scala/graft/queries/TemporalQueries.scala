@@ -645,6 +645,24 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.theilSenSql(
         "events", "event_type", "ts"))),
 
+    // SAX symbolization (Lin 2003): daily series → z-norm → 4-day PAA →
+    // 4-letter word at the published N(0,1) quartile breakpoints — time
+    // series become short strings the dedup/similarity machinery can
+    // chew on. Exact integer moments, ordered segment folds.
+    Q("q_sax",
+      (s, d) => graft.operators.StatsOps.saxWords(
+        ev(s, d), "event_type", "ts", segDays = 4),
+      Some(graft.operators.StatsOps.saxWordsSql(
+        "events", "event_type", "ts", segDays = 4))),
+
+    // Burstiness (Fano factor): var/mean of daily counts — 1 ≈ Poisson,
+    // ≫1 bursty. The one-number steadiness audit per source/type.
+    Q("q_burstiness",
+      (s, d) => graft.operators.StatsOps.burstiness(
+        ev(s, d), "event_type", "ts"),
+      Some(graft.operators.StatsOps.burstinessSql(
+        "events", "event_type", "ts"))),
+
     // HBOS multivariate outlier score (Goldstein 2012): Σ ln(n/c) over
     // independent per-feature histograms (value decade, hour, weekday)
     // — the linear-time detector beside q_mad_outliers' single-column

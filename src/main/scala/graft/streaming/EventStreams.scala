@@ -447,6 +447,7 @@ object EventStreams {
       }
   }
 
+  final case class HbosEv(event_id: Long, ts: Timestamp, value: Double)
   final case class SeqEv(user_id: Long, ts: Timestamp, event_type: String)
   final case class SeqHit(user_id: Long, pattern: String, us: Long)
   /** Accumulated code string + newest event micros + bitmask of patterns
@@ -509,6 +510,24 @@ object EventStreams {
           }
       }
   }
+
+  /** Streaming HBOS scoring gate (stream_hbos): every incoming event
+    * scored against FIXED reference histograms (built once from the
+    * training-time frame — the density model the thresholds were tuned
+    * on) via the SAME [[graft.operators.StatsOps.hbosScore]] definition
+    * the batch query uses, so there is exactly one definition of the
+    * outlier score in the engine (the driftMonitor convention). Pure
+    * stream-static broadcast joins — no state, no shuffle on the
+    * stream; buckets unseen in the reference clamp to maximum surprise.
+    * Scored in-flight: the gate is a filterable column on the ingest
+    * path, not a post-hoc audit. */
+  def hbosGate(stream: DataFrame, reference: DataFrame,
+               idCol: String = "event_id", tsCol: String = "ts",
+               valueCol: String = "value",
+               threshold: Double = 18.0): DataFrame =
+    graft.operators.StatsOps.hbosScore(stream,
+      graft.operators.StatsOps.hbosHistograms(reference, tsCol, valueCol),
+      idCol, tsCol, valueCol, threshold)
 
   /** Streaming drift monitor (stream_drift): per micro-batch, the exact
     * two-sample KS distance of the batch's `valueCol` distribution

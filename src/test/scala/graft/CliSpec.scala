@@ -817,5 +817,20 @@ class CliSpec extends SparkSpec {
       "features" -> "fa,fb"))
     assert(spark.read.parquet(lk).columns.toSet ===
       Set("fa", "fb", "n_pairs", "match_weight", "is_match"))
+
+    val sx = tmp() + "/sx"
+    Cli.run(spark, "sax", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> sx))
+    val sxGot = spark.read.parquet(sx)
+    assert(sxGot.columns.toSet === Set("event_type", "n_segs", "sax_word"))
+    assert(sxGot.collect().forall(r =>
+      r.getString(2).length === r.getLong(1).toInt &&
+        r.getString(2).forall("abcd".contains(_))))
+
+    val bu = tmp() + "/bu"
+    Cli.run(spark, "burstiness", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> bu))
+    assert(spark.read.parquet(bu).columns.toSet ===
+      Set("event_type", "n_days", "mean_daily", "fano", "is_bursty"))
   }
 }

@@ -796,6 +796,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hbos gate over real events equals the batch q_hbos scores (r8)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import EventStreams.HbosEv
+    val ref = Tables.load(spark, sfDir, "events")
+    val evs = ref.select(col("event_id"), col("ts"), col("value"))
+      .as[HbosEv].collect()
+    val input = MemoryStream[HbosEv]
+    val q = EventStreams.hbosGate(input.toDF(), ref)
+      .writeStream.format("memory").queryName("hbos_scores")
+      .outputMode("append").start()
+    try {
+      input.addData(evs.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("hbos_scores")
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      val want = SparkEntry.queries("q_hbos")(spark, sfDir)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+      assert(got === want, "stream scores != batch scores on the same reference")
+    } finally q.stop()
+  }
+
   test("streaming seqmatch over real events equals the batch q_seq_match flags (r8)") {
     import spark.implicits._
     import EventStreams.{SeqEv, SeqHit}
