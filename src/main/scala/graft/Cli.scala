@@ -93,7 +93,7 @@ object Cli {
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
         "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage|" +
-        "sax|burstiness> --opt v ...")
+        "sax|burstiness|ndcg|leakage> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -774,6 +774,18 @@ object Cli {
           Tables.normalizeNanosTs(in("input"), opts.getOrElse("ts", "ts")),
           opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts"),
           opts.getOrElse("threshold", "1.5").toDouble))
+
+      case "ndcg" =>
+        // inputs: --input truth ranking, --approx system ranking —
+        // both (qid, vec_id, rank) parquet
+        write(graft.operators.Similarity.ndcgAtK(in("input"),
+          spark.read.parquet(opts("approx")), opts("k").toInt))
+
+      case "leakage" =>
+        write(graft.operators.TextOps.splitLeakage(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("eval-pct", "10").toInt,
+          opts.getOrElse("n", "5").toInt))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -854,6 +854,65 @@ object Similarity {
     candidates.select(col(idCol), proj.as("proj"))
   }
 
+  /** NDCG@k of an approximate retriever against the exact ranking
+    * (graded relevance `k − exact_rank + 1` — the standard audit when
+    * POSITION matters, where [[retrievalMetrics]]' recall/MRR only ask
+    * "found at all / found first"): a retriever that returns the right
+    * set in the wrong order scores recall 1 but NDCG < 1.
+    *
+    * Exactness: each DCG term is the fixed tree `rel·ln2/ln(rank+1)`
+    * (one ln per term — the unigramNll ln precedent), folded per query
+    * in rank order (the portable cumsum); IDCG is a PLAN-TIME Scala
+    * constant (the truth grades are exactly {k..1}), identical literal
+    * on both engines. Scale: joins on (qid, vec_id) — query-batch-sized
+    * frames throughout, never corpus-scaled. */
+  def ndcgAtK(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ln2 = 0.6931471805599453
+    val idcg = (1 to k).map(i => (k - i + 1).toDouble * ln2 / math.log(i + 1)).sum
+    val t = truth.select(col("qid"), col("vec_id"),
+      (lit(k.toLong) - col("rank") + 1L).as("rel"))
+    val a = approx.select(col("qid"), col("vec_id"), col("rank").as("a_rank"))
+    val w = W.partitionBy("qid").orderBy("a_rank")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    a.join(t, Seq("qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("term",
+        col("rel").cast("double") * lit(ln2) / log((col("a_rank") + 1).cast("double")))
+      .withColumn("dcg", sum(col("term")).over(cum))
+      .withColumn("nh", sum(when(col("rel") > 0, 1L).otherwise(0L)).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nc", count(lit(1)).over(W.partitionBy("qid")))
+      .filter(col("rn") === col("nc"))
+      .select(col("qid"), col("nh").as("n_hits"),
+        round(col("dcg"), 6).as("dcg"),
+        round(col("dcg") / lit(idcg), 6).as("ndcg"))
+  }
+
+  /** DuckDB oracle for [[ndcgAtK]] — identical join, term tree, ordered
+    * fold and the SAME plan-time IDCG literal. */
+  def ndcgAtKSql(truthSub: String, approxSub: String, k: Int): String = {
+    val ln2 = 0.6931471805599453
+    val idcg = (1 to k).map(i => (k - i + 1).toDouble * ln2 / math.log(i + 1)).sum
+    val idcgLit = "%.17g".format(idcg)
+    s"WITH t AS (SELECT qid, vec_id, CAST($k - rank + 1 AS BIGINT) AS rel " +
+      s"FROM $truthSub), " +
+      s"a AS (SELECT qid, vec_id, rank AS a_rank FROM $approxSub), " +
+      "j AS (SELECT a.qid, a.a_rank, coalesce(t.rel, 0) AS rel FROM a " +
+      "LEFT JOIN t ON a.qid = t.qid AND a.vec_id = t.vec_id), " +
+      "f AS (SELECT qid, " +
+      s"sum(CAST(rel AS DOUBLE) * $ln2 / ln(CAST(a_rank + 1 AS DOUBLE))) " +
+      "OVER (PARTITION BY qid ORDER BY a_rank " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg, " +
+      "sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) " +
+      "OVER (PARTITION BY qid ORDER BY a_rank " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nh, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY a_rank) AS rn, " +
+      "count(*) OVER (PARTITION BY qid) AS nc FROM j) " +
+      "SELECT qid, CAST(nh AS BIGINT) AS n_hits, round(dcg, 6) AS dcg, " +
+      s"round(dcg / $idcgLit, 6) AS ndcg FROM f WHERE rn = nc"
+  }
+
   /** Centroid-distance OOD score (the SemDeDup-era curation gate for
     * embedding columns): each vector's cosine to its OWN label's mean
     * vector — vectors far from their class centroid are mislabeled,

@@ -1437,6 +1437,63 @@ object TextOps {
       "LEFT JOIN inter ON inter.ga = a.g AND inter.gb = b.g " +
       "ORDER BY src_a, src_b"
 
+  /** Train/eval split-leakage audit: after [[Sampling.hashSplit]]
+    * assigns the reproducible id-hash split, how many n-grams does each
+    * EVAL document share with the TRAIN side? Decontamination
+    * (q_decontaminate) guards against EXTERNAL benchmarks; this guards
+    * against the split itself — near-duplicates straddling the boundary
+    * leak eval content into training, and loss on those eval docs is
+    * memorization, not generalization. Flag ⇒ drop or re-split.
+    *
+    * Scale shape: one narrow scan fans out (doc, split, gram-hash) via
+    * the native sorted-n-gram kernel; the train gram set and the eval
+    * grams meet in a GRAM-KEYED left-semi join — the train side is
+    * corpus-sized and deliberately NEVER broadcast (the q_decontaminate
+    * broadcast is only valid for KB-sized external benchmarks). Output
+    * is eval-doc-sized. */
+  def splitLeakage(df: DataFrame, idCol: String, textCol: String,
+                   evalPct: Int = 10, n: Int = 5): DataFrame = {
+    require(evalPct >= 1 && evalPct <= 50, "evalPct must be in [1, 50]")
+    val sp = Sampling.hashSplit(df, idCol,
+      Seq("train" -> (100 - evalPct), "eval" -> evalPct))
+    val grams = sp.select(col(idCol).as("doc_id"), col("split"),
+        explode(TextFunctions.ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val trainG = grams.filter(col("split") === "train").select("g").distinct()
+    val evalG = grams.filter(col("split") === "eval")
+      .select("doc_id", "g")
+      .localCheckpoint() // profile + semi-join both read it
+    val prof = evalG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val shared = evalG.join(trainG, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+    prof.join(shared, Seq("doc_id"), "left")
+      .withColumn("n_shared_grams", coalesce(col("n_shared_grams"), lit(0L)))
+      .select(col("doc_id"), col("n_grams"), col("n_shared_grams"),
+        (col("n_shared_grams") > 0L).as("leaked"))
+  }
+
+  /** DuckDB oracle for [[splitLeakage]] — identical split CASE, distinct
+    * gram sets (strings vs the kernel's hashes — the q_decontaminate
+    * equivalence) and join chain. */
+  def splitLeakageSql(table: String, idExpr: String, textCol: String,
+                      evalPct: Int = 10, n: Int = 5): String = {
+    val (_, caseExpr) = Sampling.hashSplitSql(idExpr,
+      Seq("train" -> (100 - evalPct), "eval" -> evalPct))
+    val grams = TextFunctions.ngramsSql(TextFunctions.tokensSql(textCol), n)
+    s"WITH sp AS (SELECT $idExpr AS doc_id, $textCol, " +
+      s"$caseExpr AS split FROM $table), " +
+      s"g AS (SELECT DISTINCT doc_id, split, unnest($grams) AS g FROM sp), " +
+      "tg AS (SELECT DISTINCT g FROM g WHERE split = 'train'), " +
+      "eg AS (SELECT doc_id, g FROM g WHERE split = 'eval'), " +
+      "prof AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams " +
+      "FROM eg GROUP BY doc_id), " +
+      "sh AS (SELECT eg.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams " +
+      "FROM eg JOIN tg USING (g) GROUP BY eg.doc_id) " +
+      "SELECT prof.doc_id, n_grams, coalesce(n_shared_grams, 0) AS n_shared_grams, " +
+      "(coalesce(n_shared_grams, 0) > 0) AS leaked " +
+      "FROM prof LEFT JOIN sh USING (doc_id)"
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * published heuristic gate most curation stacks run before any model
     * scorer): per-document boolean flags for

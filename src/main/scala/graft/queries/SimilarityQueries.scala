@@ -588,6 +588,23 @@ object SimilarityQueries {
       Some(Similarity.retrievalMetricsSql(
         s"($cosineRankedSql)", s"($lshRankedSql)", k = K))),
 
+    // NDCG@k of the LSH retriever vs the exact ranking (graded rel =
+    // k − exact_rank + 1): the POSITION-sensitive audit — right set in
+    // the wrong order scores recall 1 but NDCG < 1. Fixed per-term ln
+    // tree, rank-ordered fold, plan-time IDCG literal.
+    Q("q_ndcg",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.ndcgAtK(
+          Similarity.cosineTopK(e, q, K),
+          Similarity.lshTopK(e, q, K, bands = 4, rowsPerBand = 4, dims = Dims),
+          k = K).orderBy("qid")
+      },
+      Some(Similarity.ndcgAtKSql(
+        s"($cosineRankedSql)", s"($lshRankedSql)", k = K) +
+        " ORDER BY qid")),
+
     // Exact MaxSim (late-interaction / ColBERT) scoring of multi-vector
     // docs: groups of 4 consecutive vec_ids form one doc; score(q, d) =
     // Σ over query tokens of max over doc tokens of cosine. Per-token

@@ -840,6 +840,17 @@ object TextQueries {
           docs(s, d), "doc_id", n = 8, nNew = 9)
         .orderBy("doc_id"),
       Some(graft.operators.Sampling.rendezvousShardsSql(
-        "documents", "doc_id", n = 8, nNew = 9) + " ORDER BY doc_id"))
+        "documents", "doc_id", n = 8, nNew = 9) + " ORDER BY doc_id")),
+
+    // Train/eval split-leakage audit: after the reproducible hash split,
+    // how many 5-grams does each EVAL doc share with the TRAIN side?
+    // q_decontaminate guards external benchmarks; this guards the split
+    // itself — straddling near-dups turn eval loss into memorization.
+    // Gram-keyed semi-join; train side corpus-sized, NEVER broadcast.
+    Q("q_split_leakage",
+      (s, d) => TextOps.splitLeakage(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.splitLeakageSql("documents", "doc_id", "text") +
+        " ORDER BY doc_id"))
   )
 }

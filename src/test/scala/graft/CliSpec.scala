@@ -832,5 +832,20 @@ class CliSpec extends SparkSpec {
       "output" -> bu))
     assert(spark.read.parquet(bu).columns.toSet ===
       Set("event_type", "n_days", "mean_daily", "fano", "is_bursty"))
+
+    val rk = tmp() + "/rk"
+    Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "vec_id", "rank")
+      .write.parquet(rk)
+    val nd = tmp() + "/nd"
+    Cli.run(spark, "ndcg", Map("input" -> rk, "approx" -> rk,
+      "output" -> nd, "k" -> "2"))
+    val ndGot = spark.read.parquet(nd).collect()
+    assert(ndGot.length === 1 && ndGot(0).getAs[Double]("ndcg") === 1.0)
+
+    val lk2 = tmp() + "/lk2"
+    Cli.run(spark, "leakage", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> lk2))
+    assert(spark.read.parquet(lk2).columns.toSet ===
+      Set("doc_id", "n_grams", "n_shared_grams", "leaked"))
   }
 }

@@ -401,6 +401,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(sharedA === sharedModel.toLong)
   }
 
+  // ---- NDCG / split leakage ----------------------------------------
+
+  test("ndcgAtK: perfect retriever scores 1, a reversal scores the known value") {
+    import spark.implicits._
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "vec_id", "rank")
+    val perfect = graft.operators.Similarity.ndcgAtK(truth, truth, k = 3)
+      .collect()(0)
+    assert(perfect.getLong(1) === 3L && perfect.getDouble(3) === 1.0)
+    // reversed order: rel (1,2,3) at ranks (1,2,3) instead of (3,2,1)
+    val rev = Seq((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3))
+      .toDF("qid", "vec_id", "rank")
+    val out = graft.operators.Similarity.ndcgAtK(truth, rev, k = 3)
+      .collect()(0)
+    val ln2 = 0.6931471805599453
+    def term(rel: Int, r: Int) = rel.toDouble * ln2 / math.log(r + 1)
+    val dcg = term(1, 1) + term(2, 2) + term(3, 3)
+    val idcg = term(3, 1) + term(2, 2) + term(1, 3)
+    assert(out.getDouble(2) === r6(dcg))
+    assert(out.getDouble(3) === r6(dcg / idcg) && out.getDouble(3) < 1.0)
+  }
+
+  test("splitLeakage flags duplicate-straddling eval docs and clears unique ones") {
+    import spark.implicits._
+    val dupText = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = ((1L to 40L).map(id => (id, dupText)) ++
+      (41L to 50L).map(id =>
+        (id, (1 to 6).map(j => s"u${id}x$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val split = graft.operators.Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 90, "eval" -> 10))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dupInTrain = (1L to 40L).exists(split(_) == "train")
+    val out = TextOps.splitLeakage(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // output covers exactly the eval docs
+    assert(out.keySet === split.filter(_._2 == "eval").keySet)
+    out.foreach { case (id, (shared, leaked)) =>
+      if (id <= 40L && dupInTrain)
+        assert(leaked && shared > 0, s"dup doc $id must leak")
+      if (id > 40L)
+        assert(!leaked && shared === 0L, s"unique doc $id must not leak")
+    }
+  }
+
   // ---- rendezvous / DP counts / decay ------------------------------
 
   test("rendezvousShards: every moved id lands ON the new shard, rest are stable") {
