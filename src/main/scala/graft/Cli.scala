@@ -93,7 +93,7 @@ object Cli {
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
         "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage|" +
-        "sax|burstiness|ndcg|leakage> --opt v ...")
+        "sax|burstiness|ndcg|leakage|confusion|hilltail|kendall> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -786,6 +786,21 @@ object Cli {
           opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
           opts.getOrElse("eval-pct", "10").toInt,
           opts.getOrElse("n", "5").toInt))
+
+      case "confusion" =>
+        write(graft.operators.StatsOps.confusionMatrix(in("input"),
+          opts("truth"), opts("pred")))
+
+      case "hilltail" =>
+        write(graft.operators.StatsOps.hillTail(in("input"),
+          opts.getOrElse("group", "event_type"),
+          opts.getOrElse("value", "value"),
+          opts.getOrElse("k", "50").toInt))
+
+      case "kendall" =>
+        // inputs: --input and --right, both (qid, vec_id, rank)
+        write(graft.operators.Similarity.kendallTau(in("input"),
+          spark.read.parquet(opts("right"))))
 
       case other => sys.error(s"unknown command: $other")
     }

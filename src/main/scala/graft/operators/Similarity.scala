@@ -913,6 +913,62 @@ object Similarity {
       s"round(dcg / $idcgLit, 6) AS ndcg FROM f WHERE rn = nc"
   }
 
+  /** Kendall-τ rank agreement between two retrievers' top-k lists per
+    * query (computed on the INTERSECTION of the lists — the overlap
+    * whose ORDER can disagree): τ = (C − D) / (n(n−1)/2) over common-
+    * item pairs. The disagreement diagnostic under [[rrfFusion]]: τ near
+    * 1 ⇒ fusing adds nothing; τ near −1 ⇒ the retrievers see different
+    * structure and fusion (or arbitration) actually matters.
+    *
+    * All-integer: concordant/discordant are exact pair counts (ties
+    * impossible — ranks are distinct within a list), one final division
+    * tree. Pair space is k²-bounded per query — never corpus-scaled. */
+  def kendallTau(a: DataFrame, b: DataFrame): DataFrame = {
+    val common = a.select(col("qid"), col("vec_id"), col("rank").as("ra"))
+      .join(b.select(col("qid"), col("vec_id"), col("rank").as("rb")),
+        Seq("qid", "vec_id"))
+      .localCheckpoint() // both pair sides read it
+    val pairs = common.select(col("qid"), col("vec_id").as("id1"),
+        col("ra").as("ra1"), col("rb").as("rb1"))
+      .join(common.select(col("qid"), col("vec_id").as("id2"),
+        col("ra").as("ra2"), col("rb").as("rb2")), Seq("qid"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("conc",
+        when((col("ra1") < col("ra2")) === (col("rb1") < col("rb2")), 1L)
+          .otherwise(0L))
+    val perQ = pairs.groupBy("qid")
+      .agg(sum(col("conc")).as("concordant"),
+        sum(lit(1L) - col("conc")).as("discordant"))
+    common.groupBy("qid").agg(count(lit(1)).as("n_common"))
+      .join(perQ, Seq("qid"), "left")
+      .withColumn("concordant", coalesce(col("concordant"), lit(0L)))
+      .withColumn("discordant", coalesce(col("discordant"), lit(0L)))
+      .withColumn("tau",
+        when(col("n_common") >= 2, round(
+          (col("concordant") - col("discordant")).cast("double") /
+            (col("n_common") * (col("n_common") - 1) / 2).cast("double"), 6)))
+      .select(col("qid"), col("n_common"), col("concordant"),
+        col("discordant"), col("tau"))
+  }
+
+  /** DuckDB oracle for [[kendallTau]] — identical intersection, pair
+    * set, counts and division tree. */
+  def kendallTauSql(aSub: String, bSub: String): String =
+    s"WITH com AS (SELECT a.qid, a.vec_id, a.rank AS ra, b.rank AS rb " +
+      s"FROM $aSub a JOIN $bSub b ON a.qid = b.qid AND a.vec_id = b.vec_id), " +
+      "p AS (SELECT x.qid, CASE WHEN (x.ra < y.ra) = (x.rb < y.rb) " +
+      "THEN 1 ELSE 0 END AS conc FROM com x JOIN com y " +
+      "ON x.qid = y.qid AND x.vec_id < y.vec_id), " +
+      "pq AS (SELECT qid, CAST(sum(conc) AS BIGINT) AS concordant, " +
+      "CAST(sum(1 - conc) AS BIGINT) AS discordant FROM p GROUP BY qid), " +
+      "nq AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_common FROM com GROUP BY qid) " +
+      "SELECT nq.qid, n_common, coalesce(concordant, 0) AS concordant, " +
+      "coalesce(discordant, 0) AS discordant, " +
+      "CASE WHEN n_common >= 2 THEN " +
+      "round(CAST(coalesce(concordant, 0) - coalesce(discordant, 0) AS DOUBLE) / " +
+      "CAST(n_common * (n_common - 1) // 2 AS DOUBLE), 6) END AS tau " +
+      "FROM nq LEFT JOIN pq ON nq.qid = pq.qid"
+
   /** Centroid-distance OOD score (the SemDeDup-era curation gate for
     * embedding columns): each vector's cosine to its OWN label's mean
     * vector — vectors far from their class centroid are mislabeled,

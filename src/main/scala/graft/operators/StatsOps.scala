@@ -1183,6 +1183,97 @@ object StatsOps {
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
 
+  /** Confusion matrix of a predicted label column against the declared
+    * truth — the self-audit shape for any classifier-style operator
+    * (q_lang_id's predictions vs the documents' declared lang): per
+    * (truth, predicted) cell count + within-truth recall fraction.
+    * One map-side-combined groupBy; the recall window runs on the
+    * label×label CELL frame (domain-bounded). */
+  def confusionMatrix(df: DataFrame, trueCol: String,
+                      predCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    df.groupBy(col(trueCol).as("truth"), col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("recall_pct", round(
+        col("n").cast("double") /
+          sum(col("n")).over(W.partitionBy("truth")).cast("double"), 6))
+      .select(col("truth"), col("predicted"), col("n"), col("recall_pct"))
+      .orderBy("truth", "predicted")
+  }
+
+  /** DuckDB oracle for [[confusionMatrix]] over a subquery yielding
+    * (truth, predicted). */
+  def confusionMatrixSql(sub: String): String =
+    s"WITH cells AS (SELECT truth, predicted, CAST(count(*) AS BIGINT) AS n " +
+      s"FROM ($sub) s GROUP BY truth, predicted) " +
+      "SELECT truth, predicted, n, " +
+      "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY truth) AS DOUBLE), 6) " +
+      "AS recall_pct FROM cells ORDER BY truth, predicted"
+
+  /** Hill tail-index estimator (Hill 1975) over the top-k order
+    * statistics of `valueCol` per group: `ξ = (1/k)·Σ ln(x_i/x_ref)`
+    * with `x_ref` the (k+1)-th largest, `α = 1/ξ` — the quantitative
+    * heavy-tail gauge behind q_zipf_fit's rank-frequency picture
+    * (α ≈ 1-2 ⇒ extreme concentration: plan for skew; α large ⇒ tails
+    * are tame). Requires positive values (non-positive rows are
+    * filtered; at most top-k survive anyway for positive-valued data).
+    *
+    * Scale shape: the top-(k+1) extraction is the salted two-stage
+    * [[TopK.perGroupTopK]] — no single-task global window; everything
+    * after runs on (k+1)·|groups| rows. Fold: rank-ordered cumsum (the
+    * portable pattern); ln per term (unigramNll precedent); ties in
+    * value cannot change the estimator (equal values contribute equal
+    * terms regardless of which is selected). */
+  def hillTail(df: DataFrame, groupCol: String, valueCol: String,
+               k: Int = 50): DataFrame = {
+    require(k >= 2, "hillTail needs k >= 2")
+    val W = org.apache.spark.sql.expressions.Window
+    val top = TopK.perGroupTopK(
+      df.filter(col(valueCol) > 0.0)
+        .select(col(groupCol).as("g"), col(valueCol).cast("double").as("x")),
+      Seq(col("g")), Seq(col("x").desc), k + 1,
+      salt = col("x").cast("long"))
+    val ref = top.filter(col("rn") === k + 1)
+      .select(col("g"), col("x").as("x_ref"))
+    val w = W.partitionBy("g").orderBy("rn")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    top.filter(col("rn") <= k)
+      .join(ref, Seq("g")) // inner: groups with < k+1 positive rows drop
+      .withColumn("t", log(col("x") / col("x_ref")))
+      .withColumn("s", sum(col("t")).over(cum))
+      .withColumn("nc", count(lit(1)).over(W.partitionBy("g")))
+      .filter(col("rn") === col("nc"))
+      .withColumn("xi", round(col("s") / lit(k.toDouble), 6))
+      .select(col("g").as(groupCol), lit(k.toLong).as("k"),
+        round(col("x_ref"), 6).as("x_ref"), col("xi"),
+        when(col("xi") > 0.0, round(lit(1.0) / (col("s") / lit(k.toDouble)), 6))
+          .as("alpha"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[hillTail]] — identical selection (plain
+    * per-group rank — oracle need not be scale-shaped), ordered fold and
+    * trees. */
+  def hillTailSql(table: String, groupExpr: String, valueExpr: String,
+                  k: Int = 50): String =
+    s"WITH pos AS (SELECT $groupExpr AS g, CAST($valueExpr AS DOUBLE) AS x " +
+      s"FROM $table WHERE $valueExpr > 0.0), " +
+      "r AS (SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x DESC) AS rn " +
+      "FROM pos), " +
+      s"ref AS (SELECT g, x AS x_ref FROM r WHERE rn = ${k + 1}), " +
+      s"f AS (SELECT r.g, rn, ln(x / x_ref) AS t, x_ref FROM r " +
+      s"JOIN ref ON r.g = ref.g WHERE rn <= $k), " +
+      "c AS (SELECT g, x_ref, " +
+      "sum(t) OVER (PARTITION BY g ORDER BY rn " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s, " +
+      "row_number() OVER (PARTITION BY g ORDER BY rn) AS rn2, " +
+      "count(*) OVER (PARTITION BY g) AS nc FROM f) " +
+      s"SELECT g AS $groupExpr, CAST($k AS BIGINT) AS k, " +
+      s"round(x_ref, 6) AS x_ref, round(s / ${k.toDouble}, 6) AS xi, " +
+      s"CASE WHEN round(s / ${k.toDouble}, 6) > 0.0 " +
+      s"THEN round(1.0 / (s / ${k.toDouble}), 6) END AS alpha " +
+      s"FROM c WHERE rn2 = nc ORDER BY g"
+
   /** SAX — Symbolic Aggregate approXimation (Lin et al. 2003) of the
     * daily count series per group: z-normalize, average over fixed
     * `segDays`-day segments (PAA), then map each segment mean to a

@@ -605,6 +605,22 @@ object SimilarityQueries {
         s"($cosineRankedSql)", s"($lshRankedSql)", k = K) +
         " ORDER BY qid")),
 
+    // Kendall-τ agreement between the LSH and IVF retrievers on their
+    // shared top-k items: the disagreement diagnostic under q_rrf_fusion
+    // — τ near 1 ⇒ fusing adds nothing, τ near −1 ⇒ the retrievers see
+    // different structure. All-integer pair counts, k²-bounded.
+    Q("q_kendall_tau",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.kendallTau(
+          Similarity.lshTopK(e, q, K, bands = 4, rowsPerBand = 4, dims = Dims),
+          Similarity.ivfTopK(e, q, K, nCentroids = 16, nprobe = 4))
+          .orderBy("qid")
+      },
+      Some(Similarity.kendallTauSql(
+        s"($lshRankedSql)", s"($ivfRankedSql)") + " ORDER BY nq.qid")),
+
     // Exact MaxSim (late-interaction / ColBERT) scoring of multi-vector
     // docs: groups of 4 consecutive vec_ids form one doc; score(q, d) =
     // Σ over query tokens of max over doc tokens of cosine. Per-token

@@ -663,6 +663,16 @@ object TemporalQueries {
       Some(graft.operators.StatsOps.burstinessSql(
         "events", "event_type", "ts"))),
 
+    // Hill tail-index over the top-50 values per type: the quantitative
+    // heavy-tail gauge behind q_zipf_fit's picture — α ≈ 1-2 means
+    // plan for extreme skew. Salted two-stage top-k extraction (no
+    // global window), rank-ordered fold on (k+1)·|groups| rows.
+    Q("q_hill_tail",
+      (s, d) => graft.operators.StatsOps.hillTail(
+        ev(s, d), "event_type", "value", k = 50),
+      Some(graft.operators.StatsOps.hillTailSql(
+        "events", "event_type", "value", k = 50))),
+
     // HBOS multivariate outlier score (Goldstein 2012): Σ ln(n/c) over
     // independent per-feature histograms (value decade, hour, weekday)
     // — the linear-time detector beside q_mad_outliers' single-column

@@ -851,6 +851,22 @@ object TextQueries {
       (s, d) => TextOps.splitLeakage(docs(s, d), "doc_id", "text")
         .orderBy("doc_id"),
       Some(TextOps.splitLeakageSql("documents", "doc_id", "text") +
-        " ORDER BY doc_id"))
+        " ORDER BY doc_id")),
+
+    // Language-ID confusion matrix: q_lang_id's predictions cross-
+    // tabbed against the documents' DECLARED lang — the self-audit of
+    // our own classifier operator (per-cell counts + within-truth
+    // recall). The cell frame is |langs|² — domain-bounded.
+    Q("q_lang_confusion",
+      (s, d) => graft.operators.StatsOps.confusionMatrix(
+        TextOps.langId(docs(s, d), "text"), "lang", "pred_lang"),
+      Some {
+        val scores = TextOps.langMarkers.map { case (lang, words) =>
+          s"CAST(${TextOps.markerCountSql(tokensSql("text"), words)} AS BIGINT) AS s_$lang"
+        }.mkString(", ")
+        graft.operators.StatsOps.confusionMatrixSql(
+          s"SELECT lang AS truth, ${TextOps.langIdArgmaxSql} AS predicted " +
+            s"FROM (SELECT lang, $scores FROM documents) sc")
+      })
   )
 }

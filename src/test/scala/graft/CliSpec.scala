@@ -847,5 +847,25 @@ class CliSpec extends SparkSpec {
       "output" -> lk2))
     assert(spark.read.parquet(lk2).columns.toSet ===
       Set("doc_id", "n_grams", "n_shared_grams", "leaked"))
+
+    val cm = tmp() + "/cm"
+    Cli.run(spark, "confusion", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> cm, "truth" -> "lang", "pred" -> "source"))
+    assert(spark.read.parquet(cm).columns.toSet ===
+      Set("truth", "predicted", "n", "recall_pct"))
+
+    val ht = tmp() + "/ht"
+    Cli.run(spark, "hilltail", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> ht, "k" -> "20"))
+    assert(spark.read.parquet(ht).columns.toSet ===
+      Set("event_type", "k", "x_ref", "xi", "alpha"))
+
+    val ka = tmp() + "/ka"
+    Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("qid", "vec_id", "rank")
+      .write.parquet(ka)
+    val ko = tmp() + "/ko"
+    Cli.run(spark, "kendall", Map("input" -> ka, "right" -> ka,
+      "output" -> ko))
+    assert(spark.read.parquet(ko).collect()(0).getAs[Double]("tau") === 1.0)
   }
 }

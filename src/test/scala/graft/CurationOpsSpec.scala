@@ -401,6 +401,54 @@ class CurationOpsSpec extends SparkSpec {
     assert(sharedA === sharedModel.toLong)
   }
 
+  // ---- confusion / Hill / Kendall ----------------------------------
+
+  test("confusionMatrix counts cells and within-truth recall") {
+    val df = Seq(("en", "en"), ("en", "en"), ("en", "de"),
+      ("de", "de")).toDF("t", "p")
+    val out = graft.operators.StatsOps.confusionMatrix(df, "t", "p")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("en", "en")) === ((2L, r6(2.0 / 3.0))))
+    assert(out(("en", "de")) === ((1L, r6(1.0 / 3.0))))
+    assert(out(("de", "de")) === ((1L, 1.0)))
+  }
+
+  test("hillTail matches the exact order-statistic fold and recovers a Pareto tail") {
+    // Pareto(alpha=2): x = (1 - u)^(-1/2) via deterministic u over a grid
+    val xs = (1 to 2000).map(i => (1.0 - (i - 0.5) / 2000.0))
+      .map(u => math.pow(u, -0.5))
+    val df = xs.zipWithIndex.map { case (x, i) => (1L, x, i.toLong) }
+      .toDF("g", "x", "i")
+    val k = 50
+    val out = graft.operators.StatsOps.hillTail(df, "g", "x", k).collect()(0)
+    // exact model: same selection + same ordered fold
+    val sorted = xs.sorted(Ordering[Double].reverse)
+    val xref = sorted(k)
+    var s = 0.0
+    (0 until k).foreach(i => s += math.log(sorted(i) / xref))
+    assert(out.getDouble(2) === r6(xref))
+    assert(out.getDouble(3) === r6(s / k))
+    assert(out.getDouble(4) === r6(1.0 / (s / k)))
+    // the estimator recovers alpha = 2 within estimator noise
+    assert(math.abs(out.getDouble(4) - 2.0) < 0.7, s"alpha=${out.getDouble(4)}")
+  }
+
+  test("kendallTau: identity is 1, reversal is -1, mixed matches the closed form") {
+    def rk(rs: Seq[(Long, Long, Int)]) = rs.toDF("qid", "vec_id", "rank")
+    val a = rk(Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3), (1L, 13L, 4)))
+    val same = graft.operators.Similarity.kendallTau(a, a).collect()(0)
+    assert(same.getDouble(4) === 1.0)
+    val rev = rk(Seq((1L, 10L, 4), (1L, 11L, 3), (1L, 12L, 2), (1L, 13L, 1)))
+    assert(graft.operators.Similarity.kendallTau(a, rev)
+      .collect()(0).getDouble(4) === -1.0)
+    // swap one adjacent pair: 5 concordant, 1 discordant of 6 -> 4/6
+    val swp = rk(Seq((1L, 10L, 2), (1L, 11L, 1), (1L, 12L, 3), (1L, 13L, 4)))
+    val out = graft.operators.Similarity.kendallTau(a, swp).collect()(0)
+    assert(out.getLong(2) === 5L && out.getLong(3) === 1L)
+    assert(out.getDouble(4) === r6(4.0 / 6.0))
+  }
+
   // ---- NDCG / split leakage ----------------------------------------
 
   test("ndcgAtK: perfect retriever scores 1, a reversal scores the known value") {
