@@ -93,7 +93,8 @@ object Cli {
         "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
         "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage|" +
-        "sax|burstiness|ndcg|leakage|confusion|hilltail|kendall> --opt v ...")
+        "sax|burstiness|ndcg|leakage|confusion|hilltail|kendall|novelty|" +
+        "wilson> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -801,6 +802,18 @@ object Cli {
         // inputs: --input and --right, both (qid, vec_id, rank)
         write(graft.operators.Similarity.kendallTau(in("input"),
           spark.read.parquet(opts("right"))))
+
+      case "novelty" =>
+        write(graft.operators.TextOps.ngramNovelty(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("n", "5").toInt))
+
+      case "wilson" =>
+        // --flag: boolean SQL expression over the input's columns
+        write(graft.operators.StatsOps.wilsonInterval(
+          in("input").withColumn("_flag", expr(opts("flag"))),
+          opts("group"), "_flag",
+          opts.getOrElse("z", "1.96").toDouble))
 
       case other => sys.error(s"unknown command: $other")
     }

@@ -1183,6 +1183,55 @@ object StatsOps {
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
 
+  /** Wilson score interval (Wilson 1927) for a per-group boolean rate —
+    * the honest way to read "92% of src7 passes the quality gate" when
+    * src7 has 12 documents: the interval says [64%, 98%] and the
+    * downstream threshold decision should use the LOWER bound, not the
+    * point rate (the small-sample trap a plain k/n hides). z = 1.96
+    * (95%) as an exact literal.
+    *
+    * Exactness: k and n are exact integers; the closed form
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)` is one fixed
+    * double tree per bound (√ is IEEE-exact, unlike ln/pow) ⇒
+    * hash-verified. One map-side-combined groupBy; group-frame output. */
+  def wilsonInterval(df: DataFrame, groupCol: String, flagCol: String,
+                     z: Double = 1.96): DataFrame = {
+    val nD = col("n").cast("double")
+    val p = col("k").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(flagCol), 1L).otherwise(0L)).as("k"))
+      .select(col("g").as(groupCol), col("n"), col("k"),
+        round(p, 6).as("rate"),
+        round((center - margin) / denom, 6).as("ci_lo"),
+        round((center + margin) / denom, 6).as("ci_hi"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[wilsonInterval]] — identical counts and double
+    * trees. `flagExpr` must be a boolean SQL expression. */
+  def wilsonIntervalSql(table: String, groupExpr: String, flagExpr: String,
+                        z: Double = 1.96): String = {
+    val z2 = z * z
+    val p = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+    val nD = "CAST(n AS DOUBLE)"
+    val denom = s"(1.0 + $z2 / $nD)"
+    val center = s"($p + $z2 / (2.0 * $nD))"
+    val margin = s"($z * sqrt($p * (1.0 - $p) / $nD + $z2 / (4.0 * $nD * $nD)))"
+    s"WITH m AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS n, " +
+      s"CAST(sum(CASE WHEN $flagExpr THEN 1 ELSE 0 END) AS BIGINT) AS k " +
+      s"FROM $table GROUP BY g) " +
+      s"SELECT g AS $groupExpr, n, k, round($p, 6) AS rate, " +
+      s"round(($center - $margin) / $denom, 6) AS ci_lo, " +
+      s"round(($center + $margin) / $denom, 6) AS ci_hi " +
+      s"FROM m ORDER BY g"
+  }
+
   /** Confusion matrix of a predicted label column against the declared
     * truth — the self-audit shape for any classifier-style operator
     * (q_lang_id's predictions vs the documents' declared lang): per

@@ -1494,6 +1494,49 @@ object TextOps {
       "FROM prof LEFT JOIN sh USING (doc_id)"
   }
 
+  /** N-gram novelty score: per document, the fraction of its DISTINCT
+    * n-grams that appear in NO other document (document frequency 1) —
+    * the inverse-redundancy curation signal: low novelty means the doc
+    * is assembled from corpus-common phrasing (boilerplate / near-dup
+    * territory even when no single pair-level match fires); high
+    * novelty is where new information lives. Complements q_rep_ratio
+    * (WITHIN-doc repetition) with the ACROSS-corpus view.
+    *
+    * Scale shape: one explode into distinct (doc, gram-hash) via the
+    * native sorted-n-gram kernel, one map-side-combined df count on the
+    * gram key, one gram-keyed join back — the exact-dedup shape; per-doc
+    * reduce is map-side-combined integer counts + one division tree. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+      .localCheckpoint() // df count + join back both read it
+    val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty", round(
+        col("n_unique").cast("double") / col("n_grams").cast("double"), 6))
+  }
+
+  /** DuckDB oracle for [[ngramNovelty]] — identical distinct gram sets
+    * (strings vs kernel hashes: the q_decontaminate equivalence), df
+    * counts and tree. */
+  def ngramNoveltySql(table: String, idExpr: String, textCol: String,
+                      n: Int = 5): String = {
+    val grams = TextFunctions.ngramsSql(TextFunctions.tokensSql(textCol), n)
+    s"WITH g AS (SELECT DISTINCT $idExpr AS doc_id, unnest($grams) AS g " +
+      s"FROM $table), " +
+      "dfq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, " +
+      "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, " +
+      "round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE), 6) AS novelty " +
+      "FROM g JOIN dfq USING (g) GROUP BY doc_id"
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
     * published heuristic gate most curation stacks run before any model
     * scorer): per-document boolean flags for

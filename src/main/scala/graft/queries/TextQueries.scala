@@ -853,6 +853,33 @@ object TextQueries {
       Some(TextOps.splitLeakageSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // N-gram novelty: fraction of each doc's distinct 5-grams appearing
+    // in NO other document — the across-corpus inverse-redundancy signal
+    // (q_rep_ratio's within-doc sibling): low novelty = boilerplate /
+    // near-dup territory even when no pair-level match fires. One
+    // explode, one df count, one gram-keyed join back.
+    Q("q_novelty",
+      (s, d) => TextOps.ngramNovelty(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.ngramNoveltySql("documents", "doc_id", "text") +
+        " ORDER BY doc_id")),
+
+    // Wilson 95% interval on the per-source Gopher pass rate: the honest
+    // read of "92% of src7 passes" when src7 has 12 docs — threshold on
+    // the LOWER bound, not the point rate. Exact counts + one fixed
+    // closed-form tree per bound (sqrt is IEEE-exact).
+    Q("q_wilson",
+      (s, d) => {
+        val flags = TextOps.gopherRules(docs(s, d), "doc_id", "text")
+          .join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        graft.operators.StatsOps.wilsonInterval(flags, "source", "pass")
+      },
+      Some(graft.operators.StatsOps.wilsonIntervalSql(
+        s"(SELECT d.source, gr.pass FROM (${TextOps.gopherRulesSql(
+          "documents", "doc_id", "text")}) gr " +
+          "JOIN documents d USING (doc_id)) fl",
+        "source", "pass"))),
+
     // Language-ID confusion matrix: q_lang_id's predictions cross-
     // tabbed against the documents' DECLARED lang — the self-audit of
     // our own classifier operator (per-cell counts + within-truth

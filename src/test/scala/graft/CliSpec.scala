@@ -867,5 +867,17 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, "kendall", Map("input" -> ka, "right" -> ka,
       "output" -> ko))
     assert(spark.read.parquet(ko).collect()(0).getAs[Double]("tau") === 1.0)
+
+    val nv = tmp() + "/nv"
+    Cli.run(spark, "novelty", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> nv))
+    assert(spark.read.parquet(nv).columns.toSet ===
+      Set("doc_id", "n_grams", "n_unique", "novelty"))
+
+    val wi = tmp() + "/wi"
+    Cli.run(spark, "wilson", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> wi, "group" -> "source", "flag" -> "n_chars >= 250"))
+    assert(spark.read.parquet(wi).columns.toSet ===
+      Set("source", "n", "k", "rate", "ci_lo", "ci_hi"))
   }
 }

@@ -401,6 +401,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(sharedA === sharedModel.toLong)
   }
 
+  // ---- novelty / Wilson --------------------------------------------
+
+  test("ngramNovelty: duplicated docs score 0, a unique doc scores 1") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val df = Seq((1L, shared), (2L, shared),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(df, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out(1L) === ((8L, 0.0)) && out(2L) === ((8L, 0.0)))
+    assert(out(3L) === ((8L, 1.0)))
+  }
+
+  test("wilsonInterval matches the closed form and brackets the rate") {
+    val df = Seq(("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", false)).toDF("g", "f")
+    val out = graft.operators.StatsOps.wilsonInterval(df, "g", "f")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val z = 1.96; val z2 = z * z
+    def wilson(k: Long, n: Long): (Double, Double) = {
+      val nd = n.toDouble; val p = k.toDouble / nd
+      val denom = 1.0 + z2 / nd
+      val center = p + z2 / (2.0 * nd)
+      val margin = z * math.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+      (r6((center - margin) / denom), r6((center + margin) / denom))
+    }
+    val (lo, hi) = wilson(3, 4)
+    assert(out("a") === ((4L, 3L, 0.75, lo, hi)))
+    assert(lo < 0.75 && 0.75 < hi)
+    val (lo0, hi0) = wilson(0, 1)
+    assert(out("b") === ((1L, 0L, 0.0, lo0, hi0)) && hi0 > 0.5,
+      "n=1 zero rate must still carry a wide interval")
+  }
+
   // ---- confusion / Hill / Kendall ----------------------------------
 
   test("confusionMatrix counts cells and within-truth recall") {
