@@ -1494,6 +1494,82 @@ object TextOps {
       "FROM prof LEFT JOIN sh USING (doc_id)"
   }
 
+  /** Heaps'-law fit (Heaps 1978): vocabulary growth `V = K·N^β` fitted
+    * in log-log across the per-source (token-count, vocab-size) points —
+    * the capacity-planning signal for tokenizer/vocab sizing: β ≈ 0.5
+    * says vocabulary doubles per 4× corpus growth; β drifting toward 1
+    * says the "vocabulary" is IDs/noise and dedup or normalization is
+    * failing upstream.
+    *
+    * Exactness: per-source token/vocab counts are exact integers; the
+    * regression runs over the SOURCE frame (domain-bounded) as a
+    * source-ordered cumsum of (x, y, x², xy) with x = ln N, y = ln V
+    * (ln precedent), then one closed-form tree for β / ln K / r².
+    *
+    * Scale shape: one corpus explode → map-side-combined (source, term)
+    * distinct → source-frame counts; the fold never sees corpus rows. */
+  def heapsLaw(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("g"),
+      explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val nTok = toks.groupBy("g").agg(count(lit(1)).as("n_tokens"))
+    val nVoc = toks.select("g", "term").distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_vocab"))
+    val pts = nTok.join(nVoc, Seq("g"))
+      .select(col("g"), log(col("n_tokens").cast("double")).as("x"),
+        log(col("n_vocab").cast("double")).as("y"))
+    val ord = W.orderBy("g")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val folded = pts
+      .withColumn("sx", sum(col("x")).over(cum))
+      .withColumn("sy", sum(col("y")).over(cum))
+      .withColumn("sxx", sum(col("x") * col("x")).over(cum))
+      .withColumn("syy", sum(col("y") * col("y")).over(cum))
+      .withColumn("sxy", sum(col("x") * col("y")).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nc", count(lit(1)).over())
+      .filter(col("rn") === col("nc"))
+    val nD = col("nc").cast("double")
+    val num = nD * col("sxy") - col("sx") * col("sy")
+    val den = nD * col("sxx") - col("sx") * col("sx")
+    val deny = nD * col("syy") - col("sy") * col("sy")
+    folded.select(col("nc").cast("long").as("n_sources"),
+      when(den > 0.0, round(num / den, 6)).as("beta"),
+      when(den > 0.0, round((col("sy") - (num / den) * col("sx")) / nD, 6))
+        .as("ln_k"),
+      when(den > 0.0 && deny > 0.0, round((num * num) / (den * deny), 6))
+        .as("r2"))
+  }
+
+  /** DuckDB oracle for [[heapsLaw]] — identical counts, ordered fold and
+    * closed-form tree. */
+  def heapsLawSql(table: String, groupExpr: String, textCol: String): String = {
+    val toksExpr = TextFunctions.tokensSql(textCol)
+    "WITH toks AS (SELECT " + groupExpr + " AS g, unnest(" + toksExpr + ") AS term " +
+      s"FROM $table), " +
+      "nt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_tokens FROM toks GROUP BY g), " +
+      "nv AS (SELECT g, CAST(count(*) AS BIGINT) AS n_vocab FROM " +
+      "(SELECT DISTINCT g, term FROM toks) dt GROUP BY g), " +
+      "pts AS (SELECT nt.g, ln(CAST(n_tokens AS DOUBLE)) AS x, " +
+      "ln(CAST(n_vocab AS DOUBLE)) AS y FROM nt JOIN nv ON nt.g = nv.g), " +
+      "f AS (SELECT " +
+      "sum(x) OVER w AS sx, sum(y) OVER w AS sy, sum(x * x) OVER w AS sxx, " +
+      "sum(y * y) OVER w AS syy, sum(x * y) OVER w AS sxy, " +
+      "row_number() OVER (ORDER BY g) AS rn, count(*) OVER () AS nc FROM pts " +
+      "WINDOW w AS (ORDER BY g ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "c AS (SELECT CAST(nc AS BIGINT) AS n_sources, CAST(nc AS DOUBLE) AS nd, " +
+      "sx, sy, sxx, syy, sxy FROM f WHERE rn = nc) " +
+      "SELECT n_sources, " +
+      "CASE WHEN (nd * sxx - sx * sx) > 0.0 THEN " +
+      "round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) END AS beta, " +
+      "CASE WHEN (nd * sxx - sx * sx) > 0.0 THEN " +
+      "round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd, 6) END AS ln_k, " +
+      "CASE WHEN (nd * sxx - sx * sx) > 0.0 AND (nd * syy - sy * sy) > 0.0 THEN " +
+      "round(((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) / " +
+      "((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6) END AS r2 " +
+      "FROM c"
+  }
+
   /** N-gram novelty score: per document, the fraction of its DISTINCT
     * n-grams that appear in NO other document (document frequency 1) —
     * the inverse-redundancy curation signal: low novelty means the doc

@@ -853,6 +853,15 @@ object TextQueries {
       Some(TextOps.splitLeakageSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // Heaps'-law vocabulary-growth fit across sources (V = K·N^β in
+    // log-log): the tokenizer/vocab capacity-planning signal — β→1
+    // means the "vocabulary" is IDs/noise and normalization is failing.
+    // Regression runs on the 20-row source frame (ordered fold + one
+    // closed-form tree); the corpus is touched once.
+    Q("q_heaps_law",
+      (s, d) => TextOps.heapsLaw(docs(s, d), "source", "text"),
+      Some(TextOps.heapsLawSql("documents", "source", "text"))),
+
     // N-gram novelty: fraction of each doc's distinct 5-grams appearing
     // in NO other document — the across-corpus inverse-redundancy signal
     // (q_rep_ratio's within-doc sibling): low novelty = boilerplate /

@@ -106,6 +106,10 @@ class BoundedWindowSpec extends SparkSpec {
     }
   }
 
+  test("heaps law: the regression fold reads the source frame, never the corpus (r8)") {
+    assertBounded("q_heaps_law", nSources)
+  }
+
   test("record linkage: after the pattern collapse, the EM never touches the corpus (r8)") {
     // the EM rounds run eagerly on localCheckpointed frames, so the
     // final plan must read ONLY the <= 2^3-row pattern checkpoint — a

@@ -879,5 +879,11 @@ class CliSpec extends SparkSpec {
       "output" -> wi, "group" -> "source", "flag" -> "n_chars >= 250"))
     assert(spark.read.parquet(wi).columns.toSet ===
       Set("source", "n", "k", "rate", "ci_lo", "ci_hi"))
+
+    val hp = tmp() + "/hp"
+    Cli.run(spark, "heaps", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> hp))
+    assert(spark.read.parquet(hp).columns.toSet ===
+      Set("n_sources", "beta", "ln_k", "r2"))
   }
 }

@@ -401,6 +401,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(sharedA === sharedModel.toLong)
   }
 
+  // ---- Heaps' law ---------------------------------------------------
+
+  test("heapsLaw recovers the exponent of a synthetic power-law vocabulary") {
+    // source i: n_i tokens with vocab ~ n_i^0.5 — build texts where the
+    // vocab is exactly ceil(n^0.5) distinct words cycled over n tokens
+    val rows = (1 to 8).map { i =>
+      val n = 100 * i * i
+      val v = math.ceil(math.pow(n.toDouble, 0.5)).toInt
+      val text = (0 until n).map(j => s"w${j % v}").mkString(" ")
+      (s"s$i", text)
+    }
+    val df = rows.toDF("source", "text")
+    val out = TextOps.heapsLaw(df, "source", "text").collect()(0)
+    assert(out.getLong(0) === 8L)
+    // exact model: same counts, same source-ordered fold, same tree
+    val pts = rows.map { case (g, text) =>
+      val toks = text.split(" ", -1)
+      (g, math.log(toks.length.toDouble), math.log(toks.distinct.length.toDouble))
+    }.sortBy(_._1)
+    var (sx, sy, sxx, syy, sxy) = (0.0, 0.0, 0.0, 0.0, 0.0)
+    pts.foreach { case (_, x, y) =>
+      sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+    }
+    val nd = pts.length.toDouble
+    val num = nd * sxy - sx * sy
+    val den = nd * sxx - sx * sx
+    assert(out.getDouble(1) === r6(num / den))
+    assert(math.abs(out.getDouble(1) - 0.5) < 0.05, s"beta=${out.getDouble(1)}")
+    assert(out.getDouble(3) > 0.99, "log-log fit should be near-perfect")
+  }
+
   // ---- novelty / Wilson --------------------------------------------
 
   test("ngramNovelty: duplicated docs score 0, a unique doc scores 1") {
