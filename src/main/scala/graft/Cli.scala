@@ -94,7 +94,7 @@ object Cli {
         "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
         "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage|" +
         "sax|burstiness|ndcg|leakage|confusion|hilltail|kendall|novelty|" +
-        "wilson|heaps> --opt v ...")
+        "wilson|heaps|simpson> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -802,6 +802,10 @@ object Cli {
         // inputs: --input and --right, both (qid, vec_id, rank)
         write(graft.operators.Similarity.kendallTau(in("input"),
           spark.read.parquet(opts("right"))))
+
+      case "simpson" =>
+        write(graft.operators.StatsOps.simpsonDiversity(in("input"),
+          opts("group")))
 
       case "heaps" =>
         write(graft.operators.TextOps.heapsLaw(in("input"),

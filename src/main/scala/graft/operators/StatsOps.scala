@@ -1183,6 +1183,44 @@ object StatsOps {
       s"max(hv) AS h_k FROM ($sketchSub) s GROUP BY grp) g"
   }
 
+  /** Simpson diversity of a categorical column: `D = 1 − Σ pᵢ²` plus
+    * the EFFECTIVE category count `1/Σ pᵢ²` (Hill number of order 2) —
+    * the interpretable companion to q_gini_sources: "the mix behaves
+    * like N_eff equally-sized sources". N_eff ≪ the nominal source
+    * count is the one-line case for re-weighting (q_mix_weights).
+    *
+    * Exactness: `Σ nᵢ²` accumulates in DECIMAL(38,0) (squares of
+    * 100 TB-scale counts overflow BIGINT), then ONE double tree:
+    * `D = 1 − Σn²/n²`, `N_eff = n²/Σn²` ⇒ hash-verified. One
+    * map-side-combined groupBy; everything after is category-frame. */
+  def simpsonDiversity(df: DataFrame, groupCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    df.groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("ni"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(col("ni")).as("n"), sum(dec(col("ni")) * dec(col("ni"))).as("s2"))
+      .select(col("n_categories"), col("n"),
+        round(lit(1.0) - col("s2").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6)
+          .as("simpson"),
+        round((col("n").cast("double") * col("n").cast("double")) /
+          col("s2").cast("double"), 6).as("n_effective"))
+  }
+
+  /** DuckDB oracle for [[simpsonDiversity]] — identical HUGEINT moments
+    * and trees. */
+  def simpsonDiversitySql(table: String, groupExpr: String): String =
+    s"WITH c AS (SELECT $groupExpr AS g, CAST(count(*) AS BIGINT) AS ni " +
+      s"FROM $table GROUP BY g), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS n_categories, " +
+      "CAST(sum(ni) AS BIGINT) AS n, " +
+      "sum(CAST(ni AS HUGEINT) * ni) AS s2 FROM c) " +
+      "SELECT n_categories, n, " +
+      "round(1.0 - CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) " +
+      "AS simpson, " +
+      "round((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(s2 AS DOUBLE), 6) " +
+      "AS n_effective FROM m"
+
   /** Wilson score interval (Wilson 1927) for a per-group boolean rate —
     * the honest way to read "92% of src7 passes the quality gate" when
     * src7 has 12 documents: the interval says [64%, 98%] and the

@@ -853,6 +853,20 @@ object TextQueries {
       Some(TextOps.splitLeakageSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // Simpson diversity + effective source count (Hill number of order
+    // 2): "the mix behaves like N_eff equally-sized sources" — the
+    // interpretable companion to q_gini_sources, weighted by TOKEN mass
+    // (what the model actually trains on). DECIMAL(38,0) moments, one
+    // double tree.
+    Q("q_simpson",
+      (s, d) => graft.operators.StatsOps.simpsonDiversity(
+        docs(s, d).select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("_t")),
+        "source"),
+      Some(graft.operators.StatsOps.simpsonDiversitySql(
+        s"(SELECT source, unnest(${tokensSql("text")}) AS t FROM documents) tk",
+        "source"))),
+
     // Heaps'-law vocabulary-growth fit across sources (V = K·N^β in
     // log-log): the tokenizer/vocab capacity-planning signal — β→1
     // means the "vocabulary" is IDs/noise and normalization is failing.

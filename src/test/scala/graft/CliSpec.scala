@@ -885,5 +885,11 @@ class CliSpec extends SparkSpec {
       "output" -> hp))
     assert(spark.read.parquet(hp).columns.toSet ===
       Set("n_sources", "beta", "ln_k", "r2"))
+
+    val si = tmp() + "/si"
+    Cli.run(spark, "simpson", Map("input" -> s"$sfDir/documents.parquet",
+      "output" -> si, "group" -> "source"))
+    assert(spark.read.parquet(si).columns.toSet ===
+      Set("n_categories", "n", "simpson", "n_effective"))
   }
 }

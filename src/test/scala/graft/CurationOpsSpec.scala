@@ -401,6 +401,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(sharedA === sharedModel.toLong)
   }
 
+  // ---- Simpson diversity -------------------------------------------
+
+  test("simpsonDiversity: uniform mix gives N_eff = k, skew collapses it") {
+    val uniform = (1 to 4).flatMap(i => Seq.fill(25)(s"s$i")).toDF("g")
+    val u = graft.operators.StatsOps.simpsonDiversity(uniform, "g").collect()(0)
+    assert(u.getLong(0) === 4L && u.getLong(1) === 100L)
+    assert(u.getDouble(2) === 0.75 && u.getDouble(3) === 4.0)
+    // 97/1/1/1: nominally 4 sources, effectively ~1
+    val skew = (Seq.fill(97)("a") ++ Seq("b", "c", "d")).toDF("g")
+    val s = graft.operators.StatsOps.simpsonDiversity(skew, "g").collect()(0)
+    assert(s.getDouble(3) < 1.1, s"n_eff=${s.getDouble(3)}")
+    val s2 = 97L * 97 + 3
+    assert(s.getDouble(2) === r6(1.0 - s2.toDouble / 10000.0))
+  }
+
   // ---- Heaps' law ---------------------------------------------------
 
   test("heapsLaw recovers the exponent of a synthetic power-law vocabulary") {
