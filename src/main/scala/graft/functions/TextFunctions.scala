@@ -61,22 +61,32 @@ object TextFunctions {
   /** DuckDB twin of [[cdcChunkCodes]] as a STAGED subquery — O(n·w)
     * direct window hashes, identical cut set and chunk codes; the
     * boundary/cut lists materialize as columns so nothing re-evaluates.
+    * The kernel's forced max-length cut (Kernels.CdcMaxChunkLen) is
+    * mirrored by inserting synthetic boundaries every maxLen chars
+    * inside each natural-cut gap — identical augmented cut set, so the
+    * codes still match the native kernel bit-for-bit.
     * Yields (doc_id, codes). `text` must be a bare column name. */
   def cdcChunkCodesSql(table: String, idExpr: String, text: String,
                        window: Int, maskBits: Int): String = {
     val mask = 1L << maskBits
+    val maxLen = graft.plans.Kernels.CdcMaxChunkLen
     val win = charHashSql(s"substr($text, i - ${window - 1}, $window)")
-    val chunk = s"substr($text, b2[j - 1] + 1, b2[j] - b2[j - 1])"
-    s"SELECT doc_id, list_transform(range(2, len(b2) + 1), " +
-      s"j -> ${charHashSql(chunk)} * 1048576 + (b2[j] - b2[j - 1])) AS codes " +
+    val chunk = s"substr($text, b3[j - 1] + 1, b3[j] - b3[j - 1])"
+    s"SELECT doc_id, list_transform(range(2, len(b3) + 1), " +
+      s"j -> ${charHashSql(chunk)} * 1048576 + (b3[j] - b3[j - 1])) AS codes " +
       "FROM (SELECT doc_id, " +
+      "list_concat([CAST(0 AS BIGINT)], " +
+      "flatten(list_transform(range(2, len(b2) + 1), " +
+      s"j -> list_concat(list_transform(range(b2[j - 1] + $maxLen, b2[j], $maxLen), " +
+      "x -> CAST(x AS BIGINT)), [b2[j]])))) AS b3, " +
+      s"$text FROM (SELECT doc_id, " +
       "list_concat(list_concat([CAST(0 AS BIGINT)], bnd), " +
       s"CASE WHEN length($text) > 0 AND (len(bnd) = 0 OR " +
       s"bnd[len(bnd)] <> length($text)) " +
       s"THEN [CAST(length($text) AS BIGINT)] ELSE [] END) AS b2, $text " +
       s"FROM (SELECT $idExpr AS doc_id, $text, " +
       s"list_filter(range($window, length($text) + 1), " +
-      s"i -> ($win) % $mask = 0) AS bnd FROM $table) tb) t2"
+      s"i -> ($win) % $mask = 0) AS bnd FROM $table) tb) t2i) t2"
   }
 
   /** Per-token hash codes: array<long>, one code per whitespace token

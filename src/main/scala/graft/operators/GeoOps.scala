@@ -252,8 +252,10 @@ object GeoOps {
              xCol: String = "ix", yCol: String = "iy"): DataFrame = {
     require(w > 0 && h > 0, "hexBin needs positive cell dims")
     val p = points
-      .withColumn("i0", (col(xCol) / w).cast("long"))
-      .withColumn("j0", (col(yCol) / h).cast("long"))
+      // floor division (not truncate-toward-zero) so negative
+      // coordinates land in the same cell as the oracle's `//`
+      .withColumn("i0", floor(col(xCol) / w).cast("long"))
+      .withColumn("j0", floor(col(yCol) / h).cast("long"))
       // the two even-parity diagonal corners of the containing rectangle
       .withColumn("ia", when((col("i0") + col("j0")) % 2 === 0, col("i0"))
         .otherwise(col("i0") + 1))

@@ -33,11 +33,14 @@ object SequenceOps {
           "").as("seq"),
         count(lit(1)).as("n_events"))
 
-  /** DuckDB twin of [[codeSequences]]: ordered string_agg. */
+  /** DuckDB twin of [[codeSequences]]: ordered string_agg. The code
+    * expression is a third ORDER BY key, mirroring the Spark struct
+    * sort's (us, tie, code) total order — without it, ties on
+    * (ts, tie) would leave the DuckDB ordering unspecified. */
   def codeSequencesSql(table: String, keyExpr: String, tsExpr: String,
                        tieExpr: String, codeExpr: String): String =
     s"SELECT $keyExpr AS user_id, " +
-      s"string_agg($codeExpr, '' ORDER BY $tsExpr, $tieExpr) AS seq, " +
+      s"string_agg($codeExpr, '' ORDER BY $tsExpr, $tieExpr, $codeExpr) AS seq, " +
       s"CAST(count(*) AS BIGINT) AS n_events FROM $table GROUP BY $keyExpr"
 
   /** Sequence pattern matching: for each entity, whether its ordered code

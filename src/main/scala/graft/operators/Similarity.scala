@@ -894,7 +894,10 @@ object Similarity {
   def ndcgAtKSql(truthSub: String, approxSub: String, k: Int): String = {
     val ln2 = 0.6931471805599453
     val idcg = (1 to k).map(i => (k - i + 1).toDouble * ln2 / math.log(i + 1)).sum
-    val idcgLit = "%.17g".format(idcg)
+    // Double.toString (shortest round-trip repr, locale-independent) —
+    // "%.17g" uses the default JVM locale and emits an invalid SQL
+    // literal under comma-decimal locales.
+    val idcgLit = idcg.toString
     s"WITH t AS (SELECT qid, vec_id, CAST($k - rank + 1 AS BIGINT) AS rel " +
       s"FROM $truthSub), " +
       s"a AS (SELECT qid, vec_id, rank AS a_rank FROM $approxSub), " +

@@ -1385,14 +1385,18 @@ object StatsOps {
     val W = org.apache.spark.sql.expressions.Window
     val daily = df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("c"))
+    // Squared moments in DECIMAL(38,0): squares of 100 TB-scale daily
+    // counts overflow BIGINT (repo convention, as in simpsonDiversity).
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val mom = daily.groupBy("g").agg(count(lit(1)).as("n"),
-      sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"))
+      sum(col("c")).as("sx"), sum(dec(col("c")) * dec(col("c"))).as("sxx"))
     val wd = W.partitionBy("g").orderBy("day")
     val seg = daily.join(broadcast(mom), Seq("g"))
       .withColumn("rn", row_number().over(wd))
       .withColumn("seg", expr(s"CAST((rn - 1) div $segDays AS BIGINT)"))
       .withColumn("den",
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+        sqrt((dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("double")))
       .withColumn("z", when(col("den") > 0.0,
         (col("n") * col("c") - col("sx")).cast("double") / col("den"))
         .otherwise(lit(0.0)))
@@ -1423,11 +1427,11 @@ object StatsOps {
     s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
       s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
       "mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n, " +
-      "CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx " +
+      "CAST(sum(c) AS BIGINT) AS sx, sum(CAST(c AS HUGEINT) * c) AS sxx " +
       "FROM daily GROUP BY g), " +
       "segd AS (SELECT daily.g, day, c, n, sx, sxx, " +
       s"CAST((row_number() OVER (PARTITION BY daily.g ORDER BY day) - 1) // $segDays AS BIGINT) AS seg, " +
-      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS den " +
+      "sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) AS den " +
       "FROM daily JOIN mom ON daily.g = mom.g), " +
       "z AS (SELECT g, day, seg, CASE WHEN den > 0.0 " +
       "THEN CAST(n * c - sx AS DOUBLE) / den ELSE 0.0 END AS z FROM segd), " +
@@ -1451,20 +1455,26 @@ object StatsOps {
     * (`(n·sxx − sx²)/(n·sx)`), round 6 ⇒ hash-verified; one map-side-
     * combined daily collapse, group-frame output. */
   def burstiness(df: DataFrame, groupCol: String, tsCol: String,
-                 threshold: Double = 1.5): DataFrame =
+                 threshold: Double = 1.5): DataFrame = {
+    // DECIMAL(38,0) squared moments (repo convention — BIGINT wraps on
+    // squares of 100 TB-scale counts while DuckDB errors, so engine and
+    // oracle would diverge).
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("c"))
       .groupBy("g")
       .agg(count(lit(1)).as("n_days"),
-        sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"))
+        sum(col("c")).as("sx"), sum(dec(col("c")) * dec(col("c"))).as("sxx"))
       .withColumn("mean_daily",
         round(col("sx").cast("double") / col("n_days").cast("double"), 6))
       .withColumn("fano", round(
-        (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
-          (col("n_days") * col("sx")).cast("double"), 6))
+        (dec(col("n_days")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .cast("double") /
+          (dec(col("n_days")) * dec(col("sx"))).cast("double"), 6))
       .select(col("g").as(groupCol), col("n_days"), col("mean_daily"),
         col("fano"), (col("fano") > threshold).as("is_bursty"))
       .orderBy(groupCol)
+  }
 
   /** DuckDB oracle for [[burstiness]] — identical moments and tree. */
   def burstinessSql(table: String, groupExpr: String, tsExpr: String,
@@ -1472,14 +1482,14 @@ object StatsOps {
     s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
       s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
       "m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days, " +
-      "CAST(sum(c) AS BIGINT) AS sx, CAST(sum(c * c) AS BIGINT) AS sxx " +
+      "CAST(sum(c) AS BIGINT) AS sx, sum(CAST(c AS HUGEINT) * c) AS sxx " +
       "FROM daily GROUP BY g) " +
       s"SELECT g AS $groupExpr, n_days, " +
       "round(CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE), 6) AS mean_daily, " +
-      "round(CAST(n_days * sxx - sx * sx AS DOUBLE) / " +
-      "CAST(n_days * sx AS DOUBLE), 6) AS fano, " +
-      "(round(CAST(n_days * sxx - sx * sx AS DOUBLE) / " +
-      s"CAST(n_days * sx AS DOUBLE), 6) > $threshold) AS is_bursty " +
+      "round(CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) / " +
+      "CAST(CAST(n_days AS HUGEINT) * sx AS DOUBLE), 6) AS fano, " +
+      "(round(CAST(CAST(n_days AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) / " +
+      s"CAST(CAST(n_days AS HUGEINT) * sx AS DOUBLE), 6) > $threshold) AS is_bursty " +
       "FROM m ORDER BY g"
 
   /** HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012):

@@ -392,8 +392,16 @@ object Kernels {
     * 31^(w−1) term, shift, add), the chunk hash accumulates since the
     * last cut — both stay in the exact arithmetic of the O(n·w) oracle
     * form (same fold, same mod), so codes hash-match bit-for-bit.
-    * Production CDC adds min/max chunk bounds; this is the exact-oracle
-    * core. */
+    * A cut is FORCED once a chunk reaches [[CdcMaxChunkLen]] chars (the
+    * standard CDC max bound): a cut-free run (e.g. long repeated
+    * content whose rolling hash never hits the mask) bounds the chunk
+    * instead of aborting the job, and the length bits can never alias
+    * into the hash term of the `hash·2^20 + len` code. The SQL twin
+    * applies the identical bound, so codes still match bit-for-bit.
+    * (Production CDC would add a min bound too; not needed for the
+    * exact-oracle core.) */
+  val CdcMaxChunkLen = 65536
+
   def cdcChunkCodes(s: UTF8String, w: Int, maskBits: Int): ArrayData = {
     val t = s.toString
     val n = t.length
@@ -414,9 +422,8 @@ object Kernels {
         if (i < w) (rh * 31L + c) % P
         else (((rh - t.charAt(i - w).toLong * pw % P + P) % P) * 31L + c) % P
       val isBoundary = i >= w - 1 && (rh & mask) == 0L
-      if (isBoundary || i == n - 1) {
-        val len = i + 1 - chunkStart
-        require(len < 1048576, "cdcChunkCodes: chunk exceeds the 2^20 length face")
+      val len = i + 1 - chunkStart
+      if (isBoundary || i == n - 1 || len == CdcMaxChunkLen) {
         out += ch * 1048576L + len
         ch = 0L
         chunkStart = i + 1

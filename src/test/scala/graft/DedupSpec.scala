@@ -194,7 +194,7 @@ class DedupSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val expect = parent.keys.map(x => x -> find(x)).toMap
+    val expect = parent.keys.toList.map(x => x -> find(x)).toMap
     val got = Dedup.connectedComponents(
         Dedup.minhashCandidates(docs.limit(150), "doc_id", "text", k = 16, bands = 2))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

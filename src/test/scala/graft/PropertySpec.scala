@@ -75,7 +75,7 @@ class PropertySpec extends SparkSpec {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val expect = parent.keys.map(x => x -> find(x)).toMap
+      val expect = parent.keys.toList.map(x => x -> find(x)).toMap
       got == expect
     }
     val res = org.scalacheck.Test.check(
@@ -103,7 +103,7 @@ class PropertySpec extends SparkSpec {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val expect = parent.keys.map(x => x -> find(x)).toMap
+      val expect = parent.keys.toList.map(x => x -> find(x)).toMap
       val edges = es.toDF("a", "b")
       val viaLogStar = graft.operators.Dedup.connectedComponentsLogStar(edges)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -211,7 +211,7 @@ class PropertySpec extends SparkSpec {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val expect = parent.keys.map(x => x -> find(x)).toMap
+      val expect = parent.keys.toList.map(x => x -> find(x)).toMap
       val got = graft.operators.Dedup.connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       got == expect
