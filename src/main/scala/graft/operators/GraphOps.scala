@@ -12,6 +12,63 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Block count for the two-stage node-frame float folds below. The
+    * single-partition stage of every global reduction in this file reads
+    * at most this many rows, whatever the graph size. */
+  val FoldBlocks = 1024
+
+  /** Deterministic two-stage ordered float total of `valueCol` over a
+    * node-keyed frame — the de-funneled replacement for the flat
+    * `sum().over(orderBy(v))` fold (which moved the WHOLE frame through
+    * one window task). Stage 1 folds each block `((v % B) + B) % B` in
+    * v-order (B-way parallel, partitioned windows); stage 2 folds the
+    * ≤ B block sums in block order (one task over ≤ B rows — bounded by
+    * construction, never by the data). The summation tree is fixed by
+    * VALUES (block id and v-order), not by partitioning, so the result
+    * is bit-identical across engines and cluster layouts; the DuckDB
+    * twin [[blockTotalSql]] executes the identical tree.
+    *
+    * Yields a 0- or 1-row frame (`tot`) — 0 rows when the input is
+    * empty, so callers keep their `coalesce(…, 0.0)` seam. */
+  private[graft] def blockTotal(df: DataFrame, valueCol: String,
+                         vCol: String = "v"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val b = lit(FoldBlocks.toLong)
+    val wb = W.partitionBy("blk").orderBy(vCol)
+    val cb = wb.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val blockSums = df
+      .withColumn("blk", ((col(vCol) % b) + b) % b)
+      .withColumn("cum", sum(col(valueCol)).over(cb))
+      .withColumn("rn", row_number().over(wb))
+      .withColumn("nc", count(lit(1)).over(W.partitionBy("blk")))
+      .filter(col("rn") === col("nc"))
+      .select(col("blk"), col("cum").as("bs"))
+    val wo = W.orderBy("blk")
+    val co = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    blockSums
+      .withColumn("cum", sum(col("bs")).over(co))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("nc", count(lit(1)).over())
+      .filter(col("rn") === col("nc"))
+      .select(col("cum").as("tot"))
+  }
+
+  /** DuckDB twin of [[blockTotal]]: a SELECT yielding one `cum` column
+    * (0 or 1 rows) over `fromSub`, which must expose columns `v` and
+    * `val`. Identical block ids, identical fold orders. */
+  private def blockTotalSql(fromSub: String): String = {
+    val b = FoldBlocks
+    "SELECT cum FROM (SELECT " +
+      "sum(bs) OVER (ORDER BY blk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (ORDER BY blk) AS rn, count(*) OVER () AS nc " +
+      "FROM (SELECT blk, cum AS bs FROM (SELECT blk, " +
+      "sum(val) OVER (PARTITION BY blk ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (PARTITION BY blk ORDER BY v) AS rn, " +
+      "count(*) OVER (PARTITION BY blk) AS nc " +
+      s"FROM (SELECT ((v % $b) + $b) % $b AS blk, v, val FROM ($fromSub) bt0) bt1) bt2 " +
+      "WHERE rn = nc) bt3) bt4 WHERE rn = nc"
+  }
+
   /** PageRank by power iteration over a directed edge list (source/domain
     * authority scoring — the quality prior CommonCrawl-style curation
     * feeds into mix weights). Fixed `iters` rounds of
@@ -24,12 +81,15 @@ object GraphOps {
     * two 8-byte-key shuffles: ranks ⋈ degrees on src, contributions
     * grouped on dst. Per-dst contribution sums run as ordered cumsum
     * windows (order = src, total after dedup) and the dangling mass as
-    * one ordered fold over the dangling-node set — both deterministic
-    * float reductions, so ranks are bit-identical across engines and
-    * partitionings. The dangling fold is one task over dangling nodes
-    * only; for a web-scale graph where that set is itself huge, give
-    * dangling pages a self-loop at build time instead (changes the
-    * stationary distribution, documented trade-off).
+    * the two-stage [[blockTotal]] fold over the dangling-node set —
+    * both deterministic float reductions, so ranks are bit-identical
+    * across engines and partitionings. The dangling fold's
+    * single-partition stage reads ≤ [[FoldBlocks]] block sums however
+    * large the dangling set grows (the flat ordered fold it replaces
+    * funneled every dangling node through one window task). For a
+    * web-scale graph, giving dangling pages a self-loop at build time
+    * remains the cheaper alternative (changes the stationary
+    * distribution, documented trade-off).
     *
     * Nulls: an edge with a null endpoint is dropped by the self-loop
     * filter (null comparisons are not-true) — both engines agree; pass a
@@ -53,17 +113,13 @@ object GraphOps {
     var ranks = nodes.crossJoin(broadcast(nn))
       .select(col("v"), (lit(1.0) / col("n").cast("double")).as("r"))
       .localCheckpoint()
-    val ordv = W.orderBy("v")
-    val cumv = ordv.rowsBetween(W.unboundedPreceding, W.currentRow)
     val ordd = W.partitionBy("dst").orderBy("src")
     val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
     (1 to iters).foreach { _ =>
-      val dangTot = ranks.join(deg, ranks("v") === deg("src"), "left_anti")
-        .withColumn("cum", sum(col("r")).over(cumv))
-        .withColumn("rn", row_number().over(ordv))
-        .withColumn("nc", count(lit(1)).over())
-        .filter(col("rn") === col("nc"))
-        .select(lit(1).as("j"), col("cum").as("dm"))
+      val dangTot = blockTotal(
+          ranks.join(deg, ranks("v") === deg("src"), "left_anti")
+            .select(col("v"), col("r")), "r")
+        .select(lit(1).as("j"), col("tot").as("dm"))
       val dm = nn.withColumn("j", lit(1))
         .join(dangTot, Seq("j"), "left")
         .select(coalesce(col("dm"), lit(0.0)).as("dm"))
@@ -93,11 +149,8 @@ object GraphOps {
   def pageRankSql(edgesSub: String, iters: Int, damping: Double): String = {
     val d = damping
     val iterCtes = (0 until iters).map { k =>
-      s"dang$k AS (SELECT cum FROM (SELECT " +
-        "sum(r.r) OVER (ORDER BY r.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
-        "row_number() OVER (ORDER BY r.v) AS rn, count(*) OVER () AS nc " +
-        s"FROM r$k r LEFT JOIN deg ON r.v = deg.src WHERE deg.src IS NULL) " +
-        "WHERE rn = nc), " +
+      s"dang$k AS (${blockTotalSql(
+          s"SELECT r.v AS v, r.r AS val FROM r$k r LEFT JOIN deg ON r.v = deg.src WHERE deg.src IS NULL")}), " +
         s"dm$k AS (SELECT coalesce((SELECT cum FROM dang$k), 0.0) AS dm), " +
         s"ctr$k AS (SELECT dst, cum AS c FROM (SELECT e.dst, " +
         "sum(r.r / CAST(deg.deg AS DOUBLE)) OVER (PARTITION BY e.dst ORDER BY e.src " +
@@ -205,10 +258,11 @@ object GraphOps {
     * Scale shape: edges dedup once + localCheckpoint (reliable checkpoint
     * on a cluster); a round is two 8-byte-key join shuffles (hub on src,
     * auth on dst). Per-node sums are ordered cumsum windows (by the other
-    * endpoint — a total order after dedup) and each normalizer is one
-    * ordered fold over the NODE frame (domain-bounded, same shape as
-    * pageRank's dangling fold) broadcast back — so scores are
-    * bit-identical on both engines. Nodes without in-edges hold authority
+    * endpoint — a total order after dedup) and each L1 normalizer is the
+    * two-stage [[blockTotal]] fold over the node frame (single-partition
+    * stage bounded at [[FoldBlocks]] rows, same shape as pageRank's
+    * dangling fold) broadcast back — so scores are bit-identical on both
+    * engines. Nodes without in-edges hold authority
     * 0 (resp. out-edges / hub 0); null-endpoint edges drop in the
     * self-loop filter on both engines.
     *
@@ -226,15 +280,11 @@ object GraphOps {
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
       .localCheckpoint()
-    val ordv = W.orderBy("v")
-    val cumv = ordv.rowsBetween(W.unboundedPreceding, W.currentRow)
-    // one ordered fold over the node frame -> a 1-row total, broadcast back
-    def l1Total(scores: DataFrame, c: String): DataFrame = scores
-      .withColumn("cum", sum(col(c)).over(cumv))
-      .withColumn("rn", row_number().over(ordv))
-      .withColumn("nc", count(lit(1)).over())
-      .filter(col("rn") === col("nc"))
-      .select(col("cum").as("tot"))
+    // two-stage block fold over the node frame -> a 1-row total,
+    // broadcast back; the single-partition stage reads <= FoldBlocks
+    // block sums, never the node frame itself
+    def l1Total(scores: DataFrame, c: String): DataFrame =
+      blockTotal(scores.select(col("v"), col(c)), c)
     // per-node ordered sum of the other endpoint's score, L1-normalized
     def halfRound(scores: DataFrame, joinKey: String,
                   groupKey: String): DataFrame = {
@@ -266,7 +316,7 @@ object GraphOps {
   }
 
   /** DuckDB oracle for [[hits]] — identical dedup, ordered per-node
-    * cumsum folds, node-frame L1 normalizer folds and float tree.
+    * cumsum folds, two-stage block-fold L1 normalizers and float tree.
     * `edgesSub` is a `(SELECT … src, … dst FROM …)` subquery. */
   def hitsSql(edgesSub: String, iters: Int): String = {
     // per-round CTE pair: raw ordered sums + L1 normalize via the same
@@ -283,10 +333,8 @@ object GraphOps {
         s"count(*) OVER (PARTITION BY e.$groupKey) AS nc " +
         s"FROM e JOIN $in s ON e.$joinKey = s.v) WHERE rn = nc) g " +
         "ON nodes.v = g.gv), " +
-        s"$tot AS (SELECT cum AS tot FROM (SELECT " +
-        s"sum(raw) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
-        s"row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS nc FROM $raw) " +
-        "WHERE rn = nc), " +
+        s"$tot AS (SELECT cum AS tot FROM " +
+        s"(${blockTotalSql(s"SELECT v, raw AS val FROM $raw")}) btq), " +
         s"$outPrefix${k + 1} AS (SELECT v, raw / tot AS s FROM $raw CROSS JOIN $tot)"
     }
     val iterCtes = (0 until iters).map { k =>
@@ -681,8 +729,9 @@ object GraphOps {
     * portable reduction), so ranks hash-verify.
     *
     * Scale shape per round: identical to pageRank — one join shuffle on
-    * the 8-byte src key, per-dst ordered cumsum, dangling fold over the
-    * node frame; the seed indicator joins once up front. */
+    * the 8-byte src key, per-dst ordered cumsum, two-stage [[blockTotal]]
+    * dangling fold (single-partition stage ≤ [[FoldBlocks]] rows); the
+    * seed indicator joins once up front. */
   def personalizedPageRank(edges0: DataFrame, seeds: DataFrame,
                            iters: Int = 3, damping: Double = 0.85,
                            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
@@ -707,17 +756,13 @@ object GraphOps {
       .localCheckpoint()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     var ranks = nodes.select(col("v"), col("p").as("r")).localCheckpoint()
-    val ordv = W.orderBy("v")
-    val cumv = ordv.rowsBetween(W.unboundedPreceding, W.currentRow)
     val ordd = W.partitionBy("dst").orderBy("src")
     val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
     (1 to iters).foreach { _ =>
-      val dangTot = ranks.join(deg, ranks("v") === deg("src"), "left_anti")
-        .withColumn("cum", sum(col("r")).over(cumv))
-        .withColumn("rn", row_number().over(ordv))
-        .withColumn("nc", count(lit(1)).over())
-        .filter(col("rn") === col("nc"))
-        .select(lit(1).as("j"), col("cum").as("dm"))
+      val dangTot = blockTotal(
+          ranks.join(deg, ranks("v") === deg("src"), "left_anti")
+            .select(col("v"), col("r")), "r")
+        .select(lit(1).as("j"), col("tot").as("dm"))
       val dm = ns.withColumn("j", lit(1))
         .join(dangTot, Seq("j"), "left")
         .select(coalesce(col("dm"), lit(0.0)).as("dm"))
@@ -747,11 +792,8 @@ object GraphOps {
                               iters: Int, damping: Double): String = {
     val d = damping
     val iterCtes = (0 until iters).map { k =>
-      s"dang$k AS (SELECT cum FROM (SELECT " +
-        "sum(r.r) OVER (ORDER BY r.v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
-        "row_number() OVER (ORDER BY r.v) AS rn, count(*) OVER () AS nc " +
-        s"FROM r$k r LEFT JOIN deg ON r.v = deg.src WHERE deg.src IS NULL) " +
-        "WHERE rn = nc), " +
+      s"dang$k AS (${blockTotalSql(
+          s"SELECT r.v AS v, r.r AS val FROM r$k r LEFT JOIN deg ON r.v = deg.src WHERE deg.src IS NULL")}), " +
         s"dm$k AS (SELECT coalesce((SELECT cum FROM dang$k), 0.0) AS dm), " +
         s"ctr$k AS (SELECT dst, cum AS c FROM (SELECT e.dst, " +
         "sum(r.r / CAST(deg.deg AS DOUBLE)) OVER (PARTITION BY e.dst ORDER BY e.src " +

@@ -110,6 +110,35 @@ class BoundedWindowSpec extends SparkSpec {
     assertBounded("q_heaps_law", nSources)
   }
 
+  test("graph folds: blockTotal's global window reads block sums, never the node frame (r9)") {
+    // The pagerank/ppr dangling folds and the HITS L1 normalizers all
+    // route through GraphOps.blockTotal. Prove the de-funnel on a frame
+    // LARGER than FoldBlocks: the only single-partition windows in the
+    // plan read the <= FoldBlocks block-sum frame, and the two-stage
+    // fixed fold tree reproduces a same-tree Scala reference exactly.
+    import spark.implicits._
+    val b = graft.operators.GraphOps.FoldBlocks
+    val n = 3 * b / 2 // 1536 nodes > 1024 blocks
+    val rows = (0 until n).map(i => (i.toLong, ((i * 2654435761L) % 1000).toDouble / 7.0))
+    val df = rows.toDF("v", "r")
+    val got = graft.operators.GraphOps.blockTotal(df, "r")
+      .collect().map(_.getDouble(0)).toSeq
+    // same-tree reference: per-block in-v-order fold, then in-block-order fold
+    val expect = rows.groupBy { case (v, _) => ((v % b) + b) % b }
+      .toSeq.sortBy(_._1)
+      .map { case (_, vs) => vs.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _) }
+      .foldLeft(0.0)(_ + _)
+    assert(got == Seq(expect), s"blockTotal tree diverged: $got vs $expect")
+    val inputs = globalWindowInputs(graft.operators.GraphOps.blockTotal(df, "r"))
+    assert(inputs.nonEmpty, "expected the stage-2 block-sum window")
+    inputs.foreach { rowsIn =>
+      assert(rowsIn <= b.toLong,
+        s"blockTotal global window reads $rowsIn rows, bound is $b")
+      assert(rowsIn < n.toLong,
+        s"blockTotal global window reads $rowsIn rows — node-frame-scaled")
+    }
+  }
+
   test("record linkage: after the pattern collapse, the EM never touches the corpus (r8)") {
     // the EM rounds run eagerly on localCheckpointed frames, so the
     // final plan must read ONLY the <= 2^3-row pattern checkpoint — a
