@@ -400,10 +400,11 @@ object Dedup {
     cur
   }
 
-  /** Exact set-equality fixpoint driver for edge-rewriting rounds whose
+  /** Exact set-equality fixpoint driver for frame-rewriting rounds whose
     * fixed point is STABLE (round(e) == e, which holds for the star
-    * graphs log-star converges to): apply `round` until the output edge
-    * set equals the input edge set. Both frames are distinct, so
+    * graphs log-star converges to, for k-core peels, and for min-label
+    * propagation): apply `round` until the output frame (distinct rows)
+    * equals the input frame. Both frames are distinct, so
     * equality = equal counts + empty `except` (prev ⊆ next with equal
     * cardinality ⟹ equal) — one scalar count and one anti-set job per
     * round over the shrinking edge list. Sign-agnostic by construction:
@@ -414,8 +415,9 @@ object Dedup {
     * Hitting `maxIter` before equality THROWS rather than returning a
     * truncated result; superseded checkpoint blocks are released each
     * round. */
-  private def iterateToEdgeFixpoint(init: DataFrame, maxIter: Int, what: String)
-                                   (round: DataFrame => DataFrame): DataFrame = {
+  private[operators] def iterateToEdgeFixpoint(
+      init: DataFrame, maxIter: Int, what: String)
+      (round: DataFrame => DataFrame): DataFrame = {
     var cur = init
     var curCount = init.count()
     var iter = 0

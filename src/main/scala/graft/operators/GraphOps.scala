@@ -448,9 +448,8 @@ object GraphOps {
     * of degree < k (and their incident edges). The true k-core is this
     * iterated to fixpoint; like pageRank/labelProp/bpeTrain the operator
     * pins a FIXED round count so the oracle can unroll the identical
-    * chain — at scale you loop until the alive count stops changing
-    * (each round is the same two semi-joins; localCheckpoint truncates
-    * lineage exactly as here). Cores locate the dense center of a
+    * chain — [[kCoreFixpoint]] is the production form that re-applies
+    * the same peel to exact convergence. Cores locate the dense center of a
     * near-dup graph (aggressive-dedup targets) vs the degree-<k fringe.
     *
     * Scale shape per round: one map-side-combined degree count + two
@@ -474,6 +473,37 @@ object GraphOps {
         .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
         .select(col("v"), col("w"))
         .localCheckpoint()
+    }
+    adj.groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** [[kCore]] peeled to EXACT fixpoint — the production entry point:
+    * the true k-core needs as many synchronous rounds as the peel
+    * cascade is deep (a chain graph cascades from the endpoints inward,
+    * one layer per round), so the fixed-round form over-reports the
+    * core on deep-cascade graphs. This form re-applies the identical
+    * peel until the adjacency stops changing — the peel only removes
+    * edges and its fixed point is stable (every surviving vertex has
+    * residual degree ≥ k), so the [[Dedup.iterateToEdgeFixpoint]]
+    * set-equality certificate applies directly. Keep the fixed-round
+    * twin for the unrolled-SQL oracle face. */
+  def kCoreFixpoint(edges0: DataFrame, k: Int, maxRounds: Int = 64,
+                    aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val adj0 = e.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint()
+    val adj = Dedup.iterateToEdgeFixpoint(adj0, maxRounds, "kCoreFixpoint") {
+      cur =>
+        val alive = cur.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("v"))
+        cur
+          .join(alive, Seq("v"), "left_semi")
+          .join(alive.withColumnRenamed("v", "w"), Seq("w"), "left_semi")
+          .select(col("v"), col("w"))
     }
     adj.groupBy(col("v").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -625,6 +655,48 @@ object GraphOps {
         .localCheckpoint()
       frontier = next
     }
+    dist
+  }
+
+  /** [[bfsHops]] run to EXHAUSTION — the production entry point: the
+    * frontier expands until it empties (every node reachable from the
+    * seed set holds its true hop distance, whatever the graph
+    * diameter), where the fixed-round form truncates labels at `rounds`
+    * hops. Termination is structural — each round's frontier is
+    * anti-joined against everything already labeled, so a node enters
+    * `dist` at most once and the loop runs at most diameter rounds;
+    * `maxRounds` only guards against a pathological diameter. */
+  def bfsHopsFixpoint(edges0: DataFrame, seeds: DataFrame,
+                      maxRounds: Int = 4096,
+                      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val adj = e.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("w")))
+      .localCheckpoint()
+    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+      .distinct().localCheckpoint()
+    var frontier = dist.select(col("node"))
+    var r = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && r < maxRounds) {
+      r += 1
+      val next = adj
+        .join(frontier.withColumnRenamed("node", "v"), Seq("v"))
+        .select(col("w").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .localCheckpoint()
+      frontierSize = next.count()
+      if (frontierSize > 0)
+        dist = dist.unionByName(next.withColumn("hops", lit(r.toLong)))
+          .localCheckpoint()
+      frontier = next
+    }
+    if (frontierSize > 0)
+      throw new IllegalStateException(
+        s"bfsHopsFixpoint: frontier still non-empty after maxRounds=$maxRounds")
     dist
   }
 
