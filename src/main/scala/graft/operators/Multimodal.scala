@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed per-partition so
   * a real codec would amortize its init cost across a partition's records.
   *
-  * The decode step itself is STUBBED (this container has no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — the typed schema, the Dataset encoders,
-  * the mapPartitions batch shape, the partition-level codec lifecycle — is
-  * the real plumbing a production decode would drop into.
+  * Since round 9 the image path is REAL: [[ImageCodec]] parses binary PPM
+  * and 24-bit BMP containers and [[dHashFingerprints]] computes the
+  * standard 64-bit difference hash per decoded frame — the `kind`
+  * dispatch in [[extractFeatures]] routes image payloads through the real
+  * decoder and everything else through `decodeStub` (deterministic fake
+  * features standing in for the audio/JPEG/H.264 codecs this container
+  * cannot host). The typed schema, Dataset encoders, mapPartitions batch
+  * shape and partition-level codec lifecycle are shared by both paths.
   */
 object Multimodal {
 
@@ -48,6 +51,23 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  /** Real decode for the containers [[ImageCodec]] understands, keyed on
+    * the `kind` column: PPM/BMP payloads parse for true dimensions (the
+    * checksum stays the content byte fold — it identifies BYTES, not
+    * pixels); any other kind falls back to [[decodeStub]]. */
+  def decodeMedia(r: MediaRecord): MediaFeatures = {
+    val img = r.kind match {
+      case "image/ppm" | "video/ppm-frames" => ImageCodec.decodePpm(r.content)
+      case "image/bmp" => ImageCodec.decodeBmp(r.content)
+      case _ => None
+    }
+    img match {
+      case Some(im) => decodeStub(r).copy(
+        width = im.width.toLong, height = im.height.toLong)
+      case None => decodeStub(r)
+    }
+  }
+
   /** Per-partition feature extraction. A real pipeline initializes the
     * codec once per partition (the `it =>` scope) and streams records
     * through it — the shape that keeps GPU/native codec init off the
@@ -57,7 +77,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       // codec init would happen here, once per partition
-      it.map(decodeStub)
+      it.map(decodeMedia)
     }
   }
 
@@ -108,9 +128,101 @@ object Multimodal {
     * convention — boilerplate intros/black frames are the celebrity
     * keys here). */
   def mediaNearDup(media: Dataset[MediaRecord], frameBytes: Int,
-                   stride: Int, minShared: Long): DataFrame = {
-    val fh = frameFingerprints(frameSample(media, frameBytes, stride))
-      .select(col("media_id"), col("fh")).distinct()
+                   stride: Int, minShared: Long): DataFrame =
+    sharedFingerprintPairs(
+      frameFingerprints(frameSample(media, frameBytes, stride)), minShared)
+
+  /** DuckDB oracle for [[mediaNearDup]] over [[mediaFromDocuments]]
+    * payloads (ASCII text bytes ≡ chars, like the q_media_features
+    * oracle): identical frame slicing, byte fold, and pair tree. */
+  def mediaNearDupSql(docsTable: String, frameBytes: Int, stride: Int,
+                      minShared: Long): String = {
+    val hash = graft.functions.TextFunctions.charHashSql(
+      s"substr(text, CAST(fi * $frameBytes + 1 AS BIGINT), $frameBytes)")
+    s"WITH m AS (SELECT doc_id AS media_id, text FROM $docsTable), " +
+      s"fr AS (SELECT media_id, unnest(range(0, " +
+      s"(length(text) + ${frameBytes - 1}) // $frameBytes, $stride)) AS fi, " +
+      "text FROM m), " +
+      s"fh AS (SELECT DISTINCT media_id, $hash AS h FROM fr), " +
+      "cnt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf FROM fh GROUP BY media_id), " +
+      "p AS (SELECT x.media_id AS a, y.media_id AS b, " +
+      "CAST(count(*) AS BIGINT) AS shared FROM fh x " +
+      "JOIN fh y ON x.h = y.h AND x.media_id < y.media_id GROUP BY a, b) " +
+      "SELECT a, b, shared, round(CAST(shared AS DOUBLE) / " +
+      "CAST(least(ca.nf, cb.nf) AS DOUBLE), 6) AS overlap " +
+      "FROM p JOIN cnt ca ON p.a = ca.media_id " +
+      "JOIN cnt cb ON p.b = cb.media_id " +
+      s"WHERE shared >= $minShared"
+  }
+
+  /** Rendered-frame geometry for [[mediaFromDocumentsAsVideo]]: 9×8 gray
+    * P6 frames (the dHash target size, so the downscale is the identity
+    * and the oracle can mirror the hash bit-for-bit), 72 pixels per
+    * frame, 11-byte header + 216 raster bytes = 227 bytes per frame. */
+  val FrameW = 9
+  val FrameH = 8
+  val FramePixels: Int = FrameW * FrameH
+  val FrameBytes: Int = 11 + FramePixels * 3
+  private val FramePad = 46 // '.' — the fill byte past the text's end
+
+  /** Deterministic synthetic VIDEO per document: the text renders into a
+    * sequence of 9×8 grayscale P6 frames (char c at global position p
+    * becomes gray pixel value c in frame p/72), packed back-to-back into
+    * one binary payload — ⌈len/72⌉ frames, 227 bytes each. This is the
+    * stand-in for a real demuxed clip that keeps the pipeline
+    * oracle-checkable: every byte passes through the REAL P6 encoder
+    * here and the REAL decoder in [[dHashFingerprints]], and gray pixels
+    * make the ITU luma the identity, so DuckDB can recompute the hash
+    * bits from the text directly. */
+  def mediaFromDocumentsAsVideo(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val nFrames = (text.length + FramePixels - 1) / FramePixels
+        val out = new Array[Byte](nFrames * FrameBytes)
+        var f = 0
+        while (f < nFrames) {
+          val rgb = new Array[Byte](FramePixels * 3)
+          var j = 0
+          while (j < FramePixels) {
+            val p = f * FramePixels + j
+            val c = if (p < text.length) (text.charAt(p) & 0xff) else FramePad
+            rgb(j * 3) = c.toByte; rgb(j * 3 + 1) = c.toByte
+            rgb(j * 3 + 2) = c.toByte
+            j += 1
+          }
+          val enc = ImageCodec.encodePpm(
+            ImageCodec.RawImage(FrameW, FrameH, rgb))
+          System.arraycopy(enc, 0, out, f * FrameBytes, FrameBytes)
+          f += 1
+        }
+        MediaRecord(id, "video/ppm-frames", out)
+    }
+  }
+
+  /** Per-frame PERCEPTUAL fingerprint: each frame payload passes the
+    * real P6 decoder and hashes to its 64-bit dHash — the brightness-
+    * shift-robust replacement for the byte fold (which two re-encodes of
+    * the same footage would never collide under). */
+  def dHashFingerprints(frames: Dataset[MediaFrame]): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.mapPartitions { it =>
+      it.map { f =>
+        val img = ImageCodec.decodePpm(f.frame).getOrElse(
+          throw new IllegalArgumentException(
+            s"frame ${f.media_id}/${f.frame_idx} is not a P6 payload"))
+        (f.media_id, f.frame_idx, ImageCodec.dHash64(img))
+      }
+    }.toDF("media_id", "frame_idx", "fh")
+  }
+
+  /** Shared-fingerprint pair join (the tail both dedup variants share):
+    * distinct (media, fh) → fh-keyed self-join → per-pair shared count ≥
+    * `minShared` + overlap = shared/min(|A|,|B|). */
+  private def sharedFingerprintPairs(fh0: DataFrame, minShared: Long): DataFrame = {
+    val fh = fh0.select(col("media_id"), col("fh")).distinct()
       .localCheckpoint()
     val cnt = fh.groupBy(col("media_id")).agg(count(lit(1)).as("nf"))
     val pairs = fh.as("x")
@@ -127,18 +239,41 @@ object Multimodal {
           least(col("nfa"), col("nfb")).cast("double"), 6).as("overlap"))
   }
 
-  /** DuckDB oracle for [[mediaNearDup]] over [[mediaFromDocuments]]
-    * payloads (ASCII text bytes ≡ chars, like the q_media_features
-    * oracle): identical frame slicing, byte fold, and pair tree. */
-  def mediaNearDupSql(docsTable: String, frameBytes: Int, stride: Int,
-                      minShared: Long): String = {
-    val hash = graft.functions.TextFunctions.charHashSql(
-      s"substr(text, CAST(fi * $frameBytes + 1 AS BIGINT), $frameBytes)")
+  /** Media near-duplicate pairs by shared per-frame dHash — the
+    * [[mediaNearDup]] pipeline with the REAL codec in the loop: demux
+    * ([[frameSample]] on the 227-byte frame boundary) → P6 decode →
+    * dHash64 → fingerprint-keyed join. Same scale shape (only media
+    * sharing a hash ever meet; cap hot fingerprints at web scale — black
+    * frames are the celebrity keys). */
+  def mediaDHashDup(media: Dataset[MediaRecord], stride: Int,
+                    minShared: Long): DataFrame =
+    sharedFingerprintPairs(
+      dHashFingerprints(frameSample(media, FrameBytes, stride)), minShared)
+
+  /** DuckDB oracle for [[mediaDHashDup]] over [[mediaFromDocumentsAsVideo]]
+    * payloads: the render is gray (luma = char code exactly) and the
+    * frame is already 9×8 (downscale = identity), so the 64 dHash
+    * comparison bits recompute STRAIGHT from the text — each frame's
+    * fingerprint is the 64-char bit string, an injective image of the
+    * engine's 64-bit long, inducing the identical equality relation for
+    * the join. */
+  def mediaDHashDupSql(docsTable: String, stride: Int,
+                       minShared: Long): String = {
+    val px = FramePixels
+    // 1-based gray list index of dHash cell (k/8 row, k%8 col) and its
+    // right neighbor, k in 0..63
+    val i1 = s"(k // 8) * $FrameW + (k % 8) + 1"
+    val i2 = s"(k // 8) * $FrameW + (k % 8) + 2"
     s"WITH m AS (SELECT doc_id AS media_id, text FROM $docsTable), " +
       s"fr AS (SELECT media_id, unnest(range(0, " +
-      s"(length(text) + ${frameBytes - 1}) // $frameBytes, $stride)) AS fi, " +
-      "text FROM m), " +
-      s"fh AS (SELECT DISTINCT media_id, $hash AS h FROM fr), " +
+      s"(length(text) + ${px - 1}) // $px, $stride)) AS fi, text FROM m), " +
+      s"g AS (SELECT media_id, fi, list_transform(range(0, $px), j -> " +
+      s"CASE WHEN fi * $px + j < length(text) " +
+      s"THEN ascii(substr(text, CAST(fi * $px + j + 1 AS BIGINT), 1)) " +
+      s"ELSE $FramePad END) AS gp FROM fr), " +
+      "fh AS (SELECT DISTINCT media_id, array_to_string(" +
+      s"list_transform(range(0, 64), k -> CASE WHEN gp[$i1] > gp[$i2] " +
+      "THEN '1' ELSE '0' END), '') AS h FROM g), " +
       "cnt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS nf FROM fh GROUP BY media_id), " +
       "p AS (SELECT x.media_id AS a, y.media_id AS b, " +
       "CAST(count(*) AS BIGINT) AS shared FROM fh x " +

@@ -183,19 +183,21 @@ object SimilarityQueries {
           "FROM f ORDER BY media_id"
       }),
 
-    // Media near-dup by shared frame fingerprints — the video-dedup
-    // shape run END-TO-END through the multimodal seam: typed
-    // frameSample (64-byte frames, stride 2) → per-frame byte-fold
-    // fingerprint (pHash stand-in) → fingerprint-keyed pair join with
-    // shared-count + overlap faces. Media only meet through shared
-    // hashes (never all-pairs); hot-fingerprint capping documented for
-    // boilerplate/black-frame keys.
+    // Media near-dup by shared per-frame dHash — the video-dedup shape
+    // run END-TO-END through the multimodal seam with the REAL codec in
+    // the loop (r9): each doc renders to packed 9×8 grayscale P6 frames,
+    // frameSample demuxes on the 227-byte frame boundary, every frame
+    // passes the real P6 decoder and hashes to its 64-bit dHash
+    // (brightness-shift invariant, ImageCodecSpec), and media meet only
+    // through shared hashes (never all-pairs). The oracle recomputes
+    // the hash bits straight from the text (gray render ⟹ luma ≡ char
+    // code; 9×8 ⟹ downscale ≡ identity).
     Q("q_media_dedup",
-      (s, d) => Multimodal.mediaNearDup(
-          Multimodal.mediaFromDocuments(Tables.load(s, d, "documents")),
-          frameBytes = 64, stride = 2, minShared = 2)
+      (s, d) => Multimodal.mediaDHashDup(
+          Multimodal.mediaFromDocumentsAsVideo(Tables.load(s, d, "documents")),
+          stride = 2, minShared = 2)
         .orderBy("a", "b"),
-      Some(Multimodal.mediaNearDupSql("documents", frameBytes = 64,
+      Some(Multimodal.mediaDHashDupSql("documents",
         stride = 2, minShared = 2) + " ORDER BY a, b")),
 
     // Product-quantization encode: 64 floats -> 4 codes (16-dim blocks,
