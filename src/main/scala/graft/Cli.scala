@@ -484,6 +484,22 @@ object Cli {
             .withColumn("northing_m", n))
         }
 
+      case "lcc" =>
+        // Lambert conformal conic forward (the conic to_crs family):
+        // --phi0/--phi1/--phi2/--lon0 declare the cone (defaults: the
+        // classic CONUS 33/45 secant cone)
+        val lon = col(opts.getOrElse("lon", "lon"))
+        val lat = col(opts.getOrElse("lat", "lat"))
+        val (x, y) = graft.functions.GeoFunctions.lccForward(lon, lat,
+          phi0Deg = opts.getOrElse("phi0", "23.0").toDouble,
+          phi1Deg = opts.getOrElse("phi1", "33.0").toDouble,
+          phi2Deg = opts.getOrElse("phi2", "45.0").toDouble,
+          lon0Deg = opts.getOrElse("lon0", "-96.0").toDouble)
+        write(in("input")
+          .filter(lat.between(-80.0, 84.0))
+          .withColumn("lcc_x_m", x)
+          .withColumn("lcc_y_m", y))
+
       case "admit" =>
         // incremental near-dup admission: candidates (batch vs corpus
         // signature join) verified by exact bigram jaccard >= tau

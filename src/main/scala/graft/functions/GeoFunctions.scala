@@ -225,6 +225,112 @@ object GeoFunctions {
     (x, y)
   }
 
+  /** The identical inverse Snyder series as SQL fragments (lon, lat in
+    * degrees) over easting/northing/zone/south column names — the DuckDB
+    * oracle face of [[utmInverse]]. Same Scala-computed double literals;
+    * the micro-degree round-then-cast in the query absorbs libm's last
+    * ulp, as whole meters do for the forward. */
+  def utmInverseSql(easting: String, northing: String, zone: String,
+                    south: String,
+                    a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, _, _, _) = mCoefs(e2)
+    val sq1e = math.sqrt(1.0 - e2)
+    val e1 = (1.0 - sq1e) / (1.0 + sq1e)
+    val j2 = 3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0
+    val j4 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0
+    val j6 = 151.0 * e1 * e1 * e1 / 96.0
+    val j8 = 1097.0 * e1 * e1 * e1 * e1 / 512.0
+    val lon0 = s"(CAST($zone AS DOUBLE) * 6.0 - 183.0)"
+    val xp = s"((($easting) - 500000.0) / $UtmK0)"
+    val yp = s"(((($northing) - (CASE WHEN $south THEN 10000000.0 ELSE 0.0 END))) / $UtmK0)"
+    // one Scala-computed literal: DuckDB types decimal literals as
+    // DECIMAL, and literal*literal overflows DECIMAL(18) here
+    val mu = s"($yp / (${a * m0}))"
+    val phi1 = s"($mu + $j2 * sin($mu * 2.0) + $j4 * sin($mu * 4.0) + " +
+      s"$j6 * sin($mu * 6.0) + $j8 * sin($mu * 8.0))"
+    val sp = s"sin($phi1)"; val cp = s"cos($phi1)"; val tp = s"tan($phi1)"
+    val w = s"(1.0 - $e2 * $sp * $sp)"
+    val n1 = s"($a / sqrt($w))"
+    val r1 = s"((${a * (1.0 - e2)}) / ($w * sqrt($w)))"
+    val t1 = s"($tp * $tp)"
+    val c1 = s"($ep2 * $cp * $cp)"
+    val d = s"($xp / $n1)"
+    def pow(b: String, n: Int) = "(" + Seq.fill(n)(b).mkString(" * ") + ")"
+    val phi = s"($phi1 - ($n1 * $tp / $r1) * (${pow(d, 2)} / 2.0 - " +
+      s"(5.0 + $t1 * 3.0 + $c1 * 10.0 - $c1 * $c1 * 4.0 - $ep2 * 9.0) * ${pow(d, 4)} / 24.0 + " +
+      s"(61.0 + $t1 * 90.0 + $c1 * 298.0 + $t1 * $t1 * 45.0 - " +
+      s"$ep2 * 252.0 - $c1 * $c1 * 3.0) * ${pow(d, 6)} / 720.0))"
+    val lam = s"(($d - (1.0 + $t1 * 2.0 + $c1) * ${pow(d, 3)} / 6.0 + " +
+      s"(5.0 - $c1 * 2.0 + $t1 * 28.0 - $c1 * $c1 * 3.0 + " +
+      s"$ep2 * 8.0 + $t1 * $t1 * 24.0) * ${pow(d, 5)} / 120.0) / $cp)"
+    (s"($lon0 + $lam / $Deg2Rad)", s"($phi / $Deg2Rad)")
+  }
+  // --- Lambert conformal conic (2 standard parallels) ------------------------
+  // The conic family national grids use (Snyder PP 1395 p. 104-110,
+  // eq. 15-1..15-10, ellipsoid form): plan-time constants n, F, rho0
+  // computed in Scala from the declared parallels; per-row work is one
+  // t(phi) evaluation plus sin/cos — a codegen'd narrow map like UTM.
+  // Whole-meter oracle face per the established CRS convention.
+
+  private def lccT(e: Double)(phi: Double): Double =
+    math.tan(math.Pi / 4.0 - phi / 2.0) /
+      math.pow((1.0 - e * math.sin(phi)) / (1.0 + e * math.sin(phi)), e / 2.0)
+  private def lccM(e2: Double)(phi: Double): Double =
+    math.cos(phi) / math.sqrt(1.0 - e2 * math.sin(phi) * math.sin(phi))
+
+  /** Plan-time LCC constants (n, F, rho0) for standard parallels
+    * `phi1Deg`/`phi2Deg` and latitude of origin `phi0Deg`. */
+  def lccConstants(phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                   a: Double, e2: Double): (Double, Double, Double) = {
+    val e = math.sqrt(e2)
+    val p0 = math.toRadians(phi0Deg)
+    val p1 = math.toRadians(phi1Deg)
+    val p2 = math.toRadians(phi2Deg)
+    val n = (math.log(lccM(e2)(p1)) - math.log(lccM(e2)(p2))) /
+      (math.log(lccT(e)(p1)) - math.log(lccT(e)(p2)))
+    val f = lccM(e2)(p1) / (n * math.pow(lccT(e)(p1), n))
+    val rho0 = a * f * math.pow(lccT(e)(p0), n)
+    (n, f, rho0)
+  }
+
+  /** Forward Lambert conformal conic (meters, full doubles): Snyder's
+    * ellipsoid series with the Scala-computed plan constants — the
+    * Snyder PP 1395 p. 296 numerical example reproduces to < 0.1 m
+    * (spec-pinned). Validity: latitudes strictly inside (−90, 90) on the
+    * cone's side; callers filter. */
+  def lccForward(lon: Column, lat: Column,
+                 phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                 lon0Deg: Double,
+                 a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = math.sqrt(e2)
+    val (n, f, rho0) = lccConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    val phi = lat * Deg2Rad
+    val sp = sin(phi)
+    val t = tan(lit(math.Pi / 4.0) - phi / 2.0) /
+      pow((lit(1.0) - lit(e) * sp) / (lit(1.0) + lit(e) * sp), e / 2.0)
+    val rho = lit(a * f) * pow(t, n)
+    val theta = lit(n) * (lon - lon0Deg) * Deg2Rad
+    (rho * sin(theta), lit(rho0) - rho * cos(theta))
+  }
+
+  /** The identical LCC series as SQL fragments (x, y) — same plan-time
+    * constant literals, same per-row tree. */
+  def lccForwardSql(lon: String, lat: String,
+                    phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                    lon0Deg: Double,
+                    a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val e = math.sqrt(e2)
+    val (n, f, rho0) = lccConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    val phi = s"(($lat) * $Deg2Rad)"
+    val sp = s"sin($phi)"
+    val t = s"(tan(${math.Pi / 4.0} - $phi / 2.0) / " +
+      s"pow((1.0 - $e * $sp) / (1.0 + $e * $sp), ${e / 2.0}))"
+    val rho = s"((${a * f}) * pow($t, $n))"
+    val theta = s"($n * (($lon) - ($lon0Deg)) * $Deg2Rad)"
+    (s"($rho * sin($theta))", s"($rho0 - $rho * cos($theta))")
+  }
+
   /** Z-order (Morton) value of a lon/lat point: each coordinate is
     * quantized to `bits` levels over its world range, then the bits are
     * interleaved. Points close on the curve are close in space, so a

@@ -229,6 +229,61 @@ object CoreQueries {
           " WHERE lat BETWEEN -80.0 AND 84.0 ORDER BY shot"
       }),
 
+    // Inverse UTM with per-row auto zone pick — the OTHER direction of
+    // to_crs (ancillary.py:146-147): forward to (zone, E, N), then the
+    // Snyder inverse series back to lon/lat. Round-trip truncation is
+    // ~1e-9 deg; the micro-degree round-then-cast (0.5e-6 headroom)
+    // absorbs both it and cross-engine libm ulps, so the chain is
+    // hash-verified end to end.
+    Q("q_utm_inverse",
+      (s, d) => {
+        val sh = Shots.df(s, d).filter(col("lat").between(-80.0, 84.0))
+        val (e, n) = GeoFunctions.utmForward(col("lon"), col("lat"))
+        val zone = GeoFunctions.utmZone(col("lon"))
+        val staged = sh.select(col("shot"), zone.as("utm_zone"),
+          (col("lat") < 0.0).as("south"), e.as("e"), n.as("n"))
+        val (lonB, latB) = GeoFunctions.utmInverse(
+          col("e"), col("n"), col("utm_zone"), col("south"))
+        staged.select(col("shot"), col("utm_zone"),
+          round(lonB * 1000000.0, 0).cast("long").as("lon_udeg"),
+          round(latB * 1000000.0, 0).cast("long").as("lat_udeg"))
+          .orderBy("shot")
+      },
+      Some {
+        val (e, n) = GeoFunctions.utmForwardSql("lon", "lat")
+        val (lonB, latB) = GeoFunctions.utmInverseSql("e", "n", "utm_zone", "south")
+        "WITH f AS (SELECT shot, " +
+          "least(CAST(floor((lon + 180.0) / 6.0) AS BIGINT) + 1, 60) AS utm_zone, " +
+          s"(lat < 0.0) AS south, $e AS e, $n AS n FROM " + Shots.sql +
+          " WHERE lat BETWEEN -80.0 AND 84.0) " +
+          s"SELECT shot, utm_zone, CAST(round($lonB * 1000000.0, 0) AS BIGINT) AS lon_udeg, " +
+          s"CAST(round($latB * 1000000.0, 0) AS BIGINT) AS lat_udeg FROM f ORDER BY shot"
+      }),
+
+    // Lambert conformal conic forward (Snyder eq. 15-1..15-10, WGS84,
+    // the classic phi1=33/phi2=45/phi0=23/lon0=-96 CONUS cone) — the
+    // conic family national grids use, closing the to_crs gap beyond
+    // cylindrical projections. Plan-time n/F/rho0 constants; whole-meter
+    // integers out (the UTM convention), Snyder's published test point
+    // reproduced in spec.
+    Q("q_lcc_transform",
+      (s, d) => {
+        val sh = Shots.df(s, d).filter(col("lat").between(-80.0, 84.0))
+        val (x, y) = GeoFunctions.lccForward(col("lon"), col("lat"),
+          phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+        sh.select(col("shot"),
+          round(x, 0).cast("long").as("lcc_x_m"),
+          round(y, 0).cast("long").as("lcc_y_m"))
+          .orderBy("shot")
+      },
+      Some {
+        val (x, y) = GeoFunctions.lccForwardSql("lon", "lat",
+          phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+        s"SELECT shot, CAST(round($x, 0) AS BIGINT) AS lcc_x_m, " +
+          s"CAST(round($y, 0) AS BIGINT) AS lcc_y_m FROM " + Shots.sql +
+          " WHERE lat BETWEEN -80.0 AND 84.0 ORDER BY shot"
+      }),
+
     // Z-order curve value for spatial clustering (the data-layout index
     // behind GeoOps.writeSpatiallyClustered): pure integer shifts/masks,
     // hash-verified bit-for-bit against the oracle's identical interleave.

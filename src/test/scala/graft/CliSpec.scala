@@ -503,6 +503,20 @@ class CliSpec extends SparkSpec {
     }
   }
 
+  test("cli lcc projects through the declared cone (r9)") {
+    import spark.implicits._
+    val pts = tmp() + "/lccpts"
+    Seq((1L, -75.0, 35.0)).toDF("id", "lon", "lat").write.parquet(pts)
+    val out = tmp() + "/lccout"
+    Cli.run(spark, "lcc", Map("input" -> pts, "output" -> out))
+    val r = spark.read.parquet(out).collect().head
+    // WGS84 on the default CONUS cone lands within ~10 km of the Clarke
+    // 1866 published point (datum difference); pin loosely here — the
+    // exact Clarke vector is pinned in GeoSpec
+    assert(math.abs(r.getAs[Double]("lcc_x_m") - 1894410.9) < 15000.0)
+    assert(math.abs(r.getAs[Double]("lcc_y_m") - 1564649.5) < 15000.0)
+  }
+
   test("cli maxsim / hardneg / olstrend / cusum / ewma / hll wire the r8 operators") {
     val emb = s"$sfDir/embeddings.parquet"
     val qs = tmp() + "/qs"

@@ -372,4 +372,51 @@ class UtmSpec extends SparkSpec {
       oracle.collect().map(_.mkString("|")).toSeq)
   }
 
+  test("lccForward reproduces Snyder's published worked example (Clarke 1866) (r9)") {
+    // Snyder PP 1395, p. 296: LCC, Clarke 1866, standard parallels
+    // 33°/45°N, origin 23°N 96°W; the point phi = 35°N, lambda = 75°W
+    // maps to x = 1,894,410.9 m, y = 1,564,649.5 m.
+    val pts = Seq((-75.0, 35.0)).toDF("lon", "lat")
+    val (x, y) = GeoFunctions.lccForward(col("lon"), col("lat"),
+      phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0,
+      a = 6378206.4, e2 = 0.00676866)
+    val r = pts.select(x.as("x"), y.as("y")).head
+    assert(math.abs(r.getDouble(0) - 1894410.9) < 0.5,
+      s"x ${r.getDouble(0)} vs published 1894410.9")
+    assert(math.abs(r.getDouble(1) - 1564649.5) < 0.5,
+      s"y ${r.getDouble(1)} vs published 1564649.5")
+  }
+
+  test("lccForward holds scale exactly on the standard parallels (r9)") {
+    // On a secant cone, true scale holds along both standard parallels:
+    // one degree of longitude at phi1 must map to (close to) its
+    // ellipsoidal arc length a*m(phi1)*Deg2Rad, and likewise at phi2.
+    for (phiDeg <- Seq(33.0, 45.0)) {
+      val pts = Seq((-96.0, phiDeg), (-95.0, phiDeg)).toDF("lon", "lat")
+      val (x, y) = GeoFunctions.lccForward(col("lon"), col("lat"),
+        phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+      val rs = pts.select(x.as("x"), y.as("y")).collect()
+      val dist = math.hypot(rs(1).getDouble(0) - rs(0).getDouble(0),
+        rs(1).getDouble(1) - rs(0).getDouble(1))
+      val phi = math.toRadians(phiDeg)
+      val arc = 6378137.0 * math.cos(phi) /
+        math.sqrt(1.0 - GeoFunctions.Wgs84E2 * math.sin(phi) * math.sin(phi)) *
+        math.toRadians(1.0)
+      // the chord of a 1-degree arc differs from the arc by ~0.0013%;
+      // bound at 0.01% — far tighter than any projection mistake
+      assert(math.abs(dist - arc) / arc < 1e-4,
+        s"parallel $phiDeg: mapped $dist vs arc $arc")
+    }
+  }
+
+  test("q_utm_inverse / q_lcc_transform spark plans match their oracle SQL through Spark (r9)") {
+    Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
+    for (name <- Seq("q_utm_inverse", "q_lcc_transform")) {
+      val q = graft.queries.CoreQueries.defs.find(_.name == name).get
+      val got = q.fn(spark, sfDir).collect().map(_.mkString("|")).toSeq
+      val oracle = spark.sql(q.oracle.get).collect().map(_.mkString("|")).toSeq
+      assert(got === oracle, s"$name: Column face diverged from SQL face")
+    }
+  }
+
 }
