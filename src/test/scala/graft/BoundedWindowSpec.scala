@@ -139,6 +139,58 @@ class BoundedWindowSpec extends SparkSpec {
     }
   }
 
+  test("board-wide gate: every single-partition window reads a DECLARED bounded frame (r9)") {
+    // VERDICT r8 #7: turn the per-query bounded-window audits into a
+    // permanent regression fence over the WHOLE board. Every query whose
+    // final analyzed plan carries a single-partition window must appear
+    // in this whitelist with its documented bound; any query that grows
+    // an undeclared global window — or whose declared window outgrows
+    // its bound — turns this red. (Operators that materialize eagerly,
+    // e.g. the checkpointed graph rounds, are fenced separately: the
+    // blockTotal test above pins their fold shape.)
+    val parts = docs.rdd.getNumPartitions.toLong
+    val gridRows = docs.select("source", "n_chars").distinct().count()
+    val declaredBounds: Map[String, Long] = Map(
+      "q_bootstrap_ci" -> 32L,                  // B resample rows
+      "q_zipf_fit" -> 200L,                     // top-V vocabulary
+      "q_heaps_law" -> nSources,                // source frame
+      "q_mutual_info" -> (nLangs * nSources),   // marginal grid
+      "q_chi2" -> (nLangs * nSources),          // marginal grid
+      "q_mix_weights" -> nSources,              // source frame
+      "q_gini_sources" -> nSources,             // source frame
+      "q_dsir_weights" -> 201L,                 // top-V + tail bucket
+      "q_shard_plan" -> math.max(parts, 64L),   // per-partition offsets
+      "q_score_calibrate" -> gridRows,          // distinct-score grid
+      "q_equidepth" -> 64L,                     // bucket-boundary frame
+      "q_hill_tail" -> 512L,                    // salted top-k order stats
+      "q_ann_recall" -> 256L,                   // query-batch rank frames
+      "q_ks_drift" -> 64L,                      // per-partition offset frame
+      "q_skyline" -> 64L                        // partition-maxima frame
+    )
+    val failures = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val wins =
+        try PlanBridge.analyzedPlan(PlanBridge.stripTopSort(fn(spark, sfDir)))
+          .collect { case w: LWindow if w.partitionSpec.forall(_.foldable) => w }
+        catch {
+          case e: Throwable =>
+            failures += s"$name: plan construction failed: $e"; Nil
+        }
+      if (wins.nonEmpty) declaredBounds.get(name) match {
+        case None =>
+          failures += s"$name: ${wins.size} UNDECLARED single-partition window(s)"
+        case Some(bound) =>
+          wins.foreach { w =>
+            val n = PlanBridge.ofRows(spark, w.child).count()
+            if (n > bound)
+              failures += s"$name: global window reads $n rows > declared bound $bound"
+          }
+      }
+    }
+    assert(failures.isEmpty,
+      s"bounded-window gate failures:\n${failures.mkString("\n")}")
+  }
+
   test("record linkage: after the pattern collapse, the EM never touches the corpus (r8)") {
     // the EM rounds run eagerly on localCheckpointed frames, so the
     // final plan must read ONLY the <= 2^3-row pattern checkpoint — a
