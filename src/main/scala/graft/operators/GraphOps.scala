@@ -893,4 +893,66 @@ object GraphOps {
       s"$iterCtes " +
       s"SELECT v AS node, round(r, 6) AS ppr FROM r$iters ORDER BY node"
   }
+
+  /** Local clustering coefficient per node: `lcc(v) = triangles(v) /
+    * C(deg v, 2)` — [[triangleStats]]' per-node refinement, the signal
+    * that separates CLIQUE-like near-dup neighborhoods (lcc ≈ 1: all of
+    * v's candidates also match each other — one duplicated document)
+    * from HUB-like ones (lcc ≈ 0: v is a template/boilerplate magnet
+    * whose neighbors share nothing — exactly the pairs an aggressive
+    * transitive merge would wrongly collapse).
+    *
+    * Per-node triangles come from the wedge join counted at the wedge
+    * CENTER: each triangle {a,b,c} contributes exactly one wedge
+    * centered at each of its three vertices, so the per-center count IS
+    * triangles(v). All integers; the ratio is one IEEE division, round
+    * 6 ⇒ hash-verified.
+    *
+    * Scale shape: the wedge join on the center vertex (the
+    * triangleStats/linkPredictRA shape — degree-orient or cap celebrity
+    * middles at web scale), one edge-set semi-join, map-side-combined
+    * counts. Degree-1 nodes hold lcc NULL (no wedge to close). */
+  def localClusteringCoeff(edges0: DataFrame,
+                           aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint() // read by adjacency, wedge close, and degree
+    val adj = e.select(col("a").as("m"), col("b").as("x"))
+      .unionByName(e.select(col("b").as("m"), col("a").as("x")))
+    val deg = adj.groupBy(col("m").as("node")).agg(count(lit(1)).as("deg"))
+    val wedges = adj.as("l").join(adj.as("r"),
+        col("l.m") === col("r.m") && col("l.x") < col("r.x"))
+      .select(col("l.m").as("m"), col("l.x").as("u"), col("r.x").as("v"))
+    val tri = wedges.join(e,
+        wedges("u") === e("a") && wedges("v") === e("b"), "left_semi")
+      .groupBy(col("m").as("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2L,
+          round(coalesce(col("triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("deg") * (col("deg") - 1L)).cast("double"), 6)).as("lcc"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for [[localClusteringCoeff]] — identical wedge set,
+    * semi-join close, and ratio tree. */
+  def localClusteringCoeffSql(edgesSub: String): String =
+    "WITH e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, " +
+      s"greatest(a, b) AS b FROM $edgesSub " +
+      "WHERE least(a, b) < greatest(a, b)), " +
+      "adj AS MATERIALIZED (SELECT a AS m, b AS x FROM e " +
+      "UNION ALL SELECT b, a FROM e), " +
+      "deg AS (SELECT m AS node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY m), " +
+      "w AS (SELECT l.m, l.x AS u, r.x AS v FROM adj l " +
+      "JOIN adj r ON l.m = r.m AND l.x < r.x), " +
+      "tri AS (SELECT m AS node, CAST(count(*) AS BIGINT) AS triangles FROM w " +
+      "WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.u AND e.b = w.v) GROUP BY m) " +
+      "SELECT d.node, d.deg, coalesce(t.triangles, 0) AS triangles, " +
+      "CASE WHEN d.deg >= 2 THEN " +
+      "round(CAST(coalesce(t.triangles, 0) AS DOUBLE) * 2.0 / " +
+      "CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc " +
+      "FROM deg d LEFT JOIN tri t ON d.node = t.node ORDER BY d.node"
 }

@@ -1697,4 +1697,169 @@ object StatsOps {
       "round((min(slope) + max(slope)) / 2.0, 6) AS slope_per_day " +
       "FROM r WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2 " +
       s"GROUP BY g ORDER BY g"
+
+  /** Holt double exponential smoothing (level + trend) of the per-group
+    * daily count series — the one-number-ahead forecaster a feed-volume
+    * monitor runs next to q_ewma's level-only smooth and q_ols_trend's
+    * global line: Holt tracks a CHANGING trend (ramp-ups, decays) that
+    * EWMA lags and OLS averages away. Fixed dyadic gains α=1/2, β=1/4
+    * (so every fold step is exact binary arithmetic), init s=x₀, b=0;
+    * `s' = αx + (1−α)(s+b)`, `b' = β(s'−s) + (1−β)b`.
+    *
+    * Exactness: one sorted per-group fold (the ewmaDaily convention) —
+    * both engines fold the identical day-ordered list with the identical
+    * dyadic tree, so level/trend/forecast hash-verify at round 6.
+    *
+    * Scale shape: one map-side-combined daily collapse, then the fold
+    * runs per group on its calendar-bounded series (the sessionize
+    * bound); output is the group frame. */
+  def holtSmooth(df: DataFrame, groupCol: String, tsCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("g"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("c")))).as("_dc"))
+      .withColumn("_xs", expr("transform(_dc, p -> CAST(p.c AS DOUBLE))"))
+      .withColumn("_st", expr(
+        "aggregate(slice(_xs, 2, size(_xs) - 1), " +
+          "named_struct('s', element_at(_xs, 1), 'b', CAST(0.0 AS DOUBLE)), " +
+          "(acc, x) -> named_struct(" +
+          "'s', 0.5 * x + 0.5 * (acc.s + acc.b), " +
+          "'b', 0.25 * ((0.5 * x + 0.5 * (acc.s + acc.b)) - acc.s) + 0.75 * acc.b))"))
+      .select(col("g").as(groupCol), col("n_days"),
+        round(col("_st.s"), 6).as("level"),
+        round(col("_st.b"), 6).as("trend"),
+        round(col("_st.s") + col("_st.b"), 6).as("forecast_next"))
+      .orderBy(groupCol)
+
+  /** DuckDB oracle for [[holtSmooth]] — identical day-ordered list and
+    * dyadic fold (list_reduce's first element is exactly the s=x₀, b=0
+    * init once each element is lifted to the [s, b] state). The state
+    * travels as a 2-element LIST, not a struct: DuckDB 1.0's list_reduce
+    * updates struct accumulator FIELDS sequentially in place (the second
+    * field's expression sees the first field already overwritten —
+    * measured, not documented), while list construction reads the old
+    * accumulator consistently. */
+  def holtSmoothSql(table: String, groupExpr: String, tsExpr: String): String =
+    s"WITH daily AS (SELECT $groupExpr AS g, CAST($tsExpr AS DATE) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS c FROM $table GROUP BY g, day), " +
+      "ser AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days, " +
+      "list(CAST(c AS DOUBLE) ORDER BY day) AS xs FROM daily GROUP BY g), " +
+      "st AS (SELECT g, n_days, list_reduce(" +
+      "list_transform(xs, x -> [x, 0.0]), " +
+      "(acc, e) -> [" +
+      "0.5 * e[1] + 0.5 * (acc[1] + acc[2]), " +
+      "0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1]) + 0.75 * acc[2]" +
+      "]) AS f FROM ser) " +
+      s"SELECT g AS $groupExpr, n_days, round(f[1], 6) AS level, " +
+      "round(f[2], 6) AS trend, round(f[1] + f[2], 6) AS forecast_next " +
+      "FROM st ORDER BY g"
+
+  /** Bradley–Terry strength scores from pairwise win counts — the
+    * LLM-judge aggregation shape (Chatbot-Arena-style: many noisy A-vs-B
+    * preferences → one strength scale). Comparisons derive from events:
+    * for every user and every type pair, the type the user triggered
+    * MORE often "wins" (ties contribute nothing); the minorization step
+    * `p'_i = W_i / Σ_j n_ij/(p_i+p_j)` (Hunter 2004 MM) runs `iters`
+    * unrolled rounds from p=1, normalized to Σp=1 each round.
+    *
+    * Exactness: wins/comparison counts are exact integers; each round's
+    * per-type denominator folds in opponent order and the normalizer in
+    * type order (ordered cumsum + rn=nc, the portable float reduction) —
+    * identical trees both engines, round 6.
+    *
+    * Scale shape: the (user, type) collapse is one map-side-combined
+    * shuffle; everything after lives on the type-pair frame (≤ |types|²
+    * rows, domain-bounded — the q_mutual_info convention). */
+  def bradleyTerry(df: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 4, "iters must be in [1, 4] (unrolled)")
+    val W = org.apache.spark.sql.expressions.Window
+    val ut = df.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n"))
+    // one comparison per user per unordered type pair; ties drop
+    val comp = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .filter(col("a.n") =!= col("b.n"))
+      .select(col("a.t").as("i"), col("b.t").as("j"),
+        when(col("a.n") > col("b.n"), 1L).otherwise(0L).as("wi"))
+    val pairs = comp.groupBy("i", "j")
+      .agg(count(lit(1)).as("n_ij"), sum(col("wi")).as("w_i"))
+      .localCheckpoint() // tiny |types|^2 frame, read every round
+    val sym = pairs.select(col("i"), col("j"), col("n_ij"), col("w_i").as("w"))
+      .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
+        col("n_ij"), (col("n_ij") - col("w_i")).as("w")))
+    val wins = sym.groupBy(col("i")).agg(sum(col("w")).as("w_tot"),
+      sum(col("n_ij")).as("n_comp"))
+    var p = wins.select(col("i"), lit(1.0).as("p"))
+    val ordj = W.partitionBy("i").orderBy("j")
+    val cumj = ordj.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ordi = W.orderBy("i")
+    val cumi = ordi.rowsBetween(W.unboundedPreceding, W.currentRow)
+    (1 to iters).foreach { _ =>
+      val denom = sym
+        .join(p.withColumnRenamed("i", "j").withColumnRenamed("p", "pj"), Seq("j"))
+        .join(p, Seq("i"))
+        .select(col("i"), col("j"),
+          (col("n_ij").cast("double") / (col("p") + col("pj"))).as("term"))
+        .withColumn("cum", sum(col("term")).over(cumj))
+        .withColumn("rn", row_number().over(ordj))
+        .withColumn("nc", count(lit(1)).over(W.partitionBy("i")))
+        .filter(col("rn") === col("nc"))
+        .select(col("i"), col("cum").as("den"))
+      val raw = wins.join(denom, Seq("i"))
+        .select(col("i"), (col("w_tot").cast("double") / col("den")).as("pr"))
+      val tot = raw
+        .withColumn("cum", sum(col("pr")).over(cumi))
+        .withColumn("rn", row_number().over(ordi))
+        .withColumn("nc", count(lit(1)).over())
+        .filter(col("rn") === col("nc"))
+        .select(col("cum").as("tot"))
+      p = raw.crossJoin(broadcast(tot))
+        .select(col("i"), (col("pr") / col("tot")).as("p"))
+    }
+    wins.join(p, Seq("i"))
+      .select(col("i").as(typeCol), col("w_tot").as("n_wins"),
+        col("n_comp").as("n_comparisons"), round(col("p"), 6).as("bt_score"))
+      .orderBy(typeCol)
   }
+
+  /** DuckDB oracle for [[bradleyTerry]] — identical comparison
+    * derivation, pair frame, and unrolled MM rounds with the same
+    * ordered folds. */
+  def bradleyTerrySql(table: String, userExpr: String, typeExpr: String,
+                      iters: Int = 2): String = {
+    val iterCtes = (0 until iters).map { k =>
+      s"den$k AS (SELECT i, cum AS den FROM (SELECT s.i, " +
+        "sum(CAST(s.n_ij AS DOUBLE) / (pi.p + pj.p)) OVER (PARTITION BY s.i ORDER BY s.j " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (PARTITION BY s.i ORDER BY s.j) AS rn, " +
+        "count(*) OVER (PARTITION BY s.i) AS nc " +
+        s"FROM sym s JOIN p$k pi ON s.i = pi.i JOIN p$k pj ON s.j = pj.i) " +
+        "WHERE rn = nc), " +
+        s"raw$k AS (SELECT w.i, CAST(w.w_tot AS DOUBLE) / d.den AS pr " +
+        s"FROM wins w JOIN den$k d ON w.i = d.i), " +
+        s"tot$k AS (SELECT cum AS tot FROM (SELECT " +
+        "sum(pr) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (ORDER BY i) AS rn, count(*) OVER () AS nc " +
+        s"FROM raw$k) WHERE rn = nc), " +
+        s"p${k + 1} AS (SELECT i, pr / tot AS p FROM raw$k CROSS JOIN tot$k)"
+    }.mkString(", ")
+    s"WITH ut AS (SELECT $userExpr AS u, $typeExpr AS t, " +
+      s"CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY u, t), " +
+      "comp AS (SELECT a.t AS i, b.t AS j, " +
+      "CASE WHEN a.n > b.n THEN 1 ELSE 0 END AS wi " +
+      "FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t WHERE a.n <> b.n), " +
+      "pairs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij, " +
+      "CAST(sum(wi) AS BIGINT) AS w_i FROM comp GROUP BY i, j), " +
+      "sym AS (SELECT i, j, n_ij, w_i AS w FROM pairs " +
+      "UNION ALL SELECT j, i, n_ij, n_ij - w_i FROM pairs), " +
+      "wins AS (SELECT i, CAST(sum(w) AS BIGINT) AS w_tot, " +
+      "CAST(sum(n_ij) AS BIGINT) AS n_comp FROM sym GROUP BY i), " +
+      "p0 AS (SELECT i, 1.0 AS p FROM wins), " +
+      s"$iterCtes " +
+      s"SELECT w.i AS $typeExpr, w.w_tot AS n_wins, w.n_comp AS n_comparisons, " +
+      s"round(p.p, 6) AS bt_score FROM wins w JOIN p$iters p ON w.i = p.i " +
+      s"ORDER BY $typeExpr"
+  }
+}

@@ -1845,4 +1845,181 @@ object TextOps {
       "SELECT doc_id, cum_tf AS n_tok, round(cum_lr / cum_tf, 6) AS logw " +
       "FROM cum WHERE rn = nt"
   }
+
+  // patterns shared by BOTH engines (RE2 ∩ java.util.regex subset, the
+  // seqMatch convention): declared once so the operator and its oracle
+  // cannot desynchronize
+  val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+  val PiiDigitRunRe = "[0-9]{6,}"
+
+  /** Per-source PII exposure audit — the release gate q_redact's
+    * per-document scrub needs upstream: BEFORE deciding to redact,
+    * measure how much redaction each source would need (a source with
+    * heavy email/long-digit density gets routed to the scrub or dropped;
+    * a clean one skips the rewrite pass entirely). Counts are exact
+    * integers over lowercased text; densities are per-KILOCHAR (source
+    * sizes differ by orders of magnitude, so per-doc rates mislead).
+    *
+    * Scale shape: zero-shuffle narrow scan (regexp_count is codegen'd),
+    * one map-side-combined source collapse — audit costs a filter. */
+  def piiDensity(df: DataFrame, sourceCol: String, textCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        length(col(textCol)).cast("long").as("nch"),
+        regexp_count(lower(col(textCol)), lit(PiiEmailRe)).cast("long").as("ne"),
+        regexp_count(col(textCol), lit(PiiDigitRunRe)).cast("long").as("nd"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nch")).as("n_chars"),
+        sum(col("ne")).as("n_emails"), sum(col("nd")).as("n_digit_runs"))
+      .select(col("source"), col("n_docs"), col("n_emails"), col("n_digit_runs"),
+        round(col("n_emails").cast("double") * 1000.0 /
+          col("n_chars").cast("double"), 6).as("emails_per_kchar"),
+        round(col("n_digit_runs").cast("double") * 1000.0 /
+          col("n_chars").cast("double"), 6).as("digit_runs_per_kchar"))
+      .orderBy("source")
+
+  /** DuckDB oracle for [[piiDensity]] — identical patterns and trees. */
+  def piiDensitySql(table: String, sourceExpr: String, textExpr: String): String =
+    s"WITH d AS (SELECT $sourceExpr AS source, " +
+      s"CAST(length($textExpr) AS BIGINT) AS nch, " +
+      s"CAST(len(regexp_extract_all(lower($textExpr), '$PiiEmailRe')) AS BIGINT) AS ne, " +
+      s"CAST(len(regexp_extract_all($textExpr, '$PiiDigitRunRe')) AS BIGINT) AS nd " +
+      s"FROM $table), " +
+      "m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(nch) AS BIGINT) AS n_chars, CAST(sum(ne) AS BIGINT) AS n_emails, " +
+      "CAST(sum(nd) AS BIGINT) AS n_digit_runs FROM d GROUP BY source) " +
+      "SELECT source, n_docs, n_emails, n_digit_runs, " +
+      "round(CAST(n_emails AS DOUBLE) * 1000.0 / CAST(n_chars AS DOUBLE), 6) AS emails_per_kchar, " +
+      "round(CAST(n_digit_runs AS DOUBLE) * 1000.0 / CAST(n_chars AS DOUBLE), 6) AS digit_runs_per_kchar " +
+      "FROM m ORDER BY source"
+
+  /** Capitalized-token pattern (the entity-mention heuristic). */
+  val EntityRe = "[A-Z][a-z]{2,}"
+
+  /** Per-source entity-mention profile (capitalized-token heuristic —
+    * the no-model stand-in for NER): mention volume, distinct surface
+    * forms, and mentions-per-kilotoken. The curation read: a source
+    * whose mention density collapses is template/log noise; one whose
+    * DISTINCT form count stays flat while volume grows is spinning the
+    * same entities (SEO farms).
+    *
+    * Scale shape: one extract-all + explode into a map-side-combined
+    * (source, form) collapse, then the source rollup — the tfidf explode
+    * shape without the per-doc window. */
+  def entityMentions(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"),
+      expr(s"regexp_extract_all($textCol, '$EntityRe', 0)").as("_ms"),
+      size(split(col(textCol), " ")).cast("long").as("ntok"))
+    val perForm = base
+      .select(col("source"), explode(col("_ms")).as("form"))
+      .groupBy("source", "form").agg(count(lit(1)).as("k"))
+      .groupBy("source")
+      .agg(sum(col("k")).as("n_mentions"), count(lit(1)).as("n_forms"))
+    val toks = base.groupBy("source").agg(sum(col("ntok")).as("n_tokens"))
+    toks.join(perForm, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_mentions"), lit(0L)).as("n_mentions"),
+        coalesce(col("n_forms"), lit(0L)).as("n_forms"),
+        round(coalesce(col("n_mentions"), lit(0L)).cast("double") * 1000.0 /
+          col("n_tokens").cast("double"), 6).as("mentions_per_ktok"))
+      .orderBy("source")
+  }
+
+  /** DuckDB oracle for [[entityMentions]] — identical pattern, explode
+    * and rollups. */
+  def entityMentionsSql(table: String, sourceExpr: String, textExpr: String): String =
+    s"WITH base AS (SELECT $sourceExpr AS source, " +
+      s"regexp_extract_all($textExpr, '$EntityRe') AS ms, " +
+      s"CAST(len(string_split($textExpr, ' ')) AS BIGINT) AS ntok FROM $table), " +
+      "pf AS (SELECT source, unnest(ms) AS form FROM base), " +
+      "fc AS (SELECT source, form, count(*) AS k FROM pf GROUP BY source, form), " +
+      "pm AS (SELECT source, CAST(sum(k) AS BIGINT) AS n_mentions, " +
+      "CAST(count(*) AS BIGINT) AS n_forms FROM fc GROUP BY source), " +
+      "tk AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS n_tokens FROM base GROUP BY source) " +
+      "SELECT tk.source, tk.n_tokens, coalesce(pm.n_mentions, 0) AS n_mentions, " +
+      "coalesce(pm.n_forms, 0) AS n_forms, " +
+      "round(CAST(coalesce(pm.n_mentions, 0) AS DOUBLE) * 1000.0 / " +
+      "CAST(tk.n_tokens AS DOUBLE), 6) AS mentions_per_ktok " +
+      "FROM tk LEFT JOIN pm ON tk.source = pm.source ORDER BY tk.source"
+
+  /** Calibration audit of the classifier gate against the rule gate
+    * (reliability table → expected-calibration-error terms): per
+    * confidence decile of `sigmoid(clf margin / 1000)`, the classifier's
+    * mean confidence vs the FRACTION of docs the Gopher rules actually
+    * pass. The curation read: a well-calibrated cheap classifier can
+    * replace the rule cascade at scan cost; a bin with a large gap says
+    * which confidence region still needs the rules. |gap| weighted by
+    * bin mass is the ECE.
+    *
+    * Exactness: margins and pass labels are exact integers; the bin's
+    * mean confidence folds in doc order (ordered cumsum + rn=nc — the
+    * portable float reduction); sigmoid's exp differs across libms by
+    * an ulp, absorbed by round 6 (the unigramNll precedent).
+    *
+    * Scale shape: both gates are zero-shuffle narrow scans; one
+    * map-side-combined bin collapse; output ≤ 10 rows. */
+  def clfCalibration(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val m = clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
+    val g = gopherRules(df, idCol, textCol)
+      .select(col(idCol), when(col("pass"), 1L).otherwise(0L).as("label"))
+    val scored = m.join(g, Seq(idCol))
+      .withColumn("conf",
+        lit(1.0) / (lit(1.0) + exp(col("margin").cast("double") / -1000.0)))
+      .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"), lit(9L)))
+    val ordd = W.partitionBy("bin").orderBy(idCol)
+    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    scored
+      .withColumn("cum_conf", sum(col("conf")).over(cumd))
+      .withColumn("cum_lab", sum(col("label")).over(cumd))
+      .withColumn("rn", row_number().over(ordd))
+      .withColumn("nc", count(lit(1)).over(W.partitionBy("bin")))
+      .filter(col("rn") === col("nc"))
+      .select(col("bin"), col("nc").as("n_docs"),
+        round(col("cum_conf") / col("nc").cast("double"), 6).as("avg_conf"),
+        round(col("cum_lab").cast("double") / col("nc").cast("double"), 6)
+          .as("pass_rate"),
+        round(abs(col("cum_conf") / col("nc").cast("double") -
+          col("cum_lab").cast("double") / col("nc").cast("double")), 6)
+          .as("gap"))
+      .orderBy("bin")
+  }
+
+  /** DuckDB oracle for [[clfCalibration]] — identical margin fold, rule
+    * tree, sigmoid, binning and ordered bin folds. */
+  def clfCalibrationSql(table: String, idExpr: String, textExpr: String): String = {
+    val codes = graft.functions.TextFunctions.tokenCodesSql(textExpr)
+    val toks = graft.functions.TextFunctions.tokensSql(textExpr)
+    s"WITH m AS (SELECT $idExpr AS doc_id, " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+      "(acc, c) -> acc + ((c % 64) * 2654435761 % 1999 - 999)) AS margin " +
+      s"FROM $table), " +
+      s"g AS (SELECT $idExpr AS doc_id, " +
+      s"CAST(len($toks) AS BIGINT) AS n_tok, " +
+      s"CAST(len(list_filter($toks, t -> t IN ('the', 'a'))) AS BIGINT) AS nstop, " +
+      s"CAST(list_max(list_transform(list_distinct($toks), " +
+      s"t -> len(list_filter($toks, x -> x = t)))) AS BIGINT) AS maxtf, " +
+      s"CAST(length($textExpr) AS BIGINT) - (CAST(len($toks) AS BIGINT) - 1) AS ntc " +
+      s"FROM $table), " +
+      "lab AS (SELECT doc_id, CASE WHEN (n_tok >= 20 AND n_tok <= 80) AND " +
+      "(3 * n_tok <= ntc AND ntc <= 10 * n_tok) AND (nstop >= 2) AND " +
+      "(100 * maxtf <= 15 * n_tok) THEN 1 ELSE 0 END AS label FROM g), " +
+      "sc AS (SELECT m.doc_id, " +
+      "1.0 / (1.0 + exp(CAST(m.margin AS DOUBLE) / -1000.0)) AS conf, " +
+      "lab.label FROM m JOIN lab ON m.doc_id = lab.doc_id), " +
+      "b AS (SELECT doc_id, conf, label, " +
+      "least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin FROM sc), " +
+      "f AS (SELECT bin, " +
+      "sum(conf) OVER (PARTITION BY bin ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_conf, " +
+      "CAST(sum(label) OVER (PARTITION BY bin ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lab, " +
+      "row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY bin) AS nc FROM b) " +
+      "SELECT bin, CAST(nc AS BIGINT) AS n_docs, " +
+      "round(cum_conf / CAST(nc AS DOUBLE), 6) AS avg_conf, " +
+      "round(CAST(cum_lab AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS pass_rate, " +
+      "round(abs(cum_conf / CAST(nc AS DOUBLE) - " +
+      "CAST(cum_lab AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS gap " +
+      "FROM f WHERE rn = nc ORDER BY bin"
+  }
 }

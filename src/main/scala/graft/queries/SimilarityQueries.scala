@@ -387,6 +387,26 @@ object SimilarityQueries {
         "CAST(n_wedges AS DOUBLE), 6) ELSE 0.0 END AS clustering_coeff " +
         "FROM nv, ne, w, t")),
 
+    // Local clustering coefficient per node over the same near-dup
+    // graph — q_triangle_count's per-node refinement: lcc ~ 1 flags
+    // clique-like duplicate neighborhoods (safe to merge transitively),
+    // lcc ~ 0 flags template/boilerplate hubs a transitive merge would
+    // wrongly collapse. Integer wedges/triangles, one IEEE division.
+    Q("q_local_cc",
+      (s, d) => graft.operators.GraphOps.localClusteringCoeff(
+        Similarity.embeddingNearDup(emb(s, d), tau = 0.3,
+          bands = 4, rowsPerBand = 4, dims = Dims)),
+      Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
+        "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
+        "JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id), " +
+        "edges0 AS (SELECT p.a, p.b FROM pairs p " +
+        "JOIN embeddings va ON p.a = va.vec_id " +
+        "JOIN embeddings vb ON p.b = vb.vec_id " +
+        s"WHERE ${cosineSql("va.embedding", "vb.embedding")} >= 0.3), " +
+        "lcc AS (" + graft.operators.GraphOps.localClusteringCoeffSql(
+          "(SELECT a, b FROM edges0)").replace(" ORDER BY d.node", "") + ") " +
+        "SELECT * FROM lcc ORDER BY node")),
+
     // PageRank (3 power iterations, d = 0.85) over a directed graph
     // synthesized deterministically from events (Shots-style): nodes
     // 50..63 never emit edges, exercising the dangling-mass path. Per-

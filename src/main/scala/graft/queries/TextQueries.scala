@@ -808,6 +808,29 @@ object TextQueries {
       Some(TextOps.clfMarginFilterSql("documents", "doc_id", "text") +
         " ORDER BY doc_id")),
 
+    // Calibration audit of the classifier gate against the rule gate
+    // (reliability table / ECE terms): per confidence decile, mean
+    // sigmoid-confidence vs the fraction the Gopher rules actually pass.
+    // A calibrated classifier can replace the rule cascade at scan cost;
+    // the gap column says which confidence region still needs rules.
+    Q("q_clf_calibration",
+      (s, d) => TextOps.clfCalibration(docs(s, d), "doc_id", "text"),
+      Some(TextOps.clfCalibrationSql("documents", "doc_id", "text"))),
+
+    // Per-source PII exposure audit (emails + long digit runs per
+    // kilochar): the routing signal upstream of q_redact's per-doc
+    // scrub — zero-shuffle narrow scan + one source collapse.
+    Q("q_pii_density",
+      (s, d) => TextOps.piiDensity(docs(s, d), "source", "text"),
+      Some(TextOps.piiDensitySql("documents", "source", "text"))),
+
+    // Per-source entity-mention profile (capitalized-token heuristic):
+    // mention volume, distinct surface forms, mentions per kilotoken —
+    // the no-model NER stand-in for source-quality reading.
+    Q("q_entity_mentions",
+      (s, d) => TextOps.entityMentions(docs(s, d), "source", "text"),
+      Some(TextOps.entityMentionsSql("documents", "source", "text"))),
+
     // DSIR importance weights (Xie et al. 2023): per-doc average
     // log-likelihood ratio between the TARGET unigram LM (en subset)
     // and the RAW corpus LM, add-1 smoothed over the shared vocabulary

@@ -165,7 +165,8 @@ class BoundedWindowSpec extends SparkSpec {
       "q_hill_tail" -> 512L,                    // salted top-k order stats
       "q_ann_recall" -> 256L,                   // query-batch rank frames
       "q_ks_drift" -> 64L,                      // per-partition offset frame
-      "q_skyline" -> 64L                        // partition-maxima frame
+      "q_skyline" -> 64L,                       // partition-maxima frame
+      "q_bradley_terry" -> 64L                  // event-type strength frame
     )
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
