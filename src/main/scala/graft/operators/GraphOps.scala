@@ -458,9 +458,12 @@ object GraphOps {
     * surviving vertices with their residual degree. */
   def kCore(edges0: DataFrame, k: Int, rounds: Int = 4,
             aCol: String = "a", bCol: String = "b"): DataFrame = {
+    // cast BEFORE least/greatest (ADVICE r9 parity sweep): string ids
+    // would canonicalize lexicographically ("10" < "9") and diverge from
+    // the BIGINT oracle; a long id column makes the cast a no-op.
     val e = edges0
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
     var adj = e.select(col("a").as("v"), col("b").as("w"))
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
@@ -489,9 +492,10 @@ object GraphOps {
     * twin for the unrolled-SQL oracle face. */
   def kCoreFixpoint(edges0: DataFrame, k: Int, maxRounds: Int = 64,
                     aCol: String = "a", bCol: String = "b"): DataFrame = {
+    // identical cast("long") normalization as the fixed-round twin above
     val e = edges0
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
     val adj0 = e.select(col("a").as("v"), col("b").as("w"))
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
@@ -635,14 +639,16 @@ object GraphOps {
     * Visited state is vertex-count-bounded. */
   def bfsHops(edges0: DataFrame, seeds: DataFrame, rounds: Int = 4,
               aCol: String = "a", bCol: String = "b"): DataFrame = {
+    // same cast("long") id normalization as kCore/labelProp (ADVICE r9):
+    // edges AND seeds, so the frontier join key types always agree
     val e = edges0
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
     val adj = e.select(col("a").as("v"), col("b").as("w"))
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint()
-    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+    var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("hops"))
       .distinct().localCheckpoint()
     var frontier = dist.select(col("node"))
     for (r <- 1 to rounds) {
@@ -669,14 +675,15 @@ object GraphOps {
   def bfsHopsFixpoint(edges0: DataFrame, seeds: DataFrame,
                       maxRounds: Int = 4096,
                       aCol: String = "a", bCol: String = "b"): DataFrame = {
+    // identical cast("long") normalization as the fixed-round twin above
     val e = edges0
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
     val adj = e.select(col("a").as("v"), col("b").as("w"))
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
       .localCheckpoint()
-    var dist = seeds.select(col("node"), lit(0L).as("hops"))
+    var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("hops"))
       .distinct().localCheckpoint()
     var frontier = dist.select(col("node"))
     var r = 0

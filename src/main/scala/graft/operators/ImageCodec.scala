@@ -46,7 +46,13 @@ object ImageCodec {
     if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
     i = 2
     val w = readInt(); val h = readInt(); val maxv = readInt()
+    // Raster-size arithmetic in Long (ADVICE r9): a crafted 65536×65536
+    // header overflows w*h*3 in Int to a NEGATIVE value that PASSES the
+    // length guard, so copyOfRange throws instead of honoring the
+    // return-None contract. 1<<26 pixels (~192 MiB RGB) bounds any
+    // plausible in-row thumbnail payload.
     if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    if (w.toLong * h > (1L << 26)) return None
     // exactly ONE whitespace byte separates the header from the raster
     if (i >= bytes.length) return None
     val sep = bytes(i)
@@ -91,7 +97,12 @@ object ImageCodec {
       return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = (w * 3 + 3) / 4 * 4
+    // Same Long-arithmetic guard as decodePpm (ADVICE r9): unvalidated
+    // header w/h can overflow rowBytes and w*h*3 in Int, wrapping past the
+    // length guard on a ~58-byte crafted file and then throwing (or
+    // attempting a multi-GB allocation) instead of returning None.
+    if (w.toLong * h > (1L << 26)) return None
+    val rowBytes = ((w.toLong * 3 + 3) / 4 * 4).toInt
     if (dataOff < 0 || bytes.length - dataOff < rowBytes.toLong * h) return None
     val rgb = new Array[Byte](w * h * 3)
     var y = 0

@@ -53,7 +53,14 @@ final class BinaryGranuleReader extends Ingest.GranuleReader {
         val beam = in.readUTF()
         val n = in.readInt()
         val nLayers = in.readInt()
-        require(n >= 0 && nLayers >= 0, s"$path $beam: negative counts")
+        // Plausibility bound on the shot count (ADVICE r9): like the beam
+        // (1024) and vector-bin (65536) caps, this turns one corrupt 4-byte
+        // field into a catchable IllegalArgumentException instead of a
+        // 16 GB Array.fill pre-allocation that OOMs past ingestPaths'
+        // corrupt-granule counter. Real GEDI granules carry <10^6 shots
+        // per beam; 1<<26 leaves two orders of headroom.
+        require(n >= 0 && n <= (1 << 26), s"$path $beam: implausible shot count $n")
+        require(nLayers >= 0 && nLayers <= 4096, s"$path $beam: implausible layer count $nLayers")
         var longs = Map.empty[String, Array[Long]]
         var doubles = Map.empty[String, Array[Double]]
         var vectors = Map.empty[String, Array[Array[Double]]]

@@ -193,6 +193,29 @@ class BinaryReaderContract extends GranuleReaderContractSpec {
   override def writeCorrupt(path: Path): Unit =
     // right length for a header, wrong magic
     Files.write(path, "NOPE   ".getBytes("US-ASCII"))
+
+  test("BinaryGranuleReader: an implausible shot count throws, not OOMs (ADVICE r9)") {
+    // Valid GRFB header + beam record whose nShots field claims 2^30 shots:
+    // Array.fill(n) would pre-allocate gigabytes from one corrupt 4-byte
+    // field; the plausibility cap must turn it into the catchable
+    // IllegalArgumentException that ingestPaths' corrupt counter expects.
+    val d = Files.createTempDirectory("graft_reader_contract")
+    val p = d.resolve("big.h5")
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GRFB"); out.writeInt(1)     // magic + version
+    out.writeInt(1)                              // nBeams
+    out.writeUTF("BEAM0101")
+    out.writeInt(1 << 30)                        // implausible nShots
+    out.writeInt(1)                              // nLayers
+    out.writeUTF("shot_number"); out.writeByte(0)
+    out.flush()
+    Files.write(p, bos.toByteArray)
+    val e = intercept[IllegalArgumentException] {
+      new BinaryGranuleReader().read(p.toString, Seq("BEAM0101"), Seq("shot_number"))
+    }
+    assert(e.getMessage.contains("implausible shot count"))
+  }
 }
 
 /** The seam-equivalence proof: the SAME logical granule written in both

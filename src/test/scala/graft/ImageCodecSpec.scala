@@ -47,6 +47,28 @@ class ImageCodecSpec extends SparkSpec {
     assert(ImageCodec.decodePpm("P6\n9 8\n255\n".getBytes).isEmpty) // truncated raster
     assert(ImageCodec.decodePpm("P6\n0 8\n255\n".getBytes).isEmpty) // zero width
     assert(ImageCodec.decodePpm(Array[Byte]()).isEmpty)
+    // ADVICE r9: a 65536x65536 header overflows w*h*3 in Int to a negative
+    // value that passed the old length guard — must return None, not throw
+    assert(ImageCodec.decodePpm("P6\n65536 65536\n255\nxxx".getBytes).isEmpty)
+    assert(ImageCodec.decodePpm("P6\n1431655766 1\n255\nxxx".getBytes).isEmpty)
+  }
+
+  test("BMP decode rejects overflow-crafted headers instead of throwing") {
+    // Craft a 58-byte BMP whose header claims dimensions that overflow
+    // Int raster arithmetic; the decode must return None (ADVICE r9).
+    def crafted(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](58)
+      def le32(off: Int, v: Int): Unit = {
+        b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+        b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      b(0) = 'B'; b(1) = 'M'; le32(10, 54); le32(14, 40)
+      le32(18, w); le32(22, h); b(26) = 1; b(28) = 24; le32(30, 0)
+      b
+    }
+    assert(ImageCodec.decodeBmp(crafted(65536, 65536)).isEmpty)
+    assert(ImageCodec.decodeBmp(crafted(1431655766, 1)).isEmpty)
+    assert(ImageCodec.decodeBmp(crafted(0x40000000, 4)).isEmpty)
   }
 
   test("BMP round-trip flips bottom-up rows and swaps BGR back correctly") {
