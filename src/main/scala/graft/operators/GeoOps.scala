@@ -195,7 +195,8 @@ object GeoOps {
     * diffs ≤ 2r² per surviving candidate — bounded, no overflow for
     * r < ~2^31). */
   def radiusJoin(points: DataFrame, r: Long, idCol: String = "id",
-                 xCol: String = "ix", yCol: String = "iy"): DataFrame = {
+                 xCol: String = "ix", yCol: String = "iy",
+                 hint: DataFrame => DataFrame = identity): DataFrame = {
     require(r > 0, "radiusJoin needs a positive radius")
     val p = points.select(col(idCol).as("id"), col(xCol).as("ix"),
       col(yCol).as("iy"),
@@ -217,8 +218,11 @@ object GeoOps {
       .crossJoin(offs)
       .select(col("id_a"), col("xa"), col("ya"), col("same"),
         (col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"))
-    val right = p.select(col("id").as("id_b"), col("ix").as("xb"),
-      col("iy").as("yb"), col("cx").as("jx"), col("cy").as("jy"))
+    // `hint` (default identity) lets a caller that has already size-gated
+    // its point frame (dbscanCore) broadcast the build side; the default
+    // keeps the honest co-partitioned cell shuffle.
+    val right = hint(p.select(col("id").as("id_b"), col("ix").as("xb"),
+      col("iy").as("yb"), col("cx").as("jx"), col("cy").as("jy")))
     left.join(right, Seq("jx", "jy"))
       .filter(!col("same") || col("id_a") < col("id_b"))
       .withColumn("d2",
@@ -329,8 +333,8 @@ object GeoOps {
     * propagation joins only the core adjacency. */
   def dbscan(points: DataFrame, r: Long, minPts: Int, rounds: Int = 4,
              idCol: String = "id"): DataFrame =
-    dbscanCore(points, r, minPts, idCol) { (adj, init) =>
-      propagateMinLabels(adj, init, fixedRounds = rounds)
+    dbscanCore(points, r, minPts, idCol) { (adj, init, hint) =>
+      propagateMinLabels(adj, init, fixedRounds = rounds, hint)
     }
 
   /** [[dbscan]] with EXACT cluster labels on any diameter — the
@@ -351,11 +355,11 @@ object GeoOps {
     * cannot cover. */
   def dbscanFixpoint(points: DataFrame, r: Long, minPts: Int,
                      idCol: String = "id"): DataFrame =
-    dbscanCore(points, r, minPts, idCol) { (adj, init) =>
+    dbscanCore(points, r, minPts, idCol) { (adj, init, hint) =>
       val comp = Dedup.connectedComponentsLogStar(
         adj.filter(col("v") < col("w"))
           .select(col("v").as("a"), col("w").as("b")))
-      init.join(comp.withColumnRenamed("id", "cid"),
+      init.join(hint(comp.withColumnRenamed("id", "cid")),
           init("id") === col("cid"), "left")
         .select(init("id"),
           coalesce(col("comp"), init("id")).as("cluster"))
@@ -376,27 +380,23 @@ object GeoOps {
     * [[dbscanFixpoint]]'s star contraction — min-label needs diameter
     * rounds, the wrong tool past the fixed-round oracle face.) */
   private def propagateMinLabels(adj: DataFrame, init: DataFrame,
-                                 fixedRounds: Int): DataFrame = {
+                                 fixedRounds: Int,
+                                 hint: DataFrame => DataFrame): DataFrame = {
+    // `adj` MUST carry a self-loop per core point (dbscanCore adds them):
+    // the synchronous round "min over self and neighbors" then collapses
+    // to ONE join + ONE map-side-combined min — the label frame is
+    // referenced once per round, so the 4-round plan is a LINEAR chain
+    // that needs no per-round materialization (a twice-referenced
+    // unmaterialized subtree would re-evaluate 2^rounds times; a linear
+    // one evaluates once, in a single job). Under dbscanCore's size gate
+    // the label side broadcasts; over it the join moves only labels —
+    // the adjacency was repartitioned on `v` before its checkpoint.
     var labels = init
-    var senders = init
-    var senderCount = init.count()
-    var k = 0
-    val limit = fixedRounds
-    while (k < limit && senderCount > 0) {
-      k += 1
-      val next = adj
-        .join(senders.withColumnRenamed("id", "v"), Seq("v"))
+    for (_ <- 1 to fixedRounds) {
+      labels = adj
+        .join(hint(labels.withColumnRenamed("id", "v")), Seq("v"))
         .select(col("w").as("id"), col("cluster"))
-        .unionByName(labels)
         .groupBy("id").agg(min(col("cluster")).as("cluster"))
-        .localCheckpoint()
-      senders = next
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("id"))
-        .filter(col("cluster") < col("prev"))
-        .select(col("id"), col("cluster"))
-        .localCheckpoint()
-      labels = next
-      senderCount = senders.count()
     }
     labels
   }
@@ -410,41 +410,78 @@ object GeoOps {
     * re-derived after the loop. */
   private def dbscanCore(points: DataFrame, r: Long, minPts: Int,
                          idCol: String)
-                        (propagate: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val pairs = radiusJoin(points, r, idCol).select("id_a", "id_b")
-      .localCheckpoint() // reused by degree count and the coreAdj build
+                        (propagate: (DataFrame, DataFrame, DataFrame => DataFrame) => DataFrame): DataFrame = {
+    // FOUR materializations total (the r9 bundle carried five before the
+    // rounds plus one per round, and the extra checkpoint writes — not
+    // the delta-sending logic — were the measured regression): the pair
+    // frame (reused three times), the per-point degree frame, the
+    // self-looped core adjacency the rounds iterate, and the final label
+    // frame (referenced by both the border pass and the role union).
+    //
+    // Scale shape: per-point frames (degree map, core set, labels, role
+    // map) ride a SIZE-GATED broadcast — DBSCAN runs over one spatial
+    // analysis window, and when the window's point count is measurably
+    // under [[broadcastPointBound]] those frames are hinted onto the
+    // executors; past the bound the identical plans degrade to shuffle
+    // joins and the adjacency is repartitioned+sorted on the round-join
+    // key before its one checkpoint (localCheckpoint preserves both), so
+    // every label round still moves only the label frame, never the
+    // edges — the distributed-graph invariant: state flows, topology
+    // stays put.
+    val gated = points.queryExecution.optimizedPlan.stats.sizeInBytes
+      .isValidLong && points.queryExecution.optimizedPlan.stats.sizeInBytes
+      .toLong <= broadcastPointBytes
+    val ppf: DataFrame => DataFrame = if (gated) broadcast else identity
+    val pairs = radiusJoin(points, r, idCol, hint = ppf).select("id_a", "id_b")
+      .localCheckpoint() // reused by degree count, adjacency and border pass
     val deg = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_nbrs"))
     val pts = points.select(col(idCol).as("id"))
-      .join(deg, Seq("id"), "left")
+      .join(ppf(deg), Seq("id"), "left")
       .withColumn("n_nbrs", coalesce(col("n_nbrs"), lit(0L)))
       .localCheckpoint()
     val core = pts.filter(col("n_nbrs") >= minPts - 1).select("id")
-    // (core cid, any-neighbor pid) — the one semi-join pass over pairs
-    val coreAdj = pairs
-      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_semi")
+    val shuffleP = points.sparkSession.sessionState.conf.numShufflePartitions
+    // symmetric core-core adjacency + one self-loop per core point (the
+    // propagation round's "min over self" term — see propagateMinLabels)
+    val adj = pairs
+      .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_semi")
+      .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_semi")
+      .select(col("id_a").as("v"), col("id_b").as("w"))
+    val adjSym0 = adj.unionByName(adj.select(col("w").as("v"), col("v").as("w")))
+      .unionByName(core.select(col("id").as("v"), col("id").as("w")))
+    val adjSym = (if (gated) adjSym0
+      else adjSym0.repartition(shuffleP, col("v")).sortWithinPartitions("v"))
+      .localCheckpoint()
+    val init = core.withColumn("cluster", col("id"))
+    val labels = propagate(adjSym, init, ppf).localCheckpoint()
+    // border pass: core endpoint -> non-core neighbor, min adjacent label
+    val borderLabels = pairs
+      .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_semi")
+      .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_anti")
       .select(col("id_a").as("cid"), col("id_b").as("pid"))
       .unionByName(pairs
-        .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_semi")
+        .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_semi")
+        .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_anti")
         .select(col("id_b").as("cid"), col("id_a").as("pid")))
-      .localCheckpoint()
-    val adj = coreAdj
-      .join(core.withColumnRenamed("id", "pid"), Seq("pid"), "left_semi")
-      .select(col("cid").as("v"), col("pid").as("w"))
-      .localCheckpoint()
-    val init = core.withColumn("cluster", col("id")).localCheckpoint()
-    val labels = propagate(adj, init)
-    val borderLabels = coreAdj
-      .join(core.withColumnRenamed("id", "pid"), Seq("pid"), "left_anti")
-      .join(labels.withColumnRenamed("id", "cid"), Seq("cid"))
+      .join(ppf(labels.withColumnRenamed("id", "cid")), Seq("cid"))
       .groupBy(col("pid").as("id")).agg(min(col("cluster")).as("cluster"))
     val coreL = labels.withColumn("role", lit("core"))
     val borderL = borderLabels.withColumn("role", lit("border"))
-    pts.join(coreL.unionByName(borderL), Seq("id"), "left")
+    pts.join(ppf(coreL.unionByName(borderL)), Seq("id"), "left")
       .select(col("id"), col("n_nbrs"),
         coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
   }
+
+  /** Estimated-size bound under which [[dbscanCore]] hints its per-point
+    * frames (degree map, core set, labels, role map) onto the executors —
+    * read from the optimizer's plan statistics, so the gate costs zero
+    * jobs. 128 MB of estimated input points (~5M rows) broadcasts
+    * comfortably at any executor sizing this engine targets; an unknown
+    * or larger estimate falls back to co-partitioned shuffle joins —
+    * nothing breaks, the constant just grows. */
+  private val broadcastPointBytes = 128L * 1024 * 1024
 
   /** DuckDB oracle for [[dbscan]]: QUADRATIC pair join (losslessness of
     * the grid binning is hash-proven) + the identical unrolled label
