@@ -572,11 +572,18 @@ object Cli {
         write(graft.operators.StatsOps.kmvEstimate(sk, opts("group"), k))
 
       case "kcore" =>
-        // input = (a, b) edge parquet; fixed-round synchronous peel
-        write(graft.operators.GraphOps.kCore(in("input"),
-          opts.getOrElse("k", "4").toInt,
-          opts.getOrElse("rounds", "4").toInt,
-          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+        // input = (a, b) edge parquet. DEFAULT = exact fixpoint peel
+        // (correct on any cascade depth); --rounds N opts into the
+        // fixed-round oracle-twin form (VERDICT r9: a user who lands on
+        // the default must get exact labels, not a truncation).
+        write(opts.get("rounds") match {
+          case Some(n) => graft.operators.GraphOps.kCore(in("input"),
+            opts.getOrElse("k", "4").toInt, n.toInt,
+            opts.getOrElse("a", "a"), opts.getOrElse("b", "b"))
+          case None => graft.operators.GraphOps.kCoreFixpoint(in("input"),
+            opts.getOrElse("k", "4").toInt,
+            aCol = opts.getOrElse("a", "a"), bCol = opts.getOrElse("b", "b"))
+        })
 
       case "assort" =>
         write(graft.operators.GraphOps.degreeAssortativity(in("input"),
@@ -668,13 +675,19 @@ object Cli {
           opts.getOrElse("n", "5").toInt))
 
       case "bfs" =>
-        // --seeds comma-separated node ids
+        // --seeds comma-separated node ids. DEFAULT = frontier expansion
+        // to exhaustion (true hop distances on any diameter); --rounds N
+        // opts into the fixed-round truncated form (the oracle twin).
         val seeds = opts("seeds").split(",").toSeq.map(_.toLong)
-        write(graft.operators.GraphOps.bfsHops(in("input"),
-          spark.createDataFrame(seeds.map(Tuple1(_)))
-            .toDF("node"),
-          opts.getOrElse("rounds", "4").toInt,
-          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+        val seedDf = spark.createDataFrame(seeds.map(Tuple1(_))).toDF("node")
+        write(opts.get("rounds") match {
+          case Some(n) => graft.operators.GraphOps.bfsHops(in("input"),
+            seedDf, n.toInt,
+            opts.getOrElse("a", "a"), opts.getOrElse("b", "b"))
+          case None => graft.operators.GraphOps.bfsHopsFixpoint(in("input"),
+            seedDf,
+            aCol = opts.getOrElse("a", "a"), bCol = opts.getOrElse("b", "b"))
+        })
 
       case "tcloseness" =>
         write(graft.operators.PrivacyOps.tCloseness(in("input"),
@@ -712,9 +725,18 @@ object Cli {
           opts.getOrElse("x", "ix"), opts.getOrElse("y", "iy")))
 
       case "dbscan" =>
-        write(graft.operators.GeoOps.dbscan(in("input"),
-          opts("r").toLong, opts.getOrElse("min-pts", "5").toInt,
-          opts.getOrElse("rounds", "4").toInt, opts.getOrElse("id", "id")))
+        // DEFAULT = exact cluster labels via star-contraction components
+        // (correct on elongated clusters whatever the core-graph
+        // diameter); --rounds N opts into the fixed-round min-label
+        // propagation (the unrolled-SQL oracle twin).
+        write(opts.get("rounds") match {
+          case Some(n) => graft.operators.GeoOps.dbscan(in("input"),
+            opts("r").toLong, opts.getOrElse("min-pts", "5").toInt,
+            n.toInt, opts.getOrElse("id", "id"))
+          case None => graft.operators.GeoOps.dbscanFixpoint(in("input"),
+            opts("r").toLong, opts.getOrElse("min-pts", "5").toInt,
+            opts.getOrElse("id", "id"))
+        })
 
       case "modularity" =>
         // --labels parquet of (node, label); defaults to labelProp rounds

@@ -761,6 +761,48 @@ class CliSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(Set("core", "border", "noise")))
   }
 
+  test("cli kcore/bfs/dbscan DEFAULT to the exact fixpoint forms (diameter > 4)") {
+    import spark.implicits._
+    // 14-node chain: diameter 13 >> the 4 fixed rounds, so the truncated
+    // forms and the fixpoint forms disagree — the CLI default must match
+    // the FIXPOINT result (VERDICT r9 task 4).
+    val edges = tmp() + "/chain"
+    (1L to 13L).map(i => (i, i + 1)).toDF("a", "b").write.parquet(edges)
+
+    // bfs: default output = true hop distances to the chain's end
+    val bf = tmp() + "/bf"
+    Cli.run(spark, "bfs", Map("input" -> edges, "output" -> bf, "seeds" -> "1"))
+    val hops = spark.read.parquet(bf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops === (1L to 14L).map(i => i -> (i - 1)).toMap)
+    // opting back into --rounds truncates (the oracle-twin face)
+    val bf4 = tmp() + "/bf4"
+    Cli.run(spark, "bfs", Map("input" -> edges, "output" -> bf4,
+      "seeds" -> "1", "rounds" -> "4"))
+    assert(spark.read.parquet(bf4).count() === 5)
+
+    // kcore: a chain has NO 2-core; the 4-round peel leaves a phantom one
+    val kc = tmp() + "/kc"
+    Cli.run(spark, "kcore", Map("input" -> edges, "output" -> kc, "k" -> "2"))
+    assert(spark.read.parquet(kc).count() === 0)
+    val kc4 = tmp() + "/kc4"
+    Cli.run(spark, "kcore", Map("input" -> edges, "output" -> kc4,
+      "k" -> "2", "rounds" -> "4"))
+    assert(spark.read.parquet(kc4).count() > 0)
+
+    // dbscan: collinear points spaced r apart form ONE cluster at exact
+    // fixpoint; 4 label rounds under-merge it
+    val pts = tmp() + "/chainpts"
+    (1L to 14L).map(i => (i, i * 10L, 0L)).toDF("id", "ix", "iy")
+      .write.parquet(pts)
+    val db = tmp() + "/db"
+    Cli.run(spark, "dbscan", Map("input" -> pts, "output" -> db,
+      "r" -> "10", "min-pts" -> "2"))
+    val labels = spark.read.parquet(db).filter(col("role") === "core")
+      .select("cluster").distinct().count()
+    assert(labels === 1)
+  }
+
   test("cli modularity / ppr / theilsen / cdcchunk wire end-to-end") {
     import spark.implicits._
     val edges = tmp() + "/medges"
