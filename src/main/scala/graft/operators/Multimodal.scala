@@ -59,6 +59,8 @@ object Multimodal {
     val img = r.kind match {
       case "image/ppm" | "video/ppm-frames" => ImageCodec.decodePpm(r.content)
       case "image/bmp" => ImageCodec.decodeBmp(r.content)
+      case "image/jpeg" | "image/png" | "image/gif" =>
+        ImageIoCodec.decode(r.content) // JDK ImageIO (see its oracle note)
       case _ => None
     }
     img match {

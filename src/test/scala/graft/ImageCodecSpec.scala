@@ -153,3 +153,65 @@ class ImageCodecSpec extends SparkSpec {
       "distinct content must not pair")
   }
 }
+
+/** The JDK-ImageIO on-ramp (r9 VERDICT task 5): real JPEG/PNG decode
+  * behind the same seam, verified spec-only — JPEG IDCT is per-JVM
+  * (±1 sample tolerance), so these stay off the DuckDB-oracle board;
+  * the dHash downstream must shrug the loss off. */
+class ImageIoCodecSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.operators.{ImageCodec, ImageIoCodec}
+  import graft.operators.ImageCodec.RawImage
+
+  private def gradient(w: Int, h: Int): RawImage = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = (y * w + x) * 3
+      rgb(p) = ((x * 255) / w).toByte
+      rgb(p + 1) = ((y * 255) / h).toByte
+      rgb(p + 2) = (((x + y) * 255) / (w + h)).toByte
+    }
+    RawImage(w, h, rgb)
+  }
+
+  test("PNG round-trip is pixel-exact through the seam") {
+    val img = gradient(32, 24)
+    val dec = ImageIoCodec.decode(ImageIoCodec.encodePng(img))
+    assert(dec.isDefined)
+    assert(dec.get.width == 32 && dec.get.height == 24)
+    assert(dec.get.rgb.sameElements(img.rgb))
+  }
+
+  test("a JPEG and the PNG re-encode of the same raster land within Hamming <= 2 on dHash") {
+    val img = gradient(64, 48)
+    val viaPng = ImageIoCodec.decode(ImageIoCodec.encodePng(img)).get
+    val viaJpeg = ImageIoCodec.decode(ImageIoCodec.encodeJpeg(img)).get
+    val hp = ImageCodec.dHash64(viaPng)
+    val hj = ImageCodec.dHash64(viaJpeg)
+    assert(java.lang.Long.bitCount(hp ^ hj) <= 2,
+      s"dHash drifted ${java.lang.Long.bitCount(hp ^ hj)} bits across the lossy round-trip")
+    // and the PNG path matches the raw raster's hash exactly (lossless)
+    assert(hp === ImageCodec.dHash64(img))
+  }
+
+  test("decode rejects garbage, truncation and oversized dimensions with None") {
+    assert(ImageIoCodec.decode(Array[Byte]()).isEmpty)
+    assert(ImageIoCodec.decode("not an image at all".getBytes).isEmpty)
+    val png = ImageIoCodec.encodePng(gradient(16, 16))
+    assert(ImageIoCodec.decode(png.take(20)).isEmpty) // truncated after magic
+    // PPM bytes are not ImageIO's problem: the sniff rejects them
+    assert(ImageIoCodec.decode("P6\n2 2\n255\n0123456789ab".getBytes).isEmpty)
+  }
+
+  test("decodeMedia routes image/jpeg and image/png kinds through ImageIO") {
+    import graft.operators.Multimodal
+    val img = gradient(20, 10)
+    val rec = Multimodal.MediaRecord(1L, "image/png",
+      ImageIoCodec.encodePng(img))
+    val feats = Multimodal.decodeMedia(rec)
+    assert(feats.width === 20L && feats.height === 10L)
+    val recJ = Multimodal.MediaRecord(2L, "image/jpeg",
+      ImageIoCodec.encodeJpeg(img))
+    val featsJ = Multimodal.decodeMedia(recJ)
+    assert(featsJ.width === 20L && featsJ.height === 10L)
+  }
+}
