@@ -861,6 +861,44 @@ object Cli {
           opts("group"), "_flag",
           opts.getOrElse("z", "1.96").toDouble))
 
+      case "holt" =>
+        // Holt double-exponential smoothing per group (level + trend)
+        write(graft.operators.StatsOps.holtSmooth(in("input"),
+          opts.getOrElse("group", "event_type"),
+          opts.getOrElse("ts", "ts")))
+
+      case "bt" =>
+        // Bradley-Terry strengths from pairwise per-user preferences
+        // (the LLM-judge / arena aggregation shape)
+        write(graft.operators.StatsOps.bradleyTerry(in("input"),
+          opts.getOrElse("user", "user_id"),
+          opts.getOrElse("type", "event_type"),
+          opts.getOrElse("ts", "ts"),
+          opts.getOrElse("iters", "2").toInt))
+
+      case "localcc" =>
+        // per-node local clustering coefficient over an (a, b) edge frame
+        write(graft.operators.GraphOps.localClusteringCoeff(in("input"),
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "piidensity" =>
+        // per-source PII exposure audit (routes scrub priority)
+        write(graft.operators.TextOps.piiDensity(in("input"),
+          opts.getOrElse("source", "source"),
+          opts.getOrElse("text", "text")))
+
+      case "entities" =>
+        // capitalized-span entity mentions per source (no-model NER)
+        write(graft.operators.TextOps.entityMentions(in("input"),
+          opts.getOrElse("source", "source"),
+          opts.getOrElse("text", "text")))
+
+      case "clfcal" =>
+        // ECE reliability table of the margin classifier vs the rule gate
+        write(graft.operators.TextOps.clfCalibration(in("input"),
+          opts.getOrElse("id", "doc_id"),
+          opts.getOrElse("text", "text")))
+
       case other => sys.error(s"unknown command: $other")
     }
 

@@ -57,6 +57,56 @@ object Temporal {
         payload.map(p => col(s"_carry.$p").as(outPrefix + p)): _*)
   }
 
+  /** Point-in-time join: each fact row picks the dimension version
+    * whose validity interval `[fromCol, toCol)` covers the fact's
+    * timestamp (toCol null = still current). Contract: per key the
+    * intervals are NON-OVERLAPPING and CONTIGUOUS (every non-null toCol
+    * equals the next version's fromCol — exactly what [[MergeOps.scd2]]
+    * emits); zero-width versions (from == to) match nothing.
+    *
+    * The naive equi-key join + interval filter is QUADRATIC per key
+    * (facts_k x versions_k, both linear in data — measured 218x on the
+    * 10x sf1 board, the r10 scaling audit's worst entry). This is the
+    * linear union+window form: one shuffle on the key, one per-key sort
+    * of facts+versions together, one last-value carry — per-key cost
+    * (facts_k + versions_k) log, never a cross product. At equal
+    * timestamps versions order by (from, to) so the carry lands on the
+    * one covering version (a zero-width version is followed by its
+    * covering sibling with the same `from`); facts sort AFTER versions
+    * at the same instant, making `from <= t` inclusive like the filter
+    * form. Contiguity guarantees the carried version covers the fact
+    * whenever any version does, so no residual to-test is needed. */
+  def pitJoin(facts: DataFrame, dim: DataFrame, keyCol: String,
+              factTimeCol: String, fromCol: String, toCol: String,
+              payload: Seq[String], outPrefix: String = ""): DataFrame = {
+    val reserved = Seq("_side", "_pit_payload", "_pit_carry", "_t", "_to_ord")
+    require(!facts.columns.exists(reserved.contains),
+      s"pitJoin: facts must not contain helper columns ${reserved.mkString(", ")}")
+    val factCols = facts.columns.toSeq
+    val d = dim.select(col(keyCol), col(fromCol).as("_t"),
+        coalesce(unix_micros(col(toCol)), lit(Long.MaxValue)).as("_to_ord"),
+        struct((payload :+ fromCol :+ toCol).distinct.map(col): _*)
+          .as("_pit_payload"))
+      .withColumn("_side", lit(0))
+    val f = facts
+      .withColumn("_t", col(factTimeCol))
+      .withColumn("_to_ord", lit(Long.MaxValue))
+      .withColumn("_side", lit(1))
+    val u = f.unionByName(d, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_t"), col("_side"), col("_to_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("_pit_carry", last(col("_pit_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1 && col("_pit_carry").isNotNull &&
+        // zero-width carried version (from == to) matches nothing; the
+        // covering sibling (same from, larger to) sorts after it, so a
+        // zero-width carry means NO version covers this fact
+        (col(s"_pit_carry.$toCol").isNull ||
+          col(factTimeCol) < col(s"_pit_carry.$toCol")))
+      .select(factCols.map(col) ++
+        payload.map(p => col(s"_pit_carry.$p").as(outPrefix + p)): _*)
+  }
+
   /** Gap-based sessionization: consecutive events of a key belong to one
     * session while the gap to the previous event is <= `gapSec`; a larger
     * gap (or the first event) opens a new session. Returns one row per

@@ -457,9 +457,12 @@ object TemporalQueries {
 
     // Point-in-time join over the SCD2 dimension: each fact (ts shifted
     // +30 min so it lands inside intervals) picks the segment version
-    // valid at its timestamp. Equi-key join (SMJ/hash on k) + residual
-    // interval predicate — per-key work bounded by that key's version
-    // count, never quadratic.
+    // valid at its timestamp — via [[Temporal.pitJoin]]'s LINEAR
+    // union+window carry. The r9 form was the equi-key join + interval
+    // filter, which is QUADRATIC per key (facts_k x versions_k both grow
+    // with data: 218x on the 10x sf1 board, the worst scaling entry of
+    // the r10 audit); the oracle keeps that filter form, hash-proving
+    // the carry rewrite emits the identical pair set.
     Q("q_pit_join",
       (s, d) => {
         val e = ev(s, d)
@@ -472,9 +475,8 @@ object TemporalQueries {
         val facts = e.select(col("event_id"),
           (col("user_id") % 50).as("k"),
           (col("ts") + expr("interval 30 minutes")).as("fts"))
-        facts.join(dim, Seq("k"))
-          .filter(col("fts") >= col("valid_from") &&
-            (col("valid_to").isNull || col("fts") < col("valid_to")))
+        Temporal.pitJoin(facts, dim, "k", "fts",
+            "valid_from", "valid_to", Seq("segment"))
           .select(col("event_id"), col("k"), col("segment"))
           .orderBy("event_id")
       },

@@ -761,6 +761,45 @@ class CliSpec extends SparkSpec {
       .map(_.getString(0)).toSet.subsetOf(Set("core", "border", "noise")))
   }
 
+  test("cli holt/bt/localcc/piidensity/entities/clfcal wire end-to-end (r9 parity)") {
+    import spark.implicits._
+    val ev = s"$sfDir/events.parquet"
+    val docs = s"$sfDir/documents.parquet"
+
+    val ho = tmp() + "/holt"
+    Cli.run(spark, "holt", Map("input" -> ev, "output" -> ho))
+    val hoGot = spark.read.parquet(ho)
+    assert(hoGot.columns.contains("level") || hoGot.columns.length >= 2)
+
+    val bt = tmp() + "/bt"
+    Cli.run(spark, "bt", Map("input" -> ev, "output" -> bt))
+    assert(spark.read.parquet(bt).count() > 0)
+
+    val edges = tmp() + "/lccedges"
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+      .write.parquet(edges)
+    val lc = tmp() + "/localcc"
+    Cli.run(spark, "localcc", Map("input" -> edges, "output" -> lc))
+    val lcRows = spark.read.parquet(lc).collect()
+    val lcIdx = lcRows.head.fieldIndex("lcc")
+    val lcGot = lcRows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(lcIdx)) None else Some(r.getDouble(lcIdx)))).toMap
+    assert(lcGot(1L) === Some(1.0)) // 1-2-3 triangle closes node 1
+    assert(lcGot(4L).forall(_ == 0.0)) // degree-1 node: 0 or undefined
+
+    val pd = tmp() + "/pii"
+    Cli.run(spark, "piidensity", Map("input" -> docs, "output" -> pd))
+    assert(spark.read.parquet(pd).columns.contains("source"))
+
+    val en = tmp() + "/ent"
+    Cli.run(spark, "entities", Map("input" -> docs, "output" -> en))
+    assert(spark.read.parquet(en).count() >= 0)
+
+    val cc = tmp() + "/clfcal"
+    Cli.run(spark, "clfcal", Map("input" -> docs, "output" -> cc))
+    assert(spark.read.parquet(cc).count() > 0)
+  }
+
   test("cli kcore/bfs/dbscan DEFAULT to the exact fixpoint forms (diameter > 4)") {
     import spark.implicits._
     // 14-node chain: diameter 13 >> the 4 fixed rounds, so the truncated
