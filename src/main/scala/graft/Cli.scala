@@ -899,6 +899,68 @@ object Cli {
           opts.getOrElse("id", "doc_id"),
           opts.getOrElse("text", "text")))
 
+      case "kappa" =>
+        // Cohen's kappa between two categorical columns
+        write(graft.operators.StatsOps.cohensKappa(in("input"),
+          opts("a"), opts("b")))
+
+      case "psi" =>
+        // population stability index; input must carry grp/bin/side
+        write(graft.operators.StatsOps.psi(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("bin", "bin"),
+          opts.getOrElse("side", "side"),
+          opts.getOrElse("bins", "10").toInt))
+
+      case "auc" =>
+        // grouped AUC over pre-bucketed scores (grp, b, y)
+        write(graft.operators.StatsOps.groupAuc(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("bucket", "b"),
+          opts.getOrElse("label", "y")))
+
+      case "rbo" =>
+        // rank-biased overlap between rankings by two integer metrics
+        write(graft.operators.StatsOps.rbo(in("input"),
+          opts.getOrElse("id", "id"),
+          col(opts.getOrElse("metric-a", "ma")),
+          col(opts.getOrElse("metric-b", "mb")),
+          opts.getOrElse("depth", "20").toInt,
+          opts.getOrElse("p", "0.9").toDouble))
+
+      case "apriori" =>
+        // frequent triples with a-priori pruning over (bk, it) baskets
+        write(graft.operators.StatsOps.aprioriTriples(in("input"),
+          opts.getOrElse("basket", "bk"), opts.getOrElse("item", "it"),
+          opts.getOrElse("min-co", "2").toLong,
+          opts.getOrElse("max-basket", "100").toInt,
+          opts.getOrElse("k", "50").toInt))
+
+      case "jsdrift" =>
+        // Jensen-Shannon drift per group vs the corpus
+        write(graft.operators.TextOps.jsDrift(in("input"),
+          opts.getOrElse("group", "source"), opts.getOrElse("text", "text"),
+          opts.getOrElse("top-v", "200").toInt))
+
+      case "ohlc" =>
+        // OHLC resample bars per (key, bar)
+        write(graft.operators.Temporal.ohlcBars(in("input"),
+          opts.getOrElse("key", "event_type"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("tie", "event_id"), opts.getOrElse("value", "value"),
+          opts.getOrElse("unit", "hour")))
+
+      case "twa" =>
+        // time-weighted average per key over irregular samples
+        write(graft.operators.Temporal.timeWeightedAvg(in("input"),
+          opts.getOrElse("key", "event_type"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("tie", "event_id"), opts.getOrElse("value", "value")))
+
+      case "overlapjoin" =>
+        // lossless prefix-filtered overlap join (containment >= num/den)
+        write(graft.operators.Dedup.overlapPrefixJoin(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("block", "source"),
+          opts.getOrElse("alpha-num", "1").toInt,
+          opts.getOrElse("alpha-den", "4").toInt))
+
       case other => sys.error(s"unknown command: $other")
     }
 

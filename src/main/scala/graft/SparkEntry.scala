@@ -14,7 +14,8 @@ object SparkEntry {
   private def modules: Seq[Q] =
     CoreQueries.defs ++ AnalyticsQueries.defs ++
       graft.queries.TemporalQueries.defs ++
-      graft.queries.PipelineQueries.defs ++ graft.queries.SourceQueries.defs
+      graft.queries.PipelineQueries.defs ++ graft.queries.SourceQueries.defs ++
+      graft.queries.EvalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

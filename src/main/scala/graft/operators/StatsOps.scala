@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robust / order-statistics operators (SURVEY §2.2).
@@ -1862,4 +1862,374 @@ object StatsOps {
       s"round(p.p, 6) AS bt_score FROM wins w JOIN p$iters p ON w.i = p.i " +
       s"ORDER BY $typeExpr"
   }
+
+  // ------------------------------------------------------- r10 additions
+
+  /** Cohen's kappa between two categorical raters — the chance-corrected
+    * agreement summary (Cohen 1960), the LLM-judge / dual-gate agreement
+    * shape next to [[graft.operators.TextOps.clfCalibration]]'s
+    * reliability table: the ECE table says WHERE the gates disagree;
+    * kappa says whether their agreement beats chance at all.
+    *
+    * Exactness: the confusion frame is exact integer counts (class-pair
+    * bounded — one map-side-combined shuffle over the corpus, everything
+    * after runs on the tiny class grid); po/pe/kappa are one fixed
+    * double tree over those integers, round 6. The class fold orders by
+    * class label, so the double sums are ordered (portable-fold stance).
+    *
+    * Output: one row (n_rows, po, pe, kappa). */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(aCol).cast("string").as("ra"),
+        col(bCol).cast("string").as("rb"))
+      .filter(col("ra").isNotNull && col("rb").isNotNull)
+      .groupBy("ra", "rb").agg(count(lit(1)).as("nn"))
+      .localCheckpoint() // class-grid sized; reused by marginals + diag
+    val n = cells.agg(sum(col("nn")).as("n_rows"))
+    val ma = cells.groupBy("ra").agg(sum(col("nn")).as("na"))
+    val mb = cells.groupBy("rb").agg(sum(col("nn")).as("nb"))
+    val agree = cells.filter(col("ra") === col("rb"))
+      .agg(coalesce(sum(col("nn")), lit(0L)).as("n_agree"))
+    // chance-expected mass: sum over classes of na*nb — an ordered fold
+    // over the class-bounded marginal join (global window, declared in
+    // the board gate with the class-grid bound)
+    val pe2 = ma.join(mb, col("ra") === col("rb"))
+      .withColumn("cum", sum(col("na") * col("nb")).over(
+        W.orderBy(col("ra"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rnd", row_number().over(W.orderBy(col("ra").desc)))
+      .filter(col("rnd") === 1)
+      .select(col("cum").as("pe_num"))
+    n.crossJoin(agree).crossJoin(pe2)
+      .select(col("n_rows"),
+        round(col("n_agree").cast("double") / col("n_rows").cast("double"), 6)
+          .as("po"),
+        round(col("pe_num").cast("double") /
+          (col("n_rows") * col("n_rows")).cast("double"), 6).as("pe"),
+        round((col("n_agree").cast("double") / col("n_rows").cast("double") -
+          col("pe_num").cast("double") /
+            (col("n_rows") * col("n_rows")).cast("double")) /
+          (lit(1.0) - col("pe_num").cast("double") /
+            (col("n_rows") * col("n_rows")).cast("double")), 6).as("kappa"))
+  }
+
+  /** DuckDB oracle for [[cohensKappa]] — identical confusion counts and
+    * double tree. `base` yields columns ra, rb (pre-cast to VARCHAR). */
+  def cohensKappaSql(base: String): String =
+    s"WITH cells AS (SELECT ra, rb, CAST(count(*) AS BIGINT) AS nn FROM $base " +
+      "WHERE ra IS NOT NULL AND rb IS NOT NULL GROUP BY ra, rb), " +
+      "n AS (SELECT CAST(sum(nn) AS BIGINT) AS n_rows FROM cells), " +
+      "ma AS (SELECT ra, CAST(sum(nn) AS BIGINT) AS na FROM cells GROUP BY ra), " +
+      "mb AS (SELECT rb, CAST(sum(nn) AS BIGINT) AS nb FROM cells GROUP BY rb), " +
+      "ag AS (SELECT CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_agree " +
+      "FROM cells WHERE ra = rb), " +
+      "pe AS (SELECT cum AS pe_num FROM (SELECT " +
+      "sum(na * nb) OVER (ORDER BY ra " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (ORDER BY ra DESC) AS rnd " +
+      "FROM ma JOIN mb ON ra = rb) WHERE rnd = 1) " +
+      "SELECT n_rows, " +
+      "round(CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS po, " +
+      "round(CAST(pe_num AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE), 6) AS pe, " +
+      "round((CAST(n_agree AS DOUBLE) / CAST(n_rows AS DOUBLE) - " +
+      "CAST(pe_num AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE)) / " +
+      "(1.0 - CAST(pe_num AS DOUBLE) / CAST(n_rows * n_rows AS DOUBLE)), 6) " +
+      "AS kappa FROM n CROSS JOIN ag CROSS JOIN pe"
+
+  /** Population stability index per group between two populations — the
+    * model-monitoring drift gate next to [[ksDistance]]/Welch: banks'
+    * standard "has the score distribution shifted" number
+    * (PSI = sum (p - q) ln(p/q) over fixed bins; > 0.25 = major shift).
+    * `sideCol` must be 0/1 (reference vs current), `binCol` an exact
+    * integer bin (floor the metric upstream so both engines bin
+    * identically). Laplace-smoothed (+alpha per bin) so empty bins stay
+    * finite — the klDrift stance.
+    *
+    * Scale shape: ONE map-side-combined (group, bin, side) count over
+    * the corpus; the PSI fold runs on the bins-x-groups grid (bounded:
+    * `bins` is a declared constant). Ordered bin fold per group (the
+    * portable float reduction).
+    *
+    * Output: (group, n_ref, n_cur, psi). */
+  def psi(df: DataFrame, groupCol: String, binCol: String, sideCol: String,
+          bins: Int = 10, alpha: Double = 0.5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        least(greatest(col(binCol).cast("long"), lit(0L)), lit(bins - 1L))
+          .as("bin"),
+        col(sideCol).cast("long").as("side"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "bin")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("nc"))
+      .localCheckpoint() // grid-sized; reused by totals + the fold
+    val tot = counts.groupBy("grp")
+      .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+    // dense bin grid so empty bins contribute their smoothed cell
+    val grid = tot.crossJoin(broadcast(
+        counts.sparkSession.range(bins).select(col("id").as("bin"))))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+    val p = (col("nr").cast("double") + lit(alpha)) /
+      (col("n_ref").cast("double") + lit(alpha) * bins)
+    val q = (col("nc").cast("double") + lit(alpha)) /
+      (col("n_cur").cast("double") + lit(alpha) * bins)
+    val ord = W.partitionBy("grp").orderBy("bin")
+    grid.withColumn("cell", (p - q) * log(p / q))
+      .withColumn("cum", sum(col("cell")).over(
+        ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nb", count(lit(1)).over(W.partitionBy("grp")))
+      .filter(col("rn") === col("nb"))
+      .select(col("grp").as(groupCol), col("n_ref"), col("n_cur"),
+        round(col("cum"), 6).as("psi"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[psi]] — identical clamp, grid, smoothing and
+    * ordered fold. `base` yields grp, bin, side. */
+  def psiSql(base: String, bins: Int, alpha: Double): String =
+    s"WITH counts AS (SELECT grp, least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1}) AS bin, " +
+      "CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr, " +
+      "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc " +
+      s"FROM $base WHERE grp IS NOT NULL GROUP BY grp, " +
+      s"least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1})), " +
+      "tot AS (SELECT grp, CAST(sum(nr) AS BIGINT) AS n_ref, " +
+      "CAST(sum(nc) AS BIGINT) AS n_cur FROM counts GROUP BY grp), " +
+      s"grid AS (SELECT t.grp, t.n_ref, t.n_cur, b.bin, " +
+      "coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc FROM tot t " +
+      s"CROSS JOIN (SELECT unnest(range(0, $bins)) AS bin) b " +
+      "LEFT JOIN counts c ON t.grp = c.grp AND b.bin = c.bin), " +
+      "f AS (SELECT grp, n_ref, n_cur, " +
+      s"((CAST(nr AS DOUBLE) + $alpha) / (CAST(n_ref AS DOUBLE) + $alpha * $bins) - " +
+      s"(CAST(nc AS DOUBLE) + $alpha) / (CAST(n_cur AS DOUBLE) + $alpha * $bins)) * " +
+      s"ln(((CAST(nr AS DOUBLE) + $alpha) / (CAST(n_ref AS DOUBLE) + $alpha * $bins)) / " +
+      s"((CAST(nc AS DOUBLE) + $alpha) / (CAST(n_cur AS DOUBLE) + $alpha * $bins))) AS cell, " +
+      "sum(((CAST(nr AS DOUBLE) + " + s"$alpha) / (CAST(n_ref AS DOUBLE) + $alpha * $bins) - " +
+      s"(CAST(nc AS DOUBLE) + $alpha) / (CAST(n_cur AS DOUBLE) + $alpha * $bins)) * " +
+      s"ln(((CAST(nr AS DOUBLE) + $alpha) / (CAST(n_ref AS DOUBLE) + $alpha * $bins)) / " +
+      s"((CAST(nc AS DOUBLE) + $alpha) / (CAST(n_cur AS DOUBLE) + $alpha * $bins)))) " +
+      "OVER (PARTITION BY grp ORDER BY bin " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY bin) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS nb FROM grid) " +
+      "SELECT grp, n_ref, n_cur, round(cum, 6) AS psi FROM f " +
+      "WHERE rn = nb ORDER BY grp"
+
+  /** Grouped AUC over BUCKETED scores — the scalable exact form of the
+    * rank-sum AUC: scores discretize to `buckets` exact integer bins
+    * upstream (the clf-margin convention), per-(group, bucket) label
+    * counts map-side combine, and the AUC mid-rank fold runs on the
+    * bounded bucket grid — never a per-row global rank (a row-level
+    * rank needs a total sort per group, the funnel the bounded-window
+    * gate exists to kill). AUC of the bucketed score is EXACT for the
+    * bucketed metric: numerator 2*sum_b pos_b*(2*cumneg_<b + neg_b)
+    * stays integer, one division at the end.
+    *
+    * Output: (group, n_pos, n_neg, auc). Groups with no positives or no
+    * negatives drop (AUC undefined). */
+  def groupAuc(df: DataFrame, groupCol: String, bucketCol: String,
+               labelCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("grp"), col(bucketCol).cast("long").as("b"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "b")
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val ord = W.partitionBy("grp").orderBy("b")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    counts
+      .withColumn("cumn", sum(col("nn")).over(cum))
+      .withColumn("term", col("np") * (lit(2L) * (col("cumn") - col("nn")) + col("nn")))
+      .withColumn("num2", sum(col("term")).over(cum))
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nb", count(lit(1)).over(W.partitionBy("grp")))
+      .filter(col("rn") === col("nb") && col("tp") > 0 && col("cumn") > 0)
+      .select(col("grp").as(groupCol), col("tp").as("n_pos"),
+        col("cumn").as("n_neg"),
+        round(col("num2").cast("double") /
+          (lit(2.0) * col("tp").cast("double") * col("cumn").cast("double")), 6)
+          .as("auc"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[groupAuc]] — identical bucket counts and
+    * integer mid-rank fold. `base` yields grp, b, y. */
+  def groupAucSql(base: String): String =
+    s"WITH counts AS (SELECT grp, CAST(b AS BIGINT) AS b, " +
+      "CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn " +
+      s"FROM $base WHERE grp IS NOT NULL GROUP BY grp, CAST(b AS BIGINT)), " +
+      "c1 AS (SELECT grp, b, np, nn, " +
+      "CAST(sum(nn) OVER w AS BIGINT) AS cumn, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY b) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS nb FROM counts " +
+      "WINDOW w AS (PARTITION BY grp ORDER BY b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "f AS (SELECT grp, b, nn, cumn, rn, nb, " +
+      "CAST(sum(np * (2 * (cumn - nn) + nn)) OVER w2 AS BIGINT) AS num2, " +
+      "CAST(sum(np) OVER w2 AS BIGINT) AS tp FROM c1 " +
+      "WINDOW w2 AS (PARTITION BY grp ORDER BY b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT grp, tp AS n_pos, cumn AS n_neg, " +
+      "round(CAST(num2 AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) * " +
+      "CAST(cumn AS DOUBLE)), 6) AS auc FROM f " +
+      "WHERE rn = nb AND tp > 0 AND cumn > 0 ORDER BY grp"
+
+  /** Rank-biased overlap (Webber et al. 2010) between the top-`depth`
+    * rankings induced by two integer metrics — the ranking-similarity
+    * measure that weights the HEAD (p^(k-1) per depth k), where
+    * [[kendallTau]]-style measures weight all positions equally: the
+    * right question for "do my two retrieval scorings agree where it
+    * matters". Truncated form: RBO_d = (1-p) * sum_{k=1..d}
+    * p^(k-1) * |prefA_k ∩ prefB_k| / k.
+    *
+    * Exactness: both metrics must be exact integers (tie-broken by id),
+    * so ranks are deterministic; the per-depth intersection sizes are
+    * integers (for each id in both top-d frames, it enters every prefix
+    * k >= max(rankA, rankB) — counted per k on the d-bounded grid); the
+    * weighted fold runs ordered over k, round 6 absorbing pow's ulp.
+    *
+    * Scale shape: two top-d selections (TakeOrdered, never a full
+    * sort); everything downstream lives on the d-bounded grid. The
+    * global windows read <= d rows (declared in the board gate).
+    *
+    * Output: one row (depth, n_both, rbo). */
+  def rbo(df: DataFrame, idCol: String, metricA: Column, metricB: Column,
+          depth: Int = 20, p: Double = 0.9): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(depth >= 1 && depth <= 1024, "depth must be in [1, 1024]")
+    val base = df.select(col(idCol).as("id"),
+        metricA.cast("long").as("ma"), metricB.cast("long").as("mb"))
+      .localCheckpoint() // two top-d selections re-read it
+    def top(m: String) = base
+      .orderBy(col(m).desc, col("id")).limit(depth)
+      .withColumn("rank",
+        row_number().over(W.orderBy(col(m).desc, col("id"))))
+      .select(col("id"), col("rank"))
+    val joined = top("ma").withColumnRenamed("rank", "ra")
+      .join(top("mb").withColumnRenamed("rank", "rb"), Seq("id"))
+      .select(col("id"), greatest(col("ra"), col("rb")).as("maxr"))
+      .localCheckpoint() // <= depth rows; the k-grid re-reads it
+    val ks = base.sparkSession.range(1, depth + 1)
+      .select(col("id").cast("int").as("k"))
+    val grid = broadcast(ks).join(joined, col("maxr") <= col("k"), "left")
+      .groupBy("k").agg(count(col("id")).as("inter"))
+    val ord = W.orderBy(col("k"))
+    grid
+      .withColumn("term", pow(lit(p), col("k").cast("double") - 1.0) *
+        col("inter").cast("double") / col("k").cast("double"))
+      .withColumn("cum", sum(col("term")).over(
+        ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n_both", sum(when(col("k") === depth, col("inter"))
+        .otherwise(lit(0L))).over(
+        W.orderBy(col("k")).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("rnd", row_number().over(W.orderBy(col("k").desc)))
+      .filter(col("rnd") === 1)
+      .select(lit(depth.toLong).as("depth"), col("n_both"),
+        round(lit(1.0 - p) * col("cum"), 6).as("rbo"))
+  }
+
+  /** DuckDB oracle for [[rbo]] — identical top-d ranks, k-grid and
+    * weighted ordered fold. `base` yields id, ma, mb. */
+  def rboSql(base: String, depth: Int, p: Double): String =
+    s"WITH b AS (SELECT id, CAST(ma AS BIGINT) AS ma, CAST(mb AS BIGINT) AS mb FROM $base), " +
+      s"ta AS (SELECT id, row_number() OVER (ORDER BY ma DESC, id) AS ra " +
+      s"FROM (SELECT id, ma FROM b ORDER BY ma DESC, id LIMIT $depth)), " +
+      s"tb AS (SELECT id, row_number() OVER (ORDER BY mb DESC, id) AS rb " +
+      s"FROM (SELECT id, mb FROM b ORDER BY mb DESC, id LIMIT $depth)), " +
+      "j AS (SELECT ta.id, greatest(ra, rb) AS maxr FROM ta JOIN tb ON ta.id = tb.id), " +
+      s"ks AS (SELECT CAST(unnest(range(1, ${depth + 1})) AS INT) AS k), " +
+      "grid AS (SELECT k, CAST(count(j.id) AS BIGINT) AS inter FROM ks " +
+      "LEFT JOIN j ON j.maxr <= ks.k GROUP BY k), " +
+      "f AS (SELECT k, inter, " +
+      s"sum(pow($p, CAST(k AS DOUBLE) - 1.0) * CAST(inter AS DOUBLE) / CAST(k AS DOUBLE)) " +
+      "OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      s"CAST(sum(CASE WHEN k = $depth THEN inter ELSE 0 END) OVER () AS BIGINT) AS n_both, " +
+      "row_number() OVER (ORDER BY k DESC) AS rnd FROM grid) " +
+      s"SELECT CAST($depth AS BIGINT) AS depth, n_both, " +
+      s"round(${1.0 - p} * cum, 6) AS rbo FROM f WHERE rnd = 1"
+
+  /** Frequent triples with a-priori pruning (Agrawal & Srikant 1994) —
+    * [[marketBasket]]'s pair mining lifted one level: only pairs that
+    * are themselves frequent generate triple candidates, so the
+    * candidate join fans out on the FREQUENT-pair frame (tiny after
+    * `minCo` pruning), never on all item pairs. Candidate (a,b,c)
+    * counts by joining the frequent pair (a,b) with each basket's items
+    * c > b, then requires all three sub-pairs frequent (the a-priori
+    * closure) and support >= minCo.
+    *
+    * Scale shape: baskets dedup + cap exactly as marketBasket; the
+    * triple count joins (basket-item) x (frequent pairs per basket) —
+    * bounded by basket size x frequent-pair density. All counts
+    * integer-exact.
+    *
+    * Output: (item_a, item_b, item_c, n_co), a < b < c, support-ordered. */
+  def aprioriTriples(df: DataFrame, basketCol: String, itemCol: String,
+                     minCo: Long = 2, maxBasket: Int = 100,
+                     k: Int = 50): DataFrame = {
+    require(maxBasket >= 3, "maxBasket must be >= 3")
+    val items = df
+      .select(col(basketCol).as("bk"), col(itemCol).cast("long").as("it"))
+      .filter(col("bk").isNotNull && col("it").isNotNull).distinct()
+      .localCheckpoint()
+    val kept = items
+      .join(items.groupBy("bk").agg(count(lit(1)).as("bs"))
+        .filter(col("bs") <= maxBasket), Seq("bk"))
+      .select(col("bk"), col("it"))
+      .localCheckpoint()
+    val freqPairs = kept.as("x").join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("ia"), col("y.it").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCo)
+      .localCheckpoint() // tiny after pruning; reused 4x below
+    // per-basket frequent pairs -> extend with items c > b in the basket
+    val inBasket = kept.as("x").join(kept.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .select(col("x.bk").as("bk"), col("x.it").as("ia"), col("y.it").as("ib"))
+      .join(freqPairs.select("ia", "ib"), Seq("ia", "ib"), "left_semi")
+    val triples = inBasket
+      .join(kept.select(col("bk"), col("it").as("ic")), Seq("bk"))
+      .filter(col("ic") > col("ib"))
+      .groupBy(col("ia"), col("ib"), col("ic"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCo)
+    // a-priori closure: (a,c) and (b,c) must also be frequent
+    triples
+      .join(freqPairs.select(col("ia"), col("ib").as("ic")).distinct(),
+        Seq("ia", "ic"), "left_semi")
+      .join(freqPairs.select(col("ia").as("ib"), col("ib").as("ic")).distinct(),
+        Seq("ib", "ic"), "left_semi")
+      .select(col("ia").as("item_a"), col("ib").as("item_b"),
+        col("ic").as("item_c"), col("n_co"))
+      .orderBy(col("n_co").desc, col("item_a"), col("item_b"), col("item_c"))
+      .limit(k)
+  }
+
+  /** DuckDB oracle for [[aprioriTriples]] — identical dedup, cap,
+    * pruning and closure chain. `baskets` yields bk, it. */
+  def aprioriTriplesSql(baskets: String, minCo: Long, maxBasket: Int,
+                        k: Int): String =
+    s"WITH items AS (SELECT DISTINCT bk, CAST(it AS BIGINT) AS it FROM $baskets " +
+      "WHERE bk IS NOT NULL AND it IS NOT NULL), " +
+      "kept AS (SELECT items.bk, it FROM items JOIN " +
+      "(SELECT bk, count(*) AS bs FROM items GROUP BY bk) s " +
+      s"ON items.bk = s.bk WHERE s.bs <= $maxBasket), " +
+      "fp AS (SELECT x.it AS ia, y.it AS ib, CAST(count(*) AS BIGINT) AS n_ab " +
+      "FROM kept x JOIN kept y ON x.bk = y.bk AND x.it < y.it " +
+      s"GROUP BY x.it, y.it HAVING count(*) >= $minCo), " +
+      "ib2 AS (SELECT x.bk, x.it AS ia, y.it AS ib FROM kept x " +
+      "JOIN kept y ON x.bk = y.bk AND x.it < y.it " +
+      "JOIN fp ON x.it = fp.ia AND y.it = fp.ib), " +
+      "tri AS (SELECT ib2.ia, ib2.ib, z.it AS ic, CAST(count(*) AS BIGINT) AS n_co " +
+      "FROM ib2 JOIN kept z ON ib2.bk = z.bk AND z.it > ib2.ib " +
+      s"GROUP BY ib2.ia, ib2.ib, z.it HAVING count(*) >= $minCo) " +
+      "SELECT tri.ia AS item_a, tri.ib AS item_b, tri.ic AS item_c, n_co FROM tri " +
+      "WHERE EXISTS (SELECT 1 FROM fp WHERE fp.ia = tri.ia AND fp.ib = tri.ic) " +
+      "AND EXISTS (SELECT 1 FROM fp WHERE fp.ia = tri.ib AND fp.ib = tri.ic) " +
+      s"ORDER BY n_co DESC, item_a, item_b, item_c LIMIT $k"
 }

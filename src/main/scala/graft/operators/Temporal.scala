@@ -459,4 +459,112 @@ object Temporal {
       .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
         col("offset_days").cast("long").as("offset_days"), col("n_users"))
   }
+
+  /** OHLC resample bars — the finance-standard per-bar summary lifted
+    * to any metric stream: per (key, time bar) the first/last value in
+    * (ts, tie) order plus min/max/count. `tieCol` totalizes the within-
+    * bar order (the sessionize stance), so open/close are deterministic
+    * even with duplicate timestamps.
+    *
+    * Scale shape: one shuffle on (key, bar); the open/close election is
+    * two row_number windows INSIDE the (key, bar) partition (bounded by
+    * bar population, the goldenRecord convention) folded into the same
+    * aggregate pass — no joins, no global window. Values pass through
+    * exactly (min/max/first/last never rounds).
+    *
+    * Output: (key, bar, n_rows, open, high, low, close). */
+  def ohlcBars(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               valueCol: String, unit: String = "hour"): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      date_trunc(unit, col(tsCol)).as("bar"),
+      col(tsCol).as("ts"), col(tieCol).as("tie"), col(valueCol).as("v"))
+    val wa = Window.partitionBy(col("k"), col("bar"))
+      .orderBy(col("ts"), col("tie"))
+    val wd = Window.partitionBy(col("k"), col("bar"))
+      .orderBy(col("ts").desc, col("tie").desc)
+    base
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("k").as(keyCol), col("bar"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(when(col("rn_a") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(when(col("rn_d") === 1, col("v"))).as("close"))
+      .orderBy(keyCol, "bar")
+  }
+
+  /** DuckDB oracle for [[ohlcBars]] — identical truncation, election
+    * windows and aggregates. `base` yields k, ts, tie, v. */
+  def ohlcBarsSql(base: String, unit: String): String =
+    s"WITH b AS (SELECT k, date_trunc('$unit', ts) AS bar, ts, tie, v FROM $base), " +
+      "r AS (SELECT *, " +
+      "row_number() OVER (PARTITION BY k, bar ORDER BY ts, tie) AS rn_a, " +
+      "row_number() OVER (PARTITION BY k, bar ORDER BY ts DESC, tie DESC) AS rn_d " +
+      "FROM b) " +
+      "SELECT k, bar, CAST(count(*) AS BIGINT) AS n_rows, " +
+      "max(CASE WHEN rn_a = 1 THEN v END) AS open, " +
+      "max(v) AS high, min(v) AS low, " +
+      "max(CASE WHEN rn_d = 1 THEN v END) AS close " +
+      "FROM r GROUP BY k, bar ORDER BY k, bar"
+
+  /** Time-weighted average per key over an irregular sample stream —
+    * the correct mean for state metrics sampled at uneven intervals
+    * (a plain avg over-weights bursts): each sample's value holds until
+    * the NEXT sample, so it weighs its holding interval; the last
+    * sample carries no interval and drops from the numerator (the
+    * standard left-Riemann TWA).
+    *
+    * Exactness: intervals are exact integer MICROSECONDS; the weighted
+    * numerator folds in (ts, tie) order via the ordered-cumsum-take-last
+    * reduction (the portable float fold), so the double sum order is
+    * pinned on both engines. Output rounds 6.
+    *
+    * Scale shape: one shuffle on the key; lead + ordered fold inside
+    * the per-key window (the moving_avg convention).
+    *
+    * Output: (key, n_samples, span_us, twa). Keys with one sample drop
+    * (no interval). */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, valueCol: String): DataFrame = {
+    // cast("timestamp"): raw-parquet TIMESTAMP_NTZ columns must coerce
+    // before unix_micros (session TZ is pinned UTC, so the cast is exact)
+    val base = df.select(col(keyCol).as("k"),
+      col(tsCol).cast("timestamp").as("ts"),
+      col(tieCol).as("tie"), col(valueCol).cast("double").as("v"))
+    val ord = Window.partitionBy(col("k")).orderBy(col("ts"), col("tie"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    base
+      .withColumn("dt", lead(us, 1).over(ord) - us)
+      .withColumn("wv", when(col("dt").isNotNull,
+        col("v") * col("dt").cast("double")).otherwise(lit(0.0)))
+      .withColumn("cum_wv", sum(col("wv")).over(cum))
+      .withColumn("cum_dt", sum(coalesce(col("dt"), lit(0L))).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === col("nc") && col("cum_dt") > 0)
+      .select(col("k").as(keyCol), col("nc").as("n_samples"),
+        col("cum_dt").as("span_us"),
+        round(col("cum_wv") / col("cum_dt").cast("double"), 6).as("twa"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle for [[timeWeightedAvg]] — identical lead, interval
+    * weights and ordered fold. `base` yields k, ts, tie, v. */
+  def timeWeightedAvgSql(base: String): String =
+    s"WITH b AS (SELECT k, ts, tie, CAST(v AS DOUBLE) AS v FROM $base), " +
+      "d AS (SELECT *, epoch_us(lead(ts) OVER w - ts) AS dt " +
+      "FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, tie)), " +
+      "f AS (SELECT k, " +
+      "sum(CASE WHEN dt IS NOT NULL THEN v * CAST(dt AS DOUBLE) ELSE 0.0 END) " +
+      "OVER w2 AS cum_wv, " +
+      "CAST(sum(coalesce(dt, 0)) OVER w2 AS BIGINT) AS cum_dt, " +
+      "row_number() OVER (PARTITION BY k ORDER BY ts, tie) AS rn, " +
+      "count(*) OVER (PARTITION BY k) AS nc FROM d " +
+      "WINDOW w2 AS (PARTITION BY k ORDER BY ts, tie " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT k, CAST(nc AS BIGINT) AS n_samples, cum_dt AS span_us, " +
+      "round(cum_wv / CAST(cum_dt AS DOUBLE), 6) AS twa " +
+      "FROM f WHERE rn = nc AND cum_dt > 0 ORDER BY k"
 }

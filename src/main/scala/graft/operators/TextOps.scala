@@ -2022,4 +2022,110 @@ object TextOps {
       "CAST(cum_lab AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS gap " +
       "FROM f WHERE rn = nc ORDER BY bin"
   }
+
+  /** Jensen-Shannon divergence per group against the corpus — the
+    * SYMMETRIC, bounded (<= ln 2) sibling of [[klDrift]]: KL explodes
+    * when a group has mass where the corpus is thin (good alarm, bad
+    * dashboard number); JSD = 0.5 KL(P||M) + 0.5 KL(Q||M) with
+    * M = (P+Q)/2 stays finite and comparable across groups — the mix
+    * designer's drift score. Identical smoothed top-V + other-bucket
+    * grid as klDrift (same counts frame shape, same ordered fold), so
+    * the two drift scores are computed over the same vocabulary slice
+    * and can sit side by side.
+    *
+    * Output: (group, n_tokens, jsd_nats). */
+  def jsDrift(df: DataFrame, groupCol: String, textCol: String,
+              topV: Int = 200, alpha: Double = 0.5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val gCnt = toks.groupBy("grp", "term").agg(count(lit(1)).as("gc"))
+      .localCheckpoint()
+    val cnt = gCnt.groupBy("term").agg(sum(col("gc")).as("c"))
+      .localCheckpoint()
+    val top = cnt.orderBy(col("c").desc, col("term")).limit(topV)
+      .withColumn("rank",
+        row_number().over(W.orderBy(col("c").desc, col("term"))))
+      .localCheckpoint()
+    val consts = top.agg(count(lit(1)).as("vn"), sum(col("c")).as("topc"))
+      .crossJoin(cnt.agg(sum(col("c")).as("bign")))
+      .localCheckpoint()
+    val gTot = gCnt.groupBy("grp").agg(sum(col("gc")).as("n_tokens"))
+    val grid = gTot.crossJoin(broadcast(top))
+      .join(gCnt, Seq("grp", "term"), "left")
+      .na.fill(0L, Seq("gc"))
+    val gTop = grid.groupBy("grp").agg(sum(col("gc")).as("gtopc"))
+    val other = gTot.join(gTop, "grp")
+      .crossJoin(broadcast(consts))
+      .select(col("grp"), col("n_tokens"),
+        (col("vn") + 1).cast("int").as("rank"),
+        (col("n_tokens") - col("gtopc")).as("gc"),
+        (col("bign") - col("topc")).as("c"))
+    val cells = grid.select(col("grp"), col("n_tokens"), col("rank"),
+        col("gc"), col("c"))
+      .unionByName(other)
+      .crossJoin(broadcast(consts.select(col("vn"), col("bign"))))
+    val vp1 = (col("vn") + 1).cast("double")
+    val p = (col("gc").cast("double") + lit(alpha)) /
+      (col("n_tokens").cast("double") + lit(alpha) * vp1)
+    val q = (col("c").cast("double") + lit(alpha)) /
+      (col("bign").cast("double") + lit(alpha) * vp1)
+    val m = (p + q) / lit(2.0)
+    val ord = W.partitionBy("grp").orderBy("rank")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    cells.withColumn("cell",
+        lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m))
+      .withColumn("cum", sum(col("cell")).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nc", count(lit(1)).over(W.partitionBy("grp")))
+      .filter(col("rn") === col("nc"))
+      .select(col("grp").as(groupCol), col("n_tokens"),
+        round(col("cum"), 6).as("jsd_nats"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[jsDrift]] — the [[klDriftSql]] chain with the
+    * JSD cell. */
+  def jsDriftSql(groupCol: String, topV: Int, alpha: Double): String = {
+    val toks = graft.functions.TextFunctions.tokensSql("text")
+    val p = s"((CAST(gc AS DOUBLE) + $alpha) / " +
+      s"(CAST(n_tokens AS DOUBLE) + $alpha * (vn + 1)))"
+    val q = s"((CAST(c AS DOUBLE) + $alpha) / " +
+      s"(CAST(bign AS DOUBLE) + $alpha * (vn + 1)))"
+    val m = s"(($p + $q) / 2.0)"
+    val cell = s"(0.5 * $p * ln($p / $m) + 0.5 * $q * ln($q / $m))"
+    s"WITH toks AS (SELECT $groupCol AS grp, unnest($toks) AS term " +
+      s"FROM documents WHERE $groupCol IS NOT NULL), " +
+      "gcnt AS (SELECT grp, term, CAST(count(*) AS BIGINT) AS gc " +
+      "FROM toks GROUP BY grp, term), " +
+      "cnt AS (SELECT term, CAST(sum(gc) AS BIGINT) AS c FROM gcnt GROUP BY term), " +
+      s"top AS (SELECT term, c, row_number() OVER (ORDER BY c DESC, term) AS rank " +
+      s"FROM (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT $topV)), " +
+      "consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM top) AS vn, " +
+      "(SELECT CAST(sum(c) AS BIGINT) FROM top) AS topc, " +
+      "(SELECT CAST(sum(c) AS BIGINT) FROM cnt) AS bign), " +
+      "gtot AS (SELECT grp, CAST(sum(gc) AS BIGINT) AS n_tokens " +
+      "FROM gcnt GROUP BY grp), " +
+      "grid AS (SELECT gtot.grp, gtot.n_tokens, top.rank, " +
+      "coalesce(g.gc, 0) AS gc, top.c FROM gtot CROSS JOIN top " +
+      "LEFT JOIN gcnt g ON gtot.grp = g.grp AND top.term = g.term), " +
+      "gtop AS (SELECT grp, CAST(sum(gc) AS BIGINT) AS gtopc " +
+      "FROM grid GROUP BY grp), " +
+      "oth AS (SELECT gtot.grp, gtot.n_tokens, " +
+      "CAST(consts.vn + 1 AS INT) AS rank, " +
+      "gtot.n_tokens - gtop.gtopc AS gc, consts.bign - consts.topc AS c " +
+      "FROM gtot JOIN gtop ON gtot.grp = gtop.grp CROSS JOIN consts), " +
+      "cells AS (SELECT grp, n_tokens, rank, gc, c, vn, bign FROM " +
+      "(SELECT grp, n_tokens, rank, gc, c FROM grid " +
+      "UNION ALL BY NAME SELECT grp, n_tokens, rank, gc, c FROM oth) u " +
+      "CROSS JOIN (SELECT vn, bign FROM consts) k), " +
+      s"f AS (SELECT grp, n_tokens, $cell AS cell, " +
+      s"sum($cell) OVER (PARTITION BY grp ORDER BY rank " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY rank) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS nc FROM cells) " +
+      s"SELECT grp AS $groupCol, n_tokens, round(cum, 6) AS jsd_nats " +
+      "FROM f WHERE rn = nc ORDER BY grp"
+  }
 }

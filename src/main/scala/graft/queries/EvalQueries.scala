@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, StatsOps, Temporal, TextOps}
+
+/** SURVEY §2 r10 additions — evaluation/agreement/drift operators plus
+  * the prefix-filtered overlap join: the measurement layer a curation
+  * pipeline runs AFTER its gates (did the judges agree, did the
+  * distribution drift, do two rankings tell the same story) and the
+  * scale-correct candidate policy the sf1 audit asked for. Same oracle
+  * conventions as every other module: exact integer frames wherever
+  * possible, ordered float folds, aliases matched on both faces,
+  * deterministic ORDER BY.
+  */
+object EvalQueries {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  val defs: Seq[Q] = Seq(
+
+    // Cohen's kappa between the classifier gate and the rule gate — the
+    // chance-corrected agreement summary next to q_clf_calibration's
+    // reliability table (ECE says WHERE they disagree; kappa says
+    // whether agreement beats chance at all).
+    Q("q_cohens_kappa",
+      (s, d) => {
+        val dd = docs(s, d)
+        val m = TextOps.clfMarginFilter(dd, "doc_id", "text")
+          .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("ka"))
+        val g = TextOps.gopherRules(dd, "doc_id", "text")
+          .select(col("doc_id"), when(col("pass"), 1L).otherwise(0L).as("kb"))
+        StatsOps.cohensKappa(m.join(g, Seq("doc_id")), "ka", "kb")
+      },
+      Some {
+        val codes = graft.functions.TextFunctions.tokenCodesSql("text")
+        val toks = graft.functions.TextFunctions.tokensSql("text")
+        StatsOps.cohensKappaSql(
+          "(SELECT CAST(CASE WHEN m.margin > 0 THEN 1 ELSE 0 END AS VARCHAR) AS ra, " +
+            "CAST(lab.rb AS VARCHAR) AS rb FROM " +
+            s"(SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+            "(acc, c) -> acc + ((c % 64) * 2654435761 % 1999 - 999)) AS margin " +
+            "FROM documents) m JOIN " +
+            s"(SELECT doc_id, CASE WHEN (n_tok >= 20 AND n_tok <= 80) AND " +
+            "(3 * n_tok <= ntc AND ntc <= 10 * n_tok) AND (nstop >= 2) AND " +
+            "(100 * maxtf <= 15 * n_tok) THEN 1 ELSE 0 END AS rb FROM " +
+            s"(SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok, " +
+            s"CAST(len(list_filter($toks, t -> t IN ('the', 'a'))) AS BIGINT) AS nstop, " +
+            s"CAST(list_max(list_transform(list_distinct($toks), " +
+            s"t -> len(list_filter($toks, x -> x = t)))) AS BIGINT) AS maxtf, " +
+            s"CAST(length(text) AS BIGINT) - (CAST(len($toks) AS BIGINT) - 1) AS ntc " +
+            "FROM documents) g) lab ON m.doc_id = lab.doc_id)")
+      }),
+
+    // PSI per event type between the two user-parity populations over
+    // fixed value-50 bins — the model-monitoring drift number next to
+    // KS (anywhere-different) and Welch (mean-moved).
+    Q("q_psi",
+      (s, d) => StatsOps.psi(
+        ev(s, d).select(col("event_type").as("grp"),
+          floor(col("value") / 50.0).cast("long").as("bin"),
+          (col("user_id") % 2).as("side")),
+        "grp", "bin", "side", bins = 10)
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, n_ref, n_cur, psi FROM (" +
+        StatsOps.psiSql(
+          "(SELECT event_type AS grp, CAST(floor(value / 50.0) AS BIGINT) AS bin, " +
+            "user_id % 2 AS side FROM events)",
+          bins = 10, alpha = 0.5) + ") z ORDER BY event_type")),
+
+    // Grouped AUC of the value score predicting the user-cohort label
+    // over 64 exact buckets — the rank-sum AUC in its scalable bucketed
+    // form (mid-rank fold on the bounded bucket grid, never a per-row
+    // global rank).
+    Q("q_group_auc",
+      (s, d) => StatsOps.groupAuc(
+        ev(s, d).select(col("event_type").as("grp"),
+          least(floor(col("value") * 64.0 / 500.0), lit(63.0)).cast("long").as("b"),
+          when(col("user_id") % 5 === 0, 1L).otherwise(0L).as("y")),
+        "grp", "b", "y")
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, n_pos, n_neg, auc FROM (" +
+        StatsOps.groupAucSql(
+          "(SELECT event_type AS grp, " +
+            "CAST(least(floor(value * 64.0 / 500.0), 63.0) AS BIGINT) AS b, " +
+            "CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS y FROM events)") +
+        ") z ORDER BY event_type")),
+
+    // Rank-biased overlap between the top-20 users by event count and
+    // by total floor(value) — do the two engagement rankings agree at
+    // the head, head-weighted (p = 0.9).
+    Q("q_rbo",
+      (s, d) => StatsOps.rbo(
+        ev(s, d).groupBy(col("user_id").as("id"))
+          .agg(count(lit(1)).as("ma"),
+            sum(floor(col("value")).cast("long")).as("mb")),
+        "id", col("ma"), col("mb"), depth = 20, p = 0.9),
+      Some(StatsOps.rboSql(
+        "(SELECT user_id AS id, CAST(count(*) AS BIGINT) AS ma, " +
+          "CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS mb " +
+          "FROM events GROUP BY user_id)",
+        depth = 20, p = 0.9))),
+
+    // Frequent part triples per order with a-priori pruning — the
+    // market-basket pair mining lifted one level.
+    Q("q_apriori_triples",
+      (s, d) => StatsOps.aprioriTriples(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("bk"), (col("l_partkey") % 40).as("it")),
+        "bk", "it", minCo = 3, maxBasket = 100, k = 30),
+      Some(StatsOps.aprioriTriplesSql(
+        "(SELECT l_orderkey AS bk, l_partkey % 40 AS it FROM lineitem)",
+        minCo = 3, maxBasket = 100, k = 30))),
+
+    // Jensen-Shannon drift per source vs the corpus — klDrift's
+    // symmetric, bounded sibling over the identical top-V grid.
+    Q("q_js_drift",
+      (s, d) => TextOps.jsDrift(docs(s, d), "source", "text"),
+      Some(TextOps.jsDriftSql("source", topV = 200, alpha = 0.5))),
+
+    // Hourly OHLC bars per event type — first/last/min/max value in
+    // (ts, event_id) order.
+    Q("q_ohlc_bars",
+      (s, d) => Temporal.ohlcBars(ev(s, d), "event_type", "ts", "event_id",
+        "value", unit = "hour"),
+      Some("SELECT k AS event_type, bar, n_rows, open, high, low, close FROM (" +
+        Temporal.ohlcBarsSql(
+          "(SELECT event_type AS k, ts, event_id AS tie, value AS v FROM events)",
+          unit = "hour") + ") z ORDER BY event_type, bar")),
+
+    // Time-weighted average value per event type — the correct mean for
+    // irregular sampling (left-Riemann holding intervals in exact
+    // microseconds, ordered fold).
+    Q("q_twa",
+      (s, d) => Temporal.timeWeightedAvg(ev(s, d), "event_type", "ts",
+        "event_id", "value"),
+      Some("SELECT k AS event_type, n_samples, span_us, twa FROM (" +
+        Temporal.timeWeightedAvgSql(
+          "(SELECT event_type AS k, ts, event_id AS tie, value AS v FROM events)") +
+        ") z ORDER BY event_type")),
+
+    // Lossless prefix-filtered overlap join: same-source pairs with
+    // max containment >= 1/4, via rare-gram prefix postings instead of
+    // the group-quadratic pair set (the sf1 audit's q_containment fix,
+    // losslessness hash-proven by the quadratic oracle).
+    Q("q_overlap_join",
+      (s, d) => Dedup.overlapPrefixJoin(docs(s, d), "doc_id", "text",
+          "source", alphaNum = 1, alphaDen = 4)
+        .orderBy("a", "b"),
+      Some {
+        val toks = graft.functions.TextFunctions.tokensSql("text")
+        val grams = s"list_distinct(${graft.functions.TextFunctions.bigramsSql(toks)})"
+        Dedup.overlapPrefixJoinSql("documents", "doc_id", "source",
+          grams, alphaNum = 1, alphaDen = 4) + " ORDER BY a, b"
+      })
+  )
+}

@@ -800,6 +800,88 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(cc).count() > 0)
   }
 
+  test("cli kappa/psi/auc/rbo/apriori/jsdrift/ohlc/twa/overlapjoin wire end-to-end (r10)") {
+    import spark.implicits._
+    val ev = s"$sfDir/events.parquet"
+    val docs = s"$sfDir/documents.parquet"
+
+    val rates = tmp() + "/rates"
+    Seq((1L, 1L), (1L, 1L), (0L, 0L), (1L, 0L)).toDF("a", "b")
+      .write.parquet(rates)
+    val ka = tmp() + "/kappa"
+    Cli.run(spark, "kappa", Map("input" -> rates, "output" -> ka,
+      "a" -> "a", "b" -> "b"))
+    val kaGot = spark.read.parquet(ka).collect()(0)
+    assert(kaGot.getAs[Long]("n_rows") === 4L)
+
+    val psin = tmp() + "/psiin"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("grp"),
+        floor(col("value") / 50.0).cast("long").as("bin"),
+        (col("user_id") % 2).as("side"))
+      .write.parquet(psin)
+    val ps = tmp() + "/psi"
+    Cli.run(spark, "psi", Map("input" -> psin, "output" -> ps))
+    assert(spark.read.parquet(ps).columns.contains("psi"))
+
+    val aucin = tmp() + "/aucin"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("grp"),
+        least(floor(col("value") / 10.0), lit(63.0)).cast("long").as("b"),
+        when(col("user_id") % 5 === 0, 1L).otherwise(0L).as("y"))
+      .write.parquet(aucin)
+    val au = tmp() + "/auc"
+    Cli.run(spark, "auc", Map("input" -> aucin, "output" -> au))
+    val auGot = spark.read.parquet(au)
+    assert(auGot.columns.contains("auc") && auGot.count() > 0)
+
+    val rboin = tmp() + "/rboin"
+    Tables.load(spark, sfDir, "events")
+      .groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("ma"), sum(floor(col("value")).cast("long")).as("mb"))
+      .write.parquet(rboin)
+    val rb = tmp() + "/rbo"
+    Cli.run(spark, "rbo", Map("input" -> rboin, "output" -> rb))
+    val rbGot = spark.read.parquet(rb).collect()(0)
+    assert(rbGot.getAs[Double]("rbo") >= 0.0 && rbGot.getAs[Double]("rbo") <= 1.0)
+
+    val bsk = tmp() + "/bsk"
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("bk"), (col("l_partkey") % 40).as("it"))
+      .write.parquet(bsk)
+    val ap = tmp() + "/apriori"
+    Cli.run(spark, "apriori", Map("input" -> bsk, "output" -> ap,
+      "min-co" -> "3", "k" -> "10"))
+    val apGot = spark.read.parquet(ap)
+    assert(apGot.columns.toSet ===
+      Set("item_a", "item_b", "item_c", "n_co"))
+
+    val js = tmp() + "/jsd"
+    Cli.run(spark, "jsdrift", Map("input" -> docs, "output" -> js))
+    val jsGot = spark.read.parquet(js)
+    assert(jsGot.columns.contains("jsd_nats"))
+    // JSD is bounded by ln 2
+    assert(jsGot.agg(max(col("jsd_nats"))).head.getDouble(0) <= 0.6932)
+
+    val oh = tmp() + "/ohlc"
+    Cli.run(spark, "ohlc", Map("input" -> ev, "output" -> oh))
+    val ohGot = spark.read.parquet(oh)
+    assert(ohGot.columns.toSet ===
+      Set("event_type", "bar", "n_rows", "open", "high", "low", "close"))
+    assert(ohGot.filter(col("high") < col("low")).count() === 0)
+
+    val tw = tmp() + "/twa"
+    Cli.run(spark, "twa", Map("input" -> ev, "output" -> tw))
+    assert(spark.read.parquet(tw).columns.contains("twa"))
+
+    val ov = tmp() + "/ovj"
+    Cli.run(spark, "overlapjoin", Map("input" -> docs, "output" -> ov))
+    val ovGot = spark.read.parquet(ov)
+    assert(ovGot.columns.toSet ===
+      Set("a", "b", "n_inter", "na", "nb", "cmax"))
+    assert(ovGot.filter(col("cmax") < 0.25).count() === 0)
+  }
+
   test("cli kcore/bfs/dbscan DEFAULT to the exact fixpoint forms (diameter > 4)") {
     import spark.implicits._
     // 14-node chain: diameter 13 >> the 4 fixed rounds, so the truncated
