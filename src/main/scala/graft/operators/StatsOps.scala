@@ -2031,14 +2031,29 @@ object StatsOps {
     * Output: (group, n_pos, n_neg, auc). Groups with no positives or no
     * negatives drop (AUC undefined). */
   def groupAuc(df: DataFrame, groupCol: String, bucketCol: String,
-               labelCol: String): DataFrame = {
+               labelCol: String): DataFrame =
+    aucFromCounts(aucCounts(df, groupCol, bucketCol, labelCol), groupCol)
+
+  /** The mergeable half of [[groupAuc]]: per-(group, bucket) label
+    * counts. Cell-wise ADDITION merges two count frames, so a stream
+    * can fold batches into this state and read the AUC off the snapshot
+    * at any time ([[aucFromCounts]]) — the cms/hll mergeable-state
+    * convention. */
+  def aucCounts(df: DataFrame, groupCol: String, bucketCol: String,
+                labelCol: String): DataFrame = df
+    .select(col(groupCol).as("grp"), col(bucketCol).cast("long").as("b"),
+      col(labelCol).cast("long").as("y"))
+    .filter(col("grp").isNotNull)
+    .groupBy("grp", "b")
+    .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+
+  /** The fold half of [[groupAuc]]: the exact mid-rank AUC off a
+    * (grp, b, np, nn) count frame (pre-summed duplicates allowed —
+    * they re-collapse here). */
+  def aucFromCounts(counts0: DataFrame, groupCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val counts = df
-      .select(col(groupCol).as("grp"), col(bucketCol).cast("long").as("b"),
-        col(labelCol).cast("long").as("y"))
-      .filter(col("grp").isNotNull)
-      .groupBy("grp", "b")
-      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val counts = counts0.groupBy("grp", "b")
+      .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"))
     val ord = W.partitionBy("grp").orderBy("b")
     val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
     counts

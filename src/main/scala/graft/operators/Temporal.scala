@@ -567,4 +567,61 @@ object Temporal {
       "SELECT k, CAST(nc AS BIGINT) AS n_samples, cum_dt AS span_us, " +
       "round(cum_wv / CAST(cum_dt AS DOUBLE), 6) AS twa " +
       "FROM f WHERE rn = nc AND cum_dt > 0 ORDER BY k"
+
+  /** The MERGEABLE state form of [[ohlcBars]]: per (key, bar) the bar
+    * summary PLUS its open/close election keys (exact microseconds +
+    * tie), so two state frames — e.g. a persisted snapshot and a new
+    * micro-batch — merge exactly with [[ohlcMerge]]: count adds,
+    * high/low max/min, open/close re-elect on the carried keys. Folding
+    * batches through merge equals [[ohlcBars]] over the union
+    * (spec-proven) — OHLC is a mergeable aggregate, which is what makes
+    * the streaming sibling a fixed-size-state fold. */
+  def ohlcState(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                valueCol: String, unit: String = "hour"): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      date_trunc(unit, col(tsCol)).as("bar"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"),
+      col(tieCol).as("tie"), col(valueCol).as("v"))
+    val wa = Window.partitionBy(col("k"), col("bar"))
+      .orderBy(col("us"), col("tie"))
+    val wd = Window.partitionBy(col("k"), col("bar"))
+      .orderBy(col("us").desc, col("tie").desc)
+    base
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("k"), col("bar"))
+      .agg(count(lit(1)).as("n_rows"),
+        max(when(col("rn_a") === 1, col("us"))).as("o_us"),
+        max(when(col("rn_a") === 1, col("tie"))).as("o_tie"),
+        max(when(col("rn_a") === 1, col("v"))).as("open"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        max(when(col("rn_d") === 1, col("us"))).as("c_us"),
+        max(when(col("rn_d") === 1, col("tie"))).as("c_tie"),
+        max(when(col("rn_d") === 1, col("v"))).as("close"))
+  }
+
+  /** Merge any number of [[ohlcState]] frames (unioned into `states`):
+    * per (key, bar) the counts add, high/low fold, and open/close
+    * re-elect on the carried (us, tie) keys — associative and
+    * commutative, the cms/hll mergeable-state convention. */
+  def ohlcMerge(states: DataFrame): DataFrame = {
+    val wa = Window.partitionBy(col("k"), col("bar"))
+      .orderBy(col("o_us"), col("o_tie"))
+    val wd = Window.partitionBy(col("k"), col("bar"))
+      .orderBy(col("c_us").desc, col("c_tie").desc)
+    states
+      .withColumn("rn_a", row_number().over(wa))
+      .withColumn("rn_d", row_number().over(wd))
+      .groupBy(col("k"), col("bar"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        max(when(col("rn_a") === 1, col("o_us"))).as("o_us"),
+        max(when(col("rn_a") === 1, col("o_tie"))).as("o_tie"),
+        max(when(col("rn_a") === 1, col("open"))).as("open"),
+        max(col("high")).as("high"),
+        min(col("low")).as("low"),
+        max(when(col("rn_d") === 1, col("c_us"))).as("c_us"),
+        max(when(col("rn_d") === 1, col("c_tie"))).as("c_tie"),
+        max(when(col("rn_d") === 1, col("close"))).as("close"))
+  }
 }

@@ -676,4 +676,97 @@ object EventStreams {
           out.result().iterator
       }
   }
+
+  /** Streaming PSI monitor (stream_psi): per micro-batch, the exact
+    * population stability index of the batch's bin distribution against
+    * a fixed REFERENCE frame, appended as a (grp, n_ref, n_cur, psi,
+    * batch_id) time series — the model-monitoring sibling of
+    * [[driftMonitor]] (KS asks "different anywhere"; PSI is the banded
+    * industry drift number with its 0.1/0.25 conventions). Pure
+    * composition: each micro-batch runs the SAME
+    * [[graft.operators.StatsOps.psi]] plan as the batch query (one
+    * definition of drift). Idempotent per batch via dynamic partition
+    * overwrite on batch_id (the driftMonitor fix's pattern). */
+  def psiMonitor(stream: DataFrame, reference: DataFrame, groupCol: String,
+                 binCol: String, outDir: String, checkpointDir: String,
+                 bins: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.select(col(groupCol).as("grp"),
+      col(binCol).cast("long").as("bin"), lit(0L).as("side"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writePsiBatch(batch, ref, groupCol, binCol, bins, id, outDir)
+      }
+      .start()
+  }
+
+  /** One PSI-monitor micro-batch — factored out so replay idempotence is
+    * spec-testable without a crash harness (the writeDriftBatch twin). */
+  private[graft] def writePsiBatch(batch: Dataset[org.apache.spark.sql.Row],
+                                   taggedRef: DataFrame, groupCol: String,
+                                   binCol: String, bins: Int, id: Long,
+                                   outDir: String): Unit = {
+    val tagged = batch.select(col(groupCol).as("grp"),
+        col(binCol).cast("long").as("bin"), lit(1L).as("side"))
+      .unionByName(taggedRef)
+    graft.operators.StatsOps.psi(tagged, "grp", "bin", "side", bins)
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
+  /** Streaming OHLC bars (stream_ohlc): each micro-batch collapses to
+    * its per-(key, bar) [[graft.operators.Temporal.ohlcState]] rows —
+    * the bar summary PLUS open/close election keys — and merges into
+    * the persisted bar state via [[graft.operators.Temporal.ohlcMerge]]
+    * (counts add, high/low fold, open/close re-elect on the carried
+    * exact keys). OHLC is a MERGEABLE aggregate, so the folded state
+    * equals the batch bars over the union of all batches (spec-proven)
+    * and state stays bar-count-bounded forever — the live price/metric
+    * bar feed. Durability is the shared snapshot-then-swap fold. */
+  def ohlcStream(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, stateDir: String,
+                 checkpointDir: String, unit: String = "hour")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(events, stateDir, checkpointDir) { (base, batch, _) =>
+      val stateCols = Set("k", "bar", "n_rows", "o_us", "o_tie", "open",
+        "high", "low", "c_us", "c_tie", "close")
+      val baseState =
+        if (stateCols.subsetOf(base.columns.toSet))
+          base.select(stateCols.toSeq.sorted.map(col): _*)
+        else graft.operators.Temporal.ohlcState(base, keyCol, tsCol,
+          tieCol, valueCol, unit)
+            .select(stateCols.toSeq.sorted.map(col): _*)
+      graft.operators.Temporal.ohlcMerge(
+        graft.operators.Temporal.ohlcState(batch, keyCol, tsCol, tieCol,
+          valueCol, unit)
+          .select(stateCols.toSeq.sorted.map(col): _*)
+          .unionByName(baseState))
+    }
+
+  /** Streaming grouped AUC (stream_auc): each micro-batch collapses to
+    * its (grp, b, np, nn) label counts ([[graft.operators.StatsOps
+    * .aucCounts]] — the SAME geometry as the batch metric) and ADDS into
+    * the persisted count state; the exact mid-rank AUC reads off the
+    * snapshot at any time with [[graft.operators.StatsOps
+    * .aucFromCounts]]. Cell-wise addition is associative/commutative, so
+    * the folded state equals the batch counts over the union of all
+    * batches (spec-proven) and state stays (groups x buckets)-bounded —
+    * the live model-quality monitor next to stream_psi's drift feed. */
+  def aucStream(scored: DataFrame, groupCol: String, bucketCol: String,
+                labelCol: String, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(scored, stateDir, checkpointDir) { (base, batch, _) =>
+      val baseCounts =
+        if (Set("grp", "b", "np", "nn").subsetOf(base.columns.toSet))
+          base.select(col("grp"), col("b"), col("np"), col("nn"))
+        else graft.operators.StatsOps.aucCounts(base, groupCol, bucketCol, labelCol)
+      graft.operators.StatsOps.aucCounts(batch, groupCol, bucketCol, labelCol)
+        .unionByName(baseCounts)
+        .groupBy("grp", "b")
+        .agg(sum(col("np")).as("np"), sum(col("nn")).as("nn"))
+    }
 }

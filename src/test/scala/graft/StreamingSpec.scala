@@ -852,4 +852,97 @@ class StreamingSpec extends SparkSpec {
       assert(dup === 0L)
     } finally q.stop()
   }
+
+  test("foreachBatch OHLC state equals the batch bars over the union (r10)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc").toString
+    val input = MemoryStream[(String, Timestamp, Long, Double)]
+    val q = EventStreams.ohlcStream(
+      input.toDF().toDF("k", "ts", "tie", "v"),
+      "k", "ts", "tie", "v", s"$dir/state", s"$dir/ckpt")
+    def ts(s: String) = Timestamp.valueOf(s)
+    // batch 2 contains an EARLIER row for g's 05:00 bar than batch 1
+    // (late data) — the merge must re-elect the open across batches
+    val b1 = Seq(("g", ts("2020-01-01 05:30:00"), 10L, 50.0),
+      ("g", ts("2020-01-01 05:40:00"), 11L, 70.0),
+      ("h", ts("2020-01-01 06:10:00"), 12L, 5.0))
+    val b2 = Seq(("g", ts("2020-01-01 05:10:00"), 13L, 30.0),
+      ("g", ts("2020-01-01 05:50:00"), 14L, 20.0))
+    def stateBars(): Map[(String, Timestamp), (Long, Double, Double, Double, Double)] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Timestamp]("bar")) ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Double]("open"),
+            r.getAs[Double]("high"), r.getAs[Double]("low"),
+            r.getAs[Double]("close")))).toMap
+    def batchBars(rows: Seq[(String, Timestamp, Long, Double)]) =
+      graft.operators.Temporal.ohlcBars(
+          rows.toDF("k", "ts", "tie", "v"), "k", "ts", "tie", "v")
+        .collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Timestamp]("bar")) ->
+          ((r.getAs[Long]("n_rows"), r.getAs[Double]("open"),
+            r.getAs[Double]("high"), r.getAs[Double]("low"),
+            r.getAs[Double]("close")))).toMap
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(stateBars() === batchBars(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(stateBars() === batchBars(b1 ++ b2))
+      // the late 05:10 row must have taken over g's 05:00 open
+      val g5 = stateBars()(("g", ts("2020-01-01 05:00:00")))
+      assert(g5 === ((4L, 30.0, 70.0, 20.0, 20.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch AUC count state equals the batch metric over the union (r10)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_auc").toString
+    val input = MemoryStream[(String, Long, Long)]
+    val q = EventStreams.aucStream(
+      input.toDF().toDF("grp", "b", "y"),
+      "grp", "b", "y", s"$dir/state", s"$dir/ckpt")
+    val b1 = Seq(("g", 1L, 0L), ("g", 8L, 1L), ("g", 2L, 0L))
+    val b2 = Seq(("g", 9L, 1L), ("g", 3L, 0L), ("g", 2L, 1L))
+    def stateAuc(): Double =
+      graft.operators.StatsOps.aucFromCounts(
+          EventStreams.readUpsertState(spark, s"$dir/state"), "grp")
+        .collect()(0).getAs[Double]("auc")
+    def batchAuc(rows: Seq[(String, Long, Long)]): Double =
+      graft.operators.StatsOps.groupAuc(
+          rows.toDF("grp", "b", "y"), "grp", "b", "y")
+        .collect()(0).getAs[Double]("auc")
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(stateAuc() === batchAuc(b1))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      assert(stateAuc() === batchAuc(b1 ++ b2))
+    } finally q.stop()
+  }
+
+  test("psiMonitor lands one idempotent PSI row set per micro-batch (r10)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    val ref = Seq(("g", 0L, 0L), ("g", 1L, 0L), ("g", 2L, 0L))
+      .toDF("grp", "bin", "side")
+    val batch = Seq(("g", 0L), ("g", 2L), ("g", 2L)).toDF("grp", "bin")
+    // drive the factored batch writer directly (the writeDriftBatch
+    // convention): once, then a replay of the SAME batch id
+    EventStreams.writePsiBatch(batch, ref, "grp", "bin", 4, 0L, s"$dir/out")
+    EventStreams.writePsiBatch(batch, ref, "grp", "bin", 4, 0L, s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() === 1) // replay replaced, never duplicated
+    val row = got.collect()(0)
+    assert(row.getAs[Long]("n_ref") === 3L && row.getAs[Long]("n_cur") === 3L)
+    // batch PSI over the same tagged union must agree exactly
+    val tagged = batch.select(col("grp"), col("bin"), lit(1L).as("side"))
+      .unionByName(ref)
+    val expect = graft.operators.StatsOps.psi(tagged, "grp", "bin", "side", 4)
+      .collect()(0).getAs[Double]("psi")
+    assert(row.getAs[Double]("psi") === expect)
+  }
 }
