@@ -772,12 +772,49 @@ object Dedup {
     * verify compares `alphaDen * inter >= alphaNum * min(na, nb)` in
     * integers.
     *
+    * WHEN IT PAYS (measured, r10): the prefix keeps n - ceil(alpha*n) +
+    * 1 grams — ~75% of each doc at alpha = 1/4 — so the policy only
+    * beats a blocked all-pairs join when alpha is HIGH (short prefixes)
+    * and the gram distribution is long-tailed (rare grams have thin
+    * postings). On the synthetic template-heavy corpus it LOSES to
+    * all-pairs at every alpha (289M candidate rows vs 62M pairs at sf1,
+    * alpha = 1/4) — which is why q_containment keeps its blocked
+    * all-pairs policy and this operator carries its own query. Real
+    * crawl corpora with near-dup thresholds (alpha >= 0.7) are the
+    * PPJoin paper's long-tailed regime where the prefix wins.
+    *
     * Output: (a, b, n_inter, na, nb, cmax), a < b, both sides with >= 1
     * gram (an empty side makes the threshold vacuous and the
     * containment undefined). */
   def overlapPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, alphaNum: Int = 1,
                         alphaDen: Int = 4): DataFrame = {
+    val (grams, cands) =
+      overlapPrefixCandidates(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.SortedIntersectSizeLong(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
+    cands
+      .join(grams.select(col("id").as("a"), col("grams").as("ga"),
+        col("ng").as("na")), Seq("a"))
+      .join(grams.select(col("id").as("b"), col("grams").as("gb"),
+        col("ng").as("nb")), Seq("b"))
+      .withColumn("n_inter", nInter)
+      .filter(col("n_inter") * alphaDen >= least(col("na"), col("nb")) * alphaNum)
+      .select(col("a"), col("b"), col("n_inter"), col("na"), col("nb"),
+        round(col("n_inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("cmax"))
+  }
+
+  /** The candidate half of [[overlapPrefixJoin]] — rare-gram prefix
+    * postings joined against full postings — factored out so callers
+    * needing different verify columns (q_containment's two-directional
+    * containments) can reuse the lossless candidate policy. Returns
+    * (grams frame with (id, blk, grams, ng), candidate (a, b) pairs). */
+  private[graft] def overlapPrefixCandidates(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      alphaNum: Int, alphaDen: Int): (DataFrame, DataFrame) = {
     require(alphaNum >= 1 && alphaDen >= alphaNum,
       "alpha must be a rational in (0, 1]")
     val W = org.apache.spark.sql.expressions.Window
@@ -809,20 +846,7 @@ object Dedup {
       .select(least(col("xid"), col("yid")).as("a"),
         greatest(col("xid"), col("yid")).as("b"))
       .distinct()
-    val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
-      graft.plans.Exprs.SortedIntersectSizeLong(
-        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
-        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
-    cands
-      .join(grams.select(col("id").as("a"), col("grams").as("ga"),
-        col("ng").as("na")), Seq("a"))
-      .join(grams.select(col("id").as("b"), col("grams").as("gb"),
-        col("ng").as("nb")), Seq("b"))
-      .withColumn("n_inter", nInter)
-      .filter(col("n_inter") * alphaDen >= least(col("na"), col("nb")) * alphaNum)
-      .select(col("a"), col("b"), col("n_inter"), col("na"), col("nb"),
-        round(col("n_inter").cast("double") /
-          least(col("na"), col("nb")).cast("double"), 6).as("cmax"))
+    (grams, cands)
   }
 
   /** DuckDB oracle for [[overlapPrefixJoin]]: the PLAIN QUADRATIC

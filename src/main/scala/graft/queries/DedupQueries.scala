@@ -313,6 +313,15 @@ object DedupQueries {
     // Jaccard structurally misses (the union drowns the short side —
     // visible in the output as 0.3-vs-0.03 containment pairs with tiny
     // jaccard). Both directions + jaccard from ONE intersect per pair.
+    // Candidate-policy note (r10, measured): the lossless prefix filter
+    // (Dedup.overlapPrefixCandidates / q_overlap_join) was tried here and
+    // REVERTED — at the 0.25 threshold the frequency-ascending prefix
+    // keeps ~75% of each doc's grams, and on this template-heavy corpus
+    // even rare grams carry fat postings, so the candidate join costs
+    // MORE rows than the blocked all-pairs it replaces (289M vs 62M at
+    // sf1; 21.2s vs 9.4s). Low-threshold containment over short docs is
+    // intrinsically near-quadratic per block; the prefix policy is the
+    // right tool at high thresholds over long-tailed real corpora.
     Q("q_containment",
       (s, d) => {
         val dd = docs(s, d)
