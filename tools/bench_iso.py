@@ -39,22 +39,22 @@ def main():
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--min-common", type=int, default=150)
+    ap.add_argument("--prior-ref", default=None,
+                    help="git ref of the prior round's code; flagged queries "
+                         "are re-measured on it in a worktree (same host "
+                         "moment) — the decisive code-vs-host arbiter")
     args = ap.parse_args()
 
-    hist = [h for h in load_history() if args.sf in h.get("sf", "")]
+    # full-board entries only: single-query isolation runs also land in
+    # bench_history and must never be mistaken for a board
+    hist = [h for h in load_history()
+            if args.sf in h.get("sf", "")
+            and len(h.get("queries", {})) >= args.min_common]
     if len(hist) < 2:
-        print("need two board entries in bench_history.jsonl for this sf")
+        print("need two full-board entries in bench_history.jsonl for this sf")
         sys.exit(1)
     cur = hist[-1]
-    prior = None
-    for h in reversed(hist[:-1]):
-        common = set(h["queries"]) & set(cur["queries"])
-        if len(common) >= args.min_common:
-            prior = h
-            break
-    if prior is None:
-        print("no prior board entry shares enough queries")
-        sys.exit(1)
+    prior = hist[-2]
 
     flagged = []
     for q, t in cur["queries"].items():
@@ -65,29 +65,102 @@ def main():
     print(f"{len(flagged)} queries regressed >{REGRESS_X}x in-board "
           f"({cur['at']} vs {prior['at']})")
 
-    results = {}
-    for q, p, t in flagged:
+    # HOST-DRIFT CANARY (r10 lesson): the round-10 run flagged three
+    # compute-bound queries as "real" 2x regressions that a worktree of
+    # the PRIOR round's code reproduced exactly — the host's CPU-bound
+    # throughput had drifted, not the code. Re-measure one UNFLAGGED
+    # compute-heavy query from the prior round; its ratio estimates the
+    # host drift factor, and a flagged query is only "real" if its
+    # isolated ratio exceeds REGRESS_X times the canary ratio.
+    flagged_names = {q for q, _, _ in flagged}
+    canary = None
+    for q, p in sorted(prior["queries"].items(), key=lambda x: -x[1]):
+        # skip flagged queries AND queries the round plausibly IMPROVED
+        # (in-board ratio < 0.8 — a code speedup would understate drift)
+        if (q not in flagged_names and p > 0.5
+                and cur["queries"].get(q, -1) > 0
+                and cur["queries"][q] / p >= 0.8):
+            canary = (q, p)
+            break
+    drift = 1.0
+    if canary:
+        cq, cp = canary
+        env = dict(os.environ,
+                   SPARK_GRAFT_SF_DIR=args.sf,
+                   SPARK_GRAFT_BENCH_ONLY=cq,
+                   SPARK_GRAFT_BENCH_OUT=f"/tmp/bench_iso_{cq}.json")
+        subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                       check=False)
+        try:
+            iso = json.load(open(f"/tmp/bench_iso_{cq}.json"))
+            ct = iso["queries"].get(cq, -1)
+            if ct > 0:
+                drift = max(1.0, ct / cp)
+        except (OSError, json.JSONDecodeError):
+            pass
+        print(f"canary {cq}: prior {cp:.2f}s isolated now "
+              f"{ct:.2f}s -> host drift factor {drift:.2f}")
+
+    # prior-code worktree: the single-canary drift factor is workload-
+    # blind (codegen-tight loops throttle differently from shuffle-bound
+    # plans — the r10 false-"real" lesson), so when --prior-ref is given,
+    # every still-suspect query re-measures on the PRIOR ROUND'S CODE at
+    # the same host moment; prior-code-now replaces the history number as
+    # the comparison base.
+    wt = None
+    if args.prior_ref and flagged:
+        wt = "/tmp/bench_iso_prior_wt"
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                       check=False)
+        r = subprocess.run(["git", "worktree", "add", wt, args.prior_ref],
+                           check=False)
+        if r.returncode != 0:
+            wt = None
+
+    def run_one(q, cwd=None):
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=args.sf,
                    SPARK_GRAFT_BENCH_ONLY=q,
                    SPARK_GRAFT_BENCH_OUT=f"/tmp/bench_iso_{q}.json")
         subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                       cwd=cwd, stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL, check=False)
+        try:
+            return json.load(open(f"/tmp/bench_iso_{q}.json"))["queries"].get(q, -1)
+        except (OSError, json.JSONDecodeError, KeyError):
+            return -1
+
+    results = {}
+    for q, p, t in flagged:
+        it = run_one(q)
+        base, base_src = p, "history"
+        verdict = ("real" if (it > 0 and it / p > REGRESS_X * drift) else
+                   ("host-drift" if (it > 0 and it / p > REGRESS_X) else
+                    ("noise" if it > 0 else "error")))
+        prior_now = None
+        if verdict == "real" and wt:
+            prior_now = run_one(q, cwd=wt)
+            if prior_now and prior_now > 0:
+                base, base_src = prior_now, "prior-code-now"
+                verdict = ("real" if it / prior_now > REGRESS_X
+                           else "host-drift")
+        results[q] = {"prior_best": p, "inboard_best": t,
+                      "isolated_best": it, "prior_code_now": prior_now,
+                      "base": base_src, "verdict": verdict}
+        print(f"  {q}: prior {p:.2f}s in-board {t:.2f}s isolated {it:.2f}s"
+              + (f" prior-code-now {prior_now:.2f}s" if prior_now else "")
+              + f" -> {verdict}")
+    if wt:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                        check=False)
-        try:
-            iso = json.load(open(f"/tmp/bench_iso_{q}.json"))
-            it = iso["queries"].get(q, -1)
-        except (OSError, json.JSONDecodeError):
-            it = -1
-        verdict = "real" if (it > 0 and it / p > REGRESS_X) else (
-            "noise" if it > 0 else "error")
-        results[q] = {"prior_best": p, "inboard_best": t,
-                      "isolated_best": it, "verdict": verdict}
-        print(f"  {q}: prior {p:.2f}s in-board {t:.2f}s "
-              f"isolated {it:.2f}s -> {verdict}")
 
     out = {"round": args.round, "sf": args.sf, "regress_threshold": REGRESS_X,
            "board_at": cur["at"], "prior_at": prior["at"],
+           "host_drift_factor": drift,
+           "canary": canary[0] if canary else None,
            "flagged": results}
     dest = f"bench_iso_r{args.round:02d}.json"
     json.dump(out, open(dest, "w"), indent=1)
