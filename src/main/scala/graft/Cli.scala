@@ -961,6 +961,36 @@ object Cli {
           opts.getOrElse("alpha-num", "1").toInt,
           opts.getOrElse("alpha-den", "4").toInt))
 
+      case "srm" =>
+        // sample-ratio mismatch gate; input yields grp + 0/1 arm
+        write(graft.operators.StatsOps.sampleRatioMismatch(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("arm", "arm"),
+          opts.getOrElse("expected0", "0.5").toDouble))
+
+      case "changepoint" =>
+        // single binseg changepoint per group over daily counts
+        write(graft.operators.StatsOps.changepoint(in("input"),
+          opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts")))
+
+      case "louvain" =>
+        // one Louvain move sweep over an (a, b) edge frame
+        write(graft.operators.GraphOps.louvainMove(in("input"),
+          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+
+      case "brier" =>
+        // Brier score + Murphy decomposition of the clf gate vs rules
+        write(graft.operators.TextOps.brierDecomposition(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text")))
+
+      case "bloomfpr" =>
+        // bloom FPR audit: --insert dim parquet, input = probe universe
+        write(graft.operators.BloomOps.bloomFprAudit(
+          spark.read.parquet(opts("insert")), in("input"),
+          opts.getOrElse("insert-key", "o_orderkey"),
+          opts.getOrElse("key", "o_orderkey"),
+          opts.getOrElse("expected", "100000").toLong,
+          opts.getOrElse("fpp", "0.03").toDouble))
+
       case other => sys.error(s"unknown command: $other")
     }
 

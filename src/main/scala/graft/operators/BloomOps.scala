@@ -57,4 +57,48 @@ object BloomOps {
     fact.filter(col(factKey).isNotNull && might)
       .join(dim, fact(factKey) === dim(dimKey), "left_semi")
   }
+
+  /** Bloom false-positive-rate AUDIT — the measure-don't-assume stance
+    * applied to [[bloomSemiJoin]]'s pruning economics (the q_lsh_recall
+    * convention: the engine PRICES its own approximation): build the
+    * bloom over `insert`'s keys, probe it with `probe`'s keys that are
+    * provably NOT inserted (exact anti-join inside the operator), and
+    * report the observed false-positive rate against the configured
+    * target.
+    *
+    * Oracle face (the q_hll_distinct convention): the bloom's bit
+    * pattern is Spark-internal, so the observed count cannot be
+    * DuckDB-reproduced — the output carries exact hash-verified
+    * companions (n_inserted, n_probed) plus `within_bound`, computed
+    * from the Spark sketch against 3x the configured fpp, while the
+    * oracle emits literal TRUE: if the realized rate ever drifts past
+    * the bound, the flag flips and the driver's hash goes red.
+    *
+    * Output: one row (n_inserted, n_probed, within_bound). */
+  def bloomFprAudit(insert: DataFrame, probe: DataFrame, insertKey: String,
+                    probeKey: String, expectedItems: Long,
+                    fpp: Double = 0.03): DataFrame = {
+    require(insert.schema(insertKey).dataType == probe.schema(probeKey).dataType,
+      "bloomFprAudit keys must have identical types")
+    val ins = insert.select(col(insertKey).as("k")).filter(col("k").isNotNull)
+      .distinct().localCheckpoint() // reused: build + the anti-join
+    val bf = ins.stat.bloomFilter(xxhash64(col("k")), expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val might = PlanBridge.column(BloomFilterMightContain(
+      Literal.create(bos.toByteArray, BinaryType),
+      PlanBridge.expression(xxhash64(col("k")))))
+    val negatives = probe.select(col(probeKey).as("k")).filter(col("k").isNotNull)
+      .distinct()
+      .join(ins, Seq("k"), "left_anti")
+      .localCheckpoint() // counted twice: total + false positives
+    val stats = negatives.agg(count(lit(1)).as("n_probed"),
+      sum(when(might, 1L).otherwise(0L)).as("n_false"))
+    ins.agg(count(lit(1)).as("n_inserted"))
+      .crossJoin(stats)
+      .select(col("n_inserted"), col("n_probed"),
+        (col("n_probed") === 0L ||
+          col("n_false").cast("double") <=
+            col("n_probed").cast("double") * (fpp * 3)).as("within_bound"))
+  }
 }

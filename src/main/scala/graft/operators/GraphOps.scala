@@ -962,4 +962,77 @@ object GraphOps {
       "round(CAST(coalesce(t.triangles, 0) AS DOUBLE) * 2.0 / " +
       "CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) END AS lcc " +
       "FROM deg d LEFT JOIN tri t ON d.node = t.node ORDER BY d.node"
+
+  /** One Louvain modularity-gain pass from the singleton partition
+    * (Blondel et al. 2008, the first move sweep): each node evaluates
+    * joining each NEIGHBOR community and takes the best positive-gain
+    * move. With singleton init (every node its own community), the gain
+    * comparator reduces to EXACT INTEGERS: moving v into community {c}
+    * improves modularity iff `2m·k_vc > k_v·k_c` (k_vc = edges v→c = 1
+    * for a simple graph's neighbor, but kept general), and candidate
+    * communities order by the integer score `2m·k_vc − k_v·k_c` — no
+    * float enters until nothing is left to compare, so the argmax is
+    * hash-exact with a (score desc, community asc) tie-break.
+    *
+    * Scale shape: canonical edges + degree count (map-side combined) +
+    * one neighbor-community count on 8-byte keys; the per-node argmax
+    * window is neighbor-bounded. One synchronous sweep — iterating
+    * sweeps to convergence is the production loop (label_prop's
+    * convention); the declared query pins one sweep for the oracle.
+    *
+    * Output: (node, new_label, gain_num) — new_label = node when no
+    * positive-gain move exists, gain_num the integer score (0 when
+    * staying). */
+  def louvainMove(edges0: DataFrame,
+                  aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val e = edges0
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint() // reused: m, degrees, both sym orientations
+    val sym = e.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("w")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("k"))
+    val m = e.agg(count(lit(1)).as("m"))
+    // neighbor-community weights; singleton init -> community id == w,
+    // community volume == deg(w)
+    val cand = sym.groupBy(col("v"), col("w").as("c"))
+      .agg(count(lit(1)).as("k_vc"))
+      .join(deg, Seq("v"))
+      .join(deg.select(col("v").as("c"), col("k").as("k_c")), Seq("c"))
+      .crossJoin(broadcast(m))
+      .withColumn("gain_num",
+        lit(2L) * col("m") * col("k_vc") - col("k") * col("k_c"))
+    cand
+      .withColumn("rk", row_number().over(
+        W.partitionBy("v").orderBy(col("gain_num").desc, col("c"))))
+      .filter(col("rk") === 1)
+      .select(col("v").as("node"),
+        when(col("gain_num") > 0L, col("c")).otherwise(col("v")).as("new_label"),
+        when(col("gain_num") > 0L, col("gain_num")).otherwise(lit(0L))
+          .as("gain_num"))
+      .orderBy("node")
+  }
+
+  /** DuckDB oracle for [[louvainMove]] — identical canonicalization,
+    * integer gain and tie-broken argmax. `edgesSub` yields a, b. */
+  def louvainMoveSql(edgesSub: String): String =
+    s"WITH e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b " +
+      s"FROM $edgesSub WHERE least(a, b) < greatest(a, b)), " +
+      "sym AS (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e), " +
+      "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY v), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e), " +
+      "cand AS (SELECT s.v, s.w AS c, CAST(count(*) AS BIGINT) AS k_vc " +
+      "FROM sym s GROUP BY s.v, s.w), " +
+      "g AS (SELECT cand.v, cand.c, " +
+      "2 * m.m * cand.k_vc - dv.k * dc.k AS gain_num " +
+      "FROM cand JOIN deg dv ON cand.v = dv.v " +
+      "JOIN deg dc ON cand.c = dc.v CROSS JOIN m) " +
+      "SELECT v AS node, " +
+      "CASE WHEN gain_num > 0 THEN c ELSE v END AS new_label, " +
+      "CASE WHEN gain_num > 0 THEN gain_num ELSE 0 END AS gain_num " +
+      "FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY v ORDER BY gain_num DESC, c) AS rk FROM g) z " +
+      "WHERE rk = 1 ORDER BY node"
 }

@@ -2247,4 +2247,118 @@ object StatsOps {
       "WHERE EXISTS (SELECT 1 FROM fp WHERE fp.ia = tri.ia AND fp.ib = tri.ic) " +
       "AND EXISTS (SELECT 1 FROM fp WHERE fp.ia = tri.ib AND fp.ib = tri.ic) " +
       s"ORDER BY n_co DESC, item_a, item_b, item_c LIMIT $k"
+
+  /** Sample-ratio mismatch (SRM) gate per experiment: the chi-square
+    * statistic of the observed two-arm split against the declared
+    * expected ratio — the first sanity check every A/B analysis must
+    * pass (a biased assignment invalidates everything downstream;
+    * Kohavi's "most common experiment bug"). `armCol` must be 0/1.
+    *
+    * Exactness: arm counts are exact integers (one map-side-combined
+    * shuffle); the statistic is one fixed double tree; the flag
+    * compares against the chi-square(1) 95% critical value 3.841 —
+    * integer-derived doubles, so the boundary is engine-stable.
+    *
+    * Output: (group, n0, n1, srm_chi2, srm_flag). */
+  def sampleRatioMismatch(df: DataFrame, groupCol: String, armCol: String,
+                          expected0: Double = 0.5): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("grp"), col(armCol).cast("long").as("arm"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"))
+    val n = (col("n0") + col("n1")).cast("double")
+    val e0 = n * expected0
+    val e1 = n * (1.0 - expected0)
+    val chi2 = (col("n0").cast("double") - e0) * (col("n0").cast("double") - e0) / e0 +
+      (col("n1").cast("double") - e1) * (col("n1").cast("double") - e1) / e1
+    counts.select(col("grp").as(groupCol), col("n0"), col("n1"),
+        round(chi2, 6).as("srm_chi2"), (chi2 > 3.841).as("srm_flag"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[sampleRatioMismatch]] — identical counts and
+    * double tree. `base` yields grp, arm. */
+  def sampleRatioMismatchSql(base: String, expected0: Double): String = {
+    val e0 = s"(CAST(n0 + n1 AS DOUBLE) * $expected0)"
+    val e1 = s"(CAST(n0 + n1 AS DOUBLE) * ${1.0 - expected0})"
+    val chi2 = s"((CAST(n0 AS DOUBLE) - $e0) * (CAST(n0 AS DOUBLE) - $e0) / $e0 + " +
+      s"(CAST(n1 AS DOUBLE) - $e1) * (CAST(n1 AS DOUBLE) - $e1) / $e1)"
+    s"WITH c AS (SELECT grp, " +
+      "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+      "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 " +
+      s"FROM $base WHERE grp IS NOT NULL GROUP BY grp) " +
+      s"SELECT grp, n0, n1, round($chi2, 6) AS srm_chi2, " +
+      s"($chi2 > 3.841) AS srm_flag FROM c ORDER BY grp"
+  }
+
+  /** Single binary-segmentation changepoint per group (the first split
+    * of the binseg recursion, CUSUM's localizing sibling: q_cusum says
+    * THAT the level shifted, this says WHERE): over the per-group daily
+    * count series, the split day maximizing the between-segment score
+    * S1²/N1 + S2²/N2 (equivalent to the SSE-reduction argmax for a
+    * mean-shift model). Day-grid bounded: prefix sums and the argmax
+    * run on the per-group day frame (the bounded-window family), never
+    * the event rows.
+    *
+    * Exactness: daily counts and prefix sums are exact integers; the
+    * score is a fixed double tree over them — identical on both engines
+    * even at ties, and the argmax tie-breaks (score desc, day asc).
+    *
+    * Output: (group, split_day, n_days, left_days, left_sum, right_sum,
+    * score). Groups with < 2 days drop. */
+  def changepoint(df: DataFrame, groupCol: String, tsCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val daily = df
+      .select(col(groupCol).as("grp"),
+        date_trunc("day", col(tsCol).cast("timestamp")).as("day"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "day").agg(count(lit(1)).as("n"))
+    val ord = W.partitionBy("grp").orderBy("day")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val scored = daily
+      .withColumn("t", row_number().over(ord))
+      .withColumn("s1", sum(col("n")).over(cum))
+      .withColumn("nd", count(lit(1)).over(W.partitionBy("grp")))
+      .withColumn("stot", sum(col("n")).over(W.partitionBy("grp")))
+      .filter(col("t") < col("nd")) // a split needs a non-empty right side
+      .withColumn("score",
+        (col("s1") * col("s1")).cast("double") / col("t").cast("double") +
+          ((col("stot") - col("s1")) * (col("stot") - col("s1"))).cast("double") /
+            (col("nd") - col("t")).cast("double"))
+    scored
+      .withColumn("rk", row_number().over(
+        W.partitionBy("grp").orderBy(col("score").desc, col("day"))))
+      .filter(col("rk") === 1)
+      .select(col("grp").as(groupCol), col("day").as("split_day"),
+        col("nd").as("n_days"), col("t").as("left_days"),
+        col("s1").as("left_sum"), (col("stot") - col("s1")).as("right_sum"),
+        round(col("score"), 6).as("score"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[changepoint]] — identical day grid, prefix
+    * sums, double score tree and tie-broken argmax. `base` yields
+    * grp, ts. */
+  def changepointSql(base: String): String =
+    s"WITH daily AS (SELECT grp, date_trunc('day', ts) AS day, " +
+      s"CAST(count(*) AS BIGINT) AS n FROM $base WHERE grp IS NOT NULL " +
+      "GROUP BY grp, date_trunc('day', ts)), " +
+      "sc AS (SELECT grp, day, " +
+      "CAST(row_number() OVER w AS BIGINT) AS t, " +
+      "CAST(sum(n) OVER (PARTITION BY grp ORDER BY day " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s1, " +
+      "CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS nd, " +
+      "CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS stot " +
+      "FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)), " +
+      "f AS (SELECT grp, day, t, s1, nd, stot, " +
+      "CAST(s1 * s1 AS DOUBLE) / CAST(t AS DOUBLE) + " +
+      "CAST((stot - s1) * (stot - s1) AS DOUBLE) / CAST(nd - t AS DOUBLE) AS score " +
+      "FROM sc WHERE t < nd) " +
+      "SELECT grp, day AS split_day, nd AS n_days, t AS left_days, " +
+      "s1 AS left_sum, stot - s1 AS right_sum, round(score, 6) AS score " +
+      "FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY grp ORDER BY score DESC, day) AS rk FROM f) z " +
+      "WHERE rk = 1 ORDER BY grp"
 }

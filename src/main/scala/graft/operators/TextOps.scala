@@ -2128,4 +2128,132 @@ object TextOps {
       s"SELECT grp AS $groupCol, n_tokens, round(cum, 6) AS jsd_nats " +
       "FROM f WHERE rn = nc ORDER BY grp"
   }
+
+  /** Brier score with the Murphy (1973) decomposition — the PROPER
+    * scoring companion to [[clfCalibration]]'s reliability table: one
+    * row summarizing the classifier's probabilistic quality as
+    * brier = reliability − resolution + uncertainty over the same
+    * confidence deciles (reliability = calibration gap mass — lower
+    * better; resolution = how far bin rates stray from the base rate —
+    * higher better; uncertainty = the base rate's own variance, the
+    * no-skill floor).
+    *
+    * Exactness: the same sigmoid/bin machinery as clfCalibration (exp's
+    * libm ulp absorbed by round 6); every per-bin and cross-bin float
+    * reduction is an ordered fold (cumsum-take-last per bin in doc-id
+    * order, then a ≤10-row bin-order fold — declared in the board
+    * gate); labels and counts are exact integers.
+    *
+    * Output: one row (n_docs, brier, reliability, resolution,
+    * uncertainty). */
+  def brierDecomposition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val m = clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
+    val g = gopherRules(df, idCol, textCol)
+      .select(col(idCol), when(col("pass"), 1L).otherwise(0L).as("label"))
+    val scored = m.join(g, Seq(idCol))
+      .withColumn("conf",
+        lit(1.0) / (lit(1.0) + exp(col("margin").cast("double") / -1000.0)))
+      .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"), lit(9L)))
+      .withColumn("sq",
+        (col("conf") - col("label").cast("double")) *
+          (col("conf") - col("label").cast("double")))
+    val ordd = W.partitionBy("bin").orderBy(idCol)
+    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val bins = scored
+      .withColumn("cum_conf", sum(col("conf")).over(cumd))
+      .withColumn("cum_sq", sum(col("sq")).over(cumd))
+      .withColumn("cum_lab", sum(col("label")).over(cumd))
+      .withColumn("rn", row_number().over(ordd))
+      .withColumn("nb", count(lit(1)).over(W.partitionBy("bin")))
+      .filter(col("rn") === col("nb"))
+      .select(col("bin"), col("nb"), col("cum_conf"), col("cum_sq"),
+        col("cum_lab"))
+    // cross-bin constants (exact integers) then the <= 10-row bin fold
+    val tot = bins.agg(sum(col("nb")).as("n_docs"), sum(col("cum_lab")).as("n_pos"))
+    val ordb = W.orderBy("bin")
+    val cumb = ordb.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ybar = col("n_pos").cast("double") / col("n_docs").cast("double")
+    bins.crossJoin(broadcast(tot))
+      .withColumn("rel_cell",
+        col("nb").cast("double") *
+          (col("cum_conf") / col("nb").cast("double") -
+            col("cum_lab").cast("double") / col("nb").cast("double")) *
+          (col("cum_conf") / col("nb").cast("double") -
+            col("cum_lab").cast("double") / col("nb").cast("double")))
+      .withColumn("res_cell",
+        col("nb").cast("double") *
+          (col("cum_lab").cast("double") / col("nb").cast("double") - ybar) *
+          (col("cum_lab").cast("double") / col("nb").cast("double") - ybar))
+      .withColumn("cum_rel", sum(col("rel_cell")).over(cumb))
+      .withColumn("cum_res", sum(col("res_cell")).over(cumb))
+      .withColumn("cum_brier", sum(col("cum_sq")).over(cumb))
+      .withColumn("rnd", row_number().over(W.orderBy(col("bin").desc)))
+      .filter(col("rnd") === 1)
+      .select(col("n_docs"),
+        round(col("cum_brier") / col("n_docs").cast("double"), 6).as("brier"),
+        round(col("cum_rel") / col("n_docs").cast("double"), 6).as("reliability"),
+        round(col("cum_res") / col("n_docs").cast("double"), 6).as("resolution"),
+        round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"))
+  }
+
+  /** DuckDB oracle for [[brierDecomposition]] — identical gates, bins
+    * and ordered folds. */
+  def brierDecompositionSql(table: String, idExpr: String,
+                            textExpr: String): String = {
+    val codes = graft.functions.TextFunctions.tokenCodesSql(textExpr)
+    val toks = graft.functions.TextFunctions.tokensSql(textExpr)
+    s"WITH m AS (SELECT $idExpr AS doc_id, " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+      "(acc, c) -> acc + ((c % 64) * 2654435761 % 1999 - 999)) AS margin " +
+      s"FROM $table), " +
+      s"g AS (SELECT $idExpr AS doc_id, " +
+      s"CAST(len($toks) AS BIGINT) AS n_tok, " +
+      s"CAST(len(list_filter($toks, t -> t IN ('the', 'a'))) AS BIGINT) AS nstop, " +
+      s"CAST(list_max(list_transform(list_distinct($toks), " +
+      s"t -> len(list_filter($toks, x -> x = t)))) AS BIGINT) AS maxtf, " +
+      s"CAST(length($textExpr) AS BIGINT) - (CAST(len($toks) AS BIGINT) - 1) AS ntc " +
+      s"FROM $table), " +
+      "lab AS (SELECT doc_id, CASE WHEN (n_tok >= 20 AND n_tok <= 80) AND " +
+      "(3 * n_tok <= ntc AND ntc <= 10 * n_tok) AND (nstop >= 2) AND " +
+      "(100 * maxtf <= 15 * n_tok) THEN 1 ELSE 0 END AS label FROM g), " +
+      "sc AS (SELECT m.doc_id, " +
+      "1.0 / (1.0 + exp(CAST(m.margin AS DOUBLE) / -1000.0)) AS conf, " +
+      "lab.label FROM m JOIN lab ON m.doc_id = lab.doc_id), " +
+      "b AS (SELECT doc_id, conf, label, " +
+      "(conf - CAST(label AS DOUBLE)) * (conf - CAST(label AS DOUBLE)) AS sq, " +
+      "least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin FROM sc), " +
+      "f AS (SELECT bin, " +
+      "sum(conf) OVER w AS cum_conf, sum(sq) OVER w AS cum_sq, " +
+      "CAST(sum(label) OVER w AS BIGINT) AS cum_lab, " +
+      "row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn, " +
+      "CAST(count(*) OVER (PARTITION BY bin) AS BIGINT) AS nb FROM b " +
+      "WINDOW w AS (PARTITION BY bin ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "bins AS (SELECT bin, nb, cum_conf, cum_sq, cum_lab FROM f WHERE rn = nb), " +
+      "tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n_docs, " +
+      "CAST(sum(cum_lab) AS BIGINT) AS n_pos FROM bins), " +
+      "cells AS (SELECT bins.*, tot.n_docs, tot.n_pos, " +
+      "CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS ybar, " +
+      "CAST(nb AS DOUBLE) * (cum_conf / CAST(nb AS DOUBLE) - " +
+      "CAST(cum_lab AS DOUBLE) / CAST(nb AS DOUBLE)) * " +
+      "(cum_conf / CAST(nb AS DOUBLE) - " +
+      "CAST(cum_lab AS DOUBLE) / CAST(nb AS DOUBLE)) AS rel_cell, " +
+      "CAST(nb AS DOUBLE) * (CAST(cum_lab AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+      "CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) * " +
+      "(CAST(cum_lab AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+      "CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS res_cell " +
+      "FROM bins CROSS JOIN tot) " +
+      "SELECT n_docs, " +
+      "round(cum_brier / CAST(n_docs AS DOUBLE), 6) AS brier, " +
+      "round(cum_rel / CAST(n_docs AS DOUBLE), 6) AS reliability, " +
+      "round(cum_res / CAST(n_docs AS DOUBLE), 6) AS resolution, " +
+      "round(ybar * (1.0 - ybar), 6) AS uncertainty " +
+      "FROM (SELECT *, " +
+      "sum(rel_cell) OVER wb AS cum_rel, sum(res_cell) OVER wb AS cum_res, " +
+      "sum(cum_sq) OVER wb AS cum_brier, " +
+      "row_number() OVER (ORDER BY bin DESC) AS rnd FROM cells " +
+      "WINDOW wb AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) z " +
+      "WHERE rnd = 1"
+  }
 }

@@ -19,6 +19,8 @@ object EvalQueries {
 
   private def ev(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "events")
+
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
@@ -143,6 +145,71 @@ object EvalQueries {
         Temporal.timeWeightedAvgSql(
           "(SELECT event_type AS k, ts, event_id AS tie, value AS v FROM events)") +
         ") z ORDER BY event_type")),
+
+    // Sample-ratio mismatch gate per event type: user-parity arms vs
+    // the declared 50/50 — the first sanity check of any experiment
+    // readout (a biased assignment invalidates everything downstream).
+    Q("q_srm",
+      (s, d) => StatsOps.sampleRatioMismatch(
+        ev(s, d).select(col("event_type").as("grp"),
+          (col("user_id") % 2).as("arm")),
+        "grp", "arm")
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, n0, n1, srm_chi2, srm_flag FROM (" +
+        StatsOps.sampleRatioMismatchSql(
+          "(SELECT event_type AS grp, user_id % 2 AS arm FROM events)",
+          expected0 = 0.5) + ") z ORDER BY event_type")),
+
+    // Single binary-segmentation changepoint per event type over the
+    // daily count series — q_cusum localizes to the day.
+    Q("q_changepoint",
+      (s, d) => StatsOps.changepoint(
+        ev(s, d).select(col("event_type").as("grp"), col("ts")),
+        "grp", "ts")
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, split_day, n_days, left_days, " +
+        "left_sum, right_sum, score FROM (" +
+        StatsOps.changepointSql(
+          "(SELECT event_type AS grp, ts FROM events)") +
+        ") z ORDER BY event_type")),
+
+    // One Louvain move sweep over the embedding near-dup graph (the
+    // q_local_cc input): exact-integer modularity-gain argmax from the
+    // singleton partition — community detection's standard first pass.
+    Q("q_louvain_move",
+      (s, d) => graft.operators.GraphOps.louvainMove(
+        graft.operators.Similarity.embeddingNearDup(
+          Tables.load(s, d, "embeddings"), tau = 0.3,
+          bands = 4, rowsPerBand = 4, dims = 64)),
+      Some(graft.operators.GraphOps.louvainMoveSql(
+        s"(${SimilarityQueries.nearDupEdgesSql}) lm"))),
+
+    // Brier score with the Murphy decomposition over the same gates and
+    // deciles as q_clf_calibration — reliability - resolution +
+    // uncertainty in one row.
+    Q("q_brier",
+      (s, d) => TextOps.brierDecomposition(docs(s, d), "doc_id", "text"),
+      Some(TextOps.brierDecompositionSql("documents", "doc_id", "text"))),
+
+    // Bloom FPR audit: the engine prices its own pruning filter (the
+    // q_lsh_recall stance) — orders keys not in the urgent set probe the
+    // urgent bloom; exact companions hash-verify, the bound flag trips
+    // the oracle if the realized rate drifts (q_hll_distinct convention).
+    Q("q_bloom_fpr",
+      (s, d) => {
+        val orders = Tables.load(s, d, "orders")
+        graft.operators.BloomOps.bloomFprAudit(
+          orders.filter(col("o_orderpriority") === "1-URGENT"),
+          orders, "o_orderkey", "o_orderkey",
+          expectedItems = 100000, fpp = 0.03)
+      },
+      Some("SELECT " +
+        "(SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT') AS n_inserted, " +
+        "(SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders " +
+        "WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders " +
+        "WHERE o_orderpriority = '1-URGENT')) AS n_probed, " +
+        "TRUE AS within_bound")),
 
     // Lossless prefix-filtered overlap join: same-source pairs with
     // max containment >= 1/4, via rare-gram prefix postings instead of

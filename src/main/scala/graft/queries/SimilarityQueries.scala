@@ -32,6 +32,18 @@ object SimilarityQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
 
+  /** The embedding near-dup EDGE subquery (a, b) — the q_embed_dup /
+    * q_local_cc chain, exposed for queries over the same graph
+    * (q_louvain_move). */
+  private[queries] def nearDupEdgesSql: String =
+    s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
+      "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
+      "JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id) " +
+      "SELECT p.a, p.b FROM pairs p " +
+      "JOIN embeddings va ON p.a = va.vec_id " +
+      "JOIN embeddings vb ON p.b = vb.vec_id " +
+      s"WHERE ${cosineSql("va.embedding", "vb.embedding")} >= 0.3"
+
   /** DuckDB side of Similarity.hyperBands: (id, band, bkey) per vector. */
   private def hyperBandsSql(bands: Int, rowsPerBand: Int): String =
     (0 until bands).map { b =>

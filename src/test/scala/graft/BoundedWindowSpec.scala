@@ -168,7 +168,8 @@ class BoundedWindowSpec extends SparkSpec {
       "q_skyline" -> 64L,                       // partition-maxima frame
       "q_bradley_terry" -> 64L,                 // event-type strength frame
       "q_cohens_kappa" -> 4L,                   // 2x2 boolean-rater grid
-      "q_rbo" -> 20L                            // top-d rank frames + k-grid
+      "q_rbo" -> 20L,                           // top-d rank frames + k-grid
+      "q_brier" -> 10L                          // confidence-decile bin fold
     )
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

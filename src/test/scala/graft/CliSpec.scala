@@ -882,6 +882,59 @@ class CliSpec extends SparkSpec {
     assert(ovGot.filter(col("cmax") < 0.25).count() === 0)
   }
 
+  test("cli srm/changepoint/louvain/brier/bloomfpr wire end-to-end (r10 batch 2)") {
+    import spark.implicits._
+    val ev = s"$sfDir/events.parquet"
+    val docs = s"$sfDir/documents.parquet"
+
+    val srmin = tmp() + "/srmin"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("grp"), (col("user_id") % 2).as("arm"))
+      .write.parquet(srmin)
+    val sr = tmp() + "/srm"
+    Cli.run(spark, "srm", Map("input" -> srmin, "output" -> sr))
+    assert(spark.read.parquet(sr).columns.contains("srm_chi2"))
+
+    val cp = tmp() + "/cp"
+    Cli.run(spark, "changepoint", Map("input" -> ev, "output" -> cp))
+    val cpGot = spark.read.parquet(cp)
+    assert(cpGot.columns.contains("split_day") && cpGot.count() > 0)
+
+    val edges = tmp() + "/ledges"
+    // triangle 1-2-3 plus pendant 4: every triangle node's best move is
+    // into a neighbor's community (gain 2m*1 - k*k'> 0 with m=4)
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b").write.parquet(edges)
+    val lv = tmp() + "/louvain"
+    Cli.run(spark, "louvain", Map("input" -> edges, "output" -> lv))
+    val lvGot = spark.read.parquet(lv).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lvGot(4L) === 3L) // pendant joins its only neighbor
+    assert(lvGot.size === 4)
+
+    val br = tmp() + "/brier"
+    Cli.run(spark, "brier", Map("input" -> docs, "output" -> br))
+    val brGot = spark.read.parquet(br).collect()(0)
+    // Murphy identity brier = rel - res + unc is exact for DISCRETE
+    // forecasts; with continuous confidences binned to deciles the
+    // within-bin variance of conf adds a small residual — assert the
+    // identity to that binning tolerance
+    val lhs = brGot.getAs[Double]("brier")
+    val rhs = brGot.getAs[Double]("reliability") -
+      brGot.getAs[Double]("resolution") + brGot.getAs[Double]("uncertainty")
+    assert(math.abs(lhs - rhs) < 0.01, s"Murphy identity violated: $lhs vs $rhs")
+    assert(brGot.getAs[Double]("uncertainty") <= 0.25 + 1e-9)
+
+    val dim = tmp() + "/urgent"
+    Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").write.parquet(dim)
+    val bfp = tmp() + "/bloomfpr"
+    Cli.run(spark, "bloomfpr", Map("input" -> s"$sfDir/orders.parquet",
+      "insert" -> dim, "output" -> bfp))
+    val bfGot = spark.read.parquet(bfp).collect()(0)
+    assert(bfGot.getAs[Boolean]("within_bound"))
+    assert(bfGot.getAs[Long]("n_probed") > 0)
+  }
+
   test("cli kcore/bfs/dbscan DEFAULT to the exact fixpoint forms (diameter > 4)") {
     import spark.implicits._
     // 14-node chain: diameter 13 >> the 4 fixed rounds, so the truncated
