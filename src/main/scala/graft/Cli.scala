@@ -991,6 +991,38 @@ object Cli {
           opts.getOrElse("expected", "100000").toLong,
           opts.getOrElse("fpp", "0.03").toDouble))
 
+      case "fleiss" =>
+        // Fleiss' kappa over an (item, category) multi-rater frame
+        write(graft.operators.StatsOps.fleissKappa(in("input"),
+          opts.getOrElse("item", "it"), opts.getOrElse("cat", "cat"),
+          opts.getOrElse("max-raters", "256").toInt))
+
+      case "mcnemar" =>
+        // McNemar's paired test between two 0/1 gate columns
+        write(graft.operators.StatsOps.mcnemar(in("input"),
+          opts("a"), opts("b")))
+
+      case "distshift" =>
+        // Hellinger + TV drift per group; input yields grp/bin/side
+        write(graft.operators.StatsOps.distShift(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("bin", "bin"),
+          opts.getOrElse("side", "side"),
+          opts.getOrElse("bins", "10").toInt))
+
+      case "bhfdr" =>
+        // BH FDR control over per-group binned-KS drift tests
+        write(graft.operators.StatsOps.bhFdr(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("bin", "bin"),
+          opts.getOrElse("side", "side"),
+          opts.getOrElse("bins", "64").toInt,
+          opts.getOrElse("alpha", "0.1").toDouble))
+
+      case "avgprec" =>
+        // average precision per group over bucketed scores (grp, b, y)
+        write(graft.operators.StatsOps.avgPrecision(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("bucket", "b"),
+          opts.getOrElse("label", "y")))
+
       case other => sys.error(s"unknown command: $other")
     }
 

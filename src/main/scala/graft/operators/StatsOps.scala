@@ -2361,4 +2361,393 @@ object StatsOps {
       "FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY grp ORDER BY score DESC, day) AS rk FROM f) z " +
       "WHERE rk = 1 ORDER BY grp"
+
+  // ---------------------------------------------- r10 additions, batch 3
+
+  /** Fleiss' kappa (Fleiss 1971, unequal-raters generalization) over an
+    * (item, category) rating frame — the MULTI-rater agreement summary
+    * where [[cohensKappa]] stops at two: the RLHF/annotation-pool
+    * question "do my n judges per example agree beyond chance". Items
+    * with fewer than 2 or more than `maxRaters` ratings drop (agreement
+    * is undefined on singletons; the cap bounds the class grid).
+    *
+    * Exactness at scale: the usual P̄ = mean over ITEMS of per-item
+    * float agreement would be a corpus-sized float fold. Instead items
+    * collapse to their rater-count CLASS: for n_i = n,
+    * Σ_i P_i = (Σ S_i − Σ n_i) / (n(n−1)) with S_i = Σ_j n_ij² — exact
+    * integers per class — so the only float fold runs ordered over the
+    * ≤ `maxRaters` class grid. P_e = Σ_j c_j² / N² is a plain integer
+    * aggregate. One (item, cat) count shuffle + one item collapse, both
+    * map-side combined; everything after lives on bounded grids.
+    *
+    * Output: one row (n_items, n_ratings, p_bar, p_e, kappa). */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+                  maxRaters: Int = 256): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(maxRaters >= 2 && maxRaters <= 4096,
+      "maxRaters must be in [2, 4096]")
+    val cells = df
+      .select(col(itemCol).as("it"), col(catCol).cast("string").as("cat"))
+      .filter(col("it").isNotNull && col("cat").isNotNull)
+      .groupBy("it", "cat").agg(count(lit(1)).as("nij"))
+    val items = cells.groupBy("it")
+      .agg(sum(col("nij")).as("ni"), sum(col("nij") * col("nij")).as("si"))
+      .filter(col("ni") >= 2L && col("ni") <= maxRaters.toLong)
+      .localCheckpoint() // item frame; reused by classes + the cat filter
+    // category marginals over RETAINED items only
+    val cats = cells.join(items.select("it"), Seq("it"), "left_semi")
+      .groupBy("cat").agg(sum(col("nij")).as("cj"))
+    val catTot = cats.agg(sum(col("cj")).as("n_ratings"),
+      sum(col("cj") * col("cj")).as("pe_num"))
+    // rater-count classes: Σ_i P_i per class is a ratio of exact ints
+    val classes = items.groupBy("ni")
+      .agg(count(lit(1)).as("m"), sum(col("si")).as("ssum"),
+        sum(col("ni")).as("nsum"))
+    val ordN = W.orderBy(col("ni"))
+    val pbarNum = classes
+      .withColumn("term", (col("ssum") - col("nsum")).cast("double") /
+        (col("ni") * (col("ni") - 1L)).cast("double"))
+      .withColumn("cum", sum(col("term")).over(
+        ordN.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("mtot", sum(col("m")).over(
+        ordN.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rnd", row_number().over(W.orderBy(col("ni").desc)))
+      .filter(col("rnd") === 1)
+      .select(col("cum").as("pbar_num"), col("mtot").as("n_items"))
+    val pbar = col("pbar_num") / col("n_items").cast("double")
+    val pe = col("pe_num").cast("double") /
+      (col("n_ratings") * col("n_ratings")).cast("double")
+    pbarNum.crossJoin(catTot)
+      .select(col("n_items"), col("n_ratings"),
+        round(pbar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+        round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  /** DuckDB oracle for [[fleissKappa]] — identical item collapse, class
+    * fold and double tree. `base` yields it, cat (cat pre-cast to
+    * VARCHAR). */
+  def fleissKappaSql(base: String, maxRaters: Int): String =
+    s"WITH cells AS (SELECT it, cat, CAST(count(*) AS BIGINT) AS nij " +
+      s"FROM $base WHERE it IS NOT NULL AND cat IS NOT NULL GROUP BY it, cat), " +
+      "items AS (SELECT it, CAST(sum(nij) AS BIGINT) AS ni, " +
+      "CAST(sum(nij * nij) AS BIGINT) AS si FROM cells GROUP BY it " +
+      s"HAVING sum(nij) >= 2 AND sum(nij) <= $maxRaters), " +
+      "cats AS (SELECT cat, CAST(sum(nij) AS BIGINT) AS cj FROM cells " +
+      "WHERE it IN (SELECT it FROM items) GROUP BY cat), " +
+      "ct AS (SELECT CAST(sum(cj) AS BIGINT) AS n_ratings, " +
+      "CAST(sum(cj * cj) AS BIGINT) AS pe_num FROM cats), " +
+      "classes AS (SELECT ni, CAST(count(*) AS BIGINT) AS m, " +
+      "CAST(sum(si) AS BIGINT) AS ssum, CAST(sum(ni) AS BIGINT) AS nsum " +
+      "FROM items GROUP BY ni), " +
+      "pb AS (SELECT cum AS pbar_num, mtot AS n_items FROM (SELECT " +
+      "sum(CAST(ssum - nsum AS DOUBLE) / CAST(ni * (ni - 1) AS DOUBLE)) " +
+      "OVER (ORDER BY ni ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "CAST(sum(m) OVER (ORDER BY ni " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mtot, " +
+      "row_number() OVER (ORDER BY ni DESC) AS rnd FROM classes) WHERE rnd = 1) " +
+      "SELECT n_items, n_ratings, " +
+      "round(pbar_num / CAST(n_items AS DOUBLE), 6) AS p_bar, " +
+      "round(CAST(pe_num AS DOUBLE) / CAST(n_ratings * n_ratings AS DOUBLE), 6) AS p_e, " +
+      "round((pbar_num / CAST(n_items AS DOUBLE) - " +
+      "CAST(pe_num AS DOUBLE) / CAST(n_ratings * n_ratings AS DOUBLE)) / " +
+      "(1.0 - CAST(pe_num AS DOUBLE) / CAST(n_ratings * n_ratings AS DOUBLE)), 6) " +
+      "AS kappa FROM pb CROSS JOIN ct"
+
+  /** McNemar's test on two paired 0/1 gates — the PAIRED complement to
+    * [[cohensKappa]]: kappa says whether the gates agree; McNemar says
+    * whether their DISAGREEMENTS are asymmetric (one gate systematically
+    * stricter), which is the question when deciding if a cheap
+    * classifier can replace a rule cascade without shifting the pass
+    * rate. Both the plain (b−c)²/(b+c) and the continuity-corrected
+    * (|b−c|−1)²/(b+c) statistics; null when b+c = 0 (no disagreements —
+    * the test is undefined, not zero).
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus; all
+    * counts exact integers, the statistics one fixed double tree.
+    *
+    * Output: one row (n_rows, n10, n01, mcnemar, mcnemar_cc). */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val agg = df
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L))
+          .as("n10"),
+        sum(when(col("a") === 0L && col("b") === 1L, 1L).otherwise(0L))
+          .as("n01"))
+    val b = col("n10").cast("double")
+    val c = col("n01").cast("double")
+    val disc = col("n10") + col("n01")
+    agg.select(col("n_rows"), col("n10"), col("n01"),
+      when(disc > 0L, round((b - c) * (b - c) / (b + c), 6)).as("mcnemar"),
+      when(disc > 0L, round(
+        greatest(abs(b - c) - 1.0, lit(0.0)) *
+          greatest(abs(b - c) - 1.0, lit(0.0)) / (b + c), 6))
+        .as("mcnemar_cc"))
+  }
+
+  /** DuckDB oracle for [[mcnemar]] — identical counts and double tree.
+    * `base` yields a, b as 0/1 BIGINT. */
+  def mcnemarSql(base: String): String = {
+    val b = "CAST(n10 AS DOUBLE)"
+    val c = "CAST(n01 AS DOUBLE)"
+    s"WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, " +
+      "CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10, " +
+      "CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01 " +
+      s"FROM $base WHERE a IS NOT NULL AND b IS NOT NULL) " +
+      "SELECT n_rows, n10, n01, " +
+      s"CASE WHEN n10 + n01 > 0 THEN round(($b - $c) * ($b - $c) / ($b + $c), 6) " +
+      "ELSE NULL END AS mcnemar, " +
+      s"CASE WHEN n10 + n01 > 0 THEN round(" +
+      s"greatest(abs($b - $c) - 1.0, 0.0) * greatest(abs($b - $c) - 1.0, 0.0) / " +
+      s"($b + $c), 6) ELSE NULL END AS mcnemar_cc FROM agg"
+  }
+
+  /** Hellinger distance + total variation per group between two binned
+    * populations — the bounded-metric drift pair next to [[psi]] (PSI is
+    * unbounded and blows up on near-empty bins; Hellinger ∈ [0,1] and TV
+    * ∈ [0,1] are the metrics you threshold when feeds can be tiny).
+    * Same dense bin grid and Laplace smoothing as [[psi]]:
+    * H = sqrt(1 − Σ√(p·q)), TV = ½ Σ|p − q|.
+    *
+    * Scale shape: identical to [[psi]] — ONE map-side-combined
+    * (group, bin, side) count; folds on the bins × groups grid, ordered
+    * per group (the portable float reduction).
+    *
+    * Output: (group, n_ref, n_cur, hellinger, tv). */
+  def distShift(df: DataFrame, groupCol: String, binCol: String,
+                sideCol: String, bins: Int = 10,
+                alpha: Double = 0.5): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        least(greatest(col(binCol).cast("long"), lit(0L)), lit(bins - 1L))
+          .as("bin"),
+        col(sideCol).cast("long").as("side"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "bin")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("nc"))
+      .localCheckpoint() // grid-sized; reused by totals + the fold
+    val tot = counts.groupBy("grp")
+      .agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+    val grid = tot.crossJoin(broadcast(
+        counts.sparkSession.range(bins).select(col("id").as("bin"))))
+      .join(counts, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+    val p = (col("nr").cast("double") + lit(alpha)) /
+      (col("n_ref").cast("double") + lit(alpha) * bins)
+    val q = (col("nc").cast("double") + lit(alpha)) /
+      (col("n_cur").cast("double") + lit(alpha) * bins)
+    val ord = W.partitionBy("grp").orderBy("bin")
+    grid
+      .withColumn("hc", sqrt(p * q))
+      .withColumn("tc", abs(p - q))
+      .withColumn("hcum", sum(col("hc")).over(
+        ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("tcum", sum(col("tc")).over(
+        ord.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("nb", count(lit(1)).over(W.partitionBy("grp")))
+      .filter(col("rn") === col("nb"))
+      .select(col("grp").as(groupCol), col("n_ref"), col("n_cur"),
+        round(sqrt(greatest(lit(1.0) - col("hcum"), lit(0.0))), 6)
+          .as("hellinger"),
+        round(col("tcum") * 0.5, 6).as("tv"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[distShift]] — identical grid, smoothing and
+    * ordered folds. `base` yields grp, bin, side. */
+  def distShiftSql(base: String, bins: Int, alpha: Double): String = {
+    val p = s"((CAST(nr AS DOUBLE) + $alpha) / (CAST(n_ref AS DOUBLE) + $alpha * $bins))"
+    val q = s"((CAST(nc AS DOUBLE) + $alpha) / (CAST(n_cur AS DOUBLE) + $alpha * $bins))"
+    s"WITH counts AS (SELECT grp, least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1}) AS bin, " +
+      "CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr, " +
+      "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc " +
+      s"FROM $base WHERE grp IS NOT NULL GROUP BY grp, " +
+      s"least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1})), " +
+      "tot AS (SELECT grp, CAST(sum(nr) AS BIGINT) AS n_ref, " +
+      "CAST(sum(nc) AS BIGINT) AS n_cur FROM counts GROUP BY grp), " +
+      s"grid AS (SELECT t.grp, t.n_ref, t.n_cur, b.bin, " +
+      "coalesce(c.nr, 0) AS nr, coalesce(c.nc, 0) AS nc FROM tot t " +
+      s"CROSS JOIN (SELECT unnest(range(0, $bins)) AS bin) b " +
+      "LEFT JOIN counts c ON t.grp = c.grp AND b.bin = c.bin), " +
+      "f AS (SELECT grp, n_ref, n_cur, " +
+      s"sum(sqrt($p * $q)) OVER w AS hcum, " +
+      s"sum(abs($p - $q)) OVER w AS tcum, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY bin) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS nb FROM grid " +
+      "WINDOW w AS (PARTITION BY grp ORDER BY bin " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+      "SELECT grp, n_ref, n_cur, " +
+      "round(sqrt(greatest(1.0 - hcum, 0.0)), 6) AS hellinger, " +
+      "round(tcum * 0.5, 6) AS tv FROM f WHERE rn = nb ORDER BY grp"
+  }
+
+  /** Benjamini–Hochberg FDR control over per-group binned-KS drift
+    * tests — the MANY-hypotheses drift monitor: with m feeds tested
+    * every day, thresholding raw p-values at α floods ops with false
+    * alarms; BH's step-up keeps the expected false-discovery RATE at α.
+    * Per group: binned two-sample KS D (exact integer cross products on
+    * the bounded bin grid — the [[ksDistance]] numerator stance),
+    * asymptotic Kolmogorov p via the 3-term series
+    * 2 Σ (−1)^{k−1} exp(−2k²λ²), λ = D·sqrt(nr·nc/(nr+nc)), then the
+    * step-up: reject every group ranked ≤ the largest i with
+    * p_(i) ≤ α·i/m.
+    *
+    * Scale shape: ONE map-side-combined (group, bin, side) count; the
+    * CDF fold and D-argmax run per group on the bin grid; p-values and
+    * the BH rank live on the GROUP grid (bounded — one row per feed),
+    * ordered (p, grp) so ties rank deterministically. Groups with an
+    * empty side drop (no test without two samples).
+    *
+    * Output: (group, n_ref, n_cur, ks_d, p_value, rnk, reject). */
+  def bhFdr(df: DataFrame, groupCol: String, binCol: String,
+            sideCol: String, bins: Int = 64,
+            alpha: Double = 0.10): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        least(greatest(col(binCol).cast("long"), lit(0L)), lit(bins - 1L))
+          .as("bin"),
+        col(sideCol).cast("long").as("side"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "bin")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("nr"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("nc"))
+    val ord = W.partitionBy("grp").orderBy("bin")
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val perGroup = counts
+      .withColumn("cr", sum(col("nr")).over(cum))
+      .withColumn("cc", sum(col("nc")).over(cum))
+      .withColumn("n_ref", sum(col("nr")).over(W.partitionBy("grp")))
+      .withColumn("n_cur", sum(col("nc")).over(W.partitionBy("grp")))
+      .groupBy("grp", "n_ref", "n_cur")
+      .agg(max(abs(col("cr") * col("n_cur") - col("cc") * col("n_ref")))
+        .as("d_num"))
+      .filter(col("n_ref") > 0L && col("n_cur") > 0L)
+    val d = col("d_num").cast("double") /
+      (col("n_ref").cast("double") * col("n_cur").cast("double"))
+    val lam2 = d * d *
+      (col("n_ref").cast("double") * col("n_cur").cast("double") /
+        (col("n_ref") + col("n_cur")).cast("double"))
+    val praw = lit(2.0) * (exp(lit(-2.0) * lam2) -
+      exp(lit(-8.0) * lam2) + exp(lit(-18.0) * lam2))
+    val tested = perGroup
+      .withColumn("ks_d", round(d, 6))
+      .withColumn("p_value",
+        round(least(greatest(praw, lit(0.0)), lit(1.0)), 6))
+    // BH step-up on the group grid — bounded: one row per feed
+    val ordP = W.orderBy(col("p_value"), col("grp"))
+    val wAll = W.partitionBy(lit(0))
+    val ranked = tested
+      .withColumn("rnk", row_number().over(ordP).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("ok", col("p_value") <=
+        lit(alpha) * col("rnk").cast("double") / col("m").cast("double"))
+      .withColumn("maxok", max(when(col("ok"), col("rnk"))).over(wAll))
+    ranked.select(col("grp").as(groupCol), col("n_ref"), col("n_cur"),
+        col("ks_d"), col("p_value"), col("rnk"),
+        (col("rnk") <= coalesce(col("maxok"), lit(0L))).as("reject"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[bhFdr]] — identical grid, CDF cross products,
+    * p series and step-up. `base` yields grp, bin, side. */
+  def bhFdrSql(base: String, bins: Int, alpha: Double): String =
+    s"WITH counts AS (SELECT grp, least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1}) AS bin, " +
+      "CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nr, " +
+      "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nc " +
+      s"FROM $base WHERE grp IS NOT NULL GROUP BY grp, " +
+      s"least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1})), " +
+      "cdf AS (SELECT grp, " +
+      "CAST(sum(nr) OVER w AS BIGINT) AS cr, " +
+      "CAST(sum(nc) OVER w AS BIGINT) AS cc, " +
+      "CAST(sum(nr) OVER (PARTITION BY grp) AS BIGINT) AS n_ref, " +
+      "CAST(sum(nc) OVER (PARTITION BY grp) AS BIGINT) AS n_cur " +
+      "FROM counts WINDOW w AS (PARTITION BY grp ORDER BY bin " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "pg AS (SELECT grp, n_ref, n_cur, " +
+      "CAST(max(abs(cr * n_cur - cc * n_ref)) AS BIGINT) AS d_num " +
+      "FROM cdf WHERE n_ref > 0 AND n_cur > 0 GROUP BY grp, n_ref, n_cur), " +
+      "t AS (SELECT grp, n_ref, n_cur, " +
+      "round(CAST(d_num AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 6) AS ks_d, " +
+      "round(least(greatest(2.0 * (exp(-2.0 * lam2) - exp(-8.0 * lam2) + " +
+      "exp(-18.0 * lam2)), 0.0), 1.0), 6) AS p_value FROM (SELECT *, " +
+      "(CAST(d_num AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))) * " +
+      "(CAST(d_num AS DOUBLE) / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))) * " +
+      "(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / " +
+      "CAST(n_ref + n_cur AS DOUBLE)) AS lam2 FROM pg) z), " +
+      "r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_value, grp) AS BIGINT) AS rnk, " +
+      "CAST(count(*) OVER () AS BIGINT) AS m FROM t), " +
+      "r2 AS (SELECT *, max(CASE WHEN p_value <= " +
+      s"$alpha * CAST(rnk AS DOUBLE) / CAST(m AS DOUBLE) THEN rnk END) " +
+      "OVER () AS maxok FROM r) " +
+      "SELECT grp, n_ref, n_cur, ks_d, p_value, rnk, " +
+      "(rnk <= coalesce(maxok, 0)) AS reject FROM r2 ORDER BY grp"
+
+  /** Per-group average precision over score-descending BUCKET blocks —
+    * the PR-curve summary next to [[groupAuc]]'s ROC summary: AUC is
+    * prevalence-blind, AP is the number that moves when positives are
+    * rare (the retrieval / filter-tuning regime). Ties collapse into
+    * their bucket block and each block contributes
+    * pos_b · (TP_≤b / N_≤b) — precision at the END of the block — summed
+    * descending, normalized by total positives (the deterministic
+    * tie-collapsed AP; document the convention, both engines share it).
+    *
+    * Scale shape: per-(group, bucket) label counts map-side combine (the
+    * [[groupAuc]] stance); the AP fold runs ordered on the bounded
+    * bucket grid, never a per-row rank. Groups with no positives drop.
+    *
+    * Output: (group, n_pos, n_rows, avg_prec). */
+  def avgPrecision(df: DataFrame, groupCol: String, bucketCol: String,
+                   labelCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("grp"), col(bucketCol).cast("long").as("b"),
+        col(labelCol).cast("long").as("y"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "b")
+      .agg(sum(col("y")).as("np"), count(lit(1)).as("nb"))
+    val ord = W.partitionBy("grp").orderBy(col("b").desc)
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    counts
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("nn", sum(col("nb")).over(cum))
+      .withColumn("term", col("np").cast("double") *
+        (col("tp").cast("double") / col("nn").cast("double")))
+      .withColumn("apnum", sum(col("term")).over(cum))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("k", count(lit(1)).over(W.partitionBy("grp")))
+      .filter(col("rn") === col("k") && col("tp") > 0L)
+      .select(col("grp").as(groupCol), col("tp").as("n_pos"),
+        col("nn").as("n_rows"),
+        round(col("apnum") / col("tp").cast("double"), 6).as("avg_prec"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB oracle for [[avgPrecision]] — identical bucket counts and
+    * descending block fold. `base` yields grp, b, y. */
+  def avgPrecisionSql(base: String): String =
+    s"WITH counts AS (SELECT grp, CAST(b AS BIGINT) AS b, " +
+      "CAST(sum(y) AS BIGINT) AS np, CAST(count(*) AS BIGINT) AS nb " +
+      s"FROM $base WHERE grp IS NOT NULL GROUP BY grp, CAST(b AS BIGINT)), " +
+      "f1 AS (SELECT grp, b, np, " +
+      "CAST(sum(np) OVER w AS BIGINT) AS tp, " +
+      "CAST(sum(nb) OVER w AS BIGINT) AS nn, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY b DESC) AS rn, " +
+      "count(*) OVER (PARTITION BY grp) AS k FROM counts " +
+      "WINDOW w AS (PARTITION BY grp ORDER BY b DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "f AS (SELECT grp, b, np, tp, nn, rn, k, " +
+      "sum(CAST(np AS DOUBLE) * (CAST(tp AS DOUBLE) / CAST(nn AS DOUBLE))) " +
+      "OVER (PARTITION BY grp ORDER BY b DESC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS apnum FROM f1) " +
+      "SELECT grp, tp AS n_pos, nn AS n_rows, " +
+      "round(apnum / CAST(tp AS DOUBLE), 6) AS avg_prec FROM f " +
+      "WHERE rn = k AND tp > 0 ORDER BY grp"
 }

@@ -224,6 +224,107 @@ object EvalQueries {
         val grams = s"list_distinct(${graft.functions.TextFunctions.bigramsSql(toks)})"
         Dedup.overlapPrefixJoinSql("documents", "doc_id", "source",
           grams, alphaNum = 1, alphaDen = 4) + " ORDER BY a, b"
-      })
+      }),
+
+    // Fleiss' kappa over the order/returnflag rating frame: each
+    // lineitem is one "judge" vote on its order — the multi-annotator
+    // agreement shape (do the >= 2 raters of an item pick the same
+    // category beyond chance).
+    Q("q_fleiss_kappa",
+      (s, d) => StatsOps.fleissKappa(
+        Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("it"),
+            col("l_returnflag").as("cat")),
+        "it", "cat", maxRaters = 256),
+      Some(StatsOps.fleissKappaSql(
+        "(SELECT l_orderkey AS it, CAST(l_returnflag AS VARCHAR) AS cat " +
+          "FROM lineitem)",
+        maxRaters = 256))),
+
+    // McNemar's paired test between the classifier gate and the rule
+    // gate — q_cohens_kappa says whether they agree; this says whether
+    // their disagreements are ASYMMETRIC (one gate systematically
+    // stricter than the other).
+    Q("q_mcnemar",
+      (s, d) => {
+        val dd = docs(s, d)
+        val m = TextOps.clfMarginFilter(dd, "doc_id", "text")
+          .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("a"))
+        val g = TextOps.gopherRules(dd, "doc_id", "text")
+          .select(col("doc_id"), when(col("pass"), 1L).otherwise(0L).as("b"))
+        StatsOps.mcnemar(m.join(g, Seq("doc_id")), "a", "b")
+      },
+      Some {
+        val codes = graft.functions.TextFunctions.tokenCodesSql("text")
+        val toks = graft.functions.TextFunctions.tokensSql("text")
+        StatsOps.mcnemarSql(
+          "(SELECT CAST(CASE WHEN m.margin > 0 THEN 1 ELSE 0 END AS BIGINT) AS a, " +
+            "CAST(lab.rb AS BIGINT) AS b FROM " +
+            s"(SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+            "(acc, c) -> acc + ((c % 64) * 2654435761 % 1999 - 999)) AS margin " +
+            "FROM documents) m JOIN " +
+            s"(SELECT doc_id, CASE WHEN (n_tok >= 20 AND n_tok <= 80) AND " +
+            "(3 * n_tok <= ntc AND ntc <= 10 * n_tok) AND (nstop >= 2) AND " +
+            "(100 * maxtf <= 15 * n_tok) THEN 1 ELSE 0 END AS rb FROM " +
+            s"(SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok, " +
+            s"CAST(len(list_filter($toks, t -> t IN ('the', 'a'))) AS BIGINT) AS nstop, " +
+            s"CAST(list_max(list_transform(list_distinct($toks), " +
+            s"t -> len(list_filter($toks, x -> x = t)))) AS BIGINT) AS maxtf, " +
+            s"CAST(length(text) AS BIGINT) - (CAST(len($toks) AS BIGINT) - 1) AS ntc " +
+            "FROM documents) g) lab ON m.doc_id = lab.doc_id)")
+      }),
+
+    // Hellinger + total-variation drift per event type between the
+    // user-parity populations — the bounded-metric pair next to q_psi
+    // (PSI blows up on near-empty bins; these threshold cleanly).
+    Q("q_hellinger",
+      (s, d) => StatsOps.distShift(
+        ev(s, d).select(col("event_type").as("grp"),
+          floor(col("value") / 50.0).cast("long").as("bin"),
+          (col("user_id") % 2).as("side")),
+        "grp", "bin", "side", bins = 10)
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, n_ref, n_cur, hellinger, tv FROM (" +
+        StatsOps.distShiftSql(
+          "(SELECT event_type AS grp, CAST(floor(value / 50.0) AS BIGINT) AS bin, " +
+            "user_id % 2 AS side FROM events)",
+          bins = 10, alpha = 0.5) + ") z ORDER BY event_type")),
+
+    // Benjamini-Hochberg FDR control over per-event-type binned-KS
+    // drift tests — the many-feeds drift monitor: step-up rejection
+    // keeps the expected false-alarm rate at alpha across the board.
+    Q("q_bh_fdr",
+      (s, d) => StatsOps.bhFdr(
+        ev(s, d).select(col("event_type").as("grp"),
+          least(floor(col("value") * 64.0 / 500.0), lit(63.0)).cast("long")
+            .as("bin"),
+          (col("user_id") % 2).as("side")),
+        "grp", "bin", "side", bins = 64, alpha = 0.10)
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, n_ref, n_cur, ks_d, p_value, rnk, " +
+        "reject FROM (" +
+        StatsOps.bhFdrSql(
+          "(SELECT event_type AS grp, " +
+            "CAST(least(floor(value * 64.0 / 500.0), 63.0) AS BIGINT) AS bin, " +
+            "user_id % 2 AS side FROM events)",
+          bins = 64, alpha = 0.10) + ") z ORDER BY event_type")),
+
+    // Average precision per event type over the q_group_auc buckets —
+    // the PR summary where AUC is the ROC summary: AP moves when
+    // positives are rare, the filter-tuning regime.
+    Q("q_avg_precision",
+      (s, d) => StatsOps.avgPrecision(
+        ev(s, d).select(col("event_type").as("grp"),
+          least(floor(col("value") * 64.0 / 500.0), lit(63.0)).cast("long")
+            .as("b"),
+          when(col("user_id") % 5 === 0, 1L).otherwise(0L).as("y")),
+        "grp", "b", "y")
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, n_pos, n_rows, avg_prec FROM (" +
+        StatsOps.avgPrecisionSql(
+          "(SELECT event_type AS grp, " +
+            "CAST(least(floor(value * 64.0 / 500.0), 63.0) AS BIGINT) AS b, " +
+            "CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS y FROM events)") +
+        ") z ORDER BY event_type"))
   )
 }

@@ -169,7 +169,9 @@ class BoundedWindowSpec extends SparkSpec {
       "q_bradley_terry" -> 64L,                 // event-type strength frame
       "q_cohens_kappa" -> 4L,                   // 2x2 boolean-rater grid
       "q_rbo" -> 20L,                           // top-d rank frames + k-grid
-      "q_brier" -> 10L                          // confidence-decile bin fold
+      "q_brier" -> 10L,                         // confidence-decile bin fold
+      "q_fleiss_kappa" -> 256L,                 // rater-count class grid
+      "q_bh_fdr" -> 64L                         // one row per tested feed
     )
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1122,4 +1122,59 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(si).columns.toSet ===
       Set("n_categories", "n", "simpson", "n_effective"))
   }
+
+  test("cli fleiss/mcnemar/distshift/bhfdr/avgprec wire end-to-end (r10 batch 3)") {
+    import spark.implicits._
+
+    val rat = tmp() + "/ratings"
+    Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("it"), col("l_returnflag").as("cat"))
+      .write.parquet(rat)
+    val fk = tmp() + "/fleiss"
+    Cli.run(spark, "fleiss", Map("input" -> rat, "output" -> fk))
+    val fkGot = spark.read.parquet(fk).collect()(0)
+    assert(fkGot.getAs[Long]("n_items") > 0L)
+    assert(math.abs(fkGot.getAs[Double]("kappa")) <= 1.0)
+
+    val gates = tmp() + "/gates"
+    Seq((1L, 0L), (1L, 1L), (0L, 1L), (0L, 0L), (1L, 0L))
+      .toDF("ga", "gb").write.parquet(gates)
+    val mc = tmp() + "/mcnemar"
+    Cli.run(spark, "mcnemar", Map("input" -> gates, "output" -> mc,
+      "a" -> "ga", "b" -> "gb"))
+    val mcGot = spark.read.parquet(mc).collect()(0)
+    assert(mcGot.getAs[Long]("n10") === 2L && mcGot.getAs[Long]("n01") === 1L)
+
+    val drift = tmp() + "/driftin"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("grp"),
+        floor(col("value") / 50.0).cast("long").as("bin"),
+        (col("user_id") % 2).as("side"))
+      .write.parquet(drift)
+    val ds = tmp() + "/distshift"
+    Cli.run(spark, "distshift", Map("input" -> drift, "output" -> ds))
+    val dsGot = spark.read.parquet(ds)
+    assert(dsGot.columns.toSet ===
+      Set("grp", "n_ref", "n_cur", "hellinger", "tv"))
+    assert(dsGot.collect().forall { r =>
+      val h = r.getAs[Double]("hellinger"); h >= 0.0 && h <= 1.0 })
+
+    val bh = tmp() + "/bhfdr"
+    Cli.run(spark, "bhfdr", Map("input" -> drift, "output" -> bh))
+    val bhGot = spark.read.parquet(bh)
+    assert(bhGot.columns.contains("reject") && bhGot.count() > 0)
+
+    val scored = tmp() + "/scored"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("grp"),
+        floor(col("value") / 50.0).cast("long").as("b"),
+        (col("user_id") % 5 === 0).cast("long").as("y"))
+      .write.parquet(scored)
+    val ap = tmp() + "/avgprec"
+    Cli.run(spark, "avgprec", Map("input" -> scored, "output" -> ap))
+    val apGot = spark.read.parquet(ap)
+    assert(apGot.columns.toSet === Set("grp", "n_pos", "n_rows", "avg_prec"))
+    assert(apGot.collect().forall { r =>
+      val v = r.getAs[Double]("avg_prec"); v >= 0.0 && v <= 1.0 })
+  }
 }

@@ -116,4 +116,99 @@ class EvalOpsSpec extends SparkSpec {
     assert(got === expect, s"got $got expect $expect")
     assert(got.contains((1L, 4L)) && got.contains((1L, 2L)))
   }
+
+  test("fleissKappa: unanimous items give kappa 1; singletons drop") {
+    import spark.implicits._
+    // two items, 3 raters each, all unanimous (different categories so
+    // pe < 1); a singleton item (one rating) must not count
+    val rows = Seq((1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "y"), (2L, "y"), (2L, "y"), (3L, "z"))
+    val got = StatsOps.fleissKappa(rows.toDF("it", "cat"), "it", "cat")
+      .collect()(0)
+    assert(got.getAs[Long]("n_items") === 2L)
+    assert(got.getAs[Long]("n_ratings") === 6L)
+    assert(got.getAs[Double]("p_bar") === 1.0)
+    assert(got.getAs[Double]("kappa") === 1.0)
+  }
+
+  test("fleissKappa: matches the hand-computed Fleiss value on mixed raters") {
+    import spark.implicits._
+    // item 1 (n=3): 2 x, 1 y -> S=5, P_1=(5-3)/6=1/3
+    // item 2 (n=2): 1 x, 1 y -> S=2, P_2=(2-2)/2=0
+    // pbar=(1/3+0)/2=1/6; c_x=3, c_y=2, N=5 -> pe=(9+4)/25=0.52
+    // kappa=(1/6-0.52)/(1-0.52)=-0.736111
+    val rows = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+    val got = StatsOps.fleissKappa(rows.toDF("it", "cat"), "it", "cat")
+      .collect()(0)
+    assert(got.getAs[Double]("p_bar") === 0.166667)
+    assert(got.getAs[Double]("p_e") === 0.52)
+    assert(math.abs(got.getAs[Double]("kappa") - (-0.736111)) < 1e-6)
+  }
+
+  test("mcnemar: symmetric disagreement gives 0; no disagreement gives null") {
+    import spark.implicits._
+    val sym = Seq((1L, 0L), (0L, 1L), (1L, 1L), (0L, 0L)).toDF("a", "b")
+    val g = StatsOps.mcnemar(sym, "a", "b").collect()(0)
+    assert(g.getAs[Long]("n10") === 1L && g.getAs[Long]("n01") === 1L)
+    assert(g.getAs[Double]("mcnemar") === 0.0)
+    // cc: (|1-1|-1 -> clamped 0)^2/2 = 0
+    assert(g.getAs[Double]("mcnemar_cc") === 0.0)
+    val agree = Seq((1L, 1L), (0L, 0L)).toDF("a", "b")
+    val g2 = StatsOps.mcnemar(agree, "a", "b").collect()(0)
+    assert(g2.isNullAt(g2.fieldIndex("mcnemar")))
+  }
+
+  test("distShift: identical populations give hellinger 0 and tv 0") {
+    import spark.implicits._
+    val rows = for (b <- 0L until 5L; s <- Seq(0L, 1L); _ <- 1 to 3)
+      yield ("g", b, s)
+    val got = StatsOps.distShift(rows.toDF("grp", "bin", "side"),
+      "grp", "bin", "side", bins = 5).collect()(0)
+    assert(math.abs(got.getAs[Double]("hellinger")) < 1e-9)
+    assert(math.abs(got.getAs[Double]("tv")) < 1e-9)
+  }
+
+  test("distShift: disjoint populations approach hellinger 1") {
+    import spark.implicits._
+    // side 0 all in bin 0, side 1 all in bin 4 — smoothing keeps it < 1
+    // (n large enough that the +0.5 Laplace mass stays negligible)
+    val rows = (1 to 500).flatMap(_ => Seq(("g", 0L, 0L), ("g", 4L, 1L)))
+    val got = StatsOps.distShift(rows.toDF("grp", "bin", "side"),
+      "grp", "bin", "side", bins = 5).collect()(0)
+    assert(got.getAs[Double]("hellinger") > 0.9)
+    assert(got.getAs[Double]("tv") > 0.9)
+  }
+
+  test("bhFdr: a strongly shifted feed rejects, identical feeds do not") {
+    import spark.implicits._
+    // feed 'shift': side 0 in low bins, side 1 in high bins (max drift);
+    // feed 'same': identical sides
+    val shift = (1 to 200).flatMap(i =>
+      Seq(("shift", (i % 8).toLong, 0L), ("shift", 56L + (i % 8), 1L)))
+    val same = (1 to 200).flatMap(i =>
+      Seq(("same", (i % 64).toLong, 0L), ("same", (i % 64).toLong, 1L)))
+    val got = StatsOps.bhFdr((shift ++ same).toDF("grp", "bin", "side"),
+        "grp", "bin", "side", bins = 64, alpha = 0.10)
+      .collect().map(r => r.getAs[String]("grp") ->
+        (r.getAs[Double]("p_value"), r.getAs[Boolean]("reject"))).toMap
+    assert(got("shift")._2, s"shifted feed must reject: $got")
+    assert(!got("same")._2, s"identical feed must not reject: $got")
+    assert(got("shift")._1 < 1e-6 && got("same")._1 === 1.0)
+  }
+
+  test("avgPrecision: perfect ranking gives AP 1, all-one-bucket gives prevalence") {
+    import spark.implicits._
+    def ap(rows: Seq[(String, Long, Long)]): Double =
+      StatsOps.avgPrecision(rows.toDF("grp", "b", "y"), "grp", "b", "y")
+        .collect()(0).getAs[Double]("avg_prec")
+    // all positives above all negatives, distinct buckets
+    assert(ap(Seq(("g", 9L, 1L), ("g", 8L, 1L), ("g", 2L, 0L), ("g", 1L, 0L)))
+      === 1.0)
+    // one bucket: single block, AP = precision = prevalence 1/4
+    assert(ap(Seq(("g", 5L, 1L), ("g", 5L, 0L), ("g", 5L, 0L), ("g", 5L, 0L)))
+      === 0.25)
+    // positives at ranks 1 and 3 (distinct buckets): AP = (1 + 2/3)/2
+    assert(ap(Seq(("g", 9L, 1L), ("g", 8L, 0L), ("g", 7L, 1L), ("g", 1L, 0L)))
+      === 0.833333)
+  }
 }
