@@ -1023,6 +1023,31 @@ object Cli {
           opts.getOrElse("group", "grp"), opts.getOrElse("bucket", "b"),
           opts.getOrElse("label", "y")))
 
+      case "jw" =>
+        // Jaro-Winkler similarity column over two name columns
+        write(in("input").withColumn("jw", round(
+          graft.functions.TextFunctions.jaroWinkler(
+            col(opts.getOrElse("a", "na")), col(opts.getOrElse("b", "nb"))),
+          6)))
+
+      case "quantilenorm" =>
+        // quantile-normalize per-group buckets onto the pooled CDF
+        write(graft.operators.StatsOps.quantileNorm(in("input"),
+          opts.getOrElse("group", "grp"), opts.getOrElse("bin", "bin"),
+          opts.getOrElse("bins", "64").toInt))
+
+      case "cascade" =>
+        // rule-gate x clf-gate yield funnel per source
+        write(graft.operators.TextOps.cascadeYield(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("source", "source")))
+
+      case "tokenbudget" =>
+        // uniform token-budget split priced against per-source inventory
+        write(graft.operators.TextOps.tokenBudget(in("input"),
+          opts.getOrElse("text", "text"), opts.getOrElse("source", "source"),
+          opts("budget").toLong))
+
       case other => sys.error(s"unknown command: $other")
     }
 

@@ -39,6 +39,12 @@ object TextFunctions {
   def charHash(s: Column): Column =
     PlanBridge.column(Exprs.CharHash(PlanBridge.expression(s)))
 
+  /** Jaro–Winkler similarity (DuckDB jaro_winkler_similarity parity —
+    * the record-linkage verify-stage comparator; native codegen'd). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    PlanBridge.column(Exprs.JaroWinkler(
+      PlanBridge.expression(a), PlanBridge.expression(b)))
+
   /** The original higher-order-function form of charHash (spec oracle). */
   def charHashHof(s: Column): Column =
     aggregate(

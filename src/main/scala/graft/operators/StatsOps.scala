@@ -2705,14 +2705,18 @@ object StatsOps {
     *
     * Output: (group, n_pos, n_rows, avg_prec). */
   def avgPrecision(df: DataFrame, groupCol: String, bucketCol: String,
-                   labelCol: String): DataFrame = {
+                   labelCol: String): DataFrame =
+    apFromCounts(aucCounts(df, groupCol, bucketCol, labelCol), groupCol)
+
+  /** The fold half of [[avgPrecision]], off the SAME (grp, b, np, nn)
+    * count frame as [[aucFromCounts]] — one mergeable state serves both
+    * ranking metrics, so the streaming aucStream snapshot reads its AP
+    * for free (pre-summed duplicates allowed, they re-collapse). */
+  def apFromCounts(counts0: DataFrame, groupCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val counts = df
-      .select(col(groupCol).as("grp"), col(bucketCol).cast("long").as("b"),
-        col(labelCol).cast("long").as("y"))
-      .filter(col("grp").isNotNull)
-      .groupBy("grp", "b")
-      .agg(sum(col("y")).as("np"), count(lit(1)).as("nb"))
+    val counts = counts0.groupBy("grp", "b")
+      .agg(sum(col("np")).as("np"),
+        (sum(col("np")) + sum(col("nn"))).as("nb"))
     val ord = W.partitionBy("grp").orderBy(col("b").desc)
     val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
     counts
@@ -2750,4 +2754,73 @@ object StatsOps {
       "SELECT grp, tp AS n_pos, nn AS n_rows, " +
       "round(apnum / CAST(tp AS DOUBLE), 6) AS avg_prec FROM f " +
       "WHERE rn = k AND tp > 0 ORDER BY grp"
+
+  /** Quantile normalization of per-group bucketed scores onto the
+    * POOLED distribution — the cross-source score calibrator: two
+    * feeds' classifier scores are not comparable (one's 0.9 is
+    * another's 0.5), so each (group, bucket) maps to the smallest
+    * pooled bucket whose pooled CDF reaches the group's own CDF at that
+    * bucket. Filtering on `norm_b` then applies ONE threshold meaning
+    * the same quantile everywhere (the rank-based sibling of
+    * q_score_calibrate's per-group Platt scaling).
+    *
+    * Exactness: both CDFs stay integer; the mapping condition is the
+    * cross product cp·n_g ≥ cr·N — no division anywhere, fully
+    * hash-exact. Scale shape: ONE map-side-combined (group, bucket)
+    * count over the corpus; CDFs and the mapping join live on the
+    * bins-bounded grids (groups×bins vs bins — broadcast the pooled
+    * side).
+    *
+    * Output: (group, b, n, src_cdf_num, norm_b). */
+  def quantileNorm(df: DataFrame, groupCol: String, binCol: String,
+                   bins: Int = 64): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(bins >= 2 && bins <= 1024, "bins must be in [2, 1024]")
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        least(greatest(col(binCol).cast("long"), lit(0L)), lit(bins - 1L))
+          .as("b"))
+      .filter(col("grp").isNotNull)
+      .groupBy("grp", "b").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // grid-sized; feeds src CDF + pooled CDF
+    val ordB = W.partitionBy("grp").orderBy("b")
+    val src = counts
+      .withColumn("cr", sum(col("n")).over(
+        ordB.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("ng", sum(col("n")).over(W.partitionBy("grp")))
+    val pooled = counts.groupBy("b").agg(sum(col("n")).as("cp0"))
+    val ordP = W.orderBy("b") // pooled grid — bins-bounded global window
+    val pooledCdf = pooled
+      .withColumn("cp", sum(col("cp0")).over(
+        ordP.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .crossJoin(broadcast(pooled.agg(sum(col("cp0")).as("nn_tot"))))
+      .select(col("b").as("pb"), col("cp"), col("nn_tot"))
+    src.join(broadcast(pooledCdf),
+        col("cp") * col("ng") >= col("cr") * col("nn_tot"))
+      .groupBy("grp", "b", "n", "cr")
+      .agg(min(col("pb")).as("norm_b"))
+      .select(col("grp").as(groupCol), col("b"), col("n"),
+        col("cr").as("src_cdf_num"), col("norm_b"))
+      .orderBy(groupCol, "b")
+  }
+
+  /** DuckDB oracle for [[quantileNorm]] — identical grids, integer
+    * cross-product mapping. `base` yields grp, bin. */
+  def quantileNormSql(base: String, bins: Int): String =
+    s"WITH counts AS (SELECT grp, least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1}) AS b, " +
+      s"CAST(count(*) AS BIGINT) AS n FROM $base WHERE grp IS NOT NULL " +
+      s"GROUP BY grp, least(greatest(CAST(bin AS BIGINT), 0), ${bins - 1})), " +
+      "src AS (SELECT grp, b, n, " +
+      "CAST(sum(n) OVER (PARTITION BY grp ORDER BY b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cr, " +
+      "CAST(sum(n) OVER (PARTITION BY grp) AS BIGINT) AS ng FROM counts), " +
+      "pooled AS (SELECT b, CAST(sum(n) AS BIGINT) AS cp0 FROM counts GROUP BY b), " +
+      "pc AS (SELECT b AS pb, " +
+      "CAST(sum(cp0) OVER (ORDER BY b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp, " +
+      "CAST((SELECT sum(cp0) FROM pooled) AS BIGINT) AS nn_tot FROM pooled) " +
+      "SELECT grp, b, n, cr AS src_cdf_num, " +
+      "CAST(min(pb) AS BIGINT) AS norm_b " +
+      "FROM src JOIN pc ON cp * ng >= cr * nn_tot " +
+      "GROUP BY grp, b, n, cr ORDER BY grp, b"
 }

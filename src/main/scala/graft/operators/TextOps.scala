@@ -2256,4 +2256,119 @@ object TextOps {
       "WINDOW wb AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) z " +
       "WHERE rnd = 1"
   }
+
+  /** Filter-cascade yield report per source: how many documents survive
+    * the rule gate ([[gopherRules]]), the classifier gate
+    * ([[clfMarginFilter]]), and their conjunction — the per-feed funnel
+    * summary every curation pipeline reads before committing a mix (a
+    * feed whose yield collapses at one gate is either junk or the gate
+    * is miscalibrated for it; q_mcnemar then says which).
+    *
+    * Scale shape: both gates are zero-shuffle narrow scans over the
+    * corpus; ONE map-side-combined per-source aggregate; ratios a fixed
+    * double tree over exact integers.
+    *
+    * Output: (source, n_docs, n_rules, n_clf, n_both, yield_rules,
+    * yield_clf, yield_both). */
+  def cascadeYield(df: DataFrame, idCol: String, textCol: String,
+                   srcCol: String): DataFrame = {
+    val gates = df.select(col(idCol), col(srcCol).as("src"))
+      .join(gopherRules(df, idCol, textCol).select(col(idCol), col("pass")),
+        Seq(idCol))
+      .join(clfMarginFilter(df, idCol, textCol).select(col(idCol), col("keep")),
+        Seq(idCol))
+    gates.groupBy(col("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_rules"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_clf"),
+        sum(when(col("pass") && col("keep"), 1L).otherwise(0L)).as("n_both"))
+      .select(col("src").as(srcCol), col("n_docs"), col("n_rules"),
+        col("n_clf"), col("n_both"),
+        round(col("n_rules").cast("double") / col("n_docs").cast("double"), 6)
+          .as("yield_rules"),
+        round(col("n_clf").cast("double") / col("n_docs").cast("double"), 6)
+          .as("yield_clf"),
+        round(col("n_both").cast("double") / col("n_docs").cast("double"), 6)
+          .as("yield_both"))
+      .orderBy(srcCol)
+  }
+
+  /** DuckDB oracle for [[cascadeYield]] — identical gates and trees. */
+  def cascadeYieldSql(table: String, idExpr: String, textExpr: String,
+                      srcExpr: String): String = {
+    val codes = TextFunctions.tokenCodesSql(textExpr)
+    val toks = TextFunctions.tokensSql(textExpr)
+    s"WITH g AS (SELECT $srcExpr AS src, " +
+      s"(list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), " +
+      "(acc, c) -> acc + ((c % 64) * 2654435761 % 1999 - 999)) > 0) AS keep, " +
+      s"((n_tok >= 20 AND n_tok <= 80) AND (3 * n_tok <= ntc AND ntc <= 10 * n_tok) " +
+      "AND (nstop >= 2) AND (100 * maxtf <= 15 * n_tok)) AS pass FROM " +
+      s"(SELECT $srcExpr, $textExpr, " +
+      s"CAST(len($toks) AS BIGINT) AS n_tok, " +
+      s"CAST(len(list_filter($toks, t -> t IN ('the', 'a'))) AS BIGINT) AS nstop, " +
+      s"CAST(list_max(list_transform(list_distinct($toks), " +
+      s"t -> len(list_filter($toks, x -> x = t)))) AS BIGINT) AS maxtf, " +
+      s"CAST(length($textExpr) AS BIGINT) - (CAST(len($toks) AS BIGINT) - 1) AS ntc " +
+      s"FROM $table) z) " +
+      "SELECT src AS source, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_rules, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_clf, " +
+      "CAST(sum(CASE WHEN pass AND keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +
+      "round(CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE), 6) AS yield_rules, " +
+      "round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE), 6) AS yield_clf, " +
+      "round(CAST(sum(CASE WHEN pass AND keep THEN 1 ELSE 0 END) AS DOUBLE) / " +
+      "CAST(count(*) AS DOUBLE), 6) AS yield_both " +
+      "FROM g GROUP BY src ORDER BY source"
+  }
+
+  /** Token-budget allocation per source: given a total training-token
+    * budget, split it UNIFORMLY across sources and price each source's
+    * sampling rate against its actual token inventory — the
+    * mix-planning step AFTER [[mixWeights]]-style weighting decides
+    * proportions (training mixes are budgeted in TOKENS, not documents;
+    * a source short of its allocation surfaces as a deficit to
+    * re-spread, one short of rate 1.0 as downsampling).
+    *
+    * Scale shape: one narrow token-count scan + one map-side-combined
+    * per-source sum; everything after lives on the source grid. All
+    * inventories exact integers; the rate is one division, round 6.
+    *
+    * Output: (source, have_tokens, target_tokens, rate, deficit). */
+  def tokenBudget(df: DataFrame, textCol: String, srcCol: String,
+                  budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val have = df
+      .select(col(srcCol).as("src"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("nt"))
+      .filter(col("src").isNotNull)
+      .groupBy("src").agg(sum(col("nt")).as("have_tokens"))
+    val k = have.agg(count(lit(1)).as("k"))
+    have.crossJoin(broadcast(k))
+      .withColumn("target_tokens", expr(s"CAST($budget AS BIGINT) div k"))
+      .select(col("src").as(srcCol), col("have_tokens"),
+        col("target_tokens"),
+        round(least(lit(1.0), col("target_tokens").cast("double") /
+          col("have_tokens").cast("double")), 6).as("rate"),
+        greatest(col("target_tokens") - col("have_tokens"), lit(0L))
+          .as("deficit"))
+      .orderBy(srcCol)
+  }
+
+  /** DuckDB oracle for [[tokenBudget]] — identical counts and tree. */
+  def tokenBudgetSql(table: String, textExpr: String, srcExpr: String,
+                     budget: Long): String = {
+    val toks = TextFunctions.tokensSql(textExpr)
+    s"WITH have AS (SELECT $srcExpr AS src, " +
+      s"CAST(sum(len($toks)) AS BIGINT) AS have_tokens FROM $table " +
+      s"WHERE $srcExpr IS NOT NULL GROUP BY $srcExpr), " +
+      "k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM have) " +
+      s"SELECT src AS source, have_tokens, " +
+      s"CAST($budget // k AS BIGINT) AS target_tokens, " +
+      s"round(least(1.0, CAST($budget // k AS DOUBLE) / " +
+      "CAST(have_tokens AS DOUBLE)), 6) AS rate, " +
+      s"CAST(greatest($budget // k - have_tokens, 0) AS BIGINT) AS deficit " +
+      "FROM have CROSS JOIN k ORDER BY source"
+  }
 }

@@ -313,4 +313,19 @@ object Exprs {
         newLeft: Expression, newRight: Expression): PointInPolygon =
       copy(left = newLeft, right = newRight)
   }
+
+  /** Jaro–Winkler similarity of two strings (Kernels.jaroWinkler —
+    * DuckDB-parity semantics for the record-linkage verify face). */
+  case class JaroWinkler(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_jaro_winkler"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.plans.Kernels.jaroWinkler($a, $b)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): JaroWinkler =
+      copy(left = newLeft, right = newRight)
+  }
 }

@@ -432,4 +432,57 @@ object Kernels {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Jaro–Winkler similarity, matching DuckDB's jaro_winkler_similarity
+    * semantics (validated against it case-by-case in JaroWinklerSpec):
+    * either side empty → 0; match window max(|a|,|b|)/2 − 1 (floor,
+    * clamped ≥ 0); transpositions = mismatches between the two matched
+    * sequences, halved with FLOOR (integer division — an odd mismatch
+    * count rounds down, DuckDB/RapidFuzz parity); Winkler boost p = 0.1
+    * over the common prefix capped at 4, applied only when jaro > 0.7
+    * (strict). */
+  def jaroWinkler(aS: UTF8String, bS: UTF8String): Double = {
+    val a = aS.toString
+    val b = bS.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val ca = a.charAt(i)
+      var j = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var hit = false
+      while (j <= hi && !hit) {
+        if (!bM(j) && ca == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; hit = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var tRaw = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) tRaw += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - (tRaw / 2).toDouble) / md) / 3.0
+    if (jaro <= 0.7) return jaro
+    var prefix = 0
+    val pMax = math.min(4, math.min(la, lb))
+    while (prefix < pMax && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
+    jaro + prefix * 0.1 * (1.0 - jaro)
+  }
 }

@@ -325,6 +325,69 @@ object EvalQueries {
           "(SELECT event_type AS grp, " +
             "CAST(least(floor(value * 64.0 / 500.0), 63.0) AS BIGINT) AS b, " +
             "CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS y FROM events)") +
-        ") z ORDER BY event_type"))
+        ") z ORDER BY event_type")),
+
+    // Jaro-Winkler linkage verify over (brand, size)-blocked part-name
+    // pairs — the fuzzy-name comparator of every record-linkage stack
+    // (q_record_linkage scores agreement PATTERNS; this is the
+    // per-field string similarity that feeds such patterns). Native
+    // codegen'd kernel, DuckDB-function parity proven by the oracle
+    // hash; blocked (never corpus-quadratic), the q_edit_verify policy.
+    Q("q_jaro_winkler",
+      (s, d) => {
+        val p = Tables.load(s, d, "part")
+        val a = p.select(col("p_brand").as("brand"),
+          col("p_size").as("size"), col("p_partkey").as("a"),
+          col("p_name").as("na"))
+        val b = p.select(col("p_brand").as("brand"),
+          col("p_size").as("size"), col("p_partkey").as("b"),
+          col("p_name").as("nb"))
+        a.join(b, Seq("brand", "size")).filter(col("a") < col("b"))
+          .withColumn("jw", round(
+            graft.functions.TextFunctions.jaroWinkler(col("na"), col("nb")),
+            6))
+          .filter(col("jw") >= 0.8)
+          .select("a", "b", "jw").orderBy("a", "b")
+      },
+      Some("SELECT a, b, jw FROM (SELECT x.p_partkey AS a, " +
+        "y.p_partkey AS b, " +
+        "round(jaro_winkler_similarity(x.p_name, y.p_name), 6) AS jw " +
+        "FROM part x JOIN part y ON x.p_brand = y.p_brand " +
+        "AND x.p_size = y.p_size AND x.p_partkey < y.p_partkey) z " +
+        "WHERE jw >= 0.8 ORDER BY a, b")),
+
+    // Quantile normalization of per-event-type value buckets onto the
+    // pooled distribution — one threshold then means the same quantile
+    // in every feed (integer cross-product CDF mapping, fully exact).
+    Q("q_quantile_norm",
+      (s, d) => StatsOps.quantileNorm(
+        ev(s, d).select(col("event_type").as("grp"),
+          least(floor(col("value") * 64.0 / 500.0), lit(63.0)).cast("long")
+            .as("bin")),
+        "grp", "bin", bins = 64)
+        .withColumnRenamed("grp", "event_type"),
+      Some("SELECT grp AS event_type, b, n, src_cdf_num, norm_b FROM (" +
+        StatsOps.quantileNormSql(
+          "(SELECT event_type AS grp, " +
+            "CAST(least(floor(value * 64.0 / 500.0), 63.0) AS BIGINT) AS bin " +
+            "FROM events)",
+          bins = 64) + ") z ORDER BY event_type, b")),
+
+    // Filter-cascade yield per source: documents surviving the rule
+    // gate, the classifier gate, and both — the per-feed funnel read
+    // before committing a training mix.
+    Q("q_cascade_yield",
+      (s, d) => TextOps.cascadeYield(docs(s, d), "doc_id", "text", "source"),
+      Some(TextOps.cascadeYieldSql("documents", "doc_id", "text", "source"))),
+
+    // Token-budget allocation: a 500k-token budget split uniformly
+    // across sources, priced against each source's actual inventory —
+    // sampling rate plus deficit per feed (mixes are budgeted in
+    // tokens, not documents).
+    Q("q_token_budget",
+      (s, d) => TextOps.tokenBudget(docs(s, d), "text", "source",
+        budget = 500000L),
+      Some(TextOps.tokenBudgetSql("documents", "text", "source",
+        budget = 500000L)))
   )
 }

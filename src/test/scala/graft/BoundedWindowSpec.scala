@@ -171,7 +171,8 @@ class BoundedWindowSpec extends SparkSpec {
       "q_rbo" -> 20L,                           // top-d rank frames + k-grid
       "q_brier" -> 10L,                         // confidence-decile bin fold
       "q_fleiss_kappa" -> 256L,                 // rater-count class grid
-      "q_bh_fdr" -> 64L                         // one row per tested feed
+      "q_bh_fdr" -> 64L,                        // one row per tested feed
+      "q_quantile_norm" -> 64L                  // pooled bin-grid CDF
     )
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1177,4 +1177,43 @@ class CliSpec extends SparkSpec {
     assert(apGot.collect().forall { r =>
       val v = r.getAs[Double]("avg_prec"); v >= 0.0 && v <= 1.0 })
   }
+
+  test("cli jw/quantilenorm/cascade/tokenbudget wire end-to-end (r10 batch 4)") {
+    import spark.implicits._
+
+    val pairs = tmp() + "/jwpairs"
+    Seq(("martha", "marhta"), ("crate", "trace")).toDF("na", "nb")
+      .write.parquet(pairs)
+    val jw = tmp() + "/jw"
+    Cli.run(spark, "jw", Map("input" -> pairs, "output" -> jw))
+    val jwGot = spark.read.parquet(jw).collect()
+      .map(r => r.getAs[String]("na") -> r.getAs[Double]("jw")).toMap
+    assert(jwGot("martha") === 0.961111 && jwGot("crate") === 0.733333)
+
+    val binned = tmp() + "/qnin"
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_type").as("grp"),
+        floor(col("value") / 50.0).cast("long").as("bin"))
+      .write.parquet(binned)
+    val qn = tmp() + "/qnorm"
+    Cli.run(spark, "quantilenorm", Map("input" -> binned, "output" -> qn,
+      "bins" -> "10"))
+    val qnGot = spark.read.parquet(qn)
+    assert(qnGot.columns.toSet ===
+      Set("grp", "b", "n", "src_cdf_num", "norm_b"))
+    assert(qnGot.count() > 0)
+
+    val cy = tmp() + "/cascade"
+    Cli.run(spark, "cascade", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> cy))
+    assert(spark.read.parquet(cy).columns.contains("yield_both"))
+
+    val tb = tmp() + "/tokenbudget"
+    Cli.run(spark, "tokenbudget", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> tb,
+      "budget" -> "100000"))
+    val tbGot = spark.read.parquet(tb)
+    assert(tbGot.columns.toSet ===
+      Set("source", "have_tokens", "target_tokens", "rate", "deficit"))
+  }
 }

@@ -211,4 +211,85 @@ class EvalOpsSpec extends SparkSpec {
     assert(ap(Seq(("g", 9L, 1L), ("g", 8L, 0L), ("g", 7L, 1L), ("g", 1L, 0L)))
       === 0.833333)
   }
+
+  test("jaroWinkler kernel matches DuckDB jaro_winkler_similarity case-by-case") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      graft.plans.Kernels.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    // expected values read off DuckDB 'SELECT jaro_winkler_similarity(a,b)'
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("", "", 0.0), ("a", "", 0.0), ("ab", "ba", 0.0),
+      ("abc", "abc", 1.0),
+      ("aaaaaab", "aaaaaba", 0.9714285714285714),
+      ("prefixprefix", "prefixzzzzzz", 0.6666666666666666), // <= 0.7: no boost
+      ("ababab", "bababa", 0.8333333333333334),
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("abcdefgh", "hgfedcba", 0.5),
+      ("red widget", "new widget", 0.825), // odd mismatch count: floor halving
+      ("small ring", "small rings", 0.9818181818181818))
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(jw(a, b) - want) < 1e-12, s"jw($a, $b)")
+    }
+  }
+
+  test("quantileNorm: identical groups map each bucket to itself") {
+    import spark.implicits._
+    // two groups with the SAME histogram -> each group's CDF equals the
+    // pooled CDF at every bucket, so norm_b == b everywhere
+    val rows = for (g <- Seq("x", "y"); b <- 0L until 4L; _ <- 1 to (b + 1).toInt)
+      yield (g, b)
+    val got = StatsOps.quantileNorm(rows.toDF("grp", "bin"), "grp", "bin",
+      bins = 8).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("norm_b") === r.getAs[Long]("b"),
+      s"identity mapping violated at $r"))
+  }
+
+  test("quantileNorm: a shifted group maps onto the pooled scale") {
+    import spark.implicits._
+    // group lo lives in buckets 0-1, group hi in 6-7, uniform mass;
+    // pooled median sits between them: lo's top bucket must map to a
+    // pooled bucket >= its own (pulled up), hi's bottom to <= its own
+    val rows = (1 to 10).flatMap(_ =>
+      Seq(("lo", 0L), ("lo", 1L), ("hi", 6L), ("hi", 7L)))
+    val got = StatsOps.quantileNorm(rows.toDF("grp", "bin"), "grp", "bin",
+        bins = 8).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("norm_b")).toMap
+    assert(got(("lo", 0L)) === 1L) // lo CDF 0.5 -> pooled CDF 0.5 at b=1
+    assert(got(("lo", 1L)) === 7L) // lo CDF 1.0 -> pooled CDF 1.0 at b=7
+    assert(got(("hi", 6L)) === 1L) // hi CDF 0.5 -> pooled CDF 0.5 at b=1
+    assert(got(("hi", 7L)) === 7L)
+  }
+
+  test("tokenBudget: closed-form split, rate clamps at 1, deficit surfaces") {
+    import spark.implicits._
+    // source a: 10 tokens; source b: 2 tokens; budget 8 -> target 4 each
+    val df = Seq(("a", "t t t t t t t t t t"), ("b", "t t"))
+      .toDF("src", "text")
+    val got = graft.operators.TextOps.tokenBudget(df, "text", "src", 8L)
+      .collect().map(r => r.getAs[String]("src") ->
+        ((r.getAs[Long]("have_tokens"), r.getAs[Long]("target_tokens"),
+          r.getAs[Double]("rate"), r.getAs[Long]("deficit")))).toMap
+    assert(got("a") === ((10L, 4L, 0.4, 0L)))   // downsampled to 4/10
+    assert(got("b") === ((2L, 4L, 1.0, 2L)))    // short by 2: deficit
+  }
+
+  test("cascadeYield: conjunction never exceeds either gate") {
+    val got = graft.operators.TextOps.cascadeYield(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", "source")
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (n, nr, nc, nb) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_rules"),
+        r.getAs[Long]("n_clf"), r.getAs[Long]("n_both"))
+      assert(nb <= math.min(nr, nc) && nr <= n && nc <= n)
+      assert(nb >= nr + nc - n) // inclusion-exclusion floor
+    }
+  }
 }

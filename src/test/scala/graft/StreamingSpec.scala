@@ -914,13 +914,25 @@ class StreamingSpec extends SparkSpec {
       graft.operators.StatsOps.groupAuc(
           rows.toDF("grp", "b", "y"), "grp", "b", "y")
         .collect()(0).getAs[Double]("auc")
+    // the SAME folded state also reads its average precision (one
+    // mergeable state, two ranking metrics — apFromCounts)
+    def stateAp(): Double =
+      graft.operators.StatsOps.apFromCounts(
+          EventStreams.readUpsertState(spark, s"$dir/state"), "grp")
+        .collect()(0).getAs[Double]("avg_prec")
+    def batchAp(rows: Seq[(String, Long, Long)]): Double =
+      graft.operators.StatsOps.avgPrecision(
+          rows.toDF("grp", "b", "y"), "grp", "b", "y")
+        .collect()(0).getAs[Double]("avg_prec")
     try {
       input.addData(b1: _*)
       q.processAllAvailable()
       assert(stateAuc() === batchAuc(b1))
+      assert(stateAp() === batchAp(b1))
       input.addData(b2: _*)
       q.processAllAvailable()
       assert(stateAuc() === batchAuc(b1 ++ b2))
+      assert(stateAp() === batchAp(b1 ++ b2))
     } finally q.stop()
   }
 
