@@ -1048,6 +1048,21 @@ object Cli {
           opts.getOrElse("text", "text"), opts.getOrElse("source", "source"),
           opts("budget").toLong))
 
+      case "survivors" =>
+        // dedup survivorship bill per source off the LSH cluster graph
+        write(graft.operators.Dedup.dedupSurvivors(in("input"),
+          opts.getOrElse("id", "doc_id"), opts.getOrElse("text", "text"),
+          opts.getOrElse("source", "source"),
+          opts.getOrElse("k", "16").toInt,
+          opts.getOrElse("bands", "2").toInt))
+
+      case "freqdrift" =>
+        // top-k token-share drift between sides 0/1 of the input
+        write(graft.operators.TextOps.freqDriftTopK(in("input"),
+          opts.getOrElse("side", "side"), opts.getOrElse("text", "text"),
+          opts.getOrElse("top-v", "200").toInt,
+          opts.getOrElse("k", "20").toInt))
+
       case other => sys.error(s"unknown command: $other")
     }
 

@@ -2356,6 +2356,76 @@ object TextOps {
       .orderBy(srcCol)
   }
 
+  /** Top-k token-frequency drift between two corpus sides — the
+    * drill-down AFTER a distribution gate fires ([[klDrift]]/[[jsDrift]]
+    * say THAT the mix moved; this says WHICH terms moved it): over the
+    * pooled top-`topV` vocabulary, the k terms whose frequency share
+    * changed most between side 0 (reference) and side 1 (current).
+    *
+    * Exactness: ranking uses the INTEGER cross product
+    * |cb·na − ca·nb| (term tie-break) — no float enters the ordering;
+    * shares/delta are rounded output only. int64-exact to ~3·10⁹ tokens
+    * per side (the ksDistance stance — lift to decimal beyond).
+    *
+    * Scale shape: one term-keyed map-side-combined count (the only
+    * corpus shuffle); top-V by TakeOrdered; ranking on the V-bounded
+    * grid (declared global window).
+    *
+    * Output: (rnk, term, c_ref, c_cur, share_ref, share_cur, delta). */
+  def freqDriftTopK(df: DataFrame, sideCol: String, textCol: String,
+                    topV: Int = 200, k: Int = 20): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    require(topV >= k && topV <= 4096, "need k <= topV <= 4096")
+    val toks = df.filter(col(sideCol).isNotNull)
+      .select(col(sideCol).cast("long").as("side"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+    val cnt = toks.groupBy("term")
+      .agg(sum(when(col("side") === 0L, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("side") === 1L, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // vocab-sized; feeds totals + the top-V cut
+    val tot = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val top = cnt.orderBy((col("ca") + col("cb")).desc, col("term"))
+      .limit(topV)
+    top.crossJoin(broadcast(tot))
+      .withColumn("dnum", abs(col("cb") * col("na") - col("ca") * col("nb")))
+      .withColumn("rnk", row_number().over(
+        W.orderBy(col("dnum").desc, col("term"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("term"), col("ca").as("c_ref"),
+        col("cb").as("c_cur"),
+        round(col("ca").cast("double") / col("na").cast("double"), 6)
+          .as("share_ref"),
+        round(col("cb").cast("double") / col("nb").cast("double"), 6)
+          .as("share_cur"),
+        round(col("cb").cast("double") / col("nb").cast("double") -
+          col("ca").cast("double") / col("na").cast("double"), 6)
+          .as("delta"))
+      .orderBy("rnk")
+  }
+
+  /** DuckDB oracle for [[freqDriftTopK]] — identical counts, top-V cut
+    * and integer ranking. `base` yields side, text. */
+  def freqDriftTopKSql(base: String, topV: Int, k: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH cnt AS (SELECT term, " +
+      "CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb " +
+      s"FROM (SELECT side, unnest($toks) AS term FROM $base " +
+      "WHERE side IS NOT NULL) GROUP BY term), " +
+      "tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, " +
+      "CAST(sum(cb) AS BIGINT) AS nb FROM cnt), " +
+      s"top AS (SELECT * FROM cnt ORDER BY ca + cb DESC, term LIMIT $topV), " +
+      "r AS (SELECT *, CAST(row_number() OVER " +
+      "(ORDER BY abs(cb * na - ca * nb) DESC, term) AS BIGINT) AS rnk " +
+      "FROM top CROSS JOIN tot) " +
+      "SELECT rnk, term, ca AS c_ref, cb AS c_cur, " +
+      "round(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS share_ref, " +
+      "round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS share_cur, " +
+      "round(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) - " +
+      "CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS delta " +
+      s"FROM r WHERE rnk <= $k ORDER BY rnk"
+  }
+
   /** DuckDB oracle for [[tokenBudget]] — identical counts and tree. */
   def tokenBudgetSql(table: String, textExpr: String, srcExpr: String,
                      budget: Long): String = {

@@ -351,6 +351,37 @@ object DedupQueries {
           "round(CAST(n_inter AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS c_ba, " +
           "round(CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE), 6) AS jaccard " +
           "FROM m) WHERE greatest(c_ab, c_ba) >= 0.25 ORDER BY a, b"
-      })
+      }),
+
+    // Dedup survivorship bill per source: elect the min-id survivor per
+    // q_dedup_clusters component and price what each feed loses in
+    // documents and characters — the number the pipeline reports
+    // ("dedup cut feed X by 38% of bytes"). Same star-edge graph and
+    // algorithm-independent oracle as q_dedup_clusters (Spark: min-label
+    // propagation; DuckDB: recursive BFS reachability).
+    Q("q_dedup_survivors",
+      (s, d) => Dedup.dedupSurvivors(docs(s, d), "doc_id", "text", "source",
+        k = 16, bands = 2),
+      Some(s"WITH RECURSIVE bands AS (${mhBandsSql(16, 2)}), " +
+        "stars AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS bmin " +
+        "FROM bands), " +
+        "e0 AS (SELECT DISTINCT doc_id AS src, bmin AS dst FROM stars " +
+        "WHERE doc_id <> bmin), " +
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0), " +
+        "reach(id, m) AS (SELECT DISTINCT src AS id, src AS m FROM edges " +
+        "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m), " +
+        "cmp AS (SELECT id, CAST(min(m) AS BIGINT) AS comp FROM reach GROUP BY id), " +
+        "lab AS (SELECT d.source, CAST(length(d.text) AS BIGINT) AS nch, " +
+        "(d.doc_id = coalesce(c.comp, d.doc_id)) AS keep " +
+        "FROM documents d LEFT JOIN cmp c ON d.doc_id = c.id) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+        "CAST(sum(nch) AS BIGINT) AS chars_total, " +
+        "CAST(sum(CASE WHEN keep THEN nch ELSE 0 END) AS BIGINT) AS chars_kept, " +
+        "round(1.0 - CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS doc_cut_ratio, " +
+        "round(1.0 - CAST(sum(CASE WHEN keep THEN nch ELSE 0 END) AS DOUBLE) / " +
+        "CAST(sum(nch) AS DOUBLE), 6) AS char_cut_ratio " +
+        "FROM lab GROUP BY source ORDER BY source"))
   )
 }

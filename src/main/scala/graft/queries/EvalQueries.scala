@@ -388,6 +388,18 @@ object EvalQueries {
       (s, d) => TextOps.tokenBudget(docs(s, d), "text", "source",
         budget = 500000L),
       Some(TextOps.tokenBudgetSql("documents", "text", "source",
-        budget = 500000L)))
+        budget = 500000L))),
+
+    // Top-20 token-frequency drift between the doc-id-parity corpus
+    // halves over the pooled top-200 vocabulary — the WHICH-terms
+    // drill-down after q_kl_drift / q_js_drift fire; ranking on integer
+    // cross products, term tie-break.
+    Q("q_freq_drift",
+      (s, d) => TextOps.freqDriftTopK(
+        docs(s, d).select((col("doc_id") % 2).as("side"), col("text")),
+        "side", "text", topV = 200, k = 20),
+      Some(TextOps.freqDriftTopKSql(
+        "(SELECT doc_id % 2 AS side, text FROM documents)",
+        topV = 200, k = 20)))
   )
 }

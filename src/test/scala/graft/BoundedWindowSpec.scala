@@ -172,7 +172,8 @@ class BoundedWindowSpec extends SparkSpec {
       "q_brier" -> 10L,                         // confidence-decile bin fold
       "q_fleiss_kappa" -> 256L,                 // rater-count class grid
       "q_bh_fdr" -> 64L,                        // one row per tested feed
-      "q_quantile_norm" -> 64L                  // pooled bin-grid CDF
+      "q_quantile_norm" -> 64L,                 // pooled bin-grid CDF
+      "q_freq_drift" -> 200L                    // top-V vocabulary grid
     )
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

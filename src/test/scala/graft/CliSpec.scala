@@ -1215,5 +1215,26 @@ class CliSpec extends SparkSpec {
     val tbGot = spark.read.parquet(tb)
     assert(tbGot.columns.toSet ===
       Set("source", "have_tokens", "target_tokens", "rate", "deficit"))
+
+    val sv = tmp() + "/survivors"
+    Cli.run(spark, "survivors", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> sv))
+    val svGot = spark.read.parquet(sv)
+    assert(svGot.columns.contains("char_cut_ratio"))
+    svGot.collect().foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("chars_kept") <= r.getAs[Long]("chars_total"))
+    }
+
+    val fdIn = tmp() + "/fdin"
+    Tables.load(spark, sfDir, "documents")
+      .select((col("doc_id") % 2).as("side"), col("text"))
+      .write.parquet(fdIn)
+    val fd = tmp() + "/freqdrift"
+    Cli.run(spark, "freqdrift", Map("input" -> fdIn, "output" -> fd,
+      "k" -> "10"))
+    val fdGot = spark.read.parquet(fd)
+    assert(fdGot.count() === 10)
+    assert(fdGot.columns.contains("delta"))
   }
 }

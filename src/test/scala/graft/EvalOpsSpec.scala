@@ -280,6 +280,38 @@ class EvalOpsSpec extends SparkSpec {
     assert(got("b") === ((2L, 4L, 1.0, 2L)))    // short by 2: deficit
   }
 
+  test("dedupSurvivors: survivor count equals component count plus isolated docs") {
+    val dd = Tables.load(spark, sfDir, "documents")
+    val cc = Dedup.connectedComponents(
+      Dedup.lshStarEdges(dd, "doc_id", "text", k = 16, bands = 2))
+    val nComp = cc.select("comp").distinct().count()
+    val nInGraph = cc.count()
+    val nDocs = dd.count()
+    val got = Dedup.dedupSurvivors(dd, "doc_id", "text", "source").collect()
+    val kept = got.map(_.getAs[Long]("n_kept")).sum
+    val total = got.map(_.getAs[Long]("n_docs")).sum
+    assert(total === nDocs)
+    assert(kept === nComp + (nDocs - nInGraph),
+      "one survivor per component, isolated docs all survive")
+  }
+
+  test("freqDriftTopK: the moved token ranks first; identical halves drift 0") {
+    import spark.implicits._
+    // side 0: 'a' dominates; side 1: 'b' takes its place
+    val moved = Seq((0L, "a a a a c"), (1L, "b b b b c")).toDF("side", "text")
+    val top = graft.operators.TextOps.freqDriftTopK(moved, "side", "text",
+      topV = 10, k = 3).collect()
+    assert(Set(top(0).getAs[String]("term"), top(1).getAs[String]("term"))
+      === Set("a", "b")) // both moved by the full 0.8 share, term tie-break
+    assert(top(0).getAs[String]("term") === "a")
+    assert(top(0).getAs[Double]("delta") === -0.8)
+    assert(top(2).getAs[String]("term") === "c")
+    assert(top(2).getAs[Double]("delta") === 0.0)
+    val same = Seq((0L, "x y z"), (1L, "x y z")).toDF("side", "text")
+    graft.operators.TextOps.freqDriftTopK(same, "side", "text", 10, 3)
+      .collect().foreach(r => assert(r.getAs[Double]("delta") === 0.0))
+  }
+
   test("cascadeYield: conjunction never exceeds either gate") {
     val got = graft.operators.TextOps.cascadeYield(
       Tables.load(spark, sfDir, "documents"), "doc_id", "text", "source")
