@@ -1056,6 +1056,18 @@ object Cli {
           opts.getOrElse("k", "16").toInt,
           opts.getOrElse("bands", "2").toInt))
 
+      case "winrate" =>
+        // pairwise win-rate matrix with Wilson CIs over (user, type)
+        write(graft.operators.StatsOps.winRateMatrix(in("input"),
+          opts.getOrElse("user", "user_id"),
+          opts.getOrElse("type", "event_type"),
+          opts.getOrElse("z", "1.96").toDouble))
+
+      case "distinctn" =>
+        // Distinct-1/Distinct-2 lexical diversity per source
+        write(graft.operators.TextOps.distinctNgrams(in("input"),
+          opts.getOrElse("text", "text"), opts.getOrElse("source", "source")))
+
       case "freqdrift" =>
         // top-k token-share drift between sides 0/1 of the input
         write(graft.operators.TextOps.freqDriftTopK(in("input"),

@@ -2823,4 +2823,71 @@ object StatsOps {
       "CAST(min(pb) AS BIGINT) AS norm_b " +
       "FROM src JOIN pc ON cp * ng >= cr * nn_tot " +
       "GROUP BY grp, b, n, cr ORDER BY grp, b"
+
+  /** Pairwise win-rate matrix with Wilson 95% intervals — the arena
+    * readout BEFORE [[bradleyTerry]] fits strengths: per unordered type
+    * pair, i's raw win rate over their shared users with the interval
+    * that says whether the edge is real at this sample size, and a
+    * `decided` flag when the CI excludes 0.5 (the "statistically
+    * separated" cell an eval dashboard colors in). Same comparison
+    * frame as BT (one comparison per user per pair, ties drop) — the
+    * two operators cannot disagree about what a "win" is.
+    *
+    * Scale shape: per-(user, type) counts map-side combine (the only
+    * corpus shuffle); the pair self-join runs per user on their
+    * type-bounded rows; everything after lives on the |types|² grid.
+    * All counts exact integers; Wilson is the [[wilsonInterval]] tree.
+    *
+    * Output: (i, j, n_comp, n_wins_i, win_rate, ci_lo, ci_hi, decided). */
+  def winRateMatrix(df: DataFrame, userCol: String, typeCol: String,
+                    z: Double = 1.96): DataFrame = {
+    val ut = df.groupBy(col(userCol).as("u"), col(typeCol).as("t"))
+      .agg(count(lit(1)).as("n"))
+    val comp = ut.as("a").join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .filter(col("a.n") =!= col("b.n"))
+      .select(col("a.t").as("i"), col("b.t").as("j"),
+        when(col("a.n") > col("b.n"), 1L).otherwise(0L).as("wi"))
+    val pairs = comp.groupBy("i", "j")
+      .agg(count(lit(1)).as("n_comp"), sum(col("wi")).as("n_wins_i"))
+    val nD = col("n_comp").cast("double")
+    val p = col("n_wins_i").cast("double") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    val lo = (center - margin) / denom
+    val hi = (center + margin) / denom
+    pairs.select(col("i"), col("j"), col("n_comp"), col("n_wins_i"),
+        round(p, 6).as("win_rate"),
+        round(lo, 6).as("ci_lo"), round(hi, 6).as("ci_hi"),
+        (lo > 0.5 || hi < 0.5).as("decided"))
+      .orderBy("i", "j")
+  }
+
+  /** DuckDB oracle for [[winRateMatrix]] — identical comparison frame
+    * and Wilson tree. */
+  def winRateMatrixSql(table: String, userExpr: String, typeExpr: String,
+                       z: Double = 1.96): String = {
+    val z2 = z * z
+    val nD = "CAST(n_comp AS DOUBLE)"
+    val p = s"(CAST(n_wins_i AS DOUBLE) / $nD)"
+    val denom = s"(1.0 + $z2 / $nD)"
+    val center = s"($p + $z2 / (2.0 * $nD))"
+    val margin = s"($z * sqrt($p * (1.0 - $p) / $nD + $z2 / (4.0 * $nD * $nD)))"
+    val lo = s"(($center - $margin) / $denom)"
+    val hi = s"(($center + $margin) / $denom)"
+    s"WITH ut AS (SELECT $userExpr AS u, $typeExpr AS t, " +
+      s"CAST(count(*) AS BIGINT) AS n FROM $table GROUP BY u, t), " +
+      "pairs AS (SELECT a.t AS i, b.t AS j, " +
+      "CAST(count(*) AS BIGINT) AS n_comp, " +
+      "CAST(sum(CASE WHEN a.n > b.n THEN 1 ELSE 0 END) AS BIGINT) AS n_wins_i " +
+      "FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t " +
+      "WHERE a.n <> b.n GROUP BY a.t, b.t) " +
+      s"SELECT i, j, n_comp, n_wins_i, round($p, 6) AS win_rate, " +
+      s"round($lo, 6) AS ci_lo, round($hi, 6) AS ci_hi, " +
+      s"($lo > 0.5 OR $hi < 0.5) AS decided " +
+      "FROM pairs ORDER BY i, j"
+  }
 }

@@ -2426,6 +2426,71 @@ object TextOps {
       s"FROM r WHERE rnk <= $k ORDER BY rnk"
   }
 
+  /** Distinct-n lexical diversity per source (Li et al. 2016's
+    * Distinct-1/Distinct-2): distinct unigrams over total unigrams and
+    * distinct bigrams over total bigrams — the degeneracy gauge that
+    * catches template farms and model-generated spam (near-zero
+    * Distinct-2 at healthy Distinct-1 = the telltale n-gram loop), the
+    * corpus-level sibling of q_rep_ratio's per-document repetition.
+    *
+    * Scale shape: distinct counts via the two-stage (source, gram)
+    * groupBy — map-side combined, never a count-distinct Expand over
+    * the corpus; totals ride the same scan. Exact integers, one rounded
+    * division each.
+    *
+    * Output: (source, n_tokens, n_uni, n_bigrams, n_bi, distinct1,
+    * distinct2). */
+  def distinctNgrams(df: DataFrame, textCol: String,
+                     srcCol: String): DataFrame = {
+    val base = df.filter(col(srcCol).isNotNull)
+      .select(col(srcCol).as("src"),
+        TextFunctions.tokens(col(textCol)).as("_t"))
+    val uni = base.select(col("src"), explode(col("_t")).as("g"))
+      .groupBy("src", "g").agg(count(lit(1)).as("c"))
+      .groupBy("src")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_uni"))
+    val bi = base.select(col("src"),
+        explode(TextFunctions.bigrams(col("_t"))).as("g"))
+      .groupBy("src", "g").agg(count(lit(1)).as("c"))
+      .groupBy("src")
+      .agg(sum(col("c")).as("n_bigrams"), count(lit(1)).as("n_bi"))
+    uni.join(bi, Seq("src"), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_bi"))
+      .select(col("src").as(srcCol), col("n_tokens"), col("n_uni"),
+        col("n_bigrams"), col("n_bi"),
+        round(col("n_uni").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("distinct1"),
+        when(col("n_bigrams") > 0L, round(
+          col("n_bi").cast("double") / col("n_bigrams").cast("double"), 6))
+          .as("distinct2"))
+      .orderBy(srcCol)
+  }
+
+  /** DuckDB oracle for [[distinctNgrams]] — identical gram sets and
+    * trees. */
+  def distinctNgramsSql(table: String, textExpr: String,
+                        srcExpr: String): String = {
+    val toks = TextFunctions.tokensSql(textExpr)
+    val bis = TextFunctions.bigramsSql(toks)
+    s"WITH uni AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_tokens, " +
+      "CAST(count(*) AS BIGINT) AS n_uni FROM " +
+      s"(SELECT src, g, CAST(count(*) AS BIGINT) AS c FROM " +
+      s"(SELECT $srcExpr AS src, unnest($toks) AS g FROM $table " +
+      s"WHERE $srcExpr IS NOT NULL) GROUP BY src, g) GROUP BY src), " +
+      "bi AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_bigrams, " +
+      "CAST(count(*) AS BIGINT) AS n_bi FROM " +
+      s"(SELECT src, g, CAST(count(*) AS BIGINT) AS c FROM " +
+      s"(SELECT $srcExpr AS src, unnest($bis) AS g FROM $table " +
+      s"WHERE $srcExpr IS NOT NULL) GROUP BY src, g) GROUP BY src) " +
+      "SELECT uni.src AS source, n_tokens, n_uni, " +
+      "coalesce(n_bigrams, 0) AS n_bigrams, coalesce(n_bi, 0) AS n_bi, " +
+      "round(CAST(n_uni AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS distinct1, " +
+      "CASE WHEN coalesce(n_bigrams, 0) > 0 THEN " +
+      "round(CAST(n_bi AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) " +
+      "ELSE NULL END AS distinct2 " +
+      "FROM uni LEFT JOIN bi ON uni.src = bi.src ORDER BY source"
+  }
+
   /** DuckDB oracle for [[tokenBudget]] — identical counts and tree. */
   def tokenBudgetSql(table: String, textExpr: String, srcExpr: String,
                      budget: Long): String = {

@@ -400,6 +400,19 @@ object EvalQueries {
         "side", "text", topV = 200, k = 20),
       Some(TextOps.freqDriftTopKSql(
         "(SELECT doc_id % 2 AS side, text FROM documents)",
-        topV = 200, k = 20)))
+        topV = 200, k = 20))),
+
+    // Pairwise win-rate matrix with Wilson CIs over the q_bradley_terry
+    // comparison frame — the arena dashboard cell: which head-to-head
+    // edges are statistically separated at this sample size.
+    Q("q_winrate_ci",
+      (s, d) => StatsOps.winRateMatrix(ev(s, d), "user_id", "event_type"),
+      Some(StatsOps.winRateMatrixSql("events", "user_id", "event_type"))),
+
+    // Distinct-1/Distinct-2 lexical diversity per source — the
+    // degeneracy gauge that catches template farms and n-gram loops.
+    Q("q_distinct_ngrams",
+      (s, d) => TextOps.distinctNgrams(docs(s, d), "text", "source"),
+      Some(TextOps.distinctNgramsSql("documents", "text", "source")))
   )
 }

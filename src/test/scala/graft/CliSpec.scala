@@ -1236,5 +1236,18 @@ class CliSpec extends SparkSpec {
     val fdGot = spark.read.parquet(fd)
     assert(fdGot.count() === 10)
     assert(fdGot.columns.contains("delta"))
+
+    val wr = tmp() + "/winrate"
+    Cli.run(spark, "winrate", Map("input" -> s"$sfDir/events.parquet",
+      "output" -> wr))
+    val wrGot = spark.read.parquet(wr)
+    assert(wrGot.columns.contains("decided") && wrGot.count() > 0)
+
+    val dn = tmp() + "/distinctn"
+    Cli.run(spark, "distinctn", Map(
+      "input" -> s"$sfDir/documents.parquet", "output" -> dn))
+    val dnGot = spark.read.parquet(dn)
+    assert(dnGot.columns.toSet === Set("source", "n_tokens", "n_uni",
+      "n_bigrams", "n_bi", "distinct1", "distinct2"))
   }
 }

@@ -312,6 +312,40 @@ class EvalOpsSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getAs[Double]("delta") === 0.0))
   }
 
+  test("winRateMatrix: a lopsided pair decides only with enough sample") {
+    import spark.implicits._
+    // 2 users, A always beats B: rate 1.0 but the Wilson CI at n=2
+    // still straddles 0.5 -> NOT decided
+    val small = (1L to 2L).flatMap(u =>
+      Seq((u, "A"), (u, "A"), (u, "B"))).toDF("u", "t")
+    val s2 = StatsOps.winRateMatrix(small, "u", "t").collect()(0)
+    assert(s2.getAs[Long]("n_comp") === 2L)
+    assert(s2.getAs[Double]("win_rate") === 1.0)
+    assert(!s2.getAs[Boolean]("decided"))
+    // 100 users: the same edge separates
+    val big = (1L to 100L).flatMap(u =>
+      Seq((u, "A"), (u, "A"), (u, "B"))).toDF("u", "t")
+    val b2 = StatsOps.winRateMatrix(big, "u", "t").collect()(0)
+    assert(b2.getAs[Long]("n_comp") === 100L)
+    assert(b2.getAs[Boolean]("decided"))
+    assert(b2.getAs[Double]("ci_lo") > 0.9)
+  }
+
+  test("distinctNgrams: degenerate and diverse sources hit closed forms") {
+    import spark.implicits._
+    val df = Seq(("loop", "a a a a"), ("rich", "a b c d")).toDF("src", "text")
+    val got = graft.operators.TextOps.distinctNgrams(df, "text", "src")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    val loop = got("loop")
+    assert(loop.getAs[Long]("n_tokens") === 4L && loop.getAs[Long]("n_uni") === 1L)
+    assert(loop.getAs[Double]("distinct1") === 0.25)
+    assert(loop.getAs[Long]("n_bigrams") === 3L && loop.getAs[Long]("n_bi") === 1L)
+    assert(loop.getAs[Double]("distinct2") === 0.333333)
+    val rich = got("rich")
+    assert(rich.getAs[Double]("distinct1") === 1.0)
+    assert(rich.getAs[Double]("distinct2") === 1.0)
+  }
+
   test("cascadeYield: conjunction never exceeds either gate") {
     val got = graft.operators.TextOps.cascadeYield(
       Tables.load(spark, sfDir, "documents"), "doc_id", "text", "source")
