@@ -718,6 +718,48 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Streaming BH-FDR drift monitor (stream_bhfdr): per micro-batch,
+    * the full [[graft.operators.StatsOps.bhFdr]] table — per-feed
+    * binned-KS statistic, Kolmogorov p, and the Benjamini–Hochberg
+    * step-up rejection — of the batch against a fixed reference frame,
+    * appended as a batch_id-partitioned time series. THIS is the alarm
+    * feed an ops team actually pages on: with m feeds tested per batch,
+    * raw-α thresholding floods pages; the step-up keeps the expected
+    * false-discovery rate at α per batch. Pure composition (one
+    * definition of the test, shared with the declared query);
+    * idempotent per batch via dynamic partition overwrite. */
+  def bhFdrMonitor(stream: DataFrame, reference: DataFrame,
+                   groupCol: String, binCol: String, outDir: String,
+                   checkpointDir: String, bins: Int = 64,
+                   alpha: Double = 0.10)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.select(col(groupCol).as("grp"),
+      col(binCol).cast("long").as("bin"), lit(0L).as("side"))
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeBhFdrBatch(batch, ref, groupCol, binCol, bins, alpha, id, outDir)
+      }
+      .start()
+  }
+
+  /** One BH-FDR-monitor micro-batch (writePsiBatch twin — factored so
+    * replay idempotence is spec-testable without a crash harness). */
+  private[graft] def writeBhFdrBatch(batch: Dataset[org.apache.spark.sql.Row],
+                                     taggedRef: DataFrame, groupCol: String,
+                                     binCol: String, bins: Int, alpha: Double,
+                                     id: Long, outDir: String): Unit = {
+    val tagged = batch.select(col(groupCol).as("grp"),
+        col(binCol).cast("long").as("bin"), lit(1L).as("side"))
+      .unionByName(taggedRef)
+    graft.operators.StatsOps.bhFdr(tagged, "grp", "bin", "side", bins, alpha)
+      .withColumn("batch_id", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+  }
+
   /** Streaming OHLC bars (stream_ohlc): each micro-batch collapses to
     * its per-(key, bar) [[graft.operators.Temporal.ohlcState]] rows —
     * the bar summary PLUS open/close election keys — and merges into

@@ -957,4 +957,34 @@ class StreamingSpec extends SparkSpec {
       .collect()(0).getAs[Double]("psi")
     assert(row.getAs[Double]("psi") === expect)
   }
+
+  test("bhFdrMonitor lands one idempotent FDR table per micro-batch (r10)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bh").toString
+    // reference: feed 'shift' low bins, feed 'same' uniform; batch moves
+    // 'shift' to the high bins and replays 'same' unchanged
+    val ref = ((1 to 100).flatMap(i => Seq(("shift", (i % 4).toLong, 0L))) ++
+      (1 to 100).flatMap(i => Seq(("same", (i % 16).toLong, 0L))))
+      .toDF("grp", "bin", "side")
+    val batch = ((1 to 100).map(i => ("shift", 12L + (i % 4))) ++
+      (1 to 100).map(i => ("same", (i % 16).toLong))).toDF("grp", "bin")
+    EventStreams.writeBhFdrBatch(batch, ref, "grp", "bin", 16, 0.10, 0L,
+      s"$dir/out")
+    EventStreams.writeBhFdrBatch(batch, ref, "grp", "bin", 16, 0.10, 0L,
+      s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out")
+    assert(got.count() === 2) // one row per feed, replay replaced
+    val byGrp = got.collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(byGrp("shift").getAs[Boolean]("reject"))
+    assert(!byGrp("same").getAs[Boolean]("reject"))
+    // the batch-side bhFdr over the same tagged union must agree exactly
+    val tagged = batch.select(col("grp"), col("bin"), lit(1L).as("side"))
+      .unionByName(ref)
+    val expect = graft.operators.StatsOps.bhFdr(tagged, "grp", "bin",
+        "side", 16, 0.10)
+      .collect().map(r => r.getAs[String]("grp") ->
+        r.getAs[Double]("p_value")).toMap
+    assert(byGrp("shift").getAs[Double]("p_value") === expect("shift"))
+    assert(byGrp("same").getAs[Double]("p_value") === expect("same"))
+  }
 }
