@@ -1056,6 +1056,13 @@ object Cli {
           opts.getOrElse("k", "16").toInt,
           opts.getOrElse("bands", "2").toInt))
 
+      case "geodesic" =>
+        // great-circle radius join over (id, lon, lat) via 3D chord bins
+        write(graft.operators.GeoOps.haversineJoin(in("input"),
+          opts("radius-m").toDouble,
+          opts.getOrElse("id", "id"), opts.getOrElse("lon", "lon"),
+          opts.getOrElse("lat", "lat")))
+
       case "winrate" =>
         // pairwise win-rate matrix with Wilson CIs over (user, type)
         write(graft.operators.StatsOps.winRateMatrix(in("input"),

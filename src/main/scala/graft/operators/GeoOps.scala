@@ -233,6 +233,97 @@ object GeoOps {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("d2"))
   }
 
+  /** Geodesic (great-circle) radius join over (lon, lat) points — the
+    * curved-earth sibling of [[radiusJoin]]: all pairs within `rMeters`
+    * along the sphere surface. Planar binning on degrees breaks at high
+    * latitude (a lon degree shrinks with cos φ) and needs variable-width
+    * bands; instead points lift to 3D Cartesian on the sphere and bin in
+    * CUBIC cells sized to the CHORD bound 2R·sin(r/2R) — great-circle
+    * d ≤ r ⟺ chord ≤ bound (monotone), and a chord-close pair can
+    * never sit more than one 3D cell apart AT ANY LATITUDE, so the 3x3x3
+    * half-stamp (14 offsets) is lossless pole to pole with no band
+    * logic. The filter compares round-6 chord² against the bound² (the
+    * trig-ulp absorption stance); the binning itself cannot desync
+    * engines — the oracle is the plain quadratic join, so only the pair
+    * SET matters and the stamp is geometrically lossless.
+    *
+    * Scale shape: one narrow xyz projection, 14 candidate rows per
+    * point, co-partitioned cell-key join — never corpus-quadratic; the
+    * oracle prices the quadratic form (q_setsim_join convention).
+    *
+    * Output: (id_a, id_b, d_m) — canonical ids, great-circle meters. */
+  def haversineJoin(points: DataFrame, rMeters: Double,
+                    idCol: String = "id", lonCol: String = "lon",
+                    latCol: String = "lat"): DataFrame = {
+    require(rMeters > 0 && rMeters <= 2000000.0,
+      "haversineJoin needs 0 < r <= 2000 km")
+    val R = 6371008.8
+    val rad = 0.017453292519943295 // pi/180, one shared literal
+    val chord = 2.0 * R * math.sin(rMeters / (2.0 * R))
+    val bound2 = chord * chord
+    val p = points.select(col(idCol).as("id"),
+        (col(latCol) * rad).as("latr"), (col(lonCol) * rad).as("lonr"))
+      .select(col("id"),
+        (lit(R) * cos(col("latr")) * cos(col("lonr"))).as("x"),
+        (lit(R) * cos(col("latr")) * sin(col("lonr"))).as("y"),
+        (lit(R) * sin(col("latr"))).as("z"))
+      .select(col("id"), col("x"), col("y"), col("z"),
+        floor(col("x") / chord).cast("long").as("cx"),
+        floor(col("y") / chord).cast("long").as("cy"),
+        floor(col("z") / chord).cast("long").as("cz"))
+    // 3D half stamp: same cell once + the 13 lexicographically-forward
+    // neighbor offsets = every unordered adjacent cell pair probed once
+    import p.sparkSession.implicits._
+    val fwd = (for {
+      dx <- -1L to 1L; dy <- -1L to 1L; dz <- -1L to 1L
+      if (dx, dy, dz) != ((0L, 0L, 0L)) &&
+        (dx > 0 || (dx == 0 && (dy > 0 || (dy == 0 && dz > 0))))
+    } yield (dx, dy, dz, false)) :+ ((0L, 0L, 0L, true))
+    val offs = broadcast(fwd.toDF("dx", "dy", "dz", "same"))
+    val left = p.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"), col("z").as("za"), col("cx"), col("cy"), col("cz"))
+      .crossJoin(offs)
+      .select(col("id_a"), col("xa"), col("ya"), col("za"), col("same"),
+        (col("cx") + col("dx")).as("jx"), (col("cy") + col("dy")).as("jy"),
+        (col("cz") + col("dz")).as("jz"))
+    val right = p.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("z").as("zb"), col("cx").as("jx"),
+      col("cy").as("jy"), col("cz").as("jz"))
+    val chord2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb")) +
+      (col("za") - col("zb")) * (col("za") - col("zb"))
+    val twoR = 2.0 * R
+    left.join(right, Seq("jx", "jy", "jz"))
+      .filter(!col("same") || col("id_a") < col("id_b"))
+      .withColumn("c2", round(chord2, 6))
+      .filter(col("c2") <= round(lit(bound2), 6))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(lit(twoR) * asin(least(sqrt(col("c2")) / twoR, lit(1.0))), 6)
+          .as("d_m"))
+  }
+
+  /** DuckDB oracle for [[haversineJoin]]: plain quadratic self-join with
+    * the IDENTICAL xyz/chord trees — binning losslessness hash-proven.
+    * `pointsSub` yields (id, lon, lat). */
+  def haversineJoinSql(pointsSub: String, rMeters: Double): String = {
+    val R = 6371008.8
+    val rad = 0.017453292519943295
+    val chord = 2.0 * R * math.sin(rMeters / (2.0 * R))
+    val bound2 = chord * chord
+    val twoR = 2.0 * R
+    val xyz = s"(SELECT id, ($R * cos(lat * $rad) * cos(lon * $rad)) AS x, " +
+      s"($R * cos(lat * $rad) * sin(lon * $rad)) AS y, " +
+      s"($R * sin(lat * $rad)) AS z FROM $pointsSub)"
+    s"SELECT a.id AS id_a, b.id AS id_b, " +
+      s"round($twoR * asin(least(sqrt(round(" +
+      "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + " +
+      s"(a.z - b.z) * (a.z - b.z), 6)) / $twoR, 1.0)), 6) AS d_m " +
+      s"FROM $xyz a JOIN $xyz b ON a.id < b.id " +
+      "WHERE round((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + " +
+      s"(a.z - b.z) * (a.z - b.z), 6) <= round($bound2, 6)"
+  }
+
   /** DuckDB oracle for [[radiusJoin]]: the PLAIN QUADRATIC self-join —
     * losslessness of the binning is itself hash-proven (the
     * q_setsim_join convention). `pointsSub` must yield (id, ix, iy). */

@@ -2379,6 +2379,8 @@ object StatsOps {
     * ≤ `maxRaters` class grid. P_e = Σ_j c_j² / N² is a plain integer
     * aggregate. One (item, cat) count shuffle + one item collapse, both
     * map-side combined; everything after lives on bounded grids.
+    * c_j² stays int64-exact to ~3·10⁹ ratings per category (the
+    * ksDistance stance — lift pe_num to decimal beyond).
     *
     * Output: one row (n_items, n_ratings, p_bar, p_e, kappa). */
   def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
@@ -2591,7 +2593,8 @@ object StatsOps {
     * every day, thresholding raw p-values at α floods ops with false
     * alarms; BH's step-up keeps the expected false-discovery RATE at α.
     * Per group: binned two-sample KS D (exact integer cross products on
-    * the bounded bin grid — the [[ksDistance]] numerator stance),
+    * the bounded bin grid — the [[ksDistance]] numerator stance,
+    * int64-exact to ~3·10⁹ rows per side),
     * asymptotic Kolmogorov p via the 3-term series
     * 2 Σ (−1)^{k−1} exp(−2k²λ²), λ = D·sqrt(nr·nc/(nr+nc)), then the
     * step-up: reject every group ranked ≤ the largest i with
@@ -2766,7 +2769,8 @@ object StatsOps {
     *
     * Exactness: both CDFs stay integer; the mapping condition is the
     * cross product cp·n_g ≥ cr·N — no division anywhere, fully
-    * hash-exact. Scale shape: ONE map-side-combined (group, bucket)
+    * hash-exact (int64-exact to ~3·10⁹ rows per group side — the
+    * ksDistance stance; lift to decimal beyond). Scale shape: ONE map-side-combined (group, bucket)
     * count over the corpus; CDFs and the mapping join live on the
     * bins-bounded grids (groups×bins vs bins — broadcast the pooled
     * side).

@@ -431,6 +431,23 @@ object CoreQueries {
       Some(GeoOps.radiusJoinSql(ipointsSql, r = 5000L) +
         " ORDER BY id_a, id_b")),
 
+    // Geodesic radius join on the shots frame: all pairs within 200 km
+    // along the sphere — 3D chord binning (cubic cells on the lifted
+    // unit sphere), lossless pole to pole where lon/lat band binning
+    // needs latitude-dependent widths; quadratic oracle prices the
+    // binning (q_setsim_join convention). 1-in-8 shot subsample keeps
+    // the oracle's pair space driver-sized.
+    Q("q_haversine_join",
+      (s, d) => GeoOps.haversineJoin(
+        Shots.df(s, d).filter(col("shot") % 8 === 0)
+          .select(col("shot").as("id"), col("lon"), col("lat")),
+        rMeters = 200000.0)
+        .orderBy("id_a", "id_b"),
+      Some(GeoOps.haversineJoinSql(
+        s"(SELECT shot AS id, lon, lat FROM ${Shots.sql} " +
+          "WHERE shot % 8 = 0) pts",
+        rMeters = 200000.0) + " ORDER BY id_a, id_b")),
+
     // Hexagonal binning (H3-style cells): nearest checkerboard-lattice
     // center, rational 26/15 aspect so every coordinate and distance
     // stays integral — exact cell assignment with no libm and no float

@@ -1249,5 +1249,15 @@ class CliSpec extends SparkSpec {
     val dnGot = spark.read.parquet(dn)
     assert(dnGot.columns.toSet === Set("source", "n_tokens", "n_uni",
       "n_bigrams", "n_bi", "distinct1", "distinct2"))
+
+    val gPts = tmp() + "/geopts"
+    Seq((1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 180.0, 0.0))
+      .toDF("id", "lon", "lat").write.parquet(gPts)
+    val geo = tmp() + "/geodesic"
+    Cli.run(spark, "geodesic", Map("input" -> gPts, "output" -> geo,
+      "radius-m" -> "200000"))
+    val geoGot = spark.read.parquet(geo).collect()
+    assert(geoGot.length === 1)
+    assert(math.abs(geoGot(0).getAs[Double]("d_m") - 111195.0797) < 0.01)
   }
 }

@@ -200,6 +200,30 @@ class CurationOpsSpec extends SparkSpec {
     assert(got === brute && brute.nonEmpty)
   }
 
+  test("haversineJoin: known great-circle distances and pole safety") {
+    import spark.implicits._
+    // (1,2): 1 deg of latitude = R*pi/180 = 111195.08 m
+    // (4,5): both at lat 89.9, lons 90 deg apart — 15.7 km on the
+    // sphere despite the huge lon gap (the case planar lon-band binning
+    // mishandles near the pole); (3) is far from everything
+    val pts = Seq(
+      (1L, 0.0, 0.0), (2L, 0.0, 1.0), (3L, 180.0, 0.0),
+      (4L, 0.0, 89.9), (5L, 90.0, 89.9))
+      .toDF("id", "lon", "lat")
+    val got = GeoOps.haversineJoin(pts, rMeters = 200000.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("d_m"))
+      .toMap
+    assert(got.keySet === Set((1L, 2L), (4L, 5L)))
+    assert(math.abs(got((1L, 2L)) - 111195.0797) < 0.01)
+    // colatitude 0.1 deg -> circle radius R*sin(0.1 deg); 90 deg apart on
+    // that circle -> chord = radius*sqrt(2); d = 2R*asin(chord/2R)
+    val small = 6371008.8 * math.sin(0.1 * math.Pi / 180.0)
+    val expect = 2.0 * 6371008.8 *
+      math.asin(small * math.sqrt(2.0) / (2.0 * 6371008.8))
+    assert(math.abs(got((4L, 5L)) - expect) < 0.01)
+  }
+
   test("hexBin assigns every point to its true nearest even-parity center") {
     val (w, h) = (15000L, 26000L)
     val assigned = ipoints
