@@ -1056,6 +1056,27 @@ object Cli {
           opts.getOrElse("k", "16").toInt,
           opts.getOrElse("bands", "2").toInt))
 
+      case "audiofeat" =>
+        // typed audio features off the real WAV codec; input yields
+        // (media_id, kind, content) — corrupt clips drop (ingest stance)
+        write {
+          val spark0 = in("input").sparkSession
+          import spark0.implicits._
+          graft.operators.Multimodal.audioFeatures(
+            in("input").as[graft.operators.Multimodal.MediaRecord]).toDF()
+        }
+
+      case "audiodedup" =>
+        // audio near-dup pairs by energy-contour fingerprint Hamming
+        write {
+          val spark0 = in("input").sparkSession
+          import spark0.implicits._
+          graft.operators.Multimodal.audioHammingDup(
+            graft.operators.Multimodal.audioFeatures(
+              in("input").as[graft.operators.Multimodal.MediaRecord]),
+            opts.getOrElse("max-hamming", "3").toInt)
+        }
+
       case "geodesic" =>
         // great-circle radius join over (id, lon, lat) via 3D chord bins
         write(graft.operators.GeoOps.haversineJoin(in("input"),

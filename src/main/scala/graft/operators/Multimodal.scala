@@ -287,6 +287,72 @@ object Multimodal {
       s"WHERE shared >= $minShared"
   }
 
+  /** Typed audio features off the REAL [[AudioCodec]] WAV decode — the
+    * audio half of the seam, upgraded from the byte-fold stub the same
+    * way images were in round 9: container parse (RIFF walk, fmt/bounds
+    * validation), integer stats, and the volume-invariant 64-bit
+    * energy-contour fingerprint. `fingerprint` is null for clips too
+    * short to carry a contour (< 65 frames). */
+  final case class AudioFeatures(media_id: Long, sample_rate: Long,
+                                 channels: Long, n_frames: Long,
+                                 duration_us: Long, zero_cross: Long,
+                                 mean_abs_milli: Long,
+                                 fingerprint: Option[Long])
+
+  /** Decode every `audio/wav` record to its typed feature row —
+    * per-partition map (codec init amortized, the extractFeatures
+    * shape). Records that fail the container parse DROP here; callers
+    * wanting the corrupt bill anti-join the output against the input
+    * (the ingest corrupt-granule convention). */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.kind == "audio/wav").flatMap { r =>
+        AudioCodec.decodeWav(r.content).map { a =>
+          val st = AudioCodec.stats(a)
+          AudioFeatures(r.media_id, a.sampleRate.toLong, a.channels.toLong,
+            st.nFrames, st.durationUs, st.zeroCross, st.meanAbsMilli,
+            AudioCodec.energyFingerprint(a))
+        }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs by energy-contour fingerprint within
+    * Hamming `maxHamming`: 4 x 16-bit bands key the candidate join (a
+    * pair within Hamming <= 3 MUST agree exactly on >= 1 band —
+    * pigeonhole, the simhashHamming stance), bit_count verifies
+    * exactly. Volume-scaled re-encodes collide at Hamming 0 by
+    * construction of the fingerprint. */
+  def audioHammingDup(feats: Dataset[AudioFeatures],
+                      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      "4x16 banding is lossless only for maxHamming <= 3; <= 16 allowed " +
+        "with recall caveat documented by the caller")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val fp = feats.filter(_.fingerprint.isDefined)
+      .map(f => (f.media_id, f.fingerprint.get)).toDF("media_id", "fp")
+    val banded = fp.select(col("media_id"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            // in-place 16-bit band mask (shift precomputed in Scala —
+            // 0xFFFF << 48 wraps to the high-band bit pattern, which is
+            // exactly the mask we want; a lit multiply would overflow)
+            col("fp").bitwiseAND(lit(0xFFFFL << (16 * b)))
+              .as("bkey"))): _*)).as("bb"))
+      .select(col("media_id"), col("fp"), col("bb.band"), col("bb.bkey"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** One sampled frame (offset + payload slice) from a media record. */
   final case class MediaFrame(media_id: Long, frame_idx: Long, offset: Long,
                               frame: Array[Byte])

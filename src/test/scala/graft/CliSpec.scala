@@ -1259,5 +1259,22 @@ class CliSpec extends SparkSpec {
     val geoGot = spark.read.parquet(geo).collect()
     assert(geoGot.length === 1)
     assert(math.abs(geoGot(0).getAs[Double]("d_m") - 111195.0797) < 0.01)
+
+    val wavs = tmp() + "/wavs"
+    val base = Array.tabulate(1300)(i =>
+      (math.sin(i / 7.0) * 3000 + (i % 11) * 40).toShort)
+    Seq(
+      (1L, "audio/wav", graft.operators.AudioCodec.encodeWav(
+        graft.operators.AudioCodec.RawAudio(16000, 1, base))),
+      (2L, "audio/wav", graft.operators.AudioCodec.encodeWav(
+        graft.operators.AudioCodec.RawAudio(16000, 1,
+          base.map(s => (s / 2).toShort)))))
+      .toDF("media_id", "kind", "content").write.parquet(wavs)
+    val af = tmp() + "/audiofeat"
+    Cli.run(spark, "audiofeat", Map("input" -> wavs, "output" -> af))
+    assert(spark.read.parquet(af).count() === 2)
+    val ad = tmp() + "/audiodedup"
+    Cli.run(spark, "audiodedup", Map("input" -> wavs, "output" -> ad))
+    assert(spark.read.parquet(ad).count() === 1) // the half-volume copy
   }
 }
