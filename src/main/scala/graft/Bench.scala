@@ -70,9 +70,11 @@ object Bench {
     // is visible in the official artifact instead of argued about later.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // SPARK_GRAFT_BENCH_SHARD=i/n runs only the i-th (0-based) of n
-    // alphabetical slices of the board. At sf1 the full 200+ board in one
-    // JVM accumulates enough shuffle/cache residue to OOM local[32]; two
-    // half-board JVMs whose JSON the caller merges keep each run honest.
+    // round-robin interleaved shards of the name-sorted board (idx % n ==
+    // i — interleaving balances load across shards better than contiguous
+    // slices would). At sf1 the full 200+ board in one JVM accumulates
+    // enough shuffle/cache residue to OOM local[32]; two half-board JVMs
+    // whose JSON the caller merges keep each run honest.
     val shard = sys.env.get("SPARK_GRAFT_BENCH_SHARD").map { s =>
       val Array(i, n) = s.split("/").map(_.trim.toInt); (i, n)
     }

@@ -212,54 +212,89 @@ object EventStreams {
                      stateDir: String): DataFrame =
     graft.operators.Temporal.retentionMatrix(readUpsertState(spark, stateDir))
 
-  /** Shared crash-safe snapshot fold: run `merge(currentState, batch)`
-    * per micro-batch and land the result as a fresh `snap-<batchId>`
-    * directory + atomic `_LATEST` marker swap (see [[upsertParquet]]'s
-    * durability scaladoc — every crash point leaves a complete,
-    * discoverable snapshot). The merge result is materialized BEFORE the
-    * write because on a replay the plan may read the very snapshot
-    * directory it replaces. */
+  /** Newest complete snapshot whose ENCODED BATCH ID is strictly below
+    * `batchId` — the replay-safe fold base. After a crash between the
+    * snapshot/marker write and the stream's checkpoint commit,
+    * foreachBatch REPLAYS the batch while `_LATEST` already names
+    * `snap-<batchId>` (a state that contains it); folding onto that
+    * snapshot double-counts permanently for ADDITIVE merges (cms cell
+    * sums, ohlc/auc counts) even though idempotent folds (hll max, kmv
+    * dedup, latest-wins) mask it. Snapshot names embed the batch id and
+    * the pruning policy keeps the predecessor on disk exactly for this,
+    * so the pre-batch state is always recoverable by name. */
+  private[graft] def snapshotBefore(spark: org.apache.spark.sql.SparkSession,
+                                        stateDir: String, batchId: Long)
+      : Option[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(SnapPrefix) &&
+          p.getName.stripPrefix(SnapPrefix).toLong < batchId &&
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+      .sortBy(_.getName).lastOption
+  }
+
+  /** One micro-batch of a [[snapshotFold]] stream: fold `batch` onto the
+    * replay-safe base state ([[snapshotBefore]] — never the snapshot the
+    * batch itself may have already produced) and land the result as a
+    * fresh `snap-<batchId>` directory + atomic `_LATEST` marker swap.
+    * Applying the same (batch, batchId) twice lands an identical state
+    * (spec-proven for the additive cms fold), which is what makes every
+    * snapshotFold stream exactly-once in effect under foreachBatch's
+    * at-least-once replay. */
+  private[graft] def foldBatch(batch: DataFrame, batchId: Long,
+                                   stateDir: String)
+                                  (merge: (DataFrame, DataFrame, Long) => DataFrame): Unit = {
+    // all paths through the Hadoop FS layer, not java.nio: a URI-style
+    // ("file:/...") or non-local stateDir is a path spark.read
+    // understands but Paths.get does not
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = fsFor(spark, root)
+    // the getOrElse arm is a SCHEMA PROBE only (batchId = -1): merge
+    // implementations with side effects (admitStream's pairs write)
+    // must guard them on batchId >= 0
+    val base = snapshotBefore(spark, stateDir, batchId)
+      .map(p => spark.read.parquet(p.toString))
+      .getOrElse(merge(batch.limit(0), batch, -1L).limit(0))
+    // materialized (localCheckpoint) before writing: on a replay the
+    // merge plan may read the very snapshot directory it overwrites
+    val merged = merge(base, batch, batchId)
+      .localCheckpoint()
+    try {
+      val snapName = f"$SnapPrefix$batchId%020d"
+      merged.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(root, snapName).toString)
+      val marker = new org.apache.hadoop.fs.Path(root, LatestMarker)
+      val tmp = new org.apache.hadoop.fs.Path(root, LatestMarker + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(snapName.getBytes("UTF-8")) finally out.close()
+      fs.delete(marker, false)
+      fs.rename(tmp, marker)
+      // keep this snapshot and its predecessor (the replay fold base and
+      // crash fallback); prune everything older
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(SnapPrefix) && p.getName < snapName)
+        .sortBy(_.getName).dropRight(1)
+        .foreach(p => fs.delete(p, true))
+    } finally org.apache.spark.sql.graftbridge.PlanBridge
+      .unpersistLocalCheckpoint(merged)
+  }
+
+  /** Shared crash-safe snapshot fold: [[foldBatch]] per micro-batch (see
+    * [[upsertParquet]]'s durability scaladoc — every crash point leaves a
+    * complete, discoverable snapshot, and the replay-safe base makes the
+    * fold exactly-once even for additive merges). */
   private def snapshotFold(df: DataFrame, stateDir: String, checkpointDir: String)
                           (merge: (DataFrame, DataFrame, Long) => DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        // all paths through the Hadoop FS layer, not java.nio: a URI-style
-        // ("file:/...") or non-local stateDir is a path spark.read
-        // understands but Paths.get does not
-        val spark = batch.sparkSession
-        val root = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = fsFor(spark, root)
-        // the getOrElse arm is a SCHEMA PROBE only (batchId = -1): merge
-        // implementations with side effects (admitStream's pairs write)
-        // must guard them on batchId >= 0
-        val base = latestSnapshot(spark, stateDir)
-          .map(p => spark.read.parquet(p.toString))
-          .getOrElse(merge(batch.toDF().limit(0), batch.toDF(), -1L).limit(0))
-        // materialized (localCheckpoint) before writing: on a replay the
-        // merge plan may read the very snapshot directory it overwrites
-        val merged = merge(base, batch.toDF(), batchId)
-          .localCheckpoint()
-        try {
-          val snapName = f"$SnapPrefix$batchId%020d"
-          merged.write.mode("overwrite")
-            .parquet(new org.apache.hadoop.fs.Path(root, snapName).toString)
-          val marker = new org.apache.hadoop.fs.Path(root, LatestMarker)
-          val tmp = new org.apache.hadoop.fs.Path(root, LatestMarker + ".tmp")
-          val out = fs.create(tmp, true)
-          try out.write(snapName.getBytes("UTF-8")) finally out.close()
-          fs.delete(marker, false)
-          fs.rename(tmp, marker)
-          // keep this snapshot and its predecessor (the crash fallback);
-          // prune everything older
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => p.getName.startsWith(SnapPrefix) && p.getName < snapName)
-            .sortBy(_.getName).dropRight(1)
-            .foreach(p => fs.delete(p, true))
-        } finally org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(merged)
-        ()
+        foldBatch(batch.toDF(), batchId, stateDir)(merge)
       }
       .start()
 

@@ -487,6 +487,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foldBatch replay is exactly-once for ADDITIVE state (ADVICE r10)") {
+    // Simulates the crash window foreachBatch exposes: the snapshot and
+    // _LATEST marker for batch b landed but the stream checkpoint did
+    // not, so b REPLAYS on restart. The fold base must be the newest
+    // snapshot with id < b (snapshotBefore), never the snapshot b itself
+    // produced — otherwise additive merges (cms sums here) double-count.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val state = s"$dir/state"
+    val merge = (base: org.apache.spark.sql.DataFrame,
+                 batch: org.apache.spark.sql.DataFrame, _: Long) => {
+      val baseCells =
+        if (Set("d", "bucket", "cnt").subsetOf(base.columns.toSet))
+          base.select(col("d"), col("bucket"), col("cnt"))
+        else graft.operators.StatsOps.countMinCells(base, "term", 64, 4)
+      graft.operators.StatsOps.countMinCells(batch, "term", 64, 4)
+        .unionByName(baseCells)
+        .groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
+    }
+    def cells(): Map[(Long, Long), Long] =
+      EventStreams.readUpsertState(spark, state).collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getLong(2)).toMap
+    val b0 = Seq.fill(5)("alpha").toDF("term")
+    val b1 = (Seq.fill(3)("alpha") ++ Seq.fill(2)("beta")).toDF("term")
+    EventStreams.foldBatch(b0, 0L, state)(merge)
+    EventStreams.foldBatch(b1, 1L, state)(merge)
+    val once = cells()
+    // the replay: same batch, same id, state dir already holds snap-1
+    EventStreams.foldBatch(b1, 1L, state)(merge)
+    assert(cells() === once, "replaying batch 1 must not double-count")
+    // and snapshotBefore picks the strict predecessor, not snap-1 itself
+    val base1 = EventStreams.snapshotBefore(spark, state, 1L)
+    assert(base1.exists(_.getName.endsWith("0")), s"got $base1")
+    assert(EventStreams.snapshotBefore(spark, state, 0L).isEmpty)
+  }
+
   test("foreachBatch CMS state equals the batch sketch over the union of batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -92,6 +92,7 @@ def main():
         subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
                        check=False)
+        ct = -1.0
         try:
             iso = json.load(open(f"/tmp/bench_iso_{cq}.json"))
             ct = iso["queries"].get(cq, -1)
