@@ -156,6 +156,24 @@ object TextFunctions {
       .map(i => s"$sig[${band * rowsPerBand + i + 1}]")
       .reduceLeft((acc, m) => s"(($acc * 31 + $m) % $P)")
 
+  /** Xorshift spread of sub-2^30 token codes onto 60 bits — the
+    * code-width stage under wide SimHashes ([[Kernels.widenCode]] has the
+    * bit-coverage argument). charHash codes carry only 30 bits, so a
+    * 60-bit simhash over RAW codes would have 30 vote-constant bits and
+    * its upper pigeonhole bands would collide everything. */
+  def widenCodes(codes: Column): Column =
+    PlanBridge.column(Exprs.WidenCodes(PlanBridge.expression(codes)))
+
+  /** DuckDB twin of [[widenCodes]] — the same three xorshift steps as
+    * overflow-free BIGINT arithmetic (every intermediate < 2^61). */
+  def widenCodesSql(codes: String): String = {
+    val a = "xor(x, x << 13)"
+    val b = s"xor($a, ($a) >> 7)"
+    val w = s"xor($b, ($b) << 17)"
+    val folded = s"xor($w, (($w) & 1073741823) << 30)"
+    s"list_transform($codes, x -> $folded)"
+  }
+
   /** `bits`-bit SimHash over token codes, frequency-weighted: bit p is set
     * when the +1/-1 vote sum over tokens (by bit p of each code) is > 0.
     * Native: one pass accumulates every bit's vote (the HOF form ran one

@@ -546,21 +546,28 @@ object Dedup {
     * Scale shape: only (band, key, sim, id) rows shuffle; join degree
     * bounded by band-bucket population. Bucket size is governed by band
     * WIDTH: bits/(radius+1) bits per band ⇒ 2^width expected keys, so
-    * size the CODE to the corpus (64-bit simhash for web scale; the
-    * 30/2 defaults give three 10-bit bands — 30 because token codes are
-    * charHash values < 2^30, so higher simhash bits carry no signal). The
+    * size the CODE to the corpus — with `widen = true` the token codes
+    * xorshift-spread onto 60 bits ([[TextFunctions.widenCodes]]) and
+    * bits up to 60 all carry vote signal, giving three 20-bit bands at
+    * radius 2 (~1M keys/band — bucket population stays O(n/2^20), the
+    * web-scale regime); the legacy 30/2 default gives three 10-bit
+    * bands, which the r10 sf1 audit measured collapsing 170x on 10x
+    * docs (1024 keys/band ⇒ in-bucket pairs grow ~quadratically). The
     * first-collision-band trick emits each pair once — no global
     * distinct over candidates.
     *
     * Output: (a, b, hamming) with a < b and hamming ≤ radius. */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
-                          bits: Int = 30, radius: Int = 2): DataFrame = {
+                          bits: Int = 30, radius: Int = 2,
+                          widen: Boolean = false): DataFrame = {
     require(radius >= 1 && radius < bits, "radius must be in [1, bits)")
+    require(!widen || bits <= 60, "widened codes carry 60 bits")
     val nb = radius + 1
     val bandDefs = hammingBands(bits, nb)
+    val rawCodes = TextFunctions.tokenCodes(col(textCol))
+    val codes = if (widen) TextFunctions.widenCodes(rawCodes) else rawCodes
     val sims = df.select(col(idCol).as("id"),
-      TextFunctions.simhash(TextFunctions.tokenCodes(col(textCol)), bits)
-        .as("sim"))
+      TextFunctions.simhash(codes, bits).as("sim"))
     val keyExprs = bandDefs.map { case (off, w) =>
       expr(s"shiftright(sim, $off)").bitwiseAND(lit((1L << w) - 1))
     }
@@ -581,16 +588,20 @@ object Dedup {
     * geometry ([[hammingBands]]) and verify; DISTINCT replaces the
     * first-collision trick. `table`/`idExpr`/`textExpr` name the source. */
   def simhashHammingPairsSql(table: String, idExpr: String, textExpr: String,
-                             bits: Int = 30, radius: Int = 2): String = {
+                             bits: Int = 30, radius: Int = 2,
+                             widen: Boolean = false): String = {
     val nb = radius + 1
     val bandSelects = hammingBands(bits, nb).zipWithIndex.map {
       case ((off, w), b) =>
         s"SELECT $idExpr AS id, sim, $b AS band, " +
           s"((sim >> $off) & ${(1L << w) - 1}) AS bkey FROM sims"
     }.mkString(" UNION ALL ")
+    val rawCodes = TextFunctions.tokenCodesSql(textExpr)
+    val codes =
+      if (widen) TextFunctions.widenCodesSql(rawCodes) else rawCodes
     s"WITH sims AS (SELECT $idExpr, " +
-      s"${TextFunctions.simhashSql(TextFunctions.tokenCodesSql(textExpr), bits)} AS sim " +
-      s"FROM $table), " +
+      s"${TextFunctions.simhashSql("codes", bits)} AS sim " +
+      s"FROM (SELECT $idExpr, $codes AS codes FROM $table) tcodes), " +
       s"bands AS ($bandSelects), " +
       "cand AS (SELECT DISTINCT x.id AS a, y.id AS b, x.sim AS sa, y.sim AS sb " +
       "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +

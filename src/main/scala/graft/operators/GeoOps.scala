@@ -428,6 +428,22 @@ object GeoOps {
       propagateMinLabels(adj, init, fixedRounds = rounds, hint)
     }
 
+  /** Density-scaled DBSCAN radius: r(n) = ⌊r₀·√(n₀/n)⌋ keeps the EXPECTED
+    * NEIGHBOR COUNT per point constant as the corpus grows on a fixed
+    * domain (neighbors ∝ n·r² — halving r when n quadruples holds the
+    * product). A pinned radius on a densifying point cloud is the scale
+    * killer the r10 sf1 audit measured (fixed r=10000 on 10x denser
+    * points → ~100x pair frame): the RADIUS is a density parameter, not
+    * a constant, exactly like an LSH band width is a corpus parameter.
+    * Deterministic across JVMs (IEEE-754 sqrt is correctly rounded), so
+    * a query can derive it at plan time and its oracle can pin the
+    * derived value at the verify scale. Defaults: r₀=10000 at n₀=100k
+    * points — the board's historical sf0.1 operating point. */
+  def densityRadius(n: Long, rAtRef: Long = 10000L, nRef: Long = 100000L): Long = {
+    require(n > 0, "densityRadius needs a positive point count")
+    math.floor(rAtRef * math.sqrt(nRef.toDouble / n)).toLong
+  }
+
   /** [[dbscan]] with EXACT cluster labels on any diameter — the
     * production entry point: on a core graph whose diameter exceeds the
     * fixed round count the fixed-round form returns UNDER-MERGED

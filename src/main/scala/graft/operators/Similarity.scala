@@ -59,6 +59,24 @@ object Similarity {
       posexplode(keys).as(Seq("band", "bkey")))
   }
 
+  /** Corpus-scaled LSH band width: the smallest rowsPerBand whose
+    * expected band-bucket population n / 2^rowsPerBand is at most
+    * `targetBucket`, floored at `floor` bits. A PINNED band width on a
+    * growing corpus is the scale killer the r10 sf1 audit measured
+    * (in-bucket candidate pairs grow quadratically with bucket
+    * population): the band width is a corpus parameter, not a constant.
+    * Pure integer arithmetic — no float log boundary — so a query can
+    * derive it at plan time and its oracle can pin the derived value at
+    * the verify scale (scaledRowsPerBand(500) = 4, the board's
+    * historical geometry). Capped at 24 bits (16M buckets ≫ any
+    * single-partition corpus; beyond that, shard the corpus first). */
+  def scaledRowsPerBand(n: Long, targetBucket: Long = 32L, floor: Int = 4): Int = {
+    require(n >= 0 && targetBucket > 0 && floor >= 1)
+    var k = floor
+    while ((targetBucket << k) < n && k < 24) k += 1
+    k
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates (same
     * hyperplane bands as lshTopK), exact cosine on candidates only, kept
     * when >= `tau`. First-collision-band emission keeps the pair set

@@ -83,6 +83,20 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Xorshift spread of sub-2^30 token codes onto 60 bits (see
+    * [[Kernels.widenCode]]) — the code-width stage under wide SimHashes. */
+  case class WidenCodes(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_widen_codes"
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.widenCodes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Kernels.widenCodes($c)")
+    override protected def withNewChildInternal(newChild: Expression): WidenCodes =
+      copy(child = newChild)
+  }
+
   /** bits-bit SimHash over token codes, one pass for all bits. */
   case class SimHash(child: Expression, bits: Int)
       extends UnaryExpression {

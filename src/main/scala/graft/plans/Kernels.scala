@@ -74,6 +74,38 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** GF(2)-linear xorshift spread of a sub-2^30 token code onto 60 bits:
+    * every output bit is an XOR of a distinct nonempty subset of input
+    * bits, so widened codes of distinct inputs stay distinct and each of
+    * the 60 simhash vote bits carries real signal — charHash codes live
+    * below 2^30, where bits 30+ of a plain simhash are vote-constant
+    * (the r10 sf1 audit's 30-bit code-width ceiling). Shift amounts keep
+    * every intermediate below 2^61, so the identical expression is
+    * overflow-free BIGINT arithmetic on the DuckDB side (which errors on
+    * int64 overflow where the JVM wraps). */
+  def widenCode(x: Long): Long = {
+    val a = x ^ (x << 13)
+    val b = a ^ (a >>> 7)
+    val w = b ^ (b << 17)
+    // fold the low half onto bits 30..59: without this, output bits
+    // 53..59 are PLAIN copies of input bits 23..29 (the xorshift's top
+    // bits clear the mixing stages), and a corpus whose token-hash high
+    // bits are vote-biased gets near-dead top-band keys
+    w ^ ((w & 0x3FFFFFFFL) << 30)
+  }
+
+  /** [[widenCode]] over a code array, one pass. */
+  def widenCodes(codes: ArrayData): ArrayData = {
+    val n = codes.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = widenCode(codes.getLong(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** bits-bit SimHash: one pass accumulating all per-bit +1/-1 votes. */
   def simhash(codes: ArrayData, bits: Int): Long = {
     val votes = new Array[Long](bits)

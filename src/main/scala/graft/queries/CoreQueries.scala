@@ -460,17 +460,26 @@ object CoreQueries {
         "CAST(count(*) AS BIGINT) AS n, CAST(sum(id % 97) AS BIGINT) AS sum_val") +
         " ORDER BY hex_j, hex_i")),
 
-    // Grid DBSCAN (r = 10000, minPts = 5, 4 label rounds): exact
+    // Grid DBSCAN (density-scaled r, minPts = 5, 4 label rounds): exact
     // core/border/noise roles + fixed-round min-label clusters over the
     // core adjacency. Neighbor search is the binned radius join (never
     // quadratic); the oracle runs the quadratic join + the identical
     // unrolled label chain, so both the binning and the propagation are
-    // hash-proven.
+    // hash-proven. The radius is DERIVED from the point count
+    // (GeoOps.densityRadius: r ∝ n^-1/2 on the fixed 1e6² domain) so the
+    // declared query's neighbor count — and with it the pair frame —
+    // stays ~constant per point at every scale factor; the r10 sf1 audit
+    // showed the old pinned r=10000 made the pair frame grow ~100x on
+    // 10x points. The oracle pins densityRadius(10000) = 31622, the
+    // derivation's value at the sf0.01 verify scale (n = |events|).
     Q("q_dbscan",
-      (s, d) => GeoOps.dbscan(ipoints(s, d), r = 10000L, minPts = 5,
-          rounds = 4)
-        .orderBy("id"),
-      Some(GeoOps.dbscanSql(ipointsSql, r = 10000L, minPts = 5,
+      (s, d) => {
+        val pts = ipoints(s, d)
+        GeoOps.dbscan(pts, r = GeoOps.densityRadius(pts.count()),
+            minPts = 5, rounds = 4)
+          .orderBy("id")
+      },
+      Some(GeoOps.dbscanSql(ipointsSql, r = 31622L, minPts = 5,
         rounds = 4) + " ORDER BY pts.id"))
   )
 

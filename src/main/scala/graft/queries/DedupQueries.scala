@@ -267,10 +267,16 @@ object DedupQueries {
     // jaccard agree up to ~2^-64 collisions (the q_ngram_jaccard stance).
     Q("q_dedup_incr",
       (s, d) => {
+        // The admission batch is a CONSTANT-SIZE id slice (50 docs), not a
+        // fraction of the corpus: a real incremental ingest admits
+        // fixed-size batches against a growing index, so the declared
+        // query's cost profile is linear in corpus size (the r10 sf1 audit
+        // showed the old doc_id%10 batch — 10% OF THE CORPUS — made both
+        // join sides grow 10x and the band join ~100x).
         val all = docs(s, d)
         val cand = Dedup.minhashIncrement(
-          all.filter(col("doc_id") % 10 =!= 0),
-          all.filter(col("doc_id") % 10 === 0),
+          all.filter(col("doc_id") >= 50),
+          all.filter(col("doc_id") < 50),
           "doc_id", "text", k = 16, bands = 4)
         Dedup.ngramJaccard(
             cand.select(col("new_id").as("a"), col("dup_of").as("b")),
@@ -282,8 +288,8 @@ object DedupQueries {
       Some {
         val grams = s"list_distinct(${bigramsSql(tokensSql("text"))})"
         s"WITH bands AS (${mhBandsSql(16, 4)}), " +
-          "cband AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 <> 0), " +
-          "bband AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id % 10 = 0), " +
+          "cband AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id >= 50), " +
+          "bband AS (SELECT doc_id, band, bkey FROM bands WHERE doc_id < 50), " +
           "cand AS (SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS dup_of " +
           "FROM cband c JOIN bband b ON c.band = b.band AND c.bkey = b.bkey " +
           "AND c.doc_id <> b.doc_id), " +
@@ -297,16 +303,23 @@ object DedupQueries {
           "WHERE j >= 0.5 ORDER BY new_id, dup_of"
       }),
 
-    // EXACT Hamming-radius (<= 2) pairs over 30-bit SimHashes via
-    // pigeonhole banding: 3 disjoint 10-bit bands — a pair within radius
+    // EXACT Hamming-radius (<= 2) pairs over 60-bit widened SimHashes via
+    // pigeonhole banding: 3 disjoint 20-bit bands — a pair within radius
     // must agree on a whole band, so candidates have perfect recall and
     // the bit_count verify makes the pair set exact at bucket-join cost.
+    // The code width is the corpus knob (bits = bands x bandWidth, bands
+    // = radius + 1): the r10 sf1 audit measured the old 30-bit/10-bit-
+    // band form collapsing 170x on 10x docs because band-bucket
+    // population grew 10x; 20-bit bands keep expected bucket population
+    // n/2^20 — sub-1 until the corpus passes ~1M docs. Token codes
+    // xorshift-spread onto 60 bits first (charHash carries only 30 bits
+    // of signal; widening makes every vote bit real on BOTH engines).
     Q("q_simhash_hamming",
       (s, d) => Dedup.simhashHammingPairs(docs(s, d), "doc_id", "text",
-          bits = 30, radius = 2)
+          bits = 60, radius = 2, widen = true)
         .orderBy("a", "b"),
       Some(Dedup.simhashHammingPairsSql("documents", "doc_id", "text",
-        bits = 30, radius = 2))),
+        bits = 60, radius = 2, widen = true))),
 
     // Asymmetric n-gram containment over same-source pairs: C(A->B) =
     // |A∩B|/|A| catches a short doc embedded in a long one, which

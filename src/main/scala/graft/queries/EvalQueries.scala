@@ -178,9 +178,7 @@ object EvalQueries {
     // singleton partition — community detection's standard first pass.
     Q("q_louvain_move",
       (s, d) => graft.operators.GraphOps.louvainMove(
-        graft.operators.Similarity.embeddingNearDup(
-          Tables.load(s, d, "embeddings"), tau = 0.3,
-          bands = 4, rowsPerBand = 4, dims = 64)),
+        SimilarityQueries.nearDupEdges(s, d)),
       Some(graft.operators.GraphOps.louvainMoveSql(
         s"(${SimilarityQueries.nearDupEdgesSql}) lm"))),
 

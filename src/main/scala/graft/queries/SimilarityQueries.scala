@@ -32,9 +32,27 @@ object SimilarityQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "embeddings")
 
+  /** The shared CORPUS-SCALED embedding near-dup edge frame (a, b) for
+    * q_embed_dup / q_triangle_count / q_local_cc / q_louvain_move:
+    * hyperplane-LSH candidates with rowsPerBand DERIVED from the vector
+    * count (Similarity.scaledRowsPerBand — band-bucket population stays
+    * ~constant as the corpus grows), exact cosine >= 0.3 on candidates.
+    * The r10 sf1 audit measured the old pinned 4x4-bit geometry
+    * collapsing 79x on 10x vectors (in-bucket pairs grow quadratically
+    * with bucket population) and dragging every graph query on this
+    * edge frame with it. The oracles pin scaledRowsPerBand(500) = 4,
+    * the derivation's value at the sf0.01 verify scale. */
+  private[queries] def nearDupEdges(s: org.apache.spark.sql.SparkSession,
+                                    d: String): org.apache.spark.sql.DataFrame = {
+    val e = emb(s, d)
+    Similarity.embeddingNearDup(e, tau = 0.3, bands = 4,
+      rowsPerBand = Similarity.scaledRowsPerBand(e.count()), dims = Dims)
+  }
+
   /** The embedding near-dup EDGE subquery (a, b) — the q_embed_dup /
     * q_local_cc chain, exposed for queries over the same graph
-    * (q_louvain_move). */
+    * (q_louvain_move). Pins the [[nearDupEdges]] geometry at the sf0.01
+    * verify scale: scaledRowsPerBand(500) = 4. */
   private[queries] def nearDupEdgesSql: String =
     s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
       "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
@@ -141,11 +159,12 @@ object SimilarityQueries {
       Some(ivfRankedSql)),
 
     // Embedding-cosine near-dup: LSH-bucketed candidate pairs kept when
-    // exact cosine >= 0.3. The threshold compare runs on bit-identical
+    // exact cosine >= 0.3, with the band width derived from the vector
+    // count (nearDupEdges — bucket population stays ~constant as the
+    // corpus grows). The threshold compare runs on bit-identical
     // doubles, so even the boundary rows agree across engines.
     Q("q_embed_dup",
-      (s, d) => Similarity.embeddingNearDup(emb(s, d), tau = 0.3,
-          bands = 4, rowsPerBand = 4, dims = Dims)
+      (s, d) => nearDupEdges(s, d)
         .orderBy("a", "b"),
       Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
         "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
@@ -375,9 +394,7 @@ object SimilarityQueries {
     // vertex keys; the oracle rebuilds the identical edge set and counts
     // the same oriented triangles quadratically.
     Q("q_triangle_count",
-      (s, d) => graft.operators.GraphOps.triangleStats(
-        Similarity.embeddingNearDup(emb(s, d), tau = 0.3,
-          bands = 4, rowsPerBand = 4, dims = Dims)),
+      (s, d) => graft.operators.GraphOps.triangleStats(nearDupEdges(s, d)),
       Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
         "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
         "JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id), " +
@@ -406,8 +423,7 @@ object SimilarityQueries {
     // wrongly collapse. Integer wedges/triangles, one IEEE division.
     Q("q_local_cc",
       (s, d) => graft.operators.GraphOps.localClusteringCoeff(
-        Similarity.embeddingNearDup(emb(s, d), tau = 0.3,
-          bands = 4, rowsPerBand = 4, dims = Dims)),
+        nearDupEdges(s, d)),
       Some(s"WITH cb AS (${hyperBandsSql(4, 4)}), " +
         "pairs AS (SELECT DISTINCT x.id AS a, y.id AS b FROM cb x " +
         "JOIN cb y ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id), " +

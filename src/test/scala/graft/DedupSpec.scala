@@ -447,4 +447,77 @@ class DedupSpec extends SparkSpec {
     assert(graft.operators.Dedup.hammingBands(16, 3) ===
       Seq((0, 6), (6, 5), (11, 5)))
   }
+
+  test("widened 60-bit simhashHammingPairs: brute-force-exact, all 60 vote bits live") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val P = graft.functions.TextFunctions.P
+    def charHash(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    def widen(x: Long): Long = { // the Kernels.widenCode model
+      val a = x ^ (x << 13)
+      val b = a ^ (a >>> 7)
+      val w = b ^ (b << 17)
+      w ^ ((w & 0x3FFFFFFFL) << 30)
+    }
+    def simhash60(text: String): Long = {
+      val codes = text.split(" ", -1).map(t => widen(charHash(t)))
+      (0 until 60).map { p =>
+        val vote = codes.map(c => ((c >> p) & 1L) * 2 - 1).sum
+        if (vote > 0) 1L << p else 0L
+      }.sum
+    }
+    val sims = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> simhash60(r.getString(1))).toMap
+    val ids = sims.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids; j <- ids if i < j
+      h = java.lang.Long.bitCount(sims(i) ^ sims(j)) if h <= 2
+    } yield (i, j, h.toLong)).toSet
+    val got = graft.operators.Dedup
+      .simhashHammingPairs(docs, "doc_id", "text", bits = 60, radius = 2,
+        widen = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "exact duplicates collide at hamming 0 even on 60 bits")
+    // band-key entropy: every 20-bit pigeonhole band must have plenty of
+    // LIVE bits (varying across the corpus) — a plain 30-bit code under
+    // a 60-bit simhash would have bits 30..59 all-zero and the upper
+    // bands would collide EVERYTHING, the failure mode widening exists
+    // to prevent. A few vote-biased bits per band are expected on a
+    // 500-doc template corpus; 12+ live of 20 keeps bucket population
+    // ~n/2^12 even in the worst band.
+    val live = sims.values.reduce(_ | _) & ~sims.values.reduce(_ & _)
+    for ((off, w) <- graft.operators.Dedup.hammingBands(60, 3)) {
+      val bandLive = java.lang.Long.bitCount((live >>> off) & ((1L << w) - 1))
+      assert(bandLive >= 12, f"band at $off has only $bandLive live bits (live=$live%x)")
+    }
+    // 20-bit pigeonhole bands at radius 2
+    assert(graft.operators.Dedup.hammingBands(60, 3) ===
+      Seq((0, 20), (20, 20), (40, 20)))
+  }
+
+  test("scale-honest parameter derivations pin their oracle values (r11)") {
+    import graft.operators.{GeoOps, Similarity}
+    // q_dbscan: density-scaled radius — constant expected neighbors on
+    // the fixed 1e6^2 domain; the oracle pins the sf0.01 value 31622
+    assert(GeoOps.densityRadius(10000L) === 31622L)
+    assert(GeoOps.densityRadius(100000L) === 10000L) // the sf0.1 board point
+    assert(GeoOps.densityRadius(1000000L) === 3162L) // sf1
+    // monotone non-increasing in n
+    val rs = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(GeoOps.densityRadius(_))
+    assert(rs === rs.sortBy(-_))
+    // q_embed_dup family: corpus-scaled LSH band width — bucket
+    // population n/2^k held <= 32; oracle pins the sf0.01 value 4
+    assert(Similarity.scaledRowsPerBand(500L) === 4)
+    assert(Similarity.scaledRowsPerBand(2000L) === 6)  // sf0.1
+    assert(Similarity.scaledRowsPerBand(20000L) === 10) // sf1
+    assert(Similarity.scaledRowsPerBand(0L) === 4)
+    // bucket-population invariant: n / 2^k <= 32 whenever k < cap
+    for (n <- Seq(100L, 500L, 5000L, 50000L, 500000L)) {
+      val k = Similarity.scaledRowsPerBand(n)
+      assert(k === 24 || (n.toDouble / (1L << k)) <= 32.0, s"n=$n k=$k")
+    }
+    assert(Similarity.scaledRowsPerBand(Long.MaxValue / 2) === 24)
+  }
 }
