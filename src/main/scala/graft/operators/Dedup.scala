@@ -826,6 +826,25 @@ object Dedup {
   private[graft] def overlapPrefixCandidates(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       alphaNum: Int, alphaDen: Int): (DataFrame, DataFrame) = {
+    val (grams, posts, prefix) =
+      overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    val cands = prefix
+      .join(posts.select(col("blk"), col("g"), col("id").as("yid")),
+        Seq("blk", "g"))
+      .filter(col("xid") =!= col("yid"))
+      .select(least(col("xid"), col("yid")).as("a"),
+        greatest(col("xid"), col("yid")).as("b"))
+      .distinct()
+    (grams, cands)
+  }
+
+  /** The shared frames under the prefix policy AND the policy chooser:
+    * per-doc sorted gram sets, (blk, g) postings, and the rare-first
+    * prefix postings. `grams` is checkpointed — it feeds postings and
+    * both verify sides. */
+  private def overlapPrefixParts(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      alphaNum: Int, alphaDen: Int): (DataFrame, DataFrame, DataFrame) = {
     require(alphaNum >= 1 && alphaDen >= alphaNum,
       "alpha must be a rational in (0, 1]")
     val W = org.apache.spark.sql.expressions.Window
@@ -850,14 +869,85 @@ object Dedup {
         W.partitionBy(col("id")).orderBy(col("f"), col("g"))))
     val prefix = ranked.filter(col("rk") <= prefLen)
       .select(col("blk"), col("g"), col("id").as("xid"))
-    val cands = prefix
-      .join(posts.select(col("blk"), col("g"), col("id").as("yid")),
-        Seq("blk", "g"))
-      .filter(col("xid") =!= col("yid"))
-      .select(least(col("xid"), col("yid")).as("a"),
-        greatest(col("xid"), col("yid")).as("b"))
-      .distinct()
-    (grams, cands)
+    (grams, posts, prefix)
+  }
+
+  /** MEASURED candidate-policy chooser for overlap/containment joins —
+    * the r10 hand-revert ("prefix loses on this template corpus")
+    * encoded as a decision the engine computes from its own gram-df
+    * histogram instead of a human reading a bench:
+    *
+    *   - prefix-policy join rows = Σ over (blk, g) of
+    *     |prefix postings| × |full postings| − |prefix postings|
+    *     (every prefix posting meets each same-key full posting once,
+    *     minus its self-match) — EXACT, because that product is by
+    *     definition the equi-join's output size;
+    *   - all-pairs rows = Σ over blk of C(n_blk, 2).
+    *
+    * The regime boundary both numbers encode: rare-first prefixes win
+    * at HIGH alpha over long-tailed gram dfs (short prefixes × thin
+    * postings); blocked all-pairs wins at low alpha on template-heavy
+    * corpora where even rare grams carry fat postings (the measured r10
+    * case: 289M predicted prefix rows vs 62M pairs at sf1, alpha=1/4).
+    * Both policies verify with the identical exact intersect, so the
+    * choice is pure cost — output-identical, spec-proven on both corpus
+    * shapes. Cost of choosing: two scalar aggregates over the postings
+    * frame the chosen join needs anyway (at cluster scale, run them on
+    * a block-sample first). */
+  def overlapCandidateVolumes(docs: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, alphaNum: Int,
+                              alphaDen: Int): (Long, Long) = {
+    val (grams, posts, prefix) =
+      overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    val fullCounts = posts.groupBy("blk", "g").agg(count(lit(1)).as("f"))
+    val prefCounts = prefix.groupBy("blk", "g").agg(count(lit(1)).as("p"))
+    val prefixRows = prefCounts.join(fullCounts, Seq("blk", "g"))
+      .agg((sum(col("p") * col("f")) - sum(col("p"))).as("rows"))
+      .first().getLong(0)
+    val allPairsRows = grams.groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2")).as("rows"))
+      .first().getLong(0)
+    PlanBridge.unpersistLocalCheckpoint(grams)
+    (prefixRows, allPairsRows)
+  }
+
+  /** [[overlapPrefixJoin]] with the candidate policy CHOSEN by
+    * [[overlapCandidateVolumes]]: identical output under either policy
+    * (same exact verify), candidate stage picked by predicted join
+    * volume. */
+  def overlapJoinAuto(docs: DataFrame, idCol: String, textCol: String,
+                      blockCol: String, alphaNum: Int = 1,
+                      alphaDen: Int = 4): DataFrame = {
+    val (prefixRows, allPairsRows) =
+      overlapCandidateVolumes(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    if (prefixRows <= allPairsRows)
+      overlapPrefixJoin(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    else
+      overlapAllPairsJoin(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+  }
+
+  /** The blocked all-pairs face of the overlap join — q_containment's
+    * candidate policy with [[overlapPrefixJoin]]'s output contract, so
+    * the chooser's two faces are interchangeable. */
+  private[graft] def overlapAllPairsJoin(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    val (grams, _, _) =
+      overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.SortedIntersectSizeLong(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(col("gb"))))
+    grams.select(col("blk"), col("id").as("a"), col("grams").as("ga"),
+        col("ng").as("na"))
+      .join(grams.select(col("blk"), col("id").as("b"),
+        col("grams").as("gb"), col("ng").as("nb")), Seq("blk"))
+      .filter(col("a") < col("b"))
+      .withColumn("n_inter", nInter)
+      .filter(col("n_inter") * alphaDen >= least(col("na"), col("nb")) * alphaNum)
+      .select(col("a"), col("b"), col("n_inter"), col("na"), col("nb"),
+        round(col("n_inter").cast("double") /
+          least(col("na"), col("nb")).cast("double"), 6).as("cmax"))
   }
 
   /** DuckDB oracle for [[overlapPrefixJoin]]: the PLAIN QUADRATIC

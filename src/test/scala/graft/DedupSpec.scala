@@ -496,6 +496,44 @@ class DedupSpec extends SparkSpec {
       Seq((0, 20), (20, 20), (40, 20)))
   }
 
+  test("overlap candidate-policy chooser: all-pairs on templates, prefix on long tails, identical output") {
+    import spark.implicits._
+    val ops = graft.operators.Dedup
+    // the synthetic documents corpus is TEMPLATE-HEAVY: even rare grams
+    // carry fat postings, and at low alpha the prefix keeps ~75% of each
+    // doc — the measured r10 regime where all-pairs wins
+    val docs = Tables.load(spark, sfDir, "documents")
+    val (tpPrefix, tpAll) =
+      ops.overlapCandidateVolumes(docs, "doc_id", "text", "source", 1, 4)
+    assert(tpAll < tpPrefix,
+      s"template corpus must predict all-pairs ($tpAll) < prefix ($tpPrefix)")
+    // long-tailed corpus at high alpha: per-doc-unique grams (thin
+    // postings) + a tiny shared core; prefixes are short — PPJoin's regime
+    val base = (0L until 60L).map { i =>
+      val unique = (0 until 12).map(j => s"tok${i}_$j").mkString(" ")
+      (i, s"core alpha beta $unique", if (i % 2 == 0) "s0" else "s1")
+    }
+    // a handful of near-copies so the high-alpha join has real output
+    val longTail = (base ++ base.filter(_._1 % 10 == 0).map {
+      case (i, text, src) => (1000L + i, s"$text extracopy", src)
+    }).toDF("doc_id", "text", "source")
+    val (ltPrefix, ltAll) =
+      ops.overlapCandidateVolumes(longTail, "doc_id", "text", "source", 3, 4)
+    assert(ltPrefix < ltAll,
+      s"long-tail corpus must predict prefix ($ltPrefix) < all-pairs ($ltAll)")
+    // the choice is cost-only: both faces and the auto form agree exactly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a", "b").collect().map(_.toSeq).toSeq
+    for ((corpus, an, ad) <- Seq((docs, 1, 4), (longTail, 3, 4))) {
+      val pref = rows(ops.overlapPrefixJoin(corpus, "doc_id", "text", "source", an, ad))
+      val all = rows(ops.overlapAllPairsJoin(corpus, "doc_id", "text", "source", an, ad))
+      val auto = rows(ops.overlapJoinAuto(corpus, "doc_id", "text", "source", an, ad))
+      assert(pref === all, "policies must be output-identical")
+      assert(auto === all)
+      assert(all.nonEmpty)
+    }
+  }
+
   test("scale-honest parameter derivations pin their oracle values (r11)") {
     import graft.operators.{GeoOps, Similarity}
     // q_dbscan: density-scaled radius — constant expected neighbors on
