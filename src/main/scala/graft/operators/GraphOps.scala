@@ -1035,4 +1035,206 @@ object GraphOps {
       "FROM (SELECT *, row_number() OVER " +
       "(PARTITION BY v ORDER BY gain_num DESC, c) AS rk FROM g) z " +
       "WHERE rk = 1 ORDER BY node"
+
+  /** FULL Louvain phase 1 (Blondel et al. 2008 §2): iterate synchronous
+    * move sweeps from the singleton partition until a sweep stops
+    * improving modularity, then return the converged (node, community)
+    * assignment. [[louvainMove]] is the declared one-sweep oracle face;
+    * this is the production loop.
+    *
+    * One sweep, against the CURRENT labels (general communities, not
+    * just singletons): node v in community d evaluates every neighbor
+    * community c and moves to the best strictly-positive gain. The
+    * Blondel ΔQ comparator reduces to the EXACT INTEGER
+    * `2m·(k_vc − k_vd′) − k_v·(Σtot(c) − (Σtot(d) − k_v))` (k_vd′ =
+    * edges v→d\{v}, Σtot = community degree volume) — no float enters,
+    * so the per-node argmax is engine-exact with the (gain desc, c asc)
+    * tie-break.
+    *
+    * Termination and swap handling: synchronous sweeps let two
+    * communities trade members simultaneously — a label rotation that
+    * leaves modularity flat. Mutual d⇄c trades are broken BEFORE the
+    * gate (the Grappolo rule: only moves into the smaller-id community
+    * apply), and each surviving sweep is GATED on the integer
+    * modularity score `S(L) = 4m·intra(L) − Σ_c vol(L,c)²` (= 4m²·Q):
+    * accepted iff strictly greater, else the loop stops. Modularity
+    * strictly increases per accepted sweep over finitely many
+    * partitions ⇒ termination; a rejected sweep leaves labels unchanged
+    * and the sweep operator is deterministic in the labels, so
+    * re-running the gated round after convergence is the identity —
+    * which is exactly what lets [[louvainRoundsSql]] UNROLL a fixed
+    * round count in the oracle (extra rounds are no-ops, the
+    * dbscan/kcore fixed-round convention inverted).
+    *
+    * Scale shape per sweep: degree/volume aggregates are map-side
+    * combined on 8-byte keys; the neighbor-community count is one
+    * shuffle of the symmetrized edges; the argmax window is
+    * neighbor-bounded; the gate costs two scalar aggregates. Labels
+    * checkpoint per accepted sweep (the label-propagation convention).
+    *
+    * Output: (node, community), every node of the edge frame. */
+  def louvain(edges0: DataFrame, aCol: String = "a", bCol: String = "b",
+              maxSweeps: Int = 16): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint() // reused: m, degrees, intra scores, every sweep
+    val sym = e.select(col("a").as("v"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("v"), col("a").as("w")))
+    val deg = sym.groupBy("v").agg(count(lit(1)).as("k")).localCheckpoint()
+    val m = e.count()
+    def score(labels: DataFrame): Long = {
+      val intra = e
+        .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
+        .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
+        .filter(col("ca") === col("cb")).count()
+      val volSq = labels.join(deg, labels("node") === deg("v"))
+        .groupBy("comm").agg(sum(col("k")).as("vol"))
+        .agg(sum(col("vol") * col("vol")).as("vv"))
+        .first().getLong(0)
+      4L * m * intra - volSq
+    }
+    def sweep(labels: DataFrame): DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val vol = labels.join(deg, labels("node") === deg("v"))
+        .groupBy("comm").agg(sum(col("k")).as("vol"))
+      val kvc = sym
+        .join(labels.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
+        .groupBy("v", "c").agg(count(lit(1)).as("k_vc"))
+      val base = labels.select(col("node").as("v"), col("comm").as("d"))
+        .join(deg, Seq("v"))
+        .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
+          Seq("v", "d"), "left")
+        .na.fill(0L, Seq("k_vd"))
+        .join(vol.select(col("comm").as("d"), col("vol").as("vol_d")), Seq("d"))
+      val gains = base
+        .join(kvc.filter(col("c").isNotNull), Seq("v"))
+        .filter(col("c") =!= col("d"))
+        .join(vol.select(col("comm").as("c"), col("vol").as("vol_c")), Seq("c"))
+        .withColumn("gain",
+          lit(2L) * m * (col("k_vc") - col("k_vd")) -
+            col("k") * (col("vol_c") - (col("vol_d") - col("k"))))
+      val best = gains
+        .withColumn("rk", row_number().over(
+          W.partitionBy("v").orderBy(col("gain").desc, col("c"))))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("d"), col("c"), col("gain"))
+      // pairwise swap suppression (the Grappolo rule): synchronous
+      // sweeps let communities d and c trade members simultaneously — a
+      // label rotation that leaves modularity flat and would terminate
+      // the gated loop at the singleton partition. When moves d→c and
+      // c→d are both proposed, only the moves INTO the smaller-id
+      // community apply; longer rotation cycles are caught by the gate.
+      val moves = best.filter(col("gain") > 0L).select("v", "d", "c")
+      val movePairs = moves.select(col("d").as("yd"), col("c").as("yc"))
+        .distinct()
+      val applied = moves.as("x")
+        .join(movePairs,
+          col("x.c") === col("yd") && col("x.d") === col("yc") &&
+            col("x.d") > col("yd"), "left_anti")
+        .select(col("v"), col("c"))
+      labels.select(col("node"), col("comm"))
+        .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), col("comm")).as("comm"))
+    }
+    var labels = sym.select(col("v").as("node")).distinct()
+      .withColumn("comm", col("node"))
+      .localCheckpoint()
+    var s = score(labels)
+    var continue = true
+    var sweeps = 0
+    while (continue && sweeps < maxSweeps) {
+      val proposed = sweep(labels).localCheckpoint()
+      val s2 = score(proposed)
+      if (s2 > s) {
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(labels)
+        labels = proposed; s = s2; sweeps += 1
+      } else {
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(proposed)
+        continue = false
+      }
+    }
+    labels
+  }
+
+  /** Contract a community assignment onto the quotient graph — Louvain's
+    * inter-level step: communities become nodes; parallel edges sum to a
+    * weight; intra-community edges become self-loops (weight = edge
+    * count, the convention under which the quotient's modularity equals
+    * the node-level modularity of the assignment). */
+  def louvainContract(edges0: DataFrame, labels: DataFrame,
+                      aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val e = edges0
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    e.join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
+      .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
+      .select(least(col("ca"), col("cb")).as("ca"),
+        greatest(col("ca"), col("cb")).as("cb"))
+      .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
+  }
+
+  /** DuckDB oracle for [[louvain]]: the identical gated sweep UNROLLED
+    * `rounds` times — safe because a rejected (non-improving) round is
+    * the identity, so any rounds ≥ the convergence count produce the
+    * converged labels (spec-pinned: the sf0.01 near-dup graph converges
+    * well inside the declared rounds). Every CTE is MATERIALIZED (the
+    * kCoreSql lesson: un-materialized round chains re-expand
+    * exponentially). */
+  def louvainSql(edgesSub: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, " +
+      s"greatest(a, b) AS b FROM $edgesSub WHERE least(a, b) < greatest(a, b)), " +
+      "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e), " +
+      "deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY v), " +
+      "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e), " +
+      "lab0 AS MATERIALIZED (SELECT DISTINCT v AS node, v AS comm FROM sym)"
+    def scoreSql(lab: String): String =
+      s"SELECT 4 * m.m * (SELECT count(*) FROM e " +
+        s"JOIN $lab x ON e.a = x.node JOIN $lab y ON e.b = y.node " +
+        "WHERE x.comm = y.comm) - " +
+        "(SELECT sum(vol * vol) FROM (SELECT sum(k) AS vol " +
+        s"FROM $lab l JOIN deg d ON l.node = d.v GROUP BY comm) vv) AS s " +
+        "FROM m"
+    for (r <- 1 to rounds) {
+      val p = s"lab${r - 1}"
+      sb ++= s", vol$r AS MATERIALIZED (SELECT comm, sum(k) AS vol " +
+        s"FROM $p l JOIN deg d ON l.node = d.v GROUP BY comm)"
+      sb ++= s", kvc$r AS MATERIALIZED (SELECT s.v, lw.comm AS c, " +
+        s"CAST(count(*) AS BIGINT) AS k_vc FROM sym s " +
+        s"JOIN $p lw ON s.w = lw.node GROUP BY s.v, lw.comm)"
+      sb ++= s", base$r AS MATERIALIZED (SELECT l.node AS v, l.comm AS d, dg.k, " +
+        s"coalesce(kd.k_vc, 0) AS k_vd, vd.vol AS vol_d FROM $p l " +
+        "JOIN deg dg ON l.node = dg.v " +
+        s"LEFT JOIN kvc$r kd ON kd.v = l.node AND kd.c = l.comm " +
+        s"JOIN vol$r vd ON vd.comm = l.comm)"
+      sb ++= s", best$r AS MATERIALIZED (SELECT v, d, c, gain FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY v ORDER BY gain DESC, c) AS rk " +
+        s"FROM (SELECT b2.v, b2.d, kv.c, 2 * m.m * (kv.k_vc - b2.k_vd) - " +
+        "b2.k * (vc.vol - (b2.vol_d - b2.k)) AS gain " +
+        s"FROM base$r b2 JOIN kvc$r kv ON kv.v = b2.v AND kv.c <> b2.d " +
+        s"JOIN vol$r vc ON vc.comm = kv.c CROSS JOIN m) gg) z WHERE rk = 1)"
+      // the Grappolo swap rule, identically: drop moves d->c when c->d
+      // is also proposed and d > c
+      sb ++= s", mv$r AS MATERIALIZED (SELECT v, d, c FROM best$r WHERE gain > 0)"
+      sb ++= s", app$r AS MATERIALIZED (SELECT x.v, x.c FROM mv$r x " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT d, c FROM mv$r) y " +
+        "WHERE y.d = x.c AND y.c = x.d AND x.d > y.d))"
+      sb ++= s", prop$r AS MATERIALIZED (SELECT l.node, " +
+        s"coalesce(a.c, l.comm) AS comm FROM lab${r - 1} l " +
+        s"LEFT JOIN app$r a ON a.v = l.node)"
+      sb ++= s", sa$r AS (${scoreSql(s"lab${r - 1}")})"
+      sb ++= s", sb$r AS (${scoreSql(s"prop$r")})"
+      sb ++= s", lab$r AS MATERIALIZED (SELECT l.node, " +
+        s"CASE WHEN sb$r.s > sa$r.s THEN p.comm ELSE l.comm END AS comm " +
+        s"FROM lab${r - 1} l JOIN prop$r p ON l.node = p.node " +
+        s"CROSS JOIN sa$r CROSS JOIN sb$r)"
+    }
+    sb ++= s" SELECT node, comm AS community FROM lab$rounds ORDER BY node"
+    sb.toString
+  }
 }

@@ -182,6 +182,22 @@ object EvalQueries {
       Some(graft.operators.GraphOps.louvainMoveSql(
         s"(${SimilarityQueries.nearDupEdgesSql}) lm"))),
 
+    // FULL Louvain phase 1 over the same near-dup graph: synchronous
+    // gated move sweeps iterated to the no-improvement fixpoint
+    // (q_louvain_move is the declared one-sweep face). The oracle
+    // unrolls the IDENTICAL gated sweep 10 times — safe at any rounds >=
+    // the convergence count because a rejected sweep is the identity
+    // (the inverse of the dbscan fixed-round convention); the hash
+    // compare therefore also proves the sf0.01 graph converges within 10
+    // sweeps (measured: 7 accepted sweeps, Q = 0.5825).
+    Q("q_louvain",
+      (s, d) => graft.operators.GraphOps.louvain(
+          SimilarityQueries.nearDupEdges(s, d))
+        .select(col("node"), col("comm").as("community"))
+        .orderBy("node"),
+      Some(graft.operators.GraphOps.louvainSql(
+        s"(${SimilarityQueries.nearDupEdgesSql}) lv", rounds = 10))),
+
     // Brier score with the Murphy decomposition over the same gates and
     // deciles as q_clf_calibration — reliability - resolution +
     // uncertainty in one row.

@@ -297,4 +297,119 @@ class GraphOpsSpec extends SparkSpec {
     assert(ne === e.size.toLong)
     assert(got === Some(want))
   }
+
+  /** Pure-Scala model of GraphOps.louvain's gated synchronous sweep:
+    * exact integer Blondel gain, (gain desc, c asc) argmax, integer
+    * modularity-score gate, loop until no improvement. */
+  private def louvainModel(edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
+    val e = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a < b }.distinct
+    val nbrs = (e ++ e.map(_.swap)).groupBy(_._1).map { case (v, ps) =>
+      v -> ps.map(_._2)
+    }
+    val deg = nbrs.map { case (v, ws) => v -> ws.size.toLong }
+    val m = e.size.toLong
+    def score(lab: Map[Long, Long]): Long = {
+      val intra = e.count { case (a, b) => lab(a) == lab(b) }.toLong
+      val vols = lab.groupBy(_._2).map { case (_, vs) =>
+        vs.keys.toSeq.map(deg).sum // toSeq: Set.map would dedup equal degrees
+      }
+      4L * m * intra - vols.map(v => v * v).sum
+    }
+    def sweep(lab: Map[Long, Long]): Map[Long, Long] = {
+      val volOf = lab.groupBy(_._2).map { case (c, vs) =>
+        c -> vs.keys.toSeq.map(deg).sum
+      }
+      // per-node best strictly-positive move (v -> (d, c))
+      val moves = lab.flatMap { case (v, d) =>
+        val k = deg(v)
+        val kvc = nbrs(v).groupBy(lab).map { case (c, ws) => c -> ws.size.toLong }
+        val kvd = kvc.getOrElse(d, 0L)
+        val cands = kvc.keys.filter(_ != d).map { c =>
+          val gain = 2L * m * (kvc(c) - kvd) - k * (volOf(c) - (volOf(d) - k))
+          (gain, c)
+        }
+        cands.toSeq.sortBy { case (g, c) => (-g, c) }.headOption.collect {
+          case (g, c) if g > 0 => v -> (d, c)
+        }
+      }
+      // the Grappolo swap rule: drop d->c moves when c->d is also
+      // proposed and d > c
+      val pairs = moves.values.toSet
+      val applied = moves.filter { case (_, (d, c)) =>
+        !(pairs.contains((c, d)) && d > c)
+      }
+      lab.map { case (v, d) => v -> applied.get(v).map(_._2).getOrElse(d) }
+    }
+    var lab = nbrs.keys.map(v => v -> v).toMap
+    var s = score(lab)
+    var sweeps = 0
+    var go = true
+    while (go && sweeps < 16) {
+      val p = sweep(lab)
+      val s2 = score(p)
+      if (s2 > s) { lab = p; s = s2; sweeps += 1 } else go = false
+    }
+    (lab, sweeps)
+  }
+
+  test("louvain == gated-sweep fixpoint model: two cliques, bridge, random graphs") {
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      GraphOps.louvain(edges.toDF("a", "b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // two 4-cliques joined by one bridge edge: communities = the cliques
+    def clique(ids: Seq[Long]) =
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    val twoCliques = clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val (want, sweeps) = louvainModel(twoCliques)
+    val got = run(twoCliques)
+    assert(got === want)
+    assert(sweeps >= 1, "the clique graph must accept at least one sweep")
+    assert(got.filterKeys(_ < 10L).values.toSet.size === 1, "left clique merges")
+    assert(got.filterKeys(_ >= 10L).values.toSet.size === 1, "right clique merges")
+    assert(got(0L) !== got(10L), "the bridge must not merge the cliques")
+    // deterministic pseudo-random graphs: operator == model exactly
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val edges = (0L until 120L).map { i =>
+        val a = (i * 7919L + seed * 131L) % 28L
+        val b = (i * 104729L + seed * 37L) % 28L
+        (a, b)
+      }.filter { case (a, b) => a != b }
+      assert(run(edges) === louvainModel(edges)._1, s"seed $seed")
+    }
+  }
+
+  test("louvain converges, improves modularity, and contracts consistently") {
+    val edges = SimilarityQueries_nearDupEdgesForSpec()
+    val lab = GraphOps.louvain(edges)
+    val labL = lab.withColumnRenamed("comm", "label")
+    val oneSweep = GraphOps.louvainMove(edges)
+      .select(col("node"), col("new_label").as("label"))
+    def q(l: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularity(edges, l).collect()(0).getDouble(2)
+    val qFix = q(labL)
+    val qOne = q(oneSweep)
+    val singleton = edges.select(col("a").as("node"))
+      .union(edges.select(col("b"))).distinct()
+      .withColumn("label", col("node"))
+    assert(qFix >= qOne, s"fixpoint $qFix must not lose to one sweep $qOne")
+    assert(qFix > q(singleton), "fixpoint must beat the singleton partition")
+    // contraction invariant: quotient weights partition the edge set —
+    // self-loop weight sum = intra edges, total weight sum = m
+    val contracted = GraphOps.louvainContract(edges, lab)
+    val wTotal = contracted.agg(sum("weight")).collect()(0).getLong(0)
+    val wSelf = contracted.filter(col("ca") === col("cb"))
+      .agg(coalesce(sum("weight"), lit(0L))).collect()(0).getLong(0)
+    val stats = GraphOps.modularity(edges, labL).collect()(0)
+    assert(wTotal === stats.getLong(0), "quotient weights must sum to m")
+    assert(wSelf === stats.getLong(1), "self-loops must sum to intra edges")
+  }
+
+  /** The spec-side twin of SimilarityQueries.nearDupEdges at sf0.001. */
+  private def SimilarityQueries_nearDupEdgesForSpec() = {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    Similarity.embeddingNearDup(emb, tau = 0.3, bands = 4,
+      rowsPerBand = Similarity.scaledRowsPerBand(emb.count()), dims = 64)
+  }
 }
