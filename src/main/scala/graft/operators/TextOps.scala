@@ -2148,10 +2148,7 @@ object TextOps {
     * uncertainty). */
   def brierDecomposition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val m = clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
-    val g = gopherRules(df, idCol, textCol)
-      .select(col(idCol), when(col("pass"), 1L).otherwise(0L).as("label"))
-    val scored = m.join(g, Seq(idCol))
+    val scored = clfGateScores(df, idCol, textCol)
       .withColumn("conf",
         lit(1.0) / (lit(1.0) + exp(col("margin").cast("double") / -1000.0)))
       .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"), lit(9L)))
@@ -2169,7 +2166,71 @@ object TextOps {
       .filter(col("rn") === col("nb"))
       .select(col("bin"), col("nb"), col("cum_conf"), col("cum_sq"),
         col("cum_lab"))
-    // cross-bin constants (exact integers) then the <= 10-row bin fold
+    brierBinFold(bins)
+  }
+
+  /** The classifier-vs-rules gate pair as one scored frame
+    * (id, margin, label) — the single definition under
+    * [[brierDecomposition]], [[brierCounts]] and the kappa/calibration
+    * queries' join. */
+  def clfGateScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
+      .join(gopherRules(df, idCol, textCol)
+        .select(col(idCol), when(col("pass"), 1L).otherwise(0L).as("label")),
+        Seq(idCol))
+
+  /** The MERGEABLE half of the Brier monitor (the aucCounts precedent):
+    * per-margin label counts (margin, n, n_pos). Margins are exact
+    * integer token-code sums, so cell-wise ADDITION merges two count
+    * frames exactly — a stream folds batches into this state and reads
+    * the full Murphy decomposition off any snapshot with
+    * [[brierFromCounts]]. State is one row per DISTINCT margin value
+    * (domain-bounded: margins are bounded sums, not stream-length-
+    * bounded; quantize the margin first if the margin domain is
+    * unbounded in your gate). */
+  def brierCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    clfGateScores(df, idCol, textCol)
+      .groupBy("margin")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("n_pos"))
+
+  /** The fold half: the Murphy decomposition off a (margin, n, n_pos)
+    * count frame (pre-summed duplicates allowed — they re-collapse
+    * here). Float folds run in margin order (deterministic), so
+    * stream-snapshot reads are reproducible; values match
+    * [[brierDecomposition]] up to float fold order (the per-doc form
+    * folds in doc-id order — spec-bounded drift, both round at 6). */
+  def brierFromCounts(counts0: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val counts = counts0.groupBy("margin")
+      .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+    val scored = counts
+      .withColumn("conf",
+        lit(1.0) / (lit(1.0) + exp(col("margin").cast("double") / -1000.0)))
+      .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"), lit(9L)))
+      .withColumn("cell_conf", col("conf") * col("n").cast("double"))
+      .withColumn("cell_sq",
+        (col("conf") - 1.0) * (col("conf") - 1.0) * col("n_pos").cast("double") +
+          col("conf") * col("conf") * (col("n") - col("n_pos")).cast("double"))
+    val ordd = W.partitionBy("bin").orderBy("margin")
+    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val bins = scored
+      .withColumn("cum_conf", sum(col("cell_conf")).over(cumd))
+      .withColumn("cum_sq", sum(col("cell_sq")).over(cumd))
+      .withColumn("cum_lab", sum(col("n_pos")).over(cumd))
+      .withColumn("nb", sum(col("n")).over(W.partitionBy("bin")))
+      .withColumn("rn", row_number().over(ordd))
+      .withColumn("cells", count(lit(1)).over(W.partitionBy("bin")))
+      .filter(col("rn") === col("cells"))
+      .select(col("bin"), col("nb"), col("cum_conf"), col("cum_sq"),
+        col("cum_lab"))
+    brierBinFold(bins)
+  }
+
+  /** The shared ≤10-row bin fold under both Brier faces: cross-bin
+    * constants (exact integers), then reliability/resolution cells in
+    * bin order. `bins` carries (bin, nb, cum_conf, cum_sq, cum_lab). */
+  private def brierBinFold(bins: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val tot = bins.agg(sum(col("nb")).as("n_docs"), sum(col("cum_lab")).as("n_pos"))
     val ordb = W.orderBy("bin")
     val cumb = ordb.rowsBetween(W.unboundedPreceding, W.currentRow)

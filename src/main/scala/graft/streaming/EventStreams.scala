@@ -795,6 +795,37 @@ object EventStreams {
       .parquet(outDir)
   }
 
+  /** Streaming Brier monitor (stream_brier): each micro-batch's docs run
+    * the classifier-vs-rules gate pair and collapse to their per-margin
+    * label counts ([[graft.operators.TextOps.brierCounts]] — the SAME
+    * mergeable state the batch metric folds), ADDED into the persisted
+    * count state; the full Murphy decomposition (brier, reliability,
+    * resolution, uncertainty) reads off any snapshot with
+    * [[brierState]]. Margins are exact integer token-code sums, so the
+    * cell-wise addition is exact and the folded state equals the batch
+    * counts over the union of all batches (spec-proven); state is one
+    * row per distinct margin — domain-bounded, not stream-bounded. The
+    * live model-quality monitor next to stream_auc (which the AP reader
+    * shares state with); one definition per metric preserved. */
+  def brierStream(docs: DataFrame, idCol: String, textCol: String,
+                  stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(docs, stateDir, checkpointDir) { (base, batch, _) =>
+      val baseCounts =
+        if (Set("margin", "n", "n_pos").subsetOf(base.columns.toSet))
+          base.select(col("margin"), col("n"), col("n_pos"))
+        else graft.operators.TextOps.brierCounts(base, idCol, textCol)
+      graft.operators.TextOps.brierCounts(batch, idCol, textCol)
+        .unionByName(baseCounts)
+        .groupBy("margin")
+        .agg(sum(col("n")).as("n"), sum(col("n_pos")).as("n_pos"))
+    }
+
+  /** Current Murphy decomposition from a [[brierStream]] state dir. */
+  def brierState(spark: org.apache.spark.sql.SparkSession,
+                 stateDir: String): DataFrame =
+    graft.operators.TextOps.brierFromCounts(readUpsertState(spark, stateDir))
+
   /** Streaming OHLC bars (stream_ohlc): each micro-batch collapses to
     * its per-(key, bar) [[graft.operators.Temporal.ohlcState]] rows —
     * the bar summary PLUS open/close election keys — and merges into

@@ -523,6 +523,46 @@ class StreamingSpec extends SparkSpec {
     assert(EventStreams.snapshotBefore(spark, state, 0L).isEmpty)
   }
 
+  test("foreachBatch Brier state equals the batch counts over the union; decomposition reads off the snapshot") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ops = graft.operators.TextOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_brier").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.brierStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/state", s"$dir/ckpt")
+    def state(): Map[Long, (Long, Long)] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def batchCounts(rows: Seq[(Long, String)]): Map[Long, (Long, Long)] =
+      ops.brierCounts(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      assert(state() === batchCounts(b1.toSeq))
+      // mergeable-state law: the fold equals the batch counts over b1++b2
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+      assert(state() === batchCounts(docs.toSeq))
+      // the decomposition reads off the snapshot and agrees with the
+      // declared per-doc form up to float fold order (both round at 6)
+      val snap = EventStreams.brierState(spark, s"$dir/state").collect()(0)
+      val batch = ops.brierDecomposition(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text").collect()(0)
+      assert(snap.getLong(0) === batch.getLong(0))
+      for (i <- 1 to 4)
+        assert(math.abs(snap.getDouble(i) - batch.getDouble(i)) <= 2e-6,
+          s"field $i: ${snap.getDouble(i)} vs ${batch.getDouble(i)}")
+      // state is margin-domain-bounded, not doc-bounded
+      assert(state().size <= docs.length)
+    } finally q.stop()
+  }
+
   test("foreachBatch CMS state equals the batch sketch over the union of batches") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
