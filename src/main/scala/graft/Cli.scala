@@ -83,18 +83,37 @@ import graft.sources.Manifest
   */
 object Cli {
 
+  /** Every command `run` dispatches, in case-arm order — the single
+    * source of truth for the surface: the usage message renders it, the
+    * unknown-command error names it, and CliSpec asserts that each entry
+    * dispatches (and the count, so SURVEY §2.5 can never drift from the
+    * code again — the r10 prose count had silently included two --algo
+    * sub-arms). */
+  val commands: Vector[String] = Vector(
+    "ingest", "pipeline", "extract", "subset", "merge", "rasterize", "manifest",
+    "dedup", "cluster", "sample", "pack", "sessionize", "asof", "chunk",
+    "cap", "upsert", "score", "blockdedup", "bm25", "compact", "semdedup",
+    "outliers", "skyline", "collocations", "profile", "urldedup", "split",
+    "pagerank", "cdc", "scd2", "resample", "skewstats", "interpfill",
+    "labelprop", "hits", "knngraph", "kanon", "basket", "gini", "welch",
+    "cms", "hamming", "utm", "lcc", "admit", "maxsim", "hardneg", "olstrend",
+    "cusum", "ewma", "hll", "kmv", "kcore", "assort", "calibrate", "mmr",
+    "seasonal", "footprint", "sq8", "linkpredict", "mediadedup", "ldiversity",
+    "intervaljoin", "seqmatch", "paths", "bfs", "tcloseness", "gopher", "clf",
+    "dsir", "radiusjoin", "hexbin", "dbscan", "modularity", "ppr", "theilsen",
+    "cdcchunk", "rendezvous", "dpcounts", "decay", "hbos", "ood", "linkage",
+    "sax", "burstiness", "ndcg", "leakage", "confusion", "hilltail",
+    "kendall", "simpson", "heaps", "novelty", "wilson", "holt", "bt",
+    "localcc", "piidensity", "entities", "clfcal", "kappa", "psi", "auc",
+    "rbo", "apriori", "jsdrift", "ohlc", "twa", "overlapjoin", "srm",
+    "changepoint", "louvain", "brier", "bloomfpr", "fleiss", "mcnemar",
+    "distshift", "bhfdr", "avgprec", "jw", "quantilenorm", "cascade",
+    "tokenbudget", "survivors", "audiofeat", "audiodedup", "geodesic",
+    "winrate", "distinctn", "freqdrift")
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: <ingest|pipeline|extract|subset|merge|rasterize|manifest|dedup|cluster|" +
-        "sample|pack|sessionize|asof|chunk|cap|upsert|score|blockdedup|bm25|" +
-        "compact|semdedup|outliers|skyline|collocations|profile|urldedup|" +
-        "split|pagerank|cdc|scd2|resample|skewstats|interpfill|labelprop|" +
-        "hits|knngraph|kanon|basket|gini|welch|cms|hamming|admit|utm|" +
-        "maxsim|hardneg|olstrend|cusum|ewma|hll|seqmatch|paths|bfs|" +
-        "tcloseness|gopher|clf|dsir|radiusjoin|hexbin|dbscan|modularity|" +
-        "ppr|theilsen|cdcchunk|rendezvous|dpcounts|decay|hbos|ood|linkage|" +
-        "sax|burstiness|ndcg|leakage|confusion|hilltail|kendall|novelty|" +
-        "wilson|heaps|simpson> --opt v ...")
+      s"usage: <${commands.mkString("|")}> --opt v ...")
     val cmd = args.head
     val opts = parseOpts(args.tail)
     val spark = session()
@@ -973,9 +992,16 @@ object Cli {
           opts.getOrElse("group", "event_type"), opts.getOrElse("ts", "ts")))
 
       case "louvain" =>
-        // one Louvain move sweep over an (a, b) edge frame
-        write(graft.operators.GraphOps.louvainMove(in("input"),
-          opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+        // FULL phase-1 fixpoint by default (gated synchronous sweeps to
+        // convergence); --one-sweep opts into the declared single
+        // move-sweep face (node, new_label, gain_num)
+        if (opts.contains("one-sweep"))
+          write(graft.operators.GraphOps.louvainMove(in("input"),
+            opts.getOrElse("a", "a"), opts.getOrElse("b", "b")))
+        else
+          write(graft.operators.GraphOps.louvain(in("input"),
+            opts.getOrElse("a", "a"), opts.getOrElse("b", "b"),
+            opts.getOrElse("max-sweeps", "16").toInt))
 
       case "brier" =>
         // Brier score + Murphy decomposition of the clf gate vs rules
@@ -1103,7 +1129,8 @@ object Cli {
           opts.getOrElse("top-v", "200").toInt,
           opts.getOrElse("k", "20").toInt))
 
-      case other => sys.error(s"unknown command: $other")
+      case other => sys.error(
+        s"unknown command: $other (known: ${commands.mkString(", ")})")
     }
 
   /** Shared ingest-option parsing + granule ingest for the `ingest` and

@@ -905,11 +905,24 @@ class CliSpec extends SparkSpec {
     // into a neighbor's community (gain 2m*1 - k*k'> 0 with m=4)
     Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b").write.parquet(edges)
     val lv = tmp() + "/louvain"
-    Cli.run(spark, "louvain", Map("input" -> edges, "output" -> lv))
+    Cli.run(spark, "louvain", Map("input" -> edges, "output" -> lv,
+      "one-sweep" -> "true"))
     val lvGot = spark.read.parquet(lv).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(lvGot(4L) === 3L) // pendant joins its only neighbor
     assert(lvGot.size === 4)
+    // the DEFAULT is the full phase-1 fixpoint (r11: exact forms are CLI
+    // defaults): on triangle+pendant the gated optimum is Q = 0
+    // ({1,2}/{3,4} ties all-in-one), strictly above the singleton start
+    val lvf = tmp() + "/louvainfix"
+    Cli.run(spark, "louvain", Map("input" -> edges, "output" -> lvf))
+    val lvFixDf = spark.read.parquet(lvf)
+    assert(lvFixDf.count() === 4)
+    val qFix = graft.operators.GraphOps.modularity(
+        spark.read.parquet(edges),
+        lvFixDf.select(col("node"), col("comm").as("label")))
+      .collect()(0).getDouble(2)
+    assert(qFix === 0.0, s"gated fixpoint must reach the Q=0 optimum, got $qFix")
 
     val br = tmp() + "/brier"
     Cli.run(spark, "brier", Map("input" -> docs, "output" -> br))
@@ -975,6 +988,50 @@ class CliSpec extends SparkSpec {
     val labels = spark.read.parquet(db).filter(col("role") === "core")
       .select("cluster").distinct().count()
     assert(labels === 1)
+  }
+
+  test("cli command surface: every declared command dispatches; count spec-pinned (r11)") {
+    // the count lives HERE, not in SURVEY prose (the r10 count silently
+    // included two --algo sub-arms) — update both together
+    assert(Cli.commands.size === 130)
+    assert(Cli.commands.distinct.size === Cli.commands.size, "duplicate names")
+    // every declared name must reach a case arm: dispatching with empty
+    // opts may fail on missing options/inputs, but NEVER with the
+    // unknown-command error; an undeclared name must
+    for (c <- Cli.commands) {
+      val err = intercept[Exception] {
+        Cli.run(spark, c, Map.empty)
+      }
+      assert(!String.valueOf(err.getMessage).contains("unknown command"),
+        s"declared command '$c' did not dispatch")
+    }
+    val unknown = intercept[Exception] {
+      Cli.run(spark, "no-such-command", Map.empty)
+    }
+    assert(String.valueOf(unknown.getMessage).contains("unknown command"))
+  }
+
+  test("cli kcore default survives a pendant CASCADE deeper than the fixed rounds (r11)") {
+    import spark.implicits._
+    // triangle core + a 12-node pendant tail: peeling at k = 2 removes
+    // one tail node per round (each removal exposes the next), so the
+    // 4-round truncated form leaves 8 phantom 2-core members; the exact
+    // fixpoint must peel the WHOLE tail and keep only the triangle
+    val edges = tmp() + "/caterpillar"
+    val tail = (100L to 110L).map(i => (i, i + 1))
+    (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 100L)) ++ tail)
+      .toDF("a", "b").write.parquet(edges)
+    val kc = tmp() + "/kc_casc"
+    Cli.run(spark, "kcore", Map("input" -> edges, "output" -> kc, "k" -> "2"))
+    val core = spark.read.parquet(kc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet === Set(1L, 2L, 3L), s"got ${core.keySet}")
+    assert(core.values.toSet === Set(2L), "triangle members have residual degree 2")
+    // the --rounds opt-in reproduces the truncated oracle face
+    val kc4 = tmp() + "/kc_casc4"
+    Cli.run(spark, "kcore", Map("input" -> edges, "output" -> kc4,
+      "k" -> "2", "rounds" -> "4"))
+    assert(spark.read.parquet(kc4).count() > 3)
   }
 
   test("cli modularity / ppr / theilsen / cdcchunk wire end-to-end") {
