@@ -65,26 +65,44 @@ def main():
     print(f"{len(flagged)} queries regressed >{REGRESS_X}x in-board "
           f"({cur['at']} vs {prior['at']})")
 
-    # HOST-DRIFT CANARY (r10 lesson): the round-10 run flagged three
-    # compute-bound queries as "real" 2x regressions that a worktree of
-    # the PRIOR round's code reproduced exactly — the host's CPU-bound
-    # throughput had drifted, not the code. Re-measure one UNFLAGGED
-    # compute-heavy query from the prior round; its ratio estimates the
-    # host drift factor, and a flagged query is only "real" if its
-    # isolated ratio exceeds REGRESS_X times the canary ratio.
+    # HOST-DRIFT CANARY PAIR (r10 lesson, upgraded r11): the round-10 run
+    # proved host throttling is WORKLOAD-SELECTIVE — codegen-tight loops
+    # halved while shuffle-bound plans drifted only ~1.1x, so a single
+    # canary provably misses it. Re-measure one canary per workload class
+    # (codegen-bound pair kernel, shuffle-bound join/agg), both unflagged;
+    # the drift factor is the MAX of the two ratios (conservative toward
+    # host-drift — the decisive arbiter for "real" stays the prior-code
+    # worktree below).
     flagged_names = {q for q, _, _ in flagged}
-    canary = None
-    for q, p in sorted(prior["queries"].items(), key=lambda x: -x[1]):
-        # skip flagged queries AND queries the round plausibly IMPROVED
-        # (in-board ratio < 0.8 — a code speedup would understate drift)
-        if (q not in flagged_names and p > 0.5
+
+    def eligible(q):
+        p = prior["queries"].get(q, -1)
+        # unflagged, non-trivial, and not plausibly IMPROVED by the round
+        # (in-board ratio < 0.8 would understate drift)
+        return (q not in flagged_names and p and p > 0.2
                 and cur["queries"].get(q, -1) > 0
-                and cur["queries"][q] / p >= 0.8):
-            canary = (q, p)
-            break
+                and cur["queries"][q] / p >= 0.8)
+
+    CANARY_PREFS = {
+        "codegen": ["q_lsh_recall", "q_edit_verify", "q_containment",
+                    "q_setsim_join"],
+        "shuffle": ["q_salted_join", "q5_region_flow", "q_quantiles",
+                    "q_market_basket"],
+    }
+    canaries = {}
+    for kind, prefs in CANARY_PREFS.items():
+        pick = next((q for q in prefs if eligible(q)), None)
+        if pick is None:  # fallback: heaviest eligible prior query
+            pick = next((q for q, _ in sorted(prior["queries"].items(),
+                                              key=lambda x: -x[1])
+                         if eligible(q) and q not in canaries.values()), None)
+        if pick:
+            canaries[kind] = pick
+
     drift = 1.0
-    if canary:
-        cq, cp = canary
+    canary_report = {}
+    for kind, cq in canaries.items():
+        cp = prior["queries"][cq]
         env = dict(os.environ,
                    SPARK_GRAFT_SF_DIR=args.sf,
                    SPARK_GRAFT_BENCH_ONLY=cq,
@@ -97,11 +115,14 @@ def main():
             iso = json.load(open(f"/tmp/bench_iso_{cq}.json"))
             ct = iso["queries"].get(cq, -1)
             if ct > 0:
-                drift = max(1.0, ct / cp)
+                drift = max(drift, ct / cp)
         except (OSError, json.JSONDecodeError):
             pass
-        print(f"canary {cq}: prior {cp:.2f}s isolated now "
-              f"{ct:.2f}s -> host drift factor {drift:.2f}")
+        canary_report[kind] = {"query": cq, "prior": cp, "now": ct,
+                               "ratio": (ct / cp if ct > 0 else None)}
+        print(f"canary[{kind}] {cq}: prior {cp:.2f}s isolated now "
+              f"{ct:.2f}s")
+    print(f"host drift factor (max over pair): {drift:.2f}")
 
     # prior-code worktree: the single-canary drift factor is workload-
     # blind (codegen-tight loops throttle differently from shuffle-bound
@@ -161,7 +182,7 @@ def main():
     out = {"round": args.round, "sf": args.sf, "regress_threshold": REGRESS_X,
            "board_at": cur["at"], "prior_at": prior["at"],
            "host_drift_factor": drift,
-           "canary": canary[0] if canary else None,
+           "canaries": canary_report,
            "flagged": results}
     dest = f"bench_iso_r{args.round:02d}.json"
     json.dump(out, open(dest, "w"), indent=1)
