@@ -109,7 +109,8 @@ object Cli {
     "changepoint", "louvain", "brier", "bloomfpr", "fleiss", "mcnemar",
     "distshift", "bhfdr", "avgprec", "jw", "quantilenorm", "cascade",
     "tokenbudget", "survivors", "audiofeat", "audiodedup", "geodesic",
-    "winrate", "distinctn", "freqdrift")
+    "winrate", "distinctn", "freqdrift", "benford", "lorenz", "markov",
+    "km")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -1128,6 +1129,32 @@ object Cli {
           opts.getOrElse("side", "side"), opts.getOrElse("text", "text"),
           opts.getOrElse("top-v", "200").toInt,
           opts.getOrElse("k", "20").toInt))
+
+      case "benford" =>
+        // Benford first-digit chi2 audit per group over a measure column
+        write(graft.operators.StatsOps.benfordAudit(in("input"),
+          opts.getOrElse("group", "event_type"),
+          opts.getOrElse("value", "value")))
+
+      case "lorenz" =>
+        // Lorenz curve points per group (cumulative weight share at
+        // item-count deciles)
+        write(graft.operators.StatsOps.lorenzCurve(in("input"),
+          opts.getOrElse("group", "source"), opts.getOrElse("id", "doc_id"),
+          opts.getOrElse("weight", "n_chars")))
+
+      case "markov" =>
+        // stationary distribution of the per-user type chain
+        write(graft.operators.Temporal.markovStationary(in("input"),
+          opts.getOrElse("user", "user_id"), opts.getOrElse("type", "event_type"),
+          opts.getOrElse("ts", "ts"), opts.getOrElse("tie", "event_id"),
+          opts.getOrElse("rounds", "8").toInt))
+
+      case "km" =>
+        // Kaplan-Meier survival of per-user inter-event gaps (censored)
+        write(graft.operators.Temporal.kaplanMeier(in("input"),
+          opts.getOrElse("user", "user_id"), opts.getOrElse("ts", "ts"),
+          opts.getOrElse("tie", "event_id")))
 
       case other => sys.error(
         s"unknown command: $other (known: ${commands.mkString(", ")})")

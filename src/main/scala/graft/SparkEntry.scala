@@ -15,7 +15,7 @@ object SparkEntry {
     CoreQueries.defs ++ AnalyticsQueries.defs ++
       graft.queries.TemporalQueries.defs ++
       graft.queries.PipelineQueries.defs ++ graft.queries.SourceQueries.defs ++
-      graft.queries.EvalQueries.defs
+      graft.queries.EvalQueries.defs ++ graft.queries.AuditQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -879,6 +879,139 @@ object StatsOps {
       "- CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) AS gini " +
       "FROM s"
 
+  /** Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
+    * data-quality gate for measure columns: natural multi-scale
+    * magnitudes follow P(d) = log10(1 + 1/d); fabricated, clipped or
+    * unit-mixed feeds don't, and the chi² against that law per group
+    * flags them without any labeled reference. The digit is extracted
+    * EXACTLY: values quantize to integer cents (floor(v·100), one IEEE
+    * multiply both engines) and the first digit reads off the decimal
+    * string — no libm log in the hot path; the nine P(d) constants are
+    * computed once in Scala and inlined as literals into BOTH plans, so
+    * no engine's log10 enters the compare.
+    *
+    * Scale shape: one map-side-combined (group, digit) count — the only
+    * corpus-sized shuffle; the chi² folds over the ≤9-cell grid per
+    * group in digit order (cumsum-take-last, the declared-fold
+    * convention).
+    *
+    * Output: (grp, n_vals, chi2, d1_share) per group, chi2/d1_share
+    * rounded 6. */
+  def benfordAudit(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pGrid = (1 to 9).map(d => (d.toLong, math.log10(1.0 + 1.0 / d)))
+      .toDF("d", "p")
+    val digits = df.filter(col(valueCol) > 0 && col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(col(valueCol) * 100.0).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(col("grp"),
+        substring(col("cents").cast("string"), 1, 1).cast("long").as("d"))
+    val cells = digits.groupBy("grp", "d").agg(count(lit(1)).as("obs"))
+    val tot = cells.groupBy("grp").agg(sum(col("obs")).as("n_vals"))
+    val ordd = W.partitionBy("grp").orderBy("d")
+    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot.crossJoin(broadcast(pGrid))
+      .join(cells, Seq("grp", "d"), "left")
+      .withColumn("obs0", coalesce(col("obs"), lit(0L)))
+      .withColumn("exp_d", col("n_vals").cast("double") * col("p"))
+      .withColumn("term",
+        (col("obs0").cast("double") - col("exp_d")) *
+          (col("obs0").cast("double") - col("exp_d")) / col("exp_d"))
+      .withColumn("cum", sum(col("term")).over(cumd))
+      .withColumn("d1", max(when(col("d") === 1L, col("obs0"))).over(
+        W.partitionBy("grp")))
+      .withColumn("rn", row_number().over(ordd))
+      .filter(col("rn") === 9)
+      .select(col("grp"), col("n_vals"), round(col("cum"), 6).as("chi2"),
+        round(col("d1").cast("double") / col("n_vals").cast("double"), 6)
+          .as("d1_share"))
+      .orderBy("grp")
+  }
+
+  /** DuckDB oracle for [[benfordAudit]] — identical cent quantization,
+    * string digit, inlined P(d) literals and ordered fold. */
+  def benfordAuditSql(table: String, groupExpr: String,
+                      valueExpr: String): String = {
+    val pRows = (1 to 9).map(d =>
+      s"(${d}, ${math.log10(1.0 + 1.0 / d)})").mkString(", ")
+    s"WITH pgrid AS (SELECT * FROM (VALUES $pRows) AS t(d, p)), " +
+      s"digits AS (SELECT $groupExpr AS grp, " +
+      s"CAST(substr(CAST(CAST(floor($valueExpr * 100.0) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d " +
+      s"FROM $table WHERE $valueExpr > 0 AND $groupExpr IS NOT NULL " +
+      s"AND CAST(floor($valueExpr * 100.0) AS BIGINT) > 0), " +
+      "cells AS (SELECT grp, d, CAST(count(*) AS BIGINT) AS obs " +
+      "FROM digits GROUP BY grp, d), " +
+      "tot AS (SELECT grp, CAST(sum(obs) AS BIGINT) AS n_vals FROM cells GROUP BY grp), " +
+      "grid AS (SELECT tot.grp, tot.n_vals, CAST(pgrid.d AS BIGINT) AS d, pgrid.p, " +
+      "coalesce(cells.obs, 0) AS obs0 FROM tot CROSS JOIN pgrid " +
+      "LEFT JOIN cells ON cells.grp = tot.grp AND cells.d = pgrid.d), " +
+      "f AS (SELECT grp, n_vals, " +
+      "sum((CAST(obs0 AS DOUBLE) - CAST(n_vals AS DOUBLE) * p) * " +
+      "(CAST(obs0 AS DOUBLE) - CAST(n_vals AS DOUBLE) * p) / (CAST(n_vals AS DOUBLE) * p)) " +
+      "OVER (PARTITION BY grp ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "max(CASE WHEN d = 1 THEN obs0 END) OVER (PARTITION BY grp) AS d1, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY d) AS rn FROM grid) " +
+      "SELECT grp, n_vals, round(cum, 6) AS chi2, " +
+      "round(CAST(d1 AS DOUBLE) / CAST(n_vals AS DOUBLE), 6) AS d1_share " +
+      "FROM f WHERE rn = 9 ORDER BY grp"
+  }
+
+  /** Lorenz curve points per group — [[giniConcentration]]'s drill-down:
+    * items sorted by weight ascending, the cumulative weight share at
+    * each item-count decile boundary. This is the mix-design readout
+    * behind "the top 10% of docs hold X% of the tokens": gini compresses
+    * the whole curve to one number, these are the 10 points a capping
+    * policy actually reads.
+    *
+    * Exactness: ranks and cumulative weights are integers; decile
+    * boundaries are integer division ((r·10) div n — a row is a boundary
+    * when its div value strictly exceeds the previous row's, so groups
+    * with n < 10 emit the largest completed decile per row); ONE double
+    * division per emitted point.
+    *
+    * Scale shape: one shuffle on the group key; the rank window is
+    * group-partitioned (bounded). Output ≤ 10 rows per group. */
+  def lorenzCurve(df: DataFrame, groupCol: String, idCol: String,
+                  weightCol: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy("grp").orderBy(col("w"), col("id"))
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    df.filter(col(groupCol).isNotNull && col(weightCol) >= 0)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"))
+      .withColumn("r", row_number().over(ord))
+      .withColumn("cumw", sum(col("w")).over(cum))
+      .withColumn("n", count(lit(1)).over(W.partitionBy("grp")))
+      .withColumn("tot", sum(col("w")).over(W.partitionBy("grp")))
+      .filter(expr("(r * 10) div n") > expr("((r - 1) * 10) div n"))
+      .select(col("grp"), expr("(r * 10) div n").cast("long").as("decile"),
+        col("r").cast("long").as("cum_items"),
+        round(col("cumw").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("grp", "decile")
+  }
+
+  /** DuckDB oracle for [[lorenzCurve]] — identical rank order, integer
+    * boundary rule and division. */
+  def lorenzCurveSql(table: String, groupExpr: String, idExpr: String,
+                     weightExpr: String): String =
+    s"WITH rows0 AS (SELECT $groupExpr AS grp, $idExpr AS id, " +
+      s"CAST($weightExpr AS BIGINT) AS w FROM $table " +
+      s"WHERE $groupExpr IS NOT NULL AND $weightExpr >= 0), " +
+      "f AS (SELECT grp, " +
+      "row_number() OVER (PARTITION BY grp ORDER BY w, id) AS r, " +
+      "sum(w) OVER (PARTITION BY grp ORDER BY w, id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw, " +
+      "count(*) OVER (PARTITION BY grp) AS n, " +
+      "sum(w) OVER (PARTITION BY grp) AS tot FROM rows0) " +
+      "SELECT grp, (r * 10) // n AS decile, r AS cum_items, " +
+      "round(CAST(cumw AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share " +
+      "FROM f WHERE (r * 10) // n > ((r - 1) * 10) // n " +
+      "ORDER BY grp, decile"
+
   /** Count-min sketch (Cormode & Muthukrishnan 2005) frequency estimates
     * with their exact companions: `depth` tagged rows of `width` counters,
     * estimate = min over rows of the landed counter — never an

@@ -624,4 +624,186 @@ object Temporal {
         max(when(col("rn_d") === 1, col("c_tie"))).as("c_tie"),
         max(when(col("rn_d") === 1, col("close"))).as("close"))
   }
+
+  /** Stationary distribution of the per-user event-type Markov chain by
+    * fixed-round power iteration — [[q_transitions]]' forward model:
+    * where does the behavior chain SETTLE, which is the long-run traffic
+    * mix the transition matrix implies (and a drift alarm when it stops
+    * matching the observed mix). Transition counts come from consecutive
+    * events per user in (ts, tie) order; x₀ is uniform over the states;
+    * each round multiplies by the row-stochastic matrix with dangling
+    * states (no outgoing edge) holding their own mass.
+    *
+    * Exactness: counts/row-sums integer; each contribution is the fixed
+    * tree (x·c)/r folded per TARGET state in source-state order (ordered
+    * cumsum-take-last — the pageRank convention); fixed `rounds` so the
+    * oracle unrolls the identical chain.
+    *
+    * Scale shape: one consecutive-pair window per user (bounded), one
+    * map-side-combined (i, j) count — the only corpus-sized work; every
+    * iteration runs on the K²-bounded transition frame (K = distinct
+    * event types, a domain constant).
+    *
+    * Output: (state, stationary) per state, rounded 6, state-ordered. */
+  def markovStationary(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, tieCol: String,
+                       rounds: Int = 8): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val W = Window
+    val ordU = W.partitionBy("u").orderBy(col("ts"), col("tie"))
+    val seq = events.select(col(userCol).as("u"), col(typeCol).as("st"),
+      col(tsCol).as("ts"), col(tieCol).as("tie"))
+    val c = seq.withColumn("nxt", lead(col("st"), 1).over(ordU))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("st").as("i"), col("nxt").as("j"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val r = c.groupBy("i").agg(sum(col("c")).as("r_i"))
+    val states = seq.select(col("st").as("v")).distinct().localCheckpoint()
+    val kk = states.agg(count(lit(1)).as("k"))
+    var x = states.crossJoin(broadcast(kk))
+      .select(col("v"), (lit(1.0) / col("k").cast("double")).as("x"))
+      .localCheckpoint()
+    val ordj = W.partitionBy("j").orderBy("i")
+    val cumj = ordj.rowsBetween(W.unboundedPreceding, W.currentRow)
+    (1 to rounds).foreach { _ =>
+      val contrib = c.join(x, c("i") === x("v"))
+        .join(r, Seq("i"))
+        .select(col("j"), col("i"),
+          (col("x") * col("c").cast("double") / col("r_i").cast("double"))
+            .as("ct"))
+        .withColumn("cum", sum(col("ct")).over(cumj))
+        .withColumn("rn", row_number().over(ordj))
+        .withColumn("nc", count(lit(1)).over(W.partitionBy("j")))
+        .filter(col("rn") === col("nc"))
+        .select(col("j"), col("cum"))
+      x = states
+        .join(r.select(col("i").as("v"), col("r_i")), Seq("v"), "left")
+        .join(x.select(col("v"), col("x").as("xprev")), Seq("v"))
+        .join(contrib.select(col("j").as("v"), col("cum")), Seq("v"), "left")
+        .select(col("v"),
+          (coalesce(col("cum"), lit(0.0)) +
+            when(col("r_i").isNull, col("xprev")).otherwise(lit(0.0)))
+            .as("x"))
+        .localCheckpoint()
+    }
+    x.select(col("v").as("state"), round(col("x"), 6).as("stationary"))
+      .orderBy("state")
+  }
+
+  /** DuckDB oracle for [[markovStationary]] — identical pair window,
+    * counts, ordered contribution folds and dangling handling, unrolled
+    * `rounds` times. `eventsSub` yields (u, st, ts, tie). */
+  def markovStationarySql(eventsSub: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH seqp AS (SELECT st, lead(st, 1) OVER " +
+      s"(PARTITION BY u ORDER BY ts, tie) AS nxt FROM $eventsSub), " +
+      "c AS (SELECT st AS i, nxt AS j, CAST(count(*) AS BIGINT) AS c " +
+      "FROM seqp WHERE nxt IS NOT NULL GROUP BY i, j), " +
+      "r AS (SELECT i, CAST(sum(c) AS BIGINT) AS r_i FROM c GROUP BY i), " +
+      s"states AS (SELECT DISTINCT st AS v FROM $eventsSub es), " +
+      "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states), " +
+      "x0 AS (SELECT v, 1.0 / CAST(k AS DOUBLE) AS x FROM states CROSS JOIN kk)"
+    for (t <- 1 to rounds) {
+      sb ++= s", ctr$t AS (SELECT j, cum FROM (SELECT c.j, " +
+        "sum((x.x * CAST(c.c AS DOUBLE)) / CAST(r.r_i AS DOUBLE)) OVER " +
+        "(PARTITION BY c.j ORDER BY c.i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+        "row_number() OVER (PARTITION BY c.j ORDER BY c.i) AS rn, " +
+        "count(*) OVER (PARTITION BY c.j) AS nc " +
+        s"FROM c JOIN x${t - 1} x ON c.i = x.v JOIN r ON c.i = r.i) z " +
+        "WHERE rn = nc)"
+      sb ++= s", x$t AS (SELECT s.v, coalesce(ctr.cum, 0.0) + " +
+        "CASE WHEN r.i IS NULL THEN x.x ELSE 0.0 END AS x " +
+        s"FROM states s LEFT JOIN r ON s.v = r.i " +
+        s"JOIN x${t - 1} x ON s.v = x.v " +
+        s"LEFT JOIN ctr$t ctr ON s.v = ctr.j)"
+    }
+    sb ++= s" SELECT v AS state, round(x, 6) AS stationary FROM x$rounds " +
+      "ORDER BY state"
+    sb.toString
+  }
+
+  /** Kaplan–Meier survival of inter-event user gaps, WITH censoring —
+    * the time-to-return curve sessionization and retention both
+    * implicitly assume: consecutive-event gaps are OBSERVED durations;
+    * each user's open gap from their last event to the corpus horizon is
+    * CENSORED (we know they lasted at least that long — dropping those
+    * rows, the naive histogram's mistake, biases the curve short).
+    * S(t) = Π over event-times t_i ≤ t of (1 − d_i/n_i), the
+    * product-limit estimator (Kaplan & Meier 1958).
+    *
+    * Exactness: durations quantize to integer minutes (µs integer
+    * subtraction + integer division); at-risk and event counts are
+    * integers; the product runs as exp(Σ ln(1 − d/n)) in time order
+    * (ordered cumsum — ln/exp single IEEE ops, the unigramNll stance);
+    * a fully-dying time (d = n) would hit ln(0), so the fold carries a
+    * dead flag and pins S = 0 from there instead (both engines).
+    *
+    * Scale shape: one per-user consecutive window (bounded), one
+    * map-side-combined duration histogram; the KM fold runs on the
+    * DISTINCT-duration frame (domain-bounded).
+    *
+    * Output: (t_min, n_risk, n_events, survival) per distinct duration,
+    * time-ordered. */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String): DataFrame = {
+    val W = Window
+    val ordU = W.partitionBy("u").orderBy(col("us"), col("tie"))
+    // cast absorbs TIMESTAMP_NTZ parquet reads (session tz pinned UTC)
+    val seq = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"), col(tieCol).as("tie"))
+    val tmax = seq.agg(max(col("us")).as("mx"))
+    val durs = seq.withColumn("nus", lead(col("us"), 1).over(ordU))
+      .crossJoin(broadcast(tmax))
+      .select(expr("(coalesce(nus, mx) - us) div 60000000").as("t"),
+        when(col("nus").isNotNull, 1L).otherwise(0L).as("e"))
+    val byT = durs.groupBy("t")
+      .agg(count(lit(1)).as("n_at"), sum(col("e")).as("d_ev"))
+    val ordT = W.orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    byT
+      .withColumn("total", sum(col("n_at")).over(
+        W.orderBy("t").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+      .withColumn("cumn", sum(col("n_at")).over(ordT))
+      .withColumn("n_risk", col("total") - col("cumn") + col("n_at"))
+      .withColumn("term",
+        when(col("d_ev") < col("n_risk"),
+          log(lit(1.0) - col("d_ev").cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("cum", sum(col("term")).over(ordT))
+      .withColumn("dead", max(when(col("d_ev") === col("n_risk"), 1L)
+        .otherwise(0L)).over(ordT))
+      .select(col("t").as("t_min"), col("n_risk"),
+        col("d_ev").as("n_events"),
+        when(col("dead") === 1L, lit(0.0))
+          .otherwise(round(exp(col("cum")), 6)).as("survival"))
+      .orderBy("t_min")
+  }
+
+  /** DuckDB oracle for [[kaplanMeier]] — identical µs quantization,
+    * at-risk accounting, ordered ln fold and dead-flag pin. `eventsSub`
+    * yields (u, us, tie) with us in epoch microseconds. */
+  def kaplanMeierSql(eventsSub: String): String =
+    s"WITH seqd AS (SELECT us, lead(us, 1) OVER " +
+      s"(PARTITION BY u ORDER BY us, tie) AS nus FROM $eventsSub), " +
+      s"tmax AS (SELECT max(us) AS mx FROM $eventsSub e2), " +
+      "durs AS (SELECT (coalesce(nus, mx) - us) // 60000000 AS t, " +
+      "CASE WHEN nus IS NOT NULL THEN 1 ELSE 0 END AS e " +
+      "FROM seqd CROSS JOIN tmax), " +
+      "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at, " +
+      "CAST(sum(e) AS BIGINT) AS d_ev FROM durs GROUP BY t), " +
+      "f AS (SELECT t, n_at, d_ev, " +
+      "CAST(sum(n_at) OVER () AS BIGINT) AS total, " +
+      "CAST(sum(n_at) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumn " +
+      "FROM byt), " +
+      "g AS (SELECT t, d_ev, CAST(total - cumn + n_at AS BIGINT) AS n_risk FROM f), " +
+      "h AS (SELECT t, d_ev, n_risk, " +
+      "sum(CASE WHEN d_ev < n_risk THEN ln(1.0 - CAST(d_ev AS DOUBLE) / CAST(n_risk AS DOUBLE)) ELSE 0.0 END) " +
+      "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "max(CASE WHEN d_ev = n_risk THEN 1 ELSE 0 END) " +
+      "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead " +
+      "FROM g) " +
+      "SELECT t AS t_min, n_risk, d_ev AS n_events, " +
+      "CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(cum), 6) END AS survival " +
+      "FROM h ORDER BY t_min"
 }

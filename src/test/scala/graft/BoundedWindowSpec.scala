@@ -26,6 +26,10 @@ class BoundedWindowSpec extends SparkSpec {
     PlanBridge.stripTopSort(SparkEntry.queries(name)(spark, sfDir))
 
   private lazy val docs = Tables.load(spark, sfDir, "documents")
+  // q_kaplan_meier's KM fold domain: one row per distinct gap duration
+  private lazy val kmDurations = graft.operators.Temporal
+    .kaplanMeier(Tables.load(spark, sfDir, "events"), "user_id", "ts",
+      "event_id").count()
   private lazy val nSources = docs.select("source").distinct().count()
   private lazy val nLangs = docs.select("lang").distinct().count()
   private lazy val nDocs = docs.count()
@@ -45,6 +49,19 @@ class BoundedWindowSpec extends SparkSpec {
 
   test("bootstrap CI: global windows fold over B = 32 resample rows") {
     assertBounded("q_bootstrap_ci", 32L)
+  }
+
+  test("kaplan-meier: KM fold runs on the distinct-duration frame") {
+    val events = Tables.load(spark, sfDir, "events")
+    val nEvents = events.count()
+    val distinctDurations = graft.operators.Temporal
+      .kaplanMeier(events, "user_id", "ts", "event_id").count()
+    val inputs = globalWindowInputs(q("q_kaplan_meier"))
+    assert(inputs.nonEmpty)
+    inputs.foreach { n =>
+      assert(n <= distinctDurations, s"KM fold reads $n rows")
+      assert(n < nEvents, "KM fold must run on the duration DOMAIN, not events")
+    }
   }
 
   test("zipf fit: regression folds over the top-200 vocabulary") {
@@ -173,7 +190,8 @@ class BoundedWindowSpec extends SparkSpec {
       "q_fleiss_kappa" -> 256L,                 // rater-count class grid
       "q_bh_fdr" -> 64L,                        // one row per tested feed
       "q_quantile_norm" -> 64L,                 // pooled bin-grid CDF
-      "q_freq_drift" -> 200L                    // top-V vocabulary grid
+      "q_freq_drift" -> 200L,                   // top-V vocabulary grid
+      "q_kaplan_meier" -> kmDurations           // distinct-duration frame
     )
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -993,7 +993,7 @@ class CliSpec extends SparkSpec {
   test("cli command surface: every declared command dispatches; count spec-pinned (r11)") {
     // the count lives HERE, not in SURVEY prose (the r10 count silently
     // included two --algo sub-arms) — update both together
-    assert(Cli.commands.size === 130)
+    assert(Cli.commands.size === 134)
     assert(Cli.commands.distinct.size === Cli.commands.size, "duplicate names")
     // every declared name must reach a case arm: dispatching with empty
     // opts may fail on missing options/inputs, but NEVER with the
@@ -1032,6 +1032,41 @@ class CliSpec extends SparkSpec {
     Cli.run(spark, "kcore", Map("input" -> edges, "output" -> kc4,
       "k" -> "2", "rounds" -> "4"))
     assert(spark.read.parquet(kc4).count() > 3)
+  }
+
+  test("cli benford / lorenz / markov / km wire end-to-end (r11)") {
+    val ev = s"$sfDir/events.parquet"
+    val docs = s"$sfDir/documents.parquet"
+
+    val bf = tmp() + "/benford"
+    Cli.run(spark, "benford", Map("input" -> ev, "output" -> bf))
+    val bfGot = spark.read.parquet(bf)
+    assert(bfGot.columns.toSet === Set("grp", "n_vals", "chi2", "d1_share"))
+    assert(bfGot.count() > 0)
+
+    val lz = tmp() + "/lorenz"
+    Cli.run(spark, "lorenz", Map("input" -> docs, "output" -> lz))
+    val lzGot = spark.read.parquet(lz)
+    assert(lzGot.columns.toSet === Set("grp", "decile", "cum_items", "cum_share"))
+    // the last decile of every group carries the full mass
+    assert(lzGot.filter(col("decile") === 10 && col("cum_share") =!= 1.0)
+      .count() === 0)
+
+    val mk = tmp() + "/markov"
+    Cli.run(spark, "markov", Map("input" -> ev, "output" -> mk))
+    val mkGot = spark.read.parquet(mk).collect()
+    assert(mkGot.nonEmpty)
+    // a stationary distribution sums to 1 (round-6 tolerance)
+    assert(math.abs(mkGot.map(_.getDouble(1)).sum - 1.0) < 1e-3)
+
+    val km = tmp() + "/km"
+    Cli.run(spark, "km", Map("input" -> ev, "output" -> km))
+    val kmGot = spark.read.parquet(km).orderBy("t_min").collect()
+    assert(kmGot.nonEmpty)
+    // survival is monotone non-increasing from 1
+    val surv = kmGot.map(_.getDouble(3))
+    assert(surv.head <= 1.0 + 1e-9)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 })
   }
 
   test("cli modularity / ppr / theilsen / cdcchunk wire end-to-end") {
