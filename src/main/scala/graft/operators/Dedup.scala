@@ -901,11 +901,14 @@ object Dedup {
       overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
     val fullCounts = posts.groupBy("blk", "g").agg(count(lit(1)).as("f"))
     val prefCounts = prefix.groupBy("blk", "g").agg(count(lit(1)).as("p"))
+    // coalesce: an empty docs frame (or an empty prefix-posting join)
+    // sums to NULL — the chooser must return (0, 0), not crash
     val prefixRows = prefCounts.join(fullCounts, Seq("blk", "g"))
-      .agg((sum(col("p") * col("f")) - sum(col("p"))).as("rows"))
+      .agg(coalesce(sum(col("p") * col("f")) - sum(col("p")), lit(0L))
+        .as("rows"))
       .first().getLong(0)
     val allPairsRows = grams.groupBy("blk").agg(count(lit(1)).as("n"))
-      .agg(sum(expr("n * (n - 1) DIV 2")).as("rows"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("rows"))
       .first().getLong(0)
     PlanBridge.unpersistLocalCheckpoint(grams)
     (prefixRows, allPairsRows)

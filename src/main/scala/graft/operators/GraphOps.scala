@@ -1054,8 +1054,9 @@ object GraphOps {
     * Termination and swap handling: synchronous sweeps let two
     * communities trade members simultaneously — a label rotation that
     * leaves modularity flat. Mutual d⇄c trades are broken BEFORE the
-    * gate (the Grappolo rule: only moves into the smaller-id community
-    * apply), and each surviving sweep is GATED on the integer
+    * gate (the Grappolo-style rule: when d⇄c trades are both proposed,
+    * only the moves into the LARGER-id community apply — drop d→c when
+    * d > c), and each surviving sweep is GATED on the integer
     * modularity score `S(L) = 4m·intra(L) − Σ_c vol(L,c)²` (= 4m²·Q):
     * accepted iff strictly greater, else the loop stops. Modularity
     * strictly increases per accepted sweep over finitely many
@@ -1120,12 +1121,14 @@ object GraphOps {
           W.partitionBy("v").orderBy(col("gain").desc, col("c"))))
         .filter(col("rk") === 1)
         .select(col("v"), col("d"), col("c"), col("gain"))
-      // pairwise swap suppression (the Grappolo rule): synchronous
-      // sweeps let communities d and c trade members simultaneously — a
-      // label rotation that leaves modularity flat and would terminate
-      // the gated loop at the singleton partition. When moves d→c and
-      // c→d are both proposed, only the moves INTO the smaller-id
-      // community apply; longer rotation cycles are caught by the gate.
+      // pairwise swap suppression (Grappolo-style): synchronous sweeps
+      // let communities d and c trade members simultaneously — a label
+      // rotation that leaves modularity flat and would terminate the
+      // gated loop at the singleton partition. When moves d→c and c→d
+      // are both proposed, only the moves INTO the larger-id community
+      // apply (drop d→c when d > c — the mirror of Grappolo's published
+      // min-id rule; either orientation breaks the swap); longer
+      // rotation cycles are caught by the gate.
       val moves = best.filter(col("gain") > 0L).select("v", "d", "c")
       val movePairs = moves.select(col("d").as("yd"), col("c").as("yc"))
         .distinct()

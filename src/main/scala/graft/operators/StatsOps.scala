@@ -970,36 +970,90 @@ object StatsOps {
     * boundaries are integer division ((r·10) div n — a row is a boundary
     * when its div value strictly exceeds the previous row's, so groups
     * with n < 10 emit the largest completed decile per row); ONE double
-    * division per emitted point.
+    * division per emitted point. Weights quantize by floor-then-cast on
+    * BOTH engines (Spark's bare long cast truncates toward zero, DuckDB's
+    * BIGINT cast rounds — floor first makes the integer w
+    * engine-invariant for any non-negative weight).
     *
-    * Scale shape: one shuffle on the group key; the rank window is
-    * group-partitioned (bounded). Output ≤ 10 rows per group. */
+    * Scale shape (r12 — the r11 form ranked every item of a group in ONE
+    * window task, ~corpus/|groups| rows on a low-cardinality key): items
+    * collapse to the distinct-weight RUN frame (grp, w) → (count, mass)
+    * in one map-side-combined shuffle — inside a run all items share w,
+    * so the per-item cumulative weight at any rank is AFFINE in the rank
+    * and the id tie-break of the per-item definition cancels exactly.
+    * Run-frame cumulative counts/masses then run as the ksDistance
+    * TWO-STAGE prefix scan (range-partition by (grp, w), per-partition
+    * window cumsums, a (partition × group)-sized offsets frame whose own
+    * per-group prefix window reads ≤ numPartitions rows, broadcast
+    * back). Boundary ranks come from the group totals alone
+    * (r_k = ceil(k·n/10), a 10-row broadcast grid), land in their
+    * containing run by a broadcast range probe (cumn₀ < r ≤ cumn), and
+    * read their cumulative weight off the run's affine form
+    * (cumw₀ + (r − cumn₀)·w). No window anywhere reads more than a
+    * partition-local slice of the run frame. Output ≤ 10 rows/group. */
   def lorenzCurve(df: DataFrame, groupCol: String, idCol: String,
-                  weightCol: String): DataFrame = {
+                  weightCol: String, numPartitions: Int = 8): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val ord = W.partitionBy("grp").orderBy(col("w"), col("id"))
-    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
-    df.filter(col(groupCol).isNotNull && col(weightCol) >= 0)
-      .select(col(groupCol).as("grp"), col(idCol).as("id"),
-        col(weightCol).cast("long").as("w"))
-      .withColumn("r", row_number().over(ord))
-      .withColumn("cumw", sum(col("w")).over(cum))
-      .withColumn("n", count(lit(1)).over(W.partitionBy("grp")))
-      .withColumn("tot", sum(col("w")).over(W.partitionBy("grp")))
-      .filter(expr("(r * 10) div n") > expr("((r - 1) * 10) div n"))
+    val items = df.filter(col(groupCol).isNotNull && col(weightCol) >= 0)
+      .select(col(groupCol).as("grp"),
+        floor(col(weightCol).cast("double")).cast("long").as("w"))
+    // run frame: one row per distinct (grp, w) — the only corpus-sized
+    // shuffle, map-side combined
+    val runs0 = items.groupBy("grp", "w")
+      .agg(count(lit(1)).as("c"), sum(col("w")).as("ws"))
+    // two-stage prefix scan over the run frame (the ksDistance pattern);
+    // materialized once — local cumsums, offsets, and totals all read it
+    val ranged = runs0.repartitionByRange(numPartitions, col("grp"), col("w"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = W.partitionBy(col("_pid"), col("grp")).orderBy(col("w"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val local = ranged
+      .withColumn("ln", sum(col("c")).over(wLoc))
+      .withColumn("lw", sum(col("ws")).over(wLoc))
+    // per-(pid, grp) totals: ≤ numPartitions rows per group feed the
+    // offset window — never the run frame itself
+    val wPre = W.partitionBy(col("grp")).orderBy(col("_pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val prefix = ranged.groupBy(col("_pid"), col("grp"))
+      .agg(sum(col("c")).as("pc"), sum(col("ws")).as("pw"))
+      .withColumn("offn", coalesce(sum(col("pc")).over(wPre), lit(0L)))
+      .withColumn("offw", coalesce(sum(col("pw")).over(wPre), lit(0L)))
+      .select(col("_pid"), col("grp"), col("offn"), col("offw"))
+    val runs = local.join(broadcast(prefix), Seq("_pid", "grp"))
+      .select(col("grp"), col("w"), col("c"), col("ws"),
+        (col("ln") + col("offn")).as("cumn"),
+        (col("lw") + col("offw")).as("cumw"),
+        (col("ln") + col("offn") - col("c")).as("cumn0"),
+        (col("lw") + col("offw") - col("ws")).as("cumw0"))
+    // boundary ranks from group totals × the 10-row decile grid:
+    // r_k = ceil(k·n/10); n < 10 collapses several k onto one rank
+    // (distinct), and the emitted decile is the largest completed one,
+    // (r·10) div n — identical to the per-item jump-row definition
+    val totals = items.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("tot"))
+    val kGrid = df.sparkSession.range(1, 11).select(col("id").as("kk"))
+    val bounds = totals.crossJoin(broadcast(kGrid))
+      .select(col("grp"), col("n"), col("tot"),
+        expr("(kk * n + 9) div 10").as("r"))
+      .distinct()
+    runs.join(broadcast(bounds), Seq("grp"))
+      .filter(col("r") > col("cumn0") && col("r") <= col("cumn"))
       .select(col("grp"), expr("(r * 10) div n").cast("long").as("decile"),
         col("r").cast("long").as("cum_items"),
-        round(col("cumw").cast("double") / col("tot").cast("double"), 6)
-          .as("cum_share"))
+        round((col("cumw0") + (col("r") - col("cumn0")) * col("w"))
+          .cast("double") / col("tot").cast("double"), 6).as("cum_share"))
       .orderBy("grp", "decile")
   }
 
-  /** DuckDB oracle for [[lorenzCurve]] — identical rank order, integer
-    * boundary rule and division. */
+  /** DuckDB oracle for [[lorenzCurve]] — the single-window per-item
+    * definition (rank every item, emit the jump rows), which the run-
+    * frame derivation reproduces exactly: identical rank order, integer
+    * boundary rule and division, floor-then-cast weight quantization. */
   def lorenzCurveSql(table: String, groupExpr: String, idExpr: String,
                      weightExpr: String): String =
     s"WITH rows0 AS (SELECT $groupExpr AS grp, $idExpr AS id, " +
-      s"CAST($weightExpr AS BIGINT) AS w FROM $table " +
+      s"CAST(floor(CAST($weightExpr AS DOUBLE)) AS BIGINT) AS w FROM $table " +
       s"WHERE $groupExpr IS NOT NULL AND $weightExpr >= 0), " +
       "f AS (SELECT grp, " +
       "row_number() OVER (PARTITION BY grp ORDER BY w, id) AS r, " +

@@ -516,57 +516,125 @@ object Temporal {
     * standard left-Riemann TWA).
     *
     * Exactness: intervals are exact integer MICROSECONDS; the weighted
-    * numerator folds in (ts, tie) order via the ordered-cumsum-take-last
-    * reduction (the portable float fold), so the double sum order is
-    * pinned on both engines. Output rounds 6.
+    * numerator folds through ONE FIXED TREE pinned on both engines
+    * (below). Output rounds 6.
     *
-    * Scale shape: one shuffle on the key; lead + ordered fold inside
-    * the per-key window (the moving_avg convention).
+    * Scale shape (r12 — the r11 form ran lead + an ordered cumsum over
+    * every row of a key in one window task, corpus/|keys| rows on a
+    * low-cardinality key): the lead is a TWO-STAGE prefix step —
+    * range-partition by (k, ts, tie), lead within the partition slice,
+    * and slice-last rows take their successor from the
+    * (partition × key)-sized first-row frame (its own per-key lead
+    * window reads ≤ numPartitions rows, broadcast back). Count and span
+    * are exact-integer plain aggregates. The float numerator folds
+    * through the blockTotal-style FIXED TREE: per (key, blk) — blk =
+    * portable hash of the tie, [[TwaFoldBlocks]] buckets — an ordered
+    * cumsum-take-last in (ts, tie) order (key×blk-way parallel), then a
+    * per-key fold over the ≤ TwaFoldBlocks block partials in blk order.
+    * The tree is fixed by VALUES (not partitioning), so the double sum
+    * is reproducible and the oracle mirrors it term for term.
     *
     * Output: (key, n_samples, span_us, twa). Keys with one sample drop
     * (no interval). */
   def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
-                      tieCol: String, valueCol: String): DataFrame = {
+                      tieCol: String, valueCol: String,
+                      numPartitions: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
     // cast("timestamp"): raw-parquet TIMESTAMP_NTZ columns must coerce
     // before unix_micros (session TZ is pinned UTC, so the cast is exact)
     val base = df.select(col(keyCol).as("k"),
       col(tsCol).cast("timestamp").as("ts"),
       col(tieCol).as("tie"), col(valueCol).cast("double").as("v"))
-    val ord = Window.partitionBy(col("k")).orderBy(col("ts"), col("tie"))
-    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col("ts"))
-    base
-      .withColumn("dt", lead(us, 1).over(ord) - us)
+    val ranged = base
+      .repartitionByRange(numPartitions, col("k"), col("ts"), col("tie"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("us", unix_micros(col("ts")))
+      .localCheckpoint()
+    val wLoc = Window.partitionBy(col("_pid"), col("k"))
+      .orderBy(col("ts"), col("tie"))
+    // successor timestamps for slice-last rows: the NEXT partition
+    // holding k starts at its first (min) us — range partitioning keeps
+    // each key's rows contiguous across partition ids
+    val firsts = ranged.groupBy(col("_pid"), col("k"))
+      .agg(min(col("us")).as("first_us"))
+      .withColumn("nxt", lead(col("first_us"), 1)
+        .over(Window.partitionBy(col("k")).orderBy(col("_pid"))))
+      .select(col("_pid"), col("k"), col("nxt"))
+    val dted = ranged
+      .withColumn("lead_us", lead(col("us"), 1).over(wLoc))
+      .join(broadcast(firsts), Seq("_pid", "k"))
+      .withColumn("dt", coalesce(col("lead_us"), col("nxt")) - col("us"))
       .withColumn("wv", when(col("dt").isNotNull,
         col("v") * col("dt").cast("double")).otherwise(lit(0.0)))
-      .withColumn("cum_wv", sum(col("wv")).over(cum))
-      .withColumn("cum_dt", sum(coalesce(col("dt"), lit(0L))).over(cum))
-      .withColumn("rn", row_number().over(ord))
-      .withColumn("nc", count(lit(1)).over(Window.partitionBy(col("k"))))
-      .filter(col("rn") === col("nc") && col("cum_dt") > 0)
-      .select(col("k").as(keyCol), col("nc").as("n_samples"),
-        col("cum_dt").as("span_us"),
-        round(col("cum_wv") / col("cum_dt").cast("double"), 6).as("twa"))
+      .withColumn("blk",
+        pmod(TextFunctions.charHash(col("tie").cast("string")),
+          lit(TwaFoldBlocks)))
+    // exact integer aggregates: partitioning-invariant, no fold tree
+    val tots = dted.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(coalesce(col("dt"), lit(0L))).as("span_us"))
+    // fixed float tree, stage 1: per-(k, blk) ordered cumsum take-last
+    val wBlk = Window.partitionBy(col("k"), col("blk"))
+      .orderBy(col("ts"), col("tie"))
+    val partials = dted
+      .withColumn("cw", sum(col("wv"))
+        .over(wBlk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wBlk))
+      .withColumn("nb",
+        count(lit(1)).over(Window.partitionBy(col("k"), col("blk"))))
+      .filter(col("rn") === col("nb"))
+      .select(col("k"), col("blk"), col("cw"))
+    // stage 2: per-key fold over <= TwaFoldBlocks partials in blk order
+    val wFold = Window.partitionBy(col("k")).orderBy(col("blk"))
+    val num = partials
+      .withColumn("cum", sum(col("cw"))
+        .over(wFold.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wFold))
+      .withColumn("ncb", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .filter(col("rn") === col("ncb"))
+      .select(col("k"), col("cum"))
+    tots.join(num, Seq("k"))
+      .filter(col("span_us") > 0)
+      .select(col("k").as(keyCol), col("n_samples"), col("span_us"),
+        round(col("cum") / col("span_us").cast("double"), 6).as("twa"))
       .orderBy(keyCol)
   }
 
-  /** DuckDB oracle for [[timeWeightedAvg]] — identical lead, interval
-    * weights and ordered fold. `base` yields k, ts, tie, v. */
-  def timeWeightedAvgSql(base: String): String =
+  /** Block count for [[timeWeightedAvg]]'s fixed per-key float tree —
+    * 512 keeps the per-key stage-2 fold frame bounded while giving
+    * key×512-way parallelism to the stage-1 cumsums. */
+  val TwaFoldBlocks: Long = 512L
+
+  /** DuckDB oracle for [[timeWeightedAvg]] — identical lead semantics
+    * (the oracle need not be scale-shaped: one per-key lead equals the
+    * two-stage form value-for-value) and the IDENTICAL fixed block
+    * fold tree. `base` yields k, ts, tie, v. */
+  def timeWeightedAvgSql(base: String): String = {
+    import graft.functions.TextFunctions.charHashSql
+    val b = TwaFoldBlocks
     s"WITH b AS (SELECT k, ts, tie, CAST(v AS DOUBLE) AS v FROM $base), " +
-      "d AS (SELECT *, epoch_us(lead(ts) OVER w - ts) AS dt " +
+      "d AS (SELECT *, epoch_us(lead(ts) OVER w - ts) AS dt, " +
+      s"(${charHashSql("CAST(tie AS VARCHAR)")}) % $b AS blk " +
       "FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, tie)), " +
-      "f AS (SELECT k, " +
-      "sum(CASE WHEN dt IS NOT NULL THEN v * CAST(dt AS DOUBLE) ELSE 0.0 END) " +
-      "OVER w2 AS cum_wv, " +
-      "CAST(sum(coalesce(dt, 0)) OVER w2 AS BIGINT) AS cum_dt, " +
-      "row_number() OVER (PARTITION BY k ORDER BY ts, tie) AS rn, " +
-      "count(*) OVER (PARTITION BY k) AS nc FROM d " +
-      "WINDOW w2 AS (PARTITION BY k ORDER BY ts, tie " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
-      "SELECT k, CAST(nc AS BIGINT) AS n_samples, cum_dt AS span_us, " +
-      "round(cum_wv / CAST(cum_dt AS DOUBLE), 6) AS twa " +
-      "FROM f WHERE rn = nc AND cum_dt > 0 ORDER BY k"
+      "w AS (SELECT k, blk, ts, tie, dt, " +
+      "CASE WHEN dt IS NOT NULL THEN v * CAST(dt AS DOUBLE) ELSE 0.0 END AS wv " +
+      "FROM d), " +
+      "p AS (SELECT k, blk, cw FROM (SELECT k, blk, " +
+      "sum(wv) OVER (PARTITION BY k, blk ORDER BY ts, tie " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw, " +
+      "row_number() OVER (PARTITION BY k, blk ORDER BY ts, tie) AS rn, " +
+      "count(*) OVER (PARTITION BY k, blk) AS nb FROM w) z WHERE rn = nb), " +
+      "f AS (SELECT k, cum FROM (SELECT k, " +
+      "sum(cw) OVER (PARTITION BY k ORDER BY blk " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (PARTITION BY k ORDER BY blk) AS rn, " +
+      "count(*) OVER (PARTITION BY k) AS ncb FROM p) z WHERE rn = ncb), " +
+      "t AS (SELECT k, CAST(count(*) AS BIGINT) AS n_samples, " +
+      "CAST(sum(coalesce(dt, 0)) AS BIGINT) AS span_us FROM d GROUP BY k) " +
+      "SELECT t.k, t.n_samples, t.span_us, " +
+      "round(f.cum / CAST(t.span_us AS DOUBLE), 6) AS twa " +
+      "FROM t JOIN f ON t.k = f.k WHERE t.span_us > 0 ORDER BY t.k"
+  }
 
   /** The MERGEABLE state form of [[ohlcBars]]: per (key, bar) the bar
     * summary PLUS its open/close election keys (exact microseconds +

@@ -198,10 +198,14 @@ object TextOps {
     val terms = df.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    // doc_freq via map-side-combined groupBy + broadcast join, NOT a
+    // per-term window (r12: with a fixed vocabulary a count-over-
+    // partitionBy(term) window funnels corpus/|vocab| postings through
+    // one task; the vocab-sized count frame broadcasts instead)
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .withColumn("doc_freq", count(lit(1)).over(byTerm))
+      .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") *
         log((col("n_docs") + 1L).cast("double") / (col("doc_freq") + 1L)), 6))
@@ -224,22 +228,42 @@ object TextOps {
     * boundaries are a closed-form window expression (one shuffle, no
     * per-bucket sequential scan) and keep the operator oracle-portable;
     * true first-fit needs a running reset (sessionize-style iteration)
-    * for marginal fill-rate gain. Buckets are the parallelism unit:
-    * packing is sequential *within* a bucket by construction (that is
-    * what makes it deterministic), so the bucket count — not the corpus
-    * size — sets the window parallelism at 100 TB.
-    * Returns one row per packed sequence. */
+    * for marginal fill-rate gain.
+    *
+    * Scale shape (r12 — the r11 form ranked every doc of a bucket in one
+    * window task, corpus/|buckets| rows): the running token count is the
+    * ksDistance TWO-STAGE prefix scan within bucket — range-partition by
+    * (bucket, doc_id), per-partition window cumsum, a
+    * (partition × bucket)-sized offsets frame (its own prefix window
+    * reads ≤ numPartitions rows per bucket) broadcast back. Token counts
+    * are exact integers, so the split points can't perturb the sums and
+    * the output is partitioning-invariant. Returns one row per packed
+    * sequence. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Int = 256, buckets: Int = 8): DataFrame = {
+                    budget: Int = 256, buckets: Int = 8,
+                    numPartitions: Int = 8): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val nTok = size(TextFunctions.tokens(col(textCol))).cast("long")
     val base = df.select(col(idCol).as("doc_id"), nTok.as("n_tok"))
       .withColumn("bucket",
         pmod(TextFunctions.charHash(col("doc_id").cast("string")),
           lit(buckets.toLong)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    base.withColumn("prev_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+    val ranged = base
+      .repartitionByRange(numPartitions, col("bucket"), col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLoc = W.partitionBy(col("_pid"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wPre = W.partitionBy(col("bucket")).orderBy(col("_pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val prefix = ranged.groupBy(col("_pid"), col("bucket"))
+      .agg(sum(col("n_tok")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(wPre), lit(0L)))
+      .select(col("_pid"), col("bucket"), col("off"))
+    ranged
+      .withColumn("loc_prev", coalesce(sum(col("n_tok")).over(wLoc), lit(0L)))
+      .join(broadcast(prefix), Seq("_pid", "bucket"))
+      .withColumn("prev_tok", col("loc_prev") + col("off"))
       .withColumn("seq_id", floor(col("prev_tok") / lit(budget.toDouble)).cast("long"))
       .groupBy("bucket", "seq_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
@@ -432,9 +456,12 @@ object TextOps {
       .filter(col("tf") > 0)
       .withColumn("term", element_at(array(terms.map(lit): _*), col("ti") + 1))
       .drop("ti")
-    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    // per-term doc_freq via groupBy + broadcast join (|terms| rows), not
+    // a per-term window — a stopword-ish term would funnel its whole
+    // posting set through one window task (r12 funnel gate)
+    val dfreq = hits.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val scored = hits
-      .withColumn("doc_freq", count(lit(1)).over(byTerm))
+      .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("doc_freq") + lit(0.5)) /

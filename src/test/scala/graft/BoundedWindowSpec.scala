@@ -217,6 +217,116 @@ class BoundedWindowSpec extends SparkSpec {
       s"bounded-window gate failures:\n${failures.mkString("\n")}")
   }
 
+  test("partitioned windows on low-cardinality keys never funnel the corpus (r12)") {
+    // The q_lorenz r11 flaw class: Window.partitionBy(lowCardKey) over a
+    // corpus-scaled frame ranks ~corpus/|keys| rows in ONE task — and is
+    // invisible to the single-partition gate above because the partition
+    // spec is non-foldable. At sf0.001 EVERY key is low-cardinality, so
+    // the gate is a two-SF GROWTH probe: prefilter here (non-foldable
+    // partition spec, < minKeys keys, corpus-sized input), then
+    // adjudicate the flagged queries at sf0.1 — keys whose cardinality
+    // GROWS with the corpus (user_id 15 → 1500) pass; keys that stay
+    // fixed (source, decile bin, event_type) while per-key rows grow are
+    // the funnel shape and must carry a declared per-key bound at sf0.1.
+    // A new query that points a per-source window at the corpus turns
+    // this red at author time.
+    val minKeys = 32L
+    val sfBig = "/root/testdata/sf0.1"
+    val corpusFloorBig = 5000L // |documents| at sf0.1 — smallest fact table
+    // Windows partitioned by the reserved `_pid` column (the two-stage
+    // prefix-scan convention: spark_partition_id materialized after a
+    // repartitionByRange) are stage-1 locals whose per-key size is
+    // input/numPartitions BY CONSTRUCTION — numPartitions is the
+    // parallelism knob, not a data-fixed key — and are exempt.
+    def isPidWindow(w: LWindow): Boolean =
+      w.partitionSpec.exists {
+        case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          a.name == "_pid"
+        case _ => false
+      }
+    // Declared bounds = max rows one window task reads at sf0.1.
+    // TopK stage-2 frames are k·salts per group by construction
+    // (constants forever); q_brier/q_clf_calibration are DELIBERATE
+    // per-confidence-bin ordered sigmoid folds (corpus/10 per task —
+    // the oracle pins one fold order per bin; the per-bin blockTotal
+    // fixed tree, the q_twa r12 rewrite, is the documented upgrade
+    // path). A regression past a bound or a NEW unlisted funnel fails.
+    val declared: Map[String, Long] = Map(
+      "q_hill_tail" -> 1632L,        // TopK stage 2: (k+1)=51 × 32 salts
+      "q_kmv_sketch" -> 2048L,       // TopK stage 2: k=64 × 32 salts
+      "q_kmv_estimate" -> 2048L,     // same sketch frame
+      "q_inverted_index" -> 640L,    // TopK stage 2: maxPostings=20 × 32
+      "q_brier" -> 3600L,            // per-bin ordered fold, corpus/10 @ sf0.1
+      "q_clf_calibration" -> 3600L   // same bin machinery
+    )
+    val failures = scala.collection.mutable.Buffer[String]()
+    val candidates = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val flagged =
+        try {
+          PlanBridge.analyzedPlan(PlanBridge.stripTopSort(fn(spark, sfDir)))
+            .collect {
+              case w: LWindow
+                if w.partitionSpec.nonEmpty &&
+                  !w.partitionSpec.forall(_.foldable) &&
+                  !isPidWindow(w) => w
+            }
+            .exists { w =>
+              val child = PlanBridge.ofRows(spark, w.child)
+              child.count() >= nDocs &&
+                child.select(w.partitionSpec.map(PlanBridge.column): _*)
+                  .distinct().count() < minKeys
+            }
+        } catch {
+          case e: Throwable =>
+            failures += s"$name: plan construction failed: $e"; false
+        }
+      if (flagged) candidates += name
+    }
+    candidates.foreach { name =>
+      val wins =
+        try PlanBridge.analyzedPlan(PlanBridge.stripTopSort(
+            SparkEntry.queries(name)(spark, sfBig)))
+          .collect {
+            case w: LWindow
+              if w.partitionSpec.nonEmpty &&
+                !w.partitionSpec.forall(_.foldable) &&
+                !isPidWindow(w) => w
+          }
+        catch {
+          case e: Throwable =>
+            failures += s"$name: sf0.1 plan construction failed: $e"; Nil
+        }
+      // dedup identical window shapes (multi-function windows analyze to
+      // stacked LWindow nodes over the same child)
+      val seen = scala.collection.mutable.Set[(String, Long)]()
+      wins.foreach { w =>
+        val keySql = w.partitionSpec.map(_.sql).mkString(",")
+        val child = PlanBridge.ofRows(spark, w.child)
+        val n = child.count()
+        if (n >= corpusFloorBig && seen.add((keySql, n))) {
+          val keyed = child
+            .groupBy(w.partitionSpec.map(PlanBridge.column): _*).count()
+          val g = keyed.count()
+          if (g < minKeys) {
+            val maxPer = keyed.agg(org.apache.spark.sql.functions.max("count"))
+              .first().getLong(0)
+            val bound = declared.getOrElse(name, -1L)
+            if (bound < 0)
+              failures += s"$name: UNDECLARED fixed-cardinality window " +
+                s"funnel at sf0.1 — $g keys [$keySql] over a $n-row " +
+                s"input, max $maxPer rows in one task"
+            else if (maxPer > bound)
+              failures += s"$name: window funnel reads $maxPer rows in " +
+                s"one task at sf0.1 > declared bound $bound"
+          }
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"partitioned-window funnel gate failures:\n${failures.mkString("\n")}")
+  }
+
   test("record linkage: after the pattern collapse, the EM never touches the corpus (r8)") {
     // the EM rounds run eagerly on localCheckpointed frames, so the
     // final plan must read ONLY the <= 2^3-row pattern checkpoint — a

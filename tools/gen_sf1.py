@@ -47,8 +47,14 @@ SHIFT = {
     # graph stays intact inside each replica
     "orders": {"primary": "o_orderkey", "keys": ["o_orderkey"],
                "foreign": {"o_custkey": "customer"}},
-    "lineitem": {"primary": "l_orderkey", "keys": ["l_orderkey"],
-                 "foreign": {"l_partkey": "part", "l_suppkey": "supplier"}},
+    # l_orderkey is a FOREIGN key of orders (shifts by orders' stride so
+    # the order-lineitem join survives even when max(l_orderkey) !=
+    # max(o_orderkey)); lineitem has no shifted primary of its own but
+    # offsets() still needs a domain column, so keep primary for stride
+    # bookkeeping only.
+    "lineitem": {"primary": "l_orderkey", "keys": [],
+                 "foreign": {"l_orderkey": "orders",
+                             "l_partkey": "part", "l_suppkey": "supplier"}},
     "events": {"primary": "event_id", "keys": ["event_id", "user_id"]},
     "documents": {"primary": "doc_id", "keys": ["doc_id"]},
     "embeddings": {"primary": "vec_id", "keys": ["vec_id"]},
