@@ -105,11 +105,11 @@ object GeoFunctions {
   /** WGS84 semi-major axis / first eccentricity squared. */
   val Wgs84A: Double = 6378137.0
   val Wgs84E2: Double = { val f = 1.0 / 298.257223563; f * (2.0 - f) }
-  private val Deg2Rad = 0.017453292519943295 // closest double to pi/180
-  private val UtmK0 = 0.9996
+  private[graft] val Deg2Rad = 0.017453292519943295 // closest double to pi/180
+  private[graft] val UtmK0 = 0.9996
 
   /** Meridional-arc series coefficients for eccentricity² `e2`. */
-  private def mCoefs(e2: Double): (Double, Double, Double, Double) = {
+  private[graft] def mCoefs(e2: Double): (Double, Double, Double, Double) = {
     val e4 = e2 * e2; val e6 = e4 * e2
     (1.0 - e2 / 4.0 - 3.0 * e4 / 64.0 - 5.0 * e6 / 256.0,
       3.0 * e2 / 8.0 + 3.0 * e4 / 32.0 + 45.0 * e6 / 1024.0,
@@ -124,8 +124,25 @@ object GeoFunctions {
   /** Forward UTM easting/northing (meters, full doubles) for a point and
     * its per-row zone; southern-hemisphere rows get the 10,000,000 m
     * false northing. `a`/`e2` default to WGS84 — pass e.g. Clarke 1866
-    * to reproduce published test vectors. */
+    * to reproduce published test vectors.
+    *
+    * Native since r12: the inlined Column series compiled fine alone,
+    * but COMPOSED plans (the round-trip) blew janino's 64 KB method
+    * ceiling and Spark silently ran the stage interpreted. Each
+    * coordinate is now ONE codegen'd static call
+    * (plans.Exprs.UtmEasting/UtmNorthing → Kernels), bit-identical to
+    * the Column tree ([[utmForwardColumns]], equivalence spec-pinned). */
   def utmForward(lon: Column, lat: Column,
+                 a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val le = PlanBridge.expression(lon)
+    val la = PlanBridge.expression(lat)
+    (PlanBridge.column(graft.plans.Exprs.UtmEasting(le, la, a, e2)),
+      PlanBridge.column(graft.plans.Exprs.UtmNorthing(le, la, a, e2)))
+  }
+
+  /** The r11 inlined Column tree of [[utmForward]] — kept as the
+    * equivalence reference the spec checks the kernel against. */
+  private[graft] def utmForwardColumns(lon: Column, lat: Column,
                  a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
     val ep2 = e2 / (1.0 - e2)
     val (m0, m2, m4, m6) = mCoefs(e2)
@@ -157,9 +174,26 @@ object GeoFunctions {
     * `to_crs`. Footprint-latitude rectifying series then the standard
     * D-power corrections; pure Column arithmetic like the forward. The
     * series truncation is sub-mm inside the UTM validity domain, so
-    * forward∘inverse round-trips to ~1e-9 degrees (spec-pinned). */
+    * forward∘inverse round-trips to ~1e-9 degrees (spec-pinned).
+    *
+    * Native since r12 like the forward: one codegen'd static call per
+    * coordinate (plans.Exprs.UtmInvLon/UtmInvLat), bit-identical to the
+    * Column tree ([[utmInverseColumns]], equivalence spec-pinned). */
   def utmInverse(easting: Column, northing: Column, zone: Column,
                  south: Column,
+                 a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = PlanBridge.expression(easting)
+    val n = PlanBridge.expression(northing)
+    val z = PlanBridge.expression(zone)
+    val s = PlanBridge.expression(south)
+    (PlanBridge.column(graft.plans.Exprs.UtmInvLon(e, n, z, s, a, e2)),
+      PlanBridge.column(graft.plans.Exprs.UtmInvLat(e, n, z, s, a, e2)))
+  }
+
+  /** The r11 inlined Column tree of [[utmInverse]] — kept as the
+    * equivalence reference the spec checks the kernel against. */
+  private[graft] def utmInverseColumns(easting: Column, northing: Column,
+                 zone: Column, south: Column,
                  a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
     val ep2 = e2 / (1.0 - e2)
     val (m0, _, _, _) = mCoefs(e2)

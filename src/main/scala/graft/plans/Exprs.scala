@@ -342,4 +342,78 @@ object Exprs {
         newLeft: Expression, newRight: Expression): JaroWinkler =
       copy(left = newLeft, right = newRight)
   }
+
+  // --- UTM (r12): one static call per transform instead of the inlined
+  // Column series — the round-trip's generated code blew janino's 64 KB
+  // method ceiling and Spark silently ran the stage INTERPRETED. Results
+  // are bit-identical to the Column trees (Kernels transcribes them
+  // operation for operation); the DuckDB oracle faces are untouched.
+
+  /** UTM forward easting(lon, lat) in meters (Kernels.utmEasting). */
+  case class UtmEasting(left: Expression, right: Expression,
+                        a: Double, e2: Double)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_utm_easting"
+    override protected def nullSafeEval(lon: Any, lat: Any): Any =
+      Kernels.utmEasting(lon.asInstanceOf[Double], lat.asInstanceOf[Double], a, e2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (x, y) => s"graft.plans.Kernels.utmEasting($x, $y, ${a}D, ${e2}D)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): UtmEasting =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** UTM forward northing(lon, lat) in meters (Kernels.utmNorthing). */
+  case class UtmNorthing(left: Expression, right: Expression,
+                         a: Double, e2: Double)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_utm_northing"
+    override protected def nullSafeEval(lon: Any, lat: Any): Any =
+      Kernels.utmNorthing(lon.asInstanceOf[Double], lat.asInstanceOf[Double], a, e2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (x, y) => s"graft.plans.Kernels.utmNorthing($x, $y, ${a}D, ${e2}D)")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): UtmNorthing =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** UTM inverse longitude(easting, northing, zone, south) in degrees. */
+  case class UtmInvLon(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression,
+                       a: Double, e2: Double)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_utm_inv_lon"
+    override def nullSafeEval(e: Any, n: Any, z: Any, s: Any): Any =
+      Kernels.utmInvLon(e.asInstanceOf[Double], n.asInstanceOf[Double],
+        z.asInstanceOf[Long], s.asInstanceOf[Boolean], a, e2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (e, n, z, s) =>
+        s"graft.plans.Kernels.utmInvLon($e, $n, $z, $s, ${a}D, ${e2}D)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): UtmInvLon =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  /** UTM inverse latitude(easting, northing, zone, south) in degrees. */
+  case class UtmInvLat(first: Expression, second: Expression,
+                       third: Expression, fourth: Expression,
+                       a: Double, e2: Double)
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_utm_inv_lat"
+    override def nullSafeEval(e: Any, n: Any, z: Any, s: Any): Any =
+      Kernels.utmInvLat(e.asInstanceOf[Double], n.asInstanceOf[Double],
+        z.asInstanceOf[Long], s.asInstanceOf[Boolean], a, e2)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (e, n, z, s) =>
+        s"graft.plans.Kernels.utmInvLat($e, $n, $z, $s, ${a}D, ${e2}D)")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression, q: Expression): UtmInvLat =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
 }

@@ -517,4 +517,125 @@ object Kernels {
     while (prefix < pMax && a.charAt(prefix) == b.charAt(prefix)) prefix += 1
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
+
+  // --- UTM forward / inverse (Snyder PP 1395 eq. 8-9..8-25) -----------------
+  // Why kernels (r12): the inlined Column trees for the UTM round-trip
+  // exceed janino's 64 KB method ceiling — Spark logged `Code grows
+  // beyond 64 KB` and silently RAN THE STAGE INTERPRETED. Each transform
+  // is one static call now, so the scan stage stays inside whole-stage
+  // codegen. Arithmetic is transcribed OPERATION FOR OPERATION from the
+  // GeoFunctions Column trees (same IEEE order, same java.lang.Math
+  // transcendentals Spark codegen itself emits), so results are
+  // bit-identical to the Column face and the DuckDB oracles' whole-meter
+  // / micro-degree rounding margins are untouched.
+
+  import graft.functions.GeoFunctions.{Deg2Rad, UtmK0, mCoefs}
+
+  /** UTM zone number (1..60) from longitude — GeoFunctions.utmZone. */
+  def utmZoneOf(lon: Double): Long =
+    math.min(math.floor((lon + 180.0) / 6.0).toLong + 1L, 60L)
+
+  /** Forward easting (meters) — the exact GeoFunctions.utmForward x tree. */
+  def utmEasting(lon: Double, lat: Double, a: Double, e2: Double): Double = {
+    val ep2 = e2 / (1.0 - e2)
+    val lon0 = utmZoneOf(lon).toDouble * 6.0 - 183.0
+    val phi = lat * Deg2Rad
+    val dlam = (lon - lon0) * Deg2Rad
+    val sp = math.sin(phi); val cp = math.cos(phi); val tp = math.tan(phi)
+    val nRad = a / math.sqrt(1.0 - e2 * sp * sp)
+    val t = tp * tp
+    val c = ep2 * cp * cp
+    val aa = cp * dlam
+    val aa2 = aa * aa; val aa3 = aa2 * aa; val aa4 = aa3 * aa
+    val aa5 = aa4 * aa
+    UtmK0 * nRad * (aa +
+      (1.0 - t + c) * aa3 / 6.0 +
+      (5.0 - t * 18.0 + t * t + c * 72.0 - ep2 * 58.0) * aa5 / 120.0) +
+      500000.0
+  }
+
+  /** Forward northing (meters) — the exact GeoFunctions.utmForward y tree. */
+  def utmNorthing(lon: Double, lat: Double, a: Double, e2: Double): Double = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, m2, m4, m6) = mCoefs(e2)
+    val lon0 = utmZoneOf(lon).toDouble * 6.0 - 183.0
+    val phi = lat * Deg2Rad
+    val dlam = (lon - lon0) * Deg2Rad
+    val sp = math.sin(phi); val cp = math.cos(phi); val tp = math.tan(phi)
+    val nRad = a / math.sqrt(1.0 - e2 * sp * sp)
+    val t = tp * tp
+    val c = ep2 * cp * cp
+    val aa = cp * dlam
+    val m = a * (m0 * phi - m2 * math.sin(phi * 2.0) +
+      m4 * math.sin(phi * 4.0) - m6 * math.sin(phi * 6.0))
+    val aa2 = aa * aa; val aa3 = aa2 * aa; val aa4 = aa3 * aa
+    val aa5 = aa4 * aa; val aa6 = aa5 * aa
+    UtmK0 * (m + nRad * tp * (aa2 / 2.0 +
+      (5.0 - t + c * 9.0 + c * c * 4.0) * aa4 / 24.0 +
+      (61.0 - t * 58.0 + t * t + c * 600.0 - ep2 * 330.0) * aa6 / 720.0)) +
+      (if (lat < 0.0) 10000000.0 else 0.0)
+  }
+
+  /** Inverse longitude (degrees) — the exact GeoFunctions.utmInverse tree. */
+  def utmInvLon(easting: Double, northing: Double, zone: Long,
+                south: Boolean, a: Double, e2: Double): Double = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, _, _, _) = mCoefs(e2)
+    val sq1e = math.sqrt(1.0 - e2)
+    val e1 = (1.0 - sq1e) / (1.0 + sq1e)
+    val j2 = 3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0
+    val j4 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0
+    val j6 = 151.0 * e1 * e1 * e1 / 96.0
+    val j8 = 1097.0 * e1 * e1 * e1 * e1 / 512.0
+    val lon0 = zone.toDouble * 6.0 - 183.0
+    val xp = (easting - 500000.0) / UtmK0
+    val yp = (northing - (if (south) 10000000.0 else 0.0)) / UtmK0
+    val mu = yp / (a * m0)
+    val phi1 = mu + j2 * math.sin(mu * 2.0) + j4 * math.sin(mu * 4.0) +
+      j6 * math.sin(mu * 6.0) + j8 * math.sin(mu * 8.0)
+    val sp = math.sin(phi1); val cp = math.cos(phi1); val tp = math.tan(phi1)
+    val w = 1.0 - e2 * sp * sp
+    val n1 = a / math.sqrt(w)
+    val t1 = tp * tp
+    val c1 = ep2 * cp * cp
+    val d = xp / n1
+    val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d
+    val d5 = d4 * d
+    val lam = (d - (1.0 + t1 * 2.0 + c1) * d3 / 6.0 +
+      (5.0 - c1 * 2.0 + t1 * 28.0 - c1 * c1 * 3.0 +
+        ep2 * 8.0 + t1 * t1 * 24.0) * d5 / 120.0) / cp
+    lon0 + lam / Deg2Rad
+  }
+
+  /** Inverse latitude (degrees) — the exact GeoFunctions.utmInverse tree. */
+  def utmInvLat(easting: Double, northing: Double, zone: Long,
+                south: Boolean, a: Double, e2: Double): Double = {
+    val ep2 = e2 / (1.0 - e2)
+    val (m0, _, _, _) = mCoefs(e2)
+    val sq1e = math.sqrt(1.0 - e2)
+    val e1 = (1.0 - sq1e) / (1.0 + sq1e)
+    val j2 = 3.0 * e1 / 2.0 - 27.0 * e1 * e1 * e1 / 32.0
+    val j4 = 21.0 * e1 * e1 / 16.0 - 55.0 * e1 * e1 * e1 * e1 / 32.0
+    val j6 = 151.0 * e1 * e1 * e1 / 96.0
+    val j8 = 1097.0 * e1 * e1 * e1 * e1 / 512.0
+    val xp = (easting - 500000.0) / UtmK0
+    val yp = (northing - (if (south) 10000000.0 else 0.0)) / UtmK0
+    val mu = yp / (a * m0)
+    val phi1 = mu + j2 * math.sin(mu * 2.0) + j4 * math.sin(mu * 4.0) +
+      j6 * math.sin(mu * 6.0) + j8 * math.sin(mu * 8.0)
+    val sp = math.sin(phi1); val cp = math.cos(phi1); val tp = math.tan(phi1)
+    val w = 1.0 - e2 * sp * sp
+    val n1 = a / math.sqrt(w)
+    val r1 = (a * (1.0 - e2)) / (w * math.sqrt(w))
+    val t1 = tp * tp
+    val c1 = ep2 * cp * cp
+    val d = xp / n1
+    val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d
+    val d5 = d4 * d; val d6 = d5 * d
+    val phi = phi1 - (n1 * tp / r1) * (d2 / 2.0 -
+      (5.0 + t1 * 3.0 + c1 * 10.0 - c1 * c1 * 4.0 - ep2 * 9.0) * d4 / 24.0 +
+      (61.0 + t1 * 90.0 + c1 * 298.0 + t1 * t1 * 45.0 -
+        ep2 * 252.0 - c1 * c1 * 3.0) * d6 / 720.0)
+    phi / Deg2Rad
+  }
 }

@@ -225,12 +225,18 @@ object EvalQueries {
         "WHERE o_orderpriority = '1-URGENT')) AS n_probed, " +
         "TRUE AS within_bound")),
 
-    // Lossless prefix-filtered overlap join: same-source pairs with
-    // max containment >= 1/4, via rare-gram prefix postings instead of
-    // the group-quadratic pair set (the sf1 audit's q_containment fix,
-    // losslessness hash-proven by the quadratic oracle).
+    // Lossless overlap join: same-source pairs with max containment
+    // >= 1/4, candidate policy CHOSEN by the measured volume predictor
+    // (Dedup.overlapCandidateVolumes — exact join-row counts from the
+    // gram-df histogram): rare-gram prefix postings vs blocked
+    // all-pairs, output-identical under either (spec-proven), so the
+    // choice is pure cost. On this template-heavy corpus the chooser
+    // picks all-pairs at every scale (measured r12: 6.0e3 pairs vs
+    // 2.5e4 prefix rows at sf0.01; 6.2e5 vs 2.7e6 at sf0.1; r10 sf1:
+    // 62M vs 289M); long-tail corpora flip it to prefix (spec-pinned).
+    // Losslessness hash-proven by the quadratic oracle either way.
     Q("q_overlap_join",
-      (s, d) => Dedup.overlapPrefixJoin(docs(s, d), "doc_id", "text",
+      (s, d) => Dedup.overlapJoinAuto(docs(s, d), "doc_id", "text",
           "source", alphaNum = 1, alphaDen = 4)
         .orderBy("a", "b"),
       Some {
