@@ -800,8 +800,19 @@ object Dedup {
   def overlapPrefixJoin(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, alphaNum: Int = 1,
                         alphaDen: Int = 4): DataFrame = {
-    val (grams, cands) =
-      overlapPrefixCandidates(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    val (grams, posts, prefix) =
+      overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    overlapPrefixJoinFromParts(grams, posts, prefix, alphaNum, alphaDen)
+  }
+
+  /** [[overlapPrefixJoin]] over pre-built prefix parts — the face
+    * [[overlapJoinAuto]] calls so the corpus-sized gram/postings pass
+    * built for the volume predictor is REUSED by the chosen join
+    * instead of rebuilt (it used to run twice per auto call). */
+  private def overlapPrefixJoinFromParts(
+      grams: DataFrame, posts: DataFrame, prefix: DataFrame,
+      alphaNum: Int, alphaDen: Int): DataFrame = {
+    val cands = overlapCandidatesFromParts(posts, prefix)
     val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
       graft.plans.Exprs.SortedIntersectSizeLong(
         org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),
@@ -828,15 +839,18 @@ object Dedup {
       alphaNum: Int, alphaDen: Int): (DataFrame, DataFrame) = {
     val (grams, posts, prefix) =
       overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
-    val cands = prefix
+    (grams, overlapCandidatesFromParts(posts, prefix))
+  }
+
+  private def overlapCandidatesFromParts(
+      posts: DataFrame, prefix: DataFrame): DataFrame =
+    prefix
       .join(posts.select(col("blk"), col("g"), col("id").as("yid")),
         Seq("blk", "g"))
       .filter(col("xid") =!= col("yid"))
       .select(least(col("xid"), col("yid")).as("a"),
         greatest(col("xid"), col("yid")).as("b"))
       .distinct()
-    (grams, cands)
-  }
 
   /** The shared frames under the prefix policy AND the policy chooser:
     * per-doc sorted gram sets, (blk, g) postings, and the rare-first
@@ -899,6 +913,13 @@ object Dedup {
                               alphaDen: Int): (Long, Long) = {
     val (grams, posts, prefix) =
       overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    val volumes = overlapVolumesFromParts(grams, posts, prefix)
+    PlanBridge.unpersistLocalCheckpoint(grams)
+    volumes
+  }
+
+  private def overlapVolumesFromParts(grams: DataFrame, posts: DataFrame,
+                                      prefix: DataFrame): (Long, Long) = {
     val fullCounts = posts.groupBy("blk", "g").agg(count(lit(1)).as("f"))
     val prefCounts = prefix.groupBy("blk", "g").agg(count(lit(1)).as("p"))
     // coalesce: an empty docs frame (or an empty prefix-posting join)
@@ -910,7 +931,6 @@ object Dedup {
     val allPairsRows = grams.groupBy("blk").agg(count(lit(1)).as("n"))
       .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L)).as("rows"))
       .first().getLong(0)
-    PlanBridge.unpersistLocalCheckpoint(grams)
     (prefixRows, allPairsRows)
   }
 
@@ -921,12 +941,19 @@ object Dedup {
   def overlapJoinAuto(docs: DataFrame, idCol: String, textCol: String,
                       blockCol: String, alphaNum: Int = 1,
                       alphaDen: Int = 4): DataFrame = {
+    // ONE corpus-sized gram/postings pass: the checkpointed parts the
+    // volume predictor reads are the same frames the chosen join
+    // consumes (the parts used to be rebuilt from scratch after the
+    // choice — every auto call paid the tokenize/gram/postings stage
+    // twice). grams stays checkpointed for the returned plan's lifetime.
+    val (grams, posts, prefix) =
+      overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
     val (prefixRows, allPairsRows) =
-      overlapCandidateVolumes(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+      overlapVolumesFromParts(grams, posts, prefix)
     if (prefixRows <= allPairsRows)
-      overlapPrefixJoin(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+      overlapPrefixJoinFromParts(grams, posts, prefix, alphaNum, alphaDen)
     else
-      overlapAllPairsJoin(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+      overlapAllPairsJoinFromGrams(grams, alphaNum, alphaDen)
   }
 
   /** The blocked all-pairs face of the overlap join — q_containment's
@@ -937,6 +964,11 @@ object Dedup {
       alphaNum: Int, alphaDen: Int): DataFrame = {
     val (grams, _, _) =
       overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
+    overlapAllPairsJoinFromGrams(grams, alphaNum, alphaDen)
+  }
+
+  private def overlapAllPairsJoinFromGrams(
+      grams: DataFrame, alphaNum: Int, alphaDen: Int): DataFrame = {
     val nInter = org.apache.spark.sql.graftbridge.PlanBridge.column(
       graft.plans.Exprs.SortedIntersectSizeLong(
         org.apache.spark.sql.graftbridge.PlanBridge.expression(col("ga")),

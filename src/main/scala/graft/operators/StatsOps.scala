@@ -1020,7 +1020,12 @@ object StatsOps {
       .withColumn("offn", coalesce(sum(col("pc")).over(wPre), lit(0L)))
       .withColumn("offw", coalesce(sum(col("pw")).over(wPre), lit(0L)))
       .select(col("_pid"), col("grp"), col("offn"), col("offw"))
-    val runs = local.join(broadcast(prefix), Seq("_pid", "grp"))
+    // no broadcast HINT on the cardinality-scaled frames (prefix is
+    // numPartitions×|groups| rows, bounds 10×|groups|): a forced
+    // broadcast caps the operator at Spark's 8 GB limit when groups are
+    // high-cardinality — AQE converts to broadcast-hash at runtime
+    // whenever the measured size is actually small
+    val runs = local.join(prefix, Seq("_pid", "grp"))
       .select(col("grp"), col("w"), col("c"), col("ws"),
         (col("ln") + col("offn")).as("cumn"),
         (col("lw") + col("offw")).as("cumw"),
@@ -1037,7 +1042,7 @@ object StatsOps {
       .select(col("grp"), col("n"), col("tot"),
         expr("(kk * n + 9) div 10").as("r"))
       .distinct()
-    runs.join(broadcast(bounds), Seq("grp"))
+    runs.join(bounds, Seq("grp"))
       .filter(col("r") > col("cumn0") && col("r") <= col("cumn"))
       .select(col("grp"), expr("(r * 10) div n").cast("long").as("decile"),
         col("r").cast("long").as("cum_items"),

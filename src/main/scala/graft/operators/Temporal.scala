@@ -562,13 +562,19 @@ object Temporal {
       .select(col("_pid"), col("k"), col("nxt"))
     val dted = ranged
       .withColumn("lead_us", lead(col("us"), 1).over(wLoc))
-      .join(broadcast(firsts), Seq("_pid", "k"))
+      // no broadcast hint: firsts is numPartitions×|keys| rows — forced
+      // broadcast breaks at high key cardinality (8 GB cap); AQE
+      // broadcasts it at runtime when it is actually small
+      .join(firsts, Seq("_pid", "k"))
       .withColumn("dt", coalesce(col("lead_us"), col("nxt")) - col("us"))
       .withColumn("wv", when(col("dt").isNotNull,
         col("v") * col("dt").cast("double")).otherwise(lit(0.0)))
+      // coalesce BEFORE the mod: a NULL tie would make blk NULL, and the
+      // engines disagree on where NULLs sort in the stage-2 blk fold
+      // (Spark NULLS FIRST vs DuckDB NULLS LAST) — pin them to block 0
       .withColumn("blk",
-        pmod(TextFunctions.charHash(col("tie").cast("string")),
-          lit(TwaFoldBlocks)))
+        pmod(coalesce(TextFunctions.charHash(col("tie").cast("string")),
+          lit(0L)), lit(TwaFoldBlocks)))
     // exact integer aggregates: partitioning-invariant, no fold tree
     val tots = dted.groupBy(col("k"))
       .agg(count(lit(1)).as("n_samples"),
@@ -614,7 +620,7 @@ object Temporal {
     val b = TwaFoldBlocks
     s"WITH b AS (SELECT k, ts, tie, CAST(v AS DOUBLE) AS v FROM $base), " +
       "d AS (SELECT *, epoch_us(lead(ts) OVER w - ts) AS dt, " +
-      s"(${charHashSql("CAST(tie AS VARCHAR)")}) % $b AS blk " +
+      s"(coalesce(${charHashSql("CAST(tie AS VARCHAR)")}, 0)) % $b AS blk " +
       "FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, tie)), " +
       "w AS (SELECT k, blk, ts, tie, dt, " +
       "CASE WHEN dt IS NOT NULL THEN v * CAST(dt AS DOUBLE) ELSE 0.0 END AS wv " +

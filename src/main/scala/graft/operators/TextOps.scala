@@ -205,7 +205,11 @@ object TextOps {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
     val scored = tf
-      .join(broadcast(dfreq), Seq("term"))
+      // no broadcast HINT on dfreq: it is vocab-sized, and a web-scale
+      // vocabulary overflows the 8 GB broadcast cap — AQE converts the
+      // term join to broadcast-hash at runtime when dfreq measures small,
+      // and falls back to a plain shuffle join when it doesn't
+      .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") *
         log((col("n_docs") + 1L).cast("double") / (col("doc_freq") + 1L)), 6))

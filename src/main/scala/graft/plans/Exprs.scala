@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -349,10 +349,16 @@ object Exprs {
   // are bit-identical to the Column trees (Kernels transcribes them
   // operation for operation); the DuckDB oracle faces are untouched.
 
-  /** UTM forward easting(lon, lat) in meters (Kernels.utmEasting). */
+  /** UTM forward easting(lon, lat) in meters (Kernels.utmEasting).
+    * ImplicitCastInputTypes on the whole UTM family: the static Kernels
+    * calls unbox with hard casts, and without declared input types an
+    * IntegerType argument works under codegen (Java widens) but throws
+    * ClassCastException in interpreted eval — analysis-inserted casts
+    * keep both paths identical. */
   case class UtmEasting(left: Expression, right: Expression,
                         a: Double, e2: Double)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.graftbridge.PlanBridge.AbstractType] = Seq(DoubleType, DoubleType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_utm_easting"
     override protected def nullSafeEval(lon: Any, lat: Any): Any =
@@ -368,7 +374,8 @@ object Exprs {
   /** UTM forward northing(lon, lat) in meters (Kernels.utmNorthing). */
   case class UtmNorthing(left: Expression, right: Expression,
                          a: Double, e2: Double)
-      extends BinaryExpression {
+      extends BinaryExpression with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.graftbridge.PlanBridge.AbstractType] = Seq(DoubleType, DoubleType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_utm_northing"
     override protected def nullSafeEval(lon: Any, lat: Any): Any =
@@ -385,7 +392,10 @@ object Exprs {
   case class UtmInvLon(first: Expression, second: Expression,
                        third: Expression, fourth: Expression,
                        a: Double, e2: Double)
-      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.graftbridge.PlanBridge.AbstractType] =
+      Seq(DoubleType, DoubleType, LongType, BooleanType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_utm_inv_lon"
     override def nullSafeEval(e: Any, n: Any, z: Any, s: Any): Any =
@@ -403,7 +413,10 @@ object Exprs {
   case class UtmInvLat(first: Expression, second: Expression,
                        third: Expression, fourth: Expression,
                        a: Double, e2: Double)
-      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+      extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.graftbridge.PlanBridge.AbstractType] =
+      Seq(DoubleType, DoubleType, LongType, BooleanType)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_utm_inv_lat"
     override def nullSafeEval(e: Any, n: Any, z: Any, s: Any): Any =

@@ -13,6 +13,11 @@ import org.apache.spark.sql.catalyst.plans.logical.Sort
   */
 object PlanBridge {
 
+  /** `AbstractDataType` is private[sql]; expressions outside the spark
+    * package alias it here to declare `inputTypes` (ImplicitCastInputTypes
+    * needs the abstract type, not DataType). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
+
   /** Drop a top-level global ORDER BY; any other plan is returned as-is. */
   def stripTopSort(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
