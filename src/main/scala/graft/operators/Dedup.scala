@@ -14,6 +14,58 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Deterministic block THINNING for pairwise-verify queries blocked on
+    * FIXED-CARDINALITY keys ((source), (source, lang), (brand, size) —
+    * attribute blocking whose block COUNT does not grow with the corpus,
+    * so block population and candidate pairs grow quadratically with it:
+    * the r12 sf1 board measured 33–183× wall on 10× data across the
+    * family). Each block keeps the rows whose portable id hash lands on
+    * the 0 residue of step = ceil(n_block / cap): expected survivors
+    * ≈ cap per block regardless of corpus size, so the within-block pair
+    * volume is ~cap²/2 per block — CONSTANT at any scale. Blocks already
+    * ≤ cap keep every row (step = 1) — bit-identical to no thinning,
+    * spec-proven — so verify-scale results are unchanged and the cap
+    * binds only where the quadratic would bite.
+    *
+    * vs the row_number cap ([[minhashCandidates]] maxBucket): a rank
+    * window over a ~20-key blocking column would funnel corpus/20 rows
+    * through one sort task — the exact funnel the window board gate
+    * exists to catch. The hash-residue rule is a zero-window narrow
+    * filter: one tiny block-count aggregate (|blocks| rows, broadcast)
+    * joined back, then a codegen'd scan-stage predicate.
+    *
+    * The recall bill is the declared q_minhash_pairs convention: pairs
+    * lost only inside over-cap blocks, the ORACLE MIRRORS THE RULE
+    * (thinBlocksSql — same counts, same hash, same residue), and the
+    * bill is corpus-dependent: thinning a block of n to ~cap keeps
+    * ~(cap/n)² of its pairs. Size `cap` to the largest block the
+    * verify-stage budget affords, and measure what the cap costs on a
+    * block sample before trusting it at scale (the lshRecall stance). */
+  def thinBlocks(df: DataFrame, blockCols: Seq[String], idCol: String,
+                 cap: Int): DataFrame = {
+    require(cap >= 1, "thinBlocks needs a positive cap")
+    val counts = df.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("_bn"))
+    // fixed-cardinality keys by declaration -> counts is tiny; the
+    // explicit broadcast is safe here (unlike vocab-scaled frames)
+    df.join(broadcast(counts), blockCols)
+      .filter(pmod(TextFunctions.charHash(col(idCol).cast("string")),
+        expr(s"(_bn + ${cap - 1}) DIV $cap")) === 0)
+      .drop("_bn")
+  }
+
+  /** DuckDB mirror of [[thinBlocks]] — identical counts, portable hash
+    * and residue rule; returns a parenthesized subquery selecting every
+    * column of `table` thinned. */
+  def thinBlocksSql(table: String, blockCols: Seq[String], idExpr: String,
+                    cap: Int): String = {
+    val bc = blockCols.mkString(", ")
+    val h = TextFunctions.charHashSql(s"CAST($idExpr AS VARCHAR)")
+    s"(SELECT d.* FROM $table d JOIN " +
+      s"(SELECT $bc, count(*) AS _bn FROM $table GROUP BY $bc) b " +
+      s"USING ($bc) WHERE ($h) % ((_bn + ${cap - 1}) // $cap) = 0)"
+  }
+
   /** Exact dedup: group on the 64-bit text hash (8-byte shuffle key — the
     * raw text never moves), keep the min id per group. At 100 TB this is
     * one map-side-combined shuffle of (hash, id) pairs. */
@@ -556,10 +608,30 @@ object Dedup {
     * first-collision-band trick emits each pair once — no global
     * distinct over candidates.
     *
+    * `maxBucket` — the hot-bucket skew cap, and WHY width alone cannot
+    * save a near-dup corpus: wide bands fix RANDOM collisions (expected
+    * population n/2^width), but docs that are genuinely near-identical
+    * share whole band values BY DESIGN, so template/replica cliques pile
+    * linearly-growing mass onto a few buckets no matter the width (the
+    * r12 sf1 board measured the 20-bit-band form at 40–62× on 10× docs:
+    * hot buckets grew 292 → 2774 members while bucket COUNT grew only
+    * ~2.5×, and the true ≤2-radius pair set itself grew 163× — no
+    * lossless scheme can beat its own output). The cap is the declared
+    * [[minhashCandidates]] maxBucket convention: each (band, key) bucket
+    * truncates to its `maxBucket` lowest ids, bounding any bucket's join
+    * contribution to maxBucket²; cap ≥ every bucket is bit-identical to
+    * the exact form (spec-proven), truncated members stay pairable
+    * through their other bands, and recall is lost only inside over-cap
+    * buckets — i.e. inside dense near-dup cliques, where PAIRWISE
+    * enumeration is the wrong tool anyway (cluster hot buckets with
+    * [[simhashBuckets]] / star contraction; the pair form is for
+    * bounded verification).
+    *
     * Output: (a, b, hamming) with a < b and hamming ≤ radius. */
   def simhashHammingPairs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int = 30, radius: Int = 2,
-                          widen: Boolean = false): DataFrame = {
+                          widen: Boolean = false,
+                          maxBucket: Option[Int] = None): DataFrame = {
     require(radius >= 1 && radius < bits, "radius must be in [1, bits)")
     require(!widen || bits <= 60, "widened codes carry 60 bits")
     val nb = radius + 1
@@ -571,17 +643,40 @@ object Dedup {
     val keyExprs = bandDefs.map { case (off, w) =>
       expr(s"shiftright(sim, $off)").bitwiseAND(lit((1L << w) - 1))
     }
-    val banded = sims.select(col("id"), col("sim"),
+    val bandedAll = sims.select(col("id"), col("sim"),
       array(keyExprs: _*).as("keys"),
       posexplode(array(keyExprs: _*)).as(Seq("band", "bkey")))
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        // high-cardinality (band, bkey) keys — the rank window is
+        // bucket-local, never a corpus funnel (the minhashCandidates cap)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+        bandedAll.withColumn("_bn", row_number().over(w))
+          .filter(col("_bn") <= cap).drop("_bn")
+    }
     val joined = banded.as("x").join(banded.as("y"),
       col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
         col("x.id") < col("y.id"))
-    firstCollisionOnly(joined, nb)
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
-          .as("hamming"))
-      .filter(col("hamming") <= radius)
+    val pairs = maxBucket match {
+      case None =>
+        // uncapped: first-collision-band emits each pair exactly once
+        firstCollisionOnly(joined, nb)
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
+              .as("hamming"))
+      case Some(_) =>
+        // capped: an earlier-band key match does not imply that band
+        // EMITTED the pair (a member may be truncated out of it), so
+        // dedup what was actually emitted (the minhashCandidates stance)
+        joined
+          .select(col("x.id").as("a"), col("y.id").as("b"),
+            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
+              .as("hamming"))
+          .distinct()
+    }
+    pairs.filter(col("hamming") <= radius)
   }
 
   /** DuckDB oracle for [[simhashHammingPairs]] — identical simhash, band
@@ -589,7 +684,8 @@ object Dedup {
     * first-collision trick. `table`/`idExpr`/`textExpr` name the source. */
   def simhashHammingPairsSql(table: String, idExpr: String, textExpr: String,
                              bits: Int = 30, radius: Int = 2,
-                             widen: Boolean = false): String = {
+                             widen: Boolean = false,
+                             maxBucket: Option[Int] = None): String = {
     val nb = radius + 1
     val bandSelects = hammingBands(bits, nb).zipWithIndex.map {
       case ((off, w), b) =>
@@ -599,10 +695,20 @@ object Dedup {
     val rawCodes = TextFunctions.tokenCodesSql(textExpr)
     val codes =
       if (widen) TextFunctions.widenCodesSql(rawCodes) else rawCodes
+    // the capped face mirrors the row_number truncation exactly (the
+    // q_minhash_pairs oracle convention)
+    val bandsSrc = maxBucket match {
+      case None => "bands0"
+      case Some(cap) =>
+        s"(SELECT id, sim, band, bkey FROM (SELECT *, row_number() OVER " +
+          s"(PARTITION BY band, bkey ORDER BY id) AS rn FROM bands0) " +
+          s"WHERE rn <= $cap)"
+    }
     s"WITH sims AS (SELECT $idExpr, " +
       s"${TextFunctions.simhashSql("codes", bits)} AS sim " +
       s"FROM (SELECT $idExpr, $codes AS codes FROM $table) tcodes), " +
-      s"bands AS ($bandSelects), " +
+      s"bands0 AS ($bandSelects), " +
+      s"bands AS (SELECT * FROM $bandsSrc), " +
       "cand AS (SELECT DISTINCT x.id AS a, y.id AS b, x.sim AS sa, y.sim AS sb " +
       "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +
       "AND x.id < y.id) " +

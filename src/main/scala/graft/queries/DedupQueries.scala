@@ -16,6 +16,17 @@ object DedupQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.load(s, d, "documents")
 
+  /** Block caps for the fixed-cardinality pairwise-verify family
+    * (Dedup.thinBlocks — hash-residue thinning, oracle mirroring the
+    * rule). Sized to NOT bind at the sf0.1 board scale (max block: 250
+    * per source, 112 per (source, lang)) so results there stay
+    * bit-identical to the unthinned form, while bounding every block —
+    * and so the within-block quadratic — to ~cap at any larger scale
+    * (the r12 sf1 board measured the unthinned family at 33–183× wall
+    * on 10× data). */
+  private[queries] val SourceBlockCap = 512
+  private[queries] val SourceLangBlockCap = 256
+
   /** (band, key) pairs per doc as UNION ALL branches (DuckDB side of
     * Dedup.minhashCandidates' posexplode). */
   private def mhBandsSql(k: Int, bands: Int): String = {
@@ -99,10 +110,14 @@ object DedupQueries {
     // candidate generator here is the source bucket (25 docs/source at
     // sf0.01) — set ops run only within buckets, never all-pairs.
     // Edit-distance verification of near-dup candidates: exact
-    // Levenshtein <= 30 on 48-char prefixes. TWO cost bounds make this
+    // Levenshtein <= 30 on 48-char prefixes. THREE cost bounds make this
     // scale: (source, lang) composite blocking keys cap the candidate
     // set (the multi-attribute blocking norm in fuzzy dedup — a plain
-    // source bucket was 80x more pairs and 45 s at sf0.1), and the
+    // source bucket was 80x more pairs and 45 s at sf0.1), hash-residue
+    // block thinning bounds each block to ~SourceLangBlockCap rows (the
+    // keys are fixed-cardinality, so unthinned blocks grow with the
+    // corpus and pairs quadratically — 123–183x at sf1 on the r12
+    // board; the oracle mirrors the thinning), and the
     // bounded prefix caps the per-pair DP. The 2-arg full Wagner-Fischer
     // is deliberate: Spark's banded 3-arg form measured identical here
     // (threshold 30 on 48 chars leaves the band nearly full-width) and
@@ -112,7 +127,8 @@ object DedupQueries {
     // through the join for every candidate.
     Q("q_edit_verify",
       (s, d) => {
-        val dd = docs(s, d)
+        val dd = Dedup.thinBlocks(docs(s, d), Seq("source", "lang"),
+          "doc_id", SourceLangBlockCap)
         // explicit partition count: the pair stage is COMPUTE-heavy on
         // tiny data, and AQE's size-based coalescing would fold the probe
         // side into one task (observed: 7 s single-threaded at sf0.1) —
@@ -135,16 +151,21 @@ object DedupQueries {
           .orderBy("a", "b")
       },
       Some("WITH p AS (SELECT doc_id, source, lang, substr(text, 1, 48) AS pref " +
-        "FROM documents) " +
+        s"FROM ${Dedup.thinBlocksSql("documents", Seq("source", "lang"),
+          "doc_id", SourceLangBlockCap)} thin) " +
         "SELECT x.doc_id AS a, y.doc_id AS b, " +
         "CAST(levenshtein(x.pref, y.pref) AS BIGINT) AS edit_dist " +
         "FROM p x JOIN p y ON x.source = y.source AND x.lang = y.lang " +
         "AND x.doc_id < y.doc_id " +
         "WHERE levenshtein(x.pref, y.pref) <= 30 ORDER BY a, b")),
 
+    // Same-source pairs, source blocks hash-thinned to ~SourceBlockCap
+    // rows (fixed-cardinality key — unthinned blocks grow with the
+    // corpus, 33–43x at sf1 on the r12 board; oracle mirrors the rule).
     Q("q_ngram_jaccard",
       (s, d) => {
-        val dd = docs(s, d)
+        val dd = Dedup.thinBlocks(docs(s, d), Seq("source"),
+          "doc_id", SourceBlockCap)
         // the docs parquet is one small file = one input partition; without
         // a repartition the whole quadratic pair stage would run on a
         // couple of tasks no matter how many cores exist — and the count
@@ -164,7 +185,9 @@ object DedupQueries {
       },
       Some {
         val grams = s"list_distinct(${bigramsSql(tokensSql("text"))})"
-        s"WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents) " +
+        val thin = Dedup.thinBlocksSql("documents", Seq("source"),
+          "doc_id", SourceBlockCap)
+        s"WITH g AS (SELECT doc_id, source, $grams AS grams FROM $thin thin) " +
           "SELECT x.doc_id AS a, y.doc_id AS b, " +
           "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_inter, " +
           "CAST(len(list_distinct(list_concat(x.grams, y.grams))) AS BIGINT) AS n_union, " +
@@ -303,23 +326,31 @@ object DedupQueries {
           "WHERE j >= 0.5 ORDER BY new_id, dup_of"
       }),
 
-    // EXACT Hamming-radius (<= 2) pairs over 60-bit widened SimHashes via
-    // pigeonhole banding: 3 disjoint 20-bit bands — a pair within radius
-    // must agree on a whole band, so candidates have perfect recall and
-    // the bit_count verify makes the pair set exact at bucket-join cost.
-    // The code width is the corpus knob (bits = bands x bandWidth, bands
-    // = radius + 1): the r10 sf1 audit measured the old 30-bit/10-bit-
-    // band form collapsing 170x on 10x docs because band-bucket
-    // population grew 10x; 20-bit bands keep expected bucket population
-    // n/2^20 — sub-1 until the corpus passes ~1M docs. Token codes
-    // xorshift-spread onto 60 bits first (charHash carries only 30 bits
-    // of signal; widening makes every vote bit real on BOTH engines).
+    // Hamming-radius (<= 2) pairs over 60-bit widened SimHashes via
+    // pigeonhole banding (3 disjoint 20-bit bands — a pair within radius
+    // must agree on a whole band, perfect candidate recall; bit_count
+    // verify), declared in the SKEW-CAPPED 100 TB profile
+    // (maxBucket = 64, the q_minhash_pairs convention, oracle mirroring
+    // the cap). Band WIDTH fixes random collisions (population n/2^20),
+    // but near-identical docs share whole band values BY DESIGN, so
+    // template/replica cliques pile linearly-growing mass onto a few
+    // buckets at ANY width — the r12 sf1 board measured the uncapped
+    // 20-bit form at 40–62x on 10x docs (hot buckets 292 -> 2774), and
+    // the true radius-2 pair set itself grew 163x (nothing lossless can
+    // beat its own output). Cap 64 bounds every bucket's contribution
+    // to 64² (measured: 11.6x candidate rows on 10x docs); cap >= every
+    // bucket is bit-identical to the exact form (spec), recall is lost
+    // only inside over-cap buckets = dense near-dup cliques, where the
+    // CLUSTERING face (q_simhash_dup buckets / star contraction) keeps
+    // the dups at linear cost. Token codes xorshift-spread onto 60 bits
+    // first (charHash carries only 30 bits of signal; widening makes
+    // every vote bit real on BOTH engines).
     Q("q_simhash_hamming",
       (s, d) => Dedup.simhashHammingPairs(docs(s, d), "doc_id", "text",
-          bits = 60, radius = 2, widen = true)
+          bits = 60, radius = 2, widen = true, maxBucket = Some(64))
         .orderBy("a", "b"),
       Some(Dedup.simhashHammingPairsSql("documents", "doc_id", "text",
-        bits = 60, radius = 2, widen = true))),
+        bits = 60, radius = 2, widen = true, maxBucket = Some(64)))),
 
     // Asymmetric n-gram containment over same-source pairs: C(A->B) =
     // |A∩B|/|A| catches a short doc embedded in a long one, which
@@ -335,9 +366,12 @@ object DedupQueries {
     // sf1; 21.2s vs 9.4s). Low-threshold containment over short docs is
     // intrinsically near-quadratic per block; the prefix policy is the
     // right tool at high thresholds over long-tailed real corpora.
+    // Source blocks hash-thinned to ~SourceBlockCap (75–90x at sf1
+    // unthinned on the r12 board; oracle mirrors the rule).
     Q("q_containment",
       (s, d) => {
-        val dd = docs(s, d)
+        val dd = Dedup.thinBlocks(docs(s, d), Seq("source"),
+          "doc_id", SourceBlockCap)
         val pairs = dd.select(col("doc_id"), col("source"))
           .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .as("d1")
@@ -353,7 +387,9 @@ object DedupQueries {
       },
       Some {
         val grams = s"list_distinct(${bigramsSql(tokensSql("text"))})"
-        s"WITH g AS (SELECT doc_id, source, $grams AS grams FROM documents), " +
+        val thin = Dedup.thinBlocksSql("documents", Seq("source"),
+          "doc_id", SourceBlockCap)
+        s"WITH g AS (SELECT doc_id, source, $grams AS grams FROM $thin thin), " +
           "m AS (SELECT x.doc_id AS a, y.doc_id AS b, " +
           "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS n_inter, " +
           "CAST(len(x.grams) AS BIGINT) AS na, CAST(len(y.grams) AS BIGINT) AS nb " +

@@ -24,6 +24,11 @@ object EvalQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "documents")
 
+  /** q_jaro_winkler's (p_brand, p_size) block cap — the DedupQueries
+    * SourceBlockCap convention (see that scaladoc): does not bind at or
+    * below sf0.1 (max block 28), bounds the quadratic past it. */
+  private val BrandSizeBlockCap = 48
+
   val defs: Seq[Q] = Seq(
 
     // Cohen's kappa between the classifier gate and the rule gate — the
@@ -235,14 +240,23 @@ object EvalQueries {
     // 2.5e4 prefix rows at sf0.01; 6.2e5 vs 2.7e6 at sf0.1; r10 sf1:
     // 62M vs 289M); long-tail corpora flip it to prefix (spec-pinned).
     // Losslessness hash-proven by the quadratic oracle either way.
+    // Source blocks hash-thinned to ~SourceBlockCap before the chooser
+    // (Dedup.thinBlocks): BOTH candidate policies are quadratic inside
+    // fixed-cardinality blocks (42–78x at sf1 unthinned on the r12
+    // board), so the chooser only picked the cheaper quadratic — the
+    // thinning bounds the block itself; oracle mirrors the rule.
     Q("q_overlap_join",
-      (s, d) => Dedup.overlapJoinAuto(docs(s, d), "doc_id", "text",
-          "source", alphaNum = 1, alphaDen = 4)
+      (s, d) => Dedup.overlapJoinAuto(
+          Dedup.thinBlocks(docs(s, d), Seq("source"), "doc_id",
+            DedupQueries.SourceBlockCap),
+          "doc_id", "text", "source", alphaNum = 1, alphaDen = 4)
         .orderBy("a", "b"),
       Some {
         val toks = graft.functions.TextFunctions.tokensSql("text")
         val grams = s"list_distinct(${graft.functions.TextFunctions.bigramsSql(toks)})"
-        Dedup.overlapPrefixJoinSql("documents", "doc_id", "source",
+        val thin = Dedup.thinBlocksSql("documents", Seq("source"),
+          "doc_id", DedupQueries.SourceBlockCap)
+        Dedup.overlapPrefixJoinSql(s"$thin thin", "doc_id", "source",
           grams, alphaNum = 1, alphaDen = 4) + " ORDER BY a, b"
       }),
 
@@ -353,9 +367,14 @@ object EvalQueries {
     // per-field string similarity that feeds such patterns). Native
     // codegen'd kernel, DuckDB-function parity proven by the oracle
     // hash; blocked (never corpus-quadratic), the q_edit_verify policy.
+    // (brand, size) blocks hash-thinned to ~48 rows (1250 fixed blocks
+    // grow 16 -> 160 rows from sf0.1 to sf1 — 55–111x wall unthinned on
+    // the r12 board; the cap does not bind at or below sf0.1, and the
+    // oracle mirrors the rule).
     Q("q_jaro_winkler",
       (s, d) => {
-        val p = Tables.load(s, d, "part")
+        val p = Dedup.thinBlocks(Tables.load(s, d, "part"),
+          Seq("p_brand", "p_size"), "p_partkey", BrandSizeBlockCap)
         val a = p.select(col("p_brand").as("brand"),
           col("p_size").as("size"), col("p_partkey").as("a"),
           col("p_name").as("na"))
@@ -369,12 +388,17 @@ object EvalQueries {
           .filter(col("jw") >= 0.8)
           .select("a", "b", "jw").orderBy("a", "b")
       },
-      Some("SELECT a, b, jw FROM (SELECT x.p_partkey AS a, " +
-        "y.p_partkey AS b, " +
-        "round(jaro_winkler_similarity(x.p_name, y.p_name), 6) AS jw " +
-        "FROM part x JOIN part y ON x.p_brand = y.p_brand " +
-        "AND x.p_size = y.p_size AND x.p_partkey < y.p_partkey) z " +
-        "WHERE jw >= 0.8 ORDER BY a, b")),
+      Some {
+        val thin = Dedup.thinBlocksSql("part", Seq("p_brand", "p_size"),
+          "p_partkey", BrandSizeBlockCap)
+        s"WITH tp AS (SELECT * FROM $thin thin) " +
+          "SELECT a, b, jw FROM (SELECT x.p_partkey AS a, " +
+          "y.p_partkey AS b, " +
+          "round(jaro_winkler_similarity(x.p_name, y.p_name), 6) AS jw " +
+          "FROM tp x JOIN tp y ON x.p_brand = y.p_brand " +
+          "AND x.p_size = y.p_size AND x.p_partkey < y.p_partkey) z " +
+          "WHERE jw >= 0.8 ORDER BY a, b"
+      }),
 
     // Quantile normalization of per-event-type value buckets onto the
     // pooled distribution — one threshold then means the same quantile

@@ -24,6 +24,32 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("thinBlocks: identity when every block <= cap") {
+    val d = docs.limit(200).select("doc_id", "source", "lang", "text")
+    // sf0.001 blocks are far below 512 — step = 1 everywhere
+    val thin = Dedup.thinBlocks(d, Seq("source"), "doc_id", 512)
+    assert(thin.count() === d.count())
+    assert(thin.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(d.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
+  test("thinBlocks matches the hash-residue Scala model and bounds blocks past the cap") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val cap = 20
+    val got = Dedup.thinBlocks(df, Seq("source"), "doc_id", cap)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // model: per block of n=100, step = ceil(100/20) = 5, keep rows with
+    // charHash(id.toString) % 5 == 0
+    val expect = (0L until 300L).filter { i =>
+      hashScala(i.toString) % 5 == 0
+    }.toSet
+    assert(got === expect)
+    // survivors per block stay near the cap (hash-uniform thinning)
+    val perBlock = Dedup.thinBlocks(df, Seq("source"), "doc_id", cap)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    perBlock.foreach(n => assert(n <= 2L * cap, s"block kept $n > 2*cap"))
+  }
+
   test("minhash candidates: identical token sets are always recalled; high-jaccard recall is strong") {
     val corpus = docs.limit(100).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1).split(" ").map(hashScala).toSet)
@@ -415,6 +441,28 @@ class DedupSpec extends SparkSpec {
       assert(j === jac(k), s"jaccard drift at $k")
       assert(cab >= j && cba >= j, s"containment < jaccard at $k")
     }
+  }
+
+  test("simhashHammingPairs bucket cap: cap >= every bucket is bit-identical; small cap is a subset") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val exact = graft.operators.Dedup
+      .simhashHammingPairs(docs, "doc_id", "text", bits = 60, radius = 2,
+        widen = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // sf0.001 band buckets are all far below 100000 — the capped path
+    // (rank-truncate + distinct) must equal the exact pigeonhole set
+    val capped = graft.operators.Dedup
+      .simhashHammingPairs(docs, "doc_id", "text", bits = 60, radius = 2,
+        widen = true, maxBucket = Some(100000))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(capped === exact)
+    // a binding cap yields a SUBSET (pairs lost only inside over-cap
+    // buckets), never a superset and never wrong hammings
+    val tight = graft.operators.Dedup
+      .simhashHammingPairs(docs, "doc_id", "text", bits = 60, radius = 2,
+        widen = true, maxBucket = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tight.subsetOf(exact))
   }
 
   test("simhashHammingPairs is EXACTLY the brute-force hamming-radius pair set") {
