@@ -251,10 +251,26 @@ object GeoOps {
     * point, co-partitioned cell-key join — never corpus-quadratic; the
     * oracle prices the quadratic form (q_setsim_join convention).
     *
+    * Hot-cell salting (`saltThreshold`): a real-world point cloud is
+    * skewed — one metro-area cell can hold a corpus-scale share of the
+    * points, and an unsalted cell join lands that whole cell's pair
+    * work in ONE task. Cells whose measured population exceeds the
+    * threshold split their HOME-side members into ceil(n/threshold)
+    * deterministic shards (id mod), and stamped probes targeting a hot
+    * cell replicate across its shards — every candidate pair still
+    * meets exactly once, so the pair SET is unchanged (spec-proven) and
+    * the per-task bound is threshold × stamped-side density. Costs one
+    * map-side-combined cell count and a broadcast of the (tiny by
+    * definition) over-threshold cell list. Within-cell pair VOLUME of a
+    * hot cell is still ~n²/2 — salting fixes task skew, not volume;
+    * size the radius to the density ([[densityRadiusMeters]]) so no
+    * cell is quadratically hot in the first place.
+    *
     * Output: (id_a, id_b, d_m) — canonical ids, great-circle meters. */
   def haversineJoin(points: DataFrame, rMeters: Double,
                     idCol: String = "id", lonCol: String = "lon",
-                    latCol: String = "lat"): DataFrame = {
+                    latCol: String = "lat",
+                    saltThreshold: Int = 1 << 17): DataFrame = {
     require(rMeters > 0 && rMeters <= 2000000.0,
       "haversineJoin needs 0 < r <= 2000 km")
     val R = 6371008.8
@@ -289,11 +305,27 @@ object GeoOps {
     val right = p.select(col("id").as("id_b"), col("x").as("xb"),
       col("y").as("yb"), col("z").as("zb"), col("cx").as("jx"),
       col("cy").as("jy"), col("cz").as("jz"))
+    // measured hot cells: home-side members shard by id, probes fan out
+    // across the shards — pair set identical, task bound = threshold
+    val hot = p.groupBy(col("cx").as("jx"), col("cy").as("jy"),
+        col("cz").as("jz"))
+      .agg(count(lit(1)).as("_hn"))
+      .filter(col("_hn") > saltThreshold)
+      .withColumn("_nsalt",
+        expr(s"(_hn + ${saltThreshold - 1}) DIV $saltThreshold"))
+      .select(col("jx"), col("jy"), col("jz"), col("_nsalt"))
+    val leftSalted = left.join(broadcast(hot), Seq("jx", "jy", "jz"), "left")
+      .withColumn("_salt",
+        explode(sequence(lit(0L), coalesce(col("_nsalt"), lit(1L)) - 1)))
+      .drop("_nsalt")
+    val rightSalted = right.join(broadcast(hot), Seq("jx", "jy", "jz"), "left")
+      .withColumn("_salt", coalesce(pmod(col("id_b"), col("_nsalt")), lit(0L)))
+      .drop("_nsalt")
     val chord2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
       (col("ya") - col("yb")) * (col("ya") - col("yb")) +
       (col("za") - col("zb")) * (col("za") - col("zb"))
     val twoR = 2.0 * R
-    left.join(right, Seq("jx", "jy", "jz"))
+    leftSalted.join(rightSalted, Seq("jx", "jy", "jz", "_salt"))
       .filter(!col("same") || col("id_a") < col("id_b"))
       .withColumn("c2", round(chord2, 6))
       .filter(col("c2") <= round(lit(bound2), 6))
@@ -442,6 +474,17 @@ object GeoOps {
   def densityRadius(n: Long, rAtRef: Long = 10000L, nRef: Long = 100000L): Long = {
     require(n > 0, "densityRadius needs a positive point count")
     math.floor(rAtRef * math.sqrt(nRef.toDouble / n)).toLong
+  }
+
+  /** [[densityRadius]] for metric (double) radii — the geodesic joins'
+    * face of the same rule: expected pairs per point ∝ n·r², so
+    * r(n) = r₀·√(n₀/n) holds the join degree constant on a fixed
+    * domain. At n = nRef this is EXACTLY rAtRef (√1 = 1, no float
+    * residue), so the verify-scale oracle pins the reference radius
+    * unchanged. */
+  def densityRadiusMeters(n: Long, rAtRef: Double, nRef: Long): Double = {
+    require(n > 0, "densityRadiusMeters needs a positive point count")
+    rAtRef * math.sqrt(nRef.toDouble / n)
   }
 
   /** [[dbscan]] with EXACT cluster labels on any diameter — the

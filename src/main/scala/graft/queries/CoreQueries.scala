@@ -419,30 +419,46 @@ object CoreQueries {
       Some("SELECT user_id, min(event_id) AS first_event, count(*) AS n_events " +
         "FROM events GROUP BY user_id ORDER BY user_id")),
 
-    // Radius self-join: all point pairs within r = 5000 integer micro-
-    // units via grid binning (cell = r, 3×3 stamp on one side, emit-once
+    // Radius self-join via grid binning (cell = r, half stamp, emit-once
     // by construction). The oracle is the PLAIN QUADRATIC join, so the
     // binning's losslessness is itself hash-proven (q_setsim_join
     // convention). The neighbor-search primitive under q_dbscan /
-    // footprint overlap; exact integer distances throughout.
+    // footprint overlap; exact integer distances throughout. The radius
+    // is DENSITY-DERIVED (the q_dbscan r11 precedent): a fixed r on the
+    // fixed 1e6² domain makes output pairs ∝ n·r²·density = quadratic in
+    // SF (66–122x wall at sf1 on the r12 board); r ∝ n^-1/2 holds pairs
+    // per point constant. The oracle pins densityRadius = 5000 at the
+    // sf0.01 verify scale (n = |events| = 10000).
     Q("q_radius_join",
-      (s, d) => GeoOps.radiusJoin(ipoints(s, d), r = 5000L)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val pts = ipoints(s, d)
+        GeoOps.radiusJoin(pts,
+            r = GeoOps.densityRadius(pts.count(), rAtRef = 5000L,
+              nRef = 10000L))
+          .orderBy("id_a", "id_b")
+      },
       Some(GeoOps.radiusJoinSql(ipointsSql, r = 5000L) +
         " ORDER BY id_a, id_b")),
 
-    // Geodesic radius join on the shots frame: all pairs within 200 km
-    // along the sphere — 3D chord binning (cubic cells on the lifted
-    // unit sphere), lossless pole to pole where lon/lat band binning
-    // needs latitude-dependent widths; quadratic oracle prices the
-    // binning (q_setsim_join convention). 1-in-8 shot subsample keeps
-    // the oracle's pair space driver-sized.
+    // Geodesic radius join on the shots frame — 3D chord binning (cubic
+    // cells on the lifted sphere), lossless pole to pole where lon/lat
+    // band binning needs latitude-dependent widths; quadratic oracle
+    // prices the binning (q_setsim_join convention). 1-in-8 shot
+    // subsample keeps the oracle's pair space driver-sized. The radius
+    // is DENSITY-DERIVED like q_radius_join's (the shots cloud covers a
+    // fixed global lattice, so a pinned 200 km radius made output pairs
+    // quadratic in SF — 96–163x wall at sf1 on the r12 board); the
+    // oracle pins 200 km at the sf0.01 verify scale (n = 1250 sampled
+    // shots, where the derivation is exactly the reference radius).
     Q("q_haversine_join",
-      (s, d) => GeoOps.haversineJoin(
-        Shots.df(s, d).filter(col("shot") % 8 === 0)
-          .select(col("shot").as("id"), col("lon"), col("lat")),
-        rMeters = 200000.0)
-        .orderBy("id_a", "id_b"),
+      (s, d) => {
+        val pts = Shots.df(s, d).filter(col("shot") % 8 === 0)
+          .select(col("shot").as("id"), col("lon"), col("lat"))
+        GeoOps.haversineJoin(pts,
+            rMeters = GeoOps.densityRadiusMeters(pts.count(), 200000.0,
+              nRef = 1250L))
+          .orderBy("id_a", "id_b")
+      },
       Some(GeoOps.haversineJoinSql(
         s"(SELECT shot AS id, lon, lat FROM ${Shots.sql} " +
           "WHERE shot % 8 = 0) pts",

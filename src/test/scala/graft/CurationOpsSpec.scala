@@ -224,6 +224,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(got((4L, 5L)) - expect) < 0.01)
   }
 
+  test("haversineJoin hot-cell salting: pair set identical, shards bounded") {
+    import spark.implicits._
+    // 60 points piled into one ~small cell (a hot metro cell) plus a few
+    // scattered: with saltThreshold 8 the hot cell splits into shards,
+    // and the salted pair set must equal the unsalted one exactly
+    val hotPts = (0L until 60L).map(i => (i, 10.0 + i * 0.0001, 10.0))
+    val farPts = Seq((100L, 50.0, -30.0), (101L, 50.001, -30.0))
+    val pts = (hotPts ++ farPts).toDF("id", "lon", "lat")
+    val unsalted = GeoOps.haversineJoin(pts, rMeters = 5000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("d_m"))).toSet
+    val salted = GeoOps.haversineJoin(pts, rMeters = 5000.0,
+        saltThreshold = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("d_m"))).toSet
+    assert(salted === unsalted)
+    assert(unsalted.exists(p => p._1 < 60L && p._2 < 60L),
+      "the hot cluster must pair internally")
+    assert(unsalted.contains(unsalted.find(p => p._1 == 100L).getOrElse(
+      (100L, 101L, 0.0))), "far pair retained")
+  }
+
+  test("densityRadiusMeters pins the verify-scale radius and scales with density") {
+    // q_haversine_join: n = 1250 sampled shots at sf0.01 -> exactly the
+    // 200 km reference; 10x/100x denser clouds shrink by sqrt
+    assert(GeoOps.densityRadiusMeters(1250L, 200000.0, 1250L) === 200000.0)
+    assert(math.abs(GeoOps.densityRadiusMeters(12500L, 200000.0, 1250L)
+      - 63245.5532) < 0.001) // sf0.1
+    assert(math.abs(GeoOps.densityRadiusMeters(125000L, 200000.0, 1250L)
+      - 20000.0) < 1e-9) // sf1
+    // q_radius_join face of densityRadius
+    assert(GeoOps.densityRadius(10000L, 5000L, 10000L) === 5000L)
+    assert(GeoOps.densityRadius(100000L, 5000L, 10000L) === 1581L)
+    assert(GeoOps.densityRadius(1000000L, 5000L, 10000L) === 500L)
+  }
+
   test("hexBin assigns every point to its true nearest even-parity center") {
     val (w, h) = (15000L, 26000L)
     val assigned = ipoints
