@@ -114,6 +114,51 @@ object Similarity {
     * probe reads nprobe/nCentroids of the data — the scan itself shrinks,
     * not just the compute. Squared-L2 assignment uses the strict-fold dot
     * (||v||^2 - 2 v.c + ||c||^2), bit-identical to the DuckDB oracle. */
+  /** Corpus-derived IVF cell count: ceil(n / targetCell) keeps the
+    * EXPECTED CELL POPULATION constant as the corpus grows — the fix for
+    * pinned nCentroids, where cell population ∝ corpus and any
+    * cell-symmetric join (knnGraph, semDedup) grows corpus²/cells
+    * (28–56× wall on 10× vectors on the r12 sf1 board). The density
+    * sibling of [[scaledRowsPerBand]] and GeoOps.densityRadius: the cell
+    * count is a corpus parameter, not a constant. Integer arithmetic —
+    * a query derives it at plan time and its oracle pins the derived
+    * value at the verify scale. With cells ∝ n the symmetric cell join
+    * is linear in n (n·nprobe·targetCell); assignment is n·cells·dims
+    * flops in ONE codegen'd scan ([[Exprs.CentroidProbes]] — no row
+    * explosion), fine to ~10⁵ cells per executor; past that, train a
+    * two-level coarse quantizer with [[kmeansUpdate]] before assigning. */
+  def derivedCentroids(n: Long, targetCell: Long): Int = {
+    require(n > 0 && targetCell > 0, "derivedCentroids needs positive counts")
+    math.min((n + targetCell - 1) / targetCell, 1000000L).toInt
+  }
+
+  /** The collected centroid codebook under the first-nCentroids-vectors
+    * convention (ids must be exactly 0..nCentroids−1, enforced) — tiny
+    * (cells × dims floats), embedded as a plan constant for the one-pass
+    * assignment kernel. */
+  private def collectCentroids(candidates: DataFrame, nCentroids: Int,
+                               idCol: String, vecCol: String): Seq[Seq[Float]] = {
+    val rows = candidates
+      .filter(col(idCol) >= 0 && col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(rows.map(_._1).sameElements(0L until nCentroids.toLong),
+      s"centroid convention needs vectors with $idCol exactly 0..${nCentroids - 1}")
+    rows.toIndexedSeq.map(_._2)
+  }
+
+  /** Top-`k` nearest centroid ids of a vector column as one codegen'd
+    * scan expression — bit-identical to [[centroidRanks]]' crossJoin +
+    * row_number ordering (spec-proven); the scale path once the centroid
+    * count is corpus-derived. */
+  def centroidProbesCol(vec: org.apache.spark.sql.Column,
+                        cents: Seq[Seq[Float]], k: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.PlanBridge.column(
+      graft.plans.Exprs.CentroidProbes(
+        org.apache.spark.sql.graftbridge.PlanBridge.expression(vec), cents, k))
+
   /** Per-vector centroid ranking: (id, cid, rn) with rn=1 the nearest
     * cell. Shared by ivfTopK and the persisted-index writer. */
   def centroidRanks(candidates: DataFrame, nCentroids: Int,
@@ -581,11 +626,18 @@ object Similarity {
   def knnGraph(candidates: DataFrame, k: Int, nCentroids: Int = 16,
                nprobe: Int = 2, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
-    val cells = asg.filter(col("rn") === 1)
-      .select(col("id"), col(vecCol).as("cvec2"), col("cid").as("cell"))
-    val probes = asg.filter(col("rn") <= nprobe)
-      .select(col("id").as("qid"), col(vecCol).as("qvec2"), col("cid").as("cell"))
+    // one-pass kernel assignment (no n×centroids row explosion — the
+    // corpus-derived centroid count made the crossJoin+window form
+    // n²/targetCell rows); ordering identical to centroidRanks
+    val cents = collectCentroids(candidates, nCentroids, idCol, vecCol)
+    val asg = candidates.select(col(idCol).as("id"), col(vecCol),
+      centroidProbesCol(col(vecCol), cents, nprobe).as("_probes"))
+    val cells = asg
+      .select(col("id"), col(vecCol).as("cvec2"),
+        element_at(col("_probes"), 1).as("cell"))
+    val probes = asg
+      .select(col("id").as("qid"), col(vecCol).as("qvec2"),
+        explode(col("_probes")).as("cell"))
     val scored = probes.join(cells, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("vec_id"),
@@ -833,14 +885,14 @@ object Similarity {
   def semDedup(candidates: DataFrame, nCentroids: Int, tau: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import VectorFunctions.cosine
-    val cells = centroidRanks(candidates, nCentroids, idCol, vecCol)
-      .filter(col("rn") === 1)
-      .select(col("id"), col("cid").as("cell"))
+    // one-pass kernel assignment (see knnGraph) — no join needed to
+    // carry the vector alongside its cell
+    val cents = collectCentroids(candidates, nCentroids, idCol, vecCol)
     // three consumers read the assignment (both self-join sides + the
-    // final select) — materialize it once instead of re-running the
-    // crossJoin + window per consumer (Spark does not CSE subtrees)
-    val members = cells.join(
-      candidates.select(col(idCol).as("id"), col(vecCol).as("vec")), "id")
+    // final select) — materialize it once (Spark does not CSE subtrees)
+    val members = candidates.select(col(idCol).as("id"),
+        element_at(centroidProbesCol(col(vecCol), cents, 1), 1).as("cell"),
+        col(vecCol).as("vec"))
       .localCheckpoint()
     val dup = members.as("x").join(members.as("y"),
         col("x.cell") === col("y.cell") && col("y.id") < col("x.id"))

@@ -141,6 +141,36 @@ object Exprs {
       copy(child = newChild)
   }
 
+  /** Top-k nearest centroid ids (squared-L2, cid tie) of a float-array
+    * column against a constant centroid codebook — the IVF/SemDeDup
+    * assignment as one codegen'd scan call (see
+    * [[Kernels.centroidProbes]] for the bit-identity argument). */
+  case class CentroidProbes(child: Expression, cents: Seq[Seq[Float]], k: Int)
+      extends UnaryExpression {
+    require(k >= 1 && cents.nonEmpty, "centroidProbes needs k >= 1 and centroids")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_centroid_probes"
+    @transient private lazy val cArr: Array[Array[Float]] =
+      cents.map(_.toArray).toArray
+    @transient private lazy val ccArr: Array[Double] =
+      cArr.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < c.length) { acc += c(i).toDouble * c(i).toDouble; i += 1 }
+        acc
+      }
+    override protected def nullSafeEval(input: Any): Any =
+      Kernels.centroidProbes(input.asInstanceOf[ArrayData], cArr, ccArr, k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("cpCents", cArr, "float[][]")
+      val ccRef = ctx.addReferenceObj("cpCc", ccArr, "double[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.Kernels.centroidProbes($c, $cRef, $ccRef, $k)")
+    }
+    override protected def withNewChildInternal(newChild: Expression): CentroidProbes =
+      copy(child = newChild)
+  }
+
   /** Count of |distinct(a) ∩ distinct(b)| over string arrays. */
   case class IntersectSize(left: Expression, right: Expression)
       extends BinaryExpression {

@@ -160,6 +160,62 @@ object Kernels {
     acc
   }
 
+  /** Top-`k` nearest centroid ids of float vector `v` by squared-L2
+    * (tie: lower cid) in ONE scan-stage pass — the IVF/SemDeDup
+    * assignment without the crossJoin-with-centroids row explosion
+    * (n·|centroids| rows through a per-vector rank window stops being
+    * viable once the centroid count is corpus-derived). Arithmetic is
+    * the EXACT column tree it replaces, term for term: dist =
+    * dot(v,v) − 2·dot(v,c) + dot(c,c) with each dot the strict
+    * left-fold of per-index double products, and `cc(j)` precomputed
+    * with that same fold — so assignments are bit-identical to the
+    * crossJoin + row_number form (spec-proven) and to the DuckDB
+    * oracle. k is tiny (1–4): selection is insertion into k slots. */
+  def centroidProbes(v: ArrayData, cents: Array[Array[Float]],
+                     cc: Array[Double], k: Int): ArrayData = {
+    val d = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < d) {
+      val x = v.getFloat(i).toDouble
+      vv += x * x
+      i += 1
+    }
+    val nC = cents.length
+    val topDist = new Array[Double](k)
+    val topCid = new Array[Int](k)
+    var filled = 0
+    var j = 0
+    while (j < nC) {
+      val c = cents(j)
+      var vc = 0.0
+      i = 0
+      while (i < d) {
+        vc += v.getFloat(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      val dist = vv - 2.0 * vc + cc(j)
+      // insert (dist, j) if it beats the current k-th; cid tie-break is
+      // free — j ascends, so equal dists never displace an earlier cid
+      if (filled < k || dist < topDist(filled - 1)) {
+        var pos = math.min(filled, k - 1)
+        while (pos > 0 && topDist(pos - 1) > dist) {
+          topDist(pos) = topDist(pos - 1)
+          topCid(pos) = topCid(pos - 1)
+          pos -= 1
+        }
+        topDist(pos) = dist
+        topCid(pos) = j
+        if (filled < k) filled += 1
+      }
+      j += 1
+    }
+    val out = new Array[Long](filled)
+    i = 0
+    while (i < filled) { out(i) = topCid(i).toLong; i += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** |distinct(a) ∩ distinct(b)| for string arrays without materializing
     * the intersection array (ArrayIntersect builds it; the Jaccard verify
     * only needs the count). */

@@ -340,16 +340,24 @@ object SimilarityQueries {
           s"WHERE rank <= $K ORDER BY qid, rank"
       }),
 
-    // SemDeDup-style semantic dedup: nearest-centroid cells (vec_id<8
+    // SemDeDup-style semantic dedup: nearest-centroid cells (first-n
     // convention, strict-fold L2 assignment) partition the pair space —
     // the embedding analogue of an LSH bucket — then a vector is dropped
     // when a lower-id cell-mate has cosine >= 0.2. The greedy
     // keep-lowest-id rule makes the result deterministic and the
     // threshold compare runs on bit-identical doubles, so even boundary
-    // pairs agree with the oracle's quadratic recompute.
+    // pairs agree with the oracle's quadratic recompute. The cell count
+    // is CORPUS-DERIVED (target cell 64 — pinned nCentroids=8 made the
+    // within-cell pair join corpus²/8, 28–56x at sf1 on the r12 board);
+    // the oracle pins the sf0.01 derivation ceil(500/64) = 8.
     Q("q_semdedup",
-      (s, d) => Similarity.semDedup(emb(s, d), nCentroids = 8, tau = 0.2)
-        .orderBy("id"),
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.semDedup(e,
+            nCentroids = Similarity.derivedCentroids(e.count(), 64L),
+            tau = 0.2)
+          .orderBy("id")
+      },
       Some {
         val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
           s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
@@ -597,11 +605,19 @@ object SimilarityQueries {
     // k-NN graph over ALL vectors via IVF cells (every vector a query):
     // the symmetric cell join — the only corpus shuffle is keyed on the
     // cell id, join degree bounded by cell population. Feeds the graph
-    // operators (label_prop / components / triangle audit).
+    // operators (label_prop / components / triangle audit). The cell
+    // count is CORPUS-DERIVED (Similarity.derivedCentroids, target cell
+    // 32): pinned nCentroids=16 made cell population ∝ corpus and the
+    // symmetric join corpus²/16 (28–40x at sf1 on the r12 board); the
+    // oracle pins the sf0.01 derivation ceil(500/32) = 16.
     Q("q_knn_graph",
-      (s, d) => Similarity.knnGraph(emb(s, d), k = K, nCentroids = 16,
-          nprobe = 2)
-        .orderBy("src", "rank"),
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.knnGraph(e, k = K,
+            nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+            nprobe = 2)
+          .orderBy("src", "rank")
+      },
       Some {
         val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
           s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"

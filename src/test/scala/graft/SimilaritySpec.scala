@@ -340,6 +340,67 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("CentroidProbes kernel == centroidRanks crossJoin+window, codegen and interpreted") {
+    import graft.operators.Similarity
+    for (nc <- Seq(4, 16); k <- Seq(1, 2, 3)) {
+      val cents = emb.filter(col("vec_id") < nc)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).map(_._2).toSeq
+      val viaKernel = emb.select(col("vec_id").as("id"),
+          Similarity.centroidProbesCol(col("embedding"), cents, k).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaRanks = Similarity.centroidRanks(emb, nc)
+        .filter(col("rn") <= k)
+        .select("id", "cid", "rn").collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq
+        }
+      assert(viaKernel === viaRanks, s"nc=$nc k=$k")
+    }
+    // interpreted eval path agrees with codegen (the UTM-family lesson)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val cents = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).map(_._2).toSeq
+      val a = emb.select(col("vec_id"),
+          Similarity.centroidProbesCol(col("embedding"), cents, 2).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      val b = emb.select(col("vec_id"),
+          Similarity.centroidProbesCol(col("embedding"), cents, 2).as("p"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(a === b)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("derivedCentroids pins the verify-scale cell counts (constant expected cell size)") {
+    import graft.operators.Similarity.derivedCentroids
+    // q_knn_graph (target 32): sf0.01 (500 vectors) -> the historical 16
+    assert(derivedCentroids(500L, 32L) === 16)
+    assert(derivedCentroids(2000L, 32L) === 63)   // sf0.1
+    assert(derivedCentroids(20000L, 32L) === 625) // sf1
+    // q_semdedup (target 64): sf0.01 -> the historical 8
+    assert(derivedCentroids(500L, 64L) === 8)
+    assert(derivedCentroids(2000L, 64L) === 32)   // sf0.1
+    assert(derivedCentroids(20000L, 64L) === 313) // sf1
+    // monotone non-decreasing in n, cell population bounded
+    val ns = Seq(100L, 1000L, 10000L, 100000L, 1000000L)
+    val cs = ns.map(derivedCentroids(_, 32L))
+    assert(cs === cs.sorted)
+    ns.zip(cs).foreach { case (n, c) =>
+      assert(n.toDouble / c <= 32.0, s"n=$n cells=$c")
+    }
+  }
+
   test("knnGraph matches the cell-pruned driver model; recall vs brute force is sane") {
     def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
     def sq(a: Seq[Float], b: Seq[Float]): Double = {
