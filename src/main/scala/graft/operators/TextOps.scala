@@ -1982,12 +1982,22 @@ object TextOps {
     * bin mass is the ECE.
     *
     * Exactness: margins and pass labels are exact integers; the bin's
-    * mean confidence folds in doc order (ordered cumsum + rn=nc — the
-    * portable float reduction); sigmoid's exp differs across libms by
-    * an ulp, absorbed by round 6 (the unigramNll precedent).
+    * mean confidence folds through the blockTotal FIXED TREE (the q_twa
+    * r12 pattern — see the scale note): per (bin, blk) an ordered
+    * cumsum-take-last in doc order, then a per-bin fold over the
+    * ≤ [[ClfFoldBlocks]] block partials in blk order. The tree is fixed
+    * by VALUES (blk = portable hash of the id), so the double sum is
+    * reproducible and the oracle mirrors it term for term. Sigmoid's
+    * exp differs across libms by an ulp, absorbed by round 6 (the
+    * unigramNll precedent).
     *
-    * Scale shape: both gates are zero-shuffle narrow scans; one
-    * map-side-combined bin collapse; output ≤ 10 rows. */
+    * Scale shape (r13 — the r12 form ran the ordered fold over
+    * corpus/10 rows of a bin in ONE window task, the declared funnel
+    * the window board gate exempted by name; 30–38× at sf1): both
+    * gates are zero-shuffle narrow scans; integer counts/labels are
+    * plain map-side-combined aggregates; the float fold is
+    * bin×[[ClfFoldBlocks]]-way parallel at stage 1 and reads ≤
+    * ClfFoldBlocks rows per bin at stage 2; output ≤ 10 rows. */
   def clfCalibration(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val m = clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
@@ -1997,26 +2007,51 @@ object TextOps {
       .withColumn("conf",
         lit(1.0) / (lit(1.0) + exp(col("margin").cast("double") / -1000.0)))
       .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"), lit(9L)))
-    val ordd = W.partitionBy("bin").orderBy(idCol)
-    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
-    scored
-      .withColumn("cum_conf", sum(col("conf")).over(cumd))
-      .withColumn("cum_lab", sum(col("label")).over(cumd))
-      .withColumn("rn", row_number().over(ordd))
-      .withColumn("nc", count(lit(1)).over(W.partitionBy("bin")))
-      .filter(col("rn") === col("nc"))
+      .withColumn("blk",
+        pmod(graft.functions.TextFunctions.charHash(col(idCol).cast("string")),
+          lit(ClfFoldBlocks)))
+    // exact integers: partitioning-invariant plain aggregates
+    val ints = scored.groupBy("bin")
+      .agg(count(lit(1)).as("nc"), sum(col("label")).as("lab"))
+    // fixed float tree, stage 1: per-(bin, blk) ordered cumsum take-last
+    val wBlk = W.partitionBy("bin", "blk").orderBy(idCol)
+    val partials = scored
+      .withColumn("cum", sum(col("conf"))
+        .over(wBlk.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rn", row_number().over(wBlk))
+      .withColumn("nb", count(lit(1)).over(W.partitionBy("bin", "blk")))
+      .filter(col("rn") === col("nb"))
+      .select(col("bin"), col("blk"), col("cum"))
+    // stage 2: per-bin fold over <= ClfFoldBlocks partials in blk order
+    val wFold = W.partitionBy("bin").orderBy("blk")
+    val conf = partials
+      .withColumn("cc", sum(col("cum"))
+        .over(wFold.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("rn", row_number().over(wFold))
+      .withColumn("ncb", count(lit(1)).over(W.partitionBy("bin")))
+      .filter(col("rn") === col("ncb"))
+      .select(col("bin"), col("cc"))
+    ints.join(conf, Seq("bin"))
       .select(col("bin"), col("nc").as("n_docs"),
-        round(col("cum_conf") / col("nc").cast("double"), 6).as("avg_conf"),
-        round(col("cum_lab").cast("double") / col("nc").cast("double"), 6)
+        round(col("cc") / col("nc").cast("double"), 6).as("avg_conf"),
+        round(col("lab").cast("double") / col("nc").cast("double"), 6)
           .as("pass_rate"),
-        round(abs(col("cum_conf") / col("nc").cast("double") -
-          col("cum_lab").cast("double") / col("nc").cast("double")), 6)
+        round(abs(col("cc") / col("nc").cast("double") -
+          col("lab").cast("double") / col("nc").cast("double")), 6)
           .as("gap"))
       .orderBy("bin")
   }
 
+  /** Block count for the clfCalibration / brierDecomposition fixed float
+    * trees — 256 (not the twa 512) keeps the worst-case stage-2 frame
+    * (10 bins × 256 partials) below the sf0.1 corpus floor the window
+    * board gate checks against, while still giving bin×256-way stage-1
+    * parallelism. */
+  val ClfFoldBlocks: Long = 256L
+
   /** DuckDB oracle for [[clfCalibration]] — identical margin fold, rule
-    * tree, sigmoid, binning and ordered bin folds. */
+    * tree, sigmoid, binning and the IDENTICAL fixed block fold tree
+    * (the timeWeightedAvgSql convention). */
   def clfCalibrationSql(table: String, idExpr: String, textExpr: String): String = {
     val codes = graft.functions.TextFunctions.tokenCodesSql(textExpr)
     val toks = graft.functions.TextFunctions.tokensSql(textExpr)
@@ -2038,20 +2073,27 @@ object TextOps {
       "1.0 / (1.0 + exp(CAST(m.margin AS DOUBLE) / -1000.0)) AS conf, " +
       "lab.label FROM m JOIN lab ON m.doc_id = lab.doc_id), " +
       "b AS (SELECT doc_id, conf, label, " +
-      "least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin FROM sc), " +
-      "f AS (SELECT bin, " +
-      "sum(conf) OVER (PARTITION BY bin ORDER BY doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_conf, " +
-      "CAST(sum(label) OVER (PARTITION BY bin ORDER BY doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_lab, " +
-      "row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn, " +
-      "count(*) OVER (PARTITION BY bin) AS nc FROM b) " +
-      "SELECT bin, CAST(nc AS BIGINT) AS n_docs, " +
-      "round(cum_conf / CAST(nc AS DOUBLE), 6) AS avg_conf, " +
-      "round(CAST(cum_lab AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS pass_rate, " +
-      "round(abs(cum_conf / CAST(nc AS DOUBLE) - " +
-      "CAST(cum_lab AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS gap " +
-      "FROM f WHERE rn = nc ORDER BY bin"
+      "least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin, " +
+      s"(${graft.functions.TextFunctions.charHashSql("CAST(doc_id AS VARCHAR)")}) " +
+      s"% $ClfFoldBlocks AS blk FROM sc), " +
+      "ints AS (SELECT bin, CAST(count(*) AS BIGINT) AS nc, " +
+      "CAST(sum(label) AS BIGINT) AS lab FROM b GROUP BY bin), " +
+      "p AS (SELECT bin, blk, cum FROM (SELECT bin, blk, " +
+      "sum(conf) OVER (PARTITION BY bin, blk ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, " +
+      "row_number() OVER (PARTITION BY bin, blk ORDER BY doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY bin, blk) AS nb FROM b) z WHERE rn = nb), " +
+      "f AS (SELECT bin, cc FROM (SELECT bin, " +
+      "sum(cum) OVER (PARTITION BY bin ORDER BY blk " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc, " +
+      "row_number() OVER (PARTITION BY bin ORDER BY blk) AS rn, " +
+      "count(*) OVER (PARTITION BY bin) AS ncb FROM p) z WHERE rn = ncb) " +
+      "SELECT ints.bin, ints.nc AS n_docs, " +
+      "round(f.cc / CAST(ints.nc AS DOUBLE), 6) AS avg_conf, " +
+      "round(CAST(ints.lab AS DOUBLE) / CAST(ints.nc AS DOUBLE), 6) AS pass_rate, " +
+      "round(abs(f.cc / CAST(ints.nc AS DOUBLE) - " +
+      "CAST(ints.lab AS DOUBLE) / CAST(ints.nc AS DOUBLE)), 6) AS gap " +
+      "FROM ints JOIN f ON ints.bin = f.bin ORDER BY ints.bin"
   }
 
   /** Jensen-Shannon divergence per group against the corpus — the
@@ -2170,10 +2212,14 @@ object TextOps {
     * no-skill floor).
     *
     * Exactness: the same sigmoid/bin machinery as clfCalibration (exp's
-    * libm ulp absorbed by round 6); every per-bin and cross-bin float
-    * reduction is an ordered fold (cumsum-take-last per bin in doc-id
-    * order, then a ≤10-row bin-order fold — declared in the board
-    * gate); labels and counts are exact integers.
+    * libm ulp absorbed by round 6); the per-bin float reductions (conf
+    * and squared-error sums) run through the [[ClfFoldBlocks]]
+    * blockTotal FIXED TREE exactly like [[clfCalibration]]'s — per
+    * (bin, blk) ordered cumsum-take-last, then a ≤ClfFoldBlocks-row
+    * bin fold in blk order, value-fixed so the oracle mirrors it term
+    * for term; labels and counts are exact integer aggregates. (The
+    * r12 per-bin single-task fold — corpus/10 rows through one window —
+    * was the declared funnel the board gate exempted; 11.6–13× at sf1.)
     *
     * Output: one row (n_docs, brier, reliability, resolution,
     * uncertainty). */
@@ -2186,18 +2232,32 @@ object TextOps {
       .withColumn("sq",
         (col("conf") - col("label").cast("double")) *
           (col("conf") - col("label").cast("double")))
-    val ordd = W.partitionBy("bin").orderBy(idCol)
-    val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
-    val bins = scored
-      .withColumn("cum_conf", sum(col("conf")).over(cumd))
-      .withColumn("cum_sq", sum(col("sq")).over(cumd))
-      .withColumn("cum_lab", sum(col("label")).over(cumd))
-      .withColumn("rn", row_number().over(ordd))
-      .withColumn("nb", count(lit(1)).over(W.partitionBy("bin")))
-      .filter(col("rn") === col("nb"))
+      .withColumn("blk",
+        pmod(graft.functions.TextFunctions.charHash(col(idCol).cast("string")),
+          lit(ClfFoldBlocks)))
+    val ints = scored.groupBy("bin")
+      .agg(count(lit(1)).as("nb"), sum(col("label")).as("cum_lab"))
+    val wBlk = W.partitionBy("bin", "blk").orderBy(idCol)
+    val cumBlk = wBlk.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val partials = scored
+      .withColumn("pc", sum(col("conf")).over(cumBlk))
+      .withColumn("ps", sum(col("sq")).over(cumBlk))
+      .withColumn("rn", row_number().over(wBlk))
+      .withColumn("nbb", count(lit(1)).over(W.partitionBy("bin", "blk")))
+      .filter(col("rn") === col("nbb"))
+      .select(col("bin"), col("blk"), col("pc"), col("ps"))
+    val wFold = W.partitionBy("bin").orderBy("blk")
+    val cumFold = wFold.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val floats = partials
+      .withColumn("cum_conf", sum(col("pc")).over(cumFold))
+      .withColumn("cum_sq", sum(col("ps")).over(cumFold))
+      .withColumn("rn", row_number().over(wFold))
+      .withColumn("ncb", count(lit(1)).over(W.partitionBy("bin")))
+      .filter(col("rn") === col("ncb"))
+      .select(col("bin"), col("cum_conf"), col("cum_sq"))
+    brierBinFold(ints.join(floats, Seq("bin"))
       .select(col("bin"), col("nb"), col("cum_conf"), col("cum_sq"),
-        col("cum_lab"))
-    brierBinFold(bins)
+        col("cum_lab")))
   }
 
   /** The classifier-vs-rules gate pair as one scored frame
@@ -2290,7 +2350,7 @@ object TextOps {
   }
 
   /** DuckDB oracle for [[brierDecomposition]] — identical gates, bins
-    * and ordered folds. */
+    * and the IDENTICAL fixed block fold tree. */
   def brierDecompositionSql(table: String, idExpr: String,
                             textExpr: String): String = {
     val codes = graft.functions.TextFunctions.tokenCodesSql(textExpr)
@@ -2314,15 +2374,25 @@ object TextOps {
       "lab.label FROM m JOIN lab ON m.doc_id = lab.doc_id), " +
       "b AS (SELECT doc_id, conf, label, " +
       "(conf - CAST(label AS DOUBLE)) * (conf - CAST(label AS DOUBLE)) AS sq, " +
-      "least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin FROM sc), " +
-      "f AS (SELECT bin, " +
-      "sum(conf) OVER w AS cum_conf, sum(sq) OVER w AS cum_sq, " +
-      "CAST(sum(label) OVER w AS BIGINT) AS cum_lab, " +
-      "row_number() OVER (PARTITION BY bin ORDER BY doc_id) AS rn, " +
-      "CAST(count(*) OVER (PARTITION BY bin) AS BIGINT) AS nb FROM b " +
-      "WINDOW w AS (PARTITION BY bin ORDER BY doc_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
-      "bins AS (SELECT bin, nb, cum_conf, cum_sq, cum_lab FROM f WHERE rn = nb), " +
+      "least(CAST(floor(conf * 10.0) AS BIGINT), 9) AS bin, " +
+      s"(${graft.functions.TextFunctions.charHashSql("CAST(doc_id AS VARCHAR)")}) " +
+      s"% $ClfFoldBlocks AS blk FROM sc), " +
+      "ints AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb, " +
+      "CAST(sum(label) AS BIGINT) AS cum_lab FROM b GROUP BY bin), " +
+      "p AS (SELECT bin, blk, pc, ps FROM (SELECT bin, blk, " +
+      "sum(conf) OVER w AS pc, sum(sq) OVER w AS ps, " +
+      "row_number() OVER (PARTITION BY bin, blk ORDER BY doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY bin, blk) AS nbb FROM b " +
+      "WINDOW w AS (PARTITION BY bin, blk ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) z WHERE rn = nbb), " +
+      "fl AS (SELECT bin, cum_conf, cum_sq FROM (SELECT bin, " +
+      "sum(pc) OVER wf AS cum_conf, sum(ps) OVER wf AS cum_sq, " +
+      "row_number() OVER (PARTITION BY bin ORDER BY blk) AS rn, " +
+      "count(*) OVER (PARTITION BY bin) AS ncb FROM p " +
+      "WINDOW wf AS (PARTITION BY bin ORDER BY blk " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) z WHERE rn = ncb), " +
+      "bins AS (SELECT ints.bin, ints.nb, fl.cum_conf, fl.cum_sq, ints.cum_lab " +
+      "FROM ints JOIN fl ON ints.bin = fl.bin), " +
       "tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n_docs, " +
       "CAST(sum(cum_lab) AS BIGINT) AS n_pos FROM bins), " +
       "cells AS (SELECT bins.*, tot.n_docs, tot.n_pos, " +

@@ -246,18 +246,18 @@ class BoundedWindowSpec extends SparkSpec {
       }
     // Declared bounds = max rows one window task reads at sf0.1.
     // TopK stage-2 frames are k·salts per group by construction
-    // (constants forever); q_brier/q_clf_calibration are DELIBERATE
-    // per-confidence-bin ordered sigmoid folds (corpus/10 per task —
-    // the oracle pins one fold order per bin; the per-bin blockTotal
-    // fixed tree, the q_twa r12 rewrite, is the documented upgrade
-    // path). A regression past a bound or a NEW unlisted funnel fails.
+    // (constants forever). No corpus-scaled entry remains: the r12
+    // q_brier/q_clf_calibration exemptions (per-bin ordered sigmoid
+    // folds, corpus/10 per task) were rewritten onto the per-bin
+    // blockTotal fixed tree in r13 — their stage-2 folds now read
+    // ≤ TextOps.ClfFoldBlocks rows per bin, under the probe's corpus
+    // floor by construction. A regression past a bound or a NEW
+    // unlisted funnel fails.
     val declared: Map[String, Long] = Map(
       "q_hill_tail" -> 1632L,        // TopK stage 2: (k+1)=51 × 32 salts
       "q_kmv_sketch" -> 2048L,       // TopK stage 2: k=64 × 32 salts
       "q_kmv_estimate" -> 2048L,     // same sketch frame
-      "q_inverted_index" -> 640L,    // TopK stage 2: maxPostings=20 × 32
-      "q_brier" -> 3600L,            // per-bin ordered fold, corpus/10 @ sf0.1
-      "q_clf_calibration" -> 3600L   // same bin machinery
+      "q_inverted_index" -> 640L     // TopK stage 2: maxPostings=20 × 32
     )
     val failures = scala.collection.mutable.Buffer[String]()
     val candidates = scala.collection.mutable.Buffer[String]()
