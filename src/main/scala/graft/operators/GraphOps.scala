@@ -1181,6 +1181,134 @@ object GraphOps {
       .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
   }
 
+  /** WEIGHTED gated Louvain phase-1 sweep — [[louvain]] generalized to a
+    * (a, b, weight) edge frame with self-loops (a = b) allowed: exactly
+    * the [[louvainContract]] quotient shape, which is what makes a
+    * second Louvain LEVEL possible. Same synchronous gated sweeps, same
+    * integer score gate (4·W·intra_w − Σ vol²; W = total weight, loops
+    * once; vol = weighted degree with loops counting twice — the
+    * convention under which the quotient's score of a quotient labeling
+    * EQUALS the node graph's score of the composed labeling), same
+    * Grappolo swap suppression. All arithmetic exact integers
+    * (contraction weights are counts). Output: (node, comm). */
+  def louvainWeighted(edges0: DataFrame, aCol: String = "ca",
+                      bCol: String = "cb", wCol: String = "weight",
+                      maxSweeps: Int = 16): DataFrame = {
+    val e0 = edges0
+      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"),
+        col(wCol).cast("long").as("w"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint() // reused: W, degrees, intra scores, every sweep
+    val plain = e0.filter(col("a") =!= col("b"))
+    val loops = e0.filter(col("a") === col("b"))
+      .select(col("a").as("v"), col("w").as("lw"))
+    val sym = plain.select(col("a").as("v"), col("b").as("u"), col("w"))
+      .unionByName(plain.select(col("b").as("v"), col("a").as("u"), col("w")))
+    // weighted degree: incident non-loop weight + 2×loop weight (nodes
+    // carrying ONLY a loop still need a row — full outer)
+    val deg = sym.groupBy("v").agg(sum(col("w")).as("kp"))
+      .join(loops, Seq("v"), "full_outer")
+      .select(col("v"),
+        (coalesce(col("kp"), lit(0L)) + lit(2L) * coalesce(col("lw"), lit(0L)))
+          .as("k"))
+      .localCheckpoint()
+    val bigW = e0.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+    val loopW = loops.agg(coalesce(sum(col("lw")), lit(0L))).first().getLong(0)
+    def score(labels: DataFrame): Long = {
+      val intraPlain = plain
+        .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
+        .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
+      val volSq = labels.join(deg, labels("node") === deg("v"))
+        .groupBy("comm").agg(sum(col("k")).as("vol"))
+        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)))
+        .first().getLong(0)
+      // loops are intra under ANY labeling (they move with their node)
+      4L * bigW * (intraPlain + loopW) - volSq
+    }
+    def sweep(labels: DataFrame): DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val vol = labels.join(deg, labels("node") === deg("v"))
+        .groupBy("comm").agg(sum(col("k")).as("vol"))
+      val kvc = sym
+        .join(labels.select(col("node").as("u"), col("comm").as("c")), Seq("u"))
+        .groupBy("v", "c").agg(sum(col("w")).as("k_vc"))
+      val base = labels.select(col("node").as("v"), col("comm").as("d"))
+        .join(deg, Seq("v"))
+        .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
+          Seq("v", "d"), "left")
+        .na.fill(0L, Seq("k_vd"))
+        .join(vol.select(col("comm").as("d"), col("vol").as("vol_d")), Seq("d"))
+      val gains = base
+        .join(kvc.filter(col("c").isNotNull), Seq("v"))
+        .filter(col("c") =!= col("d"))
+        .join(vol.select(col("comm").as("c"), col("vol").as("vol_c")), Seq("c"))
+        .withColumn("gain",
+          lit(2L) * bigW * (col("k_vc") - col("k_vd")) -
+            col("k") * (col("vol_c") - (col("vol_d") - col("k"))))
+      val best = gains
+        .withColumn("rk", row_number().over(
+          W.partitionBy("v").orderBy(col("gain").desc, col("c"))))
+        .filter(col("rk") === 1)
+        .select(col("v"), col("d"), col("c"), col("gain"))
+      val moves = best.filter(col("gain") > 0L).select("v", "d", "c")
+      val movePairs = moves.select(col("d").as("yd"), col("c").as("yc"))
+        .distinct()
+      val applied = moves.as("x")
+        .join(movePairs,
+          col("x.c") === col("yd") && col("x.d") === col("yc") &&
+            col("x.d") > col("yd"), "left_anti")
+        .select(col("v"), col("c"))
+      labels.select(col("node"), col("comm"))
+        .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("c"), col("comm")).as("comm"))
+    }
+    var labels = deg.select(col("v").as("node"))
+      .withColumn("comm", col("node"))
+      .localCheckpoint()
+    var s = score(labels)
+    var continue = true
+    var sweeps = 0
+    while (continue && sweeps < maxSweeps) {
+      val proposed = sweep(labels).localCheckpoint()
+      val s2 = score(proposed)
+      if (s2 > s) {
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(labels)
+        labels = proposed; s = s2; sweeps += 1
+      } else {
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(proposed)
+        continue = false
+      }
+    }
+    labels
+  }
+
+  /** TWO-LEVEL Louvain: phase 1 on the node graph, contract communities
+    * onto the quotient ([[louvainContract]]), run the WEIGHTED phase 1
+    * on the quotient, and map quotient labels back through the level-1
+    * assignment. Modularity is MONOTONE non-decreasing across levels by
+    * construction: the level-2 sweep starts from the quotient's
+    * singleton labeling — whose score equals the level-1 partition's
+    * node score under the contraction convention — and the gate only
+    * accepts improving sweeps, so the composed labels can never score
+    * below level 1 (spec asserts this, plus a strict improvement on a
+    * phase-1 local optimum). Output: (node, comm) — comm ids are
+    * level-2 community labels (min level-1 community id convention via
+    * the weighted sweep's label space). */
+  def louvainTwoLevel(edges0: DataFrame, aCol: String = "a",
+                      bCol: String = "b", maxSweeps: Int = 16): DataFrame = {
+    val l1 = louvain(edges0, aCol, bCol, maxSweeps).localCheckpoint()
+    val q = louvainContract(edges0, l1, aCol, bCol)
+    val l2 = louvainWeighted(q, "ca", "cb", "weight", maxSweeps)
+    l1.join(l2.select(col("node").as("comm"), col("comm").as("comm2")),
+        Seq("comm"))
+      .select(col("node"), col("comm2").as("comm"))
+  }
+
   /** DuckDB oracle for [[louvain]]: the identical gated sweep UNROLLED
     * `rounds` times — safe because a rejected (non-improving) round is
     * the identity, so any rounds ≥ the convergence count produce the

@@ -406,6 +406,54 @@ class GraphOpsSpec extends SparkSpec {
     assert(wSelf === stats.getLong(1), "self-loops must sum to intra edges")
   }
 
+  test("louvainWeighted on an all-weight-1 loop-free graph == louvain exactly") {
+    def clique(ids: Seq[Long]) =
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val unw = GraphOps.louvain(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wtd = GraphOps.louvainWeighted(
+        edges.toDF("ca", "cb").withColumn("weight", lit(1L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wtd === unw)
+  }
+
+  test("louvainTwoLevel: modularity monotone across levels, labels a coarsening of level 1") {
+    def q(edges: org.apache.spark.sql.DataFrame,
+          l: org.apache.spark.sql.DataFrame): Double =
+      GraphOps.modularity(edges, l.withColumnRenamed("comm", "label"))
+        .collect()(0).getDouble(2)
+    def clique(ids: Seq[Long]) =
+      for (i <- ids; j <- ids if i < j) yield (i, j)
+    val ring = (0L until 12L).map(v => (v, (v + 1) % 12))
+    val cliqueRing = (0 until 6).flatMap { c =>
+      val base = c * 3L
+      clique(Seq(base, base + 1, base + 2)) :+ ((base + 2, (base + 3) % 18))
+    }
+    val fixtures = Seq(
+      "cycle C12" -> ring,
+      "ring of 6 triangles" -> cliqueRing,
+      "near-dup graph" -> null) // null -> the real sf0.001 edge frame
+    for ((name, fx) <- fixtures) {
+      val edges = if (fx == null) SimilarityQueries_nearDupEdgesForSpec()
+        else fx.toDF("a", "b")
+      val l1 = GraphOps.louvain(edges)
+      val l2 = GraphOps.louvainTwoLevel(edges)
+      val (q1, q2) = (q(edges, l1), q(edges, l2))
+      assert(q2 >= q1 - 1e-9, s"$name: level 2 ($q2) lost to level 1 ($q1)")
+      // coarsening: every level-1 community maps to exactly ONE level-2
+      // community (level 2 moves whole communities, never splits them)
+      val pairs = l1.withColumnRenamed("comm", "c1")
+        .join(l2.withColumnRenamed("comm", "c2"), Seq("node"))
+      val split = pairs.groupBy("c1")
+        .agg(countDistinct(col("c2")).as("nc")).filter(col("nc") > 1).count()
+      assert(split === 0L, s"$name: a level-1 community was split")
+      // same node set labeled
+      assert(l2.count() === l1.count(), s"$name: node coverage")
+    }
+  }
+
   /** The spec-side twin of SimilarityQueries.nearDupEdges at sf0.001. */
   private def SimilarityQueries_nearDupEdgesForSpec() = {
     val emb = Tables.load(spark, sfDir, "embeddings")

@@ -149,13 +149,22 @@ class PushdownSpec extends SparkSpec {
   }
 
   test("knnGraph shuffles on the cell key, not a corpus broadcast of queries") {
-    val plan = graft.operators.Similarity
-      .knnGraph(Tables.load(spark, sfDir, "embeddings"), k = 3,
-        nCentroids = 8, nprobe = 2)
-      .queryExecution.executedPlan.toString
-    // the probe/candidate join must partition by the cell id
-    assert(plan.contains("hashpartitioning(cell"),
-      s"expected a cell-keyed exchange:\n$plan")
+    // at spec scale the tiny cells side legitimately broadcasts; disable
+    // auto-broadcast to surface the SCALE plan — both join sides must
+    // meet on the cell id, never a corpus broadcast or a cartesian
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Similarity
+        .knnGraph(Tables.load(spark, sfDir, "embeddings"), k = 3,
+          nCentroids = 8, nprobe = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("hashpartitioning(cell"),
+        s"expected a cell-keyed exchange:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    }
   }
 
   test("stripTopSort removes only the top-level global sort") {
