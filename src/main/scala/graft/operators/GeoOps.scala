@@ -270,14 +270,15 @@ object GeoOps {
   def haversineJoin(points: DataFrame, rMeters: Double,
                     idCol: String = "id", lonCol: String = "lon",
                     latCol: String = "lat",
-                    saltThreshold: Int = 1 << 17): DataFrame = {
+                    saltThreshold: Int = 1 << 17,
+                    maxCellThin: Option[Int] = None): DataFrame = {
     require(rMeters > 0 && rMeters <= 2000000.0,
       "haversineJoin needs 0 < r <= 2000 km")
     val R = 6371008.8
     val rad = 0.017453292519943295 // pi/180, one shared literal
     val chord = 2.0 * R * math.sin(rMeters / (2.0 * R))
     val bound2 = chord * chord
-    val p = points.select(col(idCol).as("id"),
+    val p0 = points.select(col(idCol).as("id"),
         (col(latCol) * rad).as("latr"), (col(lonCol) * rad).as("lonr"))
       .select(col("id"),
         (lit(R) * cos(col("latr")) * cos(col("lonr"))).as("x"),
@@ -287,6 +288,31 @@ object GeoOps {
         floor(col("x") / chord).cast("long").as("cx"),
         floor(col("y") / chord).cast("long").as("cy"),
         floor(col("z") / chord).cast("long").as("cz"))
+    // Per-cell density THINNING (the Dedup.thinBlocks hash-residue rule,
+    // cell-keyed): density scaling holds expected neighbors constant only
+    // while local density tracks the global count — a cloud whose mass
+    // concentrates (replica stacks, degenerate 1-D value-lines, a metro
+    // hot spot) still grows per-cell population, and pair work inside a
+    // cell is pop²/2 no matter how the radius scales. Cells past the cap
+    // keep the rows whose portable id hash lands on residue 0 of
+    // step = ceil(pop/cap) — expected ~cap survivors, work per cell
+    // bounded by ~cap²/2 at ANY density, zero windows. Cells already
+    // ≤ cap keep every row (bit-identical, spec-proven); the ORACLE
+    // MIRRORS the rule (identical xyz/cell trees, counts, hash and
+    // residue), so pairs among survivors stay exact and the recall bill
+    // — pairs lost only inside over-cap cells — is declared, exactly the
+    // q_minhash_pairs convention. */
+    val p = maxCellThin match {
+      case None => p0
+      case Some(cap) =>
+        val counts = p0.groupBy("cx", "cy", "cz")
+          .agg(count(lit(1)).as("_cn"))
+        p0.join(counts, Seq("cx", "cy", "cz"))
+          .filter(pmod(
+            graft.functions.TextFunctions.charHash(col("id").cast("string")),
+            expr(s"(_cn + ${cap - 1}) DIV $cap")) === 0)
+          .drop("_cn")
+    }
     // 3D half stamp: same cell once + the 13 lexicographically-forward
     // neighbor offsets = every unordered adjacent cell pair probed once
     import p.sparkSession.implicits._
@@ -336,17 +362,35 @@ object GeoOps {
   }
 
   /** DuckDB oracle for [[haversineJoin]]: plain quadratic self-join with
-    * the IDENTICAL xyz/chord trees — binning losslessness hash-proven.
+    * the IDENTICAL xyz/chord trees — binning losslessness hash-proven —
+    * over the IDENTICALLY thinned point set when `maxCellThin` is set
+    * (same cell keys, counts, portable hash, residue rule).
     * `pointsSub` yields (id, lon, lat). */
-  def haversineJoinSql(pointsSub: String, rMeters: Double): String = {
+  def haversineJoinSql(pointsSub: String, rMeters: Double,
+                       maxCellThin: Option[Int] = None): String = {
     val R = 6371008.8
     val rad = 0.017453292519943295
     val chord = 2.0 * R * math.sin(rMeters / (2.0 * R))
     val bound2 = chord * chord
     val twoR = 2.0 * R
-    val xyz = s"(SELECT id, ($R * cos(lat * $rad) * cos(lon * $rad)) AS x, " +
+    val xyz0 = s"(SELECT id, ($R * cos(lat * $rad) * cos(lon * $rad)) AS x, " +
       s"($R * cos(lat * $rad) * sin(lon * $rad)) AS y, " +
       s"($R * sin(lat * $rad)) AS z FROM $pointsSub)"
+    val xyz = maxCellThin match {
+      case None => xyz0
+      case Some(cap) =>
+        val h = graft.functions.TextFunctions
+          .charHashSql("CAST(id AS VARCHAR)")
+        s"(WITH x0 AS (SELECT id, x, y, z, " +
+          s"CAST(floor(x / $chord) AS BIGINT) AS ccx, " +
+          s"CAST(floor(y / $chord) AS BIGINT) AS ccy, " +
+          s"CAST(floor(z / $chord) AS BIGINT) AS ccz FROM $xyz0 q0), " +
+          "cn AS (SELECT ccx, ccy, ccz, count(*) AS _cn FROM x0 " +
+          "GROUP BY ccx, ccy, ccz) " +
+          "SELECT x0.id, x0.x, x0.y, x0.z FROM x0 JOIN cn " +
+          "USING (ccx, ccy, ccz) " +
+          s"WHERE ($h) % ((_cn + ${cap - 1}) // $cap) = 0)"
+    }
     s"SELECT a.id AS id_a, b.id AS id_b, " +
       s"round($twoR * asin(least(sqrt(round(" +
       "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) + " +

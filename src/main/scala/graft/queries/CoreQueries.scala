@@ -450,19 +450,26 @@ object CoreQueries {
     // quadratic in SF — 96–163x wall at sf1 on the r12 board); the
     // oracle pins 200 km at the sf0.01 verify scale (n = 1250 sampled
     // shots, where the derivation is exactly the reference radius).
+    // Declared with maxCellThin = 320 (oracle mirrors): the shots
+    // lattice concentrates mass — value feeds BOTH lon and lat, so each
+    // site is a 1-D value-line whose LOCAL density outruns the global
+    // derivation (still 42x at sf1 with the derived radius alone; cell
+    // population 2776). The cap does not bind at or below sf0.1 (max
+    // cell 278) and bounds per-cell pair work to ~320²/2 at any density.
     Q("q_haversine_join",
       (s, d) => {
         val pts = Shots.df(s, d).filter(col("shot") % 8 === 0)
           .select(col("shot").as("id"), col("lon"), col("lat"))
         GeoOps.haversineJoin(pts,
             rMeters = GeoOps.densityRadiusMeters(pts.count(), 200000.0,
-              nRef = 1250L))
+              nRef = 1250L),
+            maxCellThin = Some(320))
           .orderBy("id_a", "id_b")
       },
       Some(GeoOps.haversineJoinSql(
         s"(SELECT shot AS id, lon, lat FROM ${Shots.sql} " +
           "WHERE shot % 8 = 0) pts",
-        rMeters = 200000.0) + " ORDER BY id_a, id_b")),
+        rMeters = 200000.0, maxCellThin = Some(320)) + " ORDER BY id_a, id_b")),
 
     // Hexagonal binning (H3-style cells): nearest checkerboard-lattice
     // center, rational 26/15 aspect so every coordinate and distance

@@ -246,6 +246,24 @@ class CurationOpsSpec extends SparkSpec {
       (100L, 101L, 0.0))), "far pair retained")
   }
 
+  test("haversineJoin maxCellThin: cap >= every cell is bit-identical; binding cap is a subset") {
+    import spark.implicits._
+    val pts = (0L until 80L).map(i => (i, 10.0 + (i % 40) * 0.0002, 10.0))
+      .toDF("id", "lon", "lat")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("d_m"))).toSet
+    val exact = rows(GeoOps.haversineJoin(pts, rMeters = 5000.0))
+    val loose = rows(GeoOps.haversineJoin(pts, rMeters = 5000.0,
+      maxCellThin = Some(100000)))
+    assert(loose === exact)
+    val thin = rows(GeoOps.haversineJoin(pts, rMeters = 5000.0,
+      maxCellThin = Some(8)))
+    assert(thin.subsetOf(exact))
+    assert(thin.size < exact.size, "a binding cap must drop pairs")
+    assert(thin.nonEmpty, "survivor pairs remain")
+  }
+
   test("densityRadiusMeters pins the verify-scale radius and scales with density") {
     // q_haversine_join: n = 1250 sampled shots at sf0.01 -> exactly the
     // 200 km reference; 10x/100x denser clouds shrink by sqrt
