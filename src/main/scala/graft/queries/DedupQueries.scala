@@ -25,7 +25,7 @@ object DedupQueries {
     * (the r12 sf1 board measured the unthinned family at 33–183× wall
     * on 10× data). */
   private[queries] val SourceBlockCap = 512
-  private[queries] val SourceLangBlockCap = 256
+  private[queries] val SourceLangBlockCap = 160
 
   /** (band, key) pairs per doc as UNION ALL branches (DuckDB side of
     * Dedup.minhashCandidates' posexplode). */
@@ -114,7 +114,7 @@ object DedupQueries {
     // scale: (source, lang) composite blocking keys cap the candidate
     // set (the multi-attribute blocking norm in fuzzy dedup — a plain
     // source bucket was 80x more pairs and 45 s at sf0.1), hash-residue
-    // block thinning bounds each block to ~SourceLangBlockCap rows (the
+    // block thinning bounds each block to ~SourceLangBlockCap rows (160) (the
     // keys are fixed-cardinality, so unthinned blocks grow with the
     // corpus and pairs quadratically — 123–183x at sf1 on the r12
     // board; the oracle mirrors the thinning), and the

@@ -102,13 +102,16 @@ def replicate(src, out, table, stride):
                              "embedding", lists)
         chunks.append(t)
     merged = pa.concat_tables(chunks)
-    # 8k-row groups: Spark parallelizes a parquet FILE only at row-group
-    # boundaries, so the old 1<<20 (single-group documents/events/
-    # embeddings) serialized every sf1 scan stage onto ONE task — a
-    # data-layout artifact, not an engine cost (real corpora arrive in
-    # many files/groups). 8192 gives documents 7 groups, events 123.
+    # ~32 row groups per table (floor 4096 rows): Spark parallelizes a
+    # parquet FILE only at row-group boundaries, so the old 1<<20
+    # (single-group documents/events/embeddings) serialized every sf1
+    # scan stage onto ONE task — a data-layout artifact, not an engine
+    # cost (real corpora arrive in many files/groups). Capping at ~32
+    # groups keeps iterative operators (BFS/label rounds re-scan their
+    # checkpointed scan-partitioned frames every round) from drowning in
+    # per-task overhead at local[8].
     pq.write_table(merged, f"{out}/{table}.parquet",
-                   row_group_size=8192)
+                   row_group_size=max(4096, len(merged) // 32))
     print(f"{table}: {len(tab)} -> {len(merged)} rows")
 
 
