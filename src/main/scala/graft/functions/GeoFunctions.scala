@@ -365,6 +365,115 @@ object GeoFunctions {
     (s"($rho * sin($theta))", s"($rho0 - $rho * cos($theta))")
   }
 
+  // --- Albers equal-area conic (2 standard parallels) -----------------------
+  // The equal-area conic family statistical/national grids use where LCC's
+  // conformality is the wrong trade (Snyder PP 1395 p. 98-103, eq. 3-12,
+  // 14-1..14-6, ellipsoid form): plan-time constants n, C, rho0 from the
+  // declared parallels; per-row work is one q(phi) evaluation plus
+  // sin/cos — a codegen'd narrow map like LCC. The defining property —
+  // area scale EXACTLY 1 everywhere — is spec-checked by finite
+  // differences against the ellipsoid area element, so a series error
+  // cannot hide.
+
+  /** Snyder eq. 3-12: the equal-area auxiliary q(phi). */
+  private def albersQ(e: Double, e2: Double)(phi: Double): Double = {
+    val s = math.sin(phi)
+    (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+      (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+  }
+
+  /** Plan-time Albers constants (n, C, rho0). */
+  def albersConstants(phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                      a: Double, e2: Double): (Double, Double, Double) = {
+    val e = math.sqrt(e2)
+    val p0 = math.toRadians(phi0Deg)
+    val p1 = math.toRadians(phi1Deg)
+    val p2 = math.toRadians(phi2Deg)
+    val m1 = lccM(e2)(p1)
+    val m2 = lccM(e2)(p2)
+    val q0 = albersQ(e, e2)(p0)
+    val q1 = albersQ(e, e2)(p1)
+    val q2 = albersQ(e, e2)(p2)
+    val n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    val c = m1 * m1 + n * q1
+    val rho0 = a * math.sqrt(c - n * q0) / n
+    (n, c, rho0)
+  }
+
+  /** Forward Albers equal-area conic (meters, full doubles): Snyder's
+    * ellipsoid form with Scala-computed plan constants. Validity:
+    * latitudes strictly inside (−90, 90); callers filter. */
+  def albersForward(lon: Column, lat: Column,
+                    phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                    lon0Deg: Double,
+                    a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = math.sqrt(e2)
+    val (n, c, rho0) = albersConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    val phi = lat * Deg2Rad
+    val sp = sin(phi)
+    val q = lit(1.0 - e2) * (sp / (lit(1.0) - lit(e2) * sp * sp) -
+      lit(1.0 / (2.0 * e)) *
+        log((lit(1.0) - lit(e) * sp) / (lit(1.0) + lit(e) * sp)))
+    val rho = lit(a) * sqrt(lit(c) - lit(n) * q) / n
+    val theta = lit(n) * (lon - lon0Deg) * Deg2Rad
+    (rho * sin(theta), lit(rho0) - rho * cos(theta))
+  }
+
+  /** The identical Albers series as SQL fragments (x, y). */
+  def albersForwardSql(lon: String, lat: String,
+                       phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                       lon0Deg: Double,
+                       a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val e = math.sqrt(e2)
+    val (n, c, rho0) = albersConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    val phi = s"(($lat) * $Deg2Rad)"
+    val sp = s"sin($phi)"
+    val q = s"((${1.0 - e2}) * ($sp / (1.0 - $e2 * $sp * $sp) - " +
+      s"(${1.0 / (2.0 * e)}) * ln((1.0 - $e * $sp) / (1.0 + $e * $sp))))"
+    val rho = s"(($a) * sqrt(($c) - ($n) * $q) / ($n))"
+    val theta = s"(($n) * (($lon) - ($lon0Deg)) * $Deg2Rad)"
+    (s"($rho * sin($theta))", s"($rho0 - $rho * cos($theta))")
+  }
+
+  // --- Polar stereographic (north aspect, central scale k0) ------------------
+  // The azimuthal member of the family (polar research grids; Snyder PP
+  // 1395 p. 160-161, eq. 21-33/21-34 ellipsoid form with central scale):
+  // reuses LCC's conformal auxiliary t(phi). Conformality — scale
+  // identical in every direction — is spec-checked by finite differences.
+
+  /** Forward north-polar stereographic (meters): x = rho sin(λ−λ0),
+    * y = −rho cos(λ−λ0) with rho = 2 a k0 t / √((1+e)^(1+e)(1−e)^(1−e)).
+    * Validity: latitudes strictly above −90 (the south pole is the
+    * antipode); callers filter to the northern cap in practice. */
+  def polarStereoForward(lon: Column, lat: Column, lon0Deg: Double,
+                         k0: Double = 0.994,
+                         a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = math.sqrt(e2)
+    val denom = math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    val phi = lat * Deg2Rad
+    val sp = sin(phi)
+    val t = tan(lit(math.Pi / 4.0) - phi / 2.0) /
+      pow((lit(1.0) - lit(e) * sp) / (lit(1.0) + lit(e) * sp), e / 2.0)
+    val rho = lit(2.0 * a * k0 / denom) * t
+    val lam = (lon - lon0Deg) * Deg2Rad
+    (rho * sin(lam), lit(0.0) - rho * cos(lam))
+  }
+
+  /** The identical polar-stereographic series as SQL fragments (x, y). */
+  def polarStereoForwardSql(lon: String, lat: String, lon0Deg: Double,
+                            k0: Double = 0.994,
+                            a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val e = math.sqrt(e2)
+    val denom = math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    val phi = s"(($lat) * $Deg2Rad)"
+    val sp = s"sin($phi)"
+    val t = s"(tan(${math.Pi / 4.0} - $phi / 2.0) / " +
+      s"pow((1.0 - $e * $sp) / (1.0 + $e * $sp), ${e / 2.0}))"
+    val rho = s"((${2.0 * a * k0 / denom}) * $t)"
+    val lam = s"((($lon) - ($lon0Deg)) * $Deg2Rad)"
+    (s"($rho * sin($lam))", s"(0.0 - $rho * cos($lam))")
+  }
+
   /** Z-order (Morton) value of a lon/lat point: each coordinate is
     * quantized to `bits` levels over its world range, then the bits are
     * interleaved. Points close on the curve are close in space, so a

@@ -440,9 +440,87 @@ class UtmSpec extends SparkSpec {
     }
   }
 
+  /** Evaluate a (lon, lat) -> (x, y) Column pair on driver points. */
+  private def evalProj(pts: Seq[(Double, Double)],
+                       f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
+                         (org.apache.spark.sql.Column, org.apache.spark.sql.Column))
+      : Seq[(Double, Double)] = {
+    val df = pts.toDF("lon", "lat")
+    val (x, y) = f(col("lon"), col("lat"))
+    df.select(x.as("x"), y.as("y")).collect()
+      .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+  }
+
+  test("albersForward: area scale is EXACTLY 1 (finite differences vs ellipsoid area element) (r13)") {
+    // the equal-area DEFINITION: |d(x,y)/d(lam,phi)| == M(phi) N(phi) cos(phi)
+    // everywhere — a series mistake cannot pass this
+    val a = GeoFunctions.Wgs84A
+    val e2 = GeoFunctions.Wgs84E2
+    val d = 0.001 // degrees
+    def proj(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      GeoFunctions.albersForward(lon, lat,
+        phi0Deg = 23.0, phi1Deg = 29.5, phi2Deg = 45.5, lon0Deg = -96.0)
+    for ((lam, phiD) <- Seq((-75.0, 35.0), (-120.0, 50.0), (-96.0, 23.0), (10.0, -20.0))) {
+      val ps = evalProj(Seq((lam + d, phiD), (lam - d, phiD),
+        (lam, phiD + d), (lam, phiD - d)), proj)
+      val dRad = math.toRadians(d)
+      val xl = (ps(0)._1 - ps(1)._1) / (2 * dRad)
+      val yl = (ps(0)._2 - ps(1)._2) / (2 * dRad)
+      val xp = (ps(2)._1 - ps(3)._1) / (2 * dRad)
+      val yp = (ps(2)._2 - ps(3)._2) / (2 * dRad)
+      val jac = math.abs(xl * yp - xp * yl)
+      val phi = math.toRadians(phiD)
+      val w2 = 1.0 - e2 * math.sin(phi) * math.sin(phi)
+      val area = (a * (1.0 - e2) / math.pow(w2, 1.5)) * (a / math.sqrt(w2)) *
+        math.cos(phi)
+      assert(math.abs(jac / area - 1.0) < 1e-5,
+        s"area scale ${jac / area} at ($lam, $phiD)")
+    }
+    // origin maps to (0, 0)
+    val o = evalProj(Seq((-96.0, 23.0)), proj).head
+    assert(math.abs(o._1) < 1e-6 && math.abs(o._2) < 1e-6, s"origin $o")
+  }
+
+  test("polarStereoForward: conformal (h == k), pole at origin, pole scale k0 (r13)") {
+    val a = GeoFunctions.Wgs84A
+    val e2 = GeoFunctions.Wgs84E2
+    val k0 = 0.994
+    val d = 0.001
+    def proj(lon: org.apache.spark.sql.Column, lat: org.apache.spark.sql.Column) =
+      GeoFunctions.polarStereoForward(lon, lat, lon0Deg = -45.0, k0 = k0)
+    for ((lam, phiD) <- Seq((-45.0, 70.0), (30.0, 85.0), (120.0, 45.0))) {
+      val ps = evalProj(Seq((lam + d, phiD), (lam - d, phiD),
+        (lam, phiD + d), (lam, phiD - d)), proj)
+      val dRad = math.toRadians(d)
+      val xl = (ps(0)._1 - ps(1)._1) / (2 * dRad)
+      val yl = (ps(0)._2 - ps(1)._2) / (2 * dRad)
+      val xp = (ps(2)._1 - ps(3)._1) / (2 * dRad)
+      val yp = (ps(2)._2 - ps(3)._2) / (2 * dRad)
+      val phi = math.toRadians(phiD)
+      val w2 = 1.0 - e2 * math.sin(phi) * math.sin(phi)
+      val h = math.hypot(xp, yp) / (a * (1.0 - e2) / math.pow(w2, 1.5))
+      val k = math.hypot(xl, yl) / (a / math.sqrt(w2) * math.cos(phi))
+      assert(math.abs(h / k - 1.0) < 1e-5, s"h/k = ${h / k} at ($lam, $phiD)")
+      // conformal scale exceeds k0 away from the pole (k0 < 1 secant form)
+      assert(k > 0.9 && k < 3.0, s"scale $k out of sane range")
+    }
+    // the pole itself lands at the origin; the limit scale there is k0
+    val p = evalProj(Seq((-45.0, 90.0), (0.0, 89.999)), proj)
+    assert(math.abs(p.head._1) < 1e-6 && math.abs(p.head._2) < 1e-6)
+    val nearPole = evalProj(Seq((0.0 + d, 89.999), (0.0 - d, 89.999)), proj)
+    val dRad = math.toRadians(d)
+    val xl = (nearPole(0)._1 - nearPole(1)._1) / (2 * dRad)
+    val yl = (nearPole(0)._2 - nearPole(1)._2) / (2 * dRad)
+    val phi = math.toRadians(89.999)
+    val w2 = 1.0 - e2 * math.sin(phi) * math.sin(phi)
+    val k = math.hypot(xl, yl) / (a / math.sqrt(w2) * math.cos(phi))
+    assert(math.abs(k - k0) < 1e-4, s"pole-limit scale $k vs k0 $k0")
+  }
+
   test("q_utm_inverse / q_lcc_transform spark plans match their oracle SQL through Spark (r9)") {
     Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
-    for (name <- Seq("q_utm_inverse", "q_lcc_transform")) {
+    for (name <- Seq("q_utm_inverse", "q_lcc_transform",
+        "q_albers_transform", "q_stereo_transform")) {
       val q = graft.queries.CoreQueries.defs.find(_.name == name).get
       val got = q.fn(spark, sfDir).collect().map(_.mkString("|")).toSeq
       val oracle = spark.sql(q.oracle.get).collect().map(_.mkString("|")).toSeq
