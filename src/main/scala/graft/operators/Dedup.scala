@@ -265,10 +265,23 @@ object Dedup {
     * frame is materialized once and read by both join sides. Output: one
     * row (n_truth, n_candidates, n_hit_pairs, recall_pairs,
     * n_hit_cluster, recall_cluster). */
+  /** Corpus-scaled truth-sample modulus for [[lshRecall]]: the truth set
+    * is QUADRATIC inside blocks by definition (that is what makes it the
+    * truth), so past `fullUpTo` docs the audit estimates recall on the
+    * deterministic hash-residue doc subsample id: charHash % mod == 0 —
+    * truth-pair volume shrinks by mod² while the estimate stays unbiased
+    * (the residue is independent of the id-ordered candidate cap).
+    * mod = 1 (identical to the exhaustive audit) through the sf0.1 board
+    * scale; the oracle pins the verify-scale derivation. */
+  def scaledTruthSampleMod(n: Long, fullUpTo: Long = 5000L): Int = {
+    require(n >= 0 && fullUpTo > 0)
+    math.max(1L, (n + fullUpTo - 1) / fullUpTo).toInt
+  }
+
   def lshRecall(df: DataFrame, idCol: String, textCol: String,
                 blockCols: Seq[String], n: Int = 3, tau: Double = 0.3,
                 k: Int = 16, bands: Int = 4, maxBucket: Option[Int] = None,
-                pairParts: Int = 64): DataFrame = {
+                pairParts: Int = 64, truthSampleMod: Int = 1): DataFrame = {
     import org.apache.spark.sql.graftbridge.PlanBridge
     // null block keys are excluded on BOTH engines: Spark's struct
     // equality would pair null-keyed docs while SQL's column equality
@@ -293,8 +306,17 @@ object Dedup {
     // gram counts, so a ratio below tau skips the O(|grams|) intersect
     // kernel — implied by J ≥ tau, the truth set is unchanged and the
     // oracle needs no mirror.
-    val truth = g.repartition(pairParts).as("x")
-      .join(broadcast(g).as("y"),
+    // truth-side sample ([[scaledTruthSampleMod]]): both pair ends from
+    // the hash-residue doc subset; candidates/components stay FULL — the
+    // audit asks what fraction of (sampled) truth the production paths
+    // catch, and the hash residue is independent of the candidate cap's
+    // id ordering, so the estimate is unbiased
+    val gs =
+      if (truthSampleMod <= 1) g
+      else g.filter(pmod(TextFunctions.charHash(col("id").cast("string")),
+        lit(truthSampleMod.toLong)) === 0)
+    val truth = gs.repartition(pairParts).as("x")
+      .join(broadcast(gs).as("y"),
         col("x.blk") === col("y.blk") && col("x.id") < col("y.id") &&
           least(col("x.ng"), col("y.ng")).cast("double") >=
             lit(tau) * greatest(col("x.ng"), col("y.ng")).cast("double"))
@@ -311,10 +333,14 @@ object Dedup {
       .join(comps.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
       .join(comps.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
       .filter(col("ca") === col("cb"))
-    val rp = round(col("n_hit_pairs").cast("double") /
-      col("n_truth").cast("double"), 6)
-    val rc = round(col("n_hit_cluster").cast("double") /
-      col("n_truth").cast("double"), 6)
+    // an empty (sampled) truth set has no recall to report — NULL, not a
+    // division error (ANSI mode) or a misleading 0
+    val rp = when(col("n_truth") > 0L,
+      round(col("n_hit_pairs").cast("double") /
+        col("n_truth").cast("double"), 6))
+    val rc = when(col("n_truth") > 0L,
+      round(col("n_hit_cluster").cast("double") /
+        col("n_truth").cast("double"), 6))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
       .crossJoin(truth.join(cand, Seq("a", "b"), "left_semi")

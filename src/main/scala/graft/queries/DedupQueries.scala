@@ -234,18 +234,30 @@ object DedupQueries {
     // row, fully hash-verified: truth set, candidate set AND components
     // rebuild identically in DuckDB.
     Q("q_lsh_recall",
-      (s, d) => Dedup.lshRecall(docs(s, d), "doc_id", "text",
-        blockCols = Seq("lang"), n = 3, tau = 0.3,
-        k = 16, bands = 4, maxBucket = Some(64)),
+      (s, d) => {
+        val dd = docs(s, d)
+        Dedup.lshRecall(dd, "doc_id", "text",
+          blockCols = Seq("lang"), n = 3, tau = 0.3,
+          k = 16, bands = 4, maxBucket = Some(64),
+          // truth stays EXHAUSTIVE through the sf0.1 board scale
+          // (mod = 1, oracle pins the sf0.01 derivation); past it the
+          // quadratic truth runs on the hash-residue doc sample — the
+          // "block-sampled at scale" form SURVEY declares
+          truthSampleMod = Dedup.scaledTruthSampleMod(dd.count()))
+      },
       Some {
         val grams = s"list_distinct(${ngramsSql("t", 3)})"
+        // sf0.01 derivation: scaledTruthSampleMod(500) = 1 (the `% 1 = 0`
+        // filter keeps every doc — the exhaustive audit)
+        val h = charHashSql("CAST(id AS VARCHAR)")
         s"WITH RECURSIVE tk AS (SELECT doc_id, lang, ${tokensSql("text")} AS t " +
           "FROM documents WHERE lang IS NOT NULL), " +
           s"g AS (SELECT doc_id AS id, lang, $grams AS grams FROM tk), " +
+          s"gs AS (SELECT * FROM g WHERE ($h) % 1 = 0), " +
           "p AS (SELECT x.id AS a, y.id AS b, " +
           "CAST(len(list_intersect(x.grams, y.grams)) AS BIGINT) AS inter, " +
           "CAST(len(x.grams) AS BIGINT) AS na, CAST(len(y.grams) AS BIGINT) AS nb " +
-          "FROM g x JOIN g y ON x.lang = y.lang AND x.id < y.id), " +
+          "FROM gs x JOIN gs y ON x.lang = y.lang AND x.id < y.id), " +
           "truth AS (SELECT a, b FROM p WHERE " +
           "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.3), " +
           s"bands AS (${mhBandsSql(16, 4)}), " +

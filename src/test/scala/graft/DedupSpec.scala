@@ -24,6 +24,22 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 3L, 3L -> 1L))
   }
 
+  test("lshRecall truth sample: derivation pins, mod=1 exhaustive, sampled truth is a subset") {
+    import graft.operators.Dedup.scaledTruthSampleMod
+    assert(scaledTruthSampleMod(500L) === 1)   // sf0.01 — oracle pin
+    assert(scaledTruthSampleMod(5000L) === 1)  // sf0.1 board — unchanged
+    assert(scaledTruthSampleMod(50000L) === 10) // sf1 — truth pairs /100
+    assert(scaledTruthSampleMod(0L) === 1)
+    val full = Dedup.lshRecall(docs, "doc_id", "text", blockCols = Seq("lang"),
+      maxBucket = Some(64)).collect().head
+    val sampled = Dedup.lshRecall(docs, "doc_id", "text", blockCols = Seq("lang"),
+      maxBucket = Some(64), truthSampleMod = 3).collect().head
+    assert(sampled.getLong(0) <= full.getLong(0), "sampled truth <= full truth")
+    assert(sampled.getLong(1) === full.getLong(1), "candidate set is untouched")
+    assert(sampled.getLong(2) <= full.getLong(2))
+    assert(sampled.getLong(4) <= full.getLong(4))
+  }
+
   test("thinBlocks: identity when every block <= cap") {
     val d = docs.limit(200).select("doc_id", "source", "lang", "text")
     // sf0.001 blocks are far below 512 — step = 1 everywhere
