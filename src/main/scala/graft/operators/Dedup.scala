@@ -1082,10 +1082,18 @@ object Dedup {
       overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
     val (prefixRows, allPairsRows) =
       overlapVolumesFromParts(grams, posts, prefix)
-    if (prefixRows <= allPairsRows)
-      overlapPrefixJoinFromParts(grams, posts, prefix, alphaNum, alphaDen)
-    else
-      overlapAllPairsJoinFromGrams(grams, alphaNum, alphaDen)
+    val chosen =
+      if (prefixRows <= allPairsRows)
+        overlapPrefixJoinFromParts(grams, posts, prefix, alphaNum, alphaDen)
+      else
+        overlapAllPairsJoinFromGrams(grams, alphaNum, alphaDen)
+    // materialize the chosen join (its output is the bounded pair set),
+    // then RELEASE the corpus-sized gram checkpoint — without this,
+    // repeated auto calls accumulate gram-frame storage for the lifetime
+    // of the session (the overlapCandidateVolumes unpersist pattern)
+    val out = chosen.localCheckpoint()
+    PlanBridge.unpersistLocalCheckpoint(grams)
+    out
   }
 
   /** The blocked all-pairs face of the overlap join — q_containment's

@@ -344,8 +344,16 @@ object GeoOps {
       .withColumn("_salt",
         explode(sequence(lit(0L), coalesce(col("_nsalt"), lit(1L)) - 1)))
       .drop("_nsalt")
+    // home-side shard key is the PORTABLE HASH of the id, not the raw id
+    // (the thinBlocks trick): structured id spaces — q_haversine_join's
+    // ids are all multiples of 8 — make pmod(id, nsalt) collapse most
+    // rows onto a few shards for any nsalt sharing a factor, silently
+    // voiding the task-skew bound the salting exists to provide. The
+    // shard choice never affects the pair set, only its distribution.
     val rightSalted = right.join(broadcast(hot), Seq("jx", "jy", "jz"), "left")
-      .withColumn("_salt", coalesce(pmod(col("id_b"), col("_nsalt")), lit(0L)))
+      .withColumn("_salt", coalesce(
+        pmod(graft.functions.TextFunctions.charHash(col("id_b").cast("string")),
+          col("_nsalt")), lit(0L)))
       .drop("_nsalt")
     val chord2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
       (col("ya") - col("yb")) * (col("ya") - col("yb")) +

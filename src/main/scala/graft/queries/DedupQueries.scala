@@ -242,8 +242,14 @@ object DedupQueries {
           // truth stays EXHAUSTIVE through the sf0.1 board scale
           // (mod = 1, oracle pins the sf0.01 derivation); past it the
           // quadratic truth runs on the hash-residue doc sample — the
-          // "block-sampled at scale" form SURVEY declares
-          truthSampleMod = Dedup.scaledTruthSampleMod(dd.count()))
+          // "block-sampled at scale" form SURVEY declares. The mod is
+          // derived from the NULL-FILTERED doc count — the same frame
+          // lshRecall actually pairs (lang-NULL docs are excluded on
+          // both engines), so the Spark-side derivation and the oracle's
+          // pinned value can never drift apart on a corpus whose null
+          // share pushes the raw count past fullUpTo first.
+          truthSampleMod = Dedup.scaledTruthSampleMod(
+            dd.filter(col("lang").isNotNull).count()))
       },
       Some {
         val grams = s"list_distinct(${ngramsSql("t", 3)})"
@@ -280,14 +286,18 @@ object DedupQueries {
           "hitc AS (SELECT truth.a, truth.b FROM truth " +
           "JOIN comps x ON truth.a = x.id JOIN comps y ON truth.b = y.id " +
           "WHERE x.comp = y.comp) " +
+          // empty-truth guard MIRRORS the Spark side's when(n_truth > 0):
+          // NULL recall, never an engine-dependent x/0
           "SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth, " +
           "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates, " +
           "(SELECT CAST(count(*) AS BIGINT) FROM hitp) AS n_hit_pairs, " +
+          "CASE WHEN (SELECT count(*) FROM truth) > 0 THEN " +
           "round(CAST((SELECT count(*) FROM hitp) AS DOUBLE) / " +
-          "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall_pairs, " +
+          "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) END AS recall_pairs, " +
           "(SELECT CAST(count(*) AS BIGINT) FROM hitc) AS n_hit_cluster, " +
+          "CASE WHEN (SELECT count(*) FROM truth) > 0 THEN " +
           "round(CAST((SELECT count(*) FROM hitc) AS DOUBLE) / " +
-          "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall_cluster"
+          "CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) END AS recall_cluster"
       }),
 
     // Incremental near-dup admission: the doc_id % 10 == 0 slice plays
