@@ -1077,23 +1077,26 @@ object Dedup {
     // volume predictor reads are the same frames the chosen join
     // consumes (the parts used to be rebuilt from scratch after the
     // choice — every auto call paid the tokenize/gram/postings stage
-    // twice). grams stays checkpointed for the returned plan's lifetime.
+    // twice). grams is materialized INTO the eager output checkpoint
+    // below and released before return, so the only storage that
+    // outlives this call is the bounded PAIR SET — callers that loop
+    // over many corpora should release that too via
+    // PlanBridge.unpersistLocalCheckpoint(result) once consumed.
     val (grams, posts, prefix) =
       overlapPrefixParts(docs, idCol, textCol, blockCol, alphaNum, alphaDen)
-    val (prefixRows, allPairsRows) =
-      overlapVolumesFromParts(grams, posts, prefix)
-    val chosen =
-      if (prefixRows <= allPairsRows)
-        overlapPrefixJoinFromParts(grams, posts, prefix, alphaNum, alphaDen)
-      else
-        overlapAllPairsJoinFromGrams(grams, alphaNum, alphaDen)
-    // materialize the chosen join (its output is the bounded pair set),
-    // then RELEASE the corpus-sized gram checkpoint — without this,
-    // repeated auto calls accumulate gram-frame storage for the lifetime
-    // of the session (the overlapCandidateVolumes unpersist pattern)
-    val out = chosen.localCheckpoint()
-    PlanBridge.unpersistLocalCheckpoint(grams)
-    out
+    try {
+      val (prefixRows, allPairsRows) =
+        overlapVolumesFromParts(grams, posts, prefix)
+      val chosen =
+        if (prefixRows <= allPairsRows)
+          overlapPrefixJoinFromParts(grams, posts, prefix, alphaNum, alphaDen)
+        else
+          overlapAllPairsJoinFromGrams(grams, alphaNum, alphaDen)
+      // eagerly materialize the chosen join (its output is the bounded
+      // pair set) so the finally-release of the corpus-sized gram
+      // checkpoint is safe — and runs even when the eager job throws
+      chosen.localCheckpoint()
+    } finally PlanBridge.unpersistLocalCheckpoint(grams)
   }
 
   /** The blocked all-pairs face of the overlap join — q_containment's

@@ -107,8 +107,9 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the classic coarse-quantizer structure that
     * scales to 100 TB: every vector is assigned to its nearest of
-    * `nCentroids` cells (here: the first nCentroids vectors act as the
-    * trained quantizer, broadcast to every task); a query probes its
+    * `nCentroids` cells via the two-level [[twoLevelProbes]] assignment
+    * (the lowest-id vectors under nCentroids act as the trained
+    * quantizer); a query probes its
     * `nprobe` nearest cells and scores only those cells' members. At
     * cluster scale the index frame is written partitioned by cell, so a
     * probe reads nprobe/nCentroids of the data — the scan itself shrinks,
@@ -123,36 +124,111 @@ object Similarity {
     * count is a corpus parameter, not a constant. Integer arithmetic —
     * a query derives it at plan time and its oracle pins the derived
     * value at the verify scale. With cells ∝ n the symmetric cell join
-    * is linear in n (n·nprobe·targetCell); assignment is n·cells·dims
-    * flops in ONE codegen'd scan ([[Exprs.CentroidProbes]] — no row
-    * explosion), fine to ~10⁵ cells per executor; past that, train a
-    * two-level coarse quantizer with [[kmeansUpdate]] before assigning. */
+    * is linear in n (n·nprobe·targetCell); assignment is the TWO-LEVEL
+    * [[twoLevelProbes]] (coarse √cells kernel + fine DataFrame join —
+    * n·√cells flops, √cells-row driver codebook), so neither the flop
+    * count nor the plan-constant size grows linearly with the corpus. */
   def derivedCentroids(n: Long, targetCell: Long): Int = {
     require(n > 0 && targetCell > 0, "derivedCentroids needs positive counts")
     math.min((n + targetCell - 1) / targetCell, 1000000L).toInt
   }
 
-  /** The collected centroid codebook under the first-nCentroids-vectors
-    * convention (ids must be exactly 0..nCentroids−1, enforced) — tiny
-    * (cells × dims floats), embedded as a plan constant for the one-pass
-    * assignment kernel. */
-  private def collectCentroids(candidates: DataFrame, nCentroids: Int,
-                               idCol: String, vecCol: String): Seq[Seq[Float]] = {
-    val rows = candidates
-      .filter(col(idCol) >= 0 && col(idCol) < nCentroids)
-      .select(col(idCol).cast("long"), col(vecCol))
+  /** Coarse cell count of the TWO-LEVEL quantizer over `nCells` fine
+    * cells: ceil(sqrt(nCells)), so both levels stay ~√cells-sized. The
+    * scale fix for corpus-derived cell counts: single-level assignment is
+    * n·cells flops with a cells-sized driver codebook (= n²/targetCell
+    * flops and a corpus-proportional plan constant once cells ∝ n);
+    * two-level keeps the DRIVER-COLLECTED kernel at √cells rows (≤ 1000
+    * at the 1e6-cell clamp — KBs, not 256 MB) and turns the fine level
+    * into a DataFrame join, so total assignment work is
+    * n·(√cells + pCoarse·√cells) flops — n^1.5/√targetCell, not n². */
+  def coarseCellCount(nCells: Int): Int = {
+    require(nCells >= 1, "coarseCellCount needs a positive cell count")
+    math.ceil(math.sqrt(nCells.toDouble)).toInt
+  }
+
+  /** Coarse cells each vector probes during two-level assignment (its
+    * candidate fine set = the fine centroids homed in those coarse
+    * cells). 2 keeps boundary vectors near a coarse Voronoi face from
+    * being locked to one side's fine cells; oracles pin this constant. */
+  val TwoLevelCoarseProbes = 2
+
+  /** The collected COARSE codebook: the `nCoarse` lowest-id rows of the
+    * fine-centroid frame, sorted by id (coarse cell id = position in
+    * that order). Bounded by √(1e6) = 1000 rows regardless of corpus
+    * size, and tolerant of gapped id spaces — no 0..n−1 contiguity
+    * requirement, only that SOME centroid rows exist. */
+  private def collectCoarse(fine: DataFrame, nCoarse: Int): Seq[Seq[Float]] = {
+    val rows = fine
+      .orderBy(col("_fid"))
+      .limit(nCoarse)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
-    require(rows.map(_._1).sameElements(0L until nCentroids.toLong),
-      s"centroid convention needs vectors with $idCol exactly 0..${nCentroids - 1}")
+    require(rows.nonEmpty,
+      "two-level quantizer found no centroid rows (no ids in [0, nCells)): " +
+        "remap ids to a low-id-dense space (e.g. xxhash-rank) so the " +
+        "low-id centroid convention has rows to draw from")
     rows.toIndexedSeq.map(_._2)
+  }
+
+  /** TWO-LEVEL IVF cell probes — the corpus-derived-cells assignment
+    * path: (id, vec, cell, rn) with rn = 1..nprobe ranking the vector's
+    * nearest fine cells among its candidate set.
+    *
+    * Level 1 (coarse, plan-constant kernel): ceil(√nCells) coarse
+    * centroids — the lowest-id fine centroids — ride the plan as a
+    * [[centroidProbesCol]] constant; every row gets its `pCoarse`
+    * nearest coarse cells in one codegen'd scan. Level 2 (fine,
+    * DataFrame join): the fine-centroid FRAME (ids < nCells — no driver
+    * collect, no contiguity requirement) is homed to its coarse cell by
+    * the same kernel, rows join fine centroids on the coarse-cell id
+    * (join degree ≈ pCoarse·√cells per row, never cells), and a
+    * per-id rank window (unbounded key — no corpus funnel) orders the
+    * candidate fine cells by the strict-fold squared-L2, ties by fine
+    * id. Cell ids are the fine centroids' ACTUAL ids, so gapped id
+    * spaces shrink the quantizer instead of crashing it.
+    *
+    * Approximation contract: a vector's fine candidates are only the
+    * centroids homed in its pCoarse nearest coarse cells (exact when
+    * pCoarse covers all coarse cells — spec-pinned); every consumer's
+    * oracle mirrors the full two-level chain, so the approximation
+    * itself hash-verifies. */
+  def twoLevelProbes(candidates: DataFrame, nCells: Int, nprobe: Int,
+                     pCoarse: Int = TwoLevelCoarseProbes,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions.dot
+    require(nCells >= 1 && nprobe >= 1 && pCoarse >= 1,
+      "twoLevelProbes needs positive nCells / nprobe / pCoarse")
+    val fine = candidates
+      .filter(col(idCol) >= 0 && col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+    val coarse = collectCoarse(fine, coarseCellCount(nCells))
+    val pc = math.min(pCoarse, coarse.length)
+    val fineHomed = fine.select(col("_fid"), col("_fvec"),
+      element_at(centroidProbesCol(col("_fvec"), coarse, 1), 1).as("_cc"))
+    val probed = candidates
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        explode(centroidProbesCol(col(vecCol), coarse, pc)).as("_cc"))
+      .join(fineHomed, Seq("_cc"))
+    val fdist = dot(col("vec"), col("vec")) -
+      lit(2.0) * dot(col("vec"), col("_fvec")) +
+      dot(col("_fvec"), col("_fvec"))
+    probed
+      .select(col("id"), col("vec"), col("_fid"), fdist.as("_fdist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("_fdist"), col("_fid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("id"), col("vec"), col("_fid").as("cell"), col("rn"))
   }
 
   /** Top-`k` nearest centroid ids of a vector column as one codegen'd
     * scan expression — bit-identical to [[centroidRanks]]' crossJoin +
-    * row_number ordering (spec-proven); the scale path once the centroid
-    * count is corpus-derived. */
+    * row_number ordering (spec-proven); the COARSE level of
+    * [[twoLevelProbes]] — its constant stays √cells-sized, so it never
+    * carries a corpus-proportional codebook. */
   def centroidProbesCol(vec: org.apache.spark.sql.Column,
                         cents: Seq[Seq[Float]], k: Int): org.apache.spark.sql.Column =
     org.apache.spark.sql.graftbridge.PlanBridge.column(
@@ -206,18 +282,20 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
   /** Shared IVF candidate generation (ivfTopK + ivfPqTopK — ONE
-    * definition of the pruning convention): rn==1 cell assignment for
-    * candidates, broadcast query ids, nprobe cells per query, self-pair
-    * exclusion, distinct (qid, vec_id) pairs. */
+    * definition of the pruning convention): rn==1 two-level cell
+    * assignment for candidates, broadcast query ids, nprobe cells per
+    * query, self-pair exclusion, distinct (qid, vec_id) pairs. The
+    * assignment is [[twoLevelProbes]] so a corpus-DERIVED cell count
+    * (the scale setting) costs n·√cells, not n·cells, flops. */
   private def ivfCandidatePairs(candidates: DataFrame, queries: DataFrame,
                                 nCentroids: Int, nprobe: Int,
                                 idCol: String, vecCol: String): DataFrame = {
-    val asg = centroidRanks(candidates, nCentroids, idCol, vecCol)
-    val cells = asg.filter(col("rn") === 1).select(col("id"), col("cid").as("cell"))
+    val asg = twoLevelProbes(candidates, nCentroids, nprobe,
+      idCol = idCol, vecCol = vecCol)
+    val cells = asg.filter(col("rn") === 1).select(col("id"), col("cell"))
     val qids = queries.select(col(idCol).as("qid"))
     val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("cid").as("cell"))
+      .select(col("qid"), col("cell"))
     cells.join(broadcast(qcells), "cell")
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("vec_id"))
@@ -626,18 +704,19 @@ object Similarity {
   def knnGraph(candidates: DataFrame, k: Int, nCentroids: Int = 16,
                nprobe: Int = 2, idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    // one-pass kernel assignment (no n×centroids row explosion — the
-    // corpus-derived centroid count made the crossJoin+window form
-    // n²/targetCell rows); ordering identical to centroidRanks
-    val cents = collectCentroids(candidates, nCentroids, idCol, vecCol)
-    val asg = candidates.select(col(idCol).as("id"), col(vecCol),
-      centroidProbesCol(col(vecCol), cents, nprobe).as("_probes"))
-    val cells = asg
-      .select(col("id"), col(vecCol).as("cvec2"),
-        element_at(col("_probes"), 1).as("cell"))
+    // TWO-LEVEL assignment (twoLevelProbes): with the corpus-derived
+    // cell count this costs n·√cells flops and a √cells-row driver
+    // codebook — the single-level kernel was n·cells = n²/targetCell
+    // flops against a cells-sized (corpus-proportional) plan constant.
+    // The two consumers below recompute the assignment subtree (Spark
+    // does not CSE); a graph REBUILT repeatedly should persist the
+    // assignment once via writeIvfIndex's cell-partitioned layout.
+    val asg = twoLevelProbes(candidates, nCentroids, nprobe,
+      idCol = idCol, vecCol = vecCol)
+    val cells = asg.filter(col("rn") === 1)
+      .select(col("id"), col("vec").as("cvec2"), col("cell"))
     val probes = asg
-      .select(col("id").as("qid"), col(vecCol).as("qvec2"),
-        explode(col("_probes")).as("cell"))
+      .select(col("id").as("qid"), col("vec").as("qvec2"), col("cell"))
     val scored = probes.join(cells, Seq("cell"))
       .filter(col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("vec_id"),
@@ -868,9 +947,9 @@ object Similarity {
   }
 
   /** SemDeDup-style semantic dedup (cf. Abbas et al. 2023, arXiv
-    * 2303.09540): assign every vector to its nearest coarse-quantizer cell
-    * (the same vec_id<nCentroids centroid convention and strict-fold
-    * squared-L2 assignment as the IVF index), then inside each cell mark a
+    * 2303.09540): assign every vector to its nearest quantizer cell
+    * (the two-level [[twoLevelProbes]] assignment the IVF index uses),
+    * then inside each cell mark a
     * vector as a duplicate when a LOWER-id cell-mate has cosine >= tau
     * (greedy keep-lowest-id, deterministic — no iteration order
     * sensitivity). Returns every input id with its cell, kept flag, and
@@ -885,14 +964,12 @@ object Similarity {
   def semDedup(candidates: DataFrame, nCentroids: Int, tau: Double,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import VectorFunctions.cosine
-    // one-pass kernel assignment (see knnGraph) — no join needed to
-    // carry the vector alongside its cell
-    val cents = collectCentroids(candidates, nCentroids, idCol, vecCol)
-    // three consumers read the assignment (both self-join sides + the
-    // final select) — materialize it once (Spark does not CSE subtrees)
-    val members = candidates.select(col(idCol).as("id"),
-        element_at(centroidProbesCol(col(vecCol), cents, 1), 1).as("cell"),
-        col(vecCol).as("vec"))
+    // TWO-LEVEL assignment (see knnGraph — same scale argument); three
+    // consumers read it (both self-join sides + the final select), so
+    // materialize once (Spark does not CSE subtrees)
+    val members = twoLevelProbes(candidates, nCentroids, 1,
+        idCol = idCol, vecCol = vecCol)
+      .select(col("id"), col("cell"), col("vec"))
       .localCheckpoint()
     val dup = members.as("x").join(members.as("y"),
         col("x.cell") === col("y.cell") && col("y.id") < col("x.id"))

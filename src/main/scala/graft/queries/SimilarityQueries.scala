@@ -101,15 +101,43 @@ object SimilarityQueries {
       s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
       "ORDER BY qid, rank"
 
-  /** The q_ann_ivf oracle ranking — shared verbatim by q_rrf_fusion. */
+  /** DuckDB mirror of Similarity.twoLevelProbes over the embeddings
+    * table: a CTE chain ending in `asg(vec_id, cid, rn)` with
+    * rn <= nprobe — coarse codebook = the coarseCellCount(nCells)
+    * lowest-id fine centroids (positions in id order), fine centroids =
+    * ids in [0, nCells), every vector probes its
+    * min(TwoLevelCoarseProbes, nCoarse) nearest coarse cells and ranks
+    * the fine centroids homed there by the same strict-fold squared-L2,
+    * ties by id — the full two-level approximation, mirrored stage by
+    * stage so it hash-verifies. */
+  private def twoLevelAsgSql(nCells: Int, nprobe: Int): String = {
+    val nCoarse = Similarity.coarseCellCount(nCells)
+    val pc = math.min(Similarity.TwoLevelCoarseProbes, nCoarse)
+    def l2(v: String, c: String) =
+      s"(${dotSql(v, v)} - 2.0 * ${dotSql(v, c)} + ${dotSql(c, c)})"
+    s"fine AS (SELECT vec_id AS fid, embedding AS fvec FROM embeddings " +
+      s"WHERE vec_id >= 0 AND vec_id < $nCells), " +
+      "coarse AS (SELECT fvec AS ccvec, row_number() OVER (ORDER BY fid) - 1 AS pos " +
+      s"FROM (SELECT fid, fvec FROM fine ORDER BY fid LIMIT $nCoarse) cl), " +
+      "fhome AS (SELECT fid, fvec, pos AS cc FROM (SELECT f.fid, f.fvec, c.pos, " +
+      s"row_number() OVER (PARTITION BY f.fid ORDER BY ${l2("f.fvec", "c.ccvec")}, c.pos) AS crn " +
+      "FROM fine f, coarse c) fa WHERE crn = 1), " +
+      "cprobe AS (SELECT vec_id, cc FROM (SELECT e.vec_id, c.pos AS cc, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.ccvec")}, c.pos) AS crn " +
+      s"FROM embeddings e, coarse c) ca WHERE crn <= $pc), " +
+      "asg AS (SELECT vec_id, cid, rn FROM (SELECT p.vec_id, f.fid AS cid, " +
+      s"row_number() OVER (PARTITION BY p.vec_id ORDER BY ${l2("e.embedding", "f.fvec")}, f.fid) AS rn " +
+      "FROM cprobe p JOIN embeddings e ON e.vec_id = p.vec_id " +
+      s"JOIN fhome f ON f.cc = p.cc) fr WHERE rn <= $nprobe)"
+  }
+
+  /** The q_ann_ivf oracle ranking — shared verbatim by q_rrf_fusion.
+    * Pins the sf0.01 derivations: derivedCentroids(500, 32) = 16 fine
+    * cells, coarseCellCount(16) = 4, TwoLevelCoarseProbes = 2. */
   private lazy val ivfRankedSql: String = {
-    val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
-      s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
-    "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
-      s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-      s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+    s"WITH ${twoLevelAsgSql(nCells = 16, nprobe = 4)}, " +
       "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
-      "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 4 AND vec_id < 5), " +
+      "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE vec_id < 5), " +
       "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
       "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
       "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
@@ -146,14 +174,20 @@ object SimilarityQueries {
       },
       Some(lshRankedSql)),
 
-    // IVF ANN (16-cell coarse quantizer, nprobe=4): assignment and probe
-    // use the same strict-fold squared-L2 on both sides, so cell contents
-    // and the final ranking are bit-identical to the oracle.
+    // IVF ANN (nprobe=4) with the cell count CORPUS-DERIVED (target
+    // cell 32 — a pinned count makes cell population ∝ corpus, so every
+    // probe reads a FIXED FRACTION of all vectors at any scale) and the
+    // two-level assignment (coarse √cells kernel + fine DataFrame join
+    // — n·√cells flops, √cells-row codebook). Assignment and probe use
+    // the same strict-fold squared-L2 on both sides, so cell contents
+    // and the final ranking are bit-identical to the oracle, which pins
+    // the sf0.01 derivation ceil(500/32) = 16.
     Q("q_ann_ivf",
       (s, d) => {
         val e = emb(s, d)
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), K,
-            nCentroids = 16, nprobe = 4)
+            nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+            nprobe = 4)
           .orderBy("qid", "rank")
       },
       Some(ivfRankedSql)),
@@ -294,8 +328,9 @@ object SimilarityQueries {
       }),
 
     // IVF + PQ-ADC composed ANN (the FAISS-style IVFPQ stack): the
-    // coarse quantizer prunes candidates to the query's 4 nearest of 16
-    // cells, then ADC scores ONLY those via per-query LUT probes over
+    // two-level quantizer (corpus-derived cells, target 32 — oracle pins
+    // the sf0.01 derivation 16) prunes candidates to the query's 4
+    // nearest cells, then ADC scores ONLY those via per-query LUT probes over
     // the PQ codes — reads pruned by IVF, read cost shrunk by PQ. Every
     // stage (assignment, codes, LUT entries, tie-breaks) is the shared
     // strict-fold arithmetic, so the full approximation hash-verifies.
@@ -303,13 +338,12 @@ object SimilarityQueries {
       (s, d) => {
         val e = emb(s, d)
         Similarity.ivfPqTopK(e, e.filter(col("vec_id") < K), k = K,
-            nCentroids = 16, nprobe = 4, m = 4, nCodes = 8)
+            nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+            nprobe = 4, m = 4, nCodes = 8)
           .orderBy("qid", "rank")
       },
       Some {
         val sub = Dims / 4
-        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
-          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
         val codes = (0 until 4).map { j =>
           val se = s"array_slice(e.embedding, ${j * sub + 1}, ${(j + 1) * sub})"
           val sc = s"array_slice(c.cvec, ${j * sub + 1}, ${(j + 1) * sub})"
@@ -322,12 +356,10 @@ object SimilarityQueries {
           s"(SELECT (${dotSql(sq, sq)} - 2.0 * ${dotSql(sq, sc)} + ${dotSql(sc, sc)}) " +
             s"FROM cb c WHERE c.cid = enc.code_$j)"
         }
-        "WITH cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
-          "cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
-          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+        s"WITH ${twoLevelAsgSql(nCells = 16, nprobe = 4)}, " +
+          "cb AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
           "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
-          s"qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 4 AND vec_id < $K), " +
+          s"qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE vec_id < $K), " +
           "cand AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
           "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
           s"enc AS (SELECT e.vec_id, ${codes.mkString(", ")} FROM embeddings e), " +
@@ -359,11 +391,7 @@ object SimilarityQueries {
           .orderBy("id")
       },
       Some {
-        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
-          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
-        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8), " +
-          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+        s"WITH ${twoLevelAsgSql(nCells = 8, nprobe = 1)}, " +
           "cells AS (SELECT a.vec_id AS id, a.cid AS cell, e.embedding AS vec " +
           "FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id WHERE a.rn = 1), " +
           "dup AS (SELECT x.id, min(y.id) AS dup_of FROM cells x " +
@@ -596,7 +624,9 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") < 5)
         Similarity.rrfFuse(
             Similarity.lshTopK(e, q, K, bands = 4, rowsPerBand = 4, dims = Dims),
-            Similarity.ivfTopK(e, q, K, nCentroids = 16, nprobe = 4),
+            Similarity.ivfTopK(e, q, K,
+              nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+              nprobe = 4),
             k = K)
           .orderBy("qid", "rank")
       },
@@ -619,13 +649,9 @@ object SimilarityQueries {
           .orderBy("src", "rank")
       },
       Some {
-        val dist = s"(${dotSql("e.embedding", "e.embedding")} - " +
-          s"2.0 * ${dotSql("e.embedding", "c.cvec")} + ${dotSql("c.cvec", "c.cvec")})"
-        "WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 16), " +
-          s"asg AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn " +
-          s"FROM (SELECT e.vec_id, c.cid, $dist AS dist FROM embeddings e, cent c) t), " +
+        s"WITH ${twoLevelAsgSql(nCells = 16, nprobe = 2)}, " +
           "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
-          "probes AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE rn <= 2), " +
+          "probes AS (SELECT vec_id AS qid, cid AS cell FROM asg), " +
           "pairs AS (SELECT p.qid, c.id AS vec_id FROM cells c " +
           "JOIN probes p ON c.cell = p.cell AND c.id <> p.qid), " +
           "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings), " +
@@ -681,7 +707,9 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") < 5)
         Similarity.kendallTau(
           Similarity.lshTopK(e, q, K, bands = 4, rowsPerBand = 4, dims = Dims),
-          Similarity.ivfTopK(e, q, K, nCentroids = 16, nprobe = 4))
+          Similarity.ivfTopK(e, q, K,
+            nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+            nprobe = 4))
           .orderBy("qid")
       },
       Some(Similarity.kendallTauSql(
