@@ -1316,9 +1316,17 @@ object GraphOps {
     * well inside the declared rounds). Every CTE is MATERIALIZED (the
     * kCoreSql lesson: un-materialized round chains re-expand
     * exponentially). */
-  def louvainSql(edgesSub: String, rounds: Int): String = {
+  def louvainSql(edgesSub: String, rounds: Int): String =
+    s"WITH ${louvainSqlChain(edgesSub, rounds)} " +
+      s"SELECT node, comm AS community FROM lab$rounds ORDER BY node"
+
+  /** The [[louvainSql]] CTE chain WITHOUT the leading WITH / final
+    * SELECT — its last label CTE is `lab<rounds>` — so
+    * [[louvainTwoLevelSql]] can append the contraction + weighted
+    * level-2 chain onto the identical level-1 sweep. */
+  private def louvainSqlChain(edgesSub: String, rounds: Int): String = {
     val sb = new StringBuilder
-    sb ++= s"WITH e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, " +
+    sb ++= s"e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS a, " +
       s"greatest(a, b) AS b FROM $edgesSub WHERE least(a, b) < greatest(a, b)), " +
       "sym AS MATERIALIZED (SELECT a AS v, b AS w FROM e UNION ALL SELECT b, a FROM e), " +
       "deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS k FROM sym GROUP BY v), " +
@@ -1365,7 +1373,81 @@ object GraphOps {
         s"FROM lab${r - 1} l JOIN prop$r p ON l.node = p.node " +
         s"CROSS JOIN sa$r CROSS JOIN sb$r)"
     }
-    sb ++= s" SELECT node, comm AS community FROM lab$rounds ORDER BY node"
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[louvainTwoLevel]]: the [[louvainSql]] level-1
+    * chain, the [[louvainContract]] quotient (least/greatest label
+    * pair counts — self-loops kept), the [[louvainWeighted]] gated
+    * sweep UNROLLED `rounds2` times over the quotient (same
+    * rejected-round-is-identity safety as level 1), and the label
+    * composition node → level-1 comm → level-2 comm. Every weighted
+    * stage mirrors the Spark operator term for term: degrees count
+    * loop weight twice, the score is 4·W·(intra_w + loop_w) − Σ vol²,
+    * gains/ties/swap-suppression identical. */
+  def louvainTwoLevelSql(edgesSub: String, rounds1: Int,
+                         rounds2: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${louvainSqlChain(edgesSub, rounds1)}"
+    // ---- contraction: quotient edges (a, b, w) with self-loops ----
+    sb ++= s", qe AS MATERIALIZED (SELECT least(x.comm, y.comm) AS a, " +
+      "greatest(x.comm, y.comm) AS b, CAST(count(*) AS BIGINT) AS w " +
+      s"FROM e JOIN lab$rounds1 x ON e.a = x.node " +
+      s"JOIN lab$rounds1 y ON e.b = y.node GROUP BY 1, 2)"
+    sb ++= ", wplain AS MATERIALIZED (SELECT a, b, w FROM qe WHERE a <> b)"
+    sb ++= ", wloops AS MATERIALIZED (SELECT a AS v, w AS lw FROM qe WHERE a = b)"
+    sb ++= ", wsym AS MATERIALIZED (SELECT a AS v, b AS u, w FROM wplain " +
+      "UNION ALL SELECT b, a, w FROM wplain)"
+    // weighted degree: incident non-loop weight + 2x loop weight (a
+    // loop-only community still needs a row — full outer)
+    sb ++= ", wdeg AS MATERIALIZED (SELECT coalesce(s.v, l.v) AS v, " +
+      "CAST(coalesce(s.kp, 0) + 2 * coalesce(l.lw, 0) AS BIGINT) AS k " +
+      "FROM (SELECT v, sum(w) AS kp FROM wsym GROUP BY v) s " +
+      "FULL OUTER JOIN wloops l ON s.v = l.v)"
+    sb ++= ", wm AS (SELECT CAST(coalesce((SELECT sum(w) FROM qe), 0) AS BIGINT) AS m, " +
+      "CAST(coalesce((SELECT sum(lw) FROM wloops), 0) AS BIGINT) AS lw)"
+    sb ++= ", wlab0 AS MATERIALIZED (SELECT v AS node, v AS comm FROM wdeg)"
+    def wScoreSql(lab: String): String =
+      "SELECT 4 * wm.m * ((SELECT coalesce(sum(p.w), 0) FROM wplain p " +
+        s"JOIN $lab x ON p.a = x.node JOIN $lab y ON p.b = y.node " +
+        "WHERE x.comm = y.comm) + wm.lw) - " +
+        "(SELECT sum(vol * vol) FROM (SELECT sum(k) AS vol " +
+        s"FROM $lab l JOIN wdeg d ON l.node = d.v GROUP BY comm) vv) AS s " +
+        "FROM wm"
+    for (r <- 1 to rounds2) {
+      val p = s"wlab${r - 1}"
+      sb ++= s", wvol$r AS MATERIALIZED (SELECT comm, sum(k) AS vol " +
+        s"FROM $p l JOIN wdeg d ON l.node = d.v GROUP BY comm)"
+      sb ++= s", wkvc$r AS MATERIALIZED (SELECT s.v, lw.comm AS c, " +
+        s"CAST(sum(s.w) AS BIGINT) AS k_vc FROM wsym s " +
+        s"JOIN $p lw ON s.u = lw.node GROUP BY s.v, lw.comm)"
+      sb ++= s", wbase$r AS MATERIALIZED (SELECT l.node AS v, l.comm AS d, dg.k, " +
+        s"coalesce(kd.k_vc, 0) AS k_vd, vd.vol AS vol_d FROM $p l " +
+        "JOIN wdeg dg ON l.node = dg.v " +
+        s"LEFT JOIN wkvc$r kd ON kd.v = l.node AND kd.c = l.comm " +
+        s"JOIN wvol$r vd ON vd.comm = l.comm)"
+      sb ++= s", wbest$r AS MATERIALIZED (SELECT v, d, c, gain FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY v ORDER BY gain DESC, c) AS rk " +
+        s"FROM (SELECT b2.v, b2.d, kv.c, 2 * wm.m * (kv.k_vc - b2.k_vd) - " +
+        "b2.k * (vc.vol - (b2.vol_d - b2.k)) AS gain " +
+        s"FROM wbase$r b2 JOIN wkvc$r kv ON kv.v = b2.v AND kv.c <> b2.d " +
+        s"JOIN wvol$r vc ON vc.comm = kv.c CROSS JOIN wm) gg) z WHERE rk = 1)"
+      sb ++= s", wmv$r AS MATERIALIZED (SELECT v, d, c FROM wbest$r WHERE gain > 0)"
+      sb ++= s", wapp$r AS MATERIALIZED (SELECT x.v, x.c FROM wmv$r x " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM (SELECT DISTINCT d, c FROM wmv$r) y " +
+        "WHERE y.d = x.c AND y.c = x.d AND x.d > y.d))"
+      sb ++= s", wprop$r AS MATERIALIZED (SELECT l.node, " +
+        s"coalesce(a.c, l.comm) AS comm FROM wlab${r - 1} l " +
+        s"LEFT JOIN wapp$r a ON a.v = l.node)"
+      sb ++= s", wsa$r AS (${wScoreSql(s"wlab${r - 1}")})"
+      sb ++= s", wsb$r AS (${wScoreSql(s"wprop$r")})"
+      sb ++= s", wlab$r AS MATERIALIZED (SELECT l.node, " +
+        s"CASE WHEN wsb$r.s > wsa$r.s THEN p.comm ELSE l.comm END AS comm " +
+        s"FROM wlab${r - 1} l JOIN wprop$r p ON l.node = p.node " +
+        s"CROSS JOIN wsa$r CROSS JOIN wsb$r)"
+    }
+    sb ++= s" SELECT l1.node, l2.comm AS community FROM lab$rounds1 l1 " +
+      s"JOIN wlab$rounds2 l2 ON l1.comm = l2.node ORDER BY l1.node"
     sb.toString
   }
 }

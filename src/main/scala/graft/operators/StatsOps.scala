@@ -2360,6 +2360,24 @@ object StatsOps {
       s"SELECT CAST($depth AS BIGINT) AS depth, n_both, " +
       s"round(${1.0 - p} * cum, 6) AS rbo FROM f WHERE rnd = 1"
 
+  /** Corpus-relative a-priori support: ceil(nBaskets·num/den), floored.
+    * Support is a DENSITY contract (a fraction of baskets), not an
+    * absolute count — a fixed absolute minCo admits every pair once the
+    * corpus grows past minCo/P(pair), so the frequent-pair frame the
+    * triple join fans out on stops pruning entirely (the recurring
+    * fixed-constant scale bug; the densityRadius / derivedCentroids /
+    * scaledRowsPerBand convention, applied to support). Integer
+    * arithmetic: a query derives it from the basket count at plan time
+    * and its oracle pins the sf0.01 derivation as an absolute literal.
+    * Defaults pin scaledSupport(14743) = 3 — the q_apriori_triples
+    * verify-scale value. */
+  def scaledSupport(nBaskets: Long, num: Long = 1, den: Long = 5000,
+                    floor: Long = 2): Long = {
+    require(nBaskets >= 0 && num >= 1 && den >= 1 && floor >= 1,
+      "scaledSupport needs non-negative counts and positive parameters")
+    math.max(floor, (nBaskets * num + den - 1) / den)
+  }
+
   /** Frequent triples with a-priori pruning (Agrawal & Srikant 1994) —
     * [[marketBasket]]'s pair mining lifted one level: only pairs that
     * are themselves frequent generate triple candidates, so the

@@ -114,12 +114,19 @@ object EvalQueries {
         depth = 20, p = 0.9))),
 
     // Frequent part triples per order with a-priori pruning — the
-    // market-basket pair mining lifted one level.
+    // market-basket pair mining lifted one level. Support is
+    // CORPUS-RELATIVE (StatsOps.scaledSupport — a fixed absolute minCo
+    // stops pruning once every pair's co-occurrence outgrows it, so the
+    // frequent-pair fan-out frame tracks the corpus); the oracle pins
+    // the sf0.01 derivation scaledSupport(14743 baskets) = 3.
     Q("q_apriori_triples",
-      (s, d) => StatsOps.aprioriTriples(
-        Tables.load(s, d, "lineitem")
-          .select(col("l_orderkey").as("bk"), (col("l_partkey") % 40).as("it")),
-        "bk", "it", minCo = 3, maxBasket = 100, k = 30),
+      (s, d) => {
+        val baskets = Tables.load(s, d, "lineitem")
+          .select(col("l_orderkey").as("bk"), (col("l_partkey") % 40).as("it"))
+        StatsOps.aprioriTriples(baskets, "bk", "it",
+          minCo = StatsOps.scaledSupport(baskets.select("bk").distinct().count()),
+          maxBasket = 100, k = 30)
+      },
       Some(StatsOps.aprioriTriplesSql(
         "(SELECT l_orderkey AS bk, l_partkey % 40 AS it FROM lineitem)",
         minCo = 3, maxBasket = 100, k = 30))),
@@ -202,6 +209,23 @@ object EvalQueries {
         .orderBy("node"),
       Some(graft.operators.GraphOps.louvainSql(
         s"(${SimilarityQueries.nearDupEdgesSql}) lv", rounds = 10))),
+
+    // TWO-LEVEL Louvain over the same near-dup graph: phase 1 to its
+    // fixpoint, contract communities onto the weighted quotient, run
+    // the weighted gated sweep there, compose labels back. Modularity
+    // is monotone non-decreasing across levels by construction (the
+    // GraphOpsSpec assertion); the oracle unrolls BOTH levels — level 1
+    // verbatim from q_louvain, level 2 as the weighted sweep with
+    // loop-aware degrees and the 4·W·(intra+loops) − Σvol² gate —
+    // rejected rounds are the identity, so fixed unroll counts are safe.
+    Q("q_louvain2",
+      (s, d) => graft.operators.GraphOps.louvainTwoLevel(
+          SimilarityQueries.nearDupEdges(s, d))
+        .select(col("node"), col("comm").as("community"))
+        .orderBy("node"),
+      Some(graft.operators.GraphOps.louvainTwoLevelSql(
+        s"(${SimilarityQueries.nearDupEdgesSql}) lv",
+        rounds1 = 10, rounds2 = 8))),
 
     // Brier score with the Murphy decomposition over the same gates and
     // deciles as q_clf_calibration — reliability - resolution +

@@ -357,6 +357,23 @@ class StatsOpsSpec extends SparkSpec {
     assert(row.getDouble(2) < row.getDouble(1) && row.getDouble(1) < row.getDouble(3))
   }
 
+  test("scaledSupport pins the verify-scale derivations (support is a basket fraction)") {
+    import StatsOps.scaledSupport
+    // q_apriori_triples basket counts: lineitem distinct l_orderkey
+    assert(scaledSupport(14743L) === 3L)     // sf0.01 — the oracle literal
+    assert(scaledSupport(147236L) === 30L)   // sf0.1
+    assert(scaledSupport(1472360L) === 295L) // sf1
+    // floor binds on tiny corpora; monotone non-decreasing in baskets
+    assert(scaledSupport(10L) === 2L)
+    val ns = Seq(100L, 10000L, 1000000L, 100000000L)
+    val ss = ns.map(scaledSupport(_))
+    assert(ss === ss.sorted)
+    // the relative-support contract: threshold/baskets is ~constant, so
+    // a pair whose co-occurrence probability is below 1/5000 is pruned
+    // at EVERY scale (an absolute minCo stops pruning past minCo*5000)
+    ns.foreach(n => assert(scaledSupport(n) * 5000L >= n))
+  }
+
   test("marketBasket: closed-form pairs, lift, minCo and maxBasket gates") {
     // 4 baskets: {1,2,3} {1,2} {1,2} {2,3}; pair (1,2) co=3, (2,3) co=2,
     // (1,3) co=1 drops at minCo=2. Item counts: 1->3, 2->4, 3->2.
