@@ -474,6 +474,136 @@ object GeoFunctions {
     (s"($rho * sin($lam))", s"(0.0 - $rho * cos($lam))")
   }
 
+  // --- Inverse conic / azimuthal transforms (r15) ----------------------------
+  // to_crs is bidirectional (ancillary.py:146-147 via pyproj); only UTM had
+  // an inverse before r15. The longitude legs are closed-form atan2 trees;
+  // the latitude legs recover phi from the projection's auxiliary (t for
+  // the conformal family, q for the equal-area family) by FIXED-count
+  // iteration — deterministic on both engines, so the oracle unrolls the
+  // identical steps as staged CTE columns and the micro-degree
+  // round-then-cast absorbs cross-engine libm ulps exactly as q_utm_inverse
+  // does. Latitude iterations run as one codegen'd kernel call per row
+  // (plans.Exprs.ConformalLat / AlbersLat — no 7^iters Column-tree blowup).
+
+  /** Fixed iteration counts — pinned here AND in every oracle unroll. */
+  val ConformalLatIters = 5
+  val AlbersLatIters = 4
+
+  private def conformalLatCol(t: Column, e: Double): Column =
+    PlanBridge.column(graft.plans.Exprs.ConformalLat(
+      PlanBridge.expression(t), e, ConformalLatIters))
+
+  /** Inverse Lambert conformal conic (Snyder eq. 15-5/15-6/7-9):
+    * projected meters back to lon/lat degrees. North-aspect cones
+    * (n > 0) only — both declared parallels in the northern hemisphere,
+    * the gedixr-relevant case. */
+  def lccInverse(x: Column, y: Column,
+                 phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                 lon0Deg: Double,
+                 a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = math.sqrt(e2)
+    val (n, f, rho0) = lccConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    require(n > 0.0, "lccInverse supports north-aspect cones (n > 0)")
+    val dy = lit(rho0) - y
+    val rho = sqrt(x * x + dy * dy)
+    val theta = atan2(x, dy)
+    val lon = (theta / n) / Deg2Rad + lon0Deg
+    val t = pow(rho / (a * f), 1.0 / n)
+    (lon, conformalLatCol(t, e) / Deg2Rad)
+  }
+
+  /** Inverse north-polar stereographic (Snyder eq. 21-39/21-40/7-9). */
+  def polarStereoInverse(x: Column, y: Column, lon0Deg: Double,
+                         k0: Double = 0.994,
+                         a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = math.sqrt(e2)
+    val denom = math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    val rho = sqrt(x * x + y * y)
+    val t = rho * (denom / (2.0 * a * k0))
+    val lon = atan2(x, lit(0.0) - y) / Deg2Rad + lon0Deg
+    (lon, conformalLatCol(t, e) / Deg2Rad)
+  }
+
+  /** Inverse Albers equal-area conic (Snyder eq. 14-19..14-21/3-16).
+    * North-aspect cones (n > 0) only, like [[lccInverse]]. */
+  def albersInverse(x: Column, y: Column,
+                    phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                    lon0Deg: Double,
+                    a: Double = Wgs84A, e2: Double = Wgs84E2): (Column, Column) = {
+    val e = math.sqrt(e2)
+    val (n, c, rho0) = albersConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    require(n > 0.0, "albersInverse supports north-aspect cones (n > 0)")
+    val dy = lit(rho0) - y
+    val rho = sqrt(x * x + dy * dy)
+    val theta = atan2(x, dy)
+    val lon = (theta / n) / Deg2Rad + lon0Deg
+    val q = (lit(c) - rho * rho * lit(n * n) / (a * a)) / n
+    val lat = PlanBridge.column(graft.plans.Exprs.AlbersLat(
+      PlanBridge.expression(q), e, e2, AlbersLatIters)) / Deg2Rad
+    (lon, lat)
+  }
+
+  /** SQL (lonDeg, t) legs of [[lccInverse]] over projected columns —
+    * the latitude leg is the [[conformalLatSqlSteps]] unroll over t. */
+  def lccInverseSqlParts(x: String, y: String,
+                         phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                         lon0Deg: Double,
+                         a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val (n, f, rho0) = lccConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    val dy = s"(($rho0) - ($y))"
+    val rho = s"sqrt(($x) * ($x) + $dy * $dy)"
+    val lon = s"((atan2(($x), $dy) / ($n)) / $Deg2Rad + ($lon0Deg))"
+    val t = s"pow($rho / (${a * f}), ${1.0 / n})"
+    (lon, t)
+  }
+
+  /** SQL (lonDeg, t) legs of [[polarStereoInverse]]. */
+  def polarStereoInverseSqlParts(x: String, y: String, lon0Deg: Double,
+                                 k0: Double = 0.994,
+                                 a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val e = math.sqrt(e2)
+    val denom = math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    val lon = s"(atan2(($x), 0.0 - ($y)) / $Deg2Rad + ($lon0Deg))"
+    val t = s"(sqrt(($x) * ($x) + ($y) * ($y)) * (${denom / (2.0 * a * k0)}))"
+    (lon, t)
+  }
+
+  /** SQL (lonDeg, q) legs of [[albersInverse]] — the latitude leg is the
+    * [[albersLatSqlSteps]] unroll over q. */
+  def albersInverseSqlParts(x: String, y: String,
+                            phi0Deg: Double, phi1Deg: Double, phi2Deg: Double,
+                            lon0Deg: Double,
+                            a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
+    val (n, c, rho0) = albersConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
+    val dy = s"(($rho0) - ($y))"
+    val rho = s"sqrt(($x) * ($x) + $dy * $dy)"
+    val lon = s"((atan2(($x), $dy) / ($n)) / $Deg2Rad + ($lon0Deg))"
+    val q = s"((($c) - $rho * $rho * (${n * n}) / (${a * a})) / ($n))"
+    (lon, q)
+  }
+
+  /** The [[Kernels.conformalLat]] iteration as staged SQL expressions:
+    * element 0 initializes phi from column `t`, element k+1 computes the
+    * k-th refinement from columns `phi` and `t` — one CTE per element
+    * keeps the oracle free of 2^iters expression blowup. */
+  def conformalLatSqlSteps(e2: Double = Wgs84E2): Seq[String] = {
+    val e = math.sqrt(e2)
+    val step = s"(${math.Pi / 2.0} - 2.0 * atan(t * " +
+      s"pow((1.0 - $e * sin(phi)) / (1.0 + $e * sin(phi)), ${e / 2.0})))"
+    s"(${math.Pi / 2.0} - 2.0 * atan(t))" +: Seq.fill(ConformalLatIters)(step)
+  }
+
+  /** The [[Kernels.albersLat]] Newton iteration as staged SQL
+    * expressions over columns `phi` and `q` (element 0 over `q` only). */
+  def albersLatSqlSteps(e2: Double = Wgs84E2): Seq[String] = {
+    val e = math.sqrt(e2)
+    val om = s"(1.0 - $e2 * sin(phi) * sin(phi))"
+    val step = s"(phi + $om * $om / (2.0 * cos(phi)) * " +
+      s"(q / (${1.0 - e2}) - sin(phi) / $om + " +
+      s"(${1.0 / (2.0 * e)}) * ln((1.0 - $e * sin(phi)) / (1.0 + $e * sin(phi)))))"
+    "asin(q / 2.0)" +: Seq.fill(AlbersLatIters)(step)
+  }
+
   /** Z-order (Morton) value of a lon/lat point: each coordinate is
     * quantized to `bits` levels over its world range, then the bits are
     * interleaved. Points close on the curve are close in space, so a

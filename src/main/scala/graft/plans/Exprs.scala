@@ -419,6 +419,43 @@ object Exprs {
   }
 
   /** UTM inverse longitude(easting, northing, zone, south) in degrees. */
+  /** Conformal latitude (radians) from the isometric auxiliary t —
+    * Snyder eq. 7-9 fixed-iteration ([[Kernels.conformalLat]]); the
+    * inverse-latitude primitive LCC and polar stereographic share. */
+  case class ConformalLat(child: Expression, e: Double, iters: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.graftbridge.PlanBridge.AbstractType] =
+      Seq(DoubleType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_conformal_lat"
+    override def nullSafeEval(t: Any): Any =
+      Kernels.conformalLat(t.asInstanceOf[Double], e, iters)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.Kernels.conformalLat($c, ${e}D, $iters)")
+    override protected def withNewChildInternal(newChild: Expression): ConformalLat =
+      copy(child = newChild)
+  }
+
+  /** Equal-area latitude (radians) from the Albers auxiliary q — Snyder
+    * eq. 3-16 fixed Newton iteration ([[Kernels.albersLat]]). */
+  case class AlbersLat(child: Expression, e: Double, e2: Double, iters: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with ImplicitCastInputTypes {
+    override def inputTypes: Seq[org.apache.spark.sql.graftbridge.PlanBridge.AbstractType] =
+      Seq(DoubleType)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_albers_lat"
+    override def nullSafeEval(q: Any): Any =
+      Kernels.albersLat(q.asInstanceOf[Double], e, e2, iters)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.plans.Kernels.albersLat($c, ${e}D, ${e2}D, $iters)")
+    override protected def withNewChildInternal(newChild: Expression): AlbersLat =
+      copy(child = newChild)
+  }
+
   case class UtmInvLon(first: Expression, second: Expression,
                        third: Expression, fourth: Expression,
                        a: Double, e2: Double)

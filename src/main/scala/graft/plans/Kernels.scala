@@ -694,4 +694,39 @@ object Kernels {
         ep2 * 252.0 - c1 * c1 * 3.0) * d6 / 720.0)
     phi / Deg2Rad
   }
+
+  /** Latitude (radians) from the conformal auxiliary t (Snyder eq. 7-9
+    * iterated a FIXED `iters` times — deterministic, oracle-unrollable;
+    * linear rate ~e², so 5 iterations land < 1e-13 rad for Earth
+    * eccentricities). The shared inverse-latitude primitive of the
+    * conformal family: LCC and polar stereographic. */
+  def conformalLat(t: Double, e: Double, iters: Int): Double = {
+    var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+    var i = 0
+    while (i < iters) {
+      val sp = math.sin(phi)
+      phi = math.Pi / 2.0 - 2.0 * math.atan(
+        t * math.pow((1.0 - e * sp) / (1.0 + e * sp), e / 2.0))
+      i += 1
+    }
+    phi
+  }
+
+  /** Latitude (radians) from the equal-area auxiliary q (Snyder eq.
+    * 3-16 Newton-iterated a FIXED `iters` times; quadratic convergence
+    * — 4 iterations land < 1e-13 rad inside the conic validity domain).
+    * The Albers inverse-latitude primitive. */
+  def albersLat(q: Double, e: Double, e2: Double, iters: Int): Double = {
+    var phi = math.asin(q / 2.0)
+    var i = 0
+    while (i < iters) {
+      val sp = math.sin(phi)
+      val cp = math.cos(phi)
+      val om = 1.0 - e2 * sp * sp
+      phi = phi + om * om / (2.0 * cp) * (q / (1.0 - e2) - sp / om +
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * sp) / (1.0 + e * sp)))
+      i += 1
+    }
+    phi
+  }
 }

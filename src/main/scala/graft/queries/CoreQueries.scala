@@ -18,6 +18,30 @@ object CoreQueries {
   private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
   private def emb(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
+  /** Shared oracle builder for the inverse-CRS round-trip queries:
+    * stage the forward (x, y), the closed-form longitude + the
+    * projection auxiliary (`auxName` ∈ {t, q}), then unroll the
+    * latitude iteration one CTE per step (column `phi`) — the identical
+    * fixed-count steps the Spark kernel runs — and emit the
+    * q_utm_inverse micro-degree integers. */
+  private def invCrsSql(fwdX: String, fwdY: String, lonExpr: String,
+                        auxExpr: String, auxName: String,
+                        latSteps: Seq[String], latFilter: String): String = {
+    val deg2rad = graft.functions.GeoFunctions.Deg2Rad
+    val sb = new StringBuilder
+    sb ++= s"WITH f AS (SELECT shot, $fwdX AS x, $fwdY AS y FROM " +
+      Shots.sql + s" WHERE $latFilter), "
+    sb ++= s"g AS (SELECT shot, $lonExpr AS lon_b, $auxExpr AS $auxName FROM f)"
+    latSteps.zipWithIndex.foreach { case (step, i) =>
+      val src = if (i == 0) "g" else s"p${i - 1}"
+      sb ++= s", p$i AS (SELECT shot, lon_b, $auxName, $step AS phi FROM $src)"
+    }
+    sb ++= s" SELECT shot, CAST(round(lon_b * 1000000.0, 0) AS BIGINT) AS lon_udeg, " +
+      s"CAST(round((phi / $deg2rad) * 1000000.0, 0) AS BIGINT) AS lat_udeg " +
+      s"FROM p${latSteps.length - 1} ORDER BY shot"
+    sb.toString
+  }
+
   /** Irregular (convex-ish) test polygon over the synthetic lon/lat space.
     * Vertices are short exact binary decimals so the SQL literals
     * round-trip bit-exactly. */
@@ -330,6 +354,84 @@ object CoreQueries {
         s"SELECT shot, CAST(round($x, 0) AS BIGINT) AS ps_x_m, " +
           s"CAST(round($y, 0) AS BIGINT) AS ps_y_m FROM " + Shots.sql +
           " WHERE lat BETWEEN 10.0 AND 90.0 ORDER BY shot"
+      }),
+
+    // Inverse LCC — the conic family's other to_crs direction (Snyder
+    // eq. 15-5/7-9): forward to the CONUS cone, closed-form atan2
+    // longitude back, latitude via the conformal-auxiliary iteration
+    // staged as oracle CTE columns (fixed ConformalLatIters unroll —
+    // identical steps both engines; the q_utm_inverse micro-degree
+    // convention absorbs libm ulps and the 1e-13 rad iteration floor).
+    Q("q_lcc_inverse",
+      (s, d) => {
+        val sh = Shots.df(s, d).filter(col("lat").between(-80.0, 84.0))
+        val (fx, fy) = GeoFunctions.lccForward(col("lon"), col("lat"),
+          phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+        val staged = sh.select(col("shot"), fx.as("x"), fy.as("y"))
+        val (lonB, latB) = GeoFunctions.lccInverse(col("x"), col("y"),
+          phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+        staged.select(col("shot"),
+          round(lonB * 1000000.0, 0).cast("long").as("lon_udeg"),
+          round(latB * 1000000.0, 0).cast("long").as("lat_udeg"))
+          .orderBy("shot")
+      },
+      Some {
+        val (fx, fy) = GeoFunctions.lccForwardSql("lon", "lat",
+          phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+        val (lonB, t) = GeoFunctions.lccInverseSqlParts("x", "y",
+          phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0)
+        invCrsSql(fx, fy, lonB, t, "t",
+          GeoFunctions.conformalLatSqlSteps(), "lat BETWEEN -80.0 AND 84.0")
+      }),
+
+    // Inverse Albers equal-area (Snyder eq. 14-19..14-21/3-16): same
+    // staging; latitude via the equal-area auxiliary's fixed Newton
+    // unroll (AlbersLatIters, quadratic — < 1e-13 rad in-domain).
+    Q("q_albers_inverse",
+      (s, d) => {
+        val sh = Shots.df(s, d).filter(col("lat").between(-80.0, 84.0))
+        val (fx, fy) = GeoFunctions.albersForward(col("lon"), col("lat"),
+          phi0Deg = 23.0, phi1Deg = 29.5, phi2Deg = 45.5, lon0Deg = -96.0)
+        val staged = sh.select(col("shot"), fx.as("x"), fy.as("y"))
+        val (lonB, latB) = GeoFunctions.albersInverse(col("x"), col("y"),
+          phi0Deg = 23.0, phi1Deg = 29.5, phi2Deg = 45.5, lon0Deg = -96.0)
+        staged.select(col("shot"),
+          round(lonB * 1000000.0, 0).cast("long").as("lon_udeg"),
+          round(latB * 1000000.0, 0).cast("long").as("lat_udeg"))
+          .orderBy("shot")
+      },
+      Some {
+        val (fx, fy) = GeoFunctions.albersForwardSql("lon", "lat",
+          phi0Deg = 23.0, phi1Deg = 29.5, phi2Deg = 45.5, lon0Deg = -96.0)
+        val (lonB, q) = GeoFunctions.albersInverseSqlParts("x", "y",
+          phi0Deg = 23.0, phi1Deg = 29.5, phi2Deg = 45.5, lon0Deg = -96.0)
+        invCrsSql(fx, fy, lonB, q, "q",
+          GeoFunctions.albersLatSqlSteps(), "lat BETWEEN -80.0 AND 84.0")
+      }),
+
+    // Inverse north-polar stereographic (Snyder eq. 21-39/21-40/7-9):
+    // the azimuthal member's other direction, sharing LCC's conformal
+    // latitude iteration.
+    Q("q_stereo_inverse",
+      (s, d) => {
+        val sh = Shots.df(s, d).filter(col("lat").between(10.0, 90.0))
+        val (fx, fy) = GeoFunctions.polarStereoForward(col("lon"), col("lat"),
+          lon0Deg = -45.0, k0 = 0.994)
+        val staged = sh.select(col("shot"), fx.as("x"), fy.as("y"))
+        val (lonB, latB) = GeoFunctions.polarStereoInverse(col("x"), col("y"),
+          lon0Deg = -45.0, k0 = 0.994)
+        staged.select(col("shot"),
+          round(lonB * 1000000.0, 0).cast("long").as("lon_udeg"),
+          round(latB * 1000000.0, 0).cast("long").as("lat_udeg"))
+          .orderBy("shot")
+      },
+      Some {
+        val (fx, fy) = GeoFunctions.polarStereoForwardSql("lon", "lat",
+          lon0Deg = -45.0, k0 = 0.994)
+        val (lonB, t) = GeoFunctions.polarStereoInverseSqlParts("x", "y",
+          lon0Deg = -45.0, k0 = 0.994)
+        invCrsSql(fx, fy, lonB, t, "t",
+          GeoFunctions.conformalLatSqlSteps(), "lat BETWEEN 10.0 AND 90.0")
       }),
 
     // Z-order curve value for spatial clustering (the data-layout index

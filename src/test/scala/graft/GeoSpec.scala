@@ -520,11 +520,80 @@ class UtmSpec extends SparkSpec {
   test("q_utm_inverse / q_lcc_transform spark plans match their oracle SQL through Spark (r9)") {
     Tables.load(spark, sfDir, "events").createOrReplaceTempView("events")
     for (name <- Seq("q_utm_inverse", "q_lcc_transform",
-        "q_albers_transform", "q_stereo_transform")) {
+        "q_albers_transform", "q_stereo_transform",
+        "q_lcc_inverse", "q_albers_inverse", "q_stereo_inverse")) {
       val q = graft.queries.CoreQueries.defs.find(_.name == name).get
       val got = q.fn(spark, sfDir).collect().map(_.mkString("|")).toSeq
       val oracle = spark.sql(q.oracle.get).collect().map(_.mkString("|")).toSeq
       assert(got === oracle, s"$name: Column face diverged from SQL face")
+    }
+  }
+
+  test("lccInverse inverts Snyder's worked example (Clarke 1866) (r15)") {
+    // inverse of the p. 296 forward example: x = 1,894,410.9 m,
+    // y = 1,564,649.5 m on the 33/45 cone, origin 23N 96W -> 35N 75W
+    val pts = Seq((1894410.9, 1564649.5)).toDF("x", "y")
+    val (lonB, latB) = GeoFunctions.lccInverse(col("x"), col("y"),
+      phi0Deg = 23.0, phi1Deg = 33.0, phi2Deg = 45.0, lon0Deg = -96.0,
+      a = 6378206.4, e2 = 0.00676866)
+    val r = pts.select(lonB.as("lon"), latB.as("lat")).head
+    assert(math.abs(r.getDouble(0) - (-75.0)) < 2e-6,
+      s"lon ${r.getDouble(0)} vs -75")
+    assert(math.abs(r.getDouble(1) - 35.0) < 2e-6,
+      s"lat ${r.getDouble(1)} vs 35")
+  }
+
+  test("conic/azimuthal inverses round-trip real shots to < 1e-7 deg (r15)") {
+    val sh = graft.queries.Shots.df(spark, sfDir).select("shot", "lon", "lat")
+    def roundTrip(latFilter: org.apache.spark.sql.Column,
+                  fwd: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => (org.apache.spark.sql.Column, org.apache.spark.sql.Column),
+                  inv: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => (org.apache.spark.sql.Column, org.apache.spark.sql.Column),
+                  label: String): Unit = {
+      val (fx, fy) = fwd(col("lon"), col("lat"))
+      val staged = sh.filter(latFilter)
+        .select(col("shot"), col("lon"), col("lat"), fx.as("x"), fy.as("y"))
+      val (rlon, rlat) = inv(col("x"), col("y"))
+      val bad = staged.select(col("shot"),
+          (org.apache.spark.sql.functions.abs(rlon - col("lon")) +
+            org.apache.spark.sql.functions.abs(rlat - col("lat"))).as("err"))
+        .filter(col("err") > 1e-7)
+      assert(bad.count() === 0L,
+        s"$label round-trip > 1e-7 deg: ${bad.limit(5).collect().mkString(",")}")
+    }
+    roundTrip(col("lat").between(-80.0, 84.0),
+      GeoFunctions.lccForward(_, _, 23.0, 33.0, 45.0, -96.0),
+      GeoFunctions.lccInverse(_, _, 23.0, 33.0, 45.0, -96.0), "lcc")
+    roundTrip(col("lat").between(-80.0, 84.0),
+      GeoFunctions.albersForward(_, _, 23.0, 29.5, 45.5, -96.0),
+      GeoFunctions.albersInverse(_, _, 23.0, 29.5, 45.5, -96.0), "albers")
+    roundTrip(col("lat").between(10.0, 90.0),
+      GeoFunctions.polarStereoForward(_, _, -45.0, 0.994),
+      GeoFunctions.polarStereoInverse(_, _, -45.0, 0.994), "stereo")
+  }
+
+  test("inverse-latitude kernels agree across codegen and interpreted eval (r15)") {
+    // the UTM-family lesson: a kernel that silently diverges between
+    // the two eval paths poisons only SOME stages — pin equality
+    val pts = Seq(0.2, 0.5, 0.9, 1.0, 1.3).toDF("t")
+      .select(col("t"), (col("t") - 1.1).as("q"))
+    def run(): Seq[(Double, Double)] = {
+      import org.apache.spark.sql.graftbridge.PlanBridge
+      val lat1 = PlanBridge.column(graft.plans.Exprs.ConformalLat(
+        PlanBridge.expression(col("t")), 0.0818191908426215, 5))
+      val lat2 = PlanBridge.column(graft.plans.Exprs.AlbersLat(
+        PlanBridge.expression(col("q")), 0.0818191908426215,
+        0.00669437999014133, 4))
+      pts.select(lat1, lat2).collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    }
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = run()
+      assert(gen === interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
 

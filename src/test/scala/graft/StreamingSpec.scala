@@ -1063,4 +1063,52 @@ class StreamingSpec extends SparkSpec {
     assert(byGrp("shift").getAs[Double]("p_value") === expect("shift"))
     assert(byGrp("same").getAs[Double]("p_value") === expect("same"))
   }
+
+  test("CRS transforms are stateless streaming faces: Albers/stereo round-trips equal batch (r15)") {
+    // the conic/azimuthal family is pure scan-stage arithmetic, so its
+    // streaming face is the SAME Column tree over readStream — pin that
+    // the kernels (incl. the r15 inverse-latitude iterations) run
+    // unchanged inside a micro-batch plan
+    import graft.functions.GeoFunctions
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_crs")
+    java.nio.file.Files.createDirectory(staged.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      staged.resolve("events.parquet").resolve("part-00000.parquet"))
+    def shots(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id").as("shot"),
+      ((col("event_id") % 360) - 180.0 + col("value") / 1000.0).as("lon"),
+      ((col("event_id") * 7) % 180 - 90.0 + col("value") / 2000.0).as("lat"))
+    def proj(sh: org.apache.spark.sql.DataFrame) = {
+      val (ax, ay) = GeoFunctions.albersForward(col("lon"), col("lat"),
+        23.0, 29.5, 45.5, -96.0)
+      val (px, py) = GeoFunctions.polarStereoForward(col("lon"), col("lat"),
+        -45.0, 0.994)
+      val s1 = sh.filter(col("lat").between(10.0, 84.0))
+        .select(col("shot"), ax.as("ax"), ay.as("ay"), px.as("px"), py.as("py"))
+      val (alon, alat) = GeoFunctions.albersInverse(col("ax"), col("ay"),
+        23.0, 29.5, 45.5, -96.0)
+      val (slon, slat) = GeoFunctions.polarStereoInverse(col("px"), col("py"),
+        -45.0, 0.994)
+      s1.select(col("shot"),
+        round(col("ax"), 0).cast("long").as("aea_x_m"),
+        round(col("py"), 0).cast("long").as("ps_y_m"),
+        round(alon * 1000000.0, 0).cast("long").as("alon_udeg"),
+        round(alat * 1000000.0, 0).cast("long").as("alat_udeg"),
+        round(slon * 1000000.0, 0).cast("long").as("slon_udeg"),
+        round(slat * 1000000.0, 0).cast("long").as("slat_udeg"))
+    }
+    val stream = Tables.loadStream(spark, staged.toString, "events")
+    val q = proj(shots(stream))
+      .writeStream.format("memory").queryName("crs_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("crs_parity").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = proj(shots(Tables.load(spark, sfDir, "events"))).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
