@@ -489,6 +489,18 @@ object GeoFunctions {
   val ConformalLatIters = 5
   val AlbersLatIters = 4
 
+  /** Normalize a recovered longitude into [-180, 180) — atan2 hands the
+    * azimuthal inverse delta-lambda in (-180, 180], so a point more than
+    * 180 degrees of longitude from lon0 would otherwise come back a full
+    * turn off (the conic inverses divide theta by n < 1 and never wrap,
+    * but the normalization is the identity there). Same floor tree on
+    * both engines. */
+  private def wrapLonCol(lon: Column): Column =
+    lon - lit(360.0) * floor((lon + 180.0) / 360.0)
+
+  private def wrapLonSql(lon: String): String =
+    s"(($lon) - 360.0 * floor((($lon) + 180.0) / 360.0))"
+
   private def conformalLatCol(t: Column, e: Double): Column =
     PlanBridge.column(graft.plans.Exprs.ConformalLat(
       PlanBridge.expression(t), e, ConformalLatIters))
@@ -507,7 +519,7 @@ object GeoFunctions {
     val dy = lit(rho0) - y
     val rho = sqrt(x * x + dy * dy)
     val theta = atan2(x, dy)
-    val lon = (theta / n) / Deg2Rad + lon0Deg
+    val lon = wrapLonCol((theta / n) / Deg2Rad + lon0Deg)
     val t = pow(rho / (a * f), 1.0 / n)
     (lon, conformalLatCol(t, e) / Deg2Rad)
   }
@@ -520,7 +532,7 @@ object GeoFunctions {
     val denom = math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
     val rho = sqrt(x * x + y * y)
     val t = rho * (denom / (2.0 * a * k0))
-    val lon = atan2(x, lit(0.0) - y) / Deg2Rad + lon0Deg
+    val lon = wrapLonCol(atan2(x, lit(0.0) - y) / Deg2Rad + lon0Deg)
     (lon, conformalLatCol(t, e) / Deg2Rad)
   }
 
@@ -536,7 +548,7 @@ object GeoFunctions {
     val dy = lit(rho0) - y
     val rho = sqrt(x * x + dy * dy)
     val theta = atan2(x, dy)
-    val lon = (theta / n) / Deg2Rad + lon0Deg
+    val lon = wrapLonCol((theta / n) / Deg2Rad + lon0Deg)
     val q = (lit(c) - rho * rho * lit(n * n) / (a * a)) / n
     val lat = PlanBridge.column(graft.plans.Exprs.AlbersLat(
       PlanBridge.expression(q), e, e2, AlbersLatIters)) / Deg2Rad
@@ -552,7 +564,7 @@ object GeoFunctions {
     val (n, f, rho0) = lccConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
     val dy = s"(($rho0) - ($y))"
     val rho = s"sqrt(($x) * ($x) + $dy * $dy)"
-    val lon = s"((atan2(($x), $dy) / ($n)) / $Deg2Rad + ($lon0Deg))"
+    val lon = wrapLonSql(s"((atan2(($x), $dy) / ($n)) / $Deg2Rad + ($lon0Deg))")
     val t = s"pow($rho / (${a * f}), ${1.0 / n})"
     (lon, t)
   }
@@ -563,7 +575,7 @@ object GeoFunctions {
                                  a: Double = Wgs84A, e2: Double = Wgs84E2): (String, String) = {
     val e = math.sqrt(e2)
     val denom = math.sqrt(math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
-    val lon = s"(atan2(($x), 0.0 - ($y)) / $Deg2Rad + ($lon0Deg))"
+    val lon = wrapLonSql(s"(atan2(($x), 0.0 - ($y)) / $Deg2Rad + ($lon0Deg))")
     val t = s"(sqrt(($x) * ($x) + ($y) * ($y)) * (${denom / (2.0 * a * k0)}))"
     (lon, t)
   }
@@ -577,7 +589,7 @@ object GeoFunctions {
     val (n, c, rho0) = albersConstants(phi0Deg, phi1Deg, phi2Deg, a, e2)
     val dy = s"(($rho0) - ($y))"
     val rho = s"sqrt(($x) * ($x) + $dy * $dy)"
-    val lon = s"((atan2(($x), $dy) / ($n)) / $Deg2Rad + ($lon0Deg))"
+    val lon = wrapLonSql(s"((atan2(($x), $dy) / ($n)) / $Deg2Rad + ($lon0Deg))")
     val q = s"((($c) - $rho * $rho * (${n * n}) / (${a * a})) / ($n))"
     (lon, q)
   }

@@ -553,8 +553,14 @@ class UtmSpec extends SparkSpec {
       val staged = sh.filter(latFilter)
         .select(col("shot"), col("lon"), col("lat"), fx.as("x"), fy.as("y"))
       val (rlon, rlat) = inv(col("x"), col("y"))
+      // longitudes compare as ANGLES: the inverses normalize into
+      // [-180, 180), while the synthetic shots frame can sit a full
+      // turn away (and any |lon - lon0| > 180 wraps through atan2)
+      val dlon = org.apache.spark.sql.functions.abs(rlon - col("lon"))
+      val dlonWrapped = dlon - lit(360.0) *
+        org.apache.spark.sql.functions.round(dlon / 360.0, 0)
       val bad = staged.select(col("shot"),
-          (org.apache.spark.sql.functions.abs(rlon - col("lon")) +
+          (org.apache.spark.sql.functions.abs(dlonWrapped) +
             org.apache.spark.sql.functions.abs(rlat - col("lat"))).as("err"))
         .filter(col("err") > 1e-7)
       assert(bad.count() === 0L,
