@@ -463,7 +463,7 @@ object Dedup {
     while (last.forall(p < _) && iter < maxIter) {
       last = Some(p)
       val prev = cur
-      cur = round(prev).localCheckpoint()
+      cur = PlanBridge.freshLocalCheckpoint(round(prev))
       PlanBridge.unpersistLocalCheckpoint(prev)
       p = pot(cur)
       iter += 1
@@ -503,7 +503,7 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prev = cur
       val prevCount = curCount
-      cur = round(prev).localCheckpoint()
+      cur = PlanBridge.freshLocalCheckpoint(round(prev))
       curCount = cur.count()
       // prev's count is carried from last round — per round this really
       // is one scalar count plus one anti-set job, as documented

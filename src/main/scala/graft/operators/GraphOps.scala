@@ -132,13 +132,13 @@ object GraphOps {
         .withColumn("nc", count(lit(1)).over(W.partitionBy("dst")))
         .filter(col("rn") === col("nc"))
         .select(col("dst"), col("cum").as("c"))
-      ranks = nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
-        .join(contrib, nodes("v") === contrib("dst"), "left")
-        .select(col("v"),
-          ((lit(1.0) - lit(damping)) / col("n").cast("double") +
-            lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dm") / col("n").cast("double"))).as("r"))
-        .localCheckpoint()
+      ranks = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
+        nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
+          .join(contrib, nodes("v") === contrib("dst"), "left")
+          .select(col("v"),
+            ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+              lit(damping) * (coalesce(col("c"), lit(0.0)) +
+                col("dm") / col("n").cast("double"))).as("r")))
     }
     ranks.select(col("v").as("node"), round(col("r"), 6).as("pagerank"))
   }
@@ -211,12 +211,12 @@ object GraphOps {
       .select(col("v"), col("v").as("lbl")).localCheckpoint()
     val argmax = W.partitionBy("dst").orderBy(col("cnt").desc, col("lbl"))
     (1 to iters).foreach { _ =>
-      labels = sym.join(labels, sym("src") === labels("v"))
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(argmax))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("v"), col("lbl"))
-        .localCheckpoint()
+      labels = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
+        sym.join(labels, sym("src") === labels("v"))
+          .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(argmax))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("v"), col("lbl")))
     }
     labels.select(col("v").as("node"), col("lbl").as("label"))
   }
@@ -299,9 +299,9 @@ object GraphOps {
         .select(col(groupKey).as("gv"), col("cum").as("raw"))
       val full = nodes.join(raw, nodes("v") === col("gv"), "left")
         .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw"))
-      full.crossJoin(broadcast(l1Total(full, "raw")))
-        .select(col("v"), (col("raw") / col("tot")).as("s"))
-        .localCheckpoint()
+      org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
+        full.crossJoin(broadcast(l1Total(full, "raw")))
+          .select(col("v"), (col("raw") / col("tot")).as("s")))
     }
     var hub = nodes.select(col("v"), lit(1.0).as("s")).localCheckpoint()
     var auth = hub
@@ -652,11 +652,11 @@ object GraphOps {
       .distinct().localCheckpoint()
     var frontier = dist.select(col("node"))
     for (r <- 1 to rounds) {
-      val next = adj
-        .join(frontier.withColumnRenamed("node", "v"), Seq("v"))
-        .select(col("w").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
+      val next = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
+        adj
+          .join(frontier.withColumnRenamed("node", "v"), Seq("v"))
+          .select(col("w").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti"))
       dist = dist.unionByName(next.withColumn("hops", lit(r.toLong)))
         .localCheckpoint()
       frontier = next
@@ -690,11 +690,11 @@ object GraphOps {
     var frontierSize = frontier.count()
     while (frontierSize > 0 && r < maxRounds) {
       r += 1
-      val next = adj
-        .join(frontier.withColumnRenamed("node", "v"), Seq("v"))
-        .select(col("w").as("node")).distinct()
-        .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint()
+      val next = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
+        adj
+          .join(frontier.withColumnRenamed("node", "v"), Seq("v"))
+          .select(col("w").as("node")).distinct()
+          .join(dist, Seq("node"), "left_anti"))
       frontierSize = next.count()
       if (frontierSize > 0)
         dist = dist.unionByName(next.withColumn("hops", lit(r.toLong)))
@@ -1141,14 +1141,15 @@ object GraphOps {
         .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("comm")).as("comm"))
     }
-    var labels = sym.select(col("v").as("node")).distinct()
-      .withColumn("comm", col("node"))
-      .localCheckpoint()
+    var labels = org.apache.spark.sql.graftbridge.PlanBridge
+      .freshLocalCheckpoint(sym.select(col("v").as("node")).distinct()
+        .withColumn("comm", col("node")))
     var s = score(labels)
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
-      val proposed = sweep(labels).localCheckpoint()
+      val proposed = org.apache.spark.sql.graftbridge.PlanBridge
+        .freshLocalCheckpoint(sweep(labels))
       val s2 = score(proposed)
       if (s2 > s) {
         org.apache.spark.sql.graftbridge.PlanBridge
@@ -1265,14 +1266,15 @@ object GraphOps {
         .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("comm")).as("comm"))
     }
-    var labels = deg.select(col("v").as("node"))
-      .withColumn("comm", col("node"))
-      .localCheckpoint()
+    var labels = org.apache.spark.sql.graftbridge.PlanBridge
+      .freshLocalCheckpoint(deg.select(col("v").as("node"))
+        .withColumn("comm", col("node")))
     var s = score(labels)
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
-      val proposed = sweep(labels).localCheckpoint()
+      val proposed = org.apache.spark.sql.graftbridge.PlanBridge
+        .freshLocalCheckpoint(sweep(labels))
       val s2 = score(proposed)
       if (s2 > s) {
         org.apache.spark.sql.graftbridge.PlanBridge

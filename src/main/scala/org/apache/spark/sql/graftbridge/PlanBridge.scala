@@ -42,6 +42,42 @@ object PlanBridge {
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** localCheckpoint with SANE statistics for ROUND-ITERATED frames.
+    *
+    * Spark 3.5+ propagates the origin plan's ESTIMATED Statistics onto
+    * the checkpoint's LogicalRDD (originStats), so an iterative
+    * algorithm whose round-k plan references the round-(k−1) checkpoint
+    * m times multiplicatively inherits a sizeInBytes whose BIT COUNT
+    * grows ~m^k: the estimate is a BigInt, join stats MULTIPLY child
+    * sizes, and by round ~14 of a m≈5 sweep (louvainWeighted at sf1)
+    * the driver sits in BigInteger.multiplyToomCook3 inside
+    * SizeInBytesOnlyStatsPlanVisitor for HOURS (observed: 90+ min of
+    * driver CPU planning ONE sweep — the r15 sf1 board hang). This
+    * helper checkpoints eagerly, then swaps the inherited estimate for
+    * the checkpointed RDD's MEASURED storage size — bounded, and a
+    * better broadcast signal than any estimate. Use it for every
+    * checkpoint that a LATER round's plan will reference; one-shot
+    * checkpoints can keep the stock call. */
+  def freshLocalCheckpoint(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint()
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val spark = ds.sparkSession
+        val measured = spark.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+          .getOrElse(1L << 20)
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt(measured))
+        classic.Dataset.ofRows(spark,
+          org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(spark, Some(stats), None))
+      case _ => ds
+    }
+  }
+
   /** Free the blocks behind a localCheckpoint()ed frame. Dataset.unpersist
     * is a no-op for these — localCheckpoint persists the underlying RDD
     * directly, without registering it with the CacheManager that
