@@ -489,6 +489,102 @@ object Similarity {
       s"FROM ranked WHERE rank <= $k"
   }
 
+  /** Sign bits of vector components [lo, lo+nBits) packed into one
+    * non-negative long (component > 0 → bit i set). nBits <= 32 keeps
+    * every addend a distinct positive power of two, so the sum is an
+    * exact bit-OR and never overflows on either engine. */
+  private def bqWordExpr(vecCol: String, lo: Int,
+                         nBits: Int): org.apache.spark.sql.Column =
+    (0 until nBits).map { i =>
+      when(element_at(col(vecCol), lo + i + 1) > lit(0f), lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduceLeft(_ + _)
+
+  private def bqWordSql(vecCol: String, lo: Int, nBits: Int): String =
+    (0 until nBits).map { i =>
+      s"(CASE WHEN $vecCol[${lo + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Binary-quantization two-stage ANN: 1-bit sign codes, XOR+popcount
+    * Hamming coarse scan (top-`n` per query, ascending distance), exact
+    * cosine rerank of the survivors (top-`k`). The third quantization
+    * family beside [[sq8TopK]] (8-bit scalar) and [[pqTopK]] (product
+    * codes): 32× compression — a 64-dim float vector becomes two longs
+    * — and the candidate scan costs two XOR+POPCNT instructions per
+    * pair instead of a 64-term float dot. Hamming distance between sign
+    * codes is a monotone proxy for angular distance (the SRP-LSH
+    * estimator: E[hamming]/dims = θ/π), so the coarse order is
+    * meaningful and the exact pass repairs its tail.
+    *
+    * Portability: packing sums literal powers of two gated on the exact
+    * float sign test (`component > 0` — no arithmetic before the
+    * compare), and the coarse ranking orders by the exact INTEGER
+    * Hamming distance, so stage-1 is float-free end to end; the rerank
+    * reuses the canonical strict-fold cosine. Recall vs the exact
+    * top-k is measured in the spec, not assumed.
+    *
+    * Scale shape: queries broadcast; candidates scanned once (codes are
+    * scan-stage narrow); both rank stages ride the salted two-stage
+    * top-k. At 100 TB the packed-code table is the index you persist:
+    * 2 longs + id per vector ≈ 24 B/row, so a billion-vector corpus
+    * scans from ~24 GB instead of ~256 GB of floats. */
+  def bqTopK(candidates: DataFrame, queries: DataFrame, k: Int, n: Int = 20,
+             dims: Int = 64, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"bqTopK packs <= 64 dims, got $dims")
+    val w0 = math.min(32, dims)
+    val w1 = dims - w0
+    def word1(vc: String) =
+      if (w1 > 0) bqWordExpr(vc, 32, w1) else lit(0L)
+    val cc = candidates.select(col(idCol).as("vec_id"),
+      col(vecCol).as("cvec"),
+      bqWordExpr(vecCol, 0, w0).as("b0"), word1(vecCol).as("b1"))
+    val qc = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+      bqWordExpr(vecCol, 0, w0).as("q0"), word1(vecCol).as("q1"))
+    val scored = cc.crossJoin(broadcast(qc))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(b0 ^ q0) + bit_count(b1 ^ q1) AS BIGINT)"))
+    val coarse = TopK.perGroupTopK(scored,
+      groupCols = Seq(col("qid")),
+      order = Seq(col("hamming"), col("vec_id")),
+      k = n, salt = col("vec_id"), rankCol = "_crank")
+    TopK.perGroupTopK(
+        coarse.withColumn("cos",
+          VectorFunctions.cosine(col("qvec"), col("cvec"))),
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"), col("hamming"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[bqTopK]] — identical sign packing, integer
+    * Hamming coarse rank, and strict-fold rerank. */
+  def bqTopKSql(corpusSub: String, queryPred: String, k: Int, n: Int,
+                dims: Int): String = {
+    val w0 = math.min(32, dims)
+    val w1 = dims - w0
+    val word1 = if (w1 > 0) bqWordSql("embedding", 32, w1) else "CAST(0 AS BIGINT)"
+    s"WITH cc AS MATERIALIZED (SELECT vec_id, embedding AS cvec, " +
+      s"${bqWordSql("embedding", 0, w0)} AS b0, $word1 AS b1 FROM $corpusSub), " +
+      s"qc AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qvec, " +
+      s"${bqWordSql("embedding", 0, w0)} AS q0, $word1 AS q1 " +
+      s"FROM $corpusSub WHERE $queryPred), " +
+      "scored AS (SELECT qc.qid, cc.vec_id, cc.cvec, qc.qvec, " +
+      "CAST(bit_count(xor(b0, q0)) + bit_count(xor(b1, q1)) AS BIGINT) AS hamming " +
+      "FROM cc, qc WHERE cc.vec_id <> qc.qid), " +
+      "coarse AS (SELECT *, row_number() OVER (PARTITION BY qid " +
+      "ORDER BY hamming, vec_id) AS crank FROM scored), " +
+      s"rr AS (SELECT qid, vec_id, hamming, " +
+      s"${VectorFunctions.cosineSql("qvec", "cvec")} AS cos " +
+      s"FROM coarse WHERE crank <= $n), " +
+      "ranked AS (SELECT qid, vec_id, hamming, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM rr) " +
+      "SELECT qid, rank, vec_id, hamming, round(cos, 6) AS cos_sim " +
+      s"FROM ranked WHERE rank <= $k"
+  }
+
   /** MMR (maximal marginal relevance) diversified rerank: from each
     * query's top-`n` relevance candidates, greedily select `k` results,
     * step score = λ·rel − (1−λ)·max sim to the already-selected set

@@ -748,6 +748,96 @@ object TextOps {
       "FROM cum WHERE rn = nt ORDER BY doc_id"
   }
 
+  /** Interpolated Kneser-Ney bigram NLL (Kneser & Ney 1995; the smoothing
+    * KenLM ships as its default): absolute discount D off every seen
+    * bigram, with the freed mass backing off to the CONTINUATION
+    * unigram — P_cont(b) = |{a : c(a,b)>0}| / |bigram types| — rather
+    * than the raw frequency q_bigramNll interpolates with. The
+    * distinction is the whole point: a token that appears often but
+    * only after one history ("Francisco") gets a LOW continuation
+    * probability, so boilerplate-heavy corpora don't inflate novel-
+    * context likelihoods.
+    *
+    *   P(b|a) = max(c_ab − D, 0)/c_a + (D · N1+(a,·)/c_a) · P_cont(b)
+    *
+    * Scale shape (the bigramNll chassis): ONE corpus bigram explode;
+    * c_ab / history totals / following-type and continuation-type
+    * counts are all map-side-combined aggregates of the (a,b) type
+    * frame; the vocabulary-sized frames join on the term key (never
+    * broadcast — heaps-law unbounded), only the 1-row type total
+    * broadcasts. Per-doc NLL reduces by ordered cumsum so the doubles
+    * are bit-identical cross-engine. */
+  def kneserNeyNll(df: DataFrame, idCol: String, textCol: String,
+                   discount: Double = 0.75): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("_t"))
+    val bi = toks.filter(size(col("_t")) >= 2)
+      .select(col("doc_id"),
+        explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val tf = bi.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val cab = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c_ab"))
+    // one pass over the type frame per side: history mass + following
+    // types keyed by a, continuation types keyed by b, global type total
+    val hist = cab.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_hist"), count(lit(1)).as("n1f"))
+    val cont = cab.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val types = cab.agg(count(lit(1)).as("t_types"))
+    val dd = lit(discount)
+    val p = (greatest(col("c_ab").cast("double") - dd, lit(0.0)) /
+        col("c_hist").cast("double")) +
+      ((dd * col("n1f").cast("double") / col("c_hist").cast("double")) *
+        (col("n1b").cast("double") / col("t_types").cast("double")))
+    val w = W.partitionBy("doc_id").orderBy("a", "b")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tf.join(cab, Seq("a", "b"))
+      .join(hist, Seq("a"))
+      .join(cont, Seq("b"))
+      .crossJoin(broadcast(types))
+      .withColumn("nll", -log(p) * col("tf"))
+      .withColumn("cum_nll", sum(col("nll")).over(cum))
+      .withColumn("cum_tf", sum(col("tf")).over(cum))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nt", count(lit(1)).over(W.partitionBy("doc_id")))
+      .filter(col("rn") === col("nt"))
+      .select(col("doc_id"), col("cum_tf").as("n_bigrams"),
+        round(col("cum_nll") / col("cum_tf"), 6).as("avg_nll"))
+  }
+
+  /** DuckDB oracle for [[kneserNeyNll]] — identical CTEs, casts, and
+    * ordered fold. */
+  def kneserNeyNllSql(discount: Double): String = {
+    val d = s"CAST($discount AS DOUBLE)"
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), " +
+      s"bi0 AS (SELECT doc_id, unnest(${TextFunctions.adjacentPairsSql("t")}) AS bg " +
+      "FROM toks WHERE len(t) >= 2), " +
+      "bi AS (SELECT doc_id, bg.a AS a, bg.b AS b FROM bi0), " +
+      "tf AS (SELECT doc_id, a, b, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM bi GROUP BY doc_id, a, b), " +
+      "cab AS (SELECT a, b, CAST(sum(tf) AS BIGINT) AS c_ab FROM tf GROUP BY a, b), " +
+      "hist AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_hist, " +
+      "CAST(count(*) AS BIGINT) AS n1f FROM cab GROUP BY a), " +
+      "cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM cab GROUP BY b), " +
+      "types AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM cab), " +
+      "sc AS (SELECT doc_id, a, b, tf, " +
+      s"-ln((greatest(CAST(c_ab AS DOUBLE) - $d, 0.0) / CAST(c_hist AS DOUBLE)) + " +
+      s"((($d * CAST(n1f AS DOUBLE)) / CAST(c_hist AS DOUBLE)) * " +
+      "(CAST(n1b AS DOUBLE) / CAST(t_types AS DOUBLE)))) * tf AS nll " +
+      "FROM tf JOIN cab USING (a, b) JOIN hist USING (a) " +
+      "JOIN cont ON cont.b = tf.b CROSS JOIN types), " +
+      "cum AS (SELECT doc_id, " +
+      "sum(nll) OVER (PARTITION BY doc_id ORDER BY a, b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_nll, " +
+      "CAST(sum(tf) OVER (PARTITION BY doc_id ORDER BY a, b " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tf, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY a, b) AS rn, " +
+      "count(*) OVER (PARTITION BY doc_id) AS nt FROM sc) " +
+      "SELECT doc_id, cum_tf AS n_bigrams, round(cum_nll / cum_tf, 6) AS avg_nll " +
+      "FROM cum WHERE rn = nt ORDER BY doc_id"
+  }
+
   /** Hashing-trick token features (Weinberger et al.'s feature hashing —
     * the fasttext-style classifier front-end): per document, a fixed
     * `nBuckets`-long count vector where token t lands in bucket

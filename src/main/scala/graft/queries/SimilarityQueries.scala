@@ -594,6 +594,24 @@ object SimilarityQueries {
       Some(Similarity.sq8TopKSql("embeddings", "vec_id < 5", k = K, n = 20,
         dims = Dims) + " ORDER BY qid, rank")),
 
+    // Binary-quantization two-stage ANN: 1-bit sign codes packed into
+    // two longs (32x compression — a billion-vector index scans from
+    // ~24 GB instead of ~256 GB of floats), XOR+popcount Hamming coarse
+    // scan, exact cosine rerank of the top-50 survivors (10x oversample
+    // — 1-bit codes trade compression for a wider rescoring window;
+    // recall 0.48@4x -> 0.80@10x, measured in the spec). Stage-1 is
+    // float-free end to end (integer Hamming, vec_id ties), so the
+    // pipeline hash-verifies.
+    Q("q_bq_topk",
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.bqTopK(e, e.filter(col("vec_id") < 5), k = K, n = 50,
+            dims = Dims)
+          .orderBy("qid", "rank")
+      },
+      Some(Similarity.bqTopKSql("embeddings", "vec_id < 5", k = K, n = 50,
+        dims = Dims) + " ORDER BY qid, rank")),
+
     // MMR diversified rerank (λ = 0.7, 4 picks from the exact top-10):
     // the redundancy-killer between retrieval and serving — without it a
     // near-dup-heavy corpus fills the whole top-k with one cluster. The

@@ -720,6 +720,19 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(graft.operators.TextOps.bigramNllSql(lambda = 0.75))),
 
+    // Kneser-Ney bigram NLL (KenLM's default smoothing, one rung above
+    // q_bigram_nll's raw-frequency interpolation): absolute discount
+    // D = 0.75, freed mass backs off to the CONTINUATION count — tokens
+    // frequent after only one history stop inflating novel-context
+    // likelihoods. Same one-explode chassis; vocabulary frames join on
+    // the term key (never broadcast); per-doc ordered cumsum keeps the
+    // NLL doubles hash-verifiable.
+    Q("q_kneser_ney",
+      (s, d) => graft.operators.TextOps
+        .kneserNeyNll(docs(s, d), "doc_id", "text", discount = 0.75)
+        .orderBy("doc_id"),
+      Some(graft.operators.TextOps.kneserNeyNllSql(discount = 0.75))),
+
     // Mutual information between lang and source (nats): the
     // feature-association measure for mix design — does language predict
     // provenance? Fact scanned once (contingency groupBy); marginals
