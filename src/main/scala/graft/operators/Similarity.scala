@@ -489,6 +489,142 @@ object Similarity {
       s"FROM ranked WHERE rank <= $k"
   }
 
+  /** Multi-round Lloyd k-means over the embedding column — the full
+    * (re)training loop [[kmeansUpdate]] is one step of. `iters`
+    * assignment rounds with `iters − 1` mean updates between them;
+    * output is the final assignment's per-cell size and inertia.
+    *
+    * Portability is the hard part of iterating: a cross-row float mean
+    * is partition-order-dependent, so a naive avg() would feed iteration
+    * k+1 centroids that differ between engines (and between runs).
+    * Means here are EXACT integer lattice points instead — components
+    * quantize to floor(x·2²⁰) (a power-of-two scale: the multiply is
+    * exact, floor is engine-identical), sum as overflow-safe longs in
+    * any order, and the mean is ONE correctly-rounded double division of
+    * the same two integers on both engines. Same rational-lattice move
+    * as q_hex_bin (SURVEY §5).
+    *
+    * Scale shape: each round scans the corpus once against plan-constant
+    * centroid literals (k·dims doubles ≈ KBs, the PQ-codebook stance)
+    * and reduces map-side to the k×dims sufficient-statistics frame —
+    * the ONLY thing the driver ever collects (bounded by k·dims, never
+    * the corpus; the round-8 "collapse to the domain frame" pattern).
+    * Empty cells keep their previous centroid. For corpus-derived k at
+    * 100 TB, seed from [[twoLevelProbes]]' fine cells instead of a flat
+    * literal scan; this operator is the small-k trainer (k ≤ ~1024,
+    * like the PQ subspace codebooks it would retrain). */
+  def kmeansLloyd(candidates: DataFrame, nCentroids: Int, iters: Int = 3,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1 && nCentroids >= 1)
+    import graft.plans.Exprs
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val init = candidates.filter(col(idCol) < nCentroids)
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    require(init.length == nCentroids && init.head._1 == 0L,
+      s"kmeansLloyd seeds from ids 0..${nCentroids - 1}; found ${init.length}")
+    val dims = init.head._2.length
+    val base = candidates.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("ee", VectorFunctions.dot(col("v"), col("v")))
+
+    def dotConst(v: org.apache.spark.sql.Column, w: Array[Double]) =
+      PlanBridge.column(Exprs.DotConst(PlanBridge.expression(v),
+        w.toIndexedSeq))
+
+    /** Assignment vs centroid literals: |e|² − 2e·c + |c|², first cell
+      * achieving the minimum (== the oracle's ORDER BY dist, cid). */
+    def assign(cents: Array[Array[Double]]): DataFrame = {
+      val withD = cents.zipWithIndex.foldLeft(base) { case (df, (cv, i)) =>
+        val cc = cv.foldLeft(0.0)((a, x) => a + x * x)
+        df.withColumn(s"_d$i",
+          col("ee") - lit(2.0) * dotConst(col("v"), cv) + lit(cc))
+      }
+      val minv = least(cents.indices.map(i => col(s"_d$i")): _*)
+      val cell = cents.indices
+        .foldLeft(when(lit(false), lit(0L))) { (c, i) =>
+          c.when(col(s"_d$i") === minv, lit(i.toLong))
+        }
+      withD.withColumn("cell", cell).withColumn("dist", minv)
+        .select(col("id"), col("v"), col("cell"), col("dist"))
+    }
+
+    var cents = init.map(_._2)
+    for (_ <- 1 until iters) {
+      // k×dims sufficient statistics: exact lattice sums, one bounded
+      // collect; everything corpus-sized stays distributed
+      val sums = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "comp")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("comp").cast("double") * lit(1048576.0))
+          .cast("long")).as("sq"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        Array.tabulate(dims) { d =>
+          sums.get((cid.toLong, d)) match {
+            case Some((sq, n)) => sq.toDouble / (n.toDouble * 1048576.0)
+            case None => prev(d)
+          }
+        }
+      }
+    }
+    assign(cents)
+      .withColumn("dq", floor(col("dist") * lit(1000000.0)).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dq")).as("iq"))
+      .select(col("cell"), col("n"),
+        round(col("iq").cast("double") / lit(1000000.0), 6).as("inertia"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB oracle for [[kmeansLloyd]] — the identical iteration chain
+    * unrolled one CTE block per round (the q_louvain convention), with
+    * the same lattice sums, coalesce-to-previous empty-cell rule, and
+    * double divisions. */
+  def kmeansLloydSql(corpusSub: String, nCentroids: Int, iters: Int,
+                     dims: Int): String = {
+    def dist(e: String, c: String) =
+      s"(${VectorFunctions.dotSql(e, e)} - 2.0 * ${VectorFunctions.dotSql(e, c)} + " +
+        s"${VectorFunctions.dotSql(c, c)})"
+    val rng = s"range(1, ${dims + 1}) t(i)"
+    def roundCtes(k: Int): String = {
+      val prev = s"cent${k - 1}"
+      s"d$k AS (SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cvec")} AS dist " +
+        s"FROM emb e, $prev c), " +
+        s"a$k AS (SELECT vec_id, cid, dist, row_number() OVER (" +
+        s"PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$k), " +
+        s"m$k AS (SELECT a.cid, e.embedding FROM a$k a " +
+        "JOIN emb e USING (vec_id) WHERE rn = 1), " +
+        s"s$k AS (SELECT cid, CAST(i - 1 AS INTEGER) AS dim, " +
+        "CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) " +
+        "* 1048576.0) AS BIGINT)) AS BIGINT) AS sq, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM m$k, $rng GROUP BY cid, dim), " +
+        s"cent$k AS (SELECT g.cid, list(coalesce(" +
+        "CAST(s.sq AS DOUBLE) / (CAST(s.n AS DOUBLE) * 1048576.0), g.prev) " +
+        "ORDER BY g.dim) AS cvec " +
+        s"FROM (SELECT c.cid, CAST(i - 1 AS INTEGER) AS dim, " +
+        s"c.cvec[CAST(i AS INTEGER)] AS prev FROM $prev c, $rng) g " +
+        s"LEFT JOIN s$k s ON s.cid = g.cid AND s.dim = g.dim GROUP BY g.cid), "
+    }
+    val fin = iters
+    s"WITH emb AS MATERIALIZED (SELECT vec_id, embedding FROM $corpusSub), " +
+      "cent0 AS (SELECT vec_id AS cid, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec " +
+      s"FROM $corpusSub WHERE vec_id < $nCentroids), " +
+      (1 until iters).map(roundCtes).mkString +
+      s"d$fin AS (SELECT e.vec_id, c.cid, ${dist("e.embedding", "c.cvec")} AS dist " +
+      s"FROM emb e, cent${fin - 1} c), " +
+      s"a$fin AS (SELECT vec_id, cid, dist, row_number() OVER (" +
+      s"PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$fin) " +
+      "SELECT cid AS cell, CAST(count(*) AS BIGINT) AS n, " +
+      "round(CAST(sum(CAST(floor(dist * 1000000.0) AS BIGINT)) AS DOUBLE) " +
+      "/ 1000000.0, 6) AS inertia " +
+      s"FROM a$fin WHERE rn = 1 GROUP BY cid ORDER BY cell"
+  }
+
   /** Sign bits of vector components [lo, lo+nBits) packed into one
     * non-negative long (component > 0 → bit i set). nBits <= 32 keeps
     * every addend a distinct positive power of two, so the sum is an

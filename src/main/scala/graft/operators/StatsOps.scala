@@ -879,6 +879,81 @@ object StatsOps {
       "- CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) AS gini " +
       "FROM s"
 
+  /** UniMax mixing allocation (Chung et al. 2023): spread a token budget
+    * of `budgetX` × the corpus UNIFORMLY across keys (languages/sources),
+    * capped at `epochCap` epochs of each key's own mass — the
+    * closed-form waterfill. Temperature sampling over-weights head
+    * languages and over-epochs tail ones; UniMax's cap bounds repetition
+    * per key and hands the freed budget back to keys that can absorb it.
+    *
+    * Waterfill: sort caps ascending; θ_r = (B − P_{r−1})/(S − r + 1) is
+    * the uniform share if every key before r takes its full cap; the
+    * FIRST r whose cap clears its θ_r fixes the water level θ (min_by on
+    * r — later θ_r values are meaningless once the level is fixed), and
+    * alloc = min(cap, θ). No candidate ⇔ B ≥ Σcap ⇔ every key caps out
+    * (θ = +∞). All shares stay exact integers until the one double
+    * division per row, so both engines walk the identical lattice.
+    *
+    * Scale shape: ONE map-side-combined corpus groupBy; every window
+    * runs on the key frame (domain-bounded — the BoundedWindowSpec
+    * contract); the 1-row water level broadcasts back. */
+  def unimaxAllocation(df: DataFrame, keyCol: String, textCol: String,
+                       epochCap: Int = 2, budgetX: Int = 2): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val g = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("k"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("toks"))
+      .withColumn("cap", col("toks") * lit(epochCap.toLong))
+    val all = W.partitionBy(lit(1))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    val w = W.orderBy("cap", "k")
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val ranked = g
+      .withColumn("budget", sum(col("toks")).over(all) * lit(budgetX.toLong))
+      .withColumn("s", count(lit(1)).over(all))
+      .withColumn("r", row_number().over(w))
+      .withColumn("pfx", sum(col("cap")).over(cum))
+      .withColumn("theta_r",
+        (col("budget") - (col("pfx") - col("cap"))).cast("double") /
+          (col("s") - col("r") + lit(1L)).cast("double"))
+    val pick = ranked.filter(col("cap").cast("double") >= col("theta_r"))
+      .agg(min_by(col("theta_r"), col("r")).as("theta"))
+    val alloc = least(col("cap").cast("double"), col("theta"))
+    ranked.crossJoin(broadcast(pick))
+      .withColumn("theta",
+        coalesce(col("theta"), lit(Double.PositiveInfinity)))
+      .select(col("k").as(keyCol), col("toks").as("n_tokens"),
+        col("cap").as("cap_tokens"),
+        round(alloc, 6).as("alloc_tokens"),
+        round(alloc / col("toks").cast("double"), 6).as("epochs"))
+      .orderBy(keyCol)
+  }
+
+  /** DuckDB oracle for [[unimaxAllocation]] — identical token counts,
+    * cap lattice, θ_r tree, first-candidate pick, and divisions. */
+  def unimaxAllocationSql(table: String, keyCol: String, textCol: String,
+                          epochCap: Int, budgetX: Int): String =
+    s"WITH g AS (SELECT $keyCol AS k, " +
+      s"CAST(sum(len(string_split($textCol, ' '))) AS BIGINT) AS toks " +
+      s"FROM $table WHERE $keyCol IS NOT NULL GROUP BY k), " +
+      s"c AS (SELECT k, toks, toks * $epochCap AS cap FROM g), " +
+      "r AS (SELECT k, toks, cap, " +
+      s"CAST(sum(toks) OVER () AS BIGINT) * $budgetX AS budget, " +
+      "CAST(count(*) OVER () AS BIGINT) AS s, " +
+      "row_number() OVER (ORDER BY cap, k) AS r, " +
+      "CAST(sum(cap) OVER (ORDER BY cap, k " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pfx " +
+      "FROM c), " +
+      "t AS (SELECT *, CAST(budget - (pfx - cap) AS DOUBLE) / " +
+      "CAST(s - r + 1 AS DOUBLE) AS theta_r FROM r), " +
+      "pick AS (SELECT coalesce(min_by(theta_r, r), " +
+      "CAST('infinity' AS DOUBLE)) AS theta FROM t " +
+      "WHERE CAST(cap AS DOUBLE) >= theta_r) " +
+      s"SELECT k AS $keyCol, toks AS n_tokens, cap AS cap_tokens, " +
+      "round(least(CAST(cap AS DOUBLE), theta), 6) AS alloc_tokens, " +
+      "round(least(CAST(cap AS DOUBLE), theta) / CAST(toks AS DOUBLE), 6) AS epochs " +
+      s"FROM t CROSS JOIN pick ORDER BY $keyCol"
+
   /** Benford first-digit audit (Newcomb 1881 / Benford 1938) — the
     * data-quality gate for measure columns: natural multi-scale
     * magnitudes follow P(d) = log10(1 + 1/d); fabricated, clipped or

@@ -231,6 +231,17 @@ object SimilarityQueries {
           "GROUP BY cell, dim ORDER BY cell, dim"
       }),
 
+    // Full Lloyd loop (3 assignment rounds, k = 8) — the trainer
+    // q_kmeans_update is one step of. Iteration is portable because the
+    // means are exact integer-lattice points (floor(x·2^20) sums, one
+    // double division): a cross-row float avg would drift between
+    // engines by round 2. Driver traffic is bounded by k·dims
+    // sufficient stats per round, never the corpus.
+    Q("q_kmeans_iter",
+      (s, d) => Similarity.kmeansLloyd(emb(s, d), nCentroids = 8, iters = 3),
+      Some(Similarity.kmeansLloydSql("embeddings", nCentroids = 8,
+        iters = 3, dims = Dims))),
+
     // Multimodal plumbing: opaque binary payload -> per-partition stubbed
     // decode -> typed features. ASCII payloads make the checksum (the same
     // polynomial byte fold as charHash) oracle-checkable end to end.

@@ -637,6 +637,18 @@ object TextQueries {
       Some(graft.operators.StatsOps.giniConcentrationSql(
         "documents", "source", "n_chars"))),
 
+    // UniMax epoch-capped waterfill (Chung et al. 2023) across languages
+    // — the mixing design q_mix_weights' sqrt-temperature can't express:
+    // a hard per-language repetition bound (3 epochs) with the freed
+    // budget handed to languages that can absorb it. Closed-form water
+    // level over the domain-bounded lang frame; on this corpus the en
+    // head absorbs the budget the four capped tails release.
+    Q("q_unimax_mix",
+      (s, d) => graft.operators.StatsOps.unimaxAllocation(
+        docs(s, d), "lang", "text", epochCap = 3, budgetX = 2),
+      Some(graft.operators.StatsOps.unimaxAllocationSql(
+        "documents", "lang", "text", epochCap = 3, budgetX = 2))),
+
     Q("q_mix_weights",
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window.orderBy("source")

@@ -588,6 +588,89 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  /** Driver model of Similarity.kmeansLloyd — identical op trees:
+    * strict-fold distances, first-min cell pick, floor(x·2^20) lattice
+    * sums, one double division per mean, floor(dist·1e6) inertia. */
+  private def lloydModel(vs: Map[Long, Seq[Float]], k: Int,
+                         iters: Int): Map[Long, (Long, Double)] = {
+    def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+    def distTo(v: Seq[Float], c: Array[Double]): Double = {
+      val ee = fold(v.map(x => x.toDouble * x.toDouble))
+      val ec = fold(v.zip(c).map { case (x, y) => x.toDouble * y })
+      val cc = fold(c.toSeq.map(x => x * x))
+      ee - 2.0 * ec + cc
+    }
+    val dims = vs(0L).length
+    var cents = (0 until k).map(i => vs(i.toLong).map(_.toDouble).toArray).toArray
+    def assign() = vs.toSeq.map { case (id, v) =>
+      val ds = cents.map(distTo(v, _))
+      val m = ds.min
+      (id, v, ds.indexWhere(_ == m).toLong, m)
+    }
+    for (_ <- 1 until iters) {
+      val byCell = assign().groupBy(_._3)
+      cents = cents.zipWithIndex.map { case (prev, cid) =>
+        byCell.get(cid.toLong) match {
+          case Some(members) =>
+            Array.tabulate(dims) { d =>
+              val sq = members.map { case (_, v, _, _) =>
+                math.floor(v(d).toDouble * 1048576.0).toLong
+              }.sum
+              sq.toDouble / (members.size.toDouble * 1048576.0)
+            }
+          case None => prev
+        }
+      }
+    }
+    assign().groupBy(_._3).map { case (cell, members) =>
+      val iq = members.map { case (_, _, _, dist) =>
+        math.floor(dist * 1000000.0).toLong
+      }.sum
+      cell -> ((members.size.toLong,
+        BigDecimal(iq.toDouble / 1000000.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+  }
+
+  test("kmeansLloyd matches the driver Lloyd model; inertia improves (r15)") {
+    def got(iters: Int): Map[Long, (Long, Double)] =
+      Similarity.kmeansLloyd(emb, nCentroids = 8, iters = iters)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val g3 = got(3)
+    assert(g3 === lloydModel(vecs, k = 8, iters = 3))
+    // two mean updates must not worsen total inertia (Lloyd's descent;
+    // the 2^-20 lattice snap is far below the improvement scale)
+    val g1 = got(1)
+    assert(g3.values.map(_._2).sum <= g1.values.map(_._2).sum,
+      s"inertia ${g3.values.map(_._2).sum} vs ${g1.values.map(_._2).sum}")
+    // iters=1 is exactly the one-shot assignment every seed id occupies
+    assert(g1.values.map(_._1).sum === vecs.size.toLong)
+  }
+
+  test("kmeansLloyd: empty cells keep their previous centroid (r15)") {
+    import spark.implicits._
+    // seeds 0 and 1 are identical -> every point ties to cell 0 in
+    // round 1, cell 1 goes empty and must stay at its seed position
+    val fix = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)),
+      (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kmeansLloyd(fix, nCentroids = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val model = lloydModel(
+      Map(0L -> Seq(0f, 0f), 1L -> Seq(0f, 0f),
+        2L -> Seq(1f, 0f), 3L -> Seq(0f, 1f)), k = 2, iters = 3)
+    assert(out === model)
+    // round 1: all four points tie/assign to cell 0 (first-min rule),
+    // cell 1 keeps its (0,0) seed; round 2: the origin points come BACK
+    // to the stationary cell 1 — the kept centroid is load-bearing
+    assert(out.keySet === Set(0L, 1L))
+    // missing seed ids are refused, not silently re-ranked
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansLloyd(fix.filter(col("vec_id") =!= 0L), nCentroids = 2)
+    }
+  }
+
   test("bqTopK: packed sign codes, Hamming model match, recall measured (r15)") {
     val queries = emb.filter(col("vec_id") < 5)
     val rows = Similarity.bqTopK(emb, queries, k = 5, n = 50, dims = 64)

@@ -498,6 +498,56 @@ class StatsOpsSpec extends SparkSpec {
       byS.filter(_._1 == "src1").map(_._2).toSeq))
   }
 
+  test("unimaxAllocation: waterfill closed forms and budget conservation (r15)") {
+    def alloc(rows: Seq[(String, Int)], cap: Int, bx: Int): Map[String, (Double, Double)] = {
+      // one whitespace token per unit: "w w w ..." gives exact counts
+      val df = rows.map { case (k, n) => (k, ("w " * n).trim) }.toDF("k", "text")
+      StatsOps.unimaxAllocation(df, "k", "text", epochCap = cap, budgetX = bx)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    }
+    // [1] one tail caps out, the head pair absorbs the freed budget:
+    // toks (10, 100, 100), caps x2 (20, 200, 200), B = 2*210 = 420 ->
+    // theta = (420-20)/2 = 200 = cap (both constraints tight)
+    val a1 = alloc(Seq(("a", 10), ("b", 100), ("c", 100)), cap = 2, bx = 2)
+    assert(a1("a") === ((20.0, 2.0)))
+    assert(a1("b") === ((200.0, 2.0)) && a1("c") === ((200.0, 2.0)))
+    // [2] nothing binds -> pure uniform split: caps x4 clear B/S
+    val a2 = alloc(Seq(("a", 90), ("b", 110)), cap = 4, bx = 2)
+    assert(a2("a")._1 === 200.0 && a2("b")._1 === 200.0)
+    // [3] infeasible budget (B > sum caps) -> every key caps out
+    val a3 = alloc(Seq(("a", 10), ("b", 20)), cap = 1, bx = 3)
+    assert(a3 === Map("a" -> ((10.0, 1.0)), "b" -> ((20.0, 1.0))))
+    // [4] real corpus: allocations conserve the budget when feasible and
+    // match a driver waterfill model exactly
+    val docs = Tables.load(spark, sfDir, "documents")
+    val toks = docs.collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text").split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (k, o) => k -> o.map(_._2).sum }
+    val budget = 2L * toks.values.sum
+    val caps = toks.map { case (k, t) => k -> 3L * t }
+    // driver waterfill: ascending caps, first r whose cap clears theta_r
+    val sorted = caps.toSeq.sortBy { case (k, c) => (c, k) }
+    val s = sorted.size
+    var pfx = 0L
+    var theta = Double.PositiveInfinity
+    var found = false
+    sorted.zipWithIndex.foreach { case ((_, c), i) =>
+      val t = (budget - pfx).toDouble / (s - i).toDouble
+      if (!found && c.toDouble >= t) { theta = t; found = true }
+      pfx += c
+    }
+    def r6d(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = caps.map { case (k, c) =>
+      val a = math.min(c.toDouble, theta)
+      k -> ((r6d(a), r6d(a / toks(k).toDouble)))
+    }
+    val got = StatsOps.unimaxAllocation(docs, "lang", "text", epochCap = 3, budgetX = 2)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === expect)
+    assert(math.abs(got.values.map(_._1).sum - budget.toDouble) < 1e-3,
+      "feasible waterfill must conserve the budget")
+  }
+
   test("giniConcentration: equal masses 0, all-in-one-group maximal") {
     val eq = Seq(("a", 10L), ("b", 10L), ("c", 10L)).toDF("g", "w")
     val r1 = StatsOps.giniConcentration(eq, "g", "w").collect().head
