@@ -721,6 +721,140 @@ object Similarity {
       s"FROM ranked WHERE rank <= $k"
   }
 
+  /** Packed sign-code frame (id, b0, b1) — the persisted BQ index:
+    * 2 longs + id ≈ 24 B per vector. Shared by [[bqNearDup]] and the
+    * streaming admission face, so batch and stream band the SAME codes
+    * (the one-definition-per-metric convention). */
+  def bqCodes(df: DataFrame, dims: Int = 64, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1 && dims <= 64, s"bq codes pack <= 64 dims, got $dims")
+    val w0 = math.min(32, dims)
+    val w1 = dims - w0
+    df.select(col(idCol).as("id"),
+      bqWordExpr(vecCol, 0, w0).as("b0"),
+      (if (w1 > 0) bqWordExpr(vecCol, 32, w1) else lit(0L)).as("b1"))
+  }
+
+  /** The 4×16-bit band explode of a packed-code frame: one row per
+    * (id, band, bval). Disjoint bands make the candidate set EXACT by
+    * pigeonhole — maxHamming ≤ 3 differing bits can touch at most 3 of
+    * the 4 bands, so every qualifying pair exact-matches on ≥ 1 band. */
+  private def bqBands(codes: DataFrame): DataFrame =
+    codes.select(col("id"), col("b0"), col("b1"),
+      explode(array(
+        struct(lit(0).as("band"), expr("b0 & 65535").as("bval")),
+        struct(lit(1).as("band"), expr("(b0 >> 16) & 65535").as("bval")),
+        struct(lit(2).as("band"), expr("b1 & 65535").as("bval")),
+        struct(lit(3).as("band"), expr("(b1 >> 16) & 65535").as("bval"))))
+        .as("bb"))
+      .select(col("id"), col("b0"), col("b1"),
+        col("bb.band").as("band"), col("bb.bval").as("bval"))
+
+  private def bqHamming(a0: String, a1: String, b0: String, b1: String) =
+    expr(s"CAST(bit_count($a0 ^ $b0) + bit_count($a1 ^ $b1) AS BIGINT)")
+
+  /** Exact Hamming near-duplicate pairs over binary-quantized embeddings
+    * (multi-index Hamming, Norouzi 2012 / the simhash-dedup pigeonhole):
+    * pairs (a, b, hamming ≤ `maxHamming`) with EXACT recall — unlike
+    * MinHash/hyperplane LSH there is no missed-pair probability, because
+    * disjoint 16-bit bands + maxHamming ≤ 3 guarantee a band collision.
+    *
+    * Scale shape: only (band, bval) keys shuffle — 4 rows of 3 longs per
+    * vector, never the floats; candidate verification is two XOR+POPCNT
+    * per pair; the distinct collapses multi-band collisions (a pair at
+    * hamming 0 meets in all 4 buckets). Band-bucket skew mirrors the
+    * simhash family: a degenerate corpus (all-equal signs) concentrates
+    * one bucket — cap or pre-thin upstream if signs are not spread. */
+  def bqNearDup(df: DataFrame, maxHamming: Int = 3, dims: Int = 64,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 disjoint bands give exact recall only for maxHamming <= 3, got $maxHamming")
+    val bands = bqBands(bqCodes(df, dims, idCol, vecCol))
+    val l = bands.select(col("id").as("a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("band"), col("bval"))
+    val r = bands.select(col("id").as("b"), col("b0").as("_b0"),
+      col("b1").as("_b1"), col("band"), col("bval"))
+    l.join(r, Seq("band", "bval"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bqHamming("a0", "a1", "_b0", "_b1").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Incremental BQ admission: candidate re-upload pairs between a small
+    * `batch` and a persisted packed-code index (the [[bqCodes]] frame) —
+    * (new_id, dup_of, hamming ≤ maxHamming), exact recall by the same
+    * 4-band pigeonhole as [[bqNearDup]]. The asymmetric sibling: only
+    * the BATCH side is new work, the index is probed by (band, bval)
+    * key — per-batch cost ∝ batch size × bucket occupancy, never a
+    * corpus rescan (the stream_admit economics at 24 B/vector state). */
+  def bqAdmitIndexed(indexCodes: DataFrame, batch: DataFrame,
+                     maxHamming: Int = 3, dims: Int = 64,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 disjoint bands give exact recall only for maxHamming <= 3, got $maxHamming")
+    val ib = bqBands(indexCodes).select(col("id").as("dup_of"),
+      col("b0").as("_b0"), col("b1").as("_b1"), col("band"), col("bval"))
+    val bb = bqBands(bqCodes(batch, dims, idCol, vecCol))
+      .select(col("id").as("new_id"), col("b0").as("a0"),
+        col("b1").as("a1"), col("band"), col("bval"))
+    ib.join(bb, Seq("band", "bval"))
+      .filter(col("new_id") =!= col("dup_of"))
+      .select(col("new_id"), col("dup_of"),
+        bqHamming("a0", "a1", "_b0", "_b1").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** DuckDB oracle for [[bqNearDup]] — identical packing, band explode,
+    * join, popcount verify, and distinct. */
+  def bqNearDupSql(corpusSub: String, maxHamming: Int, dims: Int): String = {
+    val w0 = math.min(32, dims)
+    val w1 = dims - w0
+    val word1 = if (w1 > 0) bqWordSql("embedding", 32, w1) else "CAST(0 AS BIGINT)"
+    s"WITH codes AS MATERIALIZED (SELECT vec_id AS id, " +
+      s"${bqWordSql("embedding", 0, w0)} AS b0, $word1 AS b1 FROM $corpusSub), " +
+      "bands AS (SELECT id, b0, b1, u.band, " +
+      "CASE u.band WHEN 0 THEN b0 & 65535 WHEN 1 THEN (b0 >> 16) & 65535 " +
+      "WHEN 2 THEN b1 & 65535 ELSE (b1 >> 16) & 65535 END AS bval " +
+      "FROM codes, (SELECT unnest([0, 1, 2, 3]) AS band) u) " +
+      "SELECT DISTINCT l.id AS a, r.id AS b, " +
+      "CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) AS BIGINT) AS hamming " +
+      "FROM bands l JOIN bands r ON l.band = r.band AND l.bval = r.bval " +
+      "AND l.id < r.id " +
+      "WHERE CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) AS BIGINT) " +
+      s"<= $maxHamming"
+  }
+
+  /** DuckDB oracle for [[bqAdmitIndexed]] over a corpus + batch pair of
+    * (vec_id, embedding) subqueries — identical packing, band explode,
+    * asymmetric join, popcount verify, and distinct. */
+  def bqAdmitSql(corpusSub: String, batchSub: String, maxHamming: Int,
+                 dims: Int): String = {
+    val w0 = math.min(32, dims)
+    val w1 = dims - w0
+    val word1 = if (w1 > 0) bqWordSql("embedding", 32, w1) else "CAST(0 AS BIGINT)"
+    val bandCase = "CASE u.band WHEN 0 THEN b0 & 65535 " +
+      "WHEN 1 THEN (b0 >> 16) & 65535 WHEN 2 THEN b1 & 65535 " +
+      "ELSE (b1 >> 16) & 65535 END"
+    val ham = "CAST(bit_count(xor(b.b0, i.b0)) + " +
+      "bit_count(xor(b.b1, i.b1)) AS BIGINT)"
+    s"WITH ic AS MATERIALIZED (SELECT vec_id AS id, " +
+      s"${bqWordSql("embedding", 0, w0)} AS b0, $word1 AS b1 FROM $corpusSub), " +
+      s"bc AS MATERIALIZED (SELECT vec_id AS id, " +
+      s"${bqWordSql("embedding", 0, w0)} AS b0, $word1 AS b1 FROM $batchSub), " +
+      s"ibd AS (SELECT id, b0, b1, u.band, $bandCase AS bval " +
+      "FROM ic, (SELECT unnest([0, 1, 2, 3]) AS band) u), " +
+      s"bbd AS (SELECT id, b0, b1, u.band, $bandCase AS bval " +
+      "FROM bc, (SELECT unnest([0, 1, 2, 3]) AS band) u) " +
+      s"SELECT DISTINCT b.id AS new_id, i.id AS dup_of, $ham AS hamming " +
+      "FROM ibd i JOIN bbd b ON i.band = b.band AND i.bval = b.bval " +
+      s"AND b.id <> i.id WHERE $ham <= $maxHamming"
+  }
+
   /** MMR (maximal marginal relevance) diversified rerank: from each
     * query's top-`n` relevance candidates, greedily select `k` results,
     * step score = λ·rel − (1−λ)·max sim to the already-selected set

@@ -231,6 +231,32 @@ object SimilarityQueries {
           "GROUP BY cell, dim ORDER BY cell, dim"
       }),
 
+    // BQ admission gate (multi-index Hamming, Norouzi 2012): a batch of
+    // re-uploads — vec_id < 20 with two sign-flipped components, the
+    // re-encode drift a perceptual fingerprint survives — probed against
+    // the corpus's packed-code index. EXACT recall by pigeonhole (4
+    // disjoint 16-bit bands, hamming <= 3 touches at most 3), so unlike
+    // the LSH family there is no missed-pair probability to audit. Only
+    // (band, bval) keys shuffle; the streaming face replays this exact
+    // function per micro-batch.
+    Q("q_bq_admit",
+      (s, d) => {
+        val e = emb(s, d)
+        val batch = e.filter(col("vec_id") < 20).select(
+          (col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i < 2, -x).otherwise(x)).as("embedding"))
+        Similarity.bqAdmitIndexed(Similarity.bqCodes(e, Dims), batch,
+            maxHamming = 3, dims = Dims)
+          .orderBy("new_id", "dup_of")
+      },
+      Some(Similarity.bqAdmitSql("embeddings",
+        "(SELECT vec_id + 10000 AS vec_id, " +
+          s"list_transform(range(1, ${Dims + 1}), " +
+          "i -> CASE WHEN i <= 2 THEN -embedding[i] ELSE embedding[i] END) " +
+          "AS embedding FROM embeddings WHERE vec_id < 20) bsub",
+        maxHamming = 3, dims = Dims) + " ORDER BY new_id, dup_of")),
+
     // Full Lloyd loop (3 assignment rounds, k = 8) — the trainer
     // q_kmeans_update is one step of. Iteration is portable because the
     // means are exact integer-lattice points (floor(x·2^20) sums, one

@@ -659,6 +659,45 @@ object EventStreams {
         .dropDuplicates("id", "band")
     }
 
+  /** Streaming BQ admission (stream_bq): the embedding-side sibling of
+    * [[admitStream]] — each micro-batch of new vectors packs to sign
+    * codes with the SAME chain as the batch path
+    * ([[graft.operators.Similarity.bqCodes]]) and probes the persisted
+    * packed-code index by the 4-band pigeonhole
+    * ([[graft.operators.Similarity.bqAdmitIndexed]] — EXACT recall for
+    * hamming ≤ 3, no missed-pair probability); candidate pairs land as
+    * the batch_id partition via dynamic partition overwrite (replayed
+    * batch REPLACES, never duplicates), then the batch's own codes
+    * append into the index snapshot. Replay idempotence: the index side
+    * anti-joins the batch's own ids before pairing, so a batch replayed
+    * after its append still pairs against exactly the pre-batch corpus.
+    *
+    * State is 24 B per admitted vector (two longs + id) — NEVER the
+    * floats — the index a billion-vector admission gate actually fits
+    * in (~24 GB where the raw embeddings are ~256 GB). */
+  def bqAdmitStream(vecs: DataFrame, pairsDir: String, stateDir: String,
+                    checkpointDir: String, maxHamming: Int = 3,
+                    dims: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(vecs, stateDir, checkpointDir) { (base, batch, batchId) =>
+      val S = graft.operators.Similarity
+      val stateCols = Set("id", "b0", "b1")
+      val idx =
+        if (stateCols.subsetOf(base.columns.toSet)) base
+        else S.bqCodes(base, dims)
+      val priorIdx = idx.join(
+        broadcast(batch.select(col("vec_id").as("_bid")).distinct()),
+        idx("id") === col("_bid"), "left_anti")
+      if (batchId >= 0)
+        S.bqAdmitIndexed(priorIdx, batch, maxHamming, dims)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsDir)
+      idx.unionByName(S.bqCodes(batch, dims)).dropDuplicates("id")
+    }
+
   final case class CadEv(user_id: Long, event_id: Long, ts: Timestamp)
   final case class RollState(lastUs: Long, gaps: List[Long])
   final case class RollOut(user_id: Long, event_id: Long, gap_us: Long,

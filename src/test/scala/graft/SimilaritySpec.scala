@@ -712,6 +712,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bqNearDup: pigeonhole recall is exact vs brute force (r15)") {
+    import spark.implicits._
+    // corpus + planted re-uploads (two sign-flipped components) — the
+    // q_bq_admit construction, unioned so the SYMMETRIC op sees them
+    val planted = vecs.toSeq.filter(_._1 < 20).map { case (id, v) =>
+      (id + 10000L, v.zipWithIndex.map { case (x, i) => if (i < 2) -x else x })
+    }
+    val all = vecs.toSeq.map { case (id, v) => (id, v) } ++ planted
+    val df = all.toDF("vec_id", "embedding")
+    val got = Similarity.bqNearDup(df, maxHamming = 3, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def ham(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
+    val m = all.toMap
+    val brute = (for {
+      (a, va) <- all; (b, vb) <- all if a < b
+      h = ham(va, vb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got === brute, "multi-index Hamming must equal brute force")
+    assert(got.nonEmpty && got.forall { case (a, b, _) => m(a) != null && b == a + 10000L })
+    // maxHamming past the pigeonhole guarantee is refused
+    intercept[IllegalArgumentException] {
+      Similarity.bqNearDup(df, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bqAdmitIndexed(Similarity.bqCodes(df), df, maxHamming = 4)
+    }
+  }
+
   test("mmrRerank matches a brute-force greedy MMR model (r8)") {
     val n = 10
     val r6d = (x: Double) =>

@@ -641,6 +641,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch BQ admission pairs each batch against the prior code index (r15)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bqadmit").toString
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.bqAdmitStream(input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/pairs", s"$dir/state", s"$dir/ckpt", maxHamming = 3, dims = 8)
+    val S = graft.operators.Similarity
+    try {
+      val v0 = Seq(1f, 1f, 1f, 1f, -1f, -1f, -1f, -1f)
+      val v1 = Seq(-1f, -1f, -1f, -1f, 1f, 1f, 1f, 1f)
+      val b1 = Seq((0L, v0), (1L, v1))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // first batch: empty index -> no pairs, but the code index holds b1
+      val idx1 = EventStreams.readUpsertState(spark, s"$dir/state")
+      assert(idx1.select("id").collect().map(_.getLong(0)).sorted === Array(0L, 1L))
+      // batch 2: a one-bit re-encode of v0 + a hamming-4 vector (outside
+      // the gate even though it shares band 0)
+      val v0drift = Seq(1f, 1f, 1f, -1f, -1f, -1f, -1f, -1f)
+      val far = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+      val b2 = Seq((10L, v0drift), (11L, far))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$dir/pairs")
+        .withColumn("batch_id", col("batch_id").cast("long")).collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("hamming"), r.getAs[Long]("batch_id")))
+      assert(pairs.map(p => (p._1, p._2, p._3)).toSet === Set((10L, 0L, 1L)),
+        s"exactly the one-bit drift is flagged, got ${pairs.mkString(",")}")
+      // streaming pairs == the batch-mode incremental candidates
+      val want = S.bqAdmitIndexed(
+          S.bqCodes(b1.toDF("vec_id", "embedding"), dims = 8),
+          b2.toDF("vec_id", "embedding"), maxHamming = 3, dims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(pairs.filter(_._4 > 0).map(p => (p._1, p._2, p._3)).toSet === want)
+      // the state index equals the batch chain over the union — and is
+      // code-shaped (3 columns), never the floats
+      val idx2 = EventStreams.readUpsertState(spark, s"$dir/state")
+      assert(idx2.columns.sorted === Array("b0", "b1", "id"))
+      val wantIdx = S.bqCodes((b1 ++ b2).toDF("vec_id", "embedding"), dims = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gotIdx = idx2.select("id", "b0", "b1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotIdx === wantIdx)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
