@@ -1010,6 +1010,76 @@ object TextOps {
     * sharing that shingle — bounded by the duplication being measured,
     * never all-pairs. Zero-dup docs are recovered by a doc-keyed left
     * join against the narrow per-doc gram-count frame. */
+  /** Winnowing candidate pairs (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS fingerprint): hash every bigram shingle, slide a `w`-window
+    * over the hash sequence, keep each window's minimum (rightmost on
+    * ties — the paper's rule), and pair documents sharing ≥ `minShared`
+    * distinct selected fingerprints. The guarantee q_fingerprint's
+    * single representative can't give: any shared token run spanning
+    * ≥ w + 1 bigrams MUST contribute a common fingerprint, while only
+    * ~2/(w+1) of positions are ever kept.
+    *
+    * The window min is min(struct(h, −pos)) — struct ordering is
+    * lexicographic on both engines, so value ties resolve to the same
+    * (rightmost) position and the selected sets are bit-identical.
+    *
+    * Scale shape: the winnow window is per-document (partitioned,
+    * frame ≤ w — never a corpus funnel); the fingerprint frame joins on
+    * the hash key (vocabulary stance, not broadcast). `maxDf` drops
+    * fingerprints shared by more than that many docs BEFORE pairing —
+    * the paper's own over-common-fingerprint rule, and the skew guard
+    * that keeps Σ C(df,2) linear in fingerprint count instead of
+    * quadratic in corpus size when boilerplate concentrates a hash. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 64): DataFrame = {
+    require(w >= 1 && minShared >= 1 && maxDf >= 2)
+    val W = org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.bigrams(TextFunctions.tokens(col(textCol))))
+          .as(Seq("pos0", "gram")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        TextFunctions.charHash(col("gram")).as("h"))
+    val perDoc = W.partitionBy("doc_id")
+    val win = perDoc.orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    val fps = grams
+      .withColumn("m", count(lit(1)).over(perDoc))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") <= col("m") - (w - 1))
+      .select(col("doc_id"), col("sel.h").as("fp"))
+      .distinct()
+    val kept = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    val l = kept.select(col("doc_id").as("a"), col("fp"))
+    val r = kept.select(col("doc_id").as("b"), col("fp"))
+    l.join(r, Seq("fp")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** DuckDB oracle for [[winnowPairs]] — identical hashes, struct-min
+    * window, truncated-tail filter, df cap, and pair fold. */
+  def winnowPairsSql(w: Int, minShared: Int, maxDf: Int): String = {
+    val toks = TextFunctions.tokensSql("text")
+    s"WITH t AS (SELECT doc_id, ${TextFunctions.bigramsSql(toks)} AS gr " +
+      "FROM documents), " +
+      "g0 AS (SELECT doc_id, unnest(list_zip(gr, range(1, len(gr) + 1))) AS z " +
+      "FROM t), " +
+      "g AS (SELECT doc_id, CAST(z[2] AS BIGINT) AS pos, " +
+      s"${TextFunctions.charHashSql("z[1]")} AS h FROM g0), " +
+      "sel AS (SELECT doc_id, pos, count(*) OVER (PARTITION BY doc_id) AS m, " +
+      "min({'h': h, 'np': -pos}) OVER (PARTITION BY doc_id ORDER BY pos " +
+      s"ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS s FROM g), " +
+      s"fp AS (SELECT DISTINCT doc_id, s.h AS fp FROM sel WHERE pos <= m - ${w - 1}), " +
+      "kept AS (SELECT fp.doc_id, fp.fp FROM fp JOIN (SELECT fp, count(*) AS df " +
+      s"FROM fp GROUP BY fp HAVING count(*) <= $maxDf) d ON fp.fp = d.fp) " +
+      "SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared " +
+      "FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id " +
+      s"GROUP BY a, b HAVING count(*) >= $minShared"
+  }
+
   def substrDupFraction(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 13): DataFrame = {
     val grams = df.select(col(idCol).as("doc_id"),

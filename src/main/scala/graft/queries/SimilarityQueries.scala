@@ -231,6 +231,24 @@ object SimilarityQueries {
           "GROUP BY cell, dim ORDER BY cell, dim"
       }),
 
+    // Declared BQ audit: recall@k + MRR of the sign-code retriever
+    // against the exact-cosine truth — the q_ann_recall stance for the
+    // 1-bit path, so the compression/recall trade the 10x rescoring
+    // window buys is a BOARD number, not a spec aside.
+    Q("q_bq_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.retrievalMetrics(
+          Similarity.cosineTopK(e, q, K),
+          Similarity.bqTopK(e, q, k = K, n = 50, dims = Dims),
+          k = K)
+      },
+      Some(Similarity.retrievalMetricsSql(
+        s"($cosineRankedSql)",
+        "(" + Similarity.bqTopKSql("embeddings", "vec_id < 5", k = K,
+          n = 50, dims = Dims) + ")", k = K))),
+
     // BQ admission gate (multi-index Hamming, Norouzi 2012): a batch of
     // re-uploads — vec_id < 20 with two sign-flipped components, the
     // re-encode drift a perceptual fingerprint survives — probed against

@@ -436,6 +436,22 @@ object TextQueries {
           "GROUP BY doc_id ORDER BY doc_id"
       }),
 
+    // Winnowing candidate pairs (Schleimer 2003 / MOSS): sliding-window
+    // minima over bigram-shingle hashes (rightmost tie = the paper's
+    // rule, struct-min portable), docs paired on >= 2 shared selected
+    // fingerprints after the over-common-fingerprint df cap — the
+    // plagiarism-detection guarantee q_fingerprint's single
+    // representative can't give (any shared run spanning >= w+1 shingles
+    // must collide). Winnow window is per-doc; fp frame joins on the
+    // hash key; the df cap keeps pair mass linear when boilerplate
+    // concentrates a fingerprint.
+    Q("q_winnow",
+      (s, d) => TextOps.winnowPairs(docs(s, d), "doc_id", "text",
+          w = 4, minShared = 2, maxDf = 64)
+        .orderBy("a", "b"),
+      Some(TextOps.winnowPairsSql(w = 4, minShared = 2, maxDf = 64) +
+        " ORDER BY a, b")),
+
     // Rolling-hash fingerprint: doc hash + winnowed bigram-shingle hash.
     Q("q_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d), "text")

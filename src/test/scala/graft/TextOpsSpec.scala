@@ -341,6 +341,60 @@ class TextOpsSpec extends SparkSpec {
     assert(got === expect)
   }
 
+  /** Driver winnowing model — same hash, window-min, rightmost ties. */
+  private def winnowModel(ds: Seq[(Long, String)], w: Int,
+                          minShared: Int, maxDf: Int): Map[(Long, Long), Long] = {
+    val P = 1000000007L
+    def chash(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % P)
+    val fps = ds.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val hs = t.zip(t.tail).map { case (a, b) => chash(s"$a $b") }
+      val sel = (0 to hs.length - w).map { i =>
+        val win = hs.slice(i, i + w).zipWithIndex
+        win.minBy { case (h, j) => (h, -(i + j)) }._1
+      }
+      id -> sel.toSet
+    }.toMap
+    val df = fps.values.flatten.groupBy(identity).map { case (h, o) => h -> o.size }
+    val kept = fps.map { case (id, s) => id -> s.filter(df(_) <= maxDf) }
+    (for {
+      (a, sa) <- kept.toSeq; (b, sb) <- kept.toSeq if a < b
+      n = (sa intersect sb).size.toLong if n >= minShared
+    } yield (a, b) -> n).toMap
+  }
+
+  test("winnowPairs: MOSS guarantee, model parity, df cap (r15)") {
+    import spark.implicits._
+    // docs 1/2 share an 8-token run (7 bigrams > w+1=5 -> MUST pair);
+    // doc 3 is disjoint; docs 4/5 share only the universal token pair
+    val fix = Seq(
+      (1L, "zq xw vv uu tt ss rr qq aa bb"),
+      (2L, "mm nn zq xw vv uu tt ss rr qq"),
+      (3L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k0"),
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 pa"),
+      (5L, "p1 p2 y3 y4 y5 y6 y7 y8 y9 ya"))
+    val got = TextOps.winnowPairs(fix.toDF("doc_id", "text"), "doc_id", "text",
+        w = 4, minShared = 2, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === winnowModel(fix, w = 4, minShared = 2, maxDf = 64))
+    assert(got.contains((1L, 2L)), "the shared >= w+1-shingle run must collide")
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // a fingerprint shared by every doc is boilerplate: maxDf drops it
+    val boiler = (1L to 10L).map(i => (i, s"common pair w$i x$i y$i z$i a$i b$i"))
+    val capped = TextOps.winnowPairs(boiler.toDF("doc_id", "text"),
+        "doc_id", "text", w = 4, minShared = 1, maxDf = 5)
+      .collect()
+    assert(capped.isEmpty, "df-capped universal fingerprint must not pair")
+    // real corpus: operator equals the driver model end to end
+    val corpus = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val gotC = TextOps.winnowPairs(docs, "doc_id", "text",
+        w = 4, minShared = 2, maxDf = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotC === winnowModel(corpus, w = 4, minShared = 2, maxDf = 64))
+  }
+
   test("kneserNeyNll matches the discount+continuation Scala model (r15)") {
     val rows = docs.select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
