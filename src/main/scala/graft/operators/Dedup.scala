@@ -867,11 +867,18 @@ object Dedup {
       .join(dfFrame, "_gram")
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <= p)
-      .select(col("_gram"), col("_sid"))
+      .select(col("_gram"), col("_sid"), col("_n"))
     // candidate pairs: 16-byte (a, b) keys shuffle through the distinct —
-    // never the gram arrays
+    // never the gram arrays. The AllPairs LENGTH filter rides the join
+    // condition: |A∩B| <= min and |A∪B| >= max force J <= min/max, so
+    // tauDen·min(nA,nB) >= tauNum·max(nA,nB) is NECESSARY — length-
+    // incompatible collisions are dropped before the distinct shuffle
+    // and before any per-candidate intersect (implied by the final
+    // threshold: output unchanged, the quadratic oracle hash-proves it)
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x._gram") === col("y._gram") && col("x._sid") < col("y._sid"))
+        col("x._gram") === col("y._gram") && col("x._sid") < col("y._sid") &&
+          lit(tauDen.toLong) * least(col("x._n"), col("y._n")) >=
+            lit(tauNum.toLong) * greatest(col("x._n"), col("y._n")))
       .select(col("x._sid").as("a"), col("y._sid").as("b"))
       .distinct()
     def side(s: String) = grams

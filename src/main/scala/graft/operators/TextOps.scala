@@ -778,7 +778,11 @@ object TextOps {
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
     val tf = bi.groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("tf"))
+    // the (a,b) TYPE frame feeds FOUR consumers (hist, cont, types, the
+    // scoring join) — materialize once or Spark re-explodes the corpus
+    // per consumer (round-6 CSE rule; reliable checkpoint on a cluster)
     val cab = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c_ab"))
+      .localCheckpoint()
     // one pass over the type frame per side: history mass + following
     // types keyed by a, continuation types keyed by b, global type total
     val hist = cab.groupBy(col("a"))
@@ -1042,16 +1046,21 @@ object TextOps {
         TextFunctions.charHash(col("gram")).as("h"))
     val perDoc = W.partitionBy("doc_id")
     val win = perDoc.orderBy("pos").rowsBetween(W.currentRow, w - 1)
+    // the fingerprint frame feeds the df count AND the kept join, and
+    // kept feeds both pair sides — materialize each once or the whole
+    // explode+window chain re-runs per consumer (round-6 CSE rule)
     val fps = grams
       .withColumn("m", count(lit(1)).over(perDoc))
       .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
       .filter(col("pos") <= col("m") - (w - 1))
       .select(col("doc_id"), col("sel.h").as("fp"))
       .distinct()
+      .localCheckpoint()
     val kept = fps.join(
-      fps.groupBy("fp").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf).select("fp"),
-      Seq("fp"))
+        fps.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fp"),
+        Seq("fp"))
+      .localCheckpoint()
     val l = kept.select(col("doc_id").as("a"), col("fp"))
     val r = kept.select(col("doc_id").as("b"), col("fp"))
     l.join(r, Seq("fp")).filter(col("a") < col("b"))
