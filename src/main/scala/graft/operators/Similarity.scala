@@ -513,65 +513,84 @@ object Similarity {
     * 100 TB, seed from [[twoLevelProbes]]' fine cells instead of a flat
     * literal scan; this operator is the small-k trainer (k ≤ ~1024,
     * like the PQ subspace codebooks it would retrain). */
+  /** Assignment of every vector to the first cell achieving the minimum
+    * strict-fold squared L2 (|e|² − 2e·c + |c|² — identical to an
+    * ORDER BY (dist, cid) rn=1 pick) against PLAN-CONSTANT centroid
+    * literals. Output: (id, v, cell, dist). Shared by [[kmeansLloyd]]
+    * and the streaming mini-batch face, so batch and stream assign with
+    * the same operation tree. */
+  def assignCells(df: DataFrame, cents: Array[Array[Double]],
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    import graft.plans.Exprs
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    def dotConst(v: org.apache.spark.sql.Column, w: Array[Double]) =
+      PlanBridge.column(Exprs.DotConst(PlanBridge.expression(v),
+        w.toIndexedSeq))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("ee", VectorFunctions.dot(col("v"), col("v")))
+    val withD = cents.zipWithIndex.foldLeft(base) { case (d, (cv, i)) =>
+      val cc = cv.foldLeft(0.0)((a, x) => a + x * x)
+      d.withColumn(s"_d$i",
+        col("ee") - lit(2.0) * dotConst(col("v"), cv) + lit(cc))
+    }
+    val minv = least(cents.indices.map(i => col(s"_d$i")): _*)
+    val cell = cents.indices
+      .foldLeft(when(lit(false), lit(0L))) { (c, i) =>
+        c.when(col(s"_d$i") === minv, lit(i.toLong))
+      }
+    withD.withColumn("cell", cell).withColumn("dist", minv)
+      .select(col("id"), col("v"), col("cell"), col("dist"))
+  }
+
+  /** The k×dims sufficient-statistics frame of an [[assignCells]] output:
+    * exact integer-lattice component sums (floor(x·2²⁰), order-free) and
+    * member counts per (cell, dim). Mergeable by cell-wise addition —
+    * what makes the streaming mini-batch fold exact under replay. */
+  def latticeSums(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"), posexplode(col("v")).as(Seq("dim", "comp")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(floor(col("comp").cast("double") * lit(1048576.0))
+        .cast("long")).as("sq"), count(lit(1)).as("n"))
+
+  /** Centroids from lattice sufficient stats: sq/(n·2²⁰) where the cell
+    * has members, the seed component where it doesn't — ONE correctly-
+    * rounded double division, the same arithmetic on every engine. */
+  def latticeCentroids(sums: Map[(Long, Int), (Long, Long)],
+                       seeds: Array[Array[Double]]): Array[Array[Double]] =
+    seeds.zipWithIndex.map { case (sv, cid) =>
+      Array.tabulate(sv.length) { d =>
+        sums.get((cid.toLong, d)) match {
+          case Some((sq, n)) if n > 0 => sq.toDouble / (n.toDouble * 1048576.0)
+          case _ => sv(d)
+        }
+      }
+    }
+
   def kmeansLloyd(candidates: DataFrame, nCentroids: Int, iters: Int = 3,
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1 && nCentroids >= 1)
-    import graft.plans.Exprs
-    import org.apache.spark.sql.graftbridge.PlanBridge
     val init = candidates.filter(col(idCol) < nCentroids)
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
     require(init.length == nCentroids && init.head._1 == 0L,
       s"kmeansLloyd seeds from ids 0..${nCentroids - 1}; found ${init.length}")
-    val dims = init.head._2.length
-    val base = candidates.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("ee", VectorFunctions.dot(col("v"), col("v")))
-
-    def dotConst(v: org.apache.spark.sql.Column, w: Array[Double]) =
-      PlanBridge.column(Exprs.DotConst(PlanBridge.expression(v),
-        w.toIndexedSeq))
-
-    /** Assignment vs centroid literals: |e|² − 2e·c + |c|², first cell
-      * achieving the minimum (== the oracle's ORDER BY dist, cid). */
-    def assign(cents: Array[Array[Double]]): DataFrame = {
-      val withD = cents.zipWithIndex.foldLeft(base) { case (df, (cv, i)) =>
-        val cc = cv.foldLeft(0.0)((a, x) => a + x * x)
-        df.withColumn(s"_d$i",
-          col("ee") - lit(2.0) * dotConst(col("v"), cv) + lit(cc))
-      }
-      val minv = least(cents.indices.map(i => col(s"_d$i")): _*)
-      val cell = cents.indices
-        .foldLeft(when(lit(false), lit(0L))) { (c, i) =>
-          c.when(col(s"_d$i") === minv, lit(i.toLong))
-        }
-      withD.withColumn("cell", cell).withColumn("dist", minv)
-        .select(col("id"), col("v"), col("cell"), col("dist"))
-    }
+    val base = candidates.select(col(idCol).as(idCol), col(vecCol).as(vecCol))
 
     var cents = init.map(_._2)
     for (_ <- 1 until iters) {
       // k×dims sufficient statistics: exact lattice sums, one bounded
-      // collect; everything corpus-sized stays distributed
-      val sums = assign(cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "comp")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(floor(col("comp").cast("double") * lit(1048576.0))
-          .cast("long")).as("sq"), count(lit(1)).as("n"))
+      // collect; everything corpus-sized stays distributed. Empty cells
+      // keep their previous centroid (latticeCentroids' seed fallback).
+      val sums = latticeSums(assignCells(base, cents, idCol, vecCol))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
         .toMap
-      cents = cents.zipWithIndex.map { case (prev, cid) =>
-        Array.tabulate(dims) { d =>
-          sums.get((cid.toLong, d)) match {
-            case Some((sq, n)) => sq.toDouble / (n.toDouble * 1048576.0)
-            case None => prev(d)
-          }
-        }
-      }
+      cents = latticeCentroids(sums, cents)
     }
-    assign(cents)
+    assignCells(base, cents, idCol, vecCol)
       .withColumn("dq", floor(col("dist") * lit(1000000.0)).cast("long"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("dq")).as("iq"))

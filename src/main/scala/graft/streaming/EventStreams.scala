@@ -698,6 +698,45 @@ object EventStreams {
       idx.unionByName(S.bqCodes(batch, dims)).dropDuplicates("id")
     }
 
+  /** Streaming mini-batch k-means (stream_kmeans; Sculley 2010's
+    * web-scale k-means on the snapshot-fold chassis): state is the
+    * k×dims integer-lattice sufficient-statistics frame
+    * (cell, dim, sq, n) — [[graft.operators.Similarity.latticeSums]],
+    * the SAME frame the batch trainer collects — and each micro-batch
+    * (1) derives current centroids from state (sq/(n·2²⁰); seed
+    * components for still-empty cells), (2) assigns its vectors with the
+    * SAME plan-constant kernel as the batch path
+    * ([[graft.operators.Similarity.assignCells]]), and (3) folds its own
+    * lattice sums in by cell-wise integer addition — the mergeable-
+    * sketch law, so replayed batches re-merge onto the pre-batch
+    * snapshot exactly (the CMS fold's idempotence analysis).
+    *
+    * State is k×dims rows FOREVER (never the vectors): a k=1024, d=64
+    * gate holds 64 K rows while continuously maintaining centroids over
+    * an unbounded stream. Mini-batch assignment depends on the evolving
+    * centroids, so replay parity is against the same batch SEQUENCE (the
+    * spec's driver model), not against any order-free batch equivalent —
+    * the documented semantics of every mini-batch trainer. */
+  def kmeansStream(vecs: DataFrame, seeds: Array[Array[Double]],
+                   stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(vecs, stateDir, checkpointDir) { (base, batch, _) =>
+      val S = graft.operators.Similarity
+      val stateCols = Set("cell", "dim", "sq", "n")
+      val st =
+        if (stateCols.subsetOf(base.columns.toSet))
+          base.select(col("cell"), col("dim"), col("sq"), col("n"))
+        else
+          S.latticeSums(S.assignCells(batch.limit(0), seeds))
+      val sums = st.collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+        .toMap
+      val cents = S.latticeCentroids(sums, seeds)
+      st.unionByName(S.latticeSums(S.assignCells(batch, cents)))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("sq")).as("sq"), sum(col("n")).as("n"))
+    }
+
   final case class CadEv(user_id: Long, event_id: Long, ts: Timestamp)
   final case class RollState(lastUs: Long, gaps: List[Long])
   final case class RollOut(user_id: Long, event_id: Long, gap_us: Long,

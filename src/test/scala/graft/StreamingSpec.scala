@@ -689,6 +689,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch mini-batch k-means folds the lattice stats exactly (r15)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kms").toString
+    val seeds = Array(Array(0.0, 0.0), Array(10.0, 10.0))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.kmeansStream(input.toDF().toDF("vec_id", "embedding"),
+      seeds, s"$dir/state", s"$dir/ckpt")
+    // driver replay of the mini-batch semantics: assign vs centroids
+    // derived from the running lattice sums, then fold the batch in
+    def floorQ(x: Float): Long = math.floor(x.toDouble * 1048576.0).toLong
+    def model(batches: Seq[Seq[(Long, Seq[Float])]]): Map[(Long, Int), (Long, Long)] = {
+      var st = Map.empty[(Long, Int), (Long, Long)]
+      for (b <- batches) {
+        val cents = seeds.zipWithIndex.map { case (sv, cid) =>
+          Array.tabulate(sv.length) { d =>
+            st.get((cid.toLong, d)) match {
+              case Some((sq, n)) if n > 0 => sq.toDouble / (n.toDouble * 1048576.0)
+              case _ => sv(d)
+            }
+          }
+        }
+        def fold(xs: Seq[Double]) = xs.foldLeft(0.0)(_ + _)
+        for ((_, v) <- b) {
+          val ds = cents.map { c =>
+            fold(v.map(x => x.toDouble * x.toDouble)) -
+              2.0 * fold(v.zip(c).map { case (x, y) => x.toDouble * y }) +
+              fold(c.toSeq.map(x => x * x))
+          }
+          val cell = ds.indexWhere(_ == ds.min).toLong
+          for (d <- v.indices) {
+            val (sq, n) = st.getOrElse((cell, d), (0L, 0L))
+            st += (cell, d) -> ((sq + floorQ(v(d)), n + 1))
+          }
+        }
+      }
+      st
+    }
+    def state(): Map[(Long, Int), (Long, Long)] =
+      EventStreams.readUpsertState(spark, s"$dir/state").collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val b1 = Seq((1L, Seq(1f, 1f)), (2L, Seq(9f, 9f)), (3L, Seq(0f, 2f)))
+    val b2 = Seq((4L, Seq(2f, 0f)), (5L, Seq(8f, 11f)))
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      assert(state() === model(Seq(b1)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // batch 2 must have assigned against the UPDATED centroids and the
+      // fold must equal the sequential driver replay, cell-wise exact
+      assert(state() === model(Seq(b1, b2)))
+      // state is k x dims rows forever — never the vectors
+      assert(state().size <= 2 * 2)
+    } finally q.stop()
+  }
+
   test("streaming parquet sink writes date-partitioned files") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
