@@ -106,6 +106,45 @@ object DedupQueries {
         "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m) " +
         "SELECT id AS doc_id, min(m) AS comp FROM reach GROUP BY id ORDER BY doc_id")),
 
+    // Soft dedup (the down-weighting alternative to dropping: SoftDeDup,
+    // He et al. 2024): every member of a near-dup component keeps its
+    // row but samples at weight 1/|component|, so each duplicated
+    // passage contributes ONE document's worth of gradient regardless of
+    // clique size. Rides the same star-contracted component chain as
+    // q_dedup_clusters (linear edges, no pair blowup); the size join is
+    // component-keyed, map-side combined.
+    Q("q_softdedup",
+      (s, d) => {
+        val cc = Dedup.connectedComponents(
+          Dedup.lshStarEdges(docs(s, d), "doc_id", "text", k = 16, bands = 2))
+          .withColumnRenamed("id", "doc_id")
+        // singletons never enter the edge frame but MUST keep weight 1.0
+        // — a weighting op that silently drops un-duplicated docs would
+        // zero out exactly the data dedup exists to protect
+        val comps = docs(s, d).select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        val sizes = comps.groupBy("comp").agg(count(lit(1)).as("csize"))
+        comps.join(sizes, "comp")
+          .select(col("doc_id"), col("comp"), col("csize"),
+            round(lit(1.0) / col("csize").cast("double"), 6).as("weight"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE bands AS (${mhBandsSql(16, 2)}), " +
+        "stars AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bkey) AS bmin " +
+        "FROM bands), " +
+        "e0 AS (SELECT DISTINCT doc_id AS src, bmin AS dst FROM stars " +
+        "WHERE doc_id <> bmin), " +
+        "edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0), " +
+        "reach(id, m) AS (SELECT DISTINCT src AS id, src AS m FROM edges " +
+        "UNION SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.m), " +
+        "cc AS (SELECT id AS doc_id, min(m) AS comp FROM reach GROUP BY id), " +
+        "comps AS (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp " +
+        "FROM documents d LEFT JOIN cc c USING (doc_id)), " +
+        "sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize FROM comps GROUP BY comp) " +
+        "SELECT doc_id, comp, csize, round(1.0 / CAST(csize AS DOUBLE), 6) AS weight " +
+        "FROM comps JOIN sizes USING (comp) ORDER BY doc_id")),
+
     // n-gram Jaccard verification over same-source candidate pairs: the
     // candidate generator here is the source bucket (25 docs/source at
     // sf0.01) — set ops run only within buckets, never all-pairs.
