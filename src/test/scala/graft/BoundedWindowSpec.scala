@@ -181,6 +181,8 @@ class BoundedWindowSpec extends SparkSpec {
       "q_equidepth" -> 64L,                     // bucket-boundary frame
       "q_hill_tail" -> 512L,                    // salted top-k order stats
       "q_ann_recall" -> 256L,                   // query-batch rank frames
+      "q_bq_recall" -> 256L,                    // query-batch rank frames
+      "q_unimax_mix" -> nLangs,                 // language frame waterfill
       "q_ks_drift" -> 64L,                      // per-partition offset frame
       "q_skyline" -> 64L,                       // partition-maxima frame
       "q_bradley_terry" -> 64L,                 // event-type strength frame
@@ -257,7 +259,9 @@ class BoundedWindowSpec extends SparkSpec {
       "q_hill_tail" -> 1632L,        // TopK stage 2: (k+1)=51 × 32 salts
       "q_kmv_sketch" -> 2048L,       // TopK stage 2: k=64 × 32 salts
       "q_kmv_estimate" -> 2048L,     // same sketch frame
-      "q_inverted_index" -> 640L     // TopK stage 2: maxPostings=20 × 32
+      "q_inverted_index" -> 640L,    // TopK stage 2: maxPostings=20 × 32
+      "q_bq_topk" -> 1600L,          // TopK stage 2: n=50 × 32 salts
+      "q_bq_recall" -> 1600L         // same coarse frame via bqTopK
     )
     val failures = scala.collection.mutable.Buffer[String]()
     val candidates = scala.collection.mutable.Buffer[String]()
