@@ -1034,10 +1034,14 @@ object TextOps {
     * the paper's own over-common-fingerprint rule, and the skew guard
     * that keeps Σ C(df,2) linear in fingerprint count instead of
     * quadratic in corpus size when boilerplate concentrates a hash. */
-  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
-                  w: Int = 4, minShared: Int = 2,
-                  maxDf: Int = 64): DataFrame = {
-    require(w >= 1 && minShared >= 1 && maxDf >= 2)
+  /** Per-document winnowed fingerprint set (doc_id, fp) — the selection
+    * stage of [[winnowPairs]], exposed so the streaming admission face
+    * winnows each micro-batch with the SAME chain (one definition per
+    * metric). Docs shorter than w + 1 shingles produce no fingerprints
+    * (Schleimer's short-document boundary). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 4): DataFrame = {
+    require(w >= 1)
     val W = org.apache.spark.sql.expressions.Window
     val grams = df.select(col(idCol).as("doc_id"),
         posexplode(TextFunctions.bigrams(TextFunctions.tokens(col(textCol))))
@@ -1046,15 +1050,22 @@ object TextOps {
         TextFunctions.charHash(col("gram")).as("h"))
     val perDoc = W.partitionBy("doc_id")
     val win = perDoc.orderBy("pos").rowsBetween(W.currentRow, w - 1)
-    // the fingerprint frame feeds the df count AND the kept join, and
-    // kept feeds both pair sides — materialize each once or the whole
-    // explode+window chain re-runs per consumer (round-6 CSE rule)
-    val fps = grams
+    grams
       .withColumn("m", count(lit(1)).over(perDoc))
       .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(win))
       .filter(col("pos") <= col("m") - (w - 1))
       .select(col("doc_id"), col("sel.h").as("fp"))
       .distinct()
+  }
+
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  w: Int = 4, minShared: Int = 2,
+                  maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2)
+    // the fingerprint frame feeds the df count AND the kept join, and
+    // kept feeds both pair sides — materialize each once or the whole
+    // explode+window chain re-runs per consumer (round-6 CSE rule)
+    val fps = winnowFingerprints(df, idCol, textCol, w)
       .localCheckpoint()
     val kept = fps.join(
         fps.groupBy("fp").agg(count(lit(1)).as("df"))

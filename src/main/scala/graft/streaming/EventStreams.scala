@@ -698,6 +698,58 @@ object EventStreams {
       idx.unionByName(S.bqCodes(batch, dims)).dropDuplicates("id")
     }
 
+  /** Streaming winnow admission (stream_winnow): the MOSS gate run
+    * continuously — each micro-batch of new docs winnows with the SAME
+    * selection chain as the batch path
+    * ([[graft.operators.TextOps.winnowFingerprints]]) and joins against
+    * the persisted fingerprint index; pairs sharing ≥ `minShared`
+    * selected fingerprints land as the batch_id partition via dynamic
+    * overwrite, then the batch's fingerprints append into the index.
+    * The over-common-fingerprint rule is enforced on the INDEX side at
+    * probe time (fingerprints whose accumulated df exceeds `maxDf` are
+    * skipped), so boilerplate that becomes common over the stream's
+    * lifetime stops generating pairs — the same economics as the batch
+    * df cap, applied to the running corpus.
+    *
+    * State is the fingerprint index (doc_id, fp) — ~2/(w+1) of the
+    * shingle count per doc, never the text; replay idempotence follows
+    * admitStream's analysis (anti-join of the batch's own ids + dynamic
+    * partition overwrite). */
+  def winnowAdmitStream(docs: DataFrame, idCol: String, textCol: String,
+                        pairsDir: String, stateDir: String,
+                        checkpointDir: String, w: Int = 4,
+                        minShared: Int = 2, maxDf: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshotFold(docs, stateDir, checkpointDir) { (base, batch, batchId) =>
+      val T = graft.operators.TextOps
+      val stateCols = Set("doc_id", "fp")
+      val idx =
+        if (stateCols.subsetOf(base.columns.toSet)) base
+        else T.winnowFingerprints(base, idCol, textCol, w)
+      val priorIdx = idx.join(
+        broadcast(batch.select(col(idCol).as("_bid")).distinct()),
+        idx("doc_id") === col("_bid"), "left_anti")
+      if (batchId >= 0) {
+        val live = priorIdx.join(
+          priorIdx.groupBy("fp").agg(count(lit(1)).as("_df"))
+            .filter(col("_df") <= maxDf).select("fp"),
+          Seq("fp"))
+        val bfp = T.winnowFingerprints(batch, idCol, textCol, w)
+        live.select(col("doc_id").as("dup_of"), col("fp"))
+          .join(bfp.select(col("doc_id").as("new_id"), col("fp")), Seq("fp"))
+          .groupBy(col("new_id"), col("dup_of"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= minShared)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(pairsDir)
+      }
+      idx.unionByName(T.winnowFingerprints(batch, idCol, textCol, w))
+        .dropDuplicates("doc_id", "fp")
+    }
+
   /** Streaming mini-batch k-means (stream_kmeans; Sculley 2010's
     * web-scale k-means on the snapshot-fold chassis): state is the
     * k×dims integer-lattice sufficient-statistics frame

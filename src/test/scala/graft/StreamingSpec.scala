@@ -689,6 +689,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch winnow admission pairs each batch against the prior fp index (r15)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_winadmit").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.winnowAdmitStream(input.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/pairs", s"$dir/state", s"$dir/ckpt",
+      w = 4, minShared = 2, maxDf = 64)
+    val T = graft.operators.TextOps
+    try {
+      val b1 = Seq((1L, "zq xw vv uu tt ss rr qq aa bb"),
+        (2L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k0"))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      // first batch: empty index -> no pairs; the index holds b1's fps
+      val idx1 = EventStreams.readUpsertState(spark, s"$dir/state")
+      assert(idx1.select("doc_id").distinct().collect().map(_.getLong(0)).sorted
+        === Array(1L, 2L))
+      // batch 2: a doc sharing an 8-token run with doc 1 + a fresh doc
+      val b2 = Seq((10L, "mm nn zq xw vv uu tt ss rr qq"),
+        (11L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 fa"))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val pairs = spark.read.parquet(s"$dir/pairs")
+        .withColumn("batch_id", col("batch_id").cast("long")).collect()
+        .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("dup_of"),
+          r.getAs[Long]("n_shared"), r.getAs[Long]("batch_id")))
+      assert(pairs.exists(p => p._1 === 10L && p._2 === 1L),
+        s"the shared >= w+1-shingle run must be flagged, got ${pairs.mkString(",")}")
+      assert(pairs.forall(_._1 >= 10L), "only batch-2 docs are new_ids")
+      // streaming pairs == the batch-mode asymmetric probe over the
+      // same fingerprint chains
+      val ifp = T.winnowFingerprints(b1.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bfp = T.winnowFingerprints(b2.toDF("doc_id", "text"), "doc_id", "text", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (a, fa) <- bfp.groupBy(_._1); (b, fb) <- ifp.groupBy(_._1)
+        n = (fa.map(_._2) intersect fb.map(_._2)).size.toLong if n >= 2
+      } yield (a, b, n)).toSet
+      assert(pairs.filter(_._4 > 0).map(p => (p._1, p._2, p._3)).toSet === want)
+      // the index equals the batch fingerprint chain over all four docs
+      val wantIdx = T.winnowFingerprints((b1 ++ b2).toDF("doc_id", "text"),
+          "doc_id", "text", 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gotIdx = EventStreams.readUpsertState(spark, s"$dir/state")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fp"))).toSet
+      assert(gotIdx === wantIdx)
+    } finally q.stop()
+  }
+
   test("foreachBatch mini-batch k-means folds the lattice stats exactly (r15)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
