@@ -1114,22 +1114,27 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
-  /** Collected codebook (tiny: nCodes × dims floats) under the
-    * first-nCodes-vectors convention shared with [[centroidRanks]].
-    * The ids must be EXACTLY 0..nCodes-1 (enforced): the emitted code IS
-    * the codeword id, and the ADC LUT probe indexes an array by code —
-    * a stray negative id below the `< nCodes` cut would emit codes that
-    * crash or silently misread the LUT. */
+  /** Collected codebook (tiny: nCodes × dims floats): the `nCodes`
+    * LOWEST-id non-negative vectors, id-ascending. The emitted code is
+    * the RANK in this ordering — for a contiguous 0..nCodes−1 id space
+    * the rank IS the id (the original convention, so every oracle and
+    * code value is unchanged there), and a gapped id space now ranks
+    * instead of crashing (the r14 collectCentroids lesson applied to
+    * the PQ family). The ADC LUT probe indexes an array by code, and
+    * the LUT arrays are built from this same ordering, so code → LUT
+    * position stays consistent by construction. */
   private def codebook(candidates: DataFrame, nCodes: Int,
                        idCol: String, vecCol: String): Array[(Long, Array[Float])] = {
     val cb = candidates
-      .filter(col(idCol) >= 0 && col(idCol) < nCodes)
+      .filter(col(idCol) >= 0)
       .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nCodes)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    require(cb.map(_._1).sameElements(0L until nCodes.toLong),
-      s"codebook convention needs vectors with $idCol exactly 0..${nCodes - 1}")
+    require(cb.length == nCodes,
+      s"codebook needs $nCodes non-negative-id vectors, found ${cb.length}")
     cb
   }
 
@@ -1178,7 +1183,7 @@ object Similarity {
     val codeCols = (0 until m).map { j =>
       val sv = slice(col(vecCol), j * sub + 1, sub)
       val svv = VectorFunctions.dot(sv, sv)
-      val perCode = cb.map { case (cid, v) =>
+      val perCode = cb.zipWithIndex.map { case ((_, v), rank) =>
         val cw = v.slice(j * sub, (j + 1) * sub).map(_.toDouble).toSeq
         // codeword self-product folded in the same order as dotSql's
         // list_reduce, so the literal equals DuckDB's computed value bit
@@ -1186,7 +1191,10 @@ object Similarity {
         val cc = cw.map(x => x * x).foldLeft(0.0)(_ + _)
         val d = svv - lit(2.0) * PlanBridge.column(
           graft.plans.Exprs.DotConst(PlanBridge.expression(sv), cw)) + lit(cc)
-        struct(d.as("d"), lit(cid).as("c"))
+        // the code is the codebook RANK (== the id for contiguous id
+        // spaces; see `codebook`) — ties break toward the lowest rank,
+        // i.e. the lowest codeword id, the original tie rule
+        struct(d.as("d"), lit(rank.toLong).as("c"))
       }
       array_min(array(perCode.toIndexedSeq: _*)).getField("c").as(s"code_$j")
     }

@@ -346,16 +346,30 @@ class LakehouseSpec extends SparkSpec {
       Set((1L, 30L, 300L, 1), (1L, 20L, 200L, 2), (2L, 5L, 50L, 1)))
   }
 
-  test("pq codebook rejects id sets that are not exactly 0..nCodes-1") {
+  test("pq codebook ranks gapped id spaces; too-small corpora refused (r15)") {
     import spark.implicits._
     val dims = 8
-    val bad = Seq(-1L, 0L, 1L, 2L, 3L, 4L, 5L, 6L)
-      .map(id => (id, Array.fill(dims)(id.toFloat)))
-      .toDF("vec_id", "embedding")
+    // gapped ids (the r14 collectCentroids lesson applied to PQ):
+    // codes must equal the contiguous relabeling's codes — the emitted
+    // code is the codebook RANK, not the raw id
+    def vec(seed: Long) = Array.tabulate(dims)(d => (seed * 7 + d).toFloat)
+    val gapped = Seq(0L, 2L, 5L, 9L, 14L, 20L, 27L, 35L, 44L, 54L)
+      .map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val dense = Seq(0L, 2L, 5L, 9L, 14L, 20L, 27L, 35L, 44L, 54L).zipWithIndex
+      .map { case (id, i) => (i.toLong, vec(id)) }.toDF("vec_id", "embedding")
+    def codes(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Similarity.pqEncode(df, m = 2, nCodes = 8)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(codes(gapped) === codes(dense),
+      "gapped ids must encode as their contiguous relabeling")
+    // negative ids are filtered, and a corpus smaller than nCodes is
+    // refused rather than silently shrinking the codebook
+    val tiny = Seq(-1L, 0L, 1L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
-      graft.operators.Similarity.pqEncode(bad, m = 2, nCodes = 8)
+      graft.operators.Similarity.pqEncode(tiny, m = 2, nCodes = 8)
     }
-    assert(e.getMessage.contains("exactly 0.."))
+    assert(e.getMessage.contains("codebook needs"))
   }
 
   test("chunkDocs: overlap, tail chunk, and n_tok accounting") {
