@@ -755,19 +755,21 @@ object Similarity {
   }
 
   /** The 4×16-bit band explode of a packed-code frame: one row per
-    * (id, band, bval). Disjoint bands make the candidate set EXACT by
-    * pigeonhole — maxHamming ≤ 3 differing bits can touch at most 3 of
-    * the 4 bands, so every qualifying pair exact-matches on ≥ 1 band. */
+    * (id, bkey) where bkey = band·2¹⁶ + bval — band and value packed
+    * into ONE join column so the persisted index can bucket by exactly
+    * the join key (a composite (band, bval) key would forfeit the
+    * bucketed scan: Spark's co-partition check wants join keys == bucket
+    * keys). Disjoint bands make the candidate set EXACT by pigeonhole —
+    * maxHamming ≤ 3 differing bits can touch at most 3 of the 4 bands,
+    * so every qualifying pair exact-matches on ≥ 1 band. */
   private def bqBands(codes: DataFrame): DataFrame =
     codes.select(col("id"), col("b0"), col("b1"),
       explode(array(
-        struct(lit(0).as("band"), expr("b0 & 65535").as("bval")),
-        struct(lit(1).as("band"), expr("(b0 >> 16) & 65535").as("bval")),
-        struct(lit(2).as("band"), expr("b1 & 65535").as("bval")),
-        struct(lit(3).as("band"), expr("(b1 >> 16) & 65535").as("bval"))))
-        .as("bb"))
-      .select(col("id"), col("b0"), col("b1"),
-        col("bb.band").as("band"), col("bb.bval").as("bval"))
+        expr("(0 * 65536) + (b0 & 65535)"),
+        expr("(1 * 65536) + ((b0 >> 16) & 65535)"),
+        expr("(2 * 65536) + (b1 & 65535)"),
+        expr("(3 * 65536) + ((b1 >> 16) & 65535)"))).as("bkey"))
+      .select(col("id"), col("b0"), col("b1"), col("bkey"))
 
   private def bqHamming(a0: String, a1: String, b0: String, b1: String) =
     expr(s"CAST(bit_count($a0 ^ $b0) + bit_count($a1 ^ $b1) AS BIGINT)")
@@ -791,10 +793,10 @@ object Similarity {
       s"4 disjoint bands give exact recall only for maxHamming <= 3, got $maxHamming")
     val bands = bqBands(bqCodes(df, dims, idCol, vecCol))
     val l = bands.select(col("id").as("a"), col("b0").as("a0"),
-      col("b1").as("a1"), col("band"), col("bval"))
+      col("b1").as("a1"), col("bkey"))
     val r = bands.select(col("id").as("b"), col("b0").as("_b0"),
-      col("b1").as("_b1"), col("band"), col("bval"))
-    l.join(r, Seq("band", "bval"))
+      col("b1").as("_b1"), col("bkey"))
+    l.join(r, Seq("bkey"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bqHamming("a0", "a1", "_b0", "_b1").as("hamming"))
@@ -812,21 +814,52 @@ object Similarity {
   def bqAdmitIndexed(indexCodes: DataFrame, batch: DataFrame,
                      maxHamming: Int = 3, dims: Int = 64,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding"): DataFrame =
+    bqAdmitBanded(bqBands(indexCodes), batch, maxHamming, dims, idCol, vecCol)
+
+  /** The banded probe core shared by [[bqAdmitIndexed]] (in-memory index)
+    * and [[bqAdmitTable]] (persisted bucketed index): `indexBands` is the
+    * (id, b0, b1, band, bval) frame either way, so both paths run the
+    * identical join + popcount verify. */
+  private def bqAdmitBanded(indexBands: DataFrame, batch: DataFrame,
+                            maxHamming: Int, dims: Int,
+                            idCol: String, vecCol: String): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 disjoint bands give exact recall only for maxHamming <= 3, got $maxHamming")
-    val ib = bqBands(indexCodes).select(col("id").as("dup_of"),
-      col("b0").as("_b0"), col("b1").as("_b1"), col("band"), col("bval"))
+    val ib = indexBands.select(col("id").as("dup_of"),
+      col("b0").as("_b0"), col("b1").as("_b1"), col("bkey"))
     val bb = bqBands(bqCodes(batch, dims, idCol, vecCol))
       .select(col("id").as("new_id"), col("b0").as("a0"),
-        col("b1").as("a1"), col("band"), col("bval"))
-    ib.join(bb, Seq("band", "bval"))
+        col("b1").as("a1"), col("bkey"))
+    ib.join(bb, Seq("bkey"))
       .filter(col("new_id") =!= col("dup_of"))
       .select(col("new_id"), col("dup_of"),
         bqHamming("a0", "a1", "_b0", "_b1").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Persist the banded code index BUCKETED by bval — [[writeIvfIndex]]'s
+    * stance for the BQ family. The probe join's keys (band, bval) are a
+    * superset of the bucket column, so the corpus side reads CO-LOCATED
+    * (zero shuffle on the billion-vector side; only the micro-batch
+    * shuffles to the bucketing) — and the index is 4 band rows × 3 longs
+    * per vector, never the floats. */
+  def writeBqIndex(df: DataFrame, table: String, numBuckets: Int = 32,
+                   dims: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Unit =
+    bqBands(bqCodes(df, dims, idCol, vecCol))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "bkey")
+      .sortBy("bkey")
+      .saveAsTable(table)
+
+  /** BQ admission against a [[writeBqIndex]] table. */
+  def bqAdmitTable(spark: org.apache.spark.sql.SparkSession, table: String,
+                   batch: DataFrame, maxHamming: Int = 3, dims: Int = 64,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    bqAdmitBanded(spark.table(table), batch, maxHamming, dims, idCol, vecCol)
 
   /** DuckDB oracle for [[bqNearDup]] — identical packing, band explode,
     * join, popcount verify, and distinct. */

@@ -741,6 +741,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bqAdmitTable: bucketed index probes co-located, results identical (r15)") {
+    import spark.implicits._
+    val batch = emb.filter(col("vec_id") < 20).select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => when(i < 2, -x).otherwise(x)).as("embedding"))
+    Similarity.writeBqIndex(emb, "bq_idx_spec", numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path so the exchange count is meaningful
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaTable = Similarity.bqAdmitTable(spark, "bq_idx_spec", batch)
+      val viaMem = Similarity.bqAdmitIndexed(Similarity.bqCodes(emb), batch)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows(viaTable) === rows(viaMem))
+      assert(rows(viaTable).nonEmpty)
+      // the bucketed scan side joins WITHOUT its own exchange: one fewer
+      // Exchange than the identical plan over the unbucketed frame
+      def nExchanges(df: org.apache.spark.sql.DataFrame) =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+      assert(nExchanges(viaTable) < nExchanges(viaMem),
+        "bucketed index must save the corpus-side shuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bq_idx_spec")
+    }
+  }
+
   test("mmrRerank matches a brute-force greedy MMR model (r8)") {
     val n = 10
     val r6d = (x: Double) =>
