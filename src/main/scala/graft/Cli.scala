@@ -110,7 +110,7 @@ object Cli {
     "distshift", "bhfdr", "avgprec", "jw", "quantilenorm", "cascade",
     "tokenbudget", "survivors", "audiofeat", "audiodedup", "geodesic",
     "winrate", "distinctn", "freqdrift", "benford", "lorenz", "markov",
-    "km")
+    "km", "ivf-index")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -361,6 +361,15 @@ object Cli {
           opts("input"), opts("output"),
           opts.getOrElse("target-bytes", (128L * 1024 * 1024).toString).toLong)
         System.err.println(s"[graft] compact: $before files -> $after")
+
+      case "ivf-index" =>
+        // persisted cell-partitioned ANN index: corpus-derived cells,
+        // two-level assignment (the query path's geometry) — a probe
+        // against the layout reads only its nprobe cell directories
+        val nCells = Similarity.writeIvfIndex(in("input"), opts("output"),
+          opts.getOrElse("target-cell", "32").toLong,
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+        System.err.println(s"[graft] ivf-index: $nCells cells -> ${opts("output")}")
 
       case "semdedup" =>
         write(Similarity.semDedup(in("input"),

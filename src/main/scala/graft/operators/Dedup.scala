@@ -865,20 +865,30 @@ object Dedup {
     val prefix = grams
       .select(col("_sid"), col("_n"), explode(col("_grams")).as("_gram"))
       .join(dfFrame, "_gram")
-      .withColumn("_rn", row_number().over(w))
+      .withColumn("_rn", row_number().over(w).cast("long"))
       .filter(col("_rn") <= p)
-      .select(col("_gram"), col("_sid"), col("_n"))
+      .select(col("_gram"), col("_sid"), col("_n"), col("_rn"))
     // candidate pairs: 16-byte (a, b) keys shuffle through the distinct —
-    // never the gram arrays. The AllPairs LENGTH filter rides the join
-    // condition: |A∩B| <= min and |A∪B| >= max force J <= min/max, so
-    // tauDen·min(nA,nB) >= tauNum·max(nA,nB) is NECESSARY — length-
-    // incompatible collisions are dropped before the distinct shuffle
-    // and before any per-candidate intersect (implied by the final
-    // threshold: output unchanged, the quadratic oracle hash-proves it)
+    // never the gram arrays. The POSITIONAL filter (PPJoin, Xiao et al.
+    // 2008 §3.2) rides the join condition: both docs order grams by the
+    // SAME global (df, gram) total order, so at a collision on the gram
+    // at positions (rnA, rnB) the overlap is bounded by 1 +
+    // min(nA − rnA, nB − rnB) PROVIDED no earlier common gram exists —
+    // true for the pair's FIRST common gram, whose collision row always
+    // lands in the prefix join for qualifying pairs (earliest common
+    // gram = minimal positions), so dropping later rows that fail the
+    // bound is LOSSLESS. Qualification needs |A∩B| >= ceil(tauNum·
+    // (nA+nB)/(tauNum+tauDen)); cross-multiplying keeps it all-integer.
+    // At rn = 1 this reduces to exactly the r15 AllPairs length filter
+    // (tauDen·min(nA,nB) >= tauNum·max(nA,nB)), so the positional form
+    // SUBSUMES it — typically halving candidates again. Output
+    // unchanged: the quadratic oracle hash-proves losslessness.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x._gram") === col("y._gram") && col("x._sid") < col("y._sid") &&
-          lit(tauDen.toLong) * least(col("x._n"), col("y._n")) >=
-            lit(tauNum.toLong) * greatest(col("x._n"), col("y._n")))
+          lit((tauNum + tauDen).toLong) *
+            (lit(1L) + least(col("x._n") - col("x._rn"),
+              col("y._n") - col("y._rn"))) >=
+            lit(tauNum.toLong) * (col("x._n") + col("y._n")))
       .select(col("x._sid").as("a"), col("y._sid").as("b"))
       .distinct()
     def side(s: String) = grams

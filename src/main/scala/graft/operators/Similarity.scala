@@ -271,15 +271,24 @@ object Similarity {
         round(avg(col("comp").cast("double")), 6).as("mean"))
 
   /** Persist the IVF index as cell-partitioned parquet: the 100 TB layout
-    * where a query probing `nprobe` of `nCentroids` cells physically reads
-    * only those directories (partition pruning), shrinking the SCAN, not
-    * just the compute. */
-  def writeIvfIndex(candidates: DataFrame, dir: String, nCentroids: Int = 16,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    centroidRanks(candidates, nCentroids, idCol, vecCol)
-      .filter(col("rn") === 1)
-      .select(col("id").as(idCol), col(vecCol), col("cid").as("cell"))
+    * where a query probing `nprobe` of the cells physically reads only
+    * those directories (partition pruning), shrinking the SCAN, not just
+    * the compute. The cell count is CORPUS-DERIVED ([[derivedCentroids]],
+    * same `targetCell` economics as the query path) and assignment runs
+    * the two-level [[twoLevelProbes]] chain — n·√cells flops with a
+    * √cells-row driver codebook — so the PERSISTED layout is built by the
+    * same assignment the probes use (the retired exhaustive
+    * [[centroidRanks]] build charged n·cells flops and pinned the cell
+    * population regardless of corpus size). Returns the derived cell
+    * count so a caller can compute probe sets against the same geometry. */
+  def writeIvfIndex(candidates: DataFrame, dir: String, targetCell: Long = 32L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+    val nCells = derivedCentroids(candidates.count(), targetCell)
+    twoLevelProbes(candidates, nCells, nprobe = 1, idCol = idCol, vecCol = vecCol)
+      .select(col("id").as(idCol), col("vec").as(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    nCells
+  }
 
   /** Shared IVF candidate generation (ivfTopK + ivfPqTopK — ONE
     * definition of the pruning convention): rn==1 two-level cell
@@ -289,8 +298,9 @@ object Similarity {
     * (the scale setting) costs n·√cells, not n·cells, flops. */
   private def ivfCandidatePairs(candidates: DataFrame, queries: DataFrame,
                                 nCentroids: Int, nprobe: Int,
-                                idCol: String, vecCol: String): DataFrame = {
-    val asg = twoLevelProbes(candidates, nCentroids, nprobe,
+                                idCol: String, vecCol: String,
+                                pCoarse: Int = TwoLevelCoarseProbes): DataFrame = {
+    val asg = twoLevelProbes(candidates, nCentroids, nprobe, pCoarse,
       idCol = idCol, vecCol = vecCol)
     val cells = asg.filter(col("rn") === 1).select(col("id"), col("cell"))
     val qids = queries.select(col(idCol).as("qid"))
@@ -304,9 +314,10 @@ object Similarity {
 
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              pCoarse: Int = TwoLevelCoarseProbes): DataFrame = {
     val candPairs = ivfCandidatePairs(candidates, queries, nCentroids,
-      nprobe, idCol, vecCol)
+      nprobe, idCol, vecCol, pCoarse)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
     val scored = candPairs
@@ -535,10 +546,22 @@ object Similarity {
         col("ee") - lit(2.0) * dotConst(col("v"), cv) + lit(cc))
     }
     val minv = least(cents.indices.map(i => col(s"_d$i")): _*)
-    val cell = cents.indices
+    // A NaN embedding component makes every distance NaN. Under Spark's
+    // documented NaN semantics (NaN = NaN is true) the row would land
+    // SILENTLY in cell 0; under standard-SQL semantics it would land in
+    // a phantom null cell that latticeSums aggregates as its own group.
+    // Either way the sufficient stats corrupt quietly — guard on the
+    // min distance itself and fail loudly (coalesce backstops the
+    // no-branch-matched case; Coalesce is lazy, so the error fires only
+    // when actually reached).
+    val fail = raise_error(concat(
+      lit("assignCells: non-finite distance (NaN embedding component?) for id "),
+      col("id").cast("string"))).cast("long")
+    val cellCase = cents.indices
       .foldLeft(when(lit(false), lit(0L))) { (c, i) =>
         c.when(col(s"_d$i") === minv, lit(i.toLong))
       }
+    val cell = when(isnan(minv), fail).otherwise(coalesce(cellCase, fail))
     withD.withColumn("cell", cell).withColumn("dist", minv)
       .select(col("id"), col("v"), col("cell"), col("dist"))
   }
@@ -571,12 +594,22 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
     require(iters >= 1 && nCentroids >= 1)
-    val init = candidates.filter(col(idCol) < nCentroids)
-      .select(col(idCol), col(vecCol)).collect()
+    // Seeds are the nCentroids LOWEST non-negative-id vectors, id-
+    // ascending; the emitted cell id is the RANK in that ordering — the
+    // same gapped-id-tolerant convention as the PQ `codebook` and the
+    // IVF coarse codebook (for a contiguous 0..k−1 id space the rank IS
+    // the id, so every oracle pins unchanged values there; a gapped
+    // space now ranks instead of crashing).
+    val init = candidates.filter(col(idCol) >= 0)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
-    require(init.length == nCentroids && init.head._1 == 0L,
-      s"kmeansLloyd seeds from ids 0..${nCentroids - 1}; found ${init.length}")
+    require(init.length == nCentroids,
+      s"kmeansLloyd seeds need $nCentroids non-negative-id vectors; " +
+        s"found ${init.length}")
     val base = candidates.select(col(idCol).as(idCol), col(vecCol).as(vecCol))
 
     var cents = init.map(_._2)
@@ -602,7 +635,10 @@ object Similarity {
   /** DuckDB oracle for [[kmeansLloyd]] — the identical iteration chain
     * unrolled one CTE block per round (the q_louvain convention), with
     * the same lattice sums, coalesce-to-previous empty-cell rule, and
-    * double divisions. */
+    * double divisions. ASSUMES a contiguous 0..nCentroids−1 id space
+    * (cent0 keys cells by vec_id, the operator by seed RANK — identical
+    * exactly when the lowest ids are contiguous, which every declared
+    * corpus satisfies; a gapped corpus needs a rank CTE here). */
   def kmeansLloydSql(corpusSub: String, nCentroids: Int, iters: Int,
                      dims: Int): String = {
     def dist(e: String, c: String) =
@@ -754,21 +790,58 @@ object Similarity {
       (if (w1 > 0) bqWordExpr(vecCol, 32, w1) else lit(0L)).as("b1"))
   }
 
-  /** The 4×16-bit band explode of a packed-code frame: one row per
-    * (id, bkey) where bkey = band·2¹⁶ + bval — band and value packed
-    * into ONE join column so the persisted index can bucket by exactly
-    * the join key (a composite (band, bval) key would forfeit the
-    * bucketed scan: Spark's co-partition check wants join keys == bucket
-    * keys). Disjoint bands make the candidate set EXACT by pigeonhole —
-    * maxHamming ≤ 3 differing bits can touch at most 3 of the 4 bands,
-    * so every qualifying pair exact-matches on ≥ 1 band. */
-  private def bqBands(codes: DataFrame): DataFrame =
+  /** 4 contiguous bit slices (lo, len) covering EXACTLY the `dims` real
+    * sign bits, as evenly as possible (sizes ⌈dims/4⌉ / ⌊dims/4⌋). For
+    * dims = 64 this is the original 16/16/16/16 layout (every declared
+    * oracle unchanged); for dims < 64 the bands shrink WITH the vector —
+    * the fixed 16-bit slices left whole bands identically zero below
+    * dims ≤ 48, so every vector collided on the constant band key and
+    * the band join degenerated to a full cross product in one bucket
+    * (quadratic verification; recall stayed exact, the scale shape
+    * didn't). dims ≥ 4 keeps all 4 bands non-empty, preserving the
+    * maxHamming ≤ 3 pigeonhole. */
+  private[operators] def bandSlices(dims: Int): IndexedSeq[(Int, Int)] = {
+    require(dims >= 4 && dims <= 64,
+      s"4 non-empty sign-bit bands need 4 <= dims <= 64, got $dims")
+    val base = dims / 4
+    val extra = dims % 4
+    val sizes = IndexedSeq.tabulate(4)(i => base + (if (i < extra) 1 else 0))
+    sizes.scanLeft(0)(_ + _).zip(sizes)
+  }
+
+  /** SQL expression for the band value at bit slice [lo, lo+len) of the
+    * packed words `w0` (bits 0–31) / `w1` (bits 32–63) — shared verbatim
+    * by the Spark side (expr) and the DuckDB oracles, including the
+    * word-boundary-spanning case (32 < dims < 64, non-multiple-of-4).
+    * Words are non-negative, so `>>` needs no unsigned variant. */
+  private def bandValSql(lo: Int, len: Int, w0: String = "b0",
+                         w1: String = "b1"): String = {
+    val hi = lo + len
+    if (hi <= 32) s"(($w0 >> $lo) & ${(1L << len) - 1})"
+    else if (lo >= 32) s"(($w1 >> ${lo - 32}) & ${(1L << len) - 1})"
+    else {
+      val lowBits = 32 - lo
+      val highBits = len - lowBits
+      s"((($w0 >> $lo) & ${(1L << lowBits) - 1}) + " +
+        s"(($w1 & ${(1L << highBits) - 1}) * ${1L << lowBits}))"
+    }
+  }
+
+  /** The 4-band explode of a packed-code frame: one row per (id, bkey)
+    * where bkey = band·2¹⁶ + bval — band and value packed into ONE join
+    * column so the persisted index can bucket by exactly the join key
+    * (a composite (band, bval) key would forfeit the bucketed scan:
+    * Spark's co-partition check wants join keys == bucket keys). Band
+    * boundaries come from [[bandSlices]] (dims-derived — only REAL sign
+    * bits band). Disjoint bands make the candidate set EXACT by
+    * pigeonhole — maxHamming ≤ 3 differing bits can touch at most 3 of
+    * the 4 bands, so every qualifying pair exact-matches on ≥ 1 band. */
+  private def bqBands(codes: DataFrame, dims: Int): DataFrame =
     codes.select(col("id"), col("b0"), col("b1"),
-      explode(array(
-        expr("(0 * 65536) + (b0 & 65535)"),
-        expr("(1 * 65536) + ((b0 >> 16) & 65535)"),
-        expr("(2 * 65536) + (b1 & 65535)"),
-        expr("(3 * 65536) + ((b1 >> 16) & 65535)"))).as("bkey"))
+      explode(array(bandSlices(dims).zipWithIndex.map {
+        case ((lo, len), band) =>
+          expr(s"($band * 65536) + ${bandValSql(lo, len)}")
+      }: _*)).as("bkey"))
       .select(col("id"), col("b0"), col("b1"), col("bkey"))
 
   private def bqHamming(a0: String, a1: String, b0: String, b1: String) =
@@ -791,7 +864,7 @@ object Similarity {
                 vecCol: String = "embedding"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 disjoint bands give exact recall only for maxHamming <= 3, got $maxHamming")
-    val bands = bqBands(bqCodes(df, dims, idCol, vecCol))
+    val bands = bqBands(bqCodes(df, dims, idCol, vecCol), dims)
     val l = bands.select(col("id").as("a"), col("b0").as("a0"),
       col("b1").as("a1"), col("bkey"))
     val r = bands.select(col("id").as("b"), col("b0").as("_b0"),
@@ -815,7 +888,8 @@ object Similarity {
                      maxHamming: Int = 3, dims: Int = 64,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =
-    bqAdmitBanded(bqBands(indexCodes), batch, maxHamming, dims, idCol, vecCol)
+    bqAdmitBanded(bqBands(indexCodes, dims), batch, maxHamming, dims, idCol,
+      vecCol)
 
   /** The banded probe core shared by [[bqAdmitIndexed]] (in-memory index)
     * and [[bqAdmitTable]] (persisted bucketed index): `indexBands` is the
@@ -828,7 +902,7 @@ object Similarity {
       s"4 disjoint bands give exact recall only for maxHamming <= 3, got $maxHamming")
     val ib = indexBands.select(col("id").as("dup_of"),
       col("b0").as("_b0"), col("b1").as("_b1"), col("bkey"))
-    val bb = bqBands(bqCodes(batch, dims, idCol, vecCol))
+    val bb = bqBands(bqCodes(batch, dims, idCol, vecCol), dims)
       .select(col("id").as("new_id"), col("b0").as("a0"),
         col("b1").as("a1"), col("bkey"))
     ib.join(bb, Seq("bkey"))
@@ -848,7 +922,7 @@ object Similarity {
   def writeBqIndex(df: DataFrame, table: String, numBuckets: Int = 32,
                    dims: Int = 64, idCol: String = "vec_id",
                    vecCol: String = "embedding"): Unit =
-    bqBands(bqCodes(df, dims, idCol, vecCol))
+    bqBands(bqCodes(df, dims, idCol, vecCol), dims)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "bkey")
       .sortBy("bkey")
@@ -861,6 +935,16 @@ object Similarity {
                    vecCol: String = "embedding"): DataFrame =
     bqAdmitBanded(spark.table(table), batch, maxHamming, dims, idCol, vecCol)
 
+  /** DuckDB side of [[bandSlices]]+[[bandValSql]]: the band-value CASE
+    * over the exploded band index `u.band` — the identical dims-derived
+    * slices the Spark side bands with. */
+  private def bandCaseSql(dims: Int): String =
+    "CASE u.band " + bandSlices(dims).zipWithIndex.map {
+      case ((lo, len), b) =>
+        if (b < 3) s"WHEN $b THEN ${bandValSql(lo, len)}"
+        else s"ELSE ${bandValSql(lo, len)}"
+    }.mkString(" ") + " END"
+
   /** DuckDB oracle for [[bqNearDup]] — identical packing, band explode,
     * join, popcount verify, and distinct. */
   def bqNearDupSql(corpusSub: String, maxHamming: Int, dims: Int): String = {
@@ -870,8 +954,7 @@ object Similarity {
     s"WITH codes AS MATERIALIZED (SELECT vec_id AS id, " +
       s"${bqWordSql("embedding", 0, w0)} AS b0, $word1 AS b1 FROM $corpusSub), " +
       "bands AS (SELECT id, b0, b1, u.band, " +
-      "CASE u.band WHEN 0 THEN b0 & 65535 WHEN 1 THEN (b0 >> 16) & 65535 " +
-      "WHEN 2 THEN b1 & 65535 ELSE (b1 >> 16) & 65535 END AS bval " +
+      s"${bandCaseSql(dims)} AS bval " +
       "FROM codes, (SELECT unnest([0, 1, 2, 3]) AS band) u) " +
       "SELECT DISTINCT l.id AS a, r.id AS b, " +
       "CAST(bit_count(xor(l.b0, r.b0)) + bit_count(xor(l.b1, r.b1)) AS BIGINT) AS hamming " +
@@ -889,9 +972,7 @@ object Similarity {
     val w0 = math.min(32, dims)
     val w1 = dims - w0
     val word1 = if (w1 > 0) bqWordSql("embedding", 32, w1) else "CAST(0 AS BIGINT)"
-    val bandCase = "CASE u.band WHEN 0 THEN b0 & 65535 " +
-      "WHEN 1 THEN (b0 >> 16) & 65535 WHEN 2 THEN b1 & 65535 " +
-      "ELSE (b1 >> 16) & 65535 END"
+    val bandCase = bandCaseSql(dims)
     val ham = "CAST(bit_count(xor(b.b0, i.b0)) + " +
       "bit_count(xor(b.b1, i.b1)) AS BIGINT)"
     s"WITH ic AS MATERIALIZED (SELECT vec_id AS id, " +

@@ -1037,8 +1037,9 @@ object TextOps {
   /** Per-document winnowed fingerprint set (doc_id, fp) — the selection
     * stage of [[winnowPairs]], exposed so the streaming admission face
     * winnows each micro-batch with the SAME chain (one definition per
-    * metric). Docs shorter than w + 1 shingles produce no fingerprints
-    * (Schleimer's short-document boundary). */
+    * metric). Docs with fewer than w shingles produce no fingerprints
+    * (Schleimer's short-document boundary: pos <= m − w + 1 yields its
+    * first window exactly at m == w). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          w: Int = 4): DataFrame = {
     require(w >= 1)

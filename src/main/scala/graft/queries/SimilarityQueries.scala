@@ -321,11 +321,16 @@ object SimilarityQueries {
         stride = 2, minShared = 2) + " ORDER BY a, b")),
 
     // Product-quantization encode: 64 floats -> 4 codes (16-dim blocks,
-    // 8 codewords each from the vec_id<8 codebook convention). The Spark
-    // side embeds the collected codebook as plan constants (scan-stage
-    // projection, zero shuffles); the oracle recomputes each block's
-    // argmin with the identical strict-fold distance, so every code —
-    // tie-breaks included — hash-verifies.
+    // 8 codewords = the RANKS of the 8 lowest non-negative vec_ids —
+    // gapped id spaces rank instead of crashing). The declared corpora
+    // have CONTIGUOUS ids 0..n−1, so rank == id and this oracle (and
+    // q_pq_topk's / q_ann_ivf_pq's) may key its codebook CTE by
+    // `vec_id < 8` directly; a gapped corpus would need a rank CTE
+    // (ORDER BY vec_id LIMIT 8 + row_number) to stay engine-identical.
+    // The Spark side embeds the collected codebook as plan constants
+    // (scan-stage projection, zero shuffles); the oracle recomputes each
+    // block's argmin with the identical strict-fold distance, so every
+    // code — tie-breaks included — hash-verifies.
     Q("q_pq_encode",
       (s, d) => Similarity.pqEncode(emb(s, d), m = 4, nCodes = 8)
         .orderBy("vec_id"),
@@ -752,6 +757,28 @@ object SimilarityQueries {
       },
       Some(Similarity.retrievalMetricsSql(
         s"($cosineRankedSql)", s"($lshRankedSql)", k = K))),
+
+    // Declared IVF audit: recall@k + MRR of the two-level IVF retriever
+    // (corpus-derived cells, nprobe=4) against the exact-cosine truth —
+    // the path q_knn_graph / q_semdedup / q_ann_ivf_pq ride was audited
+    // only in spec until r16 (measured 0.2992 knn recall at spec scale);
+    // the q_lsh_recall stance says approximation quality is a BOARD
+    // number, not a spec aside. Reuses the q_ann_ivf chain and oracle
+    // verbatim, so the recall of the exact approximation that ships is
+    // what's measured.
+    Q("q_ivf_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.retrievalMetrics(
+          Similarity.cosineTopK(e, q, K),
+          Similarity.ivfTopK(e, q, K,
+            nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+            nprobe = 4),
+          k = K)
+      },
+      Some(Similarity.retrievalMetricsSql(
+        s"($cosineRankedSql)", s"($ivfRankedSql)", k = K))),
 
     // NDCG@k of the LSH retriever vs the exact ranking (graded rel =
     // k − exact_rank + 1): the POSITION-sensitive audit — right set in

@@ -655,7 +655,11 @@ object EventStreams {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(pairsDir)
-      idx.unionByName(D.signatureIndex(batch, idCol, textCol, k, bands))
+      // LATEST-WINS on re-submitted ids: fold the batch over priorIdx
+      // (the batch's ids already anti-joined out), not idx — a union over
+      // idx would leave which signature survives dropDuplicates
+      // nondeterministic when a batch re-submits an id with new text.
+      priorIdx.unionByName(D.signatureIndex(batch, idCol, textCol, k, bands))
         .dropDuplicates("id", "band")
     }
 
@@ -695,7 +699,11 @@ object EventStreams {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(pairsDir)
-      idx.unionByName(S.bqCodes(batch, dims)).dropDuplicates("id")
+      // LATEST-WINS on re-submitted ids (see admitStream): union over
+      // priorIdx, so a batch re-submitting an existing id with a changed
+      // embedding deterministically replaces its codes instead of racing
+      // dropDuplicates against the stale index row.
+      priorIdx.unionByName(S.bqCodes(batch, dims)).dropDuplicates("id")
     }
 
   /** Streaming winnow admission (stream_winnow): the MOSS gate run
@@ -746,7 +754,10 @@ object EventStreams {
           .partitionBy("batch_id")
           .parquet(pairsDir)
       }
-      idx.unionByName(T.winnowFingerprints(batch, idCol, textCol, w))
+      // LATEST-WINS on re-submitted ids (see admitStream): union over
+      // priorIdx — via idx, a doc re-submitted with changed text would
+      // keep its STALE fingerprints alongside the new ones forever.
+      priorIdx.unionByName(T.winnowFingerprints(batch, idCol, textCol, w))
         .dropDuplicates("doc_id", "fp")
     }
 

@@ -993,7 +993,7 @@ class CliSpec extends SparkSpec {
   test("cli command surface: every declared command dispatches; count spec-pinned (r11)") {
     // the count lives HERE, not in SURVEY prose (the r10 count silently
     // included two --algo sub-arms) — update both together
-    assert(Cli.commands.size === 134)
+    assert(Cli.commands.size === 135)
     assert(Cli.commands.distinct.size === Cli.commands.size, "duplicate names")
     // every declared name must reach a case arm: dispatching with empty
     // opts may fail on missing options/inputs, but NEVER with the

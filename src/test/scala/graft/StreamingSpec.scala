@@ -1267,4 +1267,45 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("LCC inverse is a stateless streaming face: round-trip equals batch (r16)") {
+    // completes the r15 inverse-CRS family: Albers/stereo got their
+    // readStream parity spec in r15, the LCC inverse (the same
+    // fixed-iteration conformal-latitude kernel) gets its own here
+    import graft.functions.GeoFunctions
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_lcc")
+    java.nio.file.Files.createDirectory(staged.resolve("events.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      staged.resolve("events.parquet").resolve("part-00000.parquet"))
+    def shots(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_id").as("shot"),
+      ((col("event_id") % 360) - 180.0 + col("value") / 1000.0).as("lon"),
+      ((col("event_id") * 7) % 180 - 90.0 + col("value") / 2000.0).as("lat"))
+    def proj(sh: org.apache.spark.sql.DataFrame) = {
+      val (lx, ly) = GeoFunctions.lccForward(col("lon"), col("lat"),
+        23.0, 33.0, 45.0, -96.0)
+      val s1 = sh.filter(col("lat").between(10.0, 84.0))
+        .select(col("shot"), lx.as("lx"), ly.as("ly"))
+      val (llon, llat) = GeoFunctions.lccInverse(col("lx"), col("ly"),
+        23.0, 33.0, 45.0, -96.0)
+      s1.select(col("shot"),
+        round(col("lx"), 0).cast("long").as("lcc_x_m"),
+        round(col("ly"), 0).cast("long").as("lcc_y_m"),
+        round(llon * 1000000.0, 0).cast("long").as("llon_udeg"),
+        round(llat * 1000000.0, 0).cast("long").as("llat_udeg"))
+    }
+    val stream = Tables.loadStream(spark, staged.toString, "events")
+    val q = proj(shots(stream))
+      .writeStream.format("memory").queryName("lcc_parity").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("lcc_parity").collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      val batch = proj(shots(Tables.load(spark, sfDir, "events"))).collect()
+        .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
