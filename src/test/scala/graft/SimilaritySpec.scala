@@ -573,6 +573,38 @@ class SimilaritySpec extends SparkSpec {
     assert(hit > 0.25, s"recall@$k vs brute force too low: $hit")
   }
 
+  test("knnGraph recall sweep vs nprobe — driver model (r16)") {
+    // the SYMMETRIC graph path's sweep (q_ivf_recall covers the query
+    // path): every vector is a query, candidates = members of its
+    // nprobe probed cells under the fixed rn=1 home assignment, so
+    // recall is monotone in nprobe. Driver model (twoLevelModel is
+    // spec-proven equal to the operator) — no 4x Spark reruns.
+    val ids = vecs.keys.toSeq.sorted
+    val ranked = twoLevelModel(16)
+    val home = ranked.map { case (id, cs) => id -> cs.head }
+    def recallAt(nprobe: Int): Double = {
+      val hits = ids.map { qid =>
+        val probed = ranked(qid).take(nprobe).toSet
+        val knn = ids.filter(j => j != qid && probed.contains(home(j)))
+          .map(j => (j, cosScala(vecs(qid), vecs(j))))
+          .sortBy { case (j, c) => (-c, j) }.take(5).map(_._1).toSet
+        bruteTopK(qid, 5).count(knn.contains)
+      }.sum
+      hits.toDouble / (ids.size * 5)
+    }
+    val table = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+    info("knnGraph recall@5 vs nprobe (driver model): " +
+      table.map { case (np, r) =>
+        s"$np=${math.round(r * 10000) / 10000.0}" }.mkString(", "))
+    table.sliding(2).foreach {
+      case Seq((a, ra), (b, rb)) =>
+        assert(ra <= rb + 1e-9, s"recall fell raising nprobe $a -> $b")
+      case _ =>
+    }
+    // the declared q_knn_graph geometry (nprobe=2): collapse floor
+    assert(table.toMap.apply(2) > 0.25)
+  }
+
   test("retrievalMetrics: closed-form hits/misses and the MRR fold") {
     import spark.implicits._
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
