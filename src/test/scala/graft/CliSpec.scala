@@ -1011,6 +1011,20 @@ class CliSpec extends SparkSpec {
     assert(String.valueOf(unknown.getMessage).contains("unknown command"))
   }
 
+  test("cli ivf-index writes the cell-partitioned two-level layout (r16)") {
+    val out = tmp() + "/ivfidx"
+    Cli.run(spark, "ivf-index", Map(
+      "input" -> s"$sfDir/embeddings.parquet", "output" -> out))
+    val back = spark.read.parquet(out)
+    assert(back.columns.toSet === Set("vec_id", "embedding", "cell"))
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(back.count() === n)
+    // layout is physically partitioned by cell (directory per cell)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(dirs.length === back.select("cell").distinct().count())
+  }
+
   test("cli kcore default survives a pendant CASCADE deeper than the fixed rounds (r11)") {
     import spark.implicits._
     // triangle core + a 12-node pendant tail: peeling at k = 2 removes
