@@ -884,8 +884,14 @@ object TextOps {
       .select(explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    // the vocabulary frame feeds THREE consumers (both lift joins + the
+    // total-token agg); Spark does not CSE subtrees, so without the
+    // materialization the corpus unigram explode+shuffle runs three
+    // times (the kneserNeyNll type-frame lesson — vocabulary-sized, not
+    // corpus-sized, so the checkpoint is cheap at any scale)
     val uni = toks.select(explode(col("_t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint()
     val n = uni.agg(sum(col("c_w")).as("n_tok"))
     bi.filter(col("c_ab") >= minCount)
       .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
