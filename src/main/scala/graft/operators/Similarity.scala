@@ -1208,7 +1208,10 @@ object Similarity {
     // codebook — the single-level kernel was n·cells = n²/targetCell
     // flops against a cells-sized (corpus-proportional) plan constant.
     // The two consumers below recompute the assignment subtree (Spark
-    // does not CSE); a graph REBUILT repeatedly should persist the
+    // does not CSE) — MEASURED at sf1 (r16): materializing it via
+    // localCheckpoint is a wash (3.51s vs 3.49s) because the symmetric
+    // cell join dominates, so the corpus-sized vector materialization
+    // is not paid. A graph REBUILT repeatedly should persist the
     // assignment once via writeIvfIndex's cell-partitioned layout.
     val asg = twoLevelProbes(candidates, nCentroids, nprobe,
       idCol = idCol, vecCol = vecCol)
