@@ -4,7 +4,7 @@ import json, sys
 
 outs = sys.argv[1:-1]
 dest = sys.argv[-1]
-queries, spread, errors = {}, {}, {}
+queries, spread, errors, adjudication = {}, {}, {}, {}
 reps, sf = None, None
 for p in outs:
     d = json.load(open(p))
@@ -13,9 +13,11 @@ for p in outs:
         sys.exit(2)
     queries.update(d["queries"]); spread.update(d.get("spread", {}))
     errors.update(d.get("errors", {})); reps = d["reps"]; sf = d["sf"]
+    adjudication.update(d.get("adjudication", {}))
 total = sum(v for v in queries.values() if v > 0)
 merged = {"metric": "total", "value": total, "unit": "sec",
           "queries": queries, "spread": spread, "reps": reps,
+          "adjudication": adjudication,
           "errors": errors, "n_errors": len(errors),
           "n_queries": len(queries), "sf": sf, "shards": len(outs)}
 json.dump(merged, open(dest, "w"))
