@@ -110,7 +110,7 @@ object Cli {
     "distshift", "bhfdr", "avgprec", "jw", "quantilenorm", "cascade",
     "tokenbudget", "survivors", "audiofeat", "audiodedup", "geodesic",
     "winrate", "distinctn", "freqdrift", "benford", "lorenz", "markov",
-    "km", "ivf-index")
+    "km", "ivf-index", "ivf-probe")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -370,6 +370,16 @@ object Cli {
           opts.getOrElse("target-cell", "32").toLong,
           opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
         System.err.println(s"[graft] ivf-index: $nCells cells -> ${opts("output")}")
+
+      case "ivf-probe" =>
+        // serving path over an ivf-index layout: queries rank cells
+        // against the sidecar quantizer; the index scan is pruned to
+        // exactly the probed cell directories
+        write(Similarity.ivfProbeIndex(spark, opts("index"), in("input"),
+          opts.getOrElse("k", "5").toInt,
+          opts.getOrElse("nprobe", "4").toInt,
+          idCol = opts.getOrElse("id", "vec_id"),
+          vecCol = opts.getOrElse("vec", "embedding")))
 
       case "semdedup" =>
         write(Similarity.semDedup(in("input"),

@@ -198,17 +198,30 @@ object Similarity {
                      pCoarse: Int = TwoLevelCoarseProbes,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    import VectorFunctions.dot
-    require(nCells >= 1 && nprobe >= 1 && pCoarse >= 1,
-      "twoLevelProbes needs positive nCells / nprobe / pCoarse")
+    require(nCells >= 1, "twoLevelProbes needs a positive nCells")
     val fine = candidates
       .filter(col(idCol) >= 0 && col(idCol) < nCells)
       .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+    twoLevelProbesAgainst(fine, candidates, nCells, nprobe, pCoarse,
+      idCol, vecCol)
+  }
+
+  /** The two-level probe core against an EXPLICIT fine-centroid frame
+    * (_fid, _fvec) — shared by [[twoLevelProbes]] (centroids = the
+    * corpus's low-id rows) and [[ivfProbeIndex]] (centroids = the
+    * persisted index's sidecar), so external query batches rank cells
+    * with the IDENTICAL convention the index was built with. */
+  private def twoLevelProbesAgainst(fine: DataFrame, df: DataFrame,
+                                    nCells: Int, nprobe: Int, pCoarse: Int,
+                                    idCol: String, vecCol: String): DataFrame = {
+    import VectorFunctions.dot
+    require(nCells >= 1 && nprobe >= 1 && pCoarse >= 1,
+      "twoLevelProbes needs positive nCells / nprobe / pCoarse")
     val coarse = collectCoarse(fine, coarseCellCount(nCells))
     val pc = math.min(pCoarse, coarse.length)
     val fineHomed = fine.select(col("_fid"), col("_fvec"),
       element_at(centroidProbesCol(col("_fvec"), coarse, 1), 1).as("_cc"))
-    val probed = candidates
+    val probed = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         explode(centroidProbesCol(col(vecCol), coarse, pc)).as("_cc"))
       .join(fineHomed, Seq("_cc"))
@@ -287,7 +300,64 @@ object Similarity {
     twoLevelProbes(candidates, nCells, nprobe = 1, idCol = idCol, vecCol = vecCol)
       .select(col("id").as(idCol), col("vec").as(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    // centroid SIDECAR (nCells rows — KBs): the quantizer a probe needs
+    // to rank cells WITHOUT scanning the index (the fine centroids live
+    // scattered across cell partitions; reading them from the data
+    // would defeat the pruning the layout exists for). The underscore
+    // prefix hides the subdir from spark.read.parquet(dir)'s discovery,
+    // so the index dir still reads as the plain partitioned frame.
+    candidates
+      .filter(col(idCol) >= 0 && col(idCol) < nCells)
+      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_centroids")
     nCells
+  }
+
+  /** Probe a [[writeIvfIndex]] layout — the SERVING path at 100 TB:
+    * each query ranks its `nprobe` nearest cells against the sidecar
+    * quantizer (nCells rows, never the index), and the index scan is
+    * partition-pruned to EXACTLY the probed cell directories (the spec
+    * asserts the FileSourceScan's row count equals their membership).
+    * Queries may be external vectors — they need not be index rows; an
+    * in-corpus query batch returns [[ivfTopK]]'s ranking identically
+    * (same quantizer, same strict-fold arithmetic, spec-pinned).
+    *
+    * Scale shape: sidecar read is nCells rows; probe-cell set is
+    * |queries|·nprobe cell ids (driver-bounded — queries are the small
+    * side by contract); the only corpus-sized work is the pruned scan
+    * of the probed cells plus one broadcast join against the query
+    * probes; reduction is the salted two-stage top-k. */
+  def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    queries: DataFrame, k: Int, nprobe: Int = 4,
+                    pCoarse: Int = TwoLevelCoarseProbes,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/_centroids")
+      .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+    val nCells = cents.count().toInt
+    val qprobes = twoLevelProbesAgainst(cents, queries, nCells, nprobe,
+        pCoarse, idCol, vecCol)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
+      .localCheckpoint() // read for the cell list AND the probe join
+    val probeCells = qprobes.select("cell").distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val idx = spark.read.parquet(dir)
+      .filter(col("cell").cast("long").isin(probeCells: _*))
+      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+        col("cell").cast("long").as("cell"))
+    // a candidate lives in exactly one home cell and a query's probed
+    // cells are distinct, so each (qid, vec_id) pair arises at most
+    // once — no distinct shuffle needed (the knnGraph argument)
+    val scored = idx.join(broadcast(qprobes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
+    TopK.perGroupTopK(scored,
+        groupCols = Seq(col("qid")),
+        order = Seq(col("cos_sim").desc, col("vec_id")),
+        k = k, salt = col("vec_id"), rankCol = "rank")
+      .select(col("qid"), col("rank"), col("vec_id"),
+        round(col("cos_sim"), 6).as("cos_sim"))
   }
 
   /** Shared IVF candidate generation (ivfTopK + ivfPqTopK — ONE

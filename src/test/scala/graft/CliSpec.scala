@@ -993,7 +993,7 @@ class CliSpec extends SparkSpec {
   test("cli command surface: every declared command dispatches; count spec-pinned (r11)") {
     // the count lives HERE, not in SURVEY prose (the r10 count silently
     // included two --algo sub-arms) — update both together
-    assert(Cli.commands.size === 135)
+    assert(Cli.commands.size === 136)
     assert(Cli.commands.distinct.size === Cli.commands.size, "duplicate names")
     // every declared name must reach a case arm: dispatching with empty
     // opts may fail on missing options/inputs, but NEVER with the
@@ -1023,6 +1023,15 @@ class CliSpec extends SparkSpec {
     val dirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(dirs.length === back.select("cell").distinct().count())
+    // and the serving arm probes it end to end
+    val probeOut = tmp() + "/ivfprobe"
+    Cli.run(spark, "ivf-probe", Map("index" -> out,
+      "input" -> s"$sfDir/embeddings.parquet", "output" -> probeOut,
+      "k" -> "3"))
+    val pr = spark.read.parquet(probeOut)
+    assert(pr.columns.toSeq === Seq("qid", "rank", "vec_id", "cos_sim"))
+    assert(pr.groupBy("qid").count().agg(max("count")).head.getLong(0) <= 3L)
+    assert(pr.select("qid").distinct().count() === n)
   }
 
   test("cli kcore default survives a pendant CASCADE deeper than the fixed rounds (r11)") {

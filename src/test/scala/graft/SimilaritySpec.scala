@@ -216,6 +216,61 @@ class SimilaritySpec extends SparkSpec {
     assert(m((2, 4)) >= 0.9, s"ivf recall@5 at (2,4): ${m((2, 4))}")
   }
 
+  test("ivfProbeIndex == ivfTopK for in-corpus queries; the probe scan " +
+      "is pruned to the probed cells (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfp").toString + "/index"
+    val nCells = Similarity.writeIvfIndex(emb, dir, targetCell = 32L)
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val probe = Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 4)
+    probe.collect() // execute THIS plan so its scan metrics populate
+    val got = rows(probe)
+    // the serving path over the persisted layout returns the query
+    // path's ranking identically (same sidecar quantizer, same folds)
+    val want = rows(Similarity.ivfTopK(emb, q, 5,
+      nCentroids = nCells, nprobe = 4))
+    assert(got === want)
+    // partition pruning: the index scan in the probe's executed plan
+    // read exactly the probed cells' members, not the corpus
+    val asg = Similarity.twoLevelProbes(emb, nCells, nprobe = 4)
+    val home = asg.filter(col("rn") === 1).select(col("id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probeCells = asg.filter(col("id") < 5)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val inCells = home.values.count(probeCells.contains).toLong
+    // AQE wraps materialized stages in QueryStageExec leaves, so a
+    // plain collectLeaves never reaches the scan — descend explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(probe.queryExecution.executedPlan)
+    assert(scan.size === 1, s"expected exactly the index scan, got $scan")
+    val scanned = scan.head.metrics("numOutputRows").value
+    assert(scanned === inCells,
+      s"probe scanned $scanned rows; probed cells hold $inCells")
+    assert(scanned < emb.count(), "probe scan read the whole corpus")
+    // external (non-corpus) query vectors probe the same layout: a
+    // shifted copy of an index vector is NOT self-excluded (its qid
+    // matches no index id), so its nearest neighbor is its own original
+    // at cosine 1 — proving external vectors rank cells correctly
+    val ext = q.select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+    val extTop1 = rows(Similarity.ivfProbeIndex(spark, dir, ext, k = 5, nprobe = 4))
+      .filter(_._2 == 1)
+    assert(extTop1.size === 5)
+    extTop1.foreach { case (qid, _, vecId, cos) =>
+      assert(vecId === qid - 50000L, s"external $qid top-1 is $vecId")
+      assert(cos === 1.0)
+    }
+  }
+
   test("kmeansLloyd: gapped ids train identically to the contiguous relabeling") {
     // seeds are the k lowest non-negative ids BY RANK (the PQ codebook
     // convention) — an id space gapped by an affine map picks the same
@@ -857,6 +912,40 @@ class SimilaritySpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Similarity.bqAdmitIndexed(Similarity.bqCodes(df), df, maxHamming = 4)
+    }
+  }
+
+  test("bqNearDup: dims-derived band slices are exact at dims=50 " +
+      "(word-boundary-spanning band) and dims=8 (r16)") {
+    import spark.implicits._
+    // dims=50 → slices 13/13/12/12, the lo=26 len=12 band SPANS the
+    // b0/b1 word boundary (the bandValSql spanning branch — otherwise
+    // untested); dims=8 → 2/2/2/2, the layout the fixed 16-bit slices
+    // degenerated on (3 constant-zero bands = one-bucket cross product).
+    for (dims <- Seq(50, 8)) {
+      val trimmed = vecs.toSeq.filter(_._1 < 120)
+        .map { case (id, v) => (id, v.take(dims)) }
+      val planted = trimmed.filter(_._1 < 20).map { case (id, v) =>
+        (id + 10000L, v.zipWithIndex.map { case (x, i) => if (i < 2) -x else x })
+      }
+      val all = trimmed ++ planted
+      val got = Similarity.bqNearDup(all.toDF("vec_id", "embedding"),
+          maxHamming = 3, dims = dims)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def ham(a: Seq[Float], b: Seq[Float]): Long =
+        a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }.toLong
+      val brute = (for {
+        (a, va) <- all; (b, vb) <- all if a < b
+        h = ham(va, vb) if h <= 3
+      } yield (a, b, h)).toSet
+      assert(got === brute, s"dims=$dims: banding must equal brute force")
+      assert(got.nonEmpty, s"dims=$dims: fixture produced no pairs")
+    }
+    // fewer than 4 real sign bits cannot keep 4 non-empty bands
+    intercept[IllegalArgumentException] {
+      Similarity.bqNearDup(
+        vecs.toSeq.take(5).map { case (id, v) => (id, v.take(3)) }
+          .toDF("vec_id", "embedding"), maxHamming = 1, dims = 3)
     }
   }
 
