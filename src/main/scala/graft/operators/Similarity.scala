@@ -870,7 +870,7 @@ object Similarity {
     * (quadratic verification; recall stayed exact, the scale shape
     * didn't). dims ≥ 4 keeps all 4 bands non-empty, preserving the
     * maxHamming ≤ 3 pigeonhole. */
-  private[operators] def bandSlices(dims: Int): IndexedSeq[(Int, Int)] = {
+  private[graft] def bandSlices(dims: Int): IndexedSeq[(Int, Int)] = {
     require(dims >= 4 && dims <= 64,
       s"4 non-empty sign-bit bands need 4 <= dims <= 64, got $dims")
     val base = dims / 4

@@ -949,6 +949,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bandSlices invariants hold for EVERY dims in [4, 64] (r16)") {
+    // exhaustive, not sampled: 4 non-empty contiguous disjoint slices
+    // covering exactly the dims real sign bits, each <= 16 bits (so
+    // every band value fits the 2^16 bkey packing), and dims = 64
+    // reproduces the original fixed 16-bit layout bit for bit
+    for (dims <- 4 to 64) {
+      val sl = Similarity.bandSlices(dims)
+      assert(sl.size === 4, s"dims=$dims")
+      assert(sl.forall { case (_, len) => len >= 1 && len <= 16 }, s"dims=$dims")
+      // contiguous disjoint cover of [0, dims)
+      sl.sliding(2).foreach {
+        case Seq((lo1, len1), (lo2, _)) =>
+          assert(lo1 + len1 === lo2, s"dims=$dims: gap/overlap at $lo2")
+        case _ =>
+      }
+      assert(sl.head._1 === 0 && sl.last._1 + sl.last._2 === dims, s"dims=$dims")
+      // even split: sizes differ by at most one, descending
+      val sizes = sl.map(_._2)
+      assert(sizes.max - sizes.min <= 1 && sizes == sizes.sorted.reverse,
+        s"dims=$dims sizes=$sizes")
+    }
+    assert(Similarity.bandSlices(64) ===
+      IndexedSeq((0, 16), (16, 16), (32, 16), (48, 16)))
+    intercept[IllegalArgumentException](Similarity.bandSlices(3))
+    intercept[IllegalArgumentException](Similarity.bandSlices(65))
+  }
+
   test("bqAdmitTable: bucketed index probes co-located, results identical (r15)") {
     import spark.implicits._
     val batch = emb.filter(col("vec_id") < 20).select(

@@ -686,6 +686,22 @@ class StreamingSpec extends SparkSpec {
       val gotIdx = idx2.select("id", "b0", "b1")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(gotIdx === wantIdx)
+      // batch 3 (r16): id 0 RE-SUBMITTED with a changed embedding —
+      // LATEST-WINS: the state deterministically carries the NEW codes
+      // (the pre-r16 union over the stale index left which row survived
+      // dropDuplicates nondeterministic)
+      val v0new = Seq(-1f, 1f, 1f, 1f, -1f, -1f, -1f, 1f)
+      input.addData((0L, v0new))
+      q.processAllAvailable()
+      val idx3 = EventStreams.readUpsertState(spark, s"$dir/state")
+      assert(idx3.select("id").distinct().count() === 4L)
+      val expect0 = S.bqCodes(Seq((0L, v0new)).toDF("vec_id", "embedding"),
+          dims = 8)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+      val got0 = idx3.filter(col("id") === 0L).select("b0", "b1")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got0 === Seq(expect0),
+        "a re-submitted id must carry its NEW codes (latest-wins)")
     } finally q.stop()
   }
 
