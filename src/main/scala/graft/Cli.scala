@@ -365,11 +365,16 @@ object Cli {
       case "ivf-index" =>
         // persisted cell-partitioned ANN index: corpus-derived cells,
         // two-level assignment (the query path's geometry) — a probe
-        // against the layout reads only its nprobe cell directories
+        // against the layout reads only its nprobe cell directories.
+        // --train-iters N runs N Lloyd updates first, so the persisted
+        // quantizer is trained centroids, not arbitrary low-id rows.
+        val iters = opts.getOrElse("train-iters", "0").toInt
         val nCells = Similarity.writeIvfIndex(in("input"), opts("output"),
           opts.getOrElse("target-cell", "32").toLong,
-          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
-        System.err.println(s"[graft] ivf-index: $nCells cells -> ${opts("output")}")
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"),
+          trainIters = iters)
+        System.err.println(
+          s"[graft] ivf-index: $nCells cells (train-iters=$iters) -> ${opts("output")}")
 
       case "ivf-probe" =>
         // serving path over an ivf-index layout: queries rank cells

@@ -130,16 +130,30 @@ object Similarity {
     * count nor the plan-constant size grows linearly with the corpus. */
   def derivedCentroids(n: Long, targetCell: Long): Int = {
     require(n > 0 && targetCell > 0, "derivedCentroids needs positive counts")
-    math.min((n + targetCell - 1) / targetCell, 1000000L).toInt
+    math.min((n + targetCell - 1) / targetCell, MaxIvfCells).toInt
   }
+
+  /** Ceiling on the corpus-derived fine-cell count. Raised 1e6 → 1e8 in
+    * r17: the binding constraint is the DRIVER-COLLECTED coarse codebook
+    * at √cells rows — √1e8 = 1e4 rows × 64 float dims ≈ 2.5 MB as a plan
+    * constant (still broadcast-trivial; at the old 1e6 clamp the cell
+    * population re-grew linearly past ~3.2e7 vectors at targetCell=32,
+    * re-acquiring the corpus²/cells shape the derivation prevents). With
+    * 1e8 cells the constant-population regime holds to ~3.2e9 vectors;
+    * past that (a 100 TB corpus of 64-dim floats ≈ 4e11 vectors) cell
+    * population grows linearly again — ~4e3/cell at 4e11 — and a THIRD
+    * quantizer level (∛cells per level) is the documented next step, not
+    * a bigger clamp (a 1e10-cell codebook would put √cells = 1e5 rows
+    * ≈ 25 MB into every task closure). */
+  val MaxIvfCells: Long = 100000000L
 
   /** Coarse cell count of the TWO-LEVEL quantizer over `nCells` fine
     * cells: ceil(sqrt(nCells)), so both levels stay ~√cells-sized. The
     * scale fix for corpus-derived cell counts: single-level assignment is
     * n·cells flops with a cells-sized driver codebook (= n²/targetCell
     * flops and a corpus-proportional plan constant once cells ∝ n);
-    * two-level keeps the DRIVER-COLLECTED kernel at √cells rows (≤ 1000
-    * at the 1e6-cell clamp — KBs, not 256 MB) and turns the fine level
+    * two-level keeps the DRIVER-COLLECTED kernel at √cells rows (≤ 10⁴
+    * at the [[MaxIvfCells]] clamp — MBs, not 25 GB) and turns the fine level
     * into a DataFrame join, so total assignment work is
     * n·(√cells + pCoarse·√cells) flops — n^1.5/√targetCell, not n². */
   def coarseCellCount(nCells: Int): Int = {
@@ -155,8 +169,8 @@ object Similarity {
 
   /** The collected COARSE codebook: the `nCoarse` lowest-id rows of the
     * fine-centroid frame, sorted by id (coarse cell id = position in
-    * that order). Bounded by √(1e6) = 1000 rows regardless of corpus
-    * size, and tolerant of gapped id spaces — no 0..n−1 contiguity
+    * that order). Bounded by √[[MaxIvfCells]] = 10⁴ rows regardless of
+    * corpus size, and tolerant of gapped id spaces — no 0..n−1 contiguity
     * requirement, only that SOME centroid rows exist. */
   private def collectCoarse(fine: DataFrame, nCoarse: Int): Seq[Seq[Float]] = {
     val rows = fine
@@ -283,6 +297,64 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         round(avg(col("comp").cast("double")), 6).as("mean"))
 
+  /** Lloyd-trained fine centroids for the corpus-derived IVF quantizer:
+    * `iters` update steps of (assign every vector to its nearest fine
+    * cell via the SAME two-level chain the query/serving paths use,
+    * recompute each centroid as its members' mean), starting from the
+    * low-id seed convention of [[twoLevelProbes]]. Returns the
+    * (_fid, _fvec) fine-centroid frame ([[twoLevelProbesAgainst]]'s
+    * input shape); iters = 0 returns the seeds unchanged — the
+    * untrained path, bit-identical to [[twoLevelProbes]].
+    *
+    * Training with the serving assignment (not exact nearest-centroid)
+    * keeps trainer and prober optimizing the same partition function,
+    * and keeps per-iteration cost at the assignment's n·√cells flops —
+    * assignment is a DataFrame join, the update one groupBy; the only
+    * driver-bounded piece is the √cells-row coarse codebook collect per
+    * iteration. Means use the exact integer-lattice sums of
+    * [[latticeSums]] (order-free, engine-exact) divided once in double
+    * and rounded to float (IEEE round-to-nearest on both engines), so
+    * the trained quantizer is oracle-expressible; empty cells keep
+    * their previous centroid (the [[latticeCentroids]] rule). */
+  def trainIvfCentroids(candidates: DataFrame, nCells: Int, iters: Int,
+                        pCoarse: Int = TwoLevelCoarseProbes,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(nCells >= 1 && iters >= 0,
+      "trainIvfCentroids needs nCells >= 1 and iters >= 0")
+    var cents = candidates
+      .filter(col(idCol) >= 0 && col(idCol) < nCells)
+      .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = twoLevelProbesAgainst(cents, candidates, nCells, 1, pCoarse,
+        idCol, vecCol)
+      val sums = asg
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "comp")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(floor(col("comp").cast("double") * lit(1048576.0))
+          .cast("long")).as("sq"), count(lit(1)).as("n"))
+      val prev = cents
+        .select(col("_fid"), posexplode(col("_fvec")).as(Seq("dim", "pcomp")))
+      val merged = prev
+        .join(sums, prev("_fid") === sums("cell") && prev("dim") === sums("dim"),
+          "left")
+        .select(prev("_fid"), prev("dim"),
+          coalesce((col("sq").cast("double") /
+            (col("n").cast("double") * lit(1048576.0))).cast("float"),
+            col("pcomp")).as("comp"))
+      val next = merged.groupBy(col("_fid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("comp")))),
+          x => x.getField("comp")).as("_fvec"))
+        .localCheckpoint() // nCells rows — cuts the per-iteration lineage
+      org.apache.spark.sql.graftbridge.PlanBridge
+        .unpersistLocalCheckpoint(cents)
+      cents = next
+    }
+    cents
+  }
+
   /** Persist the IVF index as cell-partitioned parquet: the 100 TB layout
     * where a query probing `nprobe` of the cells physically reads only
     * those directories (partition pruning), shrinking the SCAN, not just
@@ -294,23 +366,55 @@ object Similarity {
     * [[centroidRanks]] build charged n·cells flops and pinned the cell
     * population regardless of corpus size). Returns the derived cell
     * count so a caller can compute probe sets against the same geometry. */
+  /** Format version stamped into the index's `_meta` sidecar. 2 = the
+    * r17 layout (trained-or-seed quantizer sidecar + `_meta` geometry);
+    * a `_meta`-less directory is the pre-r17 format (untrained,
+    * contiguous sidecar) and is still probed via the row-count
+    * fallback. */
+  val IvfIndexFormat: Int = 2
+
   def writeIvfIndex(candidates: DataFrame, dir: String, targetCell: Long = 32L,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): Int = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    trainIters: Int = 0,
+                    pCoarse: Int = TwoLevelCoarseProbes): Int = {
     val nCells = derivedCentroids(candidates.count(), targetCell)
-    twoLevelProbes(candidates, nCells, nprobe = 1, idCol = idCol, vecCol = vecCol)
+    // trainIters > 0 composes the Lloyd trainer into the build: the
+    // persisted quantizer is then TRAINED centroids, not whatever corpus
+    // rows carry the lowest ids (on clustered real-world embeddings an
+    // arbitrary-seed quantizer costs recall at equal nprobe — the
+    // q_ivf_trained_recall board row measures the gap). trainIters = 0
+    // is the seed quantizer, bit-identical to the pre-r17 layout.
+    val cents =
+      if (trainIters > 0)
+        trainIvfCentroids(candidates, nCells, trainIters, pCoarse, idCol, vecCol)
+      else candidates
+        .filter(col(idCol) >= 0 && col(idCol) < nCells)
+        .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+    twoLevelProbesAgainst(cents, candidates, nCells, 1, pCoarse, idCol, vecCol)
       .select(col("id").as(idCol), col("vec").as(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    // centroid SIDECAR (nCells rows — KBs): the quantizer a probe needs
-    // to rank cells WITHOUT scanning the index (the fine centroids live
-    // scattered across cell partitions; reading them from the data
-    // would defeat the pruning the layout exists for). The underscore
-    // prefix hides the subdir from spark.read.parquet(dir)'s discovery,
-    // so the index dir still reads as the plain partitioned frame.
-    candidates
-      .filter(col(idCol) >= 0 && col(idCol) < nCells)
-      .select(col(idCol).cast("long").as(idCol), col(vecCol))
+    // centroid SIDECAR (nCells rows — KBs): the EXACT quantizer the
+    // layout was assigned with (trained frame or low-id seeds) — a probe
+    // ranks cells against it WITHOUT scanning the index (the fine
+    // centroids live scattered across cell partitions; reading them from
+    // the data would defeat the pruning the layout exists for). The
+    // underscore prefix hides the subdir from spark.read.parquet(dir)'s
+    // discovery, so the index dir still reads as the plain partitioned
+    // frame.
+    cents
+      .select(col("_fid").as(idCol), col("_fvec").as(vecCol))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_centroids")
+    // _meta: the BUILD-TIME geometry. The probe reads nCells from here
+    // rather than inferring it from the sidecar row count — a gapped id
+    // space seeds FEWER than nCells centroids, so inference would
+    // silently rank cells with a different coarse codebook than the
+    // build used (degraded recall, no error).
+    candidates.sparkSession.range(1)
+      .select(lit(nCells.toLong).as("n_cells"),
+        lit(trainIters).as("train_iters"), lit(IvfIndexFormat).as("fmt"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_meta")
     nCells
   }
 
@@ -328,37 +432,78 @@ object Similarity {
     * side by contract); the only corpus-sized work is the pruned scan
     * of the probed cells plus one broadcast join against the query
     * probes; reduction is the salted two-stage top-k. */
+  /** Query-batch size above which [[ivfProbeIndex]] abandons the
+    * broadcast serving plan. Below it the probe frame is |q|·nprobe rows
+    * of (id, vector, cell) — ≤ ~4096·4·~300 B ≈ 5 MB broadcast, and the
+    * probed-cell set is a driver-bounded isin list (static partition
+    * pruning). Above it "queries are the small side" no longer holds, so
+    * the plan switches to a shuffle join with a left-semi cell prune —
+    * no driver collect, no broadcast — instead of OOMing the driver on a
+    * corpus-sized batch (the pqAdcTopK/MaxPqQueryBatch stance applied to
+    * the serving path). */
+  val MaxIvfQueryBatch: Int = 4096
+
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     queries: DataFrame, k: Int, nprobe: Int = 4,
                     pCoarse: Int = TwoLevelCoarseProbes,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxQueryBatch: Int = MaxIvfQueryBatch): DataFrame = {
     val cents = spark.read.parquet(s"$dir/_centroids")
       .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
-    val nCells = cents.count().toInt
+    // build-time geometry from _meta; a pre-r17 layout has no _meta and
+    // an ungapped sidecar, so its row count IS the build nCells
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nCells =
+      if (fs.exists(metaPath)) {
+        val m = spark.read.parquet(s"$dir/_meta").first()
+        val fmt = m.getAs[Int]("fmt")
+        require(fmt <= IvfIndexFormat,
+          s"ivf index at $dir has format $fmt; this build probes <= $IvfIndexFormat")
+        m.getAs[Long]("n_cells").toInt
+      } else cents.count().toInt
     val qprobes = twoLevelProbesAgainst(cents, queries, nCells, nprobe,
         pCoarse, idCol, vecCol)
       .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
-      .localCheckpoint() // read for the cell list AND the probe join
-    val probeCells = qprobes.select("cell").distinct()
-      .collect().map(_.getLong(0)).toIndexedSeq
-    val idx = spark.read.parquet(dir)
-      .filter(col("cell").cast("long").isin(probeCells: _*))
-      .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
-        col("cell").cast("long").as("cell"))
+      .localCheckpoint() // read for the batch-size gate AND the probe join
     // a candidate lives in exactly one home cell and a query's probed
     // cells are distinct, so each (qid, vec_id) pair arises at most
     // once — no distinct shuffle needed (the knnGraph argument)
-    val scored = idx.join(broadcast(qprobes), Seq("cell"))
+    val scored =
+      if (qprobes.count() <= maxQueryBatch.toLong * nprobe) {
+        val probeCells = qprobes.select("cell").distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        spark.read.parquet(dir)
+          .filter(col("cell").cast("long").isin(probeCells: _*))
+          .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+            col("cell").cast("long").as("cell"))
+          .join(broadcast(qprobes), Seq("cell"))
+      } else {
+        // oversized batch: prune cells via a semi join (dynamic, not a
+        // driver isin) and let the probe join shuffle on cell
+        spark.read.parquet(dir)
+          .select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
+            col("cell").cast("long").as("cell"))
+          .join(qprobes.select("cell").distinct(), Seq("cell"), "left_semi")
+          .join(qprobes, Seq("cell"))
+      }
+    probeTopK(scored
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
+      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec"))),
+      k)
+  }
+
+  /** The salted two-stage top-k + rounding tail every IVF face reduces
+    * with — ONE definition of the output convention
+    * (qid, rank, vec_id, cos_sim). */
+  private def probeTopK(scored: DataFrame, k: Int): DataFrame =
     TopK.perGroupTopK(scored,
         groupCols = Seq(col("qid")),
         order = Seq(col("cos_sim").desc, col("vec_id")),
         k = k, salt = col("vec_id"), rankCol = "rank")
       .select(col("qid"), col("rank"), col("vec_id"),
         round(col("cos_sim"), 6).as("cos_sim"))
-  }
 
   /** Shared IVF candidate generation (ivfTopK + ivfPqTopK — ONE
     * definition of the pruning convention): rn==1 two-level cell
@@ -369,9 +514,19 @@ object Similarity {
   private def ivfCandidatePairs(candidates: DataFrame, queries: DataFrame,
                                 nCentroids: Int, nprobe: Int,
                                 idCol: String, vecCol: String,
-                                pCoarse: Int = TwoLevelCoarseProbes): DataFrame = {
-    val asg = twoLevelProbes(candidates, nCentroids, nprobe, pCoarse,
-      idCol = idCol, vecCol = vecCol)
+                                pCoarse: Int = TwoLevelCoarseProbes): DataFrame =
+    ivfPairsFromAsg(
+      twoLevelProbes(candidates, nCentroids, nprobe, pCoarse,
+        idCol = idCol, vecCol = vecCol),
+      queries, idCol)
+
+  /** Candidate (qid, vec_id) pairs from an ALREADY-COMPUTED two-level
+    * assignment frame — the seam that lets [[ivfTopKTrained]] swap the
+    * quantizer (trained centroid frame) while reusing the identical
+    * pruning convention: rn==1 home cell for candidates, broadcast query
+    * ids, nprobe cells per query, self-pair exclusion, distinct pairs. */
+  private def ivfPairsFromAsg(asg: DataFrame, queries: DataFrame,
+                              idCol: String): DataFrame = {
     val cells = asg.filter(col("rn") === 1).select(col("id"), col("cell"))
     val qids = queries.select(col(idCol).as("qid"))
     val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
@@ -382,24 +537,46 @@ object Similarity {
       .distinct()
   }
 
+  /** Exact-cosine scoring of candidate pairs + the shared top-k tail:
+    * the back half of every IVF retrieval face. */
+  private def scorePairs(candPairs: DataFrame, candidates: DataFrame,
+                         queries: DataFrame, k: Int,
+                         idCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
+    probeTopK(candPairs
+      .join(broadcast(q), "qid")
+      .join(c, "vec_id")
+      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec"))),
+      k)
+  }
+
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              pCoarse: Int = TwoLevelCoarseProbes): DataFrame = {
-    val candPairs = ivfCandidatePairs(candidates, queries, nCentroids,
-      nprobe, idCol, vecCol, pCoarse)
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-    val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-    val scored = candPairs
-      .join(broadcast(q), "qid")
-      .join(c, "vec_id")
-      .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
-    TopK.perGroupTopK(scored,
-        groupCols = Seq(col("qid")),
-        order = Seq(col("cos_sim").desc, col("vec_id")),
-        k = k, salt = col("vec_id"), rankCol = "rank")
-      .select(col("qid"), col("rank"), col("vec_id"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+              pCoarse: Int = TwoLevelCoarseProbes): DataFrame =
+    scorePairs(
+      ivfCandidatePairs(candidates, queries, nCentroids, nprobe, idCol,
+        vecCol, pCoarse),
+      candidates, queries, k, idCol, vecCol)
+
+  /** [[ivfTopK]] with a TRAINED fine quantizer: `trainIters` Lloyd
+    * update steps ([[trainIvfCentroids]]) replace the low-id seed
+    * centroids, then candidate generation, scoring, and reduction run
+    * the identical chain. Equal geometry (nCells, nprobe, pCoarse) to
+    * the untrained face, so q_ivf_trained_recall vs q_ivf_recall is a
+    * pure quantizer-quality comparison. trainIters = 0 degenerates to
+    * [[ivfTopK]] exactly. */
+  def ivfTopKTrained(candidates: DataFrame, queries: DataFrame, k: Int,
+                     nCentroids: Int, nprobe: Int = 4, trainIters: Int = 1,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     pCoarse: Int = TwoLevelCoarseProbes): DataFrame = {
+    val cents = trainIvfCentroids(candidates, nCentroids, trainIters,
+      pCoarse, idCol, vecCol)
+    val asg = twoLevelProbesAgainst(cents, candidates, nCentroids, nprobe,
+      pCoarse, idCol, vecCol)
+    scorePairs(ivfPairsFromAsg(asg, queries, idCol),
+      candidates, queries, k, idCol, vecCol)
   }
 
   /** LSH-bucketed ANN: candidates that share >= 1 band key with a query are

@@ -110,25 +110,67 @@ object SimilarityQueries {
     * the fine centroids homed there by the same strict-fold squared-L2,
     * ties by id — the full two-level approximation, mirrored stage by
     * stage so it hash-verifies. */
-  private def twoLevelAsgSql(nCells: Int, nprobe: Int): String = {
+  /** The two-level assignment core against an EXPLICIT fine CTE
+    * `$fineCte(fid, fvec)` — mirrors Similarity.twoLevelProbesAgainst.
+    * Emits CTEs `coarse$sfx` / `fhome$sfx` / `cprobe$sfx` / `asg$sfx`,
+    * so the trained-quantizer chain can instantiate one assignment per
+    * Lloyd iteration without name collisions. */
+  private def twoLevelAsgFromSql(fineCte: String, nCells: Int, nprobe: Int,
+                                 sfx: String): String = {
     val nCoarse = Similarity.coarseCellCount(nCells)
     val pc = math.min(Similarity.TwoLevelCoarseProbes, nCoarse)
     def l2(v: String, c: String) =
       s"(${dotSql(v, v)} - 2.0 * ${dotSql(v, c)} + ${dotSql(c, c)})"
+    s"coarse$sfx AS (SELECT fvec AS ccvec, row_number() OVER (ORDER BY fid) - 1 AS pos " +
+      s"FROM (SELECT fid, fvec FROM $fineCte ORDER BY fid LIMIT $nCoarse) cl), " +
+      s"fhome$sfx AS (SELECT fid, fvec, pos AS cc FROM (SELECT f.fid, f.fvec, c.pos, " +
+      s"row_number() OVER (PARTITION BY f.fid ORDER BY ${l2("f.fvec", "c.ccvec")}, c.pos) AS crn " +
+      s"FROM $fineCte f, coarse$sfx c) fa WHERE crn = 1), " +
+      s"cprobe$sfx AS (SELECT vec_id, cc FROM (SELECT e.vec_id, c.pos AS cc, " +
+      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.ccvec")}, c.pos) AS crn " +
+      s"FROM embeddings e, coarse$sfx c) ca WHERE crn <= $pc), " +
+      s"asg$sfx AS (SELECT vec_id, cid, rn FROM (SELECT p.vec_id, f.fid AS cid, " +
+      s"row_number() OVER (PARTITION BY p.vec_id ORDER BY ${l2("e.embedding", "f.fvec")}, f.fid) AS rn " +
+      s"FROM cprobe$sfx p JOIN embeddings e ON e.vec_id = p.vec_id " +
+      s"JOIN fhome$sfx f ON f.cc = p.cc) fr WHERE rn <= $nprobe)"
+  }
+
+  private def twoLevelAsgSql(nCells: Int, nprobe: Int): String =
     s"fine AS (SELECT vec_id AS fid, embedding AS fvec FROM embeddings " +
       s"WHERE vec_id >= 0 AND vec_id < $nCells), " +
-      "coarse AS (SELECT fvec AS ccvec, row_number() OVER (ORDER BY fid) - 1 AS pos " +
-      s"FROM (SELECT fid, fvec FROM fine ORDER BY fid LIMIT $nCoarse) cl), " +
-      "fhome AS (SELECT fid, fvec, pos AS cc FROM (SELECT f.fid, f.fvec, c.pos, " +
-      s"row_number() OVER (PARTITION BY f.fid ORDER BY ${l2("f.fvec", "c.ccvec")}, c.pos) AS crn " +
-      "FROM fine f, coarse c) fa WHERE crn = 1), " +
-      "cprobe AS (SELECT vec_id, cc FROM (SELECT e.vec_id, c.pos AS cc, " +
-      s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.ccvec")}, c.pos) AS crn " +
-      s"FROM embeddings e, coarse c) ca WHERE crn <= $pc), " +
-      "asg AS (SELECT vec_id, cid, rn FROM (SELECT p.vec_id, f.fid AS cid, " +
-      s"row_number() OVER (PARTITION BY p.vec_id ORDER BY ${l2("e.embedding", "f.fvec")}, f.fid) AS rn " +
-      "FROM cprobe p JOIN embeddings e ON e.vec_id = p.vec_id " +
-      s"JOIN fhome f ON f.cc = p.cc) fr WHERE rn <= $nprobe)"
+      twoLevelAsgFromSql("fine", nCells, nprobe, "")
+
+  /** DuckDB mirror of Similarity.trainIvfCentroids + the final nprobe
+    * assignment: cent0 = the low-id seeds, then per Lloyd iteration t
+    * one two-level nprobe=1 assignment (CTEs suffixed _t$t) against
+    * cent{t−1}, exact integer-lattice component sums, and the
+    * double-divide-then-REAL-round mean (empty cells keep the previous
+    * component) — ending in the standard `asg` CTE against cent$iters.
+    * Mirrors the trainer stage by stage so the TRAINED approximation
+    * hash-verifies (the kmeansLloydSql unroll convention). */
+  private def trainedAsgSql(nCells: Int, nprobe: Int, iters: Int,
+                            dims: Int): String = {
+    val rng = s"range(1, ${dims + 1}) r(i)"
+    val blocks = (1 to iters).map { t =>
+      val prev = s"cent${t - 1}"
+      twoLevelAsgFromSql(prev, nCells, 1, s"_t$t") + ", " +
+        s"sums_t$t AS (SELECT a.cid AS cell, CAST(i - 1 AS INTEGER) AS dim, " +
+        "CAST(sum(CAST(floor(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) " +
+        "* 1048576.0) AS BIGINT)) AS BIGINT) AS sq, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM asg_t$t a " +
+        s"JOIN embeddings e ON e.vec_id = a.vec_id, $rng " +
+        "WHERE a.rn = 1 GROUP BY cell, dim), " +
+        s"cent$t AS (SELECT g.fid, list(coalesce(" +
+        "CAST(CAST(s.sq AS DOUBLE) / (CAST(s.n AS DOUBLE) * 1048576.0) AS REAL), " +
+        "g.prev) ORDER BY g.dim) AS fvec " +
+        s"FROM (SELECT c.fid, CAST(i - 1 AS INTEGER) AS dim, " +
+        s"c.fvec[CAST(i AS INTEGER)] AS prev FROM $prev c, $rng) g " +
+        s"LEFT JOIN sums_t$t s ON s.cell = g.fid AND s.dim = g.dim " +
+        "GROUP BY g.fid)"
+    }.mkString(", ")
+    s"cent0 AS (SELECT vec_id AS fid, embedding AS fvec FROM embeddings " +
+      s"WHERE vec_id >= 0 AND vec_id < $nCells), " + blocks + ", " +
+      twoLevelAsgFromSql(s"cent$iters", nCells, nprobe, "")
   }
 
   /** The q_ann_ivf oracle ranking — shared verbatim by q_rrf_fusion.
@@ -136,6 +178,25 @@ object SimilarityQueries {
     * cells, coarseCellCount(16) = 4, TwoLevelCoarseProbes = 2. */
   private lazy val ivfRankedSql: String = {
     s"WITH ${twoLevelAsgSql(nCells = 16, nprobe = 4)}, " +
+      "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
+      "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE vec_id < 5), " +
+      "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
+      "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
+      "q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5), " +
+      "cv AS (SELECT vec_id, embedding AS cvec FROM embeddings), " +
+      s"scored AS (SELECT p.qid, p.vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+      "FROM pairs p JOIN q ON p.qid = q.qid JOIN cv ON p.vec_id = cv.vec_id), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      "ORDER BY qid, rank"
+  }
+
+  /** The q_ivf_trained_recall oracle ranking: [[ivfRankedSql]]'s tail
+    * over the TRAINED quantizer's assignment (2 Lloyd iterations) at the
+    * identical sf0.01 geometry — 16 fine cells, nprobe=4, pCoarse=2. */
+  private lazy val trainedIvfRankedSql: String = {
+    s"WITH ${trainedAsgSql(nCells = 16, nprobe = 4, iters = 2, dims = Dims)}, " +
       "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
       "qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE vec_id < 5), " +
       "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
@@ -779,6 +840,28 @@ object SimilarityQueries {
       },
       Some(Similarity.retrievalMetricsSql(
         s"($cosineRankedSql)", s"($ivfRankedSql)", k = K))),
+
+    // q_ivf_recall's TRAINED sibling: the identical retrieval geometry
+    // (corpus-derived 16 cells, nprobe=4) with the quantizer replaced by
+    // 2 Lloyd iterations over the corpus (trainIvfCentroids — the
+    // serving assignment IS the training assignment). Reading this row
+    // against q_ivf_recall is the trained-vs-low-id quantizer
+    // comparison at equal nprobe; the oracle unrolls the full training
+    // chain (lattice sums, REAL-rounded means, empty-cell keep) so the
+    // trained approximation itself hash-verifies.
+    Q("q_ivf_trained_recall",
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.retrievalMetrics(
+          Similarity.cosineTopK(e, q, K),
+          Similarity.ivfTopKTrained(e, q, K,
+            nCentroids = Similarity.derivedCentroids(e.count(), 32L),
+            nprobe = 4, trainIters = 2),
+          k = K)
+      },
+      Some(Similarity.retrievalMetricsSql(
+        s"($cosineRankedSql)", s"($trainedIvfRankedSql)", k = K))),
 
     // NDCG@k of the LSH retriever vs the exact ranking (graded rel =
     // k − exact_rank + 1): the POSITION-sensitive audit — right set in

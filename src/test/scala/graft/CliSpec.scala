@@ -1031,6 +1031,12 @@ class CliSpec extends SparkSpec {
     val pr = spark.read.parquet(probeOut)
     assert(pr.columns.toSeq === Seq("qid", "rank", "vec_id", "cos_sim"))
     assert(pr.groupBy("qid").count().agg(max("count")).head.getLong(0) <= 3L)
+    // every-query-answered holds only because every probed home cell has
+    // a non-self member — pin that fixture property FIRST so a future
+    // degenerate fixture (singleton cell) fails here, not on the
+    // distinct-qid count below
+    assert(back.groupBy("cell").count().agg(min("count")).head.getLong(0) >= 2L,
+      "fixture must have no singleton cells for the distinct-qid assertion")
     assert(pr.select("qid").distinct().count() === n)
   }
 

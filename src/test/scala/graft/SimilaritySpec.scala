@@ -271,6 +271,105 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("trainIvfCentroids: iters=0 is the seed frame; one Lloyd step " +
+      "matches the driver model (r17)") {
+    val nCells = 16
+    def cents(iters: Int): Map[Long, Seq[Float]] =
+      Similarity.trainIvfCentroids(emb, nCells, iters).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val want0 = vecs.filter { case (id, _) => id >= 0 && id < nCells }
+    assert(cents(0) === want0, "iters=0 must return the untrained seeds")
+    // driver model of ONE update: assign every vector via the two-level
+    // nprobe=1 chain (twoLevelModel's rank-1 pick against the seeds),
+    // then each centroid = exact-lattice mean of its members, rounded to
+    // float; empty cells keep the seed
+    val home = twoLevelModel(nCells).map { case (id, ranked) => id -> ranked.head }
+    val members = home.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq }
+    val want1 = want0.map { case (fid, seedv) =>
+      fid -> members.get(fid).map { ms =>
+        seedv.indices.map { d =>
+          val sq = ms.map(id =>
+            math.floor(vecs(id)(d).toDouble * 1048576.0).toLong).sum
+          (sq.toDouble / (ms.size.toDouble * 1048576.0)).toFloat
+        }
+      }.getOrElse(seedv)
+    }
+    assert(cents(1) === want1)
+  }
+
+  test("writeIvfIndex(trainIters): the persisted quantizer IS the trained " +
+      "frame; ivfProbeIndex == ivfTopKTrained; _meta records the build (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivft").toString + "/index"
+    val nCells = Similarity.writeIvfIndex(emb, dir, targetCell = 32L,
+      trainIters = 2)
+    def cmap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(cmap(spark.read.parquet(s"$dir/_centroids")) ===
+      cmap(Similarity.trainIvfCentroids(emb, nCells, 2)),
+      "sidecar must be the trained centroid frame, not corpus rows")
+    val meta = spark.read.parquet(s"$dir/_meta").first()
+    assert(meta.getAs[Long]("n_cells").toInt === nCells)
+    assert(meta.getAs[Int]("train_iters") === 2)
+    assert(meta.getAs[Int]("fmt") === Similarity.IvfIndexFormat)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val q = emb.filter(col("vec_id") < 5)
+    assert(rws(Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 4)) ===
+      rws(Similarity.ivfTopKTrained(emb, q, 5, nCentroids = nCells,
+        nprobe = 4, trainIters = 2)),
+      "serving over the trained layout must equal the in-memory trained face")
+    assert(rws(Similarity.ivfTopKTrained(emb, q, 5, nCentroids = nCells,
+        nprobe = 4, trainIters = 0)) ===
+      rws(Similarity.ivfTopK(emb, q, 5, nCentroids = nCells, nprobe = 4)),
+      "trainIters=0 must degenerate to the untrained face exactly")
+  }
+
+  test("_meta carries build-time nCells: a GAPPED id space probes with the " +
+      "build geometry, not the sidecar row count (r17)") {
+    // ids * 2: only ceil(nCells/2) seeds fall in [0, nCells), so the
+    // sidecar is SHORTER than the derived nCells — inferring nCells from
+    // its row count would shrink the coarse codebook (different cell
+    // ranking, silent recall loss). The _meta read keeps probe geometry
+    // == build geometry.
+    val gapped = emb.select((col("vec_id") * 2).as("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfg").toString + "/index"
+    val nCells = Similarity.writeIvfIndex(gapped, dir, targetCell = 32L)
+    val sidecarRows = spark.read.parquet(s"$dir/_centroids").count().toInt
+    assert(sidecarRows < nCells, "gapped ids must under-fill the sidecar")
+    assert(Similarity.coarseCellCount(sidecarRows) !==
+      Similarity.coarseCellCount(nCells),
+      "fixture must make row-count inference actually change the geometry")
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val q = gapped.filter(col("vec_id") < 10)
+    assert(rws(Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 4)) ===
+      rws(Similarity.ivfTopK(gapped, q, 5, nCentroids = nCells, nprobe = 4)))
+  }
+
+  test("ivfProbeIndex: an oversized query batch drops the broadcast hint " +
+      "and driver cell collect, results identical (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfb").toString + "/index"
+    Similarity.writeIvfIndex(emb, dir, targetCell = 32L)
+    val q = emb.filter(col("vec_id") < 20)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val small = Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 4)
+    val large = Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 4,
+      maxQueryBatch = 2)
+    assert(rws(large) === rws(small),
+      "the shuffle serving plan must return the broadcast plan's ranking")
+    assert(hinted(small), "small batches keep the broadcast serving plan")
+    assert(!hinted(large),
+      "an oversized batch must not carry an unconditional broadcast hint")
+  }
+
   test("kmeansLloyd: gapped ids train identically to the contiguous relabeling") {
     // seeds are the k lowest non-negative ids BY RANK (the PQ codebook
     // convention) — an id space gapped by an affine map picks the same
@@ -553,8 +652,23 @@ class SimilaritySpec extends SparkSpec {
     assert(coarseCellCount(8) === 3)    // q_semdedup sf0.01
     assert(coarseCellCount(32) === 6)   // sf0.1
     assert(coarseCellCount(313) === 18) // sf1
-    // the driver-collected codebook stays √-bounded at the 1e6-cell clamp
-    assert(coarseCellCount(1000000) === 1000)
+    // the driver-collected codebook stays √-bounded at the cell clamp
+    assert(coarseCellCount(Similarity.MaxIvfCells.toInt) === 10000)
+  }
+
+  test("derivedCentroids clamps at MaxIvfCells; derivation is exact just " +
+      "below the boundary (r17)") {
+    import graft.operators.Similarity.{derivedCentroids, MaxIvfCells}
+    // below the boundary: the corpus-derived count, no clamp
+    assert(derivedCentroids(MaxIvfCells * 32L - 32L, 32L) ===
+      (MaxIvfCells - 1L).toInt)
+    // exactly at it
+    assert(derivedCentroids(MaxIvfCells * 32L, 32L) === MaxIvfCells.toInt)
+    // past it: clamped — cell population grows linearly again from here
+    // (the §5 scale note: the third quantizer level is the next step,
+    // not a bigger clamp)
+    assert(derivedCentroids(MaxIvfCells * 32L * 10L, 32L) === MaxIvfCells.toInt)
+    assert(MaxIvfCells === 100000000L)
   }
 
   test("twoLevelProbes == exhaustive single-level argmin when every coarse cell is probed") {
