@@ -1168,19 +1168,52 @@ object Similarity {
     * per vector, never the floats. */
   def writeBqIndex(df: DataFrame, table: String, numBuckets: Int = 32,
                    dims: Int = 64, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): Unit =
+                   vecCol: String = "embedding"): Unit = {
     bqBands(bqCodes(df, dims, idCol, vecCol), dims)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "bkey")
       .sortBy("bkey")
       .saveAsTable(table)
+    // band-layout STAMP (r17): bandSlices derives the bkey layout from
+    // dims, so a table banded at one dims probed at another silently
+    // misses candidates — the "EXACT recall" pigeonhole breaks with no
+    // error. The stamp makes the probe validate the layout it assumes.
+    df.sparkSession.range(1)
+      .select(lit(dims).as("dims"), lit(bqLayoutString(dims)).as("bands"),
+        lit(IvfIndexFormat).as("fmt"))
+      .write.mode("overwrite").saveAsTable(s"${table}_meta")
+  }
 
-  /** BQ admission against a [[writeBqIndex]] table. */
+  /** The stamped band layout: [[bandSlices]] rendered "lo+len,..." —
+    * written by [[writeBqIndex]], validated by [[bqAdmitTable]]. */
+  private def bqLayoutString(dims: Int): String =
+    bandSlices(dims).map { case (lo, len) => s"$lo+$len" }.mkString(",")
+
+  /** BQ admission against a [[writeBqIndex]] table. Validates the stored
+    * band-layout stamp before probing: a mismatched dims (or a pre-stamp
+    * table banded with the retired fixed 16-bit slices at dims < 64)
+    * would produce bkeys that never collide with the stored ones —
+    * exact-recall loss with zero errors. Unstamped tables are accepted
+    * only at dims = 64, where the fixed and derived layouts coincide. */
   def bqAdmitTable(spark: org.apache.spark.sql.SparkSession, table: String,
                    batch: DataFrame, maxHamming: Int = 3, dims: Int = 64,
                    idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame =
+                   vecCol: String = "embedding"): DataFrame = {
+    val metaName = s"${table}_meta"
+    if (spark.catalog.tableExists(metaName)) {
+      val m = spark.table(metaName).first()
+      require(m.getAs[Int]("dims") == dims &&
+        m.getAs[String]("bands") == bqLayoutString(dims),
+        s"bq index '$table' is stamped dims=${m.getAs[Int]("dims")} " +
+          s"bands=${m.getAs[String]("bands")} but the probe assumes dims=$dims " +
+          s"bands=${bqLayoutString(dims)} — probing would silently miss " +
+          "candidates; rebuild the index or probe with the stored dims")
+    } else require(dims == 64,
+      s"bq index '$table' carries no band-layout stamp (pre-r17 table); " +
+        "only the dims=64 layout is stamp-free-compatible — rebuild with " +
+        "writeBqIndex to stamp it")
     bqAdmitBanded(spark.table(table), batch, maxHamming, dims, idCol, vecCol)
+  }
 
   /** DuckDB side of [[bandSlices]]+[[bandValSql]]: the band-value CASE
     * over the exploded band index `u.band` — the identical dims-derived

@@ -1116,6 +1116,39 @@ class SimilaritySpec extends SparkSpec {
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bq_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS bq_idx_spec_meta")
+    }
+  }
+
+  test("bqAdmitTable validates the band-layout stamp: dims mismatch and " +
+      "unstamped non-64 tables fail LOUDLY, never silently miss (r17)") {
+    val batch = emb.filter(col("vec_id") < 5)
+    val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    try {
+      Similarity.writeBqIndex(trunc, "bq_stamp_spec", numBuckets = 4, dims = 32)
+      // matching dims probes fine
+      assert(Similarity.bqAdmitTable(spark, "bq_stamp_spec",
+        batch.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding")),
+        dims = 32).columns.nonEmpty)
+      // a dims-64 probe of the dims-32 table would band differently —
+      // r16's dims-derived slices changed the bkey layout, so this must
+      // be an error, not a silent zero-recall join
+      val err = intercept[IllegalArgumentException] {
+        Similarity.bqAdmitTable(spark, "bq_stamp_spec", batch, dims = 64)
+      }
+      assert(err.getMessage.contains("stamped dims=32"))
+      // an UNSTAMPED table (pre-r17) is only accepted at dims=64, where
+      // the retired fixed 16-bit layout and bandSlices coincide
+      spark.sql("DROP TABLE bq_stamp_spec_meta")
+      val legacy = intercept[IllegalArgumentException] {
+        Similarity.bqAdmitTable(spark, "bq_stamp_spec",
+          batch.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding")),
+          dims = 32)
+      }
+      assert(legacy.getMessage.contains("no band-layout stamp"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bq_stamp_spec")
+      spark.sql("DROP TABLE IF EXISTS bq_stamp_spec_meta")
     }
   }
 
