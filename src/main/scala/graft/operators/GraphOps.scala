@@ -1085,26 +1085,37 @@ object GraphOps {
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
     val deg = sym.groupBy("v").agg(count(lit(1)).as("k")).localCheckpoint()
     val m = e.count()
+    // r17 sweep-cost profile (sf1): wall was dominated by per-sweep JOB
+    // count and repeated labels⋈deg joins, not data volume. Two physical
+    // changes, zero semantic ones: (1) labels CARRY the node degree k —
+    // deg joins in vol / base / volSq disappear (deg is sweep-invariant);
+    // (2) the gate score runs as ONE action (crossJoin of the two scalar
+    // aggregates) instead of two.
     def score(labels: DataFrame): Long = {
       val intra = e
         .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
         .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
-        .filter(col("ca") === col("cb")).count()
-      val volSq = labels.join(deg, labels("node") === deg("v"))
+        .filter(col("ca") === col("cb"))
+        .agg(count(lit(1)).as("intra"))
+      val volSq = labels
         .groupBy("comm").agg(sum(col("k")).as("vol"))
-        .agg(sum(col("vol") * col("vol")).as("vv"))
-        .first().getLong(0)
-      4L * m * intra - volSq
+        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
+      val r = intra.crossJoin(volSq).first()
+      4L * m * r.getLong(0) - r.getLong(1)
     }
-    def sweep(labels: DataFrame): DataFrame = {
+    def sweep(labels: DataFrame): (DataFrame, Seq[DataFrame]) = {
       val W = org.apache.spark.sql.expressions.Window
-      val vol = labels.join(deg, labels("node") === deg("v"))
-        .groupBy("comm").agg(sum(col("k")).as("vol"))
-      val kvc = sym
-        .join(labels.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
-        .groupBy("v", "c").agg(count(lit(1)).as("k_vc"))
-      val base = labels.select(col("node").as("v"), col("comm").as("d"))
-        .join(deg, Seq("v"))
+      // kvc feeds TWO consumers below (base + gains); Spark does not CSE
+      // DataFrame subtrees (SURVEY §5), so without a checkpoint each
+      // sweep paid the sym⋈labels shuffle twice (checkpointing it
+      // measured faster than recompute at sf1; checkpointing vol too — a
+      // one-groupBy derivation of the checkpointed labels — did not).
+      val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
+      val kvc = org.apache.spark.sql.graftbridge.PlanBridge
+        .freshLocalCheckpoint(sym
+          .join(labels.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
+          .groupBy("v", "c").agg(count(lit(1)).as("k_vc")))
+      val base = labels.select(col("node").as("v"), col("comm").as("d"), col("k"))
         .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
           Seq("v", "d"), "left")
         .na.fill(0L, Seq("k_vd"))
@@ -1137,19 +1148,27 @@ object GraphOps {
           col("x.c") === col("yd") && col("x.d") === col("yc") &&
             col("x.d") > col("yd"), "left_anti")
         .select(col("v"), col("c"))
-      labels.select(col("node"), col("comm"))
+      (labels.select(col("node"), col("comm"), col("k"))
         .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("c"), col("comm")).as("comm"))
+        .select(col("node"), coalesce(col("c"), col("comm")).as("comm"),
+          col("k")),
+        Seq(kvc))
     }
+    // labels carry (node, comm, k): the degree joins ONCE at init (deg's
+    // node set == sym's, so this is deg itself relabeled) and rides the
+    // checkpointed frame through every sweep
     var labels = org.apache.spark.sql.graftbridge.PlanBridge
-      .freshLocalCheckpoint(sym.select(col("v").as("node")).distinct()
-        .withColumn("comm", col("node")))
+      .freshLocalCheckpoint(deg.select(col("v").as("node"),
+        col("v").as("comm"), col("k")))
     var s = score(labels)
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
+      val (prop, temps) = sweep(labels)
       val proposed = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sweep(labels))
+        .freshLocalCheckpoint(prop)
+      temps.foreach(org.apache.spark.sql.graftbridge.PlanBridge
+        .unpersistLocalCheckpoint)
       val s2 = score(proposed)
       if (s2 > s) {
         org.apache.spark.sql.graftbridge.PlanBridge
@@ -1161,7 +1180,7 @@ object GraphOps {
         continue = false
       }
     }
-    labels
+    labels.select(col("node"), col("comm"))
   }
 
   /** Contract a community assignment onto the quotient graph — Louvain's
@@ -1216,28 +1235,29 @@ object GraphOps {
       .localCheckpoint()
     val bigW = e0.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
     val loopW = loops.agg(coalesce(sum(col("lw")), lit(0L))).first().getLong(0)
+    // same r17 physical shape as [[louvain]]: labels carry k, the gate
+    // score is one action, only kvc checkpoints per sweep
     def score(labels: DataFrame): Long = {
       val intraPlain = plain
         .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
         .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
         .filter(col("ca") === col("cb"))
-        .agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
-      val volSq = labels.join(deg, labels("node") === deg("v"))
+        .agg(coalesce(sum(col("w")), lit(0L)).as("intra"))
+      val volSq = labels
         .groupBy("comm").agg(sum(col("k")).as("vol"))
-        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)))
-        .first().getLong(0)
+        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
+      val r = intraPlain.crossJoin(volSq).first()
       // loops are intra under ANY labeling (they move with their node)
-      4L * bigW * (intraPlain + loopW) - volSq
+      4L * bigW * (r.getLong(0) + loopW) - r.getLong(1)
     }
-    def sweep(labels: DataFrame): DataFrame = {
+    def sweep(labels: DataFrame): (DataFrame, Seq[DataFrame]) = {
       val W = org.apache.spark.sql.expressions.Window
-      val vol = labels.join(deg, labels("node") === deg("v"))
-        .groupBy("comm").agg(sum(col("k")).as("vol"))
-      val kvc = sym
-        .join(labels.select(col("node").as("u"), col("comm").as("c")), Seq("u"))
-        .groupBy("v", "c").agg(sum(col("w")).as("k_vc"))
-      val base = labels.select(col("node").as("v"), col("comm").as("d"))
-        .join(deg, Seq("v"))
+      val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
+      val kvc = org.apache.spark.sql.graftbridge.PlanBridge
+        .freshLocalCheckpoint(sym
+          .join(labels.select(col("node").as("u"), col("comm").as("c")), Seq("u"))
+          .groupBy("v", "c").agg(sum(col("w")).as("k_vc")))
+      val base = labels.select(col("node").as("v"), col("comm").as("d"), col("k"))
         .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
           Seq("v", "d"), "left")
         .na.fill(0L, Seq("k_vd"))
@@ -1262,19 +1282,24 @@ object GraphOps {
           col("x.c") === col("yd") && col("x.d") === col("yc") &&
             col("x.d") > col("yd"), "left_anti")
         .select(col("v"), col("c"))
-      labels.select(col("node"), col("comm"))
+      (labels.select(col("node"), col("comm"), col("k"))
         .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("c"), col("comm")).as("comm"))
+        .select(col("node"), coalesce(col("c"), col("comm")).as("comm"),
+          col("k")),
+        Seq(kvc))
     }
     var labels = org.apache.spark.sql.graftbridge.PlanBridge
-      .freshLocalCheckpoint(deg.select(col("v").as("node"))
-        .withColumn("comm", col("node")))
+      .freshLocalCheckpoint(deg.select(col("v").as("node"),
+        col("v").as("comm"), col("k")))
     var s = score(labels)
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
+      val (prop, temps) = sweep(labels)
       val proposed = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sweep(labels))
+        .freshLocalCheckpoint(prop)
+      temps.foreach(org.apache.spark.sql.graftbridge.PlanBridge
+        .unpersistLocalCheckpoint)
       val s2 = score(proposed)
       if (s2 > s) {
         org.apache.spark.sql.graftbridge.PlanBridge
@@ -1286,7 +1311,7 @@ object GraphOps {
         continue = false
       }
     }
-    labels
+    labels.select(col("node"), col("comm"))
   }
 
   /** TWO-LEVEL Louvain: phase 1 on the node graph, contract communities
