@@ -706,6 +706,37 @@ object EventStreams {
       priorIdx.unionByName(S.bqCodes(batch, dims)).dropDuplicates("id")
     }
 
+  /** Streaming IVF serving (stream_ivf_probe): a continuous QUERY stream
+    * served against a FIXED persisted
+    * [[graft.operators.Similarity.writeIvfIndex]] layout — the stream
+    * face of the r16 serving arc and the retrieval sibling of
+    * stream_bq/stream_admit. Unlike those, it is STATELESS: retrieval
+    * mutates nothing, so there is no snapshot fold — the index
+    * directory and its sidecar quantizer ARE the state, owned by the
+    * batch build path (`ivf-index`, re-run to retrain/compact). Each
+    * micro-batch runs the EXACT batch serving plan
+    * ([[graft.operators.Similarity.ivfProbeIndex]]: sidecar cell
+    * ranking, partition-pruned index scan, oversized-batch shuffle
+    * fallback, salted top-k) and lands its ranking as the batch_id
+    * partition via dynamic overwrite — a replayed batch REPLACES its own
+    * output, so the sink is idempotent under at-least-once delivery. */
+  def ivfProbeStream(queries: DataFrame, indexDir: String, outDir: String,
+                     checkpointDir: String, k: Int = 5, nprobe: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity
+          .ivfProbeIndex(batch.sparkSession, indexDir, batch.toDF(), k, nprobe)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Streaming winnow admission (stream_winnow): the MOSS gate run
     * continuously — each micro-batch of new docs winnows with the SAME
     * selection chain as the batch path

@@ -182,6 +182,7 @@ class BoundedWindowSpec extends SparkSpec {
       "q_hill_tail" -> 512L,                    // salted top-k order stats
       "q_ann_recall" -> 256L,                   // query-batch rank frames
       "q_ivf_recall" -> 256L,                   // query-batch rank frames
+      "q_ivf_trained_recall" -> 256L,           // query-batch rank frames
       "q_bq_recall" -> 256L,                    // query-batch rank frames
       "q_unimax_mix" -> nLangs,                 // language frame waterfill
       "q_ks_drift" -> 64L,                      // per-partition offset frame

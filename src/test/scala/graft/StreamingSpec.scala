@@ -705,6 +705,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch IVF probe serves a query stream against the persisted " +
+      "index: per-batch parity with the batch serving plan (r17)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val S = graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfstream").toString
+    // deterministic 8-dim corpus with real cell structure: 40 vectors,
+    // targetCell=8 -> derivedCentroids = 5 fine cells, coarse = 3
+    def vec(i: Long): Seq[Float] =
+      Seq.tabulate(8)(d => (((i * 31 + d * 17) % 13) - 6).toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val nCells = S.writeIvfIndex(corpus, s"$dir/index", targetCell = 8L)
+    assert(nCells === 5)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = EventStreams.ivfProbeStream(input.toDF().toDF("vec_id", "embedding"),
+      s"$dir/index", s"$dir/out", s"$dir/ckpt", k = 3, nprobe = 2)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "vec_id", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    try {
+      // batch 1: two in-corpus queries
+      val b1 = Seq((3L, vec(3L)), (7L, vec(7L)))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val out1 = spark.read.parquet(s"$dir/out")
+      assert(rws(out1) === rws(S.ivfProbeIndex(spark, s"$dir/index",
+        b1.toDF("vec_id", "embedding"), k = 3, nprobe = 2)))
+      // batch 2: an EXTERNAL query (id outside the corpus) — the stream
+      // serves it with the same sidecar ranking; top-1 recovers the
+      // original it was copied from
+      val b2 = Seq((50000L + 9L, vec(9L)))
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val out2 = spark.read.parquet(s"$dir/out")
+        .filter(col("batch_id").cast("long") === 1L)
+      assert(rws(out2) === rws(S.ivfProbeIndex(spark, s"$dir/index",
+        b2.toDF("vec_id", "embedding"), k = 3, nprobe = 2)))
+      val top1 = out2.filter(col("rank") === 1).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(top1 === Seq(9L), "external query must recover its original")
+      // batch 1's output is still there untouched (partitioned sink)
+      assert(rws(spark.read.parquet(s"$dir/out")
+        .filter(col("batch_id").cast("long") === 0L)) === rws(out1))
+    } finally q.stop()
+  }
+
   test("foreachBatch winnow admission pairs each batch against the prior fp index (r15)") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
