@@ -527,9 +527,17 @@ object Similarity {
     * ids, nprobe cells per query, self-pair exclusion, distinct pairs. */
   private def ivfPairsFromAsg(asg: DataFrame, queries: DataFrame,
                               idCol: String): DataFrame = {
-    val cells = asg.filter(col("rn") === 1).select(col("id"), col("cell"))
+    // asg feeds TWO consumers (candidate home cells + query probe cells)
+    // and Spark does not CSE DataFrame subtrees, so the assignment's
+    // corpus join + rank window would run twice. Checkpoint the SLIM
+    // projection only — (id, cell, rn), three longs a row, never the
+    // vectors (a corpus-vector materialization was measured a wash in
+    // knnGraph; this one is ~24 B/row·nprobe).
+    val slim = org.apache.spark.sql.graftbridge.PlanBridge
+      .freshLocalCheckpoint(asg.select(col("id"), col("cell"), col("rn")))
+    val cells = slim.filter(col("rn") === 1).select(col("id"), col("cell"))
     val qids = queries.select(col(idCol).as("qid"))
-    val qcells = asg.join(broadcast(qids), col("id") === col("qid"))
+    val qcells = slim.join(broadcast(qids), col("id") === col("qid"))
       .select(col("qid"), col("cell"))
     cells.join(broadcast(qcells), "cell")
       .filter(col("id") =!= col("qid"))
