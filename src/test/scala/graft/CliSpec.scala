@@ -1038,6 +1038,19 @@ class CliSpec extends SparkSpec {
     assert(back.groupBy("cell").count().agg(min("count")).head.getLong(0) >= 2L,
       "fixture must have no singleton cells for the distinct-qid assertion")
     assert(pr.select("qid").distinct().count() === n)
+    // --train-iters wires through to the trained build: _meta records it
+    // and the probe arm serves the trained layout end to end (r17)
+    val outT = tmp() + "/ivfidx_trained"
+    Cli.run(spark, "ivf-index", Map(
+      "input" -> s"$sfDir/embeddings.parquet", "output" -> outT,
+      "train-iters" -> "1"))
+    val meta = spark.read.parquet(s"$outT/_meta").first()
+    assert(meta.getAs[Int]("train_iters") === 1)
+    val probeT = tmp() + "/ivfprobe_trained"
+    Cli.run(spark, "ivf-probe", Map("index" -> outT,
+      "input" -> s"$sfDir/embeddings.parquet", "output" -> probeT,
+      "k" -> "3"))
+    assert(spark.read.parquet(probeT).count() > 0)
   }
 
   test("cli kcore default survives a pendant CASCADE deeper than the fixed rounds (r11)") {
