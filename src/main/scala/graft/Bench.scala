@@ -161,15 +161,32 @@ object Bench {
     // recorded under "adjudication" for audit.
     val adjSpread = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_SPREAD", "2.5").toDouble
     val adjMinSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_MINSEC", "0.5").toDouble
-    val adjHist = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_HIST", "2.5").toDouble
+    // 1.5 is the value the sf1 board of record runs at (r17 shipped the
+    // default at 2.5 while the official board used 1.5 via env — the
+    // committed artifact must be reproducible without reading NOTES).
+    val adjHist = sys.env.getOrElse("SPARK_GRAFT_BENCH_ADJ_HIST", "1.5").toDouble
     val hist = historyMedians("bench_history.jsonl", sfDir)
+    // History medians were taken in OTHER host windows and windows swing
+    // 2-3.5x (bench_history), so in a slow window most of the board can
+    // exceed adjHist x median and every hit pays 2 extra isolation reps.
+    // Normalize the trigger by the RUN's overall slowdown vs history
+    // (ratio of best-of-board totals over the queries that have history,
+    // floored at 1) so it fires on per-query anomalies, not on the
+    // window being slow. Reported values stay min-over-union either way.
+    val histPairs = boardResults.collect {
+      case (name, best, _, None) if best > 0 && hist.contains(name) =>
+        (best, hist(name))
+    }
+    val histRatio =
+      if (histPairs.isEmpty) 1.0
+      else math.max(1.0, histPairs.map(_._1).sum / histPairs.map(_._2).sum)
     val byName = ordered.toMap
     val adjudicated = boardResults.collect {
       case (name, best, worst, None)
           if best > 0 &&
             ((worst / best > adjSpread && worst - best > adjMinSec) ||
               hist.get(name).exists(md =>
-                best > md * adjHist && best - md > adjMinSec)) =>
+                best > md * adjHist * histRatio && best - md > adjMinSec)) =>
         val iso = (1 to 2).flatMap { _ =>
           val t0 = System.nanoTime()
           val err = runOnce(byName(name))
@@ -221,8 +238,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$top5,"n_queries":${results.size},"reps":$reps,"spread_max":$spreadMax,"n_adjudicated":${adjudicated.size},"n_errors":$nErr,"sf":"$sfDir"}"""
+    def r2(v: Double): String = (math.round(v * 100) / 100.0).toString
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(_.toString)},"spread":$spread,"reps":$reps,"adjudication":$adjJson,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qjson(_.toString)},"spread":$spread,"reps":$reps,"adj_hist":$adjHist,"adj_spread":$adjSpread,"hist_ratio":${r2(histRatio)},"adjudication":$adjJson,"errors":$errs,"n_errors":$nErr,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), full + "\n")
     // bench_out.json is overwritten every run, which made r6-vs-r7
     // per-query comparisons unreproducible (ADVICE r7). Append the full

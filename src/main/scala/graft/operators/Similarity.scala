@@ -144,7 +144,15 @@ object Similarity {
     * population grows linearly again — ~4e3/cell at 4e11 — and a THIRD
     * quantizer level (∛cells per level) is the documented next step, not
     * a bigger clamp (a 1e10-cell codebook would put √cells = 1e5 rows
-    * ≈ 25 MB into every task closure). */
+    * ≈ 25 MB into every task closure). CODEGEN CLIFF at the clamp: the
+    * coarse codebook rides the plan as a [[centroidProbesCol]] expression
+    * CONSTANT, not a broadcast — near 10⁴ codewords the generated
+    * evaluation method exceeds the 64 KB JVM bytecode limit and Spark
+    * falls back to interpreted evaluation (correct, slower), and
+    * plan-serialization cost at that size is unmeasured (no test fixture
+    * reaches it). Before the clamp is ever a binding constraint in
+    * production, the coarse level should switch to a broadcast-join
+    * assignment above a codebook-size threshold. */
   val MaxIvfCells: Long = 100000000L
 
   /** Coarse cell count of the TWO-LEVEL quantizer over `nCells` fine
@@ -315,17 +323,29 @@ object Similarity {
     * [[latticeSums]] (order-free, engine-exact) divided once in double
     * and rounded to float (IEEE round-to-nearest on both engines), so
     * the trained quantizer is oracle-expressible; empty cells keep
-    * their previous centroid (the [[latticeCentroids]] rule). */
+    * their previous centroid (the [[latticeCentroids]] rule).
+    *
+    * OWNERSHIP (r18): for iters >= 1 the returned frame is a
+    * localCheckpoint (nCells rows) whose blocks live until the caller
+    * releases them — intermediate rounds are freed inside the loop, the
+    * FINAL frame is the caller's to
+    * [[org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint]]
+    * once its consumers have materialized ([[writeIvfIndex]] and
+    * [[ivfTopKTrained]] both do; a bench loop that skipped this leaked
+    * one nCells-row block set per invocation for the session lifetime).
+    * iters = 0 returns the plain seed frame — nothing to release. */
   def trainIvfCentroids(candidates: DataFrame, nCells: Int, iters: Int,
                         pCoarse: Int = TwoLevelCoarseProbes,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
     require(nCells >= 1 && iters >= 0,
       "trainIvfCentroids needs nCells >= 1 and iters >= 0")
+    // seeds stay UNcheckpointed: their lineage is one filter+select over
+    // the input (cheap to recompute), and checkpointing them leaked the
+    // seed blocks for iters = 0 callers (r17 ADVICE)
     var cents = candidates
       .filter(col(idCol) >= 0 && col(idCol) < nCells)
       .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
-      .localCheckpoint()
     for (_ <- 1 to iters) {
       val asg = twoLevelProbesAgainst(cents, candidates, nCells, 1, pCoarse,
         idCol, vecCol)
@@ -348,6 +368,8 @@ object Similarity {
           array_sort(collect_list(struct(col("dim"), col("comp")))),
           x => x.getField("comp")).as("_fvec"))
         .localCheckpoint() // nCells rows — cuts the per-iteration lineage
+      // no-op on round 1 (the seeds are not a checkpoint); frees every
+      // superseded round after that
       org.apache.spark.sql.graftbridge.PlanBridge
         .unpersistLocalCheckpoint(cents)
       cents = next
@@ -405,6 +427,10 @@ object Similarity {
       .select(col("_fid").as(idCol), col("_fvec").as(vecCol))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_centroids")
+    // both consumers of the trained frame (index write + sidecar write)
+    // have materialized — release its checkpoint blocks (no-op untrained)
+    if (trainIters > 0)
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(cents)
     // _meta: the BUILD-TIME geometry. The probe reads nCells from here
     // rather than inferring it from the sidecar row count — a gapped id
     // space seeds FEWER than nCells centroids, so inference would
@@ -443,6 +469,17 @@ object Similarity {
     * the serving path). */
   val MaxIvfQueryBatch: Int = 4096
 
+  /** Probe rows per query the broadcast budget was sized at: the gate is
+    * `probe rows <= maxQueryBatch * IvfBroadcastProbesPerQuery`, an
+    * nprobe-INDEPENDENT row budget. r17 gated on maxQueryBatch * nprobe —
+    * a bound on query COUNT, under which the broadcast payload and the
+    * driver-collected isin cell list both scaled linearly with nprobe
+    * (nprobe=100 would have broadcast ~120 MB and built a ~400k-value
+    * isin before the fallback engaged). Fixing the budget in ROWS keeps
+    * the documented ~5 MB payload the actual ceiling at any nprobe;
+    * behavior at the default nprobe=4 is unchanged. */
+  val IvfBroadcastProbesPerQuery: Int = 4
+
   def ivfProbeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                     queries: DataFrame, k: Int, nprobe: Int = 4,
                     pCoarse: Int = TwoLevelCoarseProbes,
@@ -471,7 +508,7 @@ object Similarity {
     // cells are distinct, so each (qid, vec_id) pair arises at most
     // once — no distinct shuffle needed (the knnGraph argument)
     val scored =
-      if (qprobes.count() <= maxQueryBatch.toLong * nprobe) {
+      if (qprobes.count() <= maxQueryBatch.toLong * IvfBroadcastProbesPerQuery) {
         val probeCells = qprobes.select("cell").distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
         spark.read.parquet(dir)
@@ -583,8 +620,12 @@ object Similarity {
       pCoarse, idCol, vecCol)
     val asg = twoLevelProbesAgainst(cents, candidates, nCentroids, nprobe,
       pCoarse, idCol, vecCol)
-    scorePairs(ivfPairsFromAsg(asg, queries, idCol),
-      candidates, queries, k, idCol, vecCol)
+    val pairs = ivfPairsFromAsg(asg, queries, idCol)
+    // ivfPairsFromAsg EAGERLY checkpointed the slim assignment, the only
+    // consumer of the trained frame — release its blocks now (no-op at
+    // trainIters = 0, where the seeds are not a checkpoint)
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(cents)
+    scorePairs(pairs, candidates, queries, k, idCol, vecCol)
   }
 
   /** LSH-bucketed ANN: candidates that share >= 1 band key with a query are
@@ -1188,9 +1229,17 @@ object Similarity {
     // error. The stamp makes the probe validate the layout it assumes.
     df.sparkSession.range(1)
       .select(lit(dims).as("dims"), lit(bqLayoutString(dims)).as("bands"),
-        lit(IvfIndexFormat).as("fmt"))
+        lit(BqIndexFormat).as("fmt"))
       .write.mode("overwrite").saveAsTable(s"${table}_meta")
   }
+
+  /** Format stamp for [[writeBqIndex]] meta tables — its OWN constant, not
+    * [[IvfIndexFormat]] (r17 stamped the IVF parquet-layout version here,
+    * so an IVF format bump would have silently changed the stamp written
+    * into unrelated BQ tables; only dims/bands are validated today, but a
+    * future compat check must compare against the right lineage). 1 = the
+    * r17 banded-bucketed layout. */
+  val BqIndexFormat: Int = 1
 
   /** The stamped band layout: [[bandSlices]] rendered "lo+len,..." —
     * written by [[writeBqIndex]], validated by [[bqAdmitTable]]. */

@@ -425,6 +425,40 @@ class SimilaritySpec extends SparkSpec {
       "an oversized batch must not carry an unconditional broadcast hint")
   }
 
+  test("ivfProbeIndex broadcast budget is nprobe-INDEPENDENT (r18): a " +
+      "high-nprobe batch inside the query-count budget still drops the " +
+      "broadcast once its probe ROWS exceed it") {
+    // r17 gated on maxQueryBatch * nprobe — a query-COUNT bound under
+    // which the broadcast payload scaled linearly with nprobe. The gate
+    // is now a fixed row budget (maxQueryBatch * IvfBroadcastProbesPerQuery),
+    // so 100 queries at nprobe=16 must fall back even though 100 <=
+    // maxQueryBatch.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfn").toString + "/index"
+    Similarity.writeIvfIndex(emb, dir, targetCell = 32L)
+    val q = emb.filter(col("vec_id") < 100)
+    // same quantizer as the sidecar (untrained build, q carries ids 0..15)
+    val probeRows = Similarity.twoLevelProbes(q, 16, nprobe = 16).count()
+    assert(probeRows > 100L * Similarity.IvfBroadcastProbesPerQuery,
+      s"fixture must exceed the row budget, got $probeRows probe rows")
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    val high = Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 16,
+      maxQueryBatch = 100)
+    assert(!hinted(high),
+      "probe rows over the budget must drop the broadcast even when the " +
+        "query count is within maxQueryBatch")
+    val broad = Similarity.ivfProbeIndex(spark, dir, q, k = 5, nprobe = 16,
+      maxQueryBatch = 1000000)
+    assert(hinted(broad), "raised budget keeps the broadcast plan")
+    assert(rws(high) === rws(broad),
+      "both serving plans must return the identical ranking")
+  }
+
   test("kmeansLloyd: gapped ids train identically to the contiguous relabeling") {
     // seeds are the k lowest non-negative ids BY RANK (the PQ codebook
     // convention) — an id space gapped by an affine map picks the same
