@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -1681,11 +1681,66 @@ object Similarity {
     * profiling says so, never implicitly. */
   val MaxPqQueryBatch: Int = 1024
 
+  /** Chunk plans the LUT-literal PQ path will compile before the face
+    * switches to the DISTRIBUTED-LUT plan. The r17 faces collected the
+    * full query frame to the driver unguarded — chunkedUnion bounded
+    * PLAN size per chunk, not driver memory, so a corpus-sized query
+    * frame OOMed the driver before the first chunk compiled (and past a
+    * few dozen chunks the unioned plan itself is the bottleneck). The
+    * batch is now COUNTED first (a distributed count, never a collect):
+    * up to maxQueryBatch × this many queries keep the literal-LUT plan
+    * (identical to r17 behavior); above it the LUTs are computed as
+    * per-row array COLUMNS from the same strict-fold expression tree
+    * (bit-identical entries — spec-pinned), the query frame never
+    * leaves the executors, and the only driver-resident state is the
+    * nCodes-row codebook. The ivfProbeIndex/MaxIvfQueryBatch two-plan
+    * stance applied to the PQ family. */
+  val MaxPqChunkPlans: Int = 8
+
   private def chunkedUnion(qs: Array[(Long, Array[Float])], maxBatch: Int)(
       build: Array[(Long, Array[Float])] => DataFrame): DataFrame = {
     require(qs.nonEmpty, "empty query batch")
     qs.grouped(maxBatch).map(build).reduceLeft(_.unionByName(_))
   }
+
+  /** Per-block ADC lookup table as a COLUMN over a raw vector column:
+    * entry r = ||v_j||² − 2·v_j·cw_r + ||cw_r||² over sub-block j — the
+    * identical strict-fold tree the driver-side LUT literals (subDot)
+    * and [[pqEncodeWith]]'s argmin compute, so the distributed-LUT plan
+    * scores bit-for-bit what the literal-LUT plan embeds. Codeword
+    * self-products fold driver-side into literals exactly as
+    * pqEncodeWith does. */
+  private def adcLutCol(vec: Column, cb: Array[(Long, Array[Float])],
+                        j: Int, sub: Int): Column = {
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val sv = slice(vec, j * sub + 1, sub)
+    val svv = VectorFunctions.dot(sv, sv)
+    val entries = cb.map { case (_, v) =>
+      val cw = v.slice(j * sub, (j + 1) * sub).map(_.toDouble).toSeq
+      val cc = cw.map(x => x * x).foldLeft(0.0)(_ + _)
+      svv - lit(2.0) * PlanBridge.column(
+        graft.plans.Exprs.DotConst(PlanBridge.expression(sv), cw)) + lit(cc)
+    }
+    array(entries.toIndexedSeq: _*)
+  }
+
+  /** The distributed query-side LUT frame (qid, _lut_0 … _lut_{m-1}) —
+    * a pure projection over the query scan; no collect, no literals
+    * that grow with the batch. */
+  private def adcLutFrame(queries: DataFrame, cb: Array[(Long, Array[Float])],
+                          m: Int, sub: Int,
+                          idCol: String, vecCol: String): DataFrame =
+    queries.select(
+      col(idCol).cast("long").as("qid") +:
+        (0 until m).map(j =>
+          adcLutCol(col(vecCol), cb, j, sub).as(s"_lut_$j")): _*)
+
+  /** Σ_j lut_j[code_j] — the ADC probe sum in the same left-to-right
+    * two-term tree both plans reduce with. */
+  private def adcProbeSum(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(col(s"_lut_$j"), col(s"code_$j").cast("int") + 1))
+      .reduceLeft(_ + _)
 
   def pqAdcTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                 m: Int = 4, nCodes: Int = 8,
@@ -1697,6 +1752,26 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m sub-blocks")
     val sub = dims / m
     val codes = pqEncodeWith(candidates, cb, m, idCol, vecCol)
+    // COUNT gate before any collect ([[MaxPqChunkPlans]]): an oversized
+    // batch keeps the query frame on the executors and scores via the
+    // distributed LUT columns — the same all-pairs work this brute face
+    // always does, minus the driver OOM.
+    val nQ = queries.count()
+    require(nQ > 0, "empty query batch")
+    if (nQ > maxQueryBatch.toLong * MaxPqChunkPlans) {
+      val scored = codes
+        .select(col(idCol).as("vec_id") +:
+          (0 until m).map(j => col(s"code_$j")): _*)
+        .crossJoin(adcLutFrame(queries, cb, m, sub, idCol, vecCol))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("adc_dist", adcProbeSum(m))
+      return TopK.perGroupTopK(scored,
+          groupCols = Seq(col("qid")),
+          order = Seq(col("adc_dist").asc, col("vec_id")),
+          k = k, salt = col("vec_id"), rankCol = "rank")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+    }
     val qs = queries
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
@@ -1759,6 +1834,24 @@ object Similarity {
       .withColumnRenamed(idCol, "vec_id")
     val candPairs = ivfCandidatePairs(candidates, queries, nCentroids,
       nprobe, idCol, vecCol)
+    // COUNT gate before any collect ([[MaxPqChunkPlans]]): an oversized
+    // batch joins the cell-pruned pair frame to the distributed LUT
+    // frame on qid — every join is key-equi, the pair space stays
+    // bounded by probed-cell population, nothing reaches the driver.
+    val nQ = queries.count()
+    require(nQ > 0, "empty query batch")
+    if (nQ > maxQueryBatch.toLong * MaxPqChunkPlans) {
+      val scored = candPairs
+        .join(codes, "vec_id")
+        .join(adcLutFrame(queries, cb, m, sub, idCol, vecCol), "qid")
+        .withColumn("adc_dist", adcProbeSum(m))
+      return TopK.perGroupTopK(scored,
+          groupCols = Seq(col("qid")),
+          order = Seq(col("adc_dist").asc, col("vec_id")),
+          k = k, salt = col("vec_id"), rankCol = "rank")
+        .select(col("qid"), col("rank"), col("vec_id"),
+          round(col("adc_dist"), 6).as("adc_dist"))
+    }
     val qs = queries
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()

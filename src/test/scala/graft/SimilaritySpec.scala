@@ -933,6 +933,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ faces never collect an OVERSIZED query batch (r18): past " +
+      "MaxPqChunkPlans chunks the distributed-LUT plan takes over, " +
+      "results bit-identical") {
+    // 10 queries with maxQueryBatch=1 exceed the 8-chunk-plan budget, so
+    // the face must switch to the distributed plan (LUTs as per-row array
+    // columns, query frame never leaves the executors) instead of
+    // compiling 10 unioned literal-LUT plans — and a corpus-sized batch
+    // would have OOMed the driver at the r17 collect before any plan
+    // compiled. Discriminator: the chunked path is a unionByName of
+    // per-chunk frames; the distributed path is one plan with no Union.
+    val queries = emb.filter(col("vec_id") < 10)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect().map(_.mkString("|")).toSeq
+    def unions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.size
+    val litAdc = Similarity.pqAdcTopK(emb, queries, 5)
+    val distAdc = Similarity.pqAdcTopK(emb, queries, 5, maxQueryBatch = 1)
+    assert(unions(distAdc) === 0,
+      "over the chunk-plan budget the ADC face must build ONE distributed plan")
+    assert(canon(distAdc) === canon(litAdc),
+      "distributed LUT columns must score bit-identically to LUT literals")
+    val litIvf = Similarity.ivfPqTopK(emb, queries, 5)
+    val distIvf = Similarity.ivfPqTopK(emb, queries, 5, maxQueryBatch = 1)
+    assert(unions(distIvf) === 0,
+      "over the chunk-plan budget the IVF+PQ face must build ONE distributed plan")
+    assert(canon(distIvf) === canon(litIvf),
+      "distributed LUT columns must score bit-identically to LUT literals")
+  }
+
   test("sq8TopK: codes in range, recall vs exact measured, rerank exact (r8)") {
     val queries = emb.filter(col("vec_id") < 5)
     val got = Similarity.sq8TopK(emb, queries, k = 5, n = 20)
