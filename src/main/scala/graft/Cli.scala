@@ -110,7 +110,7 @@ object Cli {
     "distshift", "bhfdr", "avgprec", "jw", "quantilenorm", "cascade",
     "tokenbudget", "survivors", "audiofeat", "audiodedup", "geodesic",
     "winrate", "distinctn", "freqdrift", "benford", "lorenz", "markov",
-    "km", "ivf-index", "ivf-probe")
+    "km", "ivf-index", "ivf-probe", "ivf-append")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -375,6 +375,27 @@ object Cli {
           trainIters = iters)
         System.err.println(
           s"[graft] ivf-index: $nCells cells (train-iters=$iters) -> ${opts("output")}")
+
+      case "ivf-append" =>
+        // incremental maintenance: assign the batch against the FROZEN
+        // persisted quantizer and append to the cell partitions; the
+        // drift ratio (batch fit / build fit) says when the frozen
+        // geometry stopped fitting and a retrained rebuild is due
+        val (n, drift) = Similarity.appendToIvfIndex(spark, opts("index"),
+          in("input"),
+          opts.getOrElse("id", "vec_id"), opts.getOrElse("vec", "embedding"))
+        val d = drift.map(v =>
+          String.format(java.util.Locale.ROOT, " drift=%.3f", Double.box(v)))
+          .getOrElse("")
+        System.err.println(s"[graft] ivf-append: $n rows -> ${opts("index")}$d")
+        val warnOver = opts.getOrElse("warn-drift", "2.0").toDouble
+        drift.filter(_ > warnOver).foreach { v =>
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[graft] ivf-append: WARNING batch drift %.2fx the build fit " +
+              "(threshold %.2f) — the frozen quantizer no longer fits " +
+              "incoming data; rebuild with ivf-index --train-iters",
+            Double.box(v), Double.box(warnOver)))
+        }
 
       case "ivf-probe" =>
         // serving path over an ivf-index layout: queries rank cells

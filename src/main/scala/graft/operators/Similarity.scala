@@ -399,7 +399,8 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     trainIters: Int = 0,
                     pCoarse: Int = TwoLevelCoarseProbes): Int = {
-    val nCells = derivedCentroids(candidates.count(), targetCell)
+    val nRows = candidates.count()
+    val nCells = derivedCentroids(nRows, targetCell)
     // trainIters > 0 composes the Lloyd trainer into the build: the
     // persisted quantizer is then TRAINED centroids, not whatever corpus
     // rows carry the lowest ids (on clustered real-world embeddings an
@@ -423,6 +424,13 @@ object Similarity {
     // underscore prefix hides the subdir from spark.read.parquet(dir)'s
     // discovery, so the index dir still reads as the plain partitioned
     // frame.
+    // build-time FIT: mean squared assignment distance over the written
+    // layout (a read-back of the compact index + one broadcast join
+    // against the nCells-row quantizer — build-time only, never on the
+    // probe path). Recorded in _meta so an APPEND batch can measure how
+    // well the frozen quantizer still fits incoming data (drift).
+    val spark = candidates.sparkSession
+    val (_, buildFit) = assignFit(spark.read.parquet(dir), cents, vecCol)
     cents
       .select(col("_fid").as(idCol), col("_fvec").as(vecCol))
       .coalesce(1)
@@ -435,13 +443,102 @@ object Similarity {
     // rather than inferring it from the sidecar row count — a gapped id
     // space seeds FEWER than nCells centroids, so inference would
     // silently rank cells with a different coarse codebook than the
-    // build used (degraded recall, no error).
-    candidates.sparkSession.range(1)
+    // build used (degraded recall, no error). n_rows / mean_sqdist (r18)
+    // are additive columns for the append path; readers bind by name, so
+    // the format stamp stays 2.
+    spark.range(1)
       .select(lit(nCells.toLong).as("n_cells"),
-        lit(trainIters).as("train_iters"), lit(IvfIndexFormat).as("fmt"))
+        lit(trainIters).as("train_iters"), lit(IvfIndexFormat).as("fmt"),
+        lit(nRows).as("n_rows"), lit(buildFit).as("mean_sqdist"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/_meta")
     nCells
+  }
+
+  /** (row count, mean squared assignment distance) of an assigned frame
+    * (vecCol + `cell`) against a (_fid, _fvec) quantizer frame — the fit
+    * statistic [[writeIvfIndex]] stamps and [[appendToIvfIndex]] compares
+    * drift against. A diagnostic, not an oracle value (the avg's
+    * accumulation order is partition-dependent). */
+  private def assignFit(assigned: DataFrame, cents: DataFrame,
+                        vecCol: String): (Long, Double) = {
+    import VectorFunctions.dot
+    val c = cents.select(col("_fid").cast("long").as("cell"),
+      col("_fvec").as("_cv"))
+    val d = dot(col(vecCol), col(vecCol)) -
+      lit(2.0) * dot(col(vecCol), col("_cv")) + dot(col("_cv"), col("_cv"))
+    val r = assigned
+      .select(col(vecCol), col("cell").cast("long").as("cell"))
+      .join(broadcast(c), "cell")
+      .agg(count(lit(1)), avg(d)).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+  }
+
+  /** Append a new-vector batch to a [[writeIvfIndex]] layout WITHOUT
+    * re-assigning the corpus — incremental maintenance, the missing
+    * lifecycle piece at 100 TB (a full rebuild re-scans and re-shuffles
+    * every vector to absorb a million-row day; merge-on-read append is
+    * the economics the repo's bucketed tables already practice in
+    * q_incr_merge). The quantizer is FROZEN by design: the persisted
+    * `_centroids` sidecar is the geometry every existing cell was
+    * assigned under, so the batch must rank against the same lattice or
+    * probes would silently mix geometries. Assignment runs the same
+    * two-level chain as the build (batch·√cells flops); the write
+    * APPENDS part files to the batch's cell directories (existing data
+    * untouched — probes see the union immediately, including streaming
+    * probes reading the dir per micro-batch); `_meta.n_rows` is bumped.
+    *
+    * Drift honesty: the batch's mean squared assignment distance is
+    * compared against the build-time fit stamp. Near 1 the frozen
+    * quantizer still fits incoming data; well past 1 the distribution
+    * moved and the documented response is a RETRAINED REBUILD
+    * (`ivf-index --train-iters`) — append never silently retrains,
+    * because retraining re-homes existing vectors and would require the
+    * full rebuild anyway.
+    *
+    * @return (appended row count, drift ratio — None when the index
+    *         predates the r18 fit stamp or the build fit is 0) */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       batch: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       pCoarse: Int = TwoLevelCoarseProbes): (Long, Option[Double]) = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"no _meta at $dir: appendToIvfIndex needs the r17+ layout " +
+        "(rebuild with writeIvfIndex; a pre-_meta index has no recorded " +
+        "geometry to freeze)")
+    val m = spark.read.parquet(s"$dir/_meta").first()
+    val fmt = m.getAs[Int]("fmt")
+    require(fmt <= IvfIndexFormat,
+      s"ivf index at $dir has format $fmt; this build appends <= $IvfIndexFormat")
+    val nCells = m.getAs[Long]("n_cells").toInt
+    val names = m.schema.fieldNames
+    // pre-r18 stamp: no row count recorded — count the existing layout
+    // once (compact columnar scan) so n_rows is correct from here on
+    val oldRows =
+      if (names.contains("n_rows")) m.getAs[Long]("n_rows")
+      else spark.read.parquet(dir).count()
+    val buildFit =
+      if (names.contains("mean_sqdist")) Some(m.getAs[Double]("mean_sqdist"))
+      else None
+    val cents = spark.read.parquet(s"$dir/_centroids")
+      .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+    val asg = twoLevelProbesAgainst(cents, batch, nCells, 1, pCoarse,
+        idCol, vecCol)
+      .select(col("id").as(idCol), col("vec").as(vecCol), col("cell"))
+    asg.write.mode("append").partitionBy("cell").parquet(dir)
+    val (batchN, batchFit) = assignFit(
+      asg.select(col(vecCol), col("cell")), cents, vecCol)
+    // meta row was COLLECTED above, so overwriting its path is safe;
+    // preserve whatever columns the stamp carried, bump only n_rows
+    val kept = names.filterNot(_ == "n_rows").toSeq
+      .map(f => lit(m.get(m.fieldIndex(f))).as(f))
+    spark.range(1)
+      .select(kept :+ lit(oldRows + batchN).as("n_rows"): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_meta")
+    (batchN, buildFit.filter(_ > 0.0).map(batchFit / _))
   }
 
   /** Probe a [[writeIvfIndex]] layout — the SERVING path at 100 TB:

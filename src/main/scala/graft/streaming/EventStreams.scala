@@ -707,13 +707,16 @@ object EventStreams {
     }
 
   /** Streaming IVF serving (stream_ivf_probe): a continuous QUERY stream
-    * served against a FIXED persisted
+    * served against a persisted
     * [[graft.operators.Similarity.writeIvfIndex]] layout — the stream
     * face of the r16 serving arc and the retrieval sibling of
     * stream_bq/stream_admit. Unlike those, it is STATELESS: retrieval
     * mutates nothing, so there is no snapshot fold — the index
     * directory and its sidecar quantizer ARE the state, owned by the
-    * batch build path (`ivf-index`, re-run to retrain/compact). Each
+    * batch build path (`ivf-index`, re-run to retrain/compact; r18:
+    * `ivf-append` GROWS it under the frozen quantizer, and because each
+    * micro-batch re-reads the directory, appended cells are served from
+    * the next batch on without restarting the stream). Each
     * micro-batch runs the EXACT batch serving plan
     * ([[graft.operators.Similarity.ivfProbeIndex]]: sidecar cell
     * ranking, partition-pruned index scan, oversized-batch shuffle

@@ -993,7 +993,7 @@ class CliSpec extends SparkSpec {
   test("cli command surface: every declared command dispatches; count spec-pinned (r11)") {
     // the count lives HERE, not in SURVEY prose (the r10 count silently
     // included two --algo sub-arms) — update both together
-    assert(Cli.commands.size === 136)
+    assert(Cli.commands.size === 137)
     assert(Cli.commands.distinct.size === Cli.commands.size, "duplicate names")
     // every declared name must reach a case arm: dispatching with empty
     // opts may fail on missing options/inputs, but NEVER with the
@@ -1051,6 +1051,26 @@ class CliSpec extends SparkSpec {
       "input" -> s"$sfDir/embeddings.parquet", "output" -> probeT,
       "k" -> "3"))
     assert(spark.read.parquet(probeT).count() > 0)
+    // ivf-append composes with the built index: the batch lands in the
+    // cell partitions, _meta.n_rows tracks the union, and the probe arm
+    // serves appended vectors without a rebuild (r18)
+    val batch = tmp() + "/ivfbatch"
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 50)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      .write.parquet(batch)
+    Cli.run(spark, "ivf-append", Map("index" -> out, "input" -> batch))
+    assert(spark.read.parquet(out).count() === n + 50)
+    assert(spark.read.parquet(s"$out/_meta").first()
+      .getAs[Long]("n_rows") === n + 50)
+    val probeA = tmp() + "/ivfprobe_appended"
+    Cli.run(spark, "ivf-probe", Map("index" -> out,
+      "input" -> batch, "output" -> probeA, "k" -> "3"))
+    val pa = spark.read.parquet(probeA)
+    assert(pa.select("qid").distinct().count() === 50L,
+      "appended vectors must be servable as queries against the index")
+    assert(pa.filter(col("vec_id") >= 100000).count() > 0,
+      "appended vectors must be retrievable from the probed cells")
   }
 
   test("cli kcore default survives a pendant CASCADE deeper than the fixed rounds (r11)") {

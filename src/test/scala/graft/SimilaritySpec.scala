@@ -425,6 +425,58 @@ class SimilaritySpec extends SparkSpec {
       "an oversized batch must not carry an unconditional broadcast hint")
   }
 
+  test("appendToIvfIndex: frozen-quantizer append equals the one-shot " +
+      "build — layout, probes, and _meta counts (r18)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfa").toString
+    val a = emb.filter(col("vec_id") < 480)
+    val b = emb.filter(col("vec_id") >= 480)
+    // targetCell 50: ceil(480/50) == ceil(500/50) == 10 cells and both
+    // corpora carry ids 0..9, so build(A)+append(B) and build(A∪B) share
+    // the quantizer EXACTLY — parity is bit-exact, not approximate
+    val n1 = Similarity.writeIvfIndex(a, s"$base/incr", targetCell = 50L)
+    val (nb, drift) = Similarity.appendToIvfIndex(spark, s"$base/incr", b)
+    assert(nb === 20L)
+    val n2 = Similarity.writeIvfIndex(emb, s"$base/full", targetCell = 50L)
+    assert(n1 === n2)
+    def layout(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(layout(s"$base/incr") === layout(s"$base/full"),
+      "appended cells must hold exactly the one-shot build's assignment")
+    // the probe reads appended cells: identical serving results
+    val q = emb.filter(col("vec_id") % 100 === 3)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rws(Similarity.ivfProbeIndex(spark, s"$base/incr", q, 5)) ===
+      rws(Similarity.ivfProbeIndex(spark, s"$base/full", q, 5)))
+    // _meta row count tracks the union; geometry fields survive the bump
+    val meta = spark.read.parquet(s"$base/incr/_meta").first()
+    assert(meta.getAs[Long]("n_rows") === 500L)
+    assert(meta.getAs[Long]("n_cells") === 10L)
+    // an in-distribution batch fits the frozen quantizer about as well
+    // as the build corpus did
+    assert(drift.exists(v => v > 0.1 && v < 10.0), s"drift=$drift")
+    // append COMPOSES: append(B1) then append(B2) lands where one
+    // append(B) would — counted via n_rows after a second append
+    val (nb2, _) = Similarity.appendToIvfIndex(spark, s"$base/incr",
+      b.select(col("vec_id") + 500 as "vec_id", col("embedding")))
+    assert(nb2 === 20L)
+    assert(spark.read.parquet(s"$base/incr/_meta").first()
+      .getAs[Long]("n_rows") === 520L)
+    // a pre-_meta (pre-r17) layout is refused LOUDLY — no recorded
+    // geometry to freeze
+    val legacy = s"$base/legacy"
+    Similarity.writeIvfIndex(a, legacy, targetCell = 50L)
+    val fs = new org.apache.hadoop.fs.Path(legacy)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$legacy/_meta"), true)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(spark, legacy, b)
+    }
+    assert(e.getMessage.contains("_meta"))
+  }
+
   test("ivfProbeIndex broadcast budget is nprobe-INDEPENDENT (r18): a " +
       "high-nprobe batch inside the query-count budget still drops the " +
       "broadcast once its probe ROWS exceed it") {

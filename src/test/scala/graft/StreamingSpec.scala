@@ -748,6 +748,29 @@ class StreamingSpec extends SparkSpec {
       // batch 1's output is still there untouched (partitioned sink)
       assert(rws(spark.read.parquet(s"$dir/out")
         .filter(col("batch_id").cast("long") === 0L)) === rws(out1))
+      // the index GROWS mid-stream (r18): append new vectors under the
+      // frozen quantizer, and the NEXT micro-batch retrieves them — the
+      // serving face reads the directory per batch, so appended cells
+      // are visible without restarting the stream. The appended family
+      // uses a DISTINCT generator (no cosine-1 twins in the corpus, which
+      // repeats every 13 ids), so the appended vector wins rank 1 outright.
+      def vec2(i: Long): Seq[Float] =
+        Seq.tabulate(8)(d => (((i * 29 + d * 11) % 13) - 6).toFloat)
+      val fresh = (0L until 5L).map(i => (1000L + i, vec2(i)))
+      val (na, _) = S.appendToIvfIndex(spark, s"$dir/index",
+        fresh.toDF("vec_id", "embedding"))
+      assert(na === 5L)
+      val b3 = Seq((60000L + 2L, vec2(2L)))
+      input.addData(b3: _*)
+      q.processAllAvailable()
+      val out3 = spark.read.parquet(s"$dir/out")
+        .filter(col("batch_id").cast("long") === 2L)
+      assert(out3.filter(col("rank") === 1).select("vec_id")
+        .collect().map(_.getLong(0)).toSeq === Seq(1002L),
+        "a post-append micro-batch must retrieve the appended twin at rank 1")
+      assert(rws(out3) === rws(S.ivfProbeIndex(spark, s"$dir/index",
+        b3.toDF("vec_id", "embedding"), k = 3, nprobe = 2)),
+        "parity with the batch plan must hold over the grown index")
     } finally q.stop()
   }
 
