@@ -116,7 +116,8 @@ object SimilarityQueries {
     * so the trained-quantizer chain can instantiate one assignment per
     * Lloyd iteration without name collisions. */
   private def twoLevelAsgFromSql(fineCte: String, nCells: Int, nprobe: Int,
-                                 sfx: String): String = {
+                                 sfx: String,
+                                 corpus: String = "embeddings"): String = {
     val nCoarse = Similarity.coarseCellCount(nCells)
     val pc = math.min(Similarity.TwoLevelCoarseProbes, nCoarse)
     def l2(v: String, c: String) =
@@ -128,17 +129,18 @@ object SimilarityQueries {
       s"FROM $fineCte f, coarse$sfx c) fa WHERE crn = 1), " +
       s"cprobe$sfx AS (SELECT vec_id, cc FROM (SELECT e.vec_id, c.pos AS cc, " +
       s"row_number() OVER (PARTITION BY e.vec_id ORDER BY ${l2("e.embedding", "c.ccvec")}, c.pos) AS crn " +
-      s"FROM embeddings e, coarse$sfx c) ca WHERE crn <= $pc), " +
+      s"FROM $corpus e, coarse$sfx c) ca WHERE crn <= $pc), " +
       s"asg$sfx AS (SELECT vec_id, cid, rn FROM (SELECT p.vec_id, f.fid AS cid, " +
       s"row_number() OVER (PARTITION BY p.vec_id ORDER BY ${l2("e.embedding", "f.fvec")}, f.fid) AS rn " +
-      s"FROM cprobe$sfx p JOIN embeddings e ON e.vec_id = p.vec_id " +
+      s"FROM cprobe$sfx p JOIN $corpus e ON e.vec_id = p.vec_id " +
       s"JOIN fhome$sfx f ON f.cc = p.cc) fr WHERE rn <= $nprobe)"
   }
 
-  private def twoLevelAsgSql(nCells: Int, nprobe: Int): String =
-    s"fine AS (SELECT vec_id AS fid, embedding AS fvec FROM embeddings " +
+  private def twoLevelAsgSql(nCells: Int, nprobe: Int,
+                             corpus: String = "embeddings"): String =
+    s"fine AS (SELECT vec_id AS fid, embedding AS fvec FROM $corpus " +
       s"WHERE vec_id >= 0 AND vec_id < $nCells), " +
-      twoLevelAsgFromSql("fine", nCells, nprobe, "")
+      twoLevelAsgFromSql("fine", nCells, nprobe, "", corpus)
 
   /** DuckDB mirror of Similarity.trainIvfCentroids + the final nprobe
     * assignment: cent0 = the low-id seeds, then per Lloyd iteration t
@@ -149,16 +151,17 @@ object SimilarityQueries {
     * Mirrors the trainer stage by stage so the TRAINED approximation
     * hash-verifies (the kmeansLloydSql unroll convention). */
   private def trainedAsgSql(nCells: Int, nprobe: Int, iters: Int,
-                            dims: Int): String = {
+                            dims: Int,
+                            corpus: String = "embeddings"): String = {
     val rng = s"range(1, ${dims + 1}) r(i)"
     val blocks = (1 to iters).map { t =>
       val prev = s"cent${t - 1}"
-      twoLevelAsgFromSql(prev, nCells, 1, s"_t$t") + ", " +
+      twoLevelAsgFromSql(prev, nCells, 1, s"_t$t", corpus) + ", " +
         s"sums_t$t AS (SELECT a.cid AS cell, CAST(i - 1 AS INTEGER) AS dim, " +
         "CAST(sum(CAST(floor(CAST(e.embedding[CAST(i AS INTEGER)] AS DOUBLE) " +
         "* 1048576.0) AS BIGINT)) AS BIGINT) AS sq, " +
         s"CAST(count(*) AS BIGINT) AS n FROM asg_t$t a " +
-        s"JOIN embeddings e ON e.vec_id = a.vec_id, $rng " +
+        s"JOIN $corpus e ON e.vec_id = a.vec_id, $rng " +
         "WHERE a.rn = 1 GROUP BY cell, dim), " +
         s"cent$t AS (SELECT g.fid, list(coalesce(" +
         "CAST(CAST(s.sq AS DOUBLE) / (CAST(s.n AS DOUBLE) * 1048576.0) AS REAL), " +
@@ -168,9 +171,9 @@ object SimilarityQueries {
         s"LEFT JOIN sums_t$t s ON s.cell = g.fid AND s.dim = g.dim " +
         "GROUP BY g.fid)"
     }.mkString(", ")
-    s"cent0 AS (SELECT vec_id AS fid, embedding AS fvec FROM embeddings " +
+    s"cent0 AS (SELECT vec_id AS fid, embedding AS fvec FROM $corpus " +
       s"WHERE vec_id >= 0 AND vec_id < $nCells), " + blocks + ", " +
-      twoLevelAsgFromSql(s"cent$iters", nCells, nprobe, "")
+      twoLevelAsgFromSql(s"cent$iters", nCells, nprobe, "", corpus)
   }
 
   /** The q_ann_ivf oracle ranking — shared verbatim by q_rrf_fusion.
@@ -209,6 +212,88 @@ object SimilarityQueries {
       "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
       s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
       "ORDER BY qid, rank"
+  }
+
+  /** Deterministic CLUSTERED 16-dim embedding derived from vec_id by
+    * integer arithmetic alone — the corpus for q_ivf_trained_gain, where
+    * quantizer TRAINING can actually win. Cluster centers live on a
+    * coarse lattice (cluster = vec_id / 64, so the LOW-ID seed rows all
+    * fall in cluster 0 — the realistic bad-seed failure mode of seeding
+    * a quantizer with arbitrary corpus rows), plus per-vector noise
+    * whose modulus chain (67 then 53) is coprime to the cluster width:
+    * no two cluster-mates are identical, and the noise is large enough
+    * (±26 vs center steps of 4) that near-identical collapsed seeds
+    * genuinely SCATTER a cluster across cells. Both engines compute the
+    * identical integers and cast once to float, so the corpus — and the
+    * whole trained-vs-untrained comparison over it — hash-verifies.
+    * (The r17 board corpus was structureless — measured intra/inter-
+    * label cosine 0.0016/0.0003 — where k-means cannot beat an
+    * arbitrary quantizer; q_ivf_trained_recall records that inversion
+    * honestly, THIS row measures training where structure exists.) */
+  private val GainDims = 16
+
+  private def clusteredVecCol(id: org.apache.spark.sql.Column) =
+    array((0 until GainDims).map { d =>
+      ((((id / 64).cast("long") * 37 + d * 13) % 19 - 9) * 4 +
+        (((id * 31 + d * 17) % 67) % 53 - 26)).cast("float")
+    }: _*)
+
+  private def clusteredVecSqlList: String =
+    (0 until GainDims).map { d =>
+      s"CAST((((vec_id // 64) * 37 + ${d * 13}) % 19 - 9) * 4 + " +
+        s"(((vec_id * 31 + ${d * 17}) % 67) % 53 - 26) AS REAL)"
+    }.mkString("[", ", ", "]")
+
+  private def ccCte: String =
+    s"cc AS (SELECT vec_id, $clusteredVecSqlList AS embedding FROM embeddings)"
+
+  /** One query per cluster, capped at 32 queries so the exact-truth side
+    * stays |q|·n cosines at any scale. */
+  private val GainQueryFilter = "vec_id % 64 = 7 AND vec_id < 2048"
+
+  /** Exact-cosine truth ranking over the clustered corpus. */
+  private lazy val ccCosineRankedSql: String =
+    s"WITH $ccCte, " +
+      s"q AS (SELECT vec_id AS qid, embedding AS qvec FROM cc WHERE $GainQueryFilter), " +
+      "c AS (SELECT vec_id, embedding AS cvec FROM cc), " +
+      s"scored AS (SELECT qid, vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+      "FROM c, q WHERE vec_id <> qid), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      "ORDER BY qid, rank"
+
+  /** The shared IVF ranked tail over the clustered corpus, fed by an
+    * assignment CTE chain ending in `asg` (seed or trained quantizer —
+    * the ivfRankedSql convention with corpus = cc). */
+  private def ccIvfRankedSql(asgCtes: String): String =
+    s"WITH $ccCte, $asgCtes, " +
+      "cells AS (SELECT vec_id AS id, cid AS cell FROM asg WHERE rn = 1), " +
+      s"qcells AS (SELECT vec_id AS qid, cid AS cell FROM asg WHERE $GainQueryFilter), " +
+      "pairs AS (SELECT DISTINCT q.qid, c.id AS vec_id FROM cells c " +
+      "JOIN qcells q ON c.cell = q.cell AND c.id <> q.qid), " +
+      s"q AS (SELECT vec_id AS qid, embedding AS qvec FROM cc WHERE $GainQueryFilter), " +
+      "cv AS (SELECT vec_id, embedding AS cvec FROM cc), " +
+      s"scored AS (SELECT p.qid, p.vec_id, ${cosineSql("qvec", "cvec")} AS cos " +
+      "FROM pairs p JOIN q ON p.qid = q.qid JOIN cv ON p.vec_id = cv.vec_id), " +
+      "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (" +
+      "PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM scored) " +
+      s"SELECT qid, rank, vec_id, round(cos, 6) AS cos_sim FROM ranked WHERE rank <= $K " +
+      "ORDER BY qid, rank"
+
+  /** q_ivf_trained_gain oracle: both variants' retrieval metrics against
+    * the exact truth, tagged and unioned. Pins the sf0.01 geometry
+    * (derivedCentroids(500, 32) = 16 cells, nprobe = 2, 2 Lloyd
+    * iterations at dims = 16). */
+  private lazy val ivfTrainedGainSql: String = {
+    val unt = Similarity.retrievalMetricsSql(s"($ccCosineRankedSql)",
+      s"(${ccIvfRankedSql(twoLevelAsgSql(nCells = 16, nprobe = 2, corpus = "cc"))})", K)
+    val trn = Similarity.retrievalMetricsSql(s"($ccCosineRankedSql)",
+      s"(${ccIvfRankedSql(trainedAsgSql(nCells = 16, nprobe = 2, iters = 2,
+        dims = GainDims, corpus = "cc"))})", K)
+    s"SELECT 'trained' AS variant, * FROM ($trn) " +
+      s"UNION ALL SELECT 'untrained' AS variant, * FROM ($unt) " +
+      "ORDER BY variant"
   }
 
   val defs: Seq[Q] = Seq(
@@ -862,6 +947,36 @@ object SimilarityQueries {
       },
       Some(Similarity.retrievalMetricsSql(
         s"($cosineRankedSql)", s"($trainedIvfRankedSql)", k = K))),
+
+    // Trained-vs-untrained on a CLUSTERED corpus — the measurement
+    // q_ivf_trained_recall cannot make (the board embeddings are
+    // structureless, so training honestly loses there). The corpus is
+    // derived from vec_id by integer arithmetic (clusteredVecCol — both
+    // engines build identical floats), clusters are real (lattice
+    // centers, coprime-modulus noise), and the low-id seed convention is
+    // pathological by construction (all seeds in cluster 0). Output: one
+    // row per variant with (n_queries, n_hits, recall_at_k, mrr) at
+    // EQUAL geometry (16 cells, nprobe=2) — trained recall >= untrained
+    // is the measured, hash-verified outcome (spec-pinned: 1.0 vs 0.8 at
+    // the sf0.01 gate).
+    Q("q_ivf_trained_gain",
+      (s, d) => {
+        val cc = emb(s, d).select(col("vec_id"))
+          .withColumn("embedding", clusteredVecCol(col("vec_id")))
+        val nCells = Similarity.derivedCentroids(cc.count(), 32L)
+        val q = cc.filter(col("vec_id") % 64 === 7 && col("vec_id") < 2048)
+        val truth = Similarity.cosineTopK(cc, q, K)
+        def tag(name: String, got: org.apache.spark.sql.DataFrame) =
+          Similarity.retrievalMetrics(truth, got, K)
+            .select(lit(name).as("variant"), col("n_queries"),
+              col("n_hits"), col("recall_at_k"), col("mrr"))
+        tag("trained", Similarity.ivfTopKTrained(cc, q, K,
+            nCentroids = nCells, nprobe = 2, trainIters = 2))
+          .unionByName(tag("untrained", Similarity.ivfTopK(cc, q, K,
+            nCentroids = nCells, nprobe = 2)))
+          .orderBy("variant")
+      },
+      Some(ivfTrainedGainSql)),
 
     // NDCG@k of the LSH retriever vs the exact ranking (graded rel =
     // k − exact_rank + 1): the POSITION-sensitive audit — right set in

@@ -380,6 +380,25 @@ class SimilaritySpec extends SparkSpec {
         s"trained max ${trainedCells.values.max} vs seeds max ${seedCells.values.max}")
   }
 
+  test("q_ivf_trained_gain: on the CLUSTERED board corpus, training beats " +
+      "the pathological low-id seeds at equal geometry (r18)") {
+    // the board-level sibling of the 8-cluster fixture test above: the
+    // declared query runs the full trained-vs-untrained comparison on an
+    // oracle-expressible clustered corpus at the sf0.01 gate; this spec
+    // pins the INEQUALITY the row exists to measure (the exact values —
+    // 1.0 vs 0.8 recall@5, 8 queries — hash-verify against DuckDB in the
+    // correctness gate, so a regression fails there too)
+    val rows = SparkEntry.queries("q_ivf_trained_gain")(
+        spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows.keySet === Set("trained", "untrained"))
+    assert(rows("trained") > rows("untrained"),
+      s"training must add recall on clustered data: $rows")
+    assert(rows("untrained") < 0.95,
+      "fixture must leave untrained headroom — a saturated corpus " +
+        s"would make the comparison vacuous: $rows")
+  }
+
   test("_meta carries build-time nCells: a GAPPED id space probes with the " +
       "build geometry, not the sidecar row count (r17)") {
     // ids * 2: only ceil(nCells/2) seeds fall in [0, nCells), so the
