@@ -183,6 +183,9 @@ class BoundedWindowSpec extends SparkSpec {
       "q_ann_recall" -> 256L,                   // query-batch rank frames
       "q_ivf_recall" -> 256L,                   // query-batch rank frames
       "q_ivf_trained_recall" -> 256L,           // query-batch rank frames
+      "q_ivf_trained_gain" -> 256L,             // per-variant metrics folds
+      // (GainQueryFilter caps queries at 32, so each retrievalMetrics
+      // ordered fold reads <= 32 rows at ANY scale)
       "q_bq_recall" -> 256L,                    // query-batch rank frames
       "q_unimax_mix" -> nLangs,                 // language frame waterfill
       "q_ks_drift" -> 64L,                      // per-partition offset frame
