@@ -635,7 +635,8 @@ object GeoOps {
       .toLong <= broadcastPointBytes
     val ppf: DataFrame => DataFrame = if (gated) broadcast else identity
     val pairs = radiusJoin(points, r, idCol, hint = ppf).select("id_a", "id_b")
-      .localCheckpoint() // reused by degree count, adjacency and border pass
+      .localCheckpoint() // reused by degree count, adjacency and (when any
+                         // non-core point exists) the border pass
     val deg = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_nbrs"))
@@ -658,20 +659,33 @@ object GeoOps {
       .localCheckpoint()
     val init = core.withColumn("cluster", col("id"))
     val labels = propagate(adjSym, init, ppf).localCheckpoint()
-    // border pass: core endpoint -> non-core neighbor, min adjacent label
-    val borderLabels = pairs
-      .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_semi")
-      .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_anti")
-      .select(col("id_a").as("cid"), col("id_b").as("pid"))
-      .unionByName(pairs
-        .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_semi")
-        .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_anti")
-        .select(col("id_b").as("cid"), col("id_a").as("pid")))
-      .join(ppf(labels.withColumnRenamed("id", "cid")), Seq("cid"))
-      .groupBy(col("pid").as("id")).agg(min(col("cluster")).as("cluster"))
     val coreL = labels.withColumn("role", lit("core"))
-    val borderL = borderLabels.withColumn("role", lit("border"))
-    pts.join(ppf(coreL.unionByName(borderL)), Seq("id"), "left")
+    // Border short-circuit: a border row needs a NON-CORE endpoint, so when
+    // the degree frame holds none the whole border pass — two scans of the
+    // pair checkpoint, four semi/anti joins and a min-label agg — is
+    // provably empty work. Dense analysis windows sit in exactly that
+    // regime (at both board scales every point is core: the r18 probe
+    // measured the skipped pass at ~1.5 s of a 17 s chain), and the gate
+    // is one limit(1) job on the checkpointed per-point frame. Same
+    // adaptive count-gate stance as ivfProbeIndex's serving-batch switch;
+    // the declared result — and its oracle — are untouched.
+    val hasNonCore =
+      pts.filter(col("n_nbrs") < minPts - 1).limit(1).count() > 0
+    val roleMap = if (!hasNonCore) coreL else {
+      // border pass: core endpoint -> non-core neighbor, min adjacent label
+      val borderLabels = pairs
+        .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_semi")
+        .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_anti")
+        .select(col("id_a").as("cid"), col("id_b").as("pid"))
+        .unionByName(pairs
+          .join(ppf(core.withColumnRenamed("id", "id_b")), Seq("id_b"), "left_semi")
+          .join(ppf(core.withColumnRenamed("id", "id_a")), Seq("id_a"), "left_anti")
+          .select(col("id_b").as("cid"), col("id_a").as("pid")))
+        .join(ppf(labels.withColumnRenamed("id", "cid")), Seq("cid"))
+        .groupBy(col("pid").as("id")).agg(min(col("cluster")).as("cluster"))
+      coreL.unionByName(borderLabels.withColumn("role", lit("border")))
+    }
+    pts.join(ppf(roleMap), Seq("id"), "left")
       .select(col("id"), col("n_nbrs"),
         coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
   }

@@ -69,7 +69,7 @@ object DbscanProbe {
     }
     println(s"[probe] adjSym=${adjSym.count()} core=${core.count()}")
     var labels = core.withColumn("cluster", col("id"))
-    val lab = t("4-rounds-ckpt") {
+    val lab = t("4-rounds-bcast") {
       var l = labels
       for (_ <- 1 to 4) {
         l = adjSym.join(broadcast(l.withColumnRenamed("id", "v")), Seq("v"))
@@ -77,6 +77,54 @@ object DbscanProbe {
           .groupBy("id").agg(min(col("cluster")).as("cluster"))
       }
       l.localCheckpoint()
+    }
+    val shuffleP = spark.sessionState.conf.numShufflePartitions
+    val adjW = t("adj-wpart-ckpt") {
+      adj.unionByName(adj.select(col("w").as("v"), col("v").as("w")))
+        .unionByName(core.select(col("id").as("v"), col("id").as("w")))
+        .repartition(shuffleP, col("w"))
+        .localCheckpoint()
+    }
+    t("4-rounds-wpart") {
+      var l = labels
+      for (_ <- 1 to 4) {
+        l = adjW.join(broadcast(l.withColumnRenamed("id", "v")), Seq("v"))
+          .select(col("w").as("id"), col("cluster"))
+          .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      }
+      l.write.format("noop").mode("overwrite").save()
+    }
+    println("[probe] wpart round plan:")
+    locally {
+      val l1 = adjW.join(broadcast(labels.withColumnRenamed("id", "v")), Seq("v"))
+        .select(col("w").as("id"), col("cluster"))
+        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+      println(l1.queryExecution.executedPlan.toString.linesIterator
+        .filter(s => s.contains("Exchange") || s.contains("HashAggregate") || s.contains("BroadcastHashJoin"))
+        .mkString("\n"))
+    }
+    // hypothesis: degree agg without doubling the pair frame through the
+    // exchange — two per-endpoint aggs on the same checkpoint + outer merge
+    t("deg-split") {
+      val da = pairs.groupBy(col("id_a").as("id")).agg(count(lit(1)).as("na"))
+      val db = pairs.groupBy(col("id_b").as("id")).agg(count(lit(1)).as("nb"))
+      da.join(db, Seq("id"), "full")
+        .select(col("id"), (coalesce(col("na"), lit(0L)) +
+          coalesce(col("nb"), lit(0L))).as("n_nbrs"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    // hypothesis: border short-circuit — when no non-core point exists the
+    // border pass is provably empty; the gate is one job on the
+    // checkpointed degree frame
+    t("noncore-count") {
+      println(s"[probe] nonCore=${ptsF.filter(col("n_nbrs") < 4).limit(1).count()}")
+    }
+    t("final-noborder") {
+      val coreL = lab.withColumn("role", lit("core"))
+      ptsF.join(broadcast(coreL), Seq("id"), "left")
+        .select(col("id"), col("n_nbrs"),
+          coalesce(col("role"), lit("noise")).as("role"), col("cluster"))
+        .write.format("noop").mode("overwrite").save()
     }
     t("border+final") {
       val borderLabels = pairs
