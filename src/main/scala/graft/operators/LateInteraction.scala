@@ -28,7 +28,10 @@ import graft.functions.VectorFunctions
   * over exact doubles, and every ranking tie-breaks on the id — so all
   * outputs hash-match the DuckDB oracles bit-for-bit.
   *
-  * Scale shape: query batches are bounded and broadcast; candidates are
+  * Scale shape: query batches ride a COUNT-GATED broadcast
+  * ([[LateInteraction.MaxQueryBroadcastRows]]; past the budget every face
+  * switches to the block-replicated equi-join — see
+  * [[LateInteraction.allPairs]]); candidates are
   * scanned once, narrowly; reductions run through TopK.perGroupTopK (salted
   * two-stage — no single-task windows). The brute-force coarse stages here
   * are the audit forms; at 100 TB the coarse candidates come from the
@@ -36,6 +39,49 @@ import graft.functions.VectorFunctions
   * everything downstream of the candidate frame is unchanged.
   */
 object LateInteraction {
+
+  /** Row budget under which a face's query frame rides a broadcast.
+    * Every exact face here is all-pairs BY SEMANTICS (the audit forms of
+    * the two-stage retrievers), and r17-and-earlier expressed that as
+    * `candidates.crossJoin(broadcast(queries))` unconditionally — the
+    * maxSim-family twin of the PQ faces' unguarded driver collect: a
+    * corpus-sized query frame dies building the broadcast relation
+    * before the first task runs. 64k query rows ≈ a few hundred MB of
+    * float vectors at any dims this engine serves — comfortably inside
+    * an executor; past it [[allPairs]] switches to the block-replicated
+    * equi-join, which expresses the identical pair frame with bounded
+    * per-task memory and no broadcast at all. */
+  val MaxQueryBroadcastRows: Long = 1L << 16
+
+  /** All-pairs (candidate × query) frame with a bounded-memory plan.
+    * Under `maxRows` query rows: one candidate scan against a broadcast
+    * query relation (zero shuffle — the small-batch serving plan).
+    * Above: queries hash into ⌈nQ/maxRows⌉ blocks on `qBlockKey`,
+    * candidates replicate once per block (a narrow explode, no driver
+    * round-trip), and the pair frame materializes through an ordinary
+    * shuffle hash join whose build side is one query block — ≤ maxRows
+    * rows by construction. Same rows out either way (the join strategy
+    * never touches values); the replication factor IS the all-pairs
+    * cost, just paid through the shuffle instead of executor-resident
+    * copies of the whole query set. Same count-gate stance as
+    * ivfProbeIndex / pqAdcTopK (r17/r18). */
+  private def allPairs(c: DataFrame, q: DataFrame, qBlockKey: Column,
+                       nQ: Long, maxRows: Long): DataFrame =
+    if (nQ <= maxRows) c.crossJoin(broadcast(q))
+    else {
+      val nBlocks = math.max(2L, (nQ + maxRows - 1) / maxRows).toInt
+      val qb = q.withColumn("_qblock", pmod(hash(qBlockKey), lit(nBlocks)))
+      c.withColumn("_qblock",
+          explode(sequence(lit(0), lit(nBlocks - 1))))
+        .join(qb, Seq("_qblock"))
+        .drop("_qblock")
+    }
+
+  /** Broadcast hint for the KEYED query-side joins of the same faces,
+    * under the same budget: an equi-join degrades gracefully to a
+    * shuffle join when unhinted, so over budget the hint just drops. */
+  private def qHint(nQ: Long, maxRows: Long): DataFrame => DataFrame =
+    if (nQ <= maxRows) broadcast else identity
 
   /** (doc, tok, vec) token frame from a single-vector frame: consecutive
     * groups of `tokensPerDoc` ids form one multi-vector document — the
@@ -72,8 +118,10 @@ object LateInteraction {
   /** Exact late-interaction scoring: every (query token, candidate token)
     * cosine once — the MaxSim correctness baseline (the analogue of
     * cosineTopK for multi-vector docs). */
-  def maxSim(cand: DataFrame, queries: DataFrame, k: Int, tokensPerDoc: Int): DataFrame = {
-    val tokCos = cSide(cand).crossJoin(broadcast(qSide(queries)))
+  def maxSim(cand: DataFrame, queries: DataFrame, k: Int, tokensPerDoc: Int,
+             maxBroadcastRows: Long = MaxQueryBroadcastRows): DataFrame = {
+    val q = qSide(queries)
+    val tokCos = allPairs(cSide(cand), q, col("qdoc"), q.count(), maxBroadcastRows)
       .filter(col("cdoc") =!= col("qdoc"))
       .select(col("qdoc"), col("cdoc"), col("qtok"),
         VectorFunctions.cosine(col("qvec"), col("cvec")).as("tcos"))
@@ -86,10 +134,12 @@ object LateInteraction {
     * pays full MaxSim only for candidate (qdoc, cdoc) pairs — cost bounded
     * by |pairs| · tokensPerDoc², never |Q docs| · |corpus docs|. */
   def maxSimRerank(cand: DataFrame, queries: DataFrame, k: Int,
-                   tokenTopN: Int, tokensPerDoc: Int): DataFrame = {
+                   tokenTopN: Int, tokensPerDoc: Int,
+                   maxBroadcastRows: Long = MaxQueryBroadcastRows): DataFrame = {
     val q = qSide(queries)
     val c = cSide(cand)
-    val tokCos = c.crossJoin(broadcast(q))
+    val nQ = q.count()
+    val tokCos = allPairs(c, q, col("qdoc"), nQ, maxBroadcastRows)
       .filter(col("cdoc") =!= col("qdoc"))
       .select(col("qdoc"), col("qtok"), col("cdoc"), col("ctok"),
         VectorFunctions.cosine(col("qvec"), col("cvec")).as("tcos"))
@@ -101,7 +151,8 @@ object LateInteraction {
     // survivors only: re-join the token frames pair-wise (tokensPerDoc^2
     // rows per pair) instead of reusing the full token-cosine frame — at
     // scale the full frame is exactly what must never materialize.
-    val pairCos = pairs.join(c, Seq("cdoc")).join(broadcast(q), Seq("qdoc"))
+    val pairCos = pairs.join(c, Seq("cdoc"))
+      .join(qHint(nQ, maxBroadcastRows)(q), Seq("qdoc"))
       .select(col("qdoc"), col("cdoc"), col("qtok"),
         VectorFunctions.cosine(col("qvec"), col("cvec")).as("tcos"))
     scoreAndRank(pairCos, k, tokensPerDoc)
@@ -114,10 +165,12 @@ object LateInteraction {
     * lift is auditable per row. */
   def mrlRerank(candidates: DataFrame, queries: DataFrame, k: Int,
                 coarseK: Int, prefixDims: Int,
-                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                maxBroadcastRows: Long = MaxQueryBroadcastRows): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = candidates.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"))
-    val coarse = c.crossJoin(broadcast(q))
+    val nQ = q.count()
+    val coarse = allPairs(c, q, col("qid"), nQ, maxBroadcastRows)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosine(
@@ -128,7 +181,8 @@ object LateInteraction {
         order = Seq(col("cos_prefix").desc, col("vec_id")),
         k = coarseK, salt = col("vec_id"))
       .select("qid", "vec_id", "cos_prefix")
-    val rer = keep.join(c, Seq("vec_id")).join(broadcast(q), Seq("qid"))
+    val rer = keep.join(c, Seq("vec_id"))
+      .join(qHint(nQ, maxBroadcastRows)(q), Seq("qid"))
       .withColumn("cos_sim", VectorFunctions.cosine(col("qvec"), col("cvec")))
     TopK.perGroupTopK(rer,
         groupCols = Seq(col("qid")),
@@ -147,12 +201,13 @@ object LateInteraction {
     * ceiling + negatives' top-k); query batch broadcast in both. */
   def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    labelCol: String = "label"): DataFrame = {
+                    labelCol: String = "label",
+                    maxBroadcastRows: Long = MaxQueryBroadcastRows): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
       col(labelCol).as("qlabel"))
     val c = emb.select(col(idCol).as("vec_id"), col(vecCol).as("cvec"),
       col(labelCol).as("clabel"))
-    val scored = c.crossJoin(broadcast(q))
+    val scored = allPairs(c, q, col("qid"), q.count(), maxBroadcastRows)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qlabel"), col("vec_id"), col("clabel"),
         VectorFunctions.cosine(col("qvec"), col("cvec")).as("cos"))

@@ -152,4 +152,43 @@ class LateInteractionSpec extends SparkSpec {
       assert(got(q).forall(_._2 != ql))
     }
   }
+
+  test("oversized query batches drop the broadcast plan on every face, " +
+      "results identical (r18)") {
+    // the ivfProbeIndex oversized-batch template: force the fallback with
+    // maxBroadcastRows=1 (every real batch is oversized), assert the
+    // gated plan carries NO broadcast hint and returns the broadcast
+    // plan's rows bit-for-bit
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    def rows(df: org.apache.spark.sql.DataFrame) = {
+      val cs = df.columns
+      df.orderBy(cs(0), cs(1)).collect().map(_.toSeq).toSeq
+    }
+    val qt = toks.filter(col("doc") < 3)
+    val q5 = emb.filter(col("vec_id") < 5)
+    val faces: Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = Seq(
+      ("maxSim",
+        LateInteraction.maxSim(toks, qt, K, TokensPerDoc),
+        LateInteraction.maxSim(toks, qt, K, TokensPerDoc, maxBroadcastRows = 1)),
+      ("maxSimRerank",
+        LateInteraction.maxSimRerank(toks, qt, K, 10, TokensPerDoc),
+        LateInteraction.maxSimRerank(toks, qt, K, 10, TokensPerDoc,
+          maxBroadcastRows = 1)),
+      ("mrlRerank",
+        LateInteraction.mrlRerank(emb, q5, K, 20, 16),
+        LateInteraction.mrlRerank(emb, q5, K, 20, 16, maxBroadcastRows = 1)),
+      ("hardNegatives",
+        LateInteraction.hardNegatives(emb, q5, K),
+        LateInteraction.hardNegatives(emb, q5, K, maxBroadcastRows = 1)))
+    faces.foreach { case (name, small, large) =>
+      assert(hinted(small), s"$name: small batches keep the broadcast plan")
+      assert(!hinted(large),
+        s"$name: an oversized batch must not carry a broadcast hint")
+      assert(rows(large) === rows(small),
+        s"$name: the block-join plan must return the broadcast plan's rows")
+    }
+  }
 }
