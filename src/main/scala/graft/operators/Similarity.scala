@@ -144,15 +144,19 @@ object Similarity {
     * population grows linearly again — ~4e3/cell at 4e11 — and a THIRD
     * quantizer level (∛cells per level) is the documented next step, not
     * a bigger clamp (a 1e10-cell codebook would put √cells = 1e5 rows
-    * ≈ 25 MB into every task closure). CODEGEN CLIFF at the clamp: the
-    * coarse codebook rides the plan as a [[centroidProbesCol]] expression
-    * CONSTANT, not a broadcast — near 10⁴ codewords the generated
-    * evaluation method exceeds the 64 KB JVM bytecode limit and Spark
-    * falls back to interpreted evaluation (correct, slower), and
-    * plan-serialization cost at that size is unmeasured (no test fixture
-    * reaches it). Before the clamp is ever a binding constraint in
-    * production, the coarse level should switch to a broadcast-join
-    * assignment above a codebook-size threshold. */
+    * ≈ 25 MB into every task closure). No codegen cliff at the clamp
+    * (r18 correction of the r17 advice note): [[centroidProbesCol]]'s
+    * codebook enters the generated class via `ctx.addReferenceObj` — one
+    * object slot in the references array and a single
+    * `Kernels.centroidProbes(...)` call whose BYTECODE size is
+    * independent of codebook size, so the 64 KB method limit is never
+    * approached and there is no interpreted fallback to switch plans
+    * around. A √MaxIvfCells (10⁴×64) codebook is exercised end-to-end
+    * with codegen fallback DISABLED in SimilaritySpec, closing the
+    * "unmeasured at that size" clause; what does grow is the serialized
+    * expression tree (~2.5 MB, shipped once per stage via the task
+    * broadcast — the codebook-size bound above is exactly the cap on
+    * that). */
   val MaxIvfCells: Long = 100000000L
 
   /** Coarse cell count of the TWO-LEVEL quantizer over `nCells` fine

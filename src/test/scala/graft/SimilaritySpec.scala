@@ -1386,4 +1386,39 @@ class SimilaritySpec extends SparkSpec {
       assert(got(q).map(_._2).toSet.subsetOf(cand(q).map(_._1).toSet))
     }
   }
+
+  test("a clamp-sized coarse codebook stays codegen'd — no 64KB cliff (r18)") {
+    // The r17 advice note claimed centroidProbesCol's generated method
+    // would exceed the JVM's 64KB bytecode limit near 10^4 codewords and
+    // fall back to interpreted evaluation. It cannot: the codebook enters
+    // the generated class via ctx.addReferenceObj (one references-array
+    // slot + a single Kernels.centroidProbes call), so bytecode size is
+    // independent of codebook size. Pin that by running the FULL
+    // sqrt(MaxIvfCells) = 10^4 x 64-dim codebook with codegen fallback
+    // DISABLED — a fallback would throw instead of silently interpreting.
+    val nCoarse = math.sqrt(Similarity.MaxIvfCells.toDouble).toInt
+    assert(nCoarse === 10000)
+    val cents: Seq[Seq[Float]] = (0 until nCoarse).map { c =>
+      (0 until 64).map(d => ((c * 131 + d * 17) % 997).toFloat / 997f)
+    }
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val probes = emb.limit(50)
+        .select(col("vec_id"),
+          Similarity.centroidProbesCol(col("embedding"), cents, 4).as("p"))
+        .collect()
+      assert(probes.length === 50)
+      probes.foreach { r =>
+        val p = r.getSeq[Long](1)
+        assert(p.length === 4 && p.distinct.length === 4 &&
+          p.forall(c => c >= 0 && c < nCoarse), s"vec ${r.getLong(0)}: $p")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
 }
