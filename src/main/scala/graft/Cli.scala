@@ -110,7 +110,7 @@ object Cli {
     "distshift", "bhfdr", "avgprec", "jw", "quantilenorm", "cascade",
     "tokenbudget", "survivors", "audiofeat", "audiodedup", "geodesic",
     "winrate", "distinctn", "freqdrift", "benford", "lorenz", "markov",
-    "km", "ivf-index", "ivf-probe", "ivf-append")
+    "km", "ivf-index", "ivf-probe", "ivf-append", "ivf-compact")
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
@@ -396,6 +396,15 @@ object Cli {
               "incoming data; rebuild with ivf-index --train-iters",
             Double.box(v), Double.box(warnOver)))
         }
+
+      case "ivf-compact" =>
+        // merge-on-write step owed by ivf-append: rewrite every cell
+        // partition to one part file, sidecars copied byte-for-byte;
+        // out-of-place — the caller swaps the dir (snapshot discipline)
+        val (before, after) = Similarity.compactIvfIndex(spark,
+          opts("input"), opts("output"))
+        System.err.println(
+          s"[graft] ivf-compact: $before cell files -> $after in ${opts("output")}")
 
       case "ivf-probe" =>
         // serving path over an ivf-index layout: queries rank cells

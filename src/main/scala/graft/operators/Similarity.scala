@@ -545,6 +545,57 @@ object Similarity {
     (batchN, buildFit.filter(_ > 0.0).map(batchFit / _))
   }
 
+  /** Compact a [[writeIvfIndex]] layout's cell partitions into one part
+    * file per cell — the merge-on-write step [[appendToIvfIndex]]'s
+    * merge-on-read economics eventually owes: each append lands at least
+    * one new part file in every touched cell directory, and cells are
+    * targetCell-row-sized by construction, so after k appends a probe
+    * opens k footers per probed cell for KBs of data — file-open
+    * overhead, not bandwidth, becomes the serving cost (the
+    * Layout.compact argument applied per cell). One shuffle on the cell
+    * key rewrites every cell to a single file; `_centroids` and `_meta`
+    * are copied byte-for-byte (compaction moves bytes, never geometry —
+    * the quantizer, row count and fit stamp are untouched, so probe
+    * results are bit-identical, spec-pinned).
+    *
+    * OUT-OF-PLACE like [[graft.sources.Layout.compact]]: the rewrite
+    * lands in `outDir` and the swap is the caller's (write-new +
+    * repoint) — a reader, including a streaming probe re-reading the
+    * dir per micro-batch, must never scan a directory being rewritten.
+    *
+    * @return (part files before, part files after) over cell partitions */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                      inDir: String, outDir: String): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(conf)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$inDir/_meta")),
+      s"no _meta at $inDir: compactIvfIndex needs the r17+ layout")
+    val fmt = spark.read.parquet(s"$inDir/_meta").first().getAs[Int]("fmt")
+    require(fmt <= IvfIndexFormat,
+      s"ivf index at $inDir has format $fmt; this build compacts <= $IvfIndexFormat")
+    def cellFileCount(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      fs.listStatus(p)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(d => fs.listStatus(d.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .sum
+    }
+    val before = cellFileCount(inDir)
+    spark.read.parquet(inDir)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+    Seq("_centroids", "_meta").foreach { side =>
+      val dst = new org.apache.hadoop.fs.Path(s"$outDir/$side")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(s"$inDir/$side"), fs, dst,
+        false, conf)
+    }
+    (before, cellFileCount(outDir))
+  }
+
   /** Probe a [[writeIvfIndex]] layout — the SERVING path at 100 TB:
     * each query ranks its `nprobe` nearest cells against the sidecar
     * quantizer (nCells rows, never the index), and the index scan is

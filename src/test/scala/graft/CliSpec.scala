@@ -993,7 +993,7 @@ class CliSpec extends SparkSpec {
   test("cli command surface: every declared command dispatches; count spec-pinned (r11)") {
     // the count lives HERE, not in SURVEY prose (the r10 count silently
     // included two --algo sub-arms) — update both together
-    assert(Cli.commands.size === 137)
+    assert(Cli.commands.size === 138)
     assert(Cli.commands.distinct.size === Cli.commands.size, "duplicate names")
     // every declared name must reach a case arm: dispatching with empty
     // opts may fail on missing options/inputs, but NEVER with the
@@ -1071,6 +1071,19 @@ class CliSpec extends SparkSpec {
       "appended vectors must be servable as queries against the index")
     assert(pa.filter(col("vec_id") >= 100000).count() > 0,
       "appended vectors must be retrievable from the probed cells")
+    // ivf-compact rewrites the appended layout to one file per cell
+    // out-of-place; the compacted dir serves the same probe (r18)
+    val outC = tmp() + "/ivfidx_compacted"
+    Cli.run(spark, "ivf-compact", Map("input" -> out, "output" -> outC))
+    assert(spark.read.parquet(outC).count() === n + 50)
+    val probeC = tmp() + "/ivfprobe_compacted"
+    Cli.run(spark, "ivf-probe", Map("index" -> outC,
+      "input" -> batch, "output" -> probeC, "k" -> "3"))
+    def ranked(d: String) = spark.read.parquet(d)
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ranked(probeC) === ranked(probeA),
+      "the compacted index must serve the uncompacted ranking")
   }
 
   test("cli kcore default survives a pendant CASCADE deeper than the fixed rounds (r11)") {

@@ -496,6 +496,45 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("_meta"))
   }
 
+  test("compactIvfIndex: one file per cell, geometry byte-identical, " +
+      "probes unchanged (r18)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivfc").toString
+    val a = emb.filter(col("vec_id") < 480)
+    Similarity.writeIvfIndex(a, s"$base/idx", targetCell = 50L)
+    // two appends: every touched cell directory gains a part file each
+    Similarity.appendToIvfIndex(spark, s"$base/idx",
+      emb.filter(col("vec_id") >= 480))
+    Similarity.appendToIvfIndex(spark, s"$base/idx",
+      emb.filter(col("vec_id") >= 480)
+        .select(col("vec_id") + 500 as "vec_id", col("embedding")))
+    val (before, after) = Similarity.compactIvfIndex(spark,
+      s"$base/idx", s"$base/out")
+    val nCells = spark.read.parquet(s"$base/idx/_meta").first()
+      .getAs[Long]("n_cells").toInt
+    assert(after === nCells, s"compaction must leave one file per cell " +
+      s"($after files, $nCells cells)")
+    assert(before > after,
+      s"the append fixture must have fragmented cells ($before files)")
+    // identical logical content: rows, probe results, sidecar bytes
+    def rows(d: String) = spark.read.parquet(d)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rows(s"$base/out") === rows(s"$base/idx"))
+    val q = emb.filter(col("vec_id") % 100 === 7)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rws(Similarity.ivfProbeIndex(spark, s"$base/out", q, 5)) ===
+      rws(Similarity.ivfProbeIndex(spark, s"$base/idx", q, 5)),
+      "compaction must not change serving results")
+    def meta(d: String) = spark.read.parquet(s"$d/_meta").first().toSeq
+    assert(meta(s"$base/out") === meta(s"$base/idx"),
+      "compaction moves bytes, never geometry")
+    def cents(d: String) = spark.read.parquet(s"$d/_centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+    assert(cents(s"$base/out") === cents(s"$base/idx"))
+  }
+
   test("ivfProbeIndex broadcast budget is nprobe-INDEPENDENT (r18): a " +
       "high-nprobe batch inside the query-count budget still drops the " +
       "broadcast once its probe ROWS exceed it") {
