@@ -245,11 +245,24 @@ object SimilarityQueries {
     }.mkString("[", ", ", "]")
 
   private def ccCte: String =
-    s"cc AS (SELECT vec_id, $clusteredVecSqlList AS embedding FROM embeddings)"
+    s"cc AS (SELECT vec_id, $clusteredVecSqlList AS embedding " +
+      s"FROM embeddings WHERE vec_id < $GainCorpusCap)"
 
   /** One query per cluster, capped at 32 queries so the exact-truth side
     * stays |q|·n cosines at any scale. */
   private val GainQueryFilter = "vec_id % 64 = 7 AND vec_id < 2048"
+
+  /** Corpus cap for the gain row (r18): the row is a controlled
+    * EXPERIMENT — trained vs untrained at equal geometry on a corpus
+    * with known structure — not a corpus metric, so its cost must not
+    * scale with sf. 2048 rows = 32 full clusters of 64 (every query's
+    * cluster complete) and ≥ the whole verify-scale table (sf0.01 has
+    * 500 vectors, so the cap is INACTIVE there — oracle hashes
+    * unchanged); past sf0.01 the board pays a fixed 2048-row train +
+    * retrieve instead of Lloyd passes over the full embeddings table
+    * (12.8 s at sf1 before the cap, audit-row priced like a corpus
+    * scan it never needed). */
+  private val GainCorpusCap = 2048L
 
   /** Exact-cosine truth ranking over the clustered corpus. */
   private lazy val ccCosineRankedSql: String =
@@ -958,10 +971,13 @@ object SimilarityQueries {
     // row per variant with (n_queries, n_hits, recall_at_k, mrr) at
     // EQUAL geometry (16 cells, nprobe=2) — trained recall >= untrained
     // is the measured, hash-verified outcome (spec-pinned: 1.0 vs 0.8 at
-    // the sf0.01 gate).
+    // the sf0.01 gate). Corpus capped at GainCorpusCap (inactive at the
+    // verify scale): a controlled experiment costs O(1), not corpus
+    // Lloyd passes, at every sf.
     Q("q_ivf_trained_gain",
       (s, d) => {
         val cc = emb(s, d).select(col("vec_id"))
+          .filter(col("vec_id") < GainCorpusCap)
           .withColumn("embedding", clusteredVecCol(col("vec_id")))
         val nCells = Similarity.derivedCentroids(cc.count(), 32L)
         val q = cc.filter(col("vec_id") % 64 === 7 && col("vec_id") < 2048)
