@@ -1091,19 +1091,31 @@ object GraphOps {
     // deg joins in vol / base / volSq disappear (deg is sweep-invariant);
     // (2) the gate score runs as ONE action (crossJoin of the two scalar
     // aggregates) instead of two.
-    def score(labels: DataFrame): Long = {
-      val intra = e
-        .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
-        .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
-        .filter(col("ca") === col("cb"))
-        .agg(count(lit(1)).as("intra"))
+    // r18: the gate score reads the CHECKPOINTED kvc frame instead of
+    // re-joining the full edge frame: Σ_v k_{v,comm(v)} counts every
+    // intra-community edge once from each endpoint, so own = 2·intra
+    // exactly and 2·m·own − Σvol² = 4·m·intra − Σvol² — the same Long.
+    // The per-sweep e⋈labels⋈labels score job (two shuffles of the
+    // chain's largest frame) disappears; kvc now lives across the
+    // iteration (computed once per labeling, consumed by the sweep AND
+    // both gate sides) instead of being freed after each sweep.
+    def kvcOf(labels: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.PlanBridge
+        .freshLocalCheckpoint(sym
+          .join(labels.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
+          .groupBy("v", "c").agg(count(lit(1)).as("k_vc")))
+    def score(labels: DataFrame, kvc: DataFrame): Long = {
+      val own = labels
+        .join(kvc, labels("node") === kvc("v") && labels("comm") === kvc("c"),
+          "left")
+        .agg(coalesce(sum(col("k_vc")), lit(0L)).as("own"))
       val volSq = labels
         .groupBy("comm").agg(sum(col("k")).as("vol"))
         .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
-      val r = intra.crossJoin(volSq).first()
-      4L * m * r.getLong(0) - r.getLong(1)
+      val r = own.crossJoin(volSq).first()
+      2L * m * r.getLong(0) - r.getLong(1)
     }
-    def sweep(labels: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    def sweep(labels: DataFrame, kvc: DataFrame): DataFrame = {
       val W = org.apache.spark.sql.expressions.Window
       // kvc feeds TWO consumers below (base + gains); Spark does not CSE
       // DataFrame subtrees (SURVEY §5), so without a checkpoint each
@@ -1111,10 +1123,6 @@ object GraphOps {
       // measured faster than recompute at sf1; checkpointing vol too — a
       // one-groupBy derivation of the checkpointed labels — did not).
       val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
-      val kvc = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sym
-          .join(labels.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
-          .groupBy("v", "c").agg(count(lit(1)).as("k_vc")))
       val base = labels.select(col("node").as("v"), col("comm").as("d"), col("k"))
         .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
           Seq("v", "d"), "left")
@@ -1148,11 +1156,10 @@ object GraphOps {
           col("x.c") === col("yd") && col("x.d") === col("yc") &&
             col("x.d") > col("yd"), "left_anti")
         .select(col("v"), col("c"))
-      (labels.select(col("node"), col("comm"), col("k"))
+      labels.select(col("node"), col("comm"), col("k"))
         .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("comm")).as("comm"),
-          col("k")),
-        Seq(kvc))
+          col("k"))
     }
     // labels carry (node, comm, k): the degree joins ONCE at init (deg's
     // node set == sym's, so this is deg itself relabeled) and rides the
@@ -1160,26 +1167,30 @@ object GraphOps {
     var labels = org.apache.spark.sql.graftbridge.PlanBridge
       .freshLocalCheckpoint(deg.select(col("v").as("node"),
         col("v").as("comm"), col("k")))
-    var s = score(labels)
+    var kvc = kvcOf(labels)
+    var s = score(labels, kvc)
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
-      val (prop, temps) = sweep(labels)
       val proposed = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(prop)
-      temps.foreach(org.apache.spark.sql.graftbridge.PlanBridge
-        .unpersistLocalCheckpoint)
-      val s2 = score(proposed)
+        .freshLocalCheckpoint(sweep(labels, kvc))
+      val kvcP = kvcOf(proposed)
+      val s2 = score(proposed, kvcP)
       if (s2 > s) {
         org.apache.spark.sql.graftbridge.PlanBridge
           .unpersistLocalCheckpoint(labels)
-        labels = proposed; s = s2; sweeps += 1
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(kvc)
+        labels = proposed; kvc = kvcP; s = s2; sweeps += 1
       } else {
         org.apache.spark.sql.graftbridge.PlanBridge
           .unpersistLocalCheckpoint(proposed)
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(kvcP)
         continue = false
       }
     }
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(kvc)
     labels.select(col("node"), col("comm"))
   }
 
@@ -1236,27 +1247,32 @@ object GraphOps {
     val bigW = e0.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
     val loopW = loops.agg(coalesce(sum(col("lw")), lit(0L))).first().getLong(0)
     // same r17 physical shape as [[louvain]]: labels carry k, the gate
-    // score is one action, only kvc checkpoints per sweep
-    def score(labels: DataFrame): Long = {
-      val intraPlain = plain
-        .join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
-        .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
-        .filter(col("ca") === col("cb"))
-        .agg(coalesce(sum(col("w")), lit(0L)).as("intra"))
-      val volSq = labels
-        .groupBy("comm").agg(sum(col("k")).as("vol"))
-        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
-      val r = intraPlain.crossJoin(volSq).first()
-      // loops are intra under ANY labeling (they move with their node)
-      4L * bigW * (r.getLong(0) + loopW) - r.getLong(1)
-    }
-    def sweep(labels: DataFrame): (DataFrame, Seq[DataFrame]) = {
-      val W = org.apache.spark.sql.expressions.Window
-      val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
-      val kvc = org.apache.spark.sql.graftbridge.PlanBridge
+    // score is one action; r18: the gate score reads the checkpointed
+    // kvc — Σ_v k_{v,comm(v)} = 2·intraPlain exactly (each plain
+    // intra-community edge counted from both endpoints; loops are not in
+    // sym and ride the loopW constant), so the per-sweep plain⋈labels⋈
+    // labels score join disappears. kvc lives across the iteration.
+    def kvcOf(labels: DataFrame): DataFrame =
+      org.apache.spark.sql.graftbridge.PlanBridge
         .freshLocalCheckpoint(sym
           .join(labels.select(col("node").as("u"), col("comm").as("c")), Seq("u"))
           .groupBy("v", "c").agg(sum(col("w")).as("k_vc")))
+    def score(labels: DataFrame, kvc: DataFrame): Long = {
+      val own = labels
+        .join(kvc, labels("node") === kvc("v") && labels("comm") === kvc("c"),
+          "left")
+        .agg(coalesce(sum(col("k_vc")), lit(0L)).as("own"))
+      val volSq = labels
+        .groupBy("comm").agg(sum(col("k")).as("vol"))
+        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
+      val r = own.crossJoin(volSq).first()
+      // own = 2·intraPlain; loops are intra under ANY labeling (they
+      // move with their node)
+      2L * bigW * r.getLong(0) + 4L * bigW * loopW - r.getLong(1)
+    }
+    def sweep(labels: DataFrame, kvc: DataFrame): DataFrame = {
+      val W = org.apache.spark.sql.expressions.Window
+      val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
       val base = labels.select(col("node").as("v"), col("comm").as("d"), col("k"))
         .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
           Seq("v", "d"), "left")
@@ -1282,35 +1298,38 @@ object GraphOps {
           col("x.c") === col("yd") && col("x.d") === col("yc") &&
             col("x.d") > col("yd"), "left_anti")
         .select(col("v"), col("c"))
-      (labels.select(col("node"), col("comm"), col("k"))
+      labels.select(col("node"), col("comm"), col("k"))
         .join(applied.withColumnRenamed("v", "node"), Seq("node"), "left")
         .select(col("node"), coalesce(col("c"), col("comm")).as("comm"),
-          col("k")),
-        Seq(kvc))
+          col("k"))
     }
     var labels = org.apache.spark.sql.graftbridge.PlanBridge
       .freshLocalCheckpoint(deg.select(col("v").as("node"),
         col("v").as("comm"), col("k")))
-    var s = score(labels)
+    var kvc = kvcOf(labels)
+    var s = score(labels, kvc)
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
-      val (prop, temps) = sweep(labels)
       val proposed = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(prop)
-      temps.foreach(org.apache.spark.sql.graftbridge.PlanBridge
-        .unpersistLocalCheckpoint)
-      val s2 = score(proposed)
+        .freshLocalCheckpoint(sweep(labels, kvc))
+      val kvcP = kvcOf(proposed)
+      val s2 = score(proposed, kvcP)
       if (s2 > s) {
         org.apache.spark.sql.graftbridge.PlanBridge
           .unpersistLocalCheckpoint(labels)
-        labels = proposed; s = s2; sweeps += 1
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(kvc)
+        labels = proposed; kvc = kvcP; s = s2; sweeps += 1
       } else {
         org.apache.spark.sql.graftbridge.PlanBridge
           .unpersistLocalCheckpoint(proposed)
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .unpersistLocalCheckpoint(kvcP)
         continue = false
       }
     }
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(kvc)
     labels.select(col("node"), col("comm"))
   }
 

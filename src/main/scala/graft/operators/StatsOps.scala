@@ -136,22 +136,39 @@ object StatsOps {
         round(col("_cum"), 6).as("chi2"))
   }
 
-  /** One-scan data-quality column profiler (the `describe` of an ingest
-    * gate): for EVERY column, non-null count, exact distinct count, and
-    * min/max (stringified so heterogeneous column types stack into one
-    * frame), plus the table row count. The whole profile is ONE aggregate
-    * over one scan — the multi-distinct aggregate plans as a single
-    * Expand (scan cost ×1, expand factor = #columns), then a `stack`
-    * pivots the 1-row aggregate into a per-column report. No per-column
-    * re-scan, no driver loop over columns — profiling a 100 TB table
-    * costs one pass regardless of schema width. */
+  /** Data-quality column profiler (the `describe` of an ingest gate):
+    * for EVERY column, non-null count, exact distinct count, and min/max
+    * (stringified so heterogeneous column types stack into one frame),
+    * plus the table row count. No per-column re-scan, no driver loop
+    * over columns.
+    *
+    * Plan shape (r18 optimization): the profile runs as TWO aggregates
+    * crossJoined at one row each, not one fused multi-distinct
+    * aggregate. The fused form planned the whole chain as
+    * SortAggregates — string min/max buffers are var-length, which
+    * HashAggregateExec cannot hold, and the multi-distinct rewrite drags
+    * those buffers through the Expand-grouped stage — so every input row
+    * was SORTED ×(columns+1) on all column values (measured 2.7 s of
+    * single-thread task time at sf0.1; the sort keys include full
+    * `props` strings). Split, the distinct counts are a pure hash plan
+    * (Expand ×columns → HashAggregate dedup on the value keys — keys may
+    * be var-length, only BUFFERS may not — → filtered counts) and the
+    * count/min/max pass is a global keyless aggregate (SortAggregate
+    * with no grouping inserts NO sort — one streaming fold per
+    * partition). Cost at 100 TB: two scans instead of one, but the sort
+    * of rows×(columns+1) wide tuples the fused plan paid dwarfs a second
+    * columnar scan; [[profileApprox]] stays the single-pass scale
+    * default. Results are bit-identical (same aggregates, same stack). */
   def profile(df: DataFrame): DataFrame = {
     val cols = df.columns
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+    val basicAggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
       count(col(c)).as(s"_nn_$i"),
-      countDistinct(col(c)).as(s"_nd_$i"),
       min(col(c)).cast("string").as(s"_mn_$i"),
       max(col(c)).cast("string").as(s"_mx_$i")) }
+    val basic = df.agg(count(lit(1)).as("n_rows"), basicAggs.toIndexedSeq: _*)
+    val ndAggs = cols.zipWithIndex.map { case (c, i) =>
+      countDistinct(col(c)).as(s"_nd_$i") }
+    val nd = df.agg(ndAggs.head, ndAggs.tail.toIndexedSeq: _*)
     // the column NAME rides into the stack() expression as a string
     // literal — Spark string literals escape with BACKSLASH (doubling a
     // quote is two adjacent literals that silently concatenate)
@@ -160,7 +177,7 @@ object StatsOps {
         val lit = c.replace("\\", "\\\\").replace("'", "\\'")
         s"'$lit', _nn_$i, _nd_$i, _mn_$i, _mx_$i" }
       .mkString(", ")
-    df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+    basic.crossJoin(nd) // 1 row × 1 row — the scalar-aggregate pattern
       .select(col("n_rows"),
         expr(s"stack(${cols.length}, $stacked)")
           .as(Seq("col_name", "n_non_null", "n_distinct", "min_str", "max_str")))

@@ -129,12 +129,22 @@ class StatsOpsSpec extends SparkSpec {
     assert(got("k") === ((4L, 3L, 2L, "1", "2")))
     assert(got("s") === ((4L, 3L, 2L, "a", "b")))
     assert(got("x") === ((4L, 3L, 2L, "1.5", "2.5")))
-    // one scan: the whole profile must be a single-source plan (the
-    // multi-distinct aggregate Expands one scan; no per-column re-scan)
-    val scans = StatsOps.profile(Tables.load(spark, sfDir, "events"))
+    // r18 plan pin: the profile is TWO scans (basic ⋈ distinct), not the
+    // fused single-scan multi-distinct — the fused form dragged string
+    // min/max buffers into the Expand-grouped aggregate, planning the
+    // whole chain as SortAggregates that sort rows×(cols+1) wide tuples
+    // (2.7 s single-thread at sf0.1). Pins: exactly 2 scans (still no
+    // per-COLUMN re-scan), and NO Sort operator anywhere — the split's
+    // entire point is a sort-free plan (keyless SortAggregate inserts no
+    // Sort; the distinct branch must hash-aggregate).
+    val plan = org.apache.spark.sql.graftbridge.PlanBridge
+      .stripTopSort(StatsOps.profile(Tables.load(spark, sfDir, "events")))
       .queryExecution.executedPlan.toString()
-      .linesIterator.count(_.contains("Scan parquet"))
-    assert(scans === 1, "profile must read its input exactly once")
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, "profile must read its input exactly twice")
+    // the stripped top-level orderBy is the determinism shim, not plan work
+    assert(plan.linesIterator.count(_.contains(" Sort [")) === 0,
+      "profile's plan must be sort-free")
   }
 
   test("profileApprox: no Expand in the plan, exact companions equal profile, HLL within bound") {
