@@ -108,23 +108,33 @@ object GraphOps {
     val nodes = e.select(col("src").as("v"))
       .unionByName(e.select(col("dst").as("v"))).distinct()
       .localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).as("n"))
+    // r18: fold every round-invariant piece out of the iteration plan —
+    // the node count becomes a driver literal (it fed TWO broadcast-agg
+    // subtrees per round), out-degree rides the checkpointed edge frame
+    // (the per-round e⋈deg join disappears; +8 B/edge in the checkpoint),
+    // and the dangling-node SET is materialized once (the per-round
+    // ranks⋈deg left_anti becomes a join with the usually-small dangling
+    // frame). Same float expression tree on the same values — ranks stay
+    // bit-identical (n enters as the identical long-to-double cast).
+    val nL = nodes.count()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    var ranks = nodes.crossJoin(broadcast(nn))
-      .select(col("v"), (lit(1.0) / col("n").cast("double")).as("r"))
+    val e2 = e.join(deg, Seq("src")).localCheckpoint() // (src, dst, deg)
+    val dang = nodes.join(deg, nodes("v") === deg("src"), "left_anti")
+      .localCheckpoint()
+    val n = lit(nL)
+    var ranks = nodes
+      .select(col("v"), (lit(1.0) / n.cast("double")).as("r"))
       .localCheckpoint()
     val ordd = W.partitionBy("dst").orderBy("src")
     val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
     (1 to iters).foreach { _ =>
       val dangTot = blockTotal(
-          ranks.join(deg, ranks("v") === deg("src"), "left_anti")
-            .select(col("v"), col("r")), "r")
+          ranks.join(dang, Seq("v")).select(col("v"), col("r")), "r")
         .select(lit(1).as("j"), col("tot").as("dm"))
-      val dm = nn.withColumn("j", lit(1))
+      val dm = spark(ranks).range(1).select(lit(1).as("j"))
         .join(dangTot, Seq("j"), "left")
         .select(coalesce(col("dm"), lit(0.0)).as("dm"))
-      val contrib = e.join(ranks, e("src") === ranks("v"))
-        .join(deg, Seq("src"))
+      val contrib = e2.join(ranks, e2("src") === ranks("v"))
         .select(col("dst"), col("src"),
           (col("r") / col("deg").cast("double")).as("ct"))
         .withColumn("cum", sum(col("ct")).over(cumd))
@@ -133,15 +143,17 @@ object GraphOps {
         .filter(col("rn") === col("nc"))
         .select(col("dst"), col("cum").as("c"))
       ranks = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
-        nodes.crossJoin(broadcast(nn)).crossJoin(broadcast(dm))
+        nodes.crossJoin(broadcast(dm))
           .join(contrib, nodes("v") === contrib("dst"), "left")
           .select(col("v"),
-            ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+            ((lit(1.0) - lit(damping)) / n.cast("double") +
               lit(damping) * (coalesce(col("c"), lit(0.0)) +
-                col("dm") / col("n").cast("double"))).as("r")))
+                col("dm") / n.cast("double"))).as("r")))
     }
     ranks.select(col("v").as("node"), round(col("r"), 6).as("pagerank"))
   }
+
+  private def spark(df: DataFrame) = df.sparkSession
 
   /** DuckDB oracle for [[pageRank]]: identical unrolled iteration CTEs —
     * same dedup, same ordered window folds, same float expression tree.
@@ -297,11 +309,19 @@ object GraphOps {
         .withColumn("nc", count(lit(1)).over(W.partitionBy(groupKey)))
         .filter(col("rn") === col("nc"))
         .select(col(groupKey).as("gv"), col("cum").as("raw"))
-      val full = nodes.join(raw, nodes("v") === col("gv"), "left")
-        .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw"))
-      org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
+      // full feeds the L1 normalizer AND the payload — shared-checkpoint
+      // it (r18) so the e⋈scores join + window subtree runs once per
+      // half-round, not twice; blocks freed as soon as the half-round's
+      // eager checkpoint has materialized
+      val full = org.apache.spark.sql.graftbridge.PlanBridge
+        .sharedLocalCheckpoint(
+          nodes.join(raw, nodes("v") === col("gv"), "left")
+            .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw")))
+      val out = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
         full.crossJoin(broadcast(l1Total(full, "raw")))
           .select(col("v"), (col("raw") / col("tot")).as("s")))
+      org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(full)
+      out
     }
     var hub = nodes.select(col("v"), lit(1.0).as("s")).localCheckpoint()
     var auth = hub

@@ -1616,7 +1616,16 @@ object Similarity {
   def retrievalMetrics(truth: DataFrame, approx: DataFrame,
                        k: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val t = truth.select(col("qid"), col("vec_id"), col("rank").as("t_rank"))
+    // t feeds TWO consumers (hits + the n_truth denominator groupBy); no
+    // DataFrame CSE means the truth retriever's whole subtree (corpus
+    // scan + scoring + top-k window) would run twice per metrics call —
+    // shared-checkpoint the slim |queries|·k projection (r18): lazily
+    // materialized by the hits checkpoint's action, read by the final
+    // action's groupBy; one evaluation, zero extra jobs (an EAGER
+    // checkpoint here measured +0.15-0.2 s/query at sf0.1 — pure action
+    // overhead). Same accepted tiny-block lifetime as hits below.
+    val t = org.apache.spark.sql.graftbridge.PlanBridge.sharedLocalCheckpoint(
+      truth.select(col("qid"), col("vec_id"), col("rank").as("t_rank")))
     val a = approx.select(col("qid"), col("vec_id"), col("rank").as("a_rank"))
     val hits = t.join(a, Seq("qid", "vec_id")).localCheckpoint()
     // recall denominator = ACTUAL truth-list sizes (a corpus smaller than

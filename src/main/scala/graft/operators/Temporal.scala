@@ -735,14 +735,23 @@ object Temporal {
     val r = c.groupBy("i").agg(sum(col("c")).as("r_i"))
     val states = seq.select(col("st").as("v")).distinct().localCheckpoint()
     val kk = states.agg(count(lit(1)).as("k"))
+    // r18: the per-round plan carried TWO round-invariant joins (c⋈r for
+    // the contribution denominator, states⋈r for the dangling test) —
+    // fold both once into checkpointed frames so each round is one
+    // c2⋈x join + the ordered window + the sv⋈x⋈contrib assembly.
+    // Same expression tree on the same values — floats bit-identical.
+    val c2 = c.join(r, Seq("i")).localCheckpoint() // (i, j, c, r_i)
+    val sv = states
+      .join(r.select(col("i").as("v"), lit(true).as("has_out")), Seq("v"),
+        "left")
+      .localCheckpoint() // (v, has_out) — dangling ⇔ has_out null
     var x = states.crossJoin(broadcast(kk))
       .select(col("v"), (lit(1.0) / col("k").cast("double")).as("x"))
       .localCheckpoint()
     val ordj = W.partitionBy("j").orderBy("i")
     val cumj = ordj.rowsBetween(W.unboundedPreceding, W.currentRow)
     (1 to rounds).foreach { _ =>
-      val contrib = c.join(x, c("i") === x("v"))
-        .join(r, Seq("i"))
+      val contrib = c2.join(x, c2("i") === x("v"))
         .select(col("j"), col("i"),
           (col("x") * col("c").cast("double") / col("r_i").cast("double"))
             .as("ct"))
@@ -751,13 +760,12 @@ object Temporal {
         .withColumn("nc", count(lit(1)).over(W.partitionBy("j")))
         .filter(col("rn") === col("nc"))
         .select(col("j"), col("cum"))
-      x = states
-        .join(r.select(col("i").as("v"), col("r_i")), Seq("v"), "left")
+      x = sv
         .join(x.select(col("v"), col("x").as("xprev")), Seq("v"))
         .join(contrib.select(col("j").as("v"), col("cum")), Seq("v"), "left")
         .select(col("v"),
           (coalesce(col("cum"), lit(0.0)) +
-            when(col("r_i").isNull, col("xprev")).otherwise(lit(0.0)))
+            when(col("has_out").isNull, col("xprev")).otherwise(lit(0.0)))
             .as("x"))
         .localCheckpoint()
     }

@@ -976,12 +976,20 @@ object SimilarityQueries {
     // Lloyd passes, at every sf.
     Q("q_ivf_trained_gain",
       (s, d) => {
-        val cc = emb(s, d).select(col("vec_id"))
-          .filter(col("vec_id") < GainCorpusCap)
-          .withColumn("embedding", clusteredVecCol(col("vec_id")))
+        // cc feeds MANY consumers (truth, queries, two Lloyd passes, two
+        // retrieval faces' candidate AND query sides) and truth feeds
+        // both variants' metrics — checkpoint both once (r18): the
+        // corpus is ≤ GainCorpusCap rows and truth |q|·K rows, so the
+        // blocks are KBs while the saved re-evaluations are whole
+        // scan+score+window subtrees per consumer.
+        val cc = org.apache.spark.sql.graftbridge.PlanBridge
+          .sharedLocalCheckpoint(emb(s, d).select(col("vec_id"))
+            .filter(col("vec_id") < GainCorpusCap)
+            .withColumn("embedding", clusteredVecCol(col("vec_id"))))
         val nCells = Similarity.derivedCentroids(cc.count(), 32L)
         val q = cc.filter(col("vec_id") % 64 === 7 && col("vec_id") < 2048)
-        val truth = Similarity.cosineTopK(cc, q, K)
+        val truth = org.apache.spark.sql.graftbridge.PlanBridge
+          .sharedLocalCheckpoint(Similarity.cosineTopK(cc, q, K))
         def tag(name: String, got: org.apache.spark.sql.DataFrame) =
           Similarity.retrievalMetrics(truth, got, K)
             .select(lit(name).as("variant"), col("n_queries"),

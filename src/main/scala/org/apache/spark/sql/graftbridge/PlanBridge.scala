@@ -78,6 +78,21 @@ object PlanBridge {
     }
   }
 
+  /** LAZY localCheckpoint for a subtree referenced more than once inside
+    * a SINGLE action (r18): Spark does not CSE DataFrame subtrees, so a
+    * frame consumed by two branches of one plan evaluates twice; wrapping
+    * it here makes the blocks materialize at the action's first use and
+    * the other branch read them — one evaluation, ZERO extra jobs (no
+    * eager count), and unchanged plan decisions (the origin plan's
+    * estimated Statistics ride onto the LogicalRDD, exactly what the
+    * duplicated subtrees saw). NOT for frames a LATER round's plan
+    * references — those stats compound multiplicatively across rounds;
+    * use [[freshLocalCheckpoint]] there. The caller must release the
+    * blocks via [[unpersistLocalCheckpoint]] once the consuming action
+    * has materialized. */
+  def sharedLocalCheckpoint(df: DataFrame): DataFrame =
+    df.asInstanceOf[classic.Dataset[Row]].localCheckpoint(eager = false)
+
   /** Free the blocks behind a localCheckpoint()ed frame. Dataset.unpersist
     * is a no-op for these — localCheckpoint persists the underlying RDD
     * directly, without registering it with the CacheManager that
