@@ -853,20 +853,26 @@ object GraphOps {
         when(col("is_seed"), lit(1.0) / col("ns").cast("double"))
           .otherwise(lit(0.0)).as("p"))
       .localCheckpoint()
+    // r18: same round-invariant folding as [[pageRank]] — out-degree
+    // rides the checkpointed edge frame, the dangling-node set
+    // materializes once, and the dm anchor is a literal 1-row range
+    // (ns fed a broadcast-agg subtree per round). Floats unchanged.
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e2 = e.join(deg, Seq("src")).localCheckpoint() // (src, dst, deg)
+    val dang = nodes.select("v")
+      .join(deg, nodes("v") === deg("src"), "left_anti")
+      .localCheckpoint()
     var ranks = nodes.select(col("v"), col("p").as("r")).localCheckpoint()
     val ordd = W.partitionBy("dst").orderBy("src")
     val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
     (1 to iters).foreach { _ =>
       val dangTot = blockTotal(
-          ranks.join(deg, ranks("v") === deg("src"), "left_anti")
-            .select(col("v"), col("r")), "r")
+          ranks.join(dang, Seq("v")).select(col("v"), col("r")), "r")
         .select(lit(1).as("j"), col("tot").as("dm"))
-      val dm = ns.withColumn("j", lit(1))
+      val dm = nodes.sparkSession.range(1).select(lit(1).as("j"))
         .join(dangTot, Seq("j"), "left")
         .select(coalesce(col("dm"), lit(0.0)).as("dm"))
-      val contrib = e.join(ranks, e("src") === ranks("v"))
-        .join(deg, Seq("src"))
+      val contrib = e2.join(ranks, e2("src") === ranks("v"))
         .select(col("dst"), col("src"),
           (col("r") / col("deg").cast("double")).as("ct"))
         .withColumn("cum", sum(col("ct")).over(cumd))

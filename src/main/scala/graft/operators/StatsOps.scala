@@ -2073,8 +2073,17 @@ object StatsOps {
     val sym = pairs.select(col("i"), col("j"), col("n_ij"), col("w_i").as("w"))
       .unionByName(pairs.select(col("j").as("i"), col("i").as("j"),
         col("n_ij"), (col("n_ij") - col("w_i")).as("w")))
-    val wins = sym.groupBy(col("i")).agg(sum(col("w")).as("w_tot"),
-      sum(col("n_ij")).as("n_comp"))
+    // r18: wins / each round's raw / each round's p all feed 2-3
+    // consumers, and the rounds are unrolled in ONE plan — without
+    // sharing, every reference duplicates a subtree that CONTAINS window
+    // exchanges, so the stage count doubled per round (20 AQE stage-jobs
+    // at iters = 2). Shared lazy checkpoints dedupe them with zero extra
+    // actions; every frame here is |types|-bounded, so the cached blocks
+    // are trivial at any corpus scale.
+    val shared = org.apache.spark.sql.graftbridge.PlanBridge
+      .sharedLocalCheckpoint(_)
+    val wins = shared(sym.groupBy(col("i")).agg(sum(col("w")).as("w_tot"),
+      sum(col("n_ij")).as("n_comp")))
     var p = wins.select(col("i"), lit(1.0).as("p"))
     val ordj = W.partitionBy("i").orderBy("j")
     val cumj = ordj.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -2091,16 +2100,16 @@ object StatsOps {
         .withColumn("nc", count(lit(1)).over(W.partitionBy("i")))
         .filter(col("rn") === col("nc"))
         .select(col("i"), col("cum").as("den"))
-      val raw = wins.join(denom, Seq("i"))
-        .select(col("i"), (col("w_tot").cast("double") / col("den")).as("pr"))
+      val raw = shared(wins.join(denom, Seq("i"))
+        .select(col("i"), (col("w_tot").cast("double") / col("den")).as("pr")))
       val tot = raw
         .withColumn("cum", sum(col("pr")).over(cumi))
         .withColumn("rn", row_number().over(ordi))
         .withColumn("nc", count(lit(1)).over())
         .filter(col("rn") === col("nc"))
         .select(col("cum").as("tot"))
-      p = raw.crossJoin(broadcast(tot))
-        .select(col("i"), (col("pr") / col("tot")).as("p"))
+      p = shared(raw.crossJoin(broadcast(tot))
+        .select(col("i"), (col("pr") / col("tot")).as("p")))
     }
     wins.join(p, Seq("i"))
       .select(col("i").as(typeCol), col("w_tot").as("n_wins"),
