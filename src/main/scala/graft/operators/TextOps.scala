@@ -620,8 +620,14 @@ object TextOps {
   def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cnt"))
+    // r18: tf feeds vocab + the scoring join and vocab feeds total + the
+    // broadcast — without sharing, the corpus explode+shuffle subtree
+    // evaluated 3x (no DataFrame CSE). Lazy shared checkpoints: one
+    // evaluation each, zero extra actions (see PlanBridge).
+    val shared = org.apache.spark.sql.graftbridge.PlanBridge
+      .sharedLocalCheckpoint(_)
+    val tf = shared(toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val vocab = shared(tf.groupBy("term").agg(sum(col("tf")).as("cnt")))
     val total = vocab.agg(sum(col("cnt")).as("total"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("term")
@@ -688,12 +694,19 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val tf = bi.groupBy(col("doc_id"), col("a"), col("b"))
-      .agg(count(lit(1)).as("tf"))
-    val cab = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c_ab"))
+    // r18: tf / cab / uni each feed 2+ consumers — without sharing the
+    // corpus bigram explode+shuffle evaluated 3x and the token explode
+    // 2x (no DataFrame CSE). Lazy shared checkpoints: one evaluation
+    // each, zero extra actions.
+    val shared = org.apache.spark.sql.graftbridge.PlanBridge
+      .sharedLocalCheckpoint(_)
+    val tf = shared(bi.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf")))
+    val cab = shared(tf.groupBy(col("a"), col("b"))
+      .agg(sum(col("tf")).as("c_ab")))
     val hist = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_hist"))
-    val uni = toks.select(explode(col("_t")).as("b"))
-      .groupBy(col("b")).agg(count(lit(1)).as("c_uni"))
+    val uni = shared(toks.select(explode(col("_t")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("c_uni")))
     val n = uni.agg(sum(col("c_uni")).as("total"))
     val w = W.partitionBy("doc_id").orderBy("a", "b")
     val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -776,13 +789,18 @@ object TextOps {
       .select(col("doc_id"),
         explode(expr(TextFunctions.adjacentPairsExpr)).as("bg"))
       .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val tf = bi.groupBy(col("doc_id"), col("a"), col("b"))
-      .agg(count(lit(1)).as("tf"))
+    // r18: tf feeds cab + the scoring join — shared so the corpus
+    // explode+shuffle runs once; cab's eager checkpoint (4 consumers)
+    // becomes shared too: same dedup, one action fewer.
+    val sharedKn = org.apache.spark.sql.graftbridge.PlanBridge
+      .sharedLocalCheckpoint(_)
+    val tf = sharedKn(bi.groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("tf")))
     // the (a,b) TYPE frame feeds FOUR consumers (hist, cont, types, the
     // scoring join) — materialize once or Spark re-explodes the corpus
     // per consumer (round-6 CSE rule; reliable checkpoint on a cluster)
-    val cab = tf.groupBy(col("a"), col("b")).agg(sum(col("tf")).as("c_ab"))
-      .localCheckpoint()
+    val cab = sharedKn(tf.groupBy(col("a"), col("b"))
+      .agg(sum(col("tf")).as("c_ab")))
     // one pass over the type frame per side: history mass + following
     // types keyed by a, continuation types keyed by b, global type total
     val hist = cab.groupBy(col("a"))
