@@ -1101,66 +1101,141 @@ object GraphOps {
     *
     * Output: (node, community), every node of the edge frame. */
   def louvain(edges0: DataFrame, aCol: String = "a", bCol: String = "b",
-              maxSweeps: Int = 16): DataFrame = {
-    val e = edges0
+              maxSweeps: Int = 16): DataFrame =
+    louvainCore(
+      louvainCanonEdges(edges0, aCol, bCol)
+        .localCheckpoint(), // reused: m, degrees, intra scores, every sweep
+      maxSweeps)
+
+  /** The canonical undirected edge frame every Louvain face starts from:
+    * (a, b) with a < b, deduped. Factored out so [[louvainTwoLevel]] can
+    * materialize it ONCE and share it between level 1 and the
+    * contraction. */
+  private def louvainCanonEdges(edges0: DataFrame, aCol: String,
+                                bCol: String): DataFrame =
+    edges0
       .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .filter(col("a") < col("b")).distinct()
-      .localCheckpoint() // reused: m, degrees, intra scores, every sweep
+
+  /** [[louvain]] over an ALREADY-canonical, already-materialized edge
+    * frame.
+    *
+    * r17 sweep-cost profile (sf1): wall was dominated by per-sweep JOB
+    * count and repeated labels⋈deg joins, not data volume — labels CARRY
+    * the node degree k, and the gate score runs over the kvc frame
+    * (Σ_v k_{v,comm(v)} = 2·intra exactly, so 2·m·own − Σvol² is the
+    * identical Long — the r18 change; see git history for the derivation).
+    *
+    * r19 shape (the board's #1 scheduling-overhead cost: 98 AQE
+    * stage-jobs per q_louvain run, wall 4.1 s vs 1.2 s task time):
+    *  - ONE action per labeling instead of three: labels, kvc AND the
+    *    gate score materialize together as a TAGGED UNION inside a
+    *    single freshLocalCheckpoint (score row first, so the gate read
+    *    is a 1-task take over partition 0 of the materialized blocks,
+    *    not a third distributed plan). The labels/kvc subtrees enter the
+    *    union as lazy shared checkpoints — each evaluates once within
+    *    the action — and their blocks are released the moment the fused
+    *    checkpoint owns the rows.
+    *  - the per-sweep labels⋈kvc (v, d) join is gone: k_vd (edges into
+    *    the OWN community) is the c = d row of v's kvc partition, read
+    *    by a same-partition window that shares the argmax window's
+    *    (v)-partitioning.
+    *  - deg is not separately checkpointed: the init labeling IS the
+    *    degree frame relabeled, so materializing both stored the same
+    *    rows twice.
+    * Same integer gain/gate arithmetic on the same rows throughout —
+    * oracle-identical by construction. */
+  private def louvainCore(e: DataFrame, maxSweeps: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val PB = org.apache.spark.sql.graftbridge.PlanBridge
     val sym = e.select(col("a").as("v"), col("b").as("w"))
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
-    val deg = sym.groupBy("v").agg(count(lit(1)).as("k")).localCheckpoint()
     val m = e.count()
-    // r17 sweep-cost profile (sf1): wall was dominated by per-sweep JOB
-    // count and repeated labels⋈deg joins, not data volume. Two physical
-    // changes, zero semantic ones: (1) labels CARRY the node degree k —
-    // deg joins in vol / base / volSq disappear (deg is sweep-invariant);
-    // (2) the gate score runs as ONE action (crossJoin of the two scalar
-    // aggregates) instead of two.
-    // r18: the gate score reads the CHECKPOINTED kvc frame instead of
-    // re-joining the full edge frame: Σ_v k_{v,comm(v)} counts every
-    // intra-community edge once from each endpoint, so own = 2·intra
-    // exactly and 2·m·own − Σvol² = 4·m·intra − Σvol² — the same Long.
-    // The per-sweep e⋈labels⋈labels score job (two shuffles of the
-    // chain's largest frame) disappears; kvc now lives across the
-    // iteration (computed once per labeling, consumed by the sweep AND
-    // both gate sides) instead of being freed after each sweep.
-    def kvcOf(labels: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sym
-          .join(labels.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
-          .groupBy("v", "c").agg(count(lit(1)).as("k_vc")))
-    def score(labels: DataFrame, kvc: DataFrame): Long = {
-      val own = labels
-        .join(kvc, labels("node") === kvc("v") && labels("comm") === kvc("c"),
-          "left")
-        .agg(coalesce(sum(col("k_vc")), lit(0L)).as("own"))
-      val volSq = labels
-        .groupBy("comm").agg(sum(col("k")).as("vol"))
-        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
-      val r = own.crossJoin(volSq).first()
-      2L * m * r.getLong(0) - r.getLong(1)
+    val numShufflePartitions =
+      e.sparkSession.sessionState.conf.numShufflePartitions
+    // Size hint for the round frames inside fuse: the lazy checkpoints'
+    // inherited estimates are the sweep plan's multiplied join estimates
+    // (big → SMJ planning, measured +30% wall); the TRUE sizes are
+    // round-invariant, so each round reuses the PREVIOUS fused
+    // checkpoint's measured size (init: the edge checkpoint's measured
+    // size ×3 — labels ≤ nodes ≤ 2|e| and kvc ≤ |sym| rows, both of
+    // three longs vs e's two). Scale-honest both ways: a 100 TB edge
+    // frame yields a large hint and the joins stay shuffles.
+    var sizeHint = PB.measuredCheckpointSize(e).map(_ * 3L)
+    // (labels, ENRICHED kvc, gate score, owning checkpoint) of one
+    // labeling. The kvc rows come back fully enriched — (v, c, k_vc,
+    // d = comm(v), k = k_v, vol_d, vol_c) — so the SWEEP needs no joins
+    // at all before its argmax (r18 paid a vol aggregate + two vol
+    // broadcasts + a labels join per sweep); enrichment itself costs one
+    // comm-window + two broadcast joins here, once per labeling. The
+    // gate score folds to two GLOBAL aggregates over the shared frames:
+    // own = Σ k_vc over the c = d rows of the enriched frame, and
+    // Σ_c vol_c² = Σ_v k_v·vol_comm(v) over the vol-carrying labels —
+    // exact integer identities, no community-keyed join or groupBy left.
+    def fuse(labelsPlan: DataFrame): (DataFrame, DataFrame, Long, DataFrame) = {
+      def shared(df: DataFrame) = sizeHint
+        .map(PB.sharedLocalCheckpointSized(df, _))
+        .getOrElse(PB.sharedLocalCheckpoint(df))
+      val lab = shared(labelsPlan)
+      // labels + their community volume (window shares the one exchange
+      // on comm; every member row carries the same vol)
+      val lab2 = shared(lab.withColumn("vol",
+        sum(col("k")).over(W.partitionBy("comm"))))
+      // per-community volume frame: lab2 is comm-partitioned, so this
+      // aggregate adds no exchange
+      val volF = lab2.groupBy("comm").agg(max(col("vol")).as("volc"))
+      val kv = sym
+        .join(lab.select(col("node").as("w"), col("comm").as("c")), Seq("w"))
+        .groupBy("v", "c").agg(count(lit(1)).as("k_vc"))
+      val kvj = kv
+        .join(lab2.select(col("node").as("v"), col("comm").as("d"),
+          col("k"), col("vol").as("vol_d")), Seq("v"))
+        .join(volF.select(col("comm").as("c"), col("volc").as("vol_c")),
+          Seq("c"))
+      // gate score rides the checkpoint as an OBSERVATION (verified to
+      // fire under localCheckpoint): own = Σ k_vc over the c = d rows,
+      // Σ_c vol_c² = Σ_v k·vol over the label rows — zero extra stages,
+      // no score branch, no first() job.
+      val obs = org.apache.spark.sql.Observation()
+      val fused = PB.freshLocalCheckpoint(
+        lab2.select(lit(0).as("tag"), col("node").as("x"),
+            col("comm").as("y"), col("k").as("z4"), col("vol").as("z5"),
+            lit(0L).as("z6"), lit(0L).as("z7"))
+          .unionByName(kvj.select(lit(1).as("tag"), col("v").as("x"),
+            col("c").as("y"), col("k_vc").as("z4"), col("d").as("z5"),
+            col("k").as("z6"),
+            (col("vol_c") - (col("vol_d") - col("k"))).as("z7")))
+          .observe(obs,
+            coalesce(sum(when(col("tag") === 1 && col("y") === col("z5"),
+              col("z4"))), lit(0L)).as("own"),
+            coalesce(sum(when(col("tag") === 0, col("z4") * col("z5"))),
+              lit(0L)).as("vv"))
+          // bound the checkpoint's partition count (the union stacks both
+          // branches' partitions every sweep); coalesce is narrow
+          .coalesce(numShufflePartitions))
+      PB.unpersistLocalCheckpoint(lab)
+      PB.unpersistLocalCheckpoint(lab2)
+      val labelsF = fused.filter(col("tag") === 0)
+        .select(col("x").as("node"), col("y").as("comm"), col("z4").as("k"))
+      val kvcF = fused.filter(col("tag") === 1)
+        .select(col("x").as("v"), col("y").as("c"), col("z4").as("k_vc"),
+          col("z5").as("d"), col("z6").as("k"), col("z7").as("volTerm"))
+      val mm = PB.awaitObserved(obs)
+      sizeHint = PB.measuredCheckpointSize(fused).orElse(sizeHint)
+      (labelsF, kvcF,
+        2L * m * mm("own").asInstanceOf[Long] - mm("vv").asInstanceOf[Long],
+        fused)
     }
     def sweep(labels: DataFrame, kvc: DataFrame): DataFrame = {
-      val W = org.apache.spark.sql.expressions.Window
-      // kvc feeds TWO consumers below (base + gains); Spark does not CSE
-      // DataFrame subtrees (SURVEY §5), so without a checkpoint each
-      // sweep paid the sym⋈labels shuffle twice (checkpointing it
-      // measured faster than recompute at sf1; checkpointing vol too — a
-      // one-groupBy derivation of the checkpointed labels — did not).
-      val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
-      val base = labels.select(col("node").as("v"), col("comm").as("d"), col("k"))
-        .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
-          Seq("v", "d"), "left")
-        .na.fill(0L, Seq("k_vd"))
-        .join(vol.select(col("comm").as("d"), col("vol").as("vol_d")), Seq("d"))
-      val gains = base
-        .join(kvc.filter(col("c").isNotNull), Seq("v"))
-        .filter(col("c") =!= col("d"))
-        .join(vol.select(col("comm").as("c"), col("vol").as("vol_c")), Seq("c"))
+      val g = kvc
+        .withColumn("k_vd",
+          coalesce(max(when(col("c") === col("d"), col("k_vc")))
+            .over(W.partitionBy("v")), lit(0L)))
+      val gains = g.filter(col("c") =!= col("d"))
         .withColumn("gain",
           lit(2L) * m * (col("k_vc") - col("k_vd")) -
-            col("k") * (col("vol_c") - (col("vol_d") - col("k"))))
+            col("k") * col("volTerm"))
       val best = gains
         .withColumn("rk", row_number().over(
           W.partitionBy("v").orderBy(col("gain").desc, col("c"))))
@@ -1187,37 +1262,25 @@ object GraphOps {
         .select(col("node"), coalesce(col("c"), col("comm")).as("comm"),
           col("k"))
     }
-    // labels carry (node, comm, k): the degree joins ONCE at init (deg's
-    // node set == sym's, so this is deg itself relabeled) and rides the
-    // checkpointed frame through every sweep
-    var labels = org.apache.spark.sql.graftbridge.PlanBridge
-      .freshLocalCheckpoint(deg.select(col("v").as("node"),
-        col("v").as("comm"), col("k")))
-    var kvc = kvcOf(labels)
-    var s = score(labels, kvc)
+    // labels carry (node, comm, k): the degree aggregate IS the init
+    // labeling (deg's node set == sym's), materialized once inside fuse
+    var st = fuse(sym.groupBy("v").agg(count(lit(1)).as("k"))
+      .select(col("v").as("node"), col("v").as("comm"), col("k")))
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
-      val proposed = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sweep(labels, kvc))
-      val kvcP = kvcOf(proposed)
-      val s2 = score(proposed, kvcP)
-      if (s2 > s) {
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(labels)
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(kvc)
-        labels = proposed; kvc = kvcP; s = s2; sweeps += 1
+      val st2 = fuse(sweep(st._1, st._2))
+      if (st2._3 > st._3) {
+        PB.unpersistLocalCheckpoint(st._4)
+        st = st2; sweeps += 1
       } else {
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(proposed)
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(kvcP)
+        PB.unpersistLocalCheckpoint(st2._4)
         continue = false
       }
     }
-    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(kvc)
-    labels.select(col("node"), col("comm"))
+    // the final fused checkpoint stays live — it IS the returned labels
+    // (its kvc rows ride along; edge-frame-bounded, freed with the frame)
+    st._1.select(col("node"), col("comm"))
   }
 
   /** Contract a community assignment onto the quotient graph — Louvain's
@@ -1226,17 +1289,17 @@ object GraphOps {
     * count, the convention under which the quotient's modularity equals
     * the node-level modularity of the assignment). */
   def louvainContract(edges0: DataFrame, labels: DataFrame,
-                      aCol: String = "a", bCol: String = "b"): DataFrame = {
-    val e = edges0
-      .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
-        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") < col("b")).distinct()
+                      aCol: String = "a", bCol: String = "b"): DataFrame =
+    louvainContractCore(louvainCanonEdges(edges0, aCol, bCol), labels)
+
+  /** [[louvainContract]] over an ALREADY-canonical edge frame — shares
+    * [[louvainTwoLevel]]'s one edge materialization. */
+  private def louvainContractCore(e: DataFrame, labels: DataFrame): DataFrame =
     e.join(labels.select(col("node").as("a"), col("comm").as("ca")), Seq("a"))
       .join(labels.select(col("node").as("b"), col("comm").as("cb")), Seq("b"))
       .select(least(col("ca"), col("cb")).as("ca"),
         greatest(col("ca"), col("cb")).as("cb"))
       .groupBy("ca", "cb").agg(count(lit(1)).as("weight"))
-  }
 
   /** WEIGHTED gated Louvain phase-1 sweep — [[louvain]] generalized to a
     * (a, b, weight) edge frame with self-loops (a = b) allowed: exactly
@@ -1262,55 +1325,82 @@ object GraphOps {
       .select(col("a").as("v"), col("w").as("lw"))
     val sym = plain.select(col("a").as("v"), col("b").as("u"), col("w"))
       .unionByName(plain.select(col("b").as("v"), col("a").as("u"), col("w")))
-    // weighted degree: incident non-loop weight + 2×loop weight (nodes
-    // carrying ONLY a loop still need a row — full outer)
-    val deg = sym.groupBy("v").agg(sum(col("w")).as("kp"))
-      .join(loops, Seq("v"), "full_outer")
-      .select(col("v"),
-        (coalesce(col("kp"), lit(0L)) + lit(2L) * coalesce(col("lw"), lit(0L)))
-          .as("k"))
-      .localCheckpoint()
-    val bigW = e0.agg(coalesce(sum(col("w")), lit(0L))).first().getLong(0)
-    val loopW = loops.agg(coalesce(sum(col("lw")), lit(0L))).first().getLong(0)
-    // same r17 physical shape as [[louvain]]: labels carry k, the gate
-    // score is one action; r18: the gate score reads the checkpointed
-    // kvc — Σ_v k_{v,comm(v)} = 2·intraPlain exactly (each plain
-    // intra-community edge counted from both endpoints; loops are not in
-    // sym and ride the loopW constant), so the per-sweep plain⋈labels⋈
-    // labels score join disappears. kvc lives across the iteration.
-    def kvcOf(labels: DataFrame): DataFrame =
-      org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sym
-          .join(labels.select(col("node").as("u"), col("comm").as("c")), Seq("u"))
-          .groupBy("v", "c").agg(sum(col("w")).as("k_vc")))
-    def score(labels: DataFrame, kvc: DataFrame): Long = {
-      val own = labels
-        .join(kvc, labels("node") === kvc("v") && labels("comm") === kvc("c"),
-          "left")
-        .agg(coalesce(sum(col("k_vc")), lit(0L)).as("own"))
-      val volSq = labels
-        .groupBy("comm").agg(sum(col("k")).as("vol"))
-        .agg(coalesce(sum(col("vol") * col("vol")), lit(0L)).as("vv"))
-      val r = own.crossJoin(volSq).first()
-      // own = 2·intraPlain; loops are intra under ANY labeling (they
-      // move with their node)
-      2L * bigW * r.getLong(0) + 4L * bigW * loopW - r.getLong(1)
+    // BOTH scalar constants in ONE action (r19; was two first()s):
+    // total weight and loop weight are sums over the same checkpointed
+    // frame — identical Longs, integer addition is order-free.
+    val tw = e0.agg(coalesce(sum(col("w")), lit(0L)),
+      coalesce(sum(when(col("a") === col("b"), col("w"))), lit(0L))).first()
+    val bigW = tw.getLong(0)
+    val loopW = tw.getLong(1)
+    // r19: the same fused one-action-per-labeling shape as [[louvainCore]]
+    // (tagged union of score row + labels + kvc; k_vd via the shared
+    // (v)-partition window; deg folded into the init labeling) with
+    // weighted sums in place of counts. Gate reads the kvc frame:
+    // own = 2·intraPlain exactly (each plain intra-community edge counted
+    // from both endpoints; loops are not in sym and ride the loopW
+    // constant — intra under ANY labeling, they move with their node).
+    val W = org.apache.spark.sql.expressions.Window
+    val PB = org.apache.spark.sql.graftbridge.PlanBridge
+    val numShufflePartitions =
+      e0.sparkSession.sessionState.conf.numShufflePartitions
+    // same round-invariant size-hint scheme as [[louvainCore]]
+    var sizeHint = PB.measuredCheckpointSize(e0).map(_ * 3L)
+    // same enriched-kvc fuse shape as [[louvainCore]], weighted sums in
+    // place of counts (see the derivation comment there)
+    def fuse(labelsPlan: DataFrame): (DataFrame, DataFrame, Long, DataFrame) = {
+      def shared(df: DataFrame) = sizeHint
+        .map(PB.sharedLocalCheckpointSized(df, _))
+        .getOrElse(PB.sharedLocalCheckpoint(df))
+      val lab = shared(labelsPlan)
+      val lab2 = shared(lab.withColumn("vol",
+        sum(col("k")).over(W.partitionBy("comm"))))
+      val volF = lab2.groupBy("comm").agg(max(col("vol")).as("volc"))
+      val kv = sym
+        .join(lab.select(col("node").as("u"), col("comm").as("c")), Seq("u"))
+        .groupBy("v", "c").agg(sum(col("w")).as("k_vc"))
+      val kvj = kv
+        .join(lab2.select(col("node").as("v"), col("comm").as("d"),
+          col("k"), col("vol").as("vol_d")), Seq("v"))
+        .join(volF.select(col("comm").as("c"), col("volc").as("vol_c")),
+          Seq("c"))
+      val obs = org.apache.spark.sql.Observation()
+      val fused = PB.freshLocalCheckpoint(
+        lab2.select(lit(0).as("tag"), col("node").as("x"),
+            col("comm").as("y"), col("k").as("z4"), col("vol").as("z5"),
+            lit(0L).as("z6"), lit(0L).as("z7"))
+          .unionByName(kvj.select(lit(1).as("tag"), col("v").as("x"),
+            col("c").as("y"), col("k_vc").as("z4"), col("d").as("z5"),
+            col("k").as("z6"),
+            (col("vol_c") - (col("vol_d") - col("k"))).as("z7")))
+          .observe(obs,
+            coalesce(sum(when(col("tag") === 1 && col("y") === col("z5"),
+              col("z4"))), lit(0L)).as("own"),
+            coalesce(sum(when(col("tag") === 0, col("z4") * col("z5"))),
+              lit(0L)).as("vv"))
+          .coalesce(numShufflePartitions))
+      PB.unpersistLocalCheckpoint(lab)
+      PB.unpersistLocalCheckpoint(lab2)
+      val labelsF = fused.filter(col("tag") === 0)
+        .select(col("x").as("node"), col("y").as("comm"), col("z4").as("k"))
+      val kvcF = fused.filter(col("tag") === 1)
+        .select(col("x").as("v"), col("y").as("c"), col("z4").as("k_vc"),
+          col("z5").as("d"), col("z6").as("k"), col("z7").as("volTerm"))
+      val mm = PB.awaitObserved(obs)
+      sizeHint = PB.measuredCheckpointSize(fused).orElse(sizeHint)
+      (labelsF, kvcF,
+        2L * bigW * mm("own").asInstanceOf[Long] + 4L * bigW * loopW -
+          mm("vv").asInstanceOf[Long],
+        fused)
     }
     def sweep(labels: DataFrame, kvc: DataFrame): DataFrame = {
-      val W = org.apache.spark.sql.expressions.Window
-      val vol = labels.groupBy("comm").agg(sum(col("k")).as("vol"))
-      val base = labels.select(col("node").as("v"), col("comm").as("d"), col("k"))
-        .join(kvc.select(col("v"), col("c").as("d"), col("k_vc").as("k_vd")),
-          Seq("v", "d"), "left")
-        .na.fill(0L, Seq("k_vd"))
-        .join(vol.select(col("comm").as("d"), col("vol").as("vol_d")), Seq("d"))
-      val gains = base
-        .join(kvc.filter(col("c").isNotNull), Seq("v"))
-        .filter(col("c") =!= col("d"))
-        .join(vol.select(col("comm").as("c"), col("vol").as("vol_c")), Seq("c"))
+      val g = kvc
+        .withColumn("k_vd",
+          coalesce(max(when(col("c") === col("d"), col("k_vc")))
+            .over(W.partitionBy("v")), lit(0L)))
+      val gains = g.filter(col("c") =!= col("d"))
         .withColumn("gain",
           lit(2L) * bigW * (col("k_vc") - col("k_vd")) -
-            col("k") * (col("vol_c") - (col("vol_d") - col("k"))))
+            col("k") * col("volTerm"))
       val best = gains
         .withColumn("rk", row_number().over(
           W.partitionBy("v").orderBy(col("gain").desc, col("c"))))
@@ -1329,34 +1419,27 @@ object GraphOps {
         .select(col("node"), coalesce(col("c"), col("comm")).as("comm"),
           col("k"))
     }
-    var labels = org.apache.spark.sql.graftbridge.PlanBridge
-      .freshLocalCheckpoint(deg.select(col("v").as("node"),
-        col("v").as("comm"), col("k")))
-    var kvc = kvcOf(labels)
-    var s = score(labels, kvc)
+    // weighted degree: incident non-loop weight + 2×loop weight (nodes
+    // carrying ONLY a loop still need a row — full outer); this IS the
+    // init labeling, materialized once inside fuse
+    var st = fuse(sym.groupBy("v").agg(sum(col("w")).as("kp"))
+      .join(loops, Seq("v"), "full_outer")
+      .select(col("v").as("node"), col("v").as("comm"),
+        (coalesce(col("kp"), lit(0L)) + lit(2L) * coalesce(col("lw"), lit(0L)))
+          .as("k")))
     var continue = true
     var sweeps = 0
     while (continue && sweeps < maxSweeps) {
-      val proposed = org.apache.spark.sql.graftbridge.PlanBridge
-        .freshLocalCheckpoint(sweep(labels, kvc))
-      val kvcP = kvcOf(proposed)
-      val s2 = score(proposed, kvcP)
-      if (s2 > s) {
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(labels)
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(kvc)
-        labels = proposed; kvc = kvcP; s = s2; sweeps += 1
+      val st2 = fuse(sweep(st._1, st._2))
+      if (st2._3 > st._3) {
+        PB.unpersistLocalCheckpoint(st._4)
+        st = st2; sweeps += 1
       } else {
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(proposed)
-        org.apache.spark.sql.graftbridge.PlanBridge
-          .unpersistLocalCheckpoint(kvcP)
+        PB.unpersistLocalCheckpoint(st2._4)
         continue = false
       }
     }
-    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(kvc)
-    labels.select(col("node"), col("comm"))
+    st._1.select(col("node"), col("comm"))
   }
 
   /** TWO-LEVEL Louvain: phase 1 on the node graph, contract communities
@@ -1373,8 +1456,14 @@ object GraphOps {
     * the weighted sweep's label space). */
   def louvainTwoLevel(edges0: DataFrame, aCol: String = "a",
                       bCol: String = "b", maxSweeps: Int = 16): DataFrame = {
-    val l1 = louvain(edges0, aCol, bCol, maxSweeps).localCheckpoint()
-    val q = louvainContract(edges0, l1, aCol, bCol)
+    // r19: canonicalize + materialize the edge frame ONCE and share it
+    // between level 1 and the contraction — the r18 shape evaluated the
+    // caller's edge DERIVATION twice (louvain's internal checkpoint and
+    // louvainContract's re-canonicalization); for q_louvain2 that
+    // derivation is the whole near-dup LSH + cosine-verify chain.
+    val e = louvainCanonEdges(edges0, aCol, bCol).localCheckpoint()
+    val l1 = louvainCore(e, maxSweeps).localCheckpoint()
+    val q = louvainContractCore(e, l1)
     val l2 = louvainWeighted(q, "ca", "cb", "weight", maxSweeps)
     l1.join(l2.select(col("node").as("comm"), col("comm").as("comm2")),
         Seq("comm"))

@@ -1510,9 +1510,17 @@ object Similarity {
     val oneMinusN = 10L - lamN
     def micro(c: org.apache.spark.sql.Column) =
       round(c * lit(1000000.0)).cast("long")
+    // r19: cand feeds SIX consumers (both sides of the sim self-join,
+    // sel1, and every step's anti-join remainder) and its lineage is the
+    // whole stage-1 retriever — un-checkpointed, the corpus scan + score
+    // + top-k window re-evaluated per consumer (measured: q_mmr_rerank
+    // spent most of its 42 jobs re-running cosineTopK). One eager
+    // checkpoint of the |queries|·n-row frame; blocks released before
+    // return.
     val cand = ranked
       .select(col("qid"), col("rank"), col("vec_id"),
         micro(col("rel")).as("relu"))
+      .localCheckpoint()
     val vu = candidates.select(col(idCol).as("u"), col(vecCol).as("uvec"))
     val vv = candidates.select(col(idCol).as("v"), col(vecCol).as("vvec"))
     val sim = cand.select(col("qid"), col("vec_id").as("u"))
@@ -1543,12 +1551,22 @@ object Similarity {
       // the per-round localCheckpoint is LOAD-BEARING: sel feeds the next
       // round's anti-join, semi-join AND the union, so without it every
       // branch re-executes the whole upstream chain per round (measured
-      // 2x slower un-checkpointed at sf0.1)
+      // 2x slower un-checkpointed at sf0.1; lazy shared checkpoints also
+      // measured slower — r18 negative result #5)
+      val prevSel = sel
       sel = sel.unionByName(scored
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("qid"), lit(t).as("step"), col("vec_id"), col("scu"))
         ).localCheckpoint()
+      // the superseded step's rows are materialized INTO the new
+      // checkpoint — release its blocks (no-op on step 2: sel1 is not a
+      // checkpoint)
+      org.apache.spark.sql.graftbridge.PlanBridge
+        .unpersistLocalCheckpoint(prevSel)
     }
+    // sel is self-contained now — the sim and cand blocks are garbage
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(sim)
+    org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(cand)
     sel.select(col("qid"), col("step"), col("vec_id"), score(col("scu")))
   }
 

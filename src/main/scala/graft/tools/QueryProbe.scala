@@ -33,31 +33,39 @@ object QueryProbe {
     graft.plans.GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
-    @volatile var jobs = 0
-    @volatile var jobWallNs = 0L
-    @volatile var taskTimeMs = 0L
-    @volatile var stages = 0
-    @volatile var tasks = 0L
-    @volatile var shufWrite = 0L
-    @volatile var shufRead = 0L
+    // r19 (ADVICE): AtomicLong counters + a deterministic listener-bus
+    // drain (waitUntilEmpty) replace volatile `+=` and a fixed sleep —
+    // on a loaded bus a rep's events could bleed into the next rep's
+    // reset and skew the attribution this tool exists to provide.
+    import java.util.concurrent.atomic.AtomicLong
+    val jobs = new AtomicLong
+    val jobWallNs = new AtomicLong
+    val taskTimeMs = new AtomicLong
+    val stages = new AtomicLong
+    val tasks = new AtomicLong
+    val shufWrite = new AtomicLong
+    val shufRead = new AtomicLong
+    def resetCounters(): Unit =
+      Seq(jobs, jobWallNs, taskTimeMs, stages, tasks, shufWrite, shufRead)
+        .foreach(_.set(0L))
     val jobStart = scala.collection.concurrent.TrieMap.empty[Int, Long]
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobStart(j.jobId) = System.nanoTime()
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        jobs += 1
+        jobs.incrementAndGet()
         jobStart.remove(j.jobId)
-          .foreach(t0 => jobWallNs += System.nanoTime() - t0)
+          .foreach(t0 => jobWallNs.addAndGet(System.nanoTime() - t0))
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-        stages += 1
-        tasks += s.stageInfo.numTasks
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
         val m = s.stageInfo.taskMetrics
         if (m != null) {
-          taskTimeMs += m.executorRunTime
-          shufWrite += m.shuffleWriteMetrics.bytesWritten
-          shufRead += m.shuffleReadMetrics.totalBytesRead
+          taskTimeMs.addAndGet(m.executorRunTime)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {}
@@ -74,13 +82,14 @@ object QueryProbe {
       runOnce(name) // warm-up (JIT, codegen, footers) — not measured
       spark.sparkContext.addSparkListener(listener)
       val walls = (1 to reps).map { _ =>
-        jobs = 0; jobWallNs = 0L; taskTimeMs = 0L; stages = 0; tasks = 0L
-        shufWrite = 0L; shufRead = 0L
+        PlanBridge.drainListenerBus(spark)
+        resetCounters()
         val w = runOnce(name)
-        // listener events are async — give the bus a moment to drain
-        Thread.sleep(300)
-        (w, jobs, jobWallNs / 1e9, taskTimeMs / 1e3, stages, tasks,
-          shufWrite, shufRead)
+        // deterministic drain: all events for this rep's jobs are posted
+        // before the action returns; waitUntilEmpty flushes them through
+        PlanBridge.drainListenerBus(spark)
+        (w, jobs.get, jobWallNs.get / 1e9, taskTimeMs.get / 1e3, stages.get,
+          tasks.get, shufWrite.get, shufRead.get)
       }
       spark.sparkContext.removeSparkListener(listener)
       val best = walls.minBy(_._1)

@@ -93,6 +93,45 @@ object PlanBridge {
   def sharedLocalCheckpoint(df: DataFrame): DataFrame =
     df.asInstanceOf[classic.Dataset[Row]].localCheckpoint(eager = false)
 
+  /** [[sharedLocalCheckpoint]] with an EXPLICIT sizeInBytes estimate in
+    * place of the origin plan's. For iterative operators that fuse a
+    * round's frames into one action (louvain r19): the lazy checkpoint's
+    * inherited estimate is the round-plan's multiplied join estimate —
+    * large enough to flip the round's small-frame joins to sort-merge —
+    * while the TRUE size is known to match the previous round's measured
+    * checkpoint (cardinalities are round-invariant). Callers must pass a
+    * scale-honest bound (a measured size of a same-cardinality frame),
+    * never a constant: an optimistic literal would broadcast a huge frame
+    * at scale. */
+  def sharedLocalCheckpointSized(df: DataFrame, sizeInBytes: Long): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]].localCheckpoint(eager = false)
+    ds.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val stats = org.apache.spark.sql.catalyst.plans.logical.Statistics(
+          sizeInBytes = BigInt(sizeInBytes))
+        classic.Dataset.ofRows(ds.sparkSession,
+          org.apache.spark.sql.execution.LogicalRDD(
+            lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+            lr.isStreaming, lr.stream)(ds.sparkSession, Some(stats), None))
+      case _ => ds
+    }
+  }
+
+  /** Measured storage size of an (already materialized) localCheckpoint's
+    * RDD — the same read [[freshLocalCheckpoint]] swaps into its stats;
+    * exposed so iterative operators can seed next-round size hints from
+    * this round's materialized state. None when the frame is not a
+    * checkpoint or its blocks report no size. */
+  def measuredCheckpointSize(df: DataFrame): Option[Long] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == lr.rdd.id)
+          .map(i => i.memSize + i.diskSize)
+          .filter(_ > 0L)
+      case _ => None
+    }
+
   /** Free the blocks behind a localCheckpoint()ed frame. Dataset.unpersist
     * is a no-op for these — localCheckpoint persists the underlying RDD
     * directly, without registering it with the CacheManager that
@@ -107,10 +146,35 @@ object PlanBridge {
       case _ => ()
     }
 
+  /** Block until the listener bus has delivered every queued event —
+    * deterministic drain for tools that attribute jobs/stages to a rep
+    * (QueryProbe); `listenerBus` is private[spark], hence bridged here. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Non-blocking Observation read (Observation.get blocks forever when
     * the optimizer pruned the observed subtree; getOrEmpty is private[sql]).
     * Empty map until the observed frame's job completes. */
   def observedMetrics(o: Observation): Map[String, Any] = o.getOrEmpty
+
+  /** Bounded wait for an Observation whose action has ALREADY run (e.g.
+    * metrics riding an eager localCheckpoint — verified to fire): the
+    * listener delivery is async, so poll briefly instead of Observation
+    * .get's unbounded block. Throws if nothing arrives in `timeoutMs` —
+    * for a materialized frame that means the observed node was pruned,
+    * which is a caller bug, not a wait-longer situation. */
+  def awaitObserved(o: Observation, timeoutMs: Long = 30000L): Map[String, Any] = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var m = o.getOrEmpty
+    while (m.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(2)
+      m = o.getOrEmpty
+    }
+    require(m.nonEmpty,
+      "observation did not fire within the timeout — was the observed " +
+        "frame actually materialized?")
+    m
+  }
 
   /** Register a function on a LIVE session (the extensions path only
     * applies at session construction). */
