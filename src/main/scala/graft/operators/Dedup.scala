@@ -503,10 +503,14 @@ object Dedup {
     while (!converged && iter < maxIter) {
       val prev = cur
       val prevCount = curCount
-      cur = PlanBridge.freshLocalCheckpoint(round(prev))
-      curCount = cur.count()
-      // prev's count is carried from last round — per round this really
-      // is one scalar count plus one anti-set job, as documented
+      // the round's row count rides its checkpoint as an observation
+      // (r19) — per round this is ONE materializing action plus the
+      // anti-set job, no separate count job
+      val obs = org.apache.spark.sql.Observation()
+      cur = PlanBridge.freshLocalCheckpoint(
+        round(prev).observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n")))
+      curCount = PlanBridge.awaitObserved(obs)("n").asInstanceOf[Long]
       converged = prevCount == curCount && prev.except(cur).isEmpty
       PlanBridge.unpersistLocalCheckpoint(prev)
       iter += 1

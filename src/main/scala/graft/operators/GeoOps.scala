@@ -640,9 +640,15 @@ object GeoOps {
     val deg = pairs.select(col("id_a").as("id"))
       .unionByName(pairs.select(col("id_b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n_nbrs"))
+    val ptsObs = org.apache.spark.sql.Observation()
     val pts = points.select(col(idCol).as("id"))
       .join(ppf(deg), Seq("id"), "left")
       .withColumn("n_nbrs", coalesce(col("n_nbrs"), lit(0L)))
+      // non-core existence rides the checkpoint as an observed count
+      // (r19) — the border short-circuit below costs zero jobs now
+      // (was one limit(1) job per run)
+      .observe(ptsObs, count(when(col("n_nbrs") < minPts - 1, lit(1)))
+        .as("n_noncore"))
       .localCheckpoint()
     val core = pts.filter(col("n_nbrs") >= minPts - 1).select("id")
     val shuffleP = points.sparkSession.sessionState.conf.numShufflePartitions
@@ -665,12 +671,13 @@ object GeoOps {
     // pair checkpoint, four semi/anti joins and a min-label agg — is
     // provably empty work. Dense analysis windows sit in exactly that
     // regime (at both board scales every point is core: the r18 probe
-    // measured the skipped pass at ~1.5 s of a 17 s chain), and the gate
-    // is one limit(1) job on the checkpointed per-point frame. Same
-    // adaptive count-gate stance as ivfProbeIndex's serving-batch switch;
-    // the declared result — and its oracle — are untouched.
-    val hasNonCore =
-      pts.filter(col("n_nbrs") < minPts - 1).limit(1).count() > 0
+    // measured the skipped pass at ~1.5 s of a 17 s chain). The gate
+    // reads the observation that rode the per-point checkpoint — zero
+    // extra jobs (r19; was one limit(1) job). Same adaptive count-gate
+    // stance as ivfProbeIndex's serving-batch switch; the declared
+    // result — and its oracle — are untouched.
+    val hasNonCore = org.apache.spark.sql.graftbridge.PlanBridge
+      .awaitObserved(ptsObs)("n_noncore").asInstanceOf[Long] > 0L
     val roleMap = if (!hasNonCore) coreL else {
       // border pass: core endpoint -> non-core neighbor, min adjacent label
       val borderLabels = pairs

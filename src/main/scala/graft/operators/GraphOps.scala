@@ -105,9 +105,6 @@ object GraphOps {
         col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint()
-    val nodes = e.select(col("src").as("v"))
-      .unionByName(e.select(col("dst").as("v"))).distinct()
-      .localCheckpoint()
     // r18: fold every round-invariant piece out of the iteration plan —
     // the node count becomes a driver literal (it fed TWO broadcast-agg
     // subtrees per round), out-degree rides the checkpointed edge frame
@@ -116,7 +113,16 @@ object GraphOps {
     // ranks⋈deg left_anti becomes a join with the usually-small dangling
     // frame). Same float expression tree on the same values — ranks stay
     // bit-identical (n enters as the identical long-to-double cast).
-    val nL = nodes.count()
+    // r19: the node count rides the node checkpoint as an observation
+    // (no separate count job), and the init ranks are a plain select
+    // over the materialized node frame instead of one more checkpoint.
+    val PB = org.apache.spark.sql.graftbridge.PlanBridge
+    val obsN = org.apache.spark.sql.Observation()
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+      .observe(obsN, count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nL = PB.awaitObserved(obsN)("n").asInstanceOf[Long]
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val e2 = e.join(deg, Seq("src")).localCheckpoint() // (src, dst, deg)
     val dang = nodes.join(deg, nodes("v") === deg("src"), "left_anti")
@@ -124,7 +130,6 @@ object GraphOps {
     val n = lit(nL)
     var ranks = nodes
       .select(col("v"), (lit(1.0) / n.cast("double")).as("r"))
-      .localCheckpoint()
     val ordd = W.partitionBy("dst").orderBy("src")
     val cumd = ordd.rowsBetween(W.unboundedPreceding, W.currentRow)
     (1 to iters).foreach { _ =>
@@ -297,9 +302,22 @@ object GraphOps {
     // block sums, never the node frame itself
     def l1Total(scores: DataFrame, c: String): DataFrame =
       blockTotal(scores.select(col("v"), col(c)), c)
-    // per-node ordered sum of the other endpoint's score, L1-normalized
+    // r19: ONE action per ITERATION (was one per half-round + an init
+    // checkpoint): the auth half rides the hub half's checkpoint as a
+    // sized lazy shared checkpoint (stats pinned to the measured node
+    // checkpoint — inherited estimates flip small joins to SMJ, the
+    // louvain lesson), and the init scores are a plain select over the
+    // materialized node frame (re-computing it per reference is a
+    // narrow scan, not a join). Same float tree — bit-identical.
+    val PB = org.apache.spark.sql.graftbridge.PlanBridge
+    val sizeHint = PB.measuredCheckpointSize(nodes).map(_ * 2L)
+    def sharedSized(df: DataFrame): DataFrame = sizeHint
+      .map(PB.sharedLocalCheckpointSized(df, _))
+      .getOrElse(PB.sharedLocalCheckpoint(df))
+    // per-node ordered sum of the other endpoint's score, L1-normalized;
+    // returns the plan + the shared intermediate to release post-action
     def halfRound(scores: DataFrame, joinKey: String,
-                  groupKey: String): DataFrame = {
+                  groupKey: String): (DataFrame, DataFrame) = {
       val ordg = W.partitionBy(groupKey).orderBy(joinKey)
       val cumg = ordg.rowsBetween(W.unboundedPreceding, W.currentRow)
       val raw = e.join(scores, e(joinKey) === scores("v"))
@@ -311,23 +329,28 @@ object GraphOps {
         .select(col(groupKey).as("gv"), col("cum").as("raw"))
       // full feeds the L1 normalizer AND the payload — shared-checkpoint
       // it (r18) so the e⋈scores join + window subtree runs once per
-      // half-round, not twice; blocks freed as soon as the half-round's
-      // eager checkpoint has materialized
-      val full = org.apache.spark.sql.graftbridge.PlanBridge
-        .sharedLocalCheckpoint(
-          nodes.join(raw, nodes("v") === col("gv"), "left")
-            .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw")))
-      val out = org.apache.spark.sql.graftbridge.PlanBridge.freshLocalCheckpoint(
-        full.crossJoin(broadcast(l1Total(full, "raw")))
-          .select(col("v"), (col("raw") / col("tot")).as("s")))
-      org.apache.spark.sql.graftbridge.PlanBridge.unpersistLocalCheckpoint(full)
-      out
+      // half-round, not twice
+      val full = sharedSized(
+        nodes.join(raw, nodes("v") === col("gv"), "left")
+          .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw")))
+      (full.crossJoin(broadcast(l1Total(full, "raw")))
+        .select(col("v"), (col("raw") / col("tot")).as("s")), full)
     }
-    var hub = nodes.select(col("v"), lit(1.0).as("s")).localCheckpoint()
+    var hub = nodes.select(col("v"), lit(1.0).as("s"))
     var auth = hub
+    var prevAuth: DataFrame = null
+    var prevHub: DataFrame = null
     (1 to iters).foreach { _ =>
-      auth = halfRound(hub, "src", "dst")   // auth(v) = Σ hub(in-nbrs)
-      hub = halfRound(auth, "dst", "src")   // hub(u) = Σ auth(out-nbrs)
+      val (authPlan, fullA) = halfRound(hub, "src", "dst") // Σ hub(in-nbrs)
+      val authS = sharedSized(authPlan)
+      val (hubPlan, fullH) = halfRound(authS, "dst", "src") // Σ auth(out)
+      val hubCk = PB.freshLocalCheckpoint(hubPlan)
+      PB.unpersistLocalCheckpoint(fullA)
+      PB.unpersistLocalCheckpoint(fullH)
+      if (prevAuth != null) PB.unpersistLocalCheckpoint(prevAuth)
+      if (prevHub != null) PB.unpersistLocalCheckpoint(prevHub)
+      prevAuth = authS; prevHub = hubCk
+      auth = authS; hub = hubCk
     }
     hub.select(col("v"), col("s").as("h"))
       .join(auth.select(col("v"), col("s").as("a")), Seq("v"))
@@ -1101,11 +1124,17 @@ object GraphOps {
     *
     * Output: (node, community), every node of the edge frame. */
   def louvain(edges0: DataFrame, aCol: String = "a", bCol: String = "b",
-              maxSweeps: Int = 16): DataFrame =
-    louvainCore(
-      louvainCanonEdges(edges0, aCol, bCol)
-        .localCheckpoint(), // reused: m, degrees, intra scores, every sweep
-      maxSweeps)
+              maxSweeps: Int = 16): DataFrame = {
+    // edge count rides the edge checkpoint as an observation (r19) — no
+    // separate count job; the checkpoint is reused by degrees, kvc and
+    // every sweep
+    val obs = org.apache.spark.sql.Observation()
+    val e = louvainCanonEdges(edges0, aCol, bCol)
+      .observe(obs, count(lit(1)).as("m"))
+      .localCheckpoint()
+    louvainCore(e, org.apache.spark.sql.graftbridge.PlanBridge
+      .awaitObserved(obs)("m").asInstanceOf[Long], maxSweeps)
+  }
 
   /** The canonical undirected edge frame every Louvain face starts from:
     * (a, b) with a < b, deduped. Factored out so [[louvainTwoLevel]] can
@@ -1146,12 +1175,11 @@ object GraphOps {
     *    rows twice.
     * Same integer gain/gate arithmetic on the same rows throughout —
     * oracle-identical by construction. */
-  private def louvainCore(e: DataFrame, maxSweeps: Int): DataFrame = {
+  private def louvainCore(e: DataFrame, m: Long, maxSweeps: Int): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val PB = org.apache.spark.sql.graftbridge.PlanBridge
     val sym = e.select(col("a").as("v"), col("b").as("w"))
       .unionByName(e.select(col("b").as("v"), col("a").as("w")))
-    val m = e.count()
     val numShufflePartitions =
       e.sparkSession.sessionState.conf.numShufflePartitions
     // Size hint for the round frames inside fuse: the lazy checkpoints'
@@ -1314,24 +1342,27 @@ object GraphOps {
   def louvainWeighted(edges0: DataFrame, aCol: String = "ca",
                       bCol: String = "cb", wCol: String = "weight",
                       maxSweeps: Int = 16): DataFrame = {
+    val e0Obs = org.apache.spark.sql.Observation()
     val e0 = edges0
       .select(least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"),
         col(wCol).cast("long").as("w"))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .observe(e0Obs,
+        coalesce(sum(col("w")), lit(0L)).as("bw"),
+        coalesce(sum(when(col("a") === col("b"), col("w"))), lit(0L)).as("lw"))
       .localCheckpoint() // reused: W, degrees, intra scores, every sweep
     val plain = e0.filter(col("a") =!= col("b"))
     val loops = e0.filter(col("a") === col("b"))
       .select(col("a").as("v"), col("w").as("lw"))
     val sym = plain.select(col("a").as("v"), col("b").as("u"), col("w"))
       .unionByName(plain.select(col("b").as("v"), col("a").as("u"), col("w")))
-    // BOTH scalar constants in ONE action (r19; was two first()s):
-    // total weight and loop weight are sums over the same checkpointed
-    // frame — identical Longs, integer addition is order-free.
-    val tw = e0.agg(coalesce(sum(col("w")), lit(0L)),
-      coalesce(sum(when(col("a") === col("b"), col("w"))), lit(0L))).first()
-    val bigW = tw.getLong(0)
-    val loopW = tw.getLong(1)
+    // BOTH scalar constants ride e0's checkpoint as observed metrics
+    // (r19; was two first() jobs): total weight and loop weight are
+    // integer sums over the same frame — identical Longs, order-free.
+    val twm = org.apache.spark.sql.graftbridge.PlanBridge.awaitObserved(e0Obs)
+    val bigW = twm("bw").asInstanceOf[Long]
+    val loopW = twm("lw").asInstanceOf[Long]
     // r19: the same fused one-action-per-labeling shape as [[louvainCore]]
     // (tagged union of score row + labels + kvc; k_vd via the shared
     // (v)-partition window; deg folded into the init labeling) with
@@ -1461,8 +1492,13 @@ object GraphOps {
     // caller's edge DERIVATION twice (louvain's internal checkpoint and
     // louvainContract's re-canonicalization); for q_louvain2 that
     // derivation is the whole near-dup LSH + cosine-verify chain.
-    val e = louvainCanonEdges(edges0, aCol, bCol).localCheckpoint()
-    val l1 = louvainCore(e, maxSweeps).localCheckpoint()
+    val obs = org.apache.spark.sql.Observation()
+    val e = louvainCanonEdges(edges0, aCol, bCol)
+      .observe(obs, count(lit(1)).as("m"))
+      .localCheckpoint()
+    val l1 = louvainCore(e, org.apache.spark.sql.graftbridge.PlanBridge
+      .awaitObserved(obs)("m").asInstanceOf[Long], maxSweeps)
+      .localCheckpoint()
     val q = louvainContractCore(e, l1)
     val l2 = louvainWeighted(q, "ca", "cb", "weight", maxSweeps)
     l1.join(l2.select(col("node").as("comm"), col("comm").as("comm2")),

@@ -184,7 +184,13 @@ object Similarity {
     * that order). Bounded by √[[MaxIvfCells]] = 10⁴ rows regardless of
     * corpus size, and tolerant of gapped id spaces — no 0..n−1 contiguity
     * requirement, only that SOME centroid rows exist. */
-  private def collectCoarse(fine: DataFrame, nCoarse: Int): Seq[Seq[Float]] = {
+  private def collectCoarse(fine: DataFrame, nCoarse: Int): Seq[Seq[Float]] =
+    collectCoarseRows(fine, nCoarse).map(_._2)
+
+  /** [[collectCoarse]] keeping the row ids — the Lloyd trainer needs the
+    * id cut to re-observe the codebook per iteration. */
+  private def collectCoarseRows(fine: DataFrame,
+                                nCoarse: Int): IndexedSeq[(Long, Seq[Float])] = {
     val rows = fine
       .orderBy(col("_fid"))
       .limit(nCoarse)
@@ -195,7 +201,7 @@ object Similarity {
       "two-level quantizer found no centroid rows (no ids in [0, nCells)): " +
         "remap ids to a low-id-dense space (e.g. xxhash-rank) so the " +
         "low-id centroid convention has rows to draw from")
-    rows.toIndexedSeq.map(_._2)
+    rows.toIndexedSeq
   }
 
   /** TWO-LEVEL IVF cell probes — the corpus-derived-cells assignment
@@ -240,10 +246,20 @@ object Similarity {
   private def twoLevelProbesAgainst(fine: DataFrame, df: DataFrame,
                                     nCells: Int, nprobe: Int, pCoarse: Int,
                                     idCol: String, vecCol: String): DataFrame = {
-    import VectorFunctions.dot
     require(nCells >= 1 && nprobe >= 1 && pCoarse >= 1,
       "twoLevelProbes needs positive nCells / nprobe / pCoarse")
-    val coarse = collectCoarse(fine, coarseCellCount(nCells))
+    twoLevelProbesWithCoarse(collectCoarse(fine, coarseCellCount(nCells)),
+      fine, df, nprobe, pCoarse, idCol, vecCol)
+  }
+
+  /** [[twoLevelProbesAgainst]] with an ALREADY-collected coarse codebook
+    * — lets the Lloyd trainer and its consumers skip the per-call
+    * sort+limit+collect job when the codebook is in hand (r19). */
+  private def twoLevelProbesWithCoarse(coarse: Seq[Seq[Float]],
+                                       fine: DataFrame, df: DataFrame,
+                                       nprobe: Int, pCoarse: Int,
+                                       idCol: String, vecCol: String): DataFrame = {
+    import VectorFunctions.dot
     val pc = math.min(pCoarse, coarse.length)
     val fineHomed = fine.select(col("_fid"), col("_fvec"),
       element_at(centroidProbesCol(col("_fvec"), coarse, 1), 1).as("_cc"))
@@ -254,8 +270,23 @@ object Similarity {
     val fdist = dot(col("vec"), col("vec")) -
       lit(2.0) * dot(col("vec"), col("_fvec")) +
       dot(col("_fvec"), col("_fvec"))
-    probed
+    val scored = probed
       .select(col("id"), col("vec"), col("_fid"), fdist.as("_fdist"))
+    // nprobe = 1 (every ASSIGNMENT path: Lloyd training, index build) is
+    // an argmin — a map-side-combinable min_by aggregate instead of the
+    // sort window (r19, guide §2.3: the partial aggregate moves one row
+    // per id per map partition through the exchange where the window
+    // moved every candidate, and the per-partition sort disappears).
+    // min_by on the (dist, fid) struct is the IDENTICAL total order the
+    // window used (fid unique within a candidate set) — bit-identical
+    // cells, oracle-pinned.
+    if (nprobe == 1)
+      scored.groupBy("id")
+        .agg(min_by(struct(col("vec"), col("_fid")),
+          struct(col("_fdist"), col("_fid"))).as("_b"))
+        .select(col("id"), col("_b.vec").as("vec"),
+          col("_b._fid").as("cell"), lit(1).as("rn"))
+    else scored
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("_fdist"), col("_fid"))))
@@ -341,18 +372,42 @@ object Similarity {
   def trainIvfCentroids(candidates: DataFrame, nCells: Int, iters: Int,
                         pCoarse: Int = TwoLevelCoarseProbes,
                         idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding"): DataFrame =
+    trainIvfCentroidsWithCoarse(candidates, nCells, iters, pCoarse,
+      idCol, vecCol)._1
+
+  /** [[trainIvfCentroids]] returning the trained frame AND its collected
+    * coarse codebook, so consumers (final probe pass, index writer) skip
+    * their own collect job.
+    *
+    * r19 action shape: ONE coarse collect total (on the seeds) instead
+    * of one per iteration plus one per consumer. The coarse codebook is
+    * the nCoarse lowest-_fid rows and the _fid SET is iteration-
+    * invariant (empty cells keep their previous centroid), so each
+    * iteration's refreshed codebook VALUES are re-read by an
+    * observation riding the iteration's own checkpoint (collect_list of
+    * the _fid <= cut rows — verified to fire under localCheckpoint,
+    * tools/ObsProbe) — zero extra jobs per iteration. */
+  private[operators] def trainIvfCentroidsWithCoarse(
+      candidates: DataFrame, nCells: Int, iters: Int,
+      pCoarse: Int = TwoLevelCoarseProbes,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, Seq[Seq[Float]]) = {
     require(nCells >= 1 && iters >= 0,
       "trainIvfCentroids needs nCells >= 1 and iters >= 0")
+    val PB = org.apache.spark.sql.graftbridge.PlanBridge
     // seeds stay UNcheckpointed: their lineage is one filter+select over
     // the input (cheap to recompute), and checkpointing them leaked the
     // seed blocks for iters = 0 callers (r17 ADVICE)
     var cents = candidates
       .filter(col(idCol) >= 0 && col(idCol) < nCells)
       .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
+    val coarseRows = collectCoarseRows(cents, coarseCellCount(nCells))
+    val fidCut = coarseRows.last._1
+    var coarse: Seq[Seq[Float]] = coarseRows.map(_._2)
     for (_ <- 1 to iters) {
-      val asg = twoLevelProbesAgainst(cents, candidates, nCells, 1, pCoarse,
-        idCol, vecCol)
+      val asg = twoLevelProbesWithCoarse(coarse, cents, candidates, 1,
+        pCoarse, idCol, vecCol)
       val sums = asg
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "comp")))
         .groupBy(col("cell"), col("dim"))
@@ -367,18 +422,24 @@ object Similarity {
           coalesce((col("sq").cast("double") /
             (col("n").cast("double") * lit(1048576.0))).cast("float"),
             col("pcomp")).as("comp"))
+      val obs = org.apache.spark.sql.Observation()
       val next = merged.groupBy(col("_fid"))
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("comp")))),
           x => x.getField("comp")).as("_fvec"))
+        .observe(obs, collect_list(when(col("_fid") <= fidCut,
+          struct(col("_fid"), col("_fvec")))).as("coarse"))
         .localCheckpoint() // nCells rows — cuts the per-iteration lineage
       // no-op on round 1 (the seeds are not a checkpoint); frees every
       // superseded round after that
-      org.apache.spark.sql.graftbridge.PlanBridge
-        .unpersistLocalCheckpoint(cents)
+      PB.unpersistLocalCheckpoint(cents)
       cents = next
+      coarse = PB.awaitObserved(obs)("coarse")
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).map(_._2).toIndexedSeq
     }
-    cents
+    (cents, coarse)
   }
 
   /** Persist the IVF index as cell-partitioned parquet: the 100 TB layout
@@ -411,13 +472,19 @@ object Similarity {
     // arbitrary-seed quantizer costs recall at equal nprobe — the
     // q_ivf_trained_recall board row measures the gap). trainIters = 0
     // is the seed quantizer, bit-identical to the pre-r17 layout.
-    val cents =
-      if (trainIters > 0)
-        trainIvfCentroids(candidates, nCells, trainIters, pCoarse, idCol, vecCol)
-      else candidates
+    val (cents, coarseOpt) =
+      if (trainIters > 0) {
+        val (c, cb) = trainIvfCentroidsWithCoarse(candidates, nCells,
+          trainIters, pCoarse, idCol, vecCol)
+        (c, Some(cb))
+      } else (candidates
         .filter(col(idCol) >= 0 && col(idCol) < nCells)
-        .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec"))
-    twoLevelProbesAgainst(cents, candidates, nCells, 1, pCoarse, idCol, vecCol)
+        .select(col(idCol).cast("long").as("_fid"), col(vecCol).as("_fvec")),
+        None)
+    val coarse = coarseOpt
+      .getOrElse(collectCoarse(cents, coarseCellCount(nCells)))
+    twoLevelProbesWithCoarse(coarse, cents, candidates, 1, pCoarse,
+        idCol, vecCol)
       .select(col("id").as(idCol), col("vec").as(vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     // centroid SIDECAR (nCells rows — KBs): the EXACT quantizer the
@@ -652,15 +719,21 @@ object Similarity {
           s"ivf index at $dir has format $fmt; this build probes <= $IvfIndexFormat")
         m.getAs[Long]("n_cells").toInt
       } else cents.count().toInt
+    // the batch-size gate rides the probe checkpoint as an observation
+    // (r19) — no separate count job
+    val qpObs = org.apache.spark.sql.Observation()
     val qprobes = twoLevelProbesAgainst(cents, queries, nCells, nprobe,
         pCoarse, idCol, vecCol)
       .select(col("id").as("qid"), col("vec").as("qvec"), col("cell"))
+      .observe(qpObs, count(lit(1)).as("n"))
       .localCheckpoint() // read for the batch-size gate AND the probe join
+    val nProbes = org.apache.spark.sql.graftbridge.PlanBridge
+      .awaitObserved(qpObs)("n").asInstanceOf[Long]
     // a candidate lives in exactly one home cell and a query's probed
     // cells are distinct, so each (qid, vec_id) pair arises at most
     // once — no distinct shuffle needed (the knnGraph argument)
     val scored =
-      if (qprobes.count() <= maxQueryBatch.toLong * IvfBroadcastProbesPerQuery) {
+      if (nProbes <= maxQueryBatch.toLong * IvfBroadcastProbesPerQuery) {
         val probeCells = qprobes.select("cell").distinct()
           .collect().map(_.getLong(0)).toIndexedSeq
         spark.read.parquet(dir)
@@ -768,9 +841,11 @@ object Similarity {
                      nCentroids: Int, nprobe: Int = 4, trainIters: Int = 1,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      pCoarse: Int = TwoLevelCoarseProbes): DataFrame = {
-    val cents = trainIvfCentroids(candidates, nCentroids, trainIters,
-      pCoarse, idCol, vecCol)
-    val asg = twoLevelProbesAgainst(cents, candidates, nCentroids, nprobe,
+    require(nCentroids >= 1 && nprobe >= 1,
+      "ivfTopKTrained needs positive nCentroids / nprobe")
+    val (cents, coarse) = trainIvfCentroidsWithCoarse(candidates, nCentroids,
+      trainIters, pCoarse, idCol, vecCol)
+    val asg = twoLevelProbesWithCoarse(coarse, cents, candidates, nprobe,
       pCoarse, idCol, vecCol)
     val pairs = ivfPairsFromAsg(asg, queries, idCol)
     // ivfPairsFromAsg EAGERLY checkpointed the slim assignment, the only

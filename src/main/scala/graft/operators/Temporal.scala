@@ -727,26 +727,34 @@ object Temporal {
     val ordU = W.partitionBy("u").orderBy(col("ts"), col("tie"))
     val seq = events.select(col(userCol).as("u"), col(typeCol).as("st"),
       col(tsCol).as("ts"), col(tieCol).as("tie"))
+    val PB = org.apache.spark.sql.graftbridge.PlanBridge
     val c = seq.withColumn("nxt", lead(col("st"), 1).over(ordU))
       .filter(col("nxt").isNotNull)
       .groupBy(col("st").as("i"), col("nxt").as("j"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint() // the ONE corpus boundary — everything below is
+                         // K²-bounded (K = distinct event types)
+    // r18 folded the two round-invariant joins (c⋈r, states⋈r) out of
+    // the iteration. r19: the dangling flag has_out RIDES x
+    // (round-invariant), dropping the per-round sv join and the sv
+    // checkpoint; states is not separately checkpointed (it only feeds
+    // the x0 plan). Same float tree on the same values — bit-identical.
+    // NEGATIVE result (measured, reverted): running all 8 rounds as
+    // lazy shared checkpoints inside the final action (the bradleyTerry
+    // unroll) halved the job count (64 -> 35) but ADDED ~1 s of driver
+    // plan-compile/AQE time per run (wall 1.8 -> 2.5 s at sf0.1) — the
+    // eager per-round checkpoint keeps the round plans flat and is the
+    // faster shape here; kept.
     val r = c.groupBy("i").agg(sum(col("c")).as("r_i"))
-    val states = seq.select(col("st").as("v")).distinct().localCheckpoint()
-    val kk = states.agg(count(lit(1)).as("k"))
-    // r18: the per-round plan carried TWO round-invariant joins (c⋈r for
-    // the contribution denominator, states⋈r for the dangling test) —
-    // fold both once into checkpointed frames so each round is one
-    // c2⋈x join + the ordered window + the sv⋈x⋈contrib assembly.
-    // Same expression tree on the same values — floats bit-identical.
     val c2 = c.join(r, Seq("i")).localCheckpoint() // (i, j, c, r_i)
-    val sv = states
+    val states = seq.select(col("st").as("v")).distinct()
+    val kk = states.agg(count(lit(1)).as("k"))
+    var x = states
       .join(r.select(col("i").as("v"), lit(true).as("has_out")), Seq("v"),
         "left")
-      .localCheckpoint() // (v, has_out) — dangling ⇔ has_out null
-    var x = states.crossJoin(broadcast(kk))
-      .select(col("v"), (lit(1.0) / col("k").cast("double")).as("x"))
+      .crossJoin(broadcast(kk))
+      .select(col("v"), (lit(1.0) / col("k").cast("double")).as("x"),
+        col("has_out"))
       .localCheckpoint()
     val ordj = W.partitionBy("j").orderBy("i")
     val cumj = ordj.rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -760,14 +768,16 @@ object Temporal {
         .withColumn("nc", count(lit(1)).over(W.partitionBy("j")))
         .filter(col("rn") === col("nc"))
         .select(col("j"), col("cum"))
-      x = sv
-        .join(x.select(col("v"), col("x").as("xprev")), Seq("v"))
+      val prev = x
+      x = x.select(col("v"), col("x").as("xprev"), col("has_out"))
         .join(contrib.select(col("j").as("v"), col("cum")), Seq("v"), "left")
         .select(col("v"),
           (coalesce(col("cum"), lit(0.0)) +
             when(col("has_out").isNull, col("xprev")).otherwise(lit(0.0)))
-            .as("x"))
+            .as("x"),
+          col("has_out"))
         .localCheckpoint()
+      PB.unpersistLocalCheckpoint(prev)
     }
     x.select(col("v").as("state"), round(col("x"), 6).as("stationary"))
       .orderBy("state")

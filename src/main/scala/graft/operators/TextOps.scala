@@ -716,9 +716,14 @@ object TextOps {
     // scale) — like cab, they join on the term key and AQE may elect to
     // broadcast them when small; forcing it would OOM the driver at the
     // scale this operator targets. Only the 1-row total broadcasts.
-    tf.join(cab, Seq("a", "b"))
-      .join(hist, Seq("a"))
-      .join(uni, Seq("b"))
+    // r19 (§2.4): enrich the (a,b)-TYPE frame with hist/uni FIRST, then
+    // join the corpus-sized tf once — when the vocabulary frames exceed
+    // broadcast, the corpus frame crosses one exchange instead of three
+    // ((a,b), (a), (b)); locally every join broadcasts either way (plan
+    // dumps identical modulo order). Inner joins on the same keys —
+    // value-identical.
+    val cabE = cab.join(hist, Seq("a")).join(uni, Seq("b"))
+    tf.join(cabE, Seq("a", "b"))
       .crossJoin(broadcast(n))
       .withColumn("nll", -log(p) * col("tf"))
       .withColumn("cum_nll", sum(col("nll")).over(cum))
@@ -814,9 +819,10 @@ object TextOps {
         (col("n1b").cast("double") / col("t_types").cast("double")))
     val w = W.partitionBy("doc_id").orderBy("a", "b")
     val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
-    tf.join(cab, Seq("a", "b"))
-      .join(hist, Seq("a"))
-      .join(cont, Seq("b"))
+    // r19 (§2.4): same corpus-joins-once reorder as [[bigramNll]] — the
+    // type frame picks up hist/cont before the one tf join.
+    val cabE = cab.join(hist, Seq("a")).join(cont, Seq("b"))
+    tf.join(cabE, Seq("a", "b"))
       .crossJoin(broadcast(types))
       .withColumn("nll", -log(p) * col("tf"))
       .withColumn("cum_nll", sum(col("nll")).over(cum))

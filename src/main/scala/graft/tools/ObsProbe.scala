@@ -21,6 +21,22 @@ object ObsProbe {
     println("OBS after localCheckpoint: " +
       org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(obs))
     println("CK count: " + ck.count())
+    // does collect_list of a struct (incl. an array col) survive observe?
+    val obs2 = Observation("rows")
+    val df2 = spark.range(10).toDF("id")
+      .withColumn("vec", array(col("id").cast("float"),
+        (col("id") * 2).cast("float")))
+      .observe(obs2, collect_list(when(col("id") < 3,
+        struct(col("id"), col("vec")))).as("coarse"))
+    df2.localCheckpoint()
+    Thread.sleep(500)
+    val m2 = org.apache.spark.sql.graftbridge.PlanBridge.observedMetrics(obs2)
+    println("OBS2 keys: " + m2.keys)
+    m2.get("coarse").foreach { v =>
+      val rows = v.asInstanceOf[Seq[org.apache.spark.sql.Row]]
+      println("OBS2 rows: " + rows.map(r =>
+        (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1))
+    }
     spark.stop()
   }
 }
