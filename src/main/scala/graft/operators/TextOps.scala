@@ -1928,6 +1928,57 @@ object TextOps {
       s"(100 * maxtf <= $repPctCap * n_tok)) AS pass FROM t"
   }
 
+  /** BOTH quality gates ([[gopherRules]] flags + [[clfMarginFilter]]
+    * margin) evaluated in ONE corpus scan (r19): the rule flags and the
+    * classifier margin are per-row expressions of the same text, so
+    * joining two separate scans on doc_id — the r18 shape under
+    * q_brier/q_clf_calibration/q_cohens_kappa/q_mcnemar/q_cascade_yield —
+    * paid a second scan + tokenization + a corpus-keyed join for columns
+    * one projection carries. Identical expression trees, identical
+    * values; the declared oracles keep their two-CTE join (values
+    * equal). `carryCols` lets a caller ride extra input columns (e.g.
+    * the source key) through the same scan. */
+  private[graft] def clfRuleGates(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  carryCols: Seq[String] = Nil,
+                                  nBuckets: Long = 64,
+                                  minWords: Long = 20, maxWords: Long = 80,
+                                  stops: Seq[String] = Seq("the", "a"),
+                                  minStops: Long = 2,
+                                  repPctCap: Long = 15): DataFrame = {
+    val stopList = stops.map(s => s"'$s'").mkString(", ")
+    df.select(col(idCol) +: carryCols.map(col) ++:
+        Seq(TextFunctions.tokens(col(textCol)).as("_t"),
+          TextFunctions.tokenCodes(col(textCol)).as("_codes"),
+          length(col(textCol)).as("_nch")): _*)
+      .withColumn("margin",
+        expr(s"aggregate(_codes, CAST(0 AS BIGINT), " +
+          s"(acc, c) -> acc + ((c % $nBuckets) * 2654435761 % 1999 - 999))"))
+      .withColumn("keep", col("margin") > 0L)
+      .withColumn("n_tok", size(col("_t")).cast("long"))
+      .withColumn("_nstop",
+        expr(s"CAST(size(filter(_t, t -> t IN ($stopList))) AS BIGINT)"))
+      .withColumn("_maxtf",
+        expr("CAST(array_max(transform(array_distinct(_t), " +
+          "t -> size(filter(_t, x -> x = t)))) AS BIGINT)"))
+      .withColumn("_ntc", col("_nch").cast("long") - (col("n_tok") - 1))
+      .withColumn("r_word_count",
+        col("n_tok") >= minWords && col("n_tok") <= maxWords)
+      .withColumn("r_mean_word_len",
+        lit(3L) * col("n_tok") <= col("_ntc") &&
+          col("_ntc") <= lit(10L) * col("n_tok"))
+      .withColumn("r_stopwords", col("_nstop") >= minStops)
+      .withColumn("r_repetition",
+        lit(100L) * col("_maxtf") <= lit(repPctCap) * col("n_tok"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_stopwords") && col("r_repetition"))
+      .select(col(idCol) +: carryCols.map(col) ++:
+        Seq(col("margin"), col("keep"), col("n_tok"), col("r_word_count"),
+          col("r_mean_word_len"), col("r_stopwords"), col("r_repetition"),
+          col("pass")): _*)
+  }
+
   /** Hashed linear-classifier margin filter (the fastText-style quality
     * classifier gate — GPT-3/LLaMA-lineage curation runs one after the
     * heuristic rules): score(doc) = Σ_tokens w[h(token) mod D], keep
@@ -2211,10 +2262,7 @@ object TextOps {
     * ClfFoldBlocks rows per bin at stage 2; output ≤ 10 rows. */
   def clfCalibration(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val m = clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
-    val g = gopherRules(df, idCol, textCol)
-      .select(col(idCol), when(col("pass"), 1L).otherwise(0L).as("label"))
-    val scored = m.join(g, Seq(idCol))
+    val scored = clfGateScores(df, idCol, textCol)
       .withColumn("conf",
         lit(1.0) / (lit(1.0) + exp(col("margin").cast("double") / -1000.0)))
       .withColumn("bin", least(floor(col("conf") * 10.0).cast("long"), lit(9L)))
@@ -2476,10 +2524,9 @@ object TextOps {
     * [[brierDecomposition]], [[brierCounts]] and the kappa/calibration
     * queries' join. */
   def clfGateScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    clfMarginFilter(df, idCol, textCol).select(col(idCol), col("margin"))
-      .join(gopherRules(df, idCol, textCol)
-        .select(col(idCol), when(col("pass"), 1L).otherwise(0L).as("label")),
-        Seq(idCol))
+    clfRuleGates(df, idCol, textCol)
+      .select(col(idCol), col("margin"),
+        when(col("pass"), 1L).otherwise(0L).as("label"))
 
   /** The MERGEABLE half of the Brier monitor (the aucCounts precedent):
     * per-margin label counts (margin, n, n_pos). Margins are exact
@@ -2645,11 +2692,10 @@ object TextOps {
     * yield_clf, yield_both). */
   def cascadeYield(df: DataFrame, idCol: String, textCol: String,
                    srcCol: String): DataFrame = {
-    val gates = df.select(col(idCol), col(srcCol).as("src"))
-      .join(gopherRules(df, idCol, textCol).select(col(idCol), col("pass")),
-        Seq(idCol))
-      .join(clfMarginFilter(df, idCol, textCol).select(col(idCol), col("keep")),
-        Seq(idCol))
+    // r19: both gates + the source key in ONE scan ([[clfRuleGates]]) —
+    // was three scans of the corpus joined twice on doc_id
+    val gates = clfRuleGates(df, idCol, textCol, carryCols = Seq(srcCol))
+      .withColumnRenamed(srcCol, "src")
     gates.groupBy(col("src"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_rules"),

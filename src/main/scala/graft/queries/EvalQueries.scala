@@ -37,12 +37,13 @@ object EvalQueries {
     // whether agreement beats chance at all).
     Q("q_cohens_kappa",
       (s, d) => {
-        val dd = docs(s, d)
-        val m = TextOps.clfMarginFilter(dd, "doc_id", "text")
-          .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("ka"))
-        val g = TextOps.gopherRules(dd, "doc_id", "text")
-          .select(col("doc_id"), when(col("pass"), 1L).otherwise(0L).as("kb"))
-        StatsOps.cohensKappa(m.join(g, Seq("doc_id")), "ka", "kb")
+        // both gates in ONE scan (r19, TextOps.clfRuleGates) — the m⋈g
+        // join re-scanned and re-tokenized the corpus; values identical
+        StatsOps.cohensKappa(
+          TextOps.clfRuleGates(docs(s, d), "doc_id", "text")
+            .select(when(col("keep"), 1L).otherwise(0L).as("ka"),
+              when(col("pass"), 1L).otherwise(0L).as("kb")),
+          "ka", "kb")
       },
       Some {
         val codes = graft.functions.TextFunctions.tokenCodesSql("text")
@@ -305,12 +306,13 @@ object EvalQueries {
     // stricter than the other).
     Q("q_mcnemar",
       (s, d) => {
-        val dd = docs(s, d)
-        val m = TextOps.clfMarginFilter(dd, "doc_id", "text")
-          .select(col("doc_id"), when(col("keep"), 1L).otherwise(0L).as("a"))
-        val g = TextOps.gopherRules(dd, "doc_id", "text")
-          .select(col("doc_id"), when(col("pass"), 1L).otherwise(0L).as("b"))
-        StatsOps.mcnemar(m.join(g, Seq("doc_id")), "a", "b")
+        // both gates in ONE scan (r19, TextOps.clfRuleGates) — the m⋈g
+        // join re-scanned and re-tokenized the corpus; values identical
+        StatsOps.mcnemar(
+          TextOps.clfRuleGates(docs(s, d), "doc_id", "text")
+            .select(when(col("keep"), 1L).otherwise(0L).as("a"),
+              when(col("pass"), 1L).otherwise(0L).as("b")),
+          "a", "b")
       },
       Some {
         val codes = graft.functions.TextFunctions.tokenCodesSql("text")
